@@ -1,0 +1,12 @@
+"""Declared operator inventory: name -> (spark, sf_dir) -> DataFrame, plus
+DuckDB oracle SQL. Assembled from submodules as they come online."""
+
+from __future__ import annotations
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+from dbt_spark.queries import relational  # noqa: E402
+
+QUERIES.update(relational.QUERIES)
+ORACLES.update(relational.ORACLES)

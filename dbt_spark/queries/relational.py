@@ -1,0 +1,578 @@
+"""Relational operator inventory (SURVEY.md §2E) as (spark, sf_dir) -> DataFrame.
+
+Each query here is the Spark-first realization of an operator dbt delegates to
+the warehouse (reference cites in SURVEY.md §2E — e.g. joins/aggregates from
+``tests/fixtures/jaffle_shop.py:29-73``, pivot from ``jaffle_shop.py:98+``,
+union-all from ``performance/projects/01_2000_simple_models``). The paired
+ANSI-SQL oracle (ORACLES) is run by DuckDB on the same parquet.
+
+Determinism contract with the oracle (hash-exact, order-insensitive):
+- monetary aggregations cast to DECIMAL(18,2/4) first (exact, order-independent
+  sums), final result cast back to DOUBLE;
+- every computed integer cast to BIGINT (DuckDB's count/extract/length width);
+- windows and LIMIT always carry a unique tie-break key.
+
+Scale notes: all queries are pure DataFrame plans — Catalyst pushes filters and
+column pruning into the parquet scan, AQE picks broadcast vs shuffle joins at
+runtime. Explicit ``F.broadcast`` marks the dimension sides that will always be
+small at any SF (region/nation: fixed cardinality 5/25).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dbt_spark.session import load_tables
+
+
+def _dec(col: str, scale: int = 2) -> Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _dsum(col: str, scale: int = 2) -> Column:
+    """Exact (order-independent) sum of a monetary double, as double."""
+    return F.sum(_dec(col, scale)).cast("double")
+
+
+# --------------------------------------------------------------------------
+# scan / project / filter
+# --------------------------------------------------------------------------
+
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") < F.lit("1995-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# hash aggregate (TPC-H Q1 pricing summary shape)
+# --------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) * (
+        F.lit(1) + _dec("l_tax")
+    )
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            _dsum("o_totalprice").alias("sum_price"),
+            (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no 1998+ orders — the `relationships`-test anti-join shape."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    recent = t["orders"].filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    return (
+        t["customer"]
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    recent = t["orders"].filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    return (
+        t["customer"]
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region with broadcast dims (fixed-cardinality sides)."""
+    t = load_tables(spark, sf_dir, "customer", "nation", "region")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# pivot via conditional aggregation (jaffle_shop orders.sql idiom)
+# --------------------------------------------------------------------------
+
+ORDER_STATUSES = ["O", "F", "P"]
+
+
+def pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    aggs = [
+        F.sum(F.when(F.col("o_orderstatus") == s, _dec("o_totalprice")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias(f"amount_{s.lower()}")
+        for s in ORDER_STATUSES
+    ]
+    aggs.append(F.count(F.lit(1)).alias("n_orders"))
+    return t["orders"].groupBy("o_orderpriority").agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# set operators
+# --------------------------------------------------------------------------
+
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    a = t["orders"].filter(F.col("o_orderdate") < F.lit("1994-01-01").cast("timestamp")).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    b = t["orders"].filter(F.col("o_totalprice") > 150000).select("o_orderkey", "o_orderstatus")
+    return a.unionAll(b)
+
+
+def distinct_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem")
+    return t["lineitem"].select("l_returnflag", "l_linestatus").distinct()
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = t["orders"].select(F.col("o_custkey").alias("c_custkey"))
+    return building.intersect(with_orders)
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    all_custs = t["customer"].select("c_custkey")
+    with_orders = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return all_custs.exceptAll(with_orders).distinct()
+
+
+# --------------------------------------------------------------------------
+# sort / limit (deterministic via unique tie-break)
+# --------------------------------------------------------------------------
+
+def orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# window functions
+# --------------------------------------------------------------------------
+
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("bigint")
+        .alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CTE composition (jaffle_shop `customers` model shape)
+# --------------------------------------------------------------------------
+
+def cte_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH order_stats AS (...), spend AS (...) SELECT ... — expressed as
+    DataFrame composition; Catalyst inlines exactly like dbt's ephemeral CTEs."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    order_stats = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.col("o_orderdate")).alias("first_order"),
+            F.max(F.col("o_orderdate")).alias("most_recent_order"),
+            F.count(F.lit(1)).alias("number_of_orders"),
+            _dsum("o_totalprice").alias("customer_lifetime_value"),
+        )
+    )
+    return (
+        t["customer"]
+        .join(order_stats, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "first_order",
+            "most_recent_order",
+            F.coalesce(F.col("number_of_orders"), F.lit(0)).cast("bigint").alias(
+                "number_of_orders"
+            ),
+            F.coalesce(F.col("customer_lifetime_value"), F.lit(0.0)).alias(
+                "customer_lifetime_value"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# grouping sets / rollup / cube
+# --------------------------------------------------------------------------
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), _dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# scalar functions
+# --------------------------------------------------------------------------
+
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "part")
+    return t["part"].select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.substring(F.col("p_name"), 1, 10).alias("name_prefix"),
+        F.length(F.col("p_name")).cast("bigint").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.md5(F.col("p_name")).alias("name_md5"),
+        (F.col("p_partkey") % 7).cast("bigint").alias("key_mod7"),
+        F.floor(F.col("p_retailprice")).cast("bigint").alias("price_floor"),
+    )
+
+
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    return t["orders"].select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("days_to_eoy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# approximate aggregation (engine capability; no exact oracle by construction)
+# --------------------------------------------------------------------------
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_Q1_DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+ORACLES: dict[str, str] = {
+    "scan_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-03-15'
+    """,
+    "pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM({_Q1_DISC}) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM({_Q1_DISC} * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg_funcs": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_custs,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "join_inner": f"""
+        SELECT o_orderpriority,
+               CAST(SUM({_Q1_DISC}) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "join_left": """
+        SELECT c_mktsegment,
+               COUNT(o_orderkey) AS n_orders,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1998-01-01')
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1997-01-01')
+    """,
+    "join_multiway": """
+        SELECT r_name,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "pivot_conditional": """
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS amount_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS amount_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS amount_p,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "union_all": """
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderdate < TIMESTAMP '1994-01-01'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 150000
+    """,
+    "distinct_op": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "set_intersect": """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders
+    """,
+    "set_except": """
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+    "orderby_limit": """
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "window_row_number": """
+        SELECT o_custkey, o_orderkey, rn FROM (
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+            FROM orders) t
+        WHERE rn <= 2
+    """,
+    "window_lag_lead": """
+        SELECT o_orderkey, o_custkey,
+               CAST(DATE_DIFF('day',
+                    LAG(CAST(o_orderdate AS DATE)) OVER w,
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
+               LEAD(o_orderkey) OVER w AS next_orderkey
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "window_running_sum": """
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                    AS running_spend
+        FROM orders
+    """,
+    "cte_composition": """
+        WITH order_stats AS (
+            SELECT o_custkey,
+                   MIN(o_orderdate) AS first_order,
+                   MAX(o_orderdate) AS most_recent_order,
+                   COUNT(*) AS number_of_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS customer_lifetime_value
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, first_order, most_recent_order,
+               CAST(COALESCE(number_of_orders, 0) AS BIGINT) AS number_of_orders,
+               COALESCE(customer_lifetime_value, 0.0) AS customer_lifetime_value
+        FROM customer LEFT JOIN order_stats ON c_custkey = o_custkey
+    """,
+    "rollup_agg": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_agg": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "scalar_string_funcs": """
+        SELECT p_partkey,
+               UPPER(p_brand) AS brand_upper,
+               SUBSTRING(p_name, 1, 10) AS name_prefix,
+               CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+               REPLACE(p_type, ' ', '_') AS type_snake,
+               CONCAT_WS('|', p_brand, p_type) AS brand_type,
+               MD5(p_name) AS name_md5,
+               CAST(p_partkey % 7 AS BIGINT) AS key_mod7,
+               CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor
+        FROM part
+    """,
+    "scalar_date_funcs": """
+        SELECT o_orderkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+               DATE_TRUNC('month', o_orderdate) AS month_start,
+               CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT)
+                   AS days_to_eoy
+        FROM orders
+    """,
+    # approx_distinct: intentionally no oracle (approximate by construction;
+    # driver records rows-only check).
+}
+
+QUERIES = {
+    "scan_filter_project": scan_filter_project,
+    "pricing_summary": pricing_summary,
+    "agg_funcs": agg_funcs,
+    "join_inner": join_inner,
+    "join_left": join_left,
+    "join_anti": join_anti,
+    "join_semi": join_semi,
+    "join_multiway": join_multiway,
+    "pivot_conditional": pivot_conditional,
+    "union_all": union_all,
+    "distinct_op": distinct_op,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "orderby_limit": orderby_limit,
+    "window_row_number": window_row_number,
+    "window_lag_lead": window_lag_lead,
+    "window_running_sum": window_running_sum,
+    "cte_composition": cte_composition,
+    "rollup_agg": rollup_agg,
+    "cube_agg": cube_agg,
+    "scalar_string_funcs": scalar_string_funcs,
+    "scalar_date_funcs": scalar_date_funcs,
+    "approx_distinct": approx_distinct,
+}
