@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with the `noop` sink (full plan runs,
+nothing collected to the driver — measures engine throughput, not driver IO).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "agg_funcs",
+    "join_inner",
+    "join_left",
+    "join_multiway",
+    "pivot_conditional",
+    "window_running_sum",
+    "window_row_number",
+    "cte_composition",
+    "rollup_agg",
+    "distinct_op",
+    "union_all",
+    # LLM-pipeline ops (added as they come online)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "token_count",
+    "ann_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from dbt_spark.session import get_spark
+    from dbt_spark.queries import QUERIES
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers once so per-query numbers measure the plan
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
