@@ -1,0 +1,49 @@
+"""CLI: python -m dbt_spark <run|build|test|seed|snapshot|compile|ls> [...].
+
+The command surface mirrors core/dbt/cli/main.py registrations (SURVEY §2B
+CLI inventory); flags: --project-dir, --select/-s, --exclude, --full-refresh,
+--vars (YAML dict).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import yaml
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(prog="dbt_spark")
+    ap.add_argument("command", choices=["run", "build", "test", "seed", "snapshot",
+                                        "compile", "ls", "list"])
+    ap.add_argument("--project-dir", default=".")
+    ap.add_argument("--select", "-s", action="append", default=[])
+    ap.add_argument("--exclude", action="append", default=[])
+    ap.add_argument("--full-refresh", action="store_true")
+    ap.add_argument("--vars", default=None)
+    args = ap.parse_args()
+
+    from dbt_spark.runner import Engine
+
+    command = "ls" if args.command == "list" else args.command
+    engine = Engine(
+        args.project_dir,
+        vars=yaml.safe_load(args.vars) if args.vars else None,
+    )
+    argv = [command]
+    for s in args.select:
+        argv += ["--select", s]
+    for e in args.exclude:
+        argv += ["--exclude", e]
+    if args.full_refresh:
+        argv.append("--full-refresh")
+    result = engine.invoke(argv)
+    for r in result.results:
+        print(f"{r.status:8s} {r.unique_id:60s} {r.execution_time:6.2f}s {r.message.splitlines()[0] if r.message else ''}")
+    print(f"\n{'OK' if result.success else 'FAILED'}: {len(result.results)} node(s)")
+    return 0 if result.success else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

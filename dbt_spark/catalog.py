@@ -1,0 +1,211 @@
+"""RelationStore: the engine's warehouse.
+
+The reference ships SQL strings to a warehouse over an adapter; here the
+warehouse is Spark itself. A relation is a parquet directory under
+``{warehouse}/{schema}/{name}`` plus an entry in ``_catalog.json`` recording
+its kind (table/view/seed/snapshot/incremental), compiled SQL (for views) and
+write metadata. Relations are exposed to Spark SQL as temp views named
+``{schema}__{name}`` (registered lazily, re-registerable in a fresh session —
+this is the durable-catalog role the warehouse metastore plays for dbt).
+
+Writes are atomic via staging-dir swap: write to ``<path>.__staging__``, move
+the old dir aside, rename staging into place. At 100 TB the same operator
+semantics map onto Delta/Iceberg ``MERGE``/``replaceWhere`` (per-statement
+transactions, no full rewrite) — this store is the format-agnostic fallback;
+partition-scoped strategies (insert_overwrite, microbatch) already rewrite only
+touched partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Relation:
+    schema: str
+    name: str
+    kind: str  # table|view|seed|snapshot|incremental
+    path: Optional[str] = None
+    compiled_sql: Optional[str] = None
+    partition_by: list[str] = field(default_factory=list)
+    meta: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def identifier(self) -> str:
+        return f"{self.schema}__{self.name}"
+
+
+class RelationStore:
+    def __init__(self, spark: SparkSession, warehouse: str) -> None:
+        self.spark = spark
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+        self._lock = threading.RLock()
+        self._registered: set[str] = set()
+        self._state_path = os.path.join(self.warehouse, "_catalog.json")
+        self.relations: dict[str, Relation] = {}
+        self._load_state()
+
+    # -- state -------------------------------------------------------------
+
+    def _load_state(self) -> None:
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                raw = json.load(f)
+            for key, rd in raw.items():
+                self.relations[key] = Relation(**rd)
+
+    def _save_state(self) -> None:
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({k: r.__dict__ for k, r in self.relations.items()}, f, indent=1)
+        os.replace(tmp, self._state_path)
+
+    @staticmethod
+    def key(schema: str, name: str) -> str:
+        return f"{schema}.{name}"
+
+    def get(self, schema: str, name: str) -> Optional[Relation]:
+        return self.relations.get(self.key(schema, name))
+
+    def exists(self, schema: str, name: str) -> bool:
+        rel = self.get(schema, name)
+        if rel is None:
+            return False
+        if rel.kind == "view":
+            return True
+        return rel.path is not None and os.path.exists(rel.path)
+
+    def path_for(self, schema: str, name: str) -> str:
+        return os.path.join(self.warehouse, schema, name)
+
+    def list_relations(self, schema: Optional[str] = None) -> list[Relation]:
+        return [r for r in self.relations.values() if schema is None or r.schema == schema]
+
+    # -- registration (the ref()-resolution path) ---------------------------
+
+    def register(self, rel: Relation) -> str:
+        """Make the relation addressable from Spark SQL; returns identifier."""
+        with self._lock:
+            if rel.identifier in self._registered:
+                return rel.identifier
+            if rel.kind == "view":
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {rel.identifier} AS {rel.compiled_sql}"
+                )
+            else:
+                df = self.spark.read.parquet(rel.path)
+                df.createOrReplaceTempView(rel.identifier)
+            self._registered.add(rel.identifier)
+            return rel.identifier
+
+    def invalidate(self, rel: Relation) -> None:
+        with self._lock:
+            self._registered.discard(rel.identifier)
+
+    def read(self, schema: str, name: str) -> DataFrame:
+        rel = self.get(schema, name)
+        if rel is None:
+            raise KeyError(f"relation {schema}.{name} does not exist")
+        if rel.kind == "view":
+            self.register(rel)
+            return self.spark.table(rel.identifier)
+        return self.spark.read.parquet(rel.path)
+
+    # -- writes --------------------------------------------------------------
+
+    def save_view(self, schema: str, name: str, compiled_sql: str, **meta: Any) -> Relation:
+        rel = Relation(schema=schema, name=name, kind="view", compiled_sql=compiled_sql,
+                       meta=meta)
+        with self._lock:
+            self.relations[self.key(schema, name)] = rel
+            self._registered.discard(rel.identifier)
+            self._save_state()
+        self.register(rel)
+        return rel
+
+    def write_table(
+        self,
+        schema: str,
+        name: str,
+        df: DataFrame,
+        kind: str = "table",
+        partition_by: Optional[list[str]] = None,
+        mode: str = "overwrite",
+        **meta: Any,
+    ) -> Relation:
+        """Full write with atomic swap (overwrite) or file-append (append)."""
+        path = self.path_for(schema, name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        partition_by = list(partition_by or [])
+        if mode == "append" and os.path.exists(path):
+            writer = df.write.mode("append")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
+        else:
+            staging = f"{path}.__staging__{int(time.time() * 1000)}"
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(staging)
+            self._swap(path, staging)
+        rel = Relation(schema=schema, name=name, kind=kind, path=path,
+                       partition_by=partition_by, meta=meta)
+        with self._lock:
+            self.relations[self.key(schema, name)] = rel
+            self._registered.discard(rel.identifier)
+            self._save_state()
+        self.register(rel)
+        return rel
+
+    def overwrite_partitions(
+        self, schema: str, name: str, df: DataFrame, partition_by: list[str]
+    ) -> Relation:
+        """Dynamic partition overwrite: replaces only the partitions present in
+        ``df`` (spark.sql.sources.partitionOverwriteMode=dynamic). The scalable
+        microbatch/insert_overwrite write path — untouched partitions are not
+        rewritten."""
+        path = self.path_for(schema, name)
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+        rel = Relation(schema=schema, name=name, kind="incremental", path=path,
+                       partition_by=partition_by)
+        with self._lock:
+            self.relations[self.key(schema, name)] = rel
+            self._registered.discard(rel.identifier)
+            self._save_state()
+        self.register(rel)
+        return rel
+
+    def drop(self, schema: str, name: str) -> None:
+        with self._lock:
+            rel = self.relations.pop(self.key(schema, name), None)
+            if rel is not None:
+                self._registered.discard(rel.identifier)
+                self.spark.catalog.dropTempView(rel.identifier)
+                if rel.path and os.path.exists(rel.path):
+                    shutil.rmtree(rel.path)
+                self._save_state()
+
+    def _swap(self, path: str, staging: str) -> None:
+        old = f"{path}.__old__{int(time.time() * 1000)}"
+        with self._lock:
+            if os.path.exists(path):
+                os.rename(path, old)
+            os.rename(staging, path)
+            if os.path.exists(old):
+                shutil.rmtree(old)

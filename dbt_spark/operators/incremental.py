@@ -1,0 +1,180 @@
+"""Incremental materialization: append / merge / delete+insert /
+insert_overwrite / microbatch (SURVEY §2A incremental rows).
+
+Relation-exists gating mirrors core/dbt/task/run.py:667-684 (`_is_incremental`);
+strategy semantics mirror the adapter strategies the reference dispatches to.
+
+Scale design:
+- merge / delete+insert: when ``partition_by`` is configured, only the
+  partitions containing touched keys are read + rewritten (partition-pruned
+  read, dynamic partition overwrite) — the parquet analog of Delta MERGE.
+  Unpartitioned tables fall back to full rewrite with atomic swap.
+- insert_overwrite / microbatch: dynamic partition overwrite only — never a
+  full-table rewrite.
+- on_schema_change: ignore | append_new_columns | sync_all_columns | fail
+  (v1/config.py on_schema_change).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_spark.catalog import Relation
+from dbt_spark.operators.materialize import ExecutionContext, run_model_df
+from dbt_spark.operators.microbatch import run_microbatch
+from dbt_spark.plans.manifest import ManifestNode
+
+
+class IncrementalError(Exception):
+    pass
+
+
+def _unique_keys(node: ManifestNode) -> list[str]:
+    uk = node.config.unique_key
+    if uk is None:
+        raise IncrementalError(f"{node.unique_id}: strategy requires unique_key")
+    return [uk] if isinstance(uk, str) else list(uk)
+
+
+def _partition_cols(node: ManifestNode) -> list[str]:
+    pb = node.config.partition_by
+    if pb is None:
+        return []
+    return [pb] if isinstance(pb, str) else list(pb)
+
+
+def apply_schema_change(
+    existing: DataFrame, new: DataFrame, policy: str, node_id: str
+) -> tuple[DataFrame, DataFrame]:
+    """Align schemas per on_schema_change before combining."""
+    old_cols, new_cols = set(existing.columns), set(new.columns)
+    if old_cols == new_cols:
+        return existing, new
+    if policy == "fail":
+        raise IncrementalError(
+            f"{node_id}: schema changed (added={sorted(new_cols - old_cols)}, "
+            f"removed={sorted(old_cols - new_cols)}) and on_schema_change=fail"
+        )
+    if policy == "ignore":
+        # keep target schema; new batch must supply the target columns
+        missing = old_cols - new_cols
+        if missing:
+            raise IncrementalError(
+                f"{node_id}: new batch is missing target columns {sorted(missing)}"
+            )
+        return existing, new.select(*existing.columns)
+    if policy == "append_new_columns":
+        for c in sorted(new_cols - old_cols):
+            existing = existing.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+        return existing, new.select(*existing.columns) if set(existing.columns) <= new_cols else (
+            existing,
+            new,
+        )
+    if policy == "sync_all_columns":
+        for c in sorted(new_cols - old_cols):
+            existing = existing.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+        existing = existing.select(*new.columns)
+        return existing, new
+    raise IncrementalError(f"{node_id}: unknown on_schema_change {policy!r}")
+
+
+def merge_upsert(
+    existing: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """MERGE semantics: matched target rows replaced, unmatched inserted.
+
+    Implemented as target-anti-join-keys ∪ new — one shuffle on the key, and
+    AQE converts to broadcast when the new batch is small (the common case)."""
+    new_keys = new.select(*keys).distinct()
+    kept = existing.join(F.broadcast(new_keys), on=keys, how="left_anti")
+    return kept.unionByName(new)
+
+
+def delete_insert(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """DELETE keys present in batch, then INSERT batch (strategy delete+insert).
+    Final state equals merge for whole-row batches; kept as a distinct code
+    path because dbt treats it as a distinct strategy."""
+    new_keys = new.select(*keys).distinct()
+    deleted = existing.join(F.broadcast(new_keys), on=keys, how="left_anti")
+    return deleted.unionByName(new)
+
+
+def _scoped_rewrite(
+    ctx: ExecutionContext,
+    node: ManifestNode,
+    new: DataFrame,
+    combine,
+    keys: list[str],
+) -> Relation:
+    """Partition-pruned merge when partitioned; full swap otherwise."""
+    schema = ctx.schema_for(node)
+    parts = _partition_cols(node)
+    existing = ctx.store.read(schema, node.name)
+    existing, new = apply_schema_change(
+        existing, new, node.config.on_schema_change, node.unique_id
+    )
+    if parts:
+        # 1. find touched partitions from the new batch (small: distinct on
+        #    partition cols); 2. read ONLY those partitions from the target
+        #    (partition pruning via filter on partition columns); 3. combine;
+        #    4. dynamic partition overwrite writes only those partitions back.
+        touched = [tuple(r) for r in new.select(*parts).distinct().collect()]
+        if not touched:
+            return ctx.store.get(schema, node.name)
+        pred = None
+        for combo in touched:
+            clause = None
+            for col, val in zip(parts, combo):
+                c = F.col(col) == F.lit(val)
+                clause = c if clause is None else (clause & c)
+            pred = clause if pred is None else (pred | clause)
+        scoped_existing = existing.filter(pred)
+        combined = combine(scoped_existing, new, keys)
+        return ctx.store.overwrite_partitions(schema, node.name, combined, parts)
+    combined = combine(existing, new, keys)
+    return ctx.store.write_table(schema, node.name, combined, kind="incremental")
+
+
+def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Optional[Relation]:
+    schema = ctx.schema_for(node)
+    strategy = node.config.incremental_strategy or "append"
+    parts = _partition_cols(node)
+
+    if strategy == "microbatch":
+        return run_microbatch(ctx, node)
+
+    exists = ctx.store.exists(schema, node.name)
+    full_refresh = ctx.full_refresh or bool(node.config.full_refresh)
+    is_incremental = exists and not full_refresh
+
+    if is_incremental:
+        # `{{ this }}` must be addressable inside the model SQL
+        ctx.store.register(ctx.store.get(schema, node.name))
+
+    new = run_model_df(ctx, node, is_incremental=is_incremental)
+
+    if not is_incremental:
+        return ctx.store.write_table(
+            schema, node.name, new, kind="incremental", partition_by=parts
+        )
+
+    if strategy == "append":
+        existing = ctx.store.read(schema, node.name)
+        _, new = apply_schema_change(existing, new, node.config.on_schema_change, node.unique_id)
+        return ctx.store.write_table(
+            schema, node.name, new, kind="incremental", partition_by=parts, mode="append"
+        )
+    if strategy == "merge":
+        return _scoped_rewrite(ctx, node, new, merge_upsert, _unique_keys(node))
+    if strategy == "delete+insert":
+        return _scoped_rewrite(ctx, node, new, delete_insert, _unique_keys(node))
+    if strategy == "insert_overwrite":
+        if not parts:
+            raise IncrementalError(
+                f"{node.unique_id}: insert_overwrite requires partition_by"
+            )
+        return ctx.store.overwrite_partitions(schema, node.name, new, parts)
+    raise IncrementalError(f"{node.unique_id}: unknown incremental_strategy {strategy!r}")

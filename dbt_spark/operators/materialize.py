@@ -1,0 +1,201 @@
+"""view / table / ephemeral materializations + the shared ExecutionContext.
+
+Reference semantics: view = CREATE OR REPLACE VIEW (SURVEY §2A, dispatch
+task/run.py:305-310); table = CTAS with atomic swap; ephemeral = never
+materialized, inlined into consumers (core/dbt/compilation.py:493-583) — here
+inlining is a registered temp view, which Catalyst folds into the consumer's
+plan exactly like a CTE.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbt_spark.catalog import Relation, RelationStore
+from dbt_spark.plans.compile import runtime_render
+from dbt_spark.plans.manifest import Manifest, ManifestNode, NodeType
+from dbt_spark.project import Project
+
+
+@dataclass
+class ExecutionContext:
+    spark: SparkSession
+    store: RelationStore
+    manifest: Manifest
+    project: Project
+    full_refresh: bool = False
+    vars: dict[str, Any] = field(default_factory=dict)
+    event_time_filters: dict[str, tuple] = field(default_factory=dict)
+    snapshot_ts: Optional[str] = None  # injectable for deterministic tests
+    now: Optional[Any] = None  # injectable wall-clock for microbatch
+
+    @property
+    def schema(self) -> str:
+        return self.project.profile.get("schema", "main")
+
+    def schema_for(self, node: ManifestNode) -> str:
+        return node.config.schema or self.schema
+
+    def identifier_for(self, node: ManifestNode) -> str:
+        return f"{self.schema_for(node)}__{node.name}"
+
+    # ---- ref/source resolution (runtime phase) ---------------------------
+
+    def resolve_ref(self, node: ManifestNode) -> str:
+        if node.is_ephemeral:
+            return self._register_ephemeral(node)
+        rel = self.store.get(self.schema_for(node), node.name)
+        if rel is None:
+            raise RuntimeError(
+                f"ref to {node.name}: relation not built yet (is it selected upstream?)"
+            )
+        ident = self.store.register(rel)
+        return self._maybe_event_filter(node, ident)
+
+    def resolve_source(self, node: ManifestNode) -> str:
+        location = node.config.meta.get("location")
+        if location is None:
+            raise RuntimeError(f"source {node.unique_id} has no meta.location")
+        ident = f"src__{node.source_name}__{node.name}"
+        fmt = node.config.meta.get("file_format", "parquet")
+        if fmt == "parquet":
+            from dbt_spark.session import read_parquet
+
+            df = read_parquet(self.spark, location)
+        elif fmt == "csv":
+            df = self.spark.read.option("header", "true").option(
+                "inferSchema", "true"
+            ).csv(location)
+        else:
+            df = getattr(self.spark.read, fmt)(location)
+        df.createOrReplaceTempView(ident)
+        return self._maybe_event_filter(node, ident)
+
+    def source_df(self, node: ManifestNode) -> DataFrame:
+        ident = self.resolve_source(node)
+        return self.spark.sql(f"SELECT * FROM {ident}")
+
+    def _maybe_event_filter(self, node: ManifestNode, ident: str) -> str:
+        """Microbatch upstream pruning (core/dbt/context/providers.py:245-304):
+        refs/sources with a configured event_time get the batch window pushed
+        into their scan — Catalyst then prunes partitions/row-groups."""
+        window = self.event_time_filters.get("*") or self.event_time_filters.get(
+            node.unique_id
+        )
+        et = node.config.event_time or (
+            node.loaded_at_field if node.resource_type == NodeType.Source else None
+        )
+        if window and et:
+            start, end = window
+            return (
+                f"(SELECT * FROM {ident} WHERE {et} >= TIMESTAMP '{start}'"
+                f" AND {et} < TIMESTAMP '{end}')"
+            )
+        return ident
+
+    def _register_ephemeral(self, node: ManifestNode) -> str:
+        ident = f"__eph__{node.name}"
+        sql = compile_sql(self, node)
+        node.compiled_code = sql
+        self.spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {ident} AS {sql}")
+        return ident
+
+    def ensure_upstream_registered(self, node: ManifestNode) -> None:
+        """Re-register persisted upstream relations (fresh session / subset runs)."""
+        for dep_uid in node.depends_on:
+            dep = self.manifest.nodes.get(dep_uid) or self.manifest.sources.get(dep_uid)
+            if dep is None:
+                continue
+            if dep.resource_type == NodeType.Source or dep.is_ephemeral:
+                continue
+            rel = self.store.get(self.schema_for(dep), dep.name)
+            if rel is not None:
+                self.store.register(rel)
+
+
+def compile_sql(
+    ctx: ExecutionContext, node: ManifestNode, is_incremental: bool = False
+) -> str:
+    target = dict(ctx.project.profile, name="spark", type="spark")
+    return runtime_render(
+        node,
+        ctx.manifest,
+        resolve_ref=ctx.resolve_ref,
+        resolve_source=ctx.resolve_source,
+        this_name=ctx.identifier_for(node),
+        is_incremental=is_incremental,
+        full_refresh=ctx.full_refresh,
+        var_overrides={**ctx.project.vars, **ctx.vars},
+        target=target,
+    ).strip().rstrip(";")
+
+
+def run_model_df(ctx: ExecutionContext, node: ManifestNode, is_incremental: bool = False) -> DataFrame:
+    """Compile and evaluate a model to a DataFrame (SQL or Python model)."""
+    ctx.ensure_upstream_registered(node)
+    if node.language == "python":
+        return _run_python_model(ctx, node)
+    sql = compile_sql(ctx, node, is_incremental=is_incremental)
+    node.compiled_code = sql
+    return ctx.spark.sql(sql)
+
+
+def _run_python_model(ctx: ExecutionContext, node: ManifestNode) -> DataFrame:
+    """Python models run natively: `session` IS the SparkSession and
+    dbt.ref()/dbt.source() return DataFrames (SURVEY §2A Python-model row —
+    strictly simpler than the reference's submit_python_job,
+    core/dbt/context/providers.py:1566-1578)."""
+    ctx.ensure_upstream_registered(node)
+
+    class DbtObj:
+        def ref(self, *args: str) -> DataFrame:
+            name = args[-1]
+            found = ctx.manifest.ref_lookup(name)
+            if found is None:
+                raise RuntimeError(f"dbt.ref('{name}') not found")
+            return ctx.spark.sql(f"SELECT * FROM {ctx.resolve_ref(found)}")
+
+        def source(self, src: str, tbl: str) -> DataFrame:
+            found = ctx.manifest.source_lookup(src, tbl)
+            if found is None:
+                raise RuntimeError(f"dbt.source('{src}','{tbl}') not found")
+            return ctx.source_df(found)
+
+        def config(self, **kwargs: object) -> None:
+            pass
+
+    scope: dict[str, object] = {}
+    exec(compile(node.raw_code, node.path, "exec"), scope)
+    model_fn = scope.get("model")
+    if not callable(model_fn):
+        raise RuntimeError(f"python model {node.name} must define model(dbt, session)")
+    df = model_fn(DbtObj(), ctx.spark)
+    if not isinstance(df, DataFrame):
+        raise RuntimeError(f"python model {node.name} must return a DataFrame")
+    return df
+
+
+def materialize_view(ctx: ExecutionContext, node: ManifestNode) -> Relation:
+    ctx.ensure_upstream_registered(node)
+    sql = compile_sql(ctx, node)
+    node.compiled_code = sql
+    return ctx.store.save_view(ctx.schema_for(node), node.name, sql)
+
+
+def materialize_table(ctx: ExecutionContext, node: ManifestNode) -> Relation:
+    df = run_model_df(ctx, node)
+    partition_by = node.config.partition_by
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    return ctx.store.write_table(
+        ctx.schema_for(node), node.name, df, kind="table", partition_by=partition_by
+    )
+
+
+def materialize_ephemeral(ctx: ExecutionContext, node: ManifestNode) -> None:
+    """Never materialized; consumers inline via _register_ephemeral."""
+    return None

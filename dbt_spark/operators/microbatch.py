@@ -1,0 +1,177 @@
+"""Microbatch incremental strategy.
+
+Semantics from core/dbt/materializations/incremental/microbatch.py:12-223
+(MicrobatchBuilder: build_batches :81-101, offset_timestamp :123-162,
+truncate_timestamp :164-193) and batch orchestration core/dbt/task/run.py:744-867:
+
+- the [begin → now] range is split into hour/day/month/year batches;
+- on incremental runs only the last ``lookback + 1`` grains are reprocessed
+  (dbt's late-data handling — the batch analog of a watermark);
+- every ref/source with an ``event_time`` gets the batch window pushed into its
+  scan (providers.py:245-304) — here via ExecutionContext.event_time_filters,
+  which Catalyst turns into partition/row-group pruning;
+- each batch writes via dynamic partition overwrite when the model is
+  partitioned (only that batch's partitions rewritten — the 100 TB path),
+  else via ranged delete+insert;
+- failed batches don't abort the run; they are recorded for retry
+  (task/run.py:578-592).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+from typing import Optional
+
+from pyspark.sql import functions as F
+
+from dbt_spark.catalog import Relation
+from dbt_spark.plans.manifest import ManifestNode
+
+GRAINS = ("hour", "day", "month", "year")
+
+
+def truncate_timestamp(ts: datetime, grain: str) -> datetime:
+    if grain == "hour":
+        return ts.replace(minute=0, second=0, microsecond=0)
+    if grain == "day":
+        return ts.replace(hour=0, minute=0, second=0, microsecond=0)
+    if grain == "month":
+        return ts.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if grain == "year":
+        return ts.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
+    raise ValueError(f"unknown batch_size grain {grain!r}")
+
+
+def offset_timestamp(ts: datetime, grain: str, offset: int) -> datetime:
+    """Offset a grain-aligned timestamp by N grains (calendar-aware for
+    month/year, like MicrobatchBuilder.offset_timestamp)."""
+    if grain == "hour":
+        return ts + timedelta(hours=offset)
+    if grain == "day":
+        return ts + timedelta(days=offset)
+    if grain == "month":
+        month0 = ts.year * 12 + (ts.month - 1) + offset
+        return ts.replace(year=month0 // 12, month=month0 % 12 + 1)
+    if grain == "year":
+        return ts.replace(year=ts.year + offset)
+    raise ValueError(f"unknown batch_size grain {grain!r}")
+
+
+@dataclass
+class Batch:
+    start: datetime
+    end: datetime
+
+    @property
+    def batch_id(self) -> str:
+        return self.start.strftime("%Y%m%dT%H%M%S")
+
+
+class MicrobatchBuilder:
+    """Batch-grid math; same contract as the reference class, reimplemented."""
+
+    def __init__(
+        self,
+        event_time: str,
+        begin: datetime,
+        batch_size: str,
+        lookback: int = 1,
+        now: Optional[datetime] = None,
+    ) -> None:
+        if batch_size not in GRAINS:
+            raise ValueError(f"batch_size must be one of {GRAINS}, got {batch_size!r}")
+        self.event_time = event_time
+        self.begin = begin
+        self.batch_size = batch_size
+        self.lookback = lookback
+        self.now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+
+    def build_start_time(self, is_incremental: bool) -> datetime:
+        """Full build: begin. Incremental: now - lookback grains (reprocess the
+        trailing window for late data) — microbatch.py:46-79."""
+        if not is_incremental:
+            return truncate_timestamp(self.begin, self.batch_size)
+        checkpoint = truncate_timestamp(self.now, self.batch_size)
+        return offset_timestamp(checkpoint, self.batch_size, -self.lookback)
+
+    def build_end_time(self) -> datetime:
+        return offset_timestamp(
+            truncate_timestamp(self.now, self.batch_size), self.batch_size, 1
+        )
+
+    def build_batches(self, is_incremental: bool) -> list[Batch]:
+        start = self.build_start_time(is_incremental)
+        end = self.build_end_time()
+        batches: list[Batch] = []
+        cur = start
+        while cur < end:
+            nxt = offset_timestamp(cur, self.batch_size, 1)
+            batches.append(Batch(cur, min(nxt, end)))
+            cur = nxt
+        return batches
+
+
+def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> Relation:
+    from dbt_spark.operators.materialize import run_model_df
+
+    now = now or ctx.now
+    cfg = node.config
+    if not cfg.event_time or not cfg.batch_size or not cfg.begin:
+        raise ValueError(
+            f"{node.unique_id}: microbatch requires event_time, batch_size, begin "
+            "(validated like core/dbt/parser/manifest.py:1417-1477)"
+        )
+    begin = datetime.fromisoformat(str(cfg.begin))
+    schema = ctx.schema_for(node)
+    exists = ctx.store.exists(schema, node.name)
+    is_incremental = exists and not ctx.full_refresh
+
+    builder = MicrobatchBuilder(
+        event_time=cfg.event_time,
+        begin=begin,
+        batch_size=cfg.batch_size,
+        lookback=cfg.lookback,
+        now=now,
+    )
+    batches = builder.build_batches(is_incremental)
+    parts = cfg.partition_by
+    parts = [parts] if isinstance(parts, str) else list(parts or [])
+
+    failed: list[Batch] = []
+    rel: Optional[Relation] = None
+    for i, batch in enumerate(batches):
+        window = (batch.start.isoformat(sep=" "), batch.end.isoformat(sep=" "))
+        ctx.event_time_filters["*"] = window
+        try:
+            df = run_model_df(ctx, node, is_incremental=is_incremental or i > 0)
+            # defensive scope: the model output itself is clamped to the batch
+            df = df.filter(
+                (F.col(cfg.event_time) >= F.lit(window[0]).cast("timestamp"))
+                & (F.col(cfg.event_time) < F.lit(window[1]).cast("timestamp"))
+            )
+            first_write = not ctx.store.exists(schema, node.name)
+            if parts and not first_write:
+                rel = ctx.store.overwrite_partitions(schema, node.name, df, parts)
+            elif first_write:
+                rel = ctx.store.write_table(
+                    schema, node.name, df, kind="incremental", partition_by=parts
+                )
+            else:
+                # unpartitioned: ranged delete+insert for this batch window
+                existing = ctx.store.read(schema, node.name)
+                outside = existing.filter(
+                    (F.col(cfg.event_time) < F.lit(window[0]).cast("timestamp"))
+                    | (F.col(cfg.event_time) >= F.lit(window[1]).cast("timestamp"))
+                )
+                rel = ctx.store.write_table(
+                    schema, node.name, outside.unionByName(df), kind="incremental"
+                )
+        except Exception:
+            failed.append(batch)
+        finally:
+            ctx.event_time_filters.pop("*", None)
+    if failed:
+        ids = [b.batch_id for b in failed]
+        raise RuntimeError(f"{node.unique_id}: {len(failed)} batch(es) failed: {ids}")
+    return rel

@@ -1,0 +1,163 @@
+"""Snapshot materialization: SCD Type-2 history (SURVEY §2A snapshot row).
+
+Semantics from core/dbt/artifacts/resources/v1/snapshot.py:11-72 (strategies +
+validation), meta column names :35-42, runner core/dbt/task/snapshot.py:16-57:
+
+- ``timestamp`` strategy: a source row is a new version when its ``updated_at``
+  is strictly newer than the tracked current version's.
+- ``check`` strategy: new version when any ``check_cols`` value differs
+  (null-safe); ``check_cols: all`` compares every non-key column.
+- meta columns: dbt_scd_id (md5 of key + version timestamp), dbt_valid_from,
+  dbt_valid_to (NULL for current), dbt_updated_at, dbt_is_deleted (when
+  hard_deletes='new_record').
+- hard_deletes: ignore | invalidate (close vanished keys) | new_record
+  (close + insert a deletion marker row).
+
+Implemented as DataFrame joins + an atomic table swap; on Delta/Iceberg the
+same plan becomes a single MERGE (documented upgrade path). The join is on the
+snapshot's unique_key — current rows vs source shuffle once on that key.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_spark.catalog import Relation
+from dbt_spark.operators.materialize import ExecutionContext, run_model_df
+from dbt_spark.plans.manifest import ManifestNode
+
+META_COLS = ["dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to"]
+
+
+def _keys(node: ManifestNode) -> list[str]:
+    uk = node.config.unique_key
+    return [uk] if isinstance(uk, str) else list(uk)
+
+
+def _scd_id(keys: list[str], version_ts_col: str) -> F.Column:
+    parts = [F.col(k).cast("string") for k in keys]
+    parts.append(F.date_format(F.col(version_ts_col), "yyyy-MM-dd HH:mm:ss"))
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def _with_meta(df: DataFrame, node: ManifestNode, run_ts: str) -> DataFrame:
+    """Append meta columns to fresh source rows (first version)."""
+    if node.config.strategy == "timestamp":
+        version_col = node.config.updated_at
+        df = df.withColumn("dbt_updated_at", F.col(version_col))
+    else:
+        df = df.withColumn("dbt_updated_at", F.lit(run_ts).cast("timestamp"))
+    df = (
+        df.withColumn("dbt_valid_from", F.col("dbt_updated_at"))
+        .withColumn("dbt_valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("dbt_scd_id", _scd_id(_keys(node), "dbt_updated_at"))
+    )
+    if node.config.hard_deletes == "new_record":
+        df = df.withColumn("dbt_is_deleted", F.lit(False))
+    return df
+
+
+def _changed_predicate(node: ManifestNode, src: DataFrame, cur: DataFrame) -> F.Column:
+    if node.config.strategy == "timestamp":
+        ua = node.config.updated_at
+        return src[ua] > cur["dbt_updated_at"]
+    check_cols = node.config.check_cols
+    if check_cols == "all" or check_cols == ["all"]:
+        check_cols = [
+            c for c in src.columns if c not in _keys(node) and c not in META_COLS
+        ]
+    pred = F.lit(False)
+    for c in check_cols:
+        pred = pred | ~src[c].eqNullSafe(cur[c])
+    return pred
+
+
+def materialize_snapshot(ctx: ExecutionContext, node: ManifestNode) -> Relation:
+    schema = ctx.schema_for(node)
+    run_ts = ctx.snapshot_ts or datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+    keys = _keys(node)
+
+    source = run_model_df(ctx, node)
+
+    if not ctx.store.exists(schema, node.name):
+        first = _with_meta(source, node, run_ts)
+        return ctx.store.write_table(schema, node.name, first, kind="snapshot")
+
+    snap = ctx.store.read(schema, node.name)
+    has_deleted_col = "dbt_is_deleted" in snap.columns
+    history = snap.filter(F.col("dbt_valid_to").isNotNull())
+    current = snap.filter(F.col("dbt_valid_to").isNull())
+
+    src = source.alias("src")
+    cur = current.alias("cur")
+    on = [src[k].eqNullSafe(cur[k]) for k in keys]
+    joined = src.join(cur, on, "full_outer")
+
+    src_key = src[keys[0]]
+    cur_key = cur[keys[0]]
+    changed = _changed_predicate(node, src, cur)
+    version_ts = (
+        src[node.config.updated_at]
+        if node.config.strategy == "timestamp"
+        else F.lit(run_ts).cast("timestamp")
+    )
+
+    cur_cols = [cur[c].alias(c) for c in current.columns]
+    src_data_cols = [src[c].alias(c) for c in source.columns]
+
+    # 1. unchanged current rows pass through
+    unchanged = joined.filter(
+        src_key.isNotNull() & cur_key.isNotNull() & ~changed
+    ).select(*cur_cols)
+
+    # 2. matched + changed: close the old version at the new version's timestamp
+    closed = joined.filter(src_key.isNotNull() & cur_key.isNotNull() & changed).select(
+        *[cur[c].alias(c) for c in current.columns if c != "dbt_valid_to"],
+        version_ts.alias("dbt_valid_to"),
+    ).select(*[F.col(c) for c in current.columns])
+
+    # 3. matched + changed, and brand-new keys: insert fresh current versions
+    fresh_src = joined.filter(
+        src_key.isNotNull() & (cur_key.isNull() | changed)
+    ).select(*src_data_cols)
+    inserts = _with_meta(fresh_src, node, run_ts)
+
+    # 4. hard deletes
+    vanished = joined.filter(src_key.isNull() & cur_key.isNotNull())
+    if node.config.hard_deletes in ("invalidate", "new_record"):
+        deleted_closed = vanished.select(
+            *[cur[c].alias(c) for c in current.columns if c != "dbt_valid_to"],
+            F.lit(run_ts).cast("timestamp").alias("dbt_valid_to"),
+        ).select(*[F.col(c) for c in current.columns])
+    else:
+        deleted_closed = vanished.select(*cur_cols)  # keep them current untouched
+        deleted_closed = deleted_closed.withColumn(
+            "dbt_valid_to", F.lit(None).cast("timestamp")
+        )
+
+    new_snap = history.unionByName(unchanged, allowMissingColumns=True)
+    new_snap = new_snap.unionByName(closed, allowMissingColumns=True)
+    new_snap = new_snap.unionByName(inserts, allowMissingColumns=True)
+    new_snap = new_snap.unionByName(deleted_closed, allowMissingColumns=True)
+
+    if node.config.hard_deletes == "new_record":
+        # deletion marker: a new current row flagged dbt_is_deleted
+        markers = vanished.select(
+            *[cur[c].alias(c) for c in current.columns
+              if c not in ("dbt_valid_from", "dbt_valid_to", "dbt_updated_at",
+                           "dbt_scd_id", "dbt_is_deleted")],
+            F.lit(run_ts).cast("timestamp").alias("dbt_updated_at"),
+            F.lit(run_ts).cast("timestamp").alias("dbt_valid_from"),
+            F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+        )
+        markers = markers.withColumn("dbt_scd_id", _scd_id(keys, "dbt_updated_at"))
+        markers = markers.withColumn("dbt_is_deleted", F.lit(True))
+        if not has_deleted_col:
+            new_snap = new_snap.withColumn("dbt_is_deleted", F.lit(False))
+        new_snap = new_snap.unionByName(markers, allowMissingColumns=True)
+        new_snap = new_snap.fillna(False, subset=["dbt_is_deleted"])
+
+    return ctx.store.write_table(schema, node.name, new_snap, kind="snapshot")

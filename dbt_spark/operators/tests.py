@@ -1,0 +1,130 @@
+"""Data tests: the four generic built-ins + singular tests + severity policy.
+
+Reference: failing-rows semantics SURVEY §2D (fixtures
+tests/functional/schema_tests/fixtures.py:402-470), execution + the
+(failures, should_warn, should_error) contract core/dbt/task/test.py:142-197,
+severity policy :294-312, config knobs v1/config.py:165-230.
+
+A test SELECT returns *failing rows*; ``fail_calc`` (default count(*)) is
+evaluated over them and compared by ``warn_if``/``error_if``. Everything stays
+as Spark aggregates — no collect of failing rows unless store_failures asks
+for a persisted audit table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+from dbt_spark.operators.materialize import ExecutionContext, compile_sql
+from dbt_spark.plans.manifest import ManifestNode
+
+
+@dataclass
+class TestResult:
+    failures: int
+    status: str  # pass|warn|fail
+    unique_id: str
+
+
+def _quoted_list(values: list) -> str:
+    return ", ".join(f"'{v}'" if isinstance(v, str) else str(v) for v in values)
+
+
+def build_generic_test_sql(ctx: ExecutionContext, node: ManifestNode) -> str:
+    """Failing-rows SQL for not_null/unique/accepted_values/relationships."""
+    meta = node.test_metadata
+    test_name = meta["name"]
+    kwargs = meta.get("kwargs", {})
+    attached = (
+        ctx.manifest.nodes.get(node.attached_node)
+        or ctx.manifest.sources.get(node.attached_node)
+    )
+    if attached is None:
+        raise ValueError(f"{node.unique_id}: attached node {node.attached_node} missing")
+    if attached.unique_id in ctx.manifest.sources:
+        rel_ident = ctx.resolve_source(attached)
+    else:
+        rel_ident = ctx.resolve_ref(attached)
+    col = node.column_name
+    where = node.config.where
+    base = f"(SELECT * FROM {rel_ident}" + (f" WHERE {where})" if where else ")")
+
+    if test_name == "not_null":
+        sql = f"SELECT * FROM {base} WHERE {col} IS NULL"
+    elif test_name == "unique":
+        sql = (
+            f"SELECT {col} AS unique_field, count(*) AS n_records FROM {base} "
+            f"WHERE {col} IS NOT NULL GROUP BY {col} HAVING count(*) > 1"
+        )
+    elif test_name == "accepted_values":
+        values = kwargs.get("values", [])
+        sql = (
+            f"SELECT {col} AS value_field, count(*) AS n_records FROM {base} "
+            f"GROUP BY {col} HAVING {col} NOT IN ({_quoted_list(values)})"
+        )
+    elif test_name == "relationships":
+        to_node = None
+        if node.refs:
+            to_node = ctx.manifest.ref_lookup(node.refs[0][1], node.refs[0][0])
+        elif node.sources:
+            to_node = ctx.manifest.source_lookup(*node.sources[0])
+        if to_node is None:
+            raise ValueError(f"{node.unique_id}: relationships test needs `to:`")
+        parent_ident = (
+            ctx.resolve_source(to_node)
+            if to_node.unique_id in ctx.manifest.sources
+            else ctx.resolve_ref(to_node)
+        )
+        field = kwargs.get("field", "id")
+        sql = (
+            f"SELECT child.{col} AS from_field FROM {base} AS child "
+            f"LEFT JOIN {parent_ident} AS parent ON child.{col} = parent.{field} "
+            f"WHERE child.{col} IS NOT NULL AND parent.{field} IS NULL"
+        )
+    else:
+        raise ValueError(f"{node.unique_id}: unknown generic test {test_name!r}")
+    if node.config.limit:
+        sql += f" LIMIT {node.config.limit}"
+    return sql
+
+
+def run_test(ctx: ExecutionContext, node: ManifestNode) -> TestResult:
+    ctx.ensure_upstream_registered(node)
+    if node.test_metadata:
+        sql = build_generic_test_sql(ctx, node)
+    else:
+        sql = compile_sql(ctx, node)
+        if node.config.limit:
+            sql = f"SELECT * FROM ({sql}) __t LIMIT {node.config.limit}"
+    node.compiled_code = sql
+    failures_df: DataFrame = ctx.spark.sql(sql)
+
+    if node.config.store_failures:
+        ctx.store.write_table(
+            f"{ctx.schema}_dbt_test__audit", node.name, failures_df, kind="table"
+        )
+
+    # fail_calc is a SQL expression over the failing rows (task/test.py:171-183)
+    fail_calc = node.config.fail_calc or "count(*)"
+    failures_df.createOrReplaceTempView("__dbt_test_failures")
+    row = ctx.spark.sql(
+        f"SELECT {fail_calc} AS failures FROM __dbt_test_failures"
+    ).collect()
+    failures = int(row[0]["failures"]) if row and row[0]["failures"] is not None else 0
+
+    def _check(expr: str) -> bool:
+        r = ctx.spark.sql(f"SELECT ({failures} {expr}) AS r").collect()
+        return bool(r[0]["r"])
+
+    should_error = _check(node.config.error_if)
+    should_warn = _check(node.config.warn_if)
+    if node.config.severity.lower() == "error" and should_error:
+        status = "fail"
+    elif should_warn:
+        status = "warn"
+    else:
+        status = "pass"
+    return TestResult(failures=failures, status=status, unique_id=node.unique_id)

@@ -1,0 +1,225 @@
+"""Jinja compilation with the reference's two-phase render semantics.
+
+Phase 1 (parse): render with ``execute=False``; ``ref``/``source``/``config``
+calls are *captured* (dependencies + config) and return placeholder names —
+mirrors core/dbt/context/providers.py:1215-1275 (execute flag) and the parse-time
+resolvers (providers.py:576-673, 718-748, 414-527).
+
+Phase 2 (runtime): render with ``execute=True``; ``ref``/``source`` resolve to
+actual Spark relation identifiers (temp views registered over the warehouse),
+``is_incremental()`` reflects relation existence (core/dbt/task/run.py:667-684).
+
+Jinja is retained verbatim (SURVEY.md §2C) — it templates Spark SQL strings
+exactly as it templates warehouse SQL in the reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+from datetime import datetime, timezone
+from typing import Any, Callable, Optional
+
+import jinja2
+
+from dbt_spark.plans.manifest import Manifest, ManifestNode
+
+
+class CompilationError(Exception):
+    pass
+
+
+def _base_context(var_overrides: dict, target: dict) -> dict[str, Any]:
+    """Context members from core/dbt/context/base.py (§2C table)."""
+    import itertools
+    import re as _re
+    from datetime import datetime as _dt
+
+    def env_var(name: str, default: Any = None) -> Any:
+        val = os.environ.get(name, default)
+        if val is None:
+            raise CompilationError(f"env_var '{name}' not set and no default provided")
+        return val
+
+    def var(name: str, default: Any = None) -> Any:
+        if name in var_overrides:
+            return var_overrides[name]
+        if default is not None:
+            return default
+        raise CompilationError(f"var '{name}' is undefined")
+
+    return {
+        "env_var": env_var,
+        "var": var,
+        "target": target,
+        "tojson": lambda v, default=None: json.dumps(v, default=str),
+        "fromjson": lambda s, default=None: json.loads(s),
+        "local_md5": lambda s: hashlib.md5(str(s).encode()).hexdigest(),
+        "log": lambda msg, info=False: None,
+        "print": lambda msg: None,
+        "set": lambda it, default=None: set(it),
+        "zip": lambda *its: list(zip(*its)),
+        "run_started_at": datetime.now(timezone.utc),
+        "modules": {"datetime": _dt, "re": _re, "itertools": itertools},
+        "exceptions": type(
+            "exceptions",
+            (),
+            {
+                "raise_compiler_error": staticmethod(
+                    lambda msg, node=None: (_ for _ in ()).throw(CompilationError(msg))
+                ),
+                "warn": staticmethod(lambda msg: msg),
+            },
+        ),
+    }
+
+
+_ENV = jinja2.Environment(undefined=jinja2.Undefined, keep_trailing_newline=True)
+
+
+def parse_render(
+    raw_code: str,
+    node_name: str,
+    var_overrides: Optional[dict] = None,
+    target: Optional[dict] = None,
+) -> tuple[str, list[tuple], list[tuple[str, str]], dict]:
+    """Phase-1 render: returns (rendered_sql, refs, sources, config_calls)."""
+    refs: list[tuple] = []
+    sources: list[tuple[str, str]] = []
+    config_calls: dict[str, Any] = {}
+
+    def ref(*args: str, **kwargs: Any) -> str:
+        if len(args) == 1:
+            refs.append((None, args[0]))
+        elif len(args) == 2:
+            refs.append((args[0], args[1]))
+        else:
+            raise CompilationError(f"ref() takes 1-2 args, got {len(args)}")
+        return f"__ref__{args[-1]}"
+
+    def source(source_name: str, table_name: str) -> str:
+        sources.append((source_name, table_name))
+        return f"__source__{source_name}__{table_name}"
+
+    class _Config:
+        def __call__(self, *args: Any, **kwargs: Any) -> str:
+            config_calls.update(kwargs)
+            return ""
+
+        @staticmethod
+        def get(name: str, default: Any = None) -> Any:
+            return config_calls.get(name, default)
+
+        @staticmethod
+        def require(name: str) -> Any:
+            if name not in config_calls:
+                raise CompilationError(f"config.require('{name}') not set")
+            return config_calls[name]
+
+    ctx = _base_context(var_overrides or {}, target or {})
+    ctx.update(
+        {
+            "ref": ref,
+            "source": source,
+            "config": _Config(),
+            "this": f"__this__{node_name}",
+            "execute": False,
+            "is_incremental": lambda: False,
+            "should_full_refresh": lambda: False,
+            "adapter": _ParseAdapter(),
+        }
+    )
+    try:
+        rendered = _ENV.from_string(raw_code).render(**ctx)
+    except jinja2.TemplateError as e:
+        raise CompilationError(f"jinja error in {node_name}: {e}") from e
+    return rendered, refs, sources, config_calls
+
+
+class _ParseAdapter:
+    """Parse-phase adapter stub: dispatch/get_relation return inert values."""
+
+    def dispatch(self, name: str, macro_namespace: Optional[str] = None) -> Callable:
+        return lambda *a, **k: ""
+
+    def get_relation(self, *a: Any, **k: Any) -> None:
+        return None
+
+    def quote(self, identifier: str) -> str:
+        return f"`{identifier}`"
+
+
+def runtime_render(
+    node: ManifestNode,
+    manifest: Manifest,
+    resolve_ref: Callable[[ManifestNode], str],
+    resolve_source: Callable[[ManifestNode], str],
+    this_name: str,
+    is_incremental: bool,
+    full_refresh: bool,
+    var_overrides: Optional[dict] = None,
+    target: Optional[dict] = None,
+    extra: Optional[dict] = None,
+) -> str:
+    """Phase-2 render: refs/sources resolve to executable Spark relation names."""
+
+    def ref(*args: str, **kwargs: Any) -> str:
+        package, name = (None, args[0]) if len(args) == 1 else (args[0], args[1])
+        found = manifest.ref_lookup(name, package)
+        if found is None:
+            raise CompilationError(f"{node.unique_id}: ref('{name}') not found")
+        return resolve_ref(found)
+
+    def source(source_name: str, table_name: str) -> str:
+        found = manifest.source_lookup(source_name, table_name)
+        if found is None:
+            raise CompilationError(
+                f"{node.unique_id}: source('{source_name}', '{table_name}') not found"
+            )
+        return resolve_source(found)
+
+    class _Config:
+        def __call__(self, *args: Any, **kwargs: Any) -> str:
+            return ""
+
+        @staticmethod
+        def get(name: str, default: Any = None) -> Any:
+            val = getattr(node.config, name, None)
+            if val is None:
+                val = node.config.meta.get(name, default)
+            return default if val is None else val
+
+        @staticmethod
+        def require(name: str) -> Any:
+            val = _Config.get(name)
+            if val is None:
+                raise CompilationError(f"config.require('{name}') not set")
+            return val
+
+    ctx = _base_context(var_overrides or {}, target or {})
+    ctx.update(
+        {
+            "ref": ref,
+            "source": source,
+            "config": _Config(),
+            "this": this_name,
+            "execute": True,
+            "is_incremental": lambda: is_incremental,
+            "should_full_refresh": lambda: full_refresh,
+            "model": {"name": node.name, "unique_id": node.unique_id},
+        }
+    )
+    ctx.update(extra or {})
+    try:
+        return _ENV.from_string(node.raw_code).render(**ctx)
+    except jinja2.TemplateError as e:
+        raise CompilationError(f"jinja error in {node.unique_id}: {e}") from e
+
+
+_CONFIG_BLOCK_RE = re.compile(r"{{\s*config\s*\(", re.DOTALL)
+
+
+def has_config_call(raw_code: str) -> bool:
+    return bool(_CONFIG_BLOCK_RE.search(raw_code))

@@ -1,0 +1,208 @@
+"""DAG linking, scheduling queue, and node selection.
+
+- Linker mirrors core/dbt/compilation.py:131-206 (edge per depends_on, cycle
+  check).
+- GraphQueue mirrors core/dbt/graph/queue.py:19-121: priority-topological
+  scheduling where a node's score is its generation depth; ``mark_done``
+  unlocks successors. Worker threads each drive independent Spark actions
+  (Spark is thread-safe; the session uses the FAIR scheduler).
+- add_test_edges mirrors core/dbt/compilation.py:208-435: in `build`, tests
+  block downstream models so bad data never propagates.
+- Selector implements the graph-operator subset of the reference DSL
+  (core/dbt/graph/selector_methods.py): name/fqn, tag:, source:, path:,
+  config.materialized:, with +/n+ prefix/suffix expansion, unions (space),
+  intersections (,) and --exclude.
+"""
+
+from __future__ import annotations
+
+import heapq
+import re
+import threading
+from typing import Iterable, Optional
+
+import networkx as nx
+
+from dbt_spark.plans.manifest import Manifest, ManifestNode, NodeType
+
+
+class DagError(Exception):
+    pass
+
+
+class Linker:
+    def __init__(self) -> None:
+        self.graph = nx.DiGraph()
+
+    def link_graph(self, manifest: Manifest) -> nx.DiGraph:
+        for uid, node in {**manifest.sources, **manifest.nodes}.items():
+            self.graph.add_node(uid)
+            for dep in node.depends_on:
+                self.graph.add_node(dep)
+                self.graph.add_edge(dep, uid)
+        cycles = list(nx.simple_cycles(self.graph))
+        if cycles:
+            raise DagError(f"dependency cycle detected: {cycles[0]}")
+        return self.graph
+
+
+def add_test_edges(graph: nx.DiGraph, manifest: Manifest) -> nx.DiGraph:
+    """test -> downstream-of-tested-model edges (compilation.py:208-435)."""
+    g = graph.copy()
+    for uid, node in manifest.nodes.items():
+        if node.resource_type != NodeType.Test:
+            continue
+        tested = [d for d in node.depends_on if d in manifest.nodes]
+        for dep in tested:
+            for succ in list(graph.successors(dep)):
+                succ_node = manifest.nodes.get(succ)
+                if succ_node is not None and succ_node.resource_type != NodeType.Test:
+                    g.add_edge(uid, succ)
+    cycles = list(nx.simple_cycles(g))
+    if cycles:
+        raise DagError(f"test edges created a cycle: {cycles[0]}")
+    return g
+
+
+class GraphQueue:
+    """Thread-safe priority-topological queue (graph/queue.py:19-121)."""
+
+    def __init__(self, graph: nx.DiGraph, selected: set[str]) -> None:
+        self.graph = graph.subgraph(selected).copy()
+        self._scores = self._get_scores(self.graph)
+        self._lock = threading.Lock()
+        self._in_degree = {n: self.graph.in_degree(n) for n in self.graph.nodes}
+        self._ready: list[tuple[int, str]] = []
+        self._in_progress: set[str] = set()
+        self._done: set[str] = set()
+        for n, deg in self._in_degree.items():
+            if deg == 0:
+                heapq.heappush(self._ready, (self._scores[n], n))
+
+    @staticmethod
+    def _get_scores(graph: nx.DiGraph) -> dict[str, int]:
+        scores: dict[str, int] = {}
+        for i, generation in enumerate(nx.topological_generations(graph)):
+            for n in generation:
+                scores[n] = i
+        return scores
+
+    def get(self) -> Optional[str]:
+        with self._lock:
+            if not self._ready:
+                return None
+            _, node = heapq.heappop(self._ready)
+            self._in_progress.add(node)
+            return node
+
+    def mark_done(self, node: str) -> None:
+        with self._lock:
+            self._in_progress.discard(node)
+            self._done.add(node)
+            for succ in self.graph.successors(node):
+                self._in_degree[succ] -= 1
+                if self._in_degree[succ] == 0:
+                    heapq.heappush(self._ready, (self._scores[succ], succ))
+
+    def mark_failed(self, node: str) -> set[str]:
+        """Mark failed; return all (transitive) descendants to skip
+        (runnable.py:459 _mark_dependent_errors)."""
+        with self._lock:
+            self._in_progress.discard(node)
+            self._done.add(node)
+            skipped = set(nx.descendants(self.graph, node))
+            for s in skipped:
+                self._done.add(s)
+                self._in_degree[s] = -1
+            return skipped
+
+    def empty(self) -> bool:
+        with self._lock:
+            return not self._ready and not self._in_progress
+
+    def remaining(self) -> int:
+        with self._lock:
+            return len(self.graph.nodes) - len(self._done)
+
+
+_GRAPH_OP_RE = re.compile(r"^(?P<pre>(\d*)\+)?(?P<body>[^+]+?)(?P<post>\+(\d*))?$")
+
+
+def _match_method(node: ManifestNode, body: str) -> bool:
+    if ":" in body:
+        method, _, value = body.partition(":")
+        if method == "tag":
+            return value in node.config.tags
+        if method == "source":
+            return node.resource_type == NodeType.Source and (
+                node.source_name == value or value == "*"
+            )
+        if method == "path":
+            return bool(re.fullmatch(value.replace("*", ".*"), node.path))
+        if method == "resource_type":
+            return node.resource_type.value == value
+        if method.startswith("config."):
+            attr = method.split(".", 1)[1]
+            return str(getattr(node.config, attr, node.config.meta.get(attr))) == value
+        if method == "fqn":
+            pat = value.replace("*", ".*")
+            return bool(re.fullmatch(pat, ".".join(node.fqn or [node.name])))
+        raise DagError(f"unknown selector method '{method}'")
+    if "*" in body:
+        return bool(re.fullmatch(body.replace("*", ".*"), node.name))
+    return node.name == body or node.unique_id == body
+
+
+def _expand(graph: nx.DiGraph, seed: set[str], pre: Optional[str], post: Optional[str]) -> set[str]:
+    out = set(seed)
+    if pre is not None:
+        depth = int(pre[:-1]) if len(pre) > 1 else None
+        for n in seed:
+            anc = nx.ancestors(graph, n) if depth is None else {
+                a for a in nx.ancestors(graph, n)
+                if nx.shortest_path_length(graph, a, n) <= depth
+            }
+            out |= anc
+    if post is not None:
+        depth = int(post[1:]) if len(post) > 1 else None
+        for n in seed:
+            desc = nx.descendants(graph, n) if depth is None else {
+                d for d in nx.descendants(graph, n)
+                if nx.shortest_path_length(graph, n, d) <= depth
+            }
+            out |= desc
+    return out
+
+
+def select_nodes(
+    manifest: Manifest,
+    graph: nx.DiGraph,
+    select: Optional[Iterable[str]] = None,
+    exclude: Optional[Iterable[str]] = None,
+) -> set[str]:
+    all_nodes = {**manifest.sources, **manifest.nodes}
+    universe = set(all_nodes)
+
+    def eval_spec(spec: str) -> set[str]:
+        # intersection components separated by ','
+        parts = spec.split(",")
+        result: Optional[set[str]] = None
+        for part in parts:
+            m = _GRAPH_OP_RE.match(part.strip())
+            if m is None:
+                raise DagError(f"cannot parse selector '{part}'")
+            body, pre, post = m.group("body"), m.group("pre"), m.group("post")
+            seed = {uid for uid, n in all_nodes.items() if _match_method(n, body)}
+            expanded = _expand(graph, seed, pre, post) & universe
+            result = expanded if result is None else (result & expanded)
+        return result or set()
+
+    if select:
+        selected: set[str] = set()
+        for spec in select:
+            selected |= eval_spec(spec)
+    else:
+        selected = set(universe)
+    for spec in exclude or []:
+        selected -= eval_spec(spec)
+    return selected

@@ -1,0 +1,398 @@
+"""Project loading + parsing: dbt_project.yml, models/*.sql(.py), schema YAML,
+seeds, snapshots, singular tests → Manifest.
+
+Mirrors the reference's parser pipeline (SURVEY.md §3.1 IR#1-#4:
+core/dbt/parser/manifest.py:271-437) with the same resource discovery rules:
+model files under model-paths, seeds under seed-paths, snapshots under
+snapshot-paths, singular tests under test-paths, generic tests from YAML
+``data_tests:``/``tests:`` keys (core/dbt/parser/generic_test_builders.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import yaml
+
+from dbt_spark.plans.compile import CompilationError, parse_render
+from dbt_spark.plans.manifest import (
+    Manifest,
+    ManifestNode,
+    NodeConfig,
+    NodeType,
+)
+
+GENERIC_TESTS = {"not_null", "unique", "accepted_values", "relationships"}
+
+
+@dataclass
+class Project:
+    name: str
+    root: str
+    profile: dict[str, Any] = field(default_factory=dict)
+    model_paths: list[str] = field(default_factory=lambda: ["models"])
+    seed_paths: list[str] = field(default_factory=lambda: ["seeds"])
+    snapshot_paths: list[str] = field(default_factory=lambda: ["snapshots"])
+    test_paths: list[str] = field(default_factory=lambda: ["tests"])
+    vars: dict[str, Any] = field(default_factory=dict)
+    model_config: dict[str, Any] = field(default_factory=dict)
+    seed_config: dict[str, Any] = field(default_factory=dict)
+    on_run_start: list[str] = field(default_factory=list)
+    on_run_end: list[str] = field(default_factory=list)
+
+    @classmethod
+    def load(cls, project_dir: str, profile: Optional[dict] = None) -> "Project":
+        if not os.path.isdir(project_dir):
+            raise FileNotFoundError(f"project directory does not exist: {project_dir}")
+        cfg_path = os.path.join(project_dir, "dbt_project.yml")
+        if not os.path.exists(cfg_path):
+            raise FileNotFoundError(
+                f"no dbt_project.yml found in {project_dir} — not a dbt_spark project"
+            )
+        with open(cfg_path) as f:
+            cfg = yaml.safe_load(f) or {}
+        name = cfg.get("name", os.path.basename(os.path.abspath(project_dir)))
+        prof = dict(profile or {})
+        prof_path = os.path.join(project_dir, "profiles.yml")
+        if not prof and os.path.exists(prof_path):
+            with open(prof_path) as f:
+                prof = (yaml.safe_load(f) or {}).get("spark", {})
+        prof.setdefault("warehouse", os.path.join(project_dir, "target", "warehouse"))
+        prof.setdefault("schema", "main")
+        prof.setdefault("threads", 4)
+        on_start = cfg.get("on-run-start", [])
+        on_end = cfg.get("on-run-end", [])
+        return cls(
+            name=name,
+            root=os.path.abspath(project_dir),
+            profile=prof,
+            model_paths=cfg.get("model-paths", ["models"]),
+            seed_paths=cfg.get("seed-paths", ["seeds"]),
+            snapshot_paths=cfg.get("snapshot-paths", ["snapshots"]),
+            test_paths=cfg.get("test-paths", ["tests"]),
+            vars=cfg.get("vars", {}),
+            model_config=cfg.get("models", {}),
+            seed_config=cfg.get("seeds", {}),
+            on_run_start=[on_start] if isinstance(on_start, str) else list(on_start),
+            on_run_end=[on_end] if isinstance(on_end, str) else list(on_end),
+        )
+
+    def _tree_config(self, tree: dict, rel_dir_parts: list[str]) -> dict[str, Any]:
+        """Walk the models:/seeds: config hierarchy for a file's directory."""
+        merged: dict[str, Any] = {}
+        scope = tree.get(self.name, tree) if isinstance(tree, dict) else {}
+        node: Any = scope
+        chain = [scope] + [
+            node := node.get(part, {}) if isinstance(node, dict) else {}
+            for part in rel_dir_parts
+        ]
+        for level in chain:
+            if isinstance(level, dict):
+                merged.update(
+                    {k.lstrip("+"): v for k, v in level.items() if k.startswith("+")}
+                )
+        return merged
+
+
+def _walk(root: str, subdirs: list[str], exts: tuple[str, ...]):
+    for sub in subdirs:
+        base = os.path.join(root, sub)
+        if not os.path.isdir(base):
+            continue
+        for dirpath, _, files in os.walk(base):
+            for fname in sorted(files):
+                if fname.endswith(exts):
+                    full = os.path.join(dirpath, fname)
+                    yield full, os.path.relpath(full, root)
+
+
+def parse_project(project: Project) -> Manifest:
+    manifest = Manifest(project_name=project.name)
+    target_ctx = dict(project.profile, name="spark", type="spark")
+
+    # --- models (sql + python) -------------------------------------------
+    for full, rel in _walk(project.root, project.model_paths, (".sql", ".py")):
+        name = os.path.splitext(os.path.basename(rel))[0]
+        rel_dir_parts = os.path.dirname(rel).split(os.sep)[1:]  # drop "models"
+        with open(full) as f:
+            raw = f.read()
+        language = "python" if rel.endswith(".py") else "sql"
+        if language == "sql":
+            _, refs, sources, config_calls = parse_render(
+                raw, name, project.vars, target_ctx
+            )
+        else:
+            refs, sources, config_calls = _parse_python_model(raw)
+        dir_cfg = project._tree_config(project.model_config, rel_dir_parts)
+        config = NodeConfig().merged(**dir_cfg).merged(**config_calls)
+        node = ManifestNode(
+            unique_id=f"model.{project.name}.{name}",
+            name=name,
+            package_name=project.name,
+            path=rel,
+            resource_type=NodeType.Model,
+            raw_code=raw,
+            language=language,
+            config=config,
+            refs=refs,
+            sources=sources,
+            fqn=[project.name, *rel_dir_parts, name],
+        )
+        manifest.add(node)
+
+    # --- seeds ------------------------------------------------------------
+    for full, rel in _walk(project.root, project.seed_paths, (".csv",)):
+        name = os.path.splitext(os.path.basename(rel))[0]
+        rel_dir_parts = os.path.dirname(rel).split(os.sep)[1:]
+        dir_cfg = project._tree_config(project.seed_config, rel_dir_parts)
+        config = NodeConfig(materialized="seed").merged(**dir_cfg)
+        manifest.add(
+            ManifestNode(
+                unique_id=f"seed.{project.name}.{name}",
+                name=name,
+                package_name=project.name,
+                path=rel,
+                resource_type=NodeType.Seed,
+                config=config,
+                fqn=[project.name, *rel_dir_parts, name],
+            )
+        )
+
+    # --- snapshots --------------------------------------------------------
+    for full, rel in _walk(project.root, project.snapshot_paths, (".sql",)):
+        with open(full) as f:
+            raw = f.read()
+        for snap_name, body, cfg in _extract_snapshot_blocks(raw):
+            _, refs, sources, config_calls = parse_render(
+                body, snap_name, project.vars, target_ctx
+            )
+            cfg.update(config_calls)
+            config = NodeConfig(materialized="snapshot").merged(**cfg)
+            _validate_snapshot_config(snap_name, config)
+            manifest.add(
+                ManifestNode(
+                    unique_id=f"snapshot.{project.name}.{snap_name}",
+                    name=snap_name,
+                    package_name=project.name,
+                    path=rel,
+                    resource_type=NodeType.Snapshot,
+                    raw_code=body,
+                    config=config,
+                    refs=refs,
+                    sources=sources,
+                    fqn=[project.name, snap_name],
+                )
+            )
+
+    # --- singular tests ---------------------------------------------------
+    for full, rel in _walk(project.root, project.test_paths, (".sql",)):
+        name = os.path.splitext(os.path.basename(rel))[0]
+        with open(full) as f:
+            raw = f.read()
+        _, refs, sources, config_calls = parse_render(raw, name, project.vars, target_ctx)
+        config = NodeConfig(materialized="test").merged(**config_calls)
+        manifest.add(
+            ManifestNode(
+                unique_id=f"test.{project.name}.{name}",
+                name=name,
+                package_name=project.name,
+                path=rel,
+                resource_type=NodeType.Test,
+                raw_code=raw,
+                config=config,
+                refs=refs,
+                sources=sources,
+                fqn=[project.name, name],
+            )
+        )
+
+    # --- schema YAML (sources, model patches, generic tests) -------------
+    for full, rel in _walk(
+        project.root,
+        project.model_paths + project.seed_paths + project.snapshot_paths,
+        (".yml", ".yaml"),
+    ):
+        with open(full) as f:
+            doc = yaml.safe_load(f) or {}
+        _parse_sources(doc, project, manifest, rel)
+        _parse_model_patches(doc, project, manifest, rel)
+
+    _resolve_depends_on(manifest)
+    return manifest
+
+
+def _parse_python_model(raw: str) -> tuple[list[tuple], list[tuple[str, str]], dict]:
+    """AST-extract dbt.ref/dbt.source/dbt.config calls from a python model
+    (mirrors core/dbt/parser/models.py:34-160)."""
+    import ast
+
+    refs: list[tuple] = []
+    sources: list[tuple[str, str]] = []
+    config: dict[str, Any] = {}
+    tree = ast.parse(raw)
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        func = node.func
+        if isinstance(func, ast.Attribute) and isinstance(func.value, ast.Name):
+            if func.value.id != "dbt":
+                continue
+            args = [a.value for a in node.args if isinstance(a, ast.Constant)]
+            if func.attr == "ref" and args:
+                refs.append((None, args[-1]) if len(args) == 1 else (args[0], args[1]))
+            elif func.attr == "source" and len(args) == 2:
+                sources.append((args[0], args[1]))
+            elif func.attr == "config":
+                for kw in node.keywords:
+                    if isinstance(kw.value, ast.Constant) and kw.arg:
+                        config[kw.arg] = kw.value.value
+    return refs, sources, config
+
+
+def _extract_snapshot_blocks(raw: str):
+    """Parse ``{% snapshot name %}...{% endsnapshot %}`` blocks
+    (core/dbt/parser/macros.py:50-56 block extraction)."""
+    import re
+
+    pattern = re.compile(
+        r"{%-?\s*snapshot\s+(\w+)\s*-?%}(.*?){%-?\s*endsnapshot\s*-?%}", re.DOTALL
+    )
+    for m in pattern.finditer(raw):
+        yield m.group(1), m.group(2).strip(), {}
+    if not pattern.search(raw) and raw.strip():
+        # bare-SQL snapshot file: filename becomes the snapshot name upstream
+        return
+
+
+def _validate_snapshot_config(name: str, config: NodeConfig) -> None:
+    """core/dbt/artifacts/resources/v1/snapshot.py:44-72 validation."""
+    if config.strategy not in ("timestamp", "check"):
+        raise CompilationError(
+            f"snapshot {name}: strategy must be 'timestamp' or 'check', got {config.strategy!r}"
+        )
+    if config.unique_key is None:
+        raise CompilationError(f"snapshot {name}: unique_key is required")
+    if config.strategy == "timestamp" and not config.updated_at:
+        raise CompilationError(f"snapshot {name}: timestamp strategy requires updated_at")
+    if config.strategy == "check" and not config.check_cols:
+        raise CompilationError(f"snapshot {name}: check strategy requires check_cols")
+
+
+def _parse_sources(doc: dict, project: Project, manifest: Manifest, rel: str) -> None:
+    for src in doc.get("sources", []) or []:
+        src_name = src["name"]
+        for table in src.get("tables", []) or []:
+            tbl_name = table["name"]
+            node = ManifestNode(
+                unique_id=f"source.{project.name}.{src_name}.{tbl_name}",
+                name=tbl_name,
+                package_name=project.name,
+                path=rel,
+                resource_type=NodeType.Source,
+                source_name=src_name,
+                identifier=table.get("identifier", tbl_name),
+                loaded_at_field=table.get("loaded_at_field", src.get("loaded_at_field")),
+                freshness=table.get("freshness", src.get("freshness", {})) or {},
+                fqn=[project.name, src_name, tbl_name],
+            )
+            node.config.meta["location"] = table.get("meta", {}).get(
+                "location", src.get("meta", {}).get("location")
+            )
+            node.config.meta["file_format"] = table.get("meta", {}).get("file_format", "parquet")
+            manifest.add(node)
+            _attach_column_tests(table, node, project, manifest, is_source=True)
+
+
+def _parse_model_patches(doc: dict, project: Project, manifest: Manifest, rel: str) -> None:
+    for section in ("models", "seeds", "snapshots"):
+        for patch in doc.get(section, []) or []:
+            uid_prefix = {"models": "model", "seeds": "seed", "snapshots": "snapshot"}[section]
+            uid = f"{uid_prefix}.{project.name}.{patch['name']}"
+            node = manifest.nodes.get(uid)
+            if node is None:
+                continue
+            node.description = patch.get("description", "")
+            if patch.get("config"):
+                node.config = node.config.merged(**patch["config"])
+            for col in patch.get("columns", []) or []:
+                node.columns[col["name"]] = col
+            _attach_column_tests(patch, node, project, manifest, is_source=False)
+
+
+def _attach_column_tests(
+    patch: dict, node: ManifestNode, project: Project, manifest: Manifest, is_source: bool
+) -> None:
+    """YAML data_tests:/tests: keys → TestNodes (generic_test_builders.py:69-300)."""
+
+    def add_test(test_spec: Any, column: Optional[str]) -> None:
+        if isinstance(test_spec, str):
+            test_name, kwargs = test_spec, {}
+        elif isinstance(test_spec, dict):
+            test_name, kwargs = next(iter(test_spec.items()))
+            kwargs = dict(kwargs or {})
+        else:
+            return
+        cfg_kwargs = kwargs.pop("config", {}) or {}
+        for k in ("severity", "where", "limit", "warn_if", "error_if", "fail_calc",
+                  "store_failures"):
+            if k in kwargs:
+                cfg_kwargs[k] = kwargs.pop(k)
+        parts = [test_name, node.name]
+        if column:
+            parts.append(column)
+        ident = "_".join(parts)
+        uid = f"test.{project.name}.{ident}"
+        i = 2
+        while uid in manifest.nodes:
+            uid = f"test.{project.name}.{ident}_{i}"
+            i += 1
+        tnode = ManifestNode(
+            unique_id=uid,
+            name=ident,
+            package_name=project.name,
+            path=node.path,
+            resource_type=NodeType.Test,
+            config=NodeConfig(materialized="test").merged(**cfg_kwargs),
+            column_name=column,
+            test_metadata={"name": test_name, "kwargs": kwargs},
+            attached_node=node.unique_id,
+            fqn=[project.name, ident],
+        )
+        tnode.depends_on.append(node.unique_id)
+        if test_name == "relationships" and "to" in kwargs:
+            # `to:` is a ref()/source() string — parse-render it to capture the dep
+            _, refs, sources, _ = parse_render(
+                "{{ " + str(kwargs["to"]).replace("{{", "").replace("}}", "") + " }}",
+                ident,
+                project.vars,
+                {},
+            )
+            tnode.refs, tnode.sources = refs, sources
+        manifest.add(tnode)
+
+    for col in patch.get("columns", []) or []:
+        for spec in (col.get("data_tests") or col.get("tests") or []):
+            add_test(spec, col["name"])
+    for spec in (patch.get("data_tests") or patch.get("tests") or []):
+        add_test(spec, None)
+
+
+def _resolve_depends_on(manifest: Manifest) -> None:
+    """process_refs/process_sources (core/dbt/parser/manifest.py:1138,1307)."""
+    for node in list(manifest.nodes.values()):
+        for package, name in node.refs:
+            found = manifest.ref_lookup(name, package)
+            if found is None:
+                raise CompilationError(f"{node.unique_id}: ref('{name}') does not exist")
+            if found.unique_id not in node.depends_on:
+                node.depends_on.append(found.unique_id)
+        for src_name, tbl_name in node.sources:
+            found = manifest.source_lookup(src_name, tbl_name)
+            if found is None:
+                raise CompilationError(
+                    f"{node.unique_id}: source('{src_name}', '{tbl_name}') does not exist"
+                )
+            if found.unique_id not in node.depends_on:
+                node.depends_on.append(found.unique_id)

@@ -1,0 +1,328 @@
+"""Orchestration: the `dbt run/build/test/seed/snapshot/compile/ls` lifecycle.
+
+Mirrors SURVEY §3.1's pipeline: load project → parse → manifest → link DAG →
+select → priority-topological queue drained by a thread pool (graph/queue.py +
+task/runnable.py:408-453) → per-node materialization → run_results.json v5-ish
+artifact. Worker threads each submit independent Spark actions; the session
+runs the FAIR scheduler so concurrent model builds share executors.
+
+``build`` adds test-blocking edges (compilation.py:208-435) and runs
+seeds/models/snapshots/tests in one DAG, exactly like BuildTask
+(core/dbt/task/build.py:54-139).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Optional
+
+from pyspark.sql import SparkSession
+
+from dbt_spark.catalog import RelationStore
+from dbt_spark.operators import MATERIALIZATIONS
+from dbt_spark.operators.materialize import ExecutionContext
+from dbt_spark.operators.tests import run_test
+from dbt_spark.plans.graph import GraphQueue, Linker, add_test_edges, select_nodes
+from dbt_spark.plans.manifest import Manifest, ManifestNode, NodeType
+from dbt_spark.project import Project, parse_project
+
+
+class TestFailure(Exception):
+    """A data test failed at error severity; blocks descendants in `build`
+    without double-reporting (the test's own result row is already recorded)."""
+
+
+@dataclass
+class RunResult:
+    unique_id: str
+    status: str  # success|error|skipped|pass|warn|fail
+    execution_time: float
+    message: str = ""
+
+
+@dataclass
+class RunnerResult:
+    success: bool
+    results: list[RunResult] = field(default_factory=list)
+    manifest: Optional[Manifest] = None
+
+    def by_id(self, unique_id: str) -> Optional[RunResult]:
+        return next((r for r in self.results if r.unique_id == unique_id), None)
+
+
+RESOURCE_FOR_COMMAND = {
+    "run": {NodeType.Model},
+    "seed": {NodeType.Seed},
+    "snapshot": {NodeType.Snapshot},
+    "test": {NodeType.Test},
+    "build": {NodeType.Model, NodeType.Seed, NodeType.Snapshot, NodeType.Test},
+    "compile": {NodeType.Model, NodeType.Test},
+    "ls": set(NodeType),
+}
+
+
+class Engine:
+    """Programmatic API (the dbtRunner analog, core/dbt/cli/main.py:41-99)."""
+
+    def __init__(
+        self,
+        project_dir: str,
+        spark: Optional[SparkSession] = None,
+        profile: Optional[dict] = None,
+        vars: Optional[dict] = None,
+    ) -> None:
+        from dbt_spark.session import get_spark
+
+        self.project = Project.load(project_dir, profile=profile)
+        self.spark = spark or get_spark(f"dbt_spark:{self.project.name}")
+        self.store = RelationStore(self.spark, self.project.profile["warehouse"])
+        self.vars = vars or {}
+        # CLI/programmatic vars participate in parse-phase rendering too
+        # (reference: --vars merge scope, core/dbt/context/providers.py:806-848)
+        self.project.vars = {**self.project.vars, **self.vars}
+        self.manifest: Optional[Manifest] = None
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def parse(self) -> Manifest:
+        self.manifest = parse_project(self.project)
+        target_dir = os.path.join(self.project.root, "target")
+        os.makedirs(target_dir, exist_ok=True)
+        self.manifest.write(os.path.join(target_dir, "manifest.json"))
+        return self.manifest
+
+    def invoke(
+        self,
+        args: list[str],
+        full_refresh: bool = False,
+        snapshot_ts: Optional[str] = None,
+        now: Optional[datetime] = None,
+    ) -> RunnerResult:
+        command, *rest = args
+        select: list[str] = []
+        exclude: list[str] = []
+        i = 0
+        while i < len(rest):
+            if rest[i] in ("--select", "-s"):
+                i += 1
+                select.extend(rest[i].split(" "))
+            elif rest[i] == "--exclude":
+                i += 1
+                exclude.extend(rest[i].split(" "))
+            elif rest[i] == "--full-refresh":
+                full_refresh = True
+            i += 1
+
+        manifest = self.parse()
+        graph = Linker().link_graph(manifest)
+        if command == "build":
+            graph = add_test_edges(graph, manifest)
+
+        selected = select_nodes(manifest, graph, select or None, exclude or None)
+        resource_types = RESOURCE_FOR_COMMAND[command]
+        runnable = {
+            uid
+            for uid in selected
+            if uid in manifest.nodes
+            and manifest.nodes[uid].resource_type in resource_types
+            and manifest.nodes[uid].config.enabled
+            and not manifest.nodes[uid].is_ephemeral
+        }
+        if command == "ls":
+            results = [RunResult(uid, "success", 0.0) for uid in sorted(runnable)]
+            return RunnerResult(success=True, results=results, manifest=manifest)
+
+        ctx = ExecutionContext(
+            spark=self.spark,
+            store=self.store,
+            manifest=manifest,
+            project=self.project,
+            full_refresh=full_refresh,
+            vars=self.vars,
+            snapshot_ts=snapshot_ts,
+            now=now,
+        )
+        if command == "compile":
+            return self._compile_only(ctx, manifest, runnable)
+
+        # include upstream runnable deps in the queue graph for correct ordering
+        queue = GraphQueue(graph, runnable)
+        results: list[RunResult] = []
+        threads = int(self.project.profile.get("threads", 4))
+
+        self._run_hooks(ctx, self.project.on_run_start, "on-run-start")
+
+        def worker() -> None:
+            while True:
+                uid = queue.get()
+                if uid is None:
+                    if queue.empty() or queue.remaining() <= 0:
+                        return
+                    time.sleep(0.02)
+                    continue
+                node = manifest.nodes[uid]
+                t0 = time.time()
+                try:
+                    self._execute_node(ctx, node, command, results, t0)
+                    queue.mark_done(uid)
+                except Exception as e:  # noqa: BLE001
+                    if not isinstance(e, TestFailure):
+                        # test failures already appended their own result row
+                        results.append(
+                            RunResult(
+                                uid,
+                                "error",
+                                time.time() - t0,
+                                message=f"{e}\n{traceback.format_exc(limit=4)}",
+                            )
+                        )
+                    for skipped in queue.mark_failed(uid):
+                        results.append(RunResult(skipped, "skipped", 0.0, "upstream failed"))
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            for _ in range(threads):
+                pool.submit(worker)
+
+        self._run_hooks(ctx, self.project.on_run_end, "on-run-end")
+
+        success = all(r.status in ("success", "pass", "warn", "skipped") for r in results)
+        self._write_run_results(results, success)
+        return RunnerResult(success=success, results=results, manifest=manifest)
+
+    # -- node execution -------------------------------------------------------
+
+    def _execute_node(
+        self,
+        ctx: ExecutionContext,
+        node: ManifestNode,
+        command: str,
+        results: list[RunResult],
+        t0: float,
+    ) -> None:
+        for hook in node.config.pre_hook:
+            ctx.spark.sql(self._render_hook(ctx, node, hook))
+        if node.resource_type == NodeType.Test:
+            tr = run_test(ctx, node)
+            results.append(
+                RunResult(node.unique_id, tr.status, time.time() - t0,
+                          message=f"failures={tr.failures}")
+            )
+            if tr.status == "fail":
+                raise TestFailure(f"test {node.name} failed with {tr.failures} failures")
+        else:
+            mat = node.get_materialization()
+            fn = MATERIALIZATIONS.get(mat)
+            if fn is None:
+                raise ValueError(f"{node.unique_id}: unknown materialization {mat!r}")
+            fn(ctx, node)
+            results.append(RunResult(node.unique_id, "success", time.time() - t0))
+        for hook in node.config.post_hook:
+            ctx.spark.sql(self._render_hook(ctx, node, hook))
+
+    def _render_hook(self, ctx: ExecutionContext, node: ManifestNode, hook: str) -> str:
+        from dbt_spark.plans.compile import runtime_render
+
+        hook_node = ManifestNode(
+            unique_id=f"operation.{node.unique_id}",
+            name=node.name,
+            package_name=node.package_name,
+            path=node.path,
+            resource_type=NodeType.Operation,
+            raw_code=hook,
+        )
+        return runtime_render(
+            hook_node,
+            ctx.manifest,
+            resolve_ref=ctx.resolve_ref,
+            resolve_source=ctx.resolve_source,
+            this_name=ctx.identifier_for(node),
+            is_incremental=False,
+            full_refresh=ctx.full_refresh,
+            var_overrides={**ctx.project.vars, **ctx.vars},
+            target=dict(ctx.project.profile),
+        )
+
+    def _run_hooks(self, ctx: ExecutionContext, hooks: list[str], phase: str) -> None:
+        for hook in hooks:
+            try:
+                ctx.spark.sql(hook)
+            except Exception as e:  # noqa: BLE001
+                raise RuntimeError(f"{phase} hook failed: {e}") from e
+
+    def _compile_only(
+        self, ctx: ExecutionContext, manifest: Manifest, runnable: set[str]
+    ) -> RunnerResult:
+        from dbt_spark.operators.materialize import compile_sql
+
+        results = []
+        target_dir = os.path.join(self.project.root, "target", "compiled")
+        for uid in sorted(runnable):
+            node = manifest.nodes[uid]
+            if node.language != "sql" or node.test_metadata:
+                continue
+            try:
+                # compile without requiring upstream relations to exist
+                sql = compile_sql_lenient(ctx, node)
+                node.compiled_code = sql
+                out = os.path.join(target_dir, node.path)
+                os.makedirs(os.path.dirname(out), exist_ok=True)
+                with open(out, "w") as f:
+                    f.write(sql)
+                results.append(RunResult(uid, "success", 0.0))
+            except Exception as e:  # noqa: BLE001
+                results.append(RunResult(uid, "error", 0.0, message=str(e)))
+        ok = all(r.status == "success" for r in results)
+        return RunnerResult(success=ok, results=results, manifest=manifest)
+
+    def _write_run_results(self, results: list[RunResult], success: bool) -> None:
+        target_dir = os.path.join(self.project.root, "target")
+        os.makedirs(target_dir, exist_ok=True)
+        payload = {
+            "metadata": {
+                "dbt_schema_version": "https://schemas.getdbt.com/dbt/run-results/v5.json",
+                "generated_at": datetime.now(timezone.utc).isoformat(),
+                "generator": "dbt_spark",
+            },
+            "success": success,
+            "results": [
+                {
+                    "unique_id": r.unique_id,
+                    "status": r.status,
+                    "execution_time": round(r.execution_time, 4),
+                    "message": r.message,
+                }
+                for r in results
+            ],
+        }
+        with open(os.path.join(target_dir, "run_results.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+
+
+def compile_sql_lenient(ctx: ExecutionContext, node: ManifestNode) -> str:
+    """Compile-time ref resolution that doesn't require built relations:
+    refs render to their would-be identifiers (target/compiled parity)."""
+    from dbt_spark.plans.compile import runtime_render
+
+    return runtime_render(
+        node,
+        ctx.manifest,
+        resolve_ref=lambda n: ctx.identifier_for(n),
+        resolve_source=lambda n: f"src__{n.source_name}__{n.name}",
+        this_name=ctx.identifier_for(node),
+        is_incremental=False,
+        full_refresh=ctx.full_refresh,
+        var_overrides={**ctx.project.vars, **ctx.vars},
+        target=dict(ctx.project.profile),
+    ).strip().rstrip(";")
+
+
+def invoke(project_dir: str, args: list[str], **kwargs: Any) -> RunnerResult:
+    """One-shot convenience: Engine(project_dir).invoke(args)."""
+    return Engine(project_dir, **{k: v for k, v in kwargs.items()
+                                  if k in ("spark", "profile", "vars")}).invoke(args)

@@ -36,6 +36,9 @@ def get_spark(app_name: str = "dbt_spark", *, extra_conf: dict | None = None) ->
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # testdata events.parquet stores timestamp[ns]; Spark reads nanos as
+        # long under this flag, and read_parquet() converts to timestamps
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
@@ -48,11 +51,39 @@ def get_spark(app_name: str = "dbt_spark", *, extra_conf: dict | None = None) ->
     return spark
 
 
+def read_parquet(spark: SparkSession, path: str):
+    """spark.read.parquet with timestamp[ns] columns restored to timestamps.
+
+    Parquet TIMESTAMP(NANOS) is illegal for Spark's vectorized reader; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` they surface as longs, which we
+    convert losslessly (integer DIV) to microsecond timestamps.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    try:
+        file_path = path
+        if os.path.isdir(path):
+            inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            file_path = os.path.join(path, inner[0]) if inner else path
+        arrow_schema = pq.read_schema(file_path)
+        for fld in arrow_schema:
+            if str(fld.type) == "timestamp[ns]":
+                df = df.withColumn(
+                    fld.name,
+                    F.timestamp_micros(F.expr(f"`{fld.name}` DIV 1000")),
+                )
+    except Exception:
+        pass  # non-pyarrow-readable layout: leave schema as Spark read it
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Register each ``{sf_dir}/{name}.parquet`` as a temp view; return dict of DataFrames."""
     out = {}
     for name in names:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,62 @@
+"""Source freshness: age of max(loaded_at_field) vs warn/error thresholds.
+
+Reference: core/dbt/task/freshness.py:111-181 (loaded_at_field path :134-141;
+file-metadata fallback :142-160), thresholds v1/components.py:117-145.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Optional
+
+from pyspark.sql import functions as F
+
+from dbt_spark.plans.manifest import ManifestNode
+
+PERIOD_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}
+
+
+@dataclass
+class FreshnessResult:
+    unique_id: str
+    max_loaded_at: Optional[datetime]
+    age_seconds: float
+    status: str  # pass|warn|error|runtime error
+
+
+def _threshold_seconds(spec: Optional[dict]) -> Optional[float]:
+    if not spec:
+        return None
+    return spec["count"] * PERIOD_SECONDS[spec["period"]]
+
+
+def check_freshness(ctx, node: ManifestNode, now: Optional[datetime] = None) -> FreshnessResult:
+    now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+    freshness = node.freshness or {}
+    if node.loaded_at_field:
+        df = ctx.source_df(node)
+        row = df.agg(F.max(F.col(node.loaded_at_field)).alias("m")).collect()[0]
+        max_loaded_at = row["m"]
+    else:
+        # metadata fallback: file mtime of the source location
+        location = node.config.meta.get("location")
+        mtime = max(
+            (os.path.getmtime(os.path.join(dp, f)) for dp, _, fs in os.walk(location)
+             for f in fs),
+            default=os.path.getmtime(location),
+        ) if os.path.isdir(location) else os.path.getmtime(location)
+        max_loaded_at = datetime.fromtimestamp(mtime, tz=timezone.utc).replace(tzinfo=None)
+    if max_loaded_at is None:
+        return FreshnessResult(node.unique_id, None, float("inf"), "runtime error")
+    age = (now - max_loaded_at).total_seconds()
+    warn_after = _threshold_seconds(freshness.get("warn_after"))
+    error_after = _threshold_seconds(freshness.get("error_after"))
+    if error_after is not None and age > error_after:
+        status = "error"
+    elif warn_after is not None and age > warn_after:
+        status = "warn"
+    else:
+        status = "pass"
+    return FreshnessResult(node.unique_id, max_loaded_at, age, status)

@@ -1,0 +1,245 @@
+"""End-to-end engine tests: jaffle-shop-mini (seed → staging views → mart
+table → generic tests), mirroring tests/functional/basic/test_jaffle_shop.py
+in the reference (inline fixtures, real commands, assertions on relations)."""
+
+import pytest
+
+from dbt_spark.runner import Engine
+
+DBT_PROJECT = """
+name: jaffle
+model-paths: ["models"]
+seed-paths: ["seeds"]
+models:
+  jaffle:
+    +materialized: view
+    marts:
+      +materialized: table
+"""
+
+RAW_CUSTOMERS = "id,first_name,last_name\n1,Michael,P.\n2,Shawn,M.\n3,Kathleen,P.\n"
+RAW_ORDERS = (
+    "id,user_id,order_date,status\n"
+    "1,1,2018-01-01,returned\n"
+    "2,3,2018-01-02,completed\n"
+    "3,1,2018-01-04,completed\n"
+    "4,2,2018-01-05,placed\n"
+)
+RAW_PAYMENTS = (
+    "id,order_id,payment_method,amount\n"
+    "1,1,credit_card,1000\n"
+    "2,2,credit_card,2000\n"
+    "3,3,coupon,100\n"
+    "4,4,bank_transfer,500\n"
+)
+
+STG_CUSTOMERS = "select id as customer_id, first_name, last_name from {{ ref('raw_customers') }}"
+STG_ORDERS = "select id as order_id, user_id as customer_id, order_date, status from {{ ref('raw_orders') }}"
+STG_PAYMENTS = "select id as payment_id, order_id, payment_method, amount from {{ ref('raw_payments') }}"
+
+CUSTOMERS_MODEL = """
+with customer_orders as (
+    select customer_id,
+           min(order_date) as first_order,
+           max(order_date) as most_recent_order,
+           count(order_id) as number_of_orders
+    from {{ ref('stg_orders') }}
+    group by customer_id
+),
+customer_payments as (
+    select o.customer_id, sum(p.amount) as total_amount
+    from {{ ref('stg_payments') }} p
+    left join {{ ref('stg_orders') }} o on p.order_id = o.order_id
+    group by o.customer_id
+)
+select c.customer_id, c.first_name, c.last_name,
+       o.first_order, o.most_recent_order,
+       coalesce(o.number_of_orders, 0) as number_of_orders,
+       coalesce(p.total_amount, 0) as customer_lifetime_value
+from {{ ref('stg_customers') }} c
+left join customer_orders o on c.customer_id = o.customer_id
+left join customer_payments p on c.customer_id = p.customer_id
+"""
+
+SCHEMA_YML = """
+models:
+  - name: customers
+    columns:
+      - name: customer_id
+        data_tests:
+          - not_null
+          - unique
+  - name: stg_orders
+    columns:
+      - name: status
+        data_tests:
+          - accepted_values:
+              values: [placed, shipped, completed, return_pending, returned]
+      - name: customer_id
+        data_tests:
+          - relationships:
+              to: ref('stg_customers')
+              field: customer_id
+"""
+
+JAFFLE_FILES = {
+    "dbt_project.yml": DBT_PROJECT,
+    "seeds/raw_customers.csv": RAW_CUSTOMERS,
+    "seeds/raw_orders.csv": RAW_ORDERS,
+    "seeds/raw_payments.csv": RAW_PAYMENTS,
+    "models/staging/stg_customers.sql": STG_CUSTOMERS,
+    "models/staging/stg_orders.sql": STG_ORDERS,
+    "models/staging/stg_payments.sql": STG_PAYMENTS,
+    "models/marts/customers.sql": CUSTOMERS_MODEL,
+    "models/marts/schema.yml": SCHEMA_YML,
+}
+
+
+@pytest.fixture()
+def jaffle(project_dir, spark):
+    root = project_dir(JAFFLE_FILES)
+    return Engine(root, spark=spark)
+
+
+def test_parse_builds_manifest_and_dag(jaffle):
+    manifest = jaffle.parse()
+    assert "model.jaffle.customers" in manifest.nodes
+    assert "seed.jaffle.raw_orders" in manifest.nodes
+    customers = manifest.nodes["model.jaffle.customers"]
+    assert set(customers.depends_on) == {
+        "model.jaffle.stg_customers",
+        "model.jaffle.stg_orders",
+        "model.jaffle.stg_payments",
+    }
+    # dir-hierarchy config: marts/ is table, staging/ inherits view
+    assert customers.config.materialized == "table"
+    assert manifest.nodes["model.jaffle.stg_orders"].config.materialized == "view"
+    tests = [n for n in manifest.nodes.values() if n.resource_type.value == "test"]
+    assert len(tests) == 4
+
+
+def test_seed_then_run_then_test(jaffle, spark):
+    assert jaffle.invoke(["seed"]).success
+    r = jaffle.invoke(["run"])
+    assert r.success, [x.message for x in r.results if x.status == "error"]
+    customers = jaffle.store.read("main", "customers").orderBy("customer_id").collect()
+    assert len(customers) == 3
+    assert customers[0]["number_of_orders"] == 2
+    assert customers[0]["customer_lifetime_value"] == 1100
+    assert customers[1]["number_of_orders"] == 1
+    t = jaffle.invoke(["test"])
+    assert t.success
+    assert all(x.status == "pass" for x in t.results)
+
+
+def test_build_runs_everything_with_test_edges(jaffle):
+    r = jaffle.invoke(["build"])
+    assert r.success
+    statuses = {x.unique_id: x.status for x in r.results}
+    assert statuses["model.jaffle.customers"] == "success"
+    assert sum(1 for uid in statuses if uid.startswith("test.")) == 4
+
+
+def test_failing_test_blocks_downstream_in_build(project_dir, spark):
+    files = dict(JAFFLE_FILES)
+    # inject a duplicate customer id -> `unique` fails on stg_customers,
+    # and with test edges the downstream mart must be skipped
+    files["seeds/raw_customers.csv"] = RAW_CUSTOMERS + "3,Dup,Row\n"
+    files["models/marts/schema.yml"] = """
+models:
+  - name: stg_customers
+    columns:
+      - name: customer_id
+        data_tests: [unique]
+"""
+    eng = Engine(project_dir(files), spark=spark)
+    r = eng.invoke(["build"])
+    assert not r.success
+    by_id = {x.unique_id: x.status for x in r.results}
+    assert by_id["test.jaffle.unique_stg_customers_customer_id"] == "fail"
+    assert by_id["model.jaffle.customers"] == "skipped"
+
+
+def test_selectors(jaffle):
+    jaffle.parse()
+    r = jaffle.invoke(["ls", "--select", "+customers"])
+    ids = {x.unique_id for x in r.results}
+    assert "model.jaffle.customers" in ids
+    assert "model.jaffle.stg_orders" in ids
+    assert "seed.jaffle.raw_orders" in ids
+    r2 = jaffle.invoke(["ls", "--select", "tag:nonexistent"])
+    assert r2.results == []
+    r3 = jaffle.invoke(["ls", "--select", "stg_*"])
+    assert {x.unique_id for x in r3.results} == {
+        "model.jaffle.stg_customers",
+        "model.jaffle.stg_orders",
+        "model.jaffle.stg_payments",
+    }
+
+
+def test_run_subset_with_persisted_upstream(jaffle):
+    assert jaffle.invoke(["seed"]).success
+    assert jaffle.invoke(["run", "--select", "stg_orders"]).success
+    # downstream-only run must re-register persisted upstream relations
+    r = jaffle.invoke(["run", "--select", "customers"])
+    assert not r.success  # stg_customers/stg_payments views never built
+    assert jaffle.invoke(["run"]).success
+
+
+def test_ephemeral_inlining(project_dir, spark):
+    files = {
+        "dbt_project.yml": "name: eph\n",
+        "seeds/nums.csv": "n\n1\n2\n3\n",
+        "models/doubled.sql": (
+            "{{ config(materialized='ephemeral') }}\n"
+            "select n * 2 as n2 from {{ ref('nums') }}"
+        ),
+        "models/final.sql": (
+            "{{ config(materialized='table') }}\n"
+            "select sum(n2) as total from {{ ref('doubled') }}"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    assert eng.store.read("main", "final").collect()[0]["total"] == 12
+    # ephemeral must not be materialized
+    assert eng.store.get("main", "doubled") is None
+
+
+def test_python_model(project_dir, spark):
+    files = {
+        "dbt_project.yml": "name: pymod\n",
+        "seeds/nums.csv": "n\n1\n2\n3\n",
+        "models/py_stats.py": (
+            "def model(dbt, session):\n"
+            "    dbt.config(materialized='table')\n"
+            "    df = dbt.ref('nums')\n"
+            "    from pyspark.sql import functions as F\n"
+            "    return df.agg(F.sum('n').alias('total'))\n"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    assert eng.store.read("main", "py_stats").collect()[0]["total"] == 6
+
+
+def test_hooks_and_vars(project_dir, spark):
+    files = {
+        "dbt_project.yml": (
+            "name: hooky\nvars:\n  factor: 3\n"
+        ),
+        "seeds/nums.csv": "n\n1\n2\n",
+        "models/scaled.sql": (
+            "{{ config(materialized='table', post_hook='select 1') }}\n"
+            "select n * {{ var('factor') }} as scaled from {{ ref('nums') }}"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    rows = eng.store.read("main", "scaled").orderBy("scaled").collect()
+    assert [r["scaled"] for r in rows] == [3, 6]

@@ -1,0 +1,194 @@
+"""Incremental strategies: append, merge, delete+insert, insert_overwrite,
+microbatch, is_incremental() gating, on_schema_change."""
+
+from datetime import datetime
+
+import pytest
+
+from dbt_spark.runner import Engine
+
+EVENTS_CSV = (
+    "id,day,val\n"
+    "1,1,10\n2,1,20\n3,2,30\n4,2,40\n5,3,50\n6,3,60\n"
+)
+
+
+def make_engine(project_dir, spark, model_sql, vars=None, extra_files=None):
+    files = {
+        "dbt_project.yml": "name: incr\n",
+        "seeds/events.csv": EVENTS_CSV,
+        "models/target.sql": model_sql,
+    }
+    files.update(extra_files or {})
+    root = project_dir(files)
+    return root, Engine(root, spark=spark, vars=vars or {})
+
+
+MERGE_SQL = """
+{{ config(materialized='incremental', incremental_strategy='merge', unique_key='id') }}
+select id, day, val * {{ var('mult', 1) }} as val
+from {{ ref('events') }}
+where day <= {{ var('upto', 3) }}
+"""
+
+
+def test_merge_upsert(project_dir, spark):
+    root, eng = make_engine(project_dir, spark, MERGE_SQL, vars={"upto": 2, "mult": 1})
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    rows = {r["id"]: r["val"] for r in eng.store.read("main", "target").collect()}
+    assert rows == {1: 10, 2: 20, 3: 30, 4: 40}
+    # second run: days 1-3, values x10 -> matched rows updated, new inserted
+    eng2 = Engine(root, spark=spark, vars={"upto": 3, "mult": 10})
+    assert eng2.invoke(["run"]).success
+    rows = {r["id"]: r["val"] for r in eng2.store.read("main", "target").collect()}
+    assert rows == {1: 100, 2: 200, 3: 300, 4: 400, 5: 500, 6: 600}
+
+
+def test_append(project_dir, spark):
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='append') }}
+select id, day, val from {{ ref('events') }} where day = {{ var('d') }}
+"""
+    root, eng = make_engine(project_dir, spark, sql, vars={"d": 1})
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    eng2 = Engine(root, spark=spark, vars={"d": 2})
+    assert eng2.invoke(["run"]).success
+    rows = sorted(r["id"] for r in eng2.store.read("main", "target").collect())
+    assert rows == [1, 2, 3, 4]
+
+
+def test_delete_insert(project_dir, spark):
+    sql = MERGE_SQL.replace("'merge'", "'delete+insert'")
+    root, eng = make_engine(project_dir, spark, sql, vars={"upto": 2})
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    eng2 = Engine(root, spark=spark, vars={"upto": 3, "mult": 100})
+    assert eng2.invoke(["run"]).success
+    rows = {r["id"]: r["val"] for r in eng2.store.read("main", "target").collect()}
+    assert rows[1] == 1000 and rows[6] == 6000 and len(rows) == 6
+
+
+def test_insert_overwrite_partitions(project_dir, spark):
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='insert_overwrite',
+          partition_by='day') }}
+select id, val, day from {{ ref('events') }} where day in ({{ var('days') }})
+"""
+    root, eng = make_engine(project_dir, spark, sql, vars={"days": "1, 2"})
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    # overwrite ONLY day 2; day 1 rows must survive untouched
+    eng2 = Engine(root, spark=spark, vars={"days": "2"})
+    assert eng2.invoke(["run"]).success
+    rows = sorted(r["id"] for r in eng2.store.read("main", "target").collect())
+    assert rows == [1, 2, 3, 4]
+
+
+def test_is_incremental_gate_with_this(project_dir, spark):
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='append') }}
+select id, day, val from {{ ref('events') }}
+where day <= {{ var('upto') }}
+{% if is_incremental() %}
+  and day > (select max(day) from {{ this }})
+{% endif %}
+"""
+    root, eng = make_engine(project_dir, spark, sql, vars={"upto": 1})
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    assert eng.store.read("main", "target").count() == 2
+    # rerun with upto=3: gate only selects day > 1 -> no duplicates of day 1
+    eng2 = Engine(root, spark=spark, vars={"upto": 3})
+    r = eng2.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    assert eng2.store.read("main", "target").count() == 6
+    # full refresh rebuilds from scratch
+    eng3 = Engine(root, spark=spark, vars={"upto": 1})
+    assert eng3.invoke(["run", "--full-refresh"]).success
+    assert eng3.store.read("main", "target").count() == 2
+
+
+def test_on_schema_change_fail_and_append_new(project_dir, spark):
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='merge', unique_key='id',
+          on_schema_change='fail') }}
+select id, day, val{% if var('extra', false) %}, val * 2 as val2{% endif %}
+from {{ ref('events') }} where day <= 2
+"""
+    root, eng = make_engine(project_dir, spark, sql)
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    eng2 = Engine(root, spark=spark, vars={"extra": True})
+    r = eng2.invoke(["run"])
+    assert not r.success
+    assert "on_schema_change=fail" in r.results[-1].message
+    # append_new_columns: old rows get NULL for the new column
+    sql2 = sql.replace("'fail'", "'append_new_columns'")
+    (pytest.importorskip("pathlib").Path(root) / "models" / "target.sql").write_text(sql2)
+    eng3 = Engine(root, spark=spark, vars={"extra": True})
+    r3 = eng3.invoke(["run"])
+    assert r3.success, [x.message for x in r3.results]
+    df = eng3.store.read("main", "target")
+    assert "val2" in df.columns
+
+
+MICROBATCH_SQL = """
+{{ config(materialized='incremental', incremental_strategy='microbatch',
+          event_time='ts', batch_size='day', begin='2020-01-01', lookback=1) }}
+select id, ts, val from {{ ref('stream') }}
+"""
+
+STREAM_CSV = (
+    "id,ts,val\n"
+    "1,2020-01-01 05:00:00,1\n"
+    "2,2020-01-01 06:00:00,2\n"
+    "3,2020-01-02 05:00:00,3\n"
+    "4,2020-01-03 05:00:00,4\n"
+)
+
+
+def test_microbatch_backfill_and_incremental(project_dir, spark):
+    files = {
+        "dbt_project.yml": "name: mb\n",
+        "seeds/stream.csv": STREAM_CSV,
+        "models/target.sql": MICROBATCH_SQL,
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    # initial backfill as of Jan 2: batches Jan1, Jan2
+    r = eng.invoke(["run"], now=datetime(2020, 1, 2, 12))
+    assert r.success, [x.message for x in r.results]
+    assert eng.store.read("main", "target").count() == 3
+    # next day: lookback=1 reprocesses Jan2 + Jan3 -> row 4 arrives, no dupes
+    r2 = eng.invoke(["run"], now=datetime(2020, 1, 3, 12))
+    assert r2.success
+    rows = sorted(x["id"] for x in eng.store.read("main", "target").collect())
+    assert rows == [1, 2, 3, 4]
+
+
+def test_microbatch_builder_grid():
+    from dbt_spark.operators.microbatch import MicrobatchBuilder
+
+    b = MicrobatchBuilder(
+        event_time="ts",
+        begin=datetime(2020, 1, 1),
+        batch_size="day",
+        lookback=1,
+        now=datetime(2020, 1, 3, 12),
+    )
+    full = b.build_batches(is_incremental=False)
+    assert [x.start.day for x in full] == [1, 2, 3]
+    incr = b.build_batches(is_incremental=True)
+    assert [x.start.day for x in incr] == [2, 3]
+    # month grain is calendar-aware
+    bm = MicrobatchBuilder(
+        event_time="ts",
+        begin=datetime(2019, 11, 15),
+        batch_size="month",
+        now=datetime(2020, 2, 10),
+    )
+    months = [(x.start.year, x.start.month) for x in bm.build_batches(False)]
+    assert months == [(2019, 11), (2019, 12), (2020, 1), (2020, 2)]

@@ -1,0 +1,126 @@
+"""SCD2 snapshots: timestamp + check strategies, hard-delete handling.
+
+Scenario mirrors FIXTURES.md §5: insert v1 rows → snapshot → mutate subset +
+delete one → snapshot → assert closed/current/deleted rows."""
+
+from pathlib import Path
+
+from dbt_spark.runner import Engine
+
+V1_CSV = (
+    "id,name,updated_at\n"
+    "1,alice,2020-01-01 00:00:00\n"
+    "2,bob,2020-01-01 00:00:00\n"
+    "3,carol,2020-01-01 00:00:00\n"
+)
+# id=2 renamed (newer updated_at), id=3 deleted, id=4 added
+V2_CSV = (
+    "id,name,updated_at\n"
+    "1,alice,2020-01-01 00:00:00\n"
+    "2,robert,2020-02-01 00:00:00\n"
+    "4,dave,2020-02-01 00:00:00\n"
+)
+
+SNAP_TS = """
+{% snapshot people_snap %}
+{{ config(strategy='timestamp', unique_key='id', updated_at='updated_at',
+          hard_deletes='invalidate') }}
+select * from {{ ref('people') }}
+{% endsnapshot %}
+"""
+
+SNAP_CHECK = """
+{% snapshot people_snap %}
+{{ config(strategy='check', unique_key='id', check_cols=['name']) }}
+select id, name from {{ ref('people') }}
+{% endsnapshot %}
+"""
+
+
+def _setup(project_dir, spark, snapshot_sql):
+    files = {
+        "dbt_project.yml": "name: snap\n",
+        "seeds/people.csv": V1_CSV,
+        "snapshots/people.sql": snapshot_sql,
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    return root, eng
+
+
+def test_timestamp_strategy(project_dir, spark):
+    root, eng = _setup(project_dir, spark, SNAP_TS)
+    assert eng.invoke(["snapshot"], snapshot_ts="2020-01-15 00:00:00").success
+    snap = eng.store.read("main", "people_snap").collect()
+    assert len(snap) == 3
+    assert all(r["dbt_valid_to"] is None for r in snap)
+    assert all(r["dbt_scd_id"] is not None for r in snap)
+
+    Path(root, "seeds/people.csv").write_text(V2_CSV)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["snapshot"], snapshot_ts="2020-02-15 00:00:00")
+    assert r.success, [x.message for x in r.results]
+
+    rows = eng.store.read("main", "people_snap").collect()
+    by = {}
+    for row in rows:
+        by.setdefault(row["id"], []).append(row)
+    # id=1 unchanged: one current row
+    assert len(by[1]) == 1 and by[1][0]["dbt_valid_to"] is None
+    # id=2 changed: closed v1 (valid_to = new updated_at) + current v2
+    v2 = sorted(by[2], key=lambda r: r["dbt_valid_from"])
+    assert len(v2) == 2
+    assert v2[0]["name"] == "bob" and str(v2[0]["dbt_valid_to"]).startswith("2020-02-01")
+    assert v2[1]["name"] == "robert" and v2[1]["dbt_valid_to"] is None
+    # id=3 hard-deleted: invalidated at snapshot ts
+    assert len(by[3]) == 1 and str(by[3][0]["dbt_valid_to"]).startswith("2020-02-15")
+    # id=4 new: current
+    assert len(by[4]) == 1 and by[4][0]["dbt_valid_to"] is None
+
+
+def test_check_strategy(project_dir, spark):
+    root, eng = _setup(project_dir, spark, SNAP_CHECK)
+    assert eng.invoke(["snapshot"], snapshot_ts="2020-01-15 00:00:00").success
+    Path(root, "seeds/people.csv").write_text(V2_CSV)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["snapshot"], snapshot_ts="2020-02-15 00:00:00")
+    assert r.success, [x.message for x in r.results]
+    rows = eng.store.read("main", "people_snap").collect()
+    by = {}
+    for row in rows:
+        by.setdefault(row["id"], []).append(row)
+    assert len(by[1]) == 1  # unchanged
+    assert len(by[2]) == 2  # name changed -> two versions
+    cur2 = [r for r in by[2] if r["dbt_valid_to"] is None]
+    assert cur2[0]["name"] == "robert"
+    # hard_deletes defaults to ignore: id=3 stays current
+    assert len(by[3]) == 1 and by[3][0]["dbt_valid_to"] is None
+    assert len(by[4]) == 1
+
+
+def test_snapshot_idempotent_when_unchanged(project_dir, spark):
+    _, eng = _setup(project_dir, spark, SNAP_TS)
+    assert eng.invoke(["snapshot"], snapshot_ts="2020-01-15 00:00:00").success
+    assert eng.invoke(["snapshot"], snapshot_ts="2020-01-16 00:00:00").success
+    snap = eng.store.read("main", "people_snap").collect()
+    assert len(snap) == 3
+    assert all(r["dbt_valid_to"] is None for r in snap)
+
+
+def test_snapshot_config_validation(project_dir, spark):
+    files = {
+        "dbt_project.yml": "name: snap\n",
+        "snapshots/bad.sql": (
+            "{% snapshot bad_snap %}\n"
+            "{{ config(strategy='timestamp', unique_key='id') }}\n"
+            "select 1 as id\n"
+            "{% endsnapshot %}\n"
+        ),
+    }
+    root = project_dir(files)
+    import pytest
+    from dbt_spark.plans.compile import CompilationError
+
+    with pytest.raises(CompilationError, match="updated_at"):
+        Engine(root, spark=spark).parse()

@@ -1,0 +1,65 @@
+"""Sources: declared external tables resolve in models; freshness evaluation."""
+
+from datetime import datetime
+
+from dbt_spark.runner import Engine
+from dbt_spark.sources.freshness import check_freshness
+from dbt_spark.operators.materialize import ExecutionContext
+
+SOURCES_YML = """
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        meta: {location: "/root/testdata/sf0.001/orders.parquet"}
+      - name: events
+        loaded_at_field: ts
+        freshness:
+          warn_after: {count: 1, period: day}
+          error_after: {count: 30, period: day}
+        meta: {location: "/root/testdata/sf0.001/events.parquet"}
+"""
+
+MODEL = """
+{{ config(materialized='table') }}
+select o_orderpriority, count(*) as n
+from {{ source('tpch', 'orders') }}
+group by o_orderpriority
+"""
+
+
+def test_source_resolution(project_dir, spark):
+    root = project_dir({
+        "dbt_project.yml": "name: srcs\n",
+        "models/prio.sql": MODEL,
+        "models/sources.yml": SOURCES_YML,
+    })
+    eng = Engine(root, spark=spark)
+    manifest = eng.parse()
+    assert "source.srcs.tpch.orders" in manifest.sources
+    node = manifest.nodes["model.srcs.prio"]
+    assert "source.srcs.tpch.orders" in node.depends_on
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    assert eng.store.read("main", "prio").count() == 5
+
+
+def test_source_freshness(project_dir, spark):
+    root = project_dir({
+        "dbt_project.yml": "name: srcs\n",
+        "models/sources.yml": SOURCES_YML,
+    })
+    eng = Engine(root, spark=spark)
+    manifest = eng.parse()
+    node = manifest.sources["source.srcs.tpch.events"]
+    ctx = ExecutionContext(
+        spark=spark, store=eng.store, manifest=manifest, project=eng.project
+    )
+    # events ts is 2024-era synthetic data: stale vs 2026-01-01 by far
+    res = check_freshness(ctx, node, now=datetime(2026, 1, 1))
+    assert res.max_loaded_at is not None
+    assert res.status in ("warn", "error")
+    # generous `now` right after the data's max ts -> pass
+    res2 = check_freshness(ctx, node, now=res.max_loaded_at)
+    assert res2.status == "pass"
+    assert res2.age_seconds == 0.0
