@@ -1,0 +1,257 @@
+"""Deduplication operators: exact, fingerprint, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale design notes (the 100 TB rationale, per operator):
+- exact/fingerprint: one hash-shuffle on the dedup key with map-side partial
+  aggregation; output is the kept-row set, never a driver collect.
+- n-gram Jaccard: shingle inverted index (explode → distinct → self-join on
+  shingle). The shingle join is the classic quadratic blow-up risk — callers
+  bound it with a candidate predicate; at full scale the MinHash/LSH variant
+  below replaces it (same API, candidate pairs only from LSH buckets).
+- MinHash+LSH: k=num_perm hash functions via xxhash64(seed, shingle) (JVM
+  codegen, no UDF), banded into b bands of r rows; candidate pairs join only
+  within (band_id, band_hash) buckets — the shuffle key is the band hash, so
+  work is proportional to collisions, not n².
+- SimHash: 64-bit signature from per-token hash bits, compared via 16-bit
+  bands (Hamming ≤ 3 ⟹ at least one of 4 bands equal — pigeonhole).
+- embedding cosine: exact-arithmetic pair scoring for oracle parity; the ANN
+  path for scale lives in functions/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from dbt_spark.functions.text import fingerprint, tokens
+
+
+# --------------------------------------------------------------------------
+# exact + fingerprint dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact key group (hash-groupBy, one shuffle)."""
+    w = W.partitionBy(*key_cols).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str, k: int = 16) -> DataFrame:
+    """Near-exact dedup on the first-k-token md5 fingerprint."""
+    return exact_dedup(
+        df.withColumn("__fp", fingerprint(text_col, k)), ["__fp"], id_col
+    ).drop("__fp")
+
+
+# --------------------------------------------------------------------------
+# word-shingles + Jaccard
+# --------------------------------------------------------------------------
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 2) -> DataFrame:
+    """(id, shingle) distinct pairs; shingles are n-grams of whitespace tokens."""
+    toks = tokens(text_col)
+    if n == 1:
+        sh = toks
+    else:
+        # 0-based: shingle_i = toks[i] .. toks[i+n-1], i ∈ [0, size-n]
+        joined = " , ' ' , ".join(f"t[i + {j}]" for j in range(n))
+        sh = F.expr(
+            f"transform(sequence(0, size(t) - {n}), i -> concat({joined}))"
+        )
+        df = df.withColumn("t", toks)
+    out = (
+        df.withColumn("t", toks)
+        .select(F.col(id_col).alias("id"), F.explode(sh if n == 1 else sh).alias("shingle"))
+        .distinct()
+    )
+    return out
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+    Returns (id_a, id_b, n_common, jaccard)."""
+    sh = word_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int = 16, shingle_n: int = 2
+) -> DataFrame:
+    """(id, sig: array<bigint>) — sig[i] = min over shingles of xxhash64(i, shingle).
+
+    xxhash64 with the permutation index as a leading column gives num_perm
+    independent hash families without any Python UDF."""
+    sh = word_shingles(df, text_col, id_col, shingle_n)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    hashed = sh.select("id", "shingle", perms).withColumn(
+        "h", F.xxhash64(F.col("perm"), F.col("shingle"))
+    )
+    return (
+        hashed.groupBy("id", "perm")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("s"))
+        .select("id", F.expr("transform(s, x -> x.mh)").alias("sig"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs: ids sharing ≥1 LSH band bucket.
+    Returns (id_a, id_b, n_bands_shared)."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, xxhash64(slice(sig, b * {rows} + 1, {rows})) AS bh))"
+            )
+        ).alias("x"),
+    ).select("id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidates verified by true Jaccard; returns surviving row ids after
+    dropping the higher id of each confirmed pair (greedy single-pass policy —
+    connected-component dedup is a documented upgrade via graphframes/iteration)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands)
+    sh = word_shingles(df, text_col, id_col, 2)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    verified = (
+        cands.join(a, cands.id_a == F.col("a.id"))
+        .join(b, (cands.id_b == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    to_drop = verified.select(F.col("id_b").alias("drop_id")).distinct()
+    return df.join(to_drop, df[id_col] == F.col("drop_id"), "left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_bands(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, band0..band3): 64-bit SimHash as four 16-bit band values.
+
+    bit_j(doc) = sign of Σ_tokens (2·bit_j(xxhash64(token)) − 1); bands make
+    Hamming-≤3 pairs collide on ≥1 band (pigeonhole over 4 bands)."""
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bits = tok.select(
+        "id",
+        F.explode(
+            F.expr("transform(sequence(0, 63), j -> struct(j AS j, "
+                   "CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END AS v))")
+        ).alias("x"),
+    ).select("id", "x.j", "x.v")
+    bitsum = bits.groupBy("id", "j").agg(F.sum("v").alias("s"))
+    bitvals = bitsum.withColumn("bit", (F.col("s") > 0).cast("int"))
+    return (
+        bitvals.withColumn("band", (F.col("j") / 16).cast("int"))
+        .withColumn("weight", F.expr("shiftleft(CAST(bit AS BIGINT), CAST(j % 16 AS INT))"))
+        .groupBy("id")
+        .pivot("band", [0, 1, 2, 3])
+        .sum("weight")
+        .select(
+            "id",
+            F.col("0").alias("band0"),
+            F.col("1").alias("band1"),
+            F.col("2").alias("band2"),
+            F.col("3").alias("band3"),
+        )
+    )
+
+
+def simhash_candidates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Pairs sharing ≥1 SimHash band (near-dup candidates, Hamming ≤ 3 recall=1)."""
+    sb = simhash_bands(df, text_col, id_col)
+    long = sb.select(
+        "id",
+        F.explode(
+            F.array(
+                *[F.struct(F.lit(i).alias("band"), F.col(f"band{i}").alias("v")) for i in range(4)]
+            )
+        ).alias("x"),
+    ).select("id", "x.band", "x.v")
+    a, b = long.alias("a"), long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )

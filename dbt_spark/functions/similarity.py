@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline. Uses
+  exact DECIMAL dot products (order-independent, bit-reproducible against the
+  DuckDB oracle) and a rank window with unique tie-break.
+- ``lsh_topk``: random-hyperplane LSH buckets + in-bucket exact re-rank — the
+  scale path: candidate generation shuffles on the bucket key (cost ∝ bucket
+  collisions), not |queries| × |corpus|. Hyperplanes are derived from
+  xxhash64(plane, dim) — data-independent, deterministic, no driver-side
+  randomness to ship.
+- At 1000-executor scale the corpus side is hash-partitioned by bucket and the
+  (tiny) query side broadcast; an IVF variant = replace the hash bucketer with
+  k-means centroid assignment (same join shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,9)"
+
+
+def _dot_exact(a: str, b: str) -> F.Column:
+    """Exact decimal dot product of two float arrays (order-independent).
+
+    Products are cast to DECIMAL(30,18) (exact: |elements| ≲ 10, so every
+    product/partial-sum fits well inside 12 integer digits), and the fold
+    re-casts each partial sum to keep Spark's aggregate() accumulator type
+    fixed — decimal addition otherwise widens precision and trips the
+    lambda-type check."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, "
+        f"  (x, y) -> CAST(CAST(x AS {DEC}) * CAST(y AS {DEC}) AS DECIMAL(30,18))), "
+        f"CAST(0 AS DECIMAL(30,18)), "
+        f"(acc, v) -> CAST(acc + v AS DECIMAL(30,18)))"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("__norm2", _dot_exact(vec_col, vec_col))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_pred: F.Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for rows matching query_pred.
+    Returns (qid, nid, cos_sim, rank). cos is a deterministic double derived
+    from exact decimal dot/norms."""
+    base = with_norm(emb, vec_col)
+    q = base.filter(query_pred).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col("__norm2").alias("qn2"),
+    )
+    c = base.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        F.col("__norm2").alias("nn2"),
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("nid"))
+    scored = pairs.withColumn(
+        "cos_sim",
+        _dot_exact("qv", "nv").cast("double")
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("nn2").cast("double"))),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): sign-pattern bucket from n pseudo-random hyperplanes.
+
+    plane_p[d] = xxhash64(p, d) mapped to [-1, 1]; sign_p = Σ_d v[d]·plane_p[d].
+    Everything is a codegen'd SQL expression over the array — no UDF."""
+    signs = []
+    for p in range(n_planes):
+        proj = F.expr(
+            f"aggregate(zip_with({vec_col}, "
+            f"  transform(sequence(0, size({vec_col}) - 1), "
+            f"            d -> CAST(xxhash64({p}, d) % 1000 AS DOUBLE) / 1000.0), "
+            f"  (x, w) -> CAST(x AS DOUBLE) * w), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        signs.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+    bucket = signs[0]
+    for s in signs[1:]:
+        bucket = bucket + s
+    return df.select(F.col(id_col).alias("id"), vec_col, bucket.alias("bucket"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_pred: F.Column,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates share an LSH bucket, exact re-rank within.
+    Approximate (recall < 1) by construction — exercised rows-only."""
+    bucketed = hyperplane_buckets(emb, n_planes, id_col, vec_col)
+    norms = bucketed.withColumn("__norm2", _dot_exact(vec_col, vec_col))
+    q = norms.filter(query_pred).select(
+        F.col("id").alias("qid"), F.col(vec_col).alias("qv"),
+        F.col("__norm2").alias("qn2"), F.col("bucket").alias("qb"),
+    )
+    c = norms.select(
+        F.col("id").alias("nid"), F.col(vec_col).alias("nv"),
+        F.col("__norm2").alias("nn2"), F.col("bucket").alias("nb"),
+    )
+    pairs = q.join(c, (F.col("qb") == F.col("nb")) & (F.col("qid") != F.col("nid")))
+    scored = pairs.withColumn(
+        "cos_sim",
+        _dot_exact("qv", "nv").cast("double")
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("nn2").cast("double"))),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bound: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+    `bound` caps the candidate set for the exact all-pairs variant; the LSH
+    bucket join above is the unbounded-scale variant."""
+    base = with_norm(emb, vec_col)
+    if bound is not None:
+        base = base.filter(F.col(id_col) < bound)
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("__norm2").alias("na2")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("__norm2").alias("nb2")
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cos_sim",
+            _dot_exact("va", "vb").cast("double")
+            / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,123 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is JVM-side column expressions (pyspark.sql.functions /
+higher-order SQL functions) — no Python UDFs — so whole-stage codegen applies
+and the same plan scales to 100 TB document sets. Each operator is engineered
+to be expressible in ANSI SQL for the DuckDB oracle (see queries/llmops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic stopword lists (tiny on purpose: broadcast as literals into the
+# plan; a production list would be a broadcast join against a dimension table).
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "la", "los", "es"],
+}
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization; empty text → empty array (not [''])."""
+    return F.when(F.length(F.trim(F.col(col))) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(F.col(col)), r"\s+")
+    )
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def count_matches(col: str, words: list[str]) -> Column:
+    """# tokens of lower(col) contained in `words` (kept as a SQL higher-order
+    expression so it codegens; mirror: list_filter/list_contains in DuckDB)."""
+    arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    return F.expr(
+        f"size(filter(split(trim(lower({col})), '\\\\s+'), t -> array_contains({arr}, t)))"
+    ).cast("bigint")
+
+
+def stopword_ratio(col: str = "text") -> Column:
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        count_matches(col, STOPWORDS).cast("double") / n.cast("double")
+    )
+
+
+def char_class_counts(col: str = "text") -> dict[str, Column]:
+    """Punctuation / digit / uppercase counts via length-of-stripped deltas —
+    pure string ops, bit-identical in any engine."""
+    c = F.col(col)
+    punct = (
+        F.length(c) - F.length(F.translate(c, ".,!?;:", ""))
+    ).cast("bigint")
+    digits = (F.length(c) - F.length(F.translate(c, "0123456789", ""))).cast("bigint")
+    uppers = (
+        F.length(c) - F.length(F.translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", ""))
+    ).cast("bigint")
+    return {"punct_count": punct, "digit_count": digits, "upper_count": uppers}
+
+
+def quality_score(col: str = "text") -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence -
+    punctuation/digit noise. Deterministic double arithmetic."""
+    n_chars = F.length(F.col(col)).cast("double")
+    cc = char_class_counts(col)
+    length_component = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    stop_component = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct_noise = F.least(cc["punct_count"].cast("double") / F.greatest(n_chars, F.lit(1.0)) * 10.0, F.lit(1.0))
+    digit_noise = F.least(cc["digit_count"].cast("double") / F.greatest(n_chars, F.lit(1.0)) * 10.0, F.lit(1.0))
+    return (
+        F.lit(0.4) * length_component
+        + F.lit(0.4) * stop_component
+        + F.lit(0.1) * (F.lit(1.0) - punct_noise)
+        + F.lit(0.1) * (F.lit(1.0) - digit_noise)
+    )
+
+
+def lang_id(col: str = "text") -> Column:
+    """Marker-word language ID: argmax over per-language marker hit counts,
+    deterministic tie-break by language code order; 'und' when no marker hits."""
+    scores = {lang: count_matches(col, words) for lang, words in LANG_MARKERS.items()}
+    best_score = F.greatest(*scores.values())
+    result = F.lit("und")
+    # reversed so earlier languages win ties (last when() wins in fold order)
+    for lang in sorted(scores, reverse=True):
+        result = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(result)
+    return F.when(best_score == 0, F.lit("und")).otherwise(result)
+
+
+def fingerprint(col: str = "text", k: int = 16) -> Column:
+    """Document fingerprint: md5 of the first k normalized tokens — the
+    cheap canonical-prefix fingerprint used for near-exact dedup."""
+    return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, k)))
+
+
+def rolling_hash(col: str = "text", base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over token lengths+first chars (order-sensitive
+    document sketch). Engine-specific fold — exercised rows-only (no SQL
+    oracle), like any hash whose exact value is an implementation detail."""
+    return F.expr(
+        f"aggregate(split(trim(lower({col})), '\\\\s+'), 7L, "
+        f"(acc, t) -> pmod(acc * {base} + length(t) * 131 + ascii(t), {mod}))"
+    ).cast("bigint")
+
+
+def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Convenience projection used by the docs-pipeline materializations."""
+    cc = char_class_counts(col)
+    return df.select(
+        "*",
+        token_count(col).alias("n_tokens"),
+        stopword_ratio(col).alias("stopword_ratio"),
+        quality_score(col).alias("quality_score"),
+        lang_id(col).alias("lang_pred"),
+        fingerprint(col).alias("fingerprint"),
+        cc["punct_count"].alias("punct_count"),
+        cc["digit_count"].alias("digit_count"),
+    )

@@ -7,6 +7,9 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 from dbt_spark.queries import relational  # noqa: E402
+from dbt_spark.queries import llmops  # noqa: E402
 
 QUERIES.update(relational.QUERIES)
 ORACLES.update(relational.ORACLES)
+QUERIES.update(llmops.QUERIES)
+ORACLES.update(llmops.ORACLES)

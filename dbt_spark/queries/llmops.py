@@ -1,0 +1,318 @@
+"""LLM-training-data pipeline operators over documents/embeddings, each paired
+with a DuckDB oracle where the semantics are exactly SQL-expressible.
+
+Hash/LSH-based operators (MinHash, SimHash, hyperplane ANN) use engine hash
+functions whose exact values are implementation details — they are exercised
+rows-only (no oracle), with their *exact* verification pair (true Jaccard /
+brute-force cosine) present as an oracle-checked query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_spark.functions import dedup as D
+from dbt_spark.functions import similarity as S
+from dbt_spark.functions import text as X
+from dbt_spark.functions.multimodal import attach_binary_payload, decode_media_meta
+from dbt_spark.session import load_tables
+
+STOP_ARR = "['" + "', '".join(X.STOPWORDS) + "']"
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_TOKS_L = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, "documents")["documents"]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, "embeddings")["embeddings"]
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", X.token_count("text").alias("n_tokens"))
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.stopword_ratio("text").alias("stopword_ratio"),
+        X.quality_score("text").alias("quality_score"),
+    )
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", X.lang_id("text").alias("lang_pred"))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", X.fingerprint("text", 8).alias("fingerprint")
+    )
+
+
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", X.rolling_hash("text").alias("rhash")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a composite key: keep lowest doc_id per (lang, n_chars)."""
+    return D.exact_dedup(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        ["lang", "n_chars"],
+        "doc_id",
+    )
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.fingerprint_dedup(
+        _docs(spark, sf_dir).select("doc_id", "text"), "text", "doc_id", k=8
+    ).select("doc_id")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    return D.jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.1).select(
+        "id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (engine-hash based → rows-only check; exact
+    verification of the same notion is dedup_ngram_jaccard above)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    return D.minhash_lsh_candidates(docs, "text", "doc_id", num_perm=16, bands=4)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    return D.simhash_bands(docs, "text", "doc_id")
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.3, bound=200)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(_emb(spark, sf_dir), F.col("vec_id") < 8, k=5)
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate by construction → rows-only."""
+    return S.lsh_topk(_emb(spark, sf_dir), F.col("id") < 8, k=5)
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return decode_media_meta(attach_binary_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+_QUALITY_CTE = f"""
+WITH feats AS (
+    SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len({_TOKS}) END AS n_tokens,
+           CAST(len(list_filter({_TOKS_L}, t -> list_contains({STOP_ARR}, t))) AS BIGINT)
+               AS n_stop,
+           CAST(length(text) - length(translate(text, '.,!?;:', '')) AS DOUBLE) AS punct,
+           CAST(length(text) - length(translate(text, '0123456789', '')) AS DOUBLE) AS digits
+    FROM documents
+)
+"""
+
+_LANG_SCORES = ", ".join(
+    f"CAST(len(list_filter({_TOKS_L}, t -> list_contains(['"
+    + "', '".join(words)
+    + f"'], t))) AS BIGINT) AS s_{lang}"
+    for lang, words in X.LANG_MARKERS.items()
+)
+
+ORACLES: dict[str, str] = {
+    "token_count": f"""
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    "text_quality_score": _QUALITY_CTE + """
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
+                   AS stopword_ratio,
+               0.4 * least(n_chars / 500.0, 1.0)
+             + 0.4 * least((CASE WHEN n_tokens = 0 THEN 0.0
+                            ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) * 5.0,
+                           1.0)
+             + 0.1 * (1.0 - least(punct / greatest(n_chars, 1.0) * 10.0, 1.0))
+             + 0.1 * (1.0 - least(digits / greatest(n_chars, 1.0) * 10.0, 1.0))
+                   AS quality_score
+        FROM feats
+    """,
+    "lang_id_heuristic": f"""
+        WITH scores AS (SELECT doc_id, {_LANG_SCORES} FROM documents),
+        best AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS b FROM scores)
+        SELECT doc_id,
+               CASE WHEN b = 0 THEN 'und'
+                    WHEN s_de = b THEN 'de'
+                    WHEN s_en = b THEN 'en'
+                    WHEN s_es = b THEN 'es'
+                    WHEN s_fr = b THEN 'fr'
+                    ELSE 'und' END AS lang_pred
+        FROM best
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               md5(array_to_string(list_slice({_TOKS}, 1, 8), ' ')) AS fingerprint
+        FROM documents
+    """,
+    "rolling_hash_fingerprint": f"""
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_prepend(CAST(7 AS BIGINT),
+                       list_transform({_TOKS_L},
+                           t -> CAST(length(t) * 131 + ascii(t) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS rhash
+        FROM documents
+    """,
+    "dedup_exact": """
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) AS rn
+            FROM documents) t
+        WHERE rn = 1
+    """,
+    "dedup_fingerprint": f"""
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(array_to_string(list_slice({_TOKS}, 1, 8), ' '))
+                       ORDER BY doc_id) AS rn
+            FROM documents) t
+        WHERE rn = 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 150
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, s
+            FROM toks, UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS u(s)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, n_common,
+               round(CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+                   AS jaccard
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.1
+    """,
+    "embedding_neardup": """
+        WITH b AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+        ),
+        norms AS (
+            SELECT vec_id,
+                   (SELECT SUM(CAST(embedding[i] AS DECIMAL(18,9)) * CAST(embedding[i] AS DECIMAL(18,9)))
+                    FROM UNNEST(generate_series(1, len(embedding))) AS t(i)) AS n2
+            FROM b
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+                   (SELECT SUM(CAST(a.embedding[i] AS DECIMAL(18,9)) * CAST(bb.embedding[i] AS DECIMAL(18,9)))
+                    FROM UNNEST(generate_series(1, len(a.embedding))) AS t(i)) AS dot
+            FROM b a JOIN b bb ON a.vec_id < bb.vec_id
+        )
+        SELECT id_a, id_b,
+               round(CAST(dot AS DOUBLE) /
+                     (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos_sim
+        FROM pairs
+        JOIN norms na ON id_a = na.vec_id
+        JOIN norms nb ON id_b = nb.vec_id
+        WHERE CAST(dot AS DOUBLE) /
+              (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.3
+    """,
+    "ann_topk_bruteforce": """
+        WITH norms AS (
+            SELECT vec_id, embedding,
+                   (SELECT SUM(CAST(embedding[i] AS DECIMAL(18,9)) * CAST(embedding[i] AS DECIMAL(18,9)))
+                    FROM UNNEST(generate_series(1, len(embedding))) AS t(i)) AS n2
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   CAST((SELECT SUM(CAST(q.embedding[i] AS DECIMAL(18,9)) * CAST(c.embedding[i] AS DECIMAL(18,9)))
+                         FROM UNNEST(generate_series(1, len(q.embedding))) AS t(i)) AS DOUBLE)
+                   / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+            FROM norms q JOIN norms c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+        )
+        SELECT qid, nid, round(cos, 6) AS cos_sim,
+               CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+              FROM scored) t
+        WHERE rank <= 5
+    """,
+    "multimodal_decode_meta": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+               CAST(list_sum(list_transform(range(1, 17), i -> ascii(substr(text, i, 1)))) % 480
+                    AS BIGINT) AS height,
+               CAST(octet_length(encode(text)) % 30 AS BIGINT) AS n_frames
+        FROM documents
+    """,
+    # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh: engine-hash / approx
+    # operators — rows-only by design; exact counterparts are oracle-checked.
+}
+
+QUERIES = {
+    "token_count": token_count,
+    "text_quality_score": text_quality_score,
+    "lang_id_heuristic": lang_id_heuristic,
+    "doc_fingerprint": doc_fingerprint,
+    "rolling_hash_fingerprint": rolling_hash_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_fingerprint": dedup_fingerprint,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "embedding_neardup": embedding_neardup,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_lsh": ann_topk_lsh,
+    "multimodal_decode_meta": multimodal_decode_meta,
+}
