@@ -8,8 +8,11 @@ ORACLES: dict = {}
 
 from dbt_spark.queries import relational  # noqa: E402
 from dbt_spark.queries import llmops  # noqa: E402
+from dbt_spark.queries import materializations  # noqa: E402
 
 QUERIES.update(relational.QUERIES)
 ORACLES.update(relational.ORACLES)
 QUERIES.update(llmops.QUERIES)
 ORACLES.update(llmops.ORACLES)
+QUERIES.update(materializations.QUERIES)
+ORACLES.update(materializations.ORACLES)

@@ -1,0 +1,469 @@
+"""Materialization operators exercised end-to-end as oracle-checked queries.
+
+Each entry builds a fresh temp warehouse, drives the REAL operator code
+(operators/incremental.py, operators/microbatch.py, operators/snapshot.py,
+operators/seed.py, operators/tests.py, runner.Engine) with deterministic
+inputs derived from the sf_dir tables, and returns the final relation state.
+The oracle states the same final state in ANSI SQL — so the driver's compare
+validates the operator's *semantics*, not just a query plan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_spark.catalog import RelationStore
+from dbt_spark.operators.materialize import ExecutionContext
+from dbt_spark.plans.manifest import Manifest, ManifestNode, NodeConfig, NodeType
+from dbt_spark.project import Project
+from dbt_spark.session import load_tables
+
+T1 = "2020-01-01 00:00:00"
+T2 = "2020-06-01 00:00:00"
+
+
+def _mini_ctx(spark: SparkSession, **ctx_kwargs) -> ExecutionContext:
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_mat_")
+    project = Project(
+        name="matq",
+        root=tmp,
+        profile={"warehouse": os.path.join(tmp, "wh"), "schema": "main", "threads": 2},
+    )
+    store = RelationStore(spark, project.profile["warehouse"])
+    return ExecutionContext(
+        spark=spark, store=store, manifest=Manifest(project_name="matq"),
+        project=project, **ctx_kwargs
+    )
+
+
+def _model_node(name: str, sql: str, **config) -> ManifestNode:
+    return ManifestNode(
+        unique_id=f"model.matq.{name}",
+        name=name,
+        package_name="matq",
+        path=f"models/{name}.sql",
+        resource_type=NodeType.Model,
+        raw_code=sql,
+        config=NodeConfig().merged(**config),
+    )
+
+
+def _run_incremental(ctx, node: ManifestNode, batches: list[str]) -> DataFrame:
+    """Feed successive batch SQLs through the real incremental materializer."""
+    from dbt_spark.operators.incremental import materialize_incremental
+
+    for batch_sql in batches:
+        node.raw_code = batch_sql
+        materialize_incremental(ctx, node)
+    return ctx.store.read("main", node.name)
+
+
+# --------------------------------------------------------------------------
+# incremental family
+# --------------------------------------------------------------------------
+
+def incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "orders")
+    ctx = _mini_ctx(spark)
+    node = _model_node("inc_append", "", materialized="incremental",
+                       incremental_strategy="append")
+    return _run_incremental(ctx, node, [
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders "
+        "WHERE o_orderdate < TIMESTAMP '1996-01-01'",
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01'",
+    ])
+
+
+def incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "orders")
+    ctx = _mini_ctx(spark)
+    node = _model_node("inc_merge", "", materialized="incremental",
+                       incremental_strategy="merge", unique_key="o_orderkey")
+    return _run_incremental(ctx, node, [
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+        "SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice FROM orders "
+        "WHERE o_orderkey % 10 = 0",
+    ])
+
+
+def incremental_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "orders")
+    ctx = _mini_ctx(spark)
+    node = _model_node("inc_di", "", materialized="incremental",
+                       incremental_strategy="delete+insert", unique_key="o_orderkey")
+    return _run_incremental(ctx, node, [
+        "SELECT o_orderkey, o_orderpriority FROM orders",
+        "SELECT o_orderkey, 'Z' AS o_orderpriority FROM orders WHERE o_custkey % 7 = 0",
+    ])
+
+
+def incremental_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped overwrite: 1997's partition replaced with a filtered
+    rebuild; every other year's partition untouched."""
+    load_tables(spark, sf_dir, "orders")
+    ctx = _mini_ctx(spark)
+    node = _model_node("inc_ov", "", materialized="incremental",
+                       incremental_strategy="insert_overwrite", partition_by="order_year")
+    return _run_incremental(ctx, node, [
+        "SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS order_year "
+        "FROM orders",
+        "SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS order_year "
+        "FROM orders WHERE year(o_orderdate) = 1997 AND o_totalprice > 100000",
+    ]).select("o_orderkey", "o_totalprice", F.col("order_year").cast("bigint").alias("order_year"))
+
+
+def microbatch_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain backfill over events Jan 1-5, then an incremental run a day
+    later (lookback=1 reprocesses the trailing day): final = events < Jan 7."""
+    from datetime import datetime
+
+    load_tables(spark, sf_dir, "events")
+    ctx = _mini_ctx(spark)
+    node = _model_node(
+        "mb_events", "", materialized="incremental",
+        incremental_strategy="microbatch", event_time="ts", batch_size="day",
+        begin="2024-01-01", lookback=1,
+    )
+    from dbt_spark.operators.microbatch import run_microbatch
+
+    node.raw_code = (
+        "SELECT event_id, ts, event_type, value FROM events "
+        "WHERE ts < TIMESTAMP '2024-01-07'"
+    )
+    run_microbatch(ctx, node, now=datetime(2024, 1, 5, 12))
+    run_microbatch(ctx, node, now=datetime(2024, 1, 6, 12))
+    return ctx.store.read("main", "mb_events")
+
+
+# --------------------------------------------------------------------------
+# SCD2 snapshots
+# --------------------------------------------------------------------------
+
+def _snapshot_series(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    from dbt_spark.operators.snapshot import materialize_snapshot
+
+    load_tables(spark, sf_dir, "supplier")
+    config = dict(materialized="snapshot", unique_key="s_suppkey", strategy=strategy)
+    if strategy == "timestamp":
+        config["updated_at"] = "updated_at"
+    else:
+        config["check_cols"] = ["s_name"]
+    node = _model_node(f"snap_{strategy}", "", **config)
+
+    v1 = (
+        f"SELECT s_suppkey, s_name, s_nationkey"
+        + (f", TIMESTAMP '{T1}' AS updated_at" if strategy == "timestamp" else "")
+        + " FROM supplier"
+    )
+    v2 = (
+        "SELECT s_suppkey, CASE WHEN s_suppkey % 7 = 0 THEN s_name || '_v2' "
+        "ELSE s_name END AS s_name, s_nationkey"
+        + (
+            f", CASE WHEN s_suppkey % 7 = 0 THEN TIMESTAMP '{T2}' "
+            f"ELSE TIMESTAMP '{T1}' END AS updated_at"
+            if strategy == "timestamp"
+            else ""
+        )
+        + " FROM supplier"
+    )
+    ctx = _mini_ctx(spark, snapshot_ts=T1)
+    node.raw_code = v1
+    materialize_snapshot(ctx, node)
+    ctx.snapshot_ts = T2
+    node.raw_code = v2
+    materialize_snapshot(ctx, node)
+    out = ctx.store.read("main", node.name)
+    return out.select(
+        "s_suppkey", "s_name", "dbt_scd_id", "dbt_valid_from", "dbt_valid_to"
+    )
+
+
+def snapshot_scd2_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _snapshot_series(spark, sf_dir, "timestamp")
+
+
+def snapshot_scd2_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _snapshot_series(spark, sf_dir, "check")
+
+
+# --------------------------------------------------------------------------
+# seed load
+# --------------------------------------------------------------------------
+
+def seed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_spark.operators.seed import materialize_seed
+
+    ctx = _mini_ctx(spark)
+    t = load_tables(spark, sf_dir, "region")
+    seed_dir = os.path.join(ctx.project.root, "seeds")
+    os.makedirs(seed_dir, exist_ok=True)
+    t["region"].toPandas().to_csv(os.path.join(seed_dir, "region_seed.csv"), index=False)
+    node = ManifestNode(
+        unique_id="seed.matq.region_seed",
+        name="region_seed",
+        package_name="matq",
+        path="seeds/region_seed.csv",
+        resource_type=NodeType.Seed,
+        config=NodeConfig(materialized="seed").merged(
+            column_types={"r_regionkey": "int", "r_name": "string"}
+        ),
+    )
+    materialize_seed(ctx, node)
+    return ctx.store.read("main", "region_seed")
+
+
+# --------------------------------------------------------------------------
+# generic data tests (failing-rows queries through the real builder)
+# --------------------------------------------------------------------------
+
+def _test_ctx(spark: SparkSession, sf_dir: str):
+    ctx = _mini_ctx(spark)
+    for tbl in ("orders", "events", "nation"):
+        src = ManifestNode(
+            unique_id=f"source.matq.tpch.{tbl}",
+            name=tbl,
+            package_name="matq",
+            path="models/sources.yml",
+            resource_type=NodeType.Source,
+            source_name="tpch",
+        )
+        src.config.meta["location"] = os.path.join(sf_dir, f"{tbl}.parquet")
+        src.config.meta["file_format"] = "parquet"
+        ctx.manifest.add(src)
+    return ctx
+
+
+def _generic_test_df(
+    spark: SparkSession, sf_dir: str, table: str, column: str, test_name: str, **kwargs
+) -> DataFrame:
+    from dbt_spark.operators.tests import build_generic_test_sql
+
+    ctx = _test_ctx(spark, sf_dir)
+    tnode = ManifestNode(
+        unique_id=f"test.matq.{test_name}_{table}_{column}",
+        name=f"{test_name}_{table}_{column}",
+        package_name="matq",
+        path="models/sources.yml",
+        resource_type=NodeType.Test,
+        column_name=column,
+        test_metadata={"name": test_name, "kwargs": kwargs},
+        attached_node=f"source.matq.tpch.{table}",
+        config=NodeConfig(materialized="test"),
+    )
+    if test_name == "relationships":
+        tnode.sources = [("tpch", kwargs["to_table"])]
+    return spark.sql(build_generic_test_sql(ctx, tnode))
+
+
+def test_not_null_failing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _generic_test_df(spark, sf_dir, "orders", "o_custkey", "not_null")
+    return df.select("o_orderkey", "o_custkey")
+
+
+def test_unique_failing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _generic_test_df(spark, sf_dir, "orders", "o_custkey", "unique")
+
+
+def test_accepted_values_failing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _generic_test_df(
+        spark, sf_dir, "orders", "o_orderstatus", "accepted_values", values=["O", "F"]
+    )
+
+
+def test_relationships_failing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _generic_test_df(
+        spark, sf_dir, "events", "user_id", "relationships",
+        field="n_nationkey", to_table="nation",
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# full engine end-to-end (parse → DAG → materialize → read back)
+# --------------------------------------------------------------------------
+
+ENGINE_PROJECT_FILES = {
+    "dbt_project.yml": (
+        "name: e2e\nmodels:\n  e2e:\n    +materialized: view\n"
+        "    marts:\n      +materialized: table\n"
+    ),
+    "models/sources.yml": """
+sources:
+  - name: tpch
+    tables:
+      - name: customer
+        meta: {location: "__SF__/customer.parquet"}
+      - name: orders
+        meta: {location: "__SF__/orders.parquet"}
+""",
+    "models/stg_customers.sql": (
+        "select c_custkey, c_name, c_mktsegment from {{ source('tpch', 'customer') }}"
+    ),
+    "models/stg_orders.sql": (
+        "select o_orderkey, o_custkey, o_totalprice, o_orderdate "
+        "from {{ source('tpch', 'orders') }}"
+    ),
+    "models/marts/customer_orders.sql": """
+with order_stats as (
+    select o_custkey,
+           count(*) as number_of_orders,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) as lifetime_value
+    from {{ ref('stg_orders') }}
+    group by o_custkey
+)
+select c.c_custkey, c.c_mktsegment,
+       cast(coalesce(s.number_of_orders, 0) as bigint) as number_of_orders,
+       coalesce(s.lifetime_value, 0.0) as lifetime_value
+from {{ ref('stg_customers') }} c
+left join order_stats s on c.c_custkey = s.o_custkey
+""",
+}
+
+
+def engine_run_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship integration: a real project through Engine.invoke(['run'])."""
+    from dbt_spark.runner import Engine
+
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_e2e_")
+    for rel, content in ENGINE_PROJECT_FILES.items():
+        p = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content.replace("__SF__", sf_dir))
+    eng = Engine(tmp, spark=spark)
+    result = eng.invoke(["run"])
+    if not result.success:
+        raise RuntimeError(f"engine run failed: {[r.message for r in result.results]}")
+    return eng.store.read("main", "customer_orders")
+
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "incremental_append": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    """,
+    "incremental_merge": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice
+        FROM orders
+    """,
+    "incremental_delete_insert": """
+        SELECT o_orderkey,
+               CASE WHEN o_custkey % 7 = 0 THEN 'Z' ELSE o_orderpriority END
+                   AS o_orderpriority
+        FROM orders
+    """,
+    "incremental_insert_overwrite": """
+        SELECT o_orderkey, o_totalprice,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) != 1997
+        UNION ALL
+        SELECT o_orderkey, o_totalprice,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 AND o_totalprice > 100000
+    """,
+    "microbatch_backfill": """
+        SELECT event_id, ts, event_type, value FROM events
+        WHERE ts < TIMESTAMP '2024-01-07'
+    """,
+    "snapshot_scd2_timestamp": f"""
+        WITH changed AS (SELECT * FROM supplier WHERE s_suppkey % 7 = 0),
+             stable  AS (SELECT * FROM supplier WHERE s_suppkey % 7 != 0)
+        -- stable current rows (v1)
+        SELECT s_suppkey, s_name,
+               md5(concat(CAST(s_suppkey AS VARCHAR), '|', '2020-01-01 00:00:00'))
+                   AS dbt_scd_id,
+               TIMESTAMP '{T1}' AS dbt_valid_from,
+               CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+        FROM stable
+        UNION ALL
+        -- closed v1 of changed keys
+        SELECT s_suppkey, s_name,
+               md5(concat(CAST(s_suppkey AS VARCHAR), '|', '2020-01-01 00:00:00')),
+               TIMESTAMP '{T1}', TIMESTAMP '{T2}'
+        FROM changed
+        UNION ALL
+        -- current v2 of changed keys
+        SELECT s_suppkey, s_name || '_v2',
+               md5(concat(CAST(s_suppkey AS VARCHAR), '|', '2020-06-01 00:00:00')),
+               TIMESTAMP '{T2}', CAST(NULL AS TIMESTAMP)
+        FROM changed
+    """,
+    "snapshot_scd2_check": f"""
+        WITH changed AS (SELECT * FROM supplier WHERE s_suppkey % 7 = 0),
+             stable  AS (SELECT * FROM supplier WHERE s_suppkey % 7 != 0)
+        SELECT s_suppkey, s_name,
+               md5(concat(CAST(s_suppkey AS VARCHAR), '|', '2020-01-01 00:00:00'))
+                   AS dbt_scd_id,
+               TIMESTAMP '{T1}' AS dbt_valid_from,
+               CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+        FROM stable
+        UNION ALL
+        SELECT s_suppkey, s_name,
+               md5(concat(CAST(s_suppkey AS VARCHAR), '|', '2020-01-01 00:00:00')),
+               TIMESTAMP '{T1}', TIMESTAMP '{T2}'
+        FROM changed
+        UNION ALL
+        SELECT s_suppkey, s_name || '_v2',
+               md5(concat(CAST(s_suppkey AS VARCHAR), '|', '2020-06-01 00:00:00')),
+               TIMESTAMP '{T2}', CAST(NULL AS TIMESTAMP)
+        FROM changed
+    """,
+    "seed_load": "SELECT * FROM region",
+    "test_not_null_failing_rows": """
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IS NULL
+    """,
+    "test_unique_failing_rows": """
+        SELECT o_custkey AS unique_field, count(*) AS n_records FROM orders
+        WHERE o_custkey IS NOT NULL GROUP BY o_custkey HAVING count(*) > 1
+    """,
+    "test_accepted_values_failing_rows": """
+        SELECT o_orderstatus AS value_field, count(*) AS n_records FROM orders
+        GROUP BY o_orderstatus HAVING o_orderstatus NOT IN ('O', 'F')
+    """,
+    "test_relationships_failing_rows": """
+        SELECT DISTINCT e.user_id AS from_field FROM events e
+        LEFT JOIN nation n ON e.user_id = n.n_nationkey
+        WHERE e.user_id IS NOT NULL AND n.n_nationkey IS NULL
+    """,
+    "engine_run_e2e": """
+        WITH order_stats AS (
+            SELECT o_custkey,
+                   count(*) AS number_of_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS lifetime_value
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(COALESCE(s.number_of_orders, 0) AS BIGINT) AS number_of_orders,
+               COALESCE(s.lifetime_value, 0.0) AS lifetime_value
+        FROM customer c LEFT JOIN order_stats s ON c.c_custkey = s.o_custkey
+    """,
+}
+
+QUERIES = {
+    "incremental_append": incremental_append,
+    "incremental_merge": incremental_merge,
+    "incremental_delete_insert": incremental_delete_insert,
+    "incremental_insert_overwrite": incremental_insert_overwrite,
+    "microbatch_backfill": microbatch_backfill,
+    "snapshot_scd2_timestamp": snapshot_scd2_timestamp,
+    "snapshot_scd2_check": snapshot_scd2_check,
+    "seed_load": seed_load,
+    "test_not_null_failing_rows": test_not_null_failing_rows,
+    "test_unique_failing_rows": test_unique_failing_rows,
+    "test_accepted_values_failing_rows": test_accepted_values_failing_rows,
+    "test_relationships_failing_rows": test_relationships_failing_rows,
+    "engine_run_e2e": engine_run_e2e,
+}
