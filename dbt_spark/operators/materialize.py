@@ -104,17 +104,43 @@ class ExecutionContext:
         self.spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {ident} AS {sql}")
         return ident
 
+    def run_query(self, sql: str):
+        """Driver-side query for macros (`run_query` context member,
+        providers.py:971-1024 backing store). Collects — macro results are
+        small control-flow values (column lists, partition sets), never data."""
+        from dbt_spark.plans.macros import QueryResult
+
+        df = self.spark.sql(sql)
+        return QueryResult(list(df.columns), [tuple(r) for r in df.limit(10000).collect()])
+
     def ensure_upstream_registered(self, node: ManifestNode) -> None:
-        """Re-register persisted upstream relations (fresh session / subset runs)."""
-        for dep_uid in node.depends_on:
-            dep = self.manifest.nodes.get(dep_uid) or self.manifest.sources.get(dep_uid)
+        """Re-register upstream relations AND sources, transitively, in
+        dependency order (fresh session / subset runs): a persisted *view*'s
+        SQL references the temp views of its own upstreams, so those must be
+        registered first — the role the warehouse metastore plays for the
+        reference, recreated per session here."""
+        seen: set[str] = {node.unique_id}
+
+        def visit(uid: str) -> None:
+            if uid in seen:
+                return
+            seen.add(uid)
+            dep = self.manifest.nodes.get(uid) or self.manifest.sources.get(uid)
             if dep is None:
-                continue
-            if dep.resource_type == NodeType.Source or dep.is_ephemeral:
-                continue
-            rel = self.store.get(self.schema_for(dep), dep.name)
-            if rel is not None:
-                self.store.register(rel)
+                return
+            for d in dep.depends_on:
+                visit(d)
+            if dep.resource_type == NodeType.Source:
+                self.resolve_source(dep)
+            elif dep.is_ephemeral:
+                pass  # registered lazily by resolve_ref at consumer compile
+            else:
+                rel = self.store.get(self.schema_for(dep), dep.name)
+                if rel is not None:
+                    self.store.register(rel)
+
+        for dep_uid in node.depends_on:
+            visit(dep_uid)
 
 
 def compile_sql(
@@ -131,6 +157,7 @@ def compile_sql(
         full_refresh=ctx.full_refresh,
         var_overrides={**ctx.project.vars, **ctx.vars},
         target=target,
+        run_query=ctx.run_query,
     ).strip().rstrip(";")
 
 

@@ -85,7 +85,34 @@ def build_generic_test_sql(ctx: ExecutionContext, node: ManifestNode) -> str:
             f"WHERE child.{col} IS NOT NULL AND parent.{field} IS NULL"
         )
     else:
-        raise ValueError(f"{node.unique_id}: unknown generic test {test_name!r}")
+        # custom generic test: a {% test name(model, column_name) %} macro
+        # (parser renames to test_<name>, core/dbt/parser/macros.py:97-99)
+        macro_name = f"test_{test_name}"
+        if macro_name not in ctx.manifest.macros:
+            raise ValueError(f"{node.unique_id}: unknown generic test {test_name!r}")
+        from dbt_spark.plans.compile import runtime_render
+        from dbt_spark.plans.manifest import NodeType
+
+        call_kwargs = {"model": base, "column_name": col, **kwargs}
+        arg_list = ", ".join(f"{k}={v!r}" for k, v in call_kwargs.items())
+        call_node = ManifestNode(
+            unique_id=f"call.{node.unique_id}",
+            name=node.name,
+            package_name=node.package_name,
+            path=node.path,
+            resource_type=NodeType.Operation,
+            raw_code=f"{{{{ {macro_name}({arg_list}) }}}}",
+        )
+        sql = runtime_render(
+            call_node,
+            ctx.manifest,
+            resolve_ref=ctx.resolve_ref,
+            resolve_source=ctx.resolve_source,
+            this_name=node.name,
+            is_incremental=False,
+            full_refresh=False,
+            run_query=ctx.run_query,
+        ).strip().rstrip(";")
     if node.config.limit:
         sql += f" LIMIT {node.config.limit}"
     return sql

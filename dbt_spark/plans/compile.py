@@ -57,8 +57,8 @@ def _base_context(var_overrides: dict, target: dict) -> dict[str, Any]:
         "tojson": lambda v, default=None: json.dumps(v, default=str),
         "fromjson": lambda s, default=None: json.loads(s),
         "local_md5": lambda s: hashlib.md5(str(s).encode()).hexdigest(),
-        "log": lambda msg, info=False: None,
-        "print": lambda msg: None,
+        "log": lambda msg, info=False: "",
+        "print": lambda msg: "",
         "set": lambda it, default=None: set(it),
         "zip": lambda *its: list(zip(*its)),
         "run_started_at": datetime.now(timezone.utc),
@@ -84,6 +84,7 @@ def parse_render(
     node_name: str,
     var_overrides: Optional[dict] = None,
     target: Optional[dict] = None,
+    macros: Optional[dict[str, str]] = None,
 ) -> tuple[str, list[tuple], list[tuple[str, str]], dict]:
     """Phase-1 render: returns (rendered_sql, refs, sources, config_calls)."""
     refs: list[tuple] = []
@@ -129,13 +130,33 @@ def parse_render(
             "is_incremental": lambda: False,
             "should_full_refresh": lambda: False,
             "adapter": _ParseAdapter(),
+            # run_query returns None at parse time (execute=False guard idiom,
+            # providers.py:1215-1275)
+            "run_query": lambda sql: None,
+            "store_result": lambda name, response=None, agate_table=None: "",
+            "load_result": lambda name: None,
         }
     )
+    _bind_macros(ctx, macros)
     try:
         rendered = _ENV.from_string(raw_code).render(**ctx)
     except jinja2.TemplateError as e:
         raise CompilationError(f"jinja error in {node_name}: {e}") from e
     return rendered, refs, sources, config_calls
+
+
+def _bind_macros(ctx: dict, macros: Optional[dict[str, str]]) -> None:
+    """Make project macros + adapter.dispatch callable inside the render."""
+    if not macros:
+        return
+    from dbt_spark.plans.macros import MacroNamespace, make_dispatcher
+
+    bound = MacroNamespace(_ENV, macros).bind(ctx)
+    # don't let a macro shadow core context members
+    ctx.update({k: v for k, v in bound.items() if k not in ctx})
+    adapter = ctx.get("adapter")
+    if adapter is not None:
+        adapter.dispatch = make_dispatcher(bound)
 
 
 class _ParseAdapter:
@@ -162,6 +183,8 @@ def runtime_render(
     var_overrides: Optional[dict] = None,
     target: Optional[dict] = None,
     extra: Optional[dict] = None,
+    macros: Optional[dict[str, str]] = None,
+    run_query: Optional[Callable[[str], Any]] = None,
 ) -> str:
     """Phase-2 render: refs/sources resolve to executable Spark relation names."""
 
@@ -198,20 +221,36 @@ def runtime_render(
                 raise CompilationError(f"config.require('{name}') not set")
             return val
 
+    from dbt_spark.plans.macros import RelationProxy
+
+    results_store: dict[str, Any] = {}
+
+    def store_result(name: str, response: Any = None, agate_table: Any = None) -> str:
+        results_store[name] = agate_table if agate_table is not None else response
+        return ""
+
+    def load_result(name: str) -> Any:
+        return results_store.get(name)
+
     ctx = _base_context(var_overrides or {}, target or {})
     ctx.update(
         {
             "ref": ref,
             "source": source,
             "config": _Config(),
-            "this": this_name,
+            "this": RelationProxy(this_name, name=node.name),
             "execute": True,
             "is_incremental": lambda: is_incremental,
             "should_full_refresh": lambda: full_refresh,
             "model": {"name": node.name, "unique_id": node.unique_id},
+            "adapter": _ParseAdapter(),
+            "run_query": run_query or (lambda sql: None),
+            "store_result": store_result,
+            "load_result": load_result,
         }
     )
     ctx.update(extra or {})
+    _bind_macros(ctx, macros if macros is not None else manifest.macros)
     try:
         return _ENV.from_string(node.raw_code).render(**ctx)
     except jinja2.TemplateError as e:

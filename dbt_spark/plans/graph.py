@@ -50,6 +50,12 @@ def add_test_edges(graph: nx.DiGraph, manifest: Manifest) -> nx.DiGraph:
     """test -> downstream-of-tested-model edges (compilation.py:208-435)."""
     g = graph.copy()
     for uid, node in manifest.nodes.items():
+        if node.resource_type == NodeType.UnitTest and node.attached_node:
+            # unit tests run BEFORE the model they test
+            # (model_to_unit_test_map, core/dbt/task/build.py:104-135)
+            if node.attached_node in manifest.nodes:
+                g.add_edge(uid, node.attached_node)
+            continue
         if node.resource_type != NodeType.Test:
             continue
         tested = [d for d in node.depends_on if d in manifest.nodes]
@@ -125,12 +131,41 @@ class GraphQueue:
             return len(self.graph.nodes) - len(self._done)
 
 
-_GRAPH_OP_RE = re.compile(r"^(?P<pre>(\d*)\+)?(?P<body>[^+]+?)(?P<post>\+(\d*))?$")
+_GRAPH_OP_RE = re.compile(r"^(?P<at>@)?(?P<pre>(\d*)\+)?(?P<body>[^+]+?)(?P<post>\+(\d*))?$")
 
 
-def _match_method(node: ManifestNode, body: str) -> bool:
+def _match_method(node: ManifestNode, body: str, state: Optional[dict] = None) -> bool:
     if ":" in body:
         method, _, value = body.partition(":")
+        if method == "state":
+            # state:modified / state:new vs a --state manifest.json
+            # (core/dbt/graph/selector_methods.py:610-700; content comparison
+            # ~ same_body via raw_code checksum + config dict equality)
+            if state is None:
+                raise DagError("state: selector requires --state <dir with manifest.json>")
+            old = state.get(node.unique_id)
+            if value == "new":
+                return old is None
+            if value in ("modified", "modified.body", "modified.configs"):
+                if old is None:
+                    return True
+                if value in ("modified", "modified.body") and old.get(
+                    "checksum"
+                ) != node.checksum():
+                    return True
+                if value in ("modified", "modified.configs"):
+                    new_cfg = {
+                        k: v
+                        for k, v in node.config.__dict__.items()
+                        if v not in (None, [], {})
+                    }
+                    old_cfg = old.get("config", {})
+                    if {k: str(v) for k, v in new_cfg.items()} != {
+                        k: str(v) for k, v in old_cfg.items()
+                    }:
+                        return True
+                return False
+            raise DagError(f"unknown state selector '{value}'")
         if method == "tag":
             return value in node.config.tags
         if method == "source":
@@ -179,6 +214,7 @@ def select_nodes(
     graph: nx.DiGraph,
     select: Optional[Iterable[str]] = None,
     exclude: Optional[Iterable[str]] = None,
+    state: Optional[dict] = None,
 ) -> set[str]:
     all_nodes = {**manifest.sources, **manifest.nodes}
     universe = set(all_nodes)
@@ -192,8 +228,14 @@ def select_nodes(
             if m is None:
                 raise DagError(f"cannot parse selector '{part}'")
             body, pre, post = m.group("body"), m.group("pre"), m.group("post")
-            seed = {uid for uid, n in all_nodes.items() if _match_method(n, body)}
-            expanded = _expand(graph, seed, pre, post) & universe
+            seed = {uid for uid, n in all_nodes.items() if _match_method(n, body, state)}
+            if m.group("at"):
+                # @node: node + descendants + all ancestors of those
+                # (selector_spec.py at-operator)
+                desc = _expand(graph, seed, None, "+")
+                expanded = _expand(graph, desc, "+", None) & universe
+            else:
+                expanded = _expand(graph, seed, pre, post) & universe
             result = expanded if result is None else (result & expanded)
         return result or set()
 

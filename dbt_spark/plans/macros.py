@@ -1,0 +1,135 @@
+"""Macro parsing + the Jinja macro namespace (the UDF-of-SQL-text unit).
+
+Reference: ``{% macro %}`` blocks are extracted per file and become callable
+Jinja functions available to every model render
+(core/dbt/parser/macros.py:33-60, MacroGenerator core/dbt/clients/jinja.py:49).
+``adapter.dispatch(name)`` resolves ``spark__name`` → ``default__name`` →
+``name`` (core/dbt/context/providers.py:126-224, dispatch :177).
+
+Spark-first deviation: materializations stay native Python operators
+(operators/), so ``{% materialization %}`` blocks are parsed but ignored with
+a warning rather than executed — the dispatch table in operators/__init__.py
+is the analog.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jinja2
+
+MACRO_BLOCK_RE = re.compile(
+    r"({%-?\s*macro\s+(\w+)\s*\(.*?{%-?\s*endmacro\s*-?%})",
+    re.DOTALL,
+)
+MATERIALIZATION_BLOCK_RE = re.compile(
+    r"{%-?\s*materialization\s+(\w+)", re.DOTALL
+)
+TEST_BLOCK_RE = re.compile(
+    # {% test name(args) %} body {% endtest %} — generic test definitions
+    r"{%-?\s*test\s+(\w+)\s*(\(.*?\))\s*-?%}(.*?){%-?\s*endtest\s*-?%}",
+    re.DOTALL,
+)
+
+
+def extract_macros(raw: str) -> dict[str, str]:
+    """name -> full ``{% macro %}…{% endmacro %}`` source text."""
+    return {m.group(2): m.group(1) for m in MACRO_BLOCK_RE.finditer(raw)}
+
+
+def extract_generic_tests(raw: str) -> dict[str, str]:
+    """{% test x(model, column_name) %} → macro named test_x (reference
+    renames test blocks to ``test_<name>`` macros, parser/macros.py:97-99)."""
+    out = {}
+    for m in TEST_BLOCK_RE.finditer(raw):
+        name, args, body = m.groups()
+        out[f"test_{name}"] = (
+            f"{{% macro test_{name}{args} %}}{body}{{% endmacro %}}"
+        )
+    return out
+
+
+class MacroNamespace:
+    """Lazily-instantiated Jinja macro module bound to a render context.
+
+    All macro sources are concatenated into one template module created with
+    the caller's context, so macros can call ``ref``/``source``/``var``/
+    ``run_query``/other macros — matching the reference's shared macro
+    namespace (MacroNamespaceBuilder semantics).
+    """
+
+    def __init__(self, env: jinja2.Environment, macro_sources: dict[str, str]) -> None:
+        self.env = env
+        self.sources = dict(macro_sources)
+
+    def bind(self, ctx: dict[str, Any]) -> dict[str, Any]:
+        """Return {macro_name: callable} with macros evaluated in ``ctx``."""
+        if not self.sources:
+            return {}
+        prelude = "\n".join(self.sources.values())
+        # two passes so macros can call each other regardless of order:
+        # the module exposes all macros after one make_module; Jinja resolves
+        # intra-module calls at call time, not definition time.
+        module = self.env.from_string(prelude).make_module(vars=ctx)
+        bound = {
+            name: getattr(module, name)
+            for name in self.sources
+            if hasattr(module, name)
+        }
+        return bound
+
+
+def make_dispatcher(macros: dict[str, Any], adapter_type: str = "spark"):
+    """adapter.dispatch(name) -> macro, trying <adapter>__name, default__name,
+    then the bare name (providers.py:177 dispatch order)."""
+
+    def dispatch(name: str, macro_namespace: Optional[str] = None):
+        for cand in (f"{adapter_type}__{name}", f"default__{name}", name):
+            if cand in macros:
+                return macros[cand]
+        raise KeyError(f"adapter.dispatch: no macro named {name!r}")
+
+    return dispatch
+
+
+class RelationProxy:
+    """`this` / relation objects with .database/.schema/.identifier/.name that
+    stringify to the addressable identifier (reference Relation contract —
+    providers.py:1670-1703 `this`)."""
+
+    def __init__(self, identifier: str, schema: str = "main", name: str = "") -> None:
+        self._ident = identifier
+        self.schema = schema
+        self.identifier = name or identifier
+        self.name = name or identifier
+        self.database = None
+
+    def __str__(self) -> str:  # noqa: DunderStr
+        return self._ident
+
+    def __repr__(self) -> str:
+        return self._ident
+
+    # dbt Relation API subset used by common macros
+    def include(self, **kwargs: Any) -> "RelationProxy":
+        return self
+
+    def render(self) -> str:
+        return self._ident
+
+
+class QueryResult:
+    """Driver-side result of run_query — the agate.Table analog kept tiny
+    (SURVEY §1.2: agate only ever holds test summaries / previews)."""
+
+    def __init__(self, columns: list[str], rows: list[tuple]) -> None:
+        self.column_names = columns
+        self.columns = {c: [r[i] for r in rows] for i, c in enumerate(columns)}
+        self.rows = rows
+
+    def __iter__(self):
+        return iter(self.rows)
+
+    def __len__(self) -> int:
+        return len(self.rows)

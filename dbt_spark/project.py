@@ -36,6 +36,7 @@ class Project:
     seed_paths: list[str] = field(default_factory=lambda: ["seeds"])
     snapshot_paths: list[str] = field(default_factory=lambda: ["snapshots"])
     test_paths: list[str] = field(default_factory=lambda: ["tests"])
+    macro_paths: list[str] = field(default_factory=lambda: ["macros"])
     vars: dict[str, Any] = field(default_factory=dict)
     model_config: dict[str, Any] = field(default_factory=dict)
     seed_config: dict[str, Any] = field(default_factory=dict)
@@ -72,6 +73,7 @@ class Project:
             seed_paths=cfg.get("seed-paths", ["seeds"]),
             snapshot_paths=cfg.get("snapshot-paths", ["snapshots"]),
             test_paths=cfg.get("test-paths", ["tests"]),
+            macro_paths=cfg.get("macro-paths", ["macros"]),
             vars=cfg.get("vars", {}),
             model_config=cfg.get("models", {}),
             seed_config=cfg.get("seeds", {}),
@@ -112,6 +114,15 @@ def parse_project(project: Project) -> Manifest:
     manifest = Manifest(project_name=project.name)
     target_ctx = dict(project.profile, name="spark", type="spark")
 
+    # --- macros first (models may call them at parse-render time) ---------
+    from dbt_spark.plans.macros import extract_generic_tests, extract_macros
+
+    for full, rel in _walk(project.root, project.macro_paths, (".sql",)):
+        with open(full) as f:
+            raw = f.read()
+        manifest.macros.update(extract_macros(raw))
+        manifest.macros.update(extract_generic_tests(raw))
+
     # --- models (sql + python) -------------------------------------------
     for full, rel in _walk(project.root, project.model_paths, (".sql", ".py")):
         name = os.path.splitext(os.path.basename(rel))[0]
@@ -121,7 +132,7 @@ def parse_project(project: Project) -> Manifest:
         language = "python" if rel.endswith(".py") else "sql"
         if language == "sql":
             _, refs, sources, config_calls = parse_render(
-                raw, name, project.vars, target_ctx
+                raw, name, project.vars, target_ctx, macros=manifest.macros
             )
         else:
             refs, sources, config_calls = _parse_python_model(raw)
@@ -166,7 +177,7 @@ def parse_project(project: Project) -> Manifest:
             raw = f.read()
         for snap_name, body, cfg in _extract_snapshot_blocks(raw):
             _, refs, sources, config_calls = parse_render(
-                body, snap_name, project.vars, target_ctx
+                body, snap_name, project.vars, target_ctx, macros=manifest.macros
             )
             cfg.update(config_calls)
             config = NodeConfig(materialized="snapshot").merged(**cfg)
@@ -191,7 +202,9 @@ def parse_project(project: Project) -> Manifest:
         name = os.path.splitext(os.path.basename(rel))[0]
         with open(full) as f:
             raw = f.read()
-        _, refs, sources, config_calls = parse_render(raw, name, project.vars, target_ctx)
+        _, refs, sources, config_calls = parse_render(
+            raw, name, project.vars, target_ctx, macros=manifest.macros
+        )
         config = NodeConfig(materialized="test").merged(**config_calls)
         manifest.add(
             ManifestNode(
@@ -218,6 +231,7 @@ def parse_project(project: Project) -> Manifest:
             doc = yaml.safe_load(f) or {}
         _parse_sources(doc, project, manifest, rel)
         _parse_model_patches(doc, project, manifest, rel)
+        _parse_unit_tests(doc, project, manifest, rel)
 
     _resolve_depends_on(manifest)
     return manifest
@@ -377,6 +391,31 @@ def _attach_column_tests(
             add_test(spec, col["name"])
     for spec in (patch.get("data_tests") or patch.get("tests") or []):
         add_test(spec, None)
+
+
+def _parse_unit_tests(doc: dict, project: Project, manifest: Manifest, rel: str) -> None:
+    """YAML ``unit_tests:`` → UnitTest nodes (parser
+    core/dbt/parser/unit_tests.py:60-198; definition schema
+    core/dbt/artifacts/resources/v1/unit_test_definition.py:60-77)."""
+    for ut in doc.get("unit_tests", []) or []:
+        name = ut["name"]
+        model = ut["model"]
+        node = ManifestNode(
+            unique_id=f"unit_test.{project.name}.{model}.{name}",
+            name=name,
+            package_name=project.name,
+            path=rel,
+            resource_type=NodeType.UnitTest,
+            config=NodeConfig(materialized="unit").merged(**(ut.get("config") or {})),
+            test_metadata={
+                "model": model,
+                "given": ut.get("given", []) or [],
+                "expect": ut.get("expect", {}) or {},
+            },
+            attached_node=f"model.{project.name}.{model}",
+            fqn=[project.name, model, name],
+        )
+        manifest.add(node)
 
 
 def _resolve_depends_on(manifest: Manifest) -> None:

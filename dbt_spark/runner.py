@@ -51,6 +51,7 @@ class RunnerResult:
     success: bool
     results: list[RunResult] = field(default_factory=list)
     manifest: Optional[Manifest] = None
+    preview: Optional[list[dict]] = None  # `show` rows
 
     def by_id(self, unique_id: str) -> Optional[RunResult]:
         return next((r for r in self.results if r.unique_id == unique_id), None)
@@ -60,8 +61,9 @@ RESOURCE_FOR_COMMAND = {
     "run": {NodeType.Model},
     "seed": {NodeType.Seed},
     "snapshot": {NodeType.Snapshot},
-    "test": {NodeType.Test},
-    "build": {NodeType.Model, NodeType.Seed, NodeType.Snapshot, NodeType.Test},
+    "test": {NodeType.Test, NodeType.UnitTest},
+    "build": {NodeType.Model, NodeType.Seed, NodeType.Snapshot, NodeType.Test,
+              NodeType.UnitTest},
     "compile": {NodeType.Model, NodeType.Test},
     "ls": set(NodeType),
 }
@@ -105,8 +107,17 @@ class Engine:
         now: Optional[datetime] = None,
     ) -> RunnerResult:
         command, *rest = args
+        if command == "docs" and rest and rest[0] == "generate":
+            command, rest = "docs-generate", rest[1:]
+        if command == "source" and rest and rest[0] == "freshness":
+            command, rest = "source-freshness", rest[1:]
         select: list[str] = []
         exclude: list[str] = []
+        inline: Optional[str] = None
+        op_args: dict = {}
+        state_dir: Optional[str] = None
+        positional: list[str] = []
+        limit = 5
         i = 0
         while i < len(rest):
             if rest[i] in ("--select", "-s"):
@@ -117,14 +128,45 @@ class Engine:
                 exclude.extend(rest[i].split(" "))
             elif rest[i] == "--full-refresh":
                 full_refresh = True
+            elif rest[i] == "--inline":
+                i += 1
+                inline = rest[i]
+            elif rest[i] == "--args":
+                i += 1
+                import yaml as _yaml
+
+                op_args = _yaml.safe_load(rest[i]) or {}
+            elif rest[i] == "--state":
+                i += 1
+                state_dir = rest[i]
+            elif rest[i] == "--limit":
+                i += 1
+                limit = int(rest[i])
+            elif not rest[i].startswith("-"):
+                positional.append(rest[i])
             i += 1
 
+        if command == "retry":
+            return self._retry(full_refresh=full_refresh, snapshot_ts=snapshot_ts, now=now)
+
         manifest = self.parse()
+        self.state_dir = state_dir
+
+        if command == "run-operation":
+            return self._run_operation(manifest, positional[0], op_args)
+        if command == "show":
+            return self._show(manifest, inline, select, limit)
+        if command == "docs-generate":
+            return self._docs_generate(manifest)
+        if command == "source-freshness":
+            return self._source_freshness(manifest, now=now)
         graph = Linker().link_graph(manifest)
         if command == "build":
             graph = add_test_edges(graph, manifest)
 
-        selected = select_nodes(manifest, graph, select or None, exclude or None)
+        selected = select_nodes(
+            manifest, graph, select or None, exclude or None, state=self._load_state()
+        )
         resource_types = RESOURCE_FOR_COMMAND[command]
         runnable = {
             uid
@@ -192,8 +234,207 @@ class Engine:
         self._run_hooks(ctx, self.project.on_run_end, "on-run-end")
 
         success = all(r.status in ("success", "pass", "warn", "skipped") for r in results)
-        self._write_run_results(results, success)
+        self._write_run_results(results, success, command=command)
         return RunnerResult(success=success, results=results, manifest=manifest)
+
+    # -- secondary commands ---------------------------------------------------
+
+    def _load_state(self) -> Optional[dict]:
+        """--state dir → {unique_id: node-dict} from its manifest.json."""
+        state_dir = getattr(self, "state_dir", None)
+        if not state_dir:
+            return None
+        path = os.path.join(state_dir, "manifest.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"--state: no manifest.json in {state_dir}")
+        with open(path) as f:
+            doc = json.load(f)
+        return {**doc.get("nodes", {}), **doc.get("sources", {})}
+
+    def _run_operation(
+        self, manifest: Manifest, macro_name: str, op_args: dict
+    ) -> RunnerResult:
+        """dbt run-operation <macro> --args '{...}'
+        (core/dbt/task/run_operation.py:29-80)."""
+        from dbt_spark.plans.compile import runtime_render
+        from dbt_spark.plans.manifest import NodeType as NT
+
+        if macro_name not in manifest.macros:
+            return RunnerResult(False, [RunResult(
+                f"operation.{self.project.name}.{macro_name}", "error", 0.0,
+                message=f"macro {macro_name!r} not found")], manifest)
+        ctx = ExecutionContext(
+            spark=self.spark, store=self.store, manifest=manifest, project=self.project
+        )
+        arg_list = ", ".join(f"{k}={v!r}" for k, v in (op_args or {}).items())
+        call = ManifestNode(
+            unique_id=f"operation.{self.project.name}.{macro_name}",
+            name=macro_name,
+            package_name=self.project.name,
+            path="",
+            resource_type=NT.Operation,
+            raw_code=f"{{{{ {macro_name}({arg_list}) }}}}",
+        )
+        t0 = time.time()
+        # the macro's rendered text is discarded — side effects happen via
+        # run_query inside the macro (core/dbt/task/run_operation.py:29-80)
+        runtime_render(
+            call, manifest,
+            resolve_ref=ctx.resolve_ref, resolve_source=ctx.resolve_source,
+            this_name=macro_name, is_incremental=False, full_refresh=False,
+            var_overrides={**self.project.vars, **self.vars},
+            target=dict(self.project.profile), run_query=ctx.run_query,
+        )
+        return RunnerResult(True, [RunResult(
+            call.unique_id, "success", time.time() - t0)], manifest)
+
+    def _show(
+        self, manifest: Manifest, inline: Optional[str], select: list[str], limit: int
+    ) -> RunnerResult:
+        """dbt show --inline / --select (core/dbt/task/show.py:25-60,127-149).
+        Rows land on RunnerResult.preview (list[dict])."""
+        ctx = ExecutionContext(
+            spark=self.spark, store=self.store, manifest=manifest, project=self.project
+        )
+        if inline is not None:
+            node = ManifestNode(
+                unique_id="model.inline.inline_query", name="inline_query",
+                package_name=self.project.name, path="", resource_type=NodeType.Model,
+                raw_code=inline,
+            )
+            from dbt_spark.plans.compile import parse_render
+
+            _, refs, sources, _ = parse_render(
+                inline, "inline_query", self.project.vars, dict(self.project.profile),
+                macros=manifest.macros,
+            )
+            node.refs, node.sources = refs, sources
+            manifest.nodes[node.unique_id] = node
+            try:
+                for pkg, name in refs:
+                    dep = manifest.ref_lookup(name, pkg)
+                    if dep is not None:
+                        node.depends_on.append(dep.unique_id)
+                from dbt_spark.operators.materialize import run_model_df
+
+                df = run_model_df(ctx, node)
+            finally:
+                del manifest.nodes[node.unique_id]
+        else:
+            graph = Linker().link_graph(manifest)
+            chosen = sorted(select_nodes(manifest, graph, select or None))
+            models = [u for u in chosen if u in manifest.nodes
+                      and manifest.nodes[u].resource_type == NodeType.Model]
+            if not models:
+                return RunnerResult(False, [RunResult("show", "error", 0.0,
+                                                      "no model selected")], manifest)
+            from dbt_spark.operators.materialize import run_model_df
+
+            df = run_model_df(ctx, manifest.nodes[models[0]])
+        rows = [r.asDict() for r in df.limit(limit).collect()]
+        result = RunnerResult(True, [RunResult("show", "success", 0.0)], manifest)
+        result.preview = rows
+        return result
+
+    def _docs_generate(self, manifest: Manifest) -> RunnerResult:
+        """catalog.json from the warehouse state
+        (core/dbt/task/docs/generate.py:73-114, artifact :354-371)."""
+        ctx = ExecutionContext(
+            spark=self.spark, store=self.store, manifest=manifest, project=self.project
+        )
+        nodes_cat: dict[str, Any] = {}
+        for uid, node in manifest.nodes.items():
+            if node.resource_type not in (NodeType.Model, NodeType.Seed, NodeType.Snapshot):
+                continue
+            rel = self.store.get(node.config.schema or self.project.profile["schema"],
+                                 node.name)
+            if rel is None:
+                continue
+            ctx.ensure_upstream_registered(node)
+            df = self.store.read(rel.schema, rel.name)
+            nodes_cat[uid] = {
+                "metadata": {"type": rel.kind, "schema": rel.schema, "name": rel.name},
+                "columns": {
+                    f.name: {"type": f.dataType.simpleString(), "index": i, "name": f.name}
+                    for i, f in enumerate(df.schema.fields)
+                },
+                "stats": {},
+            }
+        payload = {
+            "metadata": {
+                "dbt_schema_version": "https://schemas.getdbt.com/dbt/catalog/v1.json",
+                "generator": "dbt_spark",
+            },
+            "nodes": nodes_cat,
+            "sources": {},
+            "errors": None,
+        }
+        target_dir = os.path.join(self.project.root, "target")
+        os.makedirs(target_dir, exist_ok=True)
+        with open(os.path.join(target_dir, "catalog.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+        return RunnerResult(True, [RunResult("docs.generate", "success", 0.0)], manifest)
+
+    def _source_freshness(self, manifest: Manifest, now=None) -> RunnerResult:
+        """dbt source freshness → sources.json v3-ish
+        (core/dbt/task/freshness.py:111-181)."""
+        from dbt_spark.sources.freshness import check_freshness
+
+        ctx = ExecutionContext(
+            spark=self.spark, store=self.store, manifest=manifest, project=self.project
+        )
+        results: list[RunResult] = []
+        artifacts = []
+        for uid, src in manifest.sources.items():
+            if not src.freshness and not src.loaded_at_field:
+                continue
+            t0 = time.time()
+            try:
+                fr = check_freshness(ctx, src, now=now)
+                status = "pass" if fr.status == "pass" else fr.status
+                results.append(RunResult(uid, status, time.time() - t0,
+                                         message=f"age={fr.age_seconds:.0f}s"))
+                artifacts.append({
+                    "unique_id": uid,
+                    "max_loaded_at": str(fr.max_loaded_at),
+                    "max_loaded_at_time_ago_in_s": fr.age_seconds,
+                    "status": fr.status,
+                })
+            except Exception as e:  # noqa: BLE001
+                results.append(RunResult(uid, "error", time.time() - t0, str(e)))
+        target_dir = os.path.join(self.project.root, "target")
+        os.makedirs(target_dir, exist_ok=True)
+        with open(os.path.join(target_dir, "sources.json"), "w") as f:
+            json.dump({
+                "metadata": {
+                    "dbt_schema_version":
+                        "https://schemas.getdbt.com/dbt/sources/v3.json",
+                    "generator": "dbt_spark",
+                },
+                "results": artifacts,
+            }, f, indent=1)
+        ok = all(r.status in ("pass", "warn") for r in results)
+        return RunnerResult(ok, results, manifest)
+
+    def _retry(self, **kwargs: Any) -> RunnerResult:
+        """dbt retry: re-run previous invocation's failed/skipped nodes
+        (core/dbt/task/retry.py:45-121)."""
+        path = os.path.join(self.project.root, "target", "run_results.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError("retry: no previous run_results.json")
+        with open(path) as f:
+            doc = json.load(f)
+        prev_command = doc.get("args", {}).get("command", "build")
+        failed_names = [
+            r["unique_id"].split(".")[-1]
+            for r in doc["results"]
+            if r["status"] in ("error", "fail", "skipped")
+        ]
+        if not failed_names:
+            return RunnerResult(True, [], self.manifest)
+        return self.invoke(
+            [prev_command, "--select", " ".join(failed_names)], **kwargs
+        )
 
     # -- node execution -------------------------------------------------------
 
@@ -207,7 +448,14 @@ class Engine:
     ) -> None:
         for hook in node.config.pre_hook:
             ctx.spark.sql(self._render_hook(ctx, node, hook))
-        if node.resource_type == NodeType.Test:
+        if node.resource_type == NodeType.UnitTest:
+            from dbt_spark.operators.unit import run_unit_test
+
+            status, message = run_unit_test(ctx, node)
+            results.append(RunResult(node.unique_id, status, time.time() - t0, message))
+            if status == "fail":
+                raise TestFailure(f"unit test {node.name} failed: {message}")
+        elif node.resource_type == NodeType.Test:
             tr = run_test(ctx, node)
             results.append(
                 RunResult(node.unique_id, tr.status, time.time() - t0,
@@ -280,7 +528,9 @@ class Engine:
         ok = all(r.status == "success" for r in results)
         return RunnerResult(success=ok, results=results, manifest=manifest)
 
-    def _write_run_results(self, results: list[RunResult], success: bool) -> None:
+    def _write_run_results(
+        self, results: list[RunResult], success: bool, command: str = "run"
+    ) -> None:
         target_dir = os.path.join(self.project.root, "target")
         os.makedirs(target_dir, exist_ok=True)
         payload = {
@@ -289,6 +539,7 @@ class Engine:
                 "generated_at": datetime.now(timezone.utc).isoformat(),
                 "generator": "dbt_spark",
             },
+            "args": {"command": command},
             "success": success,
             "results": [
                 {

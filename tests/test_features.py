@@ -1,0 +1,186 @@
+"""Functional tests for macros, unit tests, and secondary commands —
+reference test-strategy layer 2 (SURVEY §5: inline fixtures + real commands).
+
+Feature ↔ reference parity map:
+- macros / run-operation: core/dbt/parser/macros.py:33-60, task/run_operation.py:29-80
+- custom generic tests:   {% test %} blocks, parser/macros.py:97-99
+- unit tests:             parser/unit_tests.py:60-198, task/test.py:205-283
+- show:                   task/show.py:25-60,127-149
+- docs generate:          task/docs/generate.py:73-114
+- source freshness:       task/freshness.py:111-181
+- state:modified/retry:   graph/selector_methods.py:610-700, task/retry.py:45-121
+"""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from dbt_spark.runner import Engine
+
+from tests.conftest import SF_DIR
+
+
+BASE = {
+    "dbt_project.yml": "name: feat\n",
+    "models/sources.yml": """
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        meta: {location: "__SF__/orders.parquet"}
+        loaded_at_field: o_orderdate
+        freshness:
+          warn_after: {count: 9999, period: day}
+""".replace("__SF__", SF_DIR),
+    "models/amounts.sql": (
+        "select o_orderkey, {{ cents_to_dollars('o_totalprice') }} as dollars "
+        "from {{ source('tpch','orders') }}"
+    ),
+    "macros/util.sql": """
+{% macro cents_to_dollars(col, precision=2) %}round({{ col }} / 100.0, {{ precision }}){% endmacro %}
+{% test is_positive(model, column_name) %}select * from {{ model }} where {{ column_name }} <= 0{% endtest %}
+{% macro count_rows(rel_name) %}
+  {% set res = run_query("select count(*) as n from " ~ ref(rel_name)) %}
+  {{ log("rows=" ~ res.rows[0][0]) }}
+{% endmacro %}
+""",
+}
+
+
+@pytest.fixture()
+def feat(project_dir, spark):
+    pdir = project_dir(BASE)
+    return Engine(pdir, spark=spark), pdir
+
+
+def test_macro_in_model_and_run_operation(feat):
+    eng, pdir = feat
+    r = eng.invoke(["run"])
+    assert r.success
+    df = eng.store.read("main", "amounts")
+    assert df.columns == ["o_orderkey", "dollars"]
+    # run-operation invokes a macro that run_query's a built relation
+    r = eng.invoke(["run-operation", "count_rows", "--args", '{rel_name: amounts}'])
+    assert r.success
+
+
+def test_custom_generic_test_macro(feat, project_dir):
+    eng, pdir = feat
+    with open(os.path.join(pdir, "models", "sources.yml"), "a") as f:
+        f.write(
+            "models:\n  - name: amounts\n    columns:\n"
+            "      - name: dollars\n        data_tests: [is_positive]\n"
+        )
+    r = eng.invoke(["build"])
+    assert r.success
+    assert any(x.unique_id.startswith("test.feat.is_positive") and x.status == "pass"
+               for x in r.results)
+
+
+def test_unit_test_pass_and_fail(feat):
+    eng, pdir = feat
+    with open(os.path.join(pdir, "models", "sources.yml"), "a") as f:
+        f.write("""
+unit_tests:
+  - name: ut_amounts_math
+    model: amounts
+    given:
+      - input: source('tpch', 'orders')
+        rows:
+          - {o_orderkey: 1, o_totalprice: 250}
+    expect:
+      rows:
+        - {o_orderkey: 1, dollars: 2.5}
+  - name: ut_amounts_wrong
+    model: amounts
+    given:
+      - input: source('tpch', 'orders')
+        rows:
+          - {o_orderkey: 1, o_totalprice: 250}
+    expect:
+      rows:
+        - {o_orderkey: 1, dollars: 99.0}
+""")
+    r = eng.invoke(["test", "--select", "ut_amounts_math"])
+    assert r.success and r.results[0].status == "pass"
+    r = eng.invoke(["test", "--select", "ut_amounts_wrong"])
+    assert not r.success and r.results[0].status == "fail"
+    assert "unexpected row" in r.results[0].message
+
+
+def test_unit_test_blocks_model_in_build(feat):
+    eng, pdir = feat
+    with open(os.path.join(pdir, "models", "sources.yml"), "a") as f:
+        f.write("""
+unit_tests:
+  - name: ut_block
+    model: amounts
+    given:
+      - input: source('tpch', 'orders')
+        rows:
+          - {o_orderkey: 1, o_totalprice: 100}
+    expect:
+      rows:
+        - {o_orderkey: 1, dollars: -1.0}
+""")
+    r = eng.invoke(["build"])
+    assert not r.success
+    model_result = r.by_id("model.feat.amounts")
+    assert model_result.status == "skipped"
+
+
+def test_show_inline_and_select(feat):
+    eng, _ = feat
+    eng.invoke(["run"])
+    r = eng.invoke(["show", "--inline",
+                    "select count(*) as n from {{ ref('amounts') }}"])
+    assert r.success and r.preview[0]["n"] == 1500
+    r = eng.invoke(["show", "--select", "amounts", "--limit", "3"])
+    assert r.success and len(r.preview) == 3
+
+
+def test_docs_generate_catalog(feat):
+    eng, pdir = feat
+    eng.invoke(["run"])
+    r = eng.invoke(["docs", "generate"])
+    assert r.success
+    catalog = json.load(open(os.path.join(pdir, "target", "catalog.json")))
+    entry = catalog["nodes"]["model.feat.amounts"]
+    assert set(entry["columns"]) == {"o_orderkey", "dollars"}
+
+
+def test_source_freshness_artifact(feat):
+    eng, pdir = feat
+    r = eng.invoke(["source", "freshness"])
+    # sf0.001 orders end ~1998; 9999-day warn threshold exceeded → warn|error
+    assert r.results, "freshness produced no results"
+    doc = json.load(open(os.path.join(pdir, "target", "sources.json")))
+    assert doc["results"][0]["status"] in ("pass", "warn", "error")
+
+
+def test_state_modified_and_retry(feat, tmp_path):
+    eng, pdir = feat
+    r = eng.invoke(["run"])
+    assert r.success
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    shutil.copy(os.path.join(pdir, "target", "manifest.json"), state)
+    # unmodified → empty selection
+    r = eng.invoke(["ls", "--select", "state:modified", "--state", state])
+    assert [x.unique_id for x in r.results] == []
+    with open(os.path.join(pdir, "models", "amounts.sql"), "a") as f:
+        f.write("  -- touched")
+    r = eng.invoke(["ls", "--select", "state:modified", "--state", state])
+    assert [x.unique_id for x in r.results] == ["model.feat.amounts"]
+    # retry with nothing failed is a no-op success
+    r = eng.invoke(["retry"])
+    assert r.success and len(r.results) == 0
+
+
+def test_at_operator_selection(feat):
+    eng, _ = feat
+    r = eng.invoke(["ls", "--select", "@amounts"])
+    ids = {x.unique_id for x in r.results}
+    assert "model.feat.amounts" in ids
