@@ -69,9 +69,49 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "parse_2000_models": _bench_parse_2000(),
             }
         )
     )
+
+
+def _bench_parse_2000() -> dict:
+    """BASELINE.md parse targets: cold ≤143 s (2× the reference's 71.64 s
+    GH-runner mean), warm partial-parse ≤5 s — on the reference's own
+    2,000-chained-model project shape."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="bench_parse2000_")
+    os.makedirs(os.path.join(root, "models"), exist_ok=True)
+    with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+        f.write("name: perf2000\n")
+    for d in range(200):
+        dd = os.path.join(root, "models", f"path_{d}")
+        os.makedirs(dd, exist_ok=True)
+        for i in range(10):
+            n = d * 10 + i
+            sql = "select 1 as id" if n == 0 else (
+                f"select 1 as id union all select * from {{{{ ref('node_{n-1}') }}}}"
+            )
+            with open(os.path.join(dd, f"node_{n}.sql"), "w") as f:
+                f.write(sql)
+
+    from dbt_spark.plans.graph import Linker
+    from dbt_spark.project import Project
+    from dbt_spark.runner import Engine
+
+    eng = Engine.__new__(Engine)
+    eng.project = Project.load(root)
+    eng.vars = {}
+    t0 = time.time()
+    m = eng.parse()
+    Linker().link_graph(m)
+    cold = round(time.time() - t0, 3)
+    t0 = time.time()
+    m = eng.parse()
+    Linker().link_graph(m)
+    warm = round(time.time() - t0, 3)
+    return {"cold_sec": cold, "warm_partial_sec": warm, "n_models": len(m.nodes)}
 
 
 if __name__ == "__main__":

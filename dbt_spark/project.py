@@ -110,9 +110,21 @@ def _walk(root: str, subdirs: list[str], exts: tuple[str, ...]):
                     yield full, os.path.relpath(full, root)
 
 
-def parse_project(project: Project) -> Manifest:
+def parse_project(project: Project, cache=None) -> Manifest:
+    """``cache`` is an optional plans.partial.ParseCache: files whose
+    checksum is unchanged skip the Jinja parse-render (partial parsing,
+    core/dbt/parser/partial.py:69-170)."""
+    from dbt_spark.plans.partial import file_checksum
+
     manifest = Manifest(project_name=project.name)
     target_ctx = dict(project.profile, name="spark", type="spark")
+
+    def cached(full, rel):
+        if cache is None:
+            return None, None
+        ck = file_checksum(full)
+        hit = cache.get(rel, ck)
+        return ck, hit
 
     # --- macros first (models may call them at parse-render time) ---------
     from dbt_spark.plans.macros import extract_generic_tests, extract_macros
@@ -125,6 +137,11 @@ def parse_project(project: Project) -> Manifest:
 
     # --- models (sql + python) -------------------------------------------
     for full, rel in _walk(project.root, project.model_paths, (".sql", ".py")):
+        ck, hit = cached(full, rel)
+        if hit is not None:
+            for n in hit:
+                manifest.add(n)
+            continue
         name = os.path.splitext(os.path.basename(rel))[0]
         rel_dir_parts = os.path.dirname(rel).split(os.sep)[1:]  # drop "models"
         with open(full) as f:
@@ -152,6 +169,8 @@ def parse_project(project: Project) -> Manifest:
             fqn=[project.name, *rel_dir_parts, name],
         )
         manifest.add(node)
+        if cache is not None:
+            cache.put(rel, ck, [node])
 
     # --- seeds ------------------------------------------------------------
     for full, rel in _walk(project.root, project.seed_paths, (".csv",)):
@@ -173,8 +192,14 @@ def parse_project(project: Project) -> Manifest:
 
     # --- snapshots --------------------------------------------------------
     for full, rel in _walk(project.root, project.snapshot_paths, (".sql",)):
+        ck, hit = cached(full, rel)
+        if hit is not None:
+            for n in hit:
+                manifest.add(n)
+            continue
         with open(full) as f:
             raw = f.read()
+        file_nodes = []
         for snap_name, body, cfg in _extract_snapshot_blocks(raw):
             _, refs, sources, config_calls = parse_render(
                 body, snap_name, project.vars, target_ctx, macros=manifest.macros
@@ -182,23 +207,30 @@ def parse_project(project: Project) -> Manifest:
             cfg.update(config_calls)
             config = NodeConfig(materialized="snapshot").merged(**cfg)
             _validate_snapshot_config(snap_name, config)
-            manifest.add(
-                ManifestNode(
-                    unique_id=f"snapshot.{project.name}.{snap_name}",
-                    name=snap_name,
-                    package_name=project.name,
-                    path=rel,
-                    resource_type=NodeType.Snapshot,
-                    raw_code=body,
-                    config=config,
-                    refs=refs,
-                    sources=sources,
-                    fqn=[project.name, snap_name],
-                )
+            snap_node = ManifestNode(
+                unique_id=f"snapshot.{project.name}.{snap_name}",
+                name=snap_name,
+                package_name=project.name,
+                path=rel,
+                resource_type=NodeType.Snapshot,
+                raw_code=body,
+                config=config,
+                refs=refs,
+                sources=sources,
+                fqn=[project.name, snap_name],
             )
+            manifest.add(snap_node)
+            file_nodes.append(snap_node)
+        if cache is not None:
+            cache.put(rel, ck, file_nodes)
 
     # --- singular tests ---------------------------------------------------
     for full, rel in _walk(project.root, project.test_paths, (".sql",)):
+        ck, hit = cached(full, rel)
+        if hit is not None:
+            for n in hit:
+                manifest.add(n)
+            continue
         name = os.path.splitext(os.path.basename(rel))[0]
         with open(full) as f:
             raw = f.read()
@@ -206,20 +238,21 @@ def parse_project(project: Project) -> Manifest:
             raw, name, project.vars, target_ctx, macros=manifest.macros
         )
         config = NodeConfig(materialized="test").merged(**config_calls)
-        manifest.add(
-            ManifestNode(
-                unique_id=f"test.{project.name}.{name}",
-                name=name,
-                package_name=project.name,
-                path=rel,
-                resource_type=NodeType.Test,
-                raw_code=raw,
-                config=config,
-                refs=refs,
-                sources=sources,
-                fqn=[project.name, name],
-            )
+        tnode = ManifestNode(
+            unique_id=f"test.{project.name}.{name}",
+            name=name,
+            package_name=project.name,
+            path=rel,
+            resource_type=NodeType.Test,
+            raw_code=raw,
+            config=config,
+            refs=refs,
+            sources=sources,
+            fqn=[project.name, name],
         )
+        manifest.add(tnode)
+        if cache is not None:
+            cache.put(rel, ck, [tnode])
 
     # --- schema YAML (sources, model patches, generic tests) -------------
     for full, rel in _walk(

@@ -92,10 +92,23 @@ class Engine:
 
     # -- lifecycle ----------------------------------------------------------
 
-    def parse(self) -> Manifest:
-        self.manifest = parse_project(self.project)
+    def parse(self, partial: bool = True) -> Manifest:
+        from dbt_spark.plans.partial import ParseCache, cache_token
+
         target_dir = os.path.join(self.project.root, "target")
         os.makedirs(target_dir, exist_ok=True)
+        cache_path = os.path.join(target_dir, "partial_parse.pickle")
+        cache = None
+        if partial:
+            token = cache_token(
+                {**self.project.vars, "__models__": repr(self.project.model_config),
+                 "__seeds__": repr(self.project.seed_config)},
+                self.project.profile,
+            )
+            cache = ParseCache.load(cache_path, token)
+        self.manifest = parse_project(self.project, cache=cache)
+        if cache is not None:
+            cache.save(cache_path)
         self.manifest.write(os.path.join(target_dir, "manifest.json"))
         return self.manifest
 
