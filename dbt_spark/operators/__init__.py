@@ -17,6 +17,12 @@ from dbt_spark.operators.incremental import materialize_incremental  # noqa: F40
 from dbt_spark.operators.seed import materialize_seed  # noqa: F401
 from dbt_spark.operators.snapshot import materialize_snapshot  # noqa: F401
 
+def _materialize_streaming(ctx, node):
+    from dbt_spark.streaming.stream import materialize_streaming
+
+    return materialize_streaming(ctx, node)
+
+
 MATERIALIZATIONS = {
     "view": materialize_view,
     "table": materialize_table,
@@ -24,4 +30,5 @@ MATERIALIZATIONS = {
     "incremental": materialize_incremental,
     "seed": materialize_seed,
     "snapshot": materialize_snapshot,
+    "streaming_table": _materialize_streaming,
 }

@@ -9,6 +9,7 @@ ORACLES: dict = {}
 from dbt_spark.queries import relational  # noqa: E402
 from dbt_spark.queries import llmops  # noqa: E402
 from dbt_spark.queries import materializations  # noqa: E402
+from dbt_spark.queries import streaming_q  # noqa: E402
 
 QUERIES.update(relational.QUERIES)
 ORACLES.update(relational.ORACLES)
@@ -16,3 +17,5 @@ QUERIES.update(llmops.QUERIES)
 ORACLES.update(llmops.ORACLES)
 QUERIES.update(materializations.QUERIES)
 ORACLES.update(materializations.ORACLES)
+QUERIES.update(streaming_q.QUERIES)
+ORACLES.update(streaming_q.ORACLES)

@@ -1,0 +1,132 @@
+"""Custom stateful streaming operators (SURVEY §2F Spark-upgrade path).
+
+Two tiers, per the build guidance:
+1. ``session_window`` — Spark's built-in session windows (preferred: pure
+   Catalyst, codegen'd, watermark-aware).
+2. ``sessionize_stateful`` — ``applyInPandasWithState`` for semantics the
+   built-ins can't express (custom gap logic, per-session running payloads).
+   Arrow-batched; state is per-group and spill-managed by Spark.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def session_window_agg(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Events → per-user sessions via the built-in session_window.
+
+    Works identically on batch and streaming DataFrames; on streaming the
+    watermark bounds state. Columns: user, session_start, session_end,
+    n_events, total_value."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", LongType()),
+        StructField("last_seen", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    gap_seconds: int = 1800,
+) -> Iterable[pd.DataFrame]:
+    """Per-user session accumulator: emits a row per CLOSED session; the open
+    session stays in checkpointed state across micro-batches/runs (no
+    processing-time timeout — with trigger=availableNow a timeout would keep
+    the drained query alive forever). State: (session_start, last_seen, n,
+    total)."""
+    (user_id,) = key
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    if state.exists:
+        start, last, n, total = state.get
+    else:
+        start, last, n, total = None, None, 0, 0.0
+
+    out = []
+    for _, r in rows.iterrows():
+        t = int(pd.Timestamp(r["ts"]).timestamp())
+        if start is None:
+            start, last, n, total = t, t, 1, float(r["value"])
+        elif t - last > gap_seconds:
+            out.append((start, last, n, total, "closed"))
+            start, last, n, total = t, t, 1, float(r["value"])
+        else:
+            last, n, total = t, n + 1, total + float(r["value"])
+    state.update((start, last, n, total))
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "session_start": [pd.Timestamp(s, unit="s") for s, *_ in out],
+                "session_end": [pd.Timestamp(e, unit="s") for _, e, *_ in out],
+                "n_events": [n_ for *_, n_, __, ___ in out],
+                "total_value": [t_ for *_, t_, __ in out],
+                "status": [st for *_, st in out],
+            }
+        )
+
+
+def sessionize_stateful(df: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """applyInPandasWithState sessionization over a streaming events frame
+    with columns (user_id, ts, value). Emits sessions as they close; open
+    sessions persist in checkpointed state across runs."""
+    return df.groupBy("user_id").applyInPandasWithState(
+        lambda key, pdfs, state: _sessionize_group(key, pdfs, state, gap_seconds),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
