@@ -32,6 +32,12 @@ class ExecutionContext:
     event_time_filters: dict[str, tuple] = field(default_factory=dict)
     snapshot_ts: Optional[str] = None  # injectable for deterministic tests
     now: Optional[Any] = None  # injectable wall-clock for microbatch
+    # --defer --state: unbuilt refs resolve to the prod namespace
+    # (core/dbt/context/providers.py:634-655)
+    defer_store: Optional[Any] = None
+    # --empty: schema-only dry runs, refs/sources wrapped with LIMIT 0
+    # (providers.py:242-243)
+    empty: bool = False
 
     @property
     def schema(self) -> str:
@@ -49,11 +55,21 @@ class ExecutionContext:
         if node.is_ephemeral:
             return self._register_ephemeral(node)
         rel = self.store.get(self.schema_for(node), node.name)
+        if rel is None and self.defer_store is not None:
+            rel = self.defer_store.get(self.schema_for(node), node.name)
+            if rel is not None:
+                ident = self.store.register(rel)  # temp view over prod files
+                return self._wrap(node, ident)
         if rel is None:
             raise RuntimeError(
                 f"ref to {node.name}: relation not built yet (is it selected upstream?)"
             )
         ident = self.store.register(rel)
+        return self._wrap(node, ident)
+
+    def _wrap(self, node: ManifestNode, ident: str) -> str:
+        if self.empty:
+            return f"(SELECT * FROM {ident} LIMIT 0)"
         return self._maybe_event_filter(node, ident)
 
     def resolve_source(self, node: ManifestNode) -> str:
@@ -73,7 +89,7 @@ class ExecutionContext:
         else:
             df = getattr(self.spark.read, fmt)(location)
         df.createOrReplaceTempView(ident)
-        return self._maybe_event_filter(node, ident)
+        return self._wrap(node, ident)
 
     def source_df(self, node: ManifestNode) -> DataFrame:
         ident = self.resolve_source(node)
@@ -136,6 +152,8 @@ class ExecutionContext:
                 pass  # registered lazily by resolve_ref at consumer compile
             else:
                 rel = self.store.get(self.schema_for(dep), dep.name)
+                if rel is None and self.defer_store is not None:
+                    rel = self.defer_store.get(self.schema_for(dep), dep.name)
                 if rel is not None:
                     self.store.register(rel)
 

@@ -29,6 +29,21 @@ class NodeType(str, Enum):
     Test = "test"
     UnitTest = "unit_test"
     Operation = "operation"
+    Analysis = "analysis"
+    # metadata-only leaf nodes (semantic layer; NodeType enum
+    # core/dbt/artifacts/resources/types.py:18-37) — no execution, NoOp
+    # results in `build` (core/dbt/runners/no_op_runner.py:11-40)
+    Exposure = "exposure"
+    Metric = "metric"
+    SemanticModel = "semantic_model"
+    SavedQuery = "saved_query"
+    Group = "group"
+
+
+METADATA_NODE_TYPES = {
+    NodeType.Exposure, NodeType.Metric, NodeType.SemanticModel,
+    NodeType.SavedQuery, NodeType.Group,
+}
 
 
 class Materialization(str, Enum):

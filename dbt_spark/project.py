@@ -265,6 +265,7 @@ def parse_project(project: Project, cache=None) -> Manifest:
         _parse_sources(doc, project, manifest, rel)
         _parse_model_patches(doc, project, manifest, rel)
         _parse_unit_tests(doc, project, manifest, rel)
+        _parse_metadata_nodes(doc, project, manifest, rel)
 
     _resolve_depends_on(manifest)
     return manifest
@@ -449,6 +450,54 @@ def _parse_unit_tests(doc: dict, project: Project, manifest: Manifest, rel: str)
             fqn=[project.name, model, name],
         )
         manifest.add(node)
+
+
+def _parse_metadata_nodes(doc: dict, project: Project, manifest: Manifest, rel: str) -> None:
+    """Exposures / metrics / semantic models / saved queries / groups —
+    metadata-only leaf nodes (parsers
+    core/dbt/parser/schema_yaml_readers.py:85,189,511,739,476). They join the
+    DAG (refs captured) but never execute."""
+    sections = {
+        "exposures": NodeType.Exposure,
+        "metrics": NodeType.Metric,
+        "semantic_models": NodeType.SemanticModel,
+        "saved_queries": NodeType.SavedQuery,
+        "groups": NodeType.Group,
+    }
+    for section, ntype in sections.items():
+        for entry in doc.get(section, []) or []:
+            name = entry["name"]
+            node = ManifestNode(
+                unique_id=f"{ntype.value}.{project.name}.{name}",
+                name=name,
+                package_name=project.name,
+                path=rel,
+                resource_type=ntype,
+                description=entry.get("description", ""),
+                config=NodeConfig(materialized="metadata").merged(
+                    **(entry.get("config") or {})
+                ),
+                fqn=[project.name, name],
+            )
+            node.config.meta.update({
+                k: v for k, v in entry.items()
+                if k not in ("name", "description", "config")
+            })
+            # capture refs from depends_on/model strings: "ref('x')" forms
+            dep_strings = []
+            if isinstance(entry.get("depends_on"), list):
+                dep_strings += [str(s) for s in entry["depends_on"]]
+            if entry.get("model"):
+                dep_strings.append(str(entry["model"]))
+            for s in dep_strings:
+                if "ref(" in s or "source(" in s:
+                    _, refs, sources, _ = parse_render(
+                        "{{ " + s.replace("{{", "").replace("}}", "") + " }}",
+                        name, project.vars, {},
+                    )
+                    node.refs += refs
+                    node.sources += sources
+            manifest.add(node)
 
 
 def _resolve_depends_on(manifest: Manifest) -> None:

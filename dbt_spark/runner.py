@@ -63,7 +63,8 @@ RESOURCE_FOR_COMMAND = {
     "snapshot": {NodeType.Snapshot},
     "test": {NodeType.Test, NodeType.UnitTest},
     "build": {NodeType.Model, NodeType.Seed, NodeType.Snapshot, NodeType.Test,
-              NodeType.UnitTest},
+              NodeType.UnitTest, NodeType.Exposure, NodeType.Metric,
+              NodeType.SemanticModel, NodeType.SavedQuery},
     "compile": {NodeType.Model, NodeType.Test},
     "ls": set(NodeType),
 }
@@ -131,6 +132,8 @@ class Engine:
         state_dir: Optional[str] = None
         positional: list[str] = []
         limit = 5
+        defer = False
+        empty = False
         i = 0
         while i < len(rest):
             if rest[i] in ("--select", "-s"):
@@ -155,6 +158,10 @@ class Engine:
             elif rest[i] == "--limit":
                 i += 1
                 limit = int(rest[i])
+            elif rest[i] == "--defer":
+                defer = True
+            elif rest[i] == "--empty":
+                empty = True
             elif not rest[i].startswith("-"):
                 positional.append(rest[i])
             i += 1
@@ -173,6 +180,8 @@ class Engine:
             return self._docs_generate(manifest)
         if command == "source-freshness":
             return self._source_freshness(manifest, now=now)
+        if command == "clone":
+            return self._clone(manifest, select, exclude)
         graph = Linker().link_graph(manifest)
         if command == "build":
             graph = add_test_edges(graph, manifest)
@@ -193,6 +202,11 @@ class Engine:
             results = [RunResult(uid, "success", 0.0) for uid in sorted(runnable)]
             return RunnerResult(success=True, results=results, manifest=manifest)
 
+        defer_store = None
+        if defer and state_dir:
+            wh = os.path.join(state_dir, "warehouse")
+            if os.path.isdir(wh):
+                defer_store = RelationStore(self.spark, wh)
         ctx = ExecutionContext(
             spark=self.spark,
             store=self.store,
@@ -202,6 +216,8 @@ class Engine:
             vars=self.vars,
             snapshot_ts=snapshot_ts,
             now=now,
+            defer_store=defer_store,
+            empty=empty,
         )
         if command == "compile":
             return self._compile_only(ctx, manifest, runnable)
@@ -429,6 +445,45 @@ class Engine:
         ok = all(r.status in ("pass", "warn") for r in results)
         return RunnerResult(ok, results, manifest)
 
+    def _clone(
+        self, manifest: Manifest, select: list[str], exclude: list[str]
+    ) -> RunnerResult:
+        """dbt clone: zero-copy the --state warehouse's relations into this
+        target (core/dbt/task/clone.py:19-99). Parquet analog of Delta
+        SHALLOW CLONE: the catalog entry is copied, the data files are shared
+        (a later overwrite in this target re-materializes, never touching the
+        source files)."""
+        state_dir = getattr(self, "state_dir", None)
+        if not state_dir:
+            raise ValueError("clone requires --state <dir> (with warehouse/)")
+        src_store = RelationStore(self.spark, os.path.join(state_dir, "warehouse"))
+        graph = Linker().link_graph(manifest)
+        selected = select_nodes(manifest, graph, select or None, exclude or None,
+                                state=self._load_state())
+        results: list[RunResult] = []
+        for uid in sorted(selected):
+            node = manifest.nodes.get(uid)
+            if node is None or node.resource_type not in (
+                NodeType.Model, NodeType.Seed, NodeType.Snapshot
+            ) or node.is_ephemeral:
+                continue
+            schema = node.config.schema or self.project.profile["schema"]
+            rel = src_store.get(schema, node.name)
+            t0 = time.time()
+            if rel is None:
+                results.append(RunResult(uid, "skipped", 0.0, "no relation in state"))
+                continue
+            import copy as _copy
+
+            clone_rel = _copy.deepcopy(rel)
+            with self.store._lock:
+                self.store.relations[self.store.key(schema, node.name)] = clone_rel
+                self.store._registered.discard(clone_rel.identifier)
+                self.store._save_state()
+            results.append(RunResult(uid, "success", time.time() - t0, "cloned"))
+        ok = all(r.status in ("success", "skipped") for r in results)
+        return RunnerResult(ok, results, manifest)
+
     def _retry(self, **kwargs: Any) -> RunnerResult:
         """dbt retry: re-run previous invocation's failed/skipped nodes
         (core/dbt/task/retry.py:45-121)."""
@@ -461,7 +516,12 @@ class Engine:
     ) -> None:
         for hook in node.config.pre_hook:
             ctx.spark.sql(self._render_hook(ctx, node, hook))
-        if node.resource_type == NodeType.UnitTest:
+        from dbt_spark.plans.manifest import METADATA_NODE_TYPES
+
+        if node.resource_type in METADATA_NODE_TYPES:
+            # NoOp leaf runners (core/dbt/runners/no_op_runner.py:11-40)
+            results.append(RunResult(node.unique_id, "success", 0.0, "NO-OP"))
+        elif node.resource_type == NodeType.UnitTest:
             from dbt_spark.operators.unit import run_unit_test
 
             status, message = run_unit_test(ctx, node)

@@ -1,0 +1,120 @@
+"""defer / clone / --empty / metadata-only nodes.
+
+Parity map:
+- --defer --state: core/dbt/context/providers.py:634-655
+- clone:           core/dbt/task/clone.py:19-99 (SHALLOW CLONE semantics)
+- --empty:         providers.py:242-243 (limit-0 refs, schema-only dry run)
+- exposures etc.:  schema_yaml_readers.py + no_op_runner.py
+"""
+
+import os
+
+import pytest
+
+from dbt_spark.runner import Engine
+
+from tests.conftest import SF_DIR
+
+
+PROD = {
+    "dbt_project.yml": "name: dfr\n",
+    "models/sources.yml": """
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        meta: {location: "__SF__/orders.parquet"}
+""".replace("__SF__", SF_DIR),
+    "models/base_orders.sql": (
+        "{{ config(materialized='table') }} "
+        "select o_orderkey, o_custkey, o_totalprice from {{ source('tpch','orders') }}"
+    ),
+    "models/order_rollup.sql": (
+        "select o_custkey, count(*) as n from {{ ref('base_orders') }} group by o_custkey"
+    ),
+}
+
+
+def _mk(tmp_path, name, files):
+    root = tmp_path / name
+    for rel, content in files.items():
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(content)
+    return str(root)
+
+
+def test_defer_resolves_unbuilt_upstream_to_state(tmp_path, spark):
+    prod_dir = _mk(tmp_path, "prod", PROD)
+    prod = Engine(prod_dir, spark=spark)
+    assert prod.invoke(["run"]).success
+
+    # dev checkout: same project, separate target; build ONLY the downstream
+    # model, deferring base_orders to prod's warehouse
+    dev_dir = _mk(tmp_path, "dev", PROD)
+    dev = Engine(dev_dir, spark=spark)
+    r = dev.invoke([
+        "run", "--select", "order_rollup",
+        "--defer", "--state", os.path.join(prod_dir, "target"),
+    ])
+    assert r.success, [x.message for x in r.results]
+    assert dev.store.read("main", "order_rollup").count() > 0
+    # base_orders was NOT built in dev
+    assert dev.store.get("main", "base_orders") is None
+
+
+def test_clone_zero_copy_from_state(tmp_path, spark):
+    prod_dir = _mk(tmp_path, "prod", PROD)
+    prod = Engine(prod_dir, spark=spark)
+    assert prod.invoke(["run"]).success
+
+    dev_dir = _mk(tmp_path, "dev", PROD)
+    dev = Engine(dev_dir, spark=spark)
+    r = dev.invoke(["clone", "--state", os.path.join(prod_dir, "target")])
+    assert r.success
+    statuses = {x.unique_id: x.status for x in r.results}
+    assert statuses["model.dfr.base_orders"] == "success"
+    # cloned relation readable without running anything
+    assert dev.store.read("main", "base_orders").count() == \
+        prod.store.read("main", "base_orders").count()
+    # catalog entry shares prod's data files (zero-copy)
+    assert dev.store.get("main", "base_orders").path == \
+        prod.store.get("main", "base_orders").path
+
+
+def test_empty_flag_builds_schema_only(tmp_path, spark):
+    pdir = _mk(tmp_path, "empty", PROD)
+    eng = Engine(pdir, spark=spark)
+    r = eng.invoke(["run", "--empty"])
+    assert r.success, [x.message for x in r.results]
+    df = eng.store.read("main", "base_orders")
+    assert df.columns == ["o_orderkey", "o_custkey", "o_totalprice"]
+    assert df.count() == 0
+
+
+def test_metadata_nodes_parse_and_noop(tmp_path, spark):
+    files = dict(PROD)
+    files["models/semantic.yml"] = """
+exposures:
+  - name: finance_dashboard
+    depends_on: ["ref('order_rollup')"]
+metrics:
+  - name: order_count
+    model: "ref('order_rollup')"
+groups:
+  - name: core_team
+"""
+    pdir = _mk(tmp_path, "meta", files)
+    eng = Engine(pdir, spark=spark)
+    m = eng.parse()
+    assert "exposure.dfr.finance_dashboard" in m.nodes
+    assert "metric.dfr.order_count" in m.nodes
+    assert "model.dfr.order_rollup" in m.nodes["exposure.dfr.finance_dashboard"].depends_on
+    r = eng.invoke(["build"])
+    assert r.success
+    noop = r.by_id("exposure.dfr.finance_dashboard")
+    assert noop is not None and noop.message == "NO-OP"
+    # exposure selectable with graph operator: +exposure pulls its ancestry
+    r = eng.invoke(["ls", "--select", "+finance_dashboard"])
+    ids = {x.unique_id for x in r.results}
+    assert "model.dfr.order_rollup" in ids and "model.dfr.base_orders" in ids
