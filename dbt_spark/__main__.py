@@ -20,7 +20,8 @@ def main() -> int:
     ap.add_argument(
         "command",
         choices=["run", "build", "test", "seed", "snapshot", "compile", "ls",
-                 "list", "show", "run-operation", "docs", "source", "retry"],
+                 "list", "show", "run-operation", "docs", "source", "retry",
+                 "clone", "deps"],
     )
     ap.add_argument("subcommand", nargs="?", default=None,
                     help="docs generate | source freshness | run-operation <macro>")
@@ -33,6 +34,8 @@ def main() -> int:
     ap.add_argument("--args", dest="op_args", default=None)
     ap.add_argument("--inline", default=None)
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--defer", action="store_true", dest="defer_flag")
+    ap.add_argument("--empty", action="store_true")
     args = ap.parse_args()
 
     from dbt_spark.runner import Engine
@@ -59,6 +62,10 @@ def main() -> int:
         argv += ["--inline", args.inline]
     if args.limit is not None:
         argv += ["--limit", str(args.limit)]
+    if args.defer_flag:
+        argv.append("--defer")
+    if args.empty:
+        argv.append("--empty")
     result = engine.invoke(argv)
     if result.preview is not None:
         for row in result.preview:

@@ -138,39 +138,75 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
     parts = cfg.partition_by
     parts = [parts] if isinstance(parts, str) else list(parts or [])
 
+    def run_one(batch: Batch, idx: int) -> Relation:
+        """One batch end-to-end on a private context copy (parallel-safe)."""
+        import copy as _copy
+
+        bctx = _copy.copy(ctx)
+        bctx.event_time_filters = {
+            "*": (batch.start.isoformat(sep=" "), batch.end.isoformat(sep=" "))
+        }
+        window = bctx.event_time_filters["*"]
+        df = run_model_df(bctx, node, is_incremental=is_incremental or idx > 0)
+        # defensive scope: the model output itself is clamped to the batch
+        df = df.filter(
+            (F.col(cfg.event_time) >= F.lit(window[0]).cast("timestamp"))
+            & (F.col(cfg.event_time) < F.lit(window[1]).cast("timestamp"))
+        )
+        first_write = not ctx.store.exists(schema, node.name)
+        if parts and not first_write:
+            return ctx.store.overwrite_partitions(schema, node.name, df, parts)
+        if first_write:
+            return ctx.store.write_table(
+                schema, node.name, df, kind="incremental", partition_by=parts
+            )
+        # unpartitioned: ranged delete+insert for this batch window
+        existing = ctx.store.read(schema, node.name)
+        outside = existing.filter(
+            (F.col(cfg.event_time) < F.lit(window[0]).cast("timestamp"))
+            | (F.col(cfg.event_time) >= F.lit(window[1]).cast("timestamp"))
+        )
+        return ctx.store.write_table(
+            schema, node.name, outside.unionByName(df), kind="incremental"
+        )
+
+    # Parallel middle batches iff: opted in (default true), the table is
+    # partitioned (disjoint dynamic-overwrite writes; each Spark write job
+    # stages under its own .spark-staging-<jobId>), and the model doesn't
+    # read `this` (task/run.py:651-665 should_run_in_parallel). First and
+    # last batch always sequential (:762-808).
+    concurrent_ok = (
+        bool(parts)
+        and cfg.meta.get("concurrent_batches", True)
+        and "{{ this }}" not in (node.raw_code or "")
+        and "{{this}}" not in (node.raw_code or "").replace(" ", "")
+    )
+
     failed: list[Batch] = []
     rel: Optional[Relation] = None
-    for i, batch in enumerate(batches):
-        window = (batch.start.isoformat(sep=" "), batch.end.isoformat(sep=" "))
-        ctx.event_time_filters["*"] = window
+
+    def safe(batch: Batch, idx: int) -> Optional[Relation]:
         try:
-            df = run_model_df(ctx, node, is_incremental=is_incremental or i > 0)
-            # defensive scope: the model output itself is clamped to the batch
-            df = df.filter(
-                (F.col(cfg.event_time) >= F.lit(window[0]).cast("timestamp"))
-                & (F.col(cfg.event_time) < F.lit(window[1]).cast("timestamp"))
-            )
-            first_write = not ctx.store.exists(schema, node.name)
-            if parts and not first_write:
-                rel = ctx.store.overwrite_partitions(schema, node.name, df, parts)
-            elif first_write:
-                rel = ctx.store.write_table(
-                    schema, node.name, df, kind="incremental", partition_by=parts
-                )
-            else:
-                # unpartitioned: ranged delete+insert for this batch window
-                existing = ctx.store.read(schema, node.name)
-                outside = existing.filter(
-                    (F.col(cfg.event_time) < F.lit(window[0]).cast("timestamp"))
-                    | (F.col(cfg.event_time) >= F.lit(window[1]).cast("timestamp"))
-                )
-                rel = ctx.store.write_table(
-                    schema, node.name, outside.unionByName(df), kind="incremental"
-                )
-        except Exception:
+            return run_one(batch, idx)
+        except Exception:  # noqa: BLE001
             failed.append(batch)
-        finally:
-            ctx.event_time_filters.pop("*", None)
+            return None
+
+    if len(batches) > 2 and concurrent_ok:
+        from concurrent.futures import ThreadPoolExecutor
+
+        rel = safe(batches[0], 0) or rel
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for r in pool.map(
+                lambda ib: safe(ib[1], ib[0]),
+                list(enumerate(batches))[1:-1],
+            ):
+                rel = r or rel
+        last = len(batches) - 1
+        rel = safe(batches[last], last) or rel
+    else:
+        for i, batch in enumerate(batches):
+            rel = safe(batch, i) or rel
     if failed:
         ids = [b.batch_id for b in failed]
         raise RuntimeError(f"{node.unique_id}: {len(failed)} batch(es) failed: {ids}")

@@ -173,8 +173,15 @@ class Manifest:
         return None
 
     def source_lookup(self, source_name: str, table_name: str) -> Optional[ManifestNode]:
+        # scan (not uid-construct): sources may come from package projects
         uid = f"source.{self.project_name}.{source_name}.{table_name}"
-        return self.sources.get(uid)
+        found = self.sources.get(uid)
+        if found is not None:
+            return found
+        for node in self.sources.values():
+            if node.source_name == source_name and node.name == table_name:
+                return node
+        return None
 
     def writable(self) -> dict:
         """manifest.json-style artifact (schema-compatible subset of v12)."""

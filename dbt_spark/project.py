@@ -37,6 +37,8 @@ class Project:
     snapshot_paths: list[str] = field(default_factory=lambda: ["snapshots"])
     test_paths: list[str] = field(default_factory=lambda: ["tests"])
     macro_paths: list[str] = field(default_factory=lambda: ["macros"])
+    analysis_paths: list[str] = field(default_factory=lambda: ["analyses"])
+    packages: list[dict] = field(default_factory=list)
     vars: dict[str, Any] = field(default_factory=dict)
     model_config: dict[str, Any] = field(default_factory=dict)
     seed_config: dict[str, Any] = field(default_factory=dict)
@@ -74,12 +76,26 @@ class Project:
             snapshot_paths=cfg.get("snapshot-paths", ["snapshots"]),
             test_paths=cfg.get("test-paths", ["tests"]),
             macro_paths=cfg.get("macro-paths", ["macros"]),
+            analysis_paths=cfg.get("analysis-paths", ["analyses"]),
+            packages=cls._load_packages(project_dir),
             vars=cfg.get("vars", {}),
             model_config=cfg.get("models", {}),
             seed_config=cfg.get("seeds", {}),
             on_run_start=[on_start] if isinstance(on_start, str) else list(on_start),
             on_run_end=[on_end] if isinstance(on_end, str) else list(on_end),
         )
+
+    @staticmethod
+    def _load_packages(project_dir: str) -> list[dict]:
+        """packages.yml — the reference supports hub/git/local/tarball
+        (core/dbt/deps/resolver.py:28); offline, only `local:` resolves here;
+        other kinds are surfaced as errors at deps time."""
+        p = os.path.join(project_dir, "packages.yml")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            doc = yaml.safe_load(f) or {}
+        return list(doc.get("packages", []) or [])
 
     def _tree_config(self, tree: dict, rel_dir_parts: list[str]) -> dict[str, Any]:
         """Walk the models:/seeds: config hierarchy for a file's directory."""
@@ -110,13 +126,16 @@ def _walk(root: str, subdirs: list[str], exts: tuple[str, ...]):
                     yield full, os.path.relpath(full, root)
 
 
-def parse_project(project: Project, cache=None) -> Manifest:
+def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = None) -> Manifest:
     """``cache`` is an optional plans.partial.ParseCache: files whose
     checksum is unchanged skip the Jinja parse-render (partial parsing,
-    core/dbt/parser/partial.py:69-170)."""
+    core/dbt/parser/partial.py:69-170). ``manifest`` given → parse INTO it
+    (package projects merging into the root manifest, deps/resolver.py)."""
     from dbt_spark.plans.partial import file_checksum
 
-    manifest = Manifest(project_name=project.name)
+    is_root = manifest is None
+    if manifest is None:
+        manifest = Manifest(project_name=project.name)
     target_ctx = dict(project.profile, name="spark", type="spark")
 
     def cached(full, rel):
@@ -129,11 +148,24 @@ def parse_project(project: Project, cache=None) -> Manifest:
     # --- macros first (models may call them at parse-render time) ---------
     from dbt_spark.plans.macros import extract_generic_tests, extract_macros
 
-    for full, rel in _walk(project.root, project.macro_paths, (".sql",)):
-        with open(full) as f:
-            raw = f.read()
-        manifest.macros.update(extract_macros(raw))
-        manifest.macros.update(extract_generic_tests(raw))
+    macro_roots = [(project.root, project.macro_paths)]
+    if is_root:
+        # package macros join the global namespace BEFORE any model parses
+        # (reference loads all macros first: load_and_parse_macros,
+        # core/dbt/parser/manifest.py:677-704)
+        for pkg in project.packages:
+            if "local" in pkg:
+                pkg_dir = pkg["local"]
+                if not os.path.isabs(pkg_dir):
+                    pkg_dir = os.path.join(project.root, pkg_dir)
+                if os.path.isdir(pkg_dir):
+                    macro_roots.append((pkg_dir, ["macros"]))
+    for mroot, mpaths in macro_roots:
+        for full, rel in _walk(mroot, mpaths, (".sql",)):
+            with open(full) as f:
+                raw = f.read()
+            manifest.macros.update(extract_macros(raw))
+            manifest.macros.update(extract_generic_tests(raw))
 
     # --- models (sql + python) -------------------------------------------
     for full, rel in _walk(project.root, project.model_paths, (".sql", ".py")):
@@ -267,7 +299,41 @@ def parse_project(project: Project, cache=None) -> Manifest:
         _parse_unit_tests(doc, project, manifest, rel)
         _parse_metadata_nodes(doc, project, manifest, rel)
 
-    _resolve_depends_on(manifest)
+    # --- analyses: compile-only nodes (analysis-paths) --------------------
+    for full, rel in _walk(project.root, project.analysis_paths, (".sql",)):
+        name = os.path.splitext(os.path.basename(rel))[0]
+        with open(full) as f:
+            raw = f.read()
+        _, refs, sources, config_calls = parse_render(
+            raw, name, project.vars, target_ctx, macros=manifest.macros
+        )
+        manifest.add(
+            ManifestNode(
+                unique_id=f"analysis.{project.name}.{name}",
+                name=name,
+                package_name=project.name,
+                path=rel,
+                resource_type=NodeType.Analysis,
+                raw_code=raw,
+                config=NodeConfig(materialized="view").merged(**config_calls),
+                refs=refs,
+                sources=sources,
+                fqn=[project.name, name],
+            )
+        )
+
+    # --- local packages merge into the root manifest ----------------------
+    if is_root:
+        for pkg in project.packages:
+            if "local" not in pkg:
+                continue  # hub/git/tarball need `deps` (network) first
+            pkg_dir = pkg["local"]
+            if not os.path.isabs(pkg_dir):
+                pkg_dir = os.path.join(project.root, pkg_dir)
+            sub = Project.load(pkg_dir, profile=dict(project.profile))
+            sub.vars = {**sub.vars, **project.vars}
+            parse_project(sub, cache=None, manifest=manifest)
+        _resolve_depends_on(manifest)
     return manifest
 
 

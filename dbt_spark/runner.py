@@ -65,7 +65,7 @@ RESOURCE_FOR_COMMAND = {
     "build": {NodeType.Model, NodeType.Seed, NodeType.Snapshot, NodeType.Test,
               NodeType.UnitTest, NodeType.Exposure, NodeType.Metric,
               NodeType.SemanticModel, NodeType.SavedQuery},
-    "compile": {NodeType.Model, NodeType.Test},
+    "compile": {NodeType.Model, NodeType.Test, NodeType.Analysis},
     "ls": set(NodeType),
 }
 
@@ -168,6 +168,8 @@ class Engine:
 
         if command == "retry":
             return self._retry(full_refresh=full_refresh, snapshot_ts=snapshot_ts, now=now)
+        if command == "deps":
+            return self._deps()
 
         manifest = self.parse()
         self.state_dir = state_dir
@@ -483,6 +485,32 @@ class Engine:
             results.append(RunResult(uid, "success", time.time() - t0, "cloned"))
         ok = all(r.status in ("success", "skipped") for r in results)
         return RunnerResult(ok, results, manifest)
+
+    def _deps(self) -> RunnerResult:
+        """dbt deps: resolve packages.yml. Local packages resolve in place
+        (deps/local.py:26); hub/git/tarball require network and are reported
+        as errors in this offline engine (deps/{registry,git,tarball}.py)."""
+        results: list[RunResult] = []
+        for pkg in self.project.packages:
+            if "local" in pkg:
+                path = pkg["local"]
+                if not os.path.isabs(path):
+                    path = os.path.join(self.project.root, path)
+                ok = os.path.exists(os.path.join(path, "dbt_project.yml"))
+                results.append(RunResult(
+                    f"package.local.{os.path.basename(path)}",
+                    "success" if ok else "error", 0.0,
+                    path if ok else f"no dbt_project.yml at {path}",
+                ))
+            else:
+                kind = next(iter(pkg.keys() - {"version", "revision"}), "unknown")
+                results.append(RunResult(
+                    f"package.{kind}.{pkg.get(kind, '?')}", "error", 0.0,
+                    f"{kind} packages require network access; vendor the package "
+                    "and use `local:` instead",
+                ))
+        ok = all(r.status == "success" for r in results)
+        return RunnerResult(ok, results, self.manifest)
 
     def _retry(self, **kwargs: Any) -> RunnerResult:
         """dbt retry: re-run previous invocation's failed/skipped nodes

@@ -184,3 +184,50 @@ def test_at_operator_selection(feat):
     r = eng.invoke(["ls", "--select", "@amounts"])
     ids = {x.unique_id for x in r.results}
     assert "model.feat.amounts" in ids
+
+
+def test_local_packages_and_analyses(project_dir, spark, tmp_path):
+    """Local packages merge models+macros into the root manifest
+    (deps/local.py:26, resolver.py:28); analyses are compile-only."""
+    pkg = tmp_path / "pkg_utils"  # inside the project root → `local: pkg_utils`
+    (pkg / "models").mkdir(parents=True)
+    (pkg / "macros").mkdir()
+    (pkg / "dbt_project.yml").write_text("name: pkg_utils\n")
+    (pkg / "macros" / "m.sql").write_text(
+        "{% macro double_it(col) %}({{ col }} * 2){% endmacro %}"
+    )
+    (pkg / "models" / "pkg_orders.sql").write_text(
+        "select o_orderkey, o_totalprice from {{ source('tpch','orders') }}"
+    )
+    pdir = project_dir({
+        "dbt_project.yml": "name: rootp\n",
+        "packages.yml": "packages:\n  - local: pkg_utils\n",
+        "models/sources.yml": f"""
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        meta: {{location: "{SF_DIR}/orders.parquet"}}
+""",
+        "models/uses_pkg.sql": (
+            "select o_orderkey, {{ double_it('o_totalprice') }} as dbl "
+            "from {{ ref('pkg_orders') }}"
+        ),
+        "analyses/ad_hoc.sql": "select count(*) as n from {{ ref('uses_pkg') }}",
+    })
+    eng = Engine(pdir, spark=spark)
+    r = eng.invoke(["deps"])
+    assert r.success, [x.message for x in r.results]
+    m = eng.parse()
+    assert "model.pkg_utils.pkg_orders" in m.nodes
+    assert "analysis.rootp.ad_hoc" in m.nodes
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    df = eng.store.read("main", "uses_pkg")
+    assert df.columns == ["o_orderkey", "dbl"]
+    # analyses compile but never run
+    assert eng.store.get("main", "ad_hoc") is None
+    r = eng.invoke(["compile", "--select", "ad_hoc"])
+    assert r.success
+    compiled = os.path.join(pdir, "target", "compiled", "analyses", "ad_hoc.sql")
+    assert os.path.exists(compiled)

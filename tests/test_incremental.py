@@ -192,3 +192,42 @@ def test_microbatch_builder_grid():
     )
     months = [(x.start.year, x.start.month) for x in bm.build_batches(False)]
     assert months == [(2019, 11), (2019, 12), (2020, 1), (2020, 2)]
+
+
+def test_microbatch_parallel_partitioned(project_dir, spark):
+    """Partitioned microbatch runs middle batches concurrently
+    (task/run.py:744-815: first/last sequential, middle parallel) and lands
+    the same final state as the sequential path."""
+    from dbt_spark.session import read_parquet
+    from tests.conftest import SF_DIR
+
+    files = {
+        "dbt_project.yml": "name: mbp\n",
+        "models/sources.yml": f"""
+sources:
+  - name: tpch
+    tables:
+      - name: events
+        meta: {{location: "{SF_DIR}/events.parquet"}}
+""",
+        "models/daily_events.sql": """
+{{ config(materialized='incremental', incremental_strategy='microbatch',
+          event_time='ts', batch_size='day', begin='2024-01-01', lookback=1,
+          partition_by='event_date') }}
+select event_id, ts, cast(ts as date) as event_date, event_type, value
+from {{ source('tpch', 'events') }}
+""",
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    # events span several days from 2024-01-01; backfill as of Jan 5 noon →
+    # 5 day-batches: first/last sequential, middle three parallel
+    r = eng.invoke(["run"], now=datetime(2024, 1, 5, 12))
+    assert r.success, [x.message for x in r.results]
+    got = eng.store.read("main", "daily_events")
+    expect = (
+        read_parquet(spark, f"{SF_DIR}/events.parquet")
+        .filter("ts < timestamp'2024-01-06'")
+    )
+    assert got.count() == expect.count()
+    assert got.select("event_id").distinct().count() == expect.count()
