@@ -30,6 +30,9 @@ HEADLINE = [
     "rollup_agg",
     "distinct_op",
     "union_all",
+    "join_asof",
+    "join_range",
+    "session_window_agg",
     # LLM-pipeline ops (added as they come online)
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -547,9 +547,120 @@ ORACLES: dict[str, str] = {
                    AS days_to_eoy
         FROM orders
     """,
+    "join_asof": """
+        SELECT e.event_id, e.user_id, e.ts,
+               (SELECT o.o_orderkey FROM orders o
+                WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+                   AS asof_orderkey,
+               (SELECT o.o_totalprice FROM orders o
+                WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+                   AS asof_totalprice
+        FROM events e
+    """,
+    "join_range": """
+        WITH bands(band, lo, hi) AS (
+            VALUES ('P0_50K', 0.0, 50000.0), ('P50_150K', 50000.0, 150000.0),
+                   ('P150_300K', 150000.0, 300000.0), ('P300K_PLUS', 300000.0, 1e12)
+        )
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders JOIN bands
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+    """,
     # approx_distinct: intentionally no oracle (approximate by construction;
     # driver records rows-only check).
 }
+
+
+
+# --------------------------------------------------------------------------
+# as-of join & range (theta) join — engine capabilities beyond the reference
+# (SURVEY §2E last row; Spark-first implementations)
+# --------------------------------------------------------------------------
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order of the same customer with
+    o_orderdate <= ts.
+
+    Spark-first plan: ONE shuffle. Tag both sides, union, sort within each
+    key partition, and carry the last order forward with
+    last(..., ignorenulls=True) — no per-key cross product, no range
+    explosion; scales as sort-merge over (key, time). The naive
+    equi-join + filter + row_number alternative is O(|events|x|orders|)
+    per key and is exactly what this shape avoids at 100 TB."""
+    t = load_tables(spark, sf_dir, "events", "orders")
+    # dedupe orders to one row per (custkey, date): greatest orderkey wins
+    w_dedup = W.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    orders = (
+        t["orders"]
+        .withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderdate").alias("t"),
+            F.col("o_orderkey").alias("ord_key"),
+            F.col("o_totalprice").alias("ord_price"),
+            F.lit(0).alias("is_event"),
+            F.lit(None).cast("bigint").alias("event_id"),
+        )
+    )
+    events = t["events"].select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("bigint").alias("ord_key"),
+        F.lit(None).cast("double").alias("ord_price"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+    )
+    # order rows sort before events at equal t (is_event asc) → <= semantics
+    w = (
+        W.partitionBy("key")
+        .orderBy("t", "is_event", "ord_key")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = orders.unionByName(events).select(
+        "*",
+        F.last("ord_key", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("ord_price", ignorenulls=True).over(w).alias("asof_totalprice"),
+    )
+    return (
+        merged.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.col("t").alias("ts"),
+            "asof_orderkey",
+            "asof_totalprice",
+        )
+    )
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join: orders banded by totalprice against a small interval
+    table. The band side broadcasts (BroadcastNestedLoopJoin on the theta
+    condition) — the scalable shape for interval lookups: never shuffle the
+    fact side on a non-equi key."""
+    t = load_tables(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("P0_50K", 0.0, 50_000.0), ("P50_150K", 50_000.0, 150_000.0),
+         ("P150_300K", 150_000.0, 300_000.0), ("P300K_PLUS", 300_000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    joined = t["orders"].join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        "inner",
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        _dsum("o_totalprice").alias("total"),
+    )
+
 
 QUERIES = {
     "scan_filter_project": scan_filter_project,
@@ -575,4 +686,6 @@ QUERIES = {
     "scalar_string_funcs": scalar_string_funcs,
     "scalar_date_funcs": scalar_date_funcs,
     "approx_distinct": approx_distinct,
+    "join_asof": join_asof,
+    "join_range": join_range,
 }
