@@ -21,7 +21,7 @@ def main() -> int:
         "command",
         choices=["run", "build", "test", "seed", "snapshot", "compile", "ls",
                  "list", "show", "run-operation", "docs", "source", "retry",
-                 "clone", "deps"],
+                 "clone", "deps", "debug", "init"],
     )
     ap.add_argument("subcommand", nargs="?", default=None,
                     help="docs generate | source freshness | run-operation <macro>")
@@ -37,6 +37,9 @@ def main() -> int:
     ap.add_argument("--defer", action="store_true", dest="defer_flag")
     ap.add_argument("--empty", action="store_true")
     args = ap.parse_args()
+
+    if args.command == "init":
+        return _init(args.subcommand or "my_dbt_spark_project")
 
     from dbt_spark.runner import Engine
 
@@ -75,6 +78,54 @@ def main() -> int:
               f"{r.message.splitlines()[0] if r.message else ''}")
     print(f"\n{'OK' if result.success else 'FAILED'}: {len(result.results)} node(s)")
     return 0 if result.success else 1
+
+
+STARTER = {
+    "dbt_project.yml": """name: {name}
+model-paths: ["models"]
+seed-paths: ["seeds"]
+models:
+  {name}:
+    example:
+      +materialized: table
+""",
+    "models/example/my_first_model.sql": """-- start here: `python -m dbt_spark run`
+select 1 as id, 'hello' as greeting
+""",
+    "models/example/my_second_model.sql": """select id, upper(greeting) as greeting
+from {{{{ ref('my_first_model') }}}}
+""",
+    "models/example/schema.yml": """models:
+  - name: my_first_model
+    columns:
+      - name: id
+        data_tests: [not_null, unique]
+  - name: my_second_model
+    columns:
+      - name: id
+        data_tests:
+          - relationships:
+              to: ref('my_first_model')
+              field: id
+""",
+}
+
+
+def _init(name: str) -> int:
+    """Scaffold a starter project (core/dbt/task/init.py:52-297,
+    core/dbt/include/starter_project)."""
+    import os
+
+    if os.path.exists(name):
+        print(f"error: {name} already exists")
+        return 1
+    for rel, content in STARTER.items():
+        p = os.path.join(name, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content.format(name=os.path.basename(name)))
+    print(f"created {name}/ — next: cd {name} && python -m dbt_spark build")
+    return 0
 
 
 if __name__ == "__main__":

@@ -59,10 +59,22 @@ def add_test_edges(graph: nx.DiGraph, manifest: Manifest) -> nx.DiGraph:
         if node.resource_type != NodeType.Test:
             continue
         tested = [d for d in node.depends_on if d in manifest.nodes]
+        # the test's own upstream closure must never become its downstream —
+        # e.g. a relationships test attached to the child model refs the
+        # parent too; the child is both a dep and a successor-of-dep
+        # (reference's second-order edges exclude upstream nodes,
+        # compilation.py:310-365)
+        upstream: set[str] = set(tested)
+        for dep in tested:
+            upstream |= nx.ancestors(graph, dep)
         for dep in tested:
             for succ in list(graph.successors(dep)):
                 succ_node = manifest.nodes.get(succ)
-                if succ_node is not None and succ_node.resource_type != NodeType.Test:
+                if (
+                    succ_node is not None
+                    and succ_node.resource_type != NodeType.Test
+                    and succ not in upstream
+                ):
                     g.add_edge(uid, succ)
     cycles = list(nx.simple_cycles(g))
     if cycles:

@@ -547,6 +547,14 @@ ORACLES: dict[str, str] = {
                    AS days_to_eoy
         FROM orders
     """,
+    "grouping_sets_agg": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """,
     "join_asof": """
         SELECT e.event_id, e.user_id, e.ts,
                (SELECT o.o_orderkey FROM orders o
@@ -580,6 +588,20 @@ ORACLES: dict[str, str] = {
 # as-of join & range (theta) join — engine capabilities beyond the reference
 # (SURVEY §2E last row; Spark-first implementations)
 # --------------------------------------------------------------------------
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS — finer control than rollup/cube (SURVEY §2E
+    capability row). Spark SQL literal; single shuffle with Expand."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)
+
 
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the latest order of the same customer with
@@ -686,6 +708,7 @@ QUERIES = {
     "scalar_string_funcs": scalar_string_funcs,
     "scalar_date_funcs": scalar_date_funcs,
     "approx_distinct": approx_distinct,
+    "grouping_sets_agg": grouping_sets_agg,
     "join_asof": join_asof,
     "join_range": join_range,
 }

@@ -170,6 +170,8 @@ class Engine:
             return self._retry(full_refresh=full_refresh, snapshot_ts=snapshot_ts, now=now)
         if command == "deps":
             return self._deps()
+        if command == "debug":
+            return self._debug()
 
         manifest = self.parse()
         self.state_dir = state_dir
@@ -485,6 +487,43 @@ class Engine:
             results.append(RunResult(uid, "success", time.time() - t0, "cloned"))
         ok = all(r.status in ("success", "skipped") for r in results)
         return RunnerResult(ok, results, manifest)
+
+    def _debug(self) -> RunnerResult:
+        """dbt debug: project/profile/connection checks
+        (core/dbt/task/debug.py:74-171)."""
+        results: list[RunResult] = []
+
+        def check(name: str, fn) -> None:
+            t0 = time.time()
+            try:
+                msg = fn() or "OK"
+                results.append(RunResult(f"debug.{name}", "success",
+                                         time.time() - t0, str(msg)))
+            except Exception as e:  # noqa: BLE001
+                results.append(RunResult(f"debug.{name}", "error",
+                                         time.time() - t0, str(e)))
+
+        check("project", lambda: f"dbt_project.yml at {self.project.root}")
+        check("profile", lambda: f"warehouse={self.project.profile['warehouse']} "
+                                 f"schema={self.project.profile['schema']} "
+                                 f"threads={self.project.profile['threads']}")
+        check("parse", lambda: f"{len(self.parse().nodes)} node(s)")
+        check("spark", lambda: f"Spark {self.spark.version} "
+                               f"({self.spark.sparkContext.master})")
+        check("connection", lambda: str(
+            self.spark.sql("SELECT 1 AS ok").collect()[0]["ok"]) and "query OK")
+
+        def warehouse_writable() -> str:
+            probe = os.path.join(self.project.profile["warehouse"], ".dbt_probe")
+            os.makedirs(self.project.profile["warehouse"], exist_ok=True)
+            with open(probe, "w") as f:
+                f.write("ok")
+            os.remove(probe)
+            return "writable"
+
+        check("warehouse", warehouse_writable)
+        ok = all(r.status == "success" for r in results)
+        return RunnerResult(ok, results, self.manifest)
 
     def _deps(self) -> RunnerResult:
         """dbt deps: resolve packages.yml. Local packages resolve in place

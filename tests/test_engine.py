@@ -243,3 +243,30 @@ def test_hooks_and_vars(project_dir, spark):
     assert eng.invoke(["run"]).success
     rows = eng.store.read("main", "scaled").orderBy("scaled").collect()
     assert [r["scaled"] for r in rows] == [3, 6]
+
+
+def test_relationships_test_on_child_no_cycle(project_dir, spark):
+    """A relationships test attached to the child model whose to: target is
+    also the child's upstream must not cycle the build graph
+    (second-order test edges exclude the test's upstream closure)."""
+    from dbt_spark.runner import Engine
+
+    root = project_dir({
+        "dbt_project.yml": "name: cyc\n",
+        "models/parent.sql": "select 1 as id",
+        "models/child.sql": "select id from {{ ref('parent') }}",
+        "models/schema.yml": """
+models:
+  - name: child
+    columns:
+      - name: id
+        data_tests:
+          - relationships:
+              to: ref('parent')
+              field: id
+""",
+    })
+    r = Engine(root, spark=spark).invoke(["build"])
+    assert r.success, [x.message for x in r.results]
+    assert any("relationships" in x.unique_id and x.status == "pass"
+               for x in r.results)
