@@ -697,20 +697,49 @@ class Engine:
 
 def compile_sql_lenient(ctx: ExecutionContext, node: ManifestNode) -> str:
     """Compile-time ref resolution that doesn't require built relations:
-    refs render to their would-be identifiers (target/compiled parity)."""
+    refs render to their would-be identifiers, and ephemeral refs inline as
+    ``WITH __dbt__cte__<name>`` clauses (target/compiled parity with
+    core/dbt/compilation.py:493-583 _recursively_prepend_ctes; prefix
+    add_ephemeral_prefix :488-491)."""
     from dbt_spark.plans.compile import runtime_render
 
-    return runtime_render(
-        node,
-        ctx.manifest,
-        resolve_ref=lambda n: ctx.identifier_for(n),
-        resolve_source=lambda n: f"src__{n.source_name}__{n.name}",
-        this_name=ctx.identifier_for(node),
-        is_incremental=False,
-        full_refresh=ctx.full_refresh,
-        var_overrides={**ctx.project.vars, **ctx.vars},
-        target=dict(ctx.project.profile),
-    ).strip().rstrip(";")
+    ctes: dict[str, str] = {}  # name -> compiled body, dependency-ordered
+    visiting: set[str] = set()
+
+    def render_one(n: ManifestNode) -> str:
+        def resolve_ref(dep: ManifestNode) -> str:
+            if dep.is_ephemeral:
+                if dep.name not in ctes and dep.name not in visiting:
+                    visiting.add(dep.name)
+                    # render FIRST so transitive CTEs insert before this one
+                    body = render_one(dep)
+                    ctes[dep.name] = body
+                return f"__dbt__cte__{dep.name}"
+            return ctx.identifier_for(dep)
+
+        return runtime_render(
+            n,
+            ctx.manifest,
+            resolve_ref=resolve_ref,
+            resolve_source=lambda s: f"src__{s.source_name}__{s.name}",
+            this_name=ctx.identifier_for(n),
+            is_incremental=False,
+            full_refresh=ctx.full_refresh,
+            var_overrides={**ctx.project.vars, **ctx.vars},
+            target=dict(ctx.project.profile),
+        ).strip().rstrip(";")
+
+    sql = render_one(node)
+    if not ctes:
+        return sql
+    cte_clause = ",\n".join(
+        f"__dbt__cte__{name} as (\n{body}\n)" for name, body in ctes.items()
+    )
+    stripped = sql.lstrip()
+    if stripped[:4].lower() == "with":
+        # merge with the model's own WITH clause
+        return f"with {cte_clause},\n{stripped[4:].lstrip()}"
+    return f"with {cte_clause}\n{sql}"
 
 
 def invoke(project_dir: str, args: list[str], **kwargs: Any) -> RunnerResult:

@@ -2,6 +2,8 @@
 table → generic tests), mirroring tests/functional/basic/test_jaffle_shop.py
 in the reference (inline fixtures, real commands, assertions on relations)."""
 
+import os
+
 import pytest
 
 from dbt_spark.runner import Engine
@@ -270,3 +272,34 @@ models:
     assert r.success, [x.message for x in r.results]
     assert any("relationships" in x.unique_id and x.status == "pass"
                for x in r.results)
+
+
+def test_compile_inlines_ephemeral_ctes(project_dir, spark):
+    """`compile` output inlines ephemeral refs as __dbt__cte__ clauses
+    (compilation.py:493-583), including transitive chains and models with
+    their own WITH clause."""
+    from dbt_spark.runner import Engine
+
+    root = project_dir({
+        "dbt_project.yml": "name: eph\n",
+        "models/base.sql": "{{ config(materialized='ephemeral') }} select 1 as id",
+        "models/mid.sql": (
+            "{{ config(materialized='ephemeral') }} "
+            "select id, id * 2 as dbl from {{ ref('base') }}"
+        ),
+        "models/final.sql": (
+            "with local_cte as (select 10 as bonus) "
+            "select m.id, m.dbl + b.bonus as v from {{ ref('mid') }} m "
+            "cross join local_cte b"
+        ),
+    })
+    eng = Engine(root, spark=spark)
+    r = eng.invoke(["compile", "--select", "final"])
+    assert r.success, [x.message for x in r.results]
+    compiled = open(os.path.join(root, "target", "compiled", "models", "final.sql")).read()
+    assert "__dbt__cte__mid" in compiled and "__dbt__cte__base" in compiled
+    # merged into ONE with-clause; base (transitive dep) defined before use
+    assert compiled.lower().count("with ") == 1
+    assert compiled.index("__dbt__cte__base") < compiled.index("select id, id * 2")
+    # the compiled string is self-contained runnable SQL
+    assert spark.sql(compiled).collect()[0]["v"] == 12
