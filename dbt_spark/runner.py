@@ -90,6 +90,11 @@ class Engine:
         # (reference: --vars merge scope, core/dbt/context/providers.py:806-848)
         self.project.vars = {**self.project.vars, **self.vars}
         self.manifest: Optional[Manifest] = None
+        from dbt_spark.events import EventBus
+
+        self.events = EventBus(
+            os.path.join(self.project.root, "target", "logs", "dbt.log.jsonl")
+        )
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -189,6 +194,7 @@ class Engine:
         graph = Linker().link_graph(manifest)
         if command == "build":
             graph = add_test_edges(graph, manifest)
+        self._write_graph_summary(graph)
 
         selected = select_nodes(
             manifest, graph, select or None, exclude or None, state=self._load_state()
@@ -243,10 +249,17 @@ class Engine:
                     continue
                 node = manifest.nodes[uid]
                 t0 = time.time()
+                self.events.fire("NodeStart", node_id=uid)
                 try:
                     self._execute_node(ctx, node, command, results, t0)
                     queue.mark_done(uid)
+                    self.events.fire(
+                        "NodeFinished", node_id=uid, status="success",
+                        execution_time=round(time.time() - t0, 4),
+                    )
                 except Exception as e:  # noqa: BLE001
+                    self.events.fire("NodeFinished", node_id=uid, status="error",
+                                     level="error", msg=str(e)[:300])
                     if not isinstance(e, TestFailure):
                         # test failures already appended their own result row
                         results.append(
@@ -268,7 +281,23 @@ class Engine:
 
         success = all(r.status in ("success", "pass", "warn", "skipped") for r in results)
         self._write_run_results(results, success, command=command)
+        self.events.fire("CommandCompleted", command=command, success=success,
+                         elapsed=sum(r.execution_time for r in results))
         return RunnerResult(success=success, results=results, manifest=manifest)
+
+    def _write_graph_summary(self, graph) -> None:
+        """graph_summary.json (compilation.py:679-689 writes graph.gpickle +
+        summary; the summary alone serves the same introspection need)."""
+        target_dir = os.path.join(self.project.root, "target")
+        os.makedirs(target_dir, exist_ok=True)
+        summary = {
+            "_invocation_id": self.events.invocation_id,
+            "linked": {
+                n: sorted(graph.successors(n)) for n in sorted(graph.nodes)
+            },
+        }
+        with open(os.path.join(target_dir, "graph_summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
 
     # -- secondary commands ---------------------------------------------------
 

@@ -231,3 +231,22 @@ sources:
     assert r.success
     compiled = os.path.join(pdir, "target", "compiled", "analyses", "ad_hoc.sql")
     assert os.path.exists(compiled)
+
+
+def test_structured_events_and_graph_summary(feat):
+    """JSON-line event log + graph_summary.json artifacts
+    (core/dbt/events pattern; compilation.py:679-689)."""
+    eng, pdir = feat
+    r = eng.invoke(["run"])
+    assert r.success
+    log_path = os.path.join(pdir, "target", "logs", "dbt.log.jsonl")
+    events = [json.loads(x) for x in open(log_path)]
+    names = [e["info"]["name"] for e in events]
+    assert "NodeStart" in names and "NodeFinished" in names
+    assert "CommandCompleted" in names
+    fin = next(e for e in events if e["info"]["name"] == "NodeFinished")
+    assert fin["data"]["node_id"] == "model.feat.amounts"
+    assert all(e["info"]["invocation_id"] for e in events)
+    summary = json.load(open(os.path.join(pdir, "target", "graph_summary.json")))
+    assert "source.feat.tpch.orders" in summary["linked"]
+    assert "model.feat.amounts" in summary["linked"]["source.feat.tpch.orders"]
