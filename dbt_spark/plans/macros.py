@@ -33,9 +33,20 @@ TEST_BLOCK_RE = re.compile(
 )
 
 
+DOCS_BLOCK_RE = re.compile(
+    r"{%-?\s*docs\s+(\w+)\s*-?%}(.*?){%-?\s*enddocs\s*-?%}", re.DOTALL
+)
+
+
 def extract_macros(raw: str) -> dict[str, str]:
     """name -> full ``{% macro %}…{% endmacro %}`` source text."""
     return {m.group(2): m.group(1) for m in MACRO_BLOCK_RE.finditer(raw)}
+
+
+def extract_docs(raw: str) -> dict[str, str]:
+    """{% docs name %} text {% enddocs %} → name → markdown text
+    (DocumentationParser; referenced via doc() in YAML descriptions)."""
+    return {m.group(1): m.group(2).strip() for m in DOCS_BLOCK_RE.finditer(raw)}
 
 
 def extract_generic_tests(raw: str) -> dict[str, str]:

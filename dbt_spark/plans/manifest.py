@@ -153,6 +153,7 @@ class Manifest:
     nodes: dict[str, ManifestNode] = field(default_factory=dict)
     sources: dict[str, ManifestNode] = field(default_factory=dict)
     macros: dict[str, Any] = field(default_factory=dict)
+    docs: dict[str, str] = field(default_factory=dict)  # {% docs %} blocks
     project_name: str = "project"
 
     def add(self, node: ManifestNode) -> None:

@@ -167,6 +167,15 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
             manifest.macros.update(extract_macros(raw))
             manifest.macros.update(extract_generic_tests(raw))
 
+    # --- {% docs %} markdown blocks (DocumentationParser) ------------------
+    from dbt_spark.plans.macros import extract_docs
+
+    for full, rel in _walk(
+        project.root, project.model_paths + project.macro_paths, (".md",)
+    ):
+        with open(full) as f:
+            manifest.docs.update(extract_docs(f.read()))
+
     # --- models (sql + python) -------------------------------------------
     for full, rel in _walk(project.root, project.model_paths, (".sql", ".py")):
         ck, hit = cached(full, rel)
@@ -427,7 +436,9 @@ def _parse_model_patches(doc: dict, project: Project, manifest: Manifest, rel: s
             node = manifest.nodes.get(uid)
             if node is None:
                 continue
-            node.description = patch.get("description", "")
+            node.description = _render_description(
+                patch.get("description", ""), manifest
+            )
             if patch.get("config"):
                 node.config = node.config.merged(**patch["config"])
             for col in patch.get("columns", []) or []:
@@ -491,6 +502,21 @@ def _attach_column_tests(
             add_test(spec, col["name"])
     for spec in (patch.get("data_tests") or patch.get("tests") or []):
         add_test(spec, None)
+
+
+def _render_description(text: str, manifest: Manifest) -> str:
+    """Render {{ doc('name') }} references in YAML descriptions
+    (core/dbt/parser/manifest.py process_docs :1235)."""
+    if not text or "{{" not in text:
+        return text
+    try:
+        import jinja2
+
+        return jinja2.Environment().from_string(text).render(
+            doc=lambda *args: manifest.docs.get(args[-1], "")
+        )
+    except jinja2.TemplateError:
+        return text
 
 
 def _parse_unit_tests(doc: dict, project: Project, manifest: Manifest, rel: str) -> None:

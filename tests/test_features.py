@@ -250,3 +250,24 @@ def test_structured_events_and_graph_summary(feat):
     summary = json.load(open(os.path.join(pdir, "target", "graph_summary.json")))
     assert "source.feat.tpch.orders" in summary["linked"]
     assert "model.feat.amounts" in summary["linked"]["source.feat.tpch.orders"]
+
+
+def test_docs_blocks_and_doc_function(project_dir, spark):
+    """{% docs %} markdown blocks + {{ doc() }} in YAML descriptions
+    (DocumentationParser; process_docs manifest.py:1235)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: docp\n",
+        "models/overview.md": (
+            "{% docs orders_doc %}\nEvery order placed.\n{% enddocs %}"
+        ),
+        "models/m1.sql": "select 1 as id",
+        "models/schema.yml": """
+models:
+  - name: m1
+    description: "{{ doc('orders_doc') }}"
+""",
+    })
+    eng = Engine(pdir, spark=spark)
+    m = eng.parse()
+    assert m.docs["orders_doc"] == "Every order placed."
+    assert m.nodes["model.docp.m1"].description == "Every order placed."
