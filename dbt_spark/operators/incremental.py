@@ -155,6 +155,9 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
         ctx.store.register(ctx.store.get(schema, node.name))
 
     new = run_model_df(ctx, node, is_incremental=is_incremental)
+    from dbt_spark.operators.contracts import enforce_contract
+
+    enforce_contract(node, new)
 
     if not is_incremental:
         return ctx.store.write_table(

@@ -225,14 +225,21 @@ def _run_python_model(ctx: ExecutionContext, node: ManifestNode) -> DataFrame:
 
 
 def materialize_view(ctx: ExecutionContext, node: ManifestNode) -> Relation:
+    from dbt_spark.operators.contracts import enforce_contract
+
     ctx.ensure_upstream_registered(node)
     sql = compile_sql(ctx, node)
     node.compiled_code = sql
+    if node.config.contract.get("enforced"):
+        enforce_contract(node, ctx.spark.sql(sql))  # schema-only, no execution
     return ctx.store.save_view(ctx.schema_for(node), node.name, sql)
 
 
 def materialize_table(ctx: ExecutionContext, node: ManifestNode) -> Relation:
+    from dbt_spark.operators.contracts import enforce_contract
+
     df = run_model_df(ctx, node)
+    enforce_contract(node, df)
     partition_by = node.config.partition_by
     if isinstance(partition_by, str):
         partition_by = [partition_by]

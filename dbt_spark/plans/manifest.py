@@ -95,6 +95,10 @@ class NodeConfig:
     # seeds
     delimiter: str = ","
     column_types: dict[str, str] = field(default_factory=dict)
+    # contracts + access (v1/config.py:33-36,124-127; model.py access)
+    contract: dict[str, Any] = field(default_factory=dict)  # {enforced: bool}
+    access: str = "protected"  # public | protected | private
+    group: Optional[str] = None
     meta: dict[str, Any] = field(default_factory=dict)
 
     def merged(self, **overrides: Any) -> "NodeConfig":

@@ -504,6 +504,37 @@ def _attach_column_tests(
         add_test(spec, None)
 
 
+def _validate_access(
+    consumer: ManifestNode, target: ManifestNode, manifest: Manifest
+) -> None:
+    """access: private → same group only; protected → same package or the
+    installing root project; public → anyone
+    (core/dbt/context/providers.py:603-622)."""
+    access = getattr(target.config, "access", "protected")
+    if access == "public":
+        return
+    if access == "private":
+        if (target.config.group or consumer.config.group) and (
+            target.config.group != consumer.config.group
+        ):
+            raise CompilationError(
+                f"{consumer.unique_id}: cannot ref private model "
+                f"'{target.name}' (group {target.config.group!r} != "
+                f"{consumer.config.group!r})"
+            )
+        return
+    # protected (default): same package, or the root project that installed it
+    if (
+        target.package_name != consumer.package_name
+        and consumer.package_name != manifest.project_name
+    ):
+        raise CompilationError(
+            f"{consumer.unique_id}: cannot ref protected model "
+            f"'{target.name}' from package {consumer.package_name!r} "
+            f"(defined in {target.package_name!r}; set access: public)"
+        )
+
+
 def _render_description(text: str, manifest: Manifest) -> str:
     """Render {{ doc('name') }} references in YAML descriptions
     (core/dbt/parser/manifest.py process_docs :1235)."""
@@ -593,12 +624,14 @@ def _parse_metadata_nodes(doc: dict, project: Project, manifest: Manifest, rel: 
 
 
 def _resolve_depends_on(manifest: Manifest) -> None:
-    """process_refs/process_sources (core/dbt/parser/manifest.py:1138,1307)."""
+    """process_refs/process_sources (core/dbt/parser/manifest.py:1138,1307)
+    + private/protected access validation (providers.py:603-622)."""
     for node in list(manifest.nodes.values()):
         for package, name in node.refs:
             found = manifest.ref_lookup(name, package)
             if found is None:
                 raise CompilationError(f"{node.unique_id}: ref('{name}') does not exist")
+            _validate_access(node, found, manifest)
             if found.unique_id not in node.depends_on:
                 node.depends_on.append(found.unique_id)
         for src_name, tbl_name in node.sources:

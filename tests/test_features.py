@@ -271,3 +271,53 @@ models:
     m = eng.parse()
     assert m.docs["orders_doc"] == "Every order placed."
     assert m.nodes["model.docp.m1"].description == "Every order placed."
+
+
+def test_contract_enforced(project_dir, spark):
+    """contract: {enforced: true} validates names + parsed types
+    (v1/config.py:33-36; types compared structurally: bigint == long)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: ctr\n",
+        "models/good.sql": "select cast(1 as bigint) as id, 'x' as label",
+        "models/bad.sql": "select cast(1 as bigint) as id, 2.5 as extra_col",
+        "models/schema.yml": """
+models:
+  - name: good
+    config: {contract: {enforced: true}, materialized: table}
+    columns:
+      - {name: id, data_type: long}
+      - {name: label, data_type: string}
+  - name: bad
+    config: {contract: {enforced: true}, materialized: table}
+    columns:
+      - {name: id, data_type: bigint}
+      - {name: label, data_type: string}
+""",
+    })
+    eng = Engine(pdir, spark=spark)
+    r = eng.invoke(["run", "--select", "good"])
+    assert r.success, [x.message for x in r.results]
+    r = eng.invoke(["run", "--select", "bad"])
+    assert not r.success
+    msg = r.by_id("model.ctr.bad").message
+    assert "contract violated" in msg and "label" in msg and "extra_col" in msg
+
+
+def test_access_private_and_protected(project_dir, spark, tmp_path):
+    """private → same group only; protected → same package only
+    (providers.py:603-622)."""
+    from dbt_spark.plans.compile import CompilationError
+
+    pdir = project_dir({
+        "dbt_project.yml": "name: acc\n",
+        "models/secret.sql": "{{ config(access='private', group='finance') }} select 1 as id",
+        "models/outsider.sql": "{{ config(group='marketing') }} select * from {{ ref('secret') }}",
+    })
+    eng = Engine(pdir, spark=spark)
+    with pytest.raises(CompilationError, match="private"):
+        eng.parse()
+    # same group is allowed
+    with open(os.path.join(pdir, "models", "outsider.sql"), "w") as f:
+        f.write("{{ config(group='finance') }} select * from {{ ref('secret') }}")
+    m = eng.parse()
+    assert "model.acc.outsider" in m.nodes
