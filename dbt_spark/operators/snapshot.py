@@ -32,6 +32,29 @@ from dbt_spark.plans.manifest import ManifestNode
 META_COLS = ["dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to"]
 
 
+def _meta_renames(node: ManifestNode) -> dict[str, str]:
+    """snapshot_meta_column_names (v1/snapshot.py:35-42): internal name →
+    user-facing name. Internal computation always uses dbt_* names; the
+    mapping is applied at the write boundary and reversed at read."""
+    custom = node.config.meta.get("snapshot_meta_column_names") or {}
+    return {k: v for k, v in custom.items()
+            if k in META_COLS + ["dbt_is_deleted"] and v}
+
+
+def _to_external(df: DataFrame, node: ManifestNode) -> DataFrame:
+    for internal, external in _meta_renames(node).items():
+        if internal in df.columns:
+            df = df.withColumnRenamed(internal, external)
+    return df
+
+
+def _to_internal(df: DataFrame, node: ManifestNode) -> DataFrame:
+    for internal, external in _meta_renames(node).items():
+        if external in df.columns:
+            df = df.withColumnRenamed(external, internal)
+    return df
+
+
 def _keys(node: ManifestNode) -> list[str]:
     uk = node.config.unique_key
     return [uk] if isinstance(uk, str) else list(uk)
@@ -83,10 +106,10 @@ def materialize_snapshot(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     source = run_model_df(ctx, node)
 
     if not ctx.store.exists(schema, node.name):
-        first = _with_meta(source, node, run_ts)
+        first = _to_external(_with_meta(source, node, run_ts), node)
         return ctx.store.write_table(schema, node.name, first, kind="snapshot")
 
-    snap = ctx.store.read(schema, node.name)
+    snap = _to_internal(ctx.store.read(schema, node.name), node)
     has_deleted_col = "dbt_is_deleted" in snap.columns
     history = snap.filter(F.col("dbt_valid_to").isNotNull())
     current = snap.filter(F.col("dbt_valid_to").isNull())
@@ -160,4 +183,6 @@ def materialize_snapshot(ctx: ExecutionContext, node: ManifestNode) -> Relation:
         new_snap = new_snap.unionByName(markers, allowMissingColumns=True)
         new_snap = new_snap.fillna(False, subset=["dbt_is_deleted"])
 
-    return ctx.store.write_table(schema, node.name, new_snap, kind="snapshot")
+    return ctx.store.write_table(
+        schema, node.name, _to_external(new_snap, node), kind="snapshot"
+    )

@@ -129,7 +129,11 @@ def run_test(ctx: ExecutionContext, node: ManifestNode) -> TestResult:
     node.compiled_code = sql
     failures_df: DataFrame = ctx.spark.sql(sql)
 
-    if node.config.store_failures:
+    store_as = node.config.meta.get("store_failures_as")
+    if store_as == "view":
+        # persisted failing-rows VIEW (store_failures_as, v1/config.py:184-230)
+        ctx.store.save_view(f"{ctx.schema}_dbt_test__audit", node.name, sql)
+    elif node.config.store_failures or store_as == "table":
         ctx.store.write_table(
             f"{ctx.schema}_dbt_test__audit", node.name, failures_df, kind="table"
         )

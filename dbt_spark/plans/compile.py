@@ -92,13 +92,19 @@ def parse_render(
     config_calls: dict[str, Any] = {}
 
     def ref(*args: str, **kwargs: Any) -> str:
+        version = kwargs.get("version", kwargs.get("v"))
+        name = args[-1] if args else ""
+        if version is not None:
+            # versioned ref: resolves to the node parsed from <name>_v<k>.sql
+            # (ref(name, version=) surface, providers.py:576-673)
+            name = f"{name}_v{version}"
         if len(args) == 1:
-            refs.append((None, args[0]))
+            refs.append((None, name))
         elif len(args) == 2:
-            refs.append((args[0], args[1]))
+            refs.append((args[0], name))
         else:
             raise CompilationError(f"ref() takes 1-2 args, got {len(args)}")
-        return f"__ref__{args[-1]}"
+        return f"__ref__{name}"
 
     def source(source_name: str, table_name: str) -> str:
         sources.append((source_name, table_name))
@@ -190,6 +196,9 @@ def runtime_render(
 
     def ref(*args: str, **kwargs: Any) -> str:
         package, name = (None, args[0]) if len(args) == 1 else (args[0], args[1])
+        version = kwargs.get("version", kwargs.get("v"))
+        if version is not None:
+            name = f"{name}_v{version}"
         found = manifest.ref_lookup(name, package)
         if found is None:
             raise CompilationError(f"{node.unique_id}: ref('{name}') not found")

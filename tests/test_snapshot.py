@@ -3,6 +3,7 @@
 Scenario mirrors FIXTURES.md §5: insert v1 rows → snapshot → mutate subset +
 delete one → snapshot → assert closed/current/deleted rows."""
 
+import os
 from pathlib import Path
 
 from dbt_spark.runner import Engine
@@ -124,3 +125,59 @@ def test_snapshot_config_validation(project_dir, spark):
 
     with pytest.raises(CompilationError, match="updated_at"):
         Engine(root, spark=spark).parse()
+
+
+def test_snapshot_meta_column_renames(project_dir, spark):
+    """snapshot_meta_column_names (v1/snapshot.py:35-42): user-facing names
+    for the SCD2 meta columns, stable across successive runs."""
+    from dbt_spark.runner import Engine
+
+    root = project_dir({
+        "dbt_project.yml": "name: smr\n",
+        "seeds/people.csv": "id,name\n1,ann\n2,bob\n",
+        "snapshots/people_snap.sql": """
+{% snapshot people_snap %}
+{{ config(unique_key='id', strategy='check', check_cols=['name'],
+          snapshot_meta_column_names={'dbt_valid_from': 'valid_from',
+                                      'dbt_valid_to': 'valid_to',
+                                      'dbt_scd_id': 'scd_id'}) }}
+select * from {{ ref('people') }}
+{% endsnapshot %}
+""",
+    })
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["snapshot"], snapshot_ts="2021-01-01 00:00:00")
+    assert r.success, [x.message for x in r.results]
+    snap = eng.store.read("main", "people_snap")
+    assert {"valid_from", "valid_to", "scd_id"} <= set(snap.columns)
+    assert "dbt_valid_from" not in snap.columns
+    # change a row, snapshot again: rename survives the round-trip
+    (root_path := os.path.join(root, "seeds", "people.csv"))
+    with open(root_path, "w") as f:
+        f.write("id,name\n1,ann\n2,bobby\n")
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["snapshot"], snapshot_ts="2021-06-01 00:00:00")
+    assert r.success, [x.message for x in r.results]
+    snap = eng.store.read("main", "people_snap")
+    assert snap.count() == 3  # 2 current + 1 closed
+    closed = snap.filter("valid_to is not null").collect()
+    assert len(closed) == 1 and closed[0]["name"] == "bob"
+
+
+def test_versioned_ref(project_dir, spark):
+    """ref('m', version=2) resolves to the v2 model (providers.py:576-673)."""
+    from dbt_spark.runner import Engine
+
+    root = project_dir({
+        "dbt_project.yml": "name: ver\n",
+        "models/api_v1.sql": "select 1 as id, 'old' as flavor",
+        "models/api_v2.sql": "select 1 as id, 'new' as flavor, true as extra",
+        "models/consumer.sql": "select * from {{ ref('api', version=2) }}",
+    })
+    eng = Engine(root, spark=spark)
+    m = eng.parse()
+    assert "model.ver.api_v2" in m.nodes["model.ver.consumer"].depends_on
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    assert "extra" in eng.store.read("main", "consumer").columns
