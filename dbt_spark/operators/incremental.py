@@ -116,6 +116,17 @@ def _scoped_rewrite(
     existing, new = apply_schema_change(
         existing, new, node.config.on_schema_change, node.unique_id
     )
+    # incremental_predicates: extra SQL predicates bounding which target rows
+    # are even considered for matching (v1/config.py incremental_predicates —
+    # the standard trick to keep a 100 TB merge from scanning history).
+    # Rows excluded by a predicate are passed through unchanged.
+    predicates = node.config.meta.get("incremental_predicates") or []
+    untouched = None
+    if predicates:
+        pred_expr = " AND ".join(f"({p})" for p in predicates)
+        untouched = existing.filter(f"NOT ({pred_expr})")
+        existing = existing.filter(pred_expr)
+
     if parts:
         # 1. find touched partitions from the new batch (small: distinct on
         #    partition cols); 2. read ONLY those partitions from the target
@@ -133,8 +144,14 @@ def _scoped_rewrite(
             pred = clause if pred is None else (pred | clause)
         scoped_existing = existing.filter(pred)
         combined = combine(scoped_existing, new, keys)
+        if untouched is not None:
+            # predicate-excluded rows living in TOUCHED partitions must ride
+            # along (dynamic overwrite rewrites whole partitions)
+            combined = combined.unionByName(untouched.filter(pred))
         return ctx.store.overwrite_partitions(schema, node.name, combined, parts)
     combined = combine(existing, new, keys)
+    if untouched is not None:
+        combined = combined.unionByName(untouched)
     return ctx.store.write_table(schema, node.name, combined, kind="incremental")
 
 

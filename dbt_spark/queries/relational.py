@@ -547,6 +547,13 @@ ORACLES: dict[str, str] = {
                    AS days_to_eoy
         FROM orders
     """,
+    "agg_salted_twophase": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
     "grouping_sets_agg": """
         SELECT o_orderstatus, o_orderpriority,
                CAST(count(*) AS BIGINT) AS n,
@@ -588,6 +595,31 @@ ORACLES: dict[str, str] = {
 # as-of join & range (theta) join — engine capabilities beyond the reference
 # (SURVEY §2E last row; Spark-first implementations)
 # --------------------------------------------------------------------------
+
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation: explicit salt → partial agg → final agg.
+
+    At 100 TB a groupBy on a low-cardinality/skewed key funnels whole keys
+    through single reducers; salting fans each hot key across
+    ``n_salts`` reducers, then a cheap second agg (n_keys × n_salts rows)
+    folds the partials. Result is identical to the plain GROUP BY — proven
+    here by the oracle. (Spark's partial aggregation + AQE skew handling
+    cover many cases; explicit salting is the pattern for the rest, e.g.
+    high-cardinality aggregation states like collect_list/HLL merge.)"""
+    t = load_tables(spark, sf_dir, "events")
+    n_salts = 16
+    salted = t["events"].withColumn(
+        "__salt", (F.xxhash64("event_id") % n_salts).cast("int")
+    )
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("bigint").alias("n_events"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )
+
 
 def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY GROUPING SETS — finer control than rollup/cube (SURVEY §2E
@@ -708,6 +740,7 @@ QUERIES = {
     "scalar_string_funcs": scalar_string_funcs,
     "scalar_date_funcs": scalar_date_funcs,
     "approx_distinct": approx_distinct,
+    "agg_salted_twophase": agg_salted_twophase,
     "grouping_sets_agg": grouping_sets_agg,
     "join_asof": join_asof,
     "join_range": join_range,

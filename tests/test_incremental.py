@@ -231,3 +231,41 @@ from {{ source('tpch', 'events') }}
     )
     assert got.count() == expect.count()
     assert got.select("event_id").distinct().count() == expect.count()
+
+
+def test_incremental_predicates_scope_merge(project_dir, spark):
+    """incremental_predicates bound the target-side match scan; excluded rows
+    pass through unchanged (the keep-merge-off-cold-history knob)."""
+    from tests.conftest import SF_DIR
+
+    files = {
+        "dbt_project.yml": "name: ipred\n",
+        "models/sources.yml": f"""
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        meta: {{location: "{SF_DIR}/orders.parquet"}}
+""",
+        "models/tgt.sql": """
+{{ config(materialized='incremental', incremental_strategy='merge',
+          unique_key='o_orderkey',
+          incremental_predicates=["o_orderdate >= timestamp'1998-01-01'"]) }}
+select o_orderkey, o_orderstatus, o_orderdate from {{ source('tpch','orders') }}
+{% if is_incremental() %} where 1 = 0 {% endif %}
+""",
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    before = eng.store.read("main", "tgt")
+    n_total = before.count()
+    n_cold = before.filter("o_orderdate < timestamp'1998-01-01'").count()
+    assert n_cold > 0
+    # incremental run with an empty batch: nothing matched, nothing lost
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    after = eng.store.read("main", "tgt")
+    assert after.count() == n_total
+    assert after.filter("o_orderdate < timestamp'1998-01-01'").count() == n_cold
