@@ -33,6 +33,8 @@ HEADLINE = [
     "join_asof",
     "join_range",
     "session_window_agg",
+    "agg_salted_twophase",
+    "grouping_sets_agg",
     # LLM-pipeline ops (added as they come online)
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -165,3 +165,72 @@ def cosine_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_pred: F.Column,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into inverted lists by nearest
+    centroid; queries probe only the ``nprobe`` nearest lists, exact re-rank
+    within.
+
+    Centroids are deterministic — the embeddings of the ``n_centroids``
+    lowest ids (a seeded-kmeans stand-in; swap in trained centroids without
+    changing the join shape). At scale the corpus is hash-partitioned by
+    ``cell``, the (tiny) centroid set and query side broadcast; probe cost is
+    |corpus|·nprobe/n_centroids instead of |corpus|."""
+    centroids = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            _dot_exact(vec_col, vec_col).alias("cn2"),
+        )
+    )
+    base = with_norm(emb, vec_col)
+
+    def cell_rank(side: DataFrame, prefix: str, keep: int) -> DataFrame:
+        """Assign each row its `keep` nearest centroid cells by cosine."""
+        scored = side.crossJoin(F.broadcast(centroids)).withColumn(
+            "__csim",
+            _dot_exact(vec_col, "cv").cast("double")
+            / (F.sqrt(F.col("__norm2").cast("double"))
+               * F.sqrt(F.col("cn2").cast("double"))),
+        )
+        w = W.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("cid"))
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= keep)
+            .select(
+                F.col(id_col).alias(f"{prefix}id"),
+                F.col(vec_col).alias(f"{prefix}v"),
+                F.col("__norm2").alias(f"{prefix}n2"),
+                F.col("cid").alias(f"{prefix}cell"),
+            )
+        )
+
+    corpus = cell_rank(base, "n", keep=1)  # every vector lives in ONE list
+    queries = cell_rank(base.filter(query_pred), "q", keep=nprobe)
+
+    pairs = queries.join(
+        corpus,
+        (F.col("qcell") == F.col("ncell")) & (F.col("qid") != F.col("nid")),
+    )
+    scored = pairs.withColumn(
+        "cos_sim",
+        _dot_exact("qv", "nv").cast("double")
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("nn2").cast("double"))),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

@@ -114,6 +114,12 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(_emb(spark, sf_dir), F.col("vec_id") < 8, k=5)
 
 
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list ANN (rows-only: recall < 1 by construction, like
+    ann_topk_lsh; the exact-recall baseline is ann_topk_bruteforce)."""
+    return S.ivf_topk(_emb(spark, sf_dir), (F.col("vec_id") >= 100) & (F.col("vec_id") < 108), k=5)
+
+
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate by construction → rows-only."""
     return S.lsh_topk(_emb(spark, sf_dir), F.col("id") < 8, k=5)
@@ -313,6 +319,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_lsh": ann_topk_lsh,
     "multimodal_decode_meta": multimodal_decode_meta,
 }
