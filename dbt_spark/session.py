@@ -61,6 +61,13 @@ def read_parquet(spark: SparkSession, path: str):
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    # self-configure: the DRIVER may hand us a vanilla session without this
+    # flag, and TIMESTAMP(NANOS) parquet is otherwise an illegal type for
+    # Spark's reader (runtime-settable SQL conf)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     df = spark.read.parquet(path)
     try:
         file_path = path
