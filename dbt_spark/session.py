@@ -75,8 +75,14 @@ def read_parquet(spark: SparkSession, path: str):
             inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
             file_path = os.path.join(path, inner[0]) if inner else path
         arrow_schema = pq.read_schema(file_path)
+        from pyspark.sql.types import LongType
+
         for fld in arrow_schema:
-            if str(fld.type) == "timestamp[ns]":
+            # only convert when Spark actually surfaced the nanos as a long —
+            # depending on session confs it may already be a proper timestamp
+            if str(fld.type) == "timestamp[ns]" and isinstance(
+                df.schema[fld.name].dataType, LongType
+            ):
                 df = df.withColumn(
                     fld.name,
                     F.timestamp_micros(F.expr(f"`{fld.name}` DIV 1000")),

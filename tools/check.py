@@ -83,12 +83,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--vanilla", action="store_true",
+                    help="driver-fidelity mode: bare SparkSession with only "
+                         "the UTC timezone set (no engine tuning confs)")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
-    from dbt_spark.session import get_spark
+    if args.vanilla:
+        from pyspark.sql import SparkSession
 
-    spark = get_spark("check")
+        spark = (SparkSession.builder.master("local[8]")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .config("spark.ui.enabled", "false")
+                 .getOrCreate())
+    else:
+        from dbt_spark.session import get_spark
+
+        spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(args.sf, f"{t}.parquet")
