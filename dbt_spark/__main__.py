@@ -36,6 +36,7 @@ def main() -> int:
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--defer", action="store_true", dest="defer_flag")
     ap.add_argument("--empty", action="store_true")
+    ap.add_argument("--threads", type=int, default=None)
     args = ap.parse_args()
 
     if args.command == "init":
@@ -48,6 +49,8 @@ def main() -> int:
         args.project_dir,
         vars=yaml.safe_load(args.vars) if args.vars else None,
     )
+    if args.threads:
+        engine.project.profile["threads"] = args.threads
     argv = [command]
     if args.subcommand:
         argv.append(args.subcommand)

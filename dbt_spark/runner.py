@@ -209,7 +209,11 @@ class Engine:
             and not manifest.nodes[uid].is_ephemeral
         }
         if command == "ls":
-            results = [RunResult(uid, "success", 0.0) for uid in sorted(runnable)]
+            # sources are listable too (they live outside manifest.nodes)
+            listable = runnable | {
+                uid for uid in selected if uid in manifest.sources
+            }
+            results = [RunResult(uid, "success", 0.0) for uid in sorted(listable)]
             return RunnerResult(success=True, results=results, manifest=manifest)
 
         defer_store = None
