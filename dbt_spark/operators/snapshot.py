@@ -42,6 +42,15 @@ def _meta_renames(node: ManifestNode) -> dict[str, str]:
 
 
 def _to_external(df: DataFrame, node: ManifestNode) -> DataFrame:
+    # dbt_valid_to_current (v1/snapshot.py): a sentinel expression (e.g.
+    # date'9999-12-31') instead of NULL for current rows — keeps BETWEEN
+    # range predicates sargable on the history table
+    sentinel = node.config.meta.get("dbt_valid_to_current")
+    if sentinel and "dbt_valid_to" in df.columns:
+        df = df.withColumn(
+            "dbt_valid_to",
+            F.coalesce(F.col("dbt_valid_to"), F.expr(sentinel).cast("timestamp")),
+        )
     for internal, external in _meta_renames(node).items():
         if internal in df.columns:
             df = df.withColumnRenamed(internal, external)
@@ -52,6 +61,15 @@ def _to_internal(df: DataFrame, node: ManifestNode) -> DataFrame:
     for internal, external in _meta_renames(node).items():
         if external in df.columns:
             df = df.withColumnRenamed(external, internal)
+    sentinel = node.config.meta.get("dbt_valid_to_current")
+    if sentinel and "dbt_valid_to" in df.columns:
+        df = df.withColumn(
+            "dbt_valid_to",
+            F.when(
+                F.col("dbt_valid_to") == F.expr(sentinel).cast("timestamp"),
+                F.lit(None).cast("timestamp"),
+            ).otherwise(F.col("dbt_valid_to")),
+        )
     return df
 
 

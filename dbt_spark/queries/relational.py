@@ -547,6 +547,18 @@ ORACLES: dict[str, str] = {
                    AS days_to_eoy
         FROM orders
     """,
+    "subquery_ops": """
+        SELECT c.c_custkey, c.c_name,
+               CAST((SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                     FROM orders o2) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM orders) AS global_avg_price
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+          AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                                WHERE n_regionkey <= 2)
+    """,
     "agg_salted_twophase": """
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -595,6 +607,25 @@ ORACLES: dict[str, str] = {
 # as-of join & range (theta) join — engine capabilities beyond the reference
 # (SURVEY §2E last row; Spark-first implementations)
 # --------------------------------------------------------------------------
+
+def subquery_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + uncorrelated IN + scalar subquery in one query —
+    Catalyst decorrelates EXISTS into a left-semi join and the scalar
+    subquery into a broadcast aggregate (no per-row re-execution)."""
+    load_tables(spark, sf_dir, "customer", "orders", "nation")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_name,
+               CAST((SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                     FROM orders o2) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM orders) AS global_avg_price
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+          AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                                WHERE n_regionkey <= 2)
+    """)
+
 
 def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant aggregation: explicit salt → partial agg → final agg.
@@ -740,6 +771,7 @@ QUERIES = {
     "scalar_string_funcs": scalar_string_funcs,
     "scalar_date_funcs": scalar_date_funcs,
     "approx_distinct": approx_distinct,
+    "subquery_ops": subquery_ops,
     "agg_salted_twophase": agg_salted_twophase,
     "grouping_sets_agg": grouping_sets_agg,
     "join_asof": join_asof,

@@ -181,3 +181,36 @@ def test_versioned_ref(project_dir, spark):
     r = eng.invoke(["run"])
     assert r.success, [x.message for x in r.results]
     assert "extra" in eng.store.read("main", "consumer").columns
+
+
+def test_dbt_valid_to_current_sentinel(project_dir, spark):
+    """dbt_valid_to_current: current rows carry a sentinel timestamp instead
+    of NULL (sargable BETWEEN predicates on the history table)."""
+    from dbt_spark.runner import Engine
+
+    root = project_dir({
+        "dbt_project.yml": "name: vtc\n",
+        "seeds/items.csv": "id,price\n1,10\n2,20\n",
+        "snapshots/items_snap.sql": """
+{% snapshot items_snap %}
+{{ config(unique_key='id', strategy='check', check_cols=['price'],
+          dbt_valid_to_current="date'9999-12-31'") }}
+select * from {{ ref('items') }}
+{% endsnapshot %}
+""",
+    })
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["snapshot"], snapshot_ts="2021-01-01 00:00:00").success
+    snap = eng.store.read("main", "items_snap")
+    assert snap.filter("dbt_valid_to is null").count() == 0
+    assert snap.filter("dbt_valid_to = date'9999-12-31'").count() == 2
+    # second run with a change: closed row gets real end, current keeps sentinel
+    with open(os.path.join(root, "seeds", "items.csv"), "w") as f:
+        f.write("id,price\n1,10\n2,25\n")
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["snapshot"], snapshot_ts="2021-06-01 00:00:00")
+    assert r.success, [x.message for x in r.results]
+    snap = eng.store.read("main", "items_snap")
+    assert snap.filter("dbt_valid_to = date'9999-12-31'").count() == 2
+    assert snap.filter("dbt_valid_to = timestamp'2021-06-01 00:00:00'").count() == 1
