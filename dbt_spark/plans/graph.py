@@ -180,6 +180,26 @@ def _match_method(node: ManifestNode, body: str, state: Optional[dict] = None) -
             raise DagError(f"unknown state selector '{value}'")
         if method == "tag":
             return value in node.config.tags
+        if method == "group":
+            return node.config.group == value
+        if method == "package":
+            return node.package_name == value
+        if method == "access":
+            return getattr(node.config, "access", "protected") == value
+        if method == "test_type":
+            # generic (YAML-built, has test_metadata) vs singular (SQL file)
+            # vs unit (selector_methods.py:45-66)
+            if node.resource_type == NodeType.UnitTest:
+                return value == "unit"
+            if node.resource_type != NodeType.Test:
+                return False
+            return value == ("generic" if node.test_metadata else "singular")
+        if method == "test_name":
+            return bool(node.test_metadata) and node.test_metadata.get("name") == value
+        if method == "file":
+            import os as _os
+
+            return _os.path.basename(node.path) == value
         if method == "source":
             return node.resource_type == NodeType.Source and (
                 node.source_name == value or value == "*"

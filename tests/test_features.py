@@ -321,3 +321,30 @@ def test_access_private_and_protected(project_dir, spark, tmp_path):
         f.write("{{ config(group='finance') }} select * from {{ ref('secret') }}")
     m = eng.parse()
     assert "model.acc.outsider" in m.nodes
+
+
+def test_selector_methods_extended(feat):
+    """group:/package:/access:/test_type:/test_name:/file: selector methods
+    (selector_methods.py:45-66)."""
+    eng, pdir = feat
+    with open(os.path.join(pdir, "models", "sources.yml"), "a") as f:
+        f.write(
+            "models:\n  - name: amounts\n    columns:\n"
+            "      - name: dollars\n"
+            "        data_tests: [not_null]\n"
+        )
+    os.makedirs(os.path.join(pdir, "tests"), exist_ok=True)
+    with open(os.path.join(pdir, "tests", "singular_check.sql"), "w") as f:
+        f.write("select * from {{ ref('amounts') }} where dollars < 0")
+    ids = lambda r: {x.unique_id for x in r.results}
+    r = eng.invoke(["ls", "--select", "package:feat"])
+    assert "model.feat.amounts" in ids(r)
+    r = eng.invoke(["ls", "--select", "test_type:generic"])
+    assert any(u.startswith("test.feat.not_null") for u in ids(r))
+    assert "test.feat.singular_check" not in ids(r)
+    r = eng.invoke(["ls", "--select", "test_type:singular"])
+    assert ids(r) == {"test.feat.singular_check"}
+    r = eng.invoke(["ls", "--select", "test_name:not_null"])
+    assert all("not_null" in u for u in ids(r)) and ids(r)
+    r = eng.invoke(["ls", "--select", "file:amounts.sql"])
+    assert "model.feat.amounts" in ids(r)
