@@ -35,6 +35,9 @@ HEADLINE = [
     "session_window_agg",
     "agg_salted_twophase",
     "grouping_sets_agg",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
     # LLM-pipeline ops (added as they come online)
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -377,6 +377,200 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# full-outer / cross joins
+# --------------------------------------------------------------------------
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two pre-aggregated sides (customer vs supplier per nation).
+
+    Scale note: both sides are aggregated to |nation| rows before the join, so
+    the full-outer itself is a broadcastable 25-row join at any SF — the heavy
+    lifting is the two partial-aggregate shuffles, which AQE coalesces.
+    """
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    c = t["customer"].groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    s = t["supplier"].groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return (
+        c.join(s, c["c_nationkey"] == s["s_nationkey"], "full_outer")
+        .select(
+            F.coalesce(c["c_nationkey"], s["s_nationkey"]).alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dims (region × distinct order status)."""
+    t = load_tables(spark, sf_dir, "region", "orders")
+    statuses = t["orders"].select("o_orderstatus").distinct()
+    return t["region"].select("r_name").crossJoin(statuses)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped analytics (Q3 / Q5 / Q10) — the multi-join benchmark shapes
+# --------------------------------------------------------------------------
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered both sides, top-10 by revenue.
+
+    Scale: filters reach the parquet scans (segment, two date predicates) before
+    the orderkey shuffle join; the final top-10 is a TakeOrdered, no full sort.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join keeping only same-nation customer/supplier pairs.
+
+    Scale: region/nation are `F.broadcast` (fixed cardinality 5/25); the
+    customer→orders and orders→lineitem joins shuffle on their keys; the
+    supplier join carries the c_nationkey = s_nationkey residual.
+    """
+    t = load_tables(spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# ranking windows / exact percentiles / arrays / null-handling / explode
+# --------------------------------------------------------------------------
+
+def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / percent_rank / cume_dist / ntile over a deterministic order."""
+    t = load_tables(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.dense_rank().over(w).cast("bigint").alias("price_dense_rank"),
+            F.percent_rank().over(w).alias("price_percent_rank"),
+            F.cume_dist().over(w).alias("price_cume_dist"),
+            F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+        )
+        .filter(F.col("price_dense_rank") <= 100)
+    )
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (median/p25/p75) per group."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)").alias("p25_qty"),
+            F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").alias("median_qty"),
+            F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.75)").alias("p75_qty"),
+            F.min(q).alias("min_qty"),
+            F.max(q).alias("max_qty"),
+        )
+    )
+
+
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops incl. higher-order transform over the embedding column.
+
+    Only order-independent reductions (max/min of a transformed array) are used
+    so the oracle comparison stays bit-exact regardless of accumulation order.
+    """
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return t["embeddings"].select(
+        "vec_id",
+        F.size(emb).cast("bigint").alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_val"),
+        F.array_max(emb).cast("double").alias("max_val"),
+        F.array_min(emb).cast("double").alias("min_val"),
+        F.array_max(F.transform(emb, lambda x: F.abs(x))).cast("double").alias("max_abs"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+    )
+
+
+def null_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE / NULLIF / CASE / LEAST / GREATEST over customer."""
+    t = load_tables(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return t["customer"].select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(masked)"))
+        .alias("segment_masked"),
+        F.when(bal < 0, "overdrawn").when(bal < 5000, "standard").otherwise("premium")
+        .alias("balance_tier"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(1000.0)).alias("bal_cap1000"),
+    )
+
+
+def explode_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode of split() output — word frequency over part names."""
+    t = load_tables(spark, sf_dir, "part")
+    return (
+        t["part"]
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+# --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
@@ -599,6 +793,106 @@ ORACLES: dict[str, str] = {
     """,
     # approx_distinct: intentionally no oracle (approximate by construction;
     # driver records rows-only check).
+    "join_full_outer": """
+        SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+               COALESCE(n_customers, 0) AS n_customers,
+               COALESCE(n_suppliers, 0) AS n_suppliers
+        FROM (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+              FROM customer GROUP BY c_nationkey) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+              FROM supplier GROUP BY s_nationkey) s
+          ON c.c_nationkey = s.s_nationkey
+    """,
+    "join_cross": """
+        SELECT r_name, o_orderstatus
+        FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+    """,
+    "tpch_q3_shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate, CAST(SUM({_Q1_DISC}) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "tpch_q5_local_supplier": f"""
+        SELECT n_name, CAST(SUM({_Q1_DISC}) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1994-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY n_name
+    """,
+    "tpch_q10_returned_items": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(SUM({_Q1_DISC}) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "window_rank_funcs": """
+        SELECT * FROM (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank,
+                   PERCENT_RANK() OVER w AS price_percent_rank,
+                   CUME_DIST() OVER w AS price_cume_dist,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS price_quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
+        ) ranked WHERE price_dense_rank <= 100
+    """,
+    "agg_percentiles": """
+        SELECT l_returnflag,
+               quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25_qty,
+               quantile_cont(CAST(l_quantity AS DOUBLE), 0.5)  AS median_qty,
+               quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75_qty,
+               MIN(CAST(l_quantity AS DOUBLE)) AS min_qty,
+               MAX(CAST(l_quantity AS DOUBLE)) AS max_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "array_funcs": """
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_val,
+               CAST(list_max(embedding) AS DOUBLE) AS max_val,
+               CAST(list_min(embedding) AS DOUBLE) AS min_val,
+               CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+        FROM embeddings
+    """,
+    "null_conditional_funcs": """
+        SELECT c_custkey,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(masked)') AS segment_masked,
+               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                    WHEN c_acctbal < 5000 THEN 'standard'
+                    ELSE 'premium' END AS balance_tier,
+               GREATEST(c_acctbal, 0.0) AS bal_floor0,
+               LEAST(c_acctbal, 1000.0) AS bal_cap1000
+        FROM customer
+    """,
+    "explode_split_tokens": """
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
+        GROUP BY word
+    """,
 }
 
 
@@ -776,4 +1070,14 @@ QUERIES = {
     "grouping_sets_agg": grouping_sets_agg,
     "join_asof": join_asof,
     "join_range": join_range,
+    "join_full_outer": join_full_outer,
+    "join_cross": join_cross,
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier": tpch_q5_local_supplier,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+    "window_rank_funcs": window_rank_funcs,
+    "agg_percentiles": agg_percentiles,
+    "array_funcs": array_funcs,
+    "null_conditional_funcs": null_conditional_funcs,
+    "explode_split_tokens": explode_split_tokens,
 }
