@@ -37,6 +37,8 @@ def main() -> int:
     ap.add_argument("--defer", action="store_true", dest="defer_flag")
     ap.add_argument("--empty", action="store_true")
     ap.add_argument("--threads", type=int, default=None)
+    ap.add_argument("--sample", default=None,
+                    help="trailing event-time window, e.g. '3 days'")
     args = ap.parse_args()
 
     if args.command == "init":
@@ -72,6 +74,8 @@ def main() -> int:
         argv.append("--defer")
     if args.empty:
         argv.append("--empty")
+    if args.sample:
+        argv += ["--sample", args.sample]
     result = engine.invoke(argv)
     if result.preview is not None:
         for row in result.preview:

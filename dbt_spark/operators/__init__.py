@@ -10,6 +10,7 @@ core/dbt/contracts/graph/manifest.py:1005-1040).
 from dbt_spark.operators.materialize import (  # noqa: F401
     ExecutionContext,
     materialize_ephemeral,
+    materialize_materialized_view,
     materialize_table,
     materialize_view,
 )
@@ -30,5 +31,6 @@ MATERIALIZATIONS = {
     "incremental": materialize_incremental,
     "seed": materialize_seed,
     "snapshot": materialize_snapshot,
+    "materialized_view": materialize_materialized_view,
     "streaming_table": _materialize_streaming,
 }

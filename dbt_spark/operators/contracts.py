@@ -57,3 +57,42 @@ def enforce_contract(node: ManifestNode, df: DataFrame) -> None:
         raise ContractError(
             f"{node.unique_id}: contract violated — " + "; ".join(problems)
         )
+
+
+def enforce_constraints(node: ManifestNode, df: DataFrame) -> None:
+    """Enforce column-level constraints declared in the model YAML.
+
+    Reference: ColumnLevelConstraint/ModelLevelConstraint
+    (core/dbt/artifacts/resources/v1/components.py:10, model.py:60). Like most
+    dbt adapters, ``not_null`` and ``check`` are enforced; primary/foreign key
+    and unique are metadata-only. Enforcement is one distributed aggregate over
+    the result (a 1-row fetch — the data never reaches the driver), with SQL
+    CHECK semantics: a NULL check expression passes.
+    """
+    from pyspark.sql import functions as F
+
+    conds: list[tuple[str, str]] = []  # (violation label, SQL condition that must hold)
+    for name, spec in node.columns.items():
+        for c in spec.get("constraints", []) or []:
+            ctype = (c.get("type") or "").lower() if isinstance(c, dict) else str(c)
+            if ctype == "not_null":
+                conds.append((f"not_null({name})", f"{name} IS NOT NULL"))
+            elif ctype == "check" and isinstance(c, dict) and c.get("expression"):
+                conds.append((f"check({c['expression']})", c["expression"]))
+            # primary_key / foreign_key / unique: metadata-only (adapter parity)
+    if not conds:
+        return
+    aggs = [
+        F.sum(F.when(~F.expr(cond), 1).otherwise(0)).alias(f"__v{i}")
+        for i, (_, cond) in enumerate(conds)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    violations = [
+        f"{label}: {row[i]} violating row(s)"
+        for i, (label, _) in enumerate(conds)
+        if (row[i] or 0) > 0
+    ]
+    if violations:
+        raise ContractError(
+            f"{node.unique_id}: constraint(s) violated — " + "; ".join(violations)
+        )

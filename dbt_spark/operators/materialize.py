@@ -236,10 +236,11 @@ def materialize_view(ctx: ExecutionContext, node: ManifestNode) -> Relation:
 
 
 def materialize_table(ctx: ExecutionContext, node: ManifestNode) -> Relation:
-    from dbt_spark.operators.contracts import enforce_contract
+    from dbt_spark.operators.contracts import enforce_constraints, enforce_contract
 
     df = run_model_df(ctx, node)
     enforce_contract(node, df)
+    enforce_constraints(node, df)
     partition_by = node.config.partition_by
     if isinstance(partition_by, str):
         partition_by = [partition_by]
@@ -251,3 +252,49 @@ def materialize_table(ctx: ExecutionContext, node: ManifestNode) -> Relation:
 def materialize_ephemeral(ctx: ExecutionContext, node: ManifestNode) -> None:
     """Never materialized; consumers inline via _register_ephemeral."""
     return None
+
+
+def materialize_materialized_view(ctx: ExecutionContext, node: ManifestNode) -> Relation:
+    """Materialized view = table + recorded defining query, refreshed per run.
+
+    Spark has no native MV (documented deviation, SURVEY §2A materialized_view
+    row); the reference's ``on_configuration_change: apply|continue|fail``
+    (core/dbt/artifacts/resources/v1/config.py:110-112) governs what happens
+    when the stored definition differs from the newly compiled one:
+    apply = adopt the new definition, continue = keep refreshing the stored
+    one, fail = error out.
+    """
+    from dbt_spark.operators.contracts import enforce_constraints, enforce_contract
+
+    ctx.ensure_upstream_registered(node)
+    sql = compile_sql(ctx, node)
+    node.compiled_code = sql
+    existing = ctx.store.get(ctx.schema_for(node), node.name)
+    if (
+        existing is not None
+        and existing.meta.get("defined_as")
+        and existing.meta["defined_as"] != sql
+        and not ctx.full_refresh
+    ):
+        change = node.config.on_configuration_change
+        if change == "fail":
+            raise RuntimeError(
+                f"{node.unique_id}: materialized view definition changed and "
+                "on_configuration_change=fail"
+            )
+        if change == "continue":
+            sql = existing.meta["defined_as"]  # refresh the stored definition
+    df = ctx.spark.sql(sql)
+    enforce_contract(node, df)
+    enforce_constraints(node, df)
+    partition_by = node.config.partition_by
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    return ctx.store.write_table(
+        ctx.schema_for(node),
+        node.name,
+        df,
+        kind="materialized_view",
+        partition_by=partition_by,
+        defined_as=sql,
+    )

@@ -95,6 +95,8 @@ class NodeConfig:
     # seeds
     delimiter: str = ","
     column_types: dict[str, str] = field(default_factory=dict)
+    # materialized views (v1/config.py:110-112 OnConfigurationChangeOption)
+    on_configuration_change: str = "apply"  # apply | continue | fail
     # contracts + access (v1/config.py:33-36,124-127; model.py access)
     contract: dict[str, Any] = field(default_factory=dict)  # {enforced: bool}
     access: str = "protected"  # public | protected | private

@@ -139,6 +139,7 @@ class Engine:
         limit = 5
         defer = False
         empty = False
+        sample: Optional[str] = None
         i = 0
         while i < len(rest):
             if rest[i] in ("--select", "-s"):
@@ -167,6 +168,9 @@ class Engine:
                 defer = True
             elif rest[i] == "--empty":
                 empty = True
+            elif rest[i] == "--sample":
+                i += 1
+                sample = rest[i]
             elif not rest[i].startswith("-"):
                 positional.append(rest[i])
             i += 1
@@ -233,6 +237,8 @@ class Engine:
             defer_store=defer_store,
             empty=empty,
         )
+        if sample:
+            ctx.event_time_filters["*"] = _sample_window(sample, now)
         if command == "compile":
             return self._compile_only(ctx, manifest, runnable)
 
@@ -726,6 +732,35 @@ class Engine:
         }
         with open(os.path.join(target_dir, "run_results.json"), "w") as f:
             json.dump(payload, f, indent=1)
+
+
+def _sample_window(spec: str, now: Optional[datetime]) -> tuple[str, str]:
+    """Parse ``--sample '3 days'`` into a trailing [now - N grain, now) event-time
+    window applied to every event_time-configured ref/source.
+
+    Reference: core/dbt/event_time/sample_window.py:14-60 (relative window
+    parsing) + providers.py:269-287 (filter merge into input scans).
+    """
+    import re as _re
+    from datetime import timedelta
+
+    m = _re.fullmatch(r"\s*(\d+)\s+(hour|day|month|year)s?\s*", spec)
+    if not m:
+        raise ValueError(
+            f"--sample {spec!r}: expected '<n> <hour|day|month|year>[s]'"
+        )
+    n, grain = int(m.group(1)), m.group(2)
+    end = now or datetime.utcnow()
+    if grain == "hour":
+        start = end - timedelta(hours=n)
+    elif grain == "day":
+        start = end - timedelta(days=n)
+    elif grain == "month":
+        start = end - timedelta(days=30 * n)
+    else:
+        start = end - timedelta(days=365 * n)
+    fmt = "%Y-%m-%d %H:%M:%S"
+    return (start.strftime(fmt), end.strftime(fmt))
 
 
 def compile_sql_lenient(ctx: ExecutionContext, node: ManifestNode) -> str:

@@ -348,3 +348,100 @@ def test_selector_methods_extended(feat):
     assert all("not_null" in u for u in ids(r)) and ids(r)
     r = eng.invoke(["ls", "--select", "file:amounts.sql"])
     assert "model.feat.amounts" in ids(r)
+
+
+def test_materialized_view_on_configuration_change(project_dir, spark):
+    """materialized_view = table + recorded defining query (documented Spark
+    deviation, SURVEY §2A); on_configuration_change apply/continue/fail
+    (v1/config.py:110-112)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: mv\n",
+        "models/mv1.sql": "{{ config(materialized='materialized_view') }} select 1 as id",
+    })
+    eng = Engine(pdir, spark=spark)
+    assert eng.invoke(["run"]).success
+    assert [r["id"] for r in eng.store.read("main", "mv1").collect()] == [1]
+
+    def rewrite(occ: str) -> None:
+        with open(os.path.join(pdir, "models", "mv1.sql"), "w") as f:
+            f.write(
+                "{{ config(materialized='materialized_view', "
+                f"on_configuration_change='{occ}') }}}} select 2 as id"
+            )
+
+    # continue: definition change detected, stored query refreshed instead
+    rewrite("continue")
+    assert Engine(pdir, spark=spark).invoke(["run"]).success
+    assert [r["id"] for r in eng.store.read("main", "mv1").collect()] == [1]
+    # fail: definition change is an error
+    rewrite("fail")
+    r = Engine(pdir, spark=spark).invoke(["run"])
+    assert not r.success and "on_configuration_change=fail" in r.results[-1].message
+    # apply (default behavior): adopt the new definition
+    rewrite("apply")
+    assert Engine(pdir, spark=spark).invoke(["run"]).success
+    assert [r["id"] for r in eng.store.read("main", "mv1").collect()] == [2]
+
+
+def test_column_constraints_enforced(project_dir, spark):
+    """Column-level not_null/check constraints enforced with one distributed
+    aggregate (ColumnLevelConstraint, v1/components.py:10); pk/fk/unique are
+    metadata-only like most adapters."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: cns\n",
+        "models/good.sql": "select 1 as id, 10.0 as price",
+        "models/bad.sql": (
+            "select * from (values (1, 5.0), (2, -1.0), (null, 2.0)) as t(id, price)"
+        ),
+        "models/schema.yml": """
+models:
+  - name: good
+    config: {materialized: table}
+    columns:
+      - name: id
+        constraints: [{type: not_null}, {type: primary_key}]
+      - name: price
+        constraints: [{type: check, expression: "price > 0"}]
+  - name: bad
+    config: {materialized: table}
+    columns:
+      - name: id
+        constraints: [{type: not_null}]
+      - name: price
+        constraints: [{type: check, expression: "price > 0"}]
+""",
+    })
+    eng = Engine(pdir, spark=spark)
+    assert eng.invoke(["run", "--select", "good"]).success
+    r = eng.invoke(["run", "--select", "bad"])
+    assert not r.success
+    msg = r.by_id("model.cns.bad").message
+    assert "not_null(id): 1" in msg and "check(price > 0): 1" in msg
+
+
+def test_sample_mode_event_time_window(project_dir, spark):
+    """--sample '<n> days' filters every event_time-configured input to the
+    trailing window (core/dbt/event_time/sample_window.py:14-60,
+    providers.py:269-287)."""
+    from datetime import datetime
+
+    pdir = project_dir({
+        "dbt_project.yml": "name: smp\nseeds:\n  +event_time: ts\n",
+        "seeds/stream.csv": (
+            "id,ts,val\n"
+            "1,2020-01-01 05:00:00,1\n"
+            "2,2020-01-01 06:00:00,2\n"
+            "3,2020-01-02 05:00:00,3\n"
+            "4,2020-01-03 05:00:00,4\n"
+        ),
+        "models/recent.sql": "{{ config(materialized='table') }} "
+                             "select id from {{ ref('stream') }}",
+    })
+    eng = Engine(pdir, spark=spark)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["run", "--sample", "1 day"], now=datetime(2020, 1, 3, 12))
+    assert r.success, [x.message for x in r.results]
+    assert sorted(x["id"] for x in eng.store.read("main", "recent").collect()) == [4]
+    # without --sample the full history materializes
+    assert eng.invoke(["run"]).success
+    assert eng.store.read("main", "recent").count() == 4
