@@ -21,7 +21,7 @@ def main() -> int:
         "command",
         choices=["run", "build", "test", "seed", "snapshot", "compile", "ls",
                  "list", "show", "run-operation", "docs", "source", "retry",
-                 "clone", "deps", "debug", "init"],
+                 "clone", "deps", "debug", "init", "parse", "clean"],
     )
     ap.add_argument("subcommand", nargs="?", default=None,
                     help="docs generate | source freshness | run-operation <macro>")

@@ -178,6 +178,14 @@ def _match_method(node: ManifestNode, body: str, state: Optional[dict] = None) -
                         return True
                 return False
             raise DagError(f"unknown state selector '{value}'")
+        if method == "result":
+            # result:<status> vs the --state dir's run_results.json
+            # (selector_methods.py ResultSelectorMethod; used by retry flows)
+            if state is None or "__results__" not in state:
+                raise DagError(
+                    "result: selector requires --state <dir with run_results.json>"
+                )
+            return state["__results__"].get(node.unique_id) == value
         if method == "tag":
             return value in node.config.tags
         if method == "group":

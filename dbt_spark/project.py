@@ -44,6 +44,7 @@ class Project:
     seed_config: dict[str, Any] = field(default_factory=dict)
     on_run_start: list[str] = field(default_factory=list)
     on_run_end: list[str] = field(default_factory=list)
+    clean_targets: list[str] = field(default_factory=lambda: ["target", "dbt_packages"])
 
     @classmethod
     def load(cls, project_dir: str, profile: Optional[dict] = None) -> "Project":
@@ -83,6 +84,7 @@ class Project:
             seed_config=cfg.get("seeds", {}),
             on_run_start=[on_start] if isinstance(on_start, str) else list(on_start),
             on_run_end=[on_end] if isinstance(on_end, str) else list(on_end),
+            clean_targets=cfg.get("clean-targets", ["target", "dbt_packages"]),
         )
 
     @staticmethod

@@ -175,6 +175,16 @@ class Engine:
                 positional.append(rest[i])
             i += 1
 
+        if command == "clean":
+            # remove the clean-targets dirs (reference: CleanTask,
+            # core/dbt/task/clean.py:13 — defaults target/ + dbt_packages/)
+            import shutil
+
+            for d in self.project.clean_targets:
+                full = os.path.join(self.project.root, d)
+                if os.path.isdir(full):
+                    shutil.rmtree(full)
+            return RunnerResult(success=True, results=[])
         if command == "retry":
             return self._retry(full_refresh=full_refresh, snapshot_ts=snapshot_ts, now=now)
         if command == "deps":
@@ -184,6 +194,9 @@ class Engine:
 
         manifest = self.parse()
         self.state_dir = state_dir
+        if command == "parse":
+            # manifest.json already written by parse() (task/compile.py analog)
+            return RunnerResult(success=True, results=[], manifest=manifest)
 
         if command == "run-operation":
             return self._run_operation(manifest, positional[0], op_args)
@@ -321,7 +334,16 @@ class Engine:
             raise FileNotFoundError(f"--state: no manifest.json in {state_dir}")
         with open(path) as f:
             doc = json.load(f)
-        return {**doc.get("nodes", {}), **doc.get("sources", {})}
+        out = {**doc.get("nodes", {}), **doc.get("sources", {})}
+        # result:<status> selector data (selector_methods.py ResultSelectorMethod)
+        rr_path = os.path.join(state_dir, "run_results.json")
+        if os.path.exists(rr_path):
+            with open(rr_path) as f:
+                rr = json.load(f)
+            out["__results__"] = {
+                r["unique_id"]: r["status"] for r in rr.get("results", [])
+            }
+        return out
 
     def _run_operation(
         self, manifest: Manifest, macro_name: str, op_args: dict

@@ -445,3 +445,42 @@ def test_sample_mode_event_time_window(project_dir, spark):
     # without --sample the full history materializes
     assert eng.invoke(["run"]).success
     assert eng.store.read("main", "recent").count() == 4
+
+
+def test_parse_and_clean_commands(project_dir, spark):
+    """parse writes target/manifest.json without executing; clean removes the
+    clean-targets dirs (cli/main.py:528 parse, :212 CleanTask)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: pc\nclean-targets: [target]\n",
+        "models/m1.sql": "select 1 as id",
+    })
+    eng = Engine(pdir, spark=spark)
+    r = eng.invoke(["parse"])
+    assert r.success
+    assert os.path.exists(os.path.join(pdir, "target", "manifest.json"))
+    # no execution happened
+    assert eng.store.get("main", "m1") is None
+    assert Engine(pdir, spark=spark).invoke(["clean"]).success
+    assert not os.path.exists(os.path.join(pdir, "target"))
+
+
+def test_result_selector_method(project_dir, spark):
+    """result:<status> selects by the previous run's run_results.json in
+    --state (selector_methods.py ResultSelectorMethod)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: res\n",
+        "models/ok1.sql": "select 1 as id",
+        "models/broken.sql": "select * from nonexistent_table_xyz",
+    })
+    eng = Engine(pdir, spark=spark)
+    r = eng.invoke(["run"])
+    assert not r.success
+    state = os.path.join(pdir, "prev_state")
+    os.makedirs(state, exist_ok=True)
+    shutil.copy(os.path.join(pdir, "target", "manifest.json"), state)
+    shutil.copy(os.path.join(pdir, "target", "run_results.json"), state)
+    out = eng.invoke(["ls", "--select", "result:error", "--state", state])
+    ids = [x.unique_id for x in out.results]
+    assert ids == ["model.res.broken"]
+    out2 = eng.invoke(["ls", "--select", "result:success", "--state", state])
+    assert [x.unique_id for x in out2.results] == ["model.res.ok1"]
