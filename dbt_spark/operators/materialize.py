@@ -38,6 +38,9 @@ class ExecutionContext:
     # --empty: schema-only dry runs, refs/sources wrapped with LIMIT 0
     # (providers.py:242-243)
     empty: bool = False
+    # --warn-error: promote warn-severity outcomes to failures
+    # (reference: warn_error flag / WarnErrorOptions, core/dbt/flags.py)
+    warn_error: bool = False
 
     @property
     def schema(self) -> str:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import csv as csv_mod
 import io
+import os
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame
@@ -95,6 +96,12 @@ def _input_target(ctx: ExecutionContext, input_str: str) -> ManifestNode:
     return found
 
 
+def _sql_fixture_df(ctx: ExecutionContext, fixture: dict) -> DataFrame:
+    """``format: sql`` fixture — rows holds a SELECT producing the fixture
+    relation (UnitTestFormat.SQL, v1/unit_test_definition.py:26-57)."""
+    return ctx.spark.sql(str(fixture.get("rows") or fixture.get("fixture")))
+
+
 def _fixture_df(ctx: ExecutionContext, target: ManifestNode, rows: list[dict]) -> DataFrame:
     """Fixture rows → DataFrame, null-padding unspecified columns with the
     REAL input schema when obtainable (parity with reference fixture SQL,
@@ -143,7 +150,11 @@ def run_unit_test(ctx: ExecutionContext, node: ManifestNode) -> tuple[str, str]:
     for fixture in meta.get("given", []):
         target = _input_target(ctx, fixture["input"])
         ident = f"__unit__{node.name}__{target.name}"
-        _fixture_df(ctx, target, _rows_from_fixture(fixture)).createOrReplaceTempView(ident)
+        if fixture.get("format") == "sql":
+            df = _sql_fixture_df(ctx, fixture)
+        else:
+            df = _fixture_df(ctx, target, _rows_from_fixture(fixture))
+        df.createOrReplaceTempView(ident)
         overrides[target.unique_id] = ident
 
     # per-test shallow context copy — unit tests run concurrently on worker
@@ -161,23 +172,68 @@ def run_unit_test(ctx: ExecutionContext, node: ManifestNode) -> tuple[str, str]:
 
     test_ctx.resolve_ref = resolve_ref  # type: ignore[method-assign]
     test_ctx.resolve_source = resolve_source  # type: ignore[method-assign]
-    actual = run_model_df(test_ctx, tested)
 
-    expect_rows = _rows_from_fixture(meta.get("expect", {}))
-    if not expect_rows:
-        raise UnitTestError(f"unit test {node.name}: expect.rows is required")
-    expect_cols = list(expect_rows[0].keys())
-    missing = [c for c in expect_cols if c not in actual.columns]
-    if missing:
-        return "fail", f"expected columns {missing} not in model output {actual.columns}"
+    # overrides: {vars, env_vars, macros} (UnitTestOverrides,
+    # v1/unit_test_definition.py:60-77). vars merge into the render scope;
+    # env_vars patch the process env for the render; macros (project-macro
+    # subset) are replaced with constant-returning bodies.
+    test_overrides = meta.get("overrides") or {}
+    if test_overrides.get("vars"):
+        test_ctx.vars = {**ctx.vars, **test_overrides["vars"]}
+    if test_overrides.get("macros"):
+        new_macros = dict(ctx.manifest.macros)
+        for mname, mval in test_overrides["macros"].items():
+            # referencing varargs/kwargs makes the jinja macro swallow the
+            # original call signature's arguments
+            new_macros[mname] = (
+                f"{{% macro {mname}() %}}"
+                f"{{% if false %}}{{{{ varargs }}}}{{{{ kwargs }}}}{{% endif %}}"
+                f"{mval}{{% endmacro %}}"
+            )
+        test_ctx.manifest = copy.copy(ctx.manifest)
+        test_ctx.manifest.macros = new_macros
+    env_patch = test_overrides.get("env_vars") or {}
+    saved_env = {k: os.environ.get(k) for k in env_patch}
+    os.environ.update({k: str(v) for k, v in env_patch.items()})
+    try:
+        actual = run_model_df(test_ctx, tested)
+    finally:
+        for k, v in saved_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
-    actual_sel = actual.select(*expect_cols)
-    out_types = {f.name: f.dataType for f in actual_sel.schema.fields}
-    expected_df = ctx.spark.createDataFrame(
-        [tuple(_coerce_to(r.get(c), out_types[c]) for c in expect_cols)
-         for r in expect_rows],
-        schema=actual_sel.schema,
-    )
+    expect = meta.get("expect", {})
+    if expect.get("format") == "sql":
+        sql_expected = _sql_fixture_df(ctx, expect)
+        expect_cols = sql_expected.columns
+        missing = [c for c in expect_cols if c not in actual.columns]
+        if missing:
+            return "fail", (
+                f"expected columns {missing} not in model output {actual.columns}"
+            )
+        actual_sel = actual.select(*expect_cols)
+        expected_df = sql_expected.select(*expect_cols)
+        n_expect = expected_df.count()
+    else:
+        expect_rows = _rows_from_fixture(expect)
+        if not expect_rows:
+            raise UnitTestError(f"unit test {node.name}: expect.rows is required")
+        expect_cols = list(expect_rows[0].keys())
+        missing = [c for c in expect_cols if c not in actual.columns]
+        if missing:
+            return "fail", (
+                f"expected columns {missing} not in model output {actual.columns}"
+            )
+        actual_sel = actual.select(*expect_cols)
+        out_types = {f.name: f.dataType for f in actual_sel.schema.fields}
+        expected_df = ctx.spark.createDataFrame(
+            [tuple(_coerce_to(r.get(c), out_types[c]) for c in expect_cols)
+             for r in expect_rows],
+            schema=actual_sel.schema,
+        )
+        n_expect = len(expect_rows)
     # order-insensitive multiset diff (reference sorts then daff-diffs,
     # task/test.py:441 list_rows_from_table(sort=True))
     extra = actual_sel.exceptAll(expected_df)
@@ -191,4 +247,4 @@ def run_unit_test(ctx: ExecutionContext, node: ManifestNode) -> tuple[str, str]:
             "fail",
             f"{n_extra} unexpected row(s), {n_absent} missing row(s); diff sample: {sample}",
         )
-    return "pass", f"matched {len(expect_rows)} expected row(s)"
+    return "pass", f"matched {n_expect} expected row(s)"

@@ -31,11 +31,22 @@ class CompilationError(Exception):
     pass
 
 
+#: engine version surfaced as ``dbt_version`` (reference pins its own
+#: version the same way: core/dbt/context/base.py:215-233)
+DBT_VERSION = "1.10.0-spark"
+
+#: one id per process/invocation (base.py invocation_id contextproperty)
+_INVOCATION_ID: str = __import__("uuid").uuid4().hex
+
+
 def _base_context(var_overrides: dict, target: dict) -> dict[str, Any]:
     """Context members from core/dbt/context/base.py (§2C table)."""
     import itertools
-    import re as _re
+    import threading
     from datetime import datetime as _dt
+    from types import SimpleNamespace
+
+    import re as _re
 
     def env_var(name: str, default: Any = None) -> Any:
         val = os.environ.get(name, default)
@@ -50,19 +61,79 @@ def _base_context(var_overrides: dict, target: dict) -> dict[str, Any]:
             return default
         raise CompilationError(f"var '{name}' is undefined")
 
+    # set/zip are lenient (return default on non-iterable); *_strict raise —
+    # base.py:473-556
+    def _set(it: Any, default: Any = None) -> Any:
+        try:
+            return set(it)
+        except TypeError:
+            return default
+
+    def set_strict(it: Any) -> set:
+        try:
+            return set(it)
+        except TypeError as e:
+            raise CompilationError(f"set_strict: {e}") from e
+
+    def _zip(*its: Any) -> Any:
+        default = None
+        try:
+            return list(zip(*its))
+        except TypeError:
+            return default
+
+    def zip_strict(*its: Any) -> list:
+        try:
+            return list(zip(*its))
+        except TypeError as e:
+            raise CompilationError(f"zip_strict: {e}") from e
+
+    # toyaml/fromyaml (base.py:373-471)
+    import yaml as _yaml
+
+    def toyaml(value: Any, default: Any = None, sort_keys: bool = False) -> Any:
+        try:
+            return _yaml.safe_dump(value, sort_keys=sort_keys)
+        except (_yaml.YAMLError, TypeError):
+            return default
+
+    def fromyaml(value: str, default: Any = None) -> Any:
+        try:
+            return _yaml.safe_load(value)
+        except _yaml.YAMLError:
+            return default
+
+    modules = {"datetime": _dt, "re": _re, "itertools": itertools}
+    try:  # modules.pytz (base.py:631-654) — gated, pytz may be absent
+        import pytz as _pytz
+
+        modules["pytz"] = _pytz
+    except ImportError:
+        pass
+
     return {
         "env_var": env_var,
         "var": var,
         "target": target,
         "tojson": lambda v, default=None: json.dumps(v, default=str),
         "fromjson": lambda s, default=None: json.loads(s),
+        "toyaml": toyaml,
+        "fromyaml": fromyaml,
         "local_md5": lambda s: hashlib.md5(str(s).encode()).hexdigest(),
         "log": lambda msg, info=False: "",
         "print": lambda msg: "",
-        "set": lambda it, default=None: set(it),
-        "zip": lambda *its: list(zip(*its)),
+        "set": _set,
+        "set_strict": set_strict,
+        "zip": _zip,
+        "zip_strict": zip_strict,
         "run_started_at": datetime.now(timezone.utc),
-        "modules": {"datetime": _dt, "re": _re, "itertools": itertools},
+        "invocation_id": _INVOCATION_ID,
+        "thread_id": threading.current_thread().name,
+        "dbt_version": DBT_VERSION,
+        # flags namespace (base.py:215-233); runtime_render overrides
+        # FULL_REFRESH/WHICH with the invocation's actual values
+        "flags": SimpleNamespace(FULL_REFRESH=False, WHICH=None, STORE_FAILURES=False),
+        "modules": modules,
         "exceptions": type(
             "exceptions",
             (),
@@ -242,6 +313,8 @@ def runtime_render(
         return results_store.get(name)
 
     ctx = _base_context(var_overrides or {}, target or {})
+    ctx["flags"].FULL_REFRESH = full_refresh
+    ctx["flags"].WHICH = (extra or {}).get("which")
     ctx.update(
         {
             "ref": ref,

@@ -140,6 +140,8 @@ class ManifestNode:
     source_name: Optional[str] = None
     identifier: Optional[str] = None  # path or table the source resolves to
     loaded_at_field: Optional[str] = None
+    # custom freshness SQL, highest precedence (task/freshness.py:119-133)
+    loaded_at_query: Optional[str] = None
     freshness: dict[str, Any] = field(default_factory=dict)
     fqn: list[str] = field(default_factory=list)
 

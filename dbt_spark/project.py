@@ -419,6 +419,7 @@ def _parse_sources(doc: dict, project: Project, manifest: Manifest, rel: str) ->
                 source_name=src_name,
                 identifier=table.get("identifier", tbl_name),
                 loaded_at_field=table.get("loaded_at_field", src.get("loaded_at_field")),
+                loaded_at_query=table.get("loaded_at_query", src.get("loaded_at_query")),
                 freshness=table.get("freshness", src.get("freshness", {})) or {},
                 fqn=[project.name, src_name, tbl_name],
             )
@@ -570,6 +571,7 @@ def _parse_unit_tests(doc: dict, project: Project, manifest: Manifest, rel: str)
                 "model": model,
                 "given": ut.get("given", []) or [],
                 "expect": ut.get("expect", {}) or {},
+                "overrides": ut.get("overrides", {}) or {},
             },
             attached_node=f"model.{project.name}.{model}",
             fqn=[project.name, model, name],

@@ -128,6 +128,8 @@ class Engine:
         command, *rest = args
         if command == "docs" and rest and rest[0] == "generate":
             command, rest = "docs-generate", rest[1:]
+        if command == "docs" and rest and rest[0] == "serve":
+            command, rest = "docs-serve", rest[1:]
         if command == "source" and rest and rest[0] == "freshness":
             command, rest = "source-freshness", rest[1:]
         select: list[str] = []
@@ -139,7 +141,9 @@ class Engine:
         limit = 5
         defer = False
         empty = False
+        warn_error = False
         sample: Optional[str] = None
+        port: Optional[int] = None
         i = 0
         while i < len(rest):
             if rest[i] in ("--select", "-s"):
@@ -168,6 +172,11 @@ class Engine:
                 defer = True
             elif rest[i] == "--empty":
                 empty = True
+            elif rest[i] == "--warn-error":
+                warn_error = True
+            elif rest[i] == "--port":
+                i += 1
+                port = int(rest[i])
             elif rest[i] == "--sample":
                 i += 1
                 sample = rest[i]
@@ -204,8 +213,10 @@ class Engine:
             return self._show(manifest, inline, select, limit)
         if command == "docs-generate":
             return self._docs_generate(manifest)
+        if command == "docs-serve":
+            return self._docs_serve(port=port or 8080)
         if command == "source-freshness":
-            return self._source_freshness(manifest, now=now)
+            return self._source_freshness(manifest, now=now, warn_error=warn_error)
         if command == "clone":
             return self._clone(manifest, select, exclude)
         graph = Linker().link_graph(manifest)
@@ -249,6 +260,7 @@ class Engine:
             now=now,
             defer_store=defer_store,
             empty=empty,
+            warn_error=warn_error,
         )
         if sample:
             ctx.event_time_filters["*"] = _sample_window(sample, now)
@@ -469,7 +481,37 @@ class Engine:
             json.dump(payload, f, indent=1)
         return RunnerResult(True, [RunResult("docs.generate", "success", 0.0)], manifest)
 
-    def _source_freshness(self, manifest: Manifest, now=None) -> RunnerResult:
+    def _docs_serve(self, port: int = 8080, blocking: bool = True):
+        """dbt docs serve: static HTTP server over target/ (catalog.json +
+        manifest.json; reference serves the docs site the same way,
+        core/dbt/cli/main.py:294 docs serve). ``blocking=False`` returns the
+        live server (tests shut it down)."""
+        import http.server
+        import socketserver
+        import threading
+
+        target_dir = os.path.join(self.project.root, "target")
+
+        class Handler(http.server.SimpleHTTPRequestHandler):
+            def __init__(self, *a: Any, **k: Any) -> None:
+                super().__init__(*a, directory=target_dir, **k)
+
+            def log_message(self, *a: Any) -> None:
+                pass
+
+        httpd = socketserver.TCPServer(("127.0.0.1", port), Handler)
+        if not blocking:
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+            return httpd
+        try:
+            httpd.serve_forever()
+        finally:
+            httpd.server_close()
+        return RunnerResult(True, [RunResult("docs.serve", "success", 0.0)])
+
+    def _source_freshness(
+        self, manifest: Manifest, now=None, warn_error: bool = False
+    ) -> RunnerResult:
         """dbt source freshness → sources.json v3-ish
         (core/dbt/task/freshness.py:111-181)."""
         from dbt_spark.sources.freshness import check_freshness
@@ -480,12 +522,14 @@ class Engine:
         results: list[RunResult] = []
         artifacts = []
         for uid, src in manifest.sources.items():
-            if not src.freshness and not src.loaded_at_field:
+            if not src.freshness and not src.loaded_at_field and not src.loaded_at_query:
                 continue
             t0 = time.time()
             try:
                 fr = check_freshness(ctx, src, now=now)
                 status = "pass" if fr.status == "pass" else fr.status
+                if warn_error and status == "warn":
+                    status = "error"
                 results.append(RunResult(uid, status, time.time() - t0,
                                          message=f"age={fr.age_seconds:.0f}s"))
                 artifacts.append({
@@ -658,11 +702,15 @@ class Engine:
                 raise TestFailure(f"unit test {node.name} failed: {message}")
         elif node.resource_type == NodeType.Test:
             tr = run_test(ctx, node)
+            status = tr.status
+            if ctx.warn_error and status == "warn":
+                # --warn-error: warn severity promotes to failure (flags.py)
+                status = "fail"
             results.append(
-                RunResult(node.unique_id, tr.status, time.time() - t0,
+                RunResult(node.unique_id, status, time.time() - t0,
                           message=f"failures={tr.failures}")
             )
-            if tr.status == "fail":
+            if status == "fail":
                 raise TestFailure(f"test {node.name} failed with {tr.failures} failures")
         else:
             mat = node.get_materialization()

@@ -35,7 +35,19 @@ def _threshold_seconds(spec: Optional[dict]) -> Optional[float]:
 def check_freshness(ctx, node: ManifestNode, now: Optional[datetime] = None) -> FreshnessResult:
     now = now or datetime.now(timezone.utc).replace(tzinfo=None)
     freshness = node.freshness or {}
-    if node.loaded_at_field:
+    if node.loaded_at_query:
+        # custom freshness SQL, highest precedence (task/freshness.py:119-133);
+        # the query may reference the source's own columns — run it against a
+        # temp view registered over the source location
+        ident = ctx.resolve_source(node)
+        sql = node.loaded_at_query.replace("{{ this }}", ident).replace(
+            "{{this}}", ident
+        )
+        row = ctx.spark.sql(sql).collect()
+        if not row or len(row[0]) != 1:
+            return FreshnessResult(node.unique_id, None, float("inf"), "runtime error")
+        max_loaded_at = row[0][0]
+    elif node.loaded_at_field:
         df = ctx.source_df(node)
         row = df.agg(F.max(F.col(node.loaded_at_field)).alias("m")).collect()[0]
         max_loaded_at = row["m"]

@@ -484,3 +484,153 @@ def test_result_selector_method(project_dir, spark):
     assert ids == ["model.res.broken"]
     out2 = eng.invoke(["ls", "--select", "result:success", "--state", state])
     assert [x.unique_id for x in out2.results] == ["model.res.ok1"]
+
+
+def test_jinja_context_builtins(project_dir, spark):
+    """toyaml/fromyaml, set/zip + strict variants, invocation_id, dbt_version,
+    flags (core/dbt/context/base.py:215-233, :373-471, :473-556)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: jctx\n",
+        "models/ctx.sql": """
+select
+  {{ fromyaml(toyaml({'a': 41}))['a'] + 1 }} as a,
+  {{ zip([1, 2], [3, 4]) | length }} as z,
+  {{ set_strict([1, 1, 2]) | length }} as s,
+  {{ 1 if zip(12) is none else 0 }} as zlenient,
+  '{{ invocation_id }}' as iid,
+  '{{ dbt_version }}' as v,
+  {{ 0 if flags.FULL_REFRESH else 1 }} as fr
+""",
+    })
+    eng = Engine(pdir, spark=spark)
+    assert eng.invoke(["run"]).success
+    row = eng.store.read("main", "ctx").collect()[0]
+    assert (row["a"], row["z"], row["s"], row["zlenient"], row["fr"]) == (42, 2, 2, 1, 1)
+    assert len(row["iid"]) == 32 and row["v"].startswith("1.10")
+
+
+def test_unit_test_sql_fixture_and_overrides(feat):
+    """format: sql fixtures + overrides {vars, env_vars, macros}
+    (v1/unit_test_definition.py:26-57 UnitTestFormat.SQL, :60-77 overrides)."""
+    eng, pdir = feat
+    os.environ.pop("UT_SUFFIX", None)
+    with open(os.path.join(pdir, "models", "labeled.sql"), "w") as f:
+        f.write(
+            "select o_orderkey, {{ var('rate', 1) }} * o_totalprice as amt,\n"
+            "  '{{ env_var(\"UT_SUFFIX\", \"none\") }}' as suffix,\n"
+            "  {{ cents_to_dollars('o_totalprice') }} as dollars\n"
+            "from {{ source('tpch','orders') }}"
+        )
+    with open(os.path.join(pdir, "models", "sources.yml"), "a") as f:
+        f.write("""
+unit_tests:
+  - name: ut_sql_fixture
+    model: labeled
+    given:
+      - input: source('tpch', 'orders')
+        format: sql
+        rows: select 1 as o_orderkey, 200.0 as o_totalprice
+    expect:
+      rows:
+        - {o_orderkey: 1, amt: 600.0, suffix: abc, dollars: 9.9}
+    overrides:
+      vars: {rate: 3}
+      env_vars: {UT_SUFFIX: abc}
+      macros:
+        cents_to_dollars: "9.9"
+""")
+    r = eng.invoke(["test", "--select", "ut_sql_fixture"])
+    assert r.success, r.results[0].message
+    # env patched only for the duration of the test run
+    assert "UT_SUFFIX" not in os.environ
+
+
+def test_unit_test_expect_sql_format(feat):
+    eng, pdir = feat
+    with open(os.path.join(pdir, "models", "sources.yml"), "a") as f:
+        f.write("""
+unit_tests:
+  - name: ut_expect_sql
+    model: amounts
+    given:
+      - input: source('tpch', 'orders')
+        rows:
+          - {o_orderkey: 7, o_totalprice: 300}
+    expect:
+      format: sql
+      rows: select 7 as o_orderkey, cast(3.0 as double) as dollars
+""")
+    r = eng.invoke(["test", "--select", "ut_expect_sql"])
+    assert r.success, r.results[0].message
+
+
+def test_freshness_loaded_at_query(project_dir, spark):
+    """loaded_at_query: custom freshness SQL, highest precedence
+    (core/dbt/task/freshness.py:119-133)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: fq\n",
+        "models/sources.yml": """
+sources:
+  - name: tpch
+    tables:
+      - name: events
+        loaded_at_query: select max(ts) from {{ this }}
+        freshness:
+          warn_after: {count: 1, period: hour}
+        meta: {location: "__SF__/events.parquet"}
+""".replace("__SF__", SF_DIR),
+    })
+    eng = Engine(pdir, spark=spark)
+    manifest = eng.parse()
+    src = manifest.sources["source.fq.tpch.events"]
+    assert src.loaded_at_query
+    r = eng.invoke(["source", "freshness"])
+    # synthetic events data is months old → warn threshold exceeded
+    assert r.results[0].status == "warn"
+    # --warn-error promotes the warning to an error
+    r2 = eng.invoke(["source", "freshness", "--warn-error"])
+    assert r2.results[0].status == "error" and not r2.success
+
+
+def test_warn_error_promotes_test_warning(project_dir, spark):
+    pdir = project_dir({
+        "dbt_project.yml": "name: we\n",
+        "models/dupes.sql": "select 1 as id union all select 1 as id",
+        "models/schema.yml": """
+models:
+  - name: dupes
+    columns:
+      - name: id
+        data_tests:
+          - unique:
+              config: {severity: warn}
+""",
+    })
+    eng = Engine(pdir, spark=spark)
+    r = eng.invoke(["build"])
+    assert r.success  # warn does not fail the build...
+    assert any(x.status == "warn" for x in r.results)
+    r2 = eng.invoke(["build", "--warn-error"])  # ...unless --warn-error
+    assert not r2.success
+    assert any(x.status == "fail" for x in r2.results)
+
+
+def test_docs_serve(project_dir, spark):
+    import urllib.request
+
+    pdir = project_dir({
+        "dbt_project.yml": "name: ds\n",
+        "models/m1.sql": "select 1 as id",
+    })
+    eng = Engine(pdir, spark=spark)
+    assert eng.invoke(["run"]).success
+    assert eng.invoke(["docs", "generate"]).success
+    httpd = eng._docs_serve(port=0, blocking=False)
+    try:
+        port = httpd.server_address[1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/catalog.json") as resp:
+            doc = json.load(resp)
+        assert "model.ds.m1" in doc["nodes"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
