@@ -38,6 +38,9 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q10_returned_items",
+    "tpch_q8_market_share",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_join",
     # LLM-pipeline ops (added as they come online)
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -484,6 +484,230 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join then priority counts (adapted to this
+    schema: the exists predicate is l_shipdate > o_orderdate — the testdata
+    lacks commit/receipt dates).
+
+    Scale: left-semi join shuffles on orderkey once; the count-by-priority
+    aggregate is map-side combined (5 groups).
+    """
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between two nations by direction and year.
+
+    Scale: nation is broadcast to BOTH sides; the only big shuffles are the
+    customer→orders and orders→lineitem equi-joins; year extraction stays in
+    codegen.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("supp_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+        )
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of regional revenue per year —
+    conditional-sum ratio over a 6-way join.
+
+    Scale: region/nation broadcast; numerator/denominator computed in ONE
+    aggregation pass (sum(when) / sum), no self-join.
+    """
+    t = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region", "part"
+    )
+    disc_price = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("volume")
+    n_cust = t["nation"].select(
+        F.col("n_nationkey").alias("cn_nk"), F.col("n_regionkey").alias("cn_rk")
+    )
+    n_supp = t["nation"].select(
+        F.col("n_nationkey").alias("sn_nk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("p_type").startswith("SMALL"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_nk"))
+        .join(F.broadcast(t["region"]), F.col("cn_rk") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_nk"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "GERMANY", disc_price)
+                      .otherwise(F.lit(0).cast("decimal(18,2)")))
+                / F.sum(disc_price)
+            ).cast("double").alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue percentage — conditional ratio after a
+    part join over one month of lineitem."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), disc_price)
+                        .otherwise(F.lit(0).cast("decimal(18,2)")))
+                / F.sum(disc_price)
+            ).cast("double").alias("promo_revenue")
+        )
+    )
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
+    GROUP BY + HAVING feeding a semi-join back to the detail.
+
+    Scale: the HAVING aggregate runs first and is tiny (big-quantity keys),
+    so the back-join broadcasts the qualifying keys.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+        .select("l_orderkey", "sum_qty")
+    )
+    return (
+        t["orders"]
+        .join(big.withColumnRenamed("l_orderkey", "bk"), F.col("o_orderkey") == F.col("bk"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("sum_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity band predicates
+    evaluated inside one part join (adapted: no container column).
+
+    Scale: the equi-join key (partkey) is extracted from the OR'd predicate so
+    Catalyst still plans a hash join; the residual disjunction is a post-join
+    filter in codegen — never a cartesian.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich customers with no orders — scalar-average
+    subquery + anti-join, grouped by nation bucket (adapted: nationkey stands
+    in for the phone country code).
+
+    Scale: the scalar avg is one tiny aggregate broadcast into the filter; the
+    anti-join shuffles on custkey once.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(_dec("c_acctbal", 4)).alias("avg_bal"))
+    )
+    # "no recent orders": every synthetic customer has SOME order, so the
+    # anti-join is against the recent window (keeps the Q22 shape non-empty)
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .filter(_dec("c_acctbal", 4) > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("bigint").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal", 4)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 # --------------------------------------------------------------------------
 # ranking windows / exact percentiles / arrays / null-handling / explode
 # --------------------------------------------------------------------------
@@ -847,6 +1071,105 @@ ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
     """,
+    "tpch_q4_order_priority": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+          AND o_orderdate < TIMESTAMP '1995-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "tpch_q7_volume_shipping": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   {_Q1_DISC} AS volume
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "tpch_q8_market_share": f"""
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'GERMANY' THEN volume
+                             ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    / SUM(volume) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   {_Q1_DISC} AS volume, n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'EUROPE' AND p_type LIKE 'SMALL%'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "tpch_q14_promo_revenue": f"""
+        SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_Q1_DISC}
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    / SUM({_Q1_DISC}) AS DOUBLE) AS promo_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+    "tpch_q18_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(big.sum_qty AS DOUBLE) AS total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+    "tpch_q19_disjunctive_join": f"""
+        SELECT CAST(SUM({_Q1_DISC}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q22_global_sales_opportunity": """
+        SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE CAST(c_acctbal AS DECIMAL(18,4)) >
+              (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer
+               WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+    """,
     "window_rank_funcs": """
         SELECT * FROM (
             SELECT o_orderkey, o_orderpriority,
@@ -1075,6 +1398,13 @@ QUERIES = {
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
     "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q4_order_priority": tpch_q4_order_priority,
+    "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "tpch_q18_large_orders": tpch_q18_large_orders,
+    "tpch_q19_disjunctive_join": tpch_q19_disjunctive_join,
+    "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
     "window_rank_funcs": window_rank_funcs,
     "agg_percentiles": agg_percentiles,
     "array_funcs": array_funcs,
