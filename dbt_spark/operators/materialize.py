@@ -167,6 +167,8 @@ class ExecutionContext:
 def compile_sql(
     ctx: ExecutionContext, node: ManifestNode, is_incremental: bool = False
 ) -> str:
+    from dbt_spark.plans.macros import RuntimeAdapter
+
     target = dict(ctx.project.profile, name="spark", type="spark")
     return runtime_render(
         node,
@@ -179,6 +181,7 @@ def compile_sql(
         var_overrides={**ctx.project.vars, **ctx.vars},
         target=target,
         run_query=ctx.run_query,
+        extra={"adapter": RuntimeAdapter(ctx)},
     ).strip().rstrip(";")
 
 

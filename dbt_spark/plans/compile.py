@@ -147,7 +147,13 @@ def _base_context(var_overrides: dict, target: dict) -> dict[str, Any]:
     }
 
 
-_ENV = jinja2.Environment(undefined=jinja2.Undefined, keep_trailing_newline=True)
+# the reference's jinja env enables do/loopcontrols
+# (core/dbt/clients/jinja.py get_environment)
+_ENV = jinja2.Environment(
+    undefined=jinja2.Undefined,
+    keep_trailing_newline=True,
+    extensions=["jinja2.ext.do", "jinja2.ext.loopcontrols"],
+)
 
 
 def parse_render(

@@ -130,6 +130,110 @@ class RelationProxy:
         return self._ident
 
 
+class ColumnInfo:
+    """dbt's api.Column subset (name/dtype/data_type/quoted) — what macros
+    read from adapter.get_columns_in_relation results."""
+
+    def __init__(self, name: str, dtype: str) -> None:
+        self.name = name
+        self.dtype = dtype
+        self.column = name
+
+    @property
+    def data_type(self) -> str:
+        return self.dtype
+
+    @property
+    def quoted(self) -> str:
+        return f"`{self.name}`"
+
+    def is_string(self) -> bool:
+        return self.dtype in ("string", "varchar")
+
+    def is_numeric(self) -> bool:
+        return any(t in self.dtype for t in ("int", "long", "double", "float", "decimal"))
+
+    def __repr__(self) -> str:
+        return f"Column({self.name} {self.dtype})"
+
+
+class RuntimeAdapter:
+    """Runtime ``adapter.*`` wrapper over the relation store — the execute-
+    phase analog of BaseDatabaseWrapper (core/dbt/context/providers.py:126-224).
+    Package macros introspect relations through exactly this subset."""
+
+    def __init__(self, ctx: Any) -> None:
+        self._ctx = ctx
+        self.dispatch = None  # bound by _bind_macros
+
+    def _split(self, relation: Any) -> tuple[str, str]:
+        schema = getattr(relation, "schema", None) or "main"
+        name = getattr(relation, "name", None) or str(relation)
+        if self._ctx.store.get(schema, name) is None and "__" in str(relation):
+            # identifier-form "schema__name" fallback
+            s, _, n = str(relation).partition("__")
+            if self._ctx.store.get(s, n) is not None:
+                return s, n
+        return schema, name
+
+    def get_relation(
+        self, database: Any = None, schema: Any = None, identifier: Any = None
+    ) -> Optional[RelationProxy]:
+        schema = str(schema or "main")
+        identifier = str(identifier or "")
+        rel = self._ctx.store.get(schema, identifier)
+        if rel is None:
+            return None
+        proxy = RelationProxy(f"{schema}__{identifier}", schema=schema, name=identifier)
+        proxy.type = rel.kind
+        return proxy
+
+    def load_relation(self, relation: Any) -> Optional[RelationProxy]:
+        schema, name = self._split(relation)
+        return self.get_relation(schema=schema, identifier=name)
+
+    def get_columns_in_relation(self, relation: Any) -> list[ColumnInfo]:
+        schema, name = self._split(relation)
+        rel = self._ctx.store.get(schema, name)
+        if rel is None:
+            return []
+        df = self._ctx.store.read(rel.schema, rel.name)
+        return [ColumnInfo(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+    def drop_relation(self, relation: Any) -> str:
+        schema, name = self._split(relation)
+        self._ctx.store.drop(schema, name)
+        return ""
+
+    def create_schema(self, relation: Any = None) -> str:
+        return ""  # schemas are directories created lazily by the store
+
+    def list_relations(self, database: Any = None, schema: Any = None) -> list[RelationProxy]:
+        out = []
+        for rel in self._ctx.store.list_relations(str(schema) if schema else None):
+            p = RelationProxy(rel.identifier, schema=rel.schema, name=rel.name)
+            p.type = rel.kind
+            out.append(p)
+        return out
+
+    def quote(self, identifier: str) -> str:
+        return f"`{identifier}`"
+
+    # type helpers (dbt.type_* macro backing; adapters expose these as
+    # convert_*_type classmethods)
+    def type_string(self) -> str:
+        return "string"
+
+    def type_timestamp(self) -> str:
+        return "timestamp"
+
+    def type_int(self) -> str:
+        return "bigint"
+
+    def type_numeric(self) -> str:
+        return "decimal(28,6)"
+
+
 class QueryResult:
     """Driver-side result of run_query — the agate.Table analog kept tiny
     (SURVEY §1.2: agate only ever holds test summaries / previews)."""

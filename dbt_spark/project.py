@@ -155,13 +155,8 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
         # package macros join the global namespace BEFORE any model parses
         # (reference loads all macros first: load_and_parse_macros,
         # core/dbt/parser/manifest.py:677-704)
-        for pkg in project.packages:
-            if "local" in pkg:
-                pkg_dir = pkg["local"]
-                if not os.path.isabs(pkg_dir):
-                    pkg_dir = os.path.join(project.root, pkg_dir)
-                if os.path.isdir(pkg_dir):
-                    macro_roots.append((pkg_dir, ["macros"]))
+        for pkg_dir in _package_dirs(project):
+            macro_roots.append((pkg_dir, ["macros"]))
     for mroot, mpaths in macro_roots:
         for full, rel in _walk(mroot, mpaths, (".sql",)):
             with open(full) as f:
@@ -333,19 +328,36 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
             )
         )
 
-    # --- local packages merge into the root manifest ----------------------
+    # --- packages merge into the root manifest ----------------------------
+    # local: resolve in place; git/tarball: resolve from dbt_packages/ after
+    # `deps` installed them (deps/{local,git,tarball}.py)
     if is_root:
-        for pkg in project.packages:
-            if "local" not in pkg:
-                continue  # hub/git/tarball need `deps` (network) first
-            pkg_dir = pkg["local"]
-            if not os.path.isabs(pkg_dir):
-                pkg_dir = os.path.join(project.root, pkg_dir)
+        for pkg_dir in _package_dirs(project):
             sub = Project.load(pkg_dir, profile=dict(project.profile))
             sub.vars = {**sub.vars, **project.vars}
             parse_project(sub, cache=None, manifest=manifest)
         _resolve_depends_on(manifest)
     return manifest
+
+
+def _package_dirs(project: Project) -> list[str]:
+    """Resolvable package roots: ``local:`` paths in place, plus everything
+    `dbt deps` installed into dbt_packages/ (git clones, tarball extracts)."""
+    dirs: list[str] = []
+    for pkg in project.packages:
+        if "local" in pkg:
+            pkg_dir = pkg["local"]
+            if not os.path.isabs(pkg_dir):
+                pkg_dir = os.path.join(project.root, pkg_dir)
+            if os.path.isdir(pkg_dir):
+                dirs.append(pkg_dir)
+    installed_root = os.path.join(project.root, "dbt_packages")
+    if os.path.isdir(installed_root):
+        for d in sorted(os.listdir(installed_root)):
+            full = os.path.join(installed_root, d)
+            if os.path.exists(os.path.join(full, "dbt_project.yml")):
+                dirs.append(full)
+    return dirs
 
 
 def _parse_python_model(raw: str) -> tuple[list[tuple], list[tuple[str, str]], dict]:

@@ -384,12 +384,15 @@ class Engine:
         t0 = time.time()
         # the macro's rendered text is discarded — side effects happen via
         # run_query inside the macro (core/dbt/task/run_operation.py:29-80)
+        from dbt_spark.plans.macros import RuntimeAdapter
+
         runtime_render(
             call, manifest,
             resolve_ref=ctx.resolve_ref, resolve_source=ctx.resolve_source,
             this_name=macro_name, is_incremental=False, full_refresh=False,
             var_overrides={**self.project.vars, **self.vars},
             target=dict(self.project.profile), run_query=ctx.run_query,
+            extra={"adapter": RuntimeAdapter(ctx)},
         )
         return RunnerResult(True, [RunResult(
             call.unique_id, "success", time.time() - t0)], manifest)
@@ -631,10 +634,19 @@ class Engine:
         return RunnerResult(ok, results, self.manifest)
 
     def _deps(self) -> RunnerResult:
-        """dbt deps: resolve packages.yml. Local packages resolve in place
-        (deps/local.py:26); hub/git/tarball require network and are reported
-        as errors in this offline engine (deps/{registry,git,tarball}.py)."""
+        """dbt deps: resolve packages.yml into dbt_packages/.
+
+        local: resolves in place (deps/local.py:26); git: clones the URL (a
+        remote, a file:// URL, or a local repo path) and checks out
+        ``revision`` (deps/git.py:46); tarball: extracts the archive
+        (deps/tarball.py:30). Hub packages need the registry (network) and
+        report an actionable error (deps/registry.py:30)."""
+        import shutil
+        import subprocess
+        import tarfile
+
         results: list[RunResult] = []
+        install_root = os.path.join(self.project.root, "dbt_packages")
         for pkg in self.project.packages:
             if "local" in pkg:
                 path = pkg["local"]
@@ -646,12 +658,70 @@ class Engine:
                     "success" if ok else "error", 0.0,
                     path if ok else f"no dbt_project.yml at {path}",
                 ))
+            elif "git" in pkg:
+                url = pkg["git"]
+                name = os.path.basename(url.rstrip("/")).removesuffix(".git")
+                dest = os.path.join(install_root, name)
+                t0 = time.time()
+                try:
+                    if os.path.isdir(dest):
+                        shutil.rmtree(dest)
+                    os.makedirs(install_root, exist_ok=True)
+                    subprocess.run(
+                        ["git", "clone", "--quiet", url, dest],
+                        check=True, capture_output=True, text=True, timeout=120,
+                    )
+                    if pkg.get("revision"):
+                        subprocess.run(
+                            ["git", "-C", dest, "checkout", "--quiet",
+                             str(pkg["revision"])],
+                            check=True, capture_output=True, text=True, timeout=60,
+                        )
+                    if not os.path.exists(os.path.join(dest, "dbt_project.yml")):
+                        raise FileNotFoundError("cloned repo has no dbt_project.yml")
+                    results.append(RunResult(
+                        f"package.git.{name}", "success", time.time() - t0, dest))
+                except Exception as e:  # noqa: BLE001
+                    msg = getattr(e, "stderr", "") or str(e)
+                    results.append(RunResult(
+                        f"package.git.{name}", "error", time.time() - t0, msg.strip()))
+            elif "tarball" in pkg:
+                path = pkg["tarball"]
+                if not os.path.isabs(path) and not path.startswith(("http://", "https://")):
+                    path = os.path.join(self.project.root, path)
+                name = pkg.get("name") or os.path.basename(path).split(".tar")[0]
+                dest = os.path.join(install_root, name)
+                t0 = time.time()
+                try:
+                    if path.startswith(("http://", "https://")):
+                        raise ConnectionError(
+                            "remote tarballs require network; download and point "
+                            "`tarball:` at the local file")
+                    if os.path.isdir(dest):
+                        shutil.rmtree(dest)
+                    os.makedirs(dest, exist_ok=True)
+                    with tarfile.open(path) as tf:
+                        tf.extractall(dest, filter="data")
+                    # archives usually wrap a single top-level dir — flatten it
+                    entries = os.listdir(dest)
+                    if len(entries) == 1 and os.path.isdir(os.path.join(dest, entries[0])):
+                        inner = os.path.join(dest, entries[0])
+                        for item in os.listdir(inner):
+                            shutil.move(os.path.join(inner, item), dest)
+                        os.rmdir(inner)
+                    if not os.path.exists(os.path.join(dest, "dbt_project.yml")):
+                        raise FileNotFoundError("tarball has no dbt_project.yml")
+                    results.append(RunResult(
+                        f"package.tarball.{name}", "success", time.time() - t0, dest))
+                except Exception as e:  # noqa: BLE001
+                    results.append(RunResult(
+                        f"package.tarball.{name}", "error", time.time() - t0, str(e)))
             else:
                 kind = next(iter(pkg.keys() - {"version", "revision"}), "unknown")
                 results.append(RunResult(
                     f"package.{kind}.{pkg.get(kind, '?')}", "error", 0.0,
-                    f"{kind} packages require network access; vendor the package "
-                    "and use `local:` instead",
+                    f"{kind} packages require the registry (network); vendor the "
+                    "package and use `local:`/`git:`/`tarball:` instead",
                 ))
         ok = all(r.status == "success" for r in results)
         return RunnerResult(ok, results, self.manifest)

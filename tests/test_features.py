@@ -634,3 +634,93 @@ def test_docs_serve(project_dir, spark):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_runtime_adapter_introspection(project_dir, spark):
+    """adapter.get_relation / get_columns_in_relation / list_relations /
+    drop_relation from macros (BaseDatabaseWrapper, providers.py:126-224)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: adp\n",
+        "models/base.sql": "select 1 as id, 'x' as label",
+        # a model whose SQL is built by introspecting the upstream's columns
+        "models/described.sql": """
+{%- set rel = adapter.get_relation(schema='main', identifier='base') -%}
+{%- if rel is none -%}
+select 'missing' as col_list
+{%- else -%}
+{%- set cols = adapter.get_columns_in_relation(rel) -%}
+select '{{ cols | map(attribute='name') | join(",") }}' as col_list,
+       '{{ cols[0].data_type }}' as first_type,
+       {{ adapter.get_columns_in_relation(this) | length }} as self_cols
+{%- endif -%}
+""",
+        "macros/cleanup.sql": """
+{% macro drop_base() %}
+  {% do adapter.drop_relation(adapter.get_relation(schema='main', identifier='base')) %}
+{% endmacro %}
+{% macro relation_count() %}
+  {{ log('relations=' ~ (adapter.list_relations(schema='main') | length)) }}
+{% endmacro %}
+""",
+    })
+    eng = Engine(pdir, spark=spark)
+    r = eng.invoke(["run", "--select", "base"])
+    assert r.success
+    r = eng.invoke(["run", "--select", "described"])
+    assert r.success, r.results[0].message
+    row = eng.store.read("main", "described").collect()[0]
+    assert row["col_list"] == "id,label"
+    assert row["first_type"] == "int"
+    assert eng.invoke(["run-operation", "relation_count"]).success
+    assert eng.invoke(["run-operation", "drop_base"]).success
+    assert eng.store.get("main", "base") is None
+
+
+def test_deps_git_and_tarball_packages(project_dir, spark, tmp_path_factory):
+    """git: clones (local repo path stands in for the remote) and tarball:
+    extracts into dbt_packages/; both then parse into the root manifest
+    (deps/git.py:46, deps/tarball.py:30)."""
+    import subprocess
+    import tarfile
+
+    ext = tmp_path_factory.mktemp("ext_pkgs")
+    # a git package exposing a macro
+    gitpkg = ext / "gitpkg"
+    (gitpkg / "macros").mkdir(parents=True)
+    (gitpkg / "dbt_project.yml").write_text("name: gitpkg\n")
+    (gitpkg / "macros" / "m.sql").write_text(
+        "{% macro from_git_pkg() %}41 + 1{% endmacro %}")
+    for cmd in (["git", "init", "-q"], ["git", "add", "-A"],
+                ["git", "-c", "user.email=t@t", "-c", "user.name=t",
+                 "commit", "-qm", "init"]):
+        subprocess.run(cmd, cwd=gitpkg, check=True, capture_output=True)
+    # a tarball package exposing a model
+    tarsrc = ext / "tarpkg"
+    (tarsrc / "models").mkdir(parents=True)
+    (tarsrc / "dbt_project.yml").write_text("name: tarpkg\n")
+    (tarsrc / "models" / "tar_model.sql").write_text("select 7 as seven")
+    tar_path = ext / "tarpkg.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tf:
+        tf.add(tarsrc, arcname="tarpkg")
+
+    pdir = project_dir({
+        "dbt_project.yml": "name: depsproj\n",
+        "packages.yml": f"""
+packages:
+  - git: "{gitpkg}"
+  - tarball: "{tar_path}"
+    name: tarpkg
+""",
+        "models/uses_pkg.sql": "select {{ from_git_pkg() }} as v",
+    })
+    eng = Engine(pdir, spark=spark)
+    r = eng.invoke(["deps"])
+    assert r.success, [x.message for x in r.results]
+    assert os.path.isdir(os.path.join(pdir, "dbt_packages", "gitpkg"))
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    assert eng.store.read("main", "uses_pkg").collect()[0]["v"] == 42
+    assert eng.store.read("main", "tar_model").collect()[0]["seven"] == 7
+    # package: selector sees the installed package's nodes
+    out = eng.invoke(["ls", "--select", "package:tarpkg"])
+    assert [x.unique_id for x in out.results] == ["model.tarpkg.tar_model"]
