@@ -44,6 +44,7 @@ HEADLINE = [
     # LLM-pipeline ops (added as they come online)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "training_data_pipeline",
     "text_quality_score",
     "token_count",
     "ann_topk_bruteforce",

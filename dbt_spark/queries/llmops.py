@@ -106,6 +106,46 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.3, bound=200)
 
 
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: quality scoring → language routing →
+    fingerprint dedup → per-language corpus stats (low-quality docs dropped,
+    the rest bucketed by predicted language). The composition a 100 TB
+    curation job runs as ONE declarative plan.
+
+    Scale: every stage is codegen'd column math over one documents scan — no
+    UDFs, no collect; the only shuffles are the fingerprint-dedup window and
+    the tiny final per-language aggregate. At cluster scale the window
+    partitions by fingerprint hash (uniform), so no skew.
+    """
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    feats = docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.quality_score("text").alias("quality_score"),
+        X.lang_id("text").alias("lang_pred"),
+        X.fingerprint("text", 8).alias("fp"),
+    )
+    kept = feats.filter(F.col("quality_score") >= 0.2)
+    deduped = (
+        kept.withColumn(
+            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("quality_score").alias("min_quality"),
+            F.max("quality_score").alias("max_quality"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -197,6 +237,53 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                md5(array_to_string(list_slice({_TOKS}, 1, 8), ' ')) AS fingerprint
         FROM documents
+    """,
+    "training_data_pipeline": _QUALITY_CTE.rstrip() + f""",
+        lang_scores AS (SELECT doc_id, {_LANG_SCORES} FROM documents),
+        lang_best AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS b FROM lang_scores),
+        langs AS (
+            SELECT doc_id,
+                   CASE WHEN b = 0 THEN 'und'
+                        WHEN s_de = b THEN 'de'
+                        WHEN s_en = b THEN 'en'
+                        WHEN s_es = b THEN 'es'
+                        WHEN s_fr = b THEN 'fr'
+                        ELSE 'und' END AS lang_pred
+            FROM lang_best
+        ),
+        scored AS (
+            SELECT f.doc_id,
+                   CAST(f.n_tokens AS BIGINT) AS n_tokens,
+                   0.4 * least(f.n_chars / 500.0, 1.0)
+                 + 0.4 * least((CASE WHEN f.n_tokens = 0 THEN 0.0
+                                ELSE CAST(f.n_stop AS DOUBLE) / CAST(f.n_tokens AS DOUBLE) END) * 5.0,
+                               1.0)
+                 + 0.1 * (1.0 - least(f.punct / greatest(f.n_chars, 1.0) * 10.0, 1.0))
+                 + 0.1 * (1.0 - least(f.digits / greatest(f.n_chars, 1.0) * 10.0, 1.0))
+                       AS quality_score,
+                   l.lang_pred,
+                   md5(array_to_string(list_slice({_TOKS}, 1, 8), ' ')) AS fp
+            FROM feats f
+            JOIN langs l USING (doc_id)
+            JOIN documents USING (doc_id)
+        ),
+        kept AS (
+            SELECT * FROM scored WHERE quality_score >= 0.2
+        ),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM kept) t
+            WHERE rn = 1
+        )
+        SELECT lang_pred,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(quality_score) AS min_quality,
+               MAX(quality_score) AS max_quality
+        FROM deduped
+        GROUP BY lang_pred
+        ORDER BY lang_pred
     """,
     "rolling_hash_fingerprint": f"""
         SELECT doc_id,
@@ -318,6 +405,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
+    "training_data_pipeline": training_data_pipeline,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_lsh": ann_topk_lsh,
