@@ -213,6 +213,9 @@ def parse_render(
             "is_incremental": lambda: False,
             "should_full_refresh": lambda: False,
             "adapter": _ParseAdapter(),
+            # parse-phase graph is empty (the reference populates it only at
+            # execute time; macros guard with `if execute`)
+            "graph": type("graph", (), {"nodes": {}, "sources": {}})(),
             # run_query returns None at parse time (execute=False guard idiom,
             # providers.py:1215-1275)
             "run_query": lambda sql: None,
@@ -240,6 +243,53 @@ def _bind_macros(ctx: dict, macros: Optional[dict[str, str]]) -> None:
     adapter = ctx.get("adapter")
     if adapter is not None:
         adapter.dispatch = make_dispatcher(bound)
+
+
+class _LazyGraph:
+    """The ``graph`` context member (base.py:590-629): read-only manifest
+    introspection — graph.nodes/sources values carry the fields package macros
+    filter on (``selectattr`` over resource_type/tags/config). Built lazily on
+    first access so plain renders pay nothing."""
+
+    def __init__(self, manifest: Manifest) -> None:
+        self._manifest = manifest
+        self._nodes: Optional[dict] = None
+        self._sources: Optional[dict] = None
+
+    @staticmethod
+    def _node_dict(n: ManifestNode) -> dict:
+        return {
+            "unique_id": n.unique_id,
+            "name": n.name,
+            "resource_type": getattr(n.resource_type, "value", str(n.resource_type)),
+            "package_name": n.package_name,
+            "path": n.path,
+            "tags": list(n.config.tags),
+            "config": {
+                "enabled": n.config.enabled,
+                "materialized": n.config.materialized,
+                "tags": list(n.config.tags),
+                "meta": dict(n.config.meta),
+            },
+            "depends_on": {"nodes": list(n.depends_on)},
+            "source_name": n.source_name,
+        }
+
+    @property
+    def nodes(self) -> dict:
+        if self._nodes is None:
+            self._nodes = {
+                uid: self._node_dict(n) for uid, n in self._manifest.nodes.items()
+            }
+        return self._nodes
+
+    @property
+    def sources(self) -> dict:
+        if self._sources is None:
+            self._sources = {
+                uid: self._node_dict(n) for uid, n in self._manifest.sources.items()
+            }
+        return self._sources
 
 
 class _ParseAdapter:
@@ -321,6 +371,7 @@ def runtime_render(
     ctx = _base_context(var_overrides or {}, target or {})
     ctx["flags"].FULL_REFRESH = full_refresh
     ctx["flags"].WHICH = (extra or {}).get("which")
+    ctx["graph"] = _LazyGraph(manifest)
     ctx.update(
         {
             "ref": ref,

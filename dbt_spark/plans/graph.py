@@ -146,6 +146,42 @@ class GraphQueue:
 _GRAPH_OP_RE = re.compile(r"^(?P<at>@)?(?P<pre>(\d*)\+)?(?P<body>[^+]+?)(?P<post>\+(\d*))?$")
 
 
+def _changed_macros(state: dict) -> frozenset[str]:
+    """Names of macros whose source hash differs from the --state manifest,
+    expanded transitively through macro→macro calls (the reference recurses
+    the same way: selector_methods.py:637-665 check_macros_modified). Cached
+    on the state dict — computed once per selection."""
+    cached = state.get("__changed_macros__")
+    if cached is not None:
+        return cached
+    import hashlib
+
+    old: dict = state.get("__macros__") or {}
+    cur_src: dict = state.get("__manifest_macros__") or {}
+    changed: set[str] = set()
+    if old or cur_src:
+        cur_hash = {
+            name: hashlib.md5(src.encode()).hexdigest() for name, src in cur_src.items()
+        }
+        if old:  # states written before macro hashes existed: skip the check
+            changed = {
+                n for n in (set(cur_hash) | set(old))
+                if cur_hash.get(n) != old.get(n)
+            }
+            # transitive: a macro whose body calls a changed macro is changed
+            while True:
+                more = {
+                    n for n, src in cur_src.items()
+                    if n not in changed and any(c in src for c in changed)
+                }
+                if not more:
+                    break
+                changed |= more
+    result = frozenset(changed)
+    state["__changed_macros__"] = result
+    return result
+
+
 def _match_method(node: ManifestNode, body: str, state: Optional[dict] = None) -> bool:
     if ":" in body:
         method, _, value = body.partition(":")
@@ -158,7 +194,8 @@ def _match_method(node: ManifestNode, body: str, state: Optional[dict] = None) -
             old = state.get(node.unique_id)
             if value == "new":
                 return old is None
-            if value in ("modified", "modified.body", "modified.configs"):
+            if value in ("modified", "modified.body", "modified.configs",
+                         "modified.macros"):
                 if old is None:
                     return True
                 if value in ("modified", "modified.body") and old.get(
@@ -175,6 +212,10 @@ def _match_method(node: ManifestNode, body: str, state: Optional[dict] = None) -
                     if {k: str(v) for k, v in new_cfg.items()} != {
                         k: str(v) for k, v in old_cfg.items()
                     }:
+                        return True
+                if value in ("modified", "modified.macros"):
+                    changed = _changed_macros(state)
+                    if changed and any(name in node.raw_code for name in changed):
                         return True
                 return False
             raise DagError(f"unknown state selector '{value}'")
@@ -258,6 +299,12 @@ def select_nodes(
 ) -> set[str]:
     all_nodes = {**manifest.sources, **manifest.nodes}
     universe = set(all_nodes)
+    if state is not None:
+        # current macro sources, for state:modified.macros comparison
+        state.setdefault(
+            "__manifest_macros__",
+            {n: s for n, s in manifest.macros.items() if isinstance(s, str)},
+        )
 
     def eval_spec(spec: str) -> set[str]:
         # intersection components separated by ','

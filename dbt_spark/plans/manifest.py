@@ -217,6 +217,13 @@ class Manifest:
             },
             "nodes": {uid: node_dict(n) for uid, n in self.nodes.items()},
             "sources": {uid: node_dict(n) for uid, n in self.sources.items()},
+            # macro source hashes — state:modified.macros comparison input
+            # (selector_methods.py:637-665)
+            "macros": {
+                name: hashlib.md5(src.encode()).hexdigest()
+                for name, src in self.macros.items()
+                if isinstance(src, str)
+            },
         }
 
     def write(self, path: str) -> None:

@@ -583,11 +583,13 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_nk"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
+            # exact decimal sums; the ratio is IEEE double-divided so both
+            # engines round identically
             (
                 F.sum(F.when(F.col("supp_nation") == "GERMANY", disc_price)
-                      .otherwise(F.lit(0).cast("decimal(18,2)")))
-                / F.sum(disc_price)
-            ).cast("double").alias("mkt_share")
+                      .otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("mkt_share")
         )
         .orderBy("o_year")
     )
@@ -609,9 +611,9 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.lit(100.0)
                 * F.sum(F.when(F.col("p_type").startswith("PROMO"), disc_price)
-                        .otherwise(F.lit(0).cast("decimal(18,2)")))
-                / F.sum(disc_price)
-            ).cast("double").alias("promo_revenue")
+                        .otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_revenue")
         )
     )
 
@@ -1105,8 +1107,8 @@ ORACLES: dict[str, str] = {
     "tpch_q8_market_share": f"""
         SELECT o_year,
                CAST(SUM(CASE WHEN supp_nation = 'GERMANY' THEN volume
-                             ELSE CAST(0 AS DECIMAL(18,2)) END)
-                    / SUM(volume) AS DOUBLE) AS mkt_share
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
         FROM (
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
                    {_Q1_DISC} AS volume, n2.n_name AS supp_nation
@@ -1126,9 +1128,9 @@ ORACLES: dict[str, str] = {
         ORDER BY o_year
     """,
     "tpch_q14_promo_revenue": f"""
-        SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_Q1_DISC}
-                                     ELSE CAST(0 AS DECIMAL(18,2)) END)
-                    / SUM({_Q1_DISC}) AS DOUBLE) AS promo_revenue
+        SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_Q1_DISC}
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                    / CAST(SUM({_Q1_DISC}) AS DOUBLE) AS promo_revenue
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1995-09-01'

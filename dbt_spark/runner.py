@@ -347,6 +347,9 @@ class Engine:
         with open(path) as f:
             doc = json.load(f)
         out = {**doc.get("nodes", {}), **doc.get("sources", {})}
+        # macro hashes for state:modified.macros (selector_methods.py:637-665)
+        if doc.get("macros"):
+            out["__macros__"] = doc["macros"]
         # result:<status> selector data (selector_methods.py ResultSelectorMethod)
         rr_path = os.path.join(state_dir, "run_results.json")
         if os.path.exists(rr_path):

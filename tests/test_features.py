@@ -724,3 +724,56 @@ packages:
     # package: selector sees the installed package's nodes
     out = eng.invoke(["ls", "--select", "package:tarpkg"])
     assert [x.unique_id for x in out.results] == ["model.tarpkg.tar_model"]
+
+
+def test_graph_context_member(project_dir, spark):
+    """graph.nodes introspection inside a model render (base.py:590-629)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: gctx\n",
+        "models/a.sql": "{{ config(tags=['x']) }} select 1 as id",
+        "models/b.sql": "{{ config(tags=['x']) }} select 2 as id",
+        "models/inspector.sql": """
+{%- set tagged = graph.nodes.values()
+      | selectattr('resource_type', 'equalto', 'model')
+      | selectattr('tags', 'defined') | list -%}
+{%- set xs = [] -%}
+{%- for n in tagged if 'x' in n.tags -%}{% do xs.append(n.name) %}{%- endfor -%}
+select '{{ xs | sort | join(",") }}' as tagged_models
+""",
+    })
+    eng = Engine(pdir, spark=spark)
+    assert eng.invoke(["run"]).success
+    assert eng.store.read("main", "inspector").collect()[0]["tagged_models"] == "a,b"
+
+
+def test_state_modified_macros(project_dir, spark):
+    """state:modified.macros — a node reselects when a macro it calls changes
+    in source, including transitively (selector_methods.py:637-665)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: smm\n",
+        "macros/m.sql": (
+            "{% macro inner_val() %}1{% endmacro %}\n"
+            "{% macro outer_val() %}{{ inner_val() }}{% endmacro %}\n"
+        ),
+        "models/uses_macro.sql": "select {{ outer_val() }} as v",
+        "models/no_macro.sql": "select 9 as v",
+    })
+    eng = Engine(pdir, spark=spark)
+    assert eng.invoke(["run"]).success
+    state = os.path.join(pdir, "prev_state")
+    os.makedirs(state, exist_ok=True)
+    shutil.copy(os.path.join(pdir, "target", "manifest.json"), state)
+
+    out = eng.invoke(["ls", "--select", "state:modified", "--state", state])
+    assert [x.unique_id for x in out.results] == []
+    # change ONLY the inner macro: outer_val is transitively modified, so
+    # uses_macro (which calls outer_val) reselects
+    with open(os.path.join(pdir, "macros", "m.sql"), "w") as f:
+        f.write(
+            "{% macro inner_val() %}2{% endmacro %}\n"
+            "{% macro outer_val() %}{{ inner_val() }}{% endmacro %}\n"
+        )
+    out = eng.invoke(["ls", "--select", "state:modified.macros", "--state", state])
+    assert [x.unique_id for x in out.results] == ["model.smm.uses_macro"]
+    out = eng.invoke(["ls", "--select", "state:modified", "--state", state])
+    assert [x.unique_id for x in out.results] == ["model.smm.uses_macro"]
