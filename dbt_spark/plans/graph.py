@@ -296,6 +296,8 @@ def select_nodes(
     select: Optional[Iterable[str]] = None,
     exclude: Optional[Iterable[str]] = None,
     state: Optional[dict] = None,
+    indirect: str = "eager",
+    selector_def=None,
 ) -> set[str]:
     all_nodes = {**manifest.sources, **manifest.nodes}
     universe = set(all_nodes)
@@ -326,12 +328,90 @@ def select_nodes(
             result = expanded if result is None else (result & expanded)
         return result or set()
 
-    if select:
-        selected: set[str] = set()
+    def eval_definition(defn) -> set[str]:
+        """YAML selector definition tree (core/dbt/config/selectors.py):
+        string specs, {method,value,parents,children,...} leaves, and
+        union/intersection lists with nested exclude entries."""
+        if isinstance(defn, str):
+            return eval_spec(defn)
+        if not isinstance(defn, dict):
+            raise DagError(f"bad selector definition {defn!r}")
+        if "union" in defn or "intersection" in defn:
+            op = "union" if "union" in defn else "intersection"
+            result: Optional[set[str]] = None
+            excluded: set[str] = set()
+            for child in defn[op]:
+                if isinstance(child, dict) and "exclude" in child:
+                    for e in child["exclude"]:
+                        excluded |= eval_definition(e)
+                    continue
+                part = eval_definition(child)
+                if result is None:
+                    result = part
+                elif op == "union":
+                    result |= part
+                else:
+                    result &= part
+            return (result or set()) - excluded
+        if "exclude" in defn:
+            out = set(universe)
+            for e in defn["exclude"]:
+                out -= eval_definition(e)
+            return out
+        # method leaf: {method, value, parents?, children?, *_depth?, childrens_parents?}
+        method = defn.get("method", "fqn")
+        value = defn["value"]
+        spec = value if method == "fqn" else f"{method}:{value}"
+        if defn.get("childrens_parents"):
+            spec = f"@{spec}"
+        else:
+            if defn.get("parents"):
+                depth = defn.get("parents_depth")
+                spec = f"{depth if depth else ''}+{spec}"
+            if defn.get("children"):
+                depth = defn.get("children_depth")
+                spec = f"{spec}+{depth if depth else ''}"
+        return eval_spec(spec)
+
+    if selector_def is not None:
+        selected = eval_definition(selector_def)
+        selected |= _indirect_tests(manifest, selected, indirect)
+    elif select:
+        selected = set()
         for spec in select:
             selected |= eval_spec(spec)
+        selected |= _indirect_tests(manifest, selected, indirect)
     else:
         selected = set(universe)
     for spec in exclude or []:
         selected -= eval_spec(spec)
     return selected
+
+
+def _indirect_tests(manifest: Manifest, selected: set[str], mode: str) -> set[str]:
+    """Indirect test selection (reference IndirectSelection,
+    core/dbt/graph/selector.py expand_selection): tests attach to an explicit
+    selection without being named.
+
+    eager (default): include a test if ANY of its parents is selected;
+    cautious/buildable: only if ALL parents are selected; empty: none.
+    """
+    if mode == "empty":
+        return set()
+    extra: set[str] = set()
+    for uid, node in manifest.nodes.items():
+        if node.resource_type not in (NodeType.Test, NodeType.UnitTest):
+            continue
+        if uid in selected:
+            continue
+        parents = [d for d in node.depends_on if d in manifest.nodes or d in manifest.sources]
+        if not parents:
+            continue
+        hit = (
+            any(p in selected for p in parents)
+            if mode == "eager"
+            else all(p in selected for p in parents)
+        )
+        if hit:
+            extra.add(uid)
+    return extra

@@ -45,6 +45,8 @@ class Project:
     on_run_start: list[str] = field(default_factory=list)
     on_run_end: list[str] = field(default_factory=list)
     clean_targets: list[str] = field(default_factory=lambda: ["target", "dbt_packages"])
+    # selectors.yml: {name: {definition, default?}} (core/dbt/config/selectors.py)
+    selectors: dict[str, dict] = field(default_factory=dict)
 
     @classmethod
     def load(cls, project_dir: str, profile: Optional[dict] = None) -> "Project":
@@ -85,7 +87,18 @@ class Project:
             on_run_start=[on_start] if isinstance(on_start, str) else list(on_start),
             on_run_end=[on_end] if isinstance(on_end, str) else list(on_end),
             clean_targets=cfg.get("clean-targets", ["target", "dbt_packages"]),
+            selectors=cls._load_selectors(project_dir),
         )
+
+    @staticmethod
+    def _load_selectors(project_dir: str) -> dict[str, dict]:
+        """selectors.yml → {name: entry} (core/dbt/config/selectors.py)."""
+        p = os.path.join(project_dir, "selectors.yml")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            doc = yaml.safe_load(f) or {}
+        return {s["name"]: s for s in doc.get("selectors", []) or []}
 
     @staticmethod
     def _load_packages(project_dir: str) -> list[dict]:

@@ -144,6 +144,8 @@ class Engine:
         warn_error = False
         sample: Optional[str] = None
         port: Optional[int] = None
+        selector_name: Optional[str] = None
+        indirect = "eager"
         i = 0
         while i < len(rest):
             if rest[i] in ("--select", "-s"):
@@ -174,6 +176,12 @@ class Engine:
                 empty = True
             elif rest[i] == "--warn-error":
                 warn_error = True
+            elif rest[i] == "--selector":
+                i += 1
+                selector_name = rest[i]
+            elif rest[i] == "--indirect-selection":
+                i += 1
+                indirect = rest[i]
             elif rest[i] == "--port":
                 i += 1
                 port = int(rest[i])
@@ -224,8 +232,25 @@ class Engine:
             graph = add_test_edges(graph, manifest)
         self._write_graph_summary(graph)
 
+        selector_def = None
+        if selector_name is not None:
+            entry = self.project.selectors.get(selector_name)
+            if entry is None:
+                raise ValueError(
+                    f"--selector {selector_name!r} not found in selectors.yml "
+                    f"(available: {sorted(self.project.selectors)})"
+                )
+            selector_def = entry.get("definition")
+        elif not select:
+            # a selector marked default: true applies when nothing is selected
+            # (config/selectors.py default flag)
+            for entry in self.project.selectors.values():
+                if entry.get("default"):
+                    selector_def = entry.get("definition")
+                    break
         selected = select_nodes(
-            manifest, graph, select or None, exclude or None, state=self._load_state()
+            manifest, graph, select or None, exclude or None,
+            state=self._load_state(), indirect=indirect, selector_def=selector_def,
         )
         resource_types = RESOURCE_FOR_COMMAND[command]
         runnable = {

@@ -172,7 +172,16 @@ def test_selectors(jaffle):
     r2 = jaffle.invoke(["ls", "--select", "tag:nonexistent"])
     assert r2.results == []
     r3 = jaffle.invoke(["ls", "--select", "stg_*"])
-    assert {x.unique_id for x in r3.results} == {
+    ids3 = {x.unique_id for x in r3.results}
+    # the three models, plus their attached tests via eager indirect selection
+    assert {u for u in ids3 if u.startswith("model.")} == {
+        "model.jaffle.stg_customers",
+        "model.jaffle.stg_orders",
+        "model.jaffle.stg_payments",
+    }
+    assert all(u.startswith(("model.", "test.")) for u in ids3)
+    r4 = jaffle.invoke(["ls", "--select", "stg_*", "--indirect-selection", "empty"])
+    assert {x.unique_id for x in r4.results} == {
         "model.jaffle.stg_customers",
         "model.jaffle.stg_orders",
         "model.jaffle.stg_payments",

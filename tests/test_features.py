@@ -777,3 +777,87 @@ def test_state_modified_macros(project_dir, spark):
     assert [x.unique_id for x in out.results] == ["model.smm.uses_macro"]
     out = eng.invoke(["ls", "--select", "state:modified", "--state", state])
     assert [x.unique_id for x in out.results] == ["model.smm.uses_macro"]
+
+
+def test_indirect_test_selection(project_dir, spark):
+    """Selecting a model pulls its tests in (eager default); cautious only
+    includes tests whose EVERY parent is selected; empty includes none
+    (reference IndirectSelection modes)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: ind\n",
+        "models/m1.sql": "select 1 as id",
+        "models/m2.sql": "select 1 as id",
+        "models/schema.yml": """
+models:
+  - name: m1
+    columns:
+      - name: id
+        data_tests: [not_null]
+  - name: m2
+    columns:
+      - name: id
+        data_tests:
+          - relationships: {to: ref('m1'), field: id}
+""",
+    })
+    eng = Engine(pdir, spark=spark)
+    assert eng.invoke(["run"]).success  # materialize m1+m2 once
+    r = eng.invoke(["build", "--select", "m1"])
+    assert r.success, [x.message for x in r.results]
+    ids = {x.unique_id for x in r.results}
+    assert any("not_null" in u for u in ids)          # m1's own test included
+    assert any("relationships" in u for u in ids)     # eager: any-parent match
+    # relationships test depends on BOTH m1 and m2 → eager includes it only
+    # when either parent is selected; cautious needs both
+    out = eng.invoke(["ls", "--select", "m1", "--indirect-selection", "cautious"])
+    names = {x.unique_id for x in out.results}
+    assert not any("relationships" in u for u in names)
+    out = eng.invoke(["ls", "--select", "m1 m2", "--indirect-selection", "cautious"])
+    names = {x.unique_id for x in out.results}
+    assert any("relationships" in u for u in names)
+    out = eng.invoke(["ls", "--select", "m1", "--indirect-selection", "empty"])
+    assert not any("test" in x.unique_id for x in out.results)
+
+
+def test_yaml_selectors(project_dir, spark):
+    """selectors.yml named definitions: union/intersection trees, method
+    leaves with graph operators, --selector and default: true
+    (core/dbt/config/selectors.py)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: ysel\n",
+        "models/a.sql": "{{ config(tags=['nightly']) }} select 1 as id",
+        "models/b.sql": "select * from {{ ref('a') }}",
+        "models/c.sql": "{{ config(tags=['hourly']) }} select 3 as id",
+        "selectors.yml": """
+selectors:
+  - name: nightly_with_children
+    definition:
+      method: tag
+      value: nightly
+      children: true
+  - name: nightly_and_hourly
+    definition:
+      union:
+        - method: tag
+          value: nightly
+        - method: tag
+          value: hourly
+  - name: everything_but_c
+    default: true
+    definition:
+      union:
+        - method: fqn
+          value: "*"
+        - exclude:
+            - method: tag
+              value: hourly
+""",
+    })
+    eng = Engine(pdir, spark=spark)
+    out = eng.invoke(["ls", "--selector", "nightly_with_children"])
+    assert [x.unique_id for x in out.results] == ["model.ysel.a", "model.ysel.b"]
+    out = eng.invoke(["ls", "--selector", "nightly_and_hourly"])
+    assert [x.unique_id for x in out.results] == ["model.ysel.a", "model.ysel.c"]
+    # default selector applies when no --select/--selector given
+    out = eng.invoke(["ls"])
+    assert [x.unique_id for x in out.results] == ["model.ysel.a", "model.ysel.b"]
