@@ -39,6 +39,14 @@ def main() -> int:
     ap.add_argument("--threads", type=int, default=None)
     ap.add_argument("--sample", default=None,
                     help="trailing event-time window, e.g. '3 days'")
+    ap.add_argument("--selector", default=None)
+    ap.add_argument("--indirect-selection", dest="indirect", default=None)
+    ap.add_argument("--warn-error", action="store_true")
+    ap.add_argument("--fail-fast", "-x", action="store_true")
+    ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--output", default="default",
+                    choices=["default", "name", "path", "json"],
+                    help="ls output format")
     args = ap.parse_args()
 
     if args.command == "init":
@@ -76,10 +84,40 @@ def main() -> int:
         argv.append("--empty")
     if args.sample:
         argv += ["--sample", args.sample]
+    if args.selector:
+        argv += ["--selector", args.selector]
+    if args.indirect:
+        argv += ["--indirect-selection", args.indirect]
+    if args.warn_error:
+        argv.append("--warn-error")
+    if args.fail_fast:
+        argv.append("--fail-fast")
+    if args.port is not None:
+        argv += ["--port", str(args.port)]
     result = engine.invoke(argv)
     if result.preview is not None:
         for row in result.preview:
             print(row)
+    if command == "ls" and args.output != "default":
+        # reference `dbt ls --output name|path|json` (task/list.py:27-212)
+        manifest = result.manifest
+        for r in result.results:
+            node = (manifest.nodes.get(r.unique_id)
+                    or manifest.sources.get(r.unique_id)) if manifest else None
+            if args.output == "name":
+                print(r.unique_id.split(".")[-1])
+            elif args.output == "path":
+                print(node.path if node else "")
+            else:
+                import json as _json
+
+                print(_json.dumps({
+                    "unique_id": r.unique_id,
+                    "name": node.name if node else r.unique_id.split(".")[-1],
+                    "resource_type": node.resource_type.value if node else None,
+                    "path": node.path if node else None,
+                }))
+        return 0 if result.success else 1
     for r in result.results:
         print(f"{r.status:8s} {r.unique_id:60s} {r.execution_time:6.2f}s "
               f"{r.message.splitlines()[0] if r.message else ''}")

@@ -74,7 +74,70 @@ def session_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed (tumbling) event-time windows via Spark's streaming-native
+    ``window()`` — the batch expression of a Structured Streaming windowed agg
+    (readStream → withWatermark → window() uses the identical operator).
+
+    Scale: one shuffle on window_start; map-side partial aggregation bounds
+    the shuffle to one row per (partition, window)."""
+    events = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 1-hour windows every 30 minutes —
+    each event lands in window/slide = 2 windows."""
+    events = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
 ORACLES = {
+    "tumbling_window_agg": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    # each event belongs to exactly 2 overlapping 1h/30min windows:
+    # start = bucket30(ts) - k*30min for k in {0,1}
+    "hopping_window_agg": """
+        SELECT ws AS window_start,
+               ws + INTERVAL '1 hour' AS window_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM (
+            SELECT time_bucket(INTERVAL '30 minutes', ts)
+                       - (k * INTERVAL '30 minutes') AS ws,
+                   value
+            FROM events, UNNEST([0, 1]) AS t(k)
+        ) expanded
+        GROUP BY ws
+    """,
     "streaming_ingest_checkpoint": """
         SELECT event_id, user_id, ts, event_type, value FROM events
     """,
@@ -108,4 +171,6 @@ ORACLES = {
 QUERIES = {
     "streaming_ingest_checkpoint": streaming_ingest_checkpoint,
     "session_window_agg": session_window_agg_q,
+    "tumbling_window_agg": tumbling_window_agg,
+    "hopping_window_agg": hopping_window_agg,
 }

@@ -146,6 +146,7 @@ class Engine:
         port: Optional[int] = None
         selector_name: Optional[str] = None
         indirect = "eager"
+        fail_fast = False
         i = 0
         while i < len(rest):
             if rest[i] in ("--select", "-s"):
@@ -182,6 +183,8 @@ class Engine:
             elif rest[i] == "--indirect-selection":
                 i += 1
                 indirect = rest[i]
+            elif rest[i] in ("--fail-fast", "-x"):
+                fail_fast = True
             elif rest[i] == "--port":
                 i += 1
                 port = int(rest[i])
@@ -299,8 +302,12 @@ class Engine:
 
         self._run_hooks(ctx, self.project.on_run_start, "on-run-start")
 
+        aborted = {"flag": False}
+
         def worker() -> None:
             while True:
+                if aborted["flag"]:
+                    return
                 uid = queue.get()
                 if uid is None:
                     if queue.empty() or queue.remaining() <= 0:
@@ -332,10 +339,20 @@ class Engine:
                         )
                     for skipped in queue.mark_failed(uid):
                         results.append(RunResult(skipped, "skipped", 0.0, "upstream failed"))
+                    if fail_fast:
+                        # --fail-fast: stop scheduling anything further
+                        # (reference fail_fast flag, task/runnable.py)
+                        aborted["flag"] = True
+                        return
 
         with ThreadPoolExecutor(max_workers=threads) as pool:
             for _ in range(threads):
                 pool.submit(worker)
+
+        if aborted["flag"]:
+            done = {r.unique_id for r in results}
+            for uid in sorted(runnable - done):
+                results.append(RunResult(uid, "skipped", 0.0, "fail-fast abort"))
 
         self._run_hooks(ctx, self.project.on_run_end, "on-run-end")
 

@@ -119,6 +119,24 @@ def _sessionize_group(
         )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    event_time: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup bounded by a watermark: state for a key is
+    dropped once the watermark passes, so memory is bounded by the late-data
+    horizon instead of the full stream history (the 100 TB-stream analog of
+    exact dedup; Spark's dropDuplicatesWithinWatermark).
+
+    Falls back to plain dropDuplicates for batch DataFrames so the same model
+    code runs in either mode."""
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def sessionize_stateful(df: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """applyInPandasWithState sessionization over a streaming events frame
     with columns (user_id, ts, value). Emits sessions as they close; open

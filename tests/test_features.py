@@ -861,3 +861,26 @@ selectors:
     # default selector applies when no --select/--selector given
     out = eng.invoke(["ls"])
     assert [x.unique_id for x in out.results] == ["model.ysel.a", "model.ysel.b"]
+
+
+def test_fail_fast(project_dir, spark):
+    """--fail-fast stops scheduling after the first failure (fail_fast flag,
+    task/runnable.py); independent siblings report skipped, not run."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: ff\nprofiles.yml: x\n",
+        "models/broken.sql": "select * from nonexistent_xyz",
+        "models/sib1.sql": "select 1 as id",
+        "models/sib2.sql": "select 2 as id",
+        "models/sib3.sql": "select 3 as id",
+        "profiles.yml": "spark: {threads: 1}\n",
+    })
+    eng = Engine(pdir, spark=spark)
+    # threads=1 makes scheduling deterministic: broken runs first (alphabetical
+    # priority), everything after is abandoned
+    eng.project.profile["threads"] = 1
+    r = eng.invoke(["run", "--fail-fast"])
+    assert not r.success
+    statuses = {x.unique_id: x.status for x in r.results}
+    assert statuses["model.ff.broken"] == "error"
+    sib_statuses = {v for k, v in statuses.items() if "sib" in k}
+    assert sib_statuses == {"skipped"}

@@ -147,3 +147,41 @@ def test_sessionize_stateful_stream(spark, tmp_path):
     assert closed.count() > 0
     # all closed sessions respect ordering
     assert closed.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a file stream: duplicate event_ids
+    across micro-batches collapse to one row while state stays bounded by the
+    watermark horizon."""
+    from dbt_spark.streaming.stateful import streaming_dedup
+
+    src = str(tmp_path / "dd_src")
+    out_dir = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    events = (
+        read_parquet(spark, os.path.join(SF_DIR, "events.parquet"))
+        .select("event_id", "user_id", "ts", "value")
+        .filter(F.col("event_id") < 500)
+    )
+    # write the same slice TWICE (exact duplicates in separate files)
+    events.coalesce(1).write.mode("append").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    deduped = streaming_dedup(stream, ["event_id"], event_time="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    n = events.count()
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+    # batch fallback path gives the same result
+    batch = streaming_dedup(spark.read.parquet(src), ["event_id"])
+    assert batch.count() == n
