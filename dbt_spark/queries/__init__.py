@@ -7,12 +7,15 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 from dbt_spark.queries import relational  # noqa: E402
+from dbt_spark.queries import tpch_rest  # noqa: E402
 from dbt_spark.queries import llmops  # noqa: E402
 from dbt_spark.queries import materializations  # noqa: E402
 from dbt_spark.queries import streaming_q  # noqa: E402
 
 QUERIES.update(relational.QUERIES)
 ORACLES.update(relational.ORACLES)
+QUERIES.update(tpch_rest.QUERIES)
+ORACLES.update(tpch_rest.ORACLES)
 QUERIES.update(llmops.QUERIES)
 ORACLES.update(llmops.ORACLES)
 QUERIES.update(materializations.QUERIES)
