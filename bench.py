@@ -35,12 +35,27 @@ HEADLINE = [
     "session_window_agg",
     "agg_salted_twophase",
     "grouping_sets_agg",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
-    "tpch_q10_returned_items",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines_by_status",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_join",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
     # LLM-pipeline ops (added as they come online)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -60,8 +75,14 @@ def main() -> None:
     from dbt_spark.queries import QUERIES
 
     spark = get_spark("bench")
-    # warm the JVM + parquet footers once so per-query numbers measure the plan
+    # Steady-state warmup: one pass over a join+window+agg plan initializes
+    # whole-stage codegen, the shuffle/broadcast machinery, and parquet
+    # footers, so per-query numbers measure the plan rather than JVM JIT.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for wname in ("cte_composition", "join_range", "window_row_number"):
+        wfn = QUERIES.get(wname)
+        if wfn is not None:
+            wfn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

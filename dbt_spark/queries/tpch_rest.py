@@ -44,7 +44,11 @@ def _dec(col: str, scale: int = 2) -> Column:
     return F.col(col).cast(f"decimal(18,{scale})")
 
 
-_DISC = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+def _disc() -> Column:
+    # Built lazily: Column construction needs an active SparkContext, and this
+    # module must be importable before the session exists (bench.py imports
+    # QUERIES at startup).
+    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
 _Q1_DISC = (
     "CAST(l_extendedprice AS DECIMAL(18,2))"
     " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -156,7 +160,7 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(F.sum(_DISC).cast("double").alias("sum_profit"))
+        .agg(F.sum(_disc()).cast("double").alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -275,7 +279,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(_DISC).alias("total_rev_dec"))
+        .agg(F.sum(_disc()).alias("total_rev_dec"))
     )
     top = rev.agg(F.max("total_rev_dec").alias("max_rev_dec"))
     return (
