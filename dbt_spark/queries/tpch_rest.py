@@ -308,14 +308,19 @@ def tpch_q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
     bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    # No pre-distinct over (partkey, suppkey): COUNT(DISTINCT suppkey) per
+    # group collapses duplicate pairs anyway, so the partsupp materialization
+    # (a full extra shuffle of lineitem) is dead weight here. The filtered
+    # part dim joins first so the only wide exchange is the final aggregate.
     return (
-        _part_supp(t)
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
         .join(
             t["part"].filter(
                 (F.col("p_brand") != "Brand#5")
                 & (F.col("p_type") != "STANDARD")
                 & (F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
-            ),
+            ).select("p_partkey", "p_brand", "p_type", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
@@ -337,19 +342,26 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines decide borderline rows identically.
     """
     t = load_tables(spark, sf_dir, "lineitem", "part")
-    per_part = t["lineitem"].groupBy(F.col("l_partkey").alias("ak")).agg(
-        F.count("*").alias("n_lines"),
-        F.sum(_dec("l_quantity")).alias("sum_qty"),
-    )
-    return (
+    # The per-part AVG only matters for parts surviving the brand/type filter,
+    # so the part filter is applied BEFORE the grouped aggregate: at scale the
+    # aggregate runs over ~1/125 of lineitem instead of all of it, and the
+    # join-back keys both sides by l_partkey (one co-partitioned exchange).
+    sel = (
         t["lineitem"]
+        .select("l_partkey", "l_quantity", "l_extendedprice")
         .join(
             t["part"].filter(
                 (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM")
             ).select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(per_part, F.col("l_partkey") == F.col("ak"))
+    )
+    per_part = sel.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+    )
+    return (
+        sel.join(per_part, F.col("l_partkey") == F.col("ak"))
         .filter(
             _dec("l_quantity") * F.lit(5) * F.col("n_lines") < F.col("sum_qty")
         )
