@@ -41,6 +41,9 @@ class ExecutionContext:
     # --warn-error: promote warn-severity outcomes to failures
     # (reference: warn_error flag / WarnErrorOptions, core/dbt/flags.py)
     warn_error: bool = False
+    # dbt retry: node unique_id -> failed batch_ids to replay (microbatch only;
+    # reference previous_batch_results, core/dbt/task/run.py:578-592)
+    retry_batches: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> str:

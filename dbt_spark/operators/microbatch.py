@@ -112,6 +112,17 @@ class MicrobatchBuilder:
         return batches
 
 
+class MicrobatchPartialFailure(RuntimeError):
+    """Some batches failed; the rest were written. Carries structured batch
+    results so the runner can record them in run_results.json and `dbt retry`
+    can replay ONLY the failed batches (core/dbt/task/run.py:578-592
+    previous_batch_results + task/retry.py batch-aware re-run)."""
+
+    def __init__(self, message: str, batch_results: dict):
+        super().__init__(message)
+        self.batch_results = batch_results
+
+
 def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> Relation:
     from dbt_spark.operators.materialize import run_model_df
 
@@ -135,6 +146,11 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
         now=now,
     )
     batches = builder.build_batches(is_incremental)
+    only = getattr(ctx, "retry_batches", {}).get(node.unique_id)
+    if only:
+        # dbt retry replay path: regenerate the full grid (same begin/grain
+        # math), keep only the previously-failed batch ids.
+        batches = [b for b in batches if b.batch_id in set(only)] or batches
     parts = cfg.partition_by
     parts = [parts] if isinstance(parts, str) else list(parts or [])
 
@@ -183,11 +199,14 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
     )
 
     failed: list[Batch] = []
+    succeeded: list[Batch] = []
     rel: Optional[Relation] = None
 
     def safe(batch: Batch, idx: int) -> Optional[Relation]:
         try:
-            return run_one(batch, idx)
+            r = run_one(batch, idx)
+            succeeded.append(batch)
+            return r
         except Exception:  # noqa: BLE001
             failed.append(batch)
             return None
@@ -208,6 +227,12 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
         for i, batch in enumerate(batches):
             rel = safe(batch, i) or rel
     if failed:
-        ids = [b.batch_id for b in failed]
-        raise RuntimeError(f"{node.unique_id}: {len(failed)} batch(es) failed: {ids}")
+        ids = sorted(b.batch_id for b in failed)
+        raise MicrobatchPartialFailure(
+            f"{node.unique_id}: {len(failed)}/{len(batches)} batch(es) failed: {ids}",
+            batch_results={
+                "successful": sorted(b.batch_id for b in succeeded),
+                "failed": ids,
+            },
+        )
     return rel

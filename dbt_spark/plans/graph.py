@@ -182,7 +182,43 @@ def _changed_macros(state: dict) -> frozenset[str]:
     return result
 
 
-def _match_method(node: ManifestNode, body: str, state: Optional[dict] = None) -> bool:
+VERSION_RE = re.compile(r"^(?P<base>.+)_v(?P<k>\d+)$")
+
+
+def _match_version(node: ManifestNode, value: str, all_nodes: Optional[dict]) -> bool:
+    if node.resource_type != NodeType.Model:
+        return False
+    m = VERSION_RE.match(node.name)
+    if value == "none":
+        return m is None
+    if m is None:
+        return False
+    k = int(m.group("k"))
+    base = m.group("base")
+    siblings = [
+        int(sm.group("k"))
+        for n in (all_nodes or {}).values()
+        if n.resource_type == NodeType.Model
+        and (sm := VERSION_RE.match(n.name)) is not None
+        and sm.group("base") == base
+    ] or [k]
+    declared = node.config.meta.get("latest_version")
+    latest = int(declared) if declared is not None else max(siblings)
+    if value == "latest":
+        return k == latest
+    if value == "prerelease":
+        return k > latest
+    if value == "old":
+        return k < latest
+    raise DagError(f"unknown version selector '{value}'")
+
+
+def _match_method(
+    node: ManifestNode,
+    body: str,
+    state: Optional[dict] = None,
+    all_nodes: Optional[dict] = None,
+) -> bool:
     if ":" in body:
         method, _, value = body.partition(":")
         if method == "state":
@@ -257,6 +293,42 @@ def _match_method(node: ManifestNode, body: str, state: Optional[dict] = None) -
             return bool(re.fullmatch(value.replace("*", ".*"), node.path))
         if method == "resource_type":
             return node.resource_type.value == value
+        if method in ("exposure", "metric", "semantic_model", "saved_query",
+                      "unit_test"):
+            # per-resource-type name selectors (selector_methods.py:45-66:
+            # exposure/metric/semantic_model/saved_query/unit_test methods)
+            wanted = {
+                "exposure": NodeType.Exposure,
+                "metric": NodeType.Metric,
+                "semantic_model": NodeType.SemanticModel,
+                "saved_query": NodeType.SavedQuery,
+                "unit_test": NodeType.UnitTest,
+            }[method]
+            if node.resource_type != wanted:
+                return False
+            return value == "*" or bool(
+                re.fullmatch(value.replace("*", ".*"), node.name)
+            )
+        if method == "version":
+            # version:latest|old|none|prerelease over the <name>_v<k> naming
+            # convention this engine uses for versioned models
+            # (VersionSelectorMethod, selector_methods.py). `prerelease` is
+            # a version above the declared latest_version (config.meta).
+            return _match_version(node, value, all_nodes)
+        if method == "source_status":
+            # source_status:fresher+ — sources whose max_loaded_at advanced
+            # vs the --state dir's sources.json (SourceStatusSelectorMethod)
+            if value != "fresher":
+                raise DagError(f"unknown source_status selector '{value}'")
+            if state is None or "__source_status__" not in state:
+                raise DagError(
+                    "source_status: requires --state <dir with sources.json>"
+                )
+            if node.resource_type != NodeType.Source:
+                return False
+            cur = (state.get("__current_source_status__") or {}).get(node.unique_id)
+            old = state["__source_status__"].get(node.unique_id)
+            return cur is not None and (old is None or cur > old)
         if method.startswith("config."):
             attr = method.split(".", 1)[1]
             return str(getattr(node.config, attr, node.config.meta.get(attr))) == value
@@ -317,7 +389,10 @@ def select_nodes(
             if m is None:
                 raise DagError(f"cannot parse selector '{part}'")
             body, pre, post = m.group("body"), m.group("pre"), m.group("post")
-            seed = {uid for uid, n in all_nodes.items() if _match_method(n, body, state)}
+            seed = {
+                uid for uid, n in all_nodes.items()
+                if _match_method(n, body, state, all_nodes)
+            }
             if m.group("at"):
                 # @node: node + descendants + all ancestors of those
                 # (selector_spec.py at-operator)

@@ -41,9 +41,12 @@ class TestFailure(Exception):
 @dataclass
 class RunResult:
     unique_id: str
-    status: str  # success|error|skipped|pass|warn|fail
+    status: str  # success|partial success|error|skipped|pass|warn|fail
     execution_time: float
     message: str = ""
+    # microbatch models: {"successful": [batch_id...], "failed": [batch_id...]}
+    # (reference records per-batch results for retry, task/run.py:578-592)
+    batch_results: Optional[dict] = None
 
 
 @dataclass
@@ -124,6 +127,7 @@ class Engine:
         full_refresh: bool = False,
         snapshot_ts: Optional[str] = None,
         now: Optional[datetime] = None,
+        retry_batches: Optional[dict] = None,
     ) -> RunnerResult:
         command, *rest = args
         if command == "docs" and rest and rest[0] == "generate":
@@ -289,6 +293,7 @@ class Engine:
             defer_store=defer_store,
             empty=empty,
             warn_error=warn_error,
+            retry_batches=retry_batches or {},
         )
         if sample:
             ctx.event_time_filters["*"] = _sample_window(sample, now)
@@ -400,6 +405,24 @@ class Engine:
             out["__results__"] = {
                 r["unique_id"]: r["status"] for r in rr.get("results", [])
             }
+        # source_status:fresher — the --state sources.json vs this project's
+        # current target/sources.json (SourceStatusSelectorMethod)
+        def _source_ages(path: str) -> Optional[dict]:
+            if not os.path.exists(path):
+                return None
+            with open(path) as f:
+                doc = json.load(f)
+            return {
+                r["unique_id"]: r.get("max_loaded_at")
+                for r in doc.get("results", [])
+            }
+
+        old_src = _source_ages(os.path.join(state_dir, "sources.json"))
+        if old_src is not None:
+            out["__source_status__"] = old_src
+            out["__current_source_status__"] = _source_ages(
+                os.path.join(self.project.root, "target", "sources.json")
+            ) or {}
         return out
 
     def _run_operation(
@@ -780,15 +803,26 @@ class Engine:
         with open(path) as f:
             doc = json.load(f)
         prev_command = doc.get("args", {}).get("command", "build")
+        retryable = ("error", "fail", "skipped", "partial success")
         failed_names = [
             r["unique_id"].split(".")[-1]
             for r in doc["results"]
-            if r["status"] in ("error", "fail", "skipped")
+            if r["status"] in retryable
         ]
+        # partial-success microbatch nodes replay ONLY their failed batches
+        # (task/run.py:578-592 previous_batch_results)
+        retry_batches = {
+            r["unique_id"]: r["batch_results"]["failed"]
+            for r in doc["results"]
+            if r["status"] == "partial success"
+            and r.get("batch_results", {}).get("failed")
+        }
         if not failed_names:
             return RunnerResult(True, [], self.manifest)
         return self.invoke(
-            [prev_command, "--select", " ".join(failed_names)], **kwargs
+            [prev_command, "--select", " ".join(failed_names)],
+            retry_batches=retry_batches,
+            **kwargs,
         )
 
     # -- node execution -------------------------------------------------------
@@ -832,8 +866,23 @@ class Engine:
             fn = MATERIALIZATIONS.get(mat)
             if fn is None:
                 raise ValueError(f"{node.unique_id}: unknown materialization {mat!r}")
-            fn(ctx, node)
-            results.append(RunResult(node.unique_id, "success", time.time() - t0))
+            from dbt_spark.operators.microbatch import MicrobatchPartialFailure
+
+            try:
+                fn(ctx, node)
+            except MicrobatchPartialFailure as e:
+                # Some batches written, some failed: PARTIAL SUCCESS — the
+                # node's table is valid for the successful windows, so
+                # descendants still run (reference RunStatus.PartialSuccess);
+                # `dbt retry` replays only the failed batches.
+                results.append(
+                    RunResult(
+                        node.unique_id, "partial success", time.time() - t0,
+                        message=str(e), batch_results=e.batch_results,
+                    )
+                )
+            else:
+                results.append(RunResult(node.unique_id, "success", time.time() - t0))
         for hook in node.config.post_hook:
             ctx.spark.sql(self._render_hook(ctx, node, hook))
 
@@ -911,6 +960,7 @@ class Engine:
                     "status": r.status,
                     "execution_time": round(r.execution_time, 4),
                     "message": r.message,
+                    **({"batch_results": r.batch_results} if r.batch_results else {}),
                 }
                 for r in results
             ],

@@ -884,3 +884,82 @@ def test_fail_fast(project_dir, spark):
     assert statuses["model.ff.broken"] == "error"
     sib_statuses = {v for k, v in statuses.items() if "sib" in k}
     assert sib_statuses == {"skipped"}
+
+
+def test_version_and_metadata_selector_methods(project_dir, spark):
+    """version:latest/old/none, exposure:/metric:/unit_test: name selectors
+    (selector_methods.py:45-66 VersionSelectorMethod + per-type methods)."""
+    files = {
+        "dbt_project.yml": "name: selx\n",
+        "models/rpt_v1.sql": "select 1 as id",
+        "models/rpt_v2.sql": "select 2 as id",
+        "models/plain.sql": "select 3 as id",
+        "models/meta.yml": """
+exposures:
+  - name: dash
+    depends_on: ["ref('plain')"]
+metrics:
+  - name: n_rows
+    model: "ref('plain')"
+unit_tests:
+  - name: ut_plain
+    model: plain
+    given: []
+    expect:
+      rows:
+        - {id: 3}
+""",
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    ids = lambda r: {x.unique_id for x in r.results}
+    assert ids(eng.invoke(["ls", "--select", "version:latest"])) == {"model.selx.rpt_v2"}
+    assert ids(eng.invoke(["ls", "--select", "version:old"])) == {"model.selx.rpt_v1"}
+    assert "model.selx.plain" in ids(eng.invoke(["ls", "--select", "version:none"]))
+    assert ids(eng.invoke(["ls", "--select", "exposure:dash"])) == {"exposure.selx.dash"}
+    assert ids(eng.invoke(["ls", "--select", "metric:*"])) == {"metric.selx.n_rows"}
+    assert ids(eng.invoke(["ls", "--select", "unit_test:ut_plain"])) == {
+        "unit_test.selx.plain.ut_plain"
+    }
+
+
+def test_source_status_fresher_selector(project_dir, spark):
+    """source_status:fresher vs a --state sources.json
+    (SourceStatusSelectorMethod): a source whose max_loaded_at advanced is
+    selected; an unchanged one is not."""
+    import shutil
+
+    files = {
+        "dbt_project.yml": "name: sfs\n",
+        "models/sources.yml": """
+sources:
+  - name: tpch
+    tables:
+      - name: events
+        loaded_at_field: ts
+        freshness:
+          error_after: {count: 100000, period: day}
+        meta: {location: "/root/testdata/sf0.001/events.parquet"}
+""",
+        "models/uses.sql": "select count(*) as n from {{ source('tpch','events') }}",
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["source", "freshness"]).success
+    state = os.path.join(root, "state")
+    os.makedirs(state, exist_ok=True)
+    eng.invoke(["parse"])
+    shutil.copy(os.path.join(root, "target", "manifest.json"), state)
+    shutil.copy(os.path.join(root, "target", "sources.json"), state)
+    # unchanged: nothing is fresher
+    r = eng.invoke(["ls", "--select", "source_status:fresher", "--state", state])
+    assert {x.unique_id for x in r.results} == set()
+    # age the state copy: the source now counts as fresher
+    with open(os.path.join(state, "sources.json")) as f:
+        doc = json.load(f)
+    doc["results"][0]["max_loaded_at"] = "1999-01-01 00:00:00"
+    with open(os.path.join(state, "sources.json"), "w") as f:
+        json.dump(doc, f)
+    r = eng.invoke(["ls", "--select", "source_status:fresher+", "--state", state])
+    ids = {x.unique_id for x in r.results}
+    assert "source.sfs.tpch.events" in ids
+    assert "model.sfs.uses" in ids  # + expands to downstream consumers

@@ -1,6 +1,7 @@
 """Incremental strategies: append, merge, delete+insert, insert_overwrite,
 microbatch, is_incremental() gating, on_schema_change."""
 
+import os
 from datetime import datetime
 
 import pytest
@@ -269,3 +270,54 @@ select o_orderkey, o_orderstatus, o_orderdate from {{ source('tpch','orders') }}
     after = eng.store.read("main", "tgt")
     assert after.count() == n_total
     assert after.filter("o_orderdate < timestamp'1998-01-01'").count() == n_cold
+
+
+POISON_MB_SQL = """
+{{ config(materialized='incremental', incremental_strategy='microbatch',
+          event_time='ts', batch_size='day', begin='2020-01-01', lookback=1) }}
+select id, ts,
+  case when {{ var('poison', 'false') }} and date(ts) = date'2020-01-02'
+       then cast(raise_error('poison batch') as int) else val end as val
+from {{ ref('stream') }}
+"""
+
+
+def test_microbatch_partial_failure_and_batch_retry(project_dir, spark):
+    """A failed batch yields PARTIAL SUCCESS with structured batch_results in
+    run_results.json, and `dbt retry` replays ONLY the failed batch
+    (reference: previous_batch_results, core/dbt/task/run.py:578-592)."""
+    import json as _json
+
+    files = {
+        "dbt_project.yml": "name: mbr\n",
+        "seeds/stream.csv": STREAM_CSV,
+        "models/target.sql": POISON_MB_SQL,
+    }
+    root = project_dir(files)
+    now = datetime(2020, 1, 3, 12)
+    eng = Engine(root, spark=spark, vars={"poison": "true"})
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["run"], now=now)
+    assert not r.success
+    res = [x for x in r.results if x.unique_id.endswith("target")][0]
+    assert res.status == "partial success"
+    assert res.batch_results == {
+        "successful": ["20200101T000000", "20200103T000000"],
+        "failed": ["20200102T000000"],
+    }
+    # the successful windows landed; the poisoned day is absent
+    assert sorted(
+        x["id"] for x in eng.store.read("main", "target").collect()
+    ) == [1, 2, 4]
+    with open(os.path.join(root, "target", "run_results.json")) as f:
+        doc = _json.load(f)
+    rec = [x for x in doc["results"] if x["unique_id"].endswith("target")][0]
+    assert rec["batch_results"]["failed"] == ["20200102T000000"]
+
+    # retry without the poison: only the failed batch re-runs, no dupes
+    eng2 = Engine(root, spark=spark, vars={"poison": "false"})
+    r2 = eng2.invoke(["retry"], now=now)
+    assert r2.success, [x.message for x in r2.results]
+    assert sorted(
+        x["id"] for x in eng2.store.read("main", "target").collect()
+    ) == [1, 2, 3, 4]
