@@ -75,19 +75,43 @@ class MacroNamespace:
         self.sources = dict(macro_sources)
 
     def bind(self, ctx: dict[str, Any]) -> dict[str, Any]:
-        """Return {macro_name: callable} with macros evaluated in ``ctx``."""
-        if not self.sources:
+        """Return {macro_name: callable} with macros evaluated in ``ctx``.
+
+        Dotted keys (``pkg.macro``) become package namespaces: ``bound['pkg']``
+        is an object whose attributes are that package's macros, built from a
+        module where the package's own definitions are appended last so they
+        win name collisions (reference package macro namespacing)."""
+        flat = {k: v for k, v in self.sources.items() if "." not in k}
+        pkgs: dict[str, dict[str, str]] = {}
+        for k, v in self.sources.items():
+            if "." in k:
+                p, n = k.split(".", 1)
+                pkgs.setdefault(p, {})[n] = v
+        if not flat and not pkgs:
             return {}
-        prelude = "\n".join(self.sources.values())
-        # two passes so macros can call each other regardless of order:
-        # the module exposes all macros after one make_module; Jinja resolves
-        # intra-module calls at call time, not definition time.
-        module = self.env.from_string(prelude).make_module(vars=ctx)
-        bound = {
-            name: getattr(module, name)
-            for name in self.sources
-            if hasattr(module, name)
-        }
+        bound: dict[str, Any] = {}
+        if flat:
+            # one module for the whole flat namespace: macros can call each
+            # other regardless of order (Jinja resolves intra-module calls at
+            # call time, not definition time).
+            module = self.env.from_string("\n".join(flat.values())).make_module(
+                vars=ctx
+            )
+            bound = {
+                name: getattr(module, name)
+                for name in flat
+                if hasattr(module, name)
+            }
+        from types import SimpleNamespace
+
+        for p, names in pkgs.items():
+            srcs = [v for k, v in flat.items() if k not in names]
+            srcs.extend(names.values())
+            pmod = self.env.from_string("\n".join(srcs)).make_module(vars=ctx)
+            ns = SimpleNamespace(
+                **{n: getattr(pmod, n) for n in names if hasattr(pmod, n)}
+            )
+            bound.setdefault(p, ns)
         return bound
 
 

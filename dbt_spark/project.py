@@ -163,19 +163,36 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
     # --- macros first (models may call them at parse-render time) ---------
     from dbt_spark.plans.macros import extract_generic_tests, extract_macros
 
-    macro_roots = [(project.root, project.macro_paths)]
+    macro_roots: list[tuple[str, list[str], Optional[str]]] = []
     if is_root:
         # package macros join the global namespace BEFORE any model parses
         # (reference loads all macros first: load_and_parse_macros,
-        # core/dbt/parser/manifest.py:677-704)
+        # core/dbt/parser/manifest.py:677-704); root project loads LAST so its
+        # macros win unqualified-name collisions (reference resolution order)
         for pkg_dir in _package_dirs(project):
-            macro_roots.append((pkg_dir, ["macros"]))
-    for mroot, mpaths in macro_roots:
+            pkg_name = os.path.basename(pkg_dir)
+            try:
+                import yaml as _yaml
+
+                with open(os.path.join(pkg_dir, "dbt_project.yml")) as f:
+                    pkg_name = (_yaml.safe_load(f) or {}).get("name", pkg_name)
+            except OSError:
+                pass
+            macro_roots.append((pkg_dir, ["macros"], pkg_name))
+    macro_roots.append((project.root, project.macro_paths, None))
+    for mroot, mpaths, pkg_name in macro_roots:
         for full, rel in _walk(mroot, mpaths, (".sql",)):
             with open(full) as f:
                 raw = f.read()
-            manifest.macros.update(extract_macros(raw))
-            manifest.macros.update(extract_generic_tests(raw))
+            found = dict(extract_macros(raw))
+            found.update(extract_generic_tests(raw))
+            manifest.macros.update(found)
+            if pkg_name:
+                # package-qualified access: {{ pkg.macro() }} (reference
+                # MacroNamespace package namespacing)
+                manifest.macros.update(
+                    {f"{pkg_name}.{n}": src for n, src in found.items()}
+                )
 
     # --- {% docs %} markdown blocks (DocumentationParser) ------------------
     from dbt_spark.plans.macros import extract_docs

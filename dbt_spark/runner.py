@@ -784,13 +784,42 @@ class Engine:
                 except Exception as e:  # noqa: BLE001
                     results.append(RunResult(
                         f"package.tarball.{name}", "error", time.time() - t0, str(e)))
+            elif "package" in pkg:
+                # hub-style entry: semver range solving against a local
+                # registry mirror (plans/deps.py; reference deps/registry.py:30
+                # + resolver.py:28 — transport swapped for a filesystem mirror)
+                pass  # resolved in one batch below, after the loop
             else:
                 kind = next(iter(pkg.keys() - {"version", "revision"}), "unknown")
                 results.append(RunResult(
                     f"package.{kind}.{pkg.get(kind, '?')}", "error", 0.0,
-                    f"{kind} packages require the registry (network); vendor the "
-                    "package and use `local:`/`git:`/`tarball:` instead",
+                    f"unknown package type; use `package:` (registry mirror), "
+                    "`local:`, `git:`, or `tarball:`",
                 ))
+        hub_pkgs = [p for p in self.project.packages if "package" in p]
+        if hub_pkgs:
+            from dbt_spark.plans.deps import DepsError, resolve_registry
+
+            registry_root = os.environ.get("DBT_SPARK_REGISTRY") or os.path.join(
+                self.project.root, "package_registry"
+            )
+            t0 = time.time()
+            try:
+                if not os.path.isdir(registry_root):
+                    raise DepsError(
+                        "hub packages need a registry: the public hub requires "
+                        "network, so point DBT_SPARK_REGISTRY (or "
+                        "<project>/package_registry/) at a local mirror"
+                    )
+                for name, version, dest in resolve_registry(
+                    hub_pkgs, registry_root, install_root
+                ):
+                    results.append(RunResult(
+                        f"package.hub.{name}", "success", time.time() - t0,
+                        f"{version} -> {dest}"))
+            except DepsError as e:
+                results.append(RunResult("package.hub", "error",
+                                         time.time() - t0, str(e)))
         ok = all(r.status == "success" for r in results)
         return RunnerResult(ok, results, self.manifest)
 

@@ -963,3 +963,92 @@ sources:
     ids = {x.unique_id for x in r.results}
     assert "source.sfs.tpch.events" in ids
     assert "model.sfs.uses" in ids  # + expands to downstream consumers
+
+
+def test_semver_range_solving():
+    """plans/deps.py semver: ordering, ranges, ~>, prerelease rules
+    (reference deps/resolver.py + registry version matching)."""
+    from dbt_spark.plans.deps import DepsError, SemVer, satisfies
+
+    assert SemVer.parse("1.2.3") < SemVer.parse("1.10.0")
+    assert SemVer.parse("1.2.3-rc.1") < SemVer.parse("1.2.3")
+    assert SemVer.parse("1.2.3-rc.2") < SemVer.parse("1.2.3-rc.10")
+    v = SemVer.parse("0.8.5")
+    assert satisfies(v, [">=0.8.0", "<0.9.0"])
+    assert satisfies(v, [">=0.8.0,<0.9.0"])  # comma-joined form
+    assert satisfies(v, ["~>0.8.0"])
+    assert not satisfies(v, ["~>0.7.0"])
+    assert not satisfies(v, ["==0.8.4"])
+    with pytest.raises(DepsError):
+        SemVer.parse("not-a-version")
+
+
+def test_registry_mirror_deps_with_transitive_solve(project_dir, spark, tmp_path):
+    """Hub-style packages resolve against a local registry mirror: ranges
+    intersect across requesters, the highest satisfying version wins,
+    transitive packages.yml deps install too, and installed macros are
+    usable from models (deps/registry.py:30, resolver.py:28)."""
+    reg = tmp_path / "registry"
+    # util package, three versions; 0.9.0 depends on org/base
+    for ver in ("0.8.0", "0.8.6", "0.9.0"):
+        d = reg / "org" / "utils" / ver
+        (d / "macros").mkdir(parents=True)
+        (d / "dbt_project.yml").write_text("name: utils\n")
+        (d / "macros" / "m.sql").write_text(
+            "{%% macro cents(col) %%}(%s * 100){%% endmacro %%}"
+            % ("{{ col }}",)
+        )
+        if ver == "0.9.0":
+            (d / "packages.yml").write_text(
+                "packages:\n  - package: org/base\n    version: ['>=1.0.0']\n"
+            )
+    b = reg / "org" / "base" / "1.1.0"
+    b.mkdir(parents=True)
+    (b / "dbt_project.yml").write_text("name: base\n")
+
+    files = {
+        "dbt_project.yml": "name: hubp\n",
+        "packages.yml": (
+            "packages:\n"
+            "  - package: org/utils\n    version: ['>=0.8.0', '<0.9.0']\n"
+        ),
+        "models/pennies.sql":
+            "select {{ utils.cents(1) }} as c",
+    }
+    root = project_dir(files)
+    os.environ["DBT_SPARK_REGISTRY"] = str(reg)
+    try:
+        eng = Engine(root, spark=spark)
+        r = eng.invoke(["deps"])
+        assert r.success, [x.message for x in r.results]
+        msgs = {x.unique_id: x.message for x in r.results}
+        assert msgs["package.hub.org/utils"].startswith("0.8.6 ->")
+        # range intersection chose 0.8.6, not 0.9.0 — so no transitive base
+        assert not os.path.exists(os.path.join(root, "dbt_packages", "base"))
+        # macros from the installed package compile inside models
+        eng2 = Engine(root, spark=spark)
+        r2 = eng2.invoke(["run"])
+        assert r2.success, [x.message for x in r2.results]
+        assert [x["c"] for x in eng2.store.read("main", "pennies").collect()] == [100]
+
+        # widen the range -> 0.9.0 wins and drags org/base in transitively
+        with open(os.path.join(root, "packages.yml"), "w") as f:
+            f.write("packages:\n  - package: org/utils\n    version: ['>=0.8.0']\n")
+        eng3 = Engine(root, spark=spark)
+        r3 = eng3.invoke(["deps"])
+        assert r3.success, [x.message for x in r3.results]
+        msgs3 = {x.unique_id: x.message for x in r3.results}
+        assert msgs3["package.hub.org/utils"].startswith("0.9.0 ->")
+        assert msgs3["package.hub.org/base"].startswith("1.1.0 ->")
+
+        # unsatisfiable intersection is a named conflict
+        with open(os.path.join(root, "packages.yml"), "w") as f:
+            f.write(
+                "packages:\n"
+                "  - package: org/utils\n    version: ['>=0.9.1']\n"
+            )
+        r4 = Engine(root, spark=spark).invoke(["deps"])
+        assert not r4.success
+        assert "version conflict" in r4.results[-1].message
+    finally:
+        del os.environ["DBT_SPARK_REGISTRY"]
