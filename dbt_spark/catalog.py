@@ -102,11 +102,36 @@ class RelationStore:
                 self.spark.sql(
                     f"CREATE OR REPLACE TEMPORARY VIEW {rel.identifier} AS {rel.compiled_sql}"
                 )
+            elif rel.meta.get("buckets"):
+                # bucketed relations resolve through the session catalog so
+                # Catalyst sees the bucket spec (outputPartitioning) and can
+                # elide the shuffle in co-bucketed joins/aggregations
+                self._ensure_bucketed_table(rel)
             else:
                 df = self.spark.read.parquet(rel.path)
                 df.createOrReplaceTempView(rel.identifier)
             self._registered.add(rel.identifier)
             return rel.identifier
+
+    def _ensure_bucketed_table(self, rel: Relation) -> None:
+        """Recreate the catalog entry for a bucketed table if this session
+        doesn't have it (the in-memory catalog is session-scoped; the bucket
+        ids live in the parquet file names, so an external CLUSTERED BY table
+        over the same location restores the spec)."""
+        if self.spark.catalog.tableExists(rel.identifier):
+            return
+        # a stale temp view with the same name would shadow the table
+        self.spark.catalog.dropTempView(rel.identifier)
+        schema = self.spark.read.parquet(rel.path).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+        bucket_by = ", ".join(f"`{c}`" for c in rel.meta["bucket_by"])
+        sort_by = ", ".join(f"`{c}`" for c in rel.meta.get("sort_by") or rel.meta["bucket_by"])
+        self.spark.sql(
+            f"CREATE TABLE {rel.identifier} ({cols}) USING parquet "
+            f"CLUSTERED BY ({bucket_by}) SORTED BY ({sort_by}) "
+            f"INTO {int(rel.meta['buckets'])} BUCKETS "
+            f"LOCATION '{rel.path}'"
+        )
 
     def invalidate(self, rel: Relation) -> None:
         with self._lock:
@@ -116,7 +141,7 @@ class RelationStore:
         rel = self.get(schema, name)
         if rel is None:
             raise KeyError(f"relation {schema}.{name} does not exist")
-        if rel.kind == "view":
+        if rel.kind == "view" or rel.meta.get("buckets"):
             self.register(rel)
             return self.spark.table(rel.identifier)
         return self.spark.read.parquet(rel.path)
@@ -168,6 +193,49 @@ class RelationStore:
         self.register(rel)
         return rel
 
+    def write_bucketed(
+        self,
+        schema: str,
+        name: str,
+        df: DataFrame,
+        bucket_by: list[str],
+        buckets: int,
+        sort_by: Optional[list[str]] = None,
+    ) -> Relation:
+        """Hash-bucketed, per-bucket-sorted table write.
+
+        The 100 TB co-location primitive: two models bucketed by the same key
+        into the same bucket count join WITHOUT a shuffle (Catalyst reads the
+        bucket spec as the scan's outputPartitioning), and aggregations on the
+        bucket key skip their exchange. The files carry bucket ids in their
+        names, so the layout survives session restarts via
+        ``_ensure_bucketed_table``."""
+        path = self.path_for(schema, name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        ident = self.key(schema, name).replace(".", "__")
+        with self._lock:
+            self.spark.catalog.dropTempView(ident)
+            self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        sort_by = list(sort_by or bucket_by)
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(int(buckets), *bucket_by)
+            .sortBy(*sort_by)
+            .option("path", path)
+            .saveAsTable(ident)
+        )
+        rel = Relation(
+            schema=schema, name=name, kind="table", path=path,
+            meta={"buckets": int(buckets), "bucket_by": list(bucket_by),
+                  "sort_by": sort_by},
+        )
+        with self._lock:
+            self.relations[self.key(schema, name)] = rel
+            self._registered.add(rel.identifier)
+            self._save_state()
+        return rel
+
     def overwrite_partitions(
         self, schema: str, name: str, df: DataFrame, partition_by: list[str]
     ) -> Relation:
@@ -197,6 +265,8 @@ class RelationStore:
             if rel is not None:
                 self._registered.discard(rel.identifier)
                 self.spark.catalog.dropTempView(rel.identifier)
+                if rel.meta.get("buckets"):
+                    self.spark.sql(f"DROP TABLE IF EXISTS {rel.identifier}")
                 if rel.path and os.path.exists(rel.path):
                     shutil.rmtree(rel.path)
                 self._save_state()

@@ -250,6 +250,21 @@ def materialize_table(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     df = run_model_df(ctx, node)
     enforce_contract(node, df)
     enforce_constraints(node, df)
+    bucket_by = node.config.meta.get("bucket_by")
+    if bucket_by:
+        # config(bucket_by=..., buckets=N[, sort_by=...]): hash-bucketed
+        # layout so co-bucketed downstream joins/aggs skip their shuffle
+        # (Spark-first scale feature; no reference analog — dbt delegates
+        # physical layout to the warehouse)
+        bucket_by = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+        sort_by = node.config.meta.get("sort_by")
+        sort_by = [sort_by] if isinstance(sort_by, str) else sort_by
+        return ctx.store.write_bucketed(
+            ctx.schema_for(node), node.name, df,
+            bucket_by=bucket_by,
+            buckets=int(node.config.meta.get("buckets", 32)),
+            sort_by=sort_by,
+        )
     partition_by = node.config.partition_by
     if isinstance(partition_by, str):
         partition_by = [partition_by]

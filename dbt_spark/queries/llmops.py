@@ -113,12 +113,13 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation job runs as ONE declarative plan.
 
     Scale: every stage is codegen'd column math over one documents scan — no
-    UDFs, no collect; the only shuffles are the fingerprint-dedup window and
-    the tiny final per-language aggregate. At cluster scale the window
-    partitions by fingerprint hash (uniform), so no skew.
+    UDFs, no collect; the only shuffles are the fingerprint-dedup aggregate
+    and the tiny final per-language rollup. Dedup is a struct-min HASH
+    aggregate keyed by fingerprint (keep the min-doc_id row), not a
+    sort-based window: partial aggregation collapses duplicates map-side
+    before the exchange, which at 100 TB moves only one row per distinct
+    fingerprint instead of sorting every row within each hash partition.
     """
-    from pyspark.sql import Window as W
-
     docs = _docs(spark, sf_dir)
     feats = docs.select(
         "doc_id",
@@ -129,10 +130,13 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = feats.filter(F.col("quality_score") >= 0.2)
     deduped = (
-        kept.withColumn(
-            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        kept.groupBy("fp")
+        .agg(
+            F.min(
+                F.struct("doc_id", "lang_pred", "n_tokens", "quality_score")
+            ).alias("first_doc")
         )
-        .filter(F.col("rn") == 1)
+        .select("first_doc.*")
     )
     return (
         deduped.groupBy("lang_pred")

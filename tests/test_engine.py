@@ -312,3 +312,63 @@ def test_compile_inlines_ephemeral_ctes(project_dir, spark):
     assert compiled.index("__dbt__cte__base") < compiled.index("select id, id * 2")
     # the compiled string is self-contained runnable SQL
     assert spark.sql(compiled).collect()[0]["v"] == 12
+
+
+def test_bucketed_tables_join_without_shuffle(project_dir, spark):
+    """config(bucket_by=..., buckets=N) writes a hash-bucketed, per-bucket
+    sorted table; a join between two co-bucketed models runs with NO shuffle
+    exchange (the 100 TB co-location primitive — Catalyst reads the bucket
+    spec as each scan's outputPartitioning)."""
+    from tests.conftest import SF_DIR
+
+    files = {
+        "dbt_project.yml": "name: bkt\n",
+        "models/sources.yml": f"""
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        meta: {{location: "{SF_DIR}/orders.parquet"}}
+      - name: customer
+        meta: {{location: "{SF_DIR}/customer.parquet"}}
+""",
+        "models/b_orders.sql": (
+            "{{ config(materialized='table', bucket_by='o_custkey', buckets=4) }}"
+            "select o_orderkey, o_custkey, o_totalprice "
+            "from {{ source('tpch','orders') }}"
+        ),
+        "models/b_cust.sql": (
+            "{{ config(materialized='table', bucket_by='c_custkey', buckets=4) }}"
+            "select c_custkey, c_name from {{ source('tpch','customer') }}"
+        ),
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+
+    orders = eng.store.read("main", "b_orders")
+    cust = eng.store.read("main", "b_cust")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the only shuffle-free path is the bucket spec
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        n = joined.count()
+        assert n > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # the layout survives a fresh store/catalog (bucket ids live in file
+    # names; _ensure_bucketed_table recreates the catalog entry)
+    spark.sql("DROP TABLE IF EXISTS main__b_orders")
+    from dbt_spark.catalog import RelationStore
+
+    store2 = RelationStore(spark, eng.store.warehouse)
+    df2 = store2.read("main", "b_orders")
+    assert df2.count() == orders.count()
+    desc = spark.sql("DESCRIBE EXTENDED main__b_orders").collect()
+    txt = "\n".join(str(row) for row in desc)
+    assert "o_custkey" in txt and "4" in txt
