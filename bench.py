@@ -58,6 +58,8 @@ HEADLINE = [
     "tpch_q22_global_sales_opportunity",
     # LLM-pipeline ops (added as they come online)
     "dedup_exact",
+    "corpus_weighted_sample",
+    "sequence_packing",
     "dedup_minhash_lsh",
     "training_data_pipeline",
     "text_quality_score",

@@ -106,6 +106,64 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.3, bound=200)
 
 
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling — the corpus-mixing primitive
+    of a training-data pipeline (e.g. keep 50% en, 25% de, 75% fr, all es).
+
+    The keep/drop decision is a pure function of doc_id: the last hex nibble
+    of md5(doc_id) (uniform 0-15) is compared to the language's 16ths-rate.
+    No rand(), no sampleBy — rerunning the pipeline (or running it on two
+    clusters) selects the SAME rows, which makes the sample reproducible and
+    incremental-safe at 100 TB: new docs don't reshuffle old decisions.
+    All codegen'd expressions; one scan, no shuffle, filter pushes to scan.
+    """
+    docs = _docs(spark, sf_dir)
+    nibble = F.expr(
+        "instr('0123456789abcdef', "
+        "substring(md5(cast(doc_id as string)), 32, 1)) - 1"
+    )
+    thresh = (
+        F.when(F.col("lang") == "en", 8)
+        .when(F.col("lang") == "de", 4)
+        .when(F.col("lang") == "fr", 12)
+        .when(F.col("lang") == "es", 16)
+        .otherwise(2)
+    )
+    return (
+        docs.filter(nibble < thresh)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per source corpus, documents are
+    laid out in doc_id order on a token stream and chunked into fixed
+    context windows (2048 tokens) — each doc gets (chunk_id, chunk_offset),
+    the standard pretraining packing layout.
+
+    Scale: ONE shuffle (window partitioned by source, ordered by doc_id);
+    all integer math, so the layout is bit-identical across engines. At
+    100 TB the partition key is the source shard, which is how packing is
+    parallelized in practice (each shard packs independently).
+    """
+    from pyspark.sql import Window as W
+
+    budget = 2048
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", X.token_count("text").alias("n_tokens")
+    )
+    cum = F.sum("n_tokens").over(W.partitionBy("source").orderBy("doc_id"))
+    start = (cum - F.col("n_tokens")).alias("stream_start")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / budget).cast("bigint").alias("chunk_id"),
+        (start % budget).cast("bigint").alias("chunk_offset"),
+    ).orderBy("source", "doc_id")
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep: quality scoring → language routing →
     fingerprint dedup → per-language corpus stats (low-quality docs dropped,
@@ -204,6 +262,33 @@ _LANG_SCORES = ", ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "corpus_weighted_sample": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE strpos('0123456789abcdef',
+                     substring(md5(cast(doc_id AS VARCHAR)), 32, 1)) - 1
+              < CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4
+                          WHEN 'fr' THEN 12 WHEN 'es' THEN 16 ELSE 2 END
+        ORDER BY doc_id
+    """,
+    "sequence_packing": f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                       - n_tokens AS stream_start
+            FROM toks
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(FLOOR(stream_start / 2048.0) AS BIGINT) AS chunk_id,
+               CAST(stream_start % 2048 AS BIGINT) AS chunk_offset
+        FROM c
+        ORDER BY source, doc_id
+    """,
     "token_count": f"""
         SELECT doc_id,
                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -409,6 +494,8 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
+    "corpus_weighted_sample": corpus_weighted_sample,
+    "sequence_packing": sequence_packing,
     "training_data_pipeline": training_data_pipeline,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
