@@ -94,3 +94,122 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_off", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
+    """Frame sampling: one input row fans out to one row per kept frame —
+    the 1→N ``mapInPandas`` shape a real video frame-sampler uses (bounded
+    memory: frames of a batch are emitted incrementally, never the whole
+    video's frame list at once).
+
+    The STUB treats the payload as ``n_frames = n_bytes % 30`` equal-length
+    frames laid out back-to-back and keeps every ``every_n``-th; a real
+    deployment swaps the offset math for a container demuxer (pyav/ffmpeg).
+    Deterministic integer math → DuckDB-oracle checkable."""
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_len": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(blob)
+                n_frames = n % 30
+                if n_frames == 0:
+                    continue
+                flen = n // n_frames
+                for idx in range(0, n_frames, every_n):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["frame_off"].append(idx * flen)
+                    out["frame_len"].append(flen)
+            yield _pd.DataFrame(out, dtype="int64")
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
+    """Resize: binary in → binary out at a fixed target size, the
+    batch-transform shape of a real thumbnailer. STUB kernel: truncate/cycle
+    the payload to exactly width*height bytes (a real deployment decodes,
+    resamples, re-encodes). Output stays binary so downstream ops (storage,
+    feature extraction) chain without schema changes."""
+    target = width * height
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            resized = []
+            for blob in pdf["payload"]:
+                b = bytes(blob)
+                reps = (target // max(len(b), 1)) + 1
+                resized.append((b * reps)[:target])
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction: binary → fixed-dim float vector (array<float>), the
+    embedding-model shape. STUB kernel: per-position byte histogram folded
+    into ``dim`` buckets and scaled to [0,1) — deterministic, so tests can
+    assert exact values; a real deployment runs the batch through an ONNX /
+    torch model here (same signature: one Arrow batch in, one out)."""
+
+    def batches(it):
+        import numpy as _np
+        import pandas as _pd
+
+        d = dim
+
+        def _embed(blob: bytes):
+            arr = _np.frombuffer(bytes(blob), dtype=_np.uint8)
+            if arr.size == 0:
+                return [0.0] * d
+            sums = _np.zeros(d, dtype=_np.int64)
+            _np.add.at(sums, _np.arange(arr.size) % d, arr)
+            return [float(x % 1000) / 1000.0 for x in sums]
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "features": [_embed(b) for b in pdf["payload"]],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return df.mapInPandas(batches, schema=schema)

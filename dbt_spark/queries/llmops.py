@@ -236,6 +236,30 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_meta(attach_binary_payload(docs))
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling over video payloads (every 5th frame) — the
+    mapInPandas fan-out plumbing, integer-exact vs the DuckDB oracle."""
+    from dbt_spark.functions.multimodal import sample_frames
+
+    payload = attach_binary_payload(_docs(spark, sf_dir)).filter(
+        F.col("media_type") == "video/mp4"
+    )
+    return sample_frames(payload, every_n=5).orderBy("doc_id", "frame_idx")
+
+
+def multimodal_resize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize (binary→binary) chained into feature extraction
+    (binary→array<float>) — the two-stage media pipeline shape; rows-only
+    (stub kernels; exact values asserted in tests/test_llmops.py)."""
+    from dbt_spark.functions.multimodal import extract_features, resize_images
+
+    payload = attach_binary_payload(_docs(spark, sf_dir)).filter(
+        F.col("media_type") == "image/png"
+    )
+    resized = resize_images(payload, width=64, height=48)
+    return extract_features(resized, dim=16).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # oracles
 # --------------------------------------------------------------------------
@@ -466,6 +490,21 @@ ORACLES: dict[str, str] = {
               FROM scored) t
         WHERE rank <= 5
     """,
+    "multimodal_frame_sample": """
+        WITH v AS (
+            SELECT doc_id, octet_length(encode(text)) AS n
+            FROM documents WHERE doc_id % 3 = 2
+        ), f AS (
+            SELECT doc_id, n % 30 AS n_frames, n // (n % 30) AS flen
+            FROM v WHERE n % 30 <> 0
+        )
+        SELECT doc_id,
+               CAST(idx AS BIGINT) AS frame_idx,
+               CAST(idx * flen AS BIGINT) AS frame_off,
+               CAST(flen AS BIGINT) AS frame_len
+        FROM f, unnest(generate_series(0, n_frames - 1, 5)) AS t(idx)
+        ORDER BY doc_id, frame_idx
+    """,
     "multimodal_decode_meta": """
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image/png'
@@ -501,4 +540,6 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_lsh": ann_topk_lsh,
     "multimodal_decode_meta": multimodal_decode_meta,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize_embed": multimodal_resize_embed,
 }

@@ -84,3 +84,47 @@ def test_real_decoder_is_marked_stub():
 
     with pytest.raises(NotImplementedError):
         real_decode_image(b"\x89PNG")
+
+
+def test_frame_sample_fanout_and_offsets(spark):
+    """sample_frames: 1→N fan-out with exact integer offsets; docs whose
+    payload length is a multiple of 30 produce no frames."""
+    from dbt_spark.functions.multimodal import sample_frames
+
+    rows = [(1, b"x" * 47), (2, b"y" * 30), (3, b"z" * 12)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        (r["doc_id"], r["frame_idx"]): (r["frame_off"], r["frame_len"])
+        for r in sample_frames(df, every_n=5).collect()
+    }
+    # doc 1: 47 % 30 = 17 frames of len 47//17=2 → idx 0,5,10,15
+    assert out[(1, 0)] == (0, 2) and out[(1, 15)] == (30, 2)
+    assert (1, 16) not in out and len([k for k in out if k[0] == 1]) == 4
+    # doc 2: 30 % 30 = 0 frames
+    assert not any(k[0] == 2 for k in out)
+    # doc 3: 12 % 30 = 12 frames len 1 → idx 0,5,10
+    assert [k[1] for k in sorted(k for k in out if k[0] == 3)] == [0, 5, 10]
+
+
+def test_resize_and_feature_extract_kernels(spark):
+    """resize_images emits exactly width*height bytes; extract_features is a
+    deterministic dim-length float vector in [0,1)."""
+    from dbt_spark.functions.multimodal import extract_features, resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, b"")], "doc_id long, payload binary"
+    )
+    resized = resize_images(df, width=8, height=4)
+    rows = {r["doc_id"]: r for r in resized.collect()}
+    assert len(rows[1]["payload"]) == 32 and rows[1]["width"] == 8
+    assert bytes(rows[1]["payload"])[:6] == b"abcabc"  # cycled fill
+    assert len(rows[2]["payload"]) == 0  # empty stays empty (nothing to cycle)
+
+    feats = {r["doc_id"]: r["features"] for r in extract_features(df, dim=4).collect()}
+    assert len(feats[1]) == 4 and all(0.0 <= v < 1.0 for v in feats[1])
+    # byte fold: 'a'=97 → bucket 0, 'b'=98 → 1, 'c'=99 → 2 (float32 storage)
+    import pytest as _pytest
+
+    assert feats[1][:3] == _pytest.approx([0.097, 0.098, 0.099], abs=1e-6)
+    assert feats[1][3] == 0.0
+    assert feats[2] == [0.0, 0.0, 0.0, 0.0]
