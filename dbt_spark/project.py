@@ -165,6 +165,12 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
 
     macro_roots: list[tuple[str, list[str], Optional[str]]] = []
     if is_root:
+        # built-in global macro package (the dbt-adapters "global project"
+        # analog): dbt_utils-compatible idioms in the Spark dialect, loaded
+        # FIRST so any project/package macro overrides them
+        builtin = os.path.join(os.path.dirname(__file__), "include")
+        if os.path.isdir(os.path.join(builtin, "global_macros")):
+            macro_roots.append((builtin, ["global_macros"], "dbt_utils"))
         # package macros join the global namespace BEFORE any model parses
         # (reference loads all macros first: load_and_parse_macros,
         # core/dbt/parser/manifest.py:677-704); root project loads LAST so its

@@ -1052,3 +1052,62 @@ def test_registry_mirror_deps_with_transitive_solve(project_dir, spark, tmp_path
         assert "version conflict" in r4.results[-1].message
     finally:
         del os.environ["DBT_SPARK_REGISTRY"]
+
+
+def test_builtin_dbt_utils_package(project_dir, spark):
+    """Built-in dbt_utils-compatible global macro package: surrogate keys,
+    date_spine, pivot, star, safe_divide, union_relations — existing
+    dbt projects that lean on dbt-utils run unchanged."""
+    files = {
+        "dbt_project.yml": "name: utilp\n",
+        "seeds/pay.csv": (
+            "order_id,method,amount\n"
+            "1,card,10\n1,cash,5\n2,card,7\n"
+        ),
+        "seeds/pay_extra.csv": (
+            "order_id,method,amount,tip\n"
+            "3,card,20,2\n"
+        ),
+        "models/keyed.sql": (
+            "select order_id, "
+            "{{ dbt_utils.generate_surrogate_key(['order_id','method']) }} as sk, "
+            "{{ dbt_utils.safe_divide('amount', 'amount - amount') }} as div0 "
+            "from {{ ref('pay') }}"
+        ),
+        "models/spine.sql": "{{ dbt_utils.date_spine('day', \"'2020-01-01'\", \"'2020-01-05'\") }}",
+        "models/pivoted.sql": (
+            "select order_id, {{ dbt_utils.pivot('method', ['card','cash']) }} "
+            "from {{ ref('pay') }} group by order_id"
+        ),
+        "models/starred.sql": (
+            "select {{ dbt_utils.star(ref('pay'), except=['method']) }} "
+            "from {{ ref('pay') }}"
+        ),
+        "models/unioned.sql": "{{ dbt_utils.union_relations([ref('pay'), ref('pay_extra')]) }}",
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    r = eng.invoke(["build"])
+    assert r.success, [x.message for x in r.results]
+
+    keyed = {r["order_id"]: r for r in eng.store.read("main", "keyed").collect()}
+    assert len(keyed[1]["sk"]) == 32  # md5 hex
+    assert keyed[1]["div0"] is None   # divide-by-zero → NULL
+
+    spine = eng.store.read("main", "spine").collect()
+    assert len(spine) == 4  # end exclusive
+    assert str(spine[0]["date_day"]).startswith("2020-01-01")
+
+    piv = {r["order_id"]: r for r in eng.store.read("main", "pivoted").collect()}
+    assert piv[1]["card"] == 1 and piv[1]["cash"] == 1 and piv[2]["cash"] == 0
+
+    starred = eng.store.read("main", "starred")
+    assert starred.columns == ["order_id", "amount"]
+
+    uni = eng.store.read("main", "unioned")
+    assert set(uni.columns) == {"_dbt_source_relation", "order_id", "method",
+                                "amount", "tip"}
+    rows = uni.collect()
+    assert len(rows) == 4
+    assert [r["tip"] for r in rows if r["order_id"] == 1] == [None, None]
+    assert [r["tip"] for r in rows if r["order_id"] == 3] == [2]
