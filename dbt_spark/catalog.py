@@ -259,6 +259,50 @@ class RelationStore:
         self.register(rel)
         return rel
 
+    def compact(
+        self, schema: str, name: str, target_file_mb: int = 128
+    ) -> tuple[int, int]:
+        """Small-file compaction: rewrite the relation at ~target_file_mb per
+        file. Incremental appends and per-batch microbatch writes accrete
+        small files; at 100 TB scan cost is dominated by file-open overhead
+        once files shrink below the HDFS/S3 block size, so periodic
+        compaction is part of the operating loop (the OPTIMIZE analog).
+        Returns (files_before, files_after). Partitioned layouts compact
+        within each partition (partitionBy preserved)."""
+        rel = self.get(schema, name)
+        if rel is None or not rel.path:
+            raise KeyError(f"relation {schema}.{name} does not exist")
+
+        def _count_files(root: str) -> tuple[int, int]:
+            n, total = 0, 0
+            for dirpath, _dirs, files in os.walk(root):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        n += 1
+                        total += os.path.getsize(os.path.join(dirpath, fn))
+            return n, total
+
+        before, total_bytes = _count_files(rel.path)
+        df = self.read(schema, name)
+        n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        parts = rel.partition_by
+        if parts:
+            # spread within partitions without changing the partition layout
+            out = df.repartition(n_files, *parts)
+        else:
+            out = df.repartition(n_files)
+        staging = f"{rel.path}.__staging__{int(time.time() * 1000)}"
+        writer = out.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
+        self._swap(rel.path, staging)
+        with self._lock:
+            self._registered.discard(rel.identifier)
+        self.register(rel)
+        after, _ = _count_files(rel.path)
+        return before, after
+
     def drop(self, schema: str, name: str) -> None:
         with self._lock:
             rel = self.relations.pop(self.key(schema, name), None)

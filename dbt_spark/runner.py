@@ -433,6 +433,24 @@ class Engine:
         from dbt_spark.plans.compile import runtime_render
         from dbt_spark.plans.manifest import NodeType as NT
 
+        if macro_name == "compact":
+            # built-in maintenance operation (the OPTIMIZE analog):
+            # dbt run-operation compact --args '{relation: name[, target_file_mb: N]}'
+            t0 = time.time()
+            rel_name = op_args.get("relation")
+            schema = op_args.get("schema") or self.project.profile.get("schema", "main")
+            try:
+                before, after = self.store.compact(
+                    schema, rel_name, int(op_args.get("target_file_mb", 128))
+                )
+                return RunnerResult(True, [RunResult(
+                    f"operation.{self.project.name}.compact", "success",
+                    time.time() - t0, f"{rel_name}: {before} -> {after} files")],
+                    manifest)
+            except KeyError as e:
+                return RunnerResult(False, [RunResult(
+                    f"operation.{self.project.name}.compact", "error",
+                    time.time() - t0, str(e))], manifest)
         if macro_name not in manifest.macros:
             return RunnerResult(False, [RunResult(
                 f"operation.{self.project.name}.{macro_name}", "error", 0.0,

@@ -321,3 +321,32 @@ def test_microbatch_partial_failure_and_batch_retry(project_dir, spark):
     assert sorted(
         x["id"] for x in eng2.store.read("main", "target").collect()
     ) == [1, 2, 3, 4]
+
+
+def test_compact_operation_merges_small_files(project_dir, spark):
+    """run-operation compact: incremental appends accrete small files; the
+    built-in compaction rewrites them near target size (OPTIMIZE analog)."""
+    files = {
+        "dbt_project.yml": "name: cmp\n",
+        "seeds/stream.csv": STREAM_CSV,
+        "models/acc.sql": (
+            "{{ config(materialized='incremental', incremental_strategy='append') }}"
+            "select id, ts, val from {{ ref('stream') }}"
+            "{% if is_incremental() %} where 1 = 0 {% endif %}"
+        ),
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    for _ in range(4):
+        assert eng.invoke(["run"]).success  # appends (empty after first, still files)
+    rel = eng.store.get("main", "acc")
+    n_before = sum(
+        1 for _, _, fs in os.walk(rel.path) for f in fs if f.endswith(".parquet")
+    )
+    assert n_before > 1
+    rows_before = sorted(x["id"] for x in eng.store.read("main", "acc").collect())
+    r = eng.invoke(["run-operation", "compact", "--args", "{relation: acc}"])
+    assert r.success, r.results[0].message
+    assert "-> 1 files" in r.results[0].message
+    assert sorted(x["id"] for x in eng.store.read("main", "acc").collect()) == rows_before
