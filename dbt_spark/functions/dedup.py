@@ -31,12 +31,25 @@ from dbt_spark.functions.text import fingerprint, tokens
 # --------------------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
-    """Keep the lowest-id row per exact key group (hash-groupBy, one shuffle)."""
-    w = W.partitionBy(*key_cols).orderBy(F.col(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    """Keep the lowest-id row per exact key group.
+
+    Implemented as a struct-min HASH aggregate (id first in the struct, so
+    min() orders by it), not a row_number window: partial aggregation
+    collapses duplicates map-side, so the exchange carries one row per
+    distinct key instead of sorting every row inside each hash partition —
+    the difference between O(dup rows) and O(distinct keys) shuffle at 100 TB."""
+    payload = [id_col] + [c for c in df.columns if c not in key_cols and c != id_col]
+    if payload == [id_col]:
+        # id-only payload: plain min() keeps the whole aggregate in
+        # whole-stage-codegen HashAggregate (struct buffers fall back to
+        # SortAggregate)
+        agg = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+        return agg.select(*df.columns)
+    agg = df.groupBy(*key_cols).agg(
+        F.min(F.struct(*payload)).alias("__first")
+    )
+    return agg.select(
+        *[F.col(f"__first.{c}") if c in payload else F.col(c) for c in df.columns]
     )
 
 

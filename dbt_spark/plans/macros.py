@@ -61,6 +61,23 @@ def extract_generic_tests(raw: str) -> dict[str, str]:
     return out
 
 
+_TEMPLATE_CACHE: dict[tuple[int, str], Any] = {}
+
+
+def _compiled(env: jinja2.Environment, source: str) -> Any:
+    """Compile-once cache for macro preludes (keyed by env identity + source).
+    make_module() per render stays (it binds the caller's context); only the
+    parse/compile step — the expensive part — is amortized."""
+    key = (id(env), source)
+    tpl = _TEMPLATE_CACHE.get(key)
+    if tpl is None:
+        if len(_TEMPLATE_CACHE) > 256:
+            _TEMPLATE_CACHE.clear()
+        tpl = env.from_string(source)
+        _TEMPLATE_CACHE[key] = tpl
+    return tpl
+
+
 class MacroNamespace:
     """Lazily-instantiated Jinja macro module bound to a render context.
 
@@ -93,8 +110,10 @@ class MacroNamespace:
         if flat:
             # one module for the whole flat namespace: macros can call each
             # other regardless of order (Jinja resolves intra-module calls at
-            # call time, not definition time).
-            module = self.env.from_string("\n".join(flat.values())).make_module(
+            # call time, not definition time). Template COMPILATION is cached
+            # by source hash (module-level) — a 2,000-model parse renders
+            # 2,000 times but compiles the macro prelude once.
+            module = _compiled(self.env, "\n".join(flat.values())).make_module(
                 vars=ctx
             )
             bound = {
@@ -105,12 +124,19 @@ class MacroNamespace:
         from types import SimpleNamespace
 
         for p, names in pkgs.items():
-            srcs = [v for k, v in flat.items() if k not in names]
-            srcs.extend(names.values())
-            pmod = self.env.from_string("\n".join(srcs)).make_module(vars=ctx)
-            ns = SimpleNamespace(
-                **{n: getattr(pmod, n) for n in names if hasattr(pmod, n)}
-            )
+            if all(flat.get(n) == src for n, src in names.items()):
+                # package sources identical to their flat bindings (no
+                # collision): reuse the flat module, skip a second build
+                ns = SimpleNamespace(
+                    **{n: bound[n] for n in names if n in bound}
+                )
+            else:
+                srcs = [v for k, v in flat.items() if k not in names]
+                srcs.extend(names.values())
+                pmod = _compiled(self.env, "\n".join(srcs)).make_module(vars=ctx)
+                ns = SimpleNamespace(
+                    **{n: getattr(pmod, n) for n in names if hasattr(pmod, n)}
+                )
             bound.setdefault(p, ns)
         return bound
 
