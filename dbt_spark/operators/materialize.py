@@ -44,6 +44,9 @@ class ExecutionContext:
     # dbt retry: node unique_id -> failed batch_ids to replay (microbatch only;
     # reference previous_batch_results, core/dbt/task/run.py:578-592)
     retry_batches: dict = field(default_factory=dict)
+    # --event-time-start/--event-time-end: explicit microbatch backfill window
+    event_time_start: Optional[Any] = None
+    event_time_end: Optional[Any] = None
 
     @property
     def schema(self) -> str:

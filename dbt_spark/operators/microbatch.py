@@ -145,7 +145,19 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
         lookback=cfg.lookback,
         now=now,
     )
-    batches = builder.build_batches(is_incremental)
+    et_start = getattr(ctx, "event_time_start", None)
+    et_end = getattr(ctx, "event_time_end", None)
+    if et_start or et_end:
+        # --event-time-start/--event-time-end: explicit backfill window
+        # (reference flags; build_batches over the pinned range, checkpoint
+        # and lookback logic bypassed)
+        builder.begin = truncate_timestamp(et_start or begin, cfg.batch_size)
+        builder.now = et_end or now
+        batches = builder.build_batches(is_incremental=False)
+        if et_end:
+            batches = [b for b in batches if b.start < et_end]
+    else:
+        batches = builder.build_batches(is_incremental)
     only = getattr(ctx, "retry_batches", {}).get(node.unique_id)
     if only:
         # dbt retry replay path: regenerate the full grid (same begin/grain

@@ -147,6 +147,8 @@ class Engine:
         empty = False
         warn_error = False
         sample: Optional[str] = None
+        event_time_start: Optional[datetime] = None
+        event_time_end: Optional[datetime] = None
         port: Optional[int] = None
         selector_name: Optional[str] = None
         indirect = "eager"
@@ -195,6 +197,12 @@ class Engine:
             elif rest[i] == "--sample":
                 i += 1
                 sample = rest[i]
+            elif rest[i] == "--event-time-start":
+                i += 1
+                event_time_start = datetime.fromisoformat(rest[i])
+            elif rest[i] == "--event-time-end":
+                i += 1
+                event_time_end = datetime.fromisoformat(rest[i])
             elif not rest[i].startswith("-"):
                 positional.append(rest[i])
             i += 1
@@ -294,6 +302,8 @@ class Engine:
             empty=empty,
             warn_error=warn_error,
             retry_batches=retry_batches or {},
+            event_time_start=event_time_start,
+            event_time_end=event_time_end,
         )
         if sample:
             ctx.event_time_filters["*"] = _sample_window(sample, now)

@@ -350,3 +350,32 @@ def test_compact_operation_merges_small_files(project_dir, spark):
     assert r.success, r.results[0].message
     assert "-> 1 files" in r.results[0].message
     assert sorted(x["id"] for x in eng.store.read("main", "acc").collect()) == rows_before
+
+
+def test_microbatch_explicit_event_time_window(project_dir, spark):
+    """--event-time-start/--event-time-end pin the batch grid to an explicit
+    backfill window (reference flags): only that window is reprocessed."""
+    files = {
+        "dbt_project.yml": "name: mbw\n",
+        "seeds/stream.csv": STREAM_CSV,
+        "models/target.sql": MICROBATCH_SQL,
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"], now=datetime(2020, 1, 3, 12)).success
+    assert eng.store.read("main", "target").count() == 4
+
+    # corrupt one day, then backfill ONLY that day via the explicit window
+    tgt = eng.store.read("main", "target")
+    broken = tgt.filter("date(ts) <> date'2020-01-01'")
+    eng.store.write_table("main", "target", broken, kind="incremental")
+    assert eng.store.read("main", "target").count() == 2
+
+    r = eng.invoke(
+        ["run", "--event-time-start", "2020-01-01", "--event-time-end", "2020-01-02"],
+        now=datetime(2020, 1, 3, 12),
+    )
+    assert r.success, [x.message for x in r.results]
+    rows = sorted(x["id"] for x in eng.store.read("main", "target").collect())
+    assert rows == [1, 2, 3, 4]
