@@ -60,6 +60,57 @@ def streaming_ingest_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.store.read("main", "events_stream")
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: a streaming_table model whose SQL joins the
+    streaming source (events landing dir) against a static ref (customer
+    dim) — the canonical streaming enrichment shape. availableNow processes
+    the full landing dir, so the result equals the batch join (the oracle).
+
+    Scale: the static side is a broadcast per micro-batch (Spark re-plans it
+    each batch); no stream-side shuffle — enrichment is map-only."""
+    from dbt_spark.queries.materializations import _mini_ctx, _model_node
+    from dbt_spark.plans.manifest import ManifestNode, NodeType
+    from dbt_spark.streaming.stream import materialize_streaming
+
+    ctx = _mini_ctx(spark)
+    landing = tempfile.mkdtemp(prefix="dbt_spark_enrich_")
+    events = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    events.write.mode("append").parquet(landing)
+
+    cust = read_parquet(spark, os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    ctx.store.write_table("main", "cust_dim", cust, kind="table")
+    dim = _model_node("cust_dim", "select 1", materialized="table")
+    ctx.manifest.add(dim)
+
+    src = ManifestNode(
+        unique_id="source.matq.landing.events",
+        name="events",
+        package_name="matq",
+        path="models/sources.yml",
+        resource_type=NodeType.Source,
+        source_name="landing",
+    )
+    src.config.meta["location"] = landing
+    ctx.manifest.add(src)
+
+    node = _model_node(
+        "events_enriched",
+        "SELECT e.event_id, e.user_id, e.value, d.c_mktsegment AS segment "
+        "FROM {{ source('landing', 'events') }} e "
+        "JOIN {{ ref('cust_dim') }} d ON e.user_id = d.c_custkey",
+        materialized="streaming_table",
+    )
+    node.sources = [("landing", "events")]
+    node.refs = [(None, "cust_dim")]
+    node.depends_on = [src.unique_id, dim.unique_id]
+    ctx.manifest.add(node)
+
+    materialize_streaming(ctx, node)
+    return ctx.store.read("main", "events_enriched").orderBy("event_id")
+
+
 def session_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark.streaming.stateful import session_window_agg
 
@@ -115,6 +166,11 @@ def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "stream_static_join": """
+        SELECT e.event_id, e.user_id, e.value, c.c_mktsegment AS segment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY e.event_id
+    """,
     "tumbling_window_agg": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
@@ -170,6 +226,7 @@ ORACLES = {
 
 QUERIES = {
     "streaming_ingest_checkpoint": streaming_ingest_checkpoint,
+    "stream_static_join": stream_static_join,
     "session_window_agg": session_window_agg_q,
     "tumbling_window_agg": tumbling_window_agg,
     "hopping_window_agg": hopping_window_agg,
