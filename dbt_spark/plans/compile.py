@@ -134,6 +134,12 @@ def _base_context(var_overrides: dict, target: dict) -> dict[str, Any]:
         # FULL_REFRESH/WHICH with the invocation's actual values
         "flags": SimpleNamespace(FULL_REFRESH=False, WHICH=None, STORE_FAILURES=False),
         "modules": modules,
+        # render(string): evaluate a jinja string in the current context
+        # (providers.py:1046-1080); write(payload) returns "" (the engine
+        # persists compiled SQL itself); try_or_compiler_error wraps a call
+        "render": lambda s: _ENV.from_string(str(s)).render(),
+        "write": lambda payload: "",
+        "try_or_compiler_error": _try_or_compiler_error,
         "exceptions": type(
             "exceptions",
             (),
@@ -145,6 +151,15 @@ def _base_context(var_overrides: dict, target: dict) -> dict[str, Any]:
             },
         ),
     }
+
+
+def _try_or_compiler_error(message_if_exception: str, func: Any, *args: Any, **kwargs: Any) -> Any:
+    """providers.py try_or_compiler_error: call func, surface failures as
+    compiler errors with the caller's message."""
+    try:
+        return func(*args, **kwargs)
+    except Exception:  # noqa: BLE001
+        raise CompilationError(str(message_if_exception))
 
 
 # the reference's jinja env enables do/loopcontrols

@@ -557,13 +557,36 @@ class Engine:
                 continue
             ctx.ensure_upstream_registered(node)
             df = self.store.read(rel.schema, rel.name)
+            stats: dict[str, Any] = {}
+            if rel.path and os.path.isdir(rel.path):
+                # row count from parquet footers (metadata-only, no scan) +
+                # on-disk bytes — the reference's has_stats/row_count/bytes
+                # (task/docs/generate.py stats from the warehouse catalog)
+                try:
+                    import pyarrow.dataset as _ds
+
+                    n_rows = _ds.dataset(rel.path, format="parquet").count_rows()
+                    n_bytes = sum(
+                        os.path.getsize(os.path.join(dp, fn))
+                        for dp, _d, fs in os.walk(rel.path)
+                        for fn in fs if fn.endswith(".parquet")
+                    )
+                    stats = {
+                        "row_count": {"value": n_rows, "include": True,
+                                      "label": "# Rows"},
+                        "bytes": {"value": n_bytes, "include": True,
+                                  "label": "Approximate Size"},
+                        "has_stats": {"value": True, "include": False},
+                    }
+                except Exception:  # noqa: BLE001 — stats are best-effort
+                    stats = {}
             nodes_cat[uid] = {
                 "metadata": {"type": rel.kind, "schema": rel.schema, "name": rel.name},
                 "columns": {
                     f.name: {"type": f.dataType.simpleString(), "index": i, "name": f.name}
                     for i, f in enumerate(df.schema.fields)
                 },
-                "stats": {},
+                "stats": stats,
             }
         payload = {
             "metadata": {

@@ -149,6 +149,20 @@ def test_docs_generate_catalog(feat):
     catalog = json.load(open(os.path.join(pdir, "target", "catalog.json")))
     entry = catalog["nodes"]["model.feat.amounts"]
     assert set(entry["columns"]) == {"o_orderkey", "dollars"}
+    assert entry["stats"] == {}  # views carry no storage stats
+
+    # tables get footer-derived stats (row count from parquet metadata, no
+    # scan; on-disk bytes) — reference catalog stats shape
+    with open(os.path.join(pdir, "models", "amounts_tbl.sql"), "w") as f:
+        f.write("{{ config(materialized='table') }} "
+                "select * from {{ ref('amounts') }}")
+    eng2 = Engine(pdir, spark=eng.spark)
+    assert eng2.invoke(["run"]).success
+    assert eng2.invoke(["docs", "generate"]).success
+    catalog = json.load(open(os.path.join(pdir, "target", "catalog.json")))
+    tbl = catalog["nodes"]["model.feat.amounts_tbl"]
+    assert tbl["stats"]["row_count"]["value"] == 1500
+    assert tbl["stats"]["bytes"]["value"] > 0
 
 
 def test_source_freshness_artifact(feat):
