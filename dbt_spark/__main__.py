@@ -44,6 +44,7 @@ def main() -> int:
     ap.add_argument("--warn-error", action="store_true")
     ap.add_argument("--fail-fast", "-x", action="store_true")
     ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--target", "-t", default=None)
     ap.add_argument("--output", default="default",
                     choices=["default", "name", "path", "json"],
                     help="ls output format")
@@ -58,6 +59,7 @@ def main() -> int:
     engine = Engine(
         args.project_dir,
         vars=yaml.safe_load(args.vars) if args.vars else None,
+        target=args.target,
     )
     if args.threads:
         engine.project.profile["threads"] = args.threads

@@ -175,7 +175,11 @@ def compile_sql(
 ) -> str:
     from dbt_spark.plans.macros import RuntimeAdapter
 
-    target = dict(ctx.project.profile, name="spark", type="spark")
+    target = dict(
+        ctx.project.profile,
+        name=ctx.project.profile.get("target_name", "spark"),
+        type="spark",
+    )
     return runtime_render(
         node,
         ctx.manifest,

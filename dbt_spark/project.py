@@ -49,7 +49,12 @@ class Project:
     selectors: dict[str, dict] = field(default_factory=dict)
 
     @classmethod
-    def load(cls, project_dir: str, profile: Optional[dict] = None) -> "Project":
+    def load(
+        cls,
+        project_dir: str,
+        profile: Optional[dict] = None,
+        target: Optional[str] = None,
+    ) -> "Project":
         if not os.path.isdir(project_dir):
             raise FileNotFoundError(f"project directory does not exist: {project_dir}")
         cfg_path = os.path.join(project_dir, "dbt_project.yml")
@@ -64,7 +69,24 @@ class Project:
         prof_path = os.path.join(project_dir, "profiles.yml")
         if not prof and os.path.exists(prof_path):
             with open(prof_path) as f:
-                prof = (yaml.safe_load(f) or {}).get("spark", {})
+                raw = yaml.safe_load(f) or {}
+            # reference layout (config/profile.py:56-77): profiles.yml maps
+            # profile-name -> {target: ..., outputs: {name: {...}}}; the
+            # project's `profile:` key picks the entry, `target` (or the
+            # --target override) picks the output. A flat `spark:` dict is
+            # also accepted as shorthand.
+            entry = raw.get(cfg.get("profile")) or raw.get("spark") or {}
+            if isinstance(entry, dict) and "outputs" in entry:
+                tgt = target or entry.get("target") or next(iter(entry["outputs"]))
+                if tgt not in entry["outputs"]:
+                    raise KeyError(
+                        f"profiles.yml: target {tgt!r} not in outputs "
+                        f"{sorted(entry['outputs'])}"
+                    )
+                prof = dict(entry["outputs"][tgt])
+                prof.setdefault("target_name", tgt)
+            elif isinstance(entry, dict):
+                prof = dict(entry)
         prof.setdefault("warehouse", os.path.join(project_dir, "target", "warehouse"))
         prof.setdefault("schema", "main")
         prof.setdefault("threads", 4)
@@ -151,7 +173,11 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
     is_root = manifest is None
     if manifest is None:
         manifest = Manifest(project_name=project.name)
-    target_ctx = dict(project.profile, name="spark", type="spark")
+    target_ctx = dict(
+        project.profile,
+        name=project.profile.get("target_name", "spark"),
+        type="spark",
+    )
 
     def cached(full, rel):
         if cache is None:

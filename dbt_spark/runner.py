@@ -82,10 +82,11 @@ class Engine:
         spark: Optional[SparkSession] = None,
         profile: Optional[dict] = None,
         vars: Optional[dict] = None,
+        target: Optional[str] = None,
     ) -> None:
         from dbt_spark.session import get_spark
 
-        self.project = Project.load(project_dir, profile=profile)
+        self.project = Project.load(project_dir, profile=profile, target=target)
         self.spark = spark or get_spark(f"dbt_spark:{self.project.name}")
         self.store = RelationStore(self.spark, self.project.profile["warehouse"])
         self.vars = vars or {}

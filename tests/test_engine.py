@@ -372,3 +372,39 @@ sources:
     desc = spark.sql("DESCRIBE EXTENDED main__b_orders").collect()
     txt = "\n".join(str(row) for row in desc)
     assert "o_custkey" in txt and "4" in txt
+
+
+def test_profiles_yml_targets(project_dir, spark, tmp_path):
+    """Reference profiles.yml layout: profile-name -> outputs -> target
+    (config/profile.py:56-77); the project's `profile:` key selects the
+    entry, `target:` (or Engine(target=...)) picks the output; `{{ target }}`
+    reflects the chosen output."""
+    wh_dev = str(tmp_path / "wh_dev")
+    wh_prod = str(tmp_path / "wh_prod")
+    files = {
+        "dbt_project.yml": "name: ptest\nprofile: my_wh\n",
+        "profiles.yml": f"""
+my_wh:
+  target: dev
+  outputs:
+    dev: {{warehouse: "{wh_dev}", schema: main, threads: 2}}
+    prod: {{warehouse: "{wh_prod}", schema: main, threads: 8}}
+""",
+        "models/t.sql": "select '{{ target.name }}' as tname",
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.project.profile["warehouse"] == wh_dev
+    assert eng.project.profile["threads"] == 2
+    assert eng.invoke(["run"]).success
+    assert [r["tname"] for r in eng.store.read("main", "t").collect()] == ["dev"]
+
+    eng_prod = Engine(root, spark=spark, target="prod")
+    assert eng_prod.project.profile["warehouse"] == wh_prod
+    assert eng_prod.invoke(["run"]).success
+    assert [r["tname"] for r in eng_prod.store.read("main", "t").collect()] == ["prod"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        Engine(root, spark=spark, target="nope")
