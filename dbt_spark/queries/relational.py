@@ -986,6 +986,14 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "join_skew_salted": """
+        SELECT upper(event_type) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "grouping_sets_agg": """
         SELECT o_orderstatus, o_orderpriority,
                CAST(count(*) AS BIGINT) AS n,
@@ -1271,6 +1279,42 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join: replicate the small dim across ``n_salts`` salt
+    values and give each fact row a hashed salt — a hot join key (here
+    event_type: ~5 values over the whole fact table) fans across n_salts
+    reducers instead of funneling through one.
+
+    The salt doesn't change the result (dim is replicated over ALL salts),
+    which the plain-join DuckDB oracle proves. AQE's skew-join splitting
+    covers sort-merge cases automatically; explicit salting is the pattern
+    when the skewed side must hash-partition anyway (e.g. into a stateful op
+    or a bucketed write)."""
+    t = load_tables(spark, sf_dir, "events")
+    n_salts = 8
+    ev = t["events"].select("event_id", "event_type", "value")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("label", F.upper("event_type"))
+    )
+    salted_dim = dim.crossJoin(
+        spark.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+    )
+    fact = ev.withColumn(
+        "__salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).cast("int")
+    )
+    return (
+        fact.join(F.broadcast(salted_dim), ["event_type", "__salt"])
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("label")
+    )
+
+
 def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY GROUPING SETS — finer control than rollup/cube (SURVEY §2E
     capability row). Spark SQL literal; single shuffle with Expand."""
@@ -1392,6 +1436,7 @@ QUERIES = {
     "approx_distinct": approx_distinct,
     "subquery_ops": subquery_ops,
     "agg_salted_twophase": agg_salted_twophase,
+    "join_skew_salted": join_skew_salted,
     "grouping_sets_agg": grouping_sets_agg,
     "join_asof": join_asof,
     "join_range": join_range,

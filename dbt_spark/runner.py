@@ -148,6 +148,7 @@ class Engine:
         empty = False
         warn_error = False
         sample: Optional[str] = None
+        resource_filter: list[str] = []
         event_time_start: Optional[datetime] = None
         event_time_end: Optional[datetime] = None
         port: Optional[int] = None
@@ -198,6 +199,9 @@ class Engine:
             elif rest[i] == "--sample":
                 i += 1
                 sample = rest[i]
+            elif rest[i] == "--resource-type":
+                i += 1
+                resource_filter.append(rest[i])
             elif rest[i] == "--event-time-start":
                 i += 1
                 event_time_start = datetime.fromisoformat(rest[i])
@@ -269,6 +273,11 @@ class Engine:
             state=self._load_state(), indirect=indirect, selector_def=selector_def,
         )
         resource_types = RESOURCE_FOR_COMMAND[command]
+        if resource_filter:
+            # --resource-type narrows the command's default set (reference
+            # --resource-type flag on build/ls)
+            wanted = {NodeType(v) for v in resource_filter}
+            resource_types = {t for t in resource_types if t in wanted}
         runnable = {
             uid
             for uid in selected

@@ -408,3 +408,15 @@ my_wh:
 
     with _pytest.raises(KeyError):
         Engine(root, spark=spark, target="nope")
+
+
+def test_resource_type_flag(jaffle):
+    """--resource-type narrows build/ls to the named resource kinds
+    (reference --resource-type flag)."""
+    eng = jaffle
+    r = eng.invoke(["ls", "--resource-type", "seed"])
+    ids = {x.unique_id for x in r.results}
+    assert ids and all(u.startswith("seed.") for u in ids)
+    r = eng.invoke(["build", "--resource-type", "seed"])
+    assert r.success
+    assert all(x.unique_id.startswith("seed.") for x in r.results)
