@@ -35,6 +35,7 @@ HEADLINE = [
     "session_window_agg",
     "agg_salted_twophase",
     "grouping_sets_agg",
+    "join_skew_salted",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",

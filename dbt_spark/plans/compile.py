@@ -49,6 +49,14 @@ def _base_context(var_overrides: dict, target: dict) -> dict[str, Any]:
     import re as _re
 
     def env_var(name: str, default: Any = None) -> Any:
+        if name.startswith("DBT_ENV_SECRET_"):
+            # secrets are banned from model/macro rendering so they can never
+            # land in compiled SQL or logs (reference secret redaction,
+            # providers.py:1510-1556)
+            raise CompilationError(
+                f"env_var {name!r}: DBT_ENV_SECRET_ variables are only usable "
+                "in profiles/packages rendering, never in models"
+            )
         val = os.environ.get(name, default)
         if val is None:
             raise CompilationError(f"env_var '{name}' not set and no default provided")

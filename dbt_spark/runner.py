@@ -47,6 +47,10 @@ class RunResult:
     # microbatch models: {"successful": [batch_id...], "failed": [batch_id...]}
     # (reference records per-batch results for retry, task/run.py:578-592)
     batch_results: Optional[dict] = None
+    # wall-clock bounds for the run_results timing array (reference
+    # run_results.json v5 timing entries)
+    started_at: Optional[str] = None
+    completed_at: Optional[str] = None
 
 
 @dataclass
@@ -342,8 +346,14 @@ class Engine:
                 node = manifest.nodes[uid]
                 t0 = time.time()
                 self.events.fire("NodeStart", node_id=uid)
+                n_before = len(results)
                 try:
                     self._execute_node(ctx, node, command, results, t0)
+                    for rr in results[n_before:]:
+                        if rr.started_at is None:
+                            rr.started_at = datetime.fromtimestamp(
+                                t0, tz=timezone.utc).isoformat()
+                            rr.completed_at = datetime.now(timezone.utc).isoformat()
                     queue.mark_done(uid)
                     self.events.fire(
                         "NodeFinished", node_id=uid, status="success",
@@ -1050,6 +1060,11 @@ class Engine:
                     "status": r.status,
                     "execution_time": round(r.execution_time, 4),
                     "message": r.message,
+                    "timing": (
+                        [{"name": "execute", "started_at": r.started_at,
+                          "completed_at": r.completed_at}]
+                        if r.started_at else []
+                    ),
                     **({"batch_results": r.batch_results} if r.batch_results else {}),
                 }
                 for r in results

@@ -1125,3 +1125,35 @@ def test_builtin_dbt_utils_package(project_dir, spark):
     assert len(rows) == 4
     assert [r["tip"] for r in rows if r["order_id"] == 1] == [None, None]
     assert [r["tip"] for r in rows if r["order_id"] == 3] == [2]
+
+
+def test_env_var_secret_banned_in_models(project_dir, spark):
+    """DBT_ENV_SECRET_* is rejected in model rendering so secrets can never
+    reach compiled SQL (providers.py:1510-1556 secret redaction)."""
+    os.environ["DBT_ENV_SECRET_TOKEN"] = "hunter2"
+    try:
+        root = project_dir({
+            "dbt_project.yml": "name: sec\n",
+            "models/leak.sql": "select '{{ env_var(\"DBT_ENV_SECRET_TOKEN\") }}' as t",
+        })
+        with pytest.raises(Exception) as ei:
+            Engine(root, spark=spark).invoke(["run"])
+        assert "DBT_ENV_SECRET_" in str(ei.value)
+        assert "hunter2" not in str(ei.value)
+    finally:
+        del os.environ["DBT_ENV_SECRET_TOKEN"]
+
+
+def test_run_results_timing_array(project_dir, spark):
+    """run_results.json entries carry a timing array with execute bounds
+    (reference run_results v5 timing)."""
+    root = project_dir({
+        "dbt_project.yml": "name: tmg\n",
+        "models/one.sql": "select 1 as id",
+    })
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["run"]).success
+    doc = json.load(open(os.path.join(root, "target", "run_results.json")))
+    t = doc["results"][0]["timing"][0]
+    assert t["name"] == "execute"
+    assert t["started_at"] <= t["completed_at"]
