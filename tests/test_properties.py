@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis) for the pure-python algorithmic core:
+microbatch grid math, semver ordering/ranges, selector graph expansion."""
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dbt_spark.operators.microbatch import (
+    MicrobatchBuilder,
+    offset_timestamp,
+    truncate_timestamp,
+)
+from dbt_spark.plans.deps import SemVer, satisfies
+
+GRAINS = ["hour", "day", "month", "year"]
+
+dt_st = st.datetimes(
+    min_value=datetime(2000, 1, 1), max_value=datetime(2030, 12, 31)
+)
+
+
+@given(dt_st, st.sampled_from(GRAINS))
+def test_truncate_idempotent_and_floor(ts, grain):
+    t = truncate_timestamp(ts, grain)
+    assert truncate_timestamp(t, grain) == t
+    assert t <= ts
+    # truncation drops strictly less than one grain
+    assert offset_timestamp(t, grain, 1) > ts
+
+
+@given(dt_st, st.sampled_from(GRAINS), st.integers(-50, 50))
+def test_offset_roundtrip(ts, grain, n):
+    t = truncate_timestamp(ts, grain)
+    assert offset_timestamp(offset_timestamp(t, grain, n), grain, -n) == t
+
+
+@settings(max_examples=50)
+@given(dt_st, st.sampled_from(GRAINS), st.integers(0, 5))
+def test_batch_grid_partitions_range_exactly(begin, grain, lookback):
+    """Batches tile [trunc(begin), ceil(now)) contiguously: no gaps, no
+    overlaps, each batch exactly one grain (except a clamped tail)."""
+    now = begin + timedelta(days=40)
+    b = MicrobatchBuilder(
+        event_time="ts", begin=begin, batch_size=grain, lookback=lookback, now=now
+    )
+    batches = b.build_batches(is_incremental=False)
+    assert batches, "non-empty range must produce batches"
+    assert batches[0].start == truncate_timestamp(begin, grain)
+    for prev, cur in zip(batches, batches[1:]):
+        assert prev.end == cur.start  # contiguous, ordered
+    assert batches[-1].end == b.build_end_time()
+    # the full grid covers now
+    assert batches[-1].end > now
+
+
+@given(st.integers(0, 99), st.integers(0, 99), st.integers(0, 99),
+       st.integers(0, 99), st.integers(0, 99), st.integers(0, 99))
+def test_semver_total_order_consistent(a1, a2, a3, b1, b2, b3):
+    va = SemVer(a1, a2, a3)
+    vb = SemVer(b1, b2, b3)
+    assert (va < vb) == ((a1, a2, a3) < (b1, b2, b3))
+    # range semantics agree with ordering
+    assert satisfies(vb, [f">={va}"]) == (va <= vb)
+    assert satisfies(vb, [f"<{va}"]) == (vb < va)
+
+
+@given(st.integers(0, 20), st.integers(0, 20), st.integers(0, 20))
+def test_semver_prerelease_sorts_before_release(maj, mi, pa):
+    rel = SemVer(maj, mi, pa)
+    pre = SemVer(maj, mi, pa, "rc.1")
+    assert pre < rel
+    assert satisfies(rel, [f">={maj}.{mi}.{pa}"])
+    assert not satisfies(pre, [f">={maj}.{mi}.{pa}"])
