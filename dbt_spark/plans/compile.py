@@ -243,6 +243,7 @@ def parse_render(
             # providers.py:1215-1275)
             "run_query": lambda sql: None,
             "store_result": lambda name, response=None, agate_table=None: "",
+            "store_raw_result": lambda name, *a, **k: "",
             "load_result": lambda name: None,
         }
     )
@@ -408,6 +409,7 @@ def runtime_render(
             "adapter": _ParseAdapter(),
             "run_query": run_query or (lambda sql: None),
             "store_result": store_result,
+            "store_raw_result": store_result,
             "load_result": load_result,
         }
     )

@@ -151,6 +151,7 @@ class Engine:
         defer = False
         empty = False
         warn_error = False
+        store_failures = False
         sample: Optional[str] = None
         resource_filter: list[str] = []
         event_time_start: Optional[datetime] = None
@@ -189,6 +190,8 @@ class Engine:
                 empty = True
             elif rest[i] == "--warn-error":
                 warn_error = True
+            elif rest[i] == "--store-failures":
+                store_failures = True
             elif rest[i] == "--selector":
                 i += 1
                 selector_name = rest[i]
@@ -319,6 +322,12 @@ class Engine:
             event_time_start=event_time_start,
             event_time_end=event_time_end,
         )
+        if store_failures:
+            # --store-failures: flag-level override of the per-test config
+            for uid in runnable:
+                n = manifest.nodes[uid]
+                if n.resource_type == NodeType.Test:
+                    n.config.store_failures = True
         if sample:
             ctx.event_time_filters["*"] = _sample_window(sample, now)
         if command == "compile":
@@ -608,13 +617,32 @@ class Engine:
                 },
                 "stats": stats,
             }
+        sources_cat: dict[str, Any] = {}
+        for uid, src in manifest.sources.items():
+            loc = src.config.meta.get("location")
+            if not loc or not os.path.exists(loc):
+                continue
+            try:
+                df = ctx.source_df(src)
+                sources_cat[uid] = {
+                    "metadata": {"type": "source", "schema": src.source_name,
+                                 "name": src.name},
+                    "columns": {
+                        f.name: {"type": f.dataType.simpleString(), "index": i,
+                                 "name": f.name}
+                        for i, f in enumerate(df.schema.fields)
+                    },
+                    "stats": {},
+                }
+            except Exception:  # noqa: BLE001 — unreadable source: skip entry
+                continue
         payload = {
             "metadata": {
                 "dbt_schema_version": "https://schemas.getdbt.com/dbt/catalog/v1.json",
                 "generator": "dbt_spark",
             },
             "nodes": nodes_cat,
-            "sources": {},
+            "sources": sources_cat,
             "errors": None,
         }
         target_dir = os.path.join(self.project.root, "target")

@@ -1157,3 +1157,28 @@ def test_run_results_timing_array(project_dir, spark):
     t = doc["results"][0]["timing"][0]
     assert t["name"] == "execute"
     assert t["started_at"] <= t["completed_at"]
+
+
+def test_store_failures_flag_and_catalog_sources(feat):
+    """--store-failures persists failing rows to the audit schema even when
+    the test config doesn't ask for it; catalog.json carries source columns."""
+    eng, pdir = feat
+    with open(os.path.join(pdir, "models", "sources.yml"), "a") as f:
+        f.write(
+            "models:\n  - name: amounts\n    columns:\n"
+            "      - name: dollars\n"
+            "        data_tests:\n"
+            "          - accepted_values:\n"
+            "              values: [0]\n"
+            "              severity: warn\n"
+        )
+    eng.invoke(["run"])
+    r = eng.invoke(["test", "--store-failures"])
+    assert any(x.status == "warn" for x in r.results)
+    audit = eng.store.list_relations("main_dbt_test__audit")
+    assert audit, "failing rows not persisted under the audit schema"
+
+    assert eng.invoke(["docs", "generate"]).success
+    catalog = json.load(open(os.path.join(pdir, "target", "catalog.json")))
+    src = catalog["sources"]["source.feat.tpch.orders"]
+    assert "o_orderkey" in src["columns"]
