@@ -57,7 +57,8 @@ _Q1_DISC = (
 
 def _part_supp(t: dict) -> DataFrame:
     """partsupp stand-in: the distinct (partkey, suppkey) pairs observed in
-    lineitem. One shuffle on the pair; reused by Q2/Q16/Q20."""
+    lineitem. One shuffle on the pair. Callers filter the part side BEFORE
+    calling where possible — distinct over the reduced set."""
     return t["lineitem"].select("l_partkey", "l_suppkey").distinct()
 
 
@@ -82,12 +83,17 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "EUROPE")
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # part filter BEFORE the pair-distinct: the dedup shuffle runs over the
+    # ~1/250 of lineitem that survives the join, not the whole table
     cand = (
-        _part_supp(t)
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
         .join(
             t["part"].filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
+        .select("l_partkey", "l_suppkey", "p_partkey", "p_brand")
+        .distinct()
         .join(eur, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_brand", "s_suppkey", "s_acctbal", "s_name", "n_name")
     )
