@@ -63,6 +63,13 @@ class ExecutionContext:
     def resolve_ref(self, node: ManifestNode) -> str:
         if node.is_ephemeral:
             return self._register_ephemeral(node)
+        ext = node.config.meta.get("external_location")
+        if ext is not None:
+            # plugin-injected external node: data maintained outside the
+            # project, ref() resolves straight to its files
+            ident = f"ext__{node.name}"
+            self._register_location(ident, ext, node.config.meta.get("file_format", "parquet"))
+            return self._wrap(node, ident)
         rel = self.store.get(self.schema_for(node), node.name)
         if rel is None and self.defer_store is not None:
             rel = self.defer_store.get(self.schema_for(node), node.name)
@@ -86,7 +93,12 @@ class ExecutionContext:
         if location is None:
             raise RuntimeError(f"source {node.unique_id} has no meta.location")
         ident = f"src__{node.source_name}__{node.name}"
-        fmt = node.config.meta.get("file_format", "parquet")
+        self._register_location(
+            ident, location, node.config.meta.get("file_format", "parquet")
+        )
+        return self._wrap(node, ident)
+
+    def _register_location(self, ident: str, location: str, fmt: str) -> None:
         if fmt == "parquet":
             from dbt_spark.session import read_parquet
 
@@ -98,7 +110,6 @@ class ExecutionContext:
         else:
             df = getattr(self.spark.read, fmt)(location)
         df.createOrReplaceTempView(ident)
-        return self._wrap(node, ident)
 
     def source_df(self, node: ManifestNode) -> DataFrame:
         ident = self.resolve_source(node)
@@ -157,6 +168,8 @@ class ExecutionContext:
                 visit(d)
             if dep.resource_type == NodeType.Source:
                 self.resolve_source(dep)
+            elif dep.config.meta.get("external_location") is not None:
+                self.resolve_ref(dep)
             elif dep.is_ephemeral:
                 pass  # registered lazily by resolve_ref at consumer compile
             else:

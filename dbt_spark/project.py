@@ -47,6 +47,10 @@ class Project:
     clean_targets: list[str] = field(default_factory=lambda: ["target", "dbt_packages"])
     # selectors.yml: {name: {definition, default?}} (core/dbt/config/selectors.py)
     selectors: dict[str, dict] = field(default_factory=dict)
+    # external-nodes plugin modules (core/dbt/plugins/manager.py; injection
+    # parser/manifest.py:827-853): each module's get_nodes(project) returns
+    # [{name, location, file_format?, schema?}] injected as external models
+    plugins: list[str] = field(default_factory=list)
 
     @classmethod
     def load(
@@ -110,6 +114,7 @@ class Project:
             on_run_end=[on_end] if isinstance(on_end, str) else list(on_end),
             clean_targets=cfg.get("clean-targets", ["target", "dbt_packages"]),
             selectors=cls._load_selectors(project_dir),
+            plugins=list(cfg.get("plugins", []) or []),
         )
 
     @staticmethod
@@ -398,8 +403,43 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
             sub = Project.load(pkg_dir, profile=dict(project.profile))
             sub.vars = {**sub.vars, **project.vars}
             parse_project(sub, cache=None, manifest=manifest)
+        _inject_plugin_nodes(project, manifest)
         _resolve_depends_on(manifest)
     return manifest
+
+
+def _inject_plugin_nodes(project: Project, manifest: Manifest) -> None:
+    """External-nodes plugins (core/dbt/plugins/manager.py; injection
+    parser/manifest.py:827-853): import each configured module (project root
+    on sys.path), call ``get_nodes(project)``, inject the returned specs as
+    external models — ref()-able relations whose data lives outside the
+    project (maintained by another tool)."""
+    if not project.plugins:
+        return
+    import importlib
+    import sys
+
+    if project.root not in sys.path:
+        sys.path.insert(0, project.root)
+    for mod_name in project.plugins:
+        mod = importlib.import_module(mod_name)
+        for spec in mod.get_nodes(project):
+            name = spec["name"]
+            node = ManifestNode(
+                unique_id=f"model.{project.name}.{name}",
+                name=name,
+                package_name=project.name,
+                path=f"<plugin:{mod_name}>",
+                resource_type=NodeType.Model,
+                raw_code="",
+                fqn=[project.name, name],
+            )
+            node.config.materialized = "external"
+            node.config.meta["external_location"] = spec["location"]
+            node.config.meta["file_format"] = spec.get("file_format", "parquet")
+            if spec.get("schema"):
+                node.config.schema = spec["schema"]
+            manifest.add(node)
 
 
 def _package_dirs(project: Project) -> list[str]:

@@ -292,6 +292,10 @@ class Engine:
             and manifest.nodes[uid].resource_type in resource_types
             and manifest.nodes[uid].config.enabled
             and not manifest.nodes[uid].is_ephemeral
+            # plugin-injected external nodes are ref()-able but never run
+            # (parser/manifest.py:827-853 external nodes)
+            and (command == "ls"
+                 or manifest.nodes[uid].config.materialized != "external")
         }
         if command == "ls":
             # sources are listable too (they live outside manifest.nodes)

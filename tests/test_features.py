@@ -1182,3 +1182,31 @@ def test_store_failures_flag_and_catalog_sources(feat):
     catalog = json.load(open(os.path.join(pdir, "target", "catalog.json")))
     src = catalog["sources"]["source.feat.tpch.orders"]
     assert "o_orderkey" in src["columns"]
+
+
+def test_external_nodes_plugin(project_dir, spark):
+    """`plugins:` modules inject external nodes (plugins/manager.py;
+    injection parser/manifest.py:827-853): ref()-able models whose data is
+    maintained outside the project; they list but never run."""
+    files = {
+        "dbt_project.yml": "name: plug\nplugins: [my_plugin]\n",
+        "my_plugin.py": f"""
+def get_nodes(project):
+    return [{{"name": "ext_orders", "location": "{SF_DIR}/orders.parquet"}}]
+""",
+        "models/uses_ext.sql": (
+            "select count(*) as n from {{ ref('ext_orders') }}"
+        ),
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    m = eng.parse()
+    assert "model.plug.ext_orders" in m.nodes
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    # the external node itself did not run
+    assert r.by_id("model.plug.ext_orders") is None
+    assert [x["n"] for x in eng.store.read("main", "uses_ext").collect()] == [1500]
+    # but it is listable/selectable
+    ids = {x.unique_id for x in eng.invoke(["ls"]).results}
+    assert "model.plug.ext_orders" in ids
