@@ -443,24 +443,23 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name") == "NATION_2")
         .select("l_orderkey", "l_suppkey", "s_name")
     )
-    any_other = li.select(
-        F.col("l_orderkey").alias("e_ok"), F.col("l_suppkey").alias("e_sk")
-    ).distinct()
-    late_other = late.select(
-        F.col("l_orderkey").alias("ne_ok"), F.col("l_suppkey").alias("ne_sk")
-    ).distinct()
+    # The EXISTS / NOT EXISTS pair collapses to two per-order aggregates:
+    # EXISTS(other supplier)      ⇔ count(distinct supplier) ≥ 2
+    # NOT EXISTS(other LATE supp) ⇔ count(distinct late supplier) = 1
+    # (an l1 row's own supplier IS late, so "1 late supplier" means "only
+    # me"). Two hash aggregates + equi joins — map-side partials and AQE
+    # broadcasts of the aggregated (one-row-per-order) sides replace the
+    # distinct-pair materialization and the non-equi sort-merge joins the
+    # literal translation needs.
+    n_supp = li.groupBy(F.col("l_orderkey").alias("e_ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    ).filter(F.col("n_supp") >= 2)
+    n_late = late.groupBy(F.col("l_orderkey").alias("ne_ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_late")
+    ).filter(F.col("n_late") == 1)
     return (
-        l1.join(
-            any_other,
-            (F.col("l_orderkey") == F.col("e_ok")) & (F.col("l_suppkey") != F.col("e_sk")),
-            "left_semi",
-        )
-        .join(
-            late_other,
-            (F.col("l_orderkey") == F.col("ne_ok"))
-            & (F.col("l_suppkey") != F.col("ne_sk")),
-            "left_anti",
-        )
+        l1.join(n_supp, F.col("l_orderkey") == F.col("e_ok"), "left_semi")
+        .join(n_late, F.col("l_orderkey") == F.col("ne_ok"), "left_semi")
         .groupBy("s_name")
         .agg(F.count("*").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
