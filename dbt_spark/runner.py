@@ -335,6 +335,20 @@ class Engine:
         if sample:
             ctx.event_time_filters["*"] = _sample_window(sample, now)
         if command == "compile":
+            if inline is not None:
+                # dbt compile --inline: render an ad-hoc jinja string against
+                # the manifest without executing (ShowTaskDirect's sibling)
+                tmp = ManifestNode(
+                    unique_id=f"model.{self.project.name}.__inline__",
+                    name="__inline__", package_name=self.project.name,
+                    path="<inline>", resource_type=NodeType.Model,
+                    raw_code=inline,
+                )
+                sql = compile_sql_lenient(ctx, tmp)
+                return RunnerResult(
+                    True, [RunResult(tmp.unique_id, "success", 0.0, message=sql)],
+                    manifest, preview=[{"compiled_inline": sql}],
+                )
             return self._compile_only(ctx, manifest, runnable)
 
         # include upstream runnable deps in the queue graph for correct ordering

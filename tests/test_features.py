@@ -1210,3 +1210,15 @@ def get_nodes(project):
     # but it is listable/selectable
     ids = {x.unique_id for x in eng.invoke(["ls"]).results}
     assert "model.plug.ext_orders" in ids
+
+
+def test_compile_inline(feat):
+    """dbt compile --inline renders jinja against the manifest without
+    executing (reference compile --inline path)."""
+    eng, _ = feat
+    eng.invoke(["run"])
+    r = eng.invoke(["compile", "--inline",
+                    "select * from {{ ref('amounts') }} where dollars > {{ var('min', 5) }}"])
+    assert r.success
+    sql = r.preview[0]["compiled_inline"]
+    assert "{{" not in sql and "amounts" in sql and "> 5" in sql
