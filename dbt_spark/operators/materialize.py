@@ -288,6 +288,14 @@ def materialize_table(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     partition_by = node.config.partition_by
     if isinstance(partition_by, str):
         partition_by = [partition_by]
+    sort_by = node.config.meta.get("sort_by")
+    if sort_by:
+        # config(sort_by=...): cluster rows within each output file so
+        # parquet row-group min/max statistics prune range predicates —
+        # at 100 TB a time- or key-sorted fact table turns selective scans
+        # from full-file reads into a handful of row groups
+        sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        df = df.sortWithinPartitions(*sort_by)
     return ctx.store.write_table(
         ctx.schema_for(node), node.name, df, kind="table", partition_by=partition_by
     )

@@ -420,3 +420,39 @@ def test_resource_type_flag(jaffle):
     r = eng.invoke(["build", "--resource-type", "seed"])
     assert r.success
     assert all(x.unique_id.startswith("seed.") for x in r.results)
+
+
+def test_sort_by_clusters_rows_within_files(project_dir, spark):
+    """config(sort_by=...) writes per-file sorted data (row-group min/max
+    pruning fodder): each parquet file's column is locally ordered."""
+    from tests.conftest import SF_DIR
+
+    files = {
+        "dbt_project.yml": "name: srt\n",
+        "models/sources.yml": f"""
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        meta: {{location: "{SF_DIR}/orders.parquet"}}
+""",
+        "models/sorted_orders.sql": (
+            "{{ config(materialized='table', sort_by='o_orderdate') }}"
+            "select o_orderkey, o_orderdate from {{ source('tpch','orders') }}"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    assert eng.invoke(["run"]).success
+    rel = eng.store.get("main", "sorted_orders")
+    import pyarrow.parquet as pq
+
+    checked = 0
+    for dp, _d, fs in os.walk(rel.path):
+        for fn in fs:
+            if not fn.endswith(".parquet"):
+                continue
+            col = pq.read_table(os.path.join(dp, fn), columns=["o_orderdate"])
+            vals = col.column(0).to_pylist()
+            assert vals == sorted(vals), fn
+            checked += 1
+    assert checked > 0
