@@ -271,6 +271,37 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: 30-day trailing spend per customer —
+    the calendar-interval window frame (RANGE BETWEEN INTERVAL ... PRECEDING)
+    Spark executes natively in one window exchange."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_30d_spend
+        FROM orders
+    """)
+
+
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted array aggregation per group (collect_list + sort_array):
+    deterministic array column despite unordered shuffle arrival."""
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 100)
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # CTE composition (jaffle_shop `customers` model shape)
 # --------------------------------------------------------------------------
@@ -986,6 +1017,21 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "window_range_frame": """
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_30d_spend
+        FROM orders
+    """,
+    "agg_array_collect": """
+        SELECT o_custkey,
+               list_sort(list(o_orderkey)) AS order_keys,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_custkey < 100
+        GROUP BY o_custkey ORDER BY o_custkey
+    """,
     "join_skew_salted": """
         SELECT upper(event_type) AS label,
                CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1437,6 +1483,8 @@ QUERIES = {
     "subquery_ops": subquery_ops,
     "agg_salted_twophase": agg_salted_twophase,
     "join_skew_salted": join_skew_salted,
+    "window_range_frame": window_range_frame,
+    "agg_array_collect": agg_array_collect,
     "grouping_sets_agg": grouping_sets_agg,
     "join_asof": join_asof,
     "join_range": join_range,
