@@ -286,6 +286,30 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def json_extract_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ops over the events.props JSON column: path extraction
+    (get_json_object), typed parse (from_json), and aggregation on the
+    extracted value. JSON parsing is JVM-side codegen — the scan reads only
+    (event_type, props) and the whole pipeline is one partial-agg exchange."""
+    t = load_tables(spark, sf_dir, "events")
+    parsed = t["events"].select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_path"),
+        F.from_json("props", "struct<k:bigint>").getField("k").alias("k_typed"),
+    )
+    return (
+        parsed.filter(F.col("k_path") == F.col("k_typed"))  # both APIs agree
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("k_typed").cast("bigint").alias("sum_k"),
+            F.min("k_typed").cast("bigint").alias("min_k"),
+            F.max("k_typed").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted array aggregation per group (collect_list + sort_array):
     deterministic array column despite unordered shuffle arrival."""
@@ -1017,6 +1041,16 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "json_extract_ops": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
     "window_range_frame": """
         SELECT o_orderkey, o_custkey,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
@@ -1484,6 +1518,7 @@ QUERIES = {
     "agg_salted_twophase": agg_salted_twophase,
     "join_skew_salted": join_skew_salted,
     "window_range_frame": window_range_frame,
+    "json_extract_ops": json_extract_ops,
     "agg_array_collect": agg_array_collect,
     "grouping_sets_agg": grouping_sets_agg,
     "join_asof": join_asof,
