@@ -239,8 +239,29 @@ def _run_python_model(ctx: ExecutionContext, node: ManifestNode) -> DataFrame:
                 raise RuntimeError(f"dbt.source('{src}','{tbl}') not found")
             return ctx.source_df(found)
 
-        def config(self, **kwargs: object) -> None:
-            pass
+        class _Cfg:
+            def __call__(self, **kwargs: object) -> None:
+                pass
+
+            @staticmethod
+            def get(key: str, default: object = None) -> object:
+                return getattr(node.config, key, None) or node.config.meta.get(
+                    key, default
+                )
+
+        config = _Cfg()
+
+        @property
+        def this(self):  # noqa: ANN201 — RelationProxy
+            from dbt_spark.plans.macros import RelationProxy
+
+            return RelationProxy(ctx.identifier_for(node), name=node.name)
+
+        def is_incremental(self) -> bool:
+            return (
+                ctx.store.exists(ctx.schema_for(node), node.name)
+                and not ctx.full_refresh
+            )
 
     scope: dict[str, object] = {}
     exec(compile(node.raw_code, node.path, "exec"), scope)
@@ -248,6 +269,14 @@ def _run_python_model(ctx: ExecutionContext, node: ManifestNode) -> DataFrame:
     if not callable(model_fn):
         raise RuntimeError(f"python model {node.name} must define model(dbt, session)")
     df = model_fn(DbtObj(), ctx.spark)
+    try:
+        import pandas as _pd
+
+        if isinstance(df, _pd.DataFrame):
+            # reference python models may return pandas; lift to Spark
+            df = ctx.spark.createDataFrame(df)
+    except ImportError:
+        pass
     if not isinstance(df, DataFrame):
         raise RuntimeError(f"python model {node.name} must return a DataFrame")
     return df

@@ -456,3 +456,26 @@ sources:
             assert vals == sorted(vals), fn
             checked += 1
     assert checked > 0
+
+
+def test_python_model_context_members(project_dir, spark):
+    """Python models see dbt.this / dbt.is_incremental() / dbt.config.get
+    and may return a pandas DataFrame (lifted to Spark) — reference python
+    model context (providers.py:1566-1578 + py_script_postfix surface)."""
+    files = {
+        "dbt_project.yml": "name: pym\n",
+        "models/base.sql": "select 1 as id union all select 2 as id",
+        "models/pmodel.py": """
+def model(dbt, session):
+    dbt.config(materialized="table", meta_tag="x")
+    base = dbt.ref("base")
+    assert str(dbt.this).endswith("__pmodel")
+    assert dbt.is_incremental() is False
+    assert dbt.config.get("materialized") == "table"
+    return base.toPandas()  # pandas return is lifted back to Spark
+""",
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    assert sorted(x["id"] for x in eng.store.read("main", "pmodel").collect()) == [1, 2]
