@@ -337,7 +337,13 @@ def _match_method(
             return bool(re.fullmatch(pat, ".".join(node.fqn or [node.name])))
         raise DagError(f"unknown selector method '{method}'")
     if "*" in body:
-        return bool(re.fullmatch(body.replace("*", ".*"), node.name))
+        # bare glob specs match the node name OR its dotted fqn path —
+        # reference bare selectors are fqn-style (selector_spec.py)
+        pat = body.replace("*", ".*")
+        return bool(
+            re.fullmatch(pat, node.name)
+            or re.fullmatch(pat, ".".join(node.fqn or [node.name]))
+        )
     return node.name == body or node.unique_id == body
 
 
