@@ -212,10 +212,38 @@ def run_model_df(ctx: ExecutionContext, node: ManifestNode, is_incremental: bool
     """Compile and evaluate a model to a DataFrame (SQL or Python model)."""
     ctx.ensure_upstream_registered(node)
     if node.language == "python":
-        return _run_python_model(ctx, node)
-    sql = compile_sql(ctx, node, is_incremental=is_incremental)
-    node.compiled_code = sql
-    return ctx.spark.sql(sql)
+        df = _run_python_model(ctx, node)
+    else:
+        sql = compile_sql(ctx, node, is_incremental=is_incremental)
+        node.compiled_code = sql
+        df = ctx.spark.sql(sql)
+    return _apply_output_transforms(node, df)
+
+
+def _apply_output_transforms(node: ManifestNode, df: DataFrame) -> DataFrame:
+    """Declarative output transforms from model config — the LLM-pipeline
+    operators exposed through the same config/DAG/selector machinery as any
+    materialization knob (SURVEY §7 beyond-reference integration):
+
+    - config(dedup_keys=[...], dedup_id='col'): exact dedup, keep min-id row
+      per key (struct-min hash aggregate, functions/dedup.py)
+    - config(dedup_fingerprint='text_col', dedup_id='col'[, dedup_k=16]):
+      near-exact dedup on the first-k-token md5 fingerprint
+    """
+    meta = node.config.meta
+    dedup_keys = meta.get("dedup_keys")
+    fp_col = meta.get("dedup_fingerprint")
+    if not dedup_keys and not fp_col:
+        return df
+    from dbt_spark.functions.dedup import exact_dedup, fingerprint_dedup
+
+    id_col = meta.get("dedup_id")
+    if not id_col:
+        raise ValueError(f"{node.unique_id}: dedup config requires dedup_id")
+    if fp_col:
+        return fingerprint_dedup(df, fp_col, id_col, k=int(meta.get("dedup_k", 16)))
+    keys = [dedup_keys] if isinstance(dedup_keys, str) else list(dedup_keys)
+    return exact_dedup(df, keys, id_col)
 
 
 def _run_python_model(ctx: ExecutionContext, node: ManifestNode) -> DataFrame:

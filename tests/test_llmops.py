@@ -128,3 +128,40 @@ def test_resize_and_feature_extract_kernels(spark):
     assert feats[1][:3] == _pytest.approx([0.097, 0.098, 0.099], abs=1e-6)
     assert feats[1][3] == 0.0
     assert feats[2] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_dedup_model_config(project_dir, spark):
+    """config(dedup_keys/dedup_fingerprint) applies the dedup operators
+    through the normal materialization path (SURVEY §7: LLM ops inherit
+    DAG/selector/artifact machinery)."""
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: ddm\n",
+        "models/sources.yml": """
+sources:
+  - name: corpus
+    tables:
+      - name: documents
+        meta: {location: "/root/testdata/sf0.001/documents.parquet"}
+""",
+        "models/docs_exact.sql": (
+            "{{ config(materialized='table', dedup_keys=['lang','source'], "
+            "dedup_id='doc_id') }}"
+            "select doc_id, lang, source from {{ source('corpus','documents') }}"
+        ),
+        "models/docs_neardup.sql": (
+            "{{ config(materialized='table', dedup_fingerprint='text', "
+            "dedup_id='doc_id', dedup_k=8) }}"
+            "select doc_id, text from {{ source('corpus','documents') }}"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    exact = eng.store.read("main", "docs_exact").collect()
+    pairs = [(x["lang"], x["source"]) for x in exact]
+    assert len(pairs) == len(set(pairs))  # one row per (lang, source)
+    near = eng.store.read("main", "docs_neardup")
+    total = eng.spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert 0 < near.count() < total  # fingerprint dedup dropped near-dups
