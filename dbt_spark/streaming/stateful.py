@@ -148,3 +148,69 @@ def sessionize_stateful(df: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 stateful-processor API)
+# --------------------------------------------------------------------------
+
+TOTALS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+class RunningTotalsProcessor:
+    """StatefulProcessor: per-key running (count, sum) in ValueState.
+
+    The Spark 4 ``transformWithStateInPandas`` API — typed state handles
+    (ValueState here; ListState/MapState/timers available), Arrow-batched
+    input, state persisted in the RocksDB state store across micro-batches
+    AND across restarts via the checkpoint. The modern replacement for
+    applyInPandasWithState; both are kept (SURVEY §2F upgrade path).
+
+    NOTE: the Python worker side of this API needs protobuf, absent in this
+    container — the e2e test is @skipif-gated on it; applyInPandasWithState
+    (sessionize_stateful, above) is the fully-exercised stateful path here."""
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._state = handle.getValueState(
+            "totals",
+            StructType(
+                [StructField("n", LongType()), StructField("total", DoubleType())]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterable[pd.DataFrame]:
+        n, total = 0, 0.0
+        if self._state.exists():
+            prev = self._state.get()
+            n, total = int(prev[0]), float(prev[1])
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [int(key[0])], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_tws(df: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas. Streaming
+    input required; the caller supplies the checkpoint via writeStream."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so the module imports even if the API moves
+    proc = type("_P", (StatefulProcessor,), dict(RunningTotalsProcessor.__dict__))()
+    return df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=TOTALS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -185,3 +185,85 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     # batch fallback path gives the same result
     batch = streaming_dedup(spark.read.parquet(src), ["event_id"])
     assert batch.count() == n
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (absent in this "
+    "container); the operator ships, the e2e path is gated",
+)
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-user running totals persist in
+    RocksDB state across micro-batches AND across a second run from the same
+    checkpoint (new files continue the totals, not restart them)."""
+    import os
+
+    from dbt_spark.session import read_parquet
+    from dbt_spark.streaming.stateful import running_totals_tws, TOTALS_OUTPUT_SCHEMA
+
+    landing = str(tmp_path / "landing")
+    checkpoint = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    events = read_parquet(spark, "/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    mid = events.agg({"event_id": "max"}).collect()[0][0] // 2
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def run_once():
+            stream = (
+                spark.readStream.schema(events.schema).parquet(landing)
+                .select("user_id", "value")
+            )
+            q = (
+                running_totals_tws(stream)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", checkpoint)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        events.filter(events.event_id <= mid).write.mode("append").parquet(landing)
+        run_once()
+        events.filter(events.event_id > mid).write.mode("append").parquet(landing)
+        run_once()
+
+        # last emitted row per user == full batch aggregate
+        out = spark.read.schema(TOTALS_OUTPUT_SCHEMA).parquet(out_dir)
+        last = {
+            r["user_id"]: r
+            for r in out.orderBy("n_events").collect()  # later rows overwrite
+        }
+        expected = {
+            r["user_id"]: r
+            for r in events.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+            .collect()
+        }
+        assert set(last) == set(expected)
+        for uid, exp in expected.items():
+            assert last[uid]["n_events"] == exp["n"]
+            assert abs(last[uid]["total_value"] - exp["t"]) < 1e-6
+    finally:
+        if prev_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
