@@ -138,6 +138,13 @@ class ExecutionContext:
         sql = compile_sql(self, node)
         node.compiled_code = sql
         self.spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {ident} AS {sql}")
+        if node.config.meta.get("cache"):
+            # config(cache=true) on an ephemeral model: materialize the shared
+            # subplan once in executor memory/disk instead of recomputing it
+            # inside every consumer (SURVEY §4's common-subplan candidate —
+            # Catalyst inlines ephemeral plans, so an expensive ephemeral
+            # referenced by N models otherwise runs N times)
+            self.spark.catalog.cacheTable(ident)
         return ident
 
     def run_query(self, sql: str):

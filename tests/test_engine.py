@@ -479,3 +479,24 @@ def model(dbt, session):
     r = eng.invoke(["run"])
     assert r.success, [x.message for x in r.results]
     assert sorted(x["id"] for x in eng.store.read("main", "pmodel").collect()) == [1, 2]
+
+
+def test_ephemeral_cache_config(project_dir, spark):
+    """config(cache=true) on an ephemeral model caches the shared subplan so
+    N consumers compute it once (SURVEY §4 common-subplan reuse)."""
+    files = {
+        "dbt_project.yml": "name: ephc\n",
+        "models/shared.sql": (
+            "{{ config(materialized='ephemeral', cache=true) }}"
+            "select 1 as id union all select 2 as id"
+        ),
+        "models/a.sql": "select count(*) as n from {{ ref('shared') }}",
+        "models/b.sql": "select sum(id) as s from {{ ref('shared') }}",
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    assert spark.catalog.isCached("__eph__shared")
+    assert [x["n"] for x in eng.store.read("main", "a").collect()] == [2]
+    assert [x["s"] for x in eng.store.read("main", "b").collect()] == [3]
+    spark.catalog.uncacheTable("__eph__shared")
