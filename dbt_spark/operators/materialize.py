@@ -238,6 +238,25 @@ def _apply_output_transforms(node: ManifestNode, df: DataFrame) -> DataFrame:
       near-exact dedup on the first-k-token md5 fingerprint
     """
     meta = node.config.meta
+
+    # text-corpus filters first (cut rows before the dedup shuffle):
+    # config(quality_min=0.2[, quality_col='text']) and
+    # config(lang_filter=['en', ...][, lang_col='text'])
+    quality_min = meta.get("quality_min")
+    lang_filter = meta.get("lang_filter")
+    if quality_min is not None or lang_filter:
+        from dbt_spark.functions import text as X
+
+        if quality_min is not None:
+            df = df.filter(
+                X.quality_score(meta.get("quality_col", "text"))
+                >= float(quality_min)
+            )
+        if lang_filter:
+            langs = ([lang_filter] if isinstance(lang_filter, str)
+                     else list(lang_filter))
+            df = df.filter(X.lang_id(meta.get("lang_col", "text")).isin(langs))
+
     dedup_keys = meta.get("dedup_keys")
     fp_col = meta.get("dedup_fingerprint")
     if not dedup_keys and not fp_col:

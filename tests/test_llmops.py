@@ -165,3 +165,34 @@ sources:
     near = eng.store.read("main", "docs_neardup")
     total = eng.spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
     assert 0 < near.count() < total  # fingerprint dedup dropped near-dups
+
+
+def test_quality_and_lang_filter_model_config(project_dir, spark):
+    """config(quality_min=, lang_filter=) run the text-analysis operators
+    inside the materialization, composing with dedup configs — the full
+    training-data pipeline declared as model config."""
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: qlf\n",
+        "models/sources.yml": """
+sources:
+  - name: corpus
+    tables:
+      - name: documents
+        meta: {location: "/root/testdata/sf0.001/documents.parquet"}
+""",
+        "models/curated.sql": (
+            "{{ config(materialized='table', quality_min=0.2, "
+            "lang_filter=['en','fr'], dedup_fingerprint='text', "
+            "dedup_id='doc_id', dedup_k=8) }}"
+            "select doc_id, text from {{ source('corpus','documents') }}"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    total = eng.spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").count()
+    kept = eng.store.read("main", "curated").count()
+    assert 0 < kept < total
