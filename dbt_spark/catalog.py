@@ -284,6 +284,32 @@ class RelationStore:
 
         before, total_bytes = _count_files(rel.path)
         df = self.read(schema, name)
+        if rel.meta.get("buckets"):
+            # bucketed layout: compaction must PRESERVE the bucket spec (a
+            # plain rewrite would leave the catalog's CLUSTERED BY declaration
+            # pointing at unbucketed files → silently wrong shuffle-elided
+            # joins). Stage through a temp bucketed table (can't overwrite a
+            # path being read), swap dirs, recreate the catalog entry.
+            n = int(rel.meta["buckets"])
+            bucket_by = list(rel.meta["bucket_by"])
+            sort_by = list(rel.meta.get("sort_by") or bucket_by)
+            staging = f"{rel.path}.__staging__{int(time.time() * 1000)}"
+            tmp_ident = f"{rel.identifier}__compact_tmp"
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp_ident}")
+            (
+                df.repartition(n, *bucket_by)  # one task (= one file) per bucket
+                .write.mode("overwrite").format("parquet")
+                .bucketBy(n, *bucket_by).sortBy(*sort_by)
+                .option("path", staging).saveAsTable(tmp_ident)
+            )
+            with self._lock:
+                self.spark.sql(f"DROP TABLE IF EXISTS {tmp_ident}")  # files stay
+                self.spark.sql(f"DROP TABLE IF EXISTS {rel.identifier}")
+                self._swap(rel.path, staging)
+                self._registered.discard(rel.identifier)
+            self.register(rel)  # _ensure_bucketed_table re-declares CLUSTERED BY
+            after, _ = _count_files(rel.path)
+            return before, after
         n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
         parts = rel.partition_by
         if parts:
@@ -297,6 +323,7 @@ class RelationStore:
             writer = writer.partitionBy(*parts)
         writer.parquet(staging)
         self._swap(rel.path, staging)
+        self.spark.catalog.refreshByPath(rel.path)
         with self._lock:
             self._registered.discard(rel.identifier)
         self.register(rel)

@@ -38,6 +38,8 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     collapses duplicates map-side, so the exchange carries one row per
     distinct key instead of sorting every row inside each hash partition —
     the difference between O(dup rows) and O(distinct keys) shuffle at 100 TB."""
+    from pyspark.sql.types import MapType
+
     payload = [id_col] + [c for c in df.columns if c not in key_cols and c != id_col]
     if payload == [id_col]:
         # id-only payload: plain min() keeps the whole aggregate in
@@ -45,6 +47,18 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
         # SortAggregate)
         agg = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
         return agg.select(*df.columns)
+    unorderable = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, MapType)
+    }
+    if unorderable & set(payload):
+        # struct-min needs every payload field orderable; map columns are
+        # not — fall back to the row_number window for those frames
+        w = W.partitionBy(*key_cols).orderBy(F.col(id_col))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     agg = df.groupBy(*key_cols).agg(
         F.min(F.struct(*payload)).alias("__first")
     )

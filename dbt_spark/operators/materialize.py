@@ -143,7 +143,14 @@ class ExecutionContext:
             # subplan once in executor memory/disk instead of recomputing it
             # inside every consumer (SURVEY §4's common-subplan candidate —
             # Catalyst inlines ephemeral plans, so an expensive ephemeral
-            # referenced by N models otherwise runs N times)
+            # referenced by N models otherwise runs N times). Drop any cache
+            # from a previous invoke first: upstream files may have been
+            # rewritten in place since, and a stale CacheManager entry would
+            # serve old data (Spark caches key on the analyzed plan/listing).
+            try:
+                self.spark.catalog.uncacheTable(ident)
+            except Exception:  # noqa: BLE001 — not cached yet
+                pass
             self.spark.catalog.cacheTable(ident)
         return ident
 
@@ -299,9 +306,14 @@ def _run_python_model(ctx: ExecutionContext, node: ManifestNode) -> DataFrame:
 
             @staticmethod
             def get(key: str, default: object = None) -> object:
-                return getattr(node.config, key, None) or node.config.meta.get(
-                    key, default
-                )
+                # explicit None/sentinel checks: falsy config values
+                # (False, 0, '') must be returned, not swallowed
+                val = getattr(node.config, key, None)
+                if val is not None:
+                    return val
+                if key in node.config.meta:
+                    return node.config.meta[key]
+                return default
 
         config = _Cfg()
 
@@ -311,7 +323,11 @@ def _run_python_model(ctx: ExecutionContext, node: ManifestNode) -> DataFrame:
 
             return RelationProxy(ctx.identifier_for(node), name=node.name)
 
+        @property
         def is_incremental(self) -> bool:
+            # a PROPERTY, matching the reference python-model API
+            # (`if dbt.is_incremental:` — a bound method would always be
+            # truthy and silently break first builds)
             return (
                 ctx.store.exists(ctx.schema_for(node), node.name)
                 and not ctx.full_refresh

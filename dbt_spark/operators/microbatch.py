@@ -150,19 +150,35 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
     if et_start or et_end:
         # --event-time-start/--event-time-end: explicit backfill window
         # (reference flags; build_batches over the pinned range, checkpoint
-        # and lookback logic bypassed)
+        # and lookback logic bypassed). The end bound CLAMPS the final batch
+        # mid-grain so rows at/after the requested cutoff are untouched.
         builder.begin = truncate_timestamp(et_start or begin, cfg.batch_size)
         builder.now = et_end or now
         batches = builder.build_batches(is_incremental=False)
         if et_end:
-            batches = [b for b in batches if b.start < et_end]
+            batches = [
+                Batch(b.start, min(b.end, et_end))
+                for b in batches if b.start < et_end
+            ]
     else:
         batches = builder.build_batches(is_incremental)
     only = getattr(ctx, "retry_batches", {}).get(node.unique_id)
     if only:
-        # dbt retry replay path: regenerate the full grid (same begin/grain
-        # math), keep only the previously-failed batch ids.
-        batches = [b for b in batches if b.batch_id in set(only)] or batches
+        # dbt retry replay path: regenerate the FULL grid from `begin` (the
+        # failed batch may be older than the incremental lookback window) and
+        # keep only the previously-failed batch ids. An id the grid can't
+        # reproduce (begin/grain changed since the failure) is an error, not
+        # a silent rerun of the wrong windows.
+        full_grid = builder.build_batches(is_incremental=False)
+        wanted = set(only)
+        batches = [b for b in full_grid if b.batch_id in wanted]
+        missing = wanted - {b.batch_id for b in batches}
+        if missing:
+            raise ValueError(
+                f"{node.unique_id}: retry batches {sorted(missing)} not in the "
+                f"current batch grid (begin/batch_size changed since the "
+                "failed run?)"
+            )
     parts = cfg.partition_by
     parts = [parts] if isinstance(parts, str) else list(parts or [])
 

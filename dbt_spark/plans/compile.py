@@ -142,10 +142,9 @@ def _base_context(var_overrides: dict, target: dict) -> dict[str, Any]:
         # FULL_REFRESH/WHICH with the invocation's actual values
         "flags": SimpleNamespace(FULL_REFRESH=False, WHICH=None, STORE_FAILURES=False),
         "modules": modules,
-        # render(string): evaluate a jinja string in the current context
-        # (providers.py:1046-1080); write(payload) returns "" (the engine
-        # persists compiled SQL itself); try_or_compiler_error wraps a call
-        "render": lambda s: _ENV.from_string(str(s)).render(),
+        # write(payload) returns "" (the engine persists compiled SQL
+        # itself); try_or_compiler_error wraps a call. `render` is rebound to
+        # the LIVE context by parse_render/runtime_render below.
         "write": lambda payload: "",
         "try_or_compiler_error": _try_or_compiler_error,
         "exceptions": type(
@@ -247,6 +246,7 @@ def parse_render(
             "load_result": lambda name: None,
         }
     )
+    ctx["render"] = lambda s: _ENV.from_string(str(s)).render(**ctx)
     _bind_macros(ctx, macros)
     try:
         rendered = _ENV.from_string(raw_code).render(**ctx)
@@ -414,6 +414,9 @@ def runtime_render(
         }
     )
     ctx.update(extra or {})
+    # render(string): evaluate a jinja string in the CURRENT context
+    # (providers.py:1046-1080) — closure over ctx sees every member above
+    ctx["render"] = lambda s: _ENV.from_string(str(s)).render(**ctx)
     _bind_macros(ctx, macros if macros is not None else manifest.macros)
     try:
         return _ENV.from_string(node.raw_code).render(**ctx)

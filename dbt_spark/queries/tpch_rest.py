@@ -55,13 +55,6 @@ _Q1_DISC = (
 )
 
 
-def _part_supp(t: dict) -> DataFrame:
-    """partsupp stand-in: the distinct (partkey, suppkey) pairs observed in
-    lineitem. One shuffle on the pair. Callers filter the part side BEFORE
-    calling where possible — distinct over the reduced set."""
-    return t["lineitem"].select("l_partkey", "l_suppkey").distinct()
-
-
 # --------------------------------------------------------------------------
 # Q2 — min-cost supplier: correlated max-per-group subquery + join-back
 # --------------------------------------------------------------------------

@@ -298,10 +298,11 @@ class Engine:
                  or manifest.nodes[uid].config.materialized != "external")
         }
         if command == "ls":
-            # sources are listable too (they live outside manifest.nodes)
-            listable = runnable | {
-                uid for uid in selected if uid in manifest.sources
-            }
+            # sources are listable too (they live outside manifest.nodes) —
+            # but they still honor --resource-type
+            listable = set(runnable)
+            if NodeType.Source in resource_types:
+                listable |= {uid for uid in selected if uid in manifest.sources}
             results = [RunResult(uid, "success", 0.0) for uid in sorted(listable)]
             return RunnerResult(success=True, results=results, manifest=manifest)
 

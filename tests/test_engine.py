@@ -470,7 +470,7 @@ def model(dbt, session):
     dbt.config(materialized="table", meta_tag="x")
     base = dbt.ref("base")
     assert str(dbt.this).endswith("__pmodel")
-    assert dbt.is_incremental() is False
+    assert dbt.is_incremental is False  # property, like the reference API
     assert dbt.config.get("materialized") == "table"
     return base.toPandas()  # pandas return is lifted back to Spark
 """,

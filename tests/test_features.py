@@ -1222,3 +1222,13 @@ def test_compile_inline(feat):
     assert r.success
     sql = r.preview[0]["compiled_inline"]
     assert "{{" not in sql and "amounts" in sql and "> 5" in sql
+
+
+def test_render_context_member_sees_live_context(feat):
+    """`render(string)` evaluates against the CURRENT context — vars and
+    refs resolve (providers.py:1046-1080)."""
+    eng, pdir = feat
+    eng.invoke(["run"])
+    r = eng.invoke(["show", "--inline",
+                    "select '{{ render(\"{{ var(\\'who\\', \\'world\\') }}\") }}' as v"])
+    assert r.success and r.preview[0]["v"] == "world"

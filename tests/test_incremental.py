@@ -6,6 +6,8 @@ from datetime import datetime
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from dbt_spark.runner import Engine
 
 EVENTS_CSV = (
@@ -379,3 +381,66 @@ def test_microbatch_explicit_event_time_window(project_dir, spark):
     assert r.success, [x.message for x in r.results]
     rows = sorted(x["id"] for x in eng.store.read("main", "target").collect())
     assert rows == [1, 2, 3, 4]
+
+
+def test_microbatch_retry_outside_lookback(project_dir, spark):
+    """A failed batch OLDER than the lookback window still replays on retry:
+    the grid regenerates from `begin`, not from the incremental checkpoint."""
+    files = {
+        "dbt_project.yml": "name: mbo\n",
+        "seeds/stream.csv": STREAM_CSV,
+        "models/target.sql": POISON_MB_SQL,
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark, vars={"poison": "true"})
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["run"], now=datetime(2020, 1, 3, 12))
+    assert [x.status for x in r.results] == ["partial success"]
+
+    # retry SIX days later: Jan 2 is far outside lookback=1
+    eng2 = Engine(root, spark=spark, vars={"poison": "false"})
+    r2 = eng2.invoke(["retry"], now=datetime(2020, 1, 9, 12))
+    assert r2.success, [x.message for x in r2.results]
+    rows = sorted(x["id"] for x in eng2.store.read("main", "target").collect())
+    assert rows == [1, 2, 3, 4]
+
+
+def test_compact_preserves_bucket_spec(project_dir, spark):
+    """compact() on a bucketed table rewrites THROUGH the bucketed writer —
+    the CLUSTERED BY declaration stays truthful and co-bucketed joins still
+    elide their exchanges afterwards."""
+    from tests.conftest import SF_DIR
+
+    files = {
+        "dbt_project.yml": "name: cbk\n",
+        "models/sources.yml": f"""
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        meta: {{location: "{SF_DIR}/orders.parquet"}}
+""",
+        "models/bo.sql": (
+            "{{ config(materialized='table', bucket_by='o_custkey', buckets=4) }}"
+            "select o_orderkey, o_custkey from {{ source('tpch','orders') }}"
+        ),
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["run"]).success
+    n_before = eng.store.read("main", "bo").count()
+    r = eng.invoke(["run-operation", "compact", "--args", "{relation: bo}"])
+    assert r.success, r.results[0].message
+    df = eng.store.read("main", "bo")
+    assert df.count() == n_before
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = df.join(df.selectExpr("o_custkey as ck").distinct(),
+                         df.o_custkey == F.col("ck"))
+        joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both sides read the same (still-)bucketed table: no shuffle at all
+        assert "Bucketed: true" in plan and plan.count("Exchange") == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

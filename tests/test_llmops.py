@@ -196,3 +196,14 @@ sources:
         "/root/testdata/sf0.001/documents.parquet").count()
     kept = eng.store.read("main", "curated").count()
     assert 0 < kept < total
+
+
+def test_exact_dedup_with_map_column(spark):
+    """Map-typed payload columns fall back to the window path (struct-min
+    can't order maps) — same keep-min-id semantics."""
+    df = spark.createDataFrame(
+        [(1, "a", {"x": "1"}), (2, "a", {"y": "2"}), (3, "b", {"z": "3"})],
+        "id long, k string, props map<string,string>",
+    )
+    kept = sorted(r["id"] for r in D.exact_dedup(df, ["k"], "id").collect())
+    assert kept == [1, 3]
