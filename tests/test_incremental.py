@@ -444,3 +444,39 @@ sources:
         assert "Bucketed: true" in plan and plan.count("Exchange") == 0, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_event_time_end_clamps_mid_grain(project_dir, spark):
+    """--event-time-end inside a grain CLAMPS the final batch: rows at/after
+    the cutoff are neither reprocessed nor deleted."""
+    files = {
+        "dbt_project.yml": "name: mbc\n",
+        "seeds/stream.csv": STREAM_CSV,
+        "models/target.sql": MICROBATCH_SQL,
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"], now=datetime(2020, 1, 3, 12)).success
+
+    def drop_jan2():
+        tgt = eng.store.read("main", "target")
+        eng.store.write_table(
+            "main", "target",
+            tgt.filter("date(ts) <> date'2020-01-02'"), kind="incremental",
+        )
+
+    # cutoff BEFORE the missing row (05:00): clamped window has nothing
+    drop_jan2()
+    r = eng.invoke(
+        ["run", "--event-time-start", "2020-01-02", "--event-time-end",
+         "2020-01-02T04:00:00"], now=datetime(2020, 1, 3, 12))
+    assert r.success
+    assert sorted(x["id"] for x in eng.store.read("main", "target").collect()) == [1, 2, 4]
+
+    # cutoff AFTER the missing row: it comes back, later rows untouched
+    r = eng.invoke(
+        ["run", "--event-time-start", "2020-01-02", "--event-time-end",
+         "2020-01-02T06:00:00"], now=datetime(2020, 1, 3, 12))
+    assert r.success
+    assert sorted(x["id"] for x in eng.store.read("main", "target").collect()) == [1, 2, 3, 4]
