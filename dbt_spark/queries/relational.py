@@ -286,6 +286,50 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-customer aggregates → long (metric, value)
+    rows via Spark's native unpivot — the inverse of the conditional pivot.
+    One aggregate exchange; the unpivot itself is a zero-shuffle Expand."""
+    t = load_tables(spark, sf_dir, "orders")
+    wide = (
+        t["orders"]
+        .filter(F.col("o_custkey") < 200)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("double").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+            F.max(_dec("o_totalprice")).cast("double").alias("max_order"),
+        )
+    )
+    return (
+        wide.unpivot(
+            "o_custkey",
+            ["n_orders", "total_spend", "max_order"],
+            "metric",
+            "value",
+        )
+        .orderBy("o_custkey", "metric")
+    )
+
+
+def regexp_extract_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract, extract-all + flatten count, replace — over
+    part names. All codegen'd JVM regex; one scan, no shuffle before the agg."""
+    t = load_tables(spark, sf_dir, "part")
+    return (
+        t["part"]
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"(\w+)", 1).alias("first_word"),
+            F.size(F.regexp_extract_all("p_name", F.lit(r"(\w+)"), 1))
+            .cast("bigint")
+            .alias("n_words"),
+            F.regexp_replace("p_name", r"\s+", "_").alias("snake_name"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 def json_extract_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured ops over the events.props JSON column: path extraction
     (get_json_object), typed parse (from_json), and aggregation on the
@@ -1041,6 +1085,29 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "unpivot_melt": """
+        WITH wide AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+                   CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_order
+            FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+        )
+        SELECT o_custkey, metric, value FROM (
+            SELECT o_custkey, 'n_orders' AS metric, n_orders AS value FROM wide
+            UNION ALL
+            SELECT o_custkey, 'total_spend', total_spend FROM wide
+            UNION ALL
+            SELECT o_custkey, 'max_order', max_order FROM wide
+        ) ORDER BY o_custkey, metric
+    """,
+    "regexp_extract_ops": """
+        SELECT p_partkey,
+               coalesce(regexp_extract(p_name, '(\w+)', 1), '') AS first_word,
+               CAST(len(regexp_extract_all(p_name, '(\w+)', 1)) AS BIGINT) AS n_words,
+               regexp_replace(p_name, '\s+', '_', 'g') AS snake_name
+        FROM part ORDER BY p_partkey
+    """,
     "json_extract_ops": """
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
@@ -1519,6 +1586,8 @@ QUERIES = {
     "join_skew_salted": join_skew_salted,
     "window_range_frame": window_range_frame,
     "json_extract_ops": json_extract_ops,
+    "unpivot_melt": unpivot_melt,
+    "regexp_extract_ops": regexp_extract_ops,
     "agg_array_collect": agg_array_collect,
     "grouping_sets_agg": grouping_sets_agg,
     "join_asof": join_asof,
