@@ -286,6 +286,25 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def agg_bitwise_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/bit_or/bit_xor) + ordered string
+    aggregation (sort_array→array_join, the deterministic LISTAGG shape)."""
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.bit_and("o_orderkey").cast("bigint").alias("key_bit_and"),
+            F.bit_or("o_orderkey").cast("bigint").alias("key_bit_or"),
+            F.bit_xor("o_orderkey").cast("bigint").alias("key_bit_xor"),
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): wide per-customer aggregates → long (metric, value)
     rows via Spark's native unpivot — the inverse of the conditional pivot.
@@ -1085,6 +1104,15 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "agg_bitwise_stringagg": """
+        SELECT o_orderstatus,
+               CAST(BIT_AND(o_orderkey) AS BIGINT) AS key_bit_and,
+               CAST(BIT_OR(o_orderkey) AS BIGINT) AS key_bit_or,
+               CAST(BIT_XOR(o_orderkey) AS BIGINT) AS key_bit_xor,
+               list_aggregate(list_sort(list(DISTINCT o_orderpriority)), 'string_agg', ',')
+                   AS priorities
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "unpivot_melt": """
         WITH wide AS (
             SELECT o_custkey,
@@ -1587,6 +1615,7 @@ QUERIES = {
     "window_range_frame": window_range_frame,
     "json_extract_ops": json_extract_ops,
     "unpivot_melt": unpivot_melt,
+    "agg_bitwise_stringagg": agg_bitwise_stringagg,
     "regexp_extract_ops": regexp_extract_ops,
     "agg_array_collect": agg_array_collect,
     "grouping_sets_agg": grouping_sets_agg,
