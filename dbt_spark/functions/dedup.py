@@ -30,6 +30,20 @@ from dbt_spark.functions.text import fingerprint, tokens
 # exact + fingerprint dedup
 # --------------------------------------------------------------------------
 
+def _contains_map(dtype) -> bool:
+    """True if the type is (or nests) a MapType — min(struct(...)) requires
+    every field ORDERABLE, and maps are unorderable at any nesting depth."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return True
+    if isinstance(dtype, ArrayType):
+        return _contains_map(dtype.elementType)
+    if isinstance(dtype, StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    return False
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact key group.
 
@@ -38,8 +52,6 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     collapses duplicates map-side, so the exchange carries one row per
     distinct key instead of sorting every row inside each hash partition —
     the difference between O(dup rows) and O(distinct keys) shuffle at 100 TB."""
-    from pyspark.sql.types import MapType
-
     payload = [id_col] + [c for c in df.columns if c not in key_cols and c != id_col]
     if payload == [id_col]:
         # id-only payload: plain min() keeps the whole aggregate in
@@ -48,7 +60,7 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
         agg = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
         return agg.select(*df.columns)
     unorderable = {
-        f.name for f in df.schema.fields if isinstance(f.dataType, MapType)
+        f.name for f in df.schema.fields if _contains_map(f.dataType)
     }
     if unorderable & set(payload):
         # struct-min needs every payload field orderable; map columns are

@@ -168,10 +168,24 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
         # failed batch may be older than the incremental lookback window) and
         # keep only the previously-failed batch ids. An id the grid can't
         # reproduce (begin/grain changed since the failure) is an error, not
-        # a silent rerun of the wrong windows.
+        # a silent rerun of the wrong windows. Recorded windows (failed
+        # batches of a clamped --event-time-end backfill) re-clamp the
+        # replayed batch so retry never widens the user's cutoff.
+        if isinstance(only, dict):
+            wanted = set(only.get("failed", []))
+            rec_windows = only.get("failed_windows", {})
+        else:  # legacy list-of-ids form
+            wanted = set(only)
+            rec_windows = {}
         full_grid = builder.build_batches(is_incremental=False)
-        wanted = set(only)
-        batches = [b for b in full_grid if b.batch_id in wanted]
+        batches = []
+        for b in full_grid:
+            if b.batch_id not in wanted:
+                continue
+            rec = rec_windows.get(b.batch_id)
+            if rec:
+                b = Batch(b.start, min(b.end, datetime.fromisoformat(rec[1])))
+            batches.append(b)
         missing = wanted - {b.batch_id for b in batches}
         if missing:
             raise ValueError(
@@ -198,8 +212,26 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
             & (F.col(cfg.event_time) < F.lit(window[1]).cast("timestamp"))
         )
         first_write = not ctx.store.exists(schema, node.name)
-        if parts and not first_write:
+        grain_end = offset_timestamp(
+            truncate_timestamp(batch.start, cfg.batch_size), cfg.batch_size, 1
+        )
+        full_grain = batch.end >= grain_end
+        if parts and not first_write and full_grain:
             return ctx.store.overwrite_partitions(schema, node.name, df, parts)
+        if parts and not first_write:
+            # clamped (mid-grain) window on a partitioned table: dynamic
+            # partition overwrite would replace the WHOLE partition and
+            # delete rows at/after the cutoff — use the ranged
+            # delete+insert path, which touches exactly [start, end)
+            existing = ctx.store.read(schema, node.name)
+            outside = existing.filter(
+                (F.col(cfg.event_time) < F.lit(window[0]).cast("timestamp"))
+                | (F.col(cfg.event_time) >= F.lit(window[1]).cast("timestamp"))
+            )
+            return ctx.store.write_table(
+                schema, node.name, outside.unionByName(df),
+                kind="incremental", partition_by=parts,
+            )
         if first_write:
             return ctx.store.write_table(
                 schema, node.name, df, kind="incremental", partition_by=parts
@@ -261,6 +293,11 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
             batch_results={
                 "successful": sorted(b.batch_id for b in succeeded),
                 "failed": ids,
+                # exact windows, so retry re-clamps --event-time-end backfills
+                "failed_windows": {
+                    b.batch_id: [b.start.isoformat(), b.end.isoformat()]
+                    for b in failed
+                },
             },
         )
     return rel

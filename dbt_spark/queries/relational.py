@@ -1129,7 +1129,7 @@ ORACLES: dict[str, str] = {
             SELECT o_custkey, 'max_order', max_order FROM wide
         ) ORDER BY o_custkey, metric
     """,
-    "regexp_extract_ops": """
+    "regexp_extract_ops": r"""
         SELECT p_partkey,
                coalesce(regexp_extract(p_name, '(\w+)', 1), '') AS first_word,
                CAST(len(regexp_extract_all(p_name, '(\w+)', 1)) AS BIGINT) AS n_words,

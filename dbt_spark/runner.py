@@ -959,7 +959,7 @@ class Engine:
         # partial-success microbatch nodes replay ONLY their failed batches
         # (task/run.py:578-592 previous_batch_results)
         retry_batches = {
-            r["unique_id"]: r["batch_results"]["failed"]
+            r["unique_id"]: r["batch_results"]
             for r in doc["results"]
             if r["status"] == "partial success"
             and r.get("batch_results", {}).get("failed")

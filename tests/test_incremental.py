@@ -303,10 +303,11 @@ def test_microbatch_partial_failure_and_batch_retry(project_dir, spark):
     assert not r.success
     res = [x for x in r.results if x.unique_id.endswith("target")][0]
     assert res.status == "partial success"
-    assert res.batch_results == {
-        "successful": ["20200101T000000", "20200103T000000"],
-        "failed": ["20200102T000000"],
-    }
+    assert res.batch_results["successful"] == ["20200101T000000", "20200103T000000"]
+    assert res.batch_results["failed"] == ["20200102T000000"]
+    assert res.batch_results["failed_windows"]["20200102T000000"] == [
+        "2020-01-02T00:00:00", "2020-01-03T00:00:00"
+    ]
     # the successful windows landed; the poisoned day is absent
     assert sorted(
         x["id"] for x in eng.store.read("main", "target").collect()
@@ -480,3 +481,35 @@ def test_event_time_end_clamps_mid_grain(project_dir, spark):
          "2020-01-02T06:00:00"], now=datetime(2020, 1, 3, 12))
     assert r.success
     assert sorted(x["id"] for x in eng.store.read("main", "target").collect()) == [1, 2, 3, 4]
+
+
+def test_event_time_end_clamp_partitioned(project_dir, spark):
+    """The mid-grain clamp also holds for PARTITIONED microbatch models:
+    the clamped batch must not dynamic-overwrite the whole partition (which
+    would delete rows at/after the cutoff)."""
+    files = {
+        "dbt_project.yml": "name: mbcp\n",
+        "seeds/stream.csv": STREAM_CSV,
+        "models/target.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='microbatch', event_time='ts', "
+            "batch_size='day', begin='2020-01-01', lookback=1, "
+            "partition_by='day') }}"
+            "select id, ts, cast(date(ts) as string) as day, val "
+            "from {{ ref('stream') }}"
+        ),
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"], now=datetime(2020, 1, 3, 12)).success
+    assert eng.store.read("main", "target").count() == 4
+
+    # backfill Jan 1 with a cutoff BETWEEN the two Jan 1 rows (05:00, 06:00):
+    # the 06:00 row is at/after the cutoff and must survive
+    r = eng.invoke(
+        ["run", "--event-time-start", "2020-01-01", "--event-time-end",
+         "2020-01-01T05:30:00"], now=datetime(2020, 1, 3, 12))
+    assert r.success, [x.message for x in r.results]
+    rows = sorted(x["id"] for x in eng.store.read("main", "target").collect())
+    assert rows == [1, 2, 3, 4]

@@ -207,3 +207,14 @@ def test_exact_dedup_with_map_column(spark):
     )
     kept = sorted(r["id"] for r in D.exact_dedup(df, ["k"], "id").collect())
     assert kept == [1, 3]
+
+
+def test_exact_dedup_with_nested_map_column(spark):
+    """MapType nested inside arrays/structs also routes to the window
+    fallback (struct-min ordering is illegal at any nesting depth)."""
+    df = spark.createDataFrame(
+        [(1, "a", [{"x": "1"}]), (2, "a", [{"y": "2"}]), (3, "b", [])],
+        "id long, k string, props array<map<string,string>>",
+    )
+    kept = sorted(r["id"] for r in D.exact_dedup(df, ["k"], "id").collect())
+    assert kept == [1, 3]
