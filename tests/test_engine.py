@@ -500,3 +500,46 @@ def test_ephemeral_cache_config(project_dir, spark):
     assert [x["n"] for x in eng.store.read("main", "a").collect()] == [2]
     assert [x["s"] for x in eng.store.read("main", "b").collect()] == [3]
     spark.catalog.uncacheTable("__eph__shared")
+
+
+def test_seed_size_cap(project_dir, spark):
+    """Seeds over 1 MB are rejected (MAXIMUM_SEED_SIZE,
+    core/dbt/constants.py:7) — seeds are version-controlled inputs, not a
+    data-loading path."""
+    big = "id,v\n" + "\n".join(f"{i},{'x' * 60}" for i in range(20000))
+    assert len(big) > 1024 * 1024
+    root = project_dir({
+        "dbt_project.yml": "name: bigseed\n",
+        "seeds/huge.csv": big,
+    })
+    r = Engine(root, spark=spark).invoke(["seed"])
+    assert not r.success
+    assert "capped at 1048576" in r.results[0].message
+
+
+def test_python_incremental_model(project_dir, spark):
+    """Python model + incremental materialization: dbt.is_incremental gates
+    the slice, merge strategy upserts."""
+    files = {
+        "dbt_project.yml": "name: pyi\n",
+        "seeds/rows.csv": "id,val\n1,10\n2,20\n",
+        "models/acc.py": """
+def model(dbt, session):
+    dbt.config(materialized="incremental", incremental_strategy="merge",
+               unique_key="id")
+    df = dbt.ref("rows")
+    if dbt.is_incremental:
+        df = df.withColumn("val", df.val + 100)
+    return df
+""",
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    assert {r["id"]: r["val"] for r in eng.store.read("main", "acc").collect()} \
+        == {1: 10, 2: 20}
+    # second run takes the incremental branch; merge upserts by id
+    assert eng.invoke(["run"]).success
+    assert {r["id"]: r["val"] for r in eng.store.read("main", "acc").collect()} \
+        == {1: 110, 2: 120}
