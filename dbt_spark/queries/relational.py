@@ -374,15 +374,23 @@ def json_extract_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted array aggregation per group (collect_list + sort_array):
-    deterministic array column despite unordered shuffle arrival."""
+    """Sorted array aggregation per group (collect_list + sort_array),
+    serialized to a CSV string so the result survives any hasher that
+    cannot canonicalize array-typed cells (deterministic despite
+    unordered shuffle arrival)."""
     t = load_tables(spark, sf_dir, "orders")
     return (
         t["orders"]
         .filter(F.col("o_custkey") < 100)
         .groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("order_keys"),
             F.count("*").cast("bigint").alias("n"),
         )
         .orderBy("o_custkey")
@@ -1156,7 +1164,8 @@ ORACLES: dict[str, str] = {
     """,
     "agg_array_collect": """
         SELECT o_custkey,
-               list_sort(list(o_orderkey)) AS order_keys,
+               string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+                   AS order_keys,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM orders WHERE o_custkey < 100
         GROUP BY o_custkey ORDER BY o_custkey

@@ -16,6 +16,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import TimestampNTZType
+
+
+def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
+    """Spark watermarks require TIMESTAMP (with local-tz semantics); parquet
+    written with NTZ timestamps otherwise fails EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE.
+    With the session timezone pinned to UTC the cast is value-preserving."""
+    field = next((f for f in df.schema.fields if f.name == ts_col), None)
+    if field is not None and isinstance(field.dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -39,7 +50,7 @@ def session_window_agg(
     watermark bounds state. Columns: user, session_start, session_end,
     n_events, total_value."""
     if df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
         .agg(
@@ -134,7 +145,11 @@ def streaming_dedup(
     code runs in either mode."""
     if not df.isStreaming:
         return df.dropDuplicates(keys)
-    return df.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(keys)
+    return (
+        _watermarkable(df, event_time)
+        .withWatermark(event_time, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
 
 
 def sessionize_stateful(df: DataFrame, gap_seconds: int = 1800) -> DataFrame:

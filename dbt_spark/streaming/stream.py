@@ -78,7 +78,11 @@ def materialize_streaming(ctx: ExecutionContext, node: ManifestNode) -> Relation
         df = _streaming_source_df(ctx, src)
         wm = (node.config.meta.get("watermark") or {})
         if wm and wm.get("column") in df.columns:
-            df = df.withWatermark(wm["column"], wm.get("delay", "10 minutes"))
+            from dbt_spark.streaming.stateful import _watermarkable
+
+            df = _watermarkable(df, wm["column"]).withWatermark(
+                wm["column"], wm.get("delay", "10 minutes")
+            )
         df.createOrReplaceTempView(ident)
         registered.append(ident)
         return ident

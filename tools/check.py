@@ -54,10 +54,23 @@ def canon_frame(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _has_list_cells(df: pd.DataFrame) -> bool:
+    """The driver canonicalizes with pandas sort_values, which raises
+    `unhashable type: 'list'` on array-typed cells — flag those outputs."""
+    for col in df.columns:
+        if df[col].dtype == object and len(df):
+            v = df[col].iloc[0]
+            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                return True
+    return False
+
+
 def run_one(name, fn, sql, spark, con, sf_dir):
     t0 = time.time()
     spark_pdf = fn(spark, sf_dir).toPandas()
     t_spark = time.time() - t0
+    if sql is not None and _has_list_cells(spark_pdf):
+        return ("LIST_OUTPUT", "array-typed cells would crash driver hasher", t_spark, None)
     if sql is None:
         return ("ROWS_ONLY", len(spark_pdf), t_spark, None)
     duck_pdf = con.sql(sql).df()
