@@ -16,7 +16,7 @@ from dbt_spark.functions import dedup as D
 from dbt_spark.functions import similarity as S
 from dbt_spark.functions import text as X
 from dbt_spark.functions.multimodal import attach_binary_payload, decode_media_meta
-from dbt_spark.session import load_tables
+from dbt_spark.session import load_tables, spread
 
 STOP_ARR = "['" + "', '".join(X.STOPWORDS) + "']"
 _TOKS = "string_split_regex(trim(text), '\\s+')"
@@ -24,11 +24,20 @@ _TOKS_L = "string_split_regex(trim(lower(text)), '\\s+')"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, "documents")["documents"]
+    # spread(): single-row-group test files otherwise serialize the whole
+    # regex/tokenize pipeline onto one core (no-op on real-scale inputs)
+    return spread(load_tables(spark, sf_dir, "documents")["documents"], spark)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return spread(load_tables(spark, sf_dir, "embeddings")["embeddings"], spark)
+
+
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unspread documents scan for Pandas-UDF (multimodal) paths: per-partition
+    Python worker startup dominates tiny inputs, so keep the scan's natural
+    split count there (real-scale inputs parallelize at the scan anyway)."""
+    return load_tables(spark, sf_dir, "documents")["documents"]
 
 
 # --------------------------------------------------------------------------
@@ -232,7 +241,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     return decode_media_meta(attach_binary_payload(docs))
 
 
@@ -241,7 +250,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas fan-out plumbing, integer-exact vs the DuckDB oracle."""
     from dbt_spark.functions.multimodal import sample_frames
 
-    payload = attach_binary_payload(_docs(spark, sf_dir)).filter(
+    payload = attach_binary_payload(_docs_raw(spark, sf_dir)).filter(
         F.col("media_type") == "video/mp4"
     )
     return sample_frames(payload, every_n=5).orderBy("doc_id", "frame_idx")
@@ -253,7 +262,7 @@ def multimodal_resize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stub kernels; exact values asserted in tests/test_llmops.py)."""
     from dbt_spark.functions.multimodal import extract_features, resize_images
 
-    payload = attach_binary_payload(_docs(spark, sf_dir)).filter(
+    payload = attach_binary_payload(_docs_raw(spark, sf_dir)).filter(
         F.col("media_type") == "image/png"
     )
     resized = resize_images(payload, width=64, height=48)

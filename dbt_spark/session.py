@@ -92,6 +92,23 @@ def read_parquet(spark: SparkSession, path: str):
     return df
 
 
+def spread(df, spark: SparkSession, target: int | None = None):
+    """Round-robin repartition a scan whose file layout yields fewer input
+    splits than cores.
+
+    Parquet scans split per row group; a small file written as ONE row group
+    gives the whole downstream pipeline a single task, serializing CPU-heavy
+    column math (regex tokenization, array dot products) onto one core. At
+    real scale inputs arrive as many files/row groups and the scan already
+    parallelizes — then this is a no-op, so the shuffle cost is only ever
+    paid on inputs small enough for it not to matter.
+    """
+    target = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Register each ``{sf_dir}/{name}.parquet`` as a temp view; return dict of DataFrames."""
     out = {}
