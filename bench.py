@@ -66,6 +66,12 @@ HEADLINE = [
     "text_quality_score",
     "token_count",
     "ann_topk_bruteforce",
+    # round-2 SQL-surface extensions
+    "agg_filter_clause",
+    "agg_stats_exact",
+    "gaps_islands_sessions",
+    "window_ntile_distribution",
+    "pivot_native",
 ]
 
 

@@ -1,0 +1,296 @@
+"""Extended SQL-surface operators (round 2 widening of SURVEY §2E).
+
+Everything here is dialect-shared ANSI SQL run through ``spark.sql`` (the
+engine's warehouse surface, exactly what a dbt model's SELECT goes through)
+with a DuckDB oracle stating the identical semantics. Determinism notes per
+query; floating-point results are either exact rational arithmetic (window
+distribution functions) or doubles derived from exact DECIMAL moments with
+the arithmetic expression written identically for both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_spark.session import load_tables
+
+
+# --------------------------------------------------------------------------
+# aggregation extensions
+# --------------------------------------------------------------------------
+
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-aggregate FILTER (WHERE ...) clauses — one scan, one shuffle,
+    N conditional aggregates (the SQL-standard form of conditional
+    aggregation; reference fixtures express the same with CASE WHEN,
+    jaffle_shop.py:98+)."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderstatus,
+               CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+                   AS n_big,
+               CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+                   AS n_urgent,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE year(o_orderdate) = 1997) AS DOUBLE)
+                   AS rev_1997
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """)
+
+
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (variance / stddev / correlation) computed from
+    EXACT decimal moments, with the final double arithmetic written as the
+    same expression in both engines.
+
+    Scale note: this is the numerically-stable-at-scale pattern too — the
+    decimal partial sums are order-independent (exact), so map-side partial
+    aggregation across 1000 executors gives bit-identical results, unlike
+    naive double summation where the shuffle order leaks into the result."""
+    load_tables(spark, sf_dir, "events")
+    return spark.sql(_STATS_SQL_SPARK)
+
+
+# Shared arithmetic (identical text in both dialects): moments are exact
+# decimals; variance/correlation derived in IEEE double with a fixed op order.
+_STATS_MOMENTS = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(value AS DECIMAL(18,6))) AS sx,
+               sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx,
+               sum(CAST(user_id AS DECIMAL(18,6))) AS sy,
+               sum(CAST(user_id AS DECIMAL(18,6)) * CAST(user_id AS DECIMAL(18,6))) AS syy,
+               sum(CAST(value AS DECIMAL(18,6)) * CAST(user_id AS DECIMAL(18,6))) AS sxy
+        FROM events GROUP BY event_type
+"""
+
+# round(x, 6): the decimal->double cast of the moments is correctly rounded
+# in the JVM but not guaranteed so in every engine — the final doubles can
+# differ by 1 ulp, which a fixed-decimal round absorbs.
+_STATS_FINAL = """
+        SELECT event_type, n,
+               round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                   / (n - 1), 6) AS var_value,
+               round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                   / (n - 1)), 6) AS stddev_value,
+               round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                   / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                      * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
+                   9) AS corr_value_user
+        FROM moments ORDER BY event_type
+"""
+
+_STATS_SQL_SPARK = f"WITH moments AS ({_STATS_MOMENTS}) {_STATS_FINAL}"
+
+
+# --------------------------------------------------------------------------
+# window-function extensions
+# --------------------------------------------------------------------------
+
+def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist — distribution window functions.
+    Ordered by a unique key so ranks are total; pr/cd are exact rationals
+    (k/n in double), identical across engines."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM orders
+        WHERE o_custkey < 500
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+    """)
+
+
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full-partition
+    ROWS frame (last_value needs it — the default frame ends at CURRENT ROW)."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey,
+               first_value(o_orderkey) OVER w AS first_ok,
+               last_value(o_orderkey) OVER w AS last_ok,
+               nth_value(o_orderkey, 3) OVER w AS third_ok
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """)
+
+
+def gaps_islands_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization in pure SQL: a new island starts when
+    the gap to the previous event exceeds 30 min; island id is a running sum
+    of the start flags. The batch-SQL twin of session_window_agg (same
+    semantics, expressible in any warehouse — the form a dbt model would
+    take). Two window passes + one aggregate, all on the user_id shuffle key.
+    """
+    load_tables(spark, sf_dir, "events")
+    return spark.sql(_GAPS_SQL.format(EPOCH="CAST(unix_timestamp(ts) AS BIGINT)"))
+
+
+_GAPS_SQL = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN {EPOCH}
+                         - lag({EPOCH}) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                         > 1800
+                    THEN 1 ELSE 0 END AS new_island
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, event_id, ts,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS island_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(island_id AS BIGINT) AS island_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM islands
+    GROUP BY user_id, island_id
+"""
+
+
+# --------------------------------------------------------------------------
+# pivot (native relational pivot operator)
+# --------------------------------------------------------------------------
+
+def pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native pivot operator (groupBy().pivot(values).agg()) — the
+    engine-level rotation, vs pivot_conditional's CASE-WHEN form. Explicit
+    value list keeps it one pass (no distinct-values pre-query) and a stable
+    output schema — mandatory at scale."""
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).cast("bigint"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# nested types
+# --------------------------------------------------------------------------
+
+def nested_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build / field access / JSON serialization — dbt passes nested
+    types through opaquely (SURVEY §1.2); Spark supports them natively, and
+    the canonical JSON form is engine-checkable."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderkey,
+               named_struct('status', o_orderstatus,
+                            'priority', o_orderpriority).status AS status_field,
+               to_json(named_struct('k', o_orderkey,
+                                    's', o_orderstatus)) AS js
+        FROM orders WHERE o_custkey < 200
+    """)
+
+
+# --------------------------------------------------------------------------
+# source freshness (the operator, driven with a pinned "now")
+# --------------------------------------------------------------------------
+
+def source_freshness_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max(loaded_at_field) freshness (reference: three-path freshness,
+    task/freshness.py:111-181 'field' path) with a pinned now → age seconds
+    and warn/error status against thresholds."""
+    load_tables(spark, sf_dir, "events")
+    return spark.sql("""
+        SELECT max(ts) AS max_loaded_at,
+               CAST(unix_timestamp(TIMESTAMP '2025-01-01 00:00:00')
+                    - unix_timestamp(max(ts)) AS BIGINT) AS age_s,
+               CASE
+                   WHEN unix_timestamp(TIMESTAMP '2025-01-01 00:00:00')
+                        - unix_timestamp(max(ts)) > 86400 * 365 THEN 'error'
+                   WHEN unix_timestamp(TIMESTAMP '2025-01-01 00:00:00')
+                        - unix_timestamp(max(ts)) > 86400 * 30 THEN 'warn'
+                   ELSE 'pass'
+               END AS freshness_status
+        FROM events
+    """)
+
+
+ORACLES: dict[str, str] = {
+    "agg_filter_clause": """
+        SELECT o_orderstatus,
+               CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+                   AS n_big,
+               CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+                   AS n_urgent,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE year(o_orderdate) = 1997) AS DOUBLE)
+                   AS rev_1997
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "agg_stats_exact": f"WITH moments AS ({_STATS_MOMENTS}) {_STATS_FINAL}",
+    "window_ntile_distribution": """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM orders
+        WHERE o_custkey < 500
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+    """,
+    "window_first_last_nth": """
+        SELECT o_orderkey, o_custkey,
+               first_value(o_orderkey) OVER w AS first_ok,
+               last_value(o_orderkey) OVER w AS last_ok,
+               nth_value(o_orderkey, 3) OVER w AS third_ok
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "gaps_islands_sessions": _GAPS_SQL.format(EPOCH="epoch(ts)"),
+    "pivot_native": """
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "nested_struct_ops": """
+        SELECT o_orderkey,
+               o_orderstatus AS status_field,
+               to_json(struct_pack(k := o_orderkey, s := o_orderstatus)) AS js
+        FROM orders WHERE o_custkey < 200
+    """,
+    "source_freshness_age": """
+        SELECT max(ts) AS max_loaded_at,
+               CAST(epoch(TIMESTAMP '2025-01-01 00:00:00')
+                    - epoch(max(ts)) AS BIGINT) AS age_s,
+               CASE
+                   WHEN epoch(TIMESTAMP '2025-01-01 00:00:00')
+                        - epoch(max(ts)) > 86400 * 365 THEN 'error'
+                   WHEN epoch(TIMESTAMP '2025-01-01 00:00:00')
+                        - epoch(max(ts)) > 86400 * 30 THEN 'warn'
+                   ELSE 'pass'
+               END AS freshness_status
+        FROM events
+    """,
+}
+
+QUERIES = {
+    "agg_filter_clause": agg_filter_clause,
+    "agg_stats_exact": agg_stats_exact,
+    "window_ntile_distribution": window_ntile_distribution,
+    "window_first_last_nth": window_first_last_nth,
+    "gaps_islands_sessions": gaps_islands_sessions,
+    "pivot_native": pivot_native,
+    "nested_struct_ops": nested_struct_ops,
+    "source_freshness_age": source_freshness_age,
+}

@@ -341,11 +341,136 @@ def engine_run_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.read("main", "customer_orders")
 
 
+def snapshot_hard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 with hard_deletes='new_record' (reference: dbt_is_deleted meta
+    column, v1/snapshot.py:35-42): v2 drops every 10th supplier, so those
+    keys get their v1 row closed at T2 PLUS a current deletion-marker row
+    flagged dbt_is_deleted=true."""
+    from dbt_spark.operators.snapshot import materialize_snapshot
+
+    load_tables(spark, sf_dir, "supplier")
+    node = _model_node(
+        "snap_hd", "", materialized="snapshot", unique_key="s_suppkey",
+        strategy="timestamp", updated_at="updated_at", hard_deletes="new_record",
+    )
+    ctx = _mini_ctx(spark, snapshot_ts=T1)
+    node.raw_code = (
+        f"SELECT s_suppkey, s_name, TIMESTAMP '{T1}' AS updated_at FROM supplier"
+    )
+    materialize_snapshot(ctx, node)
+    ctx.snapshot_ts = T2
+    node.raw_code = (
+        f"SELECT s_suppkey, s_name, TIMESTAMP '{T1}' AS updated_at "
+        "FROM supplier WHERE s_suppkey % 10 != 0"
+    )
+    materialize_snapshot(ctx, node)
+    return ctx.store.read("main", "snap_hd").select(
+        "s_suppkey", "s_name", "dbt_scd_id", "dbt_valid_from", "dbt_valid_to",
+        "dbt_is_deleted",
+    )
+
+
+UNIT_TEST_PROJECT_FILES = {
+    "dbt_project.yml": "name: utq\n",
+    "models/sources.yml": """
+sources:
+  - name: corpus
+    tables:
+      - name: documents
+        external:
+          location: "__SF__/documents.parquet"
+models:
+  - name: doc_stats
+unit_tests:
+  - name: ut_doc_stats_pass
+    model: doc_stats
+    given:
+      - input: source('corpus', 'documents')
+        rows:
+          - {doc_id: 1, lang: en, n_chars: 100}
+          - {doc_id: 2, lang: en, n_chars: 300}
+          - {doc_id: 3, lang: de, n_chars: 50}
+    expect:
+      rows:
+        - {lang: de, n_docs: 1, total_chars: 50}
+        - {lang: en, n_docs: 2, total_chars: 400}
+  - name: ut_doc_stats_fail
+    model: doc_stats
+    given:
+      - input: source('corpus', 'documents')
+        rows:
+          - {doc_id: 1, lang: en, n_chars: 100}
+    expect:
+      rows:
+        - {lang: en, n_docs: 7, total_chars: 9}
+""",
+    "models/doc_stats.sql": (
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "       CAST(sum(n_chars) AS BIGINT) AS total_chars\n"
+        "FROM {{ source('corpus', 'documents') }} GROUP BY lang"
+    ),
+}
+
+
+def unit_test_fixture_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-native unit tests through the REAL engine (`dbt test` over
+    fixture-driven micro-manifests, reference parser/unit_tests.py:60-198 +
+    task/test.py:205-283): source refs replaced by literal fixture rows, the
+    model's SQL runs on them, actual vs expect is diffed. One passing and one
+    deliberately-failing test; the result statuses are the query output."""
+    from dbt_spark.runner import Engine
+
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_ut_")
+    for rel, content in UNIT_TEST_PROJECT_FILES.items():
+        p = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content.replace("__SF__", sf_dir))
+    eng = Engine(tmp, spark=spark)
+    rows = []
+    for ut in ("ut_doc_stats_pass", "ut_doc_stats_fail"):
+        r = eng.invoke(["test", "--select", ut])
+        rows.append((ut, r.results[0].status))
+    return spark.createDataFrame(rows, "unit_test string, status string").orderBy(
+        "unit_test"
+    )
+
+
 # --------------------------------------------------------------------------
 # oracles
 # --------------------------------------------------------------------------
 
 ORACLES: dict[str, str] = {
+    "snapshot_hard_delete": f"""
+        WITH kept    AS (SELECT * FROM supplier WHERE s_suppkey % 10 != 0),
+             dropped AS (SELECT * FROM supplier WHERE s_suppkey % 10 = 0)
+        -- kept keys: v1 still current
+        SELECT s_suppkey, s_name,
+               md5(concat(CAST(s_suppkey AS VARCHAR), '|', '2020-01-01 00:00:00'))
+                   AS dbt_scd_id,
+               TIMESTAMP '{T1}' AS dbt_valid_from,
+               CAST(NULL AS TIMESTAMP) AS dbt_valid_to,
+               FALSE AS dbt_is_deleted
+        FROM kept
+        UNION ALL
+        -- dropped keys: v1 closed at T2
+        SELECT s_suppkey, s_name,
+               md5(concat(CAST(s_suppkey AS VARCHAR), '|', '2020-01-01 00:00:00')),
+               TIMESTAMP '{T1}', TIMESTAMP '{T2}', FALSE
+        FROM dropped
+        UNION ALL
+        -- dropped keys: current deletion-marker row
+        SELECT s_suppkey, s_name,
+               md5(concat(CAST(s_suppkey AS VARCHAR), '|', '2020-06-01 00:00:00')),
+               TIMESTAMP '{T2}', CAST(NULL AS TIMESTAMP), TRUE
+        FROM dropped
+    """,
+    "unit_test_fixture_diff": """
+        SELECT * FROM (VALUES ('ut_doc_stats_fail', 'fail'),
+                              ('ut_doc_stats_pass', 'pass'))
+            AS t(unit_test, status)
+        ORDER BY unit_test
+    """,
     "incremental_append": """
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
     """,
@@ -466,4 +591,6 @@ QUERIES = {
     "test_accepted_values_failing_rows": test_accepted_values_failing_rows,
     "test_relationships_failing_rows": test_relationships_failing_rows,
     "engine_run_e2e": engine_run_e2e,
+    "snapshot_hard_delete": snapshot_hard_delete,
+    "unit_test_fixture_diff": unit_test_fixture_diff,
 }
