@@ -220,7 +220,154 @@ def source_freshness_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# --------------------------------------------------------------------------
+# recursive / lateral / multiset SQL surface
+# --------------------------------------------------------------------------
+
+def recursive_cte_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE date spine (the dbt-utils date_spine idiom) left-joined
+    to per-day order counts — recursion generates the calendar axis, so days
+    with zero orders still appear. Recursion depth is the spine length (90),
+    independent of data volume: driver-side plan growth only, scan stays
+    distributed."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        WITH RECURSIVE spine(n) AS (
+            SELECT 0 UNION ALL SELECT n + 1 FROM spine WHERE n < 89
+        ),
+        days AS (SELECT date_add(DATE '1996-01-01', n) AS d FROM spine),
+        per_day AS (
+            SELECT CAST(o_orderdate AS DATE) AS od,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS day_revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(d AS TIMESTAMP) AS d, coalesce(n_orders, 0) AS n_orders,
+               coalesce(day_revenue, 0.0) AS day_revenue
+        FROM days LEFT JOIN per_day ON d = od
+        ORDER BY d
+    """)
+
+
+def lateral_topn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by balance per nation —
+    the dependent-join form of top-n-per-group (the window form is
+    window_rank_funcs; both shapes are SURVEY §2E capabilities)."""
+    load_tables(spark, sf_dir, "nation", "customer")
+    return spark.sql("""
+        SELECT n_name, c.c_name, c.c_acctbal
+        FROM nation,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) AS c
+        ORDER BY n_name, c_acctbal DESC, c_name
+    """)
+
+
+def group_by_all_shorthand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — modern-SQL shorthand both engines
+    support; grouping keys inferred from the non-aggregate select list."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
+
+
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — bag (multiset) semantics: duplicates
+    carry multiplicity, unlike the set-semantics EXCEPT/INTERSECT pair
+    (set_except / set_intersect)."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+    """)
+
+
+def nullsafe_join_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NOT DISTINCT FROM join (null-safe equality: NULL keys match each
+    other — a plain equi-join drops them) + explicit NULLS FIRST ordering."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        WITH keyed AS (
+            SELECT nullif(o_orderstatus, 'P') AS st,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        ),
+        dim AS (
+            SELECT nullif(s, 'P') AS st, label FROM (
+                VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending')
+            ) AS v(s, label)
+        )
+        SELECT k.st, k.n, d.label
+        FROM keyed k JOIN dim d ON k.st IS NOT DISTINCT FROM d.st
+        ORDER BY k.st NULLS FIRST
+    """)
+
+
 ORACLES: dict[str, str] = {
+    "recursive_cte_date_spine": """
+        WITH RECURSIVE spine(n) AS (
+            SELECT 0 UNION ALL SELECT n + 1 FROM spine WHERE n < 89
+        ),
+        days AS (SELECT DATE '1996-01-01' + n AS d FROM spine),
+        per_day AS (
+            SELECT CAST(o_orderdate AS DATE) AS od,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS day_revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(d AS TIMESTAMP) AS d, coalesce(n_orders, 0) AS n_orders,
+               coalesce(day_revenue, 0.0) AS day_revenue
+        FROM days LEFT JOIN per_day ON d = od
+        ORDER BY d
+    """,
+    "lateral_topn_join": """
+        SELECT n_name, c.c_name, c.c_acctbal
+        FROM nation,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) AS c
+        ORDER BY n_name, c_acctbal DESC, c_name
+    """,
+    "group_by_all_shorthand": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    "set_ops_multiset": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+    """,
+    "nullsafe_join_null_ordering": """
+        WITH keyed AS (
+            SELECT nullif(o_orderstatus, 'P') AS st,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        ),
+        dim AS (
+            SELECT nullif(s, 'P') AS st, label FROM (
+                VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending')
+            ) AS v(s, label)
+        )
+        SELECT k.st, k.n, d.label
+        FROM keyed k JOIN dim d ON k.st IS NOT DISTINCT FROM d.st
+        ORDER BY k.st NULLS FIRST
+    """,
     "agg_filter_clause": """
         SELECT o_orderstatus,
                CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
@@ -285,6 +432,11 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "recursive_cte_date_spine": recursive_cte_date_spine,
+    "lateral_topn_join": lateral_topn_join,
+    "group_by_all_shorthand": group_by_all_shorthand,
+    "set_ops_multiset": set_ops_multiset,
+    "nullsafe_join_null_ordering": nullsafe_join_null_ordering,
     "agg_filter_clause": agg_filter_clause,
     "agg_stats_exact": agg_stats_exact,
     "window_ntile_distribution": window_ntile_distribution,
