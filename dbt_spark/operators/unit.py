@@ -234,15 +234,24 @@ def run_unit_test(ctx: ExecutionContext, node: ManifestNode) -> tuple[str, str]:
             schema=actual_sel.schema,
         )
         n_expect = len(expect_rows)
-    # order-insensitive multiset diff (reference sorts then daff-diffs,
-    # task/test.py:441 list_rows_from_table(sort=True))
-    extra = actual_sel.exceptAll(expected_df)
-    absent = expected_df.exceptAll(actual_sel)
-    n_extra, n_absent = extra.count(), absent.count()
+    # order-insensitive multiset diff, DRIVER-side like the reference (it
+    # collects and sorts rows, then daff-diffs: task/test.py:441
+    # list_rows_from_table(sort=True) → :205-283). Unit-test relations are
+    # fixture-sized by definition, so collecting is bounded — and it replaces
+    # four distributed exceptAll/count jobs with two collect jobs.
+    from collections import Counter
+
+    def _canon(v):
+        if isinstance(v, float) and v != v:  # NaN: make it self-equal
+            return "NaN"
+        return v
+
+    act = Counter(tuple(_canon(v) for v in r) for r in actual_sel.collect())
+    exp = Counter(tuple(_canon(v) for v in r) for r in expected_df.collect())
+    extra, absent = act - exp, exp - act
+    n_extra, n_absent = sum(extra.values()), sum(absent.values())
     if n_extra or n_absent:
-        sample = [tuple(r) for r in extra.limit(3).collect()] + [
-            tuple(r) for r in absent.limit(3).collect()
-        ]
+        sample = list(extra.elements())[:3] + list(absent.elements())[:3]
         return (
             "fail",
             f"{n_extra} unexpected row(s), {n_absent} missing row(s); diff sample: {sample}",

@@ -341,6 +341,60 @@ def engine_run_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.read("main", "customer_orders")
 
 
+PYTHON_MODEL_PROJECT_FILES = {
+    "dbt_project.yml": "name: pyq\n",
+    "models/sources.yml": """
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        meta: {location: "__SF__/orders.parquet"}
+""",
+    "models/stg_orders.sql": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice\n"
+        "FROM {{ source('tpch', 'orders') }} WHERE o_custkey < 1000"
+    ),
+    "models/status_totals.py": """
+def model(dbt, session):
+    # `session` IS the SparkSession and dbt.ref() returns a DataFrame —
+    # the Spark build's native form of the reference's Python models
+    # (parser/models.py:188-236, providers.py:1566-1578 submit_python_job)
+    from pyspark.sql import functions as F
+
+    dbt.config(materialized="table")
+    stg = dbt.ref("stg_orders")
+    return (
+        stg.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+""",
+}
+
+
+def python_model_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Python model (`def model(dbt, session)`) through the REAL engine:
+    AST-parsed dbt.ref/dbt.config capture, DAG-linked after its SQL upstream,
+    executed natively on the SparkSession."""
+    from dbt_spark.runner import Engine
+
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_py_")
+    for rel, content in PYTHON_MODEL_PROJECT_FILES.items():
+        p = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content.replace("__SF__", sf_dir))
+    eng = Engine(tmp, spark=spark)
+    result = eng.invoke(["run"])
+    if not result.success:
+        raise RuntimeError(f"python model run failed: {[r.message for r in result.results]}")
+    return eng.store.read("main", "status_totals").orderBy("o_orderstatus")
+
+
 def snapshot_hard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 with hard_deletes='new_record' (reference: dbt_is_deleted meta
     column, v1/snapshot.py:35-42): v2 drops every 10th supplier, so those
@@ -377,8 +431,7 @@ sources:
   - name: corpus
     tables:
       - name: documents
-        external:
-          location: "__SF__/documents.parquet"
+        meta: {location: "__SF__/documents.parquet"}
 models:
   - name: doc_stats
 unit_tests:
@@ -427,10 +480,8 @@ def unit_test_fixture_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(p, "w") as f:
             f.write(content.replace("__SF__", sf_dir))
     eng = Engine(tmp, spark=spark)
-    rows = []
-    for ut in ("ut_doc_stats_pass", "ut_doc_stats_fail"):
-        r = eng.invoke(["test", "--select", ut])
-        rows.append((ut, r.results[0].status))
+    r = eng.invoke(["test", "--select", "ut_doc_stats_pass ut_doc_stats_fail"])
+    rows = [(x.unique_id.rsplit(".", 1)[-1], x.status) for x in r.results]
     return spark.createDataFrame(rows, "unit_test string, status string").orderBy(
         "unit_test"
     )
@@ -464,6 +515,14 @@ ORACLES: dict[str, str] = {
                md5(concat(CAST(s_suppkey AS VARCHAR), '|', '2020-06-01 00:00:00')),
                TIMESTAMP '{T2}', CAST(NULL AS TIMESTAMP), TRUE
         FROM dropped
+    """,
+    "python_model_run": """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders WHERE o_custkey < 1000
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "unit_test_fixture_diff": """
         SELECT * FROM (VALUES ('ut_doc_stats_fail', 'fail'),
@@ -593,4 +652,5 @@ QUERIES = {
     "engine_run_e2e": engine_run_e2e,
     "snapshot_hard_delete": snapshot_hard_delete,
     "unit_test_fixture_diff": unit_test_fixture_diff,
+    "python_model_run": python_model_run,
 }
