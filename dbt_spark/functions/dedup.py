@@ -155,16 +155,19 @@ def minhash_signatures(
     xxhash64 with the permutation index as a leading column gives num_perm
     independent hash families without any Python UDF."""
     sh = word_shingles(df, text_col, id_col, shingle_n)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    hashed = sh.select("id", "shingle", perms).withColumn(
-        "h", F.xxhash64(F.col("perm"), F.col("shingle"))
+    # num_perm independent min() buffers in ONE hash aggregate: map-side
+    # partials collapse each doc's shingles before the exchange, so the
+    # shuffle carries one num_perm-wide row per doc — vs the naive
+    # explode(perm)×shingle layout whose shuffle is num_perm× the shingle
+    # count (the dominant cost at corpus scale).
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(p), F.col("shingle"))).alias(f"mh{p}")
+            for p in range(num_perm)
+        ]
     )
-    return (
-        hashed.groupBy("id", "perm")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("s"))
-        .select("id", F.expr("transform(s, x -> x.mh)").alias("sig"))
+    return mins.select(
+        "id", F.array(*[f"mh{p}" for p in range(num_perm)]).alias("sig")
     )
 
 
@@ -247,29 +250,27 @@ def simhash_bands(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
         .withColumn("h", F.xxhash64("tok"))
     )
-    bits = tok.select(
-        "id",
-        F.explode(
-            F.expr("transform(sequence(0, 63), j -> struct(j AS j, "
-                   "CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END AS v))")
-        ).alias("x"),
-    ).select("id", "x.j", "x.v")
-    bitsum = bits.groupBy("id", "j").agg(F.sum("v").alias("s"))
-    bitvals = bitsum.withColumn("bit", (F.col("s") > 0).cast("int"))
-    return (
-        bitvals.withColumn("band", (F.col("j") / 16).cast("int"))
-        .withColumn("weight", F.expr("shiftleft(CAST(bit AS BIGINT), CAST(j % 16 AS INT))"))
-        .groupBy("id")
-        .pivot("band", [0, 1, 2, 3])
-        .sum("weight")
-        .select(
-            "id",
-            F.col("0").alias("band0"),
-            F.col("1").alias("band1"),
-            F.col("2").alias("band2"),
-            F.col("3").alias("band3"),
-        )
+    # 64 per-bit sums as independent aggregate buffers in ONE groupBy(id):
+    # shuffle carries one 64-column row per doc instead of 64× the token
+    # count (same rewrite as minhash_signatures — the explode(bit) layout
+    # multiplies exchange volume by the signature width).
+    bitsum = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(64)
+        ]
     )
+    band_cols = []
+    for band in range(4):
+        weight = None
+        for k in range(16):
+            j = band * 16 + k
+            term = F.when(F.col(f"s{j}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            weight = term if weight is None else weight + term
+        band_cols.append(weight.cast("bigint").alias(f"band{band}"))
+    return bitsum.select("id", *band_cols)
 
 
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
