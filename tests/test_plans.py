@@ -53,3 +53,47 @@ def test_training_pipeline_single_scan_no_udf(spark):
     assert len(scans) == 1, plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_minhash_signature_single_aggregate(spark):
+    """The minhash signature aggregate is ONE groupBy(id) with num_perm min
+    buffers — no explode over the permutation index, so the exchange carries
+    one signature row per doc (SCALE.md: MinHash LSH)."""
+    from dbt_spark.functions.dedup import minhash_signatures
+    from dbt_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR_MED, "documents")["documents"]
+    import re
+
+    plan = _formatted(minhash_signatures(docs, "text", "doc_id", num_perm=16))
+    assert "partial_min" in plan  # map-side combine before the shuffle
+    # shingle explode only — no permutation-index explode
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+
+
+def test_simhash_no_bit_explode(spark):
+    """SimHash runs 64 per-bit sums in one aggregate: no 64x bit Generate."""
+    from dbt_spark.functions.dedup import simhash_bands
+    from dbt_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR_MED, "documents")["documents"]
+    import re
+
+    plan = _formatted(simhash_bands(docs, "text", "doc_id"))
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1  # token explode only
+    assert "partial_sum" in plan
+
+
+def test_gaps_islands_single_shuffle_key(spark):
+    """Both window passes and the final aggregate share the user_id hash
+    partitioning — one exchange, reused across stages."""
+    import re
+
+    plan = _formatted(QUERIES["gaps_islands_sessions"](spark, SF_DIR_MED))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_pivot_native_single_pass(spark):
+    """Explicit pivot values -> no distinct-values pre-job; one aggregate."""
+    plan = _formatted(QUERIES["pivot_native"](spark, SF_DIR_MED))
+    assert "HashAggregate" in plan and "partial_pivotfirst" in plan.lower() or "pivotfirst" in plan.lower()
