@@ -66,12 +66,22 @@ HEADLINE = [
     "text_quality_score",
     "token_count",
     "ann_topk_bruteforce",
-    # round-2 SQL-surface extensions
+]
+
+# Round-2 additions, timed separately so `value` stays comparable across
+# rounds (same 48-query headline set as round 1).
+EXTENDED = [
     "agg_filter_clause",
     "agg_stats_exact",
     "gaps_islands_sessions",
     "window_ntile_distribution",
     "pivot_native",
+    "recursive_cte_date_spine",
+    "lateral_topn_join",
+    "token_count_bpe",
+    "decontamination_anti_join",
+    "pii_redaction",
+    "train_val_test_split",
 ]
 
 
@@ -103,6 +113,16 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
+
+    times_ext: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times_ext[name] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -110,6 +130,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_extended": times_ext,
                 "sf": sf,
                 "parse_2000_models": _bench_parse_2000(),
             }

@@ -19,6 +19,9 @@ from dbt_spark.functions.multimodal import attach_binary_payload, decode_media_m
 from dbt_spark.session import load_tables, spread
 
 STOP_ARR = "['" + "', '".join(X.STOPWORDS) + "']"
+# GPT-2-style pre-tokenizer classes as one regex, as a DuckDB SQL literal
+# (leading '' = escaped apostrophe: contraction suffixes bind to the word)
+_BPE_PATTERN_SQL = "'''[a-z]+|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+|\\s+'"
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 _TOKS_L = "string_split_regex(trim(lower(text)), '\\s+')"
 
@@ -217,6 +220,83 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization count: the GPT-2-style splitter classes
+    (letter runs / digit chunks / punctuation runs / whitespace) as a single
+    regex — the cheap proxy for 'how many BPE tokens will this doc cost'
+    without shipping a vocab. Codegen'd regexp_count, zero Python."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            r"regexp_count(text, '''[a-z]+|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+|\\s+')"
+        ).cast("bigint").alias("n_bpe_tokens"),
+        X.token_count("text").alias("n_ws_tokens"),
+    )
+
+
+def decontamination_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark decontamination: drop every training doc whose
+    fingerprint collides with a held-out benchmark set (here: every 97th doc
+    stands in for the benchmark). The shape is a fingerprint anti-join —
+    at 100 TB the benchmark side is tiny and broadcast, so the scan of the
+    corpus never shuffles."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", X.fingerprint("text", 8).alias("fp")
+    )
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("fp").distinct()
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(benchmark), "fp", "left_anti")
+        .select("doc_id")
+    )
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regexp_replace of emails/phone-shaped substrings with
+    typed placeholders — the standard pre-training privacy pass. Synthetic
+    PII is injected deterministically per doc so the redaction is checkable.
+    One projection, fully codegen'd."""
+    docs = _docs(spark, sf_dir)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("dirty_text"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\d{3}-\d{4}"
+    return dirty.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("dirty_text", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("clean_text"),
+        F.regexp_count("dirty_text", F.lit(email)).cast("bigint").alias("n_emails"),
+    )
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split: the split decision is a pure
+    function of md5(doc_id) (like corpus_weighted_sample) — reruns and
+    late-arriving shards land in the SAME split, no rand(), no global sort.
+    Returns per-(lang, split) counts."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.expr(
+        "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+    )
+    split = (
+        F.when(bucket < 13, "train").when(bucket < 14, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -295,6 +375,56 @@ _LANG_SCORES = ", ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "token_count_bpe": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    {_BPE_PATTERN_SQL}))
+                   AS BIGINT) AS n_bpe_tokens,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKS}) END AS BIGINT) AS n_ws_tokens
+        FROM documents
+    """,
+    "decontamination_anti_join": f"""
+        WITH fps AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_slice({_TOKS}, 1, 8), ' ')) AS fp
+            FROM documents
+        ),
+        bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0)
+        SELECT doc_id FROM fps
+        WHERE doc_id % 97 != 0 AND fp NOT IN (SELECT fp FROM bench)
+    """,
+    "pii_redaction": r"""
+        WITH dirty AS (
+            SELECT doc_id,
+                   substring(text, 1, 40) || ' reach user' ||
+                   CAST(doc_id AS VARCHAR) || '@example.com or 555-01' ||
+                   lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS dirty_text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(dirty_text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\d{3}-\d{4}', '<PHONE>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(dirty_text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS BIGINT) AS n_emails
+        FROM dirty
+    """,
+    "train_val_test_split": """
+        SELECT lang,
+               CASE WHEN strpos('0123456789abcdef',
+                         substring(md5(cast(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+                    THEN 'train'
+                    WHEN strpos('0123456789abcdef',
+                         substring(md5(cast(doc_id AS VARCHAR)), 1, 1)) - 1 < 14
+                    THEN 'val' ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY 1, 2 ORDER BY lang, split
+    """,
     "corpus_weighted_sample": """
         SELECT doc_id, lang, source
         FROM documents
@@ -534,6 +664,10 @@ QUERIES = {
     "token_count": token_count,
     "text_quality_score": text_quality_score,
     "lang_id_heuristic": lang_id_heuristic,
+    "token_count_bpe": token_count_bpe,
+    "decontamination_anti_join": decontamination_anti_join,
+    "pii_redaction": pii_redaction,
+    "train_val_test_split": train_val_test_split,
     "doc_fingerprint": doc_fingerprint,
     "rolling_hash_fingerprint": rolling_hash_fingerprint,
     "dedup_exact": dedup_exact,

@@ -42,6 +42,14 @@ def get_spark(app_name: str = "dbt_spark", *, extra_conf: dict | None = None) ->
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # Long sessions compile hundreds of whole-stage-codegen classes; the
+        # JVM's default 240 MB code cache fills, the JIT stops compiling, and
+        # late queries silently run interpreted (10-40x slower). A larger
+        # cache keeps codegen'd plans compiled for the whole session.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in (extra_conf or {}).items():
