@@ -313,7 +313,55 @@ def nullsafe_join_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# --------------------------------------------------------------------------
+# multi-format sources (SURVEY §2E scan row: parquet/csv/json connectors)
+# --------------------------------------------------------------------------
+
+def scan_multi_format_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same relation served from JSON and CSV connectors, unioned and
+    aggregated — proves the non-parquet source paths (spark.read.json/csv
+    with explicit schemas; headers, type casts) give byte-identical results.
+    Doubles survive the text round-trip exactly (shortest-repr writing)."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir, "events")
+    base = (
+        t["events"]
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "event_type", "value")
+    )
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_fmt_")
+    jdir, cdir = f"{tmp}/events_json", f"{tmp}/events_csv"
+    base.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").json(jdir)
+    base.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").option(
+        "header", True
+    ).csv(cdir)
+    schema = "event_id bigint, event_type string, value double"
+    j = spark.read.schema(schema).json(jdir)
+    c = spark.read.schema(schema).option("header", True).csv(cdir)
+    return (
+        j.unionByName(c)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+            F.min("event_id").cast("bigint").alias("min_id"),
+            F.max("event_id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "scan_multi_format_sources": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+               CAST(min(event_id) AS BIGINT) AS min_id,
+               CAST(max(event_id) AS BIGINT) AS max_id
+        FROM events WHERE event_id < 2000
+        GROUP BY event_type ORDER BY event_type
+    """,
     "recursive_cte_date_spine": """
         WITH RECURSIVE spine(n) AS (
             SELECT 0 UNION ALL SELECT n + 1 FROM spine WHERE n < 89
@@ -432,6 +480,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "scan_multi_format_sources": scan_multi_format_sources,
     "recursive_cte_date_spine": recursive_cte_date_spine,
     "lateral_topn_join": lateral_topn_join,
     "group_by_all_shorthand": group_by_all_shorthand,

@@ -341,6 +341,79 @@ def engine_run_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.read("main", "customer_orders")
 
 
+def clone_state_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dbt clone --state` (reference task/clone.py:19-99): prod builds a
+    relation; a dev target zero-copy clones it from prod's state artifacts —
+    catalog entry copied, data files shared (parquet analog of Delta SHALLOW
+    CLONE). Output = the cloned relation's content, never re-computed."""
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: clq\n",
+        "models/sources.yml": (
+            "sources:\n  - name: tpch\n    tables:\n      - name: orders\n"
+            '        meta: {location: "__SF__/orders.parquet"}\n'
+        ),
+        "models/big_spenders.sql": (
+            "{{ config(materialized='table') }}\n"
+            "select o_orderkey, o_custkey, o_totalprice\n"
+            "from {{ source('tpch', 'orders') }} where o_totalprice > 300000"
+        ),
+    }
+
+    def _mk(sub: str) -> str:
+        root = tempfile.mkdtemp(prefix=f"dbt_spark_clone_{sub}_")
+        for rel, content in files.items():
+            p = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "w") as f:
+                f.write(content.replace("__SF__", sf_dir))
+        return root
+
+    prod = Engine(_mk("prod"), spark=spark)
+    if not prod.invoke(["run"]).success:
+        raise RuntimeError("prod run failed")
+    dev = Engine(_mk("dev"), spark=spark)
+    r = dev.invoke(["clone", "--state", os.path.join(prod.project.root, "target")])
+    if not r.success:
+        raise RuntimeError(f"clone failed: {[x.message for x in r.results]}")
+    return dev.store.read("main", "big_spenders")
+
+
+def hooks_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pre/post hooks through the engine (reference safe_run_hooks,
+    task/run.py:868-976): the post-hook renders `{{ this }}` and records the
+    built relation's rowcount into an audit view the query then returns."""
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: hkq\n",
+        "models/sources.yml": (
+            "sources:\n  - name: tpch\n    tables:\n      - name: orders\n"
+            '        meta: {location: "__SF__/orders.parquet"}\n'
+        ),
+        "models/urgent_orders.sql": (
+            "{{ config(materialized='table', "
+            "post_hook=\"CREATE OR REPLACE TEMP VIEW hook_audit AS "
+            "SELECT 'urgent_orders' AS model_name, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM {{ this }}\") }}\n"
+            "select o_orderkey, o_orderpriority "
+            "from {{ source('tpch', 'orders') }} "
+            "where o_orderpriority = '1-URGENT'"
+        ),
+    }
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_hooks_")
+    for rel, content in files.items():
+        p = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content.replace("__SF__", sf_dir))
+    eng = Engine(tmp, spark=spark)
+    if not eng.invoke(["run"]).success:
+        raise RuntimeError("hooked run failed")
+    return spark.table("hook_audit")
+
+
 PYTHON_MODEL_PROJECT_FILES = {
     "dbt_project.yml": "name: pyq\n",
     "models/sources.yml": """
@@ -516,6 +589,15 @@ ORACLES: dict[str, str] = {
                TIMESTAMP '{T2}', CAST(NULL AS TIMESTAMP), TRUE
         FROM dropped
     """,
+    "clone_state_relations": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_totalprice > 300000
+    """,
+    "hooks_audit_trail": """
+        SELECT 'urgent_orders' AS model_name,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
     "python_model_run": """
         SELECT o_orderstatus,
                CAST(count(*) AS BIGINT) AS n_orders,
@@ -653,4 +735,6 @@ QUERIES = {
     "snapshot_hard_delete": snapshot_hard_delete,
     "unit_test_fixture_diff": unit_test_fixture_diff,
     "python_model_run": python_model_run,
+    "clone_state_relations": clone_state_relations,
+    "hooks_audit_trail": hooks_audit_trail,
 }
