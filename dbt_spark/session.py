@@ -59,6 +59,13 @@ def get_spark(app_name: str = "dbt_spark", *, extra_conf: dict | None = None) ->
     return spark
 
 
+#: (applicationId, path) -> analyzed scan DataFrame. Source scans of the
+#: immutable test tables are identical across queries; re-analyzing the same
+#: file per query costs ~100 ms of py4j/footer traffic each time. DataFrames
+#: are plans, not data — caching one is always safe for a read-only path.
+_scan_cache: dict[tuple[str, str], object] = {}
+
+
 def read_parquet(spark: SparkSession, path: str):
     """spark.read.parquet with timestamp[ns] columns restored to timestamps.
 
@@ -68,6 +75,13 @@ def read_parquet(spark: SparkSession, path: str):
     """
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
+
+    try:
+        cache_key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    except Exception:  # noqa: BLE001 — e.g. connect-only sessions
+        cache_key = None
+    if cache_key is not None and cache_key in _scan_cache:
+        return _scan_cache[cache_key]
 
     # self-configure: the DRIVER may hand us a vanilla session without this
     # flag, and TIMESTAMP(NANOS) parquet is otherwise an illegal type for
@@ -97,6 +111,8 @@ def read_parquet(spark: SparkSession, path: str):
                 )
     except Exception:
         pass  # non-pyarrow-readable layout: leave schema as Spark read it
+    if cache_key is not None:
+        _scan_cache[cache_key] = df
     return df
 
 
@@ -112,9 +128,22 @@ def spread(df, spark: SparkSession, target: int | None = None):
     paid on inputs small enough for it not to matter.
     """
     target = target or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # memoize per cached source scan (identity match — the partition-count
+    # probe costs a py4j RDD conversion per call otherwise)
+    key = next(
+        (
+            (app, f"spread{target}:" + p)
+            for (app, p), cached in _scan_cache.items()
+            if cached is df
+        ),
+        None,
+    )
+    if key is not None and key in _scan_cache:
+        return _scan_cache[key]
+    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    if key is not None:
+        _scan_cache[key] = out
+    return out
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
