@@ -32,6 +32,10 @@ def get_spark(app_name: str = "dbt_spark", *, extra_conf: dict | None = None) ->
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start shuffles wide and let AQE coalesce DOWN: big inputs get
+        # spill-free partition sizes, small inputs still collapse to a few
+        # tasks — the scale-proof alternative to a static partition count
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
