@@ -60,6 +60,39 @@ def streaming_ingest_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.store.read("main", "events_stream")
 
 
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a file stream: the same slice of
+    events lands TWICE (duplicate files across micro-batches); the stream
+    emits each event_id once, with state bounded by the 1-hour watermark
+    horizon instead of full-stream history. Final relation = DISTINCT events
+    slice — exactly SQL-expressible, so oracle-checked."""
+    from dbt_spark.streaming.stateful import streaming_dedup
+
+    events = (
+        read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "user_id", "ts", "value")
+        .filter(F.col("event_id") < 3000)
+    )
+    src = tempfile.mkdtemp(prefix="dbt_spark_ddsrc_")
+    out_dir = tempfile.mkdtemp(prefix="dbt_spark_ddout_")
+    ckpt = tempfile.mkdtemp(prefix="dbt_spark_ddckpt_")
+    events.coalesce(1).write.mode("append").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)  # exact duplicates
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    deduped = streaming_dedup(stream, ["event_id"], event_time="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("event_id", "user_id", "value")
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: a streaming_table model whose SQL joins the
     streaming source (events landing dir) against a static ref (customer
@@ -197,6 +230,9 @@ ORACLES = {
     "streaming_ingest_checkpoint": """
         SELECT event_id, user_id, ts, event_type, value FROM events
     """,
+    "stream_dedup_watermark": """
+        SELECT event_id, user_id, value FROM events WHERE event_id < 3000
+    """,
     # gaps-and-islands: a new session starts when the gap from the previous
     # event (per user) exceeds GAP_MIN; session_window's end = last_ts + gap
     "session_window_agg": f"""
@@ -226,6 +262,7 @@ ORACLES = {
 
 QUERIES = {
     "streaming_ingest_checkpoint": streaming_ingest_checkpoint,
+    "stream_dedup_watermark": stream_dedup_watermark,
     "stream_static_join": stream_static_join,
     "session_window_agg": session_window_agg_q,
     "tumbling_window_agg": tumbling_window_agg,
