@@ -615,21 +615,33 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema: the exists predicate is l_shipdate > o_orderdate — the testdata
     lacks commit/receipt dates).
 
-    Scale: left-semi join shuffles on orderkey once; the count-by-priority
-    aggregate is map-side combined (5 groups).
+    Scale: a literal semi-join can never broadcast here (the build side of a
+    left-semi is the filter side — the full lineitem), so it sort-merges both
+    inputs. Instead EXISTS(l_shipdate > o_orderdate) is rewritten as
+    max(l_shipdate) per order > o_orderdate: ONE lineitem hash aggregate
+    (map-side partials shrink the exchange to distinct orderkeys) and then a
+    broadcast inner join against the date-filtered orders (the small side) —
+    no lineitem sort, no orders shuffle.
     """
     t = load_tables(spark, sf_dir, "orders", "lineitem")
     orders = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    last_ship = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_shipdate"))
     )
-    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    # no broadcast hint: AQE broadcasts the date-filtered orders when its
+    # runtime size fits (true at any sane orders:window ratio) and falls back
+    # to a shuffled join when it doesn't — a forced hint would OOM at 100 TB
     return (
-        orders.join(
-            late,
-            (F.col("o_orderkey") == F.col("l_orderkey"))
-            & (F.col("l_shipdate") > F.col("o_orderdate")),
-            "left_semi",
+        last_ship.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("max_shipdate") > F.col("o_orderdate")),
+            "inner",
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
