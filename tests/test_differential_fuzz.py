@@ -1,0 +1,168 @@
+"""Differential fuzzing: seeded random relational queries, one shared ANSI
+SQL text per case, executed by BOTH Spark SQL and DuckDB and compared exactly.
+
+This extends the oracle gate from the hand-written inventory to a generated
+family: random conjunctive/disjunctive predicates, group keys, and aggregate
+sets over `orders`. Sums go through DECIMAL casts so every result is
+bit-deterministic regardless of partitioning (the same discipline as the
+declared inventory). Seeds are fixed — failures reproduce exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from dbt_spark.session import load_tables
+
+from tests.conftest import SF_DIR
+
+NUM_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+STR_COLS = {
+    "o_orderstatus": ["F", "O", "P"],
+    "o_orderpriority": [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ],
+}
+CMP = ["<", "<=", ">", ">=", "=", "!="]
+
+
+def _atom(rng: random.Random) -> str:
+    kind = rng.randrange(3)
+    if kind == 0:
+        col = rng.choice(NUM_COLS)
+        bound = {
+            "o_orderkey": rng.randrange(1, 60000),
+            "o_custkey": rng.randrange(1, 1500),
+            "o_totalprice": rng.randrange(1000, 400000),
+        }[col]
+        return f"{col} {rng.choice(CMP)} {bound}"
+    if kind == 1:
+        col = rng.choice(list(STR_COLS))
+        vals = rng.sample(STR_COLS[col], rng.randrange(1, len(STR_COLS[col])))
+        quoted = ", ".join(f"'{v}'" for v in vals)
+        return f"{col} IN ({quoted})"
+    year = rng.randrange(1993, 1999)
+    return f"o_orderdate {rng.choice(['<', '>='])} TIMESTAMP '{year}-07-01 00:00:00'"
+
+
+def _gen_sql(seed: int) -> str:
+    rng = random.Random(seed)
+    atoms = [_atom(rng) for _ in range(rng.randrange(1, 4))]
+    glue = " AND " if rng.random() < 0.6 else " OR "
+    where = glue.join(atoms)
+
+    key_pool = ["o_orderstatus", "o_orderpriority", "year(o_orderdate)"]
+    keys = rng.sample(key_pool, rng.randrange(0, 3))
+    key_aliases = [f"k{i}" for i in range(len(keys))]
+
+    agg_pool = [
+        "CAST(count(*) AS BIGINT) AS n",
+        "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust",
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key",
+        "CAST(max(o_custkey) AS BIGINT) AS max_cust",
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total",
+        "CAST(min(o_orderdate) AS TIMESTAMP) AS first_date",
+    ]
+    aggs = rng.sample(agg_pool, rng.randrange(1, 4))
+
+    select_keys = [
+        # STRING: shared spelling (Spark rejects bare VARCHAR; DuckDB aliases
+        # STRING to VARCHAR)
+        f"CAST({k} AS {'BIGINT' if 'year' in k else 'STRING'}) AS {a}"
+        for k, a in zip(keys, key_aliases)
+    ]
+    select = ", ".join(select_keys + aggs)
+    sql = f"SELECT {select} FROM orders WHERE {where}"
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+    return sql
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        return str(v)
+
+    return sorted(tuple(cell(v) for v in row)
+                  for row in df[cols].itertuples(index=False))
+
+
+def _gen_join_window_sql(seed: int) -> str:
+    """Random join type + window function over orders⋈customer."""
+    rng = random.Random(seed)
+    jtype = rng.choice(["JOIN", "LEFT JOIN", "LEFT SEMI JOIN", "LEFT ANTI JOIN"])
+    where = _atom(rng)
+    if "SEMI" in jtype or "ANTI" in jtype:
+        return (
+            f"SELECT o_orderkey, o_custkey FROM orders {jtype} customer "
+            f"ON o_custkey = c_custkey WHERE {where}"
+        )
+    wfn = rng.choice(
+        [
+            "ROW_NUMBER()",
+            "RANK()",
+            "running_sum",
+            "LAG(o_orderkey) OVER (PARTITION BY c_mktsegment ORDER BY o_orderkey)",
+        ]
+    )
+    if wfn == "running_sum":
+        # NOTE: stays DOUBLE — CAST(double AS BIGINT) truncates in Spark but
+        # rounds in DuckDB (a true dialect divergence this fuzzer surfaced)
+        expr = (
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+            "(PARTITION BY c_mktsegment ORDER BY o_orderkey "
+            "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS w"
+        )
+    else:
+        if wfn in ("ROW_NUMBER()", "RANK()"):
+            wfn += " OVER (PARTITION BY c_mktsegment ORDER BY o_orderkey)"
+        expr = f"CAST({wfn} AS BIGINT) AS w"
+    return (
+        f"SELECT o_orderkey, c_mktsegment, {expr} "
+        f"FROM orders {jtype} customer ON o_custkey = c_custkey WHERE {where}"
+    )
+
+
+def _duck(con, sql: str):
+    # DuckDB spells semi/anti without LEFT prefix ambiguity the same way —
+    # both engines accept LEFT SEMI/ANTI? DuckDB uses SEMI/ANTI keywords.
+    return con.sql(sql.replace("LEFT SEMI JOIN", "SEMI JOIN")
+                      .replace("LEFT ANTI JOIN", "ANTI JOIN")).df()
+
+
+def _run_case(spark, sql: str, seed: int) -> None:
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(SF_DIR, f'{t}.parquet')}'"
+        )
+    got = spark.sql(sql).toPandas()
+    want = _duck(con, sql)
+    assert sorted(got.columns) == sorted(want.columns), sql
+    assert _canon(got) == _canon(want), f"seed={seed}: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_differential_random_query(spark, seed):
+    load_tables(spark, SF_DIR, "orders")
+    _run_case(spark, _gen_sql(seed), seed)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_differential_join_window(spark, seed):
+    load_tables(spark, SF_DIR, "orders", "customer")
+    _run_case(spark, _gen_join_window_sql(seed), seed)
