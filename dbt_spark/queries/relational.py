@@ -494,11 +494,39 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch values are engine-specific → rows-only; the oracle-checked
+    companion is approx_distinct_bounded below."""
     t = load_tables(spark, sf_dir, "lineitem")
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    )
+
+
+def approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct verified against its own contract: the output is
+    the EXACT distinct count plus a flag that the HLL++ estimate (rsd=0.02)
+    landed within a 4-sigma 8% band — so the approximate operator IS
+    oracle-checked (the oracle states the flag must be true), without
+    hash-comparing sketch internals across engines."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= F.col("exact_parts") * 0.08
+            ).alias("within_bound"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
@@ -1182,6 +1210,12 @@ ORACLES: dict[str, str] = {
         FROM orders WHERE o_custkey < 100
         GROUP BY o_custkey ORDER BY o_custkey
     """,
+    "approx_distinct_bounded": """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "join_skew_salted": """
         SELECT upper(event_type) AS label,
                CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1639,6 +1673,7 @@ QUERIES = {
     "agg_bitwise_stringagg": agg_bitwise_stringagg,
     "regexp_extract_ops": regexp_extract_ops,
     "agg_array_collect": agg_array_collect,
+    "approx_distinct_bounded": approx_distinct_bounded,
     "grouping_sets_agg": grouping_sets_agg,
     "join_asof": join_asof,
     "join_range": join_range,
