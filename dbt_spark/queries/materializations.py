@@ -341,6 +341,60 @@ def engine_run_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.read("main", "customer_orders")
 
 
+def contract_enforced_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model contracts (reference v1/config.py:33-36, build_contract_checksum
+    nodes.py:637): a conforming model materializes; a sibling that violates
+    its declared schema is REJECTED and leaves no relation. Output = the
+    conforming model + one row per model recording the enforcement verdict...
+    expressed as columns so the oracle can state it."""
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: ctq\n",
+        "models/sources.yml": (
+            "sources:\n  - name: tpch\n    tables:\n      - name: nation\n"
+            '        meta: {location: "__SF__/nation.parquet"}\n'
+            "models:\n"
+            "  - name: nations_ok\n"
+            "    config: {contract: {enforced: true}, materialized: table}\n"
+            "    columns:\n"
+            "      - {name: n_nationkey, data_type: bigint}\n"
+            "      - {name: n_name, data_type: string}\n"
+            "  - name: nations_bad\n"
+            "    config: {contract: {enforced: true}, materialized: table}\n"
+            "    columns:\n"
+            "      - {name: n_nationkey, data_type: bigint}\n"
+            "      - {name: n_name, data_type: string}\n"
+        ),
+        "models/nations_ok.sql": (
+            "select cast(n_nationkey as bigint) as n_nationkey, n_name "
+            "from {{ source('tpch', 'nation') }}"
+        ),
+        # violates the contract: extra undeclared column + missing n_name
+        "models/nations_bad.sql": (
+            "select cast(n_nationkey as bigint) as n_nationkey, "
+            "1.5 as surprise from {{ source('tpch', 'nation') }}"
+        ),
+    }
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_ctr_")
+    for rel, content in files.items():
+        p = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content.replace("__SF__", sf_dir))
+    eng = Engine(tmp, spark=spark)
+    ok = eng.invoke(["run", "--select", "nations_ok"])
+    bad = eng.invoke(["run", "--select", "nations_bad"])
+    if not ok.success or bad.success:
+        raise RuntimeError("contract enforcement behaved unexpectedly")
+    built = eng.store.read("main", "nations_ok")
+    rejected = eng.store.get("main", "nations_bad") is None
+    return built.select(
+        "n_nationkey", "n_name",
+        F.lit(bool(rejected)).alias("bad_model_rejected"),
+    )
+
+
 def clone_state_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`dbt clone --state` (reference task/clone.py:19-99): prod builds a
     relation; a dev target zero-copy clones it from prod's state artifacts —
@@ -589,6 +643,11 @@ ORACLES: dict[str, str] = {
                TIMESTAMP '{T2}', CAST(NULL AS TIMESTAMP), TRUE
         FROM dropped
     """,
+    "contract_enforced_model": """
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               TRUE AS bad_model_rejected
+        FROM nation
+    """,
     "clone_state_relations": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_totalprice > 300000
@@ -735,6 +794,7 @@ QUERIES = {
     "snapshot_hard_delete": snapshot_hard_delete,
     "unit_test_fixture_diff": unit_test_fixture_diff,
     "python_model_run": python_model_run,
+    "contract_enforced_model": contract_enforced_model,
     "clone_state_relations": clone_state_relations,
     "hooks_audit_trail": hooks_audit_trail,
 }
