@@ -166,3 +166,43 @@ def test_differential_random_query(spark, seed):
 def test_differential_join_window(spark, seed):
     load_tables(spark, SF_DIR, "orders", "customer")
     _run_case(spark, _gen_join_window_sql(seed), seed)
+
+
+def _gen_setop_grouping_sql(seed: int) -> str:
+    """Random set operations and grouping-set shapes."""
+    rng = random.Random(seed)
+    if rng.random() < 0.5:
+        op = rng.choice(
+            ["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+             "INTERSECT ALL", "EXCEPT ALL"]
+        )
+        a, b = _atom(rng), _atom(rng)
+        return (
+            f"SELECT o_custkey FROM orders WHERE {a} "
+            f"{op} "
+            f"SELECT o_custkey FROM orders WHERE {b}"
+        )
+    shape = rng.choice(
+        [
+            "ROLLUP (o_orderstatus, o_orderpriority)",
+            "CUBE (o_orderstatus, o_orderpriority)",
+            "GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+        ]
+    )
+    # Known dialect divergence (fuzzer-surfaced): on an EMPTY input, the
+    # grand-total grouping set yields one NULL/0 row in DuckDB (SQL standard)
+    # but zero rows in Spark. Keep the input provably non-empty so the fuzz
+    # compares the shared semantics, not that documented edge.
+    where = f"(o_orderkey >= {rng.randrange(1, 1000)} OR {_atom(rng)})"
+    return (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        f"FROM orders WHERE {where} GROUP BY {shape}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_setop_grouping(spark, seed):
+    load_tables(spark, SF_DIR, "orders")
+    _run_case(spark, _gen_setop_grouping_sql(seed), seed)
