@@ -226,6 +226,20 @@ def orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orderby_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT + OFFSET pagination (deterministic: total order via unique
+    tie-break). At scale a TakeOrderedAndProject keeps only offset+limit rows
+    per partition — no global sort materialization."""
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(20)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
 # --------------------------------------------------------------------------
 # window functions
 # --------------------------------------------------------------------------
@@ -1210,6 +1224,11 @@ ORACLES: dict[str, str] = {
         FROM orders WHERE o_custkey < 100
         GROUP BY o_custkey ORDER BY o_custkey
     """,
+    "orderby_limit_offset": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 20
+    """,
     "approx_distinct_bounded": """
         SELECT l_returnflag,
                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -1674,6 +1693,7 @@ QUERIES = {
     "regexp_extract_ops": regexp_extract_ops,
     "agg_array_collect": agg_array_collect,
     "approx_distinct_bounded": approx_distinct_bounded,
+    "orderby_limit_offset": orderby_limit_offset,
     "grouping_sets_agg": grouping_sets_agg,
     "join_asof": join_asof,
     "join_range": join_range,
