@@ -213,3 +213,46 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
         ]
     )
     return df.mapInPandas(batches, schema=schema)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.LongType()),
+        T.StructField("win_off", T.LongType()),
+        T.StructField("win_len", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+    ]
+)
+
+
+def audio_windows(df: DataFrame, window_bytes: int = 256) -> DataFrame:
+    """Audio windowing: one clip fans out to one row per fixed-size PCM
+    window with a per-window energy statistic — the framing step of any
+    audio feature pipeline (VAD, fingerprinting, spectrogram batching).
+
+    STUB kernel: the payload is treated as 8-bit PCM and the statistic is the
+    integer sum of sample bytes per window (a real deployment decodes the
+    container and computes RMS/spectral energy in the same 1→N mapInPandas
+    shape). Integer-exact → DuckDB-oracle checkable; bounded memory: windows
+    stream out per Arrow batch, never a whole clip's window list at once."""
+
+    def batches(it):
+        import pandas as _pd
+
+        w = window_bytes
+        for pdf in it:
+            out = {"doc_id": [], "win_idx": [], "win_off": [], "win_len": [],
+                   "byte_sum": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(blob)
+                for idx in range((len(b) + w - 1) // w):
+                    chunk = b[idx * w:(idx + 1) * w]
+                    out["doc_id"].append(int(doc_id))
+                    out["win_idx"].append(idx)
+                    out["win_off"].append(idx * w)
+                    out["win_len"].append(len(chunk))
+                    out["byte_sum"].append(int(sum(chunk)))
+            yield _pd.DataFrame(out, dtype="int64")
+
+    return df.mapInPandas(batches, schema=AUDIO_WINDOW_SCHEMA)

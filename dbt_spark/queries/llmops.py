@@ -336,6 +336,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(payload, every_n=5).orderBy("doc_id", "frame_idx")
 
 
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio clip → fixed-size PCM windows with per-window energy (1→N
+    mapInPandas fan-out like frame sampling; integer byte-sum statistic is
+    exactly restatable over the utf-8 payload in SQL)."""
+    from dbt_spark.functions.multimodal import audio_windows
+
+    payload = attach_binary_payload(_docs_raw(spark, sf_dir)).filter(
+        F.col("media_type") == "audio/wav"
+    )
+    return audio_windows(payload, window_bytes=256).orderBy("doc_id", "win_idx")
+
+
 def multimodal_resize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """resize (binary→binary) chained into feature extraction
     (binary→array<float>) — the two-stage media pipeline shape; rows-only
@@ -629,6 +641,25 @@ ORACLES: dict[str, str] = {
               FROM scored) t
         WHERE rank <= 5
     """,
+    "multimodal_audio_windows": """
+        WITH a AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        w AS (
+            SELECT doc_id, text, n, widx
+            FROM a, unnest(generate_series(0, (n + 255) // 256 - 1)) AS t(widx)
+        )
+        SELECT doc_id,
+               CAST(widx AS BIGINT) AS win_idx,
+               CAST(widx * 256 AS BIGINT) AS win_off,
+               CAST(least(256, n - widx * 256) AS BIGINT) AS win_len,
+               CAST((SELECT COALESCE(SUM(ascii(substring(text, widx * 256 + i, 1))), 0)
+                     FROM unnest(generate_series(1, least(256, n - widx * 256))) AS s(i))
+                   AS BIGINT) AS byte_sum
+        FROM w
+        ORDER BY doc_id, win_idx
+    """,
     "multimodal_frame_sample": """
         WITH v AS (
             SELECT doc_id, octet_length(encode(text)) AS n
@@ -683,6 +714,7 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_lsh": ann_topk_lsh,
     "multimodal_decode_meta": multimodal_decode_meta,
+    "multimodal_audio_windows": multimodal_audio_windows,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize_embed": multimodal_resize_embed,
 }
