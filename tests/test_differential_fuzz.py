@@ -206,3 +206,53 @@ def _gen_setop_grouping_sql(seed: int) -> str:
 def test_differential_setop_grouping(spark, seed):
     load_tables(spark, SF_DIR, "orders")
     _run_case(spark, _gen_setop_grouping_sql(seed), seed)
+
+
+def _gen_scalar_expr(rng: random.Random, depth: int = 0) -> str:
+    """Random scalar string expression over o_orderpriority/o_orderstatus —
+    dialect-shared function spellings only."""
+    base = rng.choice(["o_orderpriority", "o_orderstatus"])
+    if depth >= 2 or rng.random() < 0.3:
+        return base
+    inner = _gen_scalar_expr(rng, depth + 1)
+    return rng.choice(
+        [
+            f"upper({inner})",
+            f"lower({inner})",
+            f"trim({inner})",
+            f"reverse({inner})",
+            f"substring({inner}, 1, {rng.randrange(1, 6)})",
+            f"replace({inner}, '-', '_')",
+            f"concat({inner}, '|', o_orderstatus)",
+            f"lpad({inner}, {rng.randrange(8, 14)}, '*')",
+            f"left({inner}, {rng.randrange(1, 5)})",
+        ]
+    )
+
+
+def _gen_scalar_sql(seed: int) -> str:
+    rng = random.Random(seed)
+    e1 = _gen_scalar_expr(rng)
+    date_expr = rng.choice(
+        [
+            "CAST(year(o_orderdate) AS BIGINT)",
+            "CAST(month(o_orderdate) AS BIGINT)",
+            "CAST(day(o_orderdate) AS BIGINT)",
+            "CAST(length(o_orderpriority) AS BIGINT)",
+            "CAST(ascii(o_orderstatus) AS BIGINT)",
+        ]
+    )
+    # NOTE: no round() over DECIMAL ties here — Spark rounds decimals
+    # HALF_UP, DuckDB HALF_EVEN (x.xx5 diverges); exact decimal arithmetic
+    # cast to double is tie-free.
+    return (
+        f"SELECT o_orderkey, {e1} AS s, {date_expr} AS n, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS frac "
+        f"FROM orders WHERE {_atom(rng)}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_differential_scalar_funcs(spark, seed):
+    load_tables(spark, SF_DIR, "orders")
+    _run_case(spark, _gen_scalar_sql(seed), seed)
