@@ -313,6 +313,22 @@ def nullsafe_join_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic: date + INTERVAL, month truncation,
+    day-difference to an anchor, month addition — the date-spine/microbatch
+    building blocks (reference microbatch.py:123-193 timestamp math)."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderkey,
+               o_orderdate + INTERVAL 30 DAYS AS due_date,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(datediff(TIMESTAMP '1998-08-01 00:00:00', o_orderdate)
+                    AS BIGINT) AS days_to_anchor,
+               CAST(add_months(o_orderdate, 3) AS TIMESTAMP) AS plus_quarter
+        FROM orders WHERE o_custkey < 300
+    """)
+
+
 # --------------------------------------------------------------------------
 # multi-format sources (SURVEY §2E scan row: parquet/csv/json connectors)
 # --------------------------------------------------------------------------
@@ -353,6 +369,15 @@ def scan_multi_format_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "interval_arithmetic": """
+        SELECT o_orderkey,
+               o_orderdate + INTERVAL 30 DAY AS due_date,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(datediff('day', o_orderdate, TIMESTAMP '1998-08-01 00:00:00')
+                    AS BIGINT) AS days_to_anchor,
+               o_orderdate + INTERVAL 3 MONTH AS plus_quarter
+        FROM orders WHERE o_custkey < 300
+    """,
     "scan_multi_format_sources": """
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n,
@@ -480,6 +505,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "interval_arithmetic": interval_arithmetic,
     "scan_multi_format_sources": scan_multi_format_sources,
     "recursive_cte_date_spine": recursive_cte_date_spine,
     "lateral_topn_join": lateral_topn_join,
