@@ -82,6 +82,12 @@ EXTENDED = [
     "decontamination_anti_join",
     "pii_redaction",
     "train_val_test_split",
+    "orderby_limit_offset",
+    "approx_distinct_bounded",
+    "interval_arithmetic",
+    "nullsafe_join_null_ordering",
+    "set_ops_multiset",
+    "group_by_all_shorthand",
 ]
 
 
