@@ -241,9 +241,19 @@ def run_unit_test(ctx: ExecutionContext, node: ManifestNode) -> tuple[str, str]:
     # four distributed exceptAll/count jobs with two collect jobs.
     from collections import Counter
 
+    _NAN = object()  # dedicated sentinel — a genuine string cell 'NaN' must not collide
+
     def _canon(v):
         if isinstance(v, float) and v != v:  # NaN: make it self-equal
-            return "NaN"
+            return _NAN
+        # Row values for array/map columns arrive as Python lists/dicts —
+        # unhashable inside a Counter key; canonicalize recursively.
+        if isinstance(v, (list, tuple)):
+            return tuple(_canon(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+        if hasattr(v, "asDict"):  # nested Row (struct column)
+            return tuple(sorted((k, _canon(x)) for k, x in v.asDict().items()))
         return v
 
     act = Counter(tuple(_canon(v) for v in r) for r in actual_sel.collect())

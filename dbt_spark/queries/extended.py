@@ -168,13 +168,18 @@ def pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     value list keeps it one pass (no distinct-values pre-query) and a stable
     output schema — mandatory at scale."""
     t = load_tables(spark, sf_dir, "orders")
-    return (
+    pivoted = (
         t["orders"]
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)).cast("bigint"))
-        .orderBy("o_orderpriority")
     )
+    # Spark yields NULL for a (priority, status) cell with no rows; SQL's
+    # count(*) FILTER yields 0 — coalesce so the semantics match on sparse data.
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    ).orderBy("o_orderpriority")
 
 
 # --------------------------------------------------------------------------
@@ -473,7 +478,13 @@ ORACLES: dict[str, str] = {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
-    "gaps_islands_sessions": _GAPS_SQL.format(EPOCH="epoch(ts)"),
+    # NOTE: DuckDB's epoch(ts) is a fractional DOUBLE (microseconds kept);
+    # Spark's unix_timestamp truncates to whole seconds. floor() both sides to
+    # the same integer so the 1800 s boundary predicate is identical — without
+    # it a true gap in (1800, 1801) s diverges between the engines.
+    "gaps_islands_sessions": _GAPS_SQL.format(
+        EPOCH="CAST(floor(epoch(ts)) AS BIGINT)"
+    ),
     "pivot_native": """
         SELECT o_orderpriority,
                CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",

@@ -508,13 +508,31 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch values are engine-specific → rows-only; the oracle-checked
-    companion is approx_distinct_bounded below."""
+    """approx_count_distinct at the DEFAULT precision (rsd=0.05), verified by
+    contract: HLL++ sketch estimates are engine-specific, so instead of
+    hash-comparing the raw estimate across engines the output carries the
+    exact distinct count plus a flag that the estimate landed inside a
+    4-sigma 20% band. The oracle asserts the flag is true, which makes the
+    approximate operator itself driver-checkable (mirrors
+    approx_distinct_bounded, which exercises the tuned rsd=0.02 path on a
+    different column)."""
     t = load_tables(spark, sf_dir, "lineitem")
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("exact_supps"),
+            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_supps",
+            (
+                F.abs(F.col("approx_supps") - F.col("exact_supps"))
+                <= F.col("exact_supps") * 0.20
+            ).alias("within_bound"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
@@ -1274,8 +1292,12 @@ ORACLES: dict[str, str] = {
           ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY band
     """,
-    # approx_distinct: intentionally no oracle (approximate by construction;
-    # driver records rows-only check).
+    "approx_distinct": """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+               TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "join_full_outer": """
         SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
                COALESCE(n_customers, 0) AS n_customers,

@@ -110,6 +110,49 @@ unit_tests:
     assert "unexpected row" in r.results[0].message
 
 
+def test_unit_test_array_map_columns(feat, project_dir):
+    """Array/map-typed model output must not crash the driver-side multiset
+    diff (Row cells arrive as unhashable Python lists/dicts) — ADVICE r2."""
+    eng, pdir = feat
+    with open(os.path.join(pdir, "models", "arrmodel.sql"), "w") as f:
+        f.write(
+            "select o_orderkey, array(o_orderkey, o_orderkey * 2) as pair, "
+            "map('k', o_orderkey) as kv, "
+            "case when o_orderkey > 1 then cast(null as array<bigint>) "
+            "     else array(o_orderkey) end as maybe_null_arr "
+            "from {{ source('tpch','orders') }}"
+        )
+    with open(os.path.join(pdir, "models", "sources.yml"), "a") as f:
+        f.write("""
+unit_tests:
+  - name: ut_array_ok
+    model: arrmodel
+    given:
+      - input: source('tpch', 'orders')
+        rows:
+          - {o_orderkey: 1}
+          - {o_orderkey: 2}
+    expect:
+      rows:
+        - {o_orderkey: 1, pair: [1, 2], kv: {k: 1}, maybe_null_arr: [1]}
+        - {o_orderkey: 2, pair: [2, 4], kv: {k: 2}, maybe_null_arr: null}
+  - name: ut_array_wrong
+    model: arrmodel
+    given:
+      - input: source('tpch', 'orders')
+        rows:
+          - {o_orderkey: 1}
+    expect:
+      rows:
+        - {o_orderkey: 1, pair: [9, 9], kv: {k: 1}, maybe_null_arr: [1]}
+""")
+    r = eng.invoke(["test", "--select", "ut_array_ok"])
+    assert r.success and r.results[0].status == "pass", r.results[0].message
+    r = eng.invoke(["test", "--select", "ut_array_wrong"])
+    assert not r.success and r.results[0].status == "fail"
+    assert "unexpected row" in r.results[0].message
+
+
 def test_unit_test_blocks_model_in_build(feat):
     eng, pdir = feat
     with open(os.path.join(pdir, "models", "sources.yml"), "a") as f:

@@ -96,4 +96,6 @@ def test_gaps_islands_single_shuffle_key(spark):
 def test_pivot_native_single_pass(spark):
     """Explicit pivot values -> no distinct-values pre-job; one aggregate."""
     plan = _formatted(QUERIES["pivot_native"](spark, SF_DIR_MED))
-    assert "HashAggregate" in plan and "partial_pivotfirst" in plan.lower() or "pivotfirst" in plan.lower()
+    assert "HashAggregate" in plan and (
+        "partial_pivotfirst" in plan.lower() or "pivotfirst" in plan.lower()
+    )

@@ -59,9 +59,11 @@ def _has_list_cells(df: pd.DataFrame) -> bool:
     `unhashable type: 'list'` on array-typed cells — flag those outputs."""
     for col in df.columns:
         if df[col].dtype == object and len(df):
-            v = df[col].iloc[0]
-            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-                return True
+            # Row 0 may be None (or only later rows hold arrays) — inspect the
+            # first few non-null values, not just the first row.
+            for v in df[col].dropna().head(5):
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                    return True
     return False
 
 
