@@ -345,7 +345,7 @@ def link_semantic_graph(manifest) -> None:
     errors (semantic-manifest validation, core/dbt/parser/manifest.py:480-482;
     metric graph edges: TestMetricDependsOn in tests/functional/metrics).
     """
-    from dbt_spark.plans.graph import NodeType  # local import avoids a cycle
+    from dbt_spark.plans.manifest import NodeType  # local import avoids a cycle
 
     semantic_models = [
         n for n in manifest.nodes.values()

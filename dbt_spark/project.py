@@ -405,6 +405,11 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
             parse_project(sub, cache=None, manifest=manifest)
         _inject_plugin_nodes(project, manifest)
         _resolve_depends_on(manifest)
+        # semantic-manifest cross-checks: metric→measure→semantic-model and
+        # saved-query→metric references become DAG edges; dangling ones raise
+        from dbt_spark.plans.semantic import link_semantic_graph
+
+        link_semantic_graph(manifest)
     return manifest
 
 
@@ -698,6 +703,8 @@ def _parse_metadata_nodes(doc: dict, project: Project, manifest: Manifest, rel: 
     metadata-only leaf nodes (parsers
     core/dbt/parser/schema_yaml_readers.py:85,189,511,739,476). They join the
     DAG (refs captured) but never execute."""
+    from dbt_spark.plans.semantic import validate_entry
+
     sections = {
         "exposures": NodeType.Exposure,
         "metrics": NodeType.Metric,
@@ -707,6 +714,10 @@ def _parse_metadata_nodes(doc: dict, project: Project, manifest: Manifest, rel: 
     }
     for section, ntype in sections.items():
         for entry in doc.get(section, []) or []:
+            # typed validation BEFORE node creation: required fields, enum
+            # membership, name shape (plans/semantic.py mirrors the
+            # reference's YAML-reader checks)
+            validate_entry(section, entry)
             name = entry["name"]
             node = ManifestNode(
                 unique_id=f"{ntype.value}.{project.name}.{name}",

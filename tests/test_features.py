@@ -954,10 +954,21 @@ def test_version_and_metadata_selector_methods(project_dir, spark):
         "models/meta.yml": """
 exposures:
   - name: dash
+    type: dashboard
+    owner: {name: Analytics}
     depends_on: ["ref('plain')"]
+semantic_models:
+  - name: sem_plain
+    model: "ref('plain')"
+    measures:
+      - name: row_ct
+        agg: sum
+        expr: 1
 metrics:
   - name: n_rows
-    model: "ref('plain')"
+    label: Row count
+    type: simple
+    type_params: {measure: row_ct}
 unit_tests:
   - name: ut_plain
     model: plain

@@ -97,12 +97,24 @@ def test_metadata_nodes_parse_and_noop(tmp_path, spark):
     files["models/semantic.yml"] = """
 exposures:
   - name: finance_dashboard
+    type: dashboard
+    owner: {email: fin@example.com}
     depends_on: ["ref('order_rollup')"]
+semantic_models:
+  - name: sem_orders
+    model: "ref('order_rollup')"
+    measures:
+      - name: n_orders
+        agg: sum
+        expr: 1
 metrics:
   - name: order_count
-    model: "ref('order_rollup')"
+    label: Order count
+    type: simple
+    type_params: {measure: n_orders}
 groups:
   - name: core_team
+    owner: {name: Core}
 """
     pdir = _mk(tmp_path, "meta", files)
     eng = Engine(pdir, spark=spark)
