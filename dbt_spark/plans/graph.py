@@ -182,6 +182,24 @@ def _changed_macros(state: dict) -> frozenset[str]:
     return result
 
 
+def _metadata_artifact(node: ManifestNode) -> Optional[dict]:
+    """The node's manifest.json section entry (exposures/metrics/groups/
+    semantic_models/saved_queries/unit_tests) — the content-comparison unit
+    for state:modified on non-checksummed node types."""
+    from dbt_spark.plans.manifest import Manifest
+
+    m = Manifest(project_name=node.package_name)
+    store = m.sources if node.resource_type == NodeType.Source else m.nodes
+    store[node.unique_id] = node
+    doc = m.writable()
+    for sec in ("sources", "exposures", "metrics", "groups", "semantic_models",
+                "saved_queries", "unit_tests"):
+        entry = doc.get(sec, {}).get(node.unique_id)
+        if entry is not None:
+            return entry
+    return None
+
+
 VERSION_RE = re.compile(r"^(?P<base>.+)_v(?P<k>\d+)$")
 
 
@@ -234,9 +252,16 @@ def _match_method(
                          "modified.macros"):
                 if old is None:
                     return True
-                if value in ("modified", "modified.body") and old.get(
-                    "checksum"
-                ) != node.checksum():
+                if "checksum" not in old:
+                    # semantic-layer / unit-test section entries carry no
+                    # checksum — the reference compares parsed content
+                    # (selector_methods.py same_contents); compare the
+                    # artifact dicts directly
+                    return _metadata_artifact(node) != old
+                old_ck = old.get("checksum")
+                if isinstance(old_ck, dict):  # v12 FileHash object form
+                    old_ck = old_ck.get("checksum")
+                if value in ("modified", "modified.body") and old_ck != node.checksum():
                     return True
                 if value in ("modified", "modified.configs"):
                     new_cfg = {

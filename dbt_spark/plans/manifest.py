@@ -193,38 +193,326 @@ class Manifest:
         return None
 
     def writable(self) -> dict:
-        """manifest.json-style artifact (schema-compatible subset of v12)."""
+        """manifest.json artifact, jsonschema-valid against the reference's
+        published v12 schema (/root/reference/schemas/dbt/manifest/v12.json;
+        validated by tests/test_artifacts.py). Semantic-layer nodes route to
+        their own top-level sections like the reference writer
+        (core/dbt/contracts/graph/manifest.py WritableManifest)."""
+        from datetime import datetime, timezone
 
-        def node_dict(n: ManifestNode) -> dict:
+        def _base(n: ManifestNode) -> dict:
             return {
-                "unique_id": n.unique_id,
                 "name": n.name,
+                "resource_type": n.resource_type.value,
                 "package_name": n.package_name,
                 "path": n.path,
-                "resource_type": n.resource_type.value,
-                "raw_code": n.raw_code,
-                "compiled_code": n.compiled_code,
-                "config": {k: v for k, v in n.config.__dict__.items() if v not in (None, [], {})},
-                "depends_on": {"nodes": n.depends_on},
-                "checksum": n.checksum(),
+                "original_file_path": n.path,
+                "unique_id": n.unique_id,
+                "fqn": n.fqn or [n.package_name, n.name],
             }
 
-        return {
+        def _config(n: ManifestNode) -> dict:
+            return {
+                k: v for k, v in n.config.__dict__.items() if v not in (None, [], {})
+            }
+
+        def node_dict(n: ManifestNode) -> dict:
+            d = {
+                **_base(n),
+                "database": None,
+                "schema": n.config.schema or "main",
+                "alias": n.name,
+                # FileHash shape (schema `checksum` — required object)
+                "checksum": {"name": "md5", "checksum": n.checksum()},
+                "raw_code": n.raw_code,
+                "config": _config(n),
+                "depends_on": {"macros": [], "nodes": n.depends_on},
+                "description": n.description,
+                "tags": list(n.config.tags),
+                "meta": n.config.meta,
+            }
+            if n.compiled_code is not None:
+                d["compiled"] = True
+                d["compiled_code"] = n.compiled_code
+            if n.column_name:
+                d["column_name"] = n.column_name
+            if n.attached_node:
+                d["attached_node"] = n.attached_node
+            if n.test_metadata and n.resource_type == NodeType.Test:
+                tm = n.test_metadata
+                d["test_metadata"] = {
+                    "name": str(tm.get("name", n.name)),
+                    "kwargs": {
+                        k: v for k, v in tm.items() if k != "name"
+                    },
+                }
+            return d
+
+        def source_dict(n: ManifestNode) -> dict:
+            return {
+                **_base(n),
+                "database": None,
+                "schema": n.config.schema or "main",
+                "source_name": n.source_name or "",
+                "source_description": "",
+                "loader": "",
+                "identifier": n.identifier or n.name,
+                "description": n.description,
+                "config": _config(n),
+                "meta": n.config.meta,
+                "tags": list(n.config.tags),
+            }
+
+        def _metric_input(v: Any) -> Optional[dict]:
+            if v is None:
+                return None
+            return {"name": str(v["name"] if isinstance(v, dict) else v)}
+
+        def _window(v: Any) -> Optional[dict]:
+            if not v:
+                return None
+            parts = str(v).split()
+            if len(parts) == 2 and parts[0].isdigit():
+                return {"count": int(parts[0]),
+                        "granularity": parts[1].lower().rstrip("s")}
+            return None
+
+        def exposure_dict(n: ManifestNode) -> dict:
+            m = n.config.meta
+            return {
+                **_base(n),
+                "type": str(m.get("type", "analysis")).lower(),
+                "owner": m.get("owner") or {},
+                "description": n.description,
+                "label": m.get("label"),
+                "maturity": m.get("maturity"),
+                "url": m.get("url"),
+                "tags": list(n.config.tags),
+                "meta": {},
+                "config": {"enabled": True},
+                "depends_on": {"macros": [], "nodes": n.depends_on},
+            }
+
+        def metric_dict(n: ManifestNode) -> dict:
+            m = n.config.meta
+            tp = m.get("type_params") or {}
+            type_params: dict[str, Any] = {
+                "measure": _metric_input(tp.get("measure")),
+                "numerator": _metric_input(tp.get("numerator")),
+                "denominator": _metric_input(tp.get("denominator")),
+                "expr": str(tp["expr"]) if tp.get("expr") is not None else None,
+                "window": _window(tp.get("window")),
+                "grain_to_date": tp.get("grain_to_date"),
+                "metrics": [
+                    mi for mi in map(_metric_input, tp.get("metrics") or [])
+                    if mi is not None
+                ],
+            }
+            ctp = tp.get("conversion_type_params")
+            if isinstance(ctp, dict):
+                type_params["conversion_type_params"] = {
+                    "base_measure": _metric_input(ctp.get("base_measure")),
+                    "conversion_measure": _metric_input(ctp.get("conversion_measure")),
+                    "entity": str(ctp.get("entity", "")),
+                    "calculation": str(ctp.get("calculation", "conversion_rate")),
+                    "window": _window(ctp.get("window")),
+                }
+            return {
+                **_base(n),
+                "description": n.description,
+                "label": str(m.get("label", n.name)),
+                "type": str(m.get("type", "simple")).lower(),
+                "type_params": type_params,
+                "filter": None,
+                "meta": {},
+                "tags": list(n.config.tags),
+                "config": {"enabled": True},
+                "depends_on": {"macros": [], "nodes": n.depends_on},
+            }
+
+        def semantic_model_dict(n: ManifestNode) -> dict:
+            m = n.config.meta
+            dims = []
+            for dim in m.get("dimensions") or []:
+                d = {"name": str(dim["name"]), "type": str(dim["type"]).lower()}
+                tp = dim.get("type_params") or {}
+                if tp.get("time_granularity"):
+                    d["type_params"] = {
+                        "time_granularity": str(tp["time_granularity"]).lower()
+                    }
+                dims.append(d)
+            return {
+                **_base(n),
+                "model": str(m.get("model", "")),
+                "node_relation": {
+                    "alias": n.name,
+                    "schema_name": n.config.schema or "main",
+                    "database": None,
+                },
+                "description": n.description,
+                "entities": [
+                    {"name": str(e["name"]), "type": str(e["type"]).lower()}
+                    for e in m.get("entities") or []
+                ],
+                "dimensions": dims,
+                "measures": [
+                    {
+                        "name": str(mm["name"]),
+                        "agg": str(mm["agg"]).lower(),
+                        **({"expr": str(mm["expr"])} if mm.get("expr") is not None else {}),
+                        "create_metric": bool(mm.get("create_metric", False)),
+                    }
+                    for mm in m.get("measures") or []
+                ],
+                "config": {"enabled": True},
+                "depends_on": {"macros": [], "nodes": n.depends_on},
+            }
+
+        def saved_query_dict(n: ManifestNode) -> dict:
+            m = n.config.meta
+            qp = m.get("query_params") or {}
+            return {
+                **_base(n),
+                "query_params": {
+                    "metrics": [str(x) for x in qp.get("metrics") or []],
+                    "group_by": [str(x) for x in qp.get("group_by") or []],
+                    "where": None,
+                },
+                "exports": [
+                    {
+                        "name": str(e.get("name", "")),
+                        "config": {
+                            "export_as": str(
+                                (e.get("config") or {}).get("export_as", "table")
+                            ).lower(),
+                        },
+                    }
+                    for e in m.get("exports") or []
+                ],
+                "description": n.description,
+                "config": {"enabled": True},
+                "depends_on": {"macros": [], "nodes": n.depends_on},
+            }
+
+        def group_dict(n: ManifestNode) -> dict:
+            return {
+                "name": n.name,
+                "resource_type": n.resource_type.value,
+                "package_name": n.package_name,
+                "path": n.path,
+                "original_file_path": n.path,
+                "unique_id": n.unique_id,
+                "owner": n.config.meta.get("owner") or {},
+            }
+
+        def unit_test_dict(n: ManifestNode) -> dict:
+            tm = n.test_metadata
+            given = []
+            for g in tm.get("given") or []:
+                item: dict[str, Any] = {"input": str(g.get("input", ""))}
+                if "rows" in g:
+                    item["rows"] = g["rows"]
+                if "format" in g:
+                    item["format"] = g["format"]
+                if "fixture" in g:
+                    item["fixture"] = g["fixture"]
+                given.append(item)
+            expect = tm.get("expect") or {}
+            return {
+                **_base(n),
+                "model": str(tm.get("model", "")),
+                "given": given,
+                "expect": {
+                    k: v for k, v in expect.items()
+                    if k in ("rows", "format", "fixture")
+                } or {"rows": []},
+                "description": n.description,
+                "overrides": None,
+                "config": {"enabled": True},
+                "depends_on": {"macros": [], "nodes": n.depends_on},
+            }
+
+        def macro_dict(name: str, src: str) -> dict:
+            if "." in name:
+                pkg, _, mname = name.partition(".")
+            else:
+                pkg, mname = self.project_name, name
+            return {
+                "name": mname,
+                "resource_type": "macro",
+                "package_name": pkg,
+                "path": "macros",
+                "original_file_path": "macros",
+                "unique_id": f"macro.{pkg}.{mname}",
+                "macro_sql": src,
+                "depends_on": {"macros": []},
+                "description": "",
+                "meta": {},
+            }
+
+        section_builders = {
+            NodeType.Exposure: ("exposures", exposure_dict),
+            NodeType.Metric: ("metrics", metric_dict),
+            NodeType.SemanticModel: ("semantic_models", semantic_model_dict),
+            NodeType.SavedQuery: ("saved_queries", saved_query_dict),
+            NodeType.Group: ("groups", group_dict),
+            NodeType.UnitTest: ("unit_tests", unit_test_dict),
+        }
+        doc: dict[str, Any] = {
             "metadata": {
                 "dbt_schema_version": "https://schemas.getdbt.com/dbt/manifest/v12.json",
+                "dbt_version": "1.10.0",
+                "generated_at": datetime.now(timezone.utc).isoformat(),
                 "project_name": self.project_name,
-                "generator": "dbt_spark",
+                "adapter_type": "spark",
+                "env": {},
             },
-            "nodes": {uid: node_dict(n) for uid, n in self.nodes.items()},
-            "sources": {uid: node_dict(n) for uid, n in self.sources.items()},
-            # macro source hashes — state:modified.macros comparison input
-            # (selector_methods.py:637-665)
-            "macros": {
-                name: hashlib.md5(src.encode()).hexdigest()
-                for name, src in self.macros.items()
-                if isinstance(src, str)
+            "nodes": {},
+            "sources": {uid: source_dict(n) for uid, n in self.sources.items()},
+            "macros": {},
+            "docs": {
+                f"doc.{self.project_name}.{name}": {
+                    "name": name,
+                    "resource_type": "doc",
+                    "package_name": self.project_name,
+                    "path": "docs",
+                    "original_file_path": "docs",
+                    "unique_id": f"doc.{self.project_name}.{name}",
+                    "block_contents": contents,
+                }
+                for name, contents in self.docs.items()
             },
+            "exposures": {},
+            "metrics": {},
+            "groups": {},
+            "selectors": {},
+            "disabled": {},
+            "saved_queries": {},
+            "semantic_models": {},
+            "unit_tests": {},
         }
+        for uid, n in self.nodes.items():
+            section, builder = section_builders.get(
+                n.resource_type, ("nodes", node_dict)
+            )
+            doc[section][uid] = builder(n)
+        for name, src in self.macros.items():
+            if isinstance(src, str):
+                d = macro_dict(name, src)
+                doc["macros"][d["unique_id"]] = d
+        # parent_map / child_map over every graph-participating entity
+        parent_map: dict[str, list] = {}
+        child_map: dict[str, list] = {}
+        for store in (self.nodes, self.sources):
+            for uid, n in store.items():
+                parent_map[uid] = sorted(n.depends_on)
+                child_map.setdefault(uid, [])
+                for dep in n.depends_on:
+                    child_map.setdefault(dep, []).append(uid)
+        doc["parent_map"] = parent_map
+        doc["child_map"] = {k: sorted(v) for k, v in child_map.items()}
+        doc["group_map"] = {}
+        return doc
 
     def write(self, path: str) -> None:
         with open(path, "w") as f:

@@ -13,6 +13,7 @@ seeds/models/snapshots/tests in one DAG, exactly like BuildTask
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -51,6 +52,11 @@ class RunResult:
     # run_results.json v5 timing entries)
     started_at: Optional[str] = None
     completed_at: Optional[str] = None
+    # captured at construction inside the executing worker (run_results v5
+    # requires a thread_id per result)
+    thread_id: str = field(
+        default_factory=lambda: __import__("threading").current_thread().name
+    )
 
 
 @dataclass
@@ -452,9 +458,27 @@ class Engine:
         with open(path) as f:
             doc = json.load(f)
         out = {**doc.get("nodes", {}), **doc.get("sources", {})}
-        # macro hashes for state:modified.macros (selector_methods.py:637-665)
+        # semantic-layer sections are graph-participating too (state:new etc.)
+        for section in ("exposures", "metrics", "groups", "semantic_models",
+                        "saved_queries", "unit_tests"):
+            out.update(doc.get(section) or {})
+        # macro hashes for state:modified.macros (selector_methods.py:637-665).
+        # v12-shape manifests store Macro objects keyed by unique_id; older
+        # engine artifacts stored {internal_name: md5}. Normalize to
+        # {internal_name: md5-of-source}.
         if doc.get("macros"):
-            out["__macros__"] = doc["macros"]
+            root = doc.get("metadata", {}).get("project_name")
+            macros: dict[str, str] = {}
+            for key, val in doc["macros"].items():
+                if isinstance(val, dict):
+                    pkg, mname = val.get("package_name"), val.get("name", key)
+                    internal = mname if pkg in (root, None) else f"{pkg}.{mname}"
+                    macros[internal] = hashlib.md5(
+                        str(val.get("macro_sql", "")).encode()
+                    ).hexdigest()
+                else:
+                    macros[key] = val
+            out["__macros__"] = macros
         # result:<status> selector data (selector_methods.py ResultSelectorMethod)
         rr_path = os.path.join(state_dir, "run_results.json")
         if os.path.exists(rr_path):
@@ -957,12 +981,16 @@ class Engine:
             if r["status"] in retryable
         ]
         # partial-success microbatch nodes replay ONLY their failed batches
-        # (task/run.py:578-592 previous_batch_results)
+        # (task/run.py:578-592 previous_batch_results). batch_results live
+        # under args (v5 results allow no extra keys); older artifacts kept
+        # them inline on the result row.
+        stored_batches = doc.get("args", {}).get("batch_results", {})
         retry_batches = {
-            r["unique_id"]: r["batch_results"]
+            r["unique_id"]: br
             for r in doc["results"]
             if r["status"] == "partial success"
-            and r.get("batch_results", {}).get("failed")
+            and (br := (r.get("batch_results") or stored_batches.get(r["unique_id"])))
+            and br.get("failed")
         }
         if not failed_names:
             return RunnerResult(True, [], self.manifest)
@@ -1093,26 +1121,44 @@ class Engine:
     ) -> None:
         target_dir = os.path.join(self.project.root, "target")
         os.makedirs(target_dir, exist_ok=True)
+        # v5-strict shape (validated against the reference's published schema
+        # /root/reference/schemas/dbt/run-results/v5.json in
+        # tests/test_artifacts.py): results/metadata allow no extra keys, so
+        # engine-internal extras (overall success, microbatch batch_results
+        # for retry) live under the free-form `args` object.
         payload = {
             "metadata": {
                 "dbt_schema_version": "https://schemas.getdbt.com/dbt/run-results/v5.json",
+                "dbt_version": "1.10.0",
                 "generated_at": datetime.now(timezone.utc).isoformat(),
-                "generator": "dbt_spark",
+                "invocation_id": self.events.invocation_id,
+                "env": {},
             },
-            "args": {"command": command},
-            "success": success,
+            "args": {
+                "command": command,
+                "success": success,
+                "batch_results": {
+                    r.unique_id: r.batch_results for r in results if r.batch_results
+                },
+            },
+            "elapsed_time": round(sum(r.execution_time for r in results), 4),
             "results": [
                 {
                     "unique_id": r.unique_id,
                     "status": r.status,
                     "execution_time": round(r.execution_time, 4),
                     "message": r.message,
+                    "thread_id": r.thread_id,
+                    "adapter_response": {},
+                    "failures": None,
+                    "compiled": None,
+                    "compiled_code": None,
+                    "relation_name": None,
                     "timing": (
                         [{"name": "execute", "started_at": r.started_at,
                           "completed_at": r.completed_at}]
                         if r.started_at else []
                     ),
-                    **({"batch_results": r.batch_results} if r.batch_results else {}),
                 }
                 for r in results
             ],

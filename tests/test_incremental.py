@@ -315,7 +315,9 @@ def test_microbatch_partial_failure_and_batch_retry(project_dir, spark):
     with open(os.path.join(root, "target", "run_results.json")) as f:
         doc = _json.load(f)
     rec = [x for x in doc["results"] if x["unique_id"].endswith("target")][0]
-    assert rec["batch_results"]["failed"] == ["20200102T000000"]
+    # v5-strict results carry no extra keys — batch_results live under args
+    stored = doc["args"]["batch_results"][rec["unique_id"]]
+    assert stored["failed"] == ["20200102T000000"]
 
     # retry without the poison: only the failed batch re-runs, no dupes
     eng2 = Engine(root, spark=spark, vars={"poison": "false"})
