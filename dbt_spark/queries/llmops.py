@@ -109,6 +109,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(docs, "text", "doc_id", num_perm=16, bands=4)
 
 
+def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component MinHash dedup survivors (min id kept per near-dup
+    cluster; iterative label propagation — functions/dedup.py
+    minhash_dedup_cc). Engine-hash based → rows-only check; the component
+    policy itself is pytest-proven on a planted 3-chain
+    (tests/test_llmops.py::test_minhash_cc_dedup_planted_chain_keeps_one)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    return (
+        D.minhash_dedup_cc(
+            docs.select("doc_id", "text"), "text", "doc_id",
+            threshold=0.5, num_perm=16, bands=4,
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     return D.simhash_bands(docs, "text", "doc_id")
@@ -705,6 +722,7 @@ QUERIES = {
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_cc": dedup_minhash_cc,
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
     "corpus_weighted_sample": corpus_weighted_sample,
