@@ -1,12 +1,21 @@
-"""Structured events: typed event records → JSON lines + console.
+"""Structured events: reference-named typed records → JSON lines + console.
 
 Reference pattern: protobuf-typed log events emitted through a fire_event bus
-with JSON or text formatting (core/dbt/events/core_types_pb2.py,
-core/dbt/events/types.py). Spark-first simplification (SURVEY §2B row
-"Structured events"): plain dataclasses serialized to JSON lines at
-``target/logs/dbt.log.jsonl`` plus an optional console callback — the schema
-(event name, ts, invocation_id, node info, data payload) matches what
-downstream log consumers key on.
+(core/dbt/events/types.py — each event class carries a stable alphanumeric
+``code()`` like ``Q025``; core/dbt/events/base_types.py wires them to
+core_types_pb2). Spark-first mapping (SURVEY §2B row "Structured events"):
+the same event NAMES and CODES, serialized as JSON lines in dbt's published
+structured-log line shape::
+
+    {"data": {...},
+     "info": {"category": "", "code": "Q025", "extra": {}, "invocation_id":
+              "...", "level": "debug", "msg": "...", "name": "NodeFinished",
+              "pid": 123, "thread": "MainThread", "ts": "..."}}
+
+so log consumers that key on ``info.name`` / ``info.code`` parse these lines
+unchanged. Protobuf is optional by design: if ``google.protobuf`` is absent
+(this container), the JSON path is the only emitter — there is no behavioral
+difference, only the wire encoding of the optional mirror.
 """
 
 from __future__ import annotations
@@ -19,6 +28,69 @@ from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Any, Callable, Optional
 
+# Registry of reference event types we emit: name -> (code, default level).
+# Codes match core/dbt/events/types.py line-for-line (A=main, Q=node/run,
+# W=stats, Z=summary). Names not in this table still fire (ad-hoc events are
+# allowed) but get code "" — tests pin the registered subset.
+EVENT_CODES: dict[str, tuple[str, str]] = {
+    "MainReportVersion": ("A001", "info"),        # types.py:41
+    "MainReportArgs": ("A002", "debug"),          # types.py:49
+    "ResourceReport": ("E044", "debug"),
+    "LogTestResult": ("Q007", "info"),            # types.py:1301 (DynamicLevel)
+    "LogStartLine": ("Q011", "info"),             # types.py:1356
+    "LogModelResult": ("Q012", "info"),           # types.py:1365 (DynamicLevel)
+    "LogSnapshotResult": ("Q015", "info"),        # types.py:1393
+    "LogSeedResult": ("Q016", "info"),            # types.py:1415
+    "NodeStart": ("Q024", "debug"),               # types.py:1516
+    "NodeFinished": ("Q025", "debug"),            # types.py:1524
+    "ConcurrencyLine": ("Q027", "info"),          # types.py:1545
+    "NodeCompiling": ("Q030", "debug"),           # types.py:1561
+    "NodeExecuting": ("Q031", "debug"),           # types.py:1569
+    "SkippingDetails": ("Q034", "info"),          # types.py:1614
+    "CommandCompleted": ("Q039", "debug"),        # types.py:1661
+    "FoundStats": ("W006", "info"),               # types.py:1825
+    "RunResultWarning": ("Z021", "warn"),         # types.py:1935
+    "StatsLine": ("Z023", "info"),                # types.py:1953
+    "RunResultError": ("Z024", "error"),          # types.py:1964
+    "EndOfRunSummary": ("Z030", "info"),          # types.py:2002
+}
+
+# Human message templates per event name (reference: each event class's
+# message(); we keep the load-bearing fields, not the exact prose).
+_MSG: dict[str, Callable[[dict[str, Any]], str]] = {
+    "MainReportVersion": lambda d: f"Running with dbt_spark={d.get('version', '')}",
+    "ConcurrencyLine": lambda d: (
+        f"Concurrency: {d.get('num_threads', '')} threads "
+        f"(target='{d.get('target_name', 'dev')}')"
+    ),
+    "NodeStart": lambda d: f"Began running node {d.get('node_id', '')}",
+    "NodeFinished": lambda d: f"Finished running node {d.get('node_id', '')}",
+    "LogStartLine": lambda d: f"START {d.get('node_id', '')}",
+    "LogModelResult": lambda d: (
+        f"{str(d.get('status', '')).upper()} created {d.get('node_id', '')} "
+        f"in {d.get('execution_time', 0)}s"
+    ),
+    "LogTestResult": lambda d: (
+        f"{str(d.get('status', '')).upper()} {d.get('node_id', '')} "
+        f"({d.get('num_failures', 0)} failures)"
+    ),
+    "SkippingDetails": lambda d: f"SKIP {d.get('node_id', '')}",
+    "FoundStats": lambda d: f"Found {d.get('stat_line', '')}",
+    "StatsLine": lambda d: (
+        "Done. PASS={pass} WARN={warn} ERROR={error} SKIP={skip} TOTAL={total}"
+        .format(**{k: d.get("stats", {}).get(k, 0)
+                   for k in ("pass", "warn", "error", "skip", "total")})
+    ),
+    "EndOfRunSummary": lambda d: (
+        f"Completed with {d.get('num_errors', 0)} errors and "
+        f"{d.get('num_warnings', 0)} warnings"
+    ),
+    "CommandCompleted": lambda d: (
+        f"Command `{d.get('command', '')}` completed "
+        f"(success={d.get('success', '')})"
+    ),
+}
+
 
 @dataclass
 class Event:
@@ -27,16 +99,25 @@ class Event:
     level: str = "info"
     ts: str = ""
     invocation_id: str = ""
+    code: str = ""
+    msg: str = ""
+    thread: str = ""
 
     def to_dict(self) -> dict[str, Any]:
         return {
-            "info": {
-                "name": self.name,
-                "level": self.level,
-                "ts": self.ts,
-                "invocation_id": self.invocation_id,
-            },
             "data": self.data,
+            "info": {
+                "category": "",
+                "code": self.code,
+                "extra": {},
+                "invocation_id": self.invocation_id,
+                "level": self.level,
+                "msg": self.msg,
+                "name": self.name,
+                "pid": os.getpid(),
+                "thread": self.thread,
+                "ts": self.ts,
+            },
         }
 
 
@@ -51,13 +132,18 @@ class EventBus:
         if log_path:
             os.makedirs(os.path.dirname(log_path), exist_ok=True)
 
-    def fire(self, name: str, level: str = "info", **data: Any) -> Event:
+    def fire(self, name: str, level: Optional[str] = None, **data: Any) -> Event:
+        code, default_level = EVENT_CODES.get(name, ("", "info"))
+        render = _MSG.get(name)
         ev = Event(
             name=name,
             data=data,
-            level=level,
+            level=level or default_level,
             ts=datetime.now(timezone.utc).isoformat(),
             invocation_id=self.invocation_id,
+            code=code,
+            msg=render(data) if render else data.get("msg", ""),
+            thread=threading.current_thread().name,
         )
         line = json.dumps(ev.to_dict(), default=str)
         with self._lock:

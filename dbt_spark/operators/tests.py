@@ -138,12 +138,12 @@ def run_test(ctx: ExecutionContext, node: ManifestNode) -> TestResult:
             f"{ctx.schema}_dbt_test__audit", node.name, failures_df, kind="table"
         )
 
-    # fail_calc is a SQL expression over the failing rows (task/test.py:171-183)
+    # fail_calc is a SQL expression over the failing rows (task/test.py:171-183).
+    # Evaluated directly on the DataFrame — a session temp view here would be
+    # shared mutable state across the runner's concurrent test threads and
+    # races (thread A's count reads thread B's failing rows).
     fail_calc = node.config.fail_calc or "count(*)"
-    failures_df.createOrReplaceTempView("__dbt_test_failures")
-    row = ctx.spark.sql(
-        f"SELECT {fail_calc} AS failures FROM __dbt_test_failures"
-    ).collect()
+    row = failures_df.selectExpr(f"{fail_calc} AS failures").collect()
     failures = int(row[0]["failures"]) if row and row[0]["failures"] is not None else 0
 
     def _check(expr: str) -> bool:

@@ -363,6 +363,25 @@ class Engine:
         results: list[RunResult] = []
         threads = int(self.project.profile.get("threads", 4))
 
+        # reference startup event sequence (task/runnable.py before execution:
+        # MainReportVersion A001 → FoundStats W006 → ConcurrencyLine Q027)
+        from dbt_spark import __version__
+
+        self.events.fire("MainReportVersion", version=__version__,
+                         log_version=3)
+        by_type: dict[str, int] = {}
+        for uid in runnable:
+            rt = manifest.nodes[uid].resource_type.value
+            by_type[rt] = by_type.get(rt, 0) + 1
+        self.events.fire(
+            "FoundStats",
+            stat_line=", ".join(f"{v} {k}s" for k, v in sorted(by_type.items())),
+        )
+        self.events.fire("ConcurrencyLine", num_threads=threads,
+                         target_name=self.project.profile.get(
+                             "target_name", "spark"),
+                         node_count=len(runnable))
+
         self._run_hooks(ctx, self.project.on_run_start, "on-run-start")
 
         aborted = {"flag": False}
@@ -380,6 +399,8 @@ class Engine:
                 node = manifest.nodes[uid]
                 t0 = time.time()
                 self.events.fire("NodeStart", node_id=uid)
+                self.events.fire("LogStartLine", node_id=uid,
+                                 resource_type=node.resource_type.value)
                 n_before = len(results)
                 try:
                     self._execute_node(ctx, node, command, results, t0)
@@ -389,10 +410,26 @@ class Engine:
                                 t0, tz=timezone.utc).isoformat()
                             rr.completed_at = datetime.now(timezone.utc).isoformat()
                     queue.mark_done(uid)
+                    elapsed = round(time.time() - t0, 4)
                     self.events.fire(
                         "NodeFinished", node_id=uid, status="success",
-                        execution_time=round(time.time() - t0, 4),
+                        execution_time=elapsed,
                     )
+                    # per-resource result lines (Q012/Q007/Q015/Q016); status
+                    # comes from the node's own RunResult rows (tests append
+                    # pass/warn/fail)
+                    node_status = next(
+                        (r.status for r in results[n_before:]
+                         if r.unique_id == uid), "success")
+                    result_event = {
+                        NodeType.Test: "LogTestResult",
+                        NodeType.UnitTest: "LogTestResult",
+                        NodeType.Seed: "LogSeedResult",
+                        NodeType.Snapshot: "LogSnapshotResult",
+                    }.get(node.resource_type, "LogModelResult")
+                    self.events.fire(result_event, node_id=uid,
+                                     status=node_status,
+                                     execution_time=elapsed)
                 except Exception as e:  # noqa: BLE001
                     self.events.fire("NodeFinished", node_id=uid, status="error",
                                      level="error", msg=str(e)[:300])
@@ -406,8 +443,12 @@ class Engine:
                                 message=f"{e}\n{traceback.format_exc(limit=4)}",
                             )
                         )
+                    self.events.fire("RunResultError", node_id=uid,
+                                     msg=str(e)[:300])
                     for skipped in queue.mark_failed(uid):
                         results.append(RunResult(skipped, "skipped", 0.0, "upstream failed"))
+                        self.events.fire("SkippingDetails", node_id=skipped,
+                                         reason="upstream failed")
                     if fail_fast:
                         # --fail-fast: stop scheduling anything further
                         # (reference fail_fast flag, task/runnable.py)
@@ -427,6 +468,23 @@ class Engine:
 
         success = all(r.status in ("success", "pass", "warn", "skipped") for r in results)
         self._write_run_results(results, success, command=command)
+        # reference end-of-run sequence: StatsLine Z023 + EndOfRunSummary Z030
+        # (task/runnable.py print_results_line / print_run_end_messages)
+        stats = {"pass": 0, "warn": 0, "error": 0, "skip": 0,
+                 "total": len(results)}
+        for r in results:
+            if r.status in ("success", "pass"):
+                stats["pass"] += 1
+            elif r.status == "warn":
+                stats["warn"] += 1
+            elif r.status == "skipped":
+                stats["skip"] += 1
+            else:
+                stats["error"] += 1
+        self.events.fire("StatsLine", stats=stats)
+        self.events.fire("EndOfRunSummary", num_errors=stats["error"],
+                         num_warnings=stats["warn"],
+                         keyboard_interrupt=False)
         self.events.fire("CommandCompleted", command=command, success=success,
                          elapsed=sum(r.execution_time for r in results))
         return RunnerResult(success=success, results=results, manifest=manifest)
@@ -1010,8 +1068,10 @@ class Engine:
         results: list[RunResult],
         t0: float,
     ) -> None:
+        self.events.fire("NodeCompiling", node_id=node.unique_id)
         for hook in node.config.pre_hook:
             ctx.spark.sql(self._render_hook(ctx, node, hook))
+        self.events.fire("NodeExecuting", node_id=node.unique_id)
         from dbt_spark.plans.manifest import METADATA_NODE_TYPES
 
         if node.resource_type in METADATA_NODE_TYPES:

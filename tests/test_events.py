@@ -1,0 +1,117 @@
+"""Structured-event compatibility: a `run` emits reference-named events with
+the reference's stable codes (core/dbt/events/types.py) in dbt's published
+structured-log JSON-line shape ({"data": ..., "info": {name, code, level,
+msg, ts, invocation_id, pid, thread, ...}}), parseable by key."""
+
+import json
+import os
+
+import pytest
+
+from dbt_spark.events import EVENT_CODES, EventBus
+from dbt_spark.runner import Engine
+
+FILES = {
+    "dbt_project.yml": "name: evproj\nmodel-paths: ['models']\nseed-paths: ['seeds']\n",
+    "seeds/raw_items.csv": "id,val\n1,10\n2,20\n3,\n",
+    "models/items.sql": "select id, val from {{ ref('raw_items') }}",
+    "models/schema.yml": """
+version: 2
+models:
+  - name: items
+    columns:
+      - name: id
+        data_tests: [not_null, unique]
+      - name: val
+        data_tests:
+          - not_null:
+              config: {severity: warn}
+""",
+}
+
+
+@pytest.fixture()
+def log_lines(project_dir, spark):
+    root = project_dir(FILES)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["build"]).success
+    path = os.path.join(root, "target", "logs", "dbt.log.jsonl")
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def test_run_emits_reference_named_events(log_lines):
+    names = [ln["info"]["name"] for ln in log_lines]
+    # startup sequence (A001, W006, Q027)
+    assert "MainReportVersion" in names
+    assert "FoundStats" in names
+    assert "ConcurrencyLine" in names
+    # node lifecycle (Q024/Q030/Q031/Q025) for the model
+    for expected in ("NodeStart", "NodeCompiling", "NodeExecuting",
+                     "NodeFinished"):
+        assert any(
+            ln["info"]["name"] == expected
+            and ln["data"].get("node_id") == "model.evproj.items"
+            for ln in log_lines
+        ), expected
+    # per-resource result lines: Q012 for the model, Q016 seed, Q007 tests
+    assert any(ln["info"]["name"] == "LogModelResult"
+               and ln["data"]["node_id"] == "model.evproj.items"
+               for ln in log_lines)
+    assert any(ln["info"]["name"] == "LogSeedResult" for ln in log_lines)
+    test_results = [ln for ln in log_lines
+                    if ln["info"]["name"] == "LogTestResult"]
+    assert len(test_results) == 3
+    # the warn-severity not_null(val) test surfaces status=warn
+    assert {ln["data"]["status"] for ln in test_results} == {"pass", "warn"}
+    # end-of-run summary (Z023/Z030/Q039)
+    stats = next(ln for ln in log_lines if ln["info"]["name"] == "StatsLine")
+    assert stats["data"]["stats"]["warn"] == 1
+    assert stats["data"]["stats"]["error"] == 0
+    summary = next(ln for ln in log_lines
+                   if ln["info"]["name"] == "EndOfRunSummary")
+    assert summary["data"]["num_warnings"] == 1
+    assert names[-1] == "CommandCompleted"
+
+
+def test_event_codes_match_reference(log_lines):
+    # every registered event carries its types.py code; spot-check pins
+    for ln in log_lines:
+        name, code = ln["info"]["name"], ln["info"]["code"]
+        if name in EVENT_CODES:
+            assert code == EVENT_CODES[name][0]
+    pins = {"MainReportVersion": "A001", "LogTestResult": "Q007",
+            "LogModelResult": "Q012", "NodeStart": "Q024",
+            "NodeFinished": "Q025", "ConcurrencyLine": "Q027",
+            "CommandCompleted": "Q039", "FoundStats": "W006",
+            "StatsLine": "Z023", "EndOfRunSummary": "Z030"}
+    for name, code in pins.items():
+        assert EVENT_CODES[name][0] == code
+
+
+def test_log_line_shape_matches_published_format(log_lines):
+    for ln in log_lines:
+        assert set(ln) == {"data", "info"}
+        info = ln["info"]
+        for key in ("category", "code", "extra", "invocation_id", "level",
+                    "msg", "name", "pid", "thread", "ts"):
+            assert key in info, key
+        assert info["level"] in ("debug", "info", "warn", "error", "test")
+    # one invocation_id across the whole run
+    assert len({ln["info"]["invocation_id"] for ln in log_lines}) == 1
+
+
+def test_bus_callbacks_and_levels(tmp_path):
+    bus = EventBus(str(tmp_path / "logs" / "x.jsonl"))
+    seen = []
+    bus.callbacks.append(lambda ev: seen.append(ev))
+    ev = bus.fire("NodeFinished", node_id="model.p.m")
+    assert ev.level == "debug" and ev.code == "Q025"
+    assert ev.msg == "Finished running node model.p.m"
+    # explicit level overrides the registry default
+    ev2 = bus.fire("NodeFinished", level="error", node_id="model.p.m")
+    assert ev2.level == "error"
+    # unregistered names still fire with empty code
+    ev3 = bus.fire("AdHocThing", payload=1)
+    assert ev3.code == ""
+    assert len(seen) == 3
