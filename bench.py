@@ -144,6 +144,7 @@ def main() -> None:
                 "queries_extended": times_ext,
                 "sf": sf,
                 "parse_2000_models": _bench_parse_2000(),
+                "orchestration": _bench_orchestration(spark, sf_dir),
             }
         )
     )
@@ -186,6 +187,78 @@ def _bench_parse_2000() -> dict:
     Linker().link_graph(m)
     warm = round(time.time() - t0, 3)
     return {"cold_sec": cold, "warm_partial_sec": warm, "n_models": len(m.nodes)}
+
+
+def _bench_orchestration(spark, sf_dir: str) -> dict:
+    """Orchestration-layer costs the headline set doesn't see:
+
+    - ``run --empty`` schema-only dry run (refs/sources LIMIT-0-wrapped,
+      providers.py:242-243 semantics) vs the same project's full run — the
+      dry-run should cost plan-only time regardless of data volume, which is
+      exactly what makes it the CI staple at 100 TB;
+    - analyzed-scan cache hit rate across the whole bench session (each miss
+      re-pays parquet footer + analysis traffic).
+    """
+    import shutil
+    import tempfile
+
+    from dbt_spark.runner import Engine
+    from dbt_spark.session import scan_cache_stats
+
+    root = tempfile.mkdtemp(prefix="bench_orch_")
+    try:
+        with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+            f.write("name: orch\nmodel-paths: ['models']\n")
+        models = os.path.join(root, "models")
+        os.makedirs(models)
+        with open(os.path.join(models, "sources.yml"), "w") as f:
+            f.write(
+                "version: 2\nsources:\n  - name: raw\n    tables:\n"
+                "      - name: lineitem\n        meta:\n"
+                f"          location: {sf_dir}/lineitem.parquet\n"
+                "      - name: orders\n        meta:\n"
+                f"          location: {sf_dir}/orders.parquet\n"
+            )
+        with open(os.path.join(models, "line_agg.sql"), "w") as f:
+            f.write(
+                "{{ config(materialized='table') }}\n"
+                "select l_orderkey, sum(l_extendedprice * (1 - l_discount)) as rev\n"
+                "from {{ source('raw', 'lineitem') }} group by l_orderkey\n"
+            )
+        for i in range(20):
+            up = "line_agg" if i == 0 else f"m{i - 1}"
+            with open(os.path.join(models, f"m{i}.sql"), "w") as f:
+                f.write(f"select * from {{{{ ref('{up}') }}}}\n")
+        with open(os.path.join(models, "joined.sql"), "w") as f:
+            f.write(
+                "{{ config(materialized='table') }}\n"
+                "select o.o_orderpriority, count(*) as n, sum(a.rev) as rev\n"
+                "from {{ ref('m19') }} a join {{ source('raw', 'orders') }} o\n"
+                "on a.l_orderkey = o.o_orderkey group by o.o_orderpriority\n"
+            )
+
+        eng = Engine(root, spark=spark)
+        # full run first so the dry run is measured warm (same order a CI
+        # pipeline sees: incremental full runs, --empty smoke checks on top)
+        t0 = time.time()
+        r_full = eng.invoke(["run", "--full-refresh"])
+        full_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        r_empty = eng.invoke(["run", "--empty", "--full-refresh"])
+        empty_sec = round(time.time() - t0, 3)
+        hits, misses = scan_cache_stats["hits"], scan_cache_stats["misses"]
+        return {
+            "run_empty_sec": empty_sec,
+            "run_full_sec": full_sec,
+            "empty_ok": bool(r_empty.success),
+            "full_ok": bool(r_full.success),
+            "n_models": 22,
+            "scan_cache_hit_rate": round(hits / max(1, hits + misses), 4),
+            "scan_cache_hits": hits,
+            "scan_cache_misses": misses,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -111,6 +111,11 @@ def get_spark(app_name: str = "dbt_spark", *, extra_conf: dict | None = None) ->
 #: are plans, not data — caching one is always safe for a read-only path.
 _scan_cache: dict[tuple[str, str], object] = {}
 
+#: analyzed-scan cache effectiveness, reported by bench.py's orchestration
+#: section (each miss is ~100 ms of re-analysis py4j/footer traffic that a
+#: long-lived session amortizes away)
+scan_cache_stats = {"hits": 0, "misses": 0}
+
 
 def read_parquet(spark: SparkSession, path: str):
     """spark.read.parquet with timestamp[ns] columns restored to timestamps.
@@ -127,7 +132,9 @@ def read_parquet(spark: SparkSession, path: str):
     except Exception:  # noqa: BLE001 — e.g. connect-only sessions
         cache_key = None
     if cache_key is not None and cache_key in _scan_cache:
+        scan_cache_stats["hits"] += 1
         return _scan_cache[cache_key]
+    scan_cache_stats["misses"] += 1
 
     # self-configure: the DRIVER may hand us a vanilla session without this
     # flag, and TIMESTAMP(NANOS) parquet is otherwise an illegal type for
