@@ -47,6 +47,9 @@ class ExecutionContext:
     # --event-time-start/--event-time-end: explicit microbatch backfill window
     event_time_start: Optional[Any] = None
     event_time_end: Optional[Any] = None
+    # --include-saved-query: materialize saved-query exports during build
+    # (cli/params.py:132-134; export generation is the MetricFlow side there)
+    include_saved_query: bool = False
 
     @property
     def schema(self) -> str:

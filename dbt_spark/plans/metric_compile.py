@@ -1,0 +1,378 @@
+"""Metric/saved-query compilation: semantic models + metrics → one SQL query.
+
+The reference delegates metric query generation to MetricFlow (dbt-labs'
+public metricflow package; core only parses the YAML —
+core/dbt/parser/schema_yaml_readers.py:189,511,739 — and NoOps the nodes).
+This module implements the generation step Spark-first so saved queries are
+actually runnable here:
+
+- every metric resolves through its measure to ONE semantic model and that
+  model's base table; all metrics over the same semantic model compile into a
+  SINGLE aggregate over a single scan (map-side partials, one shuffle);
+- metrics spanning different semantic models aggregate independently (each
+  its own scan+shuffle, dimensionally grouped) and FULL OUTER join on the
+  group-by keys — group-by cardinality join, never a fact-fact join;
+- measure- and metric-level ``filter:`` clauses become CASE WHEN guards
+  inside the aggregate (no pre-shuffle row explosion, pushdown-friendly);
+- ``metric_time`` resolves to the model's ``defaults.agg_time_dimension``;
+  a ``__grain`` suffix on a time dimension becomes ``date_trunc``;
+- metric types: simple, ratio (num/den with NULLIF), derived (expr over
+  input metric aliases), cumulative (post-aggregate running window over the
+  time grain — requires metric_time in the group-by).
+
+Supported agg types mirror the reference's AggregationType enum
+(core/dbt/artifacts/resources/types.py): sum, min, max, avg, count,
+count_distinct, sum_boolean, median, percentile.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+from dbt_spark.plans.semantic import SemanticValidationError
+
+_GRAINS = {"day", "week", "month", "quarter", "year"}
+
+_AGG_SQL = {
+    "sum": "SUM({e})",
+    "min": "MIN({e})",
+    "max": "MAX({e})",
+    "avg": "AVG({e})",
+    "count": "COUNT({e})",
+    "count_distinct": "COUNT(DISTINCT {e})",
+    "sum_boolean": "SUM(CASE WHEN ({e}) THEN 1 ELSE 0 END)",
+    "median": "MEDIAN({e})",
+}
+
+
+class MetricQueryError(SemanticValidationError):
+    pass
+
+
+def _meta(entry: Any) -> dict:
+    """Accept raw YAML dicts or ManifestNodes (entry data in config.meta)."""
+    if isinstance(entry, dict):
+        return entry
+    out = dict(entry.config.meta)
+    out.setdefault("name", entry.name)
+    return out
+
+
+class _Model:
+    def __init__(self, entry: dict) -> None:
+        self.name = entry["name"]
+        self.model_ref = entry.get("model", "")
+        defaults = entry.get("defaults") or {}
+        self.agg_time_dimension = defaults.get("agg_time_dimension")
+        self.dimensions = {d["name"]: d for d in entry.get("dimensions", [])}
+        self.entities = {e["name"]: e for e in entry.get("entities", [])}
+        self.measures = {m["name"]: m for m in entry.get("measures", [])}
+        self.primary_entity = entry.get("primary_entity") or next(
+            (e["name"] for e in entry.get("entities", [])
+             if e.get("type") == "primary"), None)
+
+    def ref_name(self) -> str:
+        m = re.search(r"ref\(\s*['\"]([^'\"]+)['\"]\s*\)", self.model_ref)
+        return m.group(1) if m else self.model_ref
+
+    def resolve_group_by(self, item: str) -> tuple[str, str]:
+        """Group-by item → (sql_expr, output_alias).
+
+        Accepted shapes (MetricFlow's dunder grammar): ``status``,
+        ``customer__region`` (entity-prefixed), ``order_date__month`` /
+        ``metric_time__month`` (time grain), ``metric_time``.
+        """
+        alias = item
+        grain = None
+        name = item
+        parts = item.split("__")
+        if len(parts) > 1 and parts[-1] in _GRAINS:
+            grain = parts[-1]
+            name = "__".join(parts[:-1])
+        # strip an entity prefix if what remains resolves to a dimension
+        base = name.split("__")[-1]
+        if name == "metric_time" or base == "metric_time":
+            if not self.agg_time_dimension:
+                raise MetricQueryError(
+                    f"semantic model {self.name}: metric_time requested but "
+                    "defaults.agg_time_dimension is not set")
+            base = self.agg_time_dimension
+        dim = self.dimensions.get(name) or self.dimensions.get(base)
+        if dim is not None:
+            expr = dim.get("expr") or dim["name"]
+            if dim.get("type") == "time":
+                native = (dim.get("type_params") or {}).get("time_granularity")
+                if grain and grain != native:
+                    # Spark's date_trunc yields TIMESTAMP; a truncated grain
+                    # is semantically a DATE (and DuckDB agrees on the cast)
+                    expr = f"CAST(DATE_TRUNC('{grain.upper()}', {expr}) AS DATE)"
+                elif grain:
+                    expr = f"CAST({expr} AS DATE)" if grain == "day" else expr
+            elif grain:
+                raise MetricQueryError(
+                    f"{self.name}.{name}: grain '{grain}' on a "
+                    "non-time dimension")
+            return expr, alias
+        ent = self.entities.get(name) or self.entities.get(base)
+        if ent is not None:
+            return (ent.get("expr") or ent["name"]), alias
+        raise MetricQueryError(
+            f"semantic model {self.name}: no dimension or entity for "
+            f"group-by item {item!r} (have {sorted(self.dimensions)} / "
+            f"{sorted(self.entities)})")
+
+
+def _render_filter(filt: str, model: _Model) -> str:
+    """Render {{ Dimension('entity__dim') }} / {{ Entity('e') }} /
+    {{ TimeDimension('d', 'grain') }} templates into SQL exprs."""
+
+    def _dim(m: re.Match) -> str:
+        arg = m.group(1)
+        expr, _ = model.resolve_group_by(arg)
+        return expr
+
+    def _tdim(m: re.Match) -> str:
+        expr, _ = model.resolve_group_by(f"{m.group(1)}__{m.group(2)}")
+        return expr
+
+    out = re.sub(r"\{\{\s*Dimension\(\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}",
+                 _dim, filt)
+    out = re.sub(
+        r"\{\{\s*TimeDimension\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}",
+        _tdim, out)
+    out = re.sub(r"\{\{\s*Entity\(\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}",
+                 _dim, out)
+    return out
+
+
+def _measure_agg_sql(model: _Model, measure_name: str,
+                     extra_filter: Optional[str]) -> str:
+    measure = model.measures.get(measure_name)
+    if measure is None:
+        raise MetricQueryError(
+            f"measure {measure_name!r} not in semantic model {model.name}")
+    agg = measure.get("agg", "sum")
+    expr = str(measure.get("expr") or measure["name"])
+    conds = []
+    if measure.get("filter"):
+        conds.append(_render_filter(str(measure["filter"]), model))
+    if extra_filter:
+        conds.append(_render_filter(extra_filter, model))
+    if agg == "percentile":
+        p = (measure.get("agg_params") or {}).get("percentile", 0.5)
+        guarded = (f"CASE WHEN {' AND '.join(conds)} THEN {expr} END"
+                   if conds else expr)
+        return f"PERCENTILE({guarded}, {p})"
+    if agg not in _AGG_SQL:
+        raise MetricQueryError(
+            f"measure {measure_name}: unsupported agg {agg!r}")
+    if conds:
+        cond = " AND ".join(f"({c})" for c in conds)
+        if agg == "sum_boolean":
+            return f"SUM(CASE WHEN ({cond}) AND ({expr}) THEN 1 ELSE 0 END)"
+        if agg == "count":
+            return f"COUNT(CASE WHEN {cond} THEN 1 END)"
+        if agg == "count_distinct":
+            return f"COUNT(DISTINCT CASE WHEN {cond} THEN {expr} END)"
+        return _AGG_SQL[agg].format(e=f"CASE WHEN {cond} THEN {expr} END")
+    return _AGG_SQL[agg].format(e=expr)
+
+
+def _measure_name(spec: Any) -> tuple[str, Optional[str]]:
+    """type_params.measure is a string or {name, filter?}."""
+    if isinstance(spec, dict):
+        return spec["name"], spec.get("filter")
+    return str(spec), None
+
+
+def compile_metrics_sql(
+    metric_names: list[str],
+    metrics: list[Any],
+    semantic_models: list[Any],
+    table_for_model: dict[str, str],
+    group_by: Optional[list[str]] = None,
+    where: Optional[str] = None,
+    order_by: Optional[list[str]] = None,
+    limit: Optional[int] = None,
+) -> str:
+    """Compile the requested metrics into one SQL statement.
+
+    ``table_for_model`` maps a semantic model's underlying model name (the
+    ``ref()`` target) to a SQL identifier registered in the session.
+    """
+    group_by = list(group_by or [])
+    metric_index = {_meta(m)["name"]: _meta(m) for m in metrics}
+    models = [_Model(_meta(sm)) for sm in semantic_models]
+    measure_owner: dict[str, _Model] = {}
+    for sm in models:
+        for mname in sm.measures:
+            measure_owner[mname] = sm
+
+    # resolve each requested metric into leaf (measure-level) requirements
+    # plus a final value expression
+    leaf_cols: dict[str, dict[str, tuple[str, Optional[str]]]] = {}
+    # model_name -> {col_alias: (measure, extra_filter)}
+    final_exprs: list[tuple[str, str]] = []  # (sql_expr_over_leafs, alias)
+    cumulative: dict[str, dict] = {}  # alias -> window spec
+
+    def _leaf(measure_spec: Any, metric_filter: Optional[str]) -> str:
+        mname, mfilter = _measure_name(measure_spec)
+        owner = measure_owner.get(mname)
+        if owner is None:
+            raise MetricQueryError(f"measure {mname!r} has no semantic model")
+        filt = " AND ".join(
+            f"({f})" for f in (mfilter, metric_filter) if f) or None
+        alias = f"__m_{mname}" + (
+            f"_{abs(hash(filt)) % 10 ** 8}" if filt else "")
+        leaf_cols.setdefault(owner.name, {})[alias] = (mname, filt)
+        return alias
+
+    def _expand(name: str) -> str:
+        metric = metric_index.get(name)
+        if metric is None:
+            raise MetricQueryError(f"metric {name!r} is not defined")
+        mtype = metric.get("type", "simple")
+        tp = metric.get("type_params") or {}
+        mfilter = metric.get("filter")
+        if mtype in ("simple", "cumulative"):
+            alias = _leaf(tp.get("measure"), mfilter)
+            if mtype == "cumulative":
+                cumulative[name] = {
+                    "window": tp.get("window"),
+                    "leaf": alias,
+                }
+            return alias
+        if mtype == "ratio":
+            num = _leaf(tp["numerator"], mfilter)
+            den = _leaf(tp["denominator"], mfilter)
+            return f"CAST({num} AS DOUBLE) / NULLIF(CAST({den} AS DOUBLE), 0)"
+        if mtype == "derived":
+            expr = str(tp.get("expr", ""))
+            for inp in tp.get("metrics", []):
+                if isinstance(inp, dict):
+                    iname, ialias = inp["name"], inp.get("alias") or inp["name"]
+                else:
+                    iname = ialias = str(inp)
+                sub = _expand(iname)
+                expr = re.sub(rf"\b{re.escape(ialias)}\b", f"({sub})", expr)
+            return expr
+        raise MetricQueryError(f"metric {name}: unsupported type {mtype!r}")
+
+    for name in metric_names:
+        final_exprs.append((_expand(name), name))
+
+    if not leaf_cols:
+        raise MetricQueryError("no measures resolved for requested metrics")
+
+    # one aggregate CTE per participating semantic model
+    ctes: list[tuple[str, str]] = []
+    model_by_name = {m.name: m for m in models}
+    key_aliases = []
+    for model_name, cols in leaf_cols.items():
+        sm = model_by_name[model_name]
+        table = table_for_model.get(sm.ref_name())
+        if table is None:
+            raise MetricQueryError(
+                f"no table registered for model {sm.ref_name()!r}")
+        selects, keys = [], []
+        for item in group_by:
+            expr, alias = sm.resolve_group_by(item)
+            selects.append(f"{expr} AS {alias}")
+            keys.append(alias)
+        key_aliases = keys
+        for alias, (measure, filt) in sorted(cols.items()):
+            selects.append(f"{_measure_agg_sql(sm, measure, filt)} AS {alias}")
+        sql = f"SELECT {', '.join(selects)} FROM {table}"
+        if where:
+            sql += f" WHERE {_render_filter(where, sm)}"
+        if keys:
+            sql += f" GROUP BY {', '.join(keys)}"
+        ctes.append((f"__sm_{model_name}", sql))
+
+    # join the per-model aggregates on the group-by keys (full outer,
+    # null-safe) — the join input is group-by cardinality, not fact rows
+    base_name, base_sql = ctes[0]
+    with_parts = [f"{n} AS ({s})" for n, s in ctes]
+    joined = base_name
+    select_keys = [f"{base_name}.{k}" for k in key_aliases]
+    for n, _ in ctes[1:]:
+        on = " AND ".join(
+            f"{joined_key} <=> {n}.{k}"
+            for joined_key, k in zip(select_keys, key_aliases)
+        ) or "TRUE"
+        select_keys = [
+            f"COALESCE({jk}, {n}.{k})"
+            for jk, k in zip(select_keys, key_aliases)
+        ]
+        joined += f" FULL OUTER JOIN {n} ON {on}"
+
+    out_cols = [f"{sk} AS {k}" for sk, k in zip(select_keys, key_aliases)]
+    for expr, alias in final_exprs:
+        win = cumulative.get(alias)
+        if win is not None:
+            time_keys = [k for k in key_aliases
+                         if "metric_time" in k or "__" in k]
+            if not time_keys:
+                time_keys = key_aliases
+            if not time_keys:
+                raise MetricQueryError(
+                    f"cumulative metric {alias} needs a time group-by")
+            order_col = time_keys[0]
+            frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            if win.get("window"):
+                num, unit = str(win["window"]).split()
+                unit = unit.rstrip("s")
+                frame = (f"RANGE BETWEEN INTERVAL {num} {unit.upper()} "
+                         "PRECEDING AND CURRENT ROW")
+            part_keys = [k for k in key_aliases if k != order_col]
+            part = f"PARTITION BY {', '.join(part_keys)} " if part_keys else ""
+            out_cols.append(
+                f"SUM({expr}) OVER ({part}ORDER BY {order_col} {frame}) "
+                f"AS {alias}")
+        else:
+            out_cols.append(f"{expr} AS {alias}")
+
+    sql = (f"WITH {', '.join(with_parts)} "
+           f"SELECT {', '.join(out_cols)} FROM {joined}")
+    if order_by:
+        sql += f" ORDER BY {', '.join(order_by)}"
+    if limit:
+        sql += f" LIMIT {int(limit)}"
+    return sql
+
+
+def compile_saved_query(
+    saved_query: Any,
+    metrics: list[Any],
+    semantic_models: list[Any],
+    table_for_model: dict[str, str],
+) -> str:
+    """Compile a saved_query entry's query_params into SQL
+    (schema_yaml_readers.py:739 parse; execution is the MetricFlow side)."""
+    entry = _meta(saved_query)
+    qp = entry.get("query_params") or {}
+    group_by = []
+    for item in qp.get("group_by", []) or []:
+        # MetricFlow object syntax: "Dimension('order_id__status')" or
+        # "TimeDimension('metric_time', 'month')"
+        m = re.match(r"\s*TimeDimension\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)", str(item))
+        if m:
+            group_by.append(f"{m.group(1)}__{m.group(2)}")
+            continue
+        m = re.match(r"\s*(?:Dimension|Entity)\(\s*['\"]([^'\"]+)['\"]\s*\)",
+                     str(item))
+        group_by.append(m.group(1) if m else str(item))
+    where = qp.get("where")
+    if isinstance(where, list):
+        where = " AND ".join(f"({w})" for w in where) or None
+    return compile_metrics_sql(
+        metric_names=list(qp.get("metrics", []) or []),
+        metrics=metrics,
+        semantic_models=semantic_models,
+        table_for_model=table_for_model,
+        group_by=group_by,
+        where=where,
+        order_by=qp.get("order_by"),
+        limit=qp.get("limit"),
+    )

@@ -618,7 +618,75 @@ def unit_test_fixture_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracles
 # --------------------------------------------------------------------------
 
+def semantic_metric_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-layer metric query: YAML-shaped semantic model + metrics
+    compiled to one SQL statement by plans/metric_compile.py (the generation
+    step the reference hands to MetricFlow; parse shapes
+    schema_yaml_readers.py:189,511).
+
+    Scale: all three metrics resolve to ONE aggregate over one scan of
+    orders (fused measures, map-side partials, single shuffle on the
+    group-by keys) — metric count does not multiply scans."""
+    from dbt_spark.plans.metric_compile import compile_metrics_sql
+    from dbt_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "orders")
+    sm = {
+        "name": "orders_sm",
+        "model": "ref('orders')",
+        "defaults": {"agg_time_dimension": "order_date"},
+        "entities": [{"name": "order", "type": "primary", "expr": "o_orderkey"}],
+        "dimensions": [
+            {"name": "order_date", "type": "time", "expr": "o_orderdate",
+             "type_params": {"time_granularity": "day"}},
+            {"name": "status", "type": "categorical", "expr": "o_orderstatus"},
+        ],
+        "measures": [
+            {"name": "order_count", "agg": "count", "expr": "1"},
+            {"name": "order_total_dec", "agg": "sum",
+             "expr": "CAST(o_totalprice AS DECIMAL(18,2))"},
+        ],
+    }
+    metrics = [
+        {"name": "revenue_dec", "type": "simple", "label": "rd",
+         "type_params": {"measure": "order_total_dec"}},
+        {"name": "revenue", "type": "derived", "label": "r",
+         "type_params": {"expr": "CAST(rev AS DOUBLE)",
+                         "metrics": [{"name": "revenue_dec", "alias": "rev"}]}},
+        {"name": "n_orders", "type": "simple", "label": "n",
+         "type_params": {"measure": "order_count"}},
+        {"name": "aov", "type": "ratio", "label": "aov",
+         "type_params": {"numerator": "order_total_dec",
+                         "denominator": "order_count"}},
+    ]
+    sql = compile_metrics_sql(
+        ["revenue", "n_orders", "aov"], metrics, [sm],
+        {"orders": "orders"},
+        group_by=["status", "metric_time__month"],
+        where="{{ Dimension('status') }} <> 'P'",
+        order_by=["status", "metric_time__month"],
+    )
+    # presentation cast for the oracle pair only: DuckDB DATE surfaces as
+    # pandas Timestamp, so both dialects emit TIMESTAMP for the hash compare
+    return spark.sql(sql).withColumn(
+        "metric_time__month", F.col("metric_time__month").cast("timestamp"))
+
+
 ORACLES: dict[str, str] = {
+    "semantic_metric_query": """
+        SELECT o_orderstatus AS status,
+               CAST(CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE)
+                    AS TIMESTAMP) AS metric_time__month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               CAST(COUNT(1) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / NULLIF(CAST(COUNT(1) AS DOUBLE), 0) AS aov
+        FROM orders
+        WHERE o_orderstatus <> 'P'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "snapshot_hard_delete": f"""
         WITH kept    AS (SELECT * FROM supplier WHERE s_suppkey % 10 != 0),
              dropped AS (SELECT * FROM supplier WHERE s_suppkey % 10 = 0)
@@ -797,4 +865,5 @@ QUERIES = {
     "contract_enforced_model": contract_enforced_model,
     "clone_state_relations": clone_state_relations,
     "hooks_audit_trail": hooks_audit_trail,
+    "semantic_metric_query": semantic_metric_query,
 }

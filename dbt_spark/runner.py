@@ -158,6 +158,7 @@ class Engine:
         empty = False
         warn_error = False
         store_failures = False
+        include_saved_query = False
         sample: Optional[str] = None
         resource_filter: list[str] = []
         event_time_start: Optional[datetime] = None
@@ -198,6 +199,8 @@ class Engine:
                 warn_error = True
             elif rest[i] == "--store-failures":
                 store_failures = True
+            elif rest[i] == "--include-saved-query":
+                include_saved_query = True
             elif rest[i] == "--selector":
                 i += 1
                 selector_name = rest[i]
@@ -332,6 +335,7 @@ class Engine:
             retry_batches=retry_batches or {},
             event_time_start=event_time_start,
             event_time_end=event_time_end,
+            include_saved_query=include_saved_query,
         )
         if store_failures:
             # --store-failures: flag-level override of the per-test config
@@ -1075,8 +1079,20 @@ class Engine:
         from dbt_spark.plans.manifest import METADATA_NODE_TYPES
 
         if node.resource_type in METADATA_NODE_TYPES:
-            # NoOp leaf runners (core/dbt/runners/no_op_runner.py:11-40)
-            results.append(RunResult(node.unique_id, "success", 0.0, "NO-OP"))
+            exports = node.config.meta.get("exports") or []
+            if (node.resource_type == NodeType.SavedQuery
+                    and ctx.include_saved_query and exports):
+                # --include-saved-query: compile the saved query via the
+                # metric compiler and materialize each export (the reference
+                # parses exports, schema_yaml_readers.py:739, and hands
+                # generation to MetricFlow; here generation is native)
+                written = self._run_saved_query_exports(ctx, node, exports)
+                results.append(RunResult(
+                    node.unique_id, "success", time.time() - t0,
+                    message=f"exports: {', '.join(written)}"))
+            else:
+                # NoOp leaf runners (core/dbt/runners/no_op_runner.py:11-40)
+                results.append(RunResult(node.unique_id, "success", 0.0, "NO-OP"))
         elif node.resource_type == NodeType.UnitTest:
             from dbt_spark.operators.unit import run_unit_test
 
@@ -1120,6 +1136,71 @@ class Engine:
                 results.append(RunResult(node.unique_id, "success", time.time() - t0))
         for hook in node.config.post_hook:
             ctx.spark.sql(self._render_hook(ctx, node, hook))
+
+    # -- semantic layer execution (metric compiler, plans/metric_compile.py) --
+
+    def _semantic_inputs(self, ctx: ExecutionContext):
+        """Collect metric + semantic-model nodes and resolve each semantic
+        model's underlying ref() to a registered SQL identifier."""
+        import re as _re
+
+        manifest = ctx.manifest
+        metrics = [n for n in manifest.nodes.values()
+                   if n.resource_type == NodeType.Metric]
+        sms = [n for n in manifest.nodes.values()
+               if n.resource_type == NodeType.SemanticModel]
+        table_for_model: dict[str, str] = {}
+        for sm in sms:
+            model_str = str(sm.config.meta.get("model", ""))
+            m = _re.search(r"ref\(\s*['\"]([^'\"]+)['\"]\s*\)", model_str)
+            rname = m.group(1) if m else model_str
+            target = manifest.ref_lookup(rname, None)
+            if target is not None:
+                table_for_model[rname] = ctx.resolve_ref(target)
+        return metrics, sms, table_for_model
+
+    def _run_saved_query_exports(self, ctx: ExecutionContext,
+                                 node: ManifestNode,
+                                 exports: list) -> list[str]:
+        from dbt_spark.plans.metric_compile import compile_saved_query
+
+        metrics, sms, tables = self._semantic_inputs(ctx)
+        sql = compile_saved_query(node, metrics, sms, tables)
+        written = []
+        for exp in exports:
+            exp_name = exp["name"] if isinstance(exp, dict) else str(exp)
+            exp_cfg = (exp.get("config") or {}) if isinstance(exp, dict) else {}
+            kind = exp_cfg.get("export_as", "table")
+            schema = exp_cfg.get("schema") or ctx.schema
+            if kind == "view":
+                ctx.store.save_view(schema, exp_name, sql)
+            else:
+                ctx.store.write_table(
+                    schema, exp_name, ctx.spark.sql(sql), kind="table")
+            written.append(f"{schema}.{exp_name}")
+        return written
+
+    def query_metrics(self, metric_names: list[str],
+                      group_by: Optional[list[str]] = None,
+                      where: Optional[str] = None,
+                      order_by: Optional[list[str]] = None,
+                      limit: Optional[int] = None):
+        """Programmatic metric query (the `dbt sl query` shape): compile the
+        requested metrics against the parsed project and return the result
+        DataFrame. Referenced models must already be built."""
+        from dbt_spark.plans.metric_compile import compile_metrics_sql
+
+        manifest = self.manifest or self.parse()
+        ctx = ExecutionContext(
+            spark=self.spark, store=self.store, manifest=manifest,
+            project=self.project, vars=self.vars,
+        )
+        metrics, sms, tables = self._semantic_inputs(ctx)
+        sql = compile_metrics_sql(
+            metric_names, metrics, sms, tables,
+            group_by=group_by, where=where, order_by=order_by, limit=limit,
+        )
+        return self.spark.sql(sql)
 
     def _render_hook(self, ctx: ExecutionContext, node: ManifestNode, hook: str) -> str:
         from dbt_spark.plans.compile import runtime_render

@@ -1,0 +1,278 @@
+"""Metric/saved-query compilation and execution (plans/metric_compile.py).
+
+Semantics verified against handwritten SQL over the same seeds; YAML shapes
+mirror the reference's semantic-layer format (schema_yaml_readers.py:189
+metrics, :511 semantic models, :739 saved queries)."""
+
+import pytest
+
+from dbt_spark.plans.metric_compile import (
+    MetricQueryError,
+    compile_metrics_sql,
+    compile_saved_query,
+)
+from dbt_spark.runner import Engine
+
+ORDERS_SM = {
+    "name": "orders_sm",
+    "model": "ref('orders')",
+    "defaults": {"agg_time_dimension": "order_date"},
+    "primary_entity": "order",
+    "entities": [
+        {"name": "order_id", "type": "primary", "expr": "o_id"},
+        {"name": "customer", "type": "foreign", "expr": "o_cust"},
+    ],
+    "dimensions": [
+        {"name": "order_date", "type": "time", "expr": "o_date",
+         "type_params": {"time_granularity": "day"}},
+        {"name": "status", "type": "categorical", "expr": "o_status"},
+    ],
+    "measures": [
+        {"name": "order_count", "agg": "count", "expr": "1"},
+        {"name": "order_total", "agg": "sum", "expr": "o_total"},
+        {"name": "distinct_customers", "agg": "count_distinct",
+         "expr": "o_cust"},
+        {"name": "large_total", "agg": "sum", "expr": "o_total",
+         "filter": "{{ Dimension('status') }} = 'F'"},
+    ],
+}
+
+PAYMENTS_SM = {
+    "name": "payments_sm",
+    "model": "ref('payments')",
+    "defaults": {"agg_time_dimension": "paid_date"},
+    "entities": [{"name": "payment_id", "type": "primary", "expr": "p_id"}],
+    "dimensions": [
+        {"name": "paid_date", "type": "time", "expr": "p_date",
+         "type_params": {"time_granularity": "day"}},
+        {"name": "status", "type": "categorical", "expr": "p_status"},
+    ],
+    "measures": [
+        {"name": "payment_total", "agg": "sum", "expr": "p_amount"},
+    ],
+}
+
+METRICS = [
+    {"name": "orders", "type": "simple", "label": "orders",
+     "type_params": {"measure": "order_count"}},
+    {"name": "revenue", "type": "simple", "label": "revenue",
+     "type_params": {"measure": "order_total"}},
+    {"name": "finished_revenue", "type": "simple", "label": "fr",
+     "type_params": {"measure": "order_total"},
+     "filter": "{{ Dimension('status') }} = 'F'"},
+    {"name": "avg_order_value", "type": "ratio", "label": "aov",
+     "type_params": {"numerator": "order_total",
+                     "denominator": "order_count"}},
+    {"name": "revenue_per_customer", "type": "derived", "label": "rpc",
+     "type_params": {"expr": "rev / NULLIF(custs, 0)",
+                     "metrics": [{"name": "revenue", "alias": "rev"},
+                                 {"name": "distinct_customers_m",
+                                  "alias": "custs"}]}},
+    {"name": "distinct_customers_m", "type": "simple", "label": "dc",
+     "type_params": {"measure": "distinct_customers"}},
+    {"name": "payments", "type": "simple", "label": "p",
+     "type_params": {"measure": "payment_total"}},
+    {"name": "cumulative_revenue", "type": "cumulative", "label": "cr",
+     "type_params": {"measure": "order_total"}},
+]
+
+TABLES = {"orders": "t_orders", "payments": "t_payments"}
+
+ORDERS_ROWS = [
+    (1, 10, "2024-01-05", "F", 100.0),
+    (2, 10, "2024-01-20", "O", 50.0),
+    (3, 20, "2024-02-03", "F", 200.0),
+    (4, 30, "2024-02-10", "F", 75.0),
+    (5, 20, "2024-03-01", "O", 25.0),
+]
+
+PAYMENTS_ROWS = [
+    (1, "2024-01-06", "ok", 90.0),
+    (2, "2024-02-04", "ok", 210.0),
+    (3, "2024-04-01", "ok", 5.0),
+]
+
+
+@pytest.fixture(scope="module")
+def views(spark):
+    spark.createDataFrame(
+        ORDERS_ROWS, "o_id int, o_cust int, o_date string, o_status string, o_total double"
+    ).selectExpr("o_id", "o_cust", "CAST(o_date AS DATE) AS o_date",
+                 "o_status", "o_total").createOrReplaceTempView("t_orders")
+    spark.createDataFrame(
+        PAYMENTS_ROWS, "p_id int, p_date string, p_status string, p_amount double"
+    ).selectExpr("p_id", "CAST(p_date AS DATE) AS p_date", "p_status",
+                 "p_amount").createOrReplaceTempView("t_payments")
+    return spark
+
+
+def _run(spark, metric_names, **kw):
+    sql = compile_metrics_sql(
+        metric_names, METRICS, [ORDERS_SM, PAYMENTS_SM], TABLES, **kw)
+    return sql, spark.sql(sql)
+
+
+def test_simple_metrics_fuse_into_one_aggregate(views):
+    sql, df = _run(views, ["orders", "revenue"], group_by=["status"])
+    rows = {r["status"]: (r["orders"], r["revenue"]) for r in df.collect()}
+    assert rows == {"F": (3, 375.0), "O": (2, 75.0)}
+    # both metrics share one semantic model → exactly one aggregate CTE
+    assert sql.count("GROUP BY") == 1
+
+
+def test_time_grain_and_metric_time(views):
+    _, df = _run(views, ["revenue"], group_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]): r["revenue"] for r in df.collect()}
+    assert rows == {"2024-01-01": 150.0, "2024-02-01": 275.0,
+                    "2024-03-01": 25.0}
+
+
+def test_metric_level_filter(views):
+    _, df = _run(views, ["finished_revenue"])
+    assert df.collect()[0]["finished_revenue"] == 375.0
+
+
+def test_measure_level_filter(views):
+    sql = compile_metrics_sql(
+        ["revenue"], METRICS,
+        [{**ORDERS_SM,
+          "measures": [{"name": "order_total", "agg": "sum",
+                        "expr": "o_total",
+                        "filter": "{{ Dimension('status') }} = 'O'"}]}],
+        TABLES)
+    assert views.sql(sql).collect()[0]["revenue"] == 75.0
+
+
+def test_ratio_metric(views):
+    _, df = _run(views, ["avg_order_value"], group_by=["status"])
+    rows = {r["status"]: r["avg_order_value"] for r in df.collect()}
+    assert rows == {"F": 125.0, "O": 37.5}
+
+
+def test_derived_metric(views):
+    _, df = _run(views, ["revenue_per_customer"])
+    assert df.collect()[0]["revenue_per_customer"] == 450.0 / 3
+
+
+def test_cross_model_full_outer_join(views):
+    sql, df = _run(views, ["revenue", "payments"],
+                   group_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]): (r["revenue"], r["payments"])
+            for r in df.collect()}
+    # April exists only in payments; March only in orders — full outer keeps both
+    assert rows["2024-04-01"] == (None, 5.0)
+    assert rows["2024-03-01"] == (25.0, None)
+    assert rows["2024-01-01"] == (150.0, 90.0)
+    assert "FULL OUTER JOIN" in sql
+
+
+def test_cumulative_metric_running_total(views):
+    _, df = _run(views, ["cumulative_revenue"],
+                 group_by=["metric_time__month"])
+    rows = sorted((str(r["metric_time__month"]), r["cumulative_revenue"])
+                  for r in df.collect())
+    assert [v for _, v in rows] == [150.0, 425.0, 450.0]
+
+
+def test_query_level_where(views):
+    _, df = _run(views, ["revenue"],
+                 where="{{ Dimension('status') }} <> 'O'")
+    assert df.collect()[0]["revenue"] == 375.0
+
+
+def test_errors(views):
+    with pytest.raises(MetricQueryError, match="not defined"):
+        _run(views, ["nope"])
+    with pytest.raises(MetricQueryError, match="no dimension or entity"):
+        _run(views, ["revenue"], group_by=["bogus_dim"])
+    with pytest.raises(MetricQueryError, match="grain"):
+        _run(views, ["revenue"], group_by=["status__month"])
+
+
+def test_saved_query_compilation(views):
+    sq = {
+        "name": "monthly",
+        "query_params": {
+            "metrics": ["revenue", "orders"],
+            "group_by": ["TimeDimension('metric_time', 'month')",
+                         "Dimension('status')"],
+            "where": ["{{ Dimension('status') }} IN ('F', 'O')"],
+            "order_by": ["metric_time__month", "status"],
+            "limit": 10,
+        },
+    }
+    sql = compile_saved_query(sq, METRICS, [ORDERS_SM, PAYMENTS_SM], TABLES)
+    rows = views.sql(sql).collect()
+    assert rows[0]["status"] == "F" and rows[0]["revenue"] == 100.0
+    assert [(str(r["metric_time__month"]), r["status"], r["revenue"])
+            for r in rows] == [
+        ("2024-01-01", "F", 100.0), ("2024-01-01", "O", 50.0),
+        ("2024-02-01", "F", 275.0), ("2024-03-01", "O", 25.0)]
+
+
+PROJECT_FILES = {
+    "dbt_project.yml": "name: sl\nmodel-paths: ['models']\nseed-paths: ['seeds']\n",
+    "seeds/raw_orders.csv": (
+        "o_id,o_cust,o_date,o_status,o_total\n"
+        "1,10,2024-01-05,F,100\n2,10,2024-01-20,O,50\n"
+        "3,20,2024-02-03,F,200\n4,30,2024-02-10,F,75\n5,20,2024-03-01,O,25\n"
+    ),
+    "models/orders.sql": "select * from {{ ref('raw_orders') }}",
+    "models/semantic.yml": """
+version: 2
+semantic_models:
+  - name: orders_sm
+    model: ref('orders')
+    defaults: {agg_time_dimension: order_date}
+    entities:
+      - {name: order_id, type: primary, expr: o_id}
+    dimensions:
+      - {name: order_date, type: time, expr: "CAST(o_date AS DATE)", type_params: {time_granularity: day}}
+      - {name: status, type: categorical, expr: o_status}
+    measures:
+      - {name: order_total, agg: sum, expr: o_total}
+      - {name: order_count, agg: count, expr: "1"}
+metrics:
+  - name: revenue
+    label: revenue
+    type: simple
+    type_params: {measure: order_total}
+  - name: orders_m
+    label: orders
+    type: simple
+    type_params: {measure: order_count}
+saved_queries:
+  - name: monthly_revenue
+    query_params:
+      metrics: [revenue, orders_m]
+      group_by: ["TimeDimension('metric_time', 'month')"]
+    exports:
+      - name: monthly_revenue_tbl
+        config: {export_as: table}
+""",
+}
+
+
+def test_saved_query_export_materializes_in_build(project_dir, spark):
+    root = project_dir(PROJECT_FILES)
+    eng = Engine(root, spark=spark)
+    # default build: saved query is a NoOp leaf (reference core behavior)
+    r = eng.invoke(["build"])
+    assert r.success
+    assert not eng.store.exists("main", "monthly_revenue_tbl")
+    # --include-saved-query: exports materialize
+    r = eng.invoke(["build", "--include-saved-query"])
+    assert r.success
+    msg = next(x.message for x in r.results
+               if x.unique_id == "saved_query.sl.monthly_revenue")
+    assert "monthly_revenue_tbl" in msg
+    out = {str(row["metric_time__month"]): (row["revenue"], row["orders_m"])
+           for row in eng.store.read("main", "monthly_revenue_tbl").collect()}
+    assert out == {"2024-01-01": (150.0, 2), "2024-02-01": (275.0, 2),
+                   "2024-03-01": (25.0, 1)}
+    # programmatic API agrees
+    api = {str(r2["metric_time__month"]): r2["revenue"]
+           for r2 in eng.query_metrics(
+               ["revenue"], group_by=["metric_time__month"]).collect()}
+    assert api == {"2024-01-01": 150.0, "2024-02-01": 275.0,
+                   "2024-03-01": 25.0}
