@@ -88,6 +88,11 @@ EXTENDED = [
     "nullsafe_join_null_ordering",
     "set_ops_multiset",
     "group_by_all_shorthand",
+    # round-3 additions
+    "semantic_metric_query",
+    "repetition_filter_gopher",
+    "chunk_fixed_windows",
+    "decontam_ngram_overlap",
 ]
 
 

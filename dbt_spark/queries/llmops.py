@@ -396,6 +396,108 @@ WITH feats AS (
 )
 """
 
+# --------------------------------------------------------------------------
+# repetition / chunking / n-gram decontamination (round-3 widening)
+# --------------------------------------------------------------------------
+
+def repetition_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021, public):
+    per-doc fraction of tokens inside the most common bigram and inside any
+    duplicated bigram, with a keep flag at the published-style thresholds.
+
+    Scale: bigrams are built map-side with a transform() lambda over the
+    split array (no window sort), then ONE shuffle on (doc_id, gram) with
+    map-side partial counts; the per-doc rollup reuses the same hash
+    partitioning on doc_id prefix. Cost is O(tokens), no self-joins."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))"
+        )).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.max("c").cast("bigint").alias("top_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+         .cast("bigint").alias("dup_c"),
+    )
+    top_frac = F.col("top_c").cast("double") / F.col("total").cast("double")
+    dup_frac = F.col("dup_c").cast("double") / F.col("total").cast("double")
+    return per_doc.select(
+        "doc_id",
+        F.col("total").alias("n_bigrams"),
+        F.col("top_c").alias("top_bigram_count"),
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        F.when((top_frac <= 0.20) & (dup_frac <= 0.60), 1).otherwise(0)
+         .cast("int").alias("keep_flag"),
+    )
+
+
+def chunk_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length token chunking (context-window packing's upstream step):
+    split each doc into 32-token chunks; emit index, length, and an md5 over
+    the chunk text for downstream exact dedup at chunk granularity.
+
+    Scale: pure map-side — explode over chunk indices with array slices, no
+    shuffle at all (the parquet scan's partitioning carries through)."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 1)
+    c = d.select(
+        "doc_id", "ws",
+        F.explode(F.sequence(
+            F.lit(0), F.floor((F.size("ws") - 1) / 32).cast("int")
+        )).alias("ci"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        F.least(F.lit(32), F.size("ws") - F.col("ci") * 32)
+         .cast("bigint").alias("chunk_len"),
+        F.md5(F.array_join(
+            F.slice("ws", F.col("ci") * 32 + 1, F.lit(32)), " "
+        )).alias("chunk_md5"),
+    )
+
+
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-level decontamination (the GPT-3 appendix-C approach, public):
+    flag training docs sharing any 3-gram with the benchmark set (every 97th
+    doc), reporting how many distinct 3-grams overlap. (The published method
+    uses 13-grams; the synthetic corpus's ~30-word vocabulary needs n=3 for a
+    non-degenerate overlap set — the plan is n-independent.)
+
+    Scale: benchmark n-grams are distinct-reduced then BROADCAST; the corpus
+    side streams through a map-side hash semi-join — the 100 TB corpus never
+    shuffles, only its per-doc overlap counts do (tiny)."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 3)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws)-3), "
+            "i -> concat_ws(' ', slice(ws, i+1, 3)))"
+        )).alias("g"),
+    )
+    bench = (grams.filter(F.col("doc_id") % 97 == 0)
+             .select("g").distinct())
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g", "inner")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").cast("bigint").alias("n_overlap"))
+    )
+
+
 _LANG_SCORES = ", ".join(
     f"CAST(len(list_filter({_TOKS_L}, t -> list_contains(['"
     + "', '".join(words)
@@ -404,6 +506,75 @@ _LANG_SCORES = ", ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "repetition_filter_gopher": f"""
+        WITH d AS (
+            SELECT doc_id, {_TOKS} AS ws FROM documents
+            WHERE len({_TOKS}) >= 2
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i + 1])) AS g
+            FROM d
+        ),
+        c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        p AS (
+            SELECT doc_id, sum(c) AS total, max(c) AS top_c,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+            FROM c GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(total AS BIGINT) AS n_bigrams,
+               CAST(top_c AS BIGINT) AS top_bigram_count,
+               CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE)
+                   AS top_bigram_frac,
+               CAST(dup_c AS DOUBLE) / CAST(total AS DOUBLE)
+                   AS dup_bigram_frac,
+               CAST(CASE WHEN CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE)
+                              <= 0.20
+                          AND CAST(dup_c AS DOUBLE) / CAST(total AS DOUBLE)
+                              <= 0.60
+                    THEN 1 ELSE 0 END AS INT) AS keep_flag
+        FROM p
+    """,
+    "chunk_fixed_windows": f"""
+        WITH d AS (
+            SELECT doc_id, {_TOKS} AS ws FROM documents
+            WHERE len({_TOKS}) >= 1
+        ),
+        c AS (
+            SELECT doc_id, ws,
+                   unnest(generate_series(
+                       0, CAST(floor((len(ws) - 1) / 32) AS INT))) AS ci
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(ci AS INT) AS chunk_idx,
+               CAST(least(32, len(ws) - ci * 32) AS BIGINT) AS chunk_len,
+               md5(array_to_string(
+                   list_slice(ws, ci * 32 + 1, ci * 32 + 32), ' '))
+                   AS chunk_md5
+        FROM c
+    """,
+    "decontam_ngram_overlap": f"""
+        WITH d AS (
+            SELECT doc_id, {_TOKS} AS ws FROM documents
+            WHERE len({_TOKS}) >= 3
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ws) - 2),
+                          i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+                       AS g
+            FROM d
+        ),
+        b AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+        SELECT g.doc_id,
+               CAST(count(DISTINCT g.g) AS BIGINT) AS n_overlap
+        FROM g JOIN b ON g.g = b.g
+        WHERE g.doc_id % 97 != 0
+        GROUP BY g.doc_id
+    """,
     "token_count_bpe": f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text,
@@ -709,6 +880,9 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "repetition_filter_gopher": repetition_filter_gopher,
+    "chunk_fixed_windows": chunk_fixed_windows,
+    "decontam_ngram_overlap": decontam_ngram_overlap,
     "token_count": token_count,
     "text_quality_score": text_quality_score,
     "lang_id_heuristic": lang_id_heuristic,
