@@ -1007,17 +1007,33 @@ class Engine:
             registry_root = os.environ.get("DBT_SPARK_REGISTRY") or os.path.join(
                 self.project.root, "package_registry"
             )
+            hub_url = os.environ.get("DBT_PACKAGE_HUB_URL")
+            if registry_root.startswith(("http://", "https://")):
+                hub_url = registry_root
             t0 = time.time()
             try:
-                if not os.path.isdir(registry_root):
-                    raise DepsError(
-                        "hub packages need a registry: the public hub requires "
-                        "network, so point DBT_SPARK_REGISTRY (or "
-                        "<project>/package_registry/) at a local mirror"
+                if hub_url:
+                    # live hub-protocol registry (reference
+                    # clients/registry.py:23-26 DBT_PACKAGE_HUB_URL override)
+                    from dbt_spark.plans.compile import DBT_VERSION
+                    from dbt_spark.plans.registry_http import HubClient, resolve_hub
+
+                    resolved = resolve_hub(
+                        hub_pkgs, HubClient(hub_url), install_root,
+                        # engine tracks dbt 1.10 semantics; the -spark local
+                        # tag is not a semver prerelease for compat purposes
+                        dbt_version=DBT_VERSION.split("-")[0],
                     )
-                for name, version, dest in resolve_registry(
-                    hub_pkgs, registry_root, install_root
-                ):
+                elif os.path.isdir(registry_root):
+                    resolved = resolve_registry(
+                        hub_pkgs, registry_root, install_root)
+                else:
+                    raise DepsError(
+                        "hub packages need a registry: set DBT_PACKAGE_HUB_URL "
+                        "(hub protocol over HTTP) or point DBT_SPARK_REGISTRY "
+                        "(or <project>/package_registry/) at a local mirror"
+                    )
+                for name, version, dest in resolved:
                     results.append(RunResult(
                         f"package.hub.{name}", "success", time.time() - t0,
                         f"{version} -> {dest}"))
