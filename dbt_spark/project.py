@@ -253,8 +253,16 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
             raw = f.read()
         language = "python" if rel.endswith(".py") else "sql"
         if language == "sql":
-            _, refs, sources, config_calls = parse_render(
-                raw, name, project.vars, target_ctx, macros=manifest.macros
+            # static fast path first (reference parser/models.py:379-393
+            # run_static_parser); full Jinja render is the always-correct
+            # fallback for anything the extractor can't prove static
+            from dbt_spark.plans.static_parser import extract_or_render
+
+            refs, sources, config_calls = extract_or_render(
+                raw, name,
+                lambda raw=raw, name=name: parse_render(
+                    raw, name, project.vars, target_ctx, macros=manifest.macros
+                ),
             )
         else:
             refs, sources, config_calls = _parse_python_model(raw)
