@@ -93,6 +93,10 @@ EXTENDED = [
     "repetition_filter_gopher",
     "chunk_fixed_windows",
     "decontam_ngram_overlap",
+    "quality_filter_c4",
+    "language_balanced_sample",
+    "corpus_shuffle_deterministic",
+    "dup_chunk_ratio",
 ]
 
 

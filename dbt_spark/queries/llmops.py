@@ -467,6 +467,132 @@ def chunk_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composite quality gate (Raffel et al. 2020 §2.2,
+    Rae et al. 2021 A.1.1, both public): per-doc token count, mean token
+    length, stopword hits, and symbol ratio, each bounded; keep_flag is the
+    conjunction. The per-doc stats double as the quality-report columns a
+    curation dashboard reads.
+
+    Scale: one scan, all stats are codegen'd column math (higher-order
+    aggregate over the token array — no explode, no shuffle); the output is
+    map-side only."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (F.length("text") - F.length(F.translate("text", ".,!?;:#{}[]|", "")))
+        .cast("bigint").alias("n_symbols"),
+        X.count_matches("text", X.STOPWORDS).alias("stop_hits"),
+    ).filter(F.size("ws") >= 1)
+    d = d.select(
+        "doc_id", "n_chars", "n_symbols", "stop_hits",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.expr("aggregate(ws, 0L, (a, t) -> a + length(t))")
+        .cast("bigint").alias("token_chars"),
+    )
+    mean_len = F.col("token_chars").cast("double") / F.col("n_tokens").cast("double")
+    sym_ratio = F.col("n_symbols").cast("double") / F.col("n_chars").cast("double")
+    keep = (
+        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 100000)
+        & (mean_len >= 3.0) & (mean_len <= 10.0)
+        & (F.col("stop_hits") >= 2) & (sym_ratio <= 0.1)
+    )
+    return d.select(
+        "doc_id", "n_tokens",
+        mean_len.alias("mean_token_len"),
+        "stop_hits",
+        sym_ratio.alias("symbol_ratio"),
+        keep.cast("int").alias("keep_flag"),
+    )
+
+
+def language_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced subcorpus: cap every language at K docs, chosen by
+    deterministic md5(doc_id) order — the standard rebalancing step before
+    mixing multilingual training data (caps the head language instead of
+    sampling by rand()).
+
+    Scale: one shuffle on lang (the window partition key); no global sort.
+    Per-language skew is the known hazard (one giant language) — at 100 TB
+    the same plan runs with lang+md5-prefix salting on the window key."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 40)
+    )
+
+
+def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: shard = first hex
+    digit of md5(doc_id) (16-way; 2 digits → 256-way at scale), position =
+    md5 order within the shard. Reproducible across reruns and engines — no
+    rand(), and crucially NO global sort: sharding is a pure map-side hash
+    and the within-shard window parallelizes across shards."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    d = docs.select(
+        "doc_id",
+        h.alias("h"),
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1)
+        .cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return d.select(
+        "doc_id", "shard", F.row_number().over(w).alias("shard_pos")
+    )
+
+
+def dup_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-content fraction (the Gopher 'duplicate
+    content' signal at chunk granularity): split docs into 8-token chunks,
+    mark a chunk duplicated when its md5 occurs in ≥2 distinct docs, report
+    each doc's duplicated-chunk fraction.
+
+    Scale: two shuffles, both keyed on chunk_md5 — the per-key
+    distinct-doc count aggregate and the join back (AQE reuses the same
+    partitioning), then a per-doc map-side-partial agg. No all-pairs
+    anything: cost ∝ chunks, not docs²."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 1)
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size("ws") - 1) / 8).cast("int"))
+        ).alias("ci"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("ws", F.col("ci") * 8 + 1, F.lit(8)), " "))
+        .alias("chunk_md5"),
+    )
+    dup_keys = chunks.groupBy("chunk_md5").agg(
+        (F.countDistinct("doc_id") > 1).cast("int").alias("is_dup")
+    )
+    return (
+        chunks.join(dup_keys, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id", "n_chunks", "n_dup_chunks",
+            (F.col("n_dup_chunks").cast("double")
+             / F.col("n_chunks").cast("double")).alias("dup_frac"),
+        )
+    )
+
+
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-level decontamination (the GPT-3 appendix-C approach, public):
     flag training docs sharing any 3-gram with the benchmark set (every 97th
@@ -657,6 +783,94 @@ ORACLES: dict[str, str] = {
                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                          ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
         FROM documents
+    """,
+    "quality_filter_c4": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   {_TOKS} AS ws,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) -
+                        length(translate(text, '.,!?;:#{{}}[]|', ''))
+                        AS BIGINT) AS n_symbols,
+                   CAST(len(list_filter({_TOKS_L},
+                            t -> list_contains({STOP_ARR}, t)))
+                        AS BIGINT) AS stop_hits
+            FROM documents WHERE len({_TOKS}) >= 1
+        ),
+        s AS (
+            SELECT doc_id, n_chars, n_symbols, stop_hits,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   CAST(list_sum(list_transform(ws, t -> length(t)))
+                        AS BIGINT) AS token_chars
+            FROM d
+        )
+        SELECT doc_id, n_tokens,
+               CAST(token_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   AS mean_token_len,
+               stop_hits,
+               CAST(n_symbols AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                   AS symbol_ratio,
+               CAST(CASE WHEN n_tokens BETWEEN 20 AND 100000
+                          AND CAST(token_chars AS DOUBLE) /
+                              CAST(n_tokens AS DOUBLE) BETWEEN 3.0 AND 10.0
+                          AND stop_hits >= 2
+                          AND CAST(n_symbols AS DOUBLE) /
+                              CAST(n_chars AS DOUBLE) <= 0.1
+                    THEN 1 ELSE 0 END AS INT) AS keep_flag
+        FROM s
+    """,
+    "language_balanced_sample": """
+        SELECT doc_id, lang, sample_rank FROM (
+            SELECT doc_id, lang,
+                   CAST(row_number() OVER (
+                        PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS INT) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= 40
+    """,
+    "corpus_shuffle_deterministic": """
+        WITH d AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                   CAST(strpos('0123456789abcdef',
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                        AS INT) AS shard
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (
+                    PARTITION BY shard ORDER BY h ASC, doc_id ASC
+               ) AS INT) AS shard_pos
+        FROM d
+    """,
+    "dup_chunk_ratio": f"""
+        WITH d AS (
+            SELECT doc_id, {_TOKS} AS ws FROM documents
+            WHERE len({_TOKS}) >= 1
+        ),
+        c AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_slice(ws, ci * 8 + 1, ci * 8 + 8), ' '))
+                       AS chunk_md5
+            FROM (SELECT doc_id, ws,
+                         unnest(generate_series(
+                             0, CAST(floor((len(ws) - 1) / 8) AS INT))) AS ci
+                  FROM d)
+        ),
+        dup AS (
+            SELECT chunk_md5,
+                   CAST(CASE WHEN count(DISTINCT doc_id) > 1
+                        THEN 1 ELSE 0 END AS INT) AS is_dup
+            FROM c GROUP BY chunk_md5
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(is_dup) AS BIGINT) AS n_dup_chunks,
+               CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS dup_frac
+        FROM c JOIN dup USING (chunk_md5)
+        GROUP BY doc_id
     """,
     "text_quality_score": _QUALITY_CTE + """
         SELECT doc_id,
@@ -883,6 +1097,10 @@ QUERIES = {
     "repetition_filter_gopher": repetition_filter_gopher,
     "chunk_fixed_windows": chunk_fixed_windows,
     "decontam_ngram_overlap": decontam_ngram_overlap,
+    "quality_filter_c4": quality_filter_c4,
+    "language_balanced_sample": language_balanced_sample,
+    "corpus_shuffle_deterministic": corpus_shuffle_deterministic,
+    "dup_chunk_ratio": dup_chunk_ratio,
     "token_count": token_count,
     "text_quality_score": text_quality_score,
     "lang_id_heuristic": lang_id_heuristic,

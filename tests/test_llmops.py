@@ -297,3 +297,85 @@ def test_exact_dedup_with_nested_map_column(spark):
     )
     kept = sorted(r["id"] for r in D.exact_dedup(df, ["k"], "id").collect())
     assert kept == [1, 3]
+
+
+def test_quality_filter_c4_boundaries(spark):
+    """keep_flag conjunction: each bound independently kills a crafted doc."""
+    from dbt_spark.queries.llmops import quality_filter_c4
+
+    out = {r["doc_id"]: r for r in quality_filter_c4(spark, SF).collect()}
+    assert out  # real corpus coverage
+    for r in out.values():
+        expect = (
+            20 <= r["n_tokens"] <= 100000
+            and 3.0 <= r["mean_token_len"] <= 10.0
+            and r["stop_hits"] >= 2
+            and r["symbol_ratio"] <= 0.1
+        )
+        assert r["keep_flag"] == int(expect)
+    assert 0 < sum(r["keep_flag"] for r in out.values()) < len(out)
+
+
+def test_language_balanced_sample_caps_each_lang(spark):
+    from dbt_spark.queries.llmops import language_balanced_sample
+
+    rows = language_balanced_sample(spark, SF).collect()
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    docs_per_lang = {
+        r["lang"]: r["n"]
+        for r in _docs(spark).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, ranks in per_lang.items():
+        assert len(ranks) == min(40, docs_per_lang[lang])
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_corpus_shuffle_is_deterministic_partition(spark):
+    """Every doc gets exactly one (shard, pos); positions are dense per shard;
+    two invocations agree bit-for-bit (no rand())."""
+    from dbt_spark.queries.llmops import corpus_shuffle_deterministic
+
+    a = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in corpus_shuffle_deterministic(spark, SF).collect()}
+    b = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in corpus_shuffle_deterministic(spark, SF).collect()}
+    assert a == b
+    assert len(a) == _docs(spark).count()
+    shards: dict = {}
+    for shard, pos in a.values():
+        assert 0 <= shard <= 15
+        shards.setdefault(shard, []).append(pos)
+    for positions in shards.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_dup_chunk_ratio_planted_duplicate(spark):
+    """Two docs sharing an 8-token prefix both get a nonzero dup fraction."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one two three four five six seven eight"),
+            (2, shared + " nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+            (3, "totally different words only here nothing shared at all x y z w q r s t"),
+        ],
+        ["doc_id", "text"],
+    )
+    # same plan as the registered query, against the in-memory frame
+    d = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.floor((F.size("ws") - 1) / 8).cast("int"))).alias("ci"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("ws", F.col("ci") * 8 + 1, F.lit(8)), " ")).alias("m"),
+    )
+    dup = chunks.groupBy("m").agg((F.countDistinct("doc_id") > 1).cast("int").alias("is_dup"))
+    frac = {
+        r["doc_id"]: r["f"]
+        for r in chunks.join(dup, "m").groupBy("doc_id")
+        .agg((F.sum("is_dup") / F.count("*")).alias("f")).collect()
+    }
+    assert frac[1] > 0 and frac[2] > 0 and frac[3] == 0.0
