@@ -144,6 +144,66 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.store.read("main", "events_enriched").orderBy("event_id")
 
 
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join with a time-interval condition:
+    clicks joined to the same user's purchases within the next 30 minutes —
+    the canonical funnel/attribution shape (Structured Streaming's
+    stream-stream join, which requires both watermarks AND the interval
+    bound to know when join state can be dropped).
+
+    availableNow processes the whole landing dir, so the emitted matches
+    equal the batch interval join — the DuckDB oracle.
+
+    Scale: state is bounded by watermark + interval (30 min of per-user
+    events per side, not the full history); the join shuffles both sides on
+    user_id once; at 100 TB the same plan holds with per-user state capped
+    by the time bound."""
+    events = (
+        read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "user_id", "ts", "event_type")
+        .filter(F.col("event_id") < 3000)
+    )
+    src = tempfile.mkdtemp(prefix="dbt_spark_ssj_")
+    out_dir = tempfile.mkdtemp(prefix="dbt_spark_ssjout_")
+    ckpt = tempfile.mkdtemp(prefix="dbt_spark_ssjckpt_")
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    from dbt_spark.streaming.stateful import _watermarkable
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    stream = _watermarkable(stream, "ts")
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr("c_user = p_user AND p_ts >= c_ts "
+               "AND p_ts <= c_ts + INTERVAL 30 MINUTES"),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def session_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark.streaming.stateful import session_window_agg
 
@@ -233,6 +293,16 @@ ORACLES = {
     "stream_dedup_watermark": """
         SELECT event_id, user_id, value FROM events WHERE event_id < 3000
     """,
+    "stream_stream_interval_join": """
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id AS user_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30' MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          AND c.event_id < 3000 AND p.event_id < 3000
+    """,
     # gaps-and-islands: a new session starts when the gap from the previous
     # event (per user) exceeds GAP_MIN; session_window's end = last_ts + gap
     "session_window_agg": f"""
@@ -264,6 +334,7 @@ QUERIES = {
     "streaming_ingest_checkpoint": streaming_ingest_checkpoint,
     "stream_dedup_watermark": stream_dedup_watermark,
     "stream_static_join": stream_static_join,
+    "stream_stream_interval_join": stream_stream_interval_join,
     "session_window_agg": session_window_agg_q,
     "tumbling_window_agg": tumbling_window_agg,
     "hopping_window_agg": hopping_window_agg,

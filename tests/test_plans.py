@@ -99,3 +99,31 @@ def test_pivot_native_single_pass(spark):
     assert "HashAggregate" in plan and (
         "partial_pivotfirst" in plan.lower() or "pivotfirst" in plan.lower()
     )
+
+
+def test_quality_filter_c4_map_only(spark):
+    """The C4 quality gate is pure map-side: no Exchange, no Python stage,
+    higher-order token math stays inside codegen."""
+    plan = _formatted(QUERIES["quality_filter_c4"](spark, SF_DIR_MED))
+    # the only exchange is spread()'s round-robin (tiny-test-file helper,
+    # no-op at scale); the operator itself introduces no hash/range shuffle
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_shuffle_no_global_sort(spark):
+    """Deterministic sharding must NOT be a single global sort: exactly the
+    one hash exchange the per-shard window needs, no rangepartitioning over
+    the whole corpus."""
+    plan = _formatted(QUERIES["corpus_shuffle_deterministic"](spark, SF_DIR_MED))
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("hashpartitioning(shard") == 1, plan
+
+
+def test_dup_chunk_ratio_no_cartesian_and_reused_key(spark):
+    """Duplicate-chunk scoring joins on chunk_md5 (the same key as its
+    aggregate) and never degenerates to a cartesian/nested-loop product."""
+    plan = _formatted(QUERIES["dup_chunk_ratio"](spark, SF_DIR_MED))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(chunk_md5" in plan, plan
