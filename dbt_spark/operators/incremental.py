@@ -82,15 +82,49 @@ def apply_schema_change(
 
 
 def merge_upsert(
-    existing: DataFrame, new: DataFrame, keys: list[str]
+    existing: DataFrame, new: DataFrame, keys: list[str],
+    update_columns: Optional[list[str]] = None,
+    exclude_columns: Optional[list[str]] = None,
 ) -> DataFrame:
     """MERGE semantics: matched target rows replaced, unmatched inserted.
 
     Implemented as target-anti-join-keys ∪ new — one shuffle on the key, and
-    AQE converts to broadcast when the new batch is small (the common case)."""
+    AQE converts to broadcast when the new batch is small (the common case).
+
+    ``merge_update_columns`` / ``merge_exclude_columns`` (reference
+    v1/config.py:106-109, mutually exclusive): when set, a matched row takes
+    ONLY the listed (resp. all-but-excluded) columns from the source and
+    keeps the rest from the target; inserts always take the full source row.
+    That partial-update shape needs the matched target rows, so it joins
+    instead of anti-joining — still one shuffle on the key."""
+    if update_columns and exclude_columns:
+        raise IncrementalError(
+            "merge_update_columns and merge_exclude_columns are mutually "
+            "exclusive (v1/config.py MergeConfig)")
+    if not update_columns and not exclude_columns:
+        new_keys = new.select(*keys).distinct()
+        kept = existing.join(F.broadcast(new_keys), on=keys, how="left_anti")
+        return kept.unionByName(new)
+
+    non_keys = [c for c in existing.columns if c not in keys]
+    upd = (list(update_columns) if update_columns
+           else [c for c in non_keys if c not in set(exclude_columns)])
+    unknown = set(upd) - set(non_keys)
+    if unknown:
+        raise IncrementalError(
+            f"merge update columns not in target schema: {sorted(unknown)}")
+    t, s = existing.alias("t"), new.alias("s")
+    matched = t.join(s, on=keys, how="inner").select(
+        *keys,
+        *[(F.col(f"s.{c}") if c in upd else F.col(f"t.{c}")).alias(c)
+          for c in non_keys],
+    )
     new_keys = new.select(*keys).distinct()
-    kept = existing.join(F.broadcast(new_keys), on=keys, how="left_anti")
-    return kept.unionByName(new)
+    unmatched_target = existing.join(F.broadcast(new_keys), on=keys, how="left_anti")
+    inserts = new.join(existing.select(*keys).distinct(), on=keys, how="left_anti")
+    return unmatched_target.unionByName(matched.select(*existing.columns)).unionByName(
+        inserts.select(*existing.columns)
+    )
 
 
 def delete_insert(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
@@ -188,7 +222,16 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
             schema, node.name, new, kind="incremental", partition_by=parts, mode="append"
         )
     if strategy == "merge":
-        return _scoped_rewrite(ctx, node, new, merge_upsert, _unique_keys(node))
+        upd = node.config.meta.get("merge_update_columns")
+        exc = node.config.meta.get("merge_exclude_columns")
+
+        def combine(existing, batch, keys):
+            return merge_upsert(
+                existing, batch, keys,
+                update_columns=upd, exclude_columns=exc,
+            )
+
+        return _scoped_rewrite(ctx, node, new, combine, _unique_keys(node))
     if strategy == "delete+insert":
         return _scoped_rewrite(ctx, node, new, delete_insert, _unique_keys(node))
     if strategy == "insert_overwrite":

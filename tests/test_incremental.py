@@ -515,3 +515,48 @@ def test_event_time_end_clamp_partitioned(project_dir, spark):
     assert r.success, [x.message for x in r.results]
     rows = sorted(x["id"] for x in eng.store.read("main", "target").collect())
     assert rows == [1, 2, 3, 4]
+
+
+MERGE_PARTIAL_SQL = """
+{{ config(materialized='incremental', incremental_strategy='merge',
+          unique_key='id', merge_update_columns=['val']) }}
+select id, day * {{ var('daymult', 1) }} as day, val * {{ var('mult', 1) }} as val
+from {{ ref('events') }}
+where day <= {{ var('upto', 3) }}
+"""
+
+
+def test_merge_update_columns_partial_update(project_dir, spark):
+    """merge_update_columns=['val']: matched rows take val from the source
+    but KEEP the target's day; inserts take the full source row
+    (v1/config.py:106-109 MergeConfig semantics)."""
+    root, eng = make_engine(
+        project_dir, spark, MERGE_PARTIAL_SQL, vars={"upto": 2})
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    # second run rewrites day (x100) and val (x10) — only val may change on
+    # matched ids; the new id 5/6 rows insert with the rewritten day
+    eng2 = Engine(root, spark=spark, vars={"upto": 3, "mult": 10, "daymult": 100})
+    assert eng2.invoke(["run"]).success
+    rows = {r["id"]: (r["day"], r["val"])
+            for r in eng2.store.read("main", "target").collect()}
+    assert rows == {
+        1: (1, 100), 2: (1, 200), 3: (2, 300), 4: (2, 400),   # day untouched
+        5: (300, 500), 6: (300, 600),                          # fresh inserts
+    }
+
+
+def test_merge_exclude_columns_and_mutual_exclusion(spark):
+    from dbt_spark.operators.incremental import IncrementalError, merge_upsert
+
+    t = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ["id", "tag", "val"])
+    s = spark.createDataFrame([(2, "B", 99), (3, "c", 30)], ["id", "tag", "val"])
+    # exclude tag -> matched row 2 updates val only; row 3 inserts fully
+    out = {r["id"]: (r["tag"], r["val"])
+           for r in merge_upsert(t, s, ["id"], exclude_columns=["tag"]).collect()}
+    assert out == {1: ("a", 10), 2: ("b", 99), 3: ("c", 30)}
+    import pytest as _pytest
+    with _pytest.raises(IncrementalError, match="mutually exclusive"):
+        merge_upsert(t, s, ["id"], update_columns=["val"], exclude_columns=["tag"])
+    with _pytest.raises(IncrementalError, match="not in target schema"):
+        merge_upsert(t, s, ["id"], update_columns=["nope"])
