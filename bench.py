@@ -97,6 +97,8 @@ EXTENDED = [
     "language_balanced_sample",
     "corpus_shuffle_deterministic",
     "dup_chunk_ratio",
+    "window_count_distinct",
+    "map_column_ops",
 ]
 
 

@@ -382,7 +382,62 @@ def scan_multi_format_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) as a window aggregate. Spark forbids DISTINCT inside
+    window functions, so the engine form is ``size(collect_set(x) OVER w)``
+    — same semantics, and the per-partition set stays bounded by the key's
+    distinct values (here ≤3 return flags), not the partition row count.
+    The oracle states it as SQL-standard count(DISTINCT) OVER."""
+    load_tables(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        SELECT l_orderkey, l_linenumber,
+               CAST(size(collect_set(l_returnflag)
+                    OVER (PARTITION BY l_orderkey)) AS BIGINT) AS n_flags,
+               CAST(size(collect_set(l_suppkey)
+                    OVER (PARTITION BY l_orderkey)) AS BIGINT) AS n_suppliers
+        FROM lineitem
+        WHERE l_orderkey < 1000
+    """)
+
+
+def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column construction + lookup + introspection (MapType is
+    native in Spark; dbt passes such type strings through opaquely, SURVEY
+    §1.2). Output scalars only — map cells never reach the driver hasher."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderkey,
+               element_at(m, 'status') AS status_val,
+               element_at(m, 'prio') AS prio_val,
+               CAST(cardinality(m) AS BIGINT) AS n_entries,
+               array_join(array_sort(map_keys(m)), ',') AS keys_csv
+        FROM (SELECT o_orderkey,
+                     map('status', o_orderstatus, 'prio', o_orderpriority) AS m
+              FROM orders WHERE o_orderkey < 500)
+    """)
+
+
 ORACLES: dict[str, str] = {
+    "window_count_distinct": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(count(DISTINCT l_returnflag)
+                    OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_flags,
+               CAST(count(DISTINCT l_suppkey)
+                    OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_suppliers
+        FROM lineitem
+        WHERE l_orderkey < 1000
+    """,
+    "map_column_ops": """
+        SELECT o_orderkey,
+               m['status'][1] AS status_val,
+               m['prio'][1] AS prio_val,
+               CAST(cardinality(m) AS BIGINT) AS n_entries,
+               array_to_string(list_sort(map_keys(m)), ',') AS keys_csv
+        FROM (SELECT o_orderkey,
+                     map(['status', 'prio'],
+                         [o_orderstatus, o_orderpriority]) AS m
+              FROM orders WHERE o_orderkey < 500)
+    """,
     "interval_arithmetic": """
         SELECT o_orderkey,
                o_orderdate + INTERVAL 30 DAY AS due_date,
@@ -539,5 +594,7 @@ QUERIES = {
     "gaps_islands_sessions": gaps_islands_sessions,
     "pivot_native": pivot_native,
     "nested_struct_ops": nested_struct_ops,
+    "window_count_distinct": window_count_distinct,
+    "map_column_ops": map_column_ops,
     "source_freshness_age": source_freshness_age,
 }
