@@ -182,6 +182,27 @@ def _changed_macros(state: dict) -> frozenset[str]:
     return result
 
 
+def _contract_state_new(node: ManifestNode) -> tuple:
+    """Contract-relevant fingerprint of a live node: (enforced, sorted
+    (column, data_type, constraints))."""
+    enforced = bool((node.config.contract or {}).get("enforced", False))
+    cols = tuple(sorted(
+        (name, str(spec.get("data_type")), str(spec.get("constraints") or []))
+        for name, spec in (node.columns or {}).items()
+    ))
+    return (enforced, cols)
+
+
+def _contract_state_old(old: dict) -> tuple:
+    """Same fingerprint from a --state manifest.json node entry."""
+    enforced = bool((old.get("contract") or {}).get("enforced", False))
+    cols = tuple(sorted(
+        (name, str(spec.get("data_type")), str(spec.get("constraints") or []))
+        for name, spec in (old.get("columns") or {}).items()
+    ))
+    return (enforced, cols)
+
+
 def _metadata_artifact(node: ManifestNode) -> Optional[dict]:
     """The node's manifest.json section entry (exposures/metrics/groups/
     semantic_models/saved_queries/unit_tests) — the content-comparison unit
@@ -249,7 +270,7 @@ def _match_method(
             if value == "new":
                 return old is None
             if value in ("modified", "modified.body", "modified.configs",
-                         "modified.macros"):
+                         "modified.macros", "modified.contract"):
                 if old is None:
                     return True
                 if "checksum" not in old:
@@ -277,6 +298,16 @@ def _match_method(
                 if value in ("modified", "modified.macros"):
                     changed = _changed_macros(state)
                     if changed and any(name in node.raw_code for name in changed):
+                        return True
+                if value in ("modified", "modified.contract") and (
+                    "contract" in old or "columns" in old
+                ):
+                    # contract surface = enforced flag + per-column
+                    # data_type/constraints (reference same_contract /
+                    # build_contract_checksum, nodes.py:637,697); artifacts
+                    # written before the fields existed skip the comparison
+                    # instead of reading as all-modified
+                    if _contract_state_new(node) != _contract_state_old(old):
                         return True
                 return False
             raise DagError(f"unknown state selector '{value}'")

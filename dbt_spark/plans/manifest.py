@@ -234,6 +234,23 @@ class Manifest:
             if n.compiled_code is not None:
                 d["compiled"] = True
                 d["compiled_code"] = n.compiled_code
+            if n.columns:
+                # ColumnInfo shape (v12 columns section) — carries the
+                # contract surface (data_type + constraints) so
+                # state:modified.contract can compare against --state
+                d["columns"] = {
+                    name: {
+                        "name": name,
+                        "description": str(spec.get("description", "")),
+                        "data_type": spec.get("data_type"),
+                        "constraints": spec.get("constraints") or [],
+                    }
+                    for name, spec in n.columns.items()
+                }
+            if n.config.contract:
+                d["contract"] = {
+                    "enforced": bool(n.config.contract.get("enforced", False))
+                }
             if n.column_name:
                 d["column_name"] = n.column_name
             if n.attached_node:

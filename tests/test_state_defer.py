@@ -130,3 +130,54 @@ groups:
     r = eng.invoke(["ls", "--select", "+finance_dashboard"])
     ids = {x.unique_id for x in r.results}
     assert "model.dfr.order_rollup" in ids and "model.dfr.base_orders" in ids
+
+
+def test_state_modified_contract(tmp_path, spark):
+    """state:modified.contract fires on a column data_type change in a
+    contracted model's YAML (raw_code untouched, so modified.body stays
+    quiet) and stays quiet on a description-only change — reference
+    same_contract semantics (nodes.py:697)."""
+    import shutil
+
+    schema_yml = """
+models:
+  - name: base_orders
+    config: {contract: {enforced: true}}
+    columns:
+      - name: o_orderkey
+        data_type: bigint
+      - name: o_custkey
+        data_type: bigint
+      - name: o_totalprice
+        data_type: double
+        description: "{DESC}"
+"""
+    files = dict(PROD)
+    files["models/schema.yml"] = schema_yml.replace("{DESC}", "total")
+    root = _mk(tmp_path, "contractp", files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["run"]).success, "contracted model should build"
+    state = str(tmp_path / "cstate")
+    os.makedirs(state, exist_ok=True)
+    shutil.copy(os.path.join(root, "target", "manifest.json"), state)
+
+    # unchanged → quiet
+    r = eng.invoke(["ls", "--select", "state:modified.contract", "--state", state])
+    assert [x.unique_id for x in r.results] == []
+
+    # description-only change → still quiet (not part of the contract)
+    with open(os.path.join(root, "models", "schema.yml"), "w") as f:
+        f.write(schema_yml.replace("{DESC}", "reworded"))
+    r = Engine(root, spark=spark).invoke(
+        ["ls", "--select", "state:modified.contract", "--state", state])
+    assert [x.unique_id for x in r.results] == []
+
+    # data_type change → contract modified (and the modified umbrella too)
+    with open(os.path.join(root, "models", "schema.yml"), "w") as f:
+        f.write(schema_yml.replace("{DESC}", "total")
+                .replace("data_type: double", "data_type: decimal(18,2)"))
+    eng3 = Engine(root, spark=spark)
+    r = eng3.invoke(["ls", "--select", "state:modified.contract", "--state", state])
+    assert [x.unique_id for x in r.results] == ["model.dfr.base_orders"]
+    r = eng3.invoke(["ls", "--select", "state:modified", "--state", state])
+    assert "model.dfr.base_orders" in [x.unique_id for x in r.results]
