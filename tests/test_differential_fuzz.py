@@ -256,3 +256,69 @@ def _gen_scalar_sql(seed: int) -> str:
 def test_differential_scalar_funcs(spark, seed):
     load_tables(spark, SF_DIR, "orders")
     _run_case(spark, _gen_scalar_sql(seed), seed)
+
+
+# --------------------------------------------------------------------------
+# higher-order array functions (the token-array building blocks of the
+# LLM-ops inventory). Spellings differ per dialect, so the generator makes
+# the SAME random choices and renders a (spark_sql, duck_sql) pair.
+# --------------------------------------------------------------------------
+
+_HOF_TOKENS_SPARK = "split(trim(text), '\\\\s+')"
+_HOF_TOKENS_DUCK = "string_split_regex(trim(text), '\\s+')"
+
+
+def _gen_hof_pair(seed: int) -> tuple[str, str]:
+    rng = random.Random(10_000 + seed)
+    s_arr, d_arr = _HOF_TOKENS_SPARK, _HOF_TOKENS_DUCK
+
+    # optional per-token filter on length
+    if rng.random() < 0.7:
+        k = rng.randrange(2, 6)
+        op = rng.choice([">", ">=", "<="])
+        s_arr = f"filter({s_arr}, t -> length(t) {op} {k})"
+        d_arr = f"list_filter({d_arr}, t -> length(t) {op} {k})"
+
+    # optional per-token transform
+    if rng.random() < 0.7:
+        fn = rng.choice(["upper", "reverse", "lower"])
+        s_arr = f"transform({s_arr}, t -> {fn}(t))"
+        d_arr = f"list_transform({d_arr}, t -> {fn}(t))"
+
+    # scalar reductions over the (possibly filtered/transformed) array
+    probe = rng.choice(["the", "data", "zz", "spark"])
+    n_slice = rng.randrange(2, 6)
+    s_cols = (
+        f"CAST(size({s_arr}) AS BIGINT) AS n, "
+        f"CAST(aggregate({s_arr}, 0L, (a, t) -> a + length(t)) AS BIGINT) AS total_len, "
+        f"array_contains({s_arr}, '{probe}') AS has_probe, "
+        f"array_join(slice(array_sort({s_arr}), 1, {n_slice}), ' ') AS head_sorted"
+    )
+    d_cols = (
+        f"CAST(len({d_arr}) AS BIGINT) AS n, "
+        f"CAST(coalesce(list_sum(list_transform({d_arr}, t -> length(t))), 0) AS BIGINT) AS total_len, "
+        f"list_contains({d_arr}, '{probe}') AS has_probe, "
+        # dialect edge surfaced by this family: DuckDB array_to_string([])
+        # is NULL, Spark array_join([]) is '' — coalesce the oracle side
+        f"coalesce(array_to_string(list_slice(list_sort({d_arr}), 1, {n_slice}), ' '), '') AS head_sorted"
+    )
+    where = f"doc_id % {rng.randrange(2, 5)} = 0"
+    return (
+        f"SELECT doc_id, {s_cols} FROM documents WHERE {where}",
+        f"SELECT doc_id, {d_cols} FROM documents WHERE {where}",
+    )
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_differential_higher_order_funcs(spark, seed):
+    load_tables(spark, SF_DIR, "documents")
+    spark_sql, duck_sql = _gen_hof_pair(seed)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'documents.parquet')}'"
+    )
+    got = spark.sql(spark_sql).toPandas()
+    want = con.sql(duck_sql).df()
+    assert sorted(got.columns) == sorted(want.columns), spark_sql
+    assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
