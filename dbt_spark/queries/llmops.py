@@ -593,6 +593,27 @@ def dup_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: global token frequencies, top 50 by
+    (count desc, token asc) — the tokenizer-training / corpus-profiling
+    primitive (wordcount at 100 TB).
+
+    Scale: explode is map-side; the frequency aggregate is combiner-friendly
+    (map-side partial count collapses each partition's repeats before the
+    exchange carries one row per distinct token per partition); top-k is a
+    TakeOrdered, no global sort materialized."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-level decontamination (the GPT-3 appendix-C approach, public):
     flag training docs sharing any 3-gram with the benchmark set (every 97th
@@ -783,6 +804,14 @@ ORACLES: dict[str, str] = {
                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                          ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
         FROM documents
+    """,
+    "vocab_top_terms": f"""
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_TOKS_L}) AS token FROM documents)
+        WHERE length(token) > 0
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 50
     """,
     "quality_filter_c4": f"""
         WITH d AS (
@@ -1097,6 +1126,7 @@ QUERIES = {
     "repetition_filter_gopher": repetition_filter_gopher,
     "chunk_fixed_windows": chunk_fixed_windows,
     "decontam_ngram_overlap": decontam_ngram_overlap,
+    "vocab_top_terms": vocab_top_terms,
     "quality_filter_c4": quality_filter_c4,
     "language_balanced_sample": language_balanced_sample,
     "corpus_shuffle_deterministic": corpus_shuffle_deterministic,

@@ -42,3 +42,47 @@ def test_example_project_builds(tmp_path, spark):
     ids = {x.unique_id for x in eng.invoke(["ls", "--selector", "marts_only"]).results}
     assert "model.jaffle_spark.customers" in ids
     assert "model.jaffle_spark.stg_orders" not in ids
+
+
+CURATION = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "pretraining_curation")
+
+
+def test_curation_example_builds(tmp_path, spark):
+    """examples/pretraining_curation: staged stats → quality gate →
+    fingerprint dedup (model config) → balanced sample → shards, with
+    generic tests and an exposure, all through one `build`."""
+    root = str(tmp_path / "pretraining_curation")
+    shutil.copytree(CURATION, root)
+    eng = Engine(root, spark=spark)
+    r = eng.invoke(["build"])
+    assert r.success, [(x.unique_id, x.message[:200]) for x in r.results
+                       if x.status not in ("success", "pass", "warn")]
+
+    total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    clean = eng.store.read("main", "clean_documents")
+    n_clean = clean.count()
+    assert 0 < n_clean < total  # gate + dedup dropped something
+    ids = [r_["doc_id"] for r_ in clean.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))
+
+    sample = eng.store.read("main", "balanced_sample").collect()
+    per_lang = {}
+    for row in sample:
+        per_lang.setdefault(row["lang"], 0)
+        per_lang[row["lang"]] += 1
+    assert per_lang and all(n <= 20 for n in per_lang.values())
+
+    shards = eng.store.read("main", "training_shards").collect()
+    assert len(shards) == len(sample)
+    assert all(0 <= row["shard"] <= 15 for row in shards)
+
+    stats = {row["lang"]: row["n_docs"]
+             for row in eng.store.read("main", "corpus_stats").collect()}
+    assert sum(stats.values()) == n_clean
+
+    # exposure parsed and selectable
+    ids = {x.unique_id for x in eng.invoke(
+        ["ls", "--select", "+exposure:pretraining_dataset"]).results}
+    assert "model.curation.training_shards" in ids
+    assert "model.curation.clean_documents" in ids
