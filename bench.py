@@ -99,6 +99,7 @@ EXTENDED = [
     "dup_chunk_ratio",
     "window_count_distinct",
     "map_column_ops",
+    "vocab_top_terms",
 ]
 
 
