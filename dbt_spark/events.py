@@ -49,6 +49,7 @@ EVENT_CODES: dict[str, tuple[str, str]] = {
     "SkippingDetails": ("Q034", "info"),          # types.py:1614
     "CommandCompleted": ("Q039", "debug"),        # types.py:1661
     "FoundStats": ("W006", "info"),               # types.py:1825
+    "PackageRedirectDeprecation": ("D001", "warn"),  # types.py Deprecations
     "RunResultWarning": ("Z021", "warn"),         # types.py:1935
     "StatsLine": ("Z023", "info"),                # types.py:1953
     "RunResultError": ("Z024", "error"),          # types.py:1964
@@ -75,6 +76,11 @@ _MSG: dict[str, Callable[[dict[str, Any]], str]] = {
         f"({d.get('num_failures', 0)} failures)"
     ),
     "SkippingDetails": lambda d: f"SKIP {d.get('node_id', '')}",
+    "PackageRedirectDeprecation": lambda d: (
+        f"The `{d.get('old_name', '')}` package is deprecated in favor of "
+        f"`{d.get('new_name', '')}`. Please update your `packages.yml` "
+        "configuration to use `{}` instead.".format(d.get('new_name', ''))
+    ),
     "FoundStats": lambda d: f"Found {d.get('stat_line', '')}",
     "StatsLine": lambda d: (
         "Done. PASS={pass} WARN={warn} ERROR={error} SKIP={skip} TOTAL={total}"

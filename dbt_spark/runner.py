@@ -167,6 +167,8 @@ class Engine:
         selector_name: Optional[str] = None
         indirect = "eager"
         fail_fast = False
+        ls_output = "selector"
+        ls_output_keys: list[str] = []
         i = 0
         while i < len(rest):
             if rest[i] in ("--select", "-s"):
@@ -224,6 +226,12 @@ class Engine:
             elif rest[i] == "--event-time-end":
                 i += 1
                 event_time_end = datetime.fromisoformat(rest[i])
+            elif rest[i] == "--output":
+                i += 1
+                ls_output = rest[i]
+            elif rest[i] == "--output-keys":
+                i += 1
+                ls_output_keys.extend(rest[i].replace(",", " ").split())
             elif not rest[i].startswith("-"):
                 positional.append(rest[i])
             i += 1
@@ -312,7 +320,11 @@ class Engine:
             listable = set(runnable)
             if NodeType.Source in resource_types:
                 listable |= {uid for uid in selected if uid in manifest.sources}
-            results = [RunResult(uid, "success", 0.0) for uid in sorted(listable)]
+            results = [
+                RunResult(uid, "success", 0.0,
+                          _ls_render(manifest, uid, ls_output, ls_output_keys))
+                for uid in sorted(listable)
+            ]
             return RunnerResult(success=True, results=results, manifest=manifest)
 
         defer_store = None
@@ -1018,12 +1030,20 @@ class Engine:
                     from dbt_spark.plans.compile import DBT_VERSION
                     from dbt_spark.plans.registry_http import HubClient, resolve_hub
 
+                    client = HubClient(hub_url)
                     resolved = resolve_hub(
-                        hub_pkgs, HubClient(hub_url), install_root,
+                        hub_pkgs, client, install_root,
                         # engine tracks dbt 1.10 semantics; the -spark local
                         # tag is not a semver prerelease for compat purposes
                         dbt_version=DBT_VERSION.split("-")[0],
                     )
+                    for old_name, new_name in client.redirects:
+                        # reference deprecations.warn("package-redirect")
+                        # (clients/registry.py:121)
+                        self.events.fire(
+                            "PackageRedirectDeprecation",
+                            old_name=old_name, new_name=new_name,
+                        )
                 elif os.path.isdir(registry_root):
                     resolved = resolve_registry(
                         hub_pkgs, registry_root, install_root)
@@ -1398,6 +1418,42 @@ def compile_sql_lenient(ctx: ExecutionContext, node: ManifestNode) -> str:
         # merge with the model's own WITH clause
         return f"with {cte_clause},\n{stripped[4:].lstrip()}"
     return f"with {cte_clause}\n{sql}"
+
+
+def _ls_render(manifest, uid: str, output: str, keys: list[str]) -> str:
+    """`ls --output` formats (reference task/list.py:27-212: generate_names /
+    _paths / _fqns / _json / _selectors + --output-keys filtering). The
+    rendered form rides in RunResult.message; unique_id stays canonical."""
+    node = manifest.nodes.get(uid) or manifest.sources.get(uid)
+    if node is None:
+        return uid
+    fqn = ".".join(node.fqn or [node.package_name, node.name])
+    if output == "name":
+        return node.name
+    if output == "path":
+        return node.path
+    if output == "fqn":
+        return fqn
+    if output == "json":
+        d = {
+            "name": node.name,
+            "resource_type": node.resource_type.value,
+            "package_name": node.package_name,
+            "unique_id": uid,
+            "original_file_path": node.path,
+            "tags": list(node.config.tags),
+            "config": {
+                k: v for k, v in node.config.__dict__.items()
+                if v not in (None, [], {})
+            },
+        }
+        if keys:
+            d = {k: d.get(k) for k in keys}
+        return json.dumps(d, default=str, sort_keys=True)
+    # default "selector": a string you can feed back to --select
+    if node.resource_type == NodeType.Source:
+        return f"source:{node.source_name}.{node.name}"
+    return fqn
 
 
 def invoke(project_dir: str, args: list[str], **kwargs: Any) -> RunnerResult:

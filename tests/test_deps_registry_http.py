@@ -253,3 +253,26 @@ def test_engine_deps_over_http_hub(hub, project_dir, spark, monkeypatch):
     r2 = eng2.invoke(["run"])
     assert r2.success, [x.message for x in r2.results]
     assert [x["c"] for x in eng2.store.read("main", "pennies").collect()] == [100]
+
+
+def test_redirect_fires_deprecation_event(hub, project_dir, spark, monkeypatch):
+    """Installing via a redirected package name fires the reference's
+    package-redirect deprecation (D001) into the structured log."""
+    base_url, _ = hub
+    files = {
+        "dbt_project.yml": "name: hubredir\n",
+        "packages.yml": (
+            "packages:\n  - package: old/legacy\n    version: ['>=0.8.0', '<0.9.0']\n"
+        ),
+    }
+    root = project_dir(files)
+    monkeypatch.setenv("DBT_PACKAGE_HUB_URL", base_url)
+    eng = Engine(root, spark=spark)
+    r = eng.invoke(["deps"])
+    assert r.success, [x.message for x in r.results]
+    log_path = os.path.join(root, "target", "logs", "dbt.log.jsonl")
+    events = [json.loads(l) for l in open(log_path) if l.strip()]
+    dep = [e for e in events
+           if e["info"]["name"] == "PackageRedirectDeprecation"]
+    assert dep and dep[0]["info"]["code"] == "D001"
+    assert dep[0]["data"]["new_name"] == "org/utils"

@@ -1286,3 +1286,31 @@ def test_render_context_member_sees_live_context(feat):
     r = eng.invoke(["show", "--inline",
                     "select '{{ render(\"{{ var(\\'who\\', \\'world\\') }}\") }}' as v"])
     assert r.success and r.preview[0]["v"] == "world"
+
+
+def test_ls_output_formats(feat):
+    """ls --output name/path/fqn/json + --output-keys (reference
+    task/list.py generate_* + output-keys filtering)."""
+    eng, _ = feat
+    by_name = [x.message for x in
+               eng.invoke(["ls", "--output", "name",
+                           "--resource-type", "model"]).results]
+    assert "amounts" in by_name
+    by_path = [x.message for x in
+               eng.invoke(["ls", "--output", "path",
+                           "--resource-type", "model"]).results]
+    assert any(p.endswith("amounts.sql") for p in by_path)
+    by_fqn = [x.message for x in
+              eng.invoke(["ls", "--output", "fqn",
+                          "--resource-type", "model"]).results]
+    assert "feat.amounts" in by_fqn
+    js = [json.loads(x.message) for x in
+          eng.invoke(["ls", "--output", "json", "--output-keys",
+                      "name,resource_type",
+                      "--resource-type", "model"]).results]
+    assert {"name": "amounts", "resource_type": "model"} in js
+    assert all(set(d) == {"name", "resource_type"} for d in js)
+    # default selector output: sources render as feed-back-able selectors
+    sel = [x.message for x in eng.invoke(
+        ["ls", "--resource-type", "source"]).results]
+    assert any(s.startswith("source:") for s in sel)
