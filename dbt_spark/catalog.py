@@ -108,10 +108,23 @@ class RelationStore:
                 # elide the shuffle in co-bucketed joins/aggregations
                 self._ensure_bucketed_table(rel)
             else:
-                df = self.spark.read.parquet(rel.path)
-                df.createOrReplaceTempView(rel.identifier)
+                self._read_files(rel).createOrReplaceTempView(rel.identifier)
             self._registered.add(rel.identifier)
             return rel.identifier
+
+    def _read_files(self, rel: Relation) -> DataFrame:
+        """Format-aware scan of a stored relation (file_format meta; schema
+        reconstructed from the persisted JSON for schema-light formats)."""
+        fmt = rel.meta.get("file_format") or "parquet"
+        reader = self.spark.read.format(fmt)
+        schema_json = rel.meta.get("schema_json")
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        if fmt == "csv":
+            reader = reader.option("header", True)
+        return reader.load(rel.path)
 
     def _ensure_bucketed_table(self, rel: Relation) -> None:
         """Recreate the catalog entry for a bucketed table if this session
@@ -144,7 +157,7 @@ class RelationStore:
         if rel.kind == "view" or rel.meta.get("buckets"):
             self.register(rel)
             return self.spark.table(rel.identifier)
-        return self.spark.read.parquet(rel.path)
+        return self._read_files(rel)
 
     # -- writes --------------------------------------------------------------
 
@@ -168,21 +181,35 @@ class RelationStore:
         mode: str = "overwrite",
         **meta: Any,
     ) -> Relation:
-        """Full write with atomic swap (overwrite) or file-append (append)."""
-        path = self.path_for(schema, name)
+        """Full write with atomic swap (overwrite) or file-append (append).
+
+        ``file_format`` meta (parquet default | orc | json | csv) and a
+        ``location`` override mirror the dbt-spark adapter's ``file_format``
+        / ``location_root`` model configs; non-parquet formats persist their
+        schema JSON in relation meta so reads reconstruct exact types."""
+        fmt = (meta.get("file_format") or "parquet").lower()
+        path = meta.pop("location", None) or self.path_for(schema, name)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         partition_by = list(partition_by or [])
-        if mode == "append" and os.path.exists(path):
-            writer = df.write.mode("append")
+        if fmt == "parquet":
+            meta.pop("file_format", None)
+        else:
+            meta["file_format"] = fmt
+            meta["schema_json"] = df.schema.json()
+
+        def _configure(writer):
+            writer = writer.format(fmt)
+            if fmt == "csv":
+                writer = writer.option("header", True)
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
-            writer.parquet(path)
+            return writer
+
+        if mode == "append" and os.path.exists(path):
+            _configure(df.write.mode("append")).save(path)
         else:
             staging = f"{path}.__staging__{int(time.time() * 1000)}"
-            writer = df.write.mode("overwrite")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-            writer.parquet(staging)
+            _configure(df.write.mode("overwrite")).save(staging)
             self._swap(path, staging)
         rel = Relation(schema=schema, name=name, kind=kind, path=path,
                        partition_by=partition_by, meta=meta)

@@ -186,7 +186,11 @@ def _scoped_rewrite(
     combined = combine(existing, new, keys)
     if untouched is not None:
         combined = combined.unionByName(untouched)
-    return ctx.store.write_table(schema, node.name, combined, kind="incremental")
+    from dbt_spark.operators.materialize import storage_options
+
+    return ctx.store.write_table(
+        schema, node.name, combined, kind="incremental", **storage_options(node)
+    )
 
 
 def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Optional[Relation]:
@@ -210,16 +214,28 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
 
     enforce_contract(node, new)
 
+    from dbt_spark.operators.materialize import storage_options
+
+    storage = storage_options(node)
+    if storage.get("file_format") not in (None, "parquet") and parts and (
+        strategy == "insert_overwrite"
+    ):
+        raise IncrementalError(
+            f"{node.unique_id}: file_format={storage['file_format']!r} is not "
+            "supported with insert_overwrite partition rewrites (parquet only)")
+
     if not is_incremental:
         return ctx.store.write_table(
-            schema, node.name, new, kind="incremental", partition_by=parts
+            schema, node.name, new, kind="incremental", partition_by=parts,
+            **storage,
         )
 
     if strategy == "append":
         existing = ctx.store.read(schema, node.name)
         _, new = apply_schema_change(existing, new, node.config.on_schema_change, node.unique_id)
         return ctx.store.write_table(
-            schema, node.name, new, kind="incremental", partition_by=parts, mode="append"
+            schema, node.name, new, kind="incremental", partition_by=parts,
+            mode="append", **storage,
         )
     if strategy == "merge":
         upd = node.config.meta.get("merge_update_columns")

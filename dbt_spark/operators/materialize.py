@@ -399,8 +399,23 @@ def materialize_table(ctx: ExecutionContext, node: ManifestNode) -> Relation:
         sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         df = df.sortWithinPartitions(*sort_by)
     return ctx.store.write_table(
-        ctx.schema_for(node), node.name, df, kind="table", partition_by=partition_by
+        ctx.schema_for(node), node.name, df, kind="table",
+        partition_by=partition_by, **storage_options(node),
     )
+
+
+def storage_options(node: ManifestNode) -> dict:
+    """config(file_format=..., location_root=...) — the dbt-spark adapter's
+    physical-storage knobs: parquet (default) | orc | json | csv, and an
+    external location ``<location_root>/<model_name>``."""
+    out: dict = {}
+    fmt = node.config.meta.get("file_format")
+    if fmt:
+        out["file_format"] = str(fmt).lower()
+    loc_root = node.config.meta.get("location_root")
+    if loc_root:
+        out["location"] = os.path.join(str(loc_root), node.name)
+    return out
 
 
 def materialize_ephemeral(ctx: ExecutionContext, node: ManifestNode) -> None:

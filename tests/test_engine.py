@@ -593,3 +593,86 @@ sources:
     b = orders.filter(F.col("o_orderkey") % 16 == 1).groupBy("o_custkey").count()
     want = a.join(b, "o_custkey").count()
     assert t2_0[0]["n"] == want
+
+
+def test_file_format_and_location_root(project_dir, spark, tmp_path):
+    """config(file_format=..., location_root=...): dbt-spark adapter storage
+    knobs — orc/json/csv tables round-trip with exact types (schema JSON
+    persisted for schema-light formats), external location honored, and an
+    incremental merge works on a csv-backed target."""
+    from tests.conftest import SF_DIR
+
+    ext = str(tmp_path / "external")
+    files = {
+        "dbt_project.yml": "name: fmt\n",
+        "models/sources.yml": f"""
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        meta: {{location: "{SF_DIR}/orders.parquet"}}
+""",
+        "models/t_orc.sql": (
+            "{{ config(materialized='table', file_format='orc') }} "
+            "select o_orderkey, o_totalprice, o_orderdate from "
+            "{{ source('tpch','orders') }} where o_orderkey < 100"
+        ),
+        "models/t_csv.sql": (
+            "{{ config(materialized='table', file_format='csv') }} "
+            "select o_orderkey, o_orderstatus, o_totalprice from "
+            "{{ source('tpch','orders') }} where o_orderkey < 100"
+        ),
+        "models/t_ext.sql": (
+            "{{ config(materialized='table', location_root='%s') }} "
+            "select count(*) as n from {{ ref('t_orc') }}" % ext
+        ),
+        "models/t_incr_csv.sql": (
+            "{{ config(materialized='incremental', incremental_strategy='merge', "
+            "unique_key='o_orderkey', file_format='csv') }} "
+            "select o_orderkey, o_totalprice from {{ source('tpch','orders') }} "
+            "where o_orderkey < {{ var('hi', 50) }}"
+        ),
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark, vars={"hi": 50})
+    r = eng.invoke(["run"])
+    assert r.success, [(x.unique_id, x.message[:150]) for x in r.results
+                       if x.status != "success"]
+
+    want = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter("o_orderkey < 100")
+    orc = eng.store.read("main", "t_orc")
+    assert orc.count() == want.count()
+    assert dict(orc.dtypes)["o_totalprice"] == "double"
+    csvt = eng.store.read("main", "t_csv")
+    assert dict(csvt.dtypes)["o_orderkey"] == "bigint"  # exact, not inferred str
+    assert csvt.count() == want.count()
+    # models can ref() across formats; external location on disk
+    assert os.path.isdir(os.path.join(ext, "t_ext"))
+    assert eng.store.read("main", "t_ext").collect()[0]["n"] == want.count()
+
+    # csv-backed incremental merge: second run widens the key range
+    eng2 = Engine(root, spark=spark, vars={"hi": 80})
+    assert eng2.invoke(["run", "--select", "t_incr_csv"]).success
+    got = eng2.store.read("main", "t_incr_csv")
+    assert got.count() == spark.read.parquet(
+        f"{SF_DIR}/orders.parquet").filter("o_orderkey < 80").count()
+
+    # insert_overwrite + non-parquet is a loud error, not silent corruption
+    files2 = dict(files)
+    files2["models/t_bad.sql"] = (
+        "{{ config(materialized='incremental', "
+        "incremental_strategy='insert_overwrite', partition_by='o_orderstatus', "
+        "file_format='csv') }} "
+        "select o_orderkey, o_orderstatus from {{ source('tpch','orders') }}"
+    )
+    root2 = str(tmp_path / "fmt2")
+    os.makedirs(root2, exist_ok=True)
+    for rel, content in files2.items():
+        p = os.path.join(root2, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content)
+    r2 = Engine(root2, spark=spark).invoke(["run", "--select", "t_bad"])
+    assert not r2.success
+    assert "not supported with insert_overwrite" in " ".join(
+        x.message or "" for x in r2.results)
