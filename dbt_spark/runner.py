@@ -129,8 +129,37 @@ class Engine:
         self.manifest = parse_project(self.project, cache=cache)
         if cache is not None:
             cache.save(cache_path)
+        self._resolve_fk_constraint_refs()
         self.manifest.write(os.path.join(target_dir, "manifest.json"))
         return self.manifest
+
+    def _resolve_fk_constraint_refs(self) -> None:
+        """Compile ``to: ref('model')`` in foreign-key constraints to the
+        target's relation name (reference compilation.py:631-654
+        _compile_constraint_refs); FK stays metadata-only like most adapters,
+        but the artifact carries resolved names for downstream tooling."""
+        import re as _re
+
+        from dbt_spark.plans.compile import CompilationError
+
+        by_name = {n.name: n for n in self.manifest.nodes.values()
+                   if n.resource_type == NodeType.Model}
+        for node in self.manifest.nodes.values():
+            for spec in (node.columns or {}).values():
+                for c in spec.get("constraints", []) or []:
+                    if not (isinstance(c, dict) and c.get("to")):
+                        continue
+                    m = _re.fullmatch(
+                        r"\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*", str(c["to"]))
+                    if not m:
+                        continue
+                    target = by_name.get(m.group(1))
+                    if target is None:
+                        raise CompilationError(
+                            f"{node.unique_id}: foreign-key constraint "
+                            f"references unknown model {m.group(1)!r}")
+                    c["to"] = (
+                        f"{target.config.schema or 'main'}.{target.name}")
 
     def invoke(
         self,

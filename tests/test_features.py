@@ -1314,3 +1314,42 @@ def test_ls_output_formats(feat):
     sel = [x.message for x in eng.invoke(
         ["ls", "--resource-type", "source"]).results]
     assert any(s.startswith("source:") for s in sel)
+
+
+def test_fk_constraint_to_ref_resolution(project_dir, spark):
+    """Foreign-key constraint `to: ref('dim')` compiles to the target's
+    relation name in manifest.json (compilation.py:631-654); an unknown
+    model is a compile error."""
+    files = {
+        "dbt_project.yml": "name: fkp\n",
+        "seeds/dim.csv": "id,label\n1,a\n2,b\n",
+        "models/dim_model.sql": "select id, label from {{ ref('dim') }}",
+        "models/fact.sql": "select id as dim_id, 10 as v from {{ ref('dim') }}",
+        "models/schema.yml": """
+models:
+  - name: fact
+    columns:
+      - name: dim_id
+        constraints:
+          - type: foreign_key
+            to: ref('dim_model')
+            to_columns: [id]
+""",
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    eng.parse()
+    doc = json.load(open(os.path.join(root, "target", "manifest.json")))
+    cons = doc["nodes"]["model.fkp.fact"]["columns"]["dim_id"]["constraints"]
+    assert cons[0]["to"] == "main.dim_model"
+
+    # dangling ref -> compile error naming the model
+    with open(os.path.join(root, "models", "schema.yml"), "a") as f:
+        pass
+    files_bad = os.path.join(root, "models", "schema.yml")
+    s = open(files_bad).read().replace("ref('dim_model')", "ref('nope')")
+    open(files_bad, "w").write(s)
+    import pytest as _pytest
+    from dbt_spark.plans.compile import CompilationError
+    with _pytest.raises(CompilationError, match="unknown model 'nope'"):
+        Engine(root, spark=spark).parse()
