@@ -100,6 +100,8 @@ EXTENDED = [
     "window_count_distinct",
     "map_column_ops",
     "vocab_top_terms",
+    "embedding_centroids",
+    "oov_rate_vs_vocab",
 ]
 
 

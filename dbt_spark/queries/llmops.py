@@ -135,6 +135,75 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.3, bound=200)
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class means) — the clustering /
+    prototype primitive. Element-wise mean via posexplode + one aggregate
+    keyed on (label, position): sums are exact DECIMAL (order-independent →
+    bit-reproducible across any partitioning), final mean is one double
+    division.
+
+    Scale: the only shuffle carries (label × dim) partial sums thanks to
+    map-side combine — at 100 TB the exchange is tiny regardless of row
+    count; no driver-side vectors."""
+    emb = _emb(spark, sf_dir)
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return (
+        flat.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,9)")).alias("s"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select(
+            "label",
+            F.col("pos").cast("int").alias("pos"),
+            # float→DECIMAL casts differ at ~1e-10 between engines (each
+            # renders float32 differently before the cast) — round(…,6) on
+            # the final DOUBLE absorbs it (doubles have no decimal ties)
+            F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6)
+            .alias("mean_val"),
+            "n",
+        )
+    )
+
+
+def oov_rate_vs_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus top-50 vocabulary —
+    the tokenizer-coverage signal (what fraction of a doc a fixed vocab
+    cannot express). Composes vocab_top_terms as the broadcast side.
+
+    Scale: the vocab is top-K (tiny) and BROADCAST; the corpus-side token
+    stream takes a map-side hash semi-probe, then one per-doc aggregate —
+    the 100 TB corpus never shuffles tokens, only per-doc counts."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("oov_rate"),
+        )
+    )
+
+
 def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language downsampling — the corpus-mixing primitive
     of a training-data pipeline (e.g. keep 50% en, 25% de, 75% fr, all es).
@@ -805,6 +874,40 @@ ORACLES: dict[str, str] = {
                          ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
         FROM documents
     """,
+    "embedding_centroids": """
+        WITH flat AS (
+            SELECT label,
+                   unnest(range(len(embedding))) AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(pos AS INT) AS pos,
+               round(CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS mean_val,
+               CAST(count(*) AS BIGINT) AS n
+        FROM flat
+        GROUP BY label, pos
+    """,
+    "oov_rate_vs_vocab": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS_L}) AS token FROM documents
+        ),
+        tok2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        vocab AS (
+            SELECT token, 1 AS in_vocab
+            FROM (SELECT token, count(*) AS n FROM tok2 GROUP BY token
+                  ORDER BY n DESC, token ASC LIMIT 50)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+        FROM tok2 LEFT JOIN vocab v USING (token)
+        GROUP BY doc_id
+    """,
     "vocab_top_terms": f"""
         SELECT token, CAST(count(*) AS BIGINT) AS n
         FROM (SELECT unnest({_TOKS_L}) AS token FROM documents)
@@ -1127,6 +1230,8 @@ QUERIES = {
     "chunk_fixed_windows": chunk_fixed_windows,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "vocab_top_terms": vocab_top_terms,
+    "embedding_centroids": embedding_centroids,
+    "oov_rate_vs_vocab": oov_rate_vs_vocab,
     "quality_filter_c4": quality_filter_c4,
     "language_balanced_sample": language_balanced_sample,
     "corpus_shuffle_deterministic": corpus_shuffle_deterministic,
