@@ -304,7 +304,8 @@ class RelationStore:
             n, total = 0, 0
             for dirpath, _dirs, files in os.walk(root):
                 for fn in files:
-                    if fn.endswith(".parquet"):
+                    # any data file regardless of format; skip _SUCCESS/.crc
+                    if not fn.startswith(("_", ".")):
                         n += 1
                         total += os.path.getsize(os.path.join(dirpath, fn))
             return n, total
@@ -345,10 +346,15 @@ class RelationStore:
         else:
             out = df.repartition(n_files)
         staging = f"{rel.path}.__staging__{int(time.time() * 1000)}"
-        writer = out.write.mode("overwrite")
+        # honor the relation's storage format — compacting a csv/json table
+        # must not silently rewrite it as parquet under unchanged meta
+        fmt = rel.meta.get("file_format") or "parquet"
+        writer = out.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            writer = writer.option("header", True)
         if parts:
             writer = writer.partitionBy(*parts)
-        writer.parquet(staging)
+        writer.save(staging)
         self._swap(rel.path, staging)
         self.spark.catalog.refreshByPath(rel.path)
         with self._lock:

@@ -676,3 +676,40 @@ sources:
     assert not r2.success
     assert "not supported with insert_overwrite" in " ".join(
         x.message or "" for x in r2.results)
+
+
+def test_compact_preserves_file_format(project_dir, spark):
+    """compact on a csv-backed incremental target keeps the csv format
+    (a parquet rewrite under unchanged meta would break every later read)."""
+    from tests.conftest import SF_DIR
+
+    files = {
+        "dbt_project.yml": "name: cfmt\n",
+        "models/sources.yml": f"""
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        meta: {{location: "{SF_DIR}/orders.parquet"}}
+""",
+        "models/t_csv_inc.sql": (
+            "{{ config(materialized='incremental', incremental_strategy='append', "
+            "file_format='csv') }} "
+            "select o_orderkey, o_totalprice from {{ source('tpch','orders') }} "
+            "where o_orderkey % 4 = {{ var('m', 0) }}"
+        ),
+    }
+    root = project_dir(files)
+    for m in range(3):  # 3 appends -> several small csv files
+        assert Engine(root, spark=spark, vars={"m": m}).invoke(["run"]).success
+    eng = Engine(root, spark=spark, vars={"m": 0})
+    before_count = eng.store.read("main", "t_csv_inc").count()
+    r = eng.invoke(["run-operation", "compact",
+                    "--args", "{relation: t_csv_inc}"])
+    assert r.success, [x.message for x in r.results]
+    rel = eng.store.get("main", "t_csv_inc")
+    import glob as _glob
+    data_files = [f for f in _glob.glob(os.path.join(rel.path, "*"))
+                  if not os.path.basename(f).startswith(("_", "."))]
+    assert data_files and all(f.endswith(".csv") for f in data_files), data_files
+    assert eng.store.read("main", "t_csv_inc").count() == before_count
