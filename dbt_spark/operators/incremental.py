@@ -199,6 +199,11 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
     parts = _partition_cols(node)
 
     if strategy == "microbatch":
+        if (node.config.meta.get("file_format") or "parquet") != "parquet":
+            raise IncrementalError(
+                f"{node.unique_id}: file_format="
+                f"{node.config.meta['file_format']!r} is not supported with "
+                "microbatch (batch replaceWhere rewrites are parquet only)")
         return run_microbatch(ctx, node)
 
     exists = ctx.store.exists(schema, node.name)
@@ -217,12 +222,13 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
     from dbt_spark.operators.materialize import storage_options
 
     storage = storage_options(node)
-    if storage.get("file_format") not in (None, "parquet") and parts and (
-        strategy == "insert_overwrite"
-    ):
+    if storage.get("file_format") not in (None, "parquet") and parts:
+        # every partitioned incremental rewrite path goes through dynamic
+        # partition overwrite, which is parquet-only here — fail loudly
+        # rather than silently mixing formats under one relation
         raise IncrementalError(
             f"{node.unique_id}: file_format={storage['file_format']!r} is not "
-            "supported with insert_overwrite partition rewrites (parquet only)")
+            "supported with partitioned incremental rewrites (parquet only)")
 
     if not is_incremental:
         return ctx.store.write_table(

@@ -674,7 +674,7 @@ sources:
             f.write(content)
     r2 = Engine(root2, spark=spark).invoke(["run", "--select", "t_bad"])
     assert not r2.success
-    assert "not supported with insert_overwrite" in " ".join(
+    assert "not supported with partitioned incremental" in " ".join(
         x.message or "" for x in r2.results)
 
 
