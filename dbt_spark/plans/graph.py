@@ -342,9 +342,18 @@ def _match_method(
 
             return _os.path.basename(node.path) == value
         if method == "source":
-            return node.resource_type == NodeType.Source and (
-                node.source_name == value or value == "*"
-            )
+            # source:<name>, source:<name>.<table>, source:<pkg>.<name>.<table>
+            # (reference SourceSelectorMethod 1/2/3-part forms)
+            if node.resource_type != NodeType.Source:
+                return False
+            if value == "*" or node.source_name == value:
+                return True
+            parts = value.split(".")
+            if len(parts) == 2:
+                return [node.source_name, node.name] == parts
+            if len(parts) == 3:
+                return [node.package_name, node.source_name, node.name] == parts
+            return False
         if method == "path":
             return bool(re.fullmatch(value.replace("*", ".*"), node.path))
         if method == "resource_type":
@@ -400,7 +409,15 @@ def _match_method(
             re.fullmatch(pat, node.name)
             or re.fullmatch(pat, ".".join(node.fqn or [node.name]))
         )
-    return node.name == body or node.unique_id == body
+    if node.name == body or node.unique_id == body:
+        return True
+    # dotted fqn paths, with or without the package prefix (reference
+    # selector_methods.py fqn matching; also what `ls` prints by default)
+    if "." in body:
+        fqn = node.fqn or [node.package_name, node.name]
+        parts = body.split(".")
+        return parts == fqn or parts == fqn[1:]
+    return False
 
 
 def _expand(graph: nx.DiGraph, seed: set[str], pre: Optional[str], post: Optional[str]) -> set[str]:

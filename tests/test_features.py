@@ -1353,3 +1353,20 @@ models:
     from dbt_spark.plans.compile import CompilationError
     with _pytest.raises(CompilationError, match="unknown model 'nope'"):
         Engine(root, spark=spark).parse()
+
+
+def test_ls_selector_output_roundtrip(feat):
+    """Property: every string `ls` prints in selector form selects (at
+    least) the node it came from when fed back to --select — the reference's
+    generate_selectors contract."""
+    eng, _ = feat
+    rows = eng.invoke(["ls"]).results
+    assert rows
+    for row in rows:
+        if row.unique_id.startswith("test."):
+            continue  # tests are selected via their attached node
+        back = eng.invoke(
+            ["ls", "--select", row.message, "--indirect-selection", "empty"]
+        ).results
+        assert row.unique_id in {x.unique_id for x in back}, (
+            row.unique_id, row.message)
