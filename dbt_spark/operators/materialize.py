@@ -50,6 +50,10 @@ class ExecutionContext:
     # --include-saved-query: materialize saved-query exports during build
     # (cli/params.py:132-134; export generation is the MetricFlow side there)
     include_saved_query: bool = False
+    # --favor-state: with --defer, UNSELECTED upstreams resolve to the state
+    # namespace even when a local relation exists (providers.py:636-646)
+    favor_state: bool = False
+    selected: set = field(default_factory=set)
 
     @property
     def schema(self) -> str:
@@ -74,17 +78,32 @@ class ExecutionContext:
             self._register_location(ident, ext, node.config.meta.get("file_format", "parquet"))
             return self._wrap(node, ident)
         rel = self.store.get(self.schema_for(node), node.name)
-        if rel is None and self.defer_store is not None:
-            rel = self.defer_store.get(self.schema_for(node), node.name)
-            if rel is not None:
-                ident = self.store.register(rel)  # temp view over prod files
-                return self._wrap(node, ident)
+        prefer_state = (
+            self.favor_state
+            and self.defer_store is not None
+            and node.unique_id not in self.selected
+        )
+        if (rel is None or prefer_state) and self.defer_store is not None:
+            state_rel = self.defer_store.get(self.schema_for(node), node.name)
+            if state_rel is not None:
+                return self._wrap(node, self._register_deferred(state_rel))
         if rel is None:
             raise RuntimeError(
                 f"ref to {node.name}: relation not built yet (is it selected upstream?)"
             )
         ident = self.store.register(rel)
         return self._wrap(node, ident)
+
+    def _register_deferred(self, state_rel) -> str:
+        """Register a --state relation under a DISTINCT identifier: the local
+        relation of the same name may already own (or later claim) the plain
+        identifier's temp view, and the two must never shadow each other
+        within one session."""
+        if state_rel.kind == "view":
+            return self.store.register(state_rel)
+        ident = f"defer__{state_rel.schema}__{state_rel.name}"
+        self.defer_store._read_files(state_rel).createOrReplaceTempView(ident)
+        return ident
 
     def _wrap(self, node: ManifestNode, ident: str) -> str:
         if self.empty:
@@ -191,8 +210,16 @@ class ExecutionContext:
                 pass  # registered lazily by resolve_ref at consumer compile
             else:
                 rel = self.store.get(self.schema_for(dep), dep.name)
-                if rel is None and self.defer_store is not None:
-                    rel = self.defer_store.get(self.schema_for(dep), dep.name)
+                prefer_state = (
+                    self.favor_state
+                    and self.defer_store is not None
+                    and dep.unique_id not in self.selected
+                )
+                if (rel is None or prefer_state) and self.defer_store is not None:
+                    state_rel = self.defer_store.get(self.schema_for(dep), dep.name)
+                    if state_rel is not None:
+                        self._register_deferred(state_rel)
+                        rel = None  # resolve_ref re-routes to the defer view
                 if rel is not None:
                     self.store.register(rel)
 

@@ -196,6 +196,7 @@ class Engine:
         selector_name: Optional[str] = None
         indirect = "eager"
         fail_fast = False
+        favor_state = False
         ls_output = "selector"
         ls_output_keys: list[str] = []
         i = 0
@@ -224,6 +225,8 @@ class Engine:
                 limit = int(rest[i])
             elif rest[i] == "--defer":
                 defer = True
+            elif rest[i] == "--favor-state":
+                favor_state = True
             elif rest[i] == "--empty":
                 empty = True
             elif rest[i] == "--warn-error":
@@ -377,6 +380,8 @@ class Engine:
             event_time_start=event_time_start,
             event_time_end=event_time_end,
             include_saved_query=include_saved_query,
+            favor_state=favor_state,
+            selected=set(runnable),
         )
         if store_failures:
             # --store-failures: flag-level override of the per-test config

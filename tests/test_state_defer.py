@@ -181,3 +181,43 @@ models:
     assert [x.unique_id for x in r.results] == ["model.dfr.base_orders"]
     r = eng3.invoke(["ls", "--select", "state:modified", "--state", state])
     assert "model.dfr.base_orders" in [x.unique_id for x in r.results]
+
+
+def test_favor_state_prefers_state_for_unselected(tmp_path, spark):
+    """--favor-state: an UNSELECTED upstream resolves to the state namespace
+    even though a (stale) local build exists; without the flag the local one
+    wins (providers.py:636-646)."""
+    prod_dir = _mk(tmp_path, "prod_fs", PROD)
+    prod = Engine(prod_dir, spark=spark)
+    assert prod.invoke(["run"]).success
+    prod_rows = prod.store.read("main", "base_orders").count()
+
+    # dev: build base_orders from a DIFFERENT (restricted) source slice, so
+    # the local relation is distinguishable from prod's
+    dev_files = dict(PROD)
+    dev_files["models/base_orders.sql"] = (
+        "{{ config(materialized='table') }} "
+        "select o_orderkey, o_custkey, o_totalprice from "
+        "{{ source('tpch','orders') }} where o_orderkey < 100"
+    )
+    dev_dir = _mk(tmp_path, "dev_fs", dev_files)
+    dev = Engine(dev_dir, spark=spark)
+    assert dev.invoke(["run"]).success  # local (restricted) build exists
+    local_rows = dev.store.read("main", "base_orders").count()
+    assert local_rows < prod_rows
+
+    state = os.path.join(prod_dir, "target")
+    # plain --defer: local relation exists -> local wins
+    assert dev.invoke(["run", "--select", "order_rollup",
+                       "--defer", "--state", state]).success
+    n_local = dev.store.read("main", "order_rollup").count()
+    # --favor-state: unselected base_orders resolves to PROD despite local
+    assert dev.invoke(["run", "--select", "order_rollup",
+                       "--defer", "--favor-state", "--state", state]).success
+    n_state = dev.store.read("main", "order_rollup").count()
+    base_prod = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    import pyspark.sql.functions as F
+    assert n_state == base_prod.select("o_custkey").distinct().count()
+    assert n_local == base_prod.filter(F.col("o_orderkey") < 100)\
+        .select("o_custkey").distinct().count()
+    assert n_state > n_local
