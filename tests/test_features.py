@@ -1370,3 +1370,28 @@ def test_ls_selector_output_roundtrip(feat):
         ).results
         assert row.unique_id in {x.unique_id for x in back}, (
             row.unique_id, row.message)
+
+
+def test_catalog_covers_every_built_relation(feat):
+    """Property: docs generate's catalog.json has an entry (with columns and
+    stats) for every non-ephemeral relation the build produced."""
+    eng, pdir = feat
+    r = eng.invoke(["build"])
+    assert r.success or any(x.status in ("fail", "error") for x in r.results)
+    assert eng.invoke(["docs", "generate"]).success
+    catalog = json.load(open(os.path.join(pdir, "target", "catalog.json")))
+    built = {x.unique_id for x in r.results
+             if x.unique_id.startswith(("model.", "seed.", "snapshot."))
+             and x.status == "success"}
+    manifest = eng.manifest
+    for uid in built:
+        node = manifest.nodes[uid]
+        if node.is_ephemeral or node.config.materialized == "external":
+            continue
+        assert uid in catalog["nodes"], f"{uid} missing from catalog"
+        entry = catalog["nodes"][uid]
+        assert entry["columns"], f"{uid} has no columns in catalog"
+        # views carry no physical stats (reference catalogs mark them
+        # has_stats=False); materialized relations must have row_count
+        if entry["metadata"]["type"] != "view":
+            assert "row_count" in entry.get("stats", {}), uid
