@@ -1395,3 +1395,27 @@ def test_catalog_covers_every_built_relation(feat):
         # has_stats=False); materialized relations must have row_count
         if entry["metadata"]["type"] != "view":
             assert "row_count" in entry.get("stats", {}), uid
+
+
+def test_partial_parse_manifest_equivalence(feat):
+    """Property: a warm (cache-hit) parse produces a manifest identical to
+    the cold parse — node set, checksums, refs, configs."""
+    eng, pdir = feat
+
+    def snap(m):
+        return {
+            uid: (n.checksum(), tuple(map(tuple, n.refs)),
+                  repr(sorted((k, str(v)) for k, v in n.config.__dict__.items())))
+            for uid, n in m.nodes.items()
+        }
+
+    cold = snap(eng.parse(partial=False))
+    warm1 = snap(Engine(pdir, spark=eng.spark).parse())   # builds cache
+    warm2 = snap(Engine(pdir, spark=eng.spark).parse())   # hits cache
+    assert cold == warm1 == warm2
+    # touching one file invalidates exactly that node's checksum
+    with open(os.path.join(pdir, "models", "amounts.sql"), "a") as f:
+        f.write("\n-- nudge")
+    warm3 = snap(Engine(pdir, spark=eng.spark).parse())
+    changed = {u for u in cold if cold[u][0] != warm3[u][0]}
+    assert changed == {"model.feat.amounts"}
