@@ -560,3 +560,53 @@ def test_merge_exclude_columns_and_mutual_exclusion(spark):
         merge_upsert(t, s, ["id"], update_columns=["val"], exclude_columns=["tag"])
     with _pytest.raises(IncrementalError, match="not in target schema"):
         merge_upsert(t, s, ["id"], update_columns=["nope"])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_incremental_merge_batch_equivalence(project_dir, spark, seed, tmp_path):
+    """Property: a merge-strategy incremental fed the events table in K
+    random day-batches converges to exactly the one-shot full build — order
+    of arrival and batch boundaries must not matter (upserts are keyed)."""
+    import random
+
+    rng = random.Random(seed)
+    days = [1, 2, 3]
+    rng.shuffle(days)
+    cut = rng.randrange(1, len(days))
+    batches = [days[:cut], days[cut:]]
+
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='merge', unique_key='id') }}
+select id, day, val from {{ ref('events') }}
+where day in ({{ var('days') }})
+"""
+    root, eng = make_engine(project_dir, spark, sql,
+                            vars={"days": ",".join(map(str, batches[0]))})
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    for batch in batches[1:]:
+        e = Engine(root, spark=spark, vars={"days": ",".join(map(str, batch))})
+        assert e.invoke(["run"]).success
+
+    got = {(r["id"], r["day"], r["val"])
+           for r in eng.store.read("main", "target").collect()}
+
+    # one-shot reference build in a sibling project
+    root2, eng2 = make_engine(
+        lambda files: _build_into(tmp_path / f"oneshot{seed}", files),
+        spark, sql, vars={"days": "1,2,3"})
+    assert eng2.invoke(["seed"]).success
+    assert eng2.invoke(["run"]).success
+    want = {(r["id"], r["day"], r["val"])
+            for r in eng2.store.read("main", "target").collect()}
+    assert got == want
+
+
+def _build_into(base, files):
+    import os as _os
+    for rel, content in files.items():
+        p = _os.path.join(str(base), rel)
+        _os.makedirs(_os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content)
+    return str(base)
