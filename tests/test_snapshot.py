@@ -214,3 +214,78 @@ select * from {{ ref('items') }}
     snap = eng.store.read("main", "items_snap")
     assert snap.filter("dbt_valid_to = date'9999-12-31'").count() == 2
     assert snap.filter("dbt_valid_to = timestamp'2021-06-01 00:00:00'").count() == 1
+
+
+def test_scd2_invariants_random_histories(project_dir, spark):
+    """Property over 3 seeded random edit histories: after any sequence of
+    insert/update/delete steps, the check-strategy snapshot satisfies the
+    SCD2 invariants — exactly one open row per live key, at most one open
+    row per key overall, non-overlapping validity windows in edit order, and
+    the open row carries the latest value. hard_deletes='invalidate' so
+    deletions close the open row (default 'ignore' keeps it — reference
+    behavior, covered by the strategy tests above)."""
+    snap_sql = SNAP_CHECK.replace(
+        "check_cols=['name']",
+        "check_cols=['name'], hard_deletes='invalidate'")
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        live = {i: f"v0_{i}" for i in range(1, 5)}
+        files = {
+            "dbt_project.yml": f"name: scdp{seed}\n",
+            "seeds/people.csv": "id,name\n" + "".join(
+                f"{k},{v}\n" for k, v in sorted(live.items())),
+            "snapshots/people.sql": snap_sql,
+        }
+        root = project_dir(files) if seed == 0 else root_for(files, spark)
+        eng = Engine(root, spark=spark)
+        assert eng.invoke(["seed"]).success
+        assert eng.invoke(["snapshot"],
+                          snapshot_ts="2020-01-01 00:00:00").success
+        next_id = 5
+        for step in range(1, 4):
+            # random edits: each key may update or delete; maybe add one
+            for k in list(live):
+                roll = rng.random()
+                if roll < 0.3:
+                    live[k] = f"v{step}_{k}"
+                elif roll < 0.4:
+                    del live[k]
+            if rng.random() < 0.7:
+                live[next_id] = f"new{step}"
+                next_id += 1
+            Path(root, "seeds/people.csv").write_text(
+                "id,name\n" + "".join(f"{k},{v}\n" for k, v in sorted(live.items())))
+            assert eng.invoke(["seed"]).success
+            assert eng.invoke(
+                ["snapshot"], snapshot_ts=f"2020-0{step + 1}-01 00:00:00"
+            ).success
+
+        rows = eng.store.read("main", "people_snap").collect()
+        by: dict = {}
+        for r in rows:
+            by.setdefault(r["id"], []).append(r)
+        for key, versions in by.items():
+            open_rows = [r for r in versions if r["dbt_valid_to"] is None]
+            assert len(open_rows) <= 1, (seed, key)
+            if key in live:
+                assert len(open_rows) == 1, (seed, key)
+                assert open_rows[0]["name"] == live[key], (seed, key)
+            else:
+                assert not open_rows, (seed, key, "deleted key left open row")
+            ordered = sorted(versions, key=lambda r: r["dbt_valid_from"])
+            for a, b in zip(ordered, ordered[1:]):
+                assert a["dbt_valid_to"] is not None
+                assert a["dbt_valid_to"] <= b["dbt_valid_from"], (seed, key)
+
+
+def root_for(files, spark):
+    import tempfile
+    base = tempfile.mkdtemp(prefix="scdp_")
+    for rel, content in files.items():
+        p = os.path.join(base, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content)
+    return base
