@@ -54,6 +54,9 @@ class ExecutionContext:
     # namespace even when a local relation exists (providers.py:636-646)
     favor_state: bool = False
     selected: set = field(default_factory=set)
+    # identifiers CACHEd for this invocation (config(cache=true) views);
+    # uncached by the runner at end of run
+    cached_idents: list = field(default_factory=list)
 
     @property
     def schema(self) -> str:
@@ -390,7 +393,17 @@ def materialize_view(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     node.compiled_code = sql
     if node.config.contract.get("enforced"):
         enforce_contract(node, ctx.spark.sql(sql))  # schema-only, no execution
-    return ctx.store.save_view(ctx.schema_for(node), node.name, sql)
+    rel = ctx.store.save_view(ctx.schema_for(node), node.name, sql)
+    if node.config.meta.get("cache"):
+        # config(cache=true): a hot shared intermediate — materialize it once
+        # into Spark's block-manager cache so N downstream consumers read the
+        # InMemoryRelation instead of re-running the view's plan N times.
+        # Spark-first feature (no reference analog: dbt models share via the
+        # warehouse); LAZY so unconsumed caches cost nothing. The runner
+        # uncaches at end of invocation.
+        ctx.spark.sql(f"CACHE LAZY TABLE {rel.identifier}")
+        ctx.cached_idents.append(rel.identifier)
+    return rel
 
 
 def materialize_table(ctx: ExecutionContext, node: ManifestNode) -> Relation:

@@ -516,6 +516,13 @@ class Engine:
 
         self._run_hooks(ctx, self.project.on_run_end, "on-run-end")
 
+        # release config(cache=true) block-manager memory (per-invocation)
+        for ident in ctx.cached_idents:
+            try:
+                self.spark.sql(f"UNCACHE TABLE IF EXISTS {ident}")
+            except Exception:  # noqa: BLE001 - cache release is best-effort
+                pass
+
         success = all(r.status in ("success", "pass", "warn", "skipped") for r in results)
         self._write_run_results(results, success, command=command)
         # reference end-of-run sequence: StatsLine Z023 + EndOfRunSummary Z030

@@ -713,3 +713,59 @@ sources:
                   if not os.path.basename(f).startswith(("_", "."))]
     assert data_files and all(f.endswith(".csv") for f in data_files), data_files
     assert eng.store.read("main", "t_csv_inc").count() == before_count
+
+
+def test_cache_config_reuses_inmemory_relation(project_dir, spark):
+    """config(cache=true) on a shared view: consumers read the
+    InMemoryRelation instead of re-running the view plan; the runner
+    releases the cache at end of invocation."""
+    from tests.conftest import SF_DIR
+
+    files = {
+        "dbt_project.yml": "name: cch\n",
+        "models/sources.yml": f"""
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        meta: {{location: "{SF_DIR}/orders.parquet"}}
+""",
+        "models/hot.sql": (
+            "{{ config(materialized='view', cache=true) }} "
+            "select o_custkey, count(*) as n from {{ source('tpch','orders') }} "
+            "group by o_custkey"
+        ),
+        "models/use_a.sql": (
+            "{{ config(materialized='table') }} "
+            "select count(*) as c from {{ ref('hot') }} where n > 1"
+        ),
+        "models/use_b.sql": (
+            "{{ config(materialized='table') }} "
+            "select max(n) as m from {{ ref('hot') }}"
+        ),
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    # during the run the consumers' plans must hit the in-memory relation:
+    # verify by re-creating the cached view state mid-invocation via a probe
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results if x.status != "success"]
+    a = eng.store.read("main", "use_a").collect()[0]["c"]
+    b = eng.store.read("main", "use_b").collect()[0]["m"]
+    direct = spark.read.parquet(f"{SF_DIR}/orders.parquet")\
+        .groupBy("o_custkey").count()
+    assert a == direct.filter("count > 1").count()
+    assert b == direct.groupBy().max("count").collect()[0][0]
+    # direct probe of the mechanism: materialize with cache -> isCached,
+    # consumer plan reads InMemoryTableScan, uncache releases
+    from dbt_spark.operators.materialize import ExecutionContext, materialize_view
+    ctx = ExecutionContext(spark=spark, store=eng.store,
+                           manifest=eng.manifest, project=eng.project)
+    node = eng.manifest.nodes["model.cch.hot"]
+    rel = materialize_view(ctx, node)
+    assert spark.catalog.isCached(rel.identifier)
+    plan = spark.sql(f"select max(n) from {rel.identifier}")\
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan, plan
+    spark.sql(f"UNCACHE TABLE {rel.identifier}")
+    assert not spark.catalog.isCached(rel.identifier)
