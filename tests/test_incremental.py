@@ -562,8 +562,9 @@ def test_merge_exclude_columns_and_mutual_exclusion(spark):
         merge_upsert(t, s, ["id"], update_columns=["nope"])
 
 
+@pytest.mark.parametrize("strategy", ["merge", "delete+insert"])
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_incremental_merge_batch_equivalence(project_dir, spark, seed, tmp_path):
+def test_incremental_merge_batch_equivalence(project_dir, spark, seed, strategy, tmp_path):
     """Property: a merge-strategy incremental fed the events table in K
     random day-batches converges to exactly the one-shot full build — order
     of arrival and batch boundaries must not matter (upserts are keyed)."""
@@ -575,11 +576,13 @@ def test_incremental_merge_batch_equivalence(project_dir, spark, seed, tmp_path)
     cut = rng.randrange(1, len(days))
     batches = [days[:cut], days[cut:]]
 
-    sql = """
-{{ config(materialized='incremental', incremental_strategy='merge', unique_key='id') }}
-select id, day, val from {{ ref('events') }}
-where day in ({{ var('days') }})
-"""
+    sql = (
+        "{{ config(materialized='incremental', incremental_strategy='"
+        + strategy
+        + "', unique_key='id') }}\n"
+        "select id, day, val from {{ ref('events') }}\n"
+        "where day in ({{ var('days') }})\n"
+    )
     root, eng = make_engine(project_dir, spark, sql,
                             vars={"days": ",".join(map(str, batches[0]))})
     assert eng.invoke(["seed"]).success
@@ -593,7 +596,7 @@ where day in ({{ var('days') }})
 
     # one-shot reference build in a sibling project
     root2, eng2 = make_engine(
-        lambda files: _build_into(tmp_path / f"oneshot{seed}", files),
+        lambda files: _build_into(tmp_path / f"oneshot{strategy[0]}{seed}", files),
         spark, sql, vars={"days": "1,2,3"})
     assert eng2.invoke(["seed"]).success
     assert eng2.invoke(["run"]).success
