@@ -11,6 +11,7 @@ snapshot-paths, singular tests under test-paths, generic tests from YAML
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -375,6 +376,7 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
     ):
         with open(full) as f:
             doc = yaml.safe_load(f) or {}
+        doc = _render_yaml_values(doc, project.vars)
         _parse_sources(doc, project, manifest, rel)
         _parse_model_patches(doc, project, manifest, rel)
         _parse_unit_tests(doc, project, manifest, rel)
@@ -419,6 +421,44 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
 
         link_semantic_graph(manifest)
     return manifest
+
+
+_YAML_CALL = re.compile(
+    r"\{\{\s*(env_var|var)\(\s*['\"]([^'\"]+)['\"]"
+    r"(?:\s*,\s*(?:['\"]([^'\"]*)['\"]|([^)\s]+)))?\s*\)\s*\}\}"
+)
+
+
+def _render_yaml_values(obj, project_vars: dict):
+    """Substitute ``{{ env_var(...) }}`` / ``{{ var(...) }}`` inside
+    schema-YAML string values (the reference renders schema files through
+    the jinja SchemaYamlRenderer — core/dbt/config/renderer.py; most
+    commonly used for source locations/credentials). Deliberately a targeted
+    substitution rather than a full jinja render: other template constructs
+    in YAML strings (``{{ doc(...) }}`` descriptions, fixture SQL) must pass
+    through untouched for their own later render phases."""
+
+    def sub(m: "re.Match[str]") -> str:
+        fn, name = m.group(1), m.group(2)
+        default = m.group(3) if m.group(3) is not None else m.group(4)
+        if fn == "env_var":
+            val = os.environ.get(name, default)
+            if val is None:
+                raise CompilationError(
+                    f"env_var {name!r} is undefined (and no default given)")
+            return str(val)
+        return str(project_vars.get(name, default if default is not None else ""))
+
+    def render(value):
+        if isinstance(value, str) and "{{" in value:
+            return _YAML_CALL.sub(sub, value)
+        if isinstance(value, dict):
+            return {k: render(v) for k, v in value.items()}
+        if isinstance(value, list):
+            return [render(v) for v in value]
+        return value
+
+    return render(obj)
 
 
 def _inject_plugin_nodes(project: Project, manifest: Manifest) -> None:

@@ -1419,3 +1419,56 @@ def test_partial_parse_manifest_equivalence(feat):
     warm3 = snap(Engine(pdir, spark=eng.spark).parse())
     changed = {u for u in cold if cold[u][0] != warm3[u][0]}
     assert changed == {"model.feat.amounts"}
+
+
+def test_schema_yaml_env_var_and_var_substitution(project_dir, spark, monkeypatch):
+    """{{ env_var(...) }} / {{ var(...) }} substitute inside schema YAML
+    values (reference SchemaYamlRenderer); {{ doc(...) }} strings pass
+    through untouched for the description render phase."""
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setenv("TPCH_DIR", SF_DIR)
+    files = {
+        "dbt_project.yml": "name: yrender\nvars: {tbl: orders}\n",
+        "models/sources.yml": """
+sources:
+  - name: tpch
+    tables:
+      - name: "{{ var('tbl') }}"
+        meta: {location: "{{ env_var('TPCH_DIR') }}/{{ var('tbl') }}.parquet"}
+""",
+        "models/docs.md": "{% docs odoc %}order docs{% enddocs %}",
+        "models/schema.yml": """
+models:
+  - name: cnt
+    description: "{{ doc('odoc') }}"
+""",
+        "models/cnt.sql": "select count(*) as n from {{ source('tpch','orders') }}",
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    n = eng.store.read("main", "cnt").collect()[0]["n"]
+    assert n == spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    # doc() reference survived substitution and rendered in the description
+    assert eng.manifest.nodes["model.yrender.cnt"].description == "order docs"
+    # undefined env_var without default is a loud error
+    files2 = dict(files)
+    files2["models/sources.yml"] = files2["models/sources.yml"].replace(
+        "env_var('TPCH_DIR')", "env_var('NOPE_UNSET')")
+    import pytest as _pytest
+    from dbt_spark.plans.compile import CompilationError
+    root2 = project_dir_build(files2)
+    with _pytest.raises(CompilationError, match="NOPE_UNSET"):
+        Engine(root2, spark=spark).parse()
+
+
+def project_dir_build(files):
+    import tempfile
+    base = tempfile.mkdtemp(prefix="yrender2_")
+    for rel, content in files.items():
+        p = os.path.join(base, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content)
+    return base
