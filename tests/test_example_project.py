@@ -86,3 +86,40 @@ def test_curation_example_builds(tmp_path, spark):
         ["ls", "--select", "+exposure:pretraining_dataset"]).results}
     assert "model.curation.training_shards" in ids
     assert "model.curation.clean_documents" in ids
+
+
+STREAMING = os.path.join(os.path.dirname(__file__), "..", "examples",
+                         "streaming_ingest")
+
+
+def test_streaming_example_checkpoints_between_runs(tmp_path, spark, monkeypatch):
+    """examples/streaming_ingest: run 1 ingests batch 1; run 2 processes
+    ONLY batch 2's files (checkpoint offsets); the downstream batch model
+    sees the union."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "streaming_ingest")
+    shutil.copytree(STREAMING, root)
+    landing = str(tmp_path / "landing")
+    monkeypatch.setenv("STREAM_LANDING_DIR", landing)
+
+    from dbt_spark.session import read_parquet
+    events = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    mid = events.agg(F.max("event_id")).collect()[0][0] // 2
+    events.filter(F.col("event_id") <= mid).write.mode("append").parquet(landing)
+
+    eng = Engine(root, spark=spark)
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results if x.status != "success"]
+    n1 = eng.store.read("main", "events_clean").count()
+    want1 = events.filter((F.col("event_id") <= mid)
+                          & (F.col("event_type") != "error")).count()
+    assert n1 == want1
+
+    events.filter(F.col("event_id") > mid).write.mode("append").parquet(landing)
+    eng2 = Engine(root, spark=spark)
+    assert eng2.invoke(["run"]).success
+    n2 = eng2.store.read("main", "events_clean").count()
+    assert n2 == events.filter(F.col("event_type") != "error").count()
+    totals = eng2.store.read("main", "user_totals")
+    assert totals.agg(F.sum("n_events")).collect()[0][0] == n2
