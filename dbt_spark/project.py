@@ -69,12 +69,16 @@ class Project:
             )
         with open(cfg_path) as f:
             cfg = yaml.safe_load(f) or {}
+        # reference DbtProjectYamlRenderer: env_var()/var() substitute in
+        # project config values; vars: block itself is read pre-render
+        cfg = _render_yaml_values(cfg, cfg.get("vars") or {})
         name = cfg.get("name", os.path.basename(os.path.abspath(project_dir)))
         prof = dict(profile or {})
         prof_path = os.path.join(project_dir, "profiles.yml")
         if not prof and os.path.exists(prof_path):
             with open(prof_path) as f:
-                raw = yaml.safe_load(f) or {}
+                # ProfileRenderer: env_var() substitution (credentials etc.)
+                raw = _render_yaml_values(yaml.safe_load(f) or {}, {})
             # reference layout (config/profile.py:56-77): profiles.yml maps
             # profile-name -> {target: ..., outputs: {name: {...}}}; the
             # project's `profile:` key picks the entry, `target` (or the

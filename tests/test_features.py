@@ -1472,3 +1472,29 @@ def project_dir_build(files):
         with open(p, "w") as f:
             f.write(content)
     return base
+
+
+def test_project_and_profile_env_var_substitution(project_dir, spark, monkeypatch):
+    """env_var() substitutes in dbt_project.yml and profiles.yml values
+    (reference DbtProjectYamlRenderer / ProfileRenderer)."""
+    monkeypatch.setenv("MY_SCHEMA", "main")
+    monkeypatch.setenv("MY_THREADS", "3")
+    files = {
+        "dbt_project.yml":
+            "name: envp\nprofile: p\n"
+            "on-run-start: \"SELECT '{{ env_var('MY_SCHEMA') }}' AS s\"\n",
+        "profiles.yml": """
+p:
+  target: dev
+  outputs:
+    dev:
+      schema: "{{ env_var('MY_SCHEMA') }}"
+      threads: "{{ env_var('MY_THREADS') }}"
+""",
+        "models/one.sql": "select 1 as x",
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.project.profile["schema"] == "main"
+    assert str(eng.project.profile["threads"]) == "3"
+    assert eng.invoke(["run"]).success
