@@ -672,7 +672,62 @@ def semantic_metric_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric_time__month", F.col("metric_time__month").cast("timestamp"))
 
 
+def cobucketed_join_zeroshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-bucketed join through the REAL bucketed-table writer: orders and
+    customer both hash-bucketed by custkey into the same bucket count, then
+    joined on the bucket key — Catalyst reads the bucket spec as the scans'
+    outputPartitioning and elides BOTH shuffle exchanges. The function
+    RAISES if the join plan contains an exchange, so the driver's
+    correctness gate doubles as the zero-shuffle plan gate.
+
+    The 100 TB primitive: a nightly fact⋈fact join over co-bucketed layouts
+    is a per-bucket local merge, not a cluster-wide shuffle."""
+    ctx = _mini_ctx(spark)
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    ctx.store.write_bucketed(
+        "main", "orders_b", t["orders"].select("o_orderkey", "o_custkey",
+                                               "o_totalprice"),
+        bucket_by=["o_custkey"], buckets=8,
+    )
+    ctx.store.write_bucketed(
+        "main", "cust_b", t["customer"].select("c_custkey", "c_mktsegment"),
+        bucket_by=["c_custkey"], buckets=8,
+    )
+    o = spark.table("main__orders_b")
+    c = spark.table("main__cust_b")
+    # merge-join hint: at test scale the dim side would broadcast (also
+    # shuffle-free, but trivially so); the property under test is the
+    # 100 TB fact⋈fact case where SMJ over co-bucketed scans elides BOTH
+    # hash-partition exchanges
+    joined = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "simple")
+    if "Exchange hashpartitioning" in plan:
+        raise RuntimeError(
+            "co-bucketed join plan contains a shuffle exchange:\n" + plan)
+    if "SortMergeJoin" not in plan:
+        raise RuntimeError("expected SortMergeJoin over bucketed scans:\n" + plan)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "cobucketed_join_zeroshuffle": """
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
     "semantic_metric_query": """
         SELECT o_orderstatus AS status,
                CAST(CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE)
@@ -846,6 +901,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "cobucketed_join_zeroshuffle": cobucketed_join_zeroshuffle,
     "incremental_append": incremental_append,
     "incremental_merge": incremental_merge,
     "incremental_delete_insert": incremental_delete_insert,
