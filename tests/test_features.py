@@ -1498,3 +1498,22 @@ p:
     assert eng.project.profile["schema"] == "main"
     assert str(eng.project.profile["threads"]) == "3"
     assert eng.invoke(["run"]).success
+
+
+def test_selector_set_algebra(feat):
+    """Property: space-separated selectors are set union, comma-joined are
+    intersection, and --exclude is set difference (graph/cli.py semantics)."""
+    eng, _ = feat
+
+    def sel(*args):
+        return {x.unique_id for x in eng.invoke(["ls", *args]).results}
+
+    a, b = "amounts", "tag:finance" if sel("--select", "tag:finance") else "amounts_tbl"
+    sa, sb = sel("--select", a), sel("--select", b)
+    assert sel("--select", f"{a} {b}") == sa | sb
+    assert sel("--select", f"{a},{b}") == sa & sb
+    everything = sel()
+    assert sel("--exclude", a) == everything - sa
+    # + graph operator is monotone: a+ includes a and all its descendants
+    plus = sel("--select", f"{a}+")
+    assert sa <= plus <= everything
