@@ -223,8 +223,11 @@ def compile_metrics_sql(
             raise MetricQueryError(f"measure {mname!r} has no semantic model")
         filt = " AND ".join(
             f"({f})" for f in (mfilter, metric_filter) if f) or None
+        # md5, not hash(): Python's str hash is randomized per process, which
+        # would make the compiled SQL text differ run-to-run
         alias = f"__m_{mname}" + (
-            f"_{abs(hash(filt)) % 10 ** 8}" if filt else "")
+            f"_{__import__('hashlib').md5(filt.encode()).hexdigest()[:8]}"
+            if filt else "")
         leaf_cols.setdefault(owner.name, {})[alias] = (mname, filt)
         return alias
 
