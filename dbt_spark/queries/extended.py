@@ -417,7 +417,34 @@ def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def try_error_handling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-adjacent error-to-NULL operators: try_divide (NULL on /0),
+    TRY_CAST of non-numeric strings, and NULLIF guards — the
+    pipeline-robustness idiom that keeps one bad row from failing a
+    100 TB job. All codegen'd; semantics identical in DuckDB's TRY_CAST /
+    NULLIF forms (stated in the oracle)."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderkey,
+               try_divide(o_totalprice, o_orderkey % 3) AS ratio_maybe,
+               TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+               TRY_CAST(o_orderpriority AS INT) AS always_null,
+               NULLIF(o_orderstatus, 'O') AS status_or_null
+        FROM orders
+        WHERE o_orderkey < 2000
+    """)
+
+
 ORACLES: dict[str, str] = {
+    "try_error_handling_ops": """
+        SELECT o_orderkey,
+               o_totalprice / NULLIF(o_orderkey % 3, 0) AS ratio_maybe,
+               TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+               TRY_CAST(o_orderpriority AS INT) AS always_null,
+               NULLIF(o_orderstatus, 'O') AS status_or_null
+        FROM orders
+        WHERE o_orderkey < 2000
+    """,
     "window_count_distinct": """
         SELECT l_orderkey, l_linenumber,
                CAST(count(DISTINCT l_returnflag)
@@ -596,5 +623,6 @@ QUERIES = {
     "nested_struct_ops": nested_struct_ops,
     "window_count_distinct": window_count_distinct,
     "map_column_ops": map_column_ops,
+    "try_error_handling_ops": try_error_handling_ops,
     "source_freshness_age": source_freshness_age,
 }
