@@ -613,3 +613,37 @@ def _build_into(base, files):
         with open(p, "w") as f:
             f.write(content)
     return str(base)
+
+
+def test_python_model_incremental_merge(project_dir, spark):
+    """A Python model (def model(dbt, session)) under
+    materialized='incremental' + merge: dbt.is_incremental gates the batch
+    filter, upserts converge like the SQL twin."""
+    py = '''
+def model(dbt, session):
+    dbt.config(materialized="incremental", incremental_strategy="merge",
+               unique_key="id")
+    from pyspark.sql import functions as F
+    df = dbt.ref("events")
+    hi = int(dbt.config.get("meta", {}).get("hi", 0) or 0) or None
+    upto = 2 if not dbt.is_incremental else 3
+    mult = 1 if not dbt.is_incremental else 10
+    return (df.filter(F.col("day") <= upto)
+              .select("id", "day", (F.col("val") * mult).alias("val")))
+'''
+    files = {
+        "dbt_project.yml": "name: pyinc\n",
+        "seeds/events.csv": EVENTS_CSV,
+        "models/target.py": py,
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    rows = {r["id"]: r["val"] for r in eng.store.read("main", "target").collect()}
+    assert rows == {1: 10, 2: 20, 3: 30, 4: 40}
+    eng2 = Engine(root, spark=spark)
+    assert eng2.invoke(["run"]).success
+    rows = {r["id"]: r["val"] for r in eng2.store.read("main", "target").collect()}
+    # incremental pass: days 1-3 at x10, matched rows updated, 5/6 inserted
+    assert rows == {1: 100, 2: 200, 3: 300, 4: 400, 5: 500, 6: 600}
