@@ -228,6 +228,7 @@ class RelationStore:
         bucket_by: list[str],
         buckets: int,
         sort_by: Optional[list[str]] = None,
+        mode: str = "overwrite",
     ) -> Relation:
         """Hash-bucketed, per-bucket-sorted table write.
 
@@ -240,18 +241,34 @@ class RelationStore:
         path = self.path_for(schema, name)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         ident = self.key(schema, name).replace(".", "__")
-        with self._lock:
-            self.spark.catalog.dropTempView(ident)
-            self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
         sort_by = list(sort_by or bucket_by)
-        (
-            df.write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(int(buckets), *bucket_by)
-            .sortBy(*sort_by)
-            .option("path", path)
-            .saveAsTable(ident)
-        )
+        if mode == "append":
+            # incremental append preserving the bucket spec: new files get
+            # bucket ids from the SAME hash; each file is per-bucket sorted
+            # (multiple sorted files per bucket — still shuffle-elided reads)
+            existing = self.get(schema, name)
+            if existing is not None:
+                self.register(existing)  # ensure the catalog table exists
+            (
+                df.write.mode("append")
+                .format("parquet")
+                .bucketBy(int(buckets), *bucket_by)
+                .sortBy(*sort_by)
+                .option("path", path)
+                .saveAsTable(ident)
+            )
+        else:
+            with self._lock:
+                self.spark.catalog.dropTempView(ident)
+                self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(int(buckets), *bucket_by)
+                .sortBy(*sort_by)
+                .option("path", path)
+                .saveAsTable(ident)
+            )
         rel = Relation(
             schema=schema, name=name, kind="table", path=path,
             meta={"buckets": int(buckets), "bucket_by": list(bucket_by),
@@ -262,6 +279,48 @@ class RelationStore:
             self._registered.add(rel.identifier)
             self._save_state()
         return rel
+
+    def rewrite_bucketed(
+        self,
+        schema: str,
+        name: str,
+        df: DataFrame,
+        bucket_by: list[str],
+        buckets: int,
+        sort_by: Optional[list[str]] = None,
+    ) -> Relation:
+        """Staged bucketed rewrite for plans that READ the relation being
+        replaced (incremental combine): write a temp bucketed table beside
+        the target, swap directories, recreate the catalog entry. No
+        driver/executor materialization — the staging write streams."""
+        rel = self.get(schema, name)
+        path = self.path_for(schema, name)
+        ident = self.key(schema, name).replace(".", "__")
+        sort_by = list(sort_by or bucket_by)
+        staging = f"{path}.__staging__{int(time.time() * 1000)}"
+        tmp_ident = f"{ident}__rewrite_tmp"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_ident}")
+        (
+            df.write.mode("overwrite").format("parquet")
+            .bucketBy(int(buckets), *bucket_by).sortBy(*sort_by)
+            .option("path", staging).saveAsTable(tmp_ident)
+        )
+        with self._lock:
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp_ident}")  # files stay
+            self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+            self.spark.catalog.dropTempView(ident)
+            self._swap(path, staging)
+            self._registered.discard(ident)
+        out = Relation(
+            schema=schema, name=name, kind="incremental", path=path,
+            meta={"buckets": int(buckets), "bucket_by": list(bucket_by),
+                  "sort_by": sort_by},
+        )
+        with self._lock:
+            self.relations[self.key(schema, name)] = out
+            self._save_state()
+        self.register(out)
+        return out
 
     def overwrite_partitions(
         self, schema: str, name: str, df: DataFrame, partition_by: list[str]

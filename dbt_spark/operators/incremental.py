@@ -193,6 +193,72 @@ def _scoped_rewrite(
     )
 
 
+def _incremental_bucketed(
+    ctx: ExecutionContext,
+    node: ManifestNode,
+    strategy: str,
+    new: DataFrame,
+    is_incremental: bool,
+) -> Relation:
+    """Incremental strategies over a hash-bucketed target (config(bucket_by=,
+    buckets=) + materialized='incremental') — the nightly co-bucketed fact
+    pattern: the merged table KEEPS its bucket layout, so downstream
+    co-bucketed joins stay shuffle-free run after run.
+
+    - append: new files written through the same bucket hash (each file
+      per-bucket sorted; reads stay shuffle-elided).
+    - merge / delete+insert: combine + bucketed rewrite. The combine itself
+      shuffles on unique_key; when unique_key == bucket key, both sides'
+      scans are already hash-partitioned on it, so the anti-join is local.
+    partition_by + bucket_by together is rejected (one physical layout per
+    relation here)."""
+    schema = ctx.schema_for(node)
+    if _partition_cols(node):
+        raise IncrementalError(
+            f"{node.unique_id}: bucket_by and partition_by cannot be combined")
+    if (node.config.meta.get("file_format") or "parquet") != "parquet":
+        raise IncrementalError(
+            f"{node.unique_id}: bucketed incremental targets are parquet only")
+    bucket_by = node.config.meta.get("bucket_by")
+    bucket_by = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    buckets = int(node.config.meta.get("buckets", 32))
+    sort_by = node.config.meta.get("sort_by")
+    sort_by = [sort_by] if isinstance(sort_by, str) else sort_by
+
+    def _write(df: DataFrame, mode: str = "overwrite") -> Relation:
+        return ctx.store.write_bucketed(
+            schema, node.name, df, bucket_by=bucket_by, buckets=buckets,
+            sort_by=sort_by, mode=mode,
+        )
+
+    if not is_incremental:
+        return _write(new)
+    existing = ctx.store.read(schema, node.name)
+    existing, new = apply_schema_change(
+        existing, new, node.config.on_schema_change, node.unique_id)
+    if strategy == "append":
+        return _write(new, mode="append")
+    if strategy == "merge":
+        combined = merge_upsert(
+            existing, new, _unique_keys(node),
+            update_columns=node.config.meta.get("merge_update_columns"),
+            exclude_columns=node.config.meta.get("merge_exclude_columns"),
+        )
+    elif strategy == "delete+insert":
+        combined = delete_insert(existing, new, _unique_keys(node))
+    else:
+        raise IncrementalError(
+            f"{node.unique_id}: strategy {strategy!r} is not supported on "
+            "bucketed targets (use append, merge, or delete+insert)")
+    # the combine READS the path being replaced — staged rewrite (write
+    # beside, swap dirs, recreate catalog entry), never materializing the
+    # combined frame in memory
+    return ctx.store.rewrite_bucketed(
+        schema, node.name, combined, bucket_by=bucket_by, buckets=buckets,
+        sort_by=sort_by,
+    )
+
+
 def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Optional[Relation]:
     schema = ctx.schema_for(node)
     strategy = node.config.incremental_strategy or "append"
@@ -222,6 +288,9 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
     from dbt_spark.operators.materialize import storage_options
 
     storage = storage_options(node)
+    bucket_by = node.config.meta.get("bucket_by")
+    if bucket_by:
+        return _incremental_bucketed(ctx, node, strategy, new, is_incremental)
     if storage.get("file_format") not in (None, "parquet") and parts:
         # every partitioned incremental rewrite path goes through dynamic
         # partition overwrite, which is parquet-only here — fail loudly

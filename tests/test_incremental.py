@@ -647,3 +647,50 @@ def model(dbt, session):
     rows = {r["id"]: r["val"] for r in eng2.store.read("main", "target").collect()}
     # incremental pass: days 1-3 at x10, matched rows updated, 5/6 inserted
     assert rows == {1: 100, 2: 200, 3: 300, 4: 400, 5: 500, 6: 600}
+
+
+def test_bucketed_incremental_merge_keeps_layout(project_dir, spark):
+    """config(bucket_by=..., materialized='incremental', merge): the merged
+    relation keeps its bucket spec across runs — bucket-key aggregation
+    stays exchange-free after the second (merge) run."""
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='merge',
+          unique_key='id', bucket_by='id', buckets=4) }}
+select id, day, val * {{ var('mult', 1) }} as val
+from {{ ref('events') }}
+where day <= {{ var('upto', 3) }}
+"""
+    root, eng = make_engine(project_dir, spark, sql, vars={"upto": 2})
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    eng2 = Engine(root, spark=spark, vars={"upto": 3, "mult": 10})
+    assert eng2.invoke(["run"]).success
+    rows = {r["id"]: r["val"] for r in eng2.store.read("main", "target").collect()}
+    assert rows == {1: 100, 2: 200, 3: 300, 4: 400, 5: 500, 6: 600}
+    rel = eng2.store.get("main", "target")
+    assert rel.meta.get("buckets") == 4 and rel.meta.get("bucket_by") == ["id"]
+    # bucket-key aggregation needs no exchange (spec survived the rewrite)
+    agg = spark.table(rel.identifier).groupBy("id").count()
+    plan = agg._sc._jvm.PythonSQLUtils.explainString(
+        agg._jdf.queryExecution(), "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bucketed_incremental_append_preserves_spec(project_dir, spark):
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='append',
+          bucket_by='id', buckets=4) }}
+select id, day, val from {{ ref('events') }} where day = {{ var('d') }}
+"""
+    root, eng = make_engine(project_dir, spark, sql, vars={"d": 1})
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    eng2 = Engine(root, spark=spark, vars={"d": 2})
+    assert eng2.invoke(["run"]).success
+    got = sorted(r["id"] for r in eng2.store.read("main", "target").collect())
+    assert got == [1, 2, 3, 4]
+    rel = eng2.store.get("main", "target")
+    agg = spark.table(rel.identifier).groupBy("id").count()
+    plan = agg._sc._jvm.PythonSQLUtils.explainString(
+        agg._jdf.queryExecution(), "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
