@@ -171,6 +171,53 @@ def minhash_signatures(
     )
 
 
+def _banded_signatures(
+    df: DataFrame, text_col: str, id_col: str,
+    num_perm: int, bands: int, shingle_n: int,
+) -> DataFrame:
+    """(id, band, bh): one LSH bucket key per band per doc."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    return sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, xxhash64(slice(sig, b * {rows} + 1, {rows})) AS bh))"
+            )
+        ).alias("x"),
+    ).select("id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
+
+
+def crosscorpus_lsh_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Corpus ids NEAR-duplicating any benchmark doc (≥1 shared LSH band
+    bucket) — the scale path for train/benchmark decontamination when exact
+    n-gram overlap misses paraphrased leakage.
+
+    Scale: the benchmark side reduces to its DISTINCT (band, bucket) keys —
+    tiny — and BROADCASTS; the corpus streams through a map-side semi-join,
+    so the 100 TB side never shuffles for the probe (only its per-doc
+    signature aggregate). Cost ∝ corpus + benchmark, never corpus×benchmark.
+    """
+    c = _banded_signatures(corpus, text_col, id_col, num_perm, bands, shingle_n)
+    b = (
+        _banded_signatures(benchmark, text_col, id_col, num_perm, bands, shingle_n)
+        .select("band", "bh").distinct()
+    )
+    return (
+        c.join(F.broadcast(b), ["band", "bh"], "left_semi")
+        .select("id").distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,

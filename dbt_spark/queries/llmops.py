@@ -683,6 +683,24 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontam_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate contamination flags via cross-corpus MinHash LSH
+    (functions/dedup.py crosscorpus_lsh_contaminated): corpus docs sharing
+    an LSH band bucket with the benchmark set (every 97th doc). Engine-hash
+    based → rows-only check; the EXACT companion for the same notion is
+    decontam_ngram_overlap (oracle-paired). Planted-leak recall is
+    pytest-proven (tests/test_llmops.py)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        D.crosscorpus_lsh_contaminated(
+            corpus, benchmark, "text", "doc_id", num_perm=16, bands=8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-level decontamination (the GPT-3 appendix-C approach, public):
     flag training docs sharing any 3-gram with the benchmark set (every 97th
@@ -1229,6 +1247,7 @@ QUERIES = {
     "repetition_filter_gopher": repetition_filter_gopher,
     "chunk_fixed_windows": chunk_fixed_windows,
     "decontam_ngram_overlap": decontam_ngram_overlap,
+    "decontam_neardup_lsh": decontam_neardup_lsh,
     "vocab_top_terms": vocab_top_terms,
     "embedding_centroids": embedding_centroids,
     "oov_rate_vs_vocab": oov_rate_vs_vocab,

@@ -379,3 +379,21 @@ def test_dup_chunk_ratio_planted_duplicate(spark):
         .agg((F.sum("is_dup") / F.count("*")).alias("f")).collect()
     }
     assert frac[1] > 0 and frac[2] > 0 and frac[3] == 0.0
+
+
+def test_crosscorpus_lsh_flags_planted_leak(spark):
+    """A corpus doc that is a one-word mutation of a benchmark doc is
+    flagged by cross-corpus LSH; an unrelated doc is not."""
+    bench = _docs(spark).limit(5).select("doc_id", "text")
+    base = bench.orderBy("doc_id").first()
+    leaked = base["text"].rsplit(" ", 1)[0] + " zzz"
+    corpus = spark.createDataFrame(
+        [(9001, leaked),
+         (9002, "utterly unrelated words compose this document entirely "
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    flagged = {r["id"] for r in D.crosscorpus_lsh_contaminated(
+        corpus, bench, "text", "doc_id", num_perm=16, bands=8).collect()}
+    assert 9001 in flagged
+    assert 9002 not in flagged
