@@ -102,6 +102,8 @@ EXTENDED = [
     "vocab_top_terms",
     "embedding_centroids",
     "oov_rate_vs_vocab",
+    "decontam_neardup_lsh",
+    "try_error_handling_ops",
 ]
 
 

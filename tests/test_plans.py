@@ -127,3 +127,12 @@ def test_dup_chunk_ratio_no_cartesian_and_reused_key(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(chunk_md5" in plan, plan
+
+
+def test_crosscorpus_lsh_broadcasts_benchmark(spark):
+    """Cross-corpus decontamination probes via a BROADCAST semi-join on the
+    benchmark's band buckets — the corpus side must not shuffle for the
+    probe (its only exchange is the per-doc signature aggregate)."""
+    plan = _formatted(QUERIES["decontam_neardup_lsh"](spark, SF_DIR_MED))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
