@@ -299,13 +299,28 @@ def _apply_output_transforms(node: ManifestNode, df: DataFrame) -> DataFrame:
 
     dedup_keys = meta.get("dedup_keys")
     fp_col = meta.get("dedup_fingerprint")
-    if not dedup_keys and not fp_col:
+    mh_col = meta.get("dedup_minhash")
+    if not dedup_keys and not fp_col and not mh_col:
         return df
-    from dbt_spark.functions.dedup import exact_dedup, fingerprint_dedup
+    from dbt_spark.functions.dedup import (
+        exact_dedup,
+        fingerprint_dedup,
+        minhash_dedup_cc,
+    )
 
     id_col = meta.get("dedup_id")
     if not id_col:
         raise ValueError(f"{node.unique_id}: dedup config requires dedup_id")
+    if mh_col:
+        # config(dedup_minhash='text_col'[, dedup_threshold=, dedup_num_perm=,
+        # dedup_bands=]): NEAR-dup removal with connected-component survivor
+        # selection, inside the materialization like every other dedup config
+        return minhash_dedup_cc(
+            df, mh_col, id_col,
+            threshold=float(meta.get("dedup_threshold", 0.5)),
+            num_perm=int(meta.get("dedup_num_perm", 16)),
+            bands=int(meta.get("dedup_bands", 4)),
+        )
     if fp_col:
         return fingerprint_dedup(df, fp_col, id_col, k=int(meta.get("dedup_k", 16)))
     keys = [dedup_keys] if isinstance(dedup_keys, str) else list(dedup_keys)

@@ -397,3 +397,34 @@ def test_crosscorpus_lsh_flags_planted_leak(spark):
         corpus, bench, "text", "doc_id", num_perm=16, bands=8).collect()}
     assert 9001 in flagged
     assert 9002 not in flagged
+
+
+def test_dedup_minhash_model_config(project_dir, spark):
+    """config(dedup_minhash='text'): connected-component near-dup removal
+    runs inside the materialization; a planted mutated copy is dropped,
+    the original survives."""
+    from dbt_spark.runner import Engine
+
+    base_docs = _docs(spark).limit(10).select("doc_id", "text").collect()
+    mutated = base_docs[0]["text"].rsplit(" ", 1)[0] + " zzz"
+    rows = [(r["doc_id"], r["text"]) for r in base_docs] + [(9000, mutated)]
+    seed_csv = "doc_id,text\n" + "".join(
+        f'{i},"{t}"\n' for i, t in rows)
+    files = {
+        "dbt_project.yml": "name: mhd\n",
+        "seeds/docs.csv": seed_csv,
+        "models/neardup_free.sql": (
+            "{{ config(materialized='table', dedup_minhash='text', "
+            "dedup_id='doc_id', dedup_threshold=0.5, dedup_num_perm=16, "
+            "dedup_bands=8) }}"
+            "select doc_id, text from {{ ref('docs') }}"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    kept = {x["doc_id"] for x in eng.store.read("main", "neardup_free").collect()}
+    assert base_docs[0]["doc_id"] in kept
+    assert 9000 not in kept
+    assert len(kept) >= 9  # unrelated docs untouched
