@@ -442,3 +442,15 @@ class RelationStore:
             os.rename(staging, path)
             if os.path.exists(old):
                 shutil.rmtree(old)
+            # hygiene: a crashed earlier write can leave orphaned staging
+            # dirs beside the target — they never corrupt reads (the live dir
+            # is `path` itself) but they leak disk; sweep them post-swap
+            parent, base = os.path.dirname(path), os.path.basename(path)
+            try:
+                for entry in os.listdir(parent):
+                    full = os.path.join(parent, entry)
+                    if (entry.startswith(f"{base}.__staging__")
+                            or entry.startswith(f"{base}.__old__")):
+                        shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass

@@ -769,3 +769,27 @@ sources:
     assert "InMemoryRelation" in plan, plan
     spark.sql(f"UNCACHE TABLE {rel.identifier}")
     assert not spark.catalog.isCached(rel.identifier)
+
+
+def test_orphaned_staging_dirs_swept_and_never_read(project_dir, spark):
+    """Crash resilience: an orphaned __staging__ dir beside a relation never
+    affects reads and is swept by the next successful write."""
+    files = {
+        "dbt_project.yml": "name: stg\n",
+        "seeds/nums.csv": "n\n1\n2\n3\n",
+        "models/t.sql": "{{ config(materialized='table') }} "
+                        "select sum(n) as total from {{ ref('nums') }}",
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success and eng.invoke(["run"]).success
+    rel = eng.store.get("main", "t")
+    # simulate a crashed earlier write
+    orphan = f"{rel.path}.__staging__123"
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    assert eng.store.read("main", "t").collect()[0]["total"] == 6
+    assert Engine(root, spark=spark).invoke(["run"]).success
+    assert not os.path.exists(orphan)
+    assert eng.store.read("main", "t").collect()[0]["total"] == 6
