@@ -1367,11 +1367,11 @@ class Engine:
                     "execution_time": round(r.execution_time, 4),
                     "message": r.message,
                     "thread_id": r.thread_id,
-                    "adapter_response": {},
+                    "adapter_response": self._adapter_response(r),
                     "failures": None,
                     "compiled": None,
                     "compiled_code": None,
-                    "relation_name": None,
+                    "relation_name": self._relation_name(r),
                     "timing": (
                         [{"name": "execute", "started_at": r.started_at,
                           "completed_at": r.completed_at}]
@@ -1383,6 +1383,59 @@ class Engine:
         }
         with open(os.path.join(target_dir, "run_results.json"), "w") as f:
             json.dump(payload, f, indent=1)
+
+    def _materialized_relation(self, r: RunResult):
+        """The relation a successful model/seed/snapshot result produced."""
+        if r.status not in ("success", "pass") or "." not in r.unique_id:
+            return None
+        kind, _, rest = r.unique_id.partition(".")
+        if kind not in ("model", "seed", "snapshot"):
+            return None
+        name = rest.rsplit(".", 1)[-1]
+        node = (self.manifest.nodes.get(r.unique_id)
+                if self.manifest is not None else None)
+        schema = (node.config.schema if node and node.config.schema
+                  else self.project.profile.get("schema", "main"))
+        return self.store.get(schema, name)
+
+    def _relation_name(self, r: RunResult) -> Optional[str]:
+        rel = self._materialized_relation(r)
+        return f"{rel.schema}.{rel.name}" if rel is not None else None
+
+    def _adapter_response(self, r: RunResult) -> dict:
+        """Physical-write observability (the reference's adapter_response:
+        rows_affected + adapter message). Bytes/files come from a driver-side
+        walk (no Spark job); row counts from parquet footers via pyarrow —
+        metadata reads only, never a data scan."""
+        rel = self._materialized_relation(r)
+        if rel is None or not rel.path or not os.path.isdir(rel.path):
+            return {}
+        n_files, n_bytes, n_rows = 0, 0, 0
+        rows_known = True
+        for dirpath, _dirs, files in os.walk(rel.path):
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                full = os.path.join(dirpath, fn)
+                n_files += 1
+                try:
+                    n_bytes += os.path.getsize(full)
+                except OSError:
+                    pass
+                if fn.endswith(".parquet"):
+                    try:
+                        import pyarrow.parquet as pq
+
+                        n_rows += pq.ParquetFile(full).metadata.num_rows
+                    except Exception:  # noqa: BLE001 - footer read best-effort
+                        rows_known = False
+                else:
+                    rows_known = False
+        out: dict = {"_message": "OK", "bytes_processed": n_bytes,
+                     "files": n_files}
+        if rows_known:
+            out["rows_affected"] = n_rows
+        return out
 
 
 def _sample_window(spec: str, now: Optional[datetime]) -> tuple[str, str]:

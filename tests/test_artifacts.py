@@ -165,3 +165,29 @@ def test_state_selectors_work_on_v12_manifest(built, tmp_path):
             content = f.read()
         with open(src, "w") as f:
             f.write(content.replace("  -- touched", ""))
+
+
+def test_run_results_adapter_response_and_relation_name(project_dir, spark):
+    """run_results carries the reference's adapter_response observability
+    (rows_affected from parquet footers, bytes/files from a driver walk) and
+    relation_name for materialized nodes — and stays v5-schema-valid."""
+    files = {
+        "dbt_project.yml": "name: arp\n",
+        "seeds/nums.csv": "n\n1\n2\n3\n4\n",
+        "models/t.sql": "{{ config(materialized='table') }} "
+                        "select n from {{ ref('nums') }} where n > 1",
+        "models/v.sql": "select 1 as x",  # view: no physical files
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["build"]).success
+    doc = json.load(open(os.path.join(root, "target", "run_results.json")))
+    by_id = {r["unique_id"]: r for r in doc["results"]}
+    t = by_id["model.arp.t"]
+    assert t["relation_name"] == "main.t"
+    assert t["adapter_response"]["rows_affected"] == 3
+    assert t["adapter_response"]["bytes_processed"] > 0
+    assert t["adapter_response"]["files"] >= 1
+    assert by_id["model.arp.v"]["adapter_response"] == {}  # views: no files
+    seed = by_id["seed.arp.nums"]
+    assert seed["adapter_response"]["rows_affected"] == 4
