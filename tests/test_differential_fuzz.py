@@ -322,3 +322,42 @@ def test_differential_higher_order_funcs(spark, seed):
     want = con.sql(duck_sql).df()
     assert sorted(got.columns) == sorted(want.columns), spark_sql
     assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
+
+
+# --------------------------------------------------------------------------
+# window frames: random ROWS / RANGE bounds over a unique ordering key
+# (deterministic peer order ⟹ frame contents identical in both engines)
+# --------------------------------------------------------------------------
+
+def _gen_frame_sql(seed: int) -> str:
+    rng = random.Random(20_000 + seed)
+    part = rng.choice(["o_orderstatus", "o_orderpriority", "o_custkey % 7"])
+    kind = rng.choice(["ROWS", "RANGE"])
+    if kind == "ROWS":
+        lo = rng.choice(["UNBOUNDED PRECEDING", f"{rng.randrange(1, 5)} PRECEDING",
+                         "CURRENT ROW"])
+        hi = rng.choice(["CURRENT ROW", f"{rng.randrange(1, 5)} FOLLOWING",
+                         "UNBOUNDED FOLLOWING"])
+        if lo == "CURRENT ROW" and hi == "CURRENT ROW":
+            hi = "UNBOUNDED FOLLOWING"
+    else:
+        lo = rng.choice(["UNBOUNDED PRECEDING", f"{rng.randrange(100, 900)} PRECEDING"])
+        hi = rng.choice(["CURRENT ROW", f"{rng.randrange(100, 900)} FOLLOWING"])
+    agg = rng.choice([
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)",
+        "CAST(count(*) OVER w AS BIGINT)",
+        "CAST(min(o_orderkey) OVER w AS BIGINT)",
+        "CAST(max(o_orderkey) OVER w AS BIGINT)",
+    ])
+    return (
+        f"SELECT o_orderkey, {agg} AS wv FROM orders "
+        f"WHERE {_atom(rng)} "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY o_orderkey "
+        f"{kind} BETWEEN {lo} AND {hi})"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_window_frames(spark, seed):
+    load_tables(spark, SF_DIR, "orders")
+    _run_case(spark, _gen_frame_sql(seed), seed)
