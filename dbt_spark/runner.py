@@ -1369,8 +1369,8 @@ class Engine:
                     "thread_id": r.thread_id,
                     "adapter_response": self._adapter_response(r),
                     "failures": None,
-                    "compiled": None,
-                    "compiled_code": None,
+                    "compiled": self._compiled_code(r) is not None or None,
+                    "compiled_code": self._compiled_code(r),
                     "relation_name": self._relation_name(r),
                     "timing": (
                         [{"name": "execute", "started_at": r.started_at,
@@ -1397,6 +1397,11 @@ class Engine:
         schema = (node.config.schema if node and node.config.schema
                   else self.project.profile.get("schema", "main"))
         return self.store.get(schema, name)
+
+    def _compiled_code(self, r: RunResult) -> Optional[str]:
+        node = (self.manifest.nodes.get(r.unique_id)
+                if self.manifest is not None else None)
+        return node.compiled_code if node is not None else None
 
     def _relation_name(self, r: RunResult) -> Optional[str]:
         rel = self._materialized_relation(r)
