@@ -46,8 +46,10 @@ def main() -> int:
     ap.add_argument("--port", type=int, default=None)
     ap.add_argument("--target", "-t", default=None)
     ap.add_argument("--output", default="default",
-                    choices=["default", "name", "path", "json"],
+                    choices=["default", "selector", "name", "path", "fqn", "json"],
                     help="ls output format")
+    ap.add_argument("--output-keys", default=None,
+                    help="keys to keep in --output json entries")
     args = ap.parse_args()
 
     if args.command == "init":
@@ -96,6 +98,10 @@ def main() -> int:
         argv.append("--fail-fast")
     if args.port is not None:
         argv += ["--port", str(args.port)]
+    if args.output and args.output != "default":
+        argv += ["--output", args.output]
+    if args.output_keys:
+        argv += ["--output-keys", args.output_keys]
     result = engine.invoke(argv)
     if result.preview is not None:
         for row in result.preview:

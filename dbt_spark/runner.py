@@ -197,6 +197,7 @@ class Engine:
         indirect = "eager"
         fail_fast = False
         favor_state = False
+        threads_override: Optional[int] = None
         ls_output = "selector"
         ls_output_keys: list[str] = []
         i = 0
@@ -264,6 +265,9 @@ class Engine:
             elif rest[i] == "--output-keys":
                 i += 1
                 ls_output_keys.extend(rest[i].replace(",", " ").split())
+            elif rest[i] == "--threads":
+                i += 1
+                threads_override = int(rest[i])
             elif not rest[i].startswith("-"):
                 positional.append(rest[i])
             i += 1
@@ -411,7 +415,8 @@ class Engine:
         # include upstream runnable deps in the queue graph for correct ordering
         queue = GraphQueue(graph, runnable)
         results: list[RunResult] = []
-        threads = int(self.project.profile.get("threads", 4))
+        threads = int(threads_override
+                      or self.project.profile.get("threads", 4))
 
         # reference startup event sequence (task/runnable.py before execution:
         # MainReportVersion A001 → FoundStats W006 → ConcurrencyLine Q027)

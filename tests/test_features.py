@@ -1517,3 +1517,14 @@ def test_selector_set_algebra(feat):
     # + graph operator is monotone: a+ includes a and all its descendants
     plus = sel("--select", f"{a}+")
     assert sa <= plus <= everything
+
+
+def test_threads_flag_overrides_profile(feat):
+    """--threads N overrides the profile's thread count for the run's pool
+    (visible through the ConcurrencyLine event)."""
+    eng, pdir = feat
+    assert eng.invoke(["run", "--threads", "2"]).success
+    log_path = os.path.join(pdir, "target", "logs", "dbt.log.jsonl")
+    lines = [json.loads(l) for l in open(log_path) if l.strip()]
+    conc = [e for e in lines if e["info"]["name"] == "ConcurrencyLine"]
+    assert conc and conc[-1]["data"]["num_threads"] == 2
