@@ -50,6 +50,13 @@ def main() -> int:
                     help="ls output format")
     ap.add_argument("--output-keys", default=None,
                     help="keys to keep in --output json entries")
+    ap.add_argument("--favor-state", action="store_true",
+                    help="with --defer, unselected upstreams prefer --state")
+    ap.add_argument("--store-failures", action="store_true")
+    ap.add_argument("--include-saved-query", action="store_true")
+    ap.add_argument("--resource-type", action="append", default=[])
+    ap.add_argument("--event-time-start", default=None)
+    ap.add_argument("--event-time-end", default=None)
     args = ap.parse_args()
 
     if args.command == "init":
@@ -102,6 +109,18 @@ def main() -> int:
         argv += ["--output", args.output]
     if args.output_keys:
         argv += ["--output-keys", args.output_keys]
+    if args.favor_state:
+        argv.append("--favor-state")
+    if args.store_failures:
+        argv.append("--store-failures")
+    if args.include_saved_query:
+        argv.append("--include-saved-query")
+    for rt in args.resource_type:
+        argv += ["--resource-type", rt]
+    if args.event_time_start:
+        argv += ["--event-time-start", args.event_time_start]
+    if args.event_time_end:
+        argv += ["--event-time-end", args.event_time_end]
     result = engine.invoke(argv)
     if result.preview is not None:
         for row in result.preview:
