@@ -126,24 +126,10 @@ def main() -> int:
         for row in result.preview:
             print(row)
     if command == "ls" and args.output != "default":
-        # reference `dbt ls --output name|path|json` (task/list.py:27-212)
-        manifest = result.manifest
+        # reference `dbt ls --output ...` (task/list.py:27-212): the runner
+        # already rendered each row via _ls_render into the result message
         for r in result.results:
-            node = (manifest.nodes.get(r.unique_id)
-                    or manifest.sources.get(r.unique_id)) if manifest else None
-            if args.output == "name":
-                print(r.unique_id.split(".")[-1])
-            elif args.output == "path":
-                print(node.path if node else "")
-            else:
-                import json as _json
-
-                print(_json.dumps({
-                    "unique_id": r.unique_id,
-                    "name": node.name if node else r.unique_id.split(".")[-1],
-                    "resource_type": node.resource_type.value if node else None,
-                    "path": node.path if node else None,
-                }))
+            print(r.message if r.message else r.unique_id)
         return 0 if result.success else 1
     for r in result.results:
         print(f"{r.status:8s} {r.unique_id:60s} {r.execution_time:6.2f}s "
