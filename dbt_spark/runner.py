@@ -812,7 +812,58 @@ class Engine:
         os.makedirs(target_dir, exist_ok=True)
         with open(os.path.join(target_dir, "catalog.json"), "w") as f:
             json.dump(payload, f, indent=1)
+        with open(os.path.join(target_dir, "index.html"), "w") as f:
+            f.write(self._docs_index_html(manifest, payload))
         return RunnerResult(True, [RunResult("docs.generate", "success", 0.0)], manifest)
+
+    def _docs_index_html(self, manifest: Manifest, catalog: dict) -> str:
+        """Static docs site (the reference ships the dbt-docs JS app; a
+        self-contained HTML summary serves the same browse-the-project need
+        without a bundled webapp): per-node tables of columns/types with
+        descriptions, lineage (depends_on), and physical stats."""
+        import html as _html
+
+        def esc(s) -> str:
+            return _html.escape(str(s if s is not None else ""))
+
+        rows = []
+        entries = {**catalog.get("nodes", {}), **catalog.get("sources", {})}
+        for uid in sorted(entries):
+            cat = entries[uid]
+            node = manifest.nodes.get(uid) or manifest.sources.get(uid)
+            desc = esc(node.description) if node is not None else ""
+            deps = ", ".join(sorted(node.depends_on)) if node is not None else ""
+            stats = cat.get("stats") or {}
+            stat_bits = ", ".join(
+                f"{esc(v.get('label', k))}: {esc(v.get('value'))}"
+                for k, v in stats.items() if v.get("include", True)
+            )
+            cols = "".join(
+                f"<tr><td>{esc(c['name'])}</td><td><code>{esc(c['type'])}</code></td></tr>"
+                for c in sorted(cat.get("columns", {}).values(),
+                                key=lambda c: c["index"])
+            )
+            rows.append(
+                f"<section id='{esc(uid)}'><h2>{esc(uid)}</h2>"
+                f"<p>{desc}</p>"
+                + (f"<p><b>depends on:</b> {esc(deps)}</p>" if deps else "")
+                + (f"<p><b>stats:</b> {stat_bits}</p>" if stat_bits else "")
+                + f"<table border='1' cellpadding='4'>"
+                  f"<tr><th>column</th><th>type</th></tr>{cols}</table></section>"
+            )
+        toc = "".join(
+            f"<li><a href='#{esc(uid)}'>{esc(uid)}</a></li>"
+            for uid in sorted(entries)
+        )
+        return (
+            "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+            f"<title>{esc(self.project.name)} — dbt_spark docs</title></head>"
+            f"<body><h1>{esc(self.project.name)}</h1>"
+            f"<p>{len(entries)} cataloged relations. Raw artifacts: "
+            "<a href='manifest.json'>manifest.json</a> · "
+            "<a href='catalog.json'>catalog.json</a></p>"
+            f"<ul>{toc}</ul>{''.join(rows)}</body></html>"
+        )
 
     def _docs_serve(self, port: int = 8080, blocking: bool = True):
         """dbt docs serve: static HTTP server over target/ (catalog.json +

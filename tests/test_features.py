@@ -1528,3 +1528,17 @@ def test_threads_flag_overrides_profile(feat):
     lines = [json.loads(l) for l in open(log_path) if l.strip()]
     conc = [e for e in lines if e["info"]["name"] == "ConcurrencyLine"]
     assert conc and conc[-1]["data"]["num_threads"] == 2
+
+
+def test_docs_generate_writes_static_site(feat):
+    """docs generate writes a self-contained index.html (the engine's stand-
+    in for the reference's bundled docs webapp): node sections with column
+    tables, descriptions, and links to the raw artifacts."""
+    eng, pdir = feat
+    assert eng.invoke(["run"]).success
+    assert eng.invoke(["docs", "generate"]).success
+    html = open(os.path.join(pdir, "target", "index.html")).read()
+    assert "<title>feat" in html and "model.feat.amounts" in html
+    assert html.count("<section") >= 2
+    assert "catalog.json" in html and "manifest.json" in html
+    assert "<table" in html and "o_orderkey" in html
