@@ -417,6 +417,24 @@ def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/GROUPING_ID() over ROLLUP — the standard way to tell a
+    subtotal row's NULL from a genuine NULL group value. One aggregate, same
+    expand-based plan as any grouping set."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+                   AS gid,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """)
+
+
 def try_error_handling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-adjacent error-to-NULL operators: try_divide (NULL on /0),
     TRY_CAST of non-numeric strings, and NULLIF guards — the
@@ -436,6 +454,17 @@ def try_error_handling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "grouping_id_rollup": """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+                   AS gid,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
     "try_error_handling_ops": """
         SELECT o_orderkey,
                o_totalprice / NULLIF(o_orderkey % 3, 0) AS ratio_maybe,
@@ -624,5 +653,6 @@ QUERIES = {
     "window_count_distinct": window_count_distinct,
     "map_column_ops": map_column_ops,
     "try_error_handling_ops": try_error_handling_ops,
+    "grouping_id_rollup": grouping_id_rollup,
     "source_freshness_age": source_freshness_age,
 }
