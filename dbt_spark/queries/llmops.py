@@ -662,6 +662,35 @@ def dup_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching stats: docs grouped into power-of-two token
+    buckets with per-bucket padding waste (bucket_len × docs − real tokens)
+    — the accounting behind dynamic batching / bucketed padding in training
+    dataloaders. A fixed CASE ladder (not float log2) keeps the bucket edges
+    bit-identical across engines.
+
+    Scale: one scan, codegen'd token count, one tiny aggregate keyed on
+    bucket (≤8 groups)."""
+    docs = _docs(spark, sf_dir)
+    n = X.token_count("text")
+    bucket = (
+        F.when(n <= 8, 8).when(n <= 16, 16).when(n <= 32, 32)
+        .when(n <= 64, 64).when(n <= 128, 128).when(n <= 256, 256)
+        .when(n <= 512, 512).otherwise(1024)
+    ).cast("bigint")
+    return (
+        docs.select(bucket.alias("bucket_len"), n.alias("n_tokens"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.first("bucket_len") * F.count("*") - F.sum("n_tokens"))
+            .cast("bigint").alias("padding_waste"),
+        )
+        .orderBy("bucket_len")
+    )
+
+
 def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: global token frequencies, top 50 by
     (count desc, token asc) — the tokenizer-training / corpus-profiling
@@ -925,6 +954,29 @@ ORACLES: dict[str, str] = {
                     AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
         FROM tok2 LEFT JOIN vocab v USING (token)
         GROUP BY doc_id
+    """,
+    "length_bucket_batching": f"""
+        WITH d AS (
+            SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len({_TOKS}) END AS n
+            FROM documents
+        ),
+        b AS (
+            SELECT CAST(CASE WHEN n <= 8 THEN 8 WHEN n <= 16 THEN 16
+                             WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+                             WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+                             WHEN n <= 512 THEN 512 ELSE 1024 END AS BIGINT)
+                       AS bucket_len,
+                   n
+            FROM d
+        )
+        SELECT bucket_len,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST(bucket_len * count(*) - sum(n) AS BIGINT) AS padding_waste
+        FROM b
+        GROUP BY bucket_len
+        ORDER BY bucket_len
     """,
     "vocab_top_terms": f"""
         SELECT token, CAST(count(*) AS BIGINT) AS n
@@ -1249,6 +1301,7 @@ QUERIES = {
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "decontam_neardup_lsh": decontam_neardup_lsh,
     "vocab_top_terms": vocab_top_terms,
+    "length_bucket_batching": length_bucket_batching,
     "embedding_centroids": embedding_centroids,
     "oov_rate_vs_vocab": oov_rate_vs_vocab,
     "quality_filter_c4": quality_filter_c4,
