@@ -361,3 +361,60 @@ def _gen_frame_sql(seed: int) -> str:
 def test_differential_window_frames(spark, seed):
     load_tables(spark, SF_DIR, "orders")
     _run_case(spark, _gen_frame_sql(seed), seed)
+
+
+# --------------------------------------------------------------------------
+# date/time functions: spellings and arg orders differ per dialect
+# (Spark datediff(end, start) vs DuckDB datediff('day', start, end)), so the
+# generator renders a (spark_sql, duck_sql) pair from shared choices.
+# --------------------------------------------------------------------------
+
+def _gen_datetime_pair(seed: int) -> tuple[str, str]:
+    rng = random.Random(30_000 + seed)
+    grain = rng.choice(["year", "quarter", "month", "week", "day"])
+    n_days = rng.randrange(1, 400)
+    anchor = f"TIMESTAMP '199{rng.randrange(3, 9)}-0{rng.randrange(1, 10)}-15 00:00:00'"
+    part = rng.choice(["year", "month", "day", "dayofweek", "quarter"])
+    s_part = {"dayofweek": "dayofweek(o_orderdate)",
+              "year": "year(o_orderdate)", "month": "month(o_orderdate)",
+              "day": "day(o_orderdate)",
+              "quarter": "quarter(o_orderdate)"}[part]
+    # DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday — shift DuckDB
+    d_part = {"dayofweek": "dayofweek(o_orderdate) + 1",
+              "year": "year(o_orderdate)", "month": "month(o_orderdate)",
+              "day": "day(o_orderdate)",
+              "quarter": "quarter(o_orderdate)"}[part]
+    where = _atom(rng)
+    s_cols = (
+        f"CAST(date_trunc('{grain.upper()}', o_orderdate) AS TIMESTAMP) AS tg, "
+        f"CAST(datediff(o_orderdate, {anchor}) AS BIGINT) AS dd, "
+        f"CAST(o_orderdate + INTERVAL {n_days} DAYS AS TIMESTAMP) AS shifted, "
+        f"CAST({s_part} AS BIGINT) AS pt, "
+        f"CAST(last_day(o_orderdate) AS TIMESTAMP) AS eom"
+    )
+    d_cols = (
+        f"CAST(date_trunc('{grain}', o_orderdate) AS TIMESTAMP) AS tg, "
+        f"CAST(datediff('day', {anchor}, o_orderdate) AS BIGINT) AS dd, "
+        f"CAST(o_orderdate + INTERVAL '{n_days}' DAY AS TIMESTAMP) AS shifted, "
+        f"CAST({d_part} AS BIGINT) AS pt, "
+        f"CAST(last_day(o_orderdate) AS TIMESTAMP) AS eom"
+    )
+    return (
+        f"SELECT o_orderkey, {s_cols} FROM orders WHERE {where}",
+        f"SELECT o_orderkey, {d_cols} FROM orders WHERE {where}",
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_differential_datetime_funcs(spark, seed):
+    load_tables(spark, SF_DIR, "orders")
+    spark_sql, duck_sql = _gen_datetime_pair(seed)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'orders.parquet')}'"
+    )
+    got = spark.sql(spark_sql).toPandas()
+    want = con.sql(duck_sql).df()
+    assert sorted(got.columns) == sorted(want.columns), spark_sql
+    assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
