@@ -222,6 +222,14 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
                 pass
             macro_roots.append((pkg_dir, ["macros"], pkg_name))
     macro_roots.append((project.root, project.macro_paths, None))
+    # tests/generic/ holds {% test %} definitions, not singular tests
+    # (reference: parser/manifest.py loads generic tests from both macro
+    # paths and test_paths/generic)
+    macro_roots.append((
+        project.root,
+        [os.path.join(p, "generic") for p in project.test_paths],
+        None,
+    ))
     for mroot, mpaths, pkg_name in macro_roots:
         for full, rel in _walk(mroot, mpaths, (".sql",)):
             with open(full) as f:
@@ -344,6 +352,8 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
 
     # --- singular tests ---------------------------------------------------
     for full, rel in _walk(project.root, project.test_paths, (".sql",)):
+        if f"{os.sep}generic{os.sep}" in rel:
+            continue  # generic test DEFINITIONS, parsed into macros above
         ck, hit = cached(full, rel)
         if hit is not None:
             for n in hit:

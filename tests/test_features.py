@@ -1542,3 +1542,39 @@ def test_docs_generate_writes_static_site(feat):
     assert html.count("<section") >= 2
     assert "catalog.json" in html and "manifest.json" in html
     assert "<table" in html and "o_orderkey" in html
+
+
+def test_generic_test_definitions_under_tests_generic(project_dir, spark):
+    """{% test %} blocks under tests/generic/ register as generic tests
+    (reference layout), NOT as singular test nodes."""
+    files = {
+        "dbt_project.yml": "name: tg\n",
+        "seeds/vals.csv": "v\n5\n6\n7\n",
+        "tests/generic/is_positive.sql": """
+{% test is_positive(model, column_name) %}
+select * from {{ model }} where {{ column_name }} <= 0
+{% endtest %}
+""",
+        "models/m.sql": "select v from {{ ref('vals') }}",
+        "models/schema.yml": """
+models:
+  - name: m
+    columns:
+      - name: v
+        data_tests: [is_positive]
+""",
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    r = eng.invoke(["build"])
+    assert r.success, [(x.unique_id, x.message[:120]) for x in r.results
+                       if x.status not in ("success", "pass")]
+    ids = {x.unique_id for x in r.results}
+    assert any("is_positive" in u for u in ids if u.startswith("test."))
+    # the definition file itself must NOT appear as a singular test node
+    assert "test.tg.is_positive" not in {
+        u for u in eng.manifest.nodes if eng.manifest.nodes[u].path.startswith("tests/")
+        and "generic" in eng.manifest.nodes[u].path
+    }
+    singulars = [u for u, n in eng.manifest.nodes.items()
+                 if n.resource_type.value == "test" and "generic" in n.path]
+    assert singulars == [] or all("is_positive_" in u for u in singulars)
