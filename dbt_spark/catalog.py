@@ -293,7 +293,6 @@ class RelationStore:
         replaced (incremental combine): write a temp bucketed table beside
         the target, swap directories, recreate the catalog entry. No
         driver/executor materialization — the staging write streams."""
-        rel = self.get(schema, name)
         path = self.path_for(schema, name)
         ident = self.key(schema, name).replace(".", "__")
         sort_by = list(sort_by or bucket_by)
