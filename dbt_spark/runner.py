@@ -855,6 +855,23 @@ class Engine:
             f"<li><a href='#{esc(uid)}'>{esc(uid)}</a></li>"
             for uid in sorted(entries)
         )
+        semantic_kinds = {"exposure", "metric", "semantic_model",
+                          "saved_query", "group"}
+        semantic = [
+            n for n in manifest.nodes.values()
+            if n.resource_type.value in semantic_kinds
+        ]
+        sem_html = ""
+        if semantic:
+            items = "".join(
+                f"<li><b>{esc(n.resource_type.value)}</b> {esc(n.unique_id)}"
+                + (f" — {esc(n.description)}" if n.description else "")
+                + (f" <i>(depends on: {esc(', '.join(sorted(n.depends_on)))})</i>"
+                   if n.depends_on else "")
+                + "</li>"
+                for n in sorted(semantic, key=lambda n: n.unique_id)
+            )
+            sem_html = f"<h2>Semantic layer</h2><ul>{items}</ul>"
         return (
             "<!DOCTYPE html><html><head><meta charset='utf-8'>"
             f"<title>{esc(self.project.name)} — dbt_spark docs</title></head>"
@@ -862,7 +879,7 @@ class Engine:
             f"<p>{len(entries)} cataloged relations. Raw artifacts: "
             "<a href='manifest.json'>manifest.json</a> · "
             "<a href='catalog.json'>catalog.json</a></p>"
-            f"<ul>{toc}</ul>{''.join(rows)}</body></html>"
+            f"<ul>{toc}</ul>{sem_html}{''.join(rows)}</body></html>"
         )
 
     def _docs_serve(self, port: int = 8080, blocking: bool = True):

@@ -1578,3 +1578,24 @@ models:
     singulars = [u for u, n in eng.manifest.nodes.items()
                  if n.resource_type.value == "test" and "generic" in n.path]
     assert singulars == [] or all("is_positive_" in u for u in singulars)
+
+
+def test_docs_site_lists_semantic_nodes(project_dir, spark):
+    files = {
+        "dbt_project.yml": "name: ds\n",
+        "models/m.sql": "select 1 as x",
+        "models/meta.yml": """
+exposures:
+  - name: weekly_dash
+    type: dashboard
+    owner: {name: A}
+    description: Weekly numbers.
+    depends_on: [ref('m')]
+""",
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    assert eng.invoke(["run"]).success
+    assert eng.invoke(["docs", "generate"]).success
+    html = open(os.path.join(eng.project.root, "target", "index.html")).read()
+    assert "Semantic layer" in html
+    assert "exposure.ds.weekly_dash" in html and "Weekly numbers." in html
