@@ -270,6 +270,12 @@ class Engine:
                 threads_override = int(rest[i])
             elif not rest[i].startswith("-"):
                 positional.append(rest[i])
+            else:
+                # an unrecognized flag must FAIL, not silently no-op — a
+                # dropped flag (e.g. a typo of --full-refresh) changing run
+                # semantics is far worse than an error
+                raise ValueError(
+                    f"unknown flag {rest[i]!r} for command {command!r}")
             i += 1
 
         if command == "clean":

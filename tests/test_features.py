@@ -1599,3 +1599,10 @@ exposures:
     html = open(os.path.join(eng.project.root, "target", "index.html")).read()
     assert "Semantic layer" in html
     assert "exposure.ds.weekly_dash" in html and "Weekly numbers." in html
+
+
+def test_unknown_flag_errors_loudly(feat):
+    import pytest as _pytest
+    eng, _ = feat
+    with _pytest.raises(ValueError, match="unknown flag '--ful-refresh'"):
+        eng.invoke(["run", "--ful-refresh"])  # typo must not silently no-op
