@@ -47,6 +47,7 @@ EVENT_CODES: dict[str, tuple[str, str]] = {
     "NodeCompiling": ("Q030", "debug"),           # types.py:1561
     "NodeExecuting": ("Q031", "debug"),           # types.py:1569
     "SkippingDetails": ("Q034", "info"),          # types.py:1614
+    "NothingToDo": ("Q035", "warn"),              # types.py:1629
     "CommandCompleted": ("Q039", "debug"),        # types.py:1661
     "FoundStats": ("W006", "info"),               # types.py:1825
     "PackageRedirectDeprecation": ("D001", "warn"),  # types.py Deprecations
@@ -76,6 +77,10 @@ _MSG: dict[str, Callable[[dict[str, Any]], str]] = {
         f"({d.get('num_failures', 0)} failures)"
     ),
     "SkippingDetails": lambda d: f"SKIP {d.get('node_id', '')}",
+    "NothingToDo": lambda d: (
+        "Nothing to do. Try checking your model configs and model "
+        "specification args"
+    ),
     "PackageRedirectDeprecation": lambda d: (
         f"The `{d.get('old_name', '')}` package is deprecated in favor of "
         f"`{d.get('new_name', '')}`. Please update your `packages.yml` "

@@ -442,6 +442,9 @@ class Engine:
                          target_name=self.project.profile.get(
                              "target_name", "spark"),
                          node_count=len(runnable))
+        if not runnable:
+            # reference NothingToDo Q035 (task/runnable.py empty selection)
+            self.events.fire("NothingToDo")
 
         self._run_hooks(ctx, self.project.on_run_start, "on-run-start")
 

@@ -115,3 +115,14 @@ def test_bus_callbacks_and_levels(tmp_path):
     ev3 = bus.fire("AdHocThing", payload=1)
     assert ev3.code == ""
     assert len(seen) == 3
+
+
+def test_nothing_to_do_event_on_empty_selection(project_dir, spark):
+    root = project_dir(FILES)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["run", "--select", "tag:no_such_tag"]).success
+    path = os.path.join(root, "target", "logs", "dbt.log.jsonl")
+    lines = [json.loads(l) for l in open(path) if l.strip()]
+    ntd = [e for e in lines if e["info"]["name"] == "NothingToDo"]
+    assert ntd and ntd[0]["info"]["code"] == "Q035"
+    assert ntd[0]["info"]["level"] == "warn"
