@@ -428,3 +428,31 @@ def test_dedup_minhash_model_config(project_dir, spark):
     assert base_docs[0]["doc_id"] in kept
     assert 9000 not in kept
     assert len(kept) >= 9  # unrelated docs untouched
+
+
+def test_length_bucket_edges(spark):
+    """Bucket edges: n=8 stays in bucket 8, n=9 promotes to 16; padding
+    waste accounts exactly."""
+    from dbt_spark.queries import llmops as L
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 8)), (2, " ".join(["w"] * 9)),
+         (3, " ".join(["w"] * 16)), (4, "w")],
+        ["doc_id", "text"],
+    )
+    import dbt_spark.functions.text as X
+    from pyspark.sql import functions as F
+    n = X.token_count("text")
+    bucket = (
+        F.when(n <= 8, 8).when(n <= 16, 16).when(n <= 32, 32)
+        .when(n <= 64, 64).when(n <= 128, 128).when(n <= 256, 256)
+        .when(n <= 512, 512).otherwise(1024)
+    ).cast("bigint")
+    out = {r["bucket_len"]: (r["n_docs"], r["padding_waste"]) for r in (
+        docs.select(bucket.alias("bucket_len"), n.alias("n_tokens"))
+        .groupBy("bucket_len")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             (F.first("bucket_len") * F.count("*") - F.sum("n_tokens"))
+             .cast("bigint").alias("padding_waste"))
+    ).collect()}
+    assert out[8] == (2, 7)    # 8-token doc (0 waste) + 1-token doc (7)
+    assert out[16] == (2, 7)   # 9-token (7 waste) + 16-token (0)
