@@ -417,6 +417,30 @@ def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile verified against its own contract (the
+    approx_distinct_bounded pattern for the quantile sketch): output the
+    EXACT median plus a flag that the KLL/GK estimate (accuracy=10000 ⟹
+    rank error ≤ 1/10000) lands within the value band spanned by the exact
+    p±1% rank quantiles. The oracle states the flag must be TRUE — the
+    approximate operator is gate-checked without comparing sketch internals
+    across engines. At 100 TB the sketch is the only option (exact
+    percentile sorts every group); this query certifies its error bound."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderstatus,
+               round(CAST(percentile(o_totalprice, 0.5) AS DOUBLE), 4) AS exact_median,
+               CAST(
+                 approx_percentile(o_totalprice, 0.5, 10000)
+                   BETWEEN percentile(o_totalprice, 0.49)
+                       AND percentile(o_totalprice, 0.51)
+                 AS BOOLEAN) AS within_bound
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """)
+
+
 def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING()/GROUPING_ID() over ROLLUP — the standard way to tell a
     subtotal row's NULL from a genuine NULL group value. One aggregate, same
@@ -454,6 +478,15 @@ def try_error_handling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "approx_percentile_bounded": """
+        SELECT o_orderstatus,
+               round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4)
+                   AS exact_median,
+               TRUE AS within_bound
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "grouping_id_rollup": """
         SELECT o_orderstatus,
                o_orderpriority,
@@ -654,5 +687,6 @@ QUERIES = {
     "map_column_ops": map_column_ops,
     "try_error_handling_ops": try_error_handling_ops,
     "grouping_id_rollup": grouping_id_rollup,
+    "approx_percentile_bounded": approx_percentile_bounded,
     "source_freshness_age": source_freshness_age,
 }
