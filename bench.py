@@ -104,6 +104,9 @@ EXTENDED = [
     "oov_rate_vs_vocab",
     "decontam_neardup_lsh",
     "try_error_handling_ops",
+    "grouping_id_rollup",
+    "approx_percentile_bounded",
+    "length_bucket_batching",
 ]
 
 
