@@ -1,0 +1,42 @@
+"""Fast structural performance guards — catch the regressions the verify
+notes warn about (macro-cache loss, static-parser loss) without a full
+bench run. Thresholds are ~10x the observed cost so VM noise can't flake
+them; a true regression (the ~90s uncached-macro parse) still fails hard."""
+
+import os
+import time
+
+
+def test_parse_500_models_stays_fast(tmp_path):
+    """500 chained models must cold-parse in seconds, not minutes: the
+    macro-prelude compile cache and the static-parser fast path both broken
+    would put this at ~25s; observed healthy cost is ~0.2s."""
+    root = str(tmp_path / "p500")
+    os.makedirs(os.path.join(root, "models"), exist_ok=True)
+    with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+        f.write("name: p500\n")
+    for n in range(500):
+        sql = "select 1 as id" if n == 0 else (
+            f"select 1 as id union all select * from {{{{ ref('m{n-1}') }}}}"
+        )
+        with open(os.path.join(root, "models", f"m{n}.sql"), "w") as f:
+            f.write(sql)
+    from dbt_spark.plans.graph import Linker
+    from dbt_spark.project import Project, parse_project
+
+    t0 = time.time()
+    m = parse_project(Project.load(root))
+    Linker().link_graph(m)
+    dt = time.time() - t0
+    assert len(m.nodes) == 500
+    assert dt < 5.0, f"cold parse of 500 models took {dt:.1f}s"
+
+
+def test_static_parser_actually_engages(tmp_path):
+    """The fast path must handle the plain ref-chain shape (if it falls back
+    to rendering for these, the 3.5x parse win silently evaporates)."""
+    from dbt_spark.plans.static_parser import static_extract
+
+    got = static_extract(
+        "select 1 as id union all select * from {{ ref('node_7') }}")
+    assert got == ([(None, "node_7")], [], {})
