@@ -121,7 +121,15 @@ def main() -> int:
         argv += ["--event-time-start", args.event_time_start]
     if args.event_time_end:
         argv += ["--event-time-end", args.event_time_end]
-    result = engine.invoke(argv)
+    try:
+        result = engine.invoke(argv)
+    except Exception as e:  # noqa: BLE001 — CLI boundary: clean error, not a
+        # traceback (reference prints "Encountered an error:" and exits 2)
+        import sys as _sys
+
+        print(f"Encountered an error:\n  {type(e).__name__}: {e}",
+              file=_sys.stderr)
+        return 2
     if result.preview is not None:
         for row in result.preview:
             print(row)
