@@ -1606,3 +1606,28 @@ def test_unknown_flag_errors_loudly(feat):
     eng, _ = feat
     with _pytest.raises(ValueError, match="unknown flag '--ful-refresh'"):
         eng.invoke(["run", "--ful-refresh"])  # typo must not silently no-op
+
+
+def test_cli_error_boundary_subprocess(project_dir):
+    """`python -m dbt_spark` prints a clean error (no traceback) and exits 2
+    on engine errors; exit 0 on success."""
+    import subprocess
+    import sys as _sys
+
+    root = project_dir({
+        "dbt_project.yml": "name: clierr\n",
+        "models/one.sql": "select 1 as x",
+    })
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    bad = subprocess.run(
+        [_sys.executable, "-m", "dbt_spark", "ls", "--project-dir", root,
+         "--select", "state:new"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=240)
+    assert bad.returncode == 2
+    assert "Encountered an error" in bad.stderr
+    assert "Traceback" not in bad.stderr.splitlines()[-2]
+    ok = subprocess.run(
+        [_sys.executable, "-m", "dbt_spark", "ls", "--project-dir", root],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=240)
+    assert ok.returncode == 0
