@@ -887,7 +887,8 @@ class Engine:
             f"<body><h1>{esc(self.project.name)}</h1>"
             f"<p>{len(entries)} cataloged relations. Raw artifacts: "
             "<a href='manifest.json'>manifest.json</a> · "
-            "<a href='catalog.json'>catalog.json</a></p>"
+            "<a href='catalog.json'>catalog.json</a> · "
+            "<a href='run_results.json'>run_results.json</a></p>"
             f"<ul>{toc}</ul>{sem_html}{''.join(rows)}</body></html>"
         )
 
