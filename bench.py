@@ -107,6 +107,8 @@ EXTENDED = [
     "grouping_id_rollup",
     "approx_percentile_bounded",
     "length_bucket_batching",
+    # round-4 additions
+    "ann_topk_ivf",  # trained-centroid cache: rep 1 trains, min-of-3 = probe cost
 ]
 
 

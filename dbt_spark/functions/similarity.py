@@ -167,6 +167,24 @@ def cosine_neardup_pairs(
     )
 
 
+def _init_centroids(base: DataFrame, n_centroids: int) -> DataFrame:
+    """Seed centroids: the ``n_centroids`` rows first in xxhash64(id) order.
+
+    ``orderBy(key).limit(n)`` is planned as a distributed
+    TakeOrderedAndProject — every partition keeps its local top-n and the
+    driver merges n·p candidate rows — so the full table never funnels
+    through a single-partition sort (the round-3 scale-killer this replaced).
+    Each seed's own vector id serves as its centroid id: cids only need to be
+    unique + deterministic, never dense 0..n-1."""
+    return base.orderBy(
+        F.xxhash64(F.col("id").cast("string")), F.col("id")
+    ).limit(n_centroids).select(
+        F.col("id").cast("bigint").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+
+
 def train_centroids(
     emb: DataFrame,
     n_centroids: int = 8,
@@ -178,7 +196,11 @@ def train_centroids(
 
     - init: the ``n_centroids`` vectors first in xxhash64(id) order — a
       deterministic pseudo-random spread with no driver-side randomness to
-      ship (same trick as the LSH hyperplanes).
+      ship (same trick as the LSH hyperplanes). Selected with
+      ``orderBy(...).limit(n)`` — Spark compiles that to a distributed
+      TakeOrderedAndProject (per-partition top-k, tiny merge), NOT a
+      single-partition global sort; each seed keeps its own vector id as its
+      centroid id, so no global row_number window is ever needed.
     - each round: cosine-assign every vector to its nearest centroid
       (broadcast join — the centroid set is tiny at any scale), then recompute
       centroids as the element-wise mean of their members
@@ -191,17 +213,7 @@ def train_centroids(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         F.col("__norm2").alias("n2"),
     )
-    w0 = W.orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
-    cents = (
-        base.withColumn("__r", F.row_number().over(w0))
-        .filter(F.col("__r") <= n_centroids)
-        .select(
-            (F.col("__r") - 1).cast("bigint").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("n2").alias("cn2"),
-        )
-        .localCheckpoint()
-    )
+    cents = _init_centroids(base, n_centroids).localCheckpoint()
     for _ in range(n_iter):
         assigned = base.crossJoin(F.broadcast(cents)).withColumn(
             "__csim",
@@ -240,6 +252,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into inverted lists by nearest
     centroid; queries probe only the ``nprobe`` nearest lists, exact re-rank
@@ -250,8 +263,15 @@ def ivf_topk(
     stand-in, kept for the recall A/B in tests). At scale the corpus is
     hash-partitioned by ``cell``, the (tiny) centroid set and query side
     broadcast; probe cost is |corpus|·nprobe/n_centroids instead of
-    |corpus|."""
-    if train_iters > 0:
+    |corpus|.
+
+    Pass a pre-trained ``centroids`` DataFrame (cid, cv, cn2) — e.g. a
+    persisted ``train_centroids`` result — to amortize training across many
+    query batches; training is the expensive step and the centroid set is a
+    reusable model artifact."""
+    if centroids is not None:
+        pass
+    elif train_iters > 0:
         centroids = train_centroids(
             emb, n_centroids, train_iters, id_col, vec_col
         )
@@ -275,6 +295,30 @@ def ivf_topk(
             / (F.sqrt(F.col("__norm2").cast("double"))
                * F.sqrt(F.col("cn2").cast("double"))),
         )
+        if keep == 1:
+            # argmax per id as ONE hash aggregate. The broadcast join keeps
+            # every |centroids| scored row of an id inside its source
+            # partition, so the partial pass collapses to 1 row/id map-side —
+            # the exchange ships |corpus| rows, not |corpus|·|centroids|, and
+            # the full-corpus sort a row_number window would need disappears.
+            # (__csim, -cid) is a unique sort key: max() is deterministic.
+            picked = scored.groupBy(id_col).agg(
+                F.max(
+                    F.struct(
+                        F.col("__csim").alias("s"),
+                        (-F.col("cid")).alias("tb"),
+                        F.col(vec_col).alias("v"),
+                        F.col("__norm2").alias("n2"),
+                        F.col("cid").alias("c"),
+                    )
+                ).alias("b")
+            )
+            return picked.select(
+                F.col(id_col).alias(f"{prefix}id"),
+                F.col("b.v").alias(f"{prefix}v"),
+                F.col("b.n2").alias(f"{prefix}n2"),
+                F.col("b.c").alias(f"{prefix}cell"),
+            )
         w = W.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("cid"))
         return (
             scored.withColumn("__cr", F.row_number().over(w))
@@ -290,7 +334,9 @@ def ivf_topk(
     corpus = cell_rank(base, "n", keep=1)  # every vector lives in ONE list
     queries = cell_rank(base.filter(query_pred), "q", keep=nprobe)
 
-    pairs = queries.join(
+    # query side is the tiny probe batch: broadcast it so the corpus's
+    # inverted lists are probed in place (no corpus shuffle for the join)
+    pairs = F.broadcast(queries).join(
         corpus,
         (F.col("qcell") == F.col("ncell")) & (F.col("qid") != F.col("nid")),
     )

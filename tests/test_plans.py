@@ -129,6 +129,26 @@ def test_dup_chunk_ratio_no_cartesian_and_reused_key(spark):
     assert "hashpartitioning(chunk_md5" in plan, plan
 
 
+def test_centroid_init_no_global_window(spark):
+    """IVF centroid seeding must be a distributed TakeOrderedAndProject
+    (per-partition top-k), never a single-partition global-sort Window —
+    at 100 TB that one task would be the whole job (round-3 verdict #1)."""
+    from pyspark.sql import functions as F
+
+    from dbt_spark.functions.similarity import _init_centroids, with_norm
+    from dbt_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR_MED, "embeddings")["embeddings"]
+    base = with_norm(emb).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
+        F.col("__norm2").alias("n2"),
+    )
+    plan = _formatted(_init_centroids(base, 8))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_crosscorpus_lsh_broadcasts_benchmark(spark):
     """Cross-corpus decontamination probes via a BROADCAST semi-join on the
     benchmark's band buckets — the corpus side must not shuffle for the
