@@ -10,6 +10,7 @@ run-operation, docs generate, source freshness, retry. Flags: --project-dir,
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import yaml
@@ -42,6 +43,10 @@ def main() -> int:
     ap.add_argument("--selector", default=None)
     ap.add_argument("--indirect-selection", dest="indirect", default=None)
     ap.add_argument("--warn-error", action="store_true")
+    ap.add_argument("--warn-error-options",
+                    default=os.environ.get("DBT_WARN_ERROR_OPTIONS"),
+                    help="YAML/JSON {error|warn|silence: [EventName,...]} "
+                         "(error/warn alias include/exclude)")
     ap.add_argument("--fail-fast", "-x", action="store_true")
     ap.add_argument("--port", type=int, default=None)
     ap.add_argument("--target", "-t", default=None)
@@ -101,6 +106,8 @@ def main() -> int:
         argv += ["--indirect-selection", args.indirect]
     if args.warn_error:
         argv.append("--warn-error")
+    if args.warn_error_options:
+        argv += ["--warn-error-options", args.warn_error_options]
     if args.fail_fast:
         argv.append("--fail-fast")
     if args.port is not None:

@@ -51,6 +51,11 @@ EVENT_CODES: dict[str, tuple[str, str]] = {
     "CommandCompleted": ("Q039", "debug"),        # types.py:1661
     "FoundStats": ("W006", "info"),               # types.py:1825
     "PackageRedirectDeprecation": ("D001", "warn"),  # types.py Deprecations
+    "DeprecatedModel": ("I065", "warn"),          # types.py:234
+    "UpcomingReferenceDeprecation": ("I066", "warn"),  # types.py:849
+    "DeprecatedReference": ("I067", "warn"),      # types.py:871
+    "NoNodesForSelectionCriteria": ("M030", "warn"),   # types.py:1203
+    "LogFreshnessResult": ("Q018", "info"),       # types.py:1439 (DynamicLevel)
     "RunResultWarning": ("Z021", "warn"),         # types.py:1935
     "StatsLine": ("Z023", "info"),                # types.py:1953
     "RunResultError": ("Z024", "error"),          # types.py:1964
@@ -87,6 +92,37 @@ _MSG: dict[str, Callable[[dict[str, Any]], str]] = {
         "configuration to use `{}` instead.".format(d.get('new_name', ''))
     ),
     "FoundStats": lambda d: f"Found {d.get('stat_line', '')}",
+    "DeprecatedModel": lambda d: (
+        "Model {}{} has passed its deprecation date of {}. This model should "
+        "be disabled or removed.".format(
+            d.get("model_name", ""),
+            ".v" + str(d["model_version"]) if d.get("model_version") else "",
+            d.get("deprecation_date", ""),
+        )
+    ),
+    "UpcomingReferenceDeprecation": lambda d: (
+        "While compiling '{}': Found a reference to {}{}, which is slated "
+        "for deprecation on '{}'.".format(
+            d.get("model_name", ""),
+            d.get("ref_model_name", ""),
+            ".v" + str(d["ref_model_version"]) if d.get("ref_model_version") else "",
+            d.get("ref_model_deprecation_date", ""),
+        )
+    ),
+    "DeprecatedReference": lambda d: (
+        "While compiling '{}': Found a reference to {}{}, which was "
+        "deprecated on '{}'.".format(
+            d.get("model_name", ""),
+            d.get("ref_model_name", ""),
+            ".v" + str(d["ref_model_version"]) if d.get("ref_model_version") else "",
+            d.get("ref_model_deprecation_date", ""),
+        )
+    ),
+    "NoNodesForSelectionCriteria": lambda d: (
+        "The selection criterion '{}' does not match any enabled nodes".format(
+            d.get("spec_raw", "")
+        )
+    ),
     "StatsLine": lambda d: (
         "Done. PASS={pass} WARN={warn} ERROR={error} SKIP={skip} TOTAL={total}"
         .format(**{k: d.get("stats", {}).get(k, 0)
@@ -101,6 +137,99 @@ _MSG: dict[str, Callable[[dict[str, Any]], str]] = {
         f"(success={d.get('success', '')})"
     ),
 }
+
+
+class WarnErrorOptions:
+    """Granular warning promotion/suppression by event name.
+
+    Reference: ``--warn-error-options`` (core/dbt/cli/params.py:749, parsed by
+    WarnErrorOptionsType in core/dbt/cli/option_types.py:50 into
+    dbt_common.helper_types.WarnErrorOptions) with the key normalization of
+    core/dbt/config/utils.py:57 — ``error`` is the modern alias of
+    ``include``, ``warn`` of ``exclude``; ``silence`` suppresses entirely.
+
+    - ``includes(name)``: promote this warning to an error — true when
+      (include == "all"/"*" or name listed) and name not excluded/silenced.
+    - ``silenced(name)``: drop the warning entirely.
+    - ``exclude`` is only meaningful against ``include == all`` (the
+      reference's IncludeExclude validation); names are validated against the
+      known event registry so typos fail loudly at the CLI boundary.
+    """
+
+    def __init__(
+        self,
+        include: "list[str] | str" = (),
+        exclude: "list[str] | None" = None,
+        silence: "list[str] | None" = None,
+    ) -> None:
+        self.include = include if isinstance(include, str) else list(include)
+        self.exclude = list(exclude or [])
+        self.silence = list(silence or [])
+        include_all = isinstance(self.include, str) and self.include.lower() in (
+            "all", "*",
+        )
+        if self.exclude and not include_all:
+            raise ValueError(
+                "`exclude` / `warn` is only valid when `include`/`error` is 'all'"
+            )
+        if isinstance(self.include, str) and not include_all:
+            raise ValueError(
+                f"include must be 'all', '*', or a list of event names, "
+                f"got {self.include!r}"
+            )
+        for name in (
+            ([] if isinstance(self.include, str) else self.include)
+            + self.exclude
+            + self.silence
+        ):
+            if name not in EVENT_CODES:
+                raise ValueError(f"{name!r} is not a valid dbt event name")
+        self._include_all = include_all
+
+    @classmethod
+    def parse(cls, raw: str) -> "WarnErrorOptions":
+        """Parse the CLI's YAML/JSON string, normalizing the error/warn
+        aliases exactly like core/dbt/config/utils.py:57 (both spellings set
+        → error)."""
+        import yaml
+
+        d = yaml.safe_load(raw) or {}
+        if not isinstance(d, dict):
+            raise ValueError("--warn-error-options must be a YAML/JSON mapping")
+        for primary, alt in (("include", "error"), ("exclude", "warn")):
+            if primary in d and alt in d:
+                raise ValueError(
+                    f"warn_error_options: only one of {primary!r} / {alt!r} "
+                    "may be set"
+                )
+            if alt in d:
+                d[primary] = d.pop(alt)
+        for key in ("include", "exclude", "silence"):
+            if d.get(key) is None:
+                d[key] = []
+        unknown = set(d) - {"include", "exclude", "silence"}
+        if unknown:
+            raise ValueError(
+                f"warn_error_options: unknown keys {sorted(unknown)}"
+            )
+        return cls(d["include"], d["exclude"], d["silence"])
+
+    def includes(self, name: str) -> bool:
+        listed = self._include_all or name in self.include
+        return listed and name not in self.exclude and name not in self.silence
+
+    def silenced(self, name: str) -> bool:
+        return name in self.silence
+
+
+class WarnErrorPromotion(Exception):
+    """Raised when a warning event is promoted to an error by --warn-error /
+    --warn-error-options (reference: EventCompilationError raised inside
+    dbt_common.events.functions.warn_or_error)."""
+
+    def __init__(self, event: "Event") -> None:
+        self.event = event
+        super().__init__(f"[{event.name}] {event.msg}")
 
 
 @dataclass
@@ -164,3 +293,29 @@ class EventBus:
             for cb in self.callbacks:
                 cb(ev)
         return ev
+
+    def warn_or_error(
+        self,
+        name: str,
+        warn_error: bool = False,
+        options: Optional[WarnErrorOptions] = None,
+        **data: Any,
+    ) -> Optional[Event]:
+        """dbt_common.events.functions.warn_or_error analog: silence wins,
+        then --warn-error / an ``includes`` match raises WarnErrorPromotion,
+        else the event fires at warn level."""
+        opts = options or WarnErrorOptions()
+        if opts.silenced(name):
+            return None
+        if warn_error or opts.includes(name):
+            code, _ = EVENT_CODES.get(name, ("", "warn"))
+            render = _MSG.get(name)
+            ev = Event(
+                name=name, data=data, level="error",
+                ts=datetime.now(timezone.utc).isoformat(),
+                invocation_id=self.invocation_id, code=code,
+                msg=render(data) if render else data.get("msg", ""),
+                thread=threading.current_thread().name,
+            )
+            raise WarnErrorPromotion(ev)
+        return self.fire(name, level="warn", **data)

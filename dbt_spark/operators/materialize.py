@@ -41,6 +41,15 @@ class ExecutionContext:
     # --warn-error: promote warn-severity outcomes to failures
     # (reference: warn_error flag / WarnErrorOptions, core/dbt/flags.py)
     warn_error: bool = False
+    # --warn-error-options: per-event-name promotion/silencing
+    # (core/dbt/cli/params.py:749; dbt_spark.events.WarnErrorOptions)
+    warn_error_options: Optional[Any] = None
+
+    @property
+    def weo(self) -> Any:
+        from dbt_spark.events import WarnErrorOptions
+
+        return self.warn_error_options or WarnErrorOptions()
     # dbt retry: node unique_id -> failed batch_ids to replay (microbatch only;
     # reference previous_batch_results, core/dbt/task/run.py:578-592)
     retry_batches: dict = field(default_factory=dict)

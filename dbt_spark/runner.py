@@ -186,6 +186,7 @@ class Engine:
         defer = False
         empty = False
         warn_error = False
+        warn_error_options = None
         store_failures = False
         include_saved_query = False
         sample: Optional[str] = None
@@ -232,6 +233,11 @@ class Engine:
                 empty = True
             elif rest[i] == "--warn-error":
                 warn_error = True
+            elif rest[i] == "--warn-error-options":
+                i += 1
+                from dbt_spark.events import WarnErrorOptions
+
+                warn_error_options = WarnErrorOptions.parse(rest[i])
             elif rest[i] == "--store-failures":
                 store_failures = True
             elif rest[i] == "--include-saved-query":
@@ -310,7 +316,10 @@ class Engine:
         if command == "docs-serve":
             return self._docs_serve(port=port or 8080)
         if command == "source-freshness":
-            return self._source_freshness(manifest, now=now, warn_error=warn_error)
+            return self._source_freshness(
+                manifest, now=now, warn_error=warn_error,
+                warn_error_options=warn_error_options,
+            )
         if command == "clone":
             return self._clone(manifest, select, exclude)
         graph = Linker().link_graph(manifest)
@@ -386,6 +395,7 @@ class Engine:
             defer_store=defer_store,
             empty=empty,
             warn_error=warn_error,
+            warn_error_options=warn_error_options,
             retry_batches=retry_batches or {},
             event_time_start=event_time_start,
             event_time_end=event_time_end,
@@ -443,8 +453,18 @@ class Engine:
                              "target_name", "spark"),
                          node_count=len(runnable))
         if not runnable:
-            # reference NothingToDo Q035 (task/runnable.py empty selection)
-            self.events.fire("NothingToDo")
+            # reference NothingToDo Q035 (task/runnable.py:585 warn_or_error:
+            # silence drops it; --warn-error / an options match fails the run)
+            from dbt_spark.events import WarnErrorPromotion
+
+            try:
+                self.events.warn_or_error(
+                    "NothingToDo", warn_error=ctx.warn_error, options=ctx.weo
+                )
+            except WarnErrorPromotion as e:
+                return RunnerResult(False, [
+                    RunResult("NothingToDo", "error", 0.0, message=str(e))
+                ], manifest)
 
         self._run_hooks(ctx, self.project.on_run_start, "on-run-start")
 
@@ -921,7 +941,8 @@ class Engine:
         return RunnerResult(True, [RunResult("docs.serve", "success", 0.0)])
 
     def _source_freshness(
-        self, manifest: Manifest, now=None, warn_error: bool = False
+        self, manifest: Manifest, now=None, warn_error: bool = False,
+        warn_error_options=None,
     ) -> RunnerResult:
         """dbt source freshness → sources.json v3-ish
         (core/dbt/task/freshness.py:111-181)."""
@@ -939,7 +960,11 @@ class Engine:
             try:
                 fr = check_freshness(ctx, src, now=now)
                 status = "pass" if fr.status == "pass" else fr.status
-                if warn_error and status == "warn":
+                if status == "warn" and (
+                    warn_error
+                    or (warn_error_options is not None
+                        and warn_error_options.includes("LogFreshnessResult"))
+                ):
                     status = "error"
                 results.append(RunResult(uid, status, time.time() - t0,
                                          message=f"age={fr.age_seconds:.0f}s"))
@@ -1263,8 +1288,12 @@ class Engine:
         elif node.resource_type == NodeType.Test:
             tr = run_test(ctx, node)
             status = tr.status
-            if ctx.warn_error and status == "warn":
-                # --warn-error: warn severity promotes to failure (flags.py)
+            if status == "warn" and (
+                ctx.warn_error or ctx.weo.includes("LogTestResult")
+            ):
+                # --warn-error / --warn-error-options {"error":
+                # ["LogTestResult"]}: warn severity promotes to failure
+                # (core/dbt/task/test.py:305-308)
                 status = "fail"
             results.append(
                 RunResult(node.unique_id, status, time.time() - t0,

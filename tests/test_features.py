@@ -672,6 +672,97 @@ models:
     assert any(x.status == "fail" for x in r2.results)
 
 
+def test_warn_error_options_granular(project_dir, spark):
+    """--warn-error-options (core/dbt/cli/params.py:749): 'error' names
+    promote to failure, 'silence'/unlisted stay warnings; 'warn' only valid
+    against error=all (core/dbt/config/utils.py:57 normalization)."""
+    files = {
+        "dbt_project.yml": "name: weo\n",
+        "models/dupes.sql": "select 1 as id union all select 1 as id",
+        "models/schema.yml": """
+models:
+  - name: dupes
+    columns:
+      - name: id
+        data_tests:
+          - unique:
+              config: {severity: warn}
+""",
+    }
+    pdir = project_dir(files)
+    eng = Engine(pdir, spark=spark)
+
+    # named promotion: LogTestResult in error list → build fails
+    r = eng.invoke(
+        ["build", "--warn-error-options", '{"error": ["LogTestResult"]}'])
+    assert not r.success
+    assert any(x.status == "fail" for x in r.results)
+
+    # a different promoted name leaves the test warning a warning
+    r2 = eng.invoke(
+        ["build", "--warn-error-options", '{"error": ["NothingToDo"]}'])
+    assert r2.success
+    assert any(x.status == "warn" for x in r2.results)
+
+    # error=all + warn-excluded name → still a warning (legacy include/exclude
+    # spellings are aliases)
+    r3 = eng.invoke(
+        ["build", "--warn-error-options",
+         '{"include": "all", "exclude": ["LogTestResult"]}'])
+    assert r3.success
+    assert any(x.status == "warn" for x in r3.results)
+
+
+def test_warn_error_options_silence_and_nothing_to_do(project_dir, spark):
+    """silence drops the warning event entirely; a promoted NothingToDo
+    fails an empty selection (task/runnable.py:585 warn_or_error)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: weo2\n",
+        "models/one.sql": "select 1 as id",
+    })
+    eng = Engine(pdir, spark=spark)
+
+    r = eng.invoke(["run", "--select", "no_such_model"])
+    assert r.success  # plain warn path
+
+    r2 = eng.invoke(
+        ["run", "--select", "no_such_model",
+         "--warn-error-options", '{"error": ["NothingToDo"]}'])
+    assert not r2.success
+    assert "NothingToDo" in (r2.results[0].message or "")
+
+    # --warn-error promotes every warning — unless the name is silenced
+    r3 = eng.invoke(
+        ["run", "--select", "no_such_model", "--warn-error",
+         "--warn-error-options", '{"silence": ["NothingToDo"]}'])
+    assert r3.success
+    seen = []
+    eng.events.callbacks.append(lambda ev: seen.append(ev.name))
+    r4 = eng.invoke(
+        ["run", "--select", "no_such_model",
+         "--warn-error-options", '{"silence": ["NothingToDo"]}'])
+    assert r4.success and "NothingToDo" not in seen  # silenced: never fired
+
+
+def test_warn_error_options_validation():
+    """Typo'd event names and exclude-without-all fail loudly at parse."""
+    import pytest as _pytest
+
+    from dbt_spark.events import WarnErrorOptions
+
+    with _pytest.raises(ValueError, match="not a valid dbt event name"):
+        WarnErrorOptions.parse('{"error": ["NoSuchEventName"]}')
+    with _pytest.raises(ValueError, match="only valid"):
+        WarnErrorOptions.parse('{"warn": ["LogTestResult"]}')
+    with _pytest.raises(ValueError, match="only one of"):
+        WarnErrorOptions.parse('{"include": "all", "error": "all"}')
+    opts = WarnErrorOptions.parse(
+        '{"error": "all", "warn": ["NothingToDo"], "silence": ["LogTestResult"]}')
+    assert opts.includes("LogModelResult")
+    assert not opts.includes("NothingToDo")
+    assert not opts.includes("LogTestResult") and opts.silenced("LogTestResult")
+
+
 def test_docs_serve(project_dir, spark):
     import urllib.request
 
