@@ -234,15 +234,21 @@ def _match_version(node: ManifestNode, value: str, all_nodes: Optional[dict]) ->
         return False
     k = int(m.group("k"))
     base = m.group("base")
-    siblings = [
-        int(sm.group("k"))
-        for n in (all_nodes or {}).values()
-        if n.resource_type == NodeType.Model
-        and (sm := VERSION_RE.match(n.name)) is not None
-        and sm.group("base") == base
-    ] or [k]
-    declared = node.config.meta.get("latest_version")
-    latest = int(declared) if declared is not None else max(siblings)
+    if node.latest_version is not None:
+        # first-class field set by project._finalize_versions (nodes.py:503)
+        latest = node.latest_version
+    else:
+        # hand-built manifests (tests) that skipped finalization: derive from
+        # siblings / the legacy config.meta shim
+        siblings = [
+            int(sm.group("k"))
+            for n in (all_nodes or {}).values()
+            if n.resource_type == NodeType.Model
+            and (sm := VERSION_RE.match(n.name)) is not None
+            and sm.group("base") == base
+        ] or [k]
+        declared = node.config.meta.get("latest_version")
+        latest = int(declared) if declared is not None else max(siblings)
     if value == "latest":
         return k == latest
     if value == "prerelease":
@@ -294,6 +300,20 @@ def _match_method(
                     if {k: str(v) for k, v in new_cfg.items()} != {
                         k: str(v) for k, v in old_cfg.items()
                     }:
+                        return True
+                if value in ("modified", "modified.configs") and (
+                    "latest_version" in old or "version" in old
+                ):
+                    # versioned-model surface: a latest_version bump or a
+                    # deprecation_date change IS a modification (reference
+                    # ModelNode.same_contents compares these node fields);
+                    # artifacts written before the fields existed skip
+                    dep = (node.deprecation_date.isoformat()
+                           if node.deprecation_date else None)
+                    if (node.version, node.latest_version, dep) != (
+                        old.get("version"), old.get("latest_version"),
+                        old.get("deprecation_date"),
+                    ):
                         return True
                 if value in ("modified", "modified.macros"):
                     changed = _changed_macros(state)

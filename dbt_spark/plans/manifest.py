@@ -144,6 +144,28 @@ class ManifestNode:
     loaded_at_query: Optional[str] = None
     freshness: dict[str, Any] = field(default_factory=dict)
     fqn: list[str] = field(default_factory=list)
+    # versioned models: first-class node fields like the reference
+    # (core/dbt/contracts/graph/nodes.py:503,523) — populated from the
+    # <name>_v<k> file convention + schema-YAML latest_version/
+    # deprecation_date patches by project._finalize_versions
+    version: Optional[int] = None
+    latest_version: Optional[int] = None
+    deprecation_date: Optional[Any] = None  # tz-aware datetime
+
+    @property
+    def is_latest_version(self) -> bool:
+        # nodes.py:523 is_latest_version
+        return self.version is not None and self.version == self.latest_version
+
+    @property
+    def is_past_deprecation_date(self) -> bool:
+        # nodes.py:526 is_past_deprecation_date
+        from datetime import datetime, timezone
+
+        return (
+            self.deprecation_date is not None
+            and self.deprecation_date < datetime.now(timezone.utc)
+        )
 
     @property
     def is_ephemeral(self) -> bool:
@@ -251,6 +273,14 @@ class Manifest:
                 d["contract"] = {
                     "enforced": bool(n.config.contract.get("enforced", False))
                 }
+            if n.resource_type == NodeType.Model:
+                # versioned-model fields (WritableManifest model entries;
+                # nodes.py:503,523) — null for unversioned models
+                d["version"] = n.version
+                d["latest_version"] = n.latest_version
+                d["deprecation_date"] = (
+                    n.deprecation_date.isoformat() if n.deprecation_date else None
+                )
             if n.column_name:
                 d["column_name"] = n.column_name
             if n.attached_node:

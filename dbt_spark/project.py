@@ -429,12 +429,47 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
             parse_project(sub, cache=None, manifest=manifest)
         _inject_plugin_nodes(project, manifest)
         _resolve_depends_on(manifest)
+        _finalize_versions(manifest)
         # semantic-manifest cross-checks: metric→measure→semantic-model and
         # saved-query→metric references become DAG edges; dangling ones raise
         from dbt_spark.plans.semantic import link_semantic_graph
 
         link_semantic_graph(manifest)
     return manifest
+
+
+def _finalize_versions(manifest: Manifest) -> None:
+    """Populate the first-class version/latest_version node fields
+    (nodes.py:503,523) from the <name>_v<k> file convention: version is the
+    parsed suffix; latest_version is the YAML-declared value (schema patch or
+    legacy config.meta shim) else the max sibling version."""
+    from dbt_spark.plans.graph import VERSION_RE
+
+    groups: dict[str, list] = {}
+    for node in manifest.nodes.values():
+        if node.resource_type != NodeType.Model:
+            continue
+        m = VERSION_RE.match(node.name)
+        if m is None:
+            continue
+        node.version = int(m.group("k"))
+        groups.setdefault(m.group("base"), []).append(node)
+    for siblings in groups.values():
+        declared = next(
+            (n.latest_version for n in siblings if n.latest_version is not None),
+            None,
+        )
+        if declared is None:
+            meta = next(
+                (n.config.meta.get("latest_version") for n in siblings
+                 if n.config.meta.get("latest_version") is not None),
+                None,
+            )
+            declared = int(meta) if meta is not None else None
+        latest = declared if declared is not None else max(
+            n.version for n in siblings)
+        for n in siblings:
+            n.latest_version = latest
 
 
 _YAML_CALL = re.compile(
@@ -612,12 +647,55 @@ def _parse_sources(doc: dict, project: Project, manifest: Manifest, rel: str) ->
             _attach_column_tests(table, node, project, manifest, is_source=True)
 
 
+def _as_deprecation_date(value):
+    """Normalize a YAML deprecation_date (date, datetime, or ISO string) to a
+    tz-aware datetime; naive values are taken as UTC (the reference compares
+    against datetime.now().astimezone(), nodes.py:526)."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    if isinstance(value, str):
+        value = _dt.datetime.fromisoformat(value)
+    if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+        value = _dt.datetime(value.year, value.month, value.day)
+    if value.tzinfo is None:
+        value = value.replace(tzinfo=_dt.timezone.utc)
+    return value
+
+
 def _parse_model_patches(doc: dict, project: Project, manifest: Manifest, rel: str) -> None:
     for section in ("models", "seeds", "snapshots"):
         for patch in doc.get(section, []) or []:
             uid_prefix = {"models": "model", "seeds": "seed", "snapshots": "snapshot"}[section]
             uid = f"{uid_prefix}.{project.name}.{patch['name']}"
             node = manifest.nodes.get(uid)
+            if section == "models" and (
+                "latest_version" in patch or "deprecation_date" in patch
+                or "versions" in patch
+            ):
+                # versioned-model patch: under this engine's <name>_v<k> file
+                # convention a patch for the BASE name carries
+                # latest_version/deprecation_date for every sibling version
+                # (reference: the schema-YAML versions block, nodes.py:503)
+                base = patch["name"]
+                for vnode in manifest.nodes.values():
+                    if vnode.resource_type != NodeType.Model:
+                        continue
+                    m = re.fullmatch(rf"{re.escape(base)}_v(\d+)", vnode.name)
+                    if m is None and vnode.name != base:
+                        continue
+                    if patch.get("latest_version") is not None:
+                        vnode.latest_version = int(patch["latest_version"])
+                    if patch.get("deprecation_date") is not None:
+                        vnode.deprecation_date = _as_deprecation_date(
+                            patch["deprecation_date"])
+                for ventry in patch.get("versions", []) or []:
+                    vnode = manifest.nodes.get(
+                        f"model.{project.name}.{base}_v{ventry.get('v')}")
+                    if vnode is not None and ventry.get("deprecation_date"):
+                        vnode.deprecation_date = _as_deprecation_date(
+                            ventry["deprecation_date"])
             if node is None:
                 continue
             node.description = _render_description(

@@ -130,8 +130,46 @@ class Engine:
         if cache is not None:
             cache.save(cache_path)
         self._resolve_fk_constraint_refs()
+        self._check_model_deprecations()
         self.manifest.write(os.path.join(target_dir, "manifest.json"))
         return self.manifest
+
+    def _check_model_deprecations(self) -> None:
+        """Model deprecation warnings at parse time (reference
+        check_for_model_deprecations, core/dbt/parser/manifest.py:588-594):
+        a model past its deprecation_date fires DeprecatedModel I065; every
+        model child of a deprecated model fires DeprecatedReference I067
+        (past) or UpcomingReferenceDeprecation I066 (upcoming). All route
+        through warn_or_error so --warn-error / --warn-error-options can
+        promote or silence them by name."""
+        weo = getattr(self, "_warn_error_options", None)
+        we = getattr(self, "_warn_error", False)
+        for node in self.manifest.nodes.values():
+            if node.resource_type != NodeType.Model or not node.deprecation_date:
+                continue
+            past = node.is_past_deprecation_date
+            if past:
+                self.events.warn_or_error(
+                    "DeprecatedModel", warn_error=we, options=weo,
+                    model_name=node.name,
+                    model_version=node.version,
+                    deprecation_date=node.deprecation_date.isoformat(),
+                )
+            for child in self.manifest.nodes.values():
+                if (child.resource_type != NodeType.Model
+                        or node.unique_id not in child.depends_on):
+                    continue
+                self.events.warn_or_error(
+                    "DeprecatedReference" if past
+                    else "UpcomingReferenceDeprecation",
+                    warn_error=we, options=weo,
+                    model_name=child.name,
+                    ref_model_package=node.package_name,
+                    ref_model_name=node.name,
+                    ref_model_version=node.version,
+                    ref_model_latest_version=node.latest_version,
+                    ref_model_deprecation_date=node.deprecation_date.isoformat(),
+                )
 
     def _resolve_fk_constraint_refs(self) -> None:
         """Compile ``to: ref('model')`` in foreign-key constraints to the
@@ -142,24 +180,40 @@ class Engine:
 
         from dbt_spark.plans.compile import CompilationError
 
-        by_name = {n.name: n for n in self.manifest.nodes.values()
-                   if n.resource_type == NodeType.Model}
         for node in self.manifest.nodes.values():
             for spec in (node.columns or {}).values():
                 for c in spec.get("constraints", []) or []:
                     if not (isinstance(c, dict) and c.get("to")):
                         continue
+                    raw = str(c["to"])
                     m = _re.fullmatch(
-                        r"\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*", str(c["to"]))
-                    if not m:
+                        r"\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*", raw)
+                    if m:
+                        # resolves against models, seeds AND snapshots, like
+                        # the reference's find_node_from_ref_or_source
+                        # (compilation.py:641-654)
+                        target = self.manifest.ref_lookup(m.group(1))
+                        if target is None:
+                            raise CompilationError(
+                                f"{node.unique_id}: foreign-key constraint "
+                                f"references unknown node {m.group(1)!r}")
+                        c["to"] = (
+                            f"{target.config.schema or 'main'}.{target.name}")
                         continue
-                    target = by_name.get(m.group(1))
-                    if target is None:
-                        raise CompilationError(
-                            f"{node.unique_id}: foreign-key constraint "
-                            f"references unknown model {m.group(1)!r}")
-                    c["to"] = (
-                        f"{target.config.schema or 'main'}.{target.name}")
+                    ms = _re.fullmatch(
+                        r"\s*source\(\s*['\"]([^'\"]+)['\"]\s*,"
+                        r"\s*['\"]([^'\"]+)['\"]\s*\)\s*", raw)
+                    if ms:
+                        src = self.manifest.source_lookup(
+                            ms.group(1), ms.group(2))
+                        if src is None:
+                            raise CompilationError(
+                                f"{node.unique_id}: foreign-key constraint "
+                                f"references unknown source "
+                                f"{ms.group(1)!r}.{ms.group(2)!r}")
+                        c["to"] = (
+                            f"{src.config.schema or 'main'}."
+                            f"{src.identifier or src.name}")
 
     def invoke(
         self,
@@ -301,7 +355,19 @@ class Engine:
         if command == "debug":
             return self._debug()
 
-        manifest = self.parse()
+        # parse-time warnings (deprecations) honor the invocation's flags; a
+        # promoted warning fails the invocation like the reference's
+        # EventCompilationError out of warn_or_error
+        self._warn_error = warn_error
+        self._warn_error_options = warn_error_options
+        from dbt_spark.events import WarnErrorPromotion
+
+        try:
+            manifest = self.parse()
+        except WarnErrorPromotion as e:
+            return RunnerResult(False, [
+                RunResult(e.event.name, "error", 0.0, message=str(e))
+            ])
         self.state_dir = state_dir
         if command == "parse":
             # manifest.json already written by parse() (task/compile.py analog)

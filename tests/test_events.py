@@ -126,3 +126,84 @@ def test_nothing_to_do_event_on_empty_selection(project_dir, spark):
     ntd = [e for e in lines if e["info"]["name"] == "NothingToDo"]
     assert ntd and ntd[0]["info"]["code"] == "Q035"
     assert ntd[0]["info"]["level"] == "warn"
+
+
+DEPRECATION_FILES = {
+    "dbt_project.yml": "name: depproj\nmodel-paths: ['models']\n",
+    "models/orders_v1.sql": "select 1 as id",
+    "models/orders_v2.sql": "select 1 as id, 'x' as status",
+    "models/consumer.sql": "select * from {{ ref('orders', v=1) }}",
+    "models/schema.yml": """
+version: 2
+models:
+  - name: orders
+    latest_version: 2
+    deprecation_date: "2020-01-01"
+""",
+}
+
+
+def test_model_deprecation_events(project_dir, spark):
+    """Past-deprecation models fire DeprecatedModel I065 and their model
+    children DeprecatedReference I067 at parse (reference
+    check_for_model_deprecations, core/dbt/parser/manifest.py:588-594)."""
+    root = project_dir(DEPRECATION_FILES)
+    eng = Engine(root, spark=spark)
+    seen = []
+    eng.events.callbacks.append(lambda ev: seen.append(ev))
+    m = eng.parse()
+
+    # first-class version fields (nodes.py:503,523)
+    v1 = m.nodes["model.depproj.orders_v1"]
+    v2 = m.nodes["model.depproj.orders_v2"]
+    assert (v1.version, v1.latest_version) == (1, 2)
+    assert not v1.is_latest_version and v2.is_latest_version
+    assert v1.is_past_deprecation_date
+
+    dep = [e for e in seen if e.name == "DeprecatedModel"]
+    assert len(dep) == 2  # both versions are past the date
+    assert dep[0].code == "I065" and dep[0].level == "warn"
+    assert "has passed its deprecation date" in dep[0].msg
+    refs = [e for e in seen if e.name == "DeprecatedReference"]
+    assert refs and refs[0].code == "I067"
+    assert refs[0].data["model_name"] == "consumer"
+    assert refs[0].data["ref_model_name"] == "orders_v1"
+
+    # manifest.json carries the fields
+    man = json.loads(open(os.path.join(root, "target", "manifest.json")).read())
+    entry = man["nodes"]["model.depproj.orders_v1"]
+    assert entry["version"] == 1 and entry["latest_version"] == 2
+    assert entry["deprecation_date"].startswith("2020-01-01")
+
+
+def test_upcoming_deprecation_and_warn_error_interplay(project_dir, spark):
+    """A future deprecation_date fires UpcomingReferenceDeprecation I066 on
+    children only; --warn-error-options can promote/silence by name."""
+    files = dict(DEPRECATION_FILES)
+    files["models/schema.yml"] = """
+version: 2
+models:
+  - name: orders
+    latest_version: 2
+    deprecation_date: "2999-01-01"
+"""
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    seen = []
+    eng.events.callbacks.append(lambda ev: seen.append(ev))
+    eng.parse()
+    names = [e.name for e in seen]
+    assert "UpcomingReferenceDeprecation" in names
+    assert "DeprecatedModel" not in names  # not past the date yet
+
+    # promotion by name fails the run at parse
+    r = eng.invoke(["run", "--warn-error-options",
+                    '{"error": ["UpcomingReferenceDeprecation"]}'])
+    assert not r.success
+
+    # silencing the name lets --warn-error pass and suppresses the event
+    seen.clear()
+    r2 = eng.invoke(["run", "--warn-error", "--warn-error-options",
+                     '{"silence": ["UpcomingReferenceDeprecation"]}'])
+    assert r2.success
+    assert "UpcomingReferenceDeprecation" not in [e.name for e in seen]

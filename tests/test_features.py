@@ -1442,8 +1442,47 @@ models:
     open(files_bad, "w").write(s)
     import pytest as _pytest
     from dbt_spark.plans.compile import CompilationError
-    with _pytest.raises(CompilationError, match="unknown model 'nope'"):
+    with _pytest.raises(CompilationError, match="unknown node 'nope'"):
         Engine(root, spark=spark).parse()
+
+
+def test_fk_constraint_to_seed_and_source(project_dir, spark):
+    """FK `to:` targets resolve against seeds/snapshots AND source()
+    expressions (reference find_node_from_ref_or_source,
+    compilation.py:641-654) — not just models."""
+    files = {
+        "dbt_project.yml": "name: fks\n",
+        "seeds/dim.csv": "id,label\n1,a\n",
+        "models/sources.yml": """
+sources:
+  - name: raw
+    tables:
+      - name: nation
+        meta: {location: "/root/testdata/sf0.001/nation.parquet"}
+""",
+        "models/fact.sql": "select 1 as dim_id, 1 as n_key",
+        "models/schema.yml": """
+models:
+  - name: fact
+    columns:
+      - name: dim_id
+        constraints:
+          - type: foreign_key
+            to: ref('dim')
+            to_columns: [id]
+      - name: n_key
+        constraints:
+          - type: foreign_key
+            to: source('raw', 'nation')
+            to_columns: [n_nationkey]
+""",
+    }
+    root = project_dir(files)
+    Engine(root, spark=spark).parse()
+    doc = json.load(open(os.path.join(root, "target", "manifest.json")))
+    cols = doc["nodes"]["model.fks.fact"]["columns"]
+    assert cols["dim_id"]["constraints"][0]["to"] == "main.dim"
+    assert cols["n_key"]["constraints"][0]["to"] == "main.nation"
 
 
 def test_ls_selector_output_roundtrip(feat):

@@ -221,3 +221,41 @@ def test_favor_state_prefers_state_for_unselected(tmp_path, spark):
     assert n_local == base_prod.filter(F.col("o_orderkey") < 100)\
         .select("o_custkey").distinct().count()
     assert n_state > n_local
+
+
+def test_state_modified_on_latest_version_bump(tmp_path, spark):
+    """Bumping latest_version in schema YAML (no SQL change) marks every
+    sibling version state:modified — the version surface is first-class
+    node state, not config.meta (reference ModelNode.latest_version,
+    nodes.py:503; same_contents covers it)."""
+    files = {
+        "dbt_project.yml": "name: vb\n",
+        "models/api_v1.sql": "select 1 as id",
+        "models/api_v2.sql": "select 1 as id, 'x' as status",
+        "models/other.sql": "select 42 as answer",
+        "models/schema.yml": (
+            "version: 2\nmodels:\n  - name: api\n    latest_version: 1\n"
+        ),
+    }
+    prod_dir = _mk(tmp_path, "prod", files)
+    prod = Engine(prod_dir, spark=spark)
+    assert prod.invoke(["run"]).success
+
+    # same checkout, latest_version bumped 1 -> 2
+    dev_files = dict(files)
+    dev_files["models/schema.yml"] = (
+        "version: 2\nmodels:\n  - name: api\n    latest_version: 2\n"
+    )
+    dev_dir = _mk(tmp_path, "dev", dev_files)
+    dev = Engine(dev_dir, spark=spark)
+    state = os.path.join(prod_dir, "target")
+    r = dev.invoke(["ls", "--select", "state:modified", "--state", state])
+    names = {x.message for x in r.results}
+    assert "vb.api_v1" in names and "vb.api_v2" in names
+    assert "vb.other" not in names
+
+    # version:latest now selects v2 (was v1 before the bump)
+    r2 = dev.invoke(["ls", "--select", "version:latest"])
+    assert {x.message for x in r2.results} == {"vb.api_v2"}
+    prod_latest = prod.invoke(["ls", "--select", "version:latest"])
+    assert {x.message for x in prod_latest.results} == {"vb.api_v1"}
