@@ -138,6 +138,13 @@ def main() -> int:
               file=_sys.stderr)
         return 2
     if result.preview is not None:
+        if command == "show" and args.output == "json":
+            # reference `dbt show --output json` (cli/params.py:570,
+            # task/show.py:95-96): machine-readable preview rows
+            import json as _json
+
+            print(_json.dumps({"show": result.preview}, default=str, indent=2))
+            return 0 if result.success else 1
         for row in result.preview:
             print(row)
     if command == "ls" and args.output != "default":

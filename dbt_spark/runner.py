@@ -1324,6 +1324,33 @@ class Engine:
         t0: float,
     ) -> None:
         self.events.fire("NodeCompiling", node_id=node.unique_id)
+        # Spark-native query-comment (reference tags every executed statement
+        # with the node/invocation id via query_header.py; the Spark analog is
+        # the job group + description, which the Spark UI and event logs use
+        # to attribute stages to the model that launched them — the
+        # observability handle at cluster scale). setJobGroup/setLocalProperty
+        # are THREAD-local, so each worker thread tags only its own node.
+        sc = ctx.spark.sparkContext
+        sc.setJobGroup(
+            self.events.invocation_id,
+            f"{node.unique_id} invocation_id={self.events.invocation_id}",
+        )
+        try:
+            self._execute_node_inner(ctx, node, command, results, t0)
+        finally:
+            # clear so post-run driver work isn't attributed to the last node
+            sc.setJobGroup("", "")
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+
+    def _execute_node_inner(
+        self,
+        ctx: ExecutionContext,
+        node: ManifestNode,
+        command: str,
+        results: list[RunResult],
+        t0: float,
+    ) -> None:
         for hook in node.config.pre_hook:
             ctx.spark.sql(self._render_hook(ctx, node, hook))
         self.events.fire("NodeExecuting", node_id=node.unique_id)

@@ -207,3 +207,30 @@ models:
                      '{"silence": ["UpcomingReferenceDeprecation"]}'])
     assert r2.success
     assert "UpcomingReferenceDeprecation" not in [e.name for e in seen]
+
+
+def test_spark_job_description_tags_nodes(project_dir, spark):
+    """Query-comment analog (reference core/dbt/context/query_header.py):
+    while a node materializes, the worker thread's Spark job group/
+    description carry '<unique_id> invocation_id=<id>' so the Spark UI
+    attributes stages to the model; cleared once the node finishes."""
+    root = project_dir({
+        "dbt_project.yml": "name: jd\n",
+        "models/m1.sql": "select 1 as id",
+    })
+    eng = Engine(root, spark=spark)
+    during, after = {}, {}
+
+    def cb(ev):
+        prop = spark.sparkContext.getLocalProperty("spark.job.description")
+        if ev.name == "NodeExecuting":
+            during[ev.data["node_id"]] = prop
+        elif ev.name == "NodeFinished":
+            after[ev.data["node_id"]] = prop
+
+    eng.events.callbacks.append(cb)
+    assert eng.invoke(["run"]).success
+    desc = during["model.jd.m1"]
+    assert desc is not None and desc.startswith("model.jd.m1 invocation_id=")
+    assert eng.events.invocation_id in desc
+    assert after["model.jd.m1"] in (None, "")

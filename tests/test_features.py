@@ -1761,3 +1761,24 @@ def test_cli_error_boundary_subprocess(project_dir):
         [_sys.executable, "-m", "dbt_spark", "ls", "--project-dir", root],
         capture_output=True, text=True, cwd=repo, env=env, timeout=240)
     assert ok.returncode == 0
+
+
+def test_show_output_json_subprocess(project_dir):
+    """`dbt show --output json` (cli/params.py:570, task/show.py:95-96):
+    preview rows come back as one parseable JSON document."""
+    import subprocess
+    import sys as _sys
+
+    root = project_dir({
+        "dbt_project.yml": "name: showj\n",
+        "models/m.sql": "select 1 as id, 'a' as tag union all select 2, 'b'",
+    })
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [_sys.executable, "-m", "dbt_spark", "show", "--project-dir", root,
+         "--inline", "select 5 as five, 'x' as lbl", "--output", "json"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr
+    doc = json.loads(out.stdout)
+    assert doc["show"] == [{"five": 5, "lbl": "x"}]
