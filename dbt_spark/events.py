@@ -269,8 +269,16 @@ class EventBus:
         self.invocation_id = str(uuid.uuid4())
         self.callbacks: list[Callable[[Event], None]] = []
         self._lock = threading.Lock()
+        self._pb_write = None
         if log_path:
             os.makedirs(os.path.dirname(log_path), exist_ok=True)
+            # optional protobuf wire mirror (reference core_types_pb2):
+            # length-delimited CoreEventInfo beside the JSON lines, only when
+            # google.protobuf is importable (dbt_spark/protowire.py)
+            from dbt_spark.protowire import delimited_writer
+
+            self._pb_write = delimited_writer(
+                os.path.splitext(log_path)[0] + ".pb")
 
     def fire(self, name: str, level: Optional[str] = None, **data: Any) -> Event:
         code, default_level = EVENT_CODES.get(name, ("", "info"))
@@ -290,6 +298,8 @@ class EventBus:
             if self.log_path:
                 with open(self.log_path, "a") as f:
                     f.write(line + "\n")
+            if self._pb_write is not None:
+                self._pb_write(ev.to_dict()["info"])
             for cb in self.callbacks:
                 cb(ev)
         return ev

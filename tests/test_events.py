@@ -234,3 +234,50 @@ def test_spark_job_description_tags_nodes(project_dir, spark):
     assert desc is not None and desc.startswith("model.jd.m1 invocation_id=")
     assert eng.events.invocation_id in desc
     assert after["model.jd.m1"] in (None, "")
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor_pb2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="protobuf wire mirror is import-gated (absent in this container)")
+def test_protobuf_wire_roundtrip(project_dir, spark):
+    """With google.protobuf present the bus also writes length-delimited
+    CoreEventInfo messages (wire-compatible field numbers/types with
+    core/dbt/events/core_types.proto:9-20) to dbt.log.pb; round-trip one."""
+    from dbt_spark.protowire import read_delimited
+
+    root = project_dir({
+        "dbt_project.yml": "name: pbw\n",
+        "models/m1.sql": "select 1 as id",
+    })
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["run"]).success
+    msgs = read_delimited(
+        os.path.join(root, "target", "logs", "dbt.log.pb"))
+    jlines = [json.loads(l) for l in open(
+        os.path.join(root, "target", "logs", "dbt.log.jsonl")) if l.strip()]
+    assert len(msgs) == len(jlines)
+    by_name = {m["name"]: m for m in msgs}
+    mrv = by_name["MainReportVersion"]
+    assert mrv["code"] == "A001" and mrv["invocation_id"] == eng.events.invocation_id
+    assert by_name["NodeFinished"]["code"] == "Q025"
+
+
+def test_protowire_gates_cleanly_without_protobuf(tmp_path):
+    """Without protobuf the bus still works and writes no .pb file."""
+    from dbt_spark.protowire import delimited_writer, have_protobuf
+
+    bus = EventBus(str(tmp_path / "logs" / "x.jsonl"))
+    bus.fire("NodeStart", node_id="model.p.m")
+    pb_exists = os.path.exists(str(tmp_path / "logs" / "x.pb"))
+    assert pb_exists == have_protobuf()
+    assert (delimited_writer(str(tmp_path / "y.pb")) is None) == (
+        not have_protobuf())
