@@ -6,6 +6,11 @@ family: random conjunctive/disjunctive predicates, group keys, and aggregate
 sets over `orders`. Sums go through DECIMAL casts so every result is
 bit-deterministic regardless of partitioning (the same discipline as the
 declared inventory). Seeds are fixed — failures reproduce exactly.
+
+Seed rotation: each family draws from its own base offset (0 / 10k / 20k /
+30k / 40k / 50k). To rotate coverage (e.g. weekly in CI), bump a family's
+base by +1000 — determinism is preserved per run while the sampled corner
+of the grammar moves.
 """
 
 from __future__ import annotations
@@ -202,7 +207,7 @@ def _gen_setop_grouping_sql(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(20))
+@pytest.mark.parametrize("seed", range(30))
 def test_differential_setop_grouping(spark, seed):
     load_tables(spark, SF_DIR, "orders")
     _run_case(spark, _gen_setop_grouping_sql(seed), seed)
@@ -409,6 +414,97 @@ def _gen_datetime_pair(seed: int) -> tuple[str, str]:
 def test_differential_datetime_funcs(spark, seed):
     load_tables(spark, SF_DIR, "orders")
     spark_sql, duck_sql = _gen_datetime_pair(seed)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'orders.parquet')}'"
+    )
+    got = spark.sql(spark_sql).toPandas()
+    want = con.sql(duck_sql).df()
+    assert sorted(got.columns) == sorted(want.columns), spark_sql
+    assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subqueries (Spark ≥3.2 and DuckDB share the spelling).
+# Aggregate laterals always yield one row, so inner-join row counts match by
+# construction; top-n laterals order by the unique key for determinism.
+# --------------------------------------------------------------------------
+
+def _gen_lateral_sql(seed: int) -> str:
+    rng = random.Random(40_000 + seed)
+    k = rng.randrange(37, 211)
+    outer = f"c_custkey % {rng.randrange(5, 23)} = 0 AND c_custkey < {k * 7}"
+    if rng.random() < 0.6:
+        atom = _atom(rng)
+        aggs = rng.sample(
+            [
+                "CAST(count(*) AS BIGINT) AS n",
+                "CAST(coalesce(max(o_orderkey), 0) AS BIGINT) AS mx",
+                "CAST(coalesce(min(o_custkey), -1) AS BIGINT) AS mn",
+                "CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) "
+                "AS DOUBLE) AS tot",
+            ],
+            rng.randrange(2, 4),
+        )
+        return (
+            f"SELECT c_custkey, c_mktsegment, t.* FROM customer, LATERAL ("
+            f"SELECT {', '.join(aggs)} FROM orders "
+            f"WHERE o_custkey = c_custkey AND {atom}) t "
+            f"WHERE {outer}"
+        )
+    n = rng.randrange(1, 4)
+    return (
+        f"SELECT c_custkey, t.o_orderkey FROM customer, LATERAL ("
+        f"SELECT o_orderkey FROM orders WHERE o_custkey = c_custkey "
+        f"ORDER BY o_orderkey LIMIT {n}) t "
+        f"WHERE {outer}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_differential_lateral(spark, seed):
+    load_tables(spark, SF_DIR, "orders", "customer")
+    _run_case(spark, _gen_lateral_sql(seed), seed)
+
+
+# --------------------------------------------------------------------------
+# map-typed expressions: Spark map()/element_at vs DuckDB MAP{}/bracket —
+# spellings differ (and DuckDB's m['k'] yields a LIST, unwrapped with [1]),
+# so the generator renders a (spark_sql, duck_sql) pair from shared choices.
+# --------------------------------------------------------------------------
+
+def _gen_map_pair(seed: int) -> tuple[str, str]:
+    rng = random.Random(50_000 + seed)
+    mod = rng.randrange(3, 9)
+    probe = rng.choice(["p", "q", "zz"])
+    where = _atom(rng)
+    s_map = f"map('p', o_custkey, 'q', o_orderkey % {mod})"
+    d_map = f"MAP {{'p': o_custkey, 'q': o_orderkey % {mod}}}"
+    s_cols = (
+        f"CAST(element_at(m, '{probe}') AS BIGINT) AS mv, "
+        "CAST(size(m) AS BIGINT) AS msz, "
+        "array_join(array_sort(map_keys(m)), ',') AS mk, "
+        "CAST(aggregate(map_values(m), 0L, (a, v) -> a + v) AS BIGINT) AS vsum"
+    )
+    d_cols = (
+        f"CAST(m['{probe}'][1] AS BIGINT) AS mv, "
+        "CAST(cardinality(m) AS BIGINT) AS msz, "
+        "coalesce(array_to_string(list_sort(map_keys(m)), ','), '') AS mk, "
+        "CAST(list_sum(map_values(m)) AS BIGINT) AS vsum"
+    )
+    return (
+        f"SELECT o_orderkey, {s_cols} FROM "
+        f"(SELECT o_orderkey, {s_map} AS m FROM orders WHERE {where}) x",
+        f"SELECT o_orderkey, {d_cols} FROM "
+        f"(SELECT o_orderkey, {d_map} AS m FROM orders WHERE {where}) x",
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_differential_map_funcs(spark, seed):
+    load_tables(spark, SF_DIR, "orders")
+    spark_sql, duck_sql = _gen_map_pair(seed)
     con = duckdb.connect()
     con.sql(
         "CREATE OR REPLACE VIEW orders AS SELECT * FROM "
