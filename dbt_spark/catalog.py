@@ -112,6 +112,32 @@ class RelationStore:
             self._registered.add(rel.identifier)
             return rel.identifier
 
+    def _check_csv_append_schema(self, schema: str, name: str, df: DataFrame) -> None:
+        """CSV reads apply the persisted schema POSITIONALLY, and append mode
+        re-persists the latest batch's schema — so an append whose (name,
+        type) column prefix differs from the existing one (drop / reorder /
+        type change via on_schema_change) would silently shift-misread every
+        older file. Reject it; appending NEW columns at the tail is safe
+        (older rows read as trailing nulls)."""
+        old = self.get(schema, name)
+        old_json = old.meta.get("schema_json") if old is not None else None
+        if not old_json:
+            return
+        from pyspark.sql.types import StructType
+
+        old_fields = [(f.name, f.dataType.simpleString())
+                      for f in StructType.fromJson(json.loads(old_json)).fields]
+        new_fields = [(f.name, f.dataType.simpleString())
+                      for f in df.schema.fields]
+        if new_fields[: len(old_fields)] != old_fields:
+            raise ValueError(
+                f"{schema}.{name}: csv append would change the existing "
+                f"column prefix {old_fields} -> {new_fields} (csv reads are "
+                "positional: drops/reorders/type changes silently misread "
+                "older files). Use file_format parquet for evolving schemas, "
+                "or --full-refresh."
+            )
+
     def _read_files(self, rel: Relation) -> DataFrame:
         """Format-aware scan of a stored relation (file_format meta; schema
         reconstructed from the persisted JSON for schema-light formats)."""
@@ -206,6 +232,8 @@ class RelationStore:
             return writer
 
         if mode == "append" and os.path.exists(path):
+            if fmt == "csv":
+                self._check_csv_append_schema(schema, name, df)
             _configure(df.write.mode("append")).save(path)
         else:
             staging = f"{path}.__staging__{int(time.time() * 1000)}"

@@ -66,6 +66,9 @@ class ExecutionContext:
     # identifiers CACHEd for this invocation (config(cache=true) views);
     # uncached by the runner at end of run
     cached_idents: list = field(default_factory=list)
+    # defer__ identifiers already registered this invocation (state views
+    # re-register their whole upstream subtree; memoized)
+    _deferred_idents: set = field(default_factory=set)
 
     @property
     def schema(self) -> str:
@@ -107,13 +110,29 @@ class ExecutionContext:
         return self._wrap(node, ident)
 
     def _register_deferred(self, state_rel) -> str:
-        """Register a --state relation under a DISTINCT identifier: the local
-        relation of the same name may already own (or later claim) the plain
-        identifier's temp view, and the two must never shadow each other
-        within one session."""
-        if state_rel.kind == "view":
-            return self.store.register(state_rel)
+        """Register a --state relation under a DISTINCT ``defer__`` identifier:
+        the local relation of the same name may already own (or later claim)
+        the plain identifier's temp view, and the two must never shadow each
+        other within one session. For state VIEWS the compiled SQL's upstream
+        identifiers are rewritten to their own defer__ registrations
+        (recursively), so the whole view subtree reads the state namespace —
+        a state view must never resolve an upstream against the local
+        session (providers.py:634-655 defer semantics)."""
+        import re as _re
+
         ident = f"defer__{state_rel.schema}__{state_rel.name}"
+        if ident in self._deferred_idents:
+            return ident
+        self._deferred_idents.add(ident)
+        if state_rel.kind == "view":
+            sql = state_rel.compiled_sql
+            for dep in self.defer_store.list_relations():
+                plain = dep.identifier
+                if _re.search(rf"\b{_re.escape(plain)}\b", sql):
+                    dep_ident = self._register_deferred(dep)
+                    sql = _re.sub(rf"\b{_re.escape(plain)}\b", dep_ident, sql)
+            self.spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {ident} AS {sql}")
+            return ident
         self.defer_store._read_files(state_rel).createOrReplaceTempView(ident)
         return ident
 

@@ -1565,27 +1565,35 @@ class Engine:
                 },
             },
             "elapsed_time": round(sum(r.execution_time for r in results), 4),
-            "results": [
+            "results": [],
+        }
+        for r in results:
+            # compute code/relation ONCE per result: _materialized_relation
+            # walks the warehouse dir + parquet footers, so the previous
+            # per-field recompute paid that twice
+            code = self._compiled_code(r)
+            rel = self._materialized_relation(r)
+            payload["results"].append(
                 {
                     "unique_id": r.unique_id,
                     "status": r.status,
                     "execution_time": round(r.execution_time, 4),
                     "message": r.message,
                     "thread_id": r.thread_id,
-                    "adapter_response": self._adapter_response(r),
+                    "adapter_response": self._adapter_response(r, rel),
                     "failures": None,
-                    "compiled": self._compiled_code(r) is not None or None,
-                    "compiled_code": self._compiled_code(r),
-                    "relation_name": self._relation_name(r),
+                    # reference emits a real boolean (run_results v5)
+                    "compiled": code is not None,
+                    "compiled_code": code,
+                    "relation_name": (f"{rel.schema}.{rel.name}"
+                                      if rel is not None else None),
                     "timing": (
                         [{"name": "execute", "started_at": r.started_at,
                           "completed_at": r.completed_at}]
                         if r.started_at else []
                     ),
                 }
-                for r in results
-            ],
-        }
+            )
         with open(os.path.join(target_dir, "run_results.json"), "w") as f:
             json.dump(payload, f, indent=1)
 
@@ -1608,16 +1616,13 @@ class Engine:
                 if self.manifest is not None else None)
         return node.compiled_code if node is not None else None
 
-    def _relation_name(self, r: RunResult) -> Optional[str]:
-        rel = self._materialized_relation(r)
-        return f"{rel.schema}.{rel.name}" if rel is not None else None
-
-    def _adapter_response(self, r: RunResult) -> dict:
+    def _adapter_response(self, r: RunResult, rel=None) -> dict:
         """Physical-write observability (the reference's adapter_response:
         rows_affected + adapter message). Bytes/files come from a driver-side
         walk (no Spark job); row counts from parquet footers via pyarrow —
         metadata reads only, never a data scan."""
-        rel = self._materialized_relation(r)
+        if rel is None:
+            rel = self._materialized_relation(r)
         if rel is None or not rel.path or not os.path.isdir(rel.path):
             return {}
         n_files, n_bytes, n_rows = 0, 0, 0

@@ -694,3 +694,42 @@ select id, day, val from {{ ref('events') }} where day = {{ var('d') }}
     plan = agg._sc._jvm.PythonSQLUtils.explainString(
         agg._jdf.queryExecution(), "simple")
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_csv_append_rejects_prefix_change(project_dir, spark):
+    """CSV targets read positionally against the persisted schema, so an
+    incremental append that drops/reorders the existing column prefix (via
+    on_schema_change=sync_all_columns) must ERROR instead of silently
+    shift-misreading older files; appending new tail columns stays legal."""
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='append',
+          file_format='csv', on_schema_change='sync_all_columns') }}
+select id, day{{ ", val" if not var('dropcol', false) else "" }}
+from {{ ref('events') }} where day = {{ var('day', 1) }}
+"""
+    root, eng = make_engine(project_dir, spark, sql)
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    # dropping `val` mid-history: rejected for csv
+    r = eng.invoke(["run"], )
+    assert r.success  # same schema appends fine
+    eng.vars = {"dropcol": True, "day": 2}
+    r2 = eng.invoke(["run"])
+    assert not r2.success
+    assert "csv append" in (r2.results[0].message or "")
+
+    # appending a NEW tail column is allowed; old rows read as null
+    sql_add = """
+{{ config(materialized='incremental', incremental_strategy='append',
+          file_format='csv', on_schema_change='append_new_columns') }}
+select id, day, val{{ ", 'x' as tag" if var('addcol', false) else "" }}
+from {{ ref('events') }} where day = {{ var('day', 1) }}
+"""
+    with open(os.path.join(root, "models", "target.sql"), "w") as f:
+        f.write(sql_add)
+    eng2 = Engine(root, spark=spark, vars={"addcol": True, "day": 2})
+    r3 = eng2.invoke(["run"])
+    assert r3.success, [x.message for x in r3.results]
+    rows = spark.sql("select * from main__target").collect()
+    tags = {row.id: row.tag for row in rows}
+    assert tags[3] == "x" and tags[1] is None  # old rows: trailing null

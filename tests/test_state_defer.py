@@ -259,3 +259,40 @@ def test_state_modified_on_latest_version_bump(tmp_path, spark):
     assert {x.message for x in r2.results} == {"vb.api_v2"}
     prod_latest = prod.invoke(["ls", "--select", "version:latest"])
     assert {x.message for x in prod_latest.results} == {"vb.api_v1"}
+
+
+def test_deferred_state_view_reads_state_namespace(tmp_path, spark):
+    """A deferred VIEW must resolve its upstream identifiers in the STATE
+    namespace (defer__), never against same-named local relations
+    (providers.py:634-655): prod's view-over-table chain returns prod's
+    data even when dev has rebuilt the base table with different values."""
+    files = {
+        "dbt_project.yml": "name: dsv\n",
+        "models/base.sql": "{{ config(materialized='table') }} select 1 as v",
+        "models/vw.sql": "select v * 10 as v10 from {{ ref('base') }}",
+        "models/downstream.sql": (
+            "{{ config(materialized='table') }} "
+            "select v10 from {{ ref('vw') }}"
+        ),
+    }
+    prod_dir = _mk(tmp_path, "prod", files)
+    prod = Engine(prod_dir, spark=spark)
+    assert prod.invoke(["run"]).success
+
+    dev_files = dict(files)
+    dev_files["models/base.sql"] = (
+        "{{ config(materialized='table') }} select 2 as v")
+    dev_dir = _mk(tmp_path, "dev", dev_files)
+    dev = Engine(dev_dir, spark=spark)
+    # dev builds ONLY base (locally v=2); vw + downstream defer to state
+    assert dev.invoke(["run", "--select", "base"]).success
+    r = dev.invoke([
+        "run", "--select", "downstream", "--defer", "--favor-state",
+        "--state", os.path.join(prod_dir, "target"),
+    ])
+    assert r.success, [x.message for x in r.results]
+    got = spark.sql(
+        f"select v10 from parquet.`{os.path.join(dev_dir, 'target', 'warehouse', 'main', 'downstream')}`"
+    ).collect()
+    # state's vw over state's base: 1*10 — NOT dev's rebuilt base (2*10)
+    assert [row.v10 for row in got] == [10]
