@@ -109,6 +109,10 @@ EXTENDED = [
     "length_bucket_batching",
     # round-4 additions
     "ann_topk_ivf",  # trained-centroid cache: rep 1 trains, min-of-3 = probe cost
+    "dup_cluster_sizes",
+    "per_lang_length_stats",
+    "tfidf_top_terms",
+    "ngram_novelty_rate",
 ]
 
 

@@ -790,7 +790,189 @@ _LANG_SCORES = ", ".join(
     for lang, words in X.LANG_MARKERS.items()
 )
 
+
+def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size distribution: md5(text) clusters ->
+    (cluster_size, n_clusters, n_docs). The dedup REPORTING step every
+    curation run ships next to the dedup itself (how much of the corpus is
+    singleton vs. heavy-duplicate mass).
+
+    Scale: two hash aggregates, each with map-side partials; the second
+    groups the (already tiny) per-cluster counts. No windows, no joins."""
+    docs = _docs(spark, sf_dir)
+    clusters = docs.groupBy(F.md5(F.col("text")).alias("fp")).agg(
+        F.count("*").cast("bigint").alias("sz"))
+    return (
+        clusters.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size", "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+def per_lang_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length profile (count/min/max/mean/median/p90)
+    — the mixing-decision table for multilingual training data.
+
+    Scale: one aggregate keyed on lang. Exact percentiles sort only WITHIN
+    the aggregation buffers of ~tens of language groups; at extreme
+    cardinalities swap median/percentile for approx_percentile (same
+    shape). Mean/median/p90 are rounded: interpolation association differs
+    across engines at 1 ulp."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6)
+         .alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (keyword extraction for data mixing /
+    topic tagging). Score = tf * N / df — a single exact-int product and one
+    correctly-rounded division, so the ranking is bit-deterministic across
+    engines (no transcendental idf).
+
+    Scale: token explode -> (doc, term) count (one shuffle), term df (one
+    aggregate over the much smaller tf table), score join keyed on term, and
+    a per-doc top-n window. The df side is zipf-skewed — AQE skew-join
+    handles the head terms; N arrives via a broadcast 1-row aggregate, not a
+    driver collect."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("bigint").alias("df"))
+    n = docs.agg(F.count("*").cast("bigint").alias("n"))
+    scored = (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round((F.col("tf") * F.col("n")).cast("double") / F.col("df"), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("t").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("t").alias("term"), "tfidf", "rnk")
+    )
+
+
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novel-trigram contribution: of a doc's distinct 3-grams,
+    the fraction whose FIRST corpus occurrence (min doc_id) is this doc —
+    the marginal-novelty signal used to order/weight near-redundant corpora.
+
+    Scale: trigrams built map-side (transform lambda, no window), one
+    aggregate on gram for first-occurrence, one distinct + join back keyed
+    on gram, one per-doc rollup. All shuffles key on gram or doc_id;
+    nothing quadratic."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 3)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws)-3), "
+            "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"
+        )).alias("g"),
+    ).distinct()
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = grams.join(firsts, "g").groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+         .cast("bigint").alias("n_novel"),
+    )
+    return per_doc.select(
+        "doc_id", "n_grams", "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_grams"))
+        .alias("novelty_rate"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "dup_cluster_sizes": """
+        WITH c AS (
+            SELECT md5(text) AS fp, count(*) AS sz
+            FROM documents GROUP BY md5(text)
+        )
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sz * count(*) AS BIGINT) AS n_docs
+        FROM c GROUP BY sz
+    """,
+    "per_lang_length_stats": """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+               round(CAST(median(n_chars) AS DOUBLE), 6) AS median_chars,
+               round(CAST(quantile_cont(n_chars, 0.9) AS DOUBLE), 6) AS p90_chars
+        FROM documents GROUP BY lang
+    """,
+    "tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+        ),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+        dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        n AS (SELECT count(*) AS n FROM documents),
+        s AS (
+            SELECT tf.doc_id, tf.t,
+                   round(CAST(tf.tf * n.n AS DOUBLE) / dfq.df, 6) AS tfidf
+            FROM tf JOIN dfq ON tf.t = dfq.t CROSS JOIN n
+        ),
+        r AS (
+            SELECT doc_id, t, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, t) AS rnk
+            FROM s
+        )
+        SELECT doc_id, t AS term, tfidf, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 3
+    """,
+    "ngram_novelty_rate": f"""
+        WITH d AS (
+            SELECT doc_id, {_TOKS} AS ws FROM documents
+            WHERE len({_TOKS}) >= 3
+        ),
+        g AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(ws) - 2),
+                          i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+                       AS g
+            FROM d
+        ),
+        f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+        p AS (
+            SELECT g.doc_id,
+                   count(*) AS n_grams,
+                   sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                       AS n_novel
+            FROM g JOIN f ON g.g = f.g GROUP BY g.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_novel AS BIGINT) AS n_novel,
+               CAST(n_novel AS DOUBLE) / n_grams AS novelty_rate
+        FROM p
+    """,
+
+
     "repetition_filter_gopher": f"""
         WITH d AS (
             SELECT doc_id, {_TOKS} AS ws FROM documents
@@ -1318,6 +1500,10 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "dup_cluster_sizes": dup_cluster_sizes,
+    "per_lang_length_stats": per_lang_length_stats,
+    "tfidf_top_terms": tfidf_top_terms,
+    "ngram_novelty_rate": ngram_novelty_rate,
     "repetition_filter_gopher": repetition_filter_gopher,
     "chunk_fixed_windows": chunk_fixed_windows,
     "decontam_ngram_overlap": decontam_ngram_overlap,

@@ -29,6 +29,8 @@ PROBE_QUERIES = [
     "training_data_pipeline",     # text pipeline
     "dedup_minhash_lsh",          # LSH candidates
     "sequence_packing",           # window packing
+    "semantic_metric_query",      # compiled semantic-layer metric
+    "ann_topk_ivf",               # IVF probe (trained-centroid cache)
 ]
 
 
