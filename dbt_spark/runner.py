@@ -385,6 +385,7 @@ class Engine:
             return self._source_freshness(
                 manifest, now=now, warn_error=warn_error,
                 warn_error_options=warn_error_options,
+                select=select or None, exclude=exclude or None,
             )
         if command == "clone":
             return self._clone(manifest, select, exclude)
@@ -1008,18 +1009,27 @@ class Engine:
 
     def _source_freshness(
         self, manifest: Manifest, now=None, warn_error: bool = False,
-        warn_error_options=None,
+        warn_error_options=None, select=None, exclude=None,
     ) -> RunnerResult:
         """dbt source freshness → sources.json v3-ish
-        (core/dbt/task/freshness.py:111-181)."""
+        (core/dbt/task/freshness.py:111-181). --select/--exclude narrow the
+        checked sources through the standard selection DSL (the reference
+        FreshnessTask inherits node selection from GraphRunnableTask)."""
         from dbt_spark.sources.freshness import check_freshness
 
         ctx = ExecutionContext(
             spark=self.spark, store=self.store, manifest=manifest, project=self.project
         )
+        chosen = None
+        if select or exclude:
+            graph = Linker().link_graph(manifest)
+            chosen = select_nodes(manifest, graph, select, exclude,
+                                  state=self._load_state())
         results: list[RunResult] = []
         artifacts = []
         for uid, src in manifest.sources.items():
+            if chosen is not None and uid not in chosen:
+                continue
             if not src.freshness and not src.loaded_at_field and not src.loaded_at_query:
                 continue
             t0 = time.time()

@@ -1782,3 +1782,33 @@ def test_show_output_json_subprocess(project_dir):
     assert out.returncode == 0, out.stderr
     doc = json.loads(out.stdout)
     assert doc["show"] == [{"five": 5, "lbl": "x"}]
+
+
+def test_source_freshness_select(project_dir, spark):
+    """source freshness --select narrows the checked sources through the
+    selection DSL (reference FreshnessTask node selection)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: fsel\n",
+        "models/sources.yml": """
+sources:
+  - name: tpch
+    tables:
+      - name: events
+        loaded_at_query: select max(ts) from {{ this }}
+        freshness: {warn_after: {count: 1, period: hour}}
+        meta: {location: "__SF__/events.parquet"}
+      - name: orders
+        loaded_at_query: select max(o_orderdate) from {{ this }}
+        freshness: {warn_after: {count: 1, period: hour}}
+        meta: {location: "__SF__/orders.parquet"}
+""".replace("__SF__", SF_DIR),
+    })
+    eng = Engine(pdir, spark=spark)
+    r_all = eng.invoke(["source", "freshness"])
+    assert len(r_all.results) == 2
+    r_one = eng.invoke(
+        ["source", "freshness", "--select", "source:tpch.events"])
+    assert [x.unique_id for x in r_one.results] == ["source.fsel.tpch.events"]
+    r_ex = eng.invoke(
+        ["source", "freshness", "--exclude", "source:tpch.events"])
+    assert [x.unique_id for x in r_ex.results] == ["source.fsel.tpch.orders"]
