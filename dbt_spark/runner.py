@@ -615,7 +615,8 @@ class Engine:
             for uid in sorted(runnable - done):
                 results.append(RunResult(uid, "skipped", 0.0, "fail-fast abort"))
 
-        self._run_hooks(ctx, self.project.on_run_end, "on-run-end")
+        self._run_hooks(ctx, self.project.on_run_end, "on-run-end",
+                        results=results)
 
         # release config(cache=true) block-manager memory (per-invocation)
         for ident in ctx.cached_idents:
@@ -1517,10 +1518,52 @@ class Engine:
             target=dict(ctx.project.profile),
         )
 
-    def _run_hooks(self, ctx: ExecutionContext, hooks: list[str], phase: str) -> None:
+    def _run_hooks(
+        self, ctx: ExecutionContext, hooks: list[str], phase: str,
+        results: Optional[list] = None,
+    ) -> None:
+        """Project-level hooks render through the FULL jinja context before
+        executing (reference safe_run_hooks, core/dbt/task/runnable.py:
+        on-run-start/end are compiled as operation nodes); on-run-end
+        additionally exposes ``results`` (the invocation's run results — the
+        audit-table staple) and ``schemas``/``database_schemas``
+        (core/dbt/context/providers.py on-run-end context)."""
+        if not hooks:
+            return
+        from dbt_spark.plans.compile import runtime_render
+
+        extra: dict = {"invocation_id": self.events.invocation_id}
+        if phase == "on-run-end":
+            rows = [
+                {"unique_id": r.unique_id, "status": r.status,
+                 "message": r.message,
+                 "execution_time": r.execution_time}
+                for r in (results or [])
+            ]
+            schemas = sorted({
+                ctx.schema_for(ctx.manifest.nodes[u])
+                for u in ctx.selected if u in ctx.manifest.nodes
+            }) or [ctx.schema]
+            extra.update(results=rows, schemas=schemas,
+                         database_schemas=[(None, s) for s in schemas])
         for hook in hooks:
+            hook_node = ManifestNode(
+                unique_id=f"operation.{self.project.name}.{phase}",
+                name=phase, package_name=self.project.name, path=phase,
+                resource_type=NodeType.Operation, raw_code=hook,
+            )
             try:
-                ctx.spark.sql(hook)
+                sql = runtime_render(
+                    hook_node, ctx.manifest,
+                    resolve_ref=ctx.resolve_ref,
+                    resolve_source=ctx.resolve_source,
+                    this_name=phase, is_incremental=False,
+                    full_refresh=ctx.full_refresh,
+                    var_overrides={**ctx.project.vars, **ctx.vars},
+                    target=dict(ctx.project.profile),
+                    extra=extra,
+                )
+                ctx.spark.sql(sql)
             except Exception as e:  # noqa: BLE001
                 raise RuntimeError(f"{phase} hook failed: {e}") from e
 

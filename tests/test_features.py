@@ -1812,3 +1812,32 @@ sources:
     r_ex = eng.invoke(
         ["source", "freshness", "--exclude", "source:tpch.events"])
     assert [x.unique_id for x in r_ex.results] == ["source.fsel.tpch.orders"]
+
+
+def test_on_run_end_hook_results_context(project_dir, spark):
+    """on-run-end hooks render with the invocation's `results` (the audit-
+    table staple) and `schemas` in context (providers.py on-run-end ctx);
+    hooks are full jinja, not raw SQL."""
+    pdir = project_dir({
+        "dbt_project.yml": """name: hre
+on-run-end:
+  - "create or replace temporary view audit_{{ invocation_id | replace('-', '') }} as
+     {% for r in results %}
+     select '{{ r.unique_id }}' as uid, '{{ r.status }}' as status
+     {{ 'union all' if not loop.last }}
+     {% endfor %}"
+  - "create or replace temporary view hook_schemas as
+     {% for s in schemas %}select '{{ s }}' as sch{{ ' union all ' if not loop.last }}{% endfor %}"
+""",
+        "models/a.sql": "select 1 as x",
+        "models/b.sql": "select * from {{ ref('a') }}",
+    })
+    eng = Engine(pdir, spark=spark)
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    audit = spark.sql(
+        f"select * from audit_{eng.events.invocation_id.replace('-', '')}"
+    ).collect()
+    assert {(row.uid, row.status) for row in audit} == {
+        ("model.hre.a", "success"), ("model.hre.b", "success")}
+    assert [row.sch for row in spark.sql("select * from hook_schemas").collect()] == ["main"]
