@@ -43,6 +43,17 @@ def main() -> int:
     ap.add_argument("--selector", default=None)
     ap.add_argument("--indirect-selection", dest="indirect", default=None)
     ap.add_argument("--warn-error", action="store_true")
+    ap.add_argument("--log-level", default=os.environ.get("DBT_LOG_LEVEL", "none"),
+                    choices=["debug", "info", "warn", "error", "none"],
+                    help="stream structured events at/above this level to "
+                         "stderr (reference --log-level; 'none' = summary "
+                         "output only)")
+    ap.add_argument("--log-format", default=os.environ.get("DBT_LOG_FORMAT", "text"),
+                    choices=["text", "json"],
+                    help="console event encoding (reference --log-format)")
+    ap.add_argument("--quiet", "-q", action="store_true",
+                    help="suppress per-node result lines and the summary; "
+                         "errors still print (reference --quiet)")
     ap.add_argument("--warn-error-options",
                     default=os.environ.get("DBT_WARN_ERROR_OPTIONS"),
                     help="YAML/JSON {error|warn|silence: [EventName,...]} "
@@ -77,6 +88,26 @@ def main() -> int:
     )
     if args.threads:
         engine.project.profile["threads"] = args.threads
+    if args.log_level != "none":
+        # stream events live to stderr, like the reference's console logger
+        # (core/dbt/events/logging.py): file JSONL always written regardless
+        import json as _json
+        import sys as _sys
+
+        rank = {"debug": 0, "info": 1, "warn": 2, "error": 3}
+        floor = rank[args.log_level]
+
+        def _sink(ev):
+            if rank.get(ev.level, 1) < floor:
+                return
+            if args.log_format == "json":
+                print(_json.dumps(ev.to_dict(), default=str), file=_sys.stderr)
+            else:
+                ts = (ev.ts or "")[11:19]
+                print(f"{ts}  [{ev.level:5s}] {ev.msg or ev.name}",
+                      file=_sys.stderr)
+
+        engine.events.callbacks.append(_sink)
     argv = [command]
     if args.subcommand:
         argv.append(args.subcommand)
@@ -154,9 +185,13 @@ def main() -> int:
             print(r.message if r.message else r.unique_id)
         return 0 if result.success else 1
     for r in result.results:
+        if args.quiet and r.status not in ("error", "fail"):
+            continue
         print(f"{r.status:8s} {r.unique_id:60s} {r.execution_time:6.2f}s "
               f"{r.message.splitlines()[0] if r.message else ''}")
-    print(f"\n{'OK' if result.success else 'FAILED'}: {len(result.results)} node(s)")
+    if not args.quiet:
+        print(f"\n{'OK' if result.success else 'FAILED'}: "
+              f"{len(result.results)} node(s)")
     return 0 if result.success else 1
 
 

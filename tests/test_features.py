@@ -1841,3 +1841,36 @@ on-run-end:
     assert {(row.uid, row.status) for row in audit} == {
         ("model.hre.a", "success"), ("model.hre.b", "success")}
     assert [row.sch for row in spark.sql("select * from hook_schemas").collect()] == ["main"]
+
+
+def test_cli_log_level_and_quiet(project_dir):
+    """--log-level streams events to stderr (json or text per --log-format);
+    --quiet suppresses non-error result lines (reference --log-level /
+    --log-format / --quiet)."""
+    import subprocess
+    import sys as _sys
+
+    root = project_dir({
+        "dbt_project.yml": "name: cloglvl\n",
+        "models/one.sql": "select 1 as x",
+    })
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [_sys.executable, "-m", "dbt_spark", "run", "--project-dir", root,
+         "--log-level", "info", "--log-format", "json"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr
+    ev_lines = [json.loads(l) for l in out.stderr.splitlines()
+                if l.startswith('{"data"')]
+    names = [e["info"]["name"] for e in ev_lines]
+    assert "MainReportVersion" in names and "LogModelResult" in names
+    assert "NodeStart" not in names  # debug-level filtered at info
+
+    q = subprocess.run(
+        [_sys.executable, "-m", "dbt_spark", "run", "--project-dir", root,
+         "--quiet"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300)
+    assert q.returncode == 0
+    assert "model.cloglvl.one" not in q.stdout  # result line suppressed
+    assert "OK" not in q.stdout
