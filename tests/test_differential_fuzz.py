@@ -514,3 +514,59 @@ def test_differential_map_funcs(spark, seed):
     want = con.sql(duck_sql).df()
     assert sorted(got.columns) == sorted(want.columns), spark_sql
     assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
+
+
+# --------------------------------------------------------------------------
+# correlated / quantified subqueries: EXISTS, NOT EXISTS, IN, NOT IN (the
+# NULL-semantics minefield — NOT IN over a set containing NULL is empty),
+# and scalar correlated subqueries. Shared ANSI spelling in both engines.
+# --------------------------------------------------------------------------
+
+def _gen_subquery_sql(seed: int) -> str:
+    rng = random.Random(60_000 + seed)
+    kind = rng.randrange(4)
+    inner_pred = _atom(rng)
+    outer_pred = f"c_custkey % {rng.randrange(3, 11)} = 0"
+    if kind == 0:
+        q = rng.choice(["EXISTS", "NOT EXISTS"])
+        return (
+            f"SELECT c_custkey, c_mktsegment FROM customer "
+            f"WHERE {outer_pred} AND {q} ("
+            f"SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            f"AND {inner_pred})"
+        )
+    if kind == 1:
+        # IN / NOT IN with a guaranteed-non-NULL key set (both engines agree
+        # on three-valued logic; o_custkey is non-null in the data, so the
+        # comparison exercises set membership rather than the NULL-poisoned
+        # always-empty NOT IN)
+        q = rng.choice(["IN", "NOT IN"])
+        return (
+            f"SELECT c_custkey FROM customer "
+            f"WHERE {outer_pred} AND c_custkey {q} ("
+            f"SELECT o_custkey FROM orders WHERE {inner_pred})"
+        )
+    if kind == 2:
+        # scalar correlated aggregate in the SELECT list
+        agg = rng.choice(
+            ["CAST(count(*) AS BIGINT)", "CAST(coalesce(max(o_orderkey), 0) AS BIGINT)"])
+        return (
+            f"SELECT c_custkey, ("
+            f"SELECT {agg} FROM orders WHERE o_custkey = c_custkey "
+            f"AND {inner_pred}) AS sub "
+            f"FROM customer WHERE {outer_pred}"
+        )
+    # quantified comparison via min/max rewrite shared by both dialects
+    cmp_op = rng.choice(["<", ">"])
+    return (
+        f"SELECT c_custkey FROM customer "
+        f"WHERE {outer_pred} AND c_custkey * 40 {cmp_op} ("
+        f"SELECT coalesce(min(o_orderkey), 0) FROM orders "
+        f"WHERE o_custkey = c_custkey)"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_differential_subqueries(spark, seed):
+    load_tables(spark, SF_DIR, "orders", "customer")
+    _run_case(spark, _gen_subquery_sql(seed), seed)
