@@ -844,7 +844,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the much smaller tf table), score join keyed on term, and
     a per-doc top-n window. The df side is zipf-skewed — AQE skew-join
     handles the head terms; N arrives via a broadcast 1-row aggregate, not a
-    driver collect."""
+    driver collect. Declarative lineage recomputes the tf subtree for both
+    join sides; at 100 TB persist tf (one materialization ~ the size of the
+    distinct (doc, term) pairs) before fanning out."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)

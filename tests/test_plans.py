@@ -156,3 +156,23 @@ def test_crosscorpus_lsh_broadcasts_benchmark(spark):
     plan = _formatted(QUERIES["decontam_neardup_lsh"](spark, SF_DIR_MED))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_round4_curation_plans(spark):
+    """Round-4 curation operators: map-side partial aggregation everywhere,
+    no cartesian/nested-loop blowups (the 1-row corpus-size broadcast in
+    tfidf is the only BroadcastNestedLoop, by construction), dedup report
+    reads its input once."""
+    plan = _formatted(QUERIES["tfidf_top_terms"](spark, SF_DIR_MED))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    plan = _formatted(QUERIES["ngram_novelty_rate"](spark, SF_DIR_MED))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan  # first-occurrence aggregate combines map-side
+    import re
+
+    plan = _formatted(QUERIES["dup_cluster_sizes"](spark, SF_DIR_MED))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Window" not in plan and "Join" not in plan
+    assert "partial_count" in plan
