@@ -1874,3 +1874,49 @@ def test_cli_log_level_and_quiet(project_dir):
     assert q.returncode == 0
     assert "model.cloglvl.one" not in q.stdout  # result line suppressed
     assert "OK" not in q.stdout
+
+
+def test_materialized_view_noop_refresh_when_upstream_unchanged(project_dir, spark):
+    """MV emulation skips the rebuild entirely when the definition AND every
+    upstream's data files are unchanged (metadata-only fingerprint, no Spark
+    job) — the incremental-refresh property of a real MV; an upstream
+    rewrite triggers the refresh again."""
+    import time as _time
+
+    pdir = project_dir({
+        "dbt_project.yml": "name: mvf\n",
+        "seeds/base.csv": "id,v\n1,10\n2,20\n",
+        "models/mv.sql": (
+            "{{ config(materialized='materialized_view') }} "
+            "select sum(v) as total from {{ ref('base') }}"
+        ),
+    })
+    eng = Engine(pdir, spark=spark)
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    mv_dir = os.path.join(pdir, "target", "warehouse", "main", "mv")
+
+    def sig():
+        return sorted(
+            (f, os.stat(os.path.join(mv_dir, f)).st_mtime_ns)
+            for f in os.listdir(mv_dir) if not f.startswith(("_", "."))
+        )
+
+    first = sig()
+    _time.sleep(0.02)
+    assert eng.invoke(["run"]).success
+    assert sig() == first  # no rebuild: same files, same mtimes
+
+    # upstream data changes -> refresh happens
+    with open(os.path.join(pdir, "seeds", "base.csv"), "w") as f:
+        f.write("id,v\n1,10\n2,20\n3,30\n")
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    assert sig() != first
+    assert [r["total"] for r in eng.store.read("main", "mv").collect()] == [60]
+
+    # --full-refresh always rebuilds
+    before = sig()
+    _time.sleep(0.02)
+    assert eng.invoke(["run", "--full-refresh"]).success
+    assert sig() != before
