@@ -570,3 +570,63 @@ def _gen_subquery_sql(seed: int) -> str:
 def test_differential_subqueries(spark, seed):
     load_tables(spark, SF_DIR, "orders", "customer")
     _run_case(spark, _gen_subquery_sql(seed), seed)
+
+
+# --------------------------------------------------------------------------
+# JSON extraction over events.props — Spark get_json_object vs DuckDB
+# json_extract_string, rendered as per-dialect pairs from shared choices.
+# --------------------------------------------------------------------------
+
+def _gen_json_pair(seed: int) -> tuple[str, str]:
+    rng = random.Random(70_000 + seed)
+    s_k = "CAST(get_json_object(props, '$.k') AS BIGINT)"
+    d_k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    mod = rng.randrange(2, 7)
+    shape = rng.randrange(3)
+    if shape == 0:
+        where = f"% {mod} = {rng.randrange(mod)}"
+        return (
+            f"SELECT event_id, {s_k} AS k FROM events WHERE {s_k} {where}",
+            f"SELECT event_id, {d_k} AS k FROM events WHERE {d_k} {where}",
+        )
+    if shape == 1:
+        return (
+            "SELECT event_type, "
+            f"CAST(sum({s_k}) AS BIGINT) AS ksum, "
+            f"CAST(max({s_k}) AS BIGINT) AS kmax, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY event_type",
+            "SELECT event_type, "
+            f"CAST(sum({d_k}) AS BIGINT) AS ksum, "
+            f"CAST(max({d_k}) AS BIGINT) AS kmax, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY event_type",
+        )
+    missing = rng.choice(["$.nope", "$.k2"])
+    return (
+        f"SELECT event_id, coalesce(CAST(get_json_object(props, '{missing}') "
+        f"AS BIGINT), -1) AS miss, {s_k} % {mod} AS kb FROM events "
+        f"WHERE event_id % 3 = 0",
+        f"SELECT event_id, coalesce(CAST(json_extract_string(props, "
+        f"'{missing}') AS BIGINT), -1) AS miss, {d_k} % {mod} AS kb "
+        f"FROM events WHERE event_id % 3 = 0",
+    )
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_differential_json_funcs(spark, seed):
+    from dbt_spark.session import read_parquet
+
+    read_parquet(
+        spark, os.path.join(SF_DIR, "events.parquet")
+    ).createOrReplaceTempView("events")
+    spark_sql, duck_sql = _gen_json_pair(seed)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'events.parquet')}'"
+    )
+    got = spark.sql(spark_sql).toPandas()
+    want = con.sql(duck_sql).df()
+    assert sorted(got.columns) == sorted(want.columns), spark_sql
+    assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
