@@ -71,6 +71,11 @@ def main() -> int:
     ap.add_argument("--store-failures", action="store_true")
     ap.add_argument("--include-saved-query", action="store_true")
     ap.add_argument("--resource-type", action="append", default=[])
+    ap.add_argument("--exclude-resource-type", action="append", default=[])
+    ap.add_argument("--no-partial-parse", action="store_true")
+    ap.add_argument("--no-write-json", action="store_true")
+    ap.add_argument("--defer-state", default=None,
+                    help="state dir for --defer resolution (overrides --state)")
     ap.add_argument("--event-time-start", default=None)
     ap.add_argument("--event-time-end", default=None)
     args = ap.parse_args()
@@ -155,6 +160,14 @@ def main() -> int:
         argv.append("--include-saved-query")
     for rt in args.resource_type:
         argv += ["--resource-type", rt]
+    for rt in args.exclude_resource_type:
+        argv += ["--exclude-resource-type", rt]
+    if args.no_partial_parse:
+        argv.append("--no-partial-parse")
+    if args.no_write_json:
+        argv.append("--no-write-json")
+    if args.defer_state:
+        argv += ["--defer-state", args.defer_state]
     if args.event_time_start:
         argv += ["--event-time-start", args.event_time_start]
     if args.event_time_end:

@@ -131,7 +131,9 @@ class Engine:
             cache.save(cache_path)
         self._resolve_fk_constraint_refs()
         self._check_model_deprecations()
-        self.manifest.write(os.path.join(target_dir, "manifest.json"))
+        if getattr(self, "_write_json", True):
+            # --no-write-json skips artifact writes (cli/params.py:759)
+            self.manifest.write(os.path.join(target_dir, "manifest.json"))
         return self.manifest
 
     def _check_model_deprecations(self) -> None:
@@ -245,6 +247,10 @@ class Engine:
         include_saved_query = False
         sample: Optional[str] = None
         resource_filter: list[str] = []
+        resource_exclude: list[str] = []
+        no_partial_parse = False
+        write_json = True
+        defer_state: Optional[str] = None
         event_time_start: Optional[datetime] = None
         event_time_end: Optional[datetime] = None
         port: Optional[int] = None
@@ -313,6 +319,16 @@ class Engine:
             elif rest[i] == "--resource-type":
                 i += 1
                 resource_filter.append(rest[i])
+            elif rest[i] == "--exclude-resource-type":
+                i += 1
+                resource_exclude.append(rest[i])
+            elif rest[i] == "--no-partial-parse":
+                no_partial_parse = True
+            elif rest[i] == "--no-write-json":
+                write_json = False
+            elif rest[i] == "--defer-state":
+                i += 1
+                defer_state = rest[i]
             elif rest[i] == "--event-time-start":
                 i += 1
                 event_time_start = datetime.fromisoformat(rest[i])
@@ -362,8 +378,9 @@ class Engine:
         self._warn_error_options = warn_error_options
         from dbt_spark.events import WarnErrorPromotion
 
+        self._write_json = write_json
         try:
-            manifest = self.parse()
+            manifest = self.parse(partial=not no_partial_parse)
         except WarnErrorPromotion as e:
             return RunnerResult(False, [
                 RunResult(e.event.name, "error", 0.0, message=str(e))
@@ -420,6 +437,10 @@ class Engine:
             # --resource-type flag on build/ls)
             wanted = {NodeType(v) for v in resource_filter}
             resource_types = {t for t in resource_types if t in wanted}
+        if resource_exclude:
+            # --exclude-resource-type (reference cli/params.py:204)
+            dropped = {NodeType(v) for v in resource_exclude}
+            resource_types = {t for t in resource_types if t not in dropped}
         runnable = {
             uid
             for uid in selected
@@ -446,8 +467,10 @@ class Engine:
             return RunnerResult(success=True, results=results, manifest=manifest)
 
         defer_store = None
-        if defer and state_dir:
-            wh = os.path.join(state_dir, "warehouse")
+        if defer and (defer_state or state_dir):
+            # --defer-state overrides --state for defer resolution only
+            # (reference cli/params.py:105)
+            wh = os.path.join(defer_state or state_dir, "warehouse")
             if os.path.isdir(wh):
                 defer_store = RelationStore(self.spark, wh)
         ctx = ExecutionContext(
@@ -626,7 +649,8 @@ class Engine:
                 pass
 
         success = all(r.status in ("success", "pass", "warn", "skipped") for r in results)
-        self._write_run_results(results, success, command=command)
+        if getattr(self, "_write_json", True):
+            self._write_run_results(results, success, command=command)
         # reference end-of-run sequence: StatsLine Z023 + EndOfRunSummary Z030
         # (task/runnable.py print_results_line / print_run_end_messages)
         stats = {"pass": 0, "warn": 0, "error": 0, "skip": 0,

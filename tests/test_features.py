@@ -1920,3 +1920,42 @@ def test_materialized_view_noop_refresh_when_upstream_unchanged(project_dir, spa
     _time.sleep(0.02)
     assert eng.invoke(["run", "--full-refresh"]).success
     assert sig() != before
+
+
+def test_flag_parity_round4(project_dir, spark, tmp_path):
+    """--exclude-resource-type / --no-write-json / --no-partial-parse /
+    --defer-state (reference cli/params.py:204,759,396,105)."""
+    import shutil
+
+    pdir = project_dir({
+        "dbt_project.yml": "name: fp4\n",
+        "seeds/s.csv": "id\n1\n",
+        "models/m.sql": "select * from {{ ref('s') }}",
+    })
+    eng = Engine(pdir, spark=spark)
+    assert eng.invoke(["seed"]).success
+
+    # build normally runs seed+model; excluding seeds leaves only the model
+    r = eng.invoke(["build", "--exclude-resource-type", "seed"])
+    assert [x.unique_id for x in r.results] == ["model.fp4.m"]
+
+    # --no-write-json: run_results.json not rewritten
+    rr = os.path.join(pdir, "target", "run_results.json")
+    os.remove(rr)
+    assert eng.invoke(["run", "--no-write-json"]).success
+    assert not os.path.exists(rr)
+    assert eng.invoke(["run"]).success
+    assert os.path.exists(rr)
+
+    # --no-partial-parse: cache is bypassed (run succeeds from a cold parse)
+    assert eng.invoke(["run", "--no-partial-parse"]).success
+
+    # --defer-state: defer resolves through a different dir than --state
+    state_copy = str(tmp_path / "prodstate")
+    shutil.copytree(os.path.join(pdir, "target"), state_copy)
+    pdir2 = project_dir({})  # same tree; reuse pdir files
+    eng2 = Engine(pdir, spark=spark)
+    r2 = eng2.invoke([
+        "run", "--select", "m", "--defer", "--defer-state", state_copy,
+    ])
+    assert r2.success, [x.message for x in r2.results]
