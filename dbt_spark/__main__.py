@@ -76,6 +76,11 @@ def main() -> int:
     ap.add_argument("--no-write-json", action="store_true")
     ap.add_argument("--defer-state", default=None,
                     help="state dir for --defer resolution (overrides --state)")
+    ap.add_argument("--add-package", default=None,
+                    help="deps: add 'org/name@versionspec' to packages.yml "
+                         "and install")
+    ap.add_argument("--upgrade", action="store_true",
+                    help="deps: ignore package-lock.yml and re-resolve")
     ap.add_argument("--event-time-start", default=None)
     ap.add_argument("--event-time-end", default=None)
     args = ap.parse_args()
@@ -168,6 +173,10 @@ def main() -> int:
         argv.append("--no-write-json")
     if args.defer_state:
         argv += ["--defer-state", args.defer_state]
+    if args.add_package:
+        argv += ["--add-package", args.add_package]
+    if args.upgrade:
+        argv.append("--upgrade")
     if args.event_time_start:
         argv += ["--event-time-start", args.event_time_start]
     if args.event_time_end:

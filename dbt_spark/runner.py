@@ -261,6 +261,8 @@ class Engine:
         threads_override: Optional[int] = None
         ls_output = "selector"
         ls_output_keys: list[str] = []
+        add_package: Optional[str] = None
+        deps_upgrade = False
         i = 0
         while i < len(rest):
             if rest[i] in ("--select", "-s"):
@@ -329,6 +331,11 @@ class Engine:
             elif rest[i] == "--defer-state":
                 i += 1
                 defer_state = rest[i]
+            elif rest[i] == "--add-package":
+                i += 1
+                add_package = rest[i]
+            elif rest[i] == "--upgrade":
+                deps_upgrade = True
             elif rest[i] == "--event-time-start":
                 i += 1
                 event_time_start = datetime.fromisoformat(rest[i])
@@ -367,7 +374,7 @@ class Engine:
         if command == "retry":
             return self._retry(full_refresh=full_refresh, snapshot_ts=snapshot_ts, now=now)
         if command == "deps":
-            return self._deps()
+            return self._deps(add_package=add_package, upgrade=deps_upgrade)
         if command == "debug":
             return self._debug()
 
@@ -1167,17 +1174,61 @@ class Engine:
         ok = all(r.status == "success" for r in results)
         return RunnerResult(ok, results, self.manifest)
 
-    def _deps(self) -> RunnerResult:
+    def _deps(self, add_package: Optional[str] = None,
+              upgrade: bool = False) -> RunnerResult:
         """dbt deps: resolve packages.yml into dbt_packages/.
 
         local: resolves in place (deps/local.py:26); git: clones the URL (a
         remote, a file:// URL, or a local repo path) and checks out
         ``revision`` (deps/git.py:46); tarball: extracts the archive
         (deps/tarball.py:30). Hub packages need the registry (network) and
-        report an actionable error (deps/registry.py:30)."""
+        report an actionable error (deps/registry.py:30).
+
+        ``--add-package name@versionspec`` appends/replaces the entry in
+        packages.yml before installing (cli/params.py:29 add_package).
+        Every run writes package-lock.yml with the resolved hub versions +
+        a hash of the package config; later runs reuse the locked exact
+        versions while the config is unchanged, and ``--upgrade`` ignores
+        the lock to re-resolve at the newest satisfying versions
+        (reference deps task lock/upgrade semantics, core/dbt/task/deps.py)."""
+        import hashlib
         import shutil
         import subprocess
         import tarfile
+
+        import yaml as _yaml
+
+        if add_package:
+            name, _, spec = add_package.partition("@")
+            entry: dict = {"package": name}
+            if spec:
+                entry["version"] = [spec]
+            pk_path = os.path.join(self.project.root, "packages.yml")
+            doc = {"packages": []}
+            if os.path.exists(pk_path):
+                with open(pk_path) as f:
+                    doc = _yaml.safe_load(f) or {"packages": []}
+            pkgs = [p for p in (doc.get("packages") or [])
+                    if p.get("package") != name] + [entry]
+            doc["packages"] = pkgs
+            with open(pk_path, "w") as f:
+                _yaml.safe_dump(doc, f, sort_keys=False)
+            self.project.packages = pkgs
+
+        lock_path = os.path.join(self.project.root, "package-lock.yml")
+        config_hash = hashlib.sha1(
+            _yaml.safe_dump(self.project.packages, sort_keys=True).encode()
+        ).hexdigest()
+        locked: dict[str, str] = {}
+        if not upgrade and os.path.exists(lock_path):
+            with open(lock_path) as f:
+                lock_doc = _yaml.safe_load(f) or {}
+            if lock_doc.get("sha1_hash") == config_hash:
+                locked = {
+                    e["package"]: str(e["version"])
+                    for e in (lock_doc.get("packages") or [])
+                    if isinstance(e, dict) and "package" in e
+                }
 
         results: list[RunResult] = []
         install_root = os.path.join(self.project.root, "dbt_packages")
@@ -1263,6 +1314,13 @@ class Engine:
                     "`local:`, `git:`, or `tarball:`",
                 ))
         hub_pkgs = [p for p in self.project.packages if "package" in p]
+        if locked:
+            # lock hit: pin every locked root to its exact resolved version
+            hub_pkgs = [
+                {"package": p["package"], "version": [f"={locked[p['package']]}"]}
+                if p["package"] in locked else p
+                for p in hub_pkgs
+            ]
         if hub_pkgs:
             from dbt_spark.plans.deps import DepsError, resolve_registry
 
@@ -1307,6 +1365,12 @@ class Engine:
                     results.append(RunResult(
                         f"package.hub.{name}", "success", time.time() - t0,
                         f"{version} -> {dest}"))
+                with open(lock_path, "w") as f:
+                    _yaml.safe_dump(
+                        {"packages": [{"package": n, "version": str(v)}
+                                      for n, v, _ in resolved],
+                         "sha1_hash": config_hash},
+                        f, sort_keys=False)
             except DepsError as e:
                 results.append(RunResult("package.hub", "error",
                                          time.time() - t0, str(e)))

@@ -16,6 +16,7 @@ import os
 import shutil
 
 import pytest
+import yaml
 
 from dbt_spark.runner import Engine
 
@@ -1959,3 +1960,54 @@ def test_flag_parity_round4(project_dir, spark, tmp_path):
         "run", "--select", "m", "--defer", "--defer-state", state_copy,
     ])
     assert r2.success, [x.message for x in r2.results]
+
+
+def test_deps_add_package_lock_and_upgrade(project_dir, spark, tmp_path):
+    """deps --add-package writes packages.yml then installs; every deps run
+    writes package-lock.yml; while the config is unchanged later runs pin
+    to the locked versions even when the mirror gains newer releases;
+    --upgrade ignores the lock (reference deps lock/add/upgrade)."""
+    reg = tmp_path / "registry"
+    for ver in ("1.0.0", "1.1.0"):
+        d = reg / "org" / "kit" / ver
+        (d / "macros").mkdir(parents=True)
+        (d / "dbt_project.yml").write_text("name: kit\n")
+    root = project_dir({"dbt_project.yml": "name: lockp\n"})
+    os.environ["DBT_SPARK_REGISTRY"] = str(reg)
+    try:
+        eng = Engine(root, spark=spark)
+        r = eng.invoke(["deps", "--add-package", "org/kit@>=1.0.0"])
+        assert r.success, [x.message for x in r.results]
+        # packages.yml written
+        doc = yaml.safe_load(open(os.path.join(root, "packages.yml")))
+        assert doc["packages"] == [{"package": "org/kit", "version": [">=1.0.0"]}]
+        # lock written with the resolved version
+        lock = yaml.safe_load(open(os.path.join(root, "package-lock.yml")))
+        assert lock["packages"] == [{"package": "org/kit", "version": "1.1.0"}]
+
+        # mirror gains 1.2.0; a plain deps run stays locked at 1.1.0
+        d = reg / "org" / "kit" / "1.2.0"
+        (d / "macros").mkdir(parents=True)
+        (d / "dbt_project.yml").write_text("name: kit\n")
+        r2 = Engine(root, spark=spark).invoke(["deps"])
+        assert r2.success
+        msgs = {x.unique_id: x.message for x in r2.results}
+        assert msgs["package.hub.org/kit"].startswith("1.1.0 ->")
+
+        # --upgrade re-resolves to 1.2.0 and rewrites the lock
+        r3 = Engine(root, spark=spark).invoke(["deps", "--upgrade"])
+        assert r3.success
+        msgs3 = {x.unique_id: x.message for x in r3.results}
+        assert msgs3["package.hub.org/kit"].startswith("1.2.0 ->")
+        lock3 = yaml.safe_load(open(os.path.join(root, "package-lock.yml")))
+        assert lock3["packages"][0]["version"] == "1.2.0"
+
+        # config change (new range) invalidates the stale lock hash
+        with open(os.path.join(root, "packages.yml"), "w") as f:
+            f.write("packages:\n  - package: org/kit\n    version: ['<1.1.0']\n")
+        r4 = Engine(root, spark=spark).invoke(["deps"])
+        assert r4.success
+        msgs4 = {x.unique_id: x.message for x in r4.results}
+        assert msgs4["package.hub.org/kit"].startswith("1.0.0 ->")
+    finally:
+        del os.environ["DBT_SPARK_REGISTRY"]
