@@ -473,8 +473,18 @@ def materialize_table(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     partition_by = node.config.partition_by
     if isinstance(partition_by, str):
         partition_by = [partition_by]
+    zorder = node.config.meta.get("zorder_by")
     sort_by = node.config.meta.get("sort_by")
-    if sort_by:
+    if zorder:
+        # config(zorder_by=[a, b]): Morton-interleaved multi-dimensional
+        # clustering — row groups prune selective predicates on EVERY keyed
+        # column, where sort_by only prunes its leading column
+        # (functions/layout.py; public analog: Delta OPTIMIZE ZORDER BY)
+        from dbt_spark.functions.layout import zorder_layout
+
+        df = zorder_layout(
+            df, [zorder] if isinstance(zorder, str) else list(zorder))
+    elif sort_by:
         # config(sort_by=...): cluster rows within each output file so
         # parquet row-group min/max statistics prune range predicates —
         # at 100 TB a time- or key-sorted fact table turns selective scans

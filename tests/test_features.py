@@ -20,7 +20,7 @@ import yaml
 
 from dbt_spark.runner import Engine
 
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_MED
 
 
 BASE = {
@@ -1556,7 +1556,7 @@ def test_schema_yaml_env_var_and_var_substitution(project_dir, spark, monkeypatc
     """{{ env_var(...) }} / {{ var(...) }} substitute inside schema YAML
     values (reference SchemaYamlRenderer); {{ doc(...) }} strings pass
     through untouched for the description render phase."""
-    from tests.conftest import SF_DIR
+    from tests.conftest import SF_DIR, SF_DIR_MED
 
     monkeypatch.setenv("TPCH_DIR", SF_DIR)
     files = {
@@ -2011,3 +2011,69 @@ def test_deps_add_package_lock_and_upgrade(project_dir, spark, tmp_path):
         assert msgs4["package.hub.org/kit"].startswith("1.0.0 ->")
     finally:
         del os.environ["DBT_SPARK_REGISTRY"]
+
+
+def test_zorder_by_clusters_both_dimensions(project_dir, spark):
+    """config(zorder_by=[a, b]): every output file covers a narrow range of
+    BOTH keyed columns (parquet min/max prune either predicate), whereas
+    sort_by(a) leaves the second column unclustered (full span per file)."""
+    import pyarrow.parquet as pq
+
+    def file_spans(path, col_a, col_b):
+        spans = []
+        for dp, _d, fs in os.walk(path):
+            for fn in fs:
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(dp, fn))
+                schema_names = md.schema.to_arrow_schema().names
+                ia, ib = schema_names.index(col_a), schema_names.index(col_b)
+                mins = {col_a: [], col_b: []}
+                maxs = {col_a: [], col_b: []}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for name, idx in ((col_a, ia), (col_b, ib)):
+                        st = g.column(idx).statistics
+                        mins[name].append(st.min)
+                        maxs[name].append(st.max)
+                spans.append((
+                    max(maxs[col_a]) - min(mins[col_a]),
+                    max(maxs[col_b]) - min(mins[col_b]),
+                ))
+        return spans
+
+    def build(cfg_line, name):
+        pdir = project_dir({
+            f"dbt_project.yml": f"name: z{name}\n",
+            "models/sources.yml": """
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        meta: {location: "__SF__/orders.parquet"}
+""".replace("__SF__", SF_DIR_MED),
+            "models/laid.sql": (
+                "{{ config(materialized='table', " + cfg_line + ") }} "
+                "select o_orderkey, o_custkey, o_totalprice "
+                "from {{ source('tpch', 'orders') }}"
+            ),
+        })
+        eng = Engine(pdir, spark=spark)
+        assert eng.invoke(["run"]).success
+        return file_spans(
+            os.path.join(pdir, "target", "warehouse", "main", "laid"),
+            "o_custkey", "o_totalprice")
+
+    z = build("zorder_by=['o_custkey', 'o_totalprice']", "z")
+    s = build("sort_by=['o_custkey']", "s")
+    assert len(z) >= 8  # range partitioner actually spread the files
+
+    dom_a = max(mx for mx, _ in z + s)  # ~ full o_custkey domain
+    dom_b = max(mx for _, mx in z + s)
+    z_a = sum(a for a, _ in z) / len(z) / dom_a
+    z_b = sum(b for _, b in z) / len(z) / dom_b
+    s_b = sum(b for _, b in s) / len(s) / dom_b
+    # z-order: both dimensions clustered; single sort: 2nd dim ~ full span
+    assert z_a < 0.5 and z_b < 0.5, (z_a, z_b)
+    assert s_b > 0.9, s_b
+    assert z_b < 0.6 * s_b
