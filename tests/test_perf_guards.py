@@ -40,3 +40,29 @@ def test_static_parser_actually_engages(tmp_path):
     got = static_extract(
         "select 1 as id union all select * from {{ ref('node_7') }}")
     assert got == ([(None, "node_7")], [], {})
+
+
+def test_no_unpartitioned_windows_in_tree():
+    """A Window built with .orderBy() and no .partitionBy() forces the whole
+    input through ONE task — the scale-killer class round 4 removed from
+    train_centroids. Static guard: no `Window.orderBy(...)` / `W.orderBy(...)`
+    spec construction anywhere in the package (partitioned windows are built
+    as `Window.partitionBy(...).orderBy(...)`, which this does not match).
+    If a global window is ever genuinely needed, bound its input with
+    orderBy().limit() (TakeOrderedAndProject) instead."""
+    import re
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "dbt_spark")
+    offenders = []
+    pat = re.compile(r"\bW(?:indow)?\.orderBy\(")
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                for ln, line in enumerate(f, 1):
+                    if pat.search(line):
+                        offenders.append(f"{path}:{ln}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
