@@ -341,6 +341,41 @@ def engine_run_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.read("main", "customer_orders")
 
 
+def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """config(zorder_by=[k1, k2]) through the engine: Morton-interleaved
+    clustering (functions/layout.py) relays the full row set unchanged — the
+    layout moves bytes, never values. Returned rows are oracle-checked
+    against a plain projection; the pruning property itself is pinned by
+    tests/test_features.py::test_zorder_by_clusters_both_dimensions."""
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: zq\n",
+        "models/sources.yml": (
+            "sources:\n  - name: tpch\n    tables:\n      - name: orders\n"
+            '        meta: {location: "__SF__/orders.parquet"}\n'
+        ),
+        "models/zlaid.sql": (
+            "{{ config(materialized='table', "
+            "zorder_by=['o_custkey', 'o_totalprice']) }} "
+            "select o_orderkey, o_custkey, o_totalprice "
+            "from {{ source('tpch', 'orders') }}"
+        ),
+    }
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_zorder_")
+    for rel, content in files.items():
+        p = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content.replace("__SF__", sf_dir))
+    eng = Engine(tmp, spark=spark)
+    if not eng.invoke(["run"]).success:
+        raise RuntimeError("zorder run failed")
+    return eng.store.read("main", "zlaid").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"))
+
+
 def contract_enforced_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model contracts (reference v1/config.py:33-36, build_contract_checksum
     nodes.py:637): a conforming model materializes; a sibling that violates
@@ -885,6 +920,11 @@ ORACLES: dict[str, str] = {
         LEFT JOIN nation n ON e.user_id = n.n_nationkey
         WHERE e.user_id IS NOT NULL AND n.n_nationkey IS NULL
     """,
+    "zorder_layout_scan": """
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+    """,
     "engine_run_e2e": """
         WITH order_stats AS (
             SELECT o_custkey,
@@ -915,6 +955,7 @@ QUERIES = {
     "test_accepted_values_failing_rows": test_accepted_values_failing_rows,
     "test_relationships_failing_rows": test_relationships_failing_rows,
     "engine_run_e2e": engine_run_e2e,
+    "zorder_layout_scan": zorder_layout_scan,
     "snapshot_hard_delete": snapshot_hard_delete,
     "unit_test_fixture_diff": unit_test_fixture_diff,
     "python_model_run": python_model_run,
