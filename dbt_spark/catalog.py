@@ -373,7 +373,8 @@ class RelationStore:
         return rel
 
     def compact(
-        self, schema: str, name: str, target_file_mb: int = 128
+        self, schema: str, name: str, target_file_mb: int = 128,
+        zorder_by: "Optional[list[str]]" = None,
     ) -> tuple[int, int]:
         """Small-file compaction: rewrite the relation at ~target_file_mb per
         file. Incremental appends and per-batch microbatch writes accrete
@@ -381,7 +382,10 @@ class RelationStore:
         once files shrink below the HDFS/S3 block size, so periodic
         compaction is part of the operating loop (the OPTIMIZE analog).
         Returns (files_before, files_after). Partitioned layouts compact
-        within each partition (partitionBy preserved)."""
+        within each partition (partitionBy preserved). ``zorder_by`` relays
+        the rewrite in Morton order (the OPTIMIZE ZORDER BY analog,
+        functions/layout.py) — re-clustering accreted appends so row groups
+        prune on every keyed column again."""
         rel = self.get(schema, name)
         if rel is None or not rel.path:
             raise KeyError(f"relation {schema}.{name} does not exist")
@@ -426,7 +430,11 @@ class RelationStore:
             return before, after
         n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
         parts = rel.partition_by
-        if parts:
+        if zorder_by:
+            from dbt_spark.functions.layout import zorder_layout
+
+            out = zorder_layout(df, list(zorder_by), out_partitions=n_files)
+        elif parts:
             # spread within partitions without changing the partition layout
             out = df.repartition(n_files, *parts)
         else:

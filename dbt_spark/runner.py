@@ -771,7 +771,8 @@ class Engine:
             schema = op_args.get("schema") or self.project.profile.get("schema", "main")
             try:
                 before, after = self.store.compact(
-                    schema, rel_name, int(op_args.get("target_file_mb", 128))
+                    schema, rel_name, int(op_args.get("target_file_mb", 128)),
+                    zorder_by=op_args.get("zorder_by"),
                 )
                 return RunnerResult(True, [RunResult(
                     f"operation.{self.project.name}.compact", "success",

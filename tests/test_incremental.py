@@ -733,3 +733,38 @@ from {{ ref('events') }} where day = {{ var('day', 1) }}
     rows = spark.sql("select * from main__target").collect()
     tags = {row.id: row.tag for row in rows}
     assert tags[3] == "x" and tags[1] is None  # old rows: trailing null
+
+
+def test_compact_with_zorder(project_dir, spark):
+    """run-operation compact --args '{relation: t, zorder_by: [a, b]}':
+    the rewrite re-clusters accreted appends in Morton order (OPTIMIZE
+    ZORDER BY analog) — after compaction every file covers a narrow range
+    of BOTH keyed columns; values unchanged."""
+    import pyarrow.parquet as pq
+
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='append') }}
+select id, day, val from {{ ref('events') }} where day = {{ var('day', 1) }}
+"""
+    root, eng = make_engine(project_dir, spark, sql)
+    assert eng.invoke(["seed"]).success
+    for day in (1, 2, 3):
+        eng.vars = {"day": day}
+        assert eng.invoke(["run"]).success
+    before = spark.sql("select * from main__target").collect()
+
+    r = eng.invoke(["run-operation", "compact",
+                    "--args", '{relation: target, zorder_by: [id, val]}'])
+    assert r.success, r.results[0].message
+
+    path = os.path.join(root, "target", "warehouse", "main", "target")
+    for dp, _d, fs in os.walk(path):
+        for fn in fs:
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(dp, fn))
+            names = md.schema.to_arrow_schema().names
+            assert "id" in names and "val" in names
+    got = sorted((r.id, r.day, r.val)
+                 for r in eng.store.read("main", "target").collect())
+    assert got == sorted((r.id, r.day, r.val) for r in before)
