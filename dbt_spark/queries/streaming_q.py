@@ -258,7 +258,85 @@ def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed-upsert sink via foreachBatch (the canonical pattern
+    from the public Structured Streaming docs: foreachBatch + MERGE into the
+    warehouse; at 100 TB the inner rewrite becomes Delta/Iceberg MERGE —
+    per-batch transactions instead of the full-relation rewrite used here).
+
+    maxFilesPerTrigger=1 under availableNow forces MULTIPLE micro-batches,
+    so cross-batch merge semantics (a later batch superseding an earlier
+    batch's row for the same user) are actually exercised, checkpointed and
+    deterministic. Final state = keep-latest-by-(ts, event_id) per user —
+    exactly the batch window-rank, which is the oracle."""
+    import tempfile as _tf
+
+    from pyspark.sql import Window as W
+
+    from dbt_spark.catalog import RelationStore
+
+    events = (
+        read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "user_id", "ts", "value")
+        .filter(F.col("event_id") < 2000)
+    )
+    src = _tf.mkdtemp(prefix="dbt_spark_fbsrc_")
+    ckpt = _tf.mkdtemp(prefix="dbt_spark_fbckpt_")
+    wh = _tf.mkdtemp(prefix="dbt_spark_fbwh_")
+    store = RelationStore(spark, wh)
+    # two files -> two micro-batches
+    events.filter(F.col("event_id") < 1000).coalesce(1).write.mode(
+        "append").parquet(src)
+    events.filter(F.col("event_id") >= 1000).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def upsert(batch_df, batch_id):
+        cur = batch_df
+        if store.get("main", "user_latest") is not None:
+            cur = store.read("main", "user_latest").select(
+                *batch_df.columns).unionByName(batch_df)
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        latest = (
+            cur.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        store.write_table("main", "user_latest", latest, kind="table")
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store.read("main", "user_latest").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").cast("double").alias("last_value"),
+    )
+
+
 ORACLES = {
+    "stream_foreachbatch_upsert": """
+        WITH ranked AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_id < 2000
+        )
+        SELECT user_id,
+               event_id AS last_event_id,
+               CAST(value AS DOUBLE) AS last_value
+        FROM ranked WHERE rn = 1
+    """,
     "stream_static_join": """
         SELECT e.event_id, e.user_id, e.value, c.c_mktsegment AS segment
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
@@ -334,6 +412,7 @@ QUERIES = {
     "streaming_ingest_checkpoint": streaming_ingest_checkpoint,
     "stream_dedup_watermark": stream_dedup_watermark,
     "stream_static_join": stream_static_join,
+    "stream_foreachbatch_upsert": stream_foreachbatch_upsert,
     "stream_stream_interval_join": stream_stream_interval_join,
     "session_window_agg": session_window_agg_q,
     "tumbling_window_agg": tumbling_window_agg,
