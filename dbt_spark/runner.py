@@ -901,10 +901,15 @@ class Engine:
                     }
                 except Exception:  # noqa: BLE001 — stats are best-effort
                     stats = {}
+            doc_cols = rel.meta.get("doc_columns") or {}
             nodes_cat[uid] = {
-                "metadata": {"type": rel.kind, "schema": rel.schema, "name": rel.name},
+                "metadata": {"type": rel.kind, "schema": rel.schema,
+                             "name": rel.name,
+                             "comment": rel.meta.get("doc_comment")},
                 "columns": {
-                    f.name: {"type": f.dataType.simpleString(), "index": i, "name": f.name}
+                    f.name: {"type": f.dataType.simpleString(), "index": i,
+                             "name": f.name,
+                             "comment": doc_cols.get(f.name)}
                     for i, f in enumerate(df.schema.fields)
                 },
                 "stats": stats,
@@ -1516,6 +1521,7 @@ class Engine:
                 )
             else:
                 results.append(RunResult(node.unique_id, "success", time.time() - t0))
+            self._persist_docs(ctx, node)
         for hook in node.config.post_hook:
             ctx.spark.sql(self._render_hook(ctx, node, hook))
 
@@ -1606,6 +1612,39 @@ class Engine:
             var_overrides={**ctx.project.vars, **ctx.vars},
             target=dict(ctx.project.profile),
         )
+
+    def _persist_docs(self, ctx: ExecutionContext, node: ManifestNode) -> None:
+        """config(persist_docs={relation: true, columns: true}): write the
+        node/column descriptions into the warehouse itself (reference
+        persist_docs config — adapters run COMMENT ON; here the durable
+        catalog is _catalog.json, and catalog-backed bucketed tables also get
+        a real TBLPROPERTIES comment so SHOW TBLPROPERTIES surfaces it)."""
+        pd_cfg = node.config.meta.get("persist_docs") or {}
+        if not isinstance(pd_cfg, dict) or not pd_cfg:
+            return
+        rel = self.store.get(ctx.schema_for(node), node.name)
+        if rel is None:
+            return
+        changed = False
+        if pd_cfg.get("relation") and node.description:
+            rel.meta["doc_comment"] = node.description
+            changed = True
+            if rel.meta.get("buckets"):
+                comment = node.description.replace("'", "''")
+                ctx.spark.sql(
+                    f"COMMENT ON TABLE {rel.identifier} IS '{comment}'")
+        if pd_cfg.get("columns") and node.columns:
+            cols = {
+                name: str(spec.get("description", ""))
+                for name, spec in node.columns.items()
+                if spec.get("description")
+            }
+            if cols:
+                rel.meta["doc_columns"] = cols
+                changed = True
+        if changed:
+            with self.store._lock:
+                self.store._save_state()
 
     def _run_hooks(
         self, ctx: ExecutionContext, hooks: list[str], phase: str,

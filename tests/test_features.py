@@ -2077,3 +2077,48 @@ sources:
     assert z_a < 0.5 and z_b < 0.5, (z_a, z_b)
     assert s_b > 0.9, s_b
     assert z_b < 0.6 * s_b
+
+
+def test_persist_docs(project_dir, spark):
+    """config(persist_docs={relation, columns}): descriptions land in the
+    durable warehouse catalog and surface through docs generate; a bucketed
+    (session-catalog) table also carries a real TBLPROPERTIES comment."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: pdoc\n",
+        "models/doc_model.sql": (
+            "{{ config(materialized='table', "
+            "persist_docs={'relation': true, 'columns': true}) }} "
+            "select 1 as id, 'x' as label"
+        ),
+        "models/plain.sql": "select 2 as id",
+        "models/bucketed.sql": (
+            "{{ config(materialized='table', bucket_by=['id'], buckets=4, "
+            "persist_docs={'relation': true}) }} select 3 as id"
+        ),
+        "models/schema.yml": """
+models:
+  - name: doc_model
+    description: the documented model
+    columns:
+      - name: id
+        description: surrogate key
+  - name: bucketed
+    description: bucketed and documented
+""",
+    })
+    eng = Engine(pdir, spark=spark)
+    assert eng.invoke(["run"]).success
+    rel = eng.store.get("main", "doc_model")
+    assert rel.meta["doc_comment"] == "the documented model"
+    assert rel.meta["doc_columns"] == {"id": "surrogate key"}
+    assert "doc_comment" not in (eng.store.get("main", "plain").meta)
+
+    desc_rows = {r["col_name"]: r["data_type"] for r in spark.sql(
+        "DESCRIBE TABLE EXTENDED main__bucketed").collect()}
+    assert desc_rows.get("Comment") == "bucketed and documented"
+
+    assert eng.invoke(["docs", "generate"]).success
+    cat = json.load(open(os.path.join(pdir, "target", "catalog.json")))
+    entry = cat["nodes"]["model.pdoc.doc_model"]
+    assert entry["metadata"]["comment"] == "the documented model"
+    assert entry["columns"]["id"]["comment"] == "surrogate key"
