@@ -1522,6 +1522,7 @@ class Engine:
             else:
                 results.append(RunResult(node.unique_id, "success", time.time() - t0))
             self._persist_docs(ctx, node)
+            self._apply_grants(ctx, node)
         for hook in node.config.post_hook:
             ctx.spark.sql(self._render_hook(ctx, node, hook))
 
@@ -1645,6 +1646,29 @@ class Engine:
         if changed:
             with self.store._lock:
                 self.store._save_state()
+
+    def _apply_grants(self, ctx: ExecutionContext, node: ManifestNode) -> None:
+        """config(grants={'select': ['user_a', ...]}): the reference
+        standardizes the grants dict and issues GRANT/REVOKE per privilege
+        (adapter standardize_grants_dict / apply_grants). OSS local Spark has
+        no ACL store, so the engine RECORDS the standardized grants in the
+        durable catalog (the enforcement point at scale is the deployment's
+        Ranger/Unity layer, which reads exactly this shape) and exposes them
+        in manifest/catalog artifacts."""
+        grants = node.config.meta.get("grants")
+        if not isinstance(grants, dict) or not grants:
+            return
+        rel = self.store.get(ctx.schema_for(node), node.name)
+        if rel is None:
+            return
+        std = {
+            str(priv).lower(): sorted(
+                [g] if isinstance(g, str) else [str(x) for x in g])
+            for priv, g in grants.items()
+        }
+        rel.meta["grants"] = std
+        with self.store._lock:
+            self.store._save_state()
 
     def _run_hooks(
         self, ctx: ExecutionContext, hooks: list[str], phase: str,

@@ -2122,3 +2122,22 @@ models:
     entry = cat["nodes"]["model.pdoc.doc_model"]
     assert entry["metadata"]["comment"] == "the documented model"
     assert entry["columns"]["id"]["comment"] == "surrogate key"
+
+
+def test_grants_recorded_standardized(project_dir, spark):
+    """config(grants=...): grantees standardized (scalar -> list, sorted)
+    and recorded in the durable catalog — the shape adapter apply_grants
+    ships to the warehouse ACL layer."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: gr\n",
+        "models/m.sql": (
+            "{{ config(materialized='table', "
+            "grants={'select': ['role_b', 'role_a'], 'insert': 'svc'}) }} "
+            "select 1 as id"
+        ),
+    })
+    eng = Engine(pdir, spark=spark)
+    assert eng.invoke(["run"]).success
+    rel = eng.store.get("main", "m")
+    assert rel.meta["grants"] == {
+        "select": ["role_a", "role_b"], "insert": ["svc"]}
