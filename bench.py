@@ -113,6 +113,9 @@ EXTENDED = [
     "per_lang_length_stats",
     "tfidf_top_terms",
     "ngram_novelty_rate",
+    "event_funnel",
+    "retention_cohorts",
+    "per_source_dup_rate",
 ]
 
 

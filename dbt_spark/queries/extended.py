@@ -477,7 +477,127 @@ def try_error_handling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-sequential conversion funnel (signup -> view after signup ->
+    purchase after that view): the product-analytics staple. Each step is a
+    conditional min-timestamp over events joined back per user — NULL
+    propagation does the gating (ts > NULL is NULL, so a user who never hit
+    step k contributes nothing to step k+1).
+
+    Scale: three aggregates + two joins, all keyed on user_id — one
+    co-partitioned shuffle chain, no window over the full event stream."""
+    t = load_tables(spark, sf_dir, "events")
+    e = t["events"]
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"))
+    j2 = (
+        e.join(s1, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(F.min(F.when(
+            (F.col("event_type") == "view") & (F.col("ts") > F.col("t1")),
+            F.col("ts"))).alias("t2"))
+    )
+    j3 = (
+        e.join(j2, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min(F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"))).alias("t3"))
+    )
+    return j3.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.count("t1").cast("bigint").alias("step_signup"),
+        F.count("t2").cast("bigint").alias("step_view"),
+        F.count("t3").cast("bigint").alias("step_purchase"),
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted in each later activity week, with the retention ratio — the
+    other product-analytics staple.
+
+    Scale: two aggregates (first-activity, distinct user-week) and one join,
+    all keyed on user_id / cohort week; the output is cohort-weeks x offset
+    — tiny at any input scale."""
+    t = load_tables(spark, sf_dir, "events")
+    e = t["events"]
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size"))
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_week",
+                 (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+                 .cast("bigint").alias("week_offset"))
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            "week_offset", "n_active", "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size"))
+            .alias("retention"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "event_funnel": """
+        WITH s1 AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+            FROM events GROUP BY user_id
+        ),
+        j2 AS (
+            SELECT e.user_id, s1.t1,
+                   min(CASE WHEN e.event_type = 'view' AND e.ts > s1.t1
+                       THEN e.ts END) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            GROUP BY e.user_id, s1.t1
+        ),
+        j3 AS (
+            SELECT e.user_id, j2.t1, j2.t2,
+                   min(CASE WHEN e.event_type = 'purchase' AND e.ts > j2.t2
+                       THEN e.ts END) AS t3
+            FROM events e JOIN j2 ON e.user_id = j2.user_id
+            GROUP BY e.user_id, j2.t1, j2.t2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(t1) AS BIGINT) AS step_signup,
+               CAST(count(t2) AS BIGINT) AS step_view,
+               CAST(count(t3) AS BIGINT) AS step_purchase
+        FROM j3
+    """,
+    "retention_cohorts": """
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+            FROM events
+        ),
+        sizes AS (
+            SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+            FROM firsts GROUP BY cohort_week
+        )
+        SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+               CAST(datediff('day', f.cohort_week, a.act_week) / 7 AS BIGINT)
+                   AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_active,
+               s.cohort_size,
+               CAST(count(*) AS DOUBLE) / s.cohort_size AS retention
+        FROM activity a
+        JOIN firsts f ON a.user_id = f.user_id
+        JOIN sizes s ON f.cohort_week = s.cohort_week
+        GROUP BY f.cohort_week, week_offset, s.cohort_size
+    """,
+
     "approx_percentile_bounded": """
         SELECT o_orderstatus,
                round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4)
@@ -669,6 +789,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "event_funnel": event_funnel,
+    "retention_cohorts": retention_cohorts,
     "interval_arithmetic": interval_arithmetic,
     "scan_multi_format_sources": scan_multi_format_sources,
     "recursive_cte_date_spine": recursive_cte_date_spine,

@@ -909,7 +909,36 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def per_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: docs, distinct fingerprints, dup rate —
+    the per-domain/per-crawl dedup dashboard row that decides which sources
+    get re-crawled vs down-weighted.
+
+    Scale: one aggregate on (source) with a distinct-count over md5
+    fingerprints — partial aggregation ships one (source, fp) pair per
+    partition, never documents."""
+    docs = _docs(spark, sf_dir)
+    f = docs.select("source", F.md5(F.col("text")).alias("fp"))
+    return f.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_unique"),
+        ((F.count("*") - F.countDistinct("fp")).cast("double") / F.count("*"))
+        .alias("dup_rate"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "per_source_dup_rate": """
+        WITH f AS (SELECT source, md5(text) AS fp FROM documents)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+               CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / count(*)
+                   AS dup_rate
+        FROM f GROUP BY source
+    """,
+
     "dup_cluster_sizes": """
         WITH c AS (
             SELECT md5(text) AS fp, count(*) AS sz
@@ -1506,6 +1535,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "per_source_dup_rate": per_source_dup_rate,
     "dup_cluster_sizes": dup_cluster_sizes,
     "per_lang_length_stats": per_lang_length_stats,
     "tfidf_top_terms": tfidf_top_terms,
