@@ -146,6 +146,8 @@ class Engine:
         promote or silence them by name."""
         weo = getattr(self, "_warn_error_options", None)
         we = getattr(self, "_warn_error", False)
+        if getattr(self, "events", None) is None:
+            return  # bare Engine (bench parse harness): no bus to warn on
         for node in self.manifest.nodes.values():
             if node.resource_type != NodeType.Model or not node.deprecation_date:
                 continue
