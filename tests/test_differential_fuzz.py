@@ -630,3 +630,55 @@ def test_differential_json_funcs(spark, seed):
     want = con.sql(duck_sql).df()
     assert sorted(got.columns) == sorted(want.columns), spark_sql
     assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
+
+
+# --------------------------------------------------------------------------
+# LIKE / regexp predicate family — pattern-matching semantics shared by both
+# engines (escape handling, anchors, char classes); regexp spelling differs
+# (Spark rlike ~ DuckDB regexp_matches), rendered as pairs.
+# --------------------------------------------------------------------------
+
+def _gen_like_pair(seed: int) -> tuple[str, str]:
+    rng = random.Random(80_000 + seed)
+    shape = rng.randrange(3)
+    if shape == 0:
+        pat = rng.choice(["%URGENT%", "_-HIGH", "%LOW", "1-%", "%E%T%"])
+        neg = rng.choice(["", "NOT "])
+        shared = (
+            f"SELECT o_orderkey, o_orderpriority FROM orders "
+            f"WHERE o_orderpriority {neg}LIKE '{pat}' "
+            f"AND o_orderkey % {rng.randrange(3, 9)} = 0"
+        )
+        return shared, shared
+    if shape == 1:
+        rx = rng.choice(["^[12]-", "URGENT$", "H|L", "[A-Z]{4,}"])
+        mod = rng.randrange(3, 9)
+        return (
+            f"SELECT o_orderkey, o_orderpriority rlike '{rx}' AS m "
+            f"FROM orders WHERE o_orderkey % {mod} = 0",
+            f"SELECT o_orderkey, regexp_matches(o_orderpriority, '{rx}') AS m "
+            f"FROM orders WHERE o_orderkey % {mod} = 0",
+        )
+    grp = rng.choice(["([0-9])-", "-(\\\\w+)"])
+    mod = rng.randrange(3, 9)
+    shared_fn = (
+        f"SELECT o_orderkey, "
+        f"regexp_extract(o_orderpriority, '{grp}', 1) AS g "
+        f"FROM orders WHERE o_orderkey % {mod} = 0"
+    )
+    return shared_fn, shared_fn
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_differential_like_regexp(spark, seed):
+    load_tables(spark, SF_DIR, "orders")
+    spark_sql, duck_sql = _gen_like_pair(seed)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'orders.parquet')}'"
+    )
+    got = spark.sql(spark_sql).toPandas()
+    want = con.sql(duck_sql).df()
+    assert sorted(got.columns) == sorted(want.columns), spark_sql
+    assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
