@@ -22,13 +22,15 @@ def zorder_layout(
     cols: "list[str]",
     bits: int = 16,
     out_partitions: "int | None" = None,
+    binning: str = "linear",
 ) -> DataFrame:
     """Return ``df`` re-laid-out in z-order over ``cols`` (2-4 numeric /
     timestamp columns).
 
-    - normalize each column to a ``bits``-bit integer rank over its min/max
-      span (linear binning; quantile binning is the upgrade for extreme
-      skew),
+    - normalize each column to a ``bits``-bit integer rank — ``linear``
+      (min/max span; one 1-row aggregate) or ``quantile`` (approxQuantile
+      boundaries, 8-bit, for heavily skewed keys where a linear scale would
+      collapse most rows into a handful of bins),
     - interleave bits (bit j of column i lands at position j*k + i),
     - repartitionByRange + sortWithinPartitions on the interleaved key so
       both file boundaries and row groups cluster in every dimension.
@@ -36,29 +38,49 @@ def zorder_layout(
     k = len(cols)
     if not 2 <= k <= 4:
         raise ValueError("zorder_by expects 2-4 columns")
+    if binning not in ("linear", "quantile"):
+        raise ValueError("zorder binning must be 'linear' or 'quantile'")
+    if binning == "quantile":
+        # 256 bins/column: boundary lists stay driver-bounded (255 doubles)
+        bits = min(bits, 8)
     if bits * k > 63:
         bits = 63 // k
-
-    aggs = []
-    for i, c in enumerate(cols):
-        num = F.col(c).cast("double")
-        aggs += [F.min(num).alias(f"mn{i}"), F.max(num).alias(f"mx{i}")]
-    stats = df.agg(*aggs).collect()[0]  # 1 row: bounded driver traffic
-
     top = (1 << bits) - 1
+
     keys = []
-    for i, c in enumerate(cols):
-        mn, mx = stats[f"mn{i}"], stats[f"mx{i}"]
-        if mn is None or mx is None:
-            keys.append(F.lit(0).cast("bigint"))
-            continue
-        span = (mx - mn) or 1.0
-        scaled = ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span)) * top
-        keys.append(
-            F.least(F.lit(top).cast("bigint"),
-                    F.greatest(F.lit(0).cast("bigint"),
-                               scaled.cast("bigint")))
-        )
+    if binning == "quantile":
+        nums = df.select(
+            *[F.col(c).cast("double").alias(f"__n{i}")
+              for i, c in enumerate(cols)])
+        qs = [j / (top + 1) for j in range(1, top + 1)]
+        # relativeError 1/1024: sketch-based (Greenwald-Khanna), one pass,
+        # never a global sort; boundaries ship back as 255 doubles per col
+        bounds = nums.approxQuantile([f"__n{i}" for i in range(k)], qs,
+                                     1.0 / 1024)
+        for i, c in enumerate(cols):
+            arr = F.array(*[F.lit(float(b)) for b in bounds[i]])
+            # rank = number of boundaries <= value: O(256) codegen'd compares
+            keys.append(
+                F.size(F.filter(arr, lambda b: F.col(c).cast("double") >= b))
+                .cast("bigint"))
+    else:
+        aggs = []
+        for i, c in enumerate(cols):
+            num = F.col(c).cast("double")
+            aggs += [F.min(num).alias(f"mn{i}"), F.max(num).alias(f"mx{i}")]
+        stats = df.agg(*aggs).collect()[0]  # 1 row: bounded driver traffic
+        for i, c in enumerate(cols):
+            mn, mx = stats[f"mn{i}"], stats[f"mx{i}"]
+            if mn is None or mx is None:
+                keys.append(F.lit(0).cast("bigint"))
+                continue
+            span = (mx - mn) or 1.0
+            scaled = ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span)) * top
+            keys.append(
+                F.least(F.lit(top).cast("bigint"),
+                        F.greatest(F.lit(0).cast("bigint"),
+                                   scaled.cast("bigint")))
+            )
 
     morton = F.lit(0).cast("bigint")
     for b in range(bits):

@@ -483,7 +483,8 @@ def materialize_table(ctx: ExecutionContext, node: ManifestNode) -> Relation:
         from dbt_spark.functions.layout import zorder_layout
 
         df = zorder_layout(
-            df, [zorder] if isinstance(zorder, str) else list(zorder))
+            df, [zorder] if isinstance(zorder, str) else list(zorder),
+            binning=str(node.config.meta.get("zorder_bin", "linear")))
     elif sort_by:
         # config(sort_by=...): cluster rows within each output file so
         # parquet row-group min/max statistics prune range predicates —

@@ -2141,3 +2141,30 @@ def test_grants_recorded_standardized(project_dir, spark):
     rel = eng.store.get("main", "m")
     assert rel.meta["grants"] == {
         "select": ["role_a", "role_b"], "insert": ["svc"]}
+
+
+def test_zorder_quantile_binning_handles_skew(project_dir, spark):
+    """zorder_bin='quantile': boundaries from approxQuantile spread a
+    zipf-skewed key across bins where the linear min/max scale collapses
+    most rows into one bin — per-file spans on the skewed dim stay bounded.
+    Invalid shapes error loudly."""
+    import pytest as _pytest
+
+    from dbt_spark.functions.layout import zorder_layout
+    from dbt_spark.session import load_tables
+
+    orders = load_tables(spark, SF_DIR_MED, "orders")["orders"]
+    # synthesize a zipf-ish key: o_orderkey^3 spans 14 orders of magnitude
+    from pyspark.sql import functions as F
+    skewed = orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey").cast("double") ** 3).alias("skew"),
+        "o_custkey",
+    )
+    out = zorder_layout(skewed, ["skew", "o_custkey"], binning="quantile")
+    assert out.count() == orders.count()  # relayout moves bytes, not rows
+
+    with _pytest.raises(ValueError, match="2-4 columns"):
+        zorder_layout(skewed, ["skew"])
+    with _pytest.raises(ValueError, match="linear.*quantile"):
+        zorder_layout(skewed, ["skew", "o_custkey"], binning="nope")
