@@ -31,6 +31,10 @@ PROBE_QUERIES = [
     "sequence_packing",           # window packing
     "semantic_metric_query",      # compiled semantic-layer metric
     "ann_topk_ivf",               # IVF probe (trained-centroid cache)
+    "event_funnel",               # sequential conditional-min chain
+    "retention_cohorts",          # cohort x week rollup
+    "tfidf_top_terms",            # checkpointed tf fan-out
+    "ngram_novelty_rate",         # gram-keyed first-occurrence join
 ]
 
 
