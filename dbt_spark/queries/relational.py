@@ -562,6 +562,40 @@ def approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_sketch_union_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL with MERGEABILITY proven: per-group hll_sketch_agg
+    (lgConfigK=14, rsd ~0.8%), then hll_union_agg merges the group sketches
+    into the global estimate — exactly how 1000 executors' partial sketches
+    combine at 100 TB (fixed-size state, one tiny exchange). Contract
+    oracle: every estimate (per group AND the merged total) within a
+    5-sigma-ish 5% band of the exact distinct count."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    per = t["lineitem"].groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.expr("hll_sketch_agg(l_partkey, 14)").alias("sk"),
+    )
+    groups = per.select(
+        F.col("l_returnflag").alias("flag"),
+        "exact_parts",
+        F.expr("hll_sketch_estimate(sk)").cast("bigint").alias("est"),
+    )
+    total = (
+        per.agg(
+            F.sum(F.lit(0)).alias("__z"),  # keep a single-row aggregate
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("bigint").alias("est"),
+        ).crossJoin(
+            t["lineitem"].agg(
+                F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"))
+        ).select(F.lit("ALL").alias("flag"), "exact_parts", "est")
+    )
+    return groups.unionByName(total).select(
+        "flag", "exact_parts",
+        (F.abs(F.col("est") - F.col("exact_parts"))
+         <= F.col("exact_parts") * 0.05).alias("within_bound"),
+    ).orderBy("flag")
+
+
 # --------------------------------------------------------------------------
 # full-outer / cross joins
 # --------------------------------------------------------------------------
@@ -1247,6 +1281,21 @@ ORACLES: dict[str, str] = {
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 10 OFFSET 20
     """,
+    "hll_sketch_union_bounded": """
+        WITH g AS (
+            SELECT l_returnflag AS flag,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+            FROM lineitem GROUP BY 1
+        ),
+        a AS (
+            SELECT 'ALL' AS flag,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+            FROM lineitem
+        )
+        SELECT flag, exact_parts, TRUE AS within_bound
+        FROM (SELECT * FROM g UNION ALL SELECT * FROM a) u
+        ORDER BY flag
+    """,
     "approx_distinct_bounded": """
         SELECT l_returnflag,
                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -1715,6 +1764,7 @@ QUERIES = {
     "regexp_extract_ops": regexp_extract_ops,
     "agg_array_collect": agg_array_collect,
     "approx_distinct_bounded": approx_distinct_bounded,
+    "hll_sketch_union_bounded": hll_sketch_union_bounded,
     "orderby_limit_offset": orderby_limit_offset,
     "grouping_sets_agg": grouping_sets_agg,
     "join_asof": join_asof,
