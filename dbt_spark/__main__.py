@@ -81,6 +81,8 @@ def main() -> int:
                          "and install")
     ap.add_argument("--upgrade", action="store_true",
                     help="deps: ignore package-lock.yml and re-resolve")
+    ap.add_argument("--lock", action="store_true",
+                    help="deps: resolve + write package-lock.yml, no install")
     ap.add_argument("--event-time-start", default=None)
     ap.add_argument("--event-time-end", default=None)
     args = ap.parse_args()
@@ -177,6 +179,8 @@ def main() -> int:
         argv += ["--add-package", args.add_package]
     if args.upgrade:
         argv.append("--upgrade")
+    if args.lock:
+        argv.append("--lock")
     if args.event_time_start:
         argv += ["--event-time-start", args.event_time_start]
     if args.event_time_end:

@@ -265,6 +265,7 @@ class Engine:
         ls_output_keys: list[str] = []
         add_package: Optional[str] = None
         deps_upgrade = False
+        deps_lock_only = False
         i = 0
         while i < len(rest):
             if rest[i] in ("--select", "-s"):
@@ -338,6 +339,8 @@ class Engine:
                 add_package = rest[i]
             elif rest[i] == "--upgrade":
                 deps_upgrade = True
+            elif rest[i] == "--lock":
+                deps_lock_only = True
             elif rest[i] == "--event-time-start":
                 i += 1
                 event_time_start = datetime.fromisoformat(rest[i])
@@ -376,7 +379,8 @@ class Engine:
         if command == "retry":
             return self._retry(full_refresh=full_refresh, snapshot_ts=snapshot_ts, now=now)
         if command == "deps":
-            return self._deps(add_package=add_package, upgrade=deps_upgrade)
+            return self._deps(add_package=add_package, upgrade=deps_upgrade,
+                              lock_only=deps_lock_only)
         if command == "debug":
             return self._debug()
 
@@ -404,7 +408,8 @@ class Engine:
         if command == "show":
             return self._show(manifest, inline, select, limit)
         if command == "docs-generate":
-            return self._docs_generate(manifest)
+            return self._docs_generate(manifest, select=select or None,
+                                       exclude=exclude or None)
         if command == "docs-serve":
             return self._docs_serve(port=port or 8080)
         if command == "source-freshness":
@@ -864,15 +869,25 @@ class Engine:
         result.preview = rows
         return result
 
-    def _docs_generate(self, manifest: Manifest) -> RunnerResult:
+    def _docs_generate(self, manifest: Manifest, select=None,
+                       exclude=None) -> RunnerResult:
         """catalog.json from the warehouse state
-        (core/dbt/task/docs/generate.py:73-114, artifact :354-371)."""
+        (core/dbt/task/docs/generate.py:73-114, artifact :354-371);
+        --select/--exclude narrow the cataloged nodes (reference
+        `dbt docs generate --select`)."""
         ctx = ExecutionContext(
             spark=self.spark, store=self.store, manifest=manifest, project=self.project
         )
+        chosen = None
+        if select or exclude:
+            graph = Linker().link_graph(manifest)
+            chosen = select_nodes(manifest, graph, select, exclude,
+                                  state=self._load_state())
         nodes_cat: dict[str, Any] = {}
         for uid, node in manifest.nodes.items():
             if node.resource_type not in (NodeType.Model, NodeType.Seed, NodeType.Snapshot):
+                continue
+            if chosen is not None and uid not in chosen:
                 continue
             rel = self.store.get(node.config.schema or self.project.profile["schema"],
                                  node.name)
@@ -918,6 +933,8 @@ class Engine:
             }
         sources_cat: dict[str, Any] = {}
         for uid, src in manifest.sources.items():
+            if chosen is not None and uid not in chosen:
+                continue
             loc = src.config.meta.get("location")
             if not loc or not os.path.exists(loc):
                 continue
@@ -1183,7 +1200,7 @@ class Engine:
         return RunnerResult(ok, results, self.manifest)
 
     def _deps(self, add_package: Optional[str] = None,
-              upgrade: bool = False) -> RunnerResult:
+              upgrade: bool = False, lock_only: bool = False) -> RunnerResult:
         """dbt deps: resolve packages.yml into dbt_packages/.
 
         local: resolves in place (deps/local.py:26); git: clones the URL (a
@@ -1240,6 +1257,13 @@ class Engine:
 
         results: list[RunResult] = []
         install_root = os.path.join(self.project.root, "dbt_packages")
+        if lock_only:
+            # resolve into a throwaway dir: the solver reads transitive
+            # packages.yml files during solving, but nothing persists
+            import tempfile as _tf
+
+            install_root = _tf.mkdtemp(prefix="dbt_spark_lockonly_")
+            upgrade = True  # --lock re-resolves by definition
         for pkg in self.project.packages:
             if "local" in pkg:
                 path = pkg["local"]

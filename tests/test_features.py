@@ -2168,3 +2168,36 @@ def test_zorder_quantile_binning_handles_skew(project_dir, spark):
         zorder_layout(skewed, ["skew"])
     with _pytest.raises(ValueError, match="linear.*quantile"):
         zorder_layout(skewed, ["skew", "o_custkey"], binning="nope")
+
+
+def test_deps_lock_only_and_docs_generate_select(project_dir, spark, tmp_path):
+    """deps --lock resolves + writes package-lock.yml WITHOUT installing;
+    docs generate --select narrows catalog.json to the selection."""
+    reg = tmp_path / "registry"
+    d = reg / "org" / "kit" / "2.0.0"
+    (d / "macros").mkdir(parents=True)
+    (d / "dbt_project.yml").write_text("name: kit\n")
+    root = project_dir({
+        "dbt_project.yml": "name: lk\n",
+        "packages.yml": "packages:\n  - package: org/kit\n    version: ['>=1.0.0']\n",
+        "models/a.sql": "{{ config(materialized='table') }} select 1 as id",
+        "models/b.sql": "{{ config(materialized='table') }} select 2 as id",
+    })
+    os.environ["DBT_SPARK_REGISTRY"] = str(reg)
+    try:
+        eng = Engine(root, spark=spark)
+        r = eng.invoke(["deps", "--lock"])
+        assert r.success
+        lock = yaml.safe_load(open(os.path.join(root, "package-lock.yml")))
+        assert lock["packages"] == [{"package": "org/kit", "version": "2.0.0"}]
+        assert not os.path.exists(os.path.join(root, "dbt_packages", "kit"))
+    finally:
+        del os.environ["DBT_SPARK_REGISTRY"]
+
+    # drop the package for the run (not installed), then docs --select
+    os.remove(os.path.join(root, "packages.yml"))
+    eng2 = Engine(root, spark=spark)
+    assert eng2.invoke(["run"]).success
+    assert eng2.invoke(["docs", "generate", "--select", "a"]).success
+    cat = json.load(open(os.path.join(root, "target", "catalog.json")))
+    assert "model.lk.a" in cat["nodes"] and "model.lk.b" not in cat["nodes"]
