@@ -146,7 +146,7 @@ def _scoped_rewrite(
     """Partition-pruned merge when partitioned; full swap otherwise."""
     schema = ctx.schema_for(node)
     parts = _partition_cols(node)
-    existing = ctx.store.read(schema, node.name)
+    existing = ctx.store.read(schema, ctx.name_for(node))
     existing, new = apply_schema_change(
         existing, new, node.config.on_schema_change, node.unique_id
     )
@@ -168,7 +168,7 @@ def _scoped_rewrite(
         #    4. dynamic partition overwrite writes only those partitions back.
         touched = [tuple(r) for r in new.select(*parts).distinct().collect()]
         if not touched:
-            return ctx.store.get(schema, node.name)
+            return ctx.store.get(schema, ctx.name_for(node))
         pred = None
         for combo in touched:
             clause = None
@@ -182,7 +182,7 @@ def _scoped_rewrite(
             # predicate-excluded rows living in TOUCHED partitions must ride
             # along (dynamic overwrite rewrites whole partitions)
             combined = combined.unionByName(untouched.filter(pred))
-        return ctx.store.overwrite_partitions(schema, node.name, combined, parts)
+        return ctx.store.overwrite_partitions(schema, ctx.name_for(node), combined, parts)
     combined = combine(existing, new, keys)
     if untouched is not None:
         combined = combined.unionByName(untouched)
@@ -233,7 +233,7 @@ def _incremental_bucketed(
 
     if not is_incremental:
         return _write(new)
-    existing = ctx.store.read(schema, node.name)
+    existing = ctx.store.read(schema, ctx.name_for(node))
     existing, new = apply_schema_change(
         existing, new, node.config.on_schema_change, node.unique_id)
     if strategy == "append":
@@ -272,13 +272,13 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
                 "microbatch (batch replaceWhere rewrites are parquet only)")
         return run_microbatch(ctx, node)
 
-    exists = ctx.store.exists(schema, node.name)
+    exists = ctx.store.exists(schema, ctx.name_for(node))
     full_refresh = ctx.full_refresh or bool(node.config.full_refresh)
     is_incremental = exists and not full_refresh
 
     if is_incremental:
         # `{{ this }}` must be addressable inside the model SQL
-        ctx.store.register(ctx.store.get(schema, node.name))
+        ctx.store.register(ctx.store.get(schema, ctx.name_for(node)))
 
     new = run_model_df(ctx, node, is_incremental=is_incremental)
     from dbt_spark.operators.contracts import enforce_contract
@@ -306,7 +306,7 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
         )
 
     if strategy == "append":
-        existing = ctx.store.read(schema, node.name)
+        existing = ctx.store.read(schema, ctx.name_for(node))
         _, new = apply_schema_change(existing, new, node.config.on_schema_change, node.unique_id)
         return ctx.store.write_table(
             schema, node.name, new, kind="incremental", partition_by=parts,
@@ -330,5 +330,5 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
             raise IncrementalError(
                 f"{node.unique_id}: insert_overwrite requires partition_by"
             )
-        return ctx.store.overwrite_partitions(schema, node.name, new, parts)
+        return ctx.store.overwrite_partitions(schema, ctx.name_for(node), new, parts)
     raise IncrementalError(f"{node.unique_id}: unknown incremental_strategy {strategy!r}")

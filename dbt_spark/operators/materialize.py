@@ -69,16 +69,71 @@ class ExecutionContext:
     # defer__ identifiers already registered this invocation (state views
     # re-register their whole upstream subtree; memoized)
     _deferred_idents: set = field(default_factory=set)
+    # (kind, unique_id) -> resolved physical schema/name (naming macros
+    # render once per node per invocation)
+    _naming_cache: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> str:
         return self.project.profile.get("schema", "main")
 
     def schema_for(self, node: ManifestNode) -> str:
-        return node.config.schema or self.schema
+        """Physical schema: a project-defined generate_schema_name macro wins
+        (reference get_custom_schema, core/dbt/context/providers.py — the
+        macro receives (custom_schema_name, node)); else config schema
+        literally, else the profile default."""
+        cached = self._naming_cache.get(("s", node.unique_id))
+        if cached is not None:
+            return cached
+        out = None
+        if "generate_schema_name" in (self.manifest.macros or {}):
+            out = self._render_naming_macro(
+                "generate_schema_name", node.config.schema, node)
+        if not out:
+            out = node.config.schema or self.schema
+        self._naming_cache[("s", node.unique_id)] = out
+        return out
+
+    def name_for(self, node: ManifestNode) -> str:
+        """Physical relation name: generate_alias_name macro > config(alias=)
+        > the model name (reference get_custom_alias; ref() stays keyed by
+        MODEL name — only the materialized identifier changes)."""
+        cached = self._naming_cache.get(("n", node.unique_id))
+        if cached is not None:
+            return cached
+        custom = node.config.meta.get("alias")
+        out = None
+        if "generate_alias_name" in (self.manifest.macros or {}):
+            out = self._render_naming_macro(
+                "generate_alias_name", custom, node)
+        if not out:
+            out = str(custom) if custom else node.name
+        self._naming_cache[("n", node.unique_id)] = out
+        return out
+
+    def _render_naming_macro(self, macro: str, custom, node: ManifestNode):
+        from dbt_spark.plans.compile import runtime_render
+
+        tmp = ManifestNode(
+            unique_id=f"operation.{self.project.name}.{macro}",
+            name=macro, package_name=node.package_name, path=macro,
+            resource_type=NodeType.Operation,
+            raw_code=f"{{{{ {macro}(custom_value, node) }}}}",
+        )
+        out = runtime_render(
+            tmp, self.manifest,
+            resolve_ref=lambda n: n.name,  # naming macros must not ref()
+            resolve_source=lambda n: n.name,
+            this_name=node.name, is_incremental=False,
+            full_refresh=self.full_refresh,
+            var_overrides={**self.project.vars, **self.vars},
+            target=dict(self.project.profile),
+            extra={"custom_value": custom, "node": node},
+        ).strip()
+        return out or None
 
     def identifier_for(self, node: ManifestNode) -> str:
-        return f"{self.schema_for(node)}__{node.name}"
+        return f"{self.schema_for(node)}__{self.name_for(node)}"
 
     # ---- ref/source resolution (runtime phase) ---------------------------
 
@@ -92,14 +147,14 @@ class ExecutionContext:
             ident = f"ext__{node.name}"
             self._register_location(ident, ext, node.config.meta.get("file_format", "parquet"))
             return self._wrap(node, ident)
-        rel = self.store.get(self.schema_for(node), node.name)
+        rel = self.store.get(self.schema_for(node), self.name_for(node))
         prefer_state = (
             self.favor_state
             and self.defer_store is not None
             and node.unique_id not in self.selected
         )
         if (rel is None or prefer_state) and self.defer_store is not None:
-            state_rel = self.defer_store.get(self.schema_for(node), node.name)
+            state_rel = self.defer_store.get(self.schema_for(node), self.name_for(node))
             if state_rel is not None:
                 return self._wrap(node, self._register_deferred(state_rel))
         if rel is None:
@@ -397,7 +452,7 @@ def _run_python_model(ctx: ExecutionContext, node: ManifestNode) -> DataFrame:
         def this(self):  # noqa: ANN201 — RelationProxy
             from dbt_spark.plans.macros import RelationProxy
 
-            return RelationProxy(ctx.identifier_for(node), name=node.name)
+            return RelationProxy(ctx.identifier_for(node), name=ctx.name_for(node))
 
         @property
         def is_incremental(self) -> bool:
@@ -405,7 +460,7 @@ def _run_python_model(ctx: ExecutionContext, node: ManifestNode) -> DataFrame:
             # (`if dbt.is_incremental:` — a bound method would always be
             # truthy and silently break first builds)
             return (
-                ctx.store.exists(ctx.schema_for(node), node.name)
+                ctx.store.exists(ctx.schema_for(node), ctx.name_for(node))
                 and not ctx.full_refresh
             )
 
@@ -436,7 +491,7 @@ def materialize_view(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     node.compiled_code = sql
     if node.config.contract.get("enforced"):
         enforce_contract(node, ctx.spark.sql(sql))  # schema-only, no execution
-    rel = ctx.store.save_view(ctx.schema_for(node), node.name, sql)
+    rel = ctx.store.save_view(ctx.schema_for(node), ctx.name_for(node), sql)
     if node.config.meta.get("cache"):
         # config(cache=true): a hot shared intermediate — materialize it once
         # into Spark's block-manager cache so N downstream consumers read the
@@ -465,7 +520,7 @@ def materialize_table(ctx: ExecutionContext, node: ManifestNode) -> Relation:
         sort_by = node.config.meta.get("sort_by")
         sort_by = [sort_by] if isinstance(sort_by, str) else sort_by
         return ctx.store.write_bucketed(
-            ctx.schema_for(node), node.name, df,
+            ctx.schema_for(node), ctx.name_for(node), df,
             bucket_by=bucket_by,
             buckets=int(node.config.meta.get("buckets", 32)),
             sort_by=sort_by,
@@ -493,7 +548,7 @@ def materialize_table(ctx: ExecutionContext, node: ManifestNode) -> Relation:
         sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         df = df.sortWithinPartitions(*sort_by)
     return ctx.store.write_table(
-        ctx.schema_for(node), node.name, df, kind="table",
+        ctx.schema_for(node), ctx.name_for(node), df, kind="table",
         partition_by=partition_by, **storage_options(node),
     )
 
@@ -532,7 +587,7 @@ def materialize_materialized_view(ctx: ExecutionContext, node: ManifestNode) -> 
     ctx.ensure_upstream_registered(node)
     sql = compile_sql(ctx, node)
     node.compiled_code = sql
-    existing = ctx.store.get(ctx.schema_for(node), node.name)
+    existing = ctx.store.get(ctx.schema_for(node), ctx.name_for(node))
     if (
         existing is not None
         and existing.meta.get("defined_as")
@@ -570,7 +625,7 @@ def materialize_materialized_view(ctx: ExecutionContext, node: ManifestNode) -> 
         partition_by = [partition_by]
     return ctx.store.write_table(
         ctx.schema_for(node),
-        node.name,
+        ctx.name_for(node),
         df,
         kind="materialized_view",
         partition_by=partition_by,

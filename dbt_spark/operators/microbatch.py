@@ -135,7 +135,7 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
         )
     begin = datetime.fromisoformat(str(cfg.begin))
     schema = ctx.schema_for(node)
-    exists = ctx.store.exists(schema, node.name)
+    exists = ctx.store.exists(schema, ctx.name_for(node))
     is_incremental = exists and not ctx.full_refresh
 
     builder = MicrobatchBuilder(
@@ -211,19 +211,19 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
             (F.col(cfg.event_time) >= F.lit(window[0]).cast("timestamp"))
             & (F.col(cfg.event_time) < F.lit(window[1]).cast("timestamp"))
         )
-        first_write = not ctx.store.exists(schema, node.name)
+        first_write = not ctx.store.exists(schema, ctx.name_for(node))
         grain_end = offset_timestamp(
             truncate_timestamp(batch.start, cfg.batch_size), cfg.batch_size, 1
         )
         full_grain = batch.end >= grain_end
         if parts and not first_write and full_grain:
-            return ctx.store.overwrite_partitions(schema, node.name, df, parts)
+            return ctx.store.overwrite_partitions(schema, ctx.name_for(node), df, parts)
         if parts and not first_write:
             # clamped (mid-grain) window on a partitioned table: dynamic
             # partition overwrite would replace the WHOLE partition and
             # delete rows at/after the cutoff — use the ranged
             # delete+insert path, which touches exactly [start, end)
-            existing = ctx.store.read(schema, node.name)
+            existing = ctx.store.read(schema, ctx.name_for(node))
             outside = existing.filter(
                 (F.col(cfg.event_time) < F.lit(window[0]).cast("timestamp"))
                 | (F.col(cfg.event_time) >= F.lit(window[1]).cast("timestamp"))
@@ -237,7 +237,7 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
                 schema, node.name, df, kind="incremental", partition_by=parts
             )
         # unpartitioned: ranged delete+insert for this batch window
-        existing = ctx.store.read(schema, node.name)
+        existing = ctx.store.read(schema, ctx.name_for(node))
         outside = existing.filter(
             (F.col(cfg.event_time) < F.lit(window[0]).cast("timestamp"))
             | (F.col(cfg.event_time) >= F.lit(window[1]).cast("timestamp"))

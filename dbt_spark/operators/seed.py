@@ -38,4 +38,4 @@ def materialize_seed(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     for col, dtype in (node.config.column_types or {}).items():
         if col in df.columns:
             df = df.withColumn(col, F.col(col).cast(dtype))
-    return ctx.store.write_table(ctx.schema_for(node), node.name, df, kind="seed")
+    return ctx.store.write_table(ctx.schema_for(node), ctx.name_for(node), df, kind="seed")

@@ -123,11 +123,11 @@ def materialize_snapshot(ctx: ExecutionContext, node: ManifestNode) -> Relation:
 
     source = run_model_df(ctx, node)
 
-    if not ctx.store.exists(schema, node.name):
+    if not ctx.store.exists(schema, ctx.name_for(node)):
         first = _to_external(_with_meta(source, node, run_ts), node)
-        return ctx.store.write_table(schema, node.name, first, kind="snapshot")
+        return ctx.store.write_table(schema, ctx.name_for(node), first, kind="snapshot")
 
-    snap = _to_internal(ctx.store.read(schema, node.name), node)
+    snap = _to_internal(ctx.store.read(schema, ctx.name_for(node)), node)
     has_deleted_col = "dbt_is_deleted" in snap.columns
     history = snap.filter(F.col("dbt_valid_to").isNotNull())
     current = snap.filter(F.col("dbt_valid_to").isNull())

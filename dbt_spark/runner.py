@@ -889,8 +889,7 @@ class Engine:
                 continue
             if chosen is not None and uid not in chosen:
                 continue
-            rel = self.store.get(node.config.schema or self.project.profile["schema"],
-                                 node.name)
+            rel = self.store.get(ctx.schema_for(node), ctx.name_for(node))
             if rel is None:
                 continue
             ctx.ensure_upstream_registered(node)
@@ -1146,7 +1145,8 @@ class Engine:
             ) or node.is_ephemeral:
                 continue
             schema = node.config.schema or self.project.profile["schema"]
-            rel = src_store.get(schema, node.name)
+            phys = str(node.config.meta.get("alias") or node.name)
+            rel = src_store.get(schema, phys)
             t0 = time.time()
             if rel is None:
                 results.append(RunResult(uid, "skipped", 0.0, "no relation in state"))
@@ -1155,7 +1155,7 @@ class Engine:
 
             clone_rel = _copy.deepcopy(rel)
             with self.store._lock:
-                self.store.relations[self.store.key(schema, node.name)] = clone_rel
+                self.store.relations[self.store.key(schema, phys)] = clone_rel
                 self.store._registered.discard(clone_rel.identifier)
                 self.store._save_state()
             results.append(RunResult(uid, "success", time.time() - t0, "cloned"))
@@ -1649,7 +1649,7 @@ class Engine:
         pd_cfg = node.config.meta.get("persist_docs") or {}
         if not isinstance(pd_cfg, dict) or not pd_cfg:
             return
-        rel = self.store.get(ctx.schema_for(node), node.name)
+        rel = self.store.get(ctx.schema_for(node), ctx.name_for(node))
         if rel is None:
             return
         changed = False
@@ -1684,7 +1684,7 @@ class Engine:
         grants = node.config.meta.get("grants")
         if not isinstance(grants, dict) or not grants:
             return
-        rel = self.store.get(ctx.schema_for(node), node.name)
+        rel = self.store.get(ctx.schema_for(node), ctx.name_for(node))
         if rel is None:
             return
         std = {
@@ -1838,6 +1838,8 @@ class Engine:
         name = rest.rsplit(".", 1)[-1]
         node = (self.manifest.nodes.get(r.unique_id)
                 if self.manifest is not None else None)
+        if node is not None and node.config.meta.get("alias"):
+            name = str(node.config.meta["alias"])
         schema = (node.config.schema if node and node.config.schema
                   else self.project.profile.get("schema", "main"))
         return self.store.get(schema, name)

@@ -97,7 +97,7 @@ def materialize_streaming(ctx: ExecutionContext, node: ManifestNode) -> Relation
         )
 
     schema = ctx.schema_for(node)
-    path = ctx.store.path_for(schema, node.name)
+    path = ctx.store.path_for(schema, ctx.name_for(node))
     checkpoint = _checkpoint_dir(ctx, node)
     strategy = node.config.meta.get("stream_strategy")
     if strategy is None:
@@ -119,16 +119,16 @@ def materialize_streaming(ctx: ExecutionContext, node: ManifestNode) -> Relation
         keys = [keys] if isinstance(keys, str) else list(keys or [])
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            if ctx.store.exists(schema, node.name) and keys:
-                existing = ctx.store.read(schema, node.name)
+            if ctx.store.exists(schema, ctx.name_for(node)) and keys:
+                existing = ctx.store.read(schema, ctx.name_for(node))
                 combined = merge_upsert(existing, batch_df, keys)
-                ctx.store.write_table(schema, node.name, combined, kind="streaming")
-            elif ctx.store.exists(schema, node.name):
+                ctx.store.write_table(schema, ctx.name_for(node), combined, kind="streaming")
+            elif ctx.store.exists(schema, ctx.name_for(node)):
                 # aggregate restatement without keys: complete refresh of the
                 # affected groups is the batch's full content
-                ctx.store.write_table(schema, node.name, batch_df, kind="streaming")
+                ctx.store.write_table(schema, ctx.name_for(node), batch_df, kind="streaming")
             else:
-                ctx.store.write_table(schema, node.name, batch_df, kind="streaming")
+                ctx.store.write_table(schema, ctx.name_for(node), batch_df, kind="streaming")
 
         q = (
             out.writeStream.foreachBatch(sink)
@@ -147,12 +147,12 @@ def materialize_streaming(ctx: ExecutionContext, node: ManifestNode) -> Relation
     if strategy == "append":
         rel = Relation(schema=schema, name=node.name, kind="streaming", path=path)
         with ctx.store._lock:
-            ctx.store.relations[ctx.store.key(schema, node.name)] = rel
+            ctx.store.relations[ctx.store.key(schema, ctx.name_for(node))] = rel
             ctx.store._registered.discard(rel.identifier)
             ctx.store._save_state()
         ctx.store.register(rel)
         return rel
-    return ctx.store.get(schema, node.name)
+    return ctx.store.get(schema, ctx.name_for(node))
 
 
 def compile_sql_streaming(

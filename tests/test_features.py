@@ -2201,3 +2201,51 @@ def test_deps_lock_only_and_docs_generate_select(project_dir, spark, tmp_path):
     assert eng2.invoke(["docs", "generate", "--select", "a"]).success
     cat = json.load(open(os.path.join(root, "target", "catalog.json")))
     assert "model.lk.a" in cat["nodes"] and "model.lk.b" not in cat["nodes"]
+
+
+def test_alias_and_naming_macros(project_dir, spark):
+    """config(alias=...) changes the PHYSICAL relation name while ref()
+    stays keyed by model name; project-defined generate_schema_name /
+    generate_alias_name macros control physical naming (reference
+    get_custom_alias/get_custom_schema, context/providers.py)."""
+    pdir = project_dir({
+        "dbt_project.yml": "name: alp\n",
+        "models/raw_numbers.sql": (
+            "{{ config(materialized='table', alias='numbers') }} "
+            "select 1 as n union all select 2 as n"
+        ),
+        "models/doubled.sql": (
+            "{{ config(materialized='table') }} "
+            "select n * 2 as n2 from {{ ref('raw_numbers') }}"
+        ),
+    })
+    eng = Engine(pdir, spark=spark)
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    # physical name is the alias; the model name has no relation
+    assert eng.store.get("main", "numbers") is not None
+    assert eng.store.get("main", "raw_numbers") is None
+    got = sorted(x.n2 for x in eng.store.read("main", "doubled").collect())
+    assert got == [2, 4]
+    # {{ this }} renders the aliased identifier
+    rr = eng.invoke(["show", "--inline", "select 1 as x"])
+    assert rr.success
+
+    # naming macros: prefix every alias, suffix the schema
+    pdir2 = project_dir({
+        "macros/naming.sql": (
+            "{% macro generate_alias_name(custom_alias_name, node) %}"
+            "{{ 'p_' ~ (custom_alias_name or node.name) }}"
+            "{% endmacro %}\n"
+            "{% macro generate_schema_name(custom_schema_name, node) %}"
+            "{{ (custom_schema_name or target.schema) ~ '_x' }}"
+            "{% endmacro %}"
+        ),
+    })
+    eng2 = Engine(pdir, spark=spark)
+    r2 = eng2.invoke(["run", "--full-refresh"])
+    assert r2.success, [x.message for x in r2.results]
+    assert eng2.store.get("main_x", "p_numbers") is not None
+    assert eng2.store.get("main_x", "p_doubled") is not None
+    got2 = sorted(x.n2 for x in eng2.store.read("main_x", "p_doubled").collect())
+    assert got2 == [2, 4]
