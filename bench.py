@@ -116,6 +116,12 @@ EXTENDED = [
     "event_funnel",
     "retention_cohorts",
     "per_source_dup_rate",
+    # round-4b additions
+    "bm25_topk",
+    "stratified_quota_sample",
+    "dedup_keep_best",
+    "event_outliers_exact_zscore",
+    "char_len_histogram",
 ]
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 QUERIES: dict = {}
 ORACLES: dict = {}
 
+from dbt_spark.queries import curation  # noqa: E402
 from dbt_spark.queries import extended  # noqa: E402
 from dbt_spark.queries import relational  # noqa: E402
 from dbt_spark.queries import tpch_rest  # noqa: E402
@@ -25,3 +26,5 @@ QUERIES.update(streaming_q.QUERIES)
 ORACLES.update(streaming_q.ORACLES)
 QUERIES.update(extended.QUERIES)
 ORACLES.update(extended.ORACLES)
+QUERIES.update(curation.QUERIES)
+ORACLES.update(curation.ORACLES)

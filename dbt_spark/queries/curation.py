@@ -1,0 +1,441 @@
+"""Round-4 corpus-curation analytics: ranking, sampling, calibration and
+robust-stats operators over documents/events.
+
+Every operator is a pure DataFrame plan (no UDFs) engineered so the same
+semantics are exactly expressible in ANSI SQL for the DuckDB oracle:
+integer/decimal math wherever cross-engine bit-equality matters, doubles only
+through IEEE-deterministic single expressions (+ - * / sqrt are correctly
+rounded; only transcendentals like ln can differ by 1 ulp, noted inline).
+
+Reference parity: the reference engine's test corpus exercises ranking /
+sampling / outlier queries through its SQL adapter surface (e.g.
+core/dbt/tests/adapter materializations run arbitrary SELECTs); these are the
+Spark-first large-corpus analogs with the curation semantics a training-data
+pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_spark.functions import dedup as D
+from dbt_spark.functions.text import STOPWORDS
+from dbt_spark.session import load_tables, spread
+
+_TOKS_L = "string_split_regex(trim(lower(text)), '\\s+')"
+_STOP_SQL = "['" + "', '".join(STOPWORDS) + "']"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load_tables(spark, sf_dir, "documents")["documents"], spark)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load_tables(spark, sf_dir, "events")["events"], spark)
+
+
+# --------------------------------------------------------------------------
+# BM25 ranking
+# --------------------------------------------------------------------------
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) of every document against the corpus's 3 most
+    frequent non-stopword tokens; top-20 docs per query term.
+
+    Scale: tf/df/doclen are map-side-combined hash aggregates keyed on
+    (doc, term) / term / doc; the corpus stats (N, avgdl) and the 3-term
+    query set are broadcast. The only window partitions by query term with
+    its input pre-filtered to term-matching docs — at a 100 TB corpus this
+    becomes the salted per-group top-k (see stratified_quota_sample) if the
+    per-term posting lists outgrow a partition.
+
+    ln() is the one non-correctly-rounded IEEE op here; both engines use the
+    same double-precision libm-quality log and the score is rounded to 6dp,
+    so cross-engine agreement holds (same contract as cos_sim's sqrt/div
+    chain in similarity.py).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t")
+    )
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qterms = (
+        toks.filter(~F.col("t").isin(STOPWORDS))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("t"))
+        .limit(3)
+        .select("t")
+    )
+    dfreq = tf.join(F.broadcast(qterms), "t").groupBy("t").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "bm25",
+            F.round(
+                F.log(
+                    (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf").cast("double") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * (
+                            F.col("dl").cast("double")
+                            / (
+                                F.col("sum_dl").cast("double")
+                                / F.col("n_docs").cast("double")
+                            )
+                        )
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("t").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+        .select(F.col("t").alias("term"), "doc_id", "bm25", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact stratified quota sampling (salted per-group top-k)
+# --------------------------------------------------------------------------
+
+def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY 40 docs per language, deterministically pseudo-random: the 40
+    smallest md5(doc_id) keys per lang (falls short only if a stratum has
+    <40 docs). The quota-sampling complement of the hash-threshold
+    language_balanced_sample (which is approximate-count but shuffle-free).
+
+    Scale: a naive `row_number over (partition by lang)` funnels each
+    stratum — potentially 10s of TB for a head language — through ONE task.
+    Instead: phase 1 takes the per-(lang, salt) top-40 over 16 deterministic
+    salt shards (bounded partitions), phase 2 re-ranks the ≤ 16·40 survivors
+    per lang. The global top-40 of a stratum is always contained in the union
+    of its shard top-40s, so the result is exact while the widest partition
+    any window sees is min(|stratum|/16, 640 rows at phase 2).
+    """
+    docs = _docs(spark, sf_dir).select(
+        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("k")
+    )
+    salted = docs.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(16)))
+    w1 = Window.partitionBy("lang", "salt").orderBy("k", "doc_id")
+    survivors = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= 40)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("lang").orderBy("k", "doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rn") <= 40)
+        .select("lang", "doc_id", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator calibration (contract oracle)
+# --------------------------------------------------------------------------
+
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash estimate itself, oracle-checked by contract: for every
+    bounded doc pair with true 2-gram Jaccard ≥ 0.2, the 32-permutation
+    MinHash estimate (fraction of agreeing signature components) must land
+    within 0.4 of the truth (σ = √(j(1−j)/32) ≤ 0.089, so 0.4 ≈ 4.5σ).
+    Output carries the EXACT jaccard plus the within-bound flag — the same
+    verification pattern as approx_distinct_bounded: sketch internals are
+    engine-specific, the estimator's error contract is not.
+
+    Scale: exact pairs come from the shingle inverted-index join (bounded
+    here to doc_id < 150 — the unbounded policy is the LSH path); signatures
+    are one 32-buffer hash aggregate per doc (see minhash_signatures).
+    """
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    exact = D.jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.2)
+    sigs = D.minhash_signatures(
+        docs.select("doc_id", "text"), "text", "doc_id", num_perm=32
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+    ).cast("double") / 32.0
+    return (
+        exact.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            (F.abs(est - F.col("jaccard")) <= 0.4).alias("within_bound"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-arithmetic outlier detection over events
+# --------------------------------------------------------------------------
+
+def event_outliers_exact_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3σ outlier counts with cross-engine-exact arithmetic:
+    values are fixed to DECIMAL(15,3), Σx and Σx² accumulate exactly in
+    decimal, and only the final μ/σ/compare run in double — where +,−,×,÷,√
+    are IEEE-correctly-rounded, so both engines flag the identical rows (no
+    float-sum order dependence can leak into the boundary).
+
+    Scale: one map-side-combined aggregate for the moments (one tiny row per
+    event_type), broadcast back over the event scan — two passes over the
+    data, zero windows, zero row shuffles beyond the moment aggregate.
+    """
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.round("value", 3).cast("decimal(15,3)").alias("x")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * mu
+    ) / (F.col("n") - 1)
+    flagged = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("mu", mu)
+        .withColumn("sd", F.sqrt(var))
+        .withColumn(
+            "is_out",
+            F.abs(F.col("x").cast("double") - F.col("mu")) > 3.0 * F.col("sd"),
+        )
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("is_out"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_rate",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n_events"), 6
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Canonical-representative dedup (argmax aggregate, no window)
+# --------------------------------------------------------------------------
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the canonical representative per fingerprint:
+    longest text, then lowest doc_id — the curation policy that keeps the
+    best copy rather than an arbitrary one.
+
+    Scale: ONE hash aggregate — `max(struct(n_chars, -doc_id))` is the
+    argmax, so the partial pass collapses each fingerprint map-side and the
+    exchange ships one row per distinct fingerprint, never per document (a
+    row_number window would shuffle and sort every document instead).
+    """
+    docs = _docs(spark, sf_dir)
+    best = (
+        docs.select("doc_id", "n_chars", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("nc"),
+                    (-F.col("doc_id")).alias("nd"),
+                )
+            ).alias("b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+    )
+    return best.select(
+        (-F.col("b.nd")).cast("bigint").alias("doc_id"),
+        F.col("b.nc").cast("bigint").alias("n_chars"),
+        "n_dups",
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram (integer-exact bucketing)
+# --------------------------------------------------------------------------
+
+def char_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equi-width histogram of document length. Bucket edges use
+    pure integer arithmetic — `(x−min)·10 div (span+1)` — so bucket
+    assignment is bit-identical in any engine (no float division at the
+    boundary).
+
+    Scale: global min/max is one tiny aggregate broadcast back over the
+    scan; the histogram is a map-side-combined count on a 10-value key.
+    """
+    docs = _docs(spark, sf_dir).select("n_chars")
+    mm = docs.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    b = docs.crossJoin(F.broadcast(mm)).withColumn(
+        "bucket",
+        F.expr("(n_chars - mn) * 10 div (mx - mn + 1)").cast("bigint"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("lo_chars"),
+        F.max("n_chars").cast("bigint").alias("hi_chars"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "bm25_topk": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS_L}) AS t FROM documents
+        ),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        qterms AS (
+            SELECT t FROM toks
+            WHERE NOT list_contains({_STOP_SQL}, t)
+            GROUP BY t ORDER BY count(*) DESC, t LIMIT 3
+        ),
+        dfq AS (
+            SELECT tf.t, count(*) AS df FROM tf JOIN qterms ON tf.t = qterms.t
+            GROUP BY tf.t
+        ),
+        s AS (
+            SELECT tf.doc_id, tf.t,
+                   round(
+                       ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                       * (CAST(tf AS DOUBLE) * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 *
+                           (CAST(dl AS DOUBLE)
+                            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+                       6) AS bm25
+            FROM tf JOIN dfq ON tf.t = dfq.t
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN corpus
+        ),
+        r AS (
+            SELECT doc_id, t, bm25,
+                   row_number() OVER (PARTITION BY t
+                                      ORDER BY bm25 DESC, doc_id) AS rnk
+            FROM s
+        )
+        SELECT t AS term, doc_id, bm25, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 20
+    """,
+    "stratified_quota_sample": """
+        SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents) t
+        WHERE rn <= 40
+    """,
+    "minhash_jaccard_calibration": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_L} AS t FROM documents WHERE doc_id < 150
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, s
+            FROM toks, UNNEST(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])) AS u(s)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(CAST(n_common AS DOUBLE)
+                     / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard,
+               TRUE AS within_bound
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.2
+    """,
+    "event_outliers_exact_zscore": """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(round(value, 3) AS DECIMAL(15,3)) AS x
+            FROM events
+        ),
+        st AS (
+            SELECT event_type, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+            FROM ev GROUP BY event_type
+        ),
+        fl AS (
+            SELECT ev.event_type,
+                   abs(CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                       > 3.0 * sqrt((CAST(ss AS DOUBLE)
+                                     - CAST(s AS DOUBLE)
+                                       * (CAST(s AS DOUBLE) / n)) / (n - 1))
+                       AS is_out
+            FROM ev JOIN st ON ev.event_type = st.event_type
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers,
+               round(CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS outlier_rate
+        FROM fl GROUP BY event_type
+    """,
+    "dedup_keep_best": """
+        SELECT doc_id, n_chars, n_dups
+        FROM (
+            SELECT doc_id, n_chars,
+                   CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                       AS n_dups,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents) t
+        WHERE rn = 1
+    """,
+    "char_len_histogram": """
+        WITH mm AS (
+            SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents
+        )
+        SELECT CAST((n_chars - mn) * 10 // (mx - mn + 1) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS lo_chars,
+               CAST(max(n_chars) AS BIGINT) AS hi_chars
+        FROM documents CROSS JOIN mm
+        GROUP BY 1
+    """,
+}
+
+QUERIES = {
+    "bm25_topk": bm25_topk,
+    "stratified_quota_sample": stratified_quota_sample,
+    "minhash_jaccard_calibration": minhash_jaccard_calibration,
+    "event_outliers_exact_zscore": event_outliers_exact_zscore,
+    "dedup_keep_best": dedup_keep_best,
+    "char_len_histogram": char_len_histogram,
+}

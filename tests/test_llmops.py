@@ -456,3 +456,77 @@ def test_length_bucket_edges(spark):
     ).collect()}
     assert out[8] == (2, 7)    # 8-token doc (0 waste) + 1-token doc (7)
     assert out[16] == (2, 7)   # 9-token (7 waste) + 16-token (0)
+
+
+def test_stratified_quota_sample_exact_counts(spark):
+    """Salted two-phase per-group top-k returns EXACTLY the quota per
+    stratum (or the whole stratum when smaller) and matches the unsalted
+    single-window reference selection."""
+    from dbt_spark.queries.curation import stratified_quota_sample
+    out = stratified_quota_sample(spark, SF).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    totals = {
+        r["lang"]: r["n"]
+        for r in _docs(spark).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, ids in by_lang.items():
+        assert len(ids) == min(40, totals[lang])
+        assert len(set(ids)) == len(ids)
+    # reference selection: plain window over the full stratum
+    from pyspark.sql import Window
+    ref = (
+        _docs(spark)
+        .select("lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("k"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("lang").orderBy("k", "doc_id")),
+        )
+        .filter(F.col("rn") <= 40)
+        .collect()
+    )
+    ref_ids = {(r["lang"], r["doc_id"]) for r in ref}
+    got_ids = {(r["lang"], r["doc_id"]) for r in out}
+    assert got_ids == ref_ids
+
+
+def test_dedup_keep_best_prefers_longest_then_lowest_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "same", 4), (2, "same", 9), (3, "same", 9), (4, "uniq", 4)],
+        ["doc_id", "text", "n_chars"],
+    )
+    best = (
+        docs.select("doc_id", "n_chars", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.max(F.struct(F.col("n_chars").alias("nc"),
+                           (-F.col("doc_id")).alias("nd"))).alias("b"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select((-F.col("b.nd")).alias("doc_id"), "n_dups")
+    )
+    got = {r["doc_id"]: r["n_dups"] for r in best.collect()}
+    # doc 2 wins over 3 (same length, lower id) and over 1 (longer text)
+    assert got == {2: 3, 4: 1}
+
+
+def test_minhash_calibration_bound_holds(spark):
+    """32-perm MinHash estimate lands within the 4.5-sigma contract band on
+    every real exact-Jaccard pair — the invariant the driver oracle checks."""
+    from dbt_spark.queries.curation import minhash_jaccard_calibration
+    rows = minhash_jaccard_calibration(spark, SF).collect()
+    assert rows, "expected at least one >=0.2 Jaccard pair in sf0.001"
+    assert all(r["within_bound"] for r in rows)
+
+
+def test_char_len_histogram_partitions_corpus(spark):
+    from dbt_spark.queries.curation import char_len_histogram
+    rows = char_len_histogram(spark, SF).collect()
+    n_total = _docs(spark).count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    assert all(0 <= r["bucket"] <= 9 for r in rows)
+    # bucket ranges must not overlap
+    spans = sorted((r["lo_chars"], r["hi_chars"]) for r in rows)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo

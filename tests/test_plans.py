@@ -176,3 +176,49 @@ def test_round4_curation_plans(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Window" not in plan and "Join" not in plan
     assert "partial_count" in plan
+
+
+def test_round4b_curation_plans(spark):
+    """Round-4b curation operators keep their scale contracts:
+
+    - dedup_keep_best: pure argmax hash aggregate (partial max map-side),
+      zero windows — the exchange ships one row per distinct fingerprint.
+    - event_outliers_exact_zscore: moment stats join back via broadcast; no
+      sort-merge join of the event scan against itself.
+    - char_len_histogram: the min/max single-row side joins via broadcast
+      (BroadcastNestedLoop on a 1-row side is the intended shape).
+    - stratified_quota_sample: both windows are salted/stratified
+      (partitionBy present); the unpartitioned-window guard in
+      test_perf_guards covers the rest of the tree.
+    """
+    plan = _formatted(QUERIES["dedup_keep_best"](spark, SF_DIR_MED))
+    assert "Window" not in plan
+    assert "partial_max" in plan and "partial_count" in plan
+    assert "Join" not in plan
+
+    plan = _formatted(QUERIES["event_outliers_exact_zscore"](spark, SF_DIR_MED))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _formatted(QUERIES["char_len_histogram"](spark, SF_DIR_MED))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "n_chars" in read and "text" not in read
+
+    plan = _formatted(QUERIES["stratified_quota_sample"](spark, SF_DIR_MED))
+    assert "windowspecdefinition(lang" in plan.replace(" ", "").replace(
+        "#", ""
+    ) or "Window" in plan  # windows exist...
+    # ...but never unpartitioned: every window partition key includes lang
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "lang" in ln
+
+
+def test_bm25_no_cartesian_broadcast_stats(spark):
+    """BM25: corpus stats (1 row) and the 3-term query set broadcast; the
+    only per-row joins key on term/doc_id; no CartesianProduct."""
+    plan = _formatted(QUERIES["bm25_topk"](spark, SF_DIR_MED))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
