@@ -85,6 +85,23 @@ def main() -> int:
                     help="deps: resolve + write package-lock.yml, no install")
     ap.add_argument("--event-time-start", default=None)
     ap.add_argument("--event-time-end", default=None)
+    ap.add_argument("--profile", default=None,
+                    help="profiles.yml entry to use (overrides the "
+                         "project's profile: key; reference --profile)")
+    ap.add_argument("--profiles-dir", default=None,
+                    help="directory containing profiles.yml (reference "
+                         "--profiles-dir / DBT_PROFILES_DIR)")
+    ap.add_argument("--target-path", default=None,
+                    help="artifact output dir (reference --target-path / "
+                         "DBT_TARGET_PATH; default <project>/target)")
+    ap.add_argument("--empty-catalog", action="store_true",
+                    help="docs generate: skip warehouse introspection")
+    ap.add_argument("--static", action="store_true",
+                    help="docs generate: self-contained index.html (always "
+                         "on; accepted for reference parity)")
+    ap.add_argument("--version", action="version",
+                    version="dbt_spark 1.10.0 (PySpark analytics engine; "
+                            "reference-parity CLI)")
     args = ap.parse_args()
 
     if args.command == "init":
@@ -97,6 +114,9 @@ def main() -> int:
         args.project_dir,
         vars=yaml.safe_load(args.vars) if args.vars else None,
         target=args.target,
+        profile_name=args.profile,
+        profiles_dir=args.profiles_dir,
+        target_path=args.target_path,
     )
     if args.threads:
         engine.project.profile["threads"] = args.threads
@@ -185,6 +205,10 @@ def main() -> int:
         argv += ["--event-time-start", args.event_time_start]
     if args.event_time_end:
         argv += ["--event-time-end", args.event_time_end]
+    if args.empty_catalog:
+        argv.append("--empty-catalog")
+    if args.static:
+        argv.append("--static")
     try:
         result = engine.invoke(argv)
     except Exception as e:  # noqa: BLE001 — CLI boundary: clean error, not a

@@ -52,6 +52,13 @@ class Project:
     # parser/manifest.py:827-853): each module's get_nodes(project) returns
     # [{name, location, file_format?, schema?}] injected as external models
     plugins: list[str] = field(default_factory=list)
+    # artifact output dir (reference --target-path / DBT_TARGET_PATH /
+    # target-path: key, cli/params.py "--target-path"; default <root>/target)
+    target_path: str = ""
+
+    def __post_init__(self) -> None:
+        if not self.target_path:
+            self.target_path = os.path.join(self.root, "target")
 
     @classmethod
     def load(
@@ -59,6 +66,9 @@ class Project:
         project_dir: str,
         profile: Optional[dict] = None,
         target: Optional[str] = None,
+        profile_name: Optional[str] = None,
+        profiles_dir: Optional[str] = None,
+        target_path: Optional[str] = None,
     ) -> "Project":
         if not os.path.isdir(project_dir):
             raise FileNotFoundError(f"project directory does not exist: {project_dir}")
@@ -74,7 +84,18 @@ class Project:
         cfg = _render_yaml_values(cfg, cfg.get("vars") or {})
         name = cfg.get("name", os.path.basename(os.path.abspath(project_dir)))
         prof = dict(profile or {})
-        prof_path = os.path.join(project_dir, "profiles.yml")
+        # profiles.yml search order mirrors the reference resolution
+        # (--profiles-dir > DBT_PROFILES_DIR > project dir; config/profile.py)
+        pdirs = [
+            d for d in (
+                profiles_dir, os.environ.get("DBT_PROFILES_DIR"), project_dir,
+            ) if d
+        ]
+        prof_path = next(
+            (os.path.join(d, "profiles.yml") for d in pdirs
+             if os.path.exists(os.path.join(d, "profiles.yml"))),
+            os.path.join(project_dir, "profiles.yml"),
+        )
         if not prof and os.path.exists(prof_path):
             with open(prof_path) as f:
                 # ProfileRenderer: env_var() substitution (credentials etc.)
@@ -84,7 +105,18 @@ class Project:
             # project's `profile:` key picks the entry, `target` (or the
             # --target override) picks the output. A flat `spark:` dict is
             # also accepted as shorthand.
-            entry = raw.get(cfg.get("profile")) or raw.get("spark") or {}
+            # --profile overrides the project's `profile:` key
+            # (cli/params.py "--profile")
+            entry = (
+                raw.get(profile_name or cfg.get("profile"))
+                or raw.get("spark")
+                or {}
+            )
+            if profile_name and profile_name not in raw:
+                raise KeyError(
+                    f"profiles.yml: profile {profile_name!r} not found "
+                    f"(available: {sorted(raw)})"
+                )
             if isinstance(entry, dict) and "outputs" in entry:
                 tgt = target or entry.get("target") or next(iter(entry["outputs"]))
                 if tgt not in entry["outputs"]:
@@ -96,7 +128,15 @@ class Project:
                 prof.setdefault("target_name", tgt)
             elif isinstance(entry, dict):
                 prof = dict(entry)
-        prof.setdefault("warehouse", os.path.join(project_dir, "target", "warehouse"))
+        tpath = (
+            target_path
+            or os.environ.get("DBT_TARGET_PATH")
+            or cfg.get("target-path")
+            or os.path.join(project_dir, "target")
+        )
+        if not os.path.isabs(tpath):
+            tpath = os.path.join(os.path.abspath(project_dir), tpath)
+        prof.setdefault("warehouse", os.path.join(tpath, "warehouse"))
         prof.setdefault("schema", "main")
         prof.setdefault("threads", 4)
         on_start = cfg.get("on-run-start", [])
@@ -120,6 +160,7 @@ class Project:
             clean_targets=cfg.get("clean-targets", ["target", "dbt_packages"]),
             selectors=cls._load_selectors(project_dir),
             plugins=list(cfg.get("plugins", []) or []),
+            target_path=tpath,
         )
 
     @staticmethod

@@ -93,10 +93,17 @@ class Engine:
         profile: Optional[dict] = None,
         vars: Optional[dict] = None,
         target: Optional[str] = None,
+        profile_name: Optional[str] = None,
+        profiles_dir: Optional[str] = None,
+        target_path: Optional[str] = None,
     ) -> None:
         from dbt_spark.session import get_spark
 
-        self.project = Project.load(project_dir, profile=profile, target=target)
+        self.project = Project.load(
+            project_dir, profile=profile, target=target,
+            profile_name=profile_name, profiles_dir=profiles_dir,
+            target_path=target_path,
+        )
         self.spark = spark or get_spark(f"dbt_spark:{self.project.name}")
         self.store = RelationStore(self.spark, self.project.profile["warehouse"])
         self.vars = vars or {}
@@ -107,7 +114,7 @@ class Engine:
         from dbt_spark.events import EventBus
 
         self.events = EventBus(
-            os.path.join(self.project.root, "target", "logs", "dbt.log.jsonl")
+            os.path.join(self.project.target_path, "logs", "dbt.log.jsonl")
         )
 
     # -- lifecycle ----------------------------------------------------------
@@ -115,7 +122,7 @@ class Engine:
     def parse(self, partial: bool = True) -> Manifest:
         from dbt_spark.plans.partial import ParseCache, cache_token
 
-        target_dir = os.path.join(self.project.root, "target")
+        target_dir = self.project.target_path
         os.makedirs(target_dir, exist_ok=True)
         cache_path = os.path.join(target_dir, "partial_parse.pickle")
         cache = None
@@ -266,6 +273,7 @@ class Engine:
         add_package: Optional[str] = None
         deps_upgrade = False
         deps_lock_only = False
+        empty_catalog = False
         i = 0
         while i < len(rest):
             if rest[i] in ("--select", "-s"):
@@ -315,6 +323,15 @@ class Engine:
                 indirect = rest[i]
             elif rest[i] in ("--fail-fast", "-x"):
                 fail_fast = True
+            elif rest[i] == "--empty-catalog":
+                # docs generate: skip warehouse introspection entirely
+                # (reference cli/params.py "--empty-catalog")
+                empty_catalog = True
+            elif rest[i] == "--static":
+                # reference --static inlines manifest/catalog into one
+                # self-contained index.html; our site is always built that
+                # way, so the flag is accepted as a no-op
+                pass
             elif rest[i] == "--port":
                 i += 1
                 port = int(rest[i])
@@ -409,7 +426,8 @@ class Engine:
             return self._show(manifest, inline, select, limit)
         if command == "docs-generate":
             return self._docs_generate(manifest, select=select or None,
-                                       exclude=exclude or None)
+                                       exclude=exclude or None,
+                                       empty_catalog=empty_catalog)
         if command == "docs-serve":
             return self._docs_serve(port=port or 8080)
         if command == "source-freshness":
@@ -689,7 +707,7 @@ class Engine:
     def _write_graph_summary(self, graph) -> None:
         """graph_summary.json (compilation.py:679-689 writes graph.gpickle +
         summary; the summary alone serves the same introspection need)."""
-        target_dir = os.path.join(self.project.root, "target")
+        target_dir = self.project.target_path
         os.makedirs(target_dir, exist_ok=True)
         summary = {
             "_invocation_id": self.events.invocation_id,
@@ -758,7 +776,7 @@ class Engine:
         if old_src is not None:
             out["__source_status__"] = old_src
             out["__current_source_status__"] = _source_ages(
-                os.path.join(self.project.root, "target", "sources.json")
+                os.path.join(self.project.target_path, "sources.json")
             ) or {}
         return out
 
@@ -870,11 +888,13 @@ class Engine:
         return result
 
     def _docs_generate(self, manifest: Manifest, select=None,
-                       exclude=None) -> RunnerResult:
+                       exclude=None, empty_catalog=False) -> RunnerResult:
         """catalog.json from the warehouse state
         (core/dbt/task/docs/generate.py:73-114, artifact :354-371);
         --select/--exclude narrow the cataloged nodes (reference
-        `dbt docs generate --select`)."""
+        `dbt docs generate --select`); --empty-catalog skips warehouse
+        introspection and writes an empty catalog (cli/params.py
+        "--empty-catalog" — the fast-docs path for big deployments)."""
         ctx = ExecutionContext(
             spark=self.spark, store=self.store, manifest=manifest, project=self.project
         )
@@ -884,7 +904,7 @@ class Engine:
             chosen = select_nodes(manifest, graph, select, exclude,
                                   state=self._load_state())
         nodes_cat: dict[str, Any] = {}
-        for uid, node in manifest.nodes.items():
+        for uid, node in () if empty_catalog else manifest.nodes.items():
             if node.resource_type not in (NodeType.Model, NodeType.Seed, NodeType.Snapshot):
                 continue
             if chosen is not None and uid not in chosen:
@@ -931,7 +951,7 @@ class Engine:
                 "stats": stats,
             }
         sources_cat: dict[str, Any] = {}
-        for uid, src in manifest.sources.items():
+        for uid, src in () if empty_catalog else manifest.sources.items():
             if chosen is not None and uid not in chosen:
                 continue
             loc = src.config.meta.get("location")
@@ -960,7 +980,7 @@ class Engine:
             "sources": sources_cat,
             "errors": None,
         }
-        target_dir = os.path.join(self.project.root, "target")
+        target_dir = self.project.target_path
         os.makedirs(target_dir, exist_ok=True)
         with open(os.path.join(target_dir, "catalog.json"), "w") as f:
             json.dump(payload, f, indent=1)
@@ -1044,7 +1064,7 @@ class Engine:
         import socketserver
         import threading
 
-        target_dir = os.path.join(self.project.root, "target")
+        target_dir = self.project.target_path
 
         class Handler(http.server.SimpleHTTPRequestHandler):
             def __init__(self, *a: Any, **k: Any) -> None:
@@ -1108,7 +1128,7 @@ class Engine:
                 })
             except Exception as e:  # noqa: BLE001
                 results.append(RunResult(uid, "error", time.time() - t0, str(e)))
-        target_dir = os.path.join(self.project.root, "target")
+        target_dir = self.project.target_path
         os.makedirs(target_dir, exist_ok=True)
         with open(os.path.join(target_dir, "sources.json"), "w") as f:
             json.dump({
@@ -1412,7 +1432,7 @@ class Engine:
     def _retry(self, **kwargs: Any) -> RunnerResult:
         """dbt retry: re-run previous invocation's failed/skipped nodes
         (core/dbt/task/retry.py:45-121)."""
-        path = os.path.join(self.project.root, "target", "run_results.json")
+        path = os.path.join(self.project.target_path, "run_results.json")
         if not os.path.exists(path):
             raise FileNotFoundError("retry: no previous run_results.json")
         with open(path) as f:
@@ -1751,7 +1771,7 @@ class Engine:
         from dbt_spark.operators.materialize import compile_sql
 
         results = []
-        target_dir = os.path.join(self.project.root, "target", "compiled")
+        target_dir = os.path.join(self.project.target_path, "compiled")
         for uid in sorted(runnable):
             node = manifest.nodes[uid]
             if node.language != "sql" or node.test_metadata:
@@ -1773,7 +1793,7 @@ class Engine:
     def _write_run_results(
         self, results: list[RunResult], success: bool, command: str = "run"
     ) -> None:
-        target_dir = os.path.join(self.project.root, "target")
+        target_dir = self.project.target_path
         os.makedirs(target_dir, exist_ok=True)
         # v5-strict shape (validated against the reference's published schema
         # /root/reference/schemas/dbt/run-results/v5.json in

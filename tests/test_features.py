@@ -2249,3 +2249,63 @@ def test_alias_and_naming_macros(project_dir, spark):
     assert eng2.store.get("main_x", "p_doubled") is not None
     got2 = sorted(x.n2 for x in eng2.store.read("main_x", "p_doubled").collect())
     assert got2 == [2, 4]
+
+
+def test_profile_profiles_dir_and_target_path(project_dir, spark, tmp_path):
+    """--profile picks a named profiles.yml entry, --profiles-dir reads
+    profiles.yml from outside the project, --target-path redirects every
+    artifact write (reference cli/params.py --profile/--profiles-dir/
+    --target-path)."""
+    root = project_dir({
+        "dbt_project.yml": "name: ppd\nprofile: main_prof\n",
+        "models/m.sql": "select 1 as x",
+    })
+    ext = tmp_path / "cfg"
+    ext.mkdir()
+    (ext / "profiles.yml").write_text(
+        "main_prof:\n"
+        "  target: dev\n"
+        "  outputs:\n"
+        "    dev: {schema: dev_sch}\n"
+        "alt_prof:\n"
+        "  target: dev\n"
+        "  outputs:\n"
+        "    dev: {schema: alt_sch}\n"
+    )
+    tgt = str(tmp_path / "artifacts")
+    eng = Engine(root, spark=spark, profiles_dir=str(ext),
+                 profile_name="alt_prof", target_path=tgt)
+    assert eng.project.profile["schema"] == "alt_sch"
+    r = eng.invoke(["run"])
+    assert r.success
+    assert eng.store.get("alt_sch", "m") is not None
+    assert os.path.exists(os.path.join(tgt, "manifest.json"))
+    assert os.path.exists(os.path.join(tgt, "run_results.json"))
+    # default target/ dir was never created
+    assert not os.path.exists(os.path.join(root, "target", "manifest.json"))
+
+    # unknown --profile errors cleanly
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        Engine(root, spark=spark, profiles_dir=str(ext),
+               profile_name="nope")
+
+
+def test_docs_generate_empty_catalog(project_dir, spark):
+    """docs generate --empty-catalog writes the artifacts without warehouse
+    introspection (reference cli/params.py --empty-catalog); --static is
+    accepted (site is always self-contained)."""
+    root = project_dir({
+        "dbt_project.yml": "name: ec\n",
+        "models/m.sql": "select 1 as x",
+    })
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["run"]).success
+    assert eng.invoke(["docs", "generate", "--empty-catalog", "--static"]).success
+    cat = json.load(open(os.path.join(root, "target", "catalog.json")))
+    assert cat["nodes"] == {} and cat["sources"] == {}
+    assert os.path.exists(os.path.join(root, "target", "index.html"))
+    # and the normal path still catalogs the node
+    assert eng.invoke(["docs", "generate"]).success
+    cat = json.load(open(os.path.join(root, "target", "catalog.json")))
+    assert "model.ec.m" in cat["nodes"]
