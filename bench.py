@@ -117,6 +117,9 @@ EXTENDED = [
     "retention_cohorts",
     "per_source_dup_rate",
     # round-4b additions
+    "table_profile",
+    "attribution_touchpoints",
+    "lang_confusion_matrix",
     "bm25_topk",
     "stratified_quota_sample",
     "dedup_keep_best",

@@ -306,7 +306,138 @@ def char_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: every purchase event attributed to the user's
+    last click strictly before it (last-touch) and the earliest click inside
+    the preceding 7 days (windowed first-touch).
+
+    Scale: ONE shuffle on user_id feeds both attribution windows (same
+    partitioning + ordering → Catalyst reuses the sort). Frames are VALUE
+    ranges over unix_micros — strictly-earlier semantics by value, so
+    same-microsecond click/purchase ties cannot reorder results the way a
+    ROWS frame would. At 100 TB this is the per-user timeline pattern:
+    partitions scale with users, never with global history.
+    """
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    epoch = F.unix_micros(F.col("ts"))
+    click_ts = F.when(F.col("event_type") == "click", epoch)
+    w_all = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_7d = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-7 * 86400 * 1_000_000, -1)
+    )
+    out = (
+        ev.withColumn("last_touch_us", F.max(click_ts).over(w_all))
+        .withColumn("first_touch_us", F.min(click_ts).over(w_7d))
+        .filter(F.col("event_type") == "purchase")
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.timestamp_micros(F.col("last_touch_us")).alias("last_touch_ts"),
+        F.timestamp_micros(F.col("first_touch_us")).alias("first_touch_ts"),
+    )
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of lineitem (the `ANALYZE`/docs-stats analog):
+    row count, null count, distinct count, min/max rendered as strings — one
+    row per profiled column.
+
+    Scale: ALL metrics for ALL columns compute in ONE aggregate pass (each
+    metric is an independent aggregate buffer, combined map-side), then the
+    single 1-row result unpivots via stack() — the scan happens once, no
+    per-column jobs, no shuffle beyond one partial-agg exchange.
+    """
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    cols = ["l_quantity", "l_shipdate", "l_returnflag", "l_extendedprice"]
+    # min/max render rules that are bit-identical across engines: doubles via
+    # fixed-scale decimal (double→string differs per engine), timestamps via
+    # date, strings as-is
+    render = {
+        "l_quantity": lambda c: c.cast("decimal(18,2)").cast("string"),
+        "l_extendedprice": lambda c: c.cast("decimal(18,2)").cast("string"),
+        "l_shipdate": lambda c: c.cast("date").cast("string"),
+        "l_returnflag": lambda c: c.cast("string"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            render[c](F.min(c)).alias(f"{c}__mn"),
+            render[c](F.max(c)).alias(f"{c}__mx"),
+        ]
+    one = li.agg(*aggs)
+    stack_expr = "stack({n}, {parts}) as (column_name, n_nulls, n_distinct, min_value, max_value)".format(
+        n=len(cols),
+        parts=", ".join(
+            f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+        ),
+    )
+    return one.select(
+        F.expr(stack_expr), F.col("n_rows").cast("bigint").alias("n_rows")
+    ).select(
+        "column_name",
+        "n_rows",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )
+
+
 ORACLES: dict[str, str] = {
+    "attribution_touchpoints": """
+        SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+               (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
+                WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                  AND c.ts < e.ts) AS last_touch_ts,
+               (SELECT min(CAST(c.ts AS TIMESTAMP)) FROM events c
+                WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                  AND c.ts < e.ts
+                  AND c.ts >= e.ts - INTERVAL 7 DAY) AS first_touch_ts
+        FROM events e WHERE e.event_type = 'purchase'
+    """,
+    "table_profile": """
+        WITH base AS (SELECT count(*) AS n_rows FROM lineitem)
+        SELECT 'l_quantity' AS column_name, n_rows,
+               (SELECT CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) AS n_nulls,
+               (SELECT CAST(count(DISTINCT l_quantity) AS BIGINT) FROM lineitem) AS n_distinct,
+               (SELECT CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) FROM lineitem) AS min_value,
+               (SELECT CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) FROM lineitem) AS max_value
+        FROM base
+        UNION ALL
+        SELECT 'l_shipdate', n_rows,
+               (SELECT CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem),
+               (SELECT CAST(count(DISTINCT l_shipdate) AS BIGINT) FROM lineitem),
+               (SELECT CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) FROM lineitem),
+               (SELECT CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) FROM lineitem)
+        FROM base
+        UNION ALL
+        SELECT 'l_returnflag', n_rows,
+               (SELECT CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem),
+               (SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) FROM lineitem),
+               (SELECT CAST(min(l_returnflag) AS VARCHAR) FROM lineitem),
+               (SELECT CAST(max(l_returnflag) AS VARCHAR) FROM lineitem)
+        FROM base
+        UNION ALL
+        SELECT 'l_extendedprice', n_rows,
+               (SELECT CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem),
+               (SELECT CAST(count(DISTINCT l_extendedprice) AS BIGINT) FROM lineitem),
+               (SELECT CAST(CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) FROM lineitem),
+               (SELECT CAST(CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) FROM lineitem)
+        FROM base
+    """,
     "bm25_topk": f"""
         WITH toks AS (
             SELECT doc_id, unnest({_TOKS_L}) AS t FROM documents
@@ -432,6 +563,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "attribution_touchpoints": attribution_touchpoints,
+    "table_profile": table_profile,
     "bm25_topk": bm25_topk,
     "stratified_quota_sample": stratified_quota_sample,
     "minhash_jaccard_calibration": minhash_jaccard_calibration,

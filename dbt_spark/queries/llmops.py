@@ -81,6 +81,28 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", X.lang_id("text").alias("lang_pred"))
 
 
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language-ID heuristic against the
+    labeled lang column: (labeled, predicted, n_docs, share-of-labeled) — the
+    precision/recall dashboard for a classifier run at corpus scale.
+
+    Scale: classification is a pure column expression; the matrix is one
+    map-side-combined aggregate on (lang, lang_pred) (≤ |langs|² rows) and
+    per-label totals broadcast back. Nothing shuffles more than the matrix."""
+    preds = _docs(spark, sf_dir).select(
+        "lang", X.lang_id("text").alias("lang_pred")
+    )
+    cells = preds.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("total"))
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang", "lang_pred", "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6)
+        .alias("share"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", X.fingerprint("text", 8).alias("fingerprint")
@@ -1345,6 +1367,28 @@ ORACLES: dict[str, str] = {
                md5(array_to_string(list_slice({_TOKS}, 1, 8), ' ')) AS fingerprint
         FROM documents
     """,
+    "lang_confusion_matrix": f"""
+        WITH scores AS (SELECT doc_id, lang, {_LANG_SCORES} FROM documents),
+        best AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS b FROM scores),
+        preds AS (
+            SELECT lang,
+                   CASE WHEN b = 0 THEN 'und'
+                        WHEN s_de = b THEN 'de'
+                        WHEN s_en = b THEN 'en'
+                        WHEN s_es = b THEN 'es'
+                        WHEN s_fr = b THEN 'fr'
+                        ELSE 'und' END AS lang_pred
+            FROM best
+        ),
+        cells AS (
+            SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+            FROM preds GROUP BY lang, lang_pred
+        ),
+        totals AS (SELECT lang, sum(n_docs) AS total FROM cells GROUP BY lang)
+        SELECT c.lang, c.lang_pred, c.n_docs,
+               round(CAST(c.n_docs AS DOUBLE) / t.total, 6) AS share
+        FROM cells c JOIN totals t ON c.lang = t.lang
+    """,
     "training_data_pipeline": _QUALITY_CTE.rstrip() + f""",
         lang_scores AS (SELECT doc_id, {_LANG_SCORES} FROM documents),
         lang_best AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS b FROM lang_scores),
@@ -1555,6 +1599,7 @@ QUERIES = {
     "token_count": token_count,
     "text_quality_score": text_quality_score,
     "lang_id_heuristic": lang_id_heuristic,
+    "lang_confusion_matrix": lang_confusion_matrix,
     "token_count_bpe": token_count_bpe,
     "decontamination_anti_join": decontamination_anti_join,
     "pii_redaction": pii_redaction,

@@ -682,3 +682,60 @@ def test_differential_like_regexp(spark, seed):
     want = con.sql(duck_sql).df()
     assert sorted(got.columns) == sorted(want.columns), spark_sql
     assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
+
+
+# --------------------------------------------------------------------------
+# Exact DECIMAL arithmetic. Inputs are fixed to scale 3 so one multiplication
+# lands exactly on scale 6; every intermediate stays decimal-exact (no
+# HALF_UP/HALF_EVEN tie divergence — the known cross-engine trap) and only
+# the final render casts to DOUBLE (both engines round the same exact
+# decimal to the same nearest double; DuckDB's pandas bridge returns
+# float64 for decimals, so a decimal-typed output would str()-mismatch). Integer ops use Spark `div` / DuckDB `//` for floored quotients.
+# --------------------------------------------------------------------------
+
+def _gen_decimal_pair(seed: int) -> tuple[str, str]:
+    rng = random.Random(80_000 + seed)
+    a, b = rng.sample(["o_totalprice", "o_totalprice * 0.5",
+                       "o_totalprice - 1000"], 2)
+    dec = "DECIMAL(18,3)"
+    xa, xb = f"CAST({a} AS {dec})", f"CAST({b} AS {dec})"
+    k = rng.randrange(2, 9)
+    where = _atom(rng)
+    exprs_s = [
+        f"CAST({xa} + {xb} * {k} AS DOUBLE) AS e1",
+        f"CAST(abs({xa} - {xb}) AS DOUBLE) AS e2",
+        f"CAST(greatest({xa}, {xb}) AS DOUBLE) AS e3",
+        f"CAST(sign({xa} - {xb}) AS BIGINT) AS e4",
+        f"CAST(floor({xa}) AS BIGINT) AS e5",
+        f"CAST(ceil({xb}) AS BIGINT) AS e6",
+        f"CAST(o_orderkey % {k} AS BIGINT) AS e7",
+        f"CAST(o_orderkey div {k} AS BIGINT) AS e8",
+    ]
+    exprs_d = [e.replace(" div ", " // ") for e in exprs_s]
+    agg = rng.random() < 0.5
+    if agg:
+        s = (f"SELECT o_orderstatus, CAST(sum({xa} + {xb}) AS DOUBLE) "
+             f"AS s1, CAST(count(*) AS BIGINT) AS c1 "
+             f"FROM orders WHERE {where} GROUP BY o_orderstatus")
+        return s, s
+    sel_s = ", ".join(exprs_s)
+    sel_d = ", ".join(exprs_d)
+    return (
+        f"SELECT o_orderkey, {sel_s} FROM orders WHERE {where}",
+        f"SELECT o_orderkey, {sel_d} FROM orders WHERE {where}",
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_differential_decimal_arithmetic(spark, seed):
+    load_tables(spark, SF_DIR, "orders")
+    spark_sql, duck_sql = _gen_decimal_pair(seed)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'orders.parquet')}'"
+    )
+    got = spark.sql(spark_sql).toPandas()
+    want = con.sql(duck_sql).df()
+    assert sorted(got.columns) == sorted(want.columns), spark_sql
+    assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
