@@ -322,16 +322,19 @@ def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type",
         F.col("ts").cast("timestamp").alias("ts"),
     ).filter(F.col("event_type").isin("click", "purchase"))
-    epoch = F.unix_micros(F.col("ts"))
-    click_ts = F.when(F.col("event_type") == "click", epoch)
+    # epoch is materialized ONCE so both window specs reference the same
+    # attribute — Catalyst then runs both frames off one Sort under one
+    # Exchange (re-deriving unix_micros per window forces a redundant Sort)
+    ev = ev.withColumn("__ep", F.unix_micros(F.col("ts")))
+    click_ts = F.when(F.col("event_type") == "click", F.col("__ep"))
     w_all = (
         Window.partitionBy("user_id")
-        .orderBy(epoch)
+        .orderBy("__ep")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     w_7d = (
         Window.partitionBy("user_id")
-        .orderBy(epoch)
+        .orderBy("__ep")
         .rangeBetween(-7 * 86400 * 1_000_000, -1)
     )
     out = (

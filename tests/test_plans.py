@@ -222,3 +222,17 @@ def test_bm25_no_cartesian_broadcast_stats(spark):
     plan = _formatted(QUERIES["bm25_topk"](spark, SF_DIR_MED))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_attribution_single_sort_shared_exchange(spark):
+    """Both attribution windows (last-touch, 7-day first-touch) run off ONE
+    hashpartitioning(user_id) Exchange and ONE Sort — materializing the
+    epoch column once keeps the specs attribute-identical, so Catalyst does
+    not re-sort between frames. (The RoundRobin exchange is the test-data
+    spread(), absent at real scale.)"""
+    import re
+
+    plan = _formatted(QUERIES["attribution_touchpoints"](spark, SF_DIR_MED))
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+    assert "CartesianProduct" not in plan and "Join" not in plan
