@@ -94,6 +94,9 @@ def main() -> int:
     ap.add_argument("--target-path", default=None,
                     help="artifact output dir (reference --target-path / "
                          "DBT_TARGET_PATH; default <project>/target)")
+    ap.add_argument("--log-path", default=None,
+                    help="log directory (reference --log-path / "
+                         "DBT_LOG_PATH; default <target-path>/logs)")
     ap.add_argument("--empty-catalog", action="store_true",
                     help="docs generate: skip warehouse introspection")
     ap.add_argument("--static", action="store_true",
@@ -117,6 +120,7 @@ def main() -> int:
         profile_name=args.profile,
         profiles_dir=args.profiles_dir,
         target_path=args.target_path,
+        log_path=args.log_path,
     )
     if args.threads:
         engine.project.profile["threads"] = args.threads

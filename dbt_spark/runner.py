@@ -96,6 +96,7 @@ class Engine:
         profile_name: Optional[str] = None,
         profiles_dir: Optional[str] = None,
         target_path: Optional[str] = None,
+        log_path: Optional[str] = None,
     ) -> None:
         from dbt_spark.session import get_spark
 
@@ -113,9 +114,14 @@ class Engine:
         self.manifest: Optional[Manifest] = None
         from dbt_spark.events import EventBus
 
-        self.events = EventBus(
-            os.path.join(self.project.target_path, "logs", "dbt.log.jsonl")
+        # --log-path / DBT_LOG_PATH override the log directory
+        # (reference cli/params.py "--log-path")
+        log_dir = (
+            log_path
+            or os.environ.get("DBT_LOG_PATH")
+            or os.path.join(self.project.target_path, "logs")
         )
+        self.events = EventBus(os.path.join(log_dir, "dbt.log.jsonl"))
 
     # -- lifecycle ----------------------------------------------------------
 

@@ -2309,3 +2309,18 @@ def test_docs_generate_empty_catalog(project_dir, spark):
     assert eng.invoke(["docs", "generate"]).success
     cat = json.load(open(os.path.join(root, "target", "catalog.json")))
     assert "model.ec.m" in cat["nodes"]
+
+
+def test_log_path_override(project_dir, spark, tmp_path):
+    """--log-path redirects the structured-event JSONL log (reference
+    cli/params.py --log-path / DBT_LOG_PATH)."""
+    root = project_dir({
+        "dbt_project.yml": "name: lp\n",
+        "models/m.sql": "select 1 as x",
+    })
+    logs = str(tmp_path / "mylogs")
+    eng = Engine(root, spark=spark, log_path=logs)
+    assert eng.invoke(["run"]).success
+    assert os.path.exists(os.path.join(logs, "dbt.log.jsonl"))
+    assert not os.path.exists(os.path.join(root, "target", "logs",
+                                           "dbt.log.jsonl"))

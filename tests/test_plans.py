@@ -236,3 +236,56 @@ def test_attribution_single_sort_shared_exchange(spark):
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
     assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Spark's runtime bloom-filter join pruning (enabled in the session
+    conf) injects might_contain(bloom_filter_agg(build side)) onto the probe
+    scan when the build side is selective — at 100 TB the default thresholds
+    (creation side ≤ 10 MB, probe scan ≥ 10 GB) fire automatically; here the
+    probe-side threshold is lowered to demonstrate and pin the shape, and
+    results are asserted identical with the filter on and off."""
+    from dbt_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, SF_DIR_MED, "lineitem", "orders")
+
+    def q():
+        j = t["lineitem"].join(
+            t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        return (
+            j.groupBy("o_orderpriority")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+                 F.count(F.lit(1)).alias("n"))
+        )
+
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    baseline = q().collect()
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    try:
+        for k in saved:
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = q()
+        plan = _formatted(df)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan
+        assert df.collect() == baseline
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
