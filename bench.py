@@ -117,6 +117,7 @@ EXTENDED = [
     "retention_cohorts",
     "per_source_dup_rate",
     # round-4b additions
+    "semantic_conversion_metric",
     "table_profile",
     "attribution_touchpoints",
     "lang_confusion_matrix",

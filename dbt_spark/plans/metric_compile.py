@@ -17,7 +17,9 @@ actually runnable here:
 - ``metric_time`` resolves to the model's ``defaults.agg_time_dimension``;
   a ``__grain`` suffix on a time dimension becomes ``date_trunc``;
 - metric types: simple, ratio (num/den with NULLIF), derived (expr over
-  input metric aliases), cumulative (post-aggregate running window over the
+  input metric aliases), conversion (entity-keyed base→conversion semi-join
+  within an optional window; conversions | conversion_rate calculations),
+  cumulative (post-aggregate running window over the
   time grain — requires metric_time in the group-by).
 
 Supported agg types mirror the reference's AggregationType enum
@@ -186,6 +188,11 @@ def _measure_name(spec: Any) -> tuple[str, Optional[str]]:
     return str(spec), None
 
 
+def _sanitize(name: str) -> str:
+    """Metric name → identifier-safe CTE suffix."""
+    return re.sub(r"[^A-Za-z0-9_]", "_", str(name))
+
+
 def compile_metrics_sql(
     metric_names: list[str],
     metrics: list[Any],
@@ -215,6 +222,7 @@ def compile_metrics_sql(
     # model_name -> {col_alias: (measure, extra_filter)}
     final_exprs: list[tuple[str, str]] = []  # (sql_expr_over_leafs, alias)
     cumulative: dict[str, dict] = {}  # alias -> window spec
+    conversions: dict[str, dict] = {}  # metric name -> conversion spec
 
     def _leaf(measure_spec: Any, metric_filter: Optional[str]) -> str:
         mname, mfilter = _measure_name(measure_spec)
@@ -260,12 +268,16 @@ def compile_metrics_sql(
                 sub = _expand(iname)
                 expr = re.sub(rf"\b{re.escape(ialias)}\b", f"({sub})", expr)
             return expr
+        if mtype == "conversion":
+            ctp = tp.get("conversion_type_params") or {}
+            conversions[name] = {"ctp": ctp, "metric_filter": mfilter}
+            return f"__cvv_{_sanitize(name)}"
         raise MetricQueryError(f"metric {name}: unsupported type {mtype!r}")
 
     for name in metric_names:
         final_exprs.append((_expand(name), name))
 
-    if not leaf_cols:
+    if not leaf_cols and not conversions:
         raise MetricQueryError("no measures resolved for requested metrics")
 
     # one aggregate CTE per participating semantic model
@@ -293,10 +305,129 @@ def compile_metrics_sql(
             sql += f" GROUP BY {', '.join(keys)}"
         ctes.append((f"__sm_{model_name}", sql))
 
+    # conversion metrics (MetricFlow ConversionTypeParams,
+    # core/dbt/artifacts/resources/v1/metric.py): base events joined to
+    # conversion events of the same entity strictly later (optionally within
+    # `window`). Spark-first shape: converted base events come from ONE
+    # LEFT SEMI join keyed on the entity (shuffle ∝ events of that entity,
+    # dedup of multiple conversions for free), then two group-by-keyed
+    # aggregates — never a row_number over the global timeline.
+    aux_ctes: list[tuple[str, str]] = []
+    for cname, spec in conversions.items():
+        ctp, mfilter = spec["ctp"], spec["metric_filter"]
+        base_m, base_f = _measure_name(ctp.get("base_measure"))
+        conv_m, conv_f = _measure_name(ctp.get("conversion_measure"))
+        owner = measure_owner.get(base_m)
+        conv_owner = measure_owner.get(conv_m)
+        if owner is None or conv_owner is None:
+            raise MetricQueryError(
+                f"conversion metric {cname}: base/conversion measure has no "
+                "semantic model")
+        if conv_owner is not owner:
+            raise MetricQueryError(
+                f"conversion metric {cname}: base and conversion measures "
+                "must live on the same semantic model (cross-model "
+                "conversion requires entity resolution across models)")
+        for mm in (base_m, conv_m):
+            if owner.measures[mm].get("agg", "sum") != "count":
+                raise MetricQueryError(
+                    f"conversion metric {cname}: measure {mm!r} must use "
+                    "agg: count (conversion counts base events)")
+        table = table_for_model.get(owner.ref_name())
+        if table is None:
+            raise MetricQueryError(
+                f"no table registered for model {owner.ref_name()!r}")
+        ent_name = ctp.get("entity") or owner.primary_entity
+        ent = owner.entities.get(ent_name) if ent_name else None
+        if ent is None:
+            raise MetricQueryError(
+                f"conversion metric {cname}: entity {ent_name!r} not found "
+                f"on semantic model {owner.name}")
+        ent_expr = ent.get("expr") or ent["name"]
+
+        def _time_expr(measure_name: str) -> str:
+            meas = owner.measures[measure_name]
+            td = meas.get("agg_time_dimension") or owner.agg_time_dimension
+            if not td:
+                raise MetricQueryError(
+                    f"conversion metric {cname}: measure {measure_name!r} "
+                    "has no agg_time_dimension")
+            dim = owner.dimensions.get(td)
+            return (dim.get("expr") or td) if dim else td
+
+        def _row_conds(measure_name: str, extra: Optional[str],
+                       with_metric_filter: bool) -> list[str]:
+            meas = owner.measures[measure_name]
+            conds = []
+            if meas.get("filter"):
+                conds.append(_render_filter(str(meas["filter"]), owner))
+            if extra:
+                conds.append(_render_filter(str(extra), owner))
+            if with_metric_filter and mfilter:
+                conds.append(_render_filter(str(mfilter), owner))
+            if where:
+                conds.append(_render_filter(where, owner))
+            return conds
+
+        keys_sel, keys = [], []
+        for item in group_by:
+            expr, alias = owner.resolve_group_by(item)
+            keys_sel.append(f"{expr} AS {alias}")
+            keys.append(alias)
+        if not key_aliases:
+            key_aliases = keys
+        s = _sanitize(cname)
+        base_conds = _row_conds(base_m, base_f, with_metric_filter=True)
+        conv_conds = _row_conds(conv_m, conv_f, with_metric_filter=False)
+        bw = " AND ".join(f"({c})" for c in base_conds)
+        cw = " AND ".join(f"({c})" for c in conv_conds)
+        win_pred = ""
+        if ctp.get("window"):
+            num, unit = str(ctp["window"]).split()
+            win_pred = (f" AND c.__t <= b.__t + INTERVAL {int(num)} "
+                        f"{unit.rstrip('s').upper()}")
+        cols_b = keys_sel + [f"{ent_expr} AS __e", f"{_time_expr(base_m)} AS __t"]
+        aux_ctes.append((
+            f"__cvb_{s}",
+            f"SELECT {', '.join(cols_b)} FROM {table}"
+            + (f" WHERE {bw}" if bw else ""),
+        ))
+        aux_ctes.append((
+            f"__cvc_{s}",
+            f"SELECT {ent_expr} AS __e, {_time_expr(conv_m)} AS __t "
+            f"FROM {table}" + (f" WHERE {cw}" if cw else ""),
+        ))
+        aux_ctes.append((
+            f"__cvs_{s}",
+            f"SELECT b.* FROM __cvb_{s} b LEFT SEMI JOIN __cvc_{s} c "
+            f"ON b.__e = c.__e AND c.__t > b.__t{win_pred}",
+        ))
+        grp = f" GROUP BY {', '.join(keys)}" if keys else ""
+        klist = (", ".join(keys) + ", ") if keys else ""
+        aux_ctes.append((
+            f"__cvg1_{s}", f"SELECT {klist}COUNT(*) AS __bn FROM __cvb_{s}{grp}"
+        ))
+        aux_ctes.append((
+            f"__cvg2_{s}", f"SELECT {klist}COUNT(*) AS __cn FROM __cvs_{s}{grp}"
+        ))
+        calc = str(ctp.get("calculation") or "conversion_rate").lower()
+        if calc == "conversions":
+            val = "CAST(COALESCE(g2.__cn, 0) AS BIGINT)"
+        else:
+            val = ("CAST(COALESCE(g2.__cn, 0) AS DOUBLE) "
+                   "/ CAST(g1.__bn AS DOUBLE)")
+        on = " AND ".join(f"g1.{k} <=> g2.{k}" for k in keys) or "TRUE"
+        sel = (", ".join(f"g1.{k} AS {k}" for k in keys) + ", ") if keys else ""
+        ctes.append((
+            f"__cv_{s}",
+            f"SELECT {sel}{val} AS __cvv_{s} "
+            f"FROM __cvg1_{s} g1 LEFT JOIN __cvg2_{s} g2 ON {on}",
+        ))
+
     # join the per-model aggregates on the group-by keys (full outer,
     # null-safe) — the join input is group-by cardinality, not fact rows
     base_name, base_sql = ctes[0]
-    with_parts = [f"{n} AS ({s})" for n, s in ctes]
+    with_parts = [f"{n} AS ({s})" for n, s in aux_ctes + ctes]
     joined = base_name
     select_keys = [f"{base_name}.{k}" for k in key_aliases]
     for n, _ in ctes[1:]:

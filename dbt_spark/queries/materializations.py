@@ -707,6 +707,63 @@ def semantic_metric_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric_time__month", F.col("metric_time__month").cast("timestamp"))
 
 
+def semantic_conversion_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion metric (MetricFlow ConversionTypeParams,
+    core/dbt/artifacts/resources/v1/metric.py): signups that reach a
+    purchase by the same user within 7 days, as conversion count AND rate,
+    grouped by signup month — compiled to one SQL statement by
+    plans/metric_compile.py.
+
+    Scale: converted base events come from ONE LEFT SEMI join keyed on
+    user_id (multiple conversions dedup for free), then two group-keyed
+    aggregates; no global-timeline window, no row ids."""
+    from dbt_spark.plans.metric_compile import compile_metrics_sql
+    from dbt_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "events")
+    sm = {
+        "name": "events_sm",
+        "model": "ref('events')",
+        "defaults": {"agg_time_dimension": "event_time"},
+        "entities": [{"name": "user", "type": "primary", "expr": "user_id"}],
+        "dimensions": [
+            {"name": "event_time", "type": "time",
+             "expr": "CAST(ts AS TIMESTAMP)",
+             "type_params": {"time_granularity": "day"}},
+            {"name": "etype", "type": "categorical", "expr": "event_type"},
+        ],
+        "measures": [
+            {"name": "signups", "agg": "count", "expr": "1",
+             "filter": "{{ Dimension('etype') }} = 'signup'"},
+            {"name": "purchases", "agg": "count", "expr": "1",
+             "filter": "{{ Dimension('etype') }} = 'purchase'"},
+        ],
+    }
+    metrics = [
+        {"name": "signup_conversions", "type": "conversion", "label": "c",
+         "type_params": {"conversion_type_params": {
+             "base_measure": "signups", "conversion_measure": "purchases",
+             "entity": "user", "window": "7 days",
+             "calculation": "conversions"}}},
+        {"name": "signup_conversion_rate", "type": "conversion", "label": "r",
+         "type_params": {"conversion_type_params": {
+             "base_measure": "signups", "conversion_measure": "purchases",
+             "entity": "user", "window": "7 days",
+             "calculation": "conversion_rate"}}},
+    ]
+    sql = compile_metrics_sql(
+        ["signup_conversions", "signup_conversion_rate"], metrics, [sm],
+        {"events": "events"},
+        group_by=["metric_time__month"],
+    )
+    out = spark.sql(sql)
+    return out.select(
+        F.col("metric_time__month").cast("timestamp").alias("month"),
+        F.col("signup_conversions"),
+        F.round("signup_conversion_rate", 6).alias("conversion_rate"),
+    )
+
+
 def cobucketed_join_zeroshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-bucketed join through the REAL bucketed-table writer: orders and
     customer both hash-bucketed by custkey into the same bucket count, then
@@ -762,6 +819,31 @@ ORACLES: dict[str, str] = {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
         ORDER BY c.c_mktsegment
+    """,
+    "semantic_conversion_metric": """
+        WITH b AS (
+            SELECT CAST(DATE_TRUNC('MONTH', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS month,
+                   user_id AS __e, CAST(ts AS TIMESTAMP) AS __t
+            FROM events WHERE event_type = 'signup'
+        ),
+        c AS (
+            SELECT user_id AS __e, CAST(ts AS TIMESTAMP) AS __t
+            FROM events WHERE event_type = 'purchase'
+        ),
+        s AS (
+            SELECT * FROM b WHERE EXISTS (
+                SELECT 1 FROM c
+                WHERE c.__e = b.__e AND c.__t > b.__t
+                  AND c.__t <= b.__t + INTERVAL 7 DAY)
+        ),
+        g1 AS (SELECT month, count(*) AS bn FROM b GROUP BY month),
+        g2 AS (SELECT month, count(*) AS cn FROM s GROUP BY month)
+        SELECT CAST(g1.month AS TIMESTAMP) AS month,
+               CAST(COALESCE(g2.cn, 0) AS BIGINT) AS signup_conversions,
+               round(CAST(COALESCE(g2.cn, 0) AS DOUBLE)
+                     / CAST(g1.bn AS DOUBLE), 6) AS conversion_rate
+        FROM g1 LEFT JOIN g2 ON g1.month = g2.month
     """,
     "semantic_metric_query": """
         SELECT o_orderstatus AS status,
@@ -963,4 +1045,5 @@ QUERIES = {
     "clone_state_relations": clone_state_relations,
     "hooks_audit_trail": hooks_audit_trail,
     "semantic_metric_query": semantic_metric_query,
+    "semantic_conversion_metric": semantic_conversion_metric,
 }

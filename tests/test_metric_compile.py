@@ -308,3 +308,102 @@ def test_compiled_metric_sql_is_byte_stable():
         "(({{ Dimension('status') }} = 'O'))".encode()).hexdigest()[:8]
     # stable digest actually appears in the text (not a process-random tag)
     assert expected in a or "__m_n_" in a
+
+
+EVENTS_SM = {
+    "name": "events_sm",
+    "model": "ref('events_t')",
+    "defaults": {"agg_time_dimension": "etime"},
+    "entities": [{"name": "user", "type": "primary", "expr": "u"}],
+    "dimensions": [
+        {"name": "etime", "type": "time", "expr": "ts",
+         "type_params": {"time_granularity": "day"}},
+        {"name": "kind", "type": "categorical", "expr": "k"},
+    ],
+    "measures": [
+        {"name": "signups", "agg": "count", "expr": "1",
+         "filter": "{{ Dimension('kind') }} = 'signup'"},
+        {"name": "purchases", "agg": "count", "expr": "1",
+         "filter": "{{ Dimension('kind') }} = 'purchase'"},
+        {"name": "spend", "agg": "sum", "expr": "1"},
+    ],
+}
+
+CONV_METRICS = [
+    {"name": "conv_n", "type": "conversion", "label": "c",
+     "type_params": {"conversion_type_params": {
+         "base_measure": "signups", "conversion_measure": "purchases",
+         "entity": "user", "window": "7 days",
+         "calculation": "conversions"}}},
+    {"name": "conv_rate", "type": "conversion", "label": "r",
+     "type_params": {"conversion_type_params": {
+         "base_measure": "signups", "conversion_measure": "purchases",
+         "entity": "user", "window": "7 days"}}},
+    {"name": "conv_bad_agg", "type": "conversion", "label": "b",
+     "type_params": {"conversion_type_params": {
+         "base_measure": "spend", "conversion_measure": "purchases",
+         "entity": "user"}}},
+]
+
+EVENT_ROWS = [
+    (1, "signup", "2024-01-01 10:00:00"),
+    (1, "purchase", "2024-01-03 10:00:00"),   # within 7d -> converted
+    (2, "signup", "2024-01-01 10:00:00"),
+    (2, "purchase", "2024-01-20 10:00:00"),   # outside 7d -> not
+    (3, "signup", "2024-01-01 10:00:00"),     # no purchase -> not
+    (4, "signup", "2024-02-01 10:00:00"),
+    (4, "purchase", "2024-02-02 10:00:00"),   # two purchases...
+    (4, "purchase", "2024-02-03 10:00:00"),   # ...dedup to ONE conversion
+    (5, "purchase", "2024-01-02 10:00:00"),   # purchase w/o signup: ignored
+    (6, "signup", "2024-02-05 10:00:00"),
+    (6, "purchase", "2024-02-05 10:00:00"),   # same instant: strictly-later
+]
+
+
+@pytest.fixture(scope="module")
+def conv_views(spark):
+    spark.createDataFrame(
+        EVENT_ROWS, "u int, k string, ts string"
+    ).selectExpr("u", "k", "CAST(ts AS TIMESTAMP) AS ts"
+                 ).createOrReplaceTempView("t_events")
+    return spark
+
+
+def test_conversion_metric_counts_and_rate(conv_views):
+    """Jan: 3 signups, 1 converted; Feb: 2 signups, 1 converted (multiple
+    purchases dedup; same-instant purchase is NOT strictly later)."""
+    sql = compile_metrics_sql(
+        ["conv_n", "conv_rate"], CONV_METRICS, [EVENTS_SM],
+        {"events_t": "t_events"}, group_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]): (r["conv_n"],
+                                           round(r["conv_rate"], 6))
+            for r in conv_views.sql(sql).collect()}
+    assert rows == {"2024-01-01": (1, round(1 / 3, 6)),
+                    "2024-02-01": (1, 0.5)}
+
+
+def test_conversion_metric_global_and_no_window(conv_views):
+    nowin = [{"name": "conv_all", "type": "conversion", "label": "a",
+              "type_params": {"conversion_type_params": {
+                  "base_measure": "signups",
+                  "conversion_measure": "purchases",
+                  "entity": "user", "calculation": "conversions"}}}]
+    sql = compile_metrics_sql(["conv_all"], nowin, [EVENTS_SM],
+                              {"events_t": "t_events"})
+    # without a window user 2's late purchase now converts; user 6 still
+    # fails strictly-later
+    assert conv_views.sql(sql).collect()[0]["conv_all"] == 3
+
+
+def test_conversion_metric_errors(conv_views):
+    with pytest.raises(MetricQueryError, match="agg: count"):
+        compile_metrics_sql(["conv_bad_agg"], CONV_METRICS, [EVENTS_SM],
+                            {"events_t": "t_events"})
+    cross = [{"name": "x", "type": "conversion", "label": "x",
+              "type_params": {"conversion_type_params": {
+                  "base_measure": "signups",
+                  "conversion_measure": "order_count",
+                  "entity": "user"}}}]
+    with pytest.raises(MetricQueryError, match="same semantic model"):
+        compile_metrics_sql(["x"], cross, [EVENTS_SM, ORDERS_SM],
+                            {"events_t": "t_events", "orders": "t_orders"})
