@@ -19,7 +19,9 @@ actually runnable here:
 - metric types: simple, ratio (num/den with NULLIF), derived (expr over
   input metric aliases), conversion (entity-keyed base→conversion semi-join
   within an optional window; conversions | conversion_rate calculations),
-  cumulative (post-aggregate running window over the
+  derived offset_window inputs (period-over-period: the input re-aggregates
+  into time buckets shifted forward by the offset),
+  cumulative with grain_to_date resets (MTD/YTD) (post-aggregate running window over the
   time grain — requires metric_time in the group-by).
 
 Supported agg types mirror the reference's AggregationType enum
@@ -124,6 +126,19 @@ class _Model:
             f"group-by item {item!r} (have {sorted(self.dimensions)} / "
             f"{sorted(self.entities)})")
 
+    def is_time_item(self, item: str) -> bool:
+        """True when a group-by item resolves to a time dimension (or
+        metric_time) — the keys an offset_window instance must shift."""
+        parts = item.split("__")
+        name = item
+        if len(parts) > 1 and parts[-1] in _GRAINS:
+            name = "__".join(parts[:-1])
+        base = name.split("__")[-1]
+        if name == "metric_time" or base == "metric_time":
+            return True
+        dim = self.dimensions.get(name) or self.dimensions.get(base)
+        return bool(dim is not None and dim.get("type") == "time")
+
 
 def _render_filter(filt: str, model: _Model) -> str:
     """Render {{ Dimension('entity__dim') }} / {{ Entity('e') }} /
@@ -219,12 +234,18 @@ def compile_metrics_sql(
     # resolve each requested metric into leaf (measure-level) requirements
     # plus a final value expression
     leaf_cols: dict[str, dict[str, tuple[str, Optional[str]]]] = {}
-    # model_name -> {col_alias: (measure, extra_filter)}
+    # model-instance key -> {col_alias: (measure, extra_filter)}; an
+    # instance is the model itself or an offset copy of it (offset_window
+    # inputs aggregate the same table into time buckets shifted FORWARD by
+    # the offset, so "revenue 1 month ago" lands on the current row's key)
+    inst_meta: dict[str, tuple[str, Optional[str]]] = {}
+    # instance -> (model_name, offset like "1 month" or None)
     final_exprs: list[tuple[str, str]] = []  # (sql_expr_over_leafs, alias)
     cumulative: dict[str, dict] = {}  # alias -> window spec
     conversions: dict[str, dict] = {}  # metric name -> conversion spec
 
-    def _leaf(measure_spec: Any, metric_filter: Optional[str]) -> str:
+    def _leaf(measure_spec: Any, metric_filter: Optional[str],
+              offset: Optional[str] = None) -> str:
         mname, mfilter = _measure_name(measure_spec)
         owner = measure_owner.get(mname)
         if owner is None:
@@ -234,9 +255,12 @@ def compile_metrics_sql(
         # md5, not hash(): Python's str hash is randomized per process, which
         # would make the compiled SQL text differ run-to-run
         alias = f"__m_{mname}" + (
+            f"_off_{_sanitize(offset)}" if offset else "") + (
             f"_{__import__('hashlib').md5(filt.encode()).hexdigest()[:8]}"
             if filt else "")
-        leaf_cols.setdefault(owner.name, {})[alias] = (mname, filt)
+        inst = owner.name + (f"__off_{_sanitize(offset)}" if offset else "")
+        inst_meta[inst] = (owner.name, offset)
+        leaf_cols.setdefault(inst, {})[alias] = (mname, filt)
         return alias
 
     def _expand(name: str) -> str:
@@ -249,8 +273,11 @@ def compile_metrics_sql(
         if mtype in ("simple", "cumulative"):
             alias = _leaf(tp.get("measure"), mfilter)
             if mtype == "cumulative":
+                ctp2 = tp.get("cumulative_type_params") or {}
                 cumulative[name] = {
-                    "window": tp.get("window"),
+                    "window": tp.get("window") or ctp2.get("window"),
+                    "grain_to_date": (tp.get("grain_to_date")
+                                      or ctp2.get("grain_to_date")),
                     "leaf": alias,
                 }
             return alias
@@ -263,9 +290,26 @@ def compile_metrics_sql(
             for inp in tp.get("metrics", []):
                 if isinstance(inp, dict):
                     iname, ialias = inp["name"], inp.get("alias") or inp["name"]
+                    offset = inp.get("offset_window")
                 else:
-                    iname = ialias = str(inp)
-                sub = _expand(iname)
+                    iname, ialias, offset = str(inp), str(inp), None
+                if offset:
+                    # period-over-period input: the referenced metric's
+                    # measure re-aggregates into offset-shifted time buckets
+                    # (MetricFlow offset_window, v1/metric.py MetricInput)
+                    target = metric_index.get(iname)
+                    if target is None:
+                        raise MetricQueryError(
+                            f"metric {iname!r} is not defined")
+                    if target.get("type", "simple") != "simple":
+                        raise MetricQueryError(
+                            f"derived metric {name}: offset_window input "
+                            f"{iname!r} must be a simple metric")
+                    sub = _leaf(
+                        (target.get("type_params") or {}).get("measure"),
+                        target.get("filter"), offset=str(offset))
+                else:
+                    sub = _expand(iname)
                 expr = re.sub(rf"\b{re.escape(ialias)}\b", f"({sub})", expr)
             return expr
         if mtype == "conversion":
@@ -280,11 +324,13 @@ def compile_metrics_sql(
     if not leaf_cols and not conversions:
         raise MetricQueryError("no measures resolved for requested metrics")
 
-    # one aggregate CTE per participating semantic model
+    # one aggregate CTE per participating model instance (an offset input
+    # is its own instance over the same table, shifted time keys)
     ctes: list[tuple[str, str]] = []
     model_by_name = {m.name: m for m in models}
     key_aliases = []
-    for model_name, cols in leaf_cols.items():
+    for inst, cols in leaf_cols.items():
+        model_name, offset = inst_meta[inst]
         sm = model_by_name[model_name]
         table = table_for_model.get(sm.ref_name())
         if table is None:
@@ -293,8 +339,17 @@ def compile_metrics_sql(
         selects, keys = [], []
         for item in group_by:
             expr, alias = sm.resolve_group_by(item)
+            if offset and sm.is_time_item(item):
+                num, unit = str(offset).split()
+                expr = (f"({expr}) + INTERVAL {int(num)} "
+                        f"{unit.rstrip('s').upper()}")
             selects.append(f"{expr} AS {alias}")
             keys.append(alias)
+        if offset and group_by and not any(
+                sm.is_time_item(i) for i in group_by):
+            raise MetricQueryError(
+                f"offset_window input needs a time group-by "
+                f"(got {group_by!r})")
         key_aliases = keys
         for alias, (measure, filt) in sorted(cols.items()):
             selects.append(f"{_measure_agg_sql(sm, measure, filt)} AS {alias}")
@@ -303,7 +358,7 @@ def compile_metrics_sql(
             sql += f" WHERE {_render_filter(where, sm)}"
         if keys:
             sql += f" GROUP BY {', '.join(keys)}"
-        ctes.append((f"__sm_{model_name}", sql))
+        ctes.append((f"__sm_{inst}", sql))
 
     # conversion metrics (MetricFlow ConversionTypeParams,
     # core/dbt/artifacts/resources/v1/metric.py): base events joined to
@@ -460,6 +515,13 @@ def compile_metrics_sql(
                 frame = (f"RANGE BETWEEN INTERVAL {num} {unit.upper()} "
                          "PRECEDING AND CURRENT ROW")
             part_keys = [k for k in key_aliases if k != order_col]
+            if win.get("grain_to_date"):
+                # MTD/YTD semantics: the running total RESETS at each
+                # grain_to_date boundary — partition by the truncated grain
+                # (MetricFlow CumulativeTypeParams.grain_to_date)
+                g = str(win["grain_to_date"]).upper()
+                part_keys = part_keys + [
+                    f"DATE_TRUNC('{g}', {order_col})"]
             part = f"PARTITION BY {', '.join(part_keys)} " if part_keys else ""
             out_cols.append(
                 f"SUM({expr}) OVER ({part}ORDER BY {order_col} {frame}) "

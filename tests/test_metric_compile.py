@@ -407,3 +407,65 @@ def test_conversion_metric_errors(conv_views):
     with pytest.raises(MetricQueryError, match="same semantic model"):
         compile_metrics_sql(["x"], cross, [EVENTS_SM, ORDERS_SM],
                             {"events_t": "t_events", "orders": "t_orders"})
+
+
+def test_derived_offset_window_period_over_period(views):
+    """offset_window input: revenue vs revenue one month earlier (MetricFlow
+    MetricInput.offset_window) — the prior month's aggregate re-buckets onto
+    the current month's key via a shifted-time instance of the model."""
+    mom = METRICS + [
+        {"name": "revenue_mom", "type": "derived", "label": "mom",
+         "type_params": {
+             "expr": "COALESCE(cur, 0) - COALESCE(prev, 0)",
+             "metrics": [
+                 {"name": "revenue", "alias": "cur"},
+                 {"name": "revenue", "alias": "prev",
+                  "offset_window": "1 month"},
+             ]}},
+    ]
+    sql = compile_metrics_sql(
+        ["revenue_mom"], mom, [ORDERS_SM, PAYMENTS_SM], TABLES,
+        group_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]): r["revenue_mom"]
+            for r in views.sql(sql).collect()}
+    # monthly revenue: Jan 150, Feb 275, Mar 25  ->  MoM: 150, 125, -250;
+    # April appears as 0 - 25 (March's shifted bucket with no current rows)
+    assert rows == {"2024-01-01": 150.0, "2024-02-01": 125.0,
+                    "2024-03-01": -250.0, "2024-04-01": -25.0}
+
+
+def test_derived_offset_requires_time_group_by(views):
+    mom = METRICS + [
+        {"name": "bad_mom", "type": "derived", "label": "b",
+         "type_params": {
+             "expr": "cur - prev",
+             "metrics": [
+                 {"name": "revenue", "alias": "cur"},
+                 {"name": "revenue", "alias": "prev",
+                  "offset_window": "1 month"},
+             ]}},
+    ]
+    with pytest.raises(MetricQueryError, match="time group-by"):
+        compile_metrics_sql(["bad_mom"], mom, [ORDERS_SM, PAYMENTS_SM],
+                            TABLES, group_by=["status"])
+
+
+def test_cumulative_grain_to_date_resets(views):
+    """grain_to_date: year resets the running total at year boundaries —
+    add a 2025 order and assert the cumulative restarts."""
+    views.createDataFrame(
+        ORDERS_ROWS + [(6, 40, "2025-01-15", "F", 10.0)],
+        "o_id int, o_cust int, o_date string, o_status string, o_total double",
+    ).selectExpr("o_id", "o_cust", "CAST(o_date AS DATE) AS o_date",
+                 "o_status", "o_total").createOrReplaceTempView("t_orders_g2d")
+    mtd = [
+        {"name": "ytd_revenue", "type": "cumulative", "label": "ytd",
+         "type_params": {"measure": "order_total",
+                         "cumulative_type_params": {"grain_to_date": "year"}}},
+    ]
+    sql = compile_metrics_sql(
+        ["ytd_revenue"], mtd, [ORDERS_SM], {"orders": "t_orders_g2d"},
+        group_by=["metric_time__month"])
+    rows = sorted((str(r["metric_time__month"]), r["ytd_revenue"])
+                  for r in views.sql(sql).collect())
+    assert [v for _, v in rows] == [150.0, 425.0, 450.0, 10.0]
