@@ -118,6 +118,7 @@ EXTENDED = [
     "per_source_dup_rate",
     # round-4b additions
     "semantic_conversion_metric",
+    "join_range_binned",
     "table_profile",
     "attribution_touchpoints",
     "lang_confusion_matrix",

@@ -306,6 +306,45 @@ def char_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join rewritten as an EQUI-join on time bins — the scale path
+    when BOTH sides are large (the broadcast theta join in
+    relational.join_range covers the small-interval-side case).
+
+    Ranges (60-day per-customer-group windows derived from orders) explode
+    to the 30-day bins they overlap; each lineitem shipdate has exactly ONE
+    bin, so bin-equality matches every (point, range) pair exactly once —
+    no dedup — and the residual range predicate filters within the bin.
+    The join shuffles on the bin key (hash join, never nested-loop), cost ∝
+    points + ranges·bins_per_range; a point never meets ranges outside its
+    bin. This is the standard binned/bucketed interval-join rewrite Spark's
+    optimizer does not do on its own.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    epoch = "DATE '1992-01-01'"
+    ranges = (
+        t["orders"]
+        .groupBy((F.col("o_custkey") % 50).cast("bigint").alias("rid"))
+        .agg(F.min("o_orderdate").alias("s"))
+        .withColumn("e", F.expr("s + INTERVAL 60 DAYS"))
+        .withColumn("bin_s", F.expr(f"datediff(CAST(s AS DATE), {epoch}) div 30"))
+        .withColumn("bin_e", F.expr(f"datediff(CAST(e AS DATE), {epoch}) div 30"))
+        .withColumn("bin", F.explode(F.expr("sequence(bin_s, bin_e)")))
+    )
+    points = t["lineitem"].select(
+        "l_orderkey", "l_extendedprice",
+        F.col("l_shipdate").alias("p"),
+    ).withColumn("bin", F.expr(f"datediff(CAST(p AS DATE), {epoch}) div 30"))
+    joined = points.join(ranges, "bin").filter(
+        (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e"))
+    )
+    return joined.groupBy("rid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").alias("revenue"),
+    )
+
+
 def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marketing attribution: every purchase event attributed to the user's
     last click strictly before it (last-touch) and the earliest click inside
@@ -400,6 +439,19 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "join_range_binned": """
+        WITH r AS (
+            SELECT CAST(o_custkey % 50 AS BIGINT) AS rid,
+                   min(o_orderdate) AS s,
+                   min(o_orderdate) + INTERVAL 60 DAY AS e
+            FROM orders GROUP BY 1
+        )
+        SELECT rid, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l JOIN r ON l.l_shipdate >= r.s AND l.l_shipdate <= r.e
+        GROUP BY rid
+    """,
     "attribution_touchpoints": """
         SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
                (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
@@ -566,6 +618,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "join_range_binned": join_range_binned,
     "attribution_touchpoints": attribution_touchpoints,
     "table_profile": table_profile,
     "bm25_topk": bm25_topk,

@@ -289,3 +289,13 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_binned_range_join_is_hash_join(spark):
+    """The binned rewrite turns the interval join into a shuffle/broadcast
+    HASH join on the bin key — no nested-loop or cartesian anywhere in the
+    plan (the property that lets both sides be large at 100 TB)."""
+    plan = _formatted(QUERIES["join_range_binned"](spark, SF_DIR_MED))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # Broadcast- or ShuffledHashJoin on bin
