@@ -53,6 +53,7 @@ EVENT_CODES: dict[str, tuple[str, str]] = {
     "PackageRedirectDeprecation": ("D001", "warn"),  # types.py Deprecations
     "DeprecatedModel": ("I065", "warn"),          # types.py:234
     "UpcomingReferenceDeprecation": ("I066", "warn"),  # types.py:849
+    "SpacesInResourceNameDeprecation": ("D014", "warn"),  # types.py:419
     "DeprecatedReference": ("I067", "warn"),      # types.py:871
     "NoNodesForSelectionCriteria": ("M030", "warn"),   # types.py:1203
     "LogFreshnessResult": ("Q018", "info"),       # types.py:1439 (DynamicLevel)
@@ -99,6 +100,9 @@ _MSG: dict[str, Callable[[dict[str, Any]], str]] = {
             ".v" + str(d["model_version"]) if d.get("model_version") else "",
             d.get("deprecation_date", ""),
         )
+    ),
+    "SpacesInResourceNameDeprecation": lambda d: (
+        f"Found spaces in the name of `{d.get('unique_id')}`"
     ),
     "UpcomingReferenceDeprecation": lambda d: (
         "While compiling '{}': Found a reference to {}{}, which is slated "
@@ -187,13 +191,14 @@ class WarnErrorOptions:
         self._include_all = include_all
 
     @classmethod
-    def parse(cls, raw: str) -> "WarnErrorOptions":
-        """Parse the CLI's YAML/JSON string, normalizing the error/warn
+    def parse(cls, raw: "str | dict") -> "WarnErrorOptions":
+        """Parse the CLI's YAML/JSON string (or an already-loaded mapping,
+        e.g. from dbt_project.yml `flags:`), normalizing the error/warn
         aliases exactly like core/dbt/config/utils.py:57 (both spellings set
         → error)."""
         import yaml
 
-        d = yaml.safe_load(raw) or {}
+        d = raw if isinstance(raw, dict) else (yaml.safe_load(raw) or {})
         if not isinstance(d, dict):
             raise ValueError("--warn-error-options must be a YAML/JSON mapping")
         for primary, alt in (("include", "error"), ("exclude", "warn")):

@@ -55,6 +55,9 @@ class Project:
     # artifact output dir (reference --target-path / DBT_TARGET_PATH /
     # target-path: key, cli/params.py "--target-path"; default <root>/target)
     target_path: str = ""
+    # dbt_project.yml `flags:` — CLI-option defaults + behavior flags
+    # (reference ProjectFlags, core/dbt/contracts/project.py:318)
+    flags: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if not self.target_path:
@@ -161,6 +164,7 @@ class Project:
             selectors=cls._load_selectors(project_dir),
             plugins=list(cfg.get("plugins", []) or []),
             target_path=tpath,
+            flags=dict(cfg.get("flags") or {}),
         )
 
     @staticmethod

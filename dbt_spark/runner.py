@@ -144,10 +144,39 @@ class Engine:
             cache.save(cache_path)
         self._resolve_fk_constraint_refs()
         self._check_model_deprecations()
+        self._check_resource_names()
         if getattr(self, "_write_json", True):
             # --no-write-json skips artifact writes (cli/params.py:759)
             self.manifest.write(os.path.join(target_dir, "manifest.json"))
         return self.manifest
+
+    def _check_resource_names(self) -> None:
+        """Behavior flag require_resource_names_without_spaces (reference
+        ProjectFlags + SpacesInResourceNameDeprecation event,
+        core/dbt/parser/manifest.py check_forbidden_projects analog): a
+        space in a resource name errors when the flag is true, otherwise
+        fires the deprecation warning (promotable via --warn-error)."""
+        flags = getattr(self.project, "flags", None) or {}
+        strict = bool(flags.get("require_resource_names_without_spaces"))
+        offenders = [
+            n.unique_id for n in self.manifest.nodes.values() if " " in n.name
+        ]
+        if not offenders:
+            return
+        if strict:
+            from dbt_spark.plans.compile import CompilationError
+
+            raise CompilationError(
+                "resource names cannot contain spaces "
+                f"(require_resource_names_without_spaces): {offenders}")
+        if getattr(self, "events", None) is not None:
+            for uid in offenders:
+                self.events.warn_or_error(
+                    "SpacesInResourceNameDeprecation",
+                    warn_error=getattr(self, "_warn_error", False),
+                    options=getattr(self, "_warn_error_options", None),
+                    unique_id=uid,
+                )
 
     def _check_model_deprecations(self) -> None:
         """Model deprecation warnings at parse time (reference
@@ -407,6 +436,24 @@ class Engine:
         if command == "debug":
             return self._debug()
 
+        # dbt_project.yml `flags:` provide defaults the CLI can override
+        # (reference ProjectFlags, core/dbt/contracts/project.py:318)
+        pf = getattr(self.project, "flags", None) or {}
+        if pf:
+            fail_fast = fail_fast or bool(pf.get("fail_fast"))
+            warn_error = warn_error or bool(pf.get("warn_error"))
+            if warn_error_options is None and pf.get("warn_error_options"):
+                from dbt_spark.events import WarnErrorOptions
+
+                warn_error_options = WarnErrorOptions.parse(
+                    pf["warn_error_options"])
+            if indirect == "eager" and pf.get("indirect_selection"):
+                indirect = str(pf["indirect_selection"]).lower()
+            if pf.get("partial_parse") is False:
+                no_partial_parse = True
+            if pf.get("write_json") is False:
+                write_json = False
+
         # parse-time warnings (deprecations) honor the invocation's flags; a
         # promoted warning fails the invocation like the reference's
         # EventCompilationError out of warn_or_error
@@ -594,7 +641,24 @@ class Engine:
                     RunResult("NothingToDo", "error", 0.0, message=str(e))
                 ], manifest)
 
-        self._run_hooks(ctx, self.project.on_run_start, "on-run-start")
+        try:
+            self._run_hooks(ctx, self.project.on_run_start, "on-run-start")
+        except RuntimeError as e:
+            # behavior flag skip_nodes_if_on_run_start_fails (reference
+            # ProjectFlags): mark every selected node skipped instead of
+            # aborting with a bare error
+            if (getattr(self.project, "flags", None) or {}).get(
+                    "skip_nodes_if_on_run_start_fails"):
+                skipped = [
+                    RunResult(uid, "skipped", 0.0, "on-run-start hook failed")
+                    for uid in sorted(runnable)
+                ]
+                return RunnerResult(False, [
+                    RunResult(f"operation.{self.project.name}.on-run-start",
+                              "error", 0.0, str(e)),
+                    *skipped,
+                ], manifest)
+            raise
 
         aborted = {"flag": False}
 
@@ -1109,6 +1173,13 @@ class Engine:
                                   state=self._load_state())
         results: list[RunResult] = []
         artifacts = []
+        # behavior flag source_freshness_run_project_hooks (reference
+        # ProjectFlags): freshness runs project on-run-start/end like other
+        # commands when opted in
+        run_hooks = bool((getattr(self.project, "flags", None) or {}).get(
+            "source_freshness_run_project_hooks"))
+        if run_hooks:
+            self._run_hooks(ctx, self.project.on_run_start, "on-run-start")
         for uid, src in manifest.sources.items():
             if chosen is not None and uid not in chosen:
                 continue
@@ -1145,6 +1216,9 @@ class Engine:
                 },
                 "results": artifacts,
             }, f, indent=1)
+        if run_hooks:
+            self._run_hooks(ctx, self.project.on_run_end, "on-run-end",
+                            results=results)
         ok = all(r.status in ("pass", "warn") for r in results)
         return RunnerResult(ok, results, manifest)
 

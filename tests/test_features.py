@@ -2324,3 +2324,53 @@ def test_log_path_override(project_dir, spark, tmp_path):
     assert os.path.exists(os.path.join(logs, "dbt.log.jsonl"))
     assert not os.path.exists(os.path.join(root, "target", "logs",
                                            "dbt.log.jsonl"))
+
+
+def test_project_flags_defaults_and_behavior(project_dir, spark, tmp_path):
+    """dbt_project.yml flags: (reference ProjectFlags,
+    core/dbt/contracts/project.py:318) — CLI-option defaults
+    (warn_error_options promoting a named warning) and behavior flags:
+    require_resource_names_without_spaces errors on spaced names;
+    skip_nodes_if_on_run_start_fails converts a hook failure into
+    skipped nodes."""
+    # 1. warn_error_options default from flags: promotes NothingToDo
+    root = project_dir({
+        "dbt_project.yml": (
+            "name: flg\n"
+            "flags:\n"
+            "  warn_error_options:\n"
+            "    error: [NothingToDo]\n"
+        ),
+        "models/m.sql": "select 1 as x",
+    })
+    eng = Engine(root, spark=spark)
+    r = eng.invoke(["run", "--select", "does_not_exist"])
+    assert not r.success  # promoted to error by the project flag
+
+    # 2. require_resource_names_without_spaces: parse error
+    root2 = str(tmp_path / "p2"); os.makedirs(root2)
+    open(os.path.join(root2, "dbt_project.yml"), "w").write(
+        "name: flg2\nflags:\n  require_resource_names_without_spaces: true\n")
+    os.makedirs(os.path.join(root2, "models"))
+    open(os.path.join(root2, "models", "bad name.sql"), "w").write(
+        "select 1 as x")
+    from dbt_spark.plans.compile import CompilationError
+    eng2 = Engine(root2, spark=spark)
+    import pytest as _pytest
+    with _pytest.raises(CompilationError, match="spaces"):
+        eng2.invoke(["run"])
+
+    # 3. skip_nodes_if_on_run_start_fails: hook failure -> skipped nodes
+    root3 = str(tmp_path / "p3"); os.makedirs(root3)
+    open(os.path.join(root3, "dbt_project.yml"), "w").write(
+        "name: flg3\n"
+        "flags:\n  skip_nodes_if_on_run_start_fails: true\n"
+        "on-run-start: ['select * from definitely_missing_table']\n")
+    os.makedirs(os.path.join(root3, "models"))
+    open(os.path.join(root3, "models", "m.sql"), "w").write("select 1 as x")
+    eng3 = Engine(root3, spark=spark)
+    r3 = eng3.invoke(["run"])
+    assert not r3.success
+    statuses = {x.unique_id: x.status for x in r3.results}
+    assert statuses.get("model.flg3.m") == "skipped"
+    assert any(s == "error" for s in statuses.values())
