@@ -319,6 +319,17 @@ def _match_method(
                     changed = _changed_macros(state)
                     if changed and any(name in node.raw_code for name in changed):
                         return True
+                if value == "modified" and state.get("__compare_vars__"):
+                    # behavior flag state_modified_compare_vars: a node is
+                    # modified when the value of a var() it references
+                    # changed between the state manifest and this invocation
+                    oldv = state.get("__vars__") or {}
+                    curv = state.get("__current_vars__") or {}
+                    names = re.findall(
+                        r"""var\(\s*['"]([^'"]+)""", node.raw_code)
+                    if any(oldv.get(n) != curv.get(n) for n in names
+                           if n in oldv or n in curv):
+                        return True
                 if value in ("modified", "modified.contract") and (
                     "contract" in old or "columns" in old
                 ):

@@ -185,6 +185,9 @@ class Manifest:
     macros: dict[str, Any] = field(default_factory=dict)
     docs: dict[str, str] = field(default_factory=dict)  # {% docs %} blocks
     project_name: str = "project"
+    # project+CLI vars active at parse time — written into metadata.env so
+    # state_modified_compare_vars can diff them (reference ProjectFlags)
+    vars: dict[str, Any] = field(default_factory=dict)
 
     def add(self, node: ManifestNode) -> None:
         store = self.sources if node.resource_type == NodeType.Source else self.nodes
@@ -512,7 +515,12 @@ class Manifest:
                 "generated_at": datetime.now(timezone.utc).isoformat(),
                 "project_name": self.project_name,
                 "adapter_type": "spark",
-                "env": {},
+                # env is a string->string map in the published v12 schema;
+                # the active vars ride along as one JSON value so
+                # state_modified_compare_vars can diff manifests
+                "env": ({"DBT_SPARK_VARS": json.dumps(
+                    {k: str(v) for k, v in sorted(self.vars.items())})}
+                    if self.vars else {}),
             },
             "nodes": {},
             "sources": {uid: source_dict(n) for uid, n in self.sources.items()},

@@ -227,7 +227,8 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
 
     is_root = manifest is None
     if manifest is None:
-        manifest = Manifest(project_name=project.name)
+        manifest = Manifest(project_name=project.name,
+                            vars=dict(project.vars or {}))
     target_ctx = dict(
         project.profile,
         name=project.profile.get("target_name", "spark"),

@@ -801,6 +801,23 @@ class Engine:
         with open(path) as f:
             doc = json.load(f)
         out = {**doc.get("nodes", {}), **doc.get("sources", {})}
+        # behavior flag state_modified_compare_vars (reference ProjectFlags):
+        # old vars from the state manifest's metadata.env, current from this
+        # invocation — graph.py diffs them per node's var() references
+        if (getattr(self.project, "flags", None) or {}).get(
+                "state_modified_compare_vars"):
+            try:
+                old_vars = json.loads(
+                    doc.get("metadata", {}).get("env", {})
+                    .get("DBT_SPARK_VARS", "{}"))
+            except (ValueError, TypeError):
+                old_vars = {}
+            out["__compare_vars__"] = True
+            out["__vars__"] = old_vars
+            out["__current_vars__"] = {
+                k: str(v)
+                for k, v in {**self.project.vars, **self.vars}.items()
+            }
         # semantic-layer sections are graph-participating too (state:new etc.)
         for section in ("exposures", "metrics", "groups", "semantic_models",
                         "saved_queries", "unit_tests"):

@@ -296,3 +296,43 @@ def test_deferred_state_view_reads_state_namespace(tmp_path, spark):
     ).collect()
     # state's vw over state's base: 1*10 — NOT dev's rebuilt base (2*10)
     assert [row.v10 for row in got] == [10]
+
+
+def test_state_modified_compare_vars(tmp_path, spark):
+    """Behavior flag state_modified_compare_vars (reference ProjectFlags):
+    a var() value change marks exactly the nodes that reference the var as
+    state:modified; without the flag the change is invisible."""
+    files = {
+        "dbt_project.yml": (
+            "name: smv\n"
+            "vars: {cutoff: 10}\n"
+            "flags: {state_modified_compare_vars: true}\n"
+        ),
+        "models/uses_var.sql": (
+            "select 1 as x where 1 <= {{ var('cutoff') }}"
+        ),
+        "models/no_var.sql": "select 2 as y",
+    }
+    prod_dir = _mk(tmp_path, "prod", files)
+    prod = Engine(prod_dir, spark=spark)
+    assert prod.invoke(["run"]).success
+    state = os.path.join(prod_dir, "target")
+
+    # same vars -> nothing modified
+    dev = Engine(_mk(tmp_path, "dev", files), spark=spark)
+    r = dev.invoke(["ls", "--select", "state:modified", "--state", state])
+    assert [x.unique_id for x in r.results] == []
+
+    # changed var -> only the referencing model is modified
+    dev2 = Engine(_mk(tmp_path, "dev2", files), spark=spark,
+                  vars={"cutoff": 99})
+    r2 = dev2.invoke(["ls", "--select", "state:modified", "--state", state])
+    assert [x.unique_id for x in r2.results] == ["model.smv.uses_var"]
+
+    # flag off -> var change invisible
+    files_off = dict(files)
+    files_off["dbt_project.yml"] = "name: smv\nvars: {cutoff: 10}\n"
+    dev3 = Engine(_mk(tmp_path, "dev3", files_off), spark=spark,
+                  vars={"cutoff": 99})
+    r3 = dev3.invoke(["ls", "--select", "state:modified", "--state", state])
+    assert [x.unique_id for x in r3.results] == []
