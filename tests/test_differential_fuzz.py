@@ -739,3 +739,48 @@ def test_differential_decimal_arithmetic(spark, seed):
     want = con.sql(duck_sql).df()
     assert sorted(got.columns) == sorted(want.columns), spark_sql
     assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
+
+
+# --------------------------------------------------------------------------
+# Locale-free string-function family: split_part / lpad / rpad / left /
+# right / replace / instr / repeat / reverse / translate share names and
+# semantics across both engines on ASCII inputs (no collation, no locale
+# casing edge cases — o_orderpriority values are plain ASCII).
+# --------------------------------------------------------------------------
+
+def _gen_string_pair(seed: int) -> tuple[str, str]:
+    rng = random.Random(90_000 + seed)
+    col = "o_orderpriority"
+    n = rng.randrange(1, 4)
+    pad = rng.randrange(6, 12)
+    where = _atom(rng)
+    exprs = [
+        f"split_part({col}, '-', {n}) AS e1",
+        f"lpad({col}, {pad}, '.') AS e2",
+        f"rpad({col}, {pad}, '_') AS e3",
+        f"left({col}, {n + 1}) AS e4",
+        f"right({col}, {n + 2}) AS e5",
+        f"replace({col}, '-', '/') AS e6",
+        f"CAST(instr({col}, '-') AS BIGINT) AS e7",
+        f"repeat(left({col}, 1), {n}) AS e8",
+        f"reverse({col}) AS e9",
+        f"translate({col}, '-E', '_e') AS e10",
+    ]
+    sel = ", ".join(rng.sample(exprs, 6))
+    s = f"SELECT o_orderkey, {sel} FROM orders WHERE {where}"
+    return s, s
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_differential_string_funcs2(spark, seed):
+    load_tables(spark, SF_DIR, "orders")
+    spark_sql, duck_sql = _gen_string_pair(seed)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'orders.parquet')}'"
+    )
+    got = spark.sql(spark_sql).toPandas()
+    want = con.sql(duck_sql).df()
+    assert sorted(got.columns) == sorted(want.columns), spark_sql
+    assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
