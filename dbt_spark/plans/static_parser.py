@@ -118,19 +118,32 @@ def static_extract(raw_code: str) -> Optional[ExtractResult]:
     return refs, sources, config
 
 
-def parser_mode() -> str:
-    mode = os.environ.get("DBT_SPARK_STATIC_PARSER", "on").lower()
-    return mode if mode in ("on", "off", "sample") else "on"
+def parser_mode(flags: "dict | None" = None) -> str:
+    """DBT_SPARK_STATIC_PARSER env wins; else dbt_project.yml
+    ``flags: {static_parser: false}`` / ``use_experimental_parser: true``
+    (reference ProjectFlags static_parser/use_experimental_parser — the
+    experimental parser maps to the cross-checking ``sample`` mode)."""
+    env = os.environ.get("DBT_SPARK_STATIC_PARSER")
+    if env is not None:
+        mode = env.lower()
+        return mode if mode in ("on", "off", "sample") else "on"
+    f = flags or {}
+    if f.get("static_parser") is False:
+        return "off"
+    if f.get("use_experimental_parser"):
+        return "sample"
+    return "on"
 
 
 def extract_or_render(
     raw_code: str,
     name: str,
     render_fn,
+    flags: "dict | None" = None,
 ) -> tuple[list[tuple], list[tuple[str, str]], dict]:
     """Static fast path with render fallback; ``render_fn()`` must return the
     full parse_render tuple. ``sample`` mode cross-checks both paths."""
-    mode = parser_mode()
+    mode = parser_mode(flags)
     if mode == "off":
         _, refs, sources, config = render_fn()
         return refs, sources, config

@@ -322,6 +322,7 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
                 lambda raw=raw, name=name: parse_render(
                     raw, name, project.vars, target_ctx, macros=manifest.macros
                 ),
+                flags=getattr(project, "flags", None),
             )
         else:
             refs, sources, config_calls = _parse_python_model(raw)

@@ -2374,3 +2374,24 @@ def test_project_flags_defaults_and_behavior(project_dir, spark, tmp_path):
     statuses = {x.unique_id: x.status for x in r3.results}
     assert statuses.get("model.flg3.m") == "skipped"
     assert any(s == "error" for s in statuses.values())
+
+
+def test_flags_static_parser_modes(project_dir, spark, monkeypatch):
+    """flags: static_parser false -> render path; use_experimental_parser
+    true -> sample (cross-check) mode; DBT_SPARK_STATIC_PARSER env wins."""
+    from dbt_spark.plans.static_parser import parser_mode
+    monkeypatch.delenv("DBT_SPARK_STATIC_PARSER", raising=False)
+    assert parser_mode({}) == "on"
+    assert parser_mode({"static_parser": False}) == "off"
+    assert parser_mode({"use_experimental_parser": True}) == "sample"
+    monkeypatch.setenv("DBT_SPARK_STATIC_PARSER", "off")
+    assert parser_mode({"use_experimental_parser": True}) == "off"
+    monkeypatch.delenv("DBT_SPARK_STATIC_PARSER")
+    # end-to-end: a project with the flag still parses correctly
+    root = project_dir({
+        "dbt_project.yml": "name: sp\nflags: {static_parser: false}\n",
+        "models/m.sql": "{{ config(materialized='table') }} select 1 as x",
+    })
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["run"]).success
+    assert eng.store.get("main", "m") is not None
