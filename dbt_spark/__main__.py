@@ -34,6 +34,9 @@ def main() -> int:
     ap.add_argument("--state", default=None)
     ap.add_argument("--args", dest="op_args", default=None)
     ap.add_argument("--inline", default=None)
+    ap.add_argument("--inline-direct", default=None,
+                    help="show: raw SQL with no Jinja/ref resolution "
+                         "(reference --inline-direct)")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--defer", action="store_true", dest="defer_flag")
     ap.add_argument("--empty", action="store_true")
@@ -159,6 +162,8 @@ def main() -> int:
         argv += ["--args", args.op_args]
     if args.inline:
         argv += ["--inline", args.inline]
+    if args.inline_direct:
+        argv += ["--inline-direct", args.inline_direct]
     if args.limit is not None:
         argv += ["--limit", str(args.limit)]
     if args.defer_flag:

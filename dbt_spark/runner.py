@@ -279,6 +279,7 @@ class Engine:
         select: list[str] = []
         exclude: list[str] = []
         inline: Optional[str] = None
+        inline_direct: Optional[str] = None
         op_args: dict = {}
         state_dir: Optional[str] = None
         positional: list[str] = []
@@ -322,6 +323,12 @@ class Engine:
             elif rest[i] == "--inline":
                 i += 1
                 inline = rest[i]
+            elif rest[i] == "--inline-direct":
+                # raw SQL straight to the engine: no Jinja, no ref()/source()
+                # resolution (reference cli/params.py "--inline-direct",
+                # task/show.py ShowTaskDirect)
+                i += 1
+                inline_direct = rest[i]
             elif rest[i] == "--args":
                 i += 1
                 import yaml as _yaml
@@ -476,6 +483,13 @@ class Engine:
         if command == "run-operation":
             return self._run_operation(manifest, positional[0], op_args)
         if command == "show":
+            if inline_direct is not None:
+                rows = [r.asDict() for r in
+                        self.spark.sql(inline_direct).limit(limit).collect()]
+                res = RunnerResult(
+                    True, [RunResult("show", "success", 0.0)], manifest)
+                res.preview = rows
+                return res
             return self._show(manifest, inline, select, limit)
         if command == "docs-generate":
             return self._docs_generate(manifest, select=select or None,

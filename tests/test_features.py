@@ -2395,3 +2395,16 @@ def test_flags_static_parser_modes(project_dir, spark, monkeypatch):
     eng = Engine(root, spark=spark)
     assert eng.invoke(["run"]).success
     assert eng.store.get("main", "m") is not None
+
+
+def test_show_inline_direct(project_dir, spark):
+    """show --inline-direct runs raw SQL with no Jinja/ref resolution
+    (reference cli/params.py --inline-direct, task/show.py ShowTaskDirect);
+    {{ }} would be a Jinja error on the --inline path but passes through
+    verbatim here."""
+    root = project_dir({"dbt_project.yml": "name: sid\n"})
+    eng = Engine(root, spark=spark)
+    r = eng.invoke(["show", "--inline-direct",
+                    "select 40 + 2 as answer", "--limit", "3"])
+    assert r.success
+    assert r.preview == [{"answer": 42}]
