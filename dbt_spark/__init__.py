@@ -17,5 +17,8 @@ Layout:
 """
 
 __version__ = "0.1.0"
+# dbt-core compatibility version: what require-dbt-version ranges, manifest
+# metadata.dbt_version, and {{ dbt_version }} report (reference 1.10.x line)
+__dbt_compat_version__ = "1.10.0"
 
 from dbt_spark.session import get_spark  # noqa: F401

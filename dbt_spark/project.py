@@ -131,6 +131,22 @@ class Project:
                 prof.setdefault("target_name", tgt)
             elif isinstance(entry, dict):
                 prof = dict(entry)
+        # require-dbt-version: the project refuses to load under an engine
+        # version outside the range (reference core/dbt/config/project.py
+        # validate_version / DbtProjectError; flags.version_check /
+        # --no-version-check skips)
+        req = cfg.get("require-dbt-version")
+        flags_cfg = dict(cfg.get("flags") or {})
+        if req and flags_cfg.get("version_check", True):
+            from dbt_spark import __dbt_compat_version__
+            from dbt_spark.plans.deps import SemVer, satisfies
+
+            specs = [req] if isinstance(req, str) else [str(x) for x in req]
+            if not satisfies(SemVer.parse(__dbt_compat_version__), specs):
+                raise ValueError(
+                    f"this project requires dbt version {specs}; "
+                    f"running dbt_spark (dbt compat {__dbt_compat_version__}) "
+                    "(set flags: {version_check: false} to skip)")
         tpath = (
             target_path
             or os.environ.get("DBT_TARGET_PATH")

@@ -2408,3 +2408,27 @@ def test_show_inline_direct(project_dir, spark):
                     "select 40 + 2 as answer", "--limit", "3"])
     assert r.success
     assert r.preview == [{"answer": 42}]
+
+
+def test_require_dbt_version(project_dir, spark, tmp_path):
+    """require-dbt-version gates project load against the engine's dbt
+    compatibility version (reference config/project.py validate_version);
+    flags: version_check false skips (reference --no-version-check)."""
+    from dbt_spark.project import Project
+    ok = project_dir({
+        "dbt_project.yml": 'name: rv\nrequire-dbt-version: ">=1.0.0,<2.0.0"\n',
+    })
+    assert Project.load(ok).name == "rv"
+
+    bad = str(tmp_path / "bad"); os.makedirs(bad)
+    open(os.path.join(bad, "dbt_project.yml"), "w").write(
+        'name: rv2\nrequire-dbt-version: ">=99.0.0"\n')
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="requires dbt version"):
+        Project.load(bad)
+
+    skip = str(tmp_path / "skip"); os.makedirs(skip)
+    open(os.path.join(skip, "dbt_project.yml"), "w").write(
+        'name: rv3\nrequire-dbt-version: ">=99.0.0"\n'
+        "flags: {version_check: false}\n")
+    assert Project.load(skip).name == "rv3"
