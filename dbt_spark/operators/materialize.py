@@ -334,7 +334,8 @@ def compile_sql(
         var_overrides={**ctx.project.vars, **ctx.vars},
         target=target,
         run_query=ctx.run_query,
-        extra={"adapter": RuntimeAdapter(ctx)},
+        extra={"adapter": RuntimeAdapter(ctx),
+               "project_flags": getattr(ctx.project, "flags", None) or {}},
     ).strip().rstrip(";")
 
 

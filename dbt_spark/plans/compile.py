@@ -395,6 +395,10 @@ def runtime_render(
     ctx = _base_context(var_overrides or {}, target or {})
     ctx["flags"].FULL_REFRESH = full_refresh
     ctx["flags"].WHICH = (extra or {}).get("which")
+    # dbt_project.yml flags: surface as UPPERCASE attrs, like the
+    # reference's {{ flags }} (core/dbt/context/base.py flags property)
+    for _fk, _fv in ((extra or {}).get("project_flags") or {}).items():
+        setattr(ctx["flags"], str(_fk).upper(), _fv)
     ctx["graph"] = _LazyGraph(manifest)
     ctx.update(
         {

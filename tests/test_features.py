@@ -2432,3 +2432,19 @@ def test_require_dbt_version(project_dir, spark, tmp_path):
         'name: rv3\nrequire-dbt-version: ">=99.0.0"\n'
         "flags: {version_check: false}\n")
     assert Project.load(skip).name == "rv3"
+
+
+def test_jinja_flags_surface_project_flags(project_dir, spark):
+    """{{ flags.MY_FLAG }} exposes dbt_project.yml flags: as UPPERCASE
+    attributes (reference context/base.py flags property)."""
+    root = project_dir({
+        "dbt_project.yml": "name: jf\nflags: {my_feature: true}\n",
+        "models/m.sql": (
+            "select {% if flags.MY_FEATURE %}1{% else %}0{% endif %} as x, "
+            "{% if flags.FULL_REFRESH %}1{% else %}0{% endif %} as fr"
+        ),
+    })
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["run"]).success
+    row = eng.store.read("main", "m").collect()[0]
+    assert (row["x"], row["fr"]) == (1, 0)
