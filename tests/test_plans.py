@@ -201,6 +201,11 @@ def test_round4b_curation_plans(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
+    plan = _formatted(QUERIES["table_profile"](spark, SF_DIR_MED))
+    # N-way countDistinct must NOT go through Expand (row replication);
+    # each distinct count is its own column-pruned aggregate
+    assert "Expand" not in plan
+
     plan = _formatted(QUERIES["char_len_histogram"](spark, SF_DIR_MED))
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
