@@ -937,16 +937,19 @@ def per_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-domain/per-crawl dedup dashboard row that decides which sources
     get re-crawled vs down-weighted.
 
-    Scale: one aggregate on (source) with a distinct-count over md5
-    fingerprints — partial aggregation ships one (source, fp) pair per
-    partition, never documents."""
+    Scale: the plain count and the distinct-count run as SEPARATE aggregates
+    joined on source (mixing them in one agg forces Spark's Expand row
+    replication); each exchange ships one (source[, fp]) partial per
+    partition, never documents, and the join input is |sources|."""
     docs = _docs(spark, sf_dir)
     f = docs.select("source", F.md5(F.col("text")).alias("fp"))
-    return f.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.countDistinct("fp").cast("bigint").alias("n_unique"),
-        ((F.count("*") - F.countDistinct("fp")).cast("double") / F.count("*"))
-        .alias("dup_rate"),
+    n = f.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    u = f.groupBy("source").agg(
+        F.countDistinct("fp").cast("bigint").alias("n_unique"))
+    return n.join(F.broadcast(u), "source").select(
+        "source", "n_docs", "n_unique",
+        ((F.col("n_docs") - F.col("n_unique")).cast("double")
+         / F.col("n_docs")).alias("dup_rate"),
     )
 
 

@@ -517,13 +517,18 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_distinct_bounded, which exercises the tuned rsd=0.02 path on a
     different column)."""
     t = load_tables(spark, sf_dir, "lineitem")
+    # exact and sketch in SEPARATE aggregates joined on the group key:
+    # mixing countDistinct with a regular aggregate forces Spark's Expand
+    # plan (rows replicated per aggregate family through the shuffle);
+    # split, each exchange carries only partials and the join input is
+    # group-key cardinality
+    li = t["lineitem"]
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("exact_supps"))
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"))
     return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_suppkey").cast("bigint").alias("exact_supps"),
-            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        )
+        exact.join(F.broadcast(approx), "l_returnflag")
         .select(
             "l_returnflag",
             "exact_supps",
@@ -543,13 +548,14 @@ def approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked (the oracle states the flag must be true), without
     hash-comparing sketch internals across engines."""
     t = load_tables(spark, sf_dir, "lineitem")
+    # split aggregates for the same no-Expand reason as approx_distinct
+    li = t["lineitem"]
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"))
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
     return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        )
+        exact.join(F.broadcast(approx), "l_returnflag")
         .select(
             "l_returnflag",
             "exact_parts",
