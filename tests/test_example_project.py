@@ -43,6 +43,24 @@ def test_example_project_builds(tmp_path, spark):
     assert "model.jaffle_spark.customers" in ids
     assert "model.jaffle_spark.stg_orders" not in ids
 
+    # semantic layer: programmatic metric query over the built models
+    # (semantic.yml defines orders_sm + simple/ratio/cumulative metrics)
+    rows = {
+        str(r["status"]): r
+        for r in eng.query_metrics(
+            ["orders_total", "completed_share"], group_by=["status"]
+        ).collect()
+    }
+    assert rows["completed"]["orders_total"] == 3
+    assert rows["completed"]["completed_share"] == 1.0
+    assert rows["returned"]["completed_share"] == 0.0
+    run_tot = (
+        eng.query_metrics(["orders_running_total"],
+                          group_by=["metric_time__month"])
+        .orderBy("metric_time__month").collect()
+    )
+    assert [r["orders_running_total"] for r in run_tot] == [2, 4]
+
 
 CURATION = os.path.join(os.path.dirname(__file__), "..", "examples",
                         "pretraining_curation")

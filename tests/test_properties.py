@@ -107,3 +107,36 @@ def test_morton_interleave_bijective_and_matches_reference(spark):
     want = {(x, y): morton_py(x, y) for x, y in pairs}
     assert got == want
     assert len(set(want.values())) == len(set(pairs))  # bijective on sample
+
+
+@given(
+    width=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=20, deadline=None)
+def test_binned_range_join_equals_direct_predicate(width, seed):
+    """The binned interval-join rewrite (explode ranges to overlapped bins,
+    equi-join on the point's bin, residual filter) returns EXACTLY the pairs
+    of the direct range predicate for any bin width ≥ 1 — each point has one
+    bin and a range covers every bin it overlaps, so no pair can be missed
+    or duplicated. Pure-python model of queries/curation.py::
+    join_range_binned."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    points = [rng.randrange(0, 200) for _ in range(50)]
+    ranges = []
+    for rid in range(12):
+        s = rng.randrange(0, 180)
+        ranges.append((rid, s, s + rng.randrange(0, 50)))
+
+    direct = {(i, rid) for i, p in enumerate(points)
+              for rid, s, e in ranges if s <= p <= e}
+
+    binned = set()
+    for i, p in enumerate(points):
+        pb = p // width
+        for rid, s, e in ranges:
+            if s // width <= pb <= e // width and s <= p <= e:
+                binned.add((i, rid))
+    assert binned == direct
