@@ -784,3 +784,50 @@ def test_differential_string_funcs2(spark, seed):
     want = con.sql(duck_sql).df()
     assert sorted(got.columns) == sorted(want.columns), spark_sql
     assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
+
+
+# --------------------------------------------------------------------------
+# Struct construction / field access / tuple comparison. Spark spells
+# named_struct('k', x) / struct(x, y); DuckDB struct_pack(k := x) / ROW(x,
+# y) — per-dialect pairs, scalar (non-struct) outputs so canonicalization
+# stays engine-neutral.
+# --------------------------------------------------------------------------
+
+def _gen_struct_pair(seed: int) -> tuple[str, str]:
+    rng = random.Random(95_000 + seed)
+    a, b = rng.sample(NUM_COLS, 2)
+    cmp_op = rng.choice(["<", "<=", ">", ">=", "=", "!="])
+    where = _atom(rng)
+    s_cols = (
+        f"CAST(named_struct('k', {a}, 'p', {b}).p AS DOUBLE) AS e1, "
+        f"CASE WHEN struct(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)) {cmp_op} "
+        f"struct(CAST({b} AS DOUBLE), CAST({a} AS DOUBLE)) "
+        f"THEN 1 ELSE 0 END AS e2, "
+        f"CAST(named_struct('o', named_struct('i', {a})).o.i AS DOUBLE) AS e3"
+    )
+    d_cols = (
+        f"CAST(struct_pack(k := {a}, p := {b}).p AS DOUBLE) AS e1, "
+        f"CASE WHEN ROW(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)) {cmp_op} "
+        f"ROW(CAST({b} AS DOUBLE), CAST({a} AS DOUBLE)) "
+        f"THEN 1 ELSE 0 END AS e2, "
+        f"CAST(struct_pack(o := struct_pack(i := {a})).o.i AS DOUBLE) AS e3"
+    )
+    return (
+        f"SELECT o_orderkey, {s_cols} FROM orders WHERE {where}",
+        f"SELECT o_orderkey, {d_cols} FROM orders WHERE {where}",
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_differential_struct_exprs(spark, seed):
+    load_tables(spark, SF_DIR, "orders")
+    spark_sql, duck_sql = _gen_struct_pair(seed)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'orders.parquet')}'"
+    )
+    got = spark.sql(spark_sql).toPandas()
+    want = con.sql(duck_sql).df()
+    assert sorted(got.columns) == sorted(want.columns), spark_sql
+    assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
