@@ -28,6 +28,9 @@ def main() -> int:
                     help="docs generate | source freshness | run-operation <macro>")
     ap.add_argument("--project-dir", default=".")
     ap.add_argument("--select", "-s", action="append", default=[])
+    ap.add_argument("--models", "--model", "-m", action="append", default=[],
+                    dest="models_alias",
+                    help="alias for --select (reference -m/--models)")
     ap.add_argument("--exclude", action="append", default=[])
     ap.add_argument("--full-refresh", action="store_true")
     ap.add_argument("--vars", default=None)
@@ -63,6 +66,8 @@ def main() -> int:
                          "(error/warn alias include/exclude)")
     ap.add_argument("--fail-fast", "-x", action="store_true")
     ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--host", default=None,
+                    help="docs serve bind address (reference --host)")
     ap.add_argument("--target", "-t", default=None)
     ap.add_argument("--output", default="default",
                     choices=["default", "selector", "name", "path", "fqn", "json"],
@@ -97,6 +102,11 @@ def main() -> int:
     ap.add_argument("--target-path", default=None,
                     help="artifact output dir (reference --target-path / "
                          "DBT_TARGET_PATH; default <project>/target)")
+    ap.add_argument("--log-level-file",
+                    default=os.environ.get("DBT_LOG_LEVEL_FILE"),
+                    choices=["debug", "info", "warn", "error", None],
+                    help="minimum level written to the JSONL log file "
+                         "(reference --log-level-file; default debug=all)")
     ap.add_argument("--log-path", default=None,
                     help="log directory (reference --log-path / "
                          "DBT_LOG_PATH; default <target-path>/logs)")
@@ -124,6 +134,7 @@ def main() -> int:
         profiles_dir=args.profiles_dir,
         target_path=args.target_path,
         log_path=args.log_path,
+        log_level_file=args.log_level_file,
     )
     if args.threads:
         engine.project.profile["threads"] = args.threads
@@ -150,7 +161,7 @@ def main() -> int:
     argv = [command]
     if args.subcommand:
         argv.append(args.subcommand)
-    for s in args.select:
+    for s in args.select + args.models_alias:
         argv += ["--select", s]
     for e in args.exclude:
         argv += ["--exclude", e]
@@ -184,6 +195,8 @@ def main() -> int:
         argv.append("--fail-fast")
     if args.port is not None:
         argv += ["--port", str(args.port)]
+    if args.host:
+        argv += ["--host", args.host]
     if args.output and args.output != "default":
         argv += ["--output", args.output]
     if args.output_keys:

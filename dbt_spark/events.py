@@ -269,8 +269,13 @@ class Event:
 class EventBus:
     """fire_event analog: thread-safe append to a JSONL file + callbacks."""
 
-    def __init__(self, log_path: Optional[str] = None) -> None:
+    def __init__(self, log_path: Optional[str] = None,
+                 file_level: str = "debug") -> None:
         self.log_path = log_path
+        # --log-level-file / DBT_LOG_LEVEL_FILE (reference cli/params.py
+        # "--log-level-file"): events below this level skip the JSONL file
+        # (callbacks/console are governed separately by --log-level)
+        self.file_level = file_level
         self.invocation_id = str(uuid.uuid4())
         self.callbacks: list[Callable[[Event], None]] = []
         self._lock = threading.Lock()
@@ -299,8 +304,10 @@ class EventBus:
             thread=threading.current_thread().name,
         )
         line = json.dumps(ev.to_dict(), default=str)
+        rank = {"debug": 0, "info": 1, "warn": 2, "error": 3}
+        to_file = rank.get(ev.level, 1) >= rank.get(self.file_level, 0)
         with self._lock:
-            if self.log_path:
+            if self.log_path and to_file:
                 with open(self.log_path, "a") as f:
                     f.write(line + "\n")
             if self._pb_write is not None:

@@ -97,6 +97,7 @@ class Engine:
         profiles_dir: Optional[str] = None,
         target_path: Optional[str] = None,
         log_path: Optional[str] = None,
+        log_level_file: Optional[str] = None,
     ) -> None:
         from dbt_spark.session import get_spark
 
@@ -121,7 +122,13 @@ class Engine:
             or os.environ.get("DBT_LOG_PATH")
             or os.path.join(self.project.target_path, "logs")
         )
-        self.events = EventBus(os.path.join(log_dir, "dbt.log.jsonl"))
+        self.events = EventBus(
+            os.path.join(log_dir, "dbt.log.jsonl"),
+            file_level=(log_level_file
+                        or os.environ.get("DBT_LOG_LEVEL_FILE")
+                        or (self.project.flags or {}).get("log_level_file")
+                        or "debug"),
+        )
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -299,6 +306,7 @@ class Engine:
         event_time_start: Optional[datetime] = None
         event_time_end: Optional[datetime] = None
         port: Optional[int] = None
+        serve_host = "127.0.0.1"
         selector_name: Optional[str] = None
         indirect = "eager"
         fail_fast = False
@@ -312,7 +320,7 @@ class Engine:
         empty_catalog = False
         i = 0
         while i < len(rest):
-            if rest[i] in ("--select", "-s"):
+            if rest[i] in ("--select", "-s", "--models", "--model", "-m"):
                 i += 1
                 select.extend(rest[i].split(" "))
             elif rest[i] == "--exclude":
@@ -377,6 +385,10 @@ class Engine:
             elif rest[i] == "--port":
                 i += 1
                 port = int(rest[i])
+            elif rest[i] == "--host":
+                # docs serve bind address (reference cli/params.py "--host")
+                i += 1
+                serve_host = rest[i]
             elif rest[i] == "--sample":
                 i += 1
                 sample = rest[i]
@@ -496,7 +508,7 @@ class Engine:
                                        exclude=exclude or None,
                                        empty_catalog=empty_catalog)
         if command == "docs-serve":
-            return self._docs_serve(port=port or 8080)
+            return self._docs_serve(port=port or 8080, host=serve_host)
         if command == "source-freshness":
             return self._source_freshness(
                 manifest, now=now, warn_error=warn_error,
@@ -1156,7 +1168,8 @@ class Engine:
             f"<ul>{toc}</ul>{sem_html}{''.join(rows)}</body></html>"
         )
 
-    def _docs_serve(self, port: int = 8080, blocking: bool = True):
+    def _docs_serve(self, port: int = 8080, blocking: bool = True,
+                    host: str = "127.0.0.1"):
         """dbt docs serve: static HTTP server over target/ (catalog.json +
         manifest.json; reference serves the docs site the same way,
         core/dbt/cli/main.py:294 docs serve). ``blocking=False`` returns the
@@ -1174,7 +1187,7 @@ class Engine:
             def log_message(self, *a: Any) -> None:
                 pass
 
-        httpd = socketserver.TCPServer(("127.0.0.1", port), Handler)
+        httpd = socketserver.TCPServer((host, port), Handler)
         if not blocking:
             threading.Thread(target=httpd.serve_forever, daemon=True).start()
             return httpd

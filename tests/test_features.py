@@ -2448,3 +2448,24 @@ def test_jinja_flags_surface_project_flags(project_dir, spark):
     assert eng.invoke(["run"]).success
     row = eng.store.read("main", "m").collect()[0]
     assert (row["x"], row["fr"]) == (1, 0)
+
+
+def test_models_alias_and_log_level_file(project_dir, spark, tmp_path):
+    """-m/--models alias for --select; --log-level-file filters the JSONL
+    file while the bus still fires all events."""
+    root = project_dir({
+        "dbt_project.yml": "name: ma\n",
+        "models/a.sql": "select 1 as x",
+        "models/b.sql": "select 2 as y",
+    })
+    logs = str(tmp_path / "lg")
+    eng = Engine(root, spark=spark, log_path=logs, log_level_file="warn")
+    r = eng.invoke(["run", "--models", "a"])
+    assert r.success
+    assert {x.unique_id for x in r.results} == {"model.ma.a"}
+    # info-level events (MainReportVersion etc.) were filtered from the file
+    logf = os.path.join(logs, "dbt.log.jsonl")
+    if os.path.exists(logf):
+        levels = {json.loads(ln)["info"]["level"]
+                  for ln in open(logf) if ln.strip()}
+        assert levels <= {"warn", "error"}
