@@ -189,7 +189,7 @@ def _scoped_rewrite(
     from dbt_spark.operators.materialize import storage_options
 
     return ctx.store.write_table(
-        schema, node.name, combined, kind="incremental", **storage_options(node)
+        schema, ctx.name_for(node), combined, kind="incremental", **storage_options(node)
     )
 
 
@@ -227,7 +227,7 @@ def _incremental_bucketed(
 
     def _write(df: DataFrame, mode: str = "overwrite") -> Relation:
         return ctx.store.write_bucketed(
-            schema, node.name, df, bucket_by=bucket_by, buckets=buckets,
+            schema, ctx.name_for(node), df, bucket_by=bucket_by, buckets=buckets,
             sort_by=sort_by, mode=mode,
         )
 
@@ -254,7 +254,7 @@ def _incremental_bucketed(
     # beside, swap dirs, recreate catalog entry), never materializing the
     # combined frame in memory
     return ctx.store.rewrite_bucketed(
-        schema, node.name, combined, bucket_by=bucket_by, buckets=buckets,
+        schema, ctx.name_for(node), combined, bucket_by=bucket_by, buckets=buckets,
         sort_by=sort_by,
     )
 
@@ -301,7 +301,7 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
 
     if not is_incremental:
         return ctx.store.write_table(
-            schema, node.name, new, kind="incremental", partition_by=parts,
+            schema, ctx.name_for(node), new, kind="incremental", partition_by=parts,
             **storage,
         )
 
@@ -309,7 +309,7 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
         existing = ctx.store.read(schema, ctx.name_for(node))
         _, new = apply_schema_change(existing, new, node.config.on_schema_change, node.unique_id)
         return ctx.store.write_table(
-            schema, node.name, new, kind="incremental", partition_by=parts,
+            schema, ctx.name_for(node), new, kind="incremental", partition_by=parts,
             mode="append", **storage,
         )
     if strategy == "merge":

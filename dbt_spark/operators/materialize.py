@@ -564,7 +564,7 @@ def storage_options(node: ManifestNode) -> dict:
         out["file_format"] = str(fmt).lower()
     loc_root = node.config.meta.get("location_root")
     if loc_root:
-        out["location"] = os.path.join(str(loc_root), node.name)
+        out["location"] = os.path.join(str(loc_root), ctx.name_for(node))
     return out
 
 

@@ -229,12 +229,12 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
                 | (F.col(cfg.event_time) >= F.lit(window[1]).cast("timestamp"))
             )
             return ctx.store.write_table(
-                schema, node.name, outside.unionByName(df),
+                schema, ctx.name_for(node), outside.unionByName(df),
                 kind="incremental", partition_by=parts,
             )
         if first_write:
             return ctx.store.write_table(
-                schema, node.name, df, kind="incremental", partition_by=parts
+                schema, ctx.name_for(node), df, kind="incremental", partition_by=parts
             )
         # unpartitioned: ranged delete+insert for this batch window
         existing = ctx.store.read(schema, ctx.name_for(node))
@@ -243,7 +243,7 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
             | (F.col(cfg.event_time) >= F.lit(window[1]).cast("timestamp"))
         )
         return ctx.store.write_table(
-            schema, node.name, outside.unionByName(df), kind="incremental"
+            schema, ctx.name_for(node), outside.unionByName(df), kind="incremental"
         )
 
     # Parallel middle batches iff: opted in (default true), the table is

@@ -202,5 +202,5 @@ def materialize_snapshot(ctx: ExecutionContext, node: ManifestNode) -> Relation:
         new_snap = new_snap.fillna(False, subset=["dbt_is_deleted"])
 
     return ctx.store.write_table(
-        schema, node.name, _to_external(new_snap, node), kind="snapshot"
+        schema, ctx.name_for(node), _to_external(new_snap, node), kind="snapshot"
     )

@@ -145,7 +145,7 @@ def materialize_streaming(ctx: ExecutionContext, node: ManifestNode) -> Relation
         ctx.spark.catalog.dropTempView(ident)
 
     if strategy == "append":
-        rel = Relation(schema=schema, name=node.name, kind="streaming", path=path)
+        rel = Relation(schema=schema, name=ctx.name_for(node), kind="streaming", path=path)
         with ctx.store._lock:
             ctx.store.relations[ctx.store.key(schema, ctx.name_for(node))] = rel
             ctx.store._registered.discard(rel.identifier)

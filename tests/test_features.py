@@ -2469,3 +2469,35 @@ def test_models_alias_and_log_level_file(project_dir, spark, tmp_path):
         levels = {json.loads(ln)["info"]["level"]
                   for ln in open(logf) if ln.strip()}
         assert levels <= {"warn", "error"}
+
+
+def test_alias_with_incremental_and_snapshot(project_dir, spark):
+    """Aliased INCREMENTAL models write to the alias on every path (first
+    build AND append), and aliased snapshots update in place — regression
+    for write sites that kept the model name after the alias landed."""
+    root = project_dir({
+        "dbt_project.yml": "name: ali\n",
+        "models/inc_model.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='append', alias='inc_phys') }} "
+            "select 1 as x"
+        ),
+        "snapshots/snap_model.sql": (
+            "{% snapshot snap_model %}{{ config(unique_key='id', "
+            "strategy='check', check_cols='all', alias='snap_phys') }} "
+            "select 1 as id, 'a' as v{% endsnapshot %}"
+        ),
+    })
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["run"]).success
+    assert eng.store.get("main", "inc_phys") is not None
+    assert eng.store.get("main", "inc_model") is None
+    assert eng.invoke(["run"]).success  # append path
+    assert eng.store.read("main", "inc_phys").count() == 2
+    assert eng.store.get("main", "inc_model") is None
+
+    assert eng.invoke(["snapshot"]).success
+    assert eng.store.get("main", "snap_phys") is not None
+    assert eng.invoke(["snapshot"]).success  # update path
+    assert eng.store.get("main", "snap_model") is None
+    assert eng.store.read("main", "snap_phys").count() == 1
