@@ -514,6 +514,10 @@ class Engine:
                 manifest, now=now, warn_error=warn_error,
                 warn_error_options=warn_error_options,
                 select=select or None, exclude=exclude or None,
+                # source freshness -o/--output is a PATH (reference
+                # cli/params.py "--output" on freshness), unlike ls/show
+                # where --output picks a format
+                output_path=(ls_output if ls_output != "selector" else None),
             )
         if command == "clone":
             return self._clone(manifest, select, exclude)
@@ -1200,6 +1204,7 @@ class Engine:
     def _source_freshness(
         self, manifest: Manifest, now=None, warn_error: bool = False,
         warn_error_options=None, select=None, exclude=None,
+        output_path: Optional[str] = None,
     ) -> RunnerResult:
         """dbt source freshness → sources.json v3-ish
         (core/dbt/task/freshness.py:111-181). --select/--exclude narrow the
@@ -1249,9 +1254,10 @@ class Engine:
                 })
             except Exception as e:  # noqa: BLE001
                 results.append(RunResult(uid, "error", time.time() - t0, str(e)))
-        target_dir = self.project.target_path
-        os.makedirs(target_dir, exist_ok=True)
-        with open(os.path.join(target_dir, "sources.json"), "w") as f:
+        out_path = output_path or os.path.join(
+            self.project.target_path, "sources.json")
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        with open(out_path, "w") as f:
             json.dump({
                 "metadata": {
                     "dbt_schema_version":

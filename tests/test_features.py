@@ -2501,3 +2501,30 @@ def test_alias_with_incremental_and_snapshot(project_dir, spark):
     assert eng.invoke(["snapshot"]).success  # update path
     assert eng.store.get("main", "snap_model") is None
     assert eng.store.read("main", "snap_phys").count() == 1
+
+
+def test_source_freshness_output_path(project_dir, spark, tmp_path):
+    """source freshness -o/--output writes sources.json to the given PATH
+    (reference freshness --output), while ls --output keeps its
+    format meaning."""
+    import time as _time
+    data = str(tmp_path / "d.parquet")
+    spark.range(3).write.parquet(data)
+    root = project_dir({
+        "dbt_project.yml": "name: sfo\n",
+        "models/src.yml": (
+            "sources:\n"
+            "  - name: ext\n"
+            "    tables:\n"
+            "      - name: d\n"
+            "        meta: {location: '" + data + "'}\n"
+            "        freshness: {warn_after: {count: 9999, period: hour}}\n"
+        ),
+    })
+    out = str(tmp_path / "artifacts" / "fresh.json")
+    eng = Engine(root, spark=spark)
+    r = eng.invoke(["source", "freshness", "--output", out])
+    assert r.success, [x.message for x in r.results]
+    doc = json.load(open(out))
+    assert doc["results"] and not os.path.exists(
+        os.path.join(root, "target", "sources.json"))
