@@ -8,9 +8,9 @@ bit-deterministic regardless of partitioning (the same discipline as the
 declared inventory). Seeds are fixed — failures reproduce exactly.
 
 Seed rotation: each family draws from its own base offset (0 / 10k / 20k /
-30k / 40k / 50k). To rotate coverage (e.g. weekly in CI), bump a family's
-base by +1000 — determinism is preserved per run while the sampled corner
-of the grammar moves.
+...). Set DBT_SPARK_FUZZ_OFFSET=N (e.g. the ISO week number in CI) to shift
+every family's base by N — determinism is preserved per run while the
+sampled corner of the grammar moves each rotation.
 """
 
 from __future__ import annotations
@@ -26,6 +26,9 @@ import pytest
 from dbt_spark.session import load_tables
 
 from tests.conftest import SF_DIR
+
+# weekly-rotation knob: shifts every family's seed base
+_OFF = int(os.environ.get("DBT_SPARK_FUZZ_OFFSET", "0"))
 
 NUM_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
 STR_COLS = {
@@ -57,7 +60,7 @@ def _atom(rng: random.Random) -> str:
 
 
 def _gen_sql(seed: int) -> str:
-    rng = random.Random(seed)
+    rng = random.Random(_OFF + seed)
     atoms = [_atom(rng) for _ in range(rng.randrange(1, 4))]
     glue = " AND " if rng.random() < 0.6 else " OR "
     where = glue.join(atoms)
@@ -107,7 +110,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 
 def _gen_join_window_sql(seed: int) -> str:
     """Random join type + window function over orders⋈customer."""
-    rng = random.Random(seed)
+    rng = random.Random(_OFF + seed)
     jtype = rng.choice(["JOIN", "LEFT JOIN", "LEFT SEMI JOIN", "LEFT ANTI JOIN"])
     where = _atom(rng)
     if "SEMI" in jtype or "ANTI" in jtype:
@@ -175,7 +178,7 @@ def test_differential_join_window(spark, seed):
 
 def _gen_setop_grouping_sql(seed: int) -> str:
     """Random set operations and grouping-set shapes."""
-    rng = random.Random(seed)
+    rng = random.Random(_OFF + seed)
     if rng.random() < 0.5:
         op = rng.choice(
             ["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
@@ -236,7 +239,7 @@ def _gen_scalar_expr(rng: random.Random, depth: int = 0) -> str:
 
 
 def _gen_scalar_sql(seed: int) -> str:
-    rng = random.Random(seed)
+    rng = random.Random(_OFF + seed)
     e1 = _gen_scalar_expr(rng)
     date_expr = rng.choice(
         [
@@ -274,7 +277,7 @@ _HOF_TOKENS_DUCK = "string_split_regex(trim(text), '\\s+')"
 
 
 def _gen_hof_pair(seed: int) -> tuple[str, str]:
-    rng = random.Random(10_000 + seed)
+    rng = random.Random(10_000 + _OFF + seed)
     s_arr, d_arr = _HOF_TOKENS_SPARK, _HOF_TOKENS_DUCK
 
     # optional per-token filter on length
@@ -335,7 +338,7 @@ def test_differential_higher_order_funcs(spark, seed):
 # --------------------------------------------------------------------------
 
 def _gen_frame_sql(seed: int) -> str:
-    rng = random.Random(20_000 + seed)
+    rng = random.Random(20_000 + _OFF + seed)
     part = rng.choice(["o_orderstatus", "o_orderpriority", "o_custkey % 7"])
     kind = rng.choice(["ROWS", "RANGE"])
     if kind == "ROWS":
@@ -375,7 +378,7 @@ def test_differential_window_frames(spark, seed):
 # --------------------------------------------------------------------------
 
 def _gen_datetime_pair(seed: int) -> tuple[str, str]:
-    rng = random.Random(30_000 + seed)
+    rng = random.Random(30_000 + _OFF + seed)
     grain = rng.choice(["year", "quarter", "month", "week", "day"])
     n_days = rng.randrange(1, 400)
     anchor = f"TIMESTAMP '199{rng.randrange(3, 9)}-0{rng.randrange(1, 10)}-15 00:00:00'"
@@ -432,7 +435,7 @@ def test_differential_datetime_funcs(spark, seed):
 # --------------------------------------------------------------------------
 
 def _gen_lateral_sql(seed: int) -> str:
-    rng = random.Random(40_000 + seed)
+    rng = random.Random(40_000 + _OFF + seed)
     k = rng.randrange(37, 211)
     outer = f"c_custkey % {rng.randrange(5, 23)} = 0 AND c_custkey < {k * 7}"
     if rng.random() < 0.6:
@@ -475,7 +478,7 @@ def test_differential_lateral(spark, seed):
 # --------------------------------------------------------------------------
 
 def _gen_map_pair(seed: int) -> tuple[str, str]:
-    rng = random.Random(50_000 + seed)
+    rng = random.Random(50_000 + _OFF + seed)
     mod = rng.randrange(3, 9)
     probe = rng.choice(["p", "q", "zz"])
     where = _atom(rng)
@@ -523,7 +526,7 @@ def test_differential_map_funcs(spark, seed):
 # --------------------------------------------------------------------------
 
 def _gen_subquery_sql(seed: int) -> str:
-    rng = random.Random(60_000 + seed)
+    rng = random.Random(60_000 + _OFF + seed)
     kind = rng.randrange(4)
     inner_pred = _atom(rng)
     outer_pred = f"c_custkey % {rng.randrange(3, 11)} = 0"
@@ -578,7 +581,7 @@ def test_differential_subqueries(spark, seed):
 # --------------------------------------------------------------------------
 
 def _gen_json_pair(seed: int) -> tuple[str, str]:
-    rng = random.Random(70_000 + seed)
+    rng = random.Random(70_000 + _OFF + seed)
     s_k = "CAST(get_json_object(props, '$.k') AS BIGINT)"
     d_k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
     mod = rng.randrange(2, 7)
@@ -639,7 +642,7 @@ def test_differential_json_funcs(spark, seed):
 # --------------------------------------------------------------------------
 
 def _gen_like_pair(seed: int) -> tuple[str, str]:
-    rng = random.Random(80_000 + seed)
+    rng = random.Random(80_000 + _OFF + seed)
     shape = rng.randrange(3)
     if shape == 0:
         pat = rng.choice(["%URGENT%", "_-HIGH", "%LOW", "1-%", "%E%T%"])
@@ -694,7 +697,7 @@ def test_differential_like_regexp(spark, seed):
 # --------------------------------------------------------------------------
 
 def _gen_decimal_pair(seed: int) -> tuple[str, str]:
-    rng = random.Random(80_000 + seed)
+    rng = random.Random(80_000 + _OFF + seed)
     a, b = rng.sample(["o_totalprice", "o_totalprice * 0.5",
                        "o_totalprice - 1000"], 2)
     dec = "DECIMAL(18,3)"
@@ -749,7 +752,7 @@ def test_differential_decimal_arithmetic(spark, seed):
 # --------------------------------------------------------------------------
 
 def _gen_string_pair(seed: int) -> tuple[str, str]:
-    rng = random.Random(90_000 + seed)
+    rng = random.Random(90_000 + _OFF + seed)
     col = "o_orderpriority"
     n = rng.randrange(1, 4)
     pad = rng.randrange(6, 12)
@@ -794,7 +797,7 @@ def test_differential_string_funcs2(spark, seed):
 # --------------------------------------------------------------------------
 
 def _gen_struct_pair(seed: int) -> tuple[str, str]:
-    rng = random.Random(95_000 + seed)
+    rng = random.Random(95_000 + _OFF + seed)
     a, b = rng.sample(NUM_COLS, 2)
     cmp_op = rng.choice(["<", "<=", ">", ">=", "=", "!="])
     where = _atom(rng)
