@@ -557,14 +557,16 @@ def materialize_table(ctx: ExecutionContext, node: ManifestNode) -> Relation:
 def storage_options(node: ManifestNode) -> dict:
     """config(file_format=..., location_root=...) — the dbt-spark adapter's
     physical-storage knobs: parquet (default) | orc | json | csv, and an
-    external location ``<location_root>/<model_name>``."""
+    external location ``<location_root>/<identifier>`` (the alias when one
+    is set; naming macros resolve through the ExecutionContext callers)."""
     out: dict = {}
     fmt = node.config.meta.get("file_format")
     if fmt:
         out["file_format"] = str(fmt).lower()
     loc_root = node.config.meta.get("location_root")
     if loc_root:
-        out["location"] = os.path.join(str(loc_root), ctx.name_for(node))
+        phys = str(node.config.meta.get("alias") or node.name)
+        out["location"] = os.path.join(str(loc_root), phys)
     return out
 
 
