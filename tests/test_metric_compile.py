@@ -469,3 +469,43 @@ def test_cumulative_grain_to_date_resets(views):
     rows = sorted((str(r["metric_time__month"]), r["ytd_revenue"])
                   for r in views.sql(sql).collect())
     assert [v for _, v in rows] == [150.0, 425.0, 450.0, 10.0]
+
+
+def test_conversion_metric_matches_bruteforce_random(conv_views):
+    """Randomized timelines: the compiled conversion SQL equals a
+    brute-force python evaluation of 'base event with >=1 strictly-later
+    conversion within the window' across several seeds."""
+    import random as _random
+
+    spark = conv_views
+    for seed in range(4):
+        rng = _random.Random(1234 + seed)
+        rows = []
+        for _ in range(120):
+            u = rng.randrange(0, 8)
+            kind = rng.choice(["signup", "purchase", "noise"])
+            # integer-second timestamps over ~40 days
+            t = rng.randrange(0, 40 * 86400)
+            rows.append((u, kind, t))
+        spark.createDataFrame(rows, "u int, k string, sec int").selectExpr(
+            "u", "k", "timestamp_seconds(sec) AS ts", "sec"
+        ).createOrReplaceTempView("t_events_rand")
+
+        expected = 0
+        for u, kind, t in rows:
+            if kind != "signup":
+                continue
+            if any(cu == u and ck == "purchase" and t < ct <= t + 7 * 86400
+                   for cu, ck, ct in rows):
+                expected += 1
+
+        m = [{"name": "c", "type": "conversion", "label": "c",
+              "type_params": {"conversion_type_params": {
+                  "base_measure": "signups",
+                  "conversion_measure": "purchases",
+                  "entity": "user", "window": "7 days",
+                  "calculation": "conversions"}}}]
+        sql = compile_metrics_sql(["c"], m, [EVENTS_SM],
+                                  {"events_t": "t_events_rand"})
+        got = spark.sql(sql).collect()[0]["c"]
+        assert got == expected, f"seed={seed}: {got} != {expected}"
