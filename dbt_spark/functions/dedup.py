@@ -5,9 +5,11 @@ Scale design notes (the 100 TB rationale, per operator):
 - exact/fingerprint: one hash-shuffle on the dedup key with map-side partial
   aggregation; output is the kept-row set, never a driver collect.
 - n-gram Jaccard: shingle inverted index (explode → distinct → self-join on
-  shingle). The shingle join is the classic quadratic blow-up risk — callers
-  bound it with a candidate predicate; at full scale the MinHash/LSH variant
-  below replaces it (same API, candidate pairs only from LSH buckets).
+  shingle). The shingle join is the classic quadratic blow-up risk —
+  ``max_shingle_df`` caps per-shingle fan-out by dropping shingles hotter
+  than N docs (broadcast anti-join; candidate volume becomes
+  O(#shingles · N²), linear in corpus size); at full scale the MinHash/LSH
+  variant below replaces it (same API, candidates only from LSH buckets).
 - MinHash+LSH: k=num_perm hash functions via xxhash64(seed, shingle) (JVM
   codegen, no UDF), banded into b bands of r rows; candidate pairs join only
   within (band_id, band_hash) buckets — the shuffle key is the band hash, so
@@ -116,10 +118,35 @@ def jaccard_pairs(
     id_col: str,
     n: int = 2,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
-    Returns (id_a, id_b, n_common, jaccard)."""
-    sh = word_shingles(df, text_col, id_col, n).cache()
+    Returns (id_a, id_b, n_common, jaccard).
+
+    ``max_shingle_df`` is the scale bound: shingles whose document
+    frequency exceeds it are dropped from the representation BEFORE the
+    inverted-index self-join (both candidate generation and the Jaccard
+    numerator/denominator — symmetric, so the estimate stays unbiased for
+    discriminative content). This is standard web-scale shingling practice
+    (Broder-style dedup drops super-common shingles): a shingle shared by
+    >N documents contributes ~zero similarity signal but O(df²) candidate
+    pairs, which is exactly the quadratic hot spot. With the cap the
+    self-join's per-shingle fan-out is ≤ N², so total candidate volume is
+    O(#shingles · N²) — linear in corpus size. Near-dup pairs at
+    threshold ≥ t remain found as long as they share one sub-cap shingle;
+    only pairs consisting PURELY of boilerplate (every shared shingle
+    hotter than N) are missed, and those are better handled by the
+    boilerplate filters upstream. Unbounded (None) keeps the exact
+    baseline semantics for small corpora; the LSH twin
+    (minhash_lsh_candidates) is the other scale path."""
+    sh = word_shingles(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        hot = dfreq.filter(F.col("__df") > int(max_shingle_df)).select("shingle")
+        # the hot set (df > N) is tiny relative to the shingle universe →
+        # broadcast anti-join; the big (id, shingle) table never shuffles
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

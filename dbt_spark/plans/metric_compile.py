@@ -22,7 +22,17 @@ actually runnable here:
   derived offset_window inputs (period-over-period: the input re-aggregates
   into time buckets shifted forward by the offset),
   cumulative with grain_to_date resets (MTD/YTD) (post-aggregate running window over the
-  time grain — requires metric_time in the group-by).
+  time grain — requires metric_time in the group-by);
+- entity-linked cross-model dimensions: ``customer__region``-style group-by
+  and filter items whose dimension lives on ANOTHER semantic model reached
+  through a shared entity (semantic_model.py:201-206 entity links) compile
+  to one broadcastable LEFT JOIN per hop against a key+dims projection of
+  the dimension model (see ``_LinkedModel``);
+- ``join_to_timespine`` / ``fill_nulls_with`` on a metric's input measure
+  (v1/metric.py:36-37): the result LEFT JOINs onto a generated date spine
+  at the requested grain (sequence() over min/max scalar subqueries) so
+  empty periods appear, optionally zero-filled; non-time group-bys are
+  crossed with the spine for panel-shaped output.
 
 Supported agg types mirror the reference's AggregationType enum
 (core/dbt/artifacts/resources/types.py): sum, min, max, avg, count,
@@ -140,6 +150,138 @@ class _Model:
         return bool(dim is not None and dim.get("type") == "time")
 
 
+class _LinkedModel:
+    """Entity-link resolver: wraps an owning ``_Model`` and resolves
+    ``entity__dimension[__grain]`` group-by items whose dimension lives on a
+    DIFFERENT semantic model, reached through a shared entity (the reference
+    parses entity links on semantic models —
+    core/dbt/artifacts/resources/v1/semantic_model.py:201-206 — and hands
+    query-time resolution to MetricFlow; this is that resolution step,
+    Spark-first).
+
+    Resolution order: the owning model first (its own dimensions/entities,
+    including the existing entity-prefix-strip fallback), then a single
+    entity hop: the prefix must name an entity on the owning model, and the
+    remainder must resolve as a dimension on exactly one other semantic
+    model where that entity is ``primary``/``unique`` (the one-row-per-key
+    side, so the join can never fan out fact rows). Ambiguity — two
+    eligible models exposing the same (entity, dimension) — is an error,
+    mirroring MetricFlow's ambiguous-linkable-element diagnostics.
+
+    Scale: each hop compiles to ONE broadcast-friendly LEFT JOIN against a
+    two-ish-column projection of the dimension table (``__ek`` + the
+    requested dims), so Catalyst column-prunes the dim scan and AQE
+    broadcasts it; the fact table never re-shuffles for the join."""
+
+    def __init__(self, owner: _Model, models: list[_Model],
+                 table_for_model: dict[str, str]) -> None:
+        self.owner = owner
+        self._models = models
+        self._tables = table_for_model
+        # (entity, target model) -> {"alias", "model", "cols": {col: item}}
+        self.joins: dict[tuple[str, str], dict] = {}
+
+    def __getattr__(self, name: str):  # delegate .measures/.name/... to owner
+        return getattr(self.owner, name)
+
+    def resolve_group_by(self, item: str) -> tuple[str, str]:
+        try:
+            return self.owner.resolve_group_by(item)
+        except MetricQueryError as local_err:
+            linked = self._resolve_linked(item)
+            if linked is None:
+                raise local_err
+            return linked
+
+    def is_time_item(self, item: str) -> bool:
+        if self.owner.is_time_item(item):
+            return True
+        hop = self._find_target(item)
+        if hop is None:
+            return False
+        target, rest = hop
+        return target.is_time_item(rest)
+
+    def _find_target(self, item: str) -> Optional[tuple[_Model, str]]:
+        """``entity__rest`` → (target model, rest) or None; raises on
+        ambiguity or a non-unique entity on every candidate."""
+        parts = item.split("__")
+        if len(parts) < 2:
+            return None
+        ent_name, rest = parts[0], "__".join(parts[1:])
+        if ent_name not in self.owner.entities:
+            return None
+        candidates, non_unique = [], []
+        for m in self._models:
+            if m is self.owner or ent_name not in m.entities:
+                continue
+            try:
+                m.resolve_group_by(rest)
+            except MetricQueryError:
+                continue
+            if m.entities[ent_name].get("type") in ("primary", "unique"):
+                candidates.append(m)
+            else:
+                non_unique.append(m)
+        if not candidates:
+            if non_unique:
+                raise MetricQueryError(
+                    f"entity link {item!r}: dimension {rest!r} found via "
+                    f"entity {ent_name!r} only on model(s) "
+                    f"{sorted(m.name for m in non_unique)} where the entity "
+                    "is not primary/unique — joining would fan out fact "
+                    "rows; mark the entity primary/unique on the dimension "
+                    "model")
+            return None
+        if len(candidates) > 1:
+            raise MetricQueryError(
+                f"ambiguous entity link {item!r}: entity {ent_name!r} with "
+                f"dimension {rest!r} resolves on multiple semantic models "
+                f"{sorted(m.name for m in candidates)}")
+        return candidates[0], rest
+
+    def _resolve_linked(self, item: str) -> Optional[tuple[str, str]]:
+        hop = self._find_target(item)
+        if hop is None:
+            return None
+        target, rest = hop
+        ent_name = item.split("__")[0]
+        key = (ent_name, target.name)
+        join = self.joins.setdefault(key, {
+            "alias": f"__j_{_sanitize(ent_name)}_{_sanitize(target.name)}",
+            "entity": ent_name,
+            "model": target,
+            "cols": {},
+        })
+        col = f"__d_{_sanitize(item)}"
+        join["cols"][col] = rest
+        return f"{join['alias']}.{col}", item
+
+    def joined_from(self, table: str) -> str:
+        """FROM clause: the base table plus one LEFT JOIN per entity hop,
+        each against a pre-projected (key, dims…) subquery so the only
+        columns the dim side exposes are ``__ek`` and ``__d_*`` — no
+        name collisions with base-table measure exprs."""
+        sql = table
+        for join in self.joins.values():
+            target, ent_name = join["model"], join["entity"]
+            t_table = self._tables.get(target.ref_name())
+            if t_table is None:
+                raise MetricQueryError(
+                    f"no table registered for model {target.ref_name()!r} "
+                    f"(entity link via {ent_name!r})")
+            t_ent = target.entities[ent_name]
+            o_ent = self.owner.entities[ent_name]
+            cols = ", ".join(
+                f"{target.resolve_group_by(rest)[0]} AS {col}"
+                for col, rest in sorted(join["cols"].items()))
+            sub = (f"(SELECT {t_ent.get('expr') or ent_name} AS __ek, {cols} "
+                   f"FROM {t_table}) {join['alias']}")
+            sql += (f" LEFT JOIN {sub} ON {o_ent.get('expr') or ent_name} "
+                    f"= {join['alias']}.__ek")
+        return sql
+
+
 def _render_filter(filt: str, model: _Model) -> str:
     """Render {{ Dimension('entity__dim') }} / {{ Entity('e') }} /
     {{ TimeDimension('d', 'grain') }} templates into SQL exprs."""
@@ -243,6 +385,7 @@ def compile_metrics_sql(
     final_exprs: list[tuple[str, str]] = []  # (sql_expr_over_leafs, alias)
     cumulative: dict[str, dict] = {}  # alias -> window spec
     conversions: dict[str, dict] = {}  # metric name -> conversion spec
+    spine_cfg: dict[str, dict] = {}  # metric name -> timespine/fill spec
 
     def _leaf(measure_spec: Any, metric_filter: Optional[str],
               offset: Optional[str] = None) -> str:
@@ -272,6 +415,18 @@ def compile_metrics_sql(
         mfilter = metric.get("filter")
         if mtype in ("simple", "cumulative"):
             alias = _leaf(tp.get("measure"), mfilter)
+            # join_to_timespine / fill_nulls_with live on the measure input
+            # (core/dbt/artifacts/resources/v1/metric.py:36-37,
+            # MetricInputMeasure): zero/NULL-fill periods the data skips
+            spec = tp.get("measure")
+            sflags = spec if isinstance(spec, dict) else {}
+            if (sflags.get("join_to_timespine")
+                    or sflags.get("fill_nulls_with") is not None):
+                spine_cfg[name] = {
+                    "spine": bool(sflags.get("join_to_timespine")),
+                    "fill": sflags.get("fill_nulls_with"),
+                    "owner": measure_owner.get(_measure_name(spec)[0]),
+                }
             if mtype == "cumulative":
                 ctp2 = tp.get("cumulative_type_params") or {}
                 cumulative[name] = {
@@ -332,30 +487,33 @@ def compile_metrics_sql(
     for inst, cols in leaf_cols.items():
         model_name, offset = inst_meta[inst]
         sm = model_by_name[model_name]
+        lm = _LinkedModel(sm, models, table_for_model)
         table = table_for_model.get(sm.ref_name())
         if table is None:
             raise MetricQueryError(
                 f"no table registered for model {sm.ref_name()!r}")
         selects, keys = [], []
         for item in group_by:
-            expr, alias = sm.resolve_group_by(item)
-            if offset and sm.is_time_item(item):
+            expr, alias = lm.resolve_group_by(item)
+            if offset and lm.is_time_item(item):
                 num, unit = str(offset).split()
                 expr = (f"({expr}) + INTERVAL {int(num)} "
                         f"{unit.rstrip('s').upper()}")
             selects.append(f"{expr} AS {alias}")
             keys.append(alias)
         if offset and group_by and not any(
-                sm.is_time_item(i) for i in group_by):
+                lm.is_time_item(i) for i in group_by):
             raise MetricQueryError(
                 f"offset_window input needs a time group-by "
                 f"(got {group_by!r})")
         key_aliases = keys
         for alias, (measure, filt) in sorted(cols.items()):
-            selects.append(f"{_measure_agg_sql(sm, measure, filt)} AS {alias}")
-        sql = f"SELECT {', '.join(selects)} FROM {table}"
-        if where:
-            sql += f" WHERE {_render_filter(where, sm)}"
+            selects.append(f"{_measure_agg_sql(lm, measure, filt)} AS {alias}")
+        where_sql = f" WHERE {_render_filter(where, lm)}" if where else ""
+        # joined_from LAST: group-by/filter/measure resolution above may
+        # have accumulated entity-hop joins
+        sql = f"SELECT {', '.join(selects)} FROM {lm.joined_from(table)}"
+        sql += where_sql
         if keys:
             sql += f" GROUP BY {', '.join(keys)}"
         ctes.append((f"__sm_{inst}", sql))
@@ -399,6 +557,7 @@ def compile_metrics_sql(
                 f"conversion metric {cname}: entity {ent_name!r} not found "
                 f"on semantic model {owner.name}")
         ent_expr = ent.get("expr") or ent["name"]
+        lmc = _LinkedModel(owner, models, table_for_model)
 
         def _time_expr(measure_name: str) -> str:
             meas = owner.measures[measure_name]
@@ -415,18 +574,18 @@ def compile_metrics_sql(
             meas = owner.measures[measure_name]
             conds = []
             if meas.get("filter"):
-                conds.append(_render_filter(str(meas["filter"]), owner))
+                conds.append(_render_filter(str(meas["filter"]), lmc))
             if extra:
-                conds.append(_render_filter(str(extra), owner))
+                conds.append(_render_filter(str(extra), lmc))
             if with_metric_filter and mfilter:
-                conds.append(_render_filter(str(mfilter), owner))
+                conds.append(_render_filter(str(mfilter), lmc))
             if where:
-                conds.append(_render_filter(where, owner))
+                conds.append(_render_filter(where, lmc))
             return conds
 
         keys_sel, keys = [], []
         for item in group_by:
-            expr, alias = owner.resolve_group_by(item)
+            expr, alias = lmc.resolve_group_by(item)
             keys_sel.append(f"{expr} AS {alias}")
             keys.append(alias)
         if not key_aliases:
@@ -442,15 +601,16 @@ def compile_metrics_sql(
             win_pred = (f" AND c.__t <= b.__t + INTERVAL {int(num)} "
                         f"{unit.rstrip('s').upper()}")
         cols_b = keys_sel + [f"{ent_expr} AS __e", f"{_time_expr(base_m)} AS __t"]
+        from_b = lmc.joined_from(table)
         aux_ctes.append((
             f"__cvb_{s}",
-            f"SELECT {', '.join(cols_b)} FROM {table}"
+            f"SELECT {', '.join(cols_b)} FROM {from_b}"
             + (f" WHERE {bw}" if bw else ""),
         ))
         aux_ctes.append((
             f"__cvc_{s}",
             f"SELECT {ent_expr} AS __e, {_time_expr(conv_m)} AS __t "
-            f"FROM {table}" + (f" WHERE {cw}" if cw else ""),
+            f"FROM {from_b}" + (f" WHERE {cw}" if cw else ""),
         ))
         aux_ctes.append((
             f"__cvs_{s}",
@@ -496,6 +656,10 @@ def compile_metrics_sql(
         ]
         joined += f" FULL OUTER JOIN {n} ON {on}"
 
+    requested = {alias for _, alias in final_exprs}
+    spined = {a: c for a, c in spine_cfg.items()
+              if a in requested and c["spine"]}
+
     out_cols = [f"{sk} AS {k}" for sk, k in zip(select_keys, key_aliases)]
     for expr, alias in final_exprs:
         win = cumulative.get(alias)
@@ -527,10 +691,73 @@ def compile_metrics_sql(
                 f"SUM({expr}) OVER ({part}ORDER BY {order_col} {frame}) "
                 f"AS {alias}")
         else:
+            cfg = spine_cfg.get(alias)
+            if cfg and cfg["fill"] is not None and alias not in spined:
+                # fill_nulls_with WITHOUT a timespine: coalesce the value
+                # (e.g. a full-outer-joined multi-model miss) in place
+                expr = f"COALESCE({expr}, {cfg['fill']})"
             out_cols.append(f"{expr} AS {alias}")
 
-    sql = (f"WITH {', '.join(with_parts)} "
-           f"SELECT {', '.join(out_cols)} FROM {joined}")
+    if spined:
+        # join_to_timespine: LEFT JOIN the metric result onto a generated
+        # date spine at the requested grain so periods with no rows appear
+        # (NULL or fill_nulls_with). MetricFlow reads the spine from a
+        # time_spine model; here the spine is generated from the measure
+        # owner's own time range — sequence() over (SELECT MIN/MAX),
+        # a 2-row scalar-subquery scan, then an O(periods)-row explode.
+        # Non-time group-bys are crossed with the spine (DISTINCT over the
+        # already-aggregated result, group-by cardinality) so every
+        # (dims × period) cell exists — panel-shaped zero-fill.
+        time_pairs = []
+        owner0 = next(iter(spined.values()))["owner"]
+        lm0 = _LinkedModel(owner0, models, table_for_model)
+        for item, alias in zip(group_by, key_aliases):
+            if lm0.is_time_item(item):
+                time_pairs.append((item, alias))
+        if not time_pairs:
+            raise MetricQueryError(
+                "join_to_timespine requires a time-dimension (or "
+                f"metric_time) group-by item (got {group_by!r})")
+        time_item, tk = time_pairs[0]
+        try:
+            kexpr, _ = owner0.resolve_group_by(time_item)
+        except MetricQueryError as exc:
+            raise MetricQueryError(
+                "join_to_timespine: the time group-by must live on the "
+                f"measure's own semantic model ({owner0.name})") from exc
+        parts = time_item.split("__")
+        grain = parts[-1] if parts[-1] in _GRAINS else "day"
+        step = ("INTERVAL 7 DAY" if grain == "week"
+                else f"INTERVAL 1 {grain.upper()}")
+        btable = table_for_model[owner0.ref_name()]
+        with_parts.append(
+            f"__res AS (SELECT {', '.join(out_cols)} FROM {joined})")
+        with_parts.append(
+            f"__spine AS (SELECT explode(sequence("
+            f"(SELECT MIN({kexpr}) FROM {btable}), "
+            f"(SELECT MAX({kexpr}) FROM {btable}), {step})) AS {tk})")
+        others = [k for k in key_aliases if k != tk]
+        if others:
+            with_parts.append(
+                f"__grid AS (SELECT s.{tk}, {', '.join(f'd.{k}' for k in others)} "
+                f"FROM __spine s CROSS JOIN "
+                f"(SELECT DISTINCT {', '.join(others)} FROM __res) d)")
+            grid = "__grid"
+        else:
+            grid = "__spine"
+        on = " AND ".join(f"g.{k} <=> __res.{k}" for k in key_aliases)
+        sel = [f"g.{k} AS {k}" for k in key_aliases]
+        for _, alias in final_exprs:
+            cfg = spine_cfg.get(alias)
+            if cfg and cfg["fill"] is not None:
+                sel.append(f"COALESCE(__res.{alias}, {cfg['fill']}) AS {alias}")
+            else:
+                sel.append(f"__res.{alias} AS {alias}")
+        sql = (f"WITH {', '.join(with_parts)} SELECT {', '.join(sel)} "
+               f"FROM {grid} g LEFT JOIN __res ON {on}")
+    else:
+        sql = (f"WITH {', '.join(with_parts)} "
+               f"SELECT {', '.join(out_cols)} FROM {joined}")
     if order_by:
         sql += f" ORDER BY {', '.join(order_by)}"
     if limit:

@@ -390,19 +390,25 @@ def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _table_profile(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
     """Per-column data profile of lineitem (the `ANALYZE`/docs-stats analog):
     row count, null count, distinct count, min/max rendered as strings — one
     row per profiled column.
 
-    Scale: N-way `countDistinct` inside one aggregate forces Spark's Expand
-    plan (every row replicated N+1 times through the shuffle — measured 5×
-    the whole-profile cost at sf0.1). Instead: the cheap metrics
-    (count/nulls/min/max) fuse into ONE scan, and each distinct count is its
-    own single-column aggregate — the parquet scan prunes to exactly that
-    column (same total column IO as the fused plan) and its exchange carries
-    only partial distinct values, never replicated rows. No Expand anywhere
-    (plan-pinned).
+    Two distinct-count modes:
+
+    - ``exact=False`` (the at-scale default): ``approx_count_distinct``
+      (HyperLogLog++, rsd=0.05 → ±5% relative standard deviation, the
+      documented error bound) fuses with count/nulls/min/max into ONE
+      scan + ONE aggregate — at 100 TB × wide tables this is the only
+      profile that costs a single pass.
+    - ``exact=True`` (opt-in, oracle-paired): N-way `countDistinct` inside
+      one aggregate would force Spark's Expand plan (every row replicated
+      N+1 times through the shuffle — measured 5× the whole-profile cost at
+      sf0.1), so the cheap metrics fuse into ONE scan and each distinct
+      count is its own single-column aggregate — the parquet scan prunes to
+      exactly that column and its exchange carries only partial distinct
+      values, never replicated rows. No Expand anywhere (plan-pinned).
     """
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     cols = ["l_quantity", "l_shipdate", "l_returnflag", "l_extendedprice"]
@@ -422,12 +428,17 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             render[c](F.min(c)).alias(f"{c}__mn"),
             render[c](F.max(c)).alias(f"{c}__mx"),
         ]
+        if not exact:
+            # HLL++ sketches fuse with the other aggregates — single scan,
+            # single exchange, no Expand
+            aggs.append(F.approx_count_distinct(c, 0.05).alias(f"{c}__nd"))
     one = li.agg(*aggs)
-    for c in cols:
-        one = one.crossJoin(
-            F.broadcast(li.select(c).agg(
-                F.countDistinct(c).alias(f"{c}__nd")))
-        )
+    if exact:
+        for c in cols:
+            one = one.crossJoin(
+                F.broadcast(li.select(c).agg(
+                    F.countDistinct(c).alias(f"{c}__nd")))
+            )
     stack_expr = "stack({n}, {parts}) as (column_name, n_nulls, n_distinct, min_value, max_value)".format(
         n=len(cols),
         parts=", ".join(
@@ -444,6 +455,19 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-distinct profile (oracle-paired; see _table_profile)."""
+    return _table_profile(spark, sf_dir, exact=True)
+
+
+def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass HLL++ profile — the at-scale default (see
+    _table_profile; rows/contract check, n_distinct is approximate by
+    construction with rsd=0.05; accuracy vs exact is pytest-pinned in
+    tests/test_llmops.py)."""
+    return _table_profile(spark, sf_dir, exact=False)
 
 
 ORACLES: dict[str, str] = {
@@ -629,6 +653,7 @@ QUERIES = {
     "join_range_binned": join_range_binned,
     "attribution_touchpoints": attribution_touchpoints,
     "table_profile": table_profile,
+    "table_profile_approx": table_profile_approx,
     "bm25_topk": bm25_topk,
     "stratified_quota_sample": stratified_quota_sample,
     "minhash_jaccard_calibration": minhash_jaccard_calibration,

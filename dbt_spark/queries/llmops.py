@@ -135,8 +135,16 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard pairs with the scale bound ON: shingles with
+    document frequency > 12 are dropped before the inverted-index self-join
+    (functions/dedup.py jaccard_pairs max_shingle_df — per-shingle fan-out
+    capped at 12², candidate volume linear in corpus size). The oracle
+    mirrors the cap, so the df-capped semantics themselves are
+    value-verified against DuckDB."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
-    return D.jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.1).select(
+    return D.jaccard_pairs(
+        docs, "text", "doc_id", n=2, threshold=0.1, max_shingle_df=12
+    ).select(
         "id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -1468,9 +1476,14 @@ ORACLES: dict[str, str] = {
         WITH toks AS (
             SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 150
         ),
-        sh AS (
+        sh0 AS (
             SELECT DISTINCT doc_id, s
             FROM toks, UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS u(s)
+        ),
+        -- mirror of max_shingle_df=12: drop shingles hotter than 12 docs
+        sh AS (
+            SELECT doc_id, s FROM sh0
+            WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 12)
         ),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (

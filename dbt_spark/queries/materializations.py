@@ -764,6 +764,123 @@ def semantic_conversion_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_entity_joined_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-linked cross-model dimension: metrics measured on orders,
+    grouped AND filtered by `customer__mktsegment` — a dimension that lives
+    on a different semantic model (customer) reached through the shared
+    `customer` entity (reference parses entity links:
+    core/dbt/artifacts/resources/v1/semantic_model.py:201-206; MetricFlow
+    resolves them at query time — plans/metric_compile.py:_LinkedModel is
+    that resolution, Spark-first).
+
+    Scale: the hop compiles to ONE LEFT JOIN against a 2-column projection
+    of customer (entity key + segment) — Catalyst column-prunes the dim
+    scan and AQE broadcasts it; the orders fact never re-shuffles for the
+    join, and the aggregate stays a single map-side-partial shuffle on the
+    group keys."""
+    from dbt_spark.plans.metric_compile import compile_metrics_sql
+    from dbt_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "orders", "customer")
+    orders_sm = {
+        "name": "orders_sm",
+        "model": "ref('orders')",
+        "defaults": {"agg_time_dimension": "order_date"},
+        "entities": [
+            {"name": "order", "type": "primary", "expr": "o_orderkey"},
+            {"name": "customer", "type": "foreign", "expr": "o_custkey"},
+        ],
+        "dimensions": [
+            {"name": "order_date", "type": "time", "expr": "o_orderdate",
+             "type_params": {"time_granularity": "day"}},
+            {"name": "status", "type": "categorical", "expr": "o_orderstatus"},
+        ],
+        "measures": [
+            {"name": "order_count", "agg": "count", "expr": "1"},
+            {"name": "order_total_dec", "agg": "sum",
+             "expr": "CAST(o_totalprice AS DECIMAL(18,2))"},
+        ],
+    }
+    customer_sm = {
+        "name": "customer_sm",
+        "model": "ref('customer')",
+        "entities": [
+            {"name": "customer", "type": "primary", "expr": "c_custkey"}],
+        "dimensions": [
+            {"name": "mktsegment", "type": "categorical",
+             "expr": "c_mktsegment"}],
+        "measures": [{"name": "customer_count", "agg": "count", "expr": "1"}],
+    }
+    metrics = [
+        {"name": "revenue_dec", "type": "simple",
+         "type_params": {"measure": "order_total_dec"}},
+        {"name": "n_orders", "type": "simple",
+         "type_params": {"measure": "order_count"}},
+    ]
+    sql = compile_metrics_sql(
+        ["revenue_dec", "n_orders"], metrics, [orders_sm, customer_sm],
+        {"orders": "orders", "customer": "customer"},
+        group_by=["customer__mktsegment", "status"],
+        where="{{ Dimension('customer__mktsegment') }} <> 'MACHINERY'",
+        order_by=["customer__mktsegment", "status"],
+    )
+    return spark.sql(sql).select(
+        F.col("customer__mktsegment").alias("segment"),
+        F.col("status"),
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+def semantic_metric_timespine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_to_timespine + fill_nulls_with on a metric's input measure
+    (core/dbt/artifacts/resources/v1/metric.py:36-37, MetricInputMeasure):
+    pending revenue by month where months with NO pending orders still
+    appear, zero-filled — the compiled query LEFT JOINs the aggregate onto
+    a generated month spine spanning the measure owner's own time range.
+
+    Scale: the spine is sequence() over two scalar-subquery bounds (a
+    2-value min/max scan) exploded to O(periods) rows — never a scan-sized
+    structure; the fill join is spine ⟕ aggregate at group-by cardinality."""
+    from dbt_spark.plans.metric_compile import compile_metrics_sql
+    from dbt_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "orders")
+    sm = {
+        "name": "orders_sm",
+        "model": "ref('orders')",
+        "defaults": {"agg_time_dimension": "order_date"},
+        "entities": [
+            {"name": "order", "type": "primary", "expr": "o_orderkey"}],
+        "dimensions": [
+            {"name": "order_date", "type": "time", "expr": "o_orderdate",
+             "type_params": {"time_granularity": "day"}},
+            {"name": "status", "type": "categorical", "expr": "o_orderstatus"},
+        ],
+        "measures": [
+            {"name": "order_total_dec", "agg": "sum",
+             "expr": "CAST(o_totalprice AS DECIMAL(18,2))"},
+        ],
+    }
+    metrics = [
+        {"name": "pending_revenue", "type": "simple",
+         "type_params": {"measure": {
+             "name": "order_total_dec",
+             "join_to_timespine": True,
+             "fill_nulls_with": 0}},
+         "filter": "{{ Dimension('status') }} = 'P'"},
+    ]
+    sql = compile_metrics_sql(
+        ["pending_revenue"], metrics, [sm], {"orders": "orders"},
+        group_by=["metric_time__month"],
+        order_by=["metric_time__month"],
+    )
+    return spark.sql(sql).select(
+        F.col("metric_time__month").cast("timestamp").alias("month"),
+        F.col("pending_revenue").cast("double").alias("pending_revenue"),
+    )
+
+
 def cobucketed_join_zeroshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-bucketed join through the REAL bucketed-table writer: orders and
     customer both hash-bucketed by custkey into the same bucket count, then
@@ -844,6 +961,36 @@ ORACLES: dict[str, str] = {
                round(CAST(COALESCE(g2.cn, 0) AS DOUBLE)
                      / CAST(g1.bn AS DOUBLE), 6) AS conversion_rate
         FROM g1 LEFT JOIN g2 ON g1.month = g2.month
+    """,
+    "semantic_entity_joined_dimension": """
+        SELECT c.c_mktsegment AS segment,
+               o.o_orderstatus AS status,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               CAST(COUNT(1) AS BIGINT) AS n_orders
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment <> 'MACHINERY'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "semantic_metric_timespine": """
+        WITH bounds AS (
+            SELECT CAST(DATE_TRUNC('MONTH', MIN(o_orderdate)) AS DATE) AS lo,
+                   CAST(DATE_TRUNC('MONTH', MAX(o_orderdate)) AS DATE) AS hi
+            FROM orders),
+        spine AS (
+            SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                        CAST(hi AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE)
+                       AS m
+            FROM bounds),
+        res AS (
+            SELECT CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS m,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders WHERE o_orderstatus = 'P' GROUP BY 1)
+        SELECT CAST(s.m AS TIMESTAMP) AS month,
+               CAST(COALESCE(r.rev, 0) AS DOUBLE) AS pending_revenue
+        FROM spine s LEFT JOIN res r ON s.m = r.m
+        ORDER BY 1
     """,
     "semantic_metric_query": """
         SELECT o_orderstatus AS status,
@@ -1046,4 +1193,6 @@ QUERIES = {
     "hooks_audit_trail": hooks_audit_trail,
     "semantic_metric_query": semantic_metric_query,
     "semantic_conversion_metric": semantic_conversion_metric,
+    "semantic_entity_joined_dimension": semantic_entity_joined_dimension,
+    "semantic_metric_timespine": semantic_metric_timespine,
 }

@@ -530,3 +530,56 @@ def test_char_len_histogram_partitions_corpus(spark):
     spans = sorted((r["lo_chars"], r["hi_chars"]) for r in rows)
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi < b_lo
+
+
+def test_jaccard_max_shingle_df_drops_hot_shingles_only(spark):
+    # 3 docs share ONLY the hot bigram "the end"; docs 1/2 additionally
+    # share rare content. With cap=2 the hot shingle (df=3) is dropped:
+    # the (1,2) near-dup pair survives via its rare shingles while the
+    # boilerplate-only pairs (1,3)/(2,3) disappear — and per-doc sizes
+    # shrink symmetrically so jaccard reflects the capped universe.
+    rows = [
+        (1, "alpha beta gamma delta the end"),
+        (2, "alpha beta gamma delta the end"),
+        (3, "zeta eta theta iota the end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in D.jaccard_pairs(df, "text", "doc_id", n=2,
+                                     threshold=0.01).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in D.jaccard_pairs(df, "text", "doc_id", n=2,
+                                       threshold=0.01,
+                                       max_shingle_df=2).collect()}
+    assert (1, 3) in full and (2, 3) in full
+    assert set(capped) == {(1, 2)}
+    assert capped[(1, 2)] == 1.0  # identical docs stay jaccard 1.0
+
+
+def test_jaccard_cap_not_binding_matches_uncapped(spark):
+    rows = [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    full = sorted((r.id_a, r.id_b, r.n_common, r.jaccard)
+                  for r in D.jaccard_pairs(df, "text", "doc_id", n=2,
+                                           threshold=0.1).collect())
+    capped = sorted((r.id_a, r.id_b, r.n_common, r.jaccard)
+                    for r in D.jaccard_pairs(df, "text", "doc_id", n=2,
+                                             threshold=0.1,
+                                             max_shingle_df=100).collect())
+    assert full == capped
+
+
+def test_table_profile_approx_within_hll_bound(spark):
+    # approx mode shares every exact metric except n_distinct, which must
+    # land within ~3×rsd (rsd=0.05) of the exact count
+    from dbt_spark.queries.curation import table_profile, table_profile_approx
+
+    exact = {r.column_name: r for r in table_profile(spark, SF).collect()}
+    approx = {r.column_name: r
+              for r in table_profile_approx(spark, SF).collect()}
+    assert set(exact) == set(approx)
+    for c, r in approx.items():
+        e = exact[c]
+        assert (r.n_rows, r.n_nulls, r.min_value, r.max_value) == (
+            e.n_rows, e.n_nulls, e.min_value, e.max_value)
+        assert abs(r.n_distinct - e.n_distinct) <= max(3, 0.15 * e.n_distinct)

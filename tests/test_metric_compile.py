@@ -509,3 +509,176 @@ def test_conversion_metric_matches_bruteforce_random(conv_views):
                                   {"events_t": "t_events_rand"})
         got = spark.sql(sql).collect()[0]["c"]
         assert got == expected, f"seed={seed}: {got} != {expected}"
+
+
+# --------------------------------------------------------------------------
+# entity-linked cross-model dimensions (_LinkedModel;
+# core/dbt/artifacts/resources/v1/semantic_model.py:201-206 entity links)
+# --------------------------------------------------------------------------
+
+CUSTOMERS_SM = {
+    "name": "customers_sm",
+    "model": "ref('customers')",
+    "entities": [{"name": "customer", "type": "primary", "expr": "c_id"}],
+    "dimensions": [
+        {"name": "segment", "type": "categorical", "expr": "c_segment"},
+        {"name": "signup_date", "type": "time", "expr": "c_signup",
+         "type_params": {"time_granularity": "day"}},
+    ],
+    "measures": [{"name": "customer_count", "agg": "count", "expr": "1"}],
+}
+
+LINK_TABLES = {**TABLES, "customers": "t_customers"}
+LINK_MODELS = [ORDERS_SM, PAYMENTS_SM, CUSTOMERS_SM]
+
+
+@pytest.fixture(scope="module")
+def link_views(views):
+    views.createDataFrame(
+        [(10, "A", "2023-05-01"), (20, "B", "2023-06-01"),
+         (30, "C", "2023-07-01")],
+        "c_id int, c_segment string, c_signup string",
+    ).selectExpr("c_id", "c_segment", "CAST(c_signup AS DATE) AS c_signup"
+                 ).createOrReplaceTempView("t_customers")
+    return views
+
+
+def _run_linked(spark, metric_names, **kw):
+    sql = compile_metrics_sql(
+        metric_names, METRICS, LINK_MODELS, LINK_TABLES, **kw)
+    return sql, spark.sql(sql)
+
+
+def test_entity_linked_dimension_group_by(link_views):
+    sql, df = _run_linked(link_views, ["revenue"],
+                          group_by=["customer__segment"])
+    rows = {r["customer__segment"]: r["revenue"] for r in df.collect()}
+    # cust 10: 100+50, cust 20: 200+25, cust 30: 75
+    assert rows == {"A": 150.0, "B": 225.0, "C": 75.0}
+    # the hop is a single LEFT JOIN against a key+dim projection
+    assert sql.count("LEFT JOIN") == 1
+    assert "__ek" in sql
+
+
+def test_entity_linked_dimension_in_filter(link_views):
+    _, df = _run_linked(
+        link_views, ["revenue"], group_by=["status"],
+        where="{{ Dimension('customer__segment') }} = 'B'")
+    rows = {r["status"]: r["revenue"] for r in df.collect()}
+    assert rows == {"F": 200.0, "O": 25.0}
+
+
+def test_entity_linked_time_dimension_with_grain(link_views):
+    _, df = _run_linked(link_views, ["orders"],
+                        group_by=["customer__signup_date__month"])
+    rows = {str(r["customer__signup_date__month"]): r["orders"]
+            for r in df.collect()}
+    assert rows == {"2023-05-01": 2, "2023-06-01": 2, "2023-07-01": 1}
+
+
+def test_entity_linked_mixed_with_local_dims(link_views):
+    _, df = _run_linked(link_views, ["revenue"],
+                        group_by=["customer__segment", "status"])
+    rows = {(r["customer__segment"], r["status"]): r["revenue"]
+            for r in df.collect()}
+    assert rows[("A", "F")] == 100.0
+    assert rows[("B", "O")] == 25.0
+
+
+def test_entity_link_ambiguous_raises(link_views):
+    clone = {**CUSTOMERS_SM, "name": "customers_sm_2",
+             "model": "ref('customers')"}
+    with pytest.raises(MetricQueryError, match="ambiguous entity link"):
+        compile_metrics_sql(
+            ["revenue"], METRICS, LINK_MODELS + [clone], LINK_TABLES,
+            group_by=["customer__segment"])
+
+
+def test_entity_link_non_unique_entity_raises(link_views):
+    weak = {**CUSTOMERS_SM,
+            "entities": [{"name": "customer", "type": "foreign",
+                          "expr": "c_id"}]}
+    with pytest.raises(MetricQueryError, match="not primary/unique"):
+        compile_metrics_sql(
+            ["revenue"], METRICS, [ORDERS_SM, PAYMENTS_SM, weak],
+            LINK_TABLES, group_by=["customer__segment"])
+
+
+def test_entity_link_unknown_dimension_still_local_error(link_views):
+    with pytest.raises(MetricQueryError, match="no dimension or entity"):
+        _run_linked(link_views, ["revenue"], group_by=["customer__bogus"])
+
+
+# --------------------------------------------------------------------------
+# join_to_timespine / fill_nulls_with (MetricInputMeasure,
+# core/dbt/artifacts/resources/v1/metric.py:36-37)
+# --------------------------------------------------------------------------
+
+SPINE_METRICS = METRICS + [
+    {"name": "open_revenue_spine", "type": "simple",
+     "type_params": {"measure": {"name": "order_total",
+                                 "join_to_timespine": True,
+                                 "fill_nulls_with": 0}},
+     "filter": "{{ Dimension('status') }} = 'O'"},
+    {"name": "open_revenue_nullspine", "type": "simple",
+     "type_params": {"measure": {"name": "order_total",
+                                 "join_to_timespine": True}},
+     "filter": "{{ Dimension('status') }} = 'O'"},
+    {"name": "revenue_fill", "type": "simple",
+     "type_params": {"measure": {"name": "order_total",
+                                 "fill_nulls_with": 0}}},
+]
+
+
+def _run_spine(spark, metric_names, **kw):
+    sql = compile_metrics_sql(
+        metric_names, SPINE_METRICS, [ORDERS_SM, PAYMENTS_SM], TABLES, **kw)
+    return sql, spark.sql(sql)
+
+
+def test_timespine_fills_missing_periods(views):
+    # 'O' orders exist in Jan and Mar only; the spine (orders' own range,
+    # Jan..Mar) re-adds Feb, zero-filled
+    _, df = _run_spine(views, ["open_revenue_spine"],
+                       group_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]): r["open_revenue_spine"]
+            for r in df.collect()}
+    assert rows == {"2024-01-01": 50.0, "2024-02-01": 0.0,
+                    "2024-03-01": 25.0}
+
+
+def test_timespine_without_fill_keeps_null(views):
+    _, df = _run_spine(views, ["open_revenue_nullspine"],
+                       group_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]): r["open_revenue_nullspine"]
+            for r in df.collect()}
+    assert rows["2024-02-01"] is None
+    assert rows["2024-01-01"] == 50.0
+
+
+def test_timespine_crosses_non_time_dims(views):
+    # panel shape: every (status × month) cell exists, gaps zero-filled
+    _, df = _run_spine(views, ["open_revenue_spine"],
+                       group_by=["status", "metric_time__month"])
+    rows = {(r["status"], str(r["metric_time__month"])):
+            r["open_revenue_spine"] for r in df.collect()}
+    assert len(rows) == 6  # 2 statuses x 3 months
+    assert rows[("O", "2024-01-01")] == 50.0
+    assert rows[("F", "2024-03-01")] == 0.0
+    assert rows[("O", "2024-02-01")] == 0.0
+
+
+def test_fill_nulls_without_timespine_on_outer_join_miss(views):
+    # April exists only in payments → revenue would be NULL after the
+    # full-outer join; fill_nulls_with coalesces it without a spine
+    _, df = _run_spine(views, ["revenue_fill", "payments"],
+                       group_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]): (r["revenue_fill"], r["payments"])
+            for r in df.collect()}
+    assert rows["2024-04-01"] == (0.0, 5.0)
+    assert rows["2024-03-01"] == (25.0, None)
+
+
+def test_timespine_requires_time_group_by(views):
+    with pytest.raises(MetricQueryError, match="join_to_timespine"):
+        _run_spine(views, ["open_revenue_spine"], group_by=["status"])

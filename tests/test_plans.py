@@ -206,6 +206,15 @@ def test_round4b_curation_plans(spark):
     # each distinct count is its own column-pruned aggregate
     assert "Expand" not in plan
 
+    plan = _formatted(QUERIES["table_profile_approx"](spark, SF_DIR_MED))
+    # HLL++ mode: ONE scan, ONE aggregate pair, no Expand, no joins —
+    # the whole profile is a single pass
+    assert "Expand" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # formatted explain prints each node twice (tree + details):
+    # exactly one scan node ⇒ exactly two "Scan parquet" occurrences
+    assert plan.count("Scan parquet") == 2
+
     plan = _formatted(QUERIES["char_len_histogram"](spark, SF_DIR_MED))
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
