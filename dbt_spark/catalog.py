@@ -9,11 +9,15 @@ write metadata. Relations are exposed to Spark SQL as temp views named
 this is the durable-catalog role the warehouse metastore plays for dbt).
 
 Writes are atomic via staging-dir swap: write to ``<path>.__staging__``, move
-the old dir aside, rename staging into place. At 100 TB the same operator
-semantics map onto Delta/Iceberg ``MERGE``/``replaceWhere`` (per-statement
-transactions, no full rewrite) — this store is the format-agnostic fallback;
-partition-scoped strategies (insert_overwrite, microbatch) already rewrite only
-touched partitions.
+the old dir aside, rename staging into place. The physical write/read path is
+pluggable through the ``TableFormat`` seam (dbt_spark/formats.py): plain file
+formats (parquet default | orc | json | csv) use the staged swap
+(single-writer atomicity, documented there), while the ACID formats
+(delta | iceberg — jar-gated, absent in this container) route the same
+operator semantics onto per-statement transactions (``MERGE`` /
+``replaceWhere``, concurrent-writer safe, time travel). Partition-scoped
+strategies (insert_overwrite, microbatch) already rewrite only touched
+partitions.
 """
 
 from __future__ import annotations
@@ -139,18 +143,12 @@ class RelationStore:
             )
 
     def _read_files(self, rel: Relation) -> DataFrame:
-        """Format-aware scan of a stored relation (file_format meta; schema
-        reconstructed from the persisted JSON for schema-light formats)."""
-        fmt = rel.meta.get("file_format") or "parquet"
-        reader = self.spark.read.format(fmt)
-        schema_json = rel.meta.get("schema_json")
-        if schema_json:
-            from pyspark.sql.types import StructType
+        """Format-aware scan of a stored relation, routed through the
+        TableFormat seam (dbt_spark/formats.py; schema reconstructed from the
+        persisted JSON for schema-light file formats)."""
+        from dbt_spark.formats import table_format
 
-            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
-        if fmt == "csv":
-            reader = reader.option("header", True)
-        return reader.load(rel.path)
+        return table_format(rel.meta.get("file_format")).read(self.spark, rel)
 
     def _ensure_bucketed_table(self, rel: Relation) -> None:
         """Recreate the catalog entry for a bucketed table if this session
@@ -207,13 +205,21 @@ class RelationStore:
         mode: str = "overwrite",
         **meta: Any,
     ) -> Relation:
-        """Full write with atomic swap (overwrite) or file-append (append).
+        """Full write via the TableFormat seam (dbt_spark/formats.py):
+        atomic staged swap (overwrite) or file-append for plain file
+        formats; transactional commit for ACID formats where their runtime
+        is present.
 
-        ``file_format`` meta (parquet default | orc | json | csv) and a
-        ``location`` override mirror the dbt-spark adapter's ``file_format``
-        / ``location_root`` model configs; non-parquet formats persist their
-        schema JSON in relation meta so reads reconstruct exact types."""
+        ``file_format`` meta (parquet default | orc | json | csv, plus
+        jar-gated delta | iceberg) and a ``location`` override mirror the
+        dbt-spark adapter's ``file_format`` / ``location_root`` model
+        configs; schema-light file formats persist their schema JSON in
+        relation meta so reads reconstruct exact types."""
+        from dbt_spark.formats import table_format
+
         fmt = (meta.get("file_format") or "parquet").lower()
+        fmt_obj = table_format(fmt)
+        fmt_obj.require(self.spark)
         path = meta.pop("location", None) or self.path_for(schema, name)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         partition_by = list(partition_by or [])
@@ -221,24 +227,15 @@ class RelationStore:
             meta.pop("file_format", None)
         else:
             meta["file_format"] = fmt
-            meta["schema_json"] = df.schema.json()
-
-        def _configure(writer):
-            writer = writer.format(fmt)
-            if fmt == "csv":
-                writer = writer.option("header", True)
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-            return writer
+            if not fmt_obj.acid:  # ACID formats are schema-self-describing
+                meta["schema_json"] = df.schema.json()
 
         if mode == "append" and os.path.exists(path):
             if fmt == "csv":
                 self._check_csv_append_schema(schema, name, df)
-            _configure(df.write.mode("append")).save(path)
+            fmt_obj.write_append(df, path, partition_by)
         else:
-            staging = f"{path}.__staging__{int(time.time() * 1000)}"
-            _configure(df.write.mode("overwrite")).save(staging)
-            self._swap(path, staging)
+            fmt_obj.write_overwrite(df, path, partition_by, swap=self._swap)
         rel = Relation(schema=schema, name=name, kind=kind, path=path,
                        partition_by=partition_by, meta=meta)
         with self._lock:

@@ -44,6 +44,9 @@ class ExecutionContext:
     # --warn-error-options: per-event-name promotion/silencing
     # (core/dbt/cli/params.py:749; dbt_spark.events.WarnErrorOptions)
     warn_error_options: Optional[Any] = None
+    # invocation EventBus, when the caller wires one in — operators use it
+    # for warn-level structured events (e.g. MV configuration drift)
+    events: Optional[Any] = None
 
     @property
     def weo(self) -> Any:
@@ -575,15 +578,41 @@ def materialize_ephemeral(ctx: ExecutionContext, node: ManifestNode) -> None:
     return None
 
 
+def _mv_config_sig(node: ManifestNode) -> str:
+    """Deterministic signature of the MV-relevant physical configuration
+    (the knobs this materialization honors): partition_by, file_format,
+    location_root, sort_by, zorder_by. Stored in relation meta so the next
+    run can detect configuration drift independently of the SQL body."""
+    import json
+
+    partition_by = node.config.partition_by
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    meta = node.config.meta
+    return json.dumps({
+        "partition_by": partition_by,
+        "file_format": meta.get("file_format"),
+        "location_root": meta.get("location_root"),
+        "sort_by": meta.get("sort_by"),
+        "zorder_by": meta.get("zorder_by"),
+    }, sort_keys=True)
+
+
 def materialize_materialized_view(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     """Materialized view = table + recorded defining query, refreshed per run.
 
     Spark has no native MV (documented deviation, SURVEY §2A materialized_view
     row); the reference's ``on_configuration_change: apply|continue|fail``
-    (core/dbt/artifacts/resources/v1/config.py:110-112) governs what happens
-    when the stored definition differs from the newly compiled one:
-    apply = adopt the new definition, continue = keep refreshing the stored
-    one, fail = error out.
+    (core/dbt/artifacts/resources/v1/config.py:110-112) governs drift between
+    the stored relation and the newly compiled node, in two layers mirroring
+    the adapter materialization:
+
+    - SQL definition drift: apply = adopt the new definition,
+      continue = keep refreshing the stored one, fail = error out;
+    - configuration drift with an UNCHANGED definition (partition/layout/
+      format knobs — detected via a stored config signature): apply =
+      rebuild under the new configuration, continue = warn (MVConfigDrift
+      event) and leave the relation untouched this run, fail = error out.
     """
     from dbt_spark.operators.contracts import enforce_constraints, enforce_contract
 
@@ -591,13 +620,13 @@ def materialize_materialized_view(ctx: ExecutionContext, node: ManifestNode) -> 
     sql = compile_sql(ctx, node)
     node.compiled_code = sql
     existing = ctx.store.get(ctx.schema_for(node), ctx.name_for(node))
+    change = node.config.on_configuration_change
     if (
         existing is not None
         and existing.meta.get("defined_as")
         and existing.meta["defined_as"] != sql
         and not ctx.full_refresh
     ):
-        change = node.config.on_configuration_change
         if change == "fail":
             raise RuntimeError(
                 f"{node.unique_id}: materialized view definition changed and "
@@ -605,11 +634,38 @@ def materialize_materialized_view(ctx: ExecutionContext, node: ManifestNode) -> 
             )
         if change == "continue":
             sql = existing.meta["defined_as"]  # refresh the stored definition
+    cfg_sig = _mv_config_sig(node)
+    if (
+        existing is not None
+        and not ctx.full_refresh
+        and existing.meta.get("defined_as") == sql
+        and existing.meta.get("config_sig") is not None
+        and existing.meta["config_sig"] != cfg_sig
+    ):
+        # configuration drift (same SQL, different physical knobs)
+        if change == "fail":
+            raise RuntimeError(
+                f"{node.unique_id}: materialized view configuration changed "
+                "and on_configuration_change=fail"
+            )
+        if change == "continue":
+            # warn + skip: the stored relation keeps its existing layout;
+            # the new configuration is NOT applied this run
+            if getattr(ctx, "events", None) is not None:
+                ctx.events.fire(
+                    "MVConfigDrift", level="warn", node_id=node.unique_id,
+                    msg=(f"{node.unique_id}: configuration changed but "
+                         "on_configuration_change=continue — not applied"),
+                )
+            ctx.store.register(existing)
+            return existing
+        # apply: fall through to a rebuild under the new configuration
     fp = _upstream_fingerprint(ctx, node)
     if (
         existing is not None
         and not ctx.full_refresh
         and existing.meta.get("defined_as") == sql
+        and existing.meta.get("config_sig", cfg_sig) == cfg_sig
         and existing.meta.get("upstream_fingerprint") == fp
         and fp is not None
     ):
@@ -634,6 +690,8 @@ def materialize_materialized_view(ctx: ExecutionContext, node: ManifestNode) -> 
         partition_by=partition_by,
         defined_as=sql,
         upstream_fingerprint=fp,
+        config_sig=cfg_sig,
+        **storage_options(node),
     )
 
 

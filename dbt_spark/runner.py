@@ -607,6 +607,7 @@ class Engine:
             include_saved_query=include_saved_query,
             favor_state=favor_state,
             selected=set(runnable),
+            events=self.events,
         )
         if store_failures:
             # --store-failures: flag-level override of the per-test config

@@ -441,6 +441,54 @@ def test_materialized_view_on_configuration_change(project_dir, spark):
     assert [r["id"] for r in eng.store.read("main", "mv1").collect()] == [2]
 
 
+def test_materialized_view_config_drift_matrix(project_dir, spark):
+    """on_configuration_change on CONFIG drift with an unchanged definition
+    (v1/config.py:110-112): apply = rebuild under the new physical config,
+    continue = warn (MVConfigDrift event) + leave the relation untouched,
+    fail = error. Drift is detected via the stored config signature."""
+    body = (
+        "{{{{ config(materialized='materialized_view', "
+        "on_configuration_change='{occ}'{extra}) }}}} "
+        "select 1 as id, 'a' as cat"
+    )
+    pdir = project_dir({
+        "dbt_project.yml": "name: mvc\n",
+        "models/mv2.sql": body.format(occ="apply", extra=""),
+    })
+    eng = Engine(pdir, spark=spark)
+    assert eng.invoke(["run"]).success
+    sig0 = eng.store.get("main", "mv2").meta["config_sig"]
+    assert '"partition_by": null' in sig0
+
+    def rewrite(occ: str) -> None:
+        with open(os.path.join(pdir, "models", "mv2.sql"), "w") as f:
+            f.write(body.format(occ=occ, extra=", partition_by='cat'"))
+
+    # continue: drift detected but NOT applied; run succeeds; warn event fires
+    rewrite("continue")
+    e2 = Engine(pdir, spark=spark)
+    seen: list = []
+    e2.events.callbacks.append(seen.append)
+    assert e2.invoke(["run"]).success
+    assert e2.store.get("main", "mv2").meta["config_sig"] == sig0
+    drift = [ev for ev in seen if ev.name == "MVConfigDrift"]
+    assert drift and drift[0].level == "warn"
+
+    # fail: config drift is an error
+    rewrite("fail")
+    r = Engine(pdir, spark=spark).invoke(["run"])
+    assert not r.success
+    assert "configuration changed" in r.results[-1].message
+
+    # apply: rebuilt under the new configuration
+    rewrite("apply")
+    e3 = Engine(pdir, spark=spark)
+    assert e3.invoke(["run"]).success
+    sig1 = e3.store.get("main", "mv2").meta["config_sig"]
+    assert sig1 != sig0 and '"partition_by": ["cat"]' in sig1
+    assert [r["id"] for r in e3.store.read("main", "mv2").collect()] == [1]
+
+
 def test_column_constraints_enforced(project_dir, spark):
     """Column-level not_null/check constraints enforced with one distributed
     aggregate (ColumnLevelConstraint, v1/components.py:10); pk/fk/unique are
