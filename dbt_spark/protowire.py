@@ -12,8 +12,14 @@ message name, field names/numbers/types → wire-compatible with the published
 schema: a pipeline deserializing with dbt's generated classes reads these
 bytes), and the EventBus appends each event length-delimited (varint-prefixed,
 the ``writeDelimitedTo`` framing) to ``<log>.pb`` beside the JSON lines.
-Absent protobuf (this container), the JSON path is the only emitter — same
-events, different encoding, no behavioral difference.
+
+Absent protobuf (this container), a pure-Python encoder takes over: the
+proto3 wire format for this message needs only varints and length-delimited
+fields (strings, one int32, one nested Timestamp), all specified publicly
+(protobuf.dev/programming-guides/encoding). ``_encode_pure`` emits fields in
+ascending number order and skips default values — byte-identical to the
+canonical protobuf serialization of the same message — so the .pb stream is
+wire-compatible with dbt's generated classes either way.
 """
 
 from __future__ import annotations
@@ -89,10 +95,121 @@ def core_event_info_class():
     return cls
 
 
+# -- pure-Python proto3 wire fallback ---------------------------------------
+# CoreEventInfo uses only two wire types: VARINT (0) for int32 pid and the
+# Timestamp's seconds/nanos, and LEN (2) for strings + the nested Timestamp.
+
+_STRING_FIELDS = [  # (field number, info key) in ascending number order
+    (1, "name"), (2, "code"), (3, "msg"), (4, "level"),
+    (5, "invocation_id"), (7, "thread"), (10, "category"),
+]
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _ts_parts(ts: str) -> tuple[int, int]:
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(str(ts).replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    epoch = dt.timestamp()
+    seconds = int(epoch // 1)
+    # protobuf Timestamp nanos from the datetime's microseconds (exact;
+    # timestamp() floats would wobble the last digits)
+    return int(dt.replace(microsecond=0).timestamp()), dt.microsecond * 1000
+
+
+def _encode_pure(info: dict) -> bytes:
+    parts: list[bytes] = []
+    by_num: dict[int, bytes] = {}
+    for num, key in _STRING_FIELDS:
+        val = str(info.get(key, "") or "")
+        if val:  # proto3 canonical: skip default (empty) values
+            raw = val.encode("utf-8")
+            by_num[num] = _varint(num << 3 | 2) + _varint(len(raw)) + raw
+    pid = int(info.get("pid", 0) or 0)
+    if pid:
+        by_num[6] = _varint(6 << 3 | 0) + _varint(pid)
+    ts = info.get("ts")
+    if ts:
+        seconds, nanos = _ts_parts(str(ts))
+        nested = b""
+        if seconds:
+            nested += _varint(1 << 3 | 0) + _varint(seconds)
+        if nanos:
+            nested += _varint(2 << 3 | 0) + _varint(nanos)
+        by_num[8] = _varint(8 << 3 | 2) + _varint(len(nested)) + nested
+    for num in sorted(by_num):
+        parts.append(by_num[num])
+    return b"".join(parts)
+
+
+def _decode_pure(data: bytes) -> dict:
+    from datetime import datetime, timezone
+
+    names = {num: key for num, key in _STRING_FIELDS}
+    out: dict = {key: "" for _, key in _STRING_FIELDS}
+    out["pid"] = 0
+    pos = 0
+    while pos < len(data):
+        tag, pos = _read_varint(data, pos)
+        num, wt = tag >> 3, tag & 7
+        if wt == 0:
+            val, pos = _read_varint(data, pos)
+            if num == 6:
+                out["pid"] = val
+        elif wt == 2:
+            size, pos = _read_varint(data, pos)
+            raw = data[pos:pos + size]
+            pos += size
+            if num in names:
+                out[names[num]] = raw.decode("utf-8")
+            elif num == 8:
+                seconds = nanos = 0
+                p = 0
+                while p < len(raw):
+                    t2, p = _read_varint(raw, p)
+                    v2, p = _read_varint(raw, p)
+                    if t2 >> 3 == 1:
+                        seconds = v2
+                    elif t2 >> 3 == 2:
+                        nanos = v2
+                out["ts"] = datetime.fromtimestamp(
+                    seconds, tz=timezone.utc
+                ).replace(microsecond=nanos // 1000, tzinfo=None).isoformat()
+        else:  # pragma: no cover - CoreEventInfo never emits other wire types
+            raise ValueError(f"unsupported wire type {wt} (field {num})")
+    return out
+
+
 def encode_event_info(info: dict) -> bytes:
     """dict (the JSON line's ``info`` object) → CoreEventInfo wire bytes."""
     from datetime import datetime
 
+    if not have_protobuf():
+        return _encode_pure(info)
     cls = core_event_info_class()
     m = cls()
     for k in ("name", "code", "msg", "level", "invocation_id", "thread",
@@ -107,6 +224,8 @@ def encode_event_info(info: dict) -> bytes:
 
 def decode_event_info(data: bytes) -> dict:
     """Wire bytes → dict (round-trip check / consumer convenience)."""
+    if not have_protobuf():
+        return _decode_pure(data)
     cls = core_event_info_class()
     m = cls()
     m.ParseFromString(data)
@@ -121,16 +240,14 @@ def decode_event_info(data: bytes) -> dict:
 
 
 def delimited_writer(path: str) -> Optional[Callable[[dict], None]]:
-    """Returns an append-one-event callable (varint-length-delimited framing),
-    or None when protobuf is unavailable."""
-    if not have_protobuf():
-        return None
-    from google.protobuf.internal import encoder
+    """Returns an append-one-event callable (varint-length-delimited
+    framing). Routes through google.protobuf when importable, else the
+    pure-Python wire encoder — same bytes either way."""
 
     def write(info: dict) -> None:
         payload = encode_event_info(info)
         with open(path, "ab") as f:
-            f.write(encoder._VarintBytes(len(payload)))
+            f.write(_varint(len(payload)))
             f.write(payload)
 
     return write
@@ -138,14 +255,12 @@ def delimited_writer(path: str) -> Optional[Callable[[dict], None]]:
 
 def read_delimited(path: str) -> "list[dict]":
     """Read back all length-delimited CoreEventInfo messages from a .pb log."""
-    from google.protobuf.internal import decoder
-
     out = []
     with open(path, "rb") as f:
         buf = f.read()
     pos = 0
     while pos < len(buf):
-        size, pos = decoder._DecodeVarint(buf, pos)
+        size, pos = _read_varint(buf, pos)
         out.append(decode_event_info(buf[pos:pos + size]))
         pos += size
     return out

@@ -834,3 +834,162 @@ def test_differential_struct_exprs(spark, seed):
     want = con.sql(duck_sql).df()
     assert sorted(got.columns) == sorted(want.columns), spark_sql
     assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
+
+
+# --------------------------------------------------------------------------
+# Time-zone / DST family. Probed agreements (both engines ship IANA tzdata):
+# UTC→local conversion (Spark from_utc_timestamp == DuckDB naive AT TIME
+# ZONE 'UTC' AT TIME ZONE z), hour/date_trunc of the converted value,
+# local→UTC for UNAMBIGUOUS local times, and epoch seconds — across DST
+# start/end in both hemispheres and a half-hour-offset zone.
+# Legitimate divergence (pinned in test_dst_overlap_divergence_pinned, kept
+# OUT of the random family): a local time inside the DST fall-back overlap
+# maps to two instants — Spark to_utc_timestamp picks the EARLIER (DST)
+# offset, DuckDB AT TIME ZONE the LATER (standard) one.
+# --------------------------------------------------------------------------
+
+_TZ_ZONES = ["America/New_York", "Europe/Berlin", "Australia/Sydney",
+             "Asia/Kolkata", "UTC"]
+# UTC anchors that place the generated 0-96h window across a DST transition
+_TZ_ANCHORS = [
+    "2021-03-13 12:00:00",  # US spring-forward (Mar 14)
+    "2021-11-06 12:00:00",  # US fall-back (Nov 7)
+    "2021-03-27 12:00:00",  # EU spring-forward (Mar 28)
+    "2021-10-30 12:00:00",  # EU fall-back (Oct 31)
+    "2021-04-03 12:00:00",  # AU fall-back (Apr 4, southern hemisphere)
+    "2021-10-02 12:00:00",  # AU spring-forward (Oct 3)
+]
+
+
+def _gen_tz_pair(seed: int) -> tuple[str, str]:
+    rng = random.Random(130_000 + _OFF + seed)
+    z = rng.choice(_TZ_ZONES)
+    anchor = rng.choice(_TZ_ANCHORS)
+    span = rng.randrange(48, 97)  # hours; crosses the transition
+    k = rng.randrange(100, 400)
+    base = (f"SELECT o_orderkey, TIMESTAMP '{anchor}' "
+            f"+ make_interval(0, 0, 0, 0, CAST(o_orderkey % {span} AS INT), 0, 0) AS ts "
+            f"FROM orders WHERE o_orderkey < {k}")
+    d_base = (f"SELECT o_orderkey, TIMESTAMP '{anchor}' "
+              f"+ to_hours(o_orderkey % {span}) AS ts "
+              f"FROM orders WHERE o_orderkey < {k}")
+    # local = utc→zone; noon = an always-unambiguous local instant
+    # (transitions in the chosen zones happen 01:00-04:00 local)
+    s_cols = (
+        f"CAST(from_utc_timestamp(ts, '{z}') AS TIMESTAMP) AS lcl, "
+        f"CAST(hour(from_utc_timestamp(ts, '{z}')) AS BIGINT) AS h, "
+        f"CAST(date_trunc('DAY', from_utc_timestamp(ts, '{z}')) AS TIMESTAMP) AS ld, "
+        f"CAST(unix_timestamp(ts) AS BIGINT) AS ep, "
+        f"CAST(to_utc_timestamp(date_trunc('DAY', from_utc_timestamp(ts, '{z}')) "
+        f"+ INTERVAL 12 HOURS, '{z}') AS TIMESTAMP) AS noon_utc"
+    )
+    d_cols = (
+        f"CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE '{z}' AS TIMESTAMP) AS lcl, "
+        f"CAST(hour(ts AT TIME ZONE 'UTC' AT TIME ZONE '{z}') AS BIGINT) AS h, "
+        f"CAST(date_trunc('day', ts AT TIME ZONE 'UTC' AT TIME ZONE '{z}') AS TIMESTAMP) AS ld, "
+        f"CAST(epoch(ts) AS BIGINT) AS ep, "
+        f"CAST((date_trunc('day', ts AT TIME ZONE 'UTC' AT TIME ZONE '{z}') "
+        f"+ INTERVAL '12' HOUR) AT TIME ZONE '{z}' AT TIME ZONE 'UTC' AS TIMESTAMP) AS noon_utc"
+    )
+    return (f"SELECT o_orderkey, {s_cols} FROM ({base})",
+            f"SELECT o_orderkey, {d_cols} FROM ({d_base})")
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_timezone_dst(spark, seed):
+    load_tables(spark, SF_DIR, "orders")
+    spark_sql, duck_sql = _gen_tz_pair(seed)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'orders.parquet')}'"
+    )
+    got = spark.sql(spark_sql).toPandas()
+    want = con.sql(duck_sql).df()
+    assert sorted(got.columns) == sorted(want.columns), spark_sql
+    assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
+
+
+def test_dst_overlap_divergence_pinned(spark):
+    """The fall-back overlap hour has TWO valid UTC instants; the engines
+    legitimately pick different ones (Spark: earlier/DST offset; DuckDB:
+    later/standard offset). Pin both so a silent behavior change in either
+    engine — or in this engine's future timestamp handling — surfaces."""
+    t = "2021-11-07 01:30:00"  # America/New_York reads this twice
+    s = spark.sql(
+        f"SELECT CAST(to_utc_timestamp(TIMESTAMP '{t}', "
+        "'America/New_York') AS TIMESTAMP) AS c").collect()[0]
+    con = duckdb.connect()
+    d = con.sql(
+        f"SELECT CAST(TIMESTAMP '{t}' AT TIME ZONE 'America/New_York' "
+        "AT TIME ZONE 'UTC' AS TIMESTAMP) AS c").df().iloc[0]
+    assert str(s.c) == "2021-11-07 05:30:00"       # EDT (-04:00)
+    assert str(d.c.to_pydatetime()) == "2021-11-07 06:30:00"  # EST (-05:00)
+
+
+# --------------------------------------------------------------------------
+# Unicode / collation family. Probed agreements: both engines compare and
+# min/max strings by UTF-8 BINARY order (Spark UTF8_BINARY default collation,
+# DuckDB memcmp), count length in CODEPOINTS (astral emoji = 1), and agree
+# on substring/instr/lpad/rpad/reverse/concat over non-ASCII including
+# surrogate-pair characters. Legitimate divergence (kept OUT of the random
+# family, pinned below): full vs simple Unicode case mapping — Spark (Java)
+# expands ß→SS / ﬁ→FI / ŉ→ʼN and lowers İ with a combining dot; DuckDB maps
+# 1:1 (ß→ẞ, ﬁ→ﬁ). The random family uses case-safe alphabets for
+# upper/lower and the full alphabet (divergent chars included) for binary
+# comparison ops.
+# --------------------------------------------------------------------------
+
+_U_SAFE = ["a", "A", "z", "Z", "ä", "Ä", "é", "ñ", "ü", "Ωmega", "ωmega",
+           "Ábc", "ábc", "naïve", "ı"]
+_U_BINARY_ONLY = ["ß", "ẞ", "İ", "ﬁ", "ŉ", "maße", "MASSE", "中文字",
+                  "日本語", "한국어", "😀😁x", "😀", "éé"]
+
+
+def _gen_collation_pair(seed: int) -> tuple[str, str]:
+    rng = random.Random(140_000 + _OFF + seed)
+    pool = _U_SAFE + _U_BINARY_ONLY
+    vals = rng.sample(pool, rng.randrange(6, min(14, len(pool))))
+    case_vals = [v for v in vals if v in _U_SAFE] or [rng.choice(_U_SAFE)]
+    vs = ", ".join(f"('{v}')" for v in vals)
+    cs = ", ".join(f"('{v}')" for v in case_vals)
+    pivot = rng.choice(["m", "z", "Ä", "中", "é"])
+    common = (
+        "SELECT CAST(min(s) AS {st}) AS mn, CAST(max(s) AS {st}) AS mx, "
+        "CAST(sum(CASE WHEN s < '" + pivot + "' THEN 1 ELSE 0 END) AS BIGINT) AS n_lt, "
+        "CAST(sum(length(s)) AS BIGINT) AS total_cp, "
+        "CAST(max(substring(s, 1, 2)) AS {st}) AS mx_pre, "
+        "CAST(min(reverse(s)) AS {st}) AS mn_rev "
+        "FROM (VALUES " + vs + ") AS t(s)"
+    )
+    case_q = (
+        "SELECT CAST(min(upper(s)) AS {st}) AS mn_up, "
+        "CAST(max(lower(s)) AS {st}) AS mx_lo "
+        "FROM (VALUES " + cs + ") AS t(s)"
+    )
+    s_sql = (f"SELECT * FROM ({common.format(st='STRING')}) "
+             f"CROSS JOIN ({case_q.format(st='STRING')})")
+    d_sql = (f"SELECT * FROM ({common.format(st='VARCHAR')}) "
+             f"CROSS JOIN ({case_q.format(st='VARCHAR')})")
+    return s_sql, d_sql
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_unicode_collation(spark, seed):
+    spark_sql, duck_sql = _gen_collation_pair(seed)
+    con = duckdb.connect()
+    got = spark.sql(spark_sql).toPandas()
+    want = con.sql(duck_sql).df()
+    assert sorted(got.columns) == sorted(want.columns), spark_sql
+    assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
+
+
+def test_unicode_case_mapping_divergence_pinned(spark):
+    """Full (Spark/Java) vs simple (DuckDB) Unicode case mapping — the
+    dialect divergence the collation family must exclude; pin it."""
+    s = spark.sql("SELECT upper('ß') a, upper('ﬁ') b, lower('İ') c").collect()[0]
+    con = duckdb.connect()
+    d = con.sql("SELECT upper('ß') a, upper('ﬁ') b, lower('İ') c").df().iloc[0]
+    assert (s.a, s.b) == ("SS", "FI")      # full mapping expands
+    assert (d.a, d.b) == ("ẞ", "ﬁ")        # simple mapping is 1:1
+    assert s.c != d.c                       # İ lowers with/without combining dot

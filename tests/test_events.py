@@ -245,13 +245,12 @@ def _has_protobuf() -> bool:
         return False
 
 
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="protobuf wire mirror is import-gated (absent in this container)")
 def test_protobuf_wire_roundtrip(project_dir, spark):
-    """With google.protobuf present the bus also writes length-delimited
-    CoreEventInfo messages (wire-compatible field numbers/types with
-    core/dbt/events/core_types.proto:9-20) to dbt.log.pb; round-trip one."""
+    """The bus writes length-delimited CoreEventInfo messages
+    (wire-compatible field numbers/types with
+    core/dbt/events/core_types.proto:9-20) to dbt.log.pb — via
+    google.protobuf when importable, else the vendored pure-Python wire
+    encoder (same bytes); round-trip one."""
     from dbt_spark.protowire import read_delimited
 
     root = project_dir({
@@ -271,13 +270,91 @@ def test_protobuf_wire_roundtrip(project_dir, spark):
     assert by_name["NodeFinished"]["code"] == "Q025"
 
 
-def test_protowire_gates_cleanly_without_protobuf(tmp_path):
-    """Without protobuf the bus still works and writes no .pb file."""
-    from dbt_spark.protowire import delimited_writer, have_protobuf
+def test_protowire_writes_pb_with_or_without_protobuf(tmp_path):
+    """The wire mirror no longer gates on google.protobuf: the pure-Python
+    encoder takes over when the library is absent, so the .pb stream is
+    always produced beside the JSON lines."""
+    from dbt_spark.protowire import read_delimited
 
     bus = EventBus(str(tmp_path / "logs" / "x.jsonl"))
     bus.fire("NodeStart", node_id="model.p.m")
-    pb_exists = os.path.exists(str(tmp_path / "logs" / "x.pb"))
-    assert pb_exists == have_protobuf()
-    assert (delimited_writer(str(tmp_path / "y.pb")) is None) == (
-        not have_protobuf())
+    pb_path = str(tmp_path / "logs" / "x.pb")
+    assert os.path.exists(pb_path)
+    msgs = read_delimited(pb_path)
+    assert len(msgs) == 1 and msgs[0]["name"] == "NodeStart"
+    assert msgs[0]["code"] == "Q024"
+    assert msgs[0]["invocation_id"] == bus.invocation_id
+
+
+def test_pure_wire_encoder_roundtrip_and_layout():
+    """The pure-Python proto3 encoder: byte-level layout checks derived from
+    the public wire spec (field 1 string → tag 0x0A, field 6 varint → tag
+    0x30, field 8 nested Timestamp → tag 0x42), default-value skipping, and
+    full round-trip through the pure decoder."""
+    from dbt_spark.protowire import _decode_pure, _encode_pure
+
+    info = {
+        "name": "MainReportVersion", "code": "A001", "msg": "hi",
+        "level": "info", "invocation_id": "abc-123", "pid": 77,
+        "thread": "MainThread", "ts": "2026-01-02T03:04:05.123456+00:00",
+        "category": "",
+    }
+    data = _encode_pure(info)
+    # field 1 (name, LEN): tag byte = (1<<3)|2 = 0x0A, then length, then utf8
+    assert data[0] == 0x0A and data[1] == len("MainReportVersion")
+    assert data[2:2 + data[1]] == b"MainReportVersion"
+    # structural walk of the top-level fields: numbers, wire types, order
+    from dbt_spark.protowire import _read_varint
+
+    seen = []
+    pos = 0
+    while pos < len(data):
+        tag, pos = _read_varint(data, pos)
+        num, wt = tag >> 3, tag & 7
+        seen.append((num, wt))
+        if wt == 0:
+            val, pos = _read_varint(data, pos)
+            if num == 6:
+                assert val == 77  # pid as varint
+        else:
+            assert wt == 2
+            size, pos = _read_varint(data, pos)
+            pos += size
+    # ascending field order; pid=6 varint; ts=8 nested LEN;
+    # category (10) absent because empty (proto3 default skipping)
+    assert seen == [(1, 2), (2, 2), (3, 2), (4, 2), (5, 2), (6, 0),
+                    (7, 2), (8, 2)]
+
+    back = _decode_pure(data)
+    for k in ("name", "code", "msg", "level", "invocation_id", "thread"):
+        assert back[k] == info[k], k
+    assert back["pid"] == 77
+    assert back["ts"] == "2026-01-02T03:04:05.123456"
+    assert back["category"] == ""
+
+
+def test_pure_wire_encoder_varint_boundaries():
+    from dbt_spark.protowire import _read_varint, _varint
+
+    for n in (0, 1, 127, 128, 300, 2**21 - 1, 2**35 + 7):
+        buf = _varint(n)
+        val, pos = _read_varint(buf, 0)
+        assert val == n and pos == len(buf)
+    assert _varint(127) == b"\x7f" and _varint(128) == b"\x80\x01"
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="cross-check against google.protobuf runs where it is installed")
+def test_pure_wire_encoder_matches_protobuf_bytes():
+    """Where google.protobuf IS available, the pure encoder must produce
+    byte-identical canonical serialization (ascending field order, defaults
+    skipped) for the same event info."""
+    from dbt_spark import protowire
+
+    info = {
+        "name": "NodeStart", "code": "Q024", "msg": "", "level": "debug",
+        "invocation_id": "iv", "pid": 4242, "thread": "Thread-7",
+        "ts": "2026-03-04T05:06:07.000008+00:00", "category": "",
+    }
+    assert protowire._encode_pure(info) == protowire.encode_event_info(info)
