@@ -18,7 +18,9 @@ actually runnable here:
   a ``__grain`` suffix on a time dimension becomes ``date_trunc``;
 - metric types: simple, ratio (num/den with NULLIF), derived (expr over
   input metric aliases), conversion (entity-keyed base→conversion semi-join
-  within an optional window; conversions | conversion_rate calculations),
+  within an optional window; conversions | conversion_rate calculations;
+  base and conversion measures may live on DIFFERENT semantic models that
+  share the entity — each side resolves its own entity/time exprs),
   derived offset_window inputs (period-over-period: the input re-aggregates
   into time buckets shifted forward by the offset),
   cumulative with grain_to_date resets (MTD/YTD) (post-aggregate running window over the
@@ -536,51 +538,61 @@ def compile_metrics_sql(
             raise MetricQueryError(
                 f"conversion metric {cname}: base/conversion measure has no "
                 "semantic model")
-        if conv_owner is not owner:
-            raise MetricQueryError(
-                f"conversion metric {cname}: base and conversion measures "
-                "must live on the same semantic model (cross-model "
-                "conversion requires entity resolution across models)")
-        for mm in (base_m, conv_m):
-            if owner.measures[mm].get("agg", "sum") != "count":
+        for side_owner, mm in ((owner, base_m), (conv_owner, conv_m)):
+            if side_owner.measures[mm].get("agg", "sum") != "count":
                 raise MetricQueryError(
                     f"conversion metric {cname}: measure {mm!r} must use "
                     "agg: count (conversion counts base events)")
         table = table_for_model.get(owner.ref_name())
-        if table is None:
+        conv_table = table_for_model.get(conv_owner.ref_name())
+        if table is None or conv_table is None:
             raise MetricQueryError(
-                f"no table registered for model {owner.ref_name()!r}")
+                f"no table registered for model {owner.ref_name()!r} / "
+                f"{conv_owner.ref_name()!r}")
+        # the conversion entity must exist on BOTH sides (cross-model
+        # conversion resolves it per model — each side joins through its own
+        # entity expr, MetricFlow's entity-equality semantics)
         ent_name = ctp.get("entity") or owner.primary_entity
         ent = owner.entities.get(ent_name) if ent_name else None
-        if ent is None:
+        conv_ent = conv_owner.entities.get(ent_name) if ent_name else None
+        if ent is None or conv_ent is None:
             raise MetricQueryError(
                 f"conversion metric {cname}: entity {ent_name!r} not found "
-                f"on semantic model {owner.name}")
+                f"on semantic model(s) "
+                f"{owner.name if ent is None else ''}"
+                f"{' / ' if ent is None and conv_ent is None else ''}"
+                f"{conv_owner.name if conv_ent is None else ''}")
         ent_expr = ent.get("expr") or ent["name"]
+        conv_ent_expr = conv_ent.get("expr") or conv_ent["name"]
         lmc = _LinkedModel(owner, models, table_for_model)
+        lmc_conv = (lmc if conv_owner is owner
+                    else _LinkedModel(conv_owner, models, table_for_model))
 
-        def _time_expr(measure_name: str) -> str:
-            meas = owner.measures[measure_name]
-            td = meas.get("agg_time_dimension") or owner.agg_time_dimension
+        def _time_expr(side_owner: _Model, measure_name: str) -> str:
+            meas = side_owner.measures[measure_name]
+            td = (meas.get("agg_time_dimension")
+                  or side_owner.agg_time_dimension)
             if not td:
                 raise MetricQueryError(
                     f"conversion metric {cname}: measure {measure_name!r} "
                     "has no agg_time_dimension")
-            dim = owner.dimensions.get(td)
+            dim = side_owner.dimensions.get(td)
             return (dim.get("expr") or td) if dim else td
 
-        def _row_conds(measure_name: str, extra: Optional[str],
-                       with_metric_filter: bool) -> list[str]:
-            meas = owner.measures[measure_name]
+        def _row_conds(side_owner: _Model, resolver: Any,
+                       measure_name: str, extra: Optional[str],
+                       with_metric_filter: bool,
+                       with_where: bool) -> list[str]:
+            meas = side_owner.measures[measure_name]
             conds = []
             if meas.get("filter"):
-                conds.append(_render_filter(str(meas["filter"]), lmc))
+                conds.append(_render_filter(str(meas["filter"]), resolver))
             if extra:
-                conds.append(_render_filter(str(extra), lmc))
+                conds.append(_render_filter(str(extra), resolver))
             if with_metric_filter and mfilter:
-                conds.append(_render_filter(str(mfilter), lmc))
-            if where:
-                conds.append(_render_filter(where, lmc))
+                conds.append(_render_filter(str(mfilter), resolver))
+            if with_where and where:
+                conds.append(_render_filter(where, resolver))
             return conds
 
         keys_sel, keys = [], []
@@ -591,8 +603,13 @@ def compile_metrics_sql(
         if not key_aliases:
             key_aliases = keys
         s = _sanitize(cname)
-        base_conds = _row_conds(base_m, base_f, with_metric_filter=True)
-        conv_conds = _row_conds(conv_m, conv_f, with_metric_filter=False)
+        base_conds = _row_conds(owner, lmc, base_m, base_f,
+                                with_metric_filter=True, with_where=True)
+        # the query-level `where` references the BASE model's dims; apply it
+        # on the conversion side only when both measures share the model
+        conv_conds = _row_conds(conv_owner, lmc_conv, conv_m, conv_f,
+                                with_metric_filter=False,
+                                with_where=conv_owner is owner)
         bw = " AND ".join(f"({c})" for c in base_conds)
         cw = " AND ".join(f"({c})" for c in conv_conds)
         win_pred = ""
@@ -600,8 +617,11 @@ def compile_metrics_sql(
             num, unit = str(ctp["window"]).split()
             win_pred = (f" AND c.__t <= b.__t + INTERVAL {int(num)} "
                         f"{unit.rstrip('s').upper()}")
-        cols_b = keys_sel + [f"{ent_expr} AS __e", f"{_time_expr(base_m)} AS __t"]
+        cols_b = keys_sel + [
+            f"{ent_expr} AS __e", f"{_time_expr(owner, base_m)} AS __t"]
         from_b = lmc.joined_from(table)
+        from_c = (from_b if conv_owner is owner
+                  else lmc_conv.joined_from(conv_table))
         aux_ctes.append((
             f"__cvb_{s}",
             f"SELECT {', '.join(cols_b)} FROM {from_b}"
@@ -609,8 +629,9 @@ def compile_metrics_sql(
         ))
         aux_ctes.append((
             f"__cvc_{s}",
-            f"SELECT {ent_expr} AS __e, {_time_expr(conv_m)} AS __t "
-            f"FROM {from_b}" + (f" WHERE {cw}" if cw else ""),
+            f"SELECT {conv_ent_expr} AS __e, "
+            f"{_time_expr(conv_owner, conv_m)} AS __t "
+            f"FROM {from_c}" + (f" WHERE {cw}" if cw else ""),
         ))
         aux_ctes.append((
             f"__cvs_{s}",

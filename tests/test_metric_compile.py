@@ -399,14 +399,83 @@ def test_conversion_metric_errors(conv_views):
     with pytest.raises(MetricQueryError, match="agg: count"):
         compile_metrics_sql(["conv_bad_agg"], CONV_METRICS, [EVENTS_SM],
                             {"events_t": "t_events"})
+    # cross-model conversion is supported, but the entity must exist on
+    # BOTH sides — ORDERS_SM has no `user` entity
     cross = [{"name": "x", "type": "conversion", "label": "x",
               "type_params": {"conversion_type_params": {
                   "base_measure": "signups",
                   "conversion_measure": "order_count",
                   "entity": "user"}}}]
-    with pytest.raises(MetricQueryError, match="same semantic model"):
+    with pytest.raises(MetricQueryError, match="entity 'user' not found"):
         compile_metrics_sql(["x"], cross, [EVENTS_SM, ORDERS_SM],
                             {"events_t": "t_events", "orders": "t_orders"})
+
+
+SIGNUPS_SM = {
+    "name": "signups_sm",
+    "model": "ref('signups_t')",
+    "defaults": {"agg_time_dimension": "stime"},
+    "entities": [{"name": "user", "type": "primary", "expr": "u"}],
+    "dimensions": [
+        {"name": "stime", "type": "time", "expr": "ts",
+         "type_params": {"time_granularity": "day"}},
+    ],
+    "measures": [{"name": "signup_events", "agg": "count", "expr": "1"}],
+}
+
+PURCHASES_SM = {
+    "name": "purchases_sm",
+    "model": "ref('purchases_t')",
+    "defaults": {"agg_time_dimension": "ptime"},
+    "entities": [{"name": "user", "type": "foreign", "expr": "buyer"}],
+    "dimensions": [
+        {"name": "ptime", "type": "time", "expr": "pts",
+         "type_params": {"time_granularity": "day"}},
+    ],
+    "measures": [{"name": "purchase_events", "agg": "count", "expr": "1"}],
+}
+
+
+@pytest.fixture(scope="module")
+def cross_conv_views(conv_views):
+    # same timeline as EVENT_ROWS, split across two tables with DIFFERENT
+    # entity/time column names per side
+    conv_views.sql(
+        "SELECT u, ts FROM t_events WHERE k = 'signup'"
+    ).createOrReplaceTempView("t_signups")
+    conv_views.sql(
+        "SELECT u AS buyer, ts AS pts FROM t_events WHERE k = 'purchase'"
+    ).createOrReplaceTempView("t_purchases")
+    return conv_views
+
+
+def test_conversion_metric_cross_model(cross_conv_views):
+    """Base and conversion measures on DIFFERENT semantic models sharing the
+    `user` entity: each side joins through its own entity/time exprs.
+    Expected counts identical to the single-model twin
+    (test_conversion_metric_counts_and_rate) since the data is the same
+    timeline split in two."""
+    m = [{"name": "xconv", "type": "conversion", "label": "x",
+          "type_params": {"conversion_type_params": {
+              "base_measure": "signup_events",
+              "conversion_measure": "purchase_events",
+              "entity": "user", "window": "7 days",
+              "calculation": "conversions"}}},
+         {"name": "xrate", "type": "conversion", "label": "xr",
+          "type_params": {"conversion_type_params": {
+              "base_measure": "signup_events",
+              "conversion_measure": "purchase_events",
+              "entity": "user", "window": "7 days"}}}]
+    sql = compile_metrics_sql(
+        ["xconv", "xrate"], m, [SIGNUPS_SM, PURCHASES_SM],
+        {"signups_t": "t_signups", "purchases_t": "t_purchases"},
+        group_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]): (r["xconv"], round(r["xrate"], 6))
+            for r in cross_conv_views.sql(sql).collect()}
+    assert rows == {"2024-01-01": (1, round(1 / 3, 6)),
+                    "2024-02-01": (1, 0.5)}
+    # the conversion CTE must read the conversion model's OWN table
+    assert "t_purchases" in sql and "buyer" in sql
 
 
 def test_derived_offset_window_period_over_period(views):
