@@ -89,8 +89,19 @@ class SwapFileFormat:
         self._configure_writer(df.write.mode("overwrite"), partition_by).save(staging)
         if swap is not None:
             swap(path, staging)
-        else:  # pragma: no cover - standalone use
-            os.replace(staging, path)
+        else:
+            # standalone use (no RelationStore swap): os.replace refuses a
+            # non-empty target directory, so retire the old copy first —
+            # same move-aside RelationStore._swap performs under its lock
+            if os.path.exists(path):
+                retired = f"{path}.__retired__{int(time.time() * 1000)}"
+                os.replace(path, retired)
+                os.replace(staging, path)
+                import shutil
+
+                shutil.rmtree(retired, ignore_errors=True)
+            else:
+                os.replace(staging, path)
 
     def write_append(
         self,

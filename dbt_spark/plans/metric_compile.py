@@ -729,9 +729,18 @@ def compile_metrics_sql(
         # Non-time group-bys are crossed with the spine (DISTINCT over the
         # already-aggregated result, group-by cardinality) so every
         # (dims × period) cell exists — panel-shaped zero-fill.
-        time_pairs = []
-        owner0 = next(iter(spined.values()))["owner"]
+        # every spined metric's measure owner contributes to the spine range:
+        # the spine spans the UNION of owners' time ranges (MIN of MINs /
+        # MAX of MAXes), so a second spined metric on another model is never
+        # truncated to the first owner's range
+        owners: list[_Model] = []
+        for c in spined.values():
+            o = c["owner"]
+            if o is not None and all(o.name != p.name for p in owners):
+                owners.append(o)
+        owner0 = owners[0]
         lm0 = _LinkedModel(owner0, models, table_for_model)
+        time_pairs = []
         for item, alias in zip(group_by, key_aliases):
             if lm0.is_time_item(item):
                 time_pairs.append((item, alias))
@@ -740,23 +749,29 @@ def compile_metrics_sql(
                 "join_to_timespine requires a time-dimension (or "
                 f"metric_time) group-by item (got {group_by!r})")
         time_item, tk = time_pairs[0]
-        try:
-            kexpr, _ = owner0.resolve_group_by(time_item)
-        except MetricQueryError as exc:
-            raise MetricQueryError(
-                "join_to_timespine: the time group-by must live on the "
-                f"measure's own semantic model ({owner0.name})") from exc
+        bounds = []
+        for o in owners:
+            try:
+                kexpr, _ = o.resolve_group_by(time_item)
+            except MetricQueryError as exc:
+                raise MetricQueryError(
+                    "join_to_timespine: the time group-by must resolve on "
+                    "every spined measure's own semantic model (failed on "
+                    f"{o.name})") from exc
+            bounds.append((kexpr, table_for_model[o.ref_name()]))
         parts = time_item.split("__")
         grain = parts[-1] if parts[-1] in _GRAINS else "day"
         step = ("INTERVAL 7 DAY" if grain == "week"
                 else f"INTERVAL 1 {grain.upper()}")
-        btable = table_for_model[owner0.ref_name()]
+        lo = ", ".join(f"(SELECT MIN({e}) FROM {t})" for e, t in bounds)
+        hi = ", ".join(f"(SELECT MAX({e}) FROM {t})" for e, t in bounds)
+        if len(bounds) > 1:
+            lo, hi = f"LEAST({lo})", f"GREATEST({hi})"
         with_parts.append(
             f"__res AS (SELECT {', '.join(out_cols)} FROM {joined})")
         with_parts.append(
-            f"__spine AS (SELECT explode(sequence("
-            f"(SELECT MIN({kexpr}) FROM {btable}), "
-            f"(SELECT MAX({kexpr}) FROM {btable}), {step})) AS {tk})")
+            f"__spine AS (SELECT explode(sequence({lo}, {hi}, {step})) "
+            f"AS {tk})")
         others = [k for k in key_aliases if k != tk]
         if others:
             with_parts.append(

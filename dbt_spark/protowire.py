@@ -106,6 +106,12 @@ _STRING_FIELDS = [  # (field number, info key) in ascending number order
 
 
 def _varint(n: int) -> bytes:
+    # protobuf encodes negative int32/int64 as the 10-byte varint of the
+    # value's unsigned 64-bit two's complement (encoding spec, "signed
+    # integers"); mask so a pre-1970 Timestamp.seconds or negative pid
+    # terminates (and matches the canonical bytes) instead of looping on
+    # Python's infinite-precision negative right shift
+    n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -128,14 +134,17 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         shift += 7
 
 
+def _signed64(n: int) -> int:
+    """Undo the unsigned-64 wire representation of a negative int32/int64."""
+    return n - (1 << 64) if n >= (1 << 63) else n
+
+
 def _ts_parts(ts: str) -> tuple[int, int]:
     from datetime import datetime, timezone
 
     dt = datetime.fromisoformat(str(ts).replace("Z", "+00:00"))
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
-    epoch = dt.timestamp()
-    seconds = int(epoch // 1)
     # protobuf Timestamp nanos from the datetime's microseconds (exact;
     # timestamp() floats would wobble the last digits)
     return int(dt.replace(microsecond=0).timestamp()), dt.microsecond * 1000
@@ -179,7 +188,7 @@ def _decode_pure(data: bytes) -> dict:
         if wt == 0:
             val, pos = _read_varint(data, pos)
             if num == 6:
-                out["pid"] = val
+                out["pid"] = _signed64(val)
         elif wt == 2:
             size, pos = _read_varint(data, pos)
             raw = data[pos:pos + size]
@@ -193,7 +202,7 @@ def _decode_pure(data: bytes) -> dict:
                     t2, p = _read_varint(raw, p)
                     v2, p = _read_varint(raw, p)
                     if t2 >> 3 == 1:
-                        seconds = v2
+                        seconds = _signed64(v2)
                     elif t2 >> 3 == 2:
                         nanos = v2
                 out["ts"] = datetime.fromtimestamp(
@@ -239,7 +248,7 @@ def decode_event_info(data: bytes) -> dict:
     return out
 
 
-def delimited_writer(path: str) -> Optional[Callable[[dict], None]]:
+def delimited_writer(path: str) -> Callable[[dict], None]:
     """Returns an append-one-event callable (varint-length-delimited
     framing). Routes through google.protobuf when importable, else the
     pure-Python wire encoder — same bytes either way."""

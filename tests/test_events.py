@@ -343,6 +343,28 @@ def test_pure_wire_encoder_varint_boundaries():
     assert _varint(127) == b"\x7f" and _varint(128) == b"\x80\x01"
 
 
+def test_pure_wire_encoder_negative_values():
+    """Negative int32/int64 encode as the 10-byte two's-complement varint
+    (public encoding spec) — a pre-1970 ts or negative pid must terminate
+    and round-trip, not hang the event bus."""
+    from dbt_spark.protowire import (_decode_pure, _encode_pure,
+                                     _read_varint, _varint)
+
+    # wire-level: -1 is ten 0xFF-ish bytes, reads back as 2^64-1
+    buf = _varint(-1)
+    assert len(buf) == 10
+    val, pos = _read_varint(buf, 0)
+    assert val == (1 << 64) - 1 and pos == 10
+
+    # message-level: negative pid and pre-1970 timestamp round-trip
+    info = {"name": "E", "code": "Z", "msg": "m", "level": "info",
+            "invocation_id": "iv", "pid": -7, "thread": "t",
+            "ts": "1969-12-31T23:59:59.500000+00:00", "category": ""}
+    back = _decode_pure(_encode_pure(info))
+    assert back["pid"] == -7
+    assert back["ts"] == "1969-12-31T23:59:59.500000"
+
+
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="cross-check against google.protobuf runs where it is installed")

@@ -75,3 +75,19 @@ def test_overwrite_swap_is_atomic_per_format(spark, tmp_path):
         assert got == [100, 101], fmt
         parent = os.path.dirname(store.path_for("main", f"a_{fmt}"))
         assert not [e for e in os.listdir(parent) if "__staging__" in e]
+
+
+def test_standalone_overwrite_replaces_existing_dir(spark, tmp_path):
+    """write_overwrite without a RelationStore swap callable (standalone
+    use) must still replace an existing non-empty target directory —
+    os.replace alone refuses that, so the old copy is retired first."""
+    fmt = table_format("parquet")
+    path = str(tmp_path / "standalone_tbl")
+    fmt.write_overwrite(spark.range(4).selectExpr("id"), path)
+    fmt.write_overwrite(spark.range(2).selectExpr("id + 50 AS id"), path)
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == [50, 51]
+    parent = os.path.dirname(path)
+    leftovers = [e for e in os.listdir(parent)
+                 if "__staging__" in e or "__retired__" in e]
+    assert not leftovers

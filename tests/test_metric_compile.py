@@ -751,3 +751,26 @@ def test_fill_nulls_without_timespine_on_outer_join_miss(views):
 def test_timespine_requires_time_group_by(views):
     with pytest.raises(MetricQueryError, match="join_to_timespine"):
         _run_spine(views, ["open_revenue_spine"], group_by=["status"])
+
+
+def test_timespine_spans_union_of_multiple_owners(views):
+    """Two spined metrics whose measures live on DIFFERENT semantic models:
+    the spine must span the UNION of both owners' time ranges (orders end
+    in March, payments in April → the panel runs Jan..April for both)."""
+    multi = SPINE_METRICS + [
+        {"name": "payments_spine", "type": "simple",
+         "type_params": {"measure": {"name": "payment_total",
+                                     "join_to_timespine": True,
+                                     "fill_nulls_with": 0}}},
+    ]
+    sql = compile_metrics_sql(
+        ["open_revenue_spine", "payments_spine"], multi,
+        [ORDERS_SM, PAYMENTS_SM], TABLES, group_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]):
+            (r["open_revenue_spine"], r["payments_spine"])
+            for r in views.sql(sql).collect()}
+    assert sorted(rows) == ["2024-01-01", "2024-02-01",
+                            "2024-03-01", "2024-04-01"]
+    assert rows["2024-04-01"] == (0.0, 5.0)   # beyond orders' own range
+    assert rows["2024-02-01"] == (0.0, 210.0)
+    assert rows["2024-01-01"] == (50.0, 90.0)
