@@ -259,6 +259,9 @@ class Manifest:
             if n.compiled_code is not None:
                 d["compiled"] = True
                 d["compiled_code"] = n.compiled_code
+            if n.config.meta.get("time_spine"):
+                # Model.time_spine artifact field (v1/model.py:26-35)
+                d["time_spine"] = n.config.meta["time_spine"]
             if n.columns:
                 # ColumnInfo shape (v12 columns section) — carries the
                 # contract surface (data_type + constraints) so

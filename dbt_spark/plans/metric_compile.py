@@ -49,6 +49,9 @@ from typing import Any, Optional
 from dbt_spark.plans.semantic import SemanticValidationError
 
 _GRAINS = {"day", "week", "month", "quarter", "year"}
+# fineness order for picking a declared spine: a spine can serve any grain
+# at or coarser than its own standard granularity
+_GRAIN_ORDER = {"day": 0, "week": 1, "month": 2, "quarter": 3, "year": 4}
 
 _AGG_SQL = {
     "sum": "SUM({e})",
@@ -162,26 +165,39 @@ class _LinkedModel:
     Spark-first).
 
     Resolution order: the owning model first (its own dimensions/entities,
-    including the existing entity-prefix-strip fallback), then a single
-    entity hop: the prefix must name an entity on the owning model, and the
-    remainder must resolve as a dimension on exactly one other semantic
-    model where that entity is ``primary``/``unique`` (the one-row-per-key
-    side, so the join can never fan out fact rows). Ambiguity — two
-    eligible models exposing the same (entity, dimension) — is an error,
-    mirroring MetricFlow's ambiguous-linkable-element diagnostics.
+    including the existing entity-prefix-strip fallback), then entity hops:
+    the prefix must name an entity on the owning model, and the remainder
+    must resolve — on exactly one other semantic model where that entity is
+    ``primary``/``unique`` (the one-row-per-key side, so the join can never
+    fan out fact rows) — either locally OR through a FURTHER entity hop
+    (``order__customer__region``-style multi-hop chains, each hop
+    primary/unique-guarded the same way). Ambiguity — two eligible models
+    exposing the same (entity, remainder) — is an error at every hop,
+    mirroring MetricFlow's ambiguous-linkable-element diagnostics; cycles
+    (model A linking back into an already-visited model) are cut by a
+    visited set, so a self-referential entity graph diagnoses as
+    unresolvable instead of recursing forever.
 
     Scale: each hop compiles to ONE broadcast-friendly LEFT JOIN against a
     two-ish-column projection of the dimension table (``__ek`` + the
-    requested dims), so Catalyst column-prunes the dim scan and AQE
-    broadcasts it; the fact table never re-shuffles for the join."""
+    requested dims); a multi-hop chain nests the next hop's LEFT JOIN
+    INSIDE that projection subquery, so the chain materializes as
+    dim⋈dim joins at dimension cardinality — Catalyst column-prunes every
+    dim scan and AQE broadcasts them; the fact table never re-shuffles."""
 
     def __init__(self, owner: _Model, models: list[_Model],
-                 table_for_model: dict[str, str]) -> None:
+                 table_for_model: dict[str, str],
+                 visited: Optional[frozenset[str]] = None,
+                 spines: Optional[list[dict]] = None) -> None:
         self.owner = owner
         self._models = models
         self._tables = table_for_model
+        self._visited = (visited or frozenset()) | {owner.name}
+        self._spines = spines or []
         # (entity, target model) -> {"alias", "model", "cols": {col: item}}
-        self.joins: dict[tuple[str, str], dict] = {}
+        # spine joins use ("__ts__", spine model, fact key expr) keys and
+        # carry {"spine", "on_left"} instead of {"model", "entity"}
+        self.joins: dict[tuple, dict] = {}
 
     def __getattr__(self, name: str):  # delegate .measures/.name/... to owner
         return getattr(self.owner, name)
@@ -191,9 +207,12 @@ class _LinkedModel:
             return self.owner.resolve_group_by(item)
         except MetricQueryError as local_err:
             linked = self._resolve_linked(item)
-            if linked is None:
-                raise local_err
-            return linked
+            if linked is not None:
+                return linked
+            custom = self._resolve_custom_grain(item)
+            if custom is not None:
+                return custom
+            raise local_err
 
     def is_time_item(self, item: str) -> bool:
         if self.owner.is_time_item(item):
@@ -202,11 +221,37 @@ class _LinkedModel:
         if hop is None:
             return False
         target, rest = hop
-        return target.is_time_item(rest)
+        return self._hop_resolver(target).is_time_item(rest)
+
+    def _hop_resolver(self, target: _Model) -> "_LinkedModel":
+        """Resolver for the NEXT hop: same model universe and spine
+        registry, this chain's visited set carried forward (cycle cut)."""
+        return _LinkedModel(target, self._models, self._tables,
+                            visited=self._visited, spines=self._spines)
+
+    def _hop_resolves(self, m: _Model, rest: str) -> bool:
+        """Does ``rest`` resolve on ``m`` — locally, via further hops, or
+        as a custom-granularity item? Probes on a throwaway resolver so no
+        joins leak; ambiguity / fan-out diagnostics raised by inner hops
+        propagate (they are genuine errors for this chain, not resolution
+        misses)."""
+        try:
+            m.resolve_group_by(rest)
+            return True
+        except MetricQueryError:
+            pass
+        probe = self._hop_resolver(m)
+        if probe._resolve_linked(rest) is not None:
+            return True
+        try:
+            return probe._resolve_custom_grain(rest) is not None
+        except MetricQueryError:
+            return False
 
     def _find_target(self, item: str) -> Optional[tuple[_Model, str]]:
         """``entity__rest`` → (target model, rest) or None; raises on
-        ambiguity or a non-unique entity on every candidate."""
+        ambiguity or a non-unique entity on every candidate. ``rest`` may
+        itself be an entity chain (multi-hop) resolved recursively."""
         parts = item.split("__")
         if len(parts) < 2:
             return None
@@ -215,11 +260,10 @@ class _LinkedModel:
             return None
         candidates, non_unique = [], []
         for m in self._models:
-            if m is self.owner or ent_name not in m.entities:
+            if (m is self.owner or m.name in self._visited
+                    or ent_name not in m.entities):
                 continue
-            try:
-                m.resolve_group_by(rest)
-            except MetricQueryError:
+            if not self._hop_resolves(m, rest):
                 continue
             if m.entities[ent_name].get("type") in ("primary", "unique"):
                 candidates.append(m)
@@ -259,13 +303,104 @@ class _LinkedModel:
         join["cols"][col] = rest
         return f"{join['alias']}.{col}", item
 
+    # -- declared time-spine custom granularities ---------------------------
+
+    def custom_grain_of(self, item: str) -> Optional[dict]:
+        """The declared spine serving ``item``'s trailing custom-granularity
+        name, or None. Raises if two spine models declare the same name
+        (ambiguous, mirroring the reference's unique-granularity-name rule,
+        core/dbt/parser/manifest.py custom-granularity validation)."""
+        parts = item.split("__")
+        if len(parts) < 2 or not self._spines:
+            return None
+        gname = parts[-1]
+        if gname in _GRAINS:
+            return None
+        hits = [sp for sp in self._spines
+                if any(cg.get("name") == gname
+                       for cg in sp.get("custom_granularities") or [])]
+        if not hits:
+            return None
+        if len(hits) > 1:
+            raise MetricQueryError(
+                f"custom granularity {gname!r} is declared by multiple "
+                f"time-spine models {sorted(sp['model'] for sp in hits)}")
+        return hits[0]
+
+    @staticmethod
+    def _spine_key_expr(sp: dict) -> str:
+        """The spine table's standard-granularity column as a DATE key at
+        its own grain — the join key the fact side truncates to."""
+        std = sp["standard_granularity_column"]
+        g = str(sp.get("granularity") or "day")
+        if g == "day":
+            return f"CAST({std} AS DATE)"
+        return f"CAST(DATE_TRUNC('{g.upper()}', {std}) AS DATE)"
+
+    def _resolve_custom_grain(self, item: str) -> Optional[tuple[str, str]]:
+        """``<time_item>__<custom_granularity>`` → spine-joined expr.
+
+        The reference's model-level ``time_spine:`` config
+        (core/dbt/artifacts/resources/v1/model.py:26-35 TimeSpine /
+        CustomGranularity, parsed core/dbt/parser/schemas.py:730-744)
+        declares a calendar table: one row per standard-granularity period
+        plus columns for user-defined calendars (fiscal quarters, 4-4-5
+        weeks). A group-by at a custom granularity joins the fact's time
+        dimension — truncated to the spine's standard grain — onto that
+        one-row-per-period table and groups by the custom column.
+
+        Scale: the spine is O(periods) rows (years of days ≈ thousands);
+        the LEFT JOIN broadcasts and can never fan out fact rows because
+        the spine is unique per standard-grain value by construction."""
+        sp = self.custom_grain_of(item)
+        if sp is None:
+            return None
+        parts = item.split("__")
+        gname, base = parts[-1], "__".join(parts[:-1])
+        sgran = str(sp.get("granularity") or "day")
+        try:
+            key_expr, _ = self.resolve_group_by(f"{base}__{sgran}")
+        except MetricQueryError as exc:
+            raise MetricQueryError(
+                f"custom granularity {gname!r} in {item!r}: the base item "
+                f"{base!r} must resolve as a time dimension at the spine "
+                f"model {sp['model']!r}'s {sgran} grain") from exc
+        cgs = {cg["name"]: (cg.get("column_name") or cg["name"])
+               for cg in sp.get("custom_granularities") or []}
+        key = ("__ts__", sp["model"], key_expr)
+        join = self.joins.setdefault(key, {
+            "alias": f"__ts_{_sanitize(sp['model'])}_{len(self.joins)}",
+            "spine": sp,
+            "on_left": key_expr,
+            "cols": {},
+        })
+        col = f"__g_{_sanitize(item)}"
+        join["cols"][col] = cgs[gname]
+        return f"{join['alias']}.{col}", item
+
     def joined_from(self, table: str) -> str:
         """FROM clause: the base table plus one LEFT JOIN per entity hop,
         each against a pre-projected (key, dims…) subquery so the only
         columns the dim side exposes are ``__ek`` and ``__d_*`` — no
-        name collisions with base-table measure exprs."""
+        name collisions with base-table measure exprs. A multi-hop chain
+        resolves the remainder on the hop target's OWN resolver, so the
+        next hop's LEFT JOIN nests inside this projection subquery."""
         sql = table
         for join in self.joins.values():
+            if "spine" in join:
+                sp = join["spine"]
+                t_table = self._tables.get(sp["model"])
+                if t_table is None:
+                    raise MetricQueryError(
+                        f"no table registered for time-spine model "
+                        f"{sp['model']!r}")
+                cols = ", ".join(f"{src} AS {col}" for col, src
+                                 in sorted(join["cols"].items()))
+                sub = (f"(SELECT {self._spine_key_expr(sp)} AS __sk, {cols} "
+                       f"FROM {t_table}) {join['alias']}")
+                sql += (f" LEFT JOIN {sub} ON {join['on_left']} "
+                        f"= {join['alias']}.__sk")
+                continue
             target, ent_name = join["model"], join["entity"]
             t_table = self._tables.get(target.ref_name())
             if t_table is None:
@@ -274,11 +409,12 @@ class _LinkedModel:
                     f"(entity link via {ent_name!r})")
             t_ent = target.entities[ent_name]
             o_ent = self.owner.entities[ent_name]
+            lm_t = self._hop_resolver(target)
             cols = ", ".join(
-                f"{target.resolve_group_by(rest)[0]} AS {col}"
+                f"{lm_t.resolve_group_by(rest)[0]} AS {col}"
                 for col, rest in sorted(join["cols"].items()))
             sub = (f"(SELECT {t_ent.get('expr') or ent_name} AS __ek, {cols} "
-                   f"FROM {t_table}) {join['alias']}")
+                   f"FROM {lm_t.joined_from(t_table)}) {join['alias']}")
             sql += (f" LEFT JOIN {sub} ON {o_ent.get('expr') or ent_name} "
                     f"= {join['alias']}.__ek")
         return sql
@@ -361,13 +497,26 @@ def compile_metrics_sql(
     where: Optional[str] = None,
     order_by: Optional[list[str]] = None,
     limit: Optional[int] = None,
+    time_spines: Optional[list[dict]] = None,
 ) -> str:
     """Compile the requested metrics into one SQL statement.
 
     ``table_for_model`` maps a semantic model's underlying model name (the
     ``ref()`` target) to a SQL identifier registered in the session.
-    """
+
+    ``time_spines`` carries user-declared time-spine models (the
+    reference's model-level ``time_spine:`` config —
+    core/dbt/artifacts/resources/v1/model.py:26-35 TimeSpine, parsed at
+    core/dbt/parser/schemas.py:730-744): each entry is
+    ``{"model": <ref name, also a table_for_model key>,
+    "standard_granularity_column": <col>, "granularity": <grain of that
+    column, from the column-level granularity: key; default day>,
+    "custom_granularities": [{"name", "column_name"?}, ...]}``.
+    When declared, ``join_to_timespine`` joins the spine MODEL instead of
+    generating a sequence() spine, and group-by grains may name a custom
+    granularity column (fiscal calendars)."""
     group_by = list(group_by or [])
+    time_spines = list(time_spines or [])
     metric_index = {_meta(m)["name"]: _meta(m) for m in metrics}
     models = [_Model(_meta(sm)) for sm in semantic_models]
     measure_owner: dict[str, _Model] = {}
@@ -489,7 +638,8 @@ def compile_metrics_sql(
     for inst, cols in leaf_cols.items():
         model_name, offset = inst_meta[inst]
         sm = model_by_name[model_name]
-        lm = _LinkedModel(sm, models, table_for_model)
+        lm = _LinkedModel(sm, models, table_for_model,
+                          spines=time_spines)
         table = table_for_model.get(sm.ref_name())
         if table is None:
             raise MetricQueryError(
@@ -564,9 +714,11 @@ def compile_metrics_sql(
                 f"{conv_owner.name if conv_ent is None else ''}")
         ent_expr = ent.get("expr") or ent["name"]
         conv_ent_expr = conv_ent.get("expr") or conv_ent["name"]
-        lmc = _LinkedModel(owner, models, table_for_model)
+        lmc = _LinkedModel(owner, models, table_for_model,
+                           spines=time_spines)
         lmc_conv = (lmc if conv_owner is owner
-                    else _LinkedModel(conv_owner, models, table_for_model))
+                    else _LinkedModel(conv_owner, models, table_for_model,
+                                      spines=time_spines))
 
         def _time_expr(side_owner: _Model, measure_name: str) -> str:
             meas = side_owner.measures[measure_name]
@@ -738,40 +890,91 @@ def compile_metrics_sql(
             o = c["owner"]
             if o is not None and all(o.name != p.name for p in owners):
                 owners.append(o)
-        owner0 = owners[0]
-        lm0 = _LinkedModel(owner0, models, table_for_model)
+        # a group-by item counts as the time item if ANY spined owner sees
+        # it as one (the per-owner bounds loop below still errors if some
+        # owner cannot resolve it — that is the real constraint)
+        resolvers = [_LinkedModel(o, models, table_for_model,
+                                  spines=time_spines) for o in owners]
         time_pairs = []
         for item, alias in zip(group_by, key_aliases):
-            if lm0.is_time_item(item):
+            if any(lm.is_time_item(item) or lm.custom_grain_of(item)
+                   for lm in resolvers):
                 time_pairs.append((item, alias))
         if not time_pairs:
             raise MetricQueryError(
                 "join_to_timespine requires a time-dimension (or "
                 f"metric_time) group-by item (got {group_by!r})")
         time_item, tk = time_pairs[0]
-        bounds = []
-        for o in owners:
-            try:
-                kexpr, _ = o.resolve_group_by(time_item)
-            except MetricQueryError as exc:
-                raise MetricQueryError(
-                    "join_to_timespine: the time group-by must resolve on "
-                    "every spined measure's own semantic model (failed on "
-                    f"{o.name})") from exc
-            bounds.append((kexpr, table_for_model[o.ref_name()]))
         parts = time_item.split("__")
-        grain = parts[-1] if parts[-1] in _GRAINS else "day"
-        step = ("INTERVAL 7 DAY" if grain == "week"
-                else f"INTERVAL 1 {grain.upper()}")
-        lo = ", ".join(f"(SELECT MIN({e}) FROM {t})" for e, t in bounds)
-        hi = ", ".join(f"(SELECT MAX({e}) FROM {t})" for e, t in bounds)
-        if len(bounds) > 1:
-            lo, hi = f"LEAST({lo})", f"GREATEST({hi})"
+        custom_sp = resolvers[0].custom_grain_of(time_item)
+        if custom_sp is not None:
+            # custom granularity: the declared spine IS the period
+            # enumeration — its distinct custom-column values (O(periods))
+            cgs = {cg["name"]: (cg.get("column_name") or cg["name"])
+                   for cg in custom_sp.get("custom_granularities") or []}
+            sp_table = table_for_model.get(custom_sp["model"])
+            if sp_table is None:
+                raise MetricQueryError(
+                    f"no table registered for time-spine model "
+                    f"{custom_sp['model']!r}")
+            spine_sql = (f"SELECT DISTINCT {cgs[parts[-1]]} AS {tk} "
+                         f"FROM {sp_table}")
+        elif time_spines:
+            # declared time-spine model(s): pick the COARSEST spine still
+            # fine enough for the requested grain (smallest scan that can
+            # serve it — MetricFlow's spine-selection rule); truncate its
+            # standard column and dedup, O(periods) rows
+            grain = parts[-1] if parts[-1] in _GRAINS else "day"
+            eligible = [sp for sp in time_spines
+                        if _GRAIN_ORDER.get(
+                            str(sp.get("granularity") or "day"), 0)
+                        <= _GRAIN_ORDER[grain]]
+            if not eligible:
+                raise MetricQueryError(
+                    f"join_to_timespine at {grain!r} grain: no declared "
+                    "time-spine model is fine enough (have "
+                    f"{[(sp['model'], sp.get('granularity') or 'day') for sp in time_spines]})")
+            sp = max(eligible, key=lambda s: _GRAIN_ORDER.get(
+                str(s.get("granularity") or "day"), 0))
+            std = sp["standard_granularity_column"]
+            sgran = str(sp.get("granularity") or "day")
+            if grain == sgran:
+                kexpr = f"CAST({std} AS DATE)"
+            else:
+                kexpr = f"CAST(DATE_TRUNC('{grain.upper()}', {std}) AS DATE)"
+            sp_table = table_for_model.get(sp["model"])
+            if sp_table is None:
+                raise MetricQueryError(
+                    f"no table registered for time-spine model "
+                    f"{sp['model']!r}")
+            spine_sql = (f"SELECT DISTINCT {kexpr} AS {tk} "
+                         f"FROM {sp_table}")
+        else:
+            # no declared spine: generate one from the UNION of the spined
+            # owners' own time ranges — sequence() over min/max scalar
+            # subqueries, a 2-row scan then an O(periods)-row explode
+            bounds = []
+            for o in owners:
+                try:
+                    kexpr, _ = o.resolve_group_by(time_item)
+                except MetricQueryError as exc:
+                    raise MetricQueryError(
+                        "join_to_timespine: the time group-by must resolve "
+                        "on every spined measure's own semantic model "
+                        f"(failed on {o.name})") from exc
+                bounds.append((kexpr, table_for_model[o.ref_name()]))
+            grain = parts[-1] if parts[-1] in _GRAINS else "day"
+            step = ("INTERVAL 7 DAY" if grain == "week"
+                    else f"INTERVAL 1 {grain.upper()}")
+            lo = ", ".join(f"(SELECT MIN({e}) FROM {t})" for e, t in bounds)
+            hi = ", ".join(f"(SELECT MAX({e}) FROM {t})" for e, t in bounds)
+            if len(bounds) > 1:
+                lo, hi = f"LEAST({lo})", f"GREATEST({hi})"
+            spine_sql = (f"SELECT explode(sequence({lo}, {hi}, {step})) "
+                         f"AS {tk}")
         with_parts.append(
             f"__res AS (SELECT {', '.join(out_cols)} FROM {joined})")
-        with_parts.append(
-            f"__spine AS (SELECT explode(sequence({lo}, {hi}, {step})) "
-            f"AS {tk})")
+        with_parts.append(f"__spine AS ({spine_sql})")
         others = [k for k in key_aliases if k != tk]
         if others:
             with_parts.append(
@@ -806,6 +1009,7 @@ def compile_saved_query(
     metrics: list[Any],
     semantic_models: list[Any],
     table_for_model: dict[str, str],
+    time_spines: Optional[list[dict]] = None,
 ) -> str:
     """Compile a saved_query entry's query_params into SQL
     (schema_yaml_readers.py:739 parse; execution is the MetricFlow side)."""
@@ -834,4 +1038,5 @@ def compile_saved_query(
         where=where,
         order_by=qp.get("order_by"),
         limit=qp.get("limit"),
+        time_spines=time_spines,
     )

@@ -766,6 +766,20 @@ def _parse_model_patches(doc: dict, project: Project, manifest: Manifest, rel: s
             )
             if patch.get("config"):
                 node.config = node.config.merged(**patch["config"])
+            if section == "models" and patch.get("time_spine"):
+                # model-level time_spine: config (reference
+                # core/dbt/parser/schemas.py:730-744 → TimeSpine on the
+                # Model artifact, v1/model.py:26-35); consumed by the
+                # metric compiler's join_to_timespine / custom grains
+                ts = patch["time_spine"] or {}
+                node.config.meta["time_spine"] = {
+                    "standard_granularity_column":
+                        ts.get("standard_granularity_column"),
+                    "custom_granularities": [
+                        {"name": cg.get("name"),
+                         "column_name": cg.get("column_name")}
+                        for cg in ts.get("custom_granularities") or []],
+                }
             for col in patch.get("columns", []) or []:
                 node.columns[col["name"]] = col
             _attach_column_tests(patch, node, project, manifest, is_source=False)

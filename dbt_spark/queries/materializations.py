@@ -881,6 +881,152 @@ def semantic_metric_timespine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_metric_custom_timespine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-declared time-spine model + custom granularity (reference
+    model-level ``time_spine:`` config — core/dbt/artifacts/resources/v1/
+    model.py:26-35 TimeSpine/CustomGranularity, parsed core/dbt/parser/
+    schemas.py:730-744): pending revenue by FISCAL QUARTER (fiscal year
+    starts Dec 1), where quarters with no pending orders still appear
+    zero-filled — join_to_timespine enumerates periods from the DECLARED
+    spine model (a fiscal-calendar table), not a generated sequence, and
+    the group-by grain is the spine's custom column.
+
+    Scale: the spine is O(days) rows (2,557 here) — the fact's day-grain
+    time dim LEFT JOINs it (broadcast, unique-per-day so it can never fan
+    out), and the fill join runs at group-by cardinality."""
+    from dbt_spark.plans.metric_compile import compile_metrics_sql
+    from dbt_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "orders")
+    # the user's declared spine model: one row per day with the fiscal
+    # calendar column (what a fiscal_calendar.sql model materializes)
+    spark.sql("""
+        SELECT date_day,
+               concat('FY', year(date_day + INTERVAL 1 MONTH), 'Q',
+                      quarter(date_day + INTERVAL 1 MONTH)) AS fq
+        FROM (SELECT explode(sequence(DATE'1992-01-01', DATE'2002-12-31',
+                                      INTERVAL 1 DAY)) AS date_day)
+    """).createOrReplaceTempView("fiscal_days")
+    sm = {
+        "name": "orders_sm",
+        "model": "ref('orders')",
+        "defaults": {"agg_time_dimension": "order_date"},
+        "entities": [
+            {"name": "order", "type": "primary", "expr": "o_orderkey"}],
+        "dimensions": [
+            {"name": "order_date", "type": "time", "expr": "o_orderdate",
+             "type_params": {"time_granularity": "day"}},
+            {"name": "status", "type": "categorical", "expr": "o_orderstatus"},
+        ],
+        "measures": [
+            {"name": "order_total_dec", "agg": "sum",
+             "expr": "CAST(o_totalprice AS DECIMAL(18,2))"},
+        ],
+    }
+    metrics = [
+        {"name": "pending_revenue", "type": "simple",
+         "type_params": {"measure": {
+             "name": "order_total_dec",
+             "join_to_timespine": True,
+             "fill_nulls_with": 0}},
+         "filter": "{{ Dimension('status') }} = 'P'"},
+    ]
+    spine = {
+        "model": "fiscal_days",
+        "standard_granularity_column": "date_day",
+        "granularity": "day",
+        "custom_granularities": [
+            {"name": "fiscal_quarter", "column_name": "fq"}],
+    }
+    sql = compile_metrics_sql(
+        ["pending_revenue"], metrics, [sm],
+        {"orders": "orders", "fiscal_days": "fiscal_days"},
+        group_by=["metric_time__fiscal_quarter"],
+        order_by=["metric_time__fiscal_quarter"],
+        time_spines=[spine],
+    )
+    return spark.sql(sql).select(
+        F.col("metric_time__fiscal_quarter").alias("fiscal_quarter"),
+        F.col("pending_revenue").cast("double").alias("pending_revenue"),
+    )
+
+
+def semantic_entity_two_hop_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop entity link: metrics measured on orders, grouped by
+    ``customer__nation__nation_name`` — a dimension TWO entity hops away
+    (orders→customer via the shared `customer` entity, customer→nation via
+    the shared `nation` entity). The reference parses entity links
+    (core/dbt/artifacts/resources/v1/semantic_model.py:201-206) and hands
+    multi-hop resolution to MetricFlow; _LinkedModel._find_target chases
+    the chain here, each hop primary/unique-guarded.
+
+    Scale: the chain compiles to nested LEFT JOINs at DIMENSION cardinality
+    — nation joins inside customer's key+dim projection subquery, so the
+    orders fact sees exactly one broadcastable dim join and never
+    re-shuffles; both dim scans are column-pruned to key+name."""
+    from dbt_spark.plans.metric_compile import compile_metrics_sql
+    from dbt_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "orders", "customer", "nation")
+    orders_sm = {
+        "name": "orders_sm",
+        "model": "ref('orders')",
+        "defaults": {"agg_time_dimension": "order_date"},
+        "entities": [
+            {"name": "order", "type": "primary", "expr": "o_orderkey"},
+            {"name": "customer", "type": "foreign", "expr": "o_custkey"},
+        ],
+        "dimensions": [
+            {"name": "order_date", "type": "time", "expr": "o_orderdate",
+             "type_params": {"time_granularity": "day"}},
+        ],
+        "measures": [
+            {"name": "order_count", "agg": "count", "expr": "1"},
+            {"name": "order_total_dec", "agg": "sum",
+             "expr": "CAST(o_totalprice AS DECIMAL(18,2))"},
+        ],
+    }
+    customer_sm = {
+        "name": "customer_sm",
+        "model": "ref('customer')",
+        "entities": [
+            {"name": "customer", "type": "primary", "expr": "c_custkey"},
+            {"name": "nation", "type": "foreign", "expr": "c_nationkey"},
+        ],
+        "dimensions": [
+            {"name": "mktsegment", "type": "categorical",
+             "expr": "c_mktsegment"}],
+        "measures": [{"name": "customer_count", "agg": "count", "expr": "1"}],
+    }
+    nation_sm = {
+        "name": "nation_sm",
+        "model": "ref('nation')",
+        "entities": [
+            {"name": "nation", "type": "primary", "expr": "n_nationkey"}],
+        "dimensions": [
+            {"name": "nation_name", "type": "categorical", "expr": "n_name"}],
+        "measures": [{"name": "nation_count", "agg": "count", "expr": "1"}],
+    }
+    metrics = [
+        {"name": "revenue_dec", "type": "simple",
+         "type_params": {"measure": "order_total_dec"}},
+        {"name": "n_orders", "type": "simple",
+         "type_params": {"measure": "order_count"}},
+    ]
+    sql = compile_metrics_sql(
+        ["revenue_dec", "n_orders"], metrics,
+        [orders_sm, customer_sm, nation_sm],
+        {"orders": "orders", "customer": "customer", "nation": "nation"},
+        group_by=["customer__nation__nation_name"],
+        order_by=["customer__nation__nation_name"],
+    )
+    return spark.sql(sql).select(
+        F.col("customer__nation__nation_name").alias("nation_name"),
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
 def cobucketed_join_zeroshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-bucketed join through the REAL bucketed-table writer: orders and
     customer both hash-bucketed by custkey into the same bucket count, then
@@ -991,6 +1137,44 @@ ORACLES: dict[str, str] = {
                CAST(COALESCE(r.rev, 0) AS DOUBLE) AS pending_revenue
         FROM spine s LEFT JOIN res r ON s.m = r.m
         ORDER BY 1
+    """,
+    "semantic_metric_custom_timespine": """
+        WITH spine AS (
+            SELECT CAST(unnest(generate_series(DATE '1992-01-01',
+                        DATE '2002-12-31', INTERVAL 1 DAY)) AS DATE) AS d
+        ),
+        fqs AS (
+            SELECT DISTINCT
+                   concat('FY', CAST(year(d + INTERVAL 1 MONTH) AS VARCHAR),
+                          'Q', CAST(quarter(d + INTERVAL 1 MONTH) AS VARCHAR))
+                       AS fiscal_quarter
+            FROM spine
+        ),
+        res AS (
+            SELECT concat('FY',
+                          CAST(year(CAST(o_orderdate AS DATE)
+                                    + INTERVAL 1 MONTH) AS VARCHAR),
+                          'Q',
+                          CAST(quarter(CAST(o_orderdate AS DATE)
+                                       + INTERVAL 1 MONTH) AS VARCHAR))
+                       AS fiscal_quarter,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders WHERE o_orderstatus = 'P' GROUP BY 1
+        )
+        SELECT f.fiscal_quarter,
+               CAST(COALESCE(r.rev, 0) AS DOUBLE) AS pending_revenue
+        FROM fqs f LEFT JOIN res r ON f.fiscal_quarter = r.fiscal_quarter
+        ORDER BY 1
+    """,
+    "semantic_entity_two_hop_dimension": """
+        SELECT n.n_name AS nation_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               CAST(COUNT(1) AS BIGINT) AS n_orders
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY 1
     """,
     "semantic_metric_query": """
         SELECT o_orderstatus AS status,
@@ -1195,4 +1379,6 @@ QUERIES = {
     "semantic_conversion_metric": semantic_conversion_metric,
     "semantic_entity_joined_dimension": semantic_entity_joined_dimension,
     "semantic_metric_timespine": semantic_metric_timespine,
+    "semantic_metric_custom_timespine": semantic_metric_custom_timespine,
+    "semantic_entity_two_hop_dimension": semantic_entity_two_hop_dimension,
 }

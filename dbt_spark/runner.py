@@ -1723,15 +1723,37 @@ class Engine:
             target = manifest.ref_lookup(rname, None)
             if target is not None:
                 table_for_model[rname] = ctx.resolve_ref(target)
-        return metrics, sms, table_for_model
+        # user-declared time-spine models (model-level time_spine: config,
+        # reference v1/model.py:26-35): register each spine's table and
+        # carry its declaration to the metric compiler; the standard
+        # column's grain comes from the column-level `granularity:` key
+        time_spines: list[dict] = []
+        for n in manifest.nodes.values():
+            if n.resource_type != NodeType.Model:
+                continue
+            ts = n.config.meta.get("time_spine")
+            if not ts:
+                continue
+            std = ts.get("standard_granularity_column")
+            col = n.columns.get(std) or {}
+            time_spines.append({
+                "model": n.name,
+                "standard_granularity_column": std,
+                "granularity": col.get("granularity") or "day",
+                "custom_granularities":
+                    ts.get("custom_granularities") or [],
+            })
+            table_for_model.setdefault(n.name, ctx.resolve_ref(n))
+        return metrics, sms, table_for_model, time_spines
 
     def _run_saved_query_exports(self, ctx: ExecutionContext,
                                  node: ManifestNode,
                                  exports: list) -> list[str]:
         from dbt_spark.plans.metric_compile import compile_saved_query
 
-        metrics, sms, tables = self._semantic_inputs(ctx)
-        sql = compile_saved_query(node, metrics, sms, tables)
+        metrics, sms, tables, spines = self._semantic_inputs(ctx)
+        sql = compile_saved_query(node, metrics, sms, tables,
+                                  time_spines=spines)
         written = []
         for exp in exports:
             exp_name = exp["name"] if isinstance(exp, dict) else str(exp)
@@ -1761,10 +1783,11 @@ class Engine:
             spark=self.spark, store=self.store, manifest=manifest,
             project=self.project, vars=self.vars,
         )
-        metrics, sms, tables = self._semantic_inputs(ctx)
+        metrics, sms, tables, spines = self._semantic_inputs(ctx)
         sql = compile_metrics_sql(
             metric_names, metrics, sms, tables,
             group_by=group_by, where=where, order_by=order_by, limit=limit,
+            time_spines=spines,
         )
         return self.spark.sql(sql)
 

@@ -774,3 +774,336 @@ def test_timespine_spans_union_of_multiple_owners(views):
     assert rows["2024-04-01"] == (0.0, 5.0)   # beyond orders' own range
     assert rows["2024-02-01"] == (0.0, 210.0)
     assert rows["2024-01-01"] == (50.0, 90.0)
+
+
+# --------------------------------------------------------------------------
+# multi-hop entity links: a__b__dim chains (MetricFlow's multi-hop joins;
+# each hop primary/unique-guarded, cycle-cut, ambiguity-diagnosed)
+# --------------------------------------------------------------------------
+
+CUSTOMERS2_SM = {
+    "name": "customers2_sm",
+    "model": "ref('customers2')",
+    "entities": [
+        {"name": "customer", "type": "primary", "expr": "c_id"},
+        {"name": "region", "type": "foreign", "expr": "c_region_id"},
+    ],
+    "dimensions": [
+        {"name": "segment", "type": "categorical", "expr": "c_segment"},
+    ],
+    "measures": [{"name": "c2_count", "agg": "count", "expr": "1"}],
+}
+
+REGIONS_SM = {
+    "name": "regions_sm",
+    "model": "ref('regions')",
+    "entities": [{"name": "region", "type": "primary", "expr": "r_id"}],
+    "dimensions": [
+        {"name": "region_name", "type": "categorical", "expr": "r_name"},
+        {"name": "founded", "type": "time", "expr": "r_founded",
+         "type_params": {"time_granularity": "day"}},
+    ],
+    "measures": [{"name": "region_count", "agg": "count", "expr": "1"}],
+}
+
+HOP_TABLES = {**TABLES, "customers2": "t_customers2", "regions": "t_regions"}
+HOP_MODELS = [ORDERS_SM, PAYMENTS_SM, CUSTOMERS2_SM, REGIONS_SM]
+
+
+@pytest.fixture(scope="module")
+def hop_views(views):
+    views.createDataFrame(
+        [(10, "A", 1), (20, "B", 1), (30, "C", 2)],
+        "c_id int, c_segment string, c_region_id int",
+    ).createOrReplaceTempView("t_customers2")
+    views.createDataFrame(
+        [(1, "EMEA", "1999-02-01"), (2, "APAC", "2004-09-15")],
+        "r_id int, r_name string, r_founded string",
+    ).selectExpr("r_id", "r_name", "CAST(r_founded AS DATE) AS r_founded"
+                 ).createOrReplaceTempView("t_regions")
+    return views
+
+
+def _run_hops(spark, metric_names, models=None, **kw):
+    sql = compile_metrics_sql(
+        metric_names, METRICS, models or HOP_MODELS, HOP_TABLES, **kw)
+    return sql, spark.sql(sql)
+
+
+def test_two_hop_dimension_group_by(hop_views):
+    sql, df = _run_hops(hop_views, ["revenue"],
+                        group_by=["customer__region__region_name"])
+    rows = {r["customer__region__region_name"]: r["revenue"]
+            for r in df.collect()}
+    # cust 10,20 -> region 1 (EMEA): 100+50+200+25; cust 30 -> APAC: 75
+    assert rows == {"EMEA": 375.0, "APAC": 75.0}
+    # two nested LEFT JOINs: fact->customers2 and customers2->regions
+    assert sql.count("LEFT JOIN") == 2
+
+
+def test_two_hop_in_filter_and_mixed_group_by(hop_views):
+    _, df = _run_hops(
+        hop_views, ["revenue"],
+        group_by=["customer__segment", "customer__region__region_name"],
+        where="{{ Dimension('customer__region__region_name') }} = 'EMEA'")
+    rows = {(r["customer__segment"], r["customer__region__region_name"]):
+            r["revenue"] for r in df.collect()}
+    assert rows == {("A", "EMEA"): 150.0, ("B", "EMEA"): 225.0}
+
+
+def test_two_hop_time_dimension_with_grain(hop_views):
+    sql, df = _run_hops(hop_views, ["orders"],
+                        group_by=["customer__region__founded__month"])
+    rows = {str(r["customer__region__founded__month"]): r["orders"]
+            for r in df.collect()}
+    assert rows == {"1999-02-01": 4, "2004-09-01": 1}
+
+
+def test_two_hop_ambiguous_second_hop_raises(hop_views):
+    clone = {**REGIONS_SM, "name": "regions_sm_2", "model": "ref('regions')"}
+    with pytest.raises(MetricQueryError, match="ambiguous entity link"):
+        compile_metrics_sql(
+            ["revenue"], METRICS, HOP_MODELS + [clone], HOP_TABLES,
+            group_by=["customer__region__region_name"])
+
+
+def test_two_hop_non_unique_second_hop_raises(hop_views):
+    weak = {**REGIONS_SM,
+            "entities": [{"name": "region", "type": "foreign",
+                          "expr": "r_id"}]}
+    with pytest.raises(MetricQueryError, match="not primary/unique"):
+        compile_metrics_sql(
+            ["revenue"], METRICS, [ORDERS_SM, CUSTOMERS2_SM, weak],
+            HOP_TABLES, group_by=["customer__region__region_name"])
+
+
+def test_entity_cycle_diagnoses_instead_of_recursing(hop_views):
+    """customers2 and regions each carry the OTHER side's entity too, so a
+    bogus chain walks a->b->a->...: the visited set cuts the cycle and the
+    unresolvable item diagnoses as a normal resolution error."""
+    c_cyc = {**CUSTOMERS2_SM,
+             "entities": CUSTOMERS2_SM["entities"]
+             + [{"name": "rc_link", "type": "unique", "expr": "c_id"}]}
+    r_cyc = {**REGIONS_SM,
+             "entities": REGIONS_SM["entities"]
+             + [{"name": "rc_link", "type": "unique", "expr": "r_id"}],
+             "dimensions": REGIONS_SM["dimensions"]}
+    with pytest.raises(MetricQueryError, match="no dimension or entity"):
+        compile_metrics_sql(
+            ["revenue"], METRICS, [ORDERS_SM, c_cyc, r_cyc], HOP_TABLES,
+            group_by=["customer__rc_link__rc_link__rc_link__bogus"])
+
+
+# --------------------------------------------------------------------------
+# user-declared time-spine models + custom granularities (reference
+# model-level time_spine: config, core/dbt/artifacts/resources/v1/model.py:
+# 26-35 TimeSpine/CustomGranularity, parsed core/dbt/parser/schemas.py:730-744)
+# --------------------------------------------------------------------------
+
+SPINE_DECL = {
+    "model": "all_days",
+    "standard_granularity_column": "date_day",
+    "granularity": "day",
+    "custom_granularities": [
+        {"name": "fiscal_quarter", "column_name": "fq"},
+        {"name": "retail_week"},
+    ],
+}
+
+SPINE_TABLES = {**TABLES, "all_days": "t_all_days"}
+
+
+@pytest.fixture(scope="module")
+def spine_views(views):
+    # day spine Dec 2023 .. Apr 2024 — wider than orders' own Jan..Mar
+    # range — with a fiscal calendar column (fiscal year starts Dec 1)
+    views.sql("""
+        SELECT explode(sequence(DATE'2023-12-01', DATE'2024-04-30',
+                                INTERVAL 1 DAY)) AS date_day
+    """).selectExpr(
+        "date_day",
+        "concat('FY', year(date_day + INTERVAL 1 MONTH), 'Q', "
+        "quarter(date_day + INTERVAL 1 MONTH)) AS fq",
+        "weekofyear(date_day) AS retail_week",
+    ).createOrReplaceTempView("t_all_days")
+    return views
+
+
+def _run_decl_spine(spark, metric_names, **kw):
+    sql = compile_metrics_sql(
+        metric_names, SPINE_METRICS, [ORDERS_SM, PAYMENTS_SM], SPINE_TABLES,
+        time_spines=[SPINE_DECL], **kw)
+    return sql, spark.sql(sql)
+
+
+def test_declared_timespine_replaces_generated(spine_views):
+    """With a declared spine the panel spans the SPINE's range (Dec..Apr),
+    not the measure owner's own min/max, and no sequence() is generated."""
+    sql, df = _run_decl_spine(spine_views, ["open_revenue_spine"],
+                              group_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]): r["open_revenue_spine"]
+            for r in df.collect()}
+    assert sorted(rows) == ["2023-12-01", "2024-01-01", "2024-02-01",
+                            "2024-03-01", "2024-04-01"]
+    assert rows["2023-12-01"] == 0.0 and rows["2024-01-01"] == 50.0
+    assert "t_all_days" in sql and "sequence(" not in sql
+
+
+def test_no_declared_spine_falls_back_to_generated(spine_views):
+    sql, df = _run_spine(spine_views, ["open_revenue_spine"],
+                         group_by=["metric_time__month"])
+    assert "sequence(" in sql and "t_all_days" not in sql
+    assert df.count() == 3  # orders' own Jan..Mar range
+
+
+def test_custom_granularity_group_by(spine_views):
+    """Group-by at a custom granularity: the fact's time dim joins the
+    spine at day grain and groups by the fiscal-quarter column."""
+    sql = compile_metrics_sql(
+        ["revenue"], METRICS, [ORDERS_SM, PAYMENTS_SM], SPINE_TABLES,
+        group_by=["metric_time__fiscal_quarter"], time_spines=[SPINE_DECL])
+    rows = {r["metric_time__fiscal_quarter"]: r["revenue"]
+            for r in spine_views.sql(sql).collect()}
+    # fiscal year starts Dec 1: Jan+Feb 2024 -> FY2024Q1, Mar -> FY2024Q2
+    assert rows == {"FY2024Q1": 425.0, "FY2024Q2": 25.0}
+    assert "LEFT JOIN" in sql
+
+
+def test_custom_granularity_without_column_name_uses_name(spine_views):
+    sql = compile_metrics_sql(
+        ["orders"], METRICS, [ORDERS_SM, PAYMENTS_SM], SPINE_TABLES,
+        group_by=["metric_time__retail_week"], time_spines=[SPINE_DECL])
+    got = {r["metric_time__retail_week"]: r["orders"]
+           for r in spine_views.sql(sql).collect()}
+    assert sum(got.values()) == 5 and all(isinstance(k, int) for k in got)
+
+
+def test_custom_granularity_with_timespine_fill(spine_views):
+    """join_to_timespine at a custom granularity: quarters with no pending
+    orders still appear, zero-filled, enumerated from the spine itself."""
+    sql, df = _run_decl_spine(spine_views, ["open_revenue_spine"],
+                              group_by=["metric_time__fiscal_quarter"])
+    rows = {r["metric_time__fiscal_quarter"]: r["open_revenue_spine"]
+            for r in df.collect()}
+    # spine covers FY2024Q1 (Dec-Feb) and FY2024Q2 (Mar-May window part)
+    assert rows == {"FY2024Q1": 50.0, "FY2024Q2": 25.0}
+
+
+def test_custom_granularity_unknown_name_raises(spine_views):
+    with pytest.raises(MetricQueryError, match="no dimension or entity"):
+        compile_metrics_sql(
+            ["revenue"], METRICS, [ORDERS_SM, PAYMENTS_SM], SPINE_TABLES,
+            group_by=["metric_time__bogus_gran"], time_spines=[SPINE_DECL])
+
+
+def test_custom_granularity_on_non_time_base_raises(spine_views):
+    with pytest.raises(MetricQueryError, match="time dimension"):
+        compile_metrics_sql(
+            ["revenue"], METRICS, [ORDERS_SM, PAYMENTS_SM], SPINE_TABLES,
+            group_by=["status__fiscal_quarter"], time_spines=[SPINE_DECL])
+
+
+def test_custom_granularity_declared_twice_raises(spine_views):
+    dup = {**SPINE_DECL, "model": "all_days_2"}
+    with pytest.raises(MetricQueryError, match="multiple"):
+        compile_metrics_sql(
+            ["revenue"], METRICS, [ORDERS_SM, PAYMENTS_SM],
+            {**SPINE_TABLES, "all_days_2": "t_all_days"},
+            group_by=["metric_time__fiscal_quarter"],
+            time_spines=[SPINE_DECL, dup])
+
+
+def test_declared_spine_too_coarse_raises(spine_views):
+    coarse = {"model": "all_months", "standard_granularity_column": "m",
+              "granularity": "month", "custom_granularities": []}
+    with pytest.raises(MetricQueryError, match="fine enough"):
+        compile_metrics_sql(
+            ["open_revenue_spine"], SPINE_METRICS, [ORDERS_SM, PAYMENTS_SM],
+            {**SPINE_TABLES, "all_months": "t_all_days"},
+            group_by=["metric_time__day"], time_spines=[coarse])
+
+
+def test_declared_spine_missing_table_raises(spine_views):
+    with pytest.raises(MetricQueryError, match="no table registered"):
+        sql = compile_metrics_sql(
+            ["open_revenue_spine"], SPINE_METRICS, [ORDERS_SM, PAYMENTS_SM],
+            TABLES, group_by=["metric_time__month"],
+            time_spines=[SPINE_DECL])
+
+
+SPINE_PROJECT_FILES = {
+    "dbt_project.yml": "name: sl2\nmodel-paths: ['models']\nseed-paths: ['seeds']\n",
+    "seeds/raw_orders.csv": (
+        "o_id,o_cust,o_date,o_status,o_total\n"
+        "1,10,2024-01-05,F,100\n2,10,2024-01-20,O,50\n"
+        "3,20,2024-02-03,F,200\n4,30,2024-02-10,F,75\n5,20,2024-03-01,O,25\n"
+    ),
+    "models/orders.sql": "select * from {{ ref('raw_orders') }}",
+    "models/all_days.sql": (
+        "select date_day,\n"
+        "  concat('FY', year(date_day + interval 1 month), 'Q',\n"
+        "         quarter(date_day + interval 1 month)) as fq\n"
+        "from (select explode(sequence(date'2023-12-01', date'2024-04-30',\n"
+        "                              interval 1 day)) as date_day)"
+    ),
+    "models/schema.yml": """
+version: 2
+models:
+  - name: all_days
+    time_spine:
+      standard_granularity_column: date_day
+      custom_granularities:
+        - name: fiscal_quarter
+          column_name: fq
+    columns:
+      - name: date_day
+        granularity: day
+""",
+    "models/semantic.yml": """
+version: 2
+semantic_models:
+  - name: orders_sm
+    model: ref('orders')
+    defaults: {agg_time_dimension: order_date}
+    entities:
+      - {name: order_id, type: primary, expr: o_id}
+    dimensions:
+      - {name: order_date, type: time, expr: "CAST(o_date AS DATE)", type_params: {time_granularity: day}}
+      - {name: status, type: categorical, expr: o_status}
+    measures:
+      - {name: order_total, agg: sum, expr: o_total}
+metrics:
+  - name: revenue_spined
+    label: rs
+    type: simple
+    type_params:
+      measure: {name: order_total, join_to_timespine: true, fill_nulls_with: 0}
+""",
+}
+
+
+def test_engine_declared_time_spine_model(project_dir, spark):
+    """End-to-end through the Engine: a model carrying the YAML
+    ``time_spine:`` config is picked up by _semantic_inputs, its table
+    feeds join_to_timespine (panel spans the SPINE's Dec..Apr range), and
+    custom-granularity group-bys resolve through it."""
+    root = project_dir(SPINE_PROJECT_FILES)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["build"]).success
+    node = eng.manifest.nodes["model.sl2.all_days"]
+    ts = node.config.meta["time_spine"]
+    assert ts["standard_granularity_column"] == "date_day"
+    assert ts["custom_granularities"][0] == {
+        "name": "fiscal_quarter", "column_name": "fq"}
+    rows = {str(r["metric_time__month"]): r["revenue_spined"]
+            for r in eng.query_metrics(
+                ["revenue_spined"],
+                group_by=["metric_time__month"]).collect()}
+    assert sorted(rows) == ["2023-12-01", "2024-01-01", "2024-02-01",
+                            "2024-03-01", "2024-04-01"]
+    assert rows["2023-12-01"] == 0.0 and rows["2024-02-03"[:7] + "-01"] == 275.0
+    fiscal = {r["metric_time__fiscal_quarter"]: r["revenue_spined"]
+              for r in eng.query_metrics(
+                  ["revenue_spined"],
+                  group_by=["metric_time__fiscal_quarter"]).collect()}
+    assert fiscal == {"FY2024Q1": 425.0, "FY2024Q2": 25.0}
