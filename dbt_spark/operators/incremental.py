@@ -259,6 +259,43 @@ def _incremental_bucketed(
     )
 
 
+def _native_merge(ctx: ExecutionContext, node: ManifestNode, new: DataFrame,
+                  keys: list[str], upd, exc) -> Optional[Relation]:
+    """Route a plain merge to the target format's NATIVE transactional
+    MERGE (``supports_native_merge`` formats — formats.py
+    TxParquetFormat.merge_into; Delta/Iceberg MERGE where their runtimes
+    exist): one optimistic-concurrency commit, file-pruned rewrite, no
+    staged swap. Returns None (→ generic read-combine-rewrite) for
+    partitioned targets, incremental_predicates, or batches that evolve
+    the target schema — the cases a full rewrite genuinely handles."""
+    from dbt_spark.formats import table_format
+    from dbt_spark.operators.materialize import storage_options
+
+    storage = storage_options(node)
+    fmt_obj = table_format(storage.get("file_format"))
+    if (not fmt_obj.supports_native_merge
+            or not fmt_obj.available(ctx.spark)
+            or not hasattr(fmt_obj, "merge_into")
+            or _partition_cols(node)
+            or node.config.meta.get("incremental_predicates")):
+        return None
+    schema = ctx.schema_for(node)
+    name = ctx.name_for(node)
+    rel = ctx.store.get(schema, name)
+    if rel is None or not rel.path:
+        return None
+    existing = ctx.store.read(schema, name)
+    aligned_existing, aligned_new = apply_schema_change(
+        existing, new, node.config.on_schema_change, node.unique_id)
+    if aligned_existing.schema != existing.schema:
+        return None  # schema evolution → full-rewrite path
+    fmt_obj.merge_into(ctx.spark, rel.path, aligned_new, keys,
+                       update_columns=upd, exclude_columns=exc)
+    ctx.store.invalidate(rel)
+    ctx.store.register(rel)
+    return rel
+
+
 def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Optional[Relation]:
     schema = ctx.schema_for(node)
     strategy = node.config.incremental_strategy or "append"
@@ -315,6 +352,9 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
     if strategy == "merge":
         upd = node.config.meta.get("merge_update_columns")
         exc = node.config.meta.get("merge_exclude_columns")
+        native = _native_merge(ctx, node, new, _unique_keys(node), upd, exc)
+        if native is not None:
+            return native
 
         def combine(existing, batch, keys):
             return merge_upsert(

@@ -124,8 +124,11 @@ def materialize_snapshot(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     source = run_model_df(ctx, node)
 
     if not ctx.store.exists(schema, ctx.name_for(node)):
+        from dbt_spark.operators.materialize import storage_options
+
         first = _to_external(_with_meta(source, node, run_ts), node)
-        return ctx.store.write_table(schema, ctx.name_for(node), first, kind="snapshot")
+        return ctx.store.write_table(schema, ctx.name_for(node), first,
+                                     kind="snapshot", **storage_options(node))
 
     snap = _to_internal(ctx.store.read(schema, ctx.name_for(node)), node)
     has_deleted_col = "dbt_is_deleted" in snap.columns
@@ -201,6 +204,9 @@ def materialize_snapshot(ctx: ExecutionContext, node: ManifestNode) -> Relation:
         new_snap = new_snap.unionByName(markers, allowMissingColumns=True)
         new_snap = new_snap.fillna(False, subset=["dbt_is_deleted"])
 
+    from dbt_spark.operators.materialize import storage_options
+
     return ctx.store.write_table(
-        schema, ctx.name_for(node), _to_external(new_snap, node), kind="snapshot"
+        schema, ctx.name_for(node), _to_external(new_snap, node),
+        kind="snapshot", **storage_options(node)
     )

@@ -12,7 +12,7 @@ from dbt_spark.formats import TABLE_FORMATS, table_format
 
 def test_registry_and_lookup():
     assert set(TABLE_FORMATS) == {"parquet", "orc", "json", "csv",
-                                  "delta", "iceberg"}
+                                  "delta", "iceberg", "txparquet"}
     assert table_format(None).name == "parquet"
     assert table_format("CSV").name == "csv"
     with pytest.raises(ValueError, match="unknown file_format"):
@@ -24,6 +24,11 @@ def test_capability_flags():
     assert not table_format("csv").supports_native_merge
     assert table_format("delta").acid
     assert table_format("iceberg").supports_native_merge
+    assert table_format("txparquet").acid
+    assert table_format("txparquet").supports_native_merge
+    # and unlike the jar-gated formats it is executable in-container
+    assert table_format("txparquet").available.__qualname__.startswith(
+        "SwapFileFormat")
 
 
 def test_acid_formats_gated_in_container(spark):
@@ -91,3 +96,284 @@ def test_standalone_overwrite_replaces_existing_dir(spark, tmp_path):
     leftovers = [e for e in os.listdir(parent)
                  if "__staging__" in e or "__retired__" in e]
     assert not leftovers
+
+
+# --------------------------------------------------------------------------
+# txparquet: the in-container ACID format — commit-log protocol +
+# the whole materialization suite run over a transactional target
+# --------------------------------------------------------------------------
+
+import json
+
+from dbt_spark.formats import TxParquetFormat
+
+
+@pytest.fixture()
+def tx_store(spark, tmp_path):
+    return RelationStore(spark, str(tmp_path / "wh")), table_format("txparquet")
+
+
+def test_txparquet_overwrite_append_read_roundtrip(spark, tx_store):
+    store, fmt = tx_store
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    store.write_table("main", "t", df, file_format="txparquet")
+    assert store.read("main", "t").count() == 10
+    store.write_table("main", "t", spark.range(10, 13).selectExpr(
+        "id", "id * 2 AS v"), mode="append", file_format="txparquet")
+    assert store.read("main", "t").count() == 13
+    rel = store.get("main", "t")
+    assert rel.meta["file_format"] == "txparquet"
+    # two commits, immutable data files, no swap dirs
+    assert fmt.latest_version(rel.path) == 2
+    assert not [e for e in os.listdir(os.path.dirname(rel.path))
+                if "__staging__" in e or "__old__" in e]
+
+
+def test_txparquet_time_travel_and_snapshot_isolation(spark, tx_store):
+    store, fmt = tx_store
+    store.write_table("main", "t", spark.range(5).selectExpr("id"),
+                      file_format="txparquet")
+    rel = store.get("main", "t")
+    old_plan = store.read("main", "t")  # plan bound to version 1's files
+    store.write_table("main", "t", spark.range(2).selectExpr("id"),
+                      file_format="txparquet")
+    # reader of the superseded snapshot is unaffected by the new commit
+    assert old_plan.count() == 5
+    assert store.read("main", "t").count() == 2
+    assert fmt.read_version(spark, rel.path, 1).count() == 5
+    assert fmt.read_version(spark, rel.path, 2).count() == 2
+
+
+def test_txparquet_commit_conflict_rebases_append(spark, tx_store):
+    """Optimistic concurrency: a foreign commit landing between an
+    append's stage and commit makes the appender REBASE onto the new
+    state — both writers' rows survive."""
+    store, fmt = tx_store
+    store.write_table("main", "t", spark.range(3).selectExpr("id", "id AS v"),
+                      file_format="txparquet")
+    rel = store.get("main", "t")
+    # simulate a concurrent writer claiming version 2 directly
+    foreign = spark.createDataFrame([(100, 100)], "id long, v long")
+    files = fmt._stage_data(foreign, rel.path)
+    assert fmt._try_commit(rel.path, 2, {
+        "version": 2, "files": fmt._load_commit(rel.path, 1)["files"] + files,
+        "schema": foreign.schema.json()})
+    # our append must land as version 3 INCLUDING the foreign row
+    fmt.write_append(spark.createDataFrame([(200, 200)], "id long, v long"),
+                     rel.path)
+    assert fmt.latest_version(rel.path) == 3
+    got = {r.id for r in store.read("main", "t").collect()}
+    assert got == {0, 1, 2, 100, 200}
+
+
+def test_txparquet_merge_conflict_fails_cleanly(spark, tx_store):
+    store, fmt = tx_store
+    store.write_table("main", "t", spark.range(3).selectExpr("id", "id AS v"),
+                      file_format="txparquet")
+    rel = store.get("main", "t")
+    batch = spark.createDataFrame([(1, 99)], "id long, v long")
+    # wedge a foreign commit in by monkeypatching the stage step to
+    # commit version 2 first (deterministic interleave)
+    orig_stage = fmt._stage_data
+
+    def stage_then_foreign(df, path):
+        files = orig_stage(df, path)
+        foreign = orig_stage(spark.createDataFrame([(7, 7)], "id long, v long"),
+                             path)
+        fmt._try_commit(path, 2, {
+            "version": 2,
+            "files": fmt._load_commit(path, 1)["files"] + foreign,
+            "schema": df.schema.json()})
+        return files
+
+    fmt._stage_data = stage_then_foreign
+    try:
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            fmt.merge_into(spark, rel.path, batch, ["id"])
+    finally:
+        fmt._stage_data = orig_stage
+    # the table state is the FOREIGN commit, uncorrupted
+    assert {r.id for r in store.read("main", "t").collect()} == {0, 1, 2, 7}
+
+
+def test_txparquet_native_merge_is_file_pruned(spark, tx_store):
+    """merge_into rewrites only data files containing matched keys;
+    untouched files are re-referenced VERBATIM in the new commit."""
+    store, fmt = tx_store
+    store.write_table("main", "t",
+                      spark.range(0, 5).selectExpr("id", "id AS v"),
+                      file_format="txparquet")
+    rel = store.get("main", "t")
+    store.write_table("main", "t",
+                      spark.range(100, 105).selectExpr("id", "id AS v"),
+                      mode="append", file_format="txparquet")
+    before = fmt._load_commit(rel.path, fmt.latest_version(rel.path))
+    first_commit_files = set(fmt._load_commit(rel.path, 1)["files"])
+    # batch touches only the second append's key range
+    fmt.merge_into(spark, rel.path,
+                   spark.createDataFrame([(101, -1)], "id long, v long"),
+                   ["id"])
+    after = fmt._load_commit(rel.path, fmt.latest_version(rel.path))
+    # every file of the untouched first commit is still referenced verbatim
+    assert first_commit_files <= set(after["files"])
+    # and at least one file of the touched commit was replaced
+    assert set(before["files"]) - set(after["files"])
+    got = dict((r.id, r.v) for r in store.read("main", "t").collect())
+    assert got[101] == -1 and got[0] == 0 and len(got) == 10
+
+
+def test_txparquet_vacuum_drops_superseded_files(spark, tx_store):
+    store, fmt = tx_store
+    store.write_table("main", "t", spark.range(8).selectExpr("id"),
+                      file_format="txparquet")
+    rel = store.get("main", "t")
+    store.write_table("main", "t", spark.range(2).selectExpr("id"),
+                      file_format="txparquet")
+    removed = fmt.vacuum(rel.path)
+    assert removed > 0
+    assert store.read("main", "t").count() == 2
+    # only the latest commit's log remains
+    assert fmt.latest_version(rel.path) == 2
+    assert len(os.listdir(os.path.join(rel.path, "_commits"))) == 1
+
+
+# --------------------------------------------------------------------------
+# the materialization suite over the ACID target: every incremental
+# strategy + snapshot driven through the REAL operators with
+# file_format='txparquet' — the seam exercised, not just declared
+# --------------------------------------------------------------------------
+
+from dbt_spark.operators.incremental import materialize_incremental
+from dbt_spark.operators.materialize import ExecutionContext
+from dbt_spark.operators.snapshot import materialize_snapshot
+from dbt_spark.plans.manifest import Manifest, ManifestNode, NodeConfig, NodeType
+
+
+def _tx_ctx(spark, tmp_path, **kw):
+    from dbt_spark.project import Project
+
+    project = Project(name="txq", root=str(tmp_path), profile={
+        "warehouse": str(tmp_path / "wh"), "schema": "main", "threads": 2})
+    return ExecutionContext(
+        spark=spark, store=RelationStore(spark, project.profile["warehouse"]),
+        manifest=Manifest(project_name="txq"), project=project, **kw)
+
+
+def _tx_node(name, sql, **config):
+    config.setdefault("file_format", "txparquet")
+    return ManifestNode(
+        unique_id=f"model.txq.{name}", name=name, package_name="txq",
+        path=f"models/{name}.sql", resource_type=NodeType.Model,
+        raw_code=sql, config=NodeConfig().merged(**config))
+
+
+def test_txparquet_incremental_append(spark, tmp_path):
+    ctx = _tx_ctx(spark, tmp_path)
+    node = _tx_node("a", "SELECT 1 AS id, 'x' AS s",
+                    materialized="incremental", incremental_strategy="append")
+    materialize_incremental(ctx, node)
+    node.raw_code = "SELECT 2 AS id, 'y' AS s"
+    materialize_incremental(ctx, node)
+    rel = ctx.store.get("main", "a")
+    assert rel.meta["file_format"] == "txparquet"
+    assert {r.id for r in ctx.store.read("main", "a").collect()} == {1, 2}
+    assert table_format("txparquet").latest_version(rel.path) == 2
+
+
+def test_txparquet_incremental_merge_uses_native_path(spark, tmp_path):
+    """strategy=merge over txparquet routes through _native_merge →
+    merge_into: the commit log shows a file-pruned commit (the first
+    batch's untouched files re-referenced), not a full rewrite."""
+    ctx = _tx_ctx(spark, tmp_path)
+    node = _tx_node("m", "SELECT id, CAST(id AS STRING) AS s FROM range(5)",
+                    materialized="incremental", incremental_strategy="merge",
+                    unique_key="id")
+    materialize_incremental(ctx, node)
+    rel = ctx.store.get("main", "m")
+    fmt = table_format("txparquet")
+    v1_files = set(fmt._load_commit(rel.path, 1)["files"])
+    ctx.store.write_table("main", "m",
+                          spark.range(100, 103).selectExpr(
+                              "id", "CAST(id AS STRING) AS s"),
+                          mode="append", file_format="txparquet")
+    node.raw_code = "SELECT 101 AS id, 'UPD' AS s"
+    materialize_incremental(ctx, node)
+    got = dict((r.id, r.s) for r in ctx.store.read("main", "m").collect())
+    assert got[101] == "UPD" and got[0] == "0" and len(got) == 8
+    after = fmt._load_commit(rel.path, fmt.latest_version(rel.path))
+    # native file-pruned merge: batch 1's files survived verbatim
+    assert v1_files <= set(after["files"])
+
+
+def test_txparquet_incremental_merge_schema_evolution_falls_back(spark, tmp_path):
+    """on_schema_change=append_new_columns evolves the target schema —
+    _native_merge declines and the generic rewrite path handles it,
+    still committing transactionally through the format."""
+    ctx = _tx_ctx(spark, tmp_path)
+    node = _tx_node("e", "SELECT 1 AS id, 'x' AS s",
+                    materialized="incremental", incremental_strategy="merge",
+                    unique_key="id", on_schema_change="append_new_columns")
+    materialize_incremental(ctx, node)
+    node.raw_code = "SELECT 1 AS id, 'x2' AS s, 42 AS extra"
+    materialize_incremental(ctx, node)
+    rows = ctx.store.read("main", "e").collect()
+    assert rows[0].s == "x2" and rows[0].extra == 42
+
+
+def test_txparquet_incremental_delete_insert(spark, tmp_path):
+    ctx = _tx_ctx(spark, tmp_path)
+    node = _tx_node("d", "SELECT id, 'v1' AS s FROM range(4)",
+                    materialized="incremental",
+                    incremental_strategy="delete+insert", unique_key="id")
+    materialize_incremental(ctx, node)
+    node.raw_code = "SELECT 2 AS id, 'v2' AS s"
+    materialize_incremental(ctx, node)
+    got = dict((r.id, r.s) for r in ctx.store.read("main", "d").collect())
+    assert got == {0: "v1", 1: "v1", 2: "v2", 3: "v1"}
+
+
+def test_txparquet_snapshot_scd2(spark, tmp_path):
+    ctx = _tx_ctx(spark, tmp_path, snapshot_ts="2020-01-01 00:00:00")
+    node = _tx_node("snap", "SELECT 1 AS k, 'a' AS val",
+                    materialized="snapshot", unique_key="k",
+                    strategy="check", check_cols=["val"])
+    materialize_snapshot(ctx, node)
+    ctx.snapshot_ts = "2020-06-01 00:00:00"
+    node.raw_code = "SELECT 1 AS k, 'b' AS val"
+    materialize_snapshot(ctx, node)
+    rel = ctx.store.get("main", "snap")
+    assert rel.meta["file_format"] == "txparquet"
+    rows = sorted(((r.val, r.dbt_valid_to is None)
+                   for r in ctx.store.read("main", "snap").collect()))
+    assert rows == [("a", False), ("b", True)]
+    # two snapshot materializations = two commits on the ACID target
+    assert table_format("txparquet").latest_version(rel.path) == 2
+
+
+def test_txparquet_table_materialization_via_engine(spark, tmp_path, project_dir):
+    """dbt build of a project whose models configure
+    file_format='txparquet': table + incremental merge end-to-end through
+    the Engine over the transactional format."""
+    from dbt_spark.runner import Engine
+
+    root = project_dir({
+        "dbt_project.yml": "name: txp\nmodel-paths: ['models']\n",
+        "models/base.sql": (
+            "{{ config(materialized='table', file_format='txparquet') }}\n"
+            "SELECT id, id * 10 AS v FROM range(6)"
+        ),
+        "models/inc.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='merge', unique_key='id', "
+            "file_format='txparquet') }}\n"
+            "SELECT id, v FROM {{ ref('base') }}\n"
+            "{% if is_incremental() %} WHERE id >= 4 {% endif %}"
+        ),
+    })
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["build"]).success
+    assert eng.invoke(["build"]).success  # second run: incremental merge
+    rel = eng.store.get("main", "inc")
+    assert rel.meta["file_format"] == "txparquet"
+    assert {r.id for r in eng.store.read("main", "inc").collect()} == set(range(6))
+    assert table_format("txparquet").latest_version(rel.path) >= 2
