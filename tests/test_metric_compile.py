@@ -1107,3 +1107,341 @@ def test_engine_declared_time_spine_model(project_dir, spark):
                   ["revenue_spined"],
                   group_by=["metric_time__fiscal_quarter"]).collect()}
     assert fiscal == {"FY2024Q1": 425.0, "FY2024Q2": 25.0}
+
+
+# --------------------------------------------------------------------------
+# randomized semantic-layer differential family: random worlds + random
+# metric specs (simple/filtered/ratio/derived/cumulative/offset/timespine/
+# custom-grain/entity-hop/two-hop) compiled by plans/metric_compile.py and
+# checked against an independent pandas oracle — generalizes the seeded
+# conversion brute-force above. Seed bases rotate with DBT_SPARK_FUZZ_OFFSET
+# like tests/test_differential_fuzz.py's families.
+# --------------------------------------------------------------------------
+
+import datetime as _dt
+import math as _math
+import os as _os
+import random as _random
+
+import pandas as _pd
+
+_FUZZ_OFF = int(_os.environ.get("DBT_SPARK_FUZZ_OFFSET", "0"))
+
+_FUZZ_FACT_SM = {
+    "name": "fact_sm",
+    "model": "ref('fact')",
+    "defaults": {"agg_time_dimension": "d"},
+    "entities": [
+        {"name": "order", "type": "primary", "expr": "o_id"},
+        {"name": "customer", "type": "foreign", "expr": "cust"},
+    ],
+    "dimensions": [
+        {"name": "d", "type": "time", "expr": "d",
+         "type_params": {"time_granularity": "day"}},
+        {"name": "status", "type": "categorical", "expr": "status"},
+    ],
+    "measures": [
+        {"name": "amt_sum", "agg": "sum", "expr": "amount"},
+        {"name": "qty_sum", "agg": "sum", "expr": "qty"},
+        {"name": "n_rows", "agg": "count", "expr": "1"},
+        {"name": "amt_sum_a", "agg": "sum", "expr": "amount",
+         "filter": "{{ Dimension('status') }} = 'A'"},
+        {"name": "n_rows_a", "agg": "count", "expr": "1",
+         "filter": "{{ Dimension('status') }} = 'A'"},
+    ],
+}
+
+_FUZZ_CUST_SM = {
+    "name": "cust_sm",
+    "model": "ref('customers')",
+    "entities": [
+        {"name": "customer", "type": "primary", "expr": "c_id"},
+        {"name": "region", "type": "foreign", "expr": "region_id"},
+    ],
+    "dimensions": [
+        {"name": "segment", "type": "categorical", "expr": "segment"}],
+    "measures": [{"name": "c_n", "agg": "count", "expr": "1"}],
+}
+
+_FUZZ_REGION_SM = {
+    "name": "region_sm",
+    "model": "ref('regions')",
+    "entities": [{"name": "region", "type": "primary", "expr": "r_id"}],
+    "dimensions": [{"name": "rname", "type": "categorical", "expr": "rname"}],
+    "measures": [{"name": "r_n", "agg": "count", "expr": "1"}],
+}
+
+_FUZZ_MODELS = [_FUZZ_FACT_SM, _FUZZ_CUST_SM, _FUZZ_REGION_SM]
+
+
+def _fuzz_world(rng):
+    n_cust = rng.randrange(3, 6)
+    customers = [(c, rng.choice("XYZ"), rng.randrange(2))
+                 for c in range(n_cust)]
+    regions = [(0, "north"), (1, "south")]
+    base = _dt.date(2024, 1, 1)
+    rows = [
+        (i, rng.randrange(n_cust),
+         base + _dt.timedelta(days=rng.randrange(0, 100)),
+         rng.choice("ABC"), rng.randrange(1, 50), rng.randrange(1, 5))
+        for i in range(rng.randrange(25, 45))
+    ]
+    # user-declared day spine with a PYTHON-computed fiscal-quarter label
+    # (fiscal year starts Feb): both engines consume the same literal rows,
+    # so no cross-dialect date-arithmetic ambiguity sneaks into the oracle
+    spine = []
+    day = base
+    while day <= _dt.date(2024, 4, 30):
+        shifted = day + _dt.timedelta(days=31)
+        spine.append((day, f"FY{shifted.year}Q{(shifted.month - 1) // 3 + 1}"))
+        day += _dt.timedelta(days=1)
+    return rows, customers, regions, spine
+
+
+def _fuzz_register(spark, rows, customers, regions, spine):
+    spark.createDataFrame(
+        rows, "o_id long, cust long, d date, status string, amount long, qty long"
+    ).createOrReplaceTempView("fz_fact")
+    spark.createDataFrame(
+        customers, "c_id long, segment string, region_id long"
+    ).createOrReplaceTempView("fz_customers")
+    spark.createDataFrame(
+        regions, "r_id long, rname string").createOrReplaceTempView("fz_regions")
+    spark.createDataFrame(
+        spine, "date_day date, fq string").createOrReplaceTempView("fz_spine")
+
+
+_FUZZ_TABLES = {"fact": "fz_fact", "customers": "fz_customers",
+                "regions": "fz_regions", "fiscal_days": "fz_spine"}
+
+_FUZZ_SPINE_DECL = {
+    "model": "fiscal_days",
+    "standard_granularity_column": "date_day",
+    "granularity": "day",
+    "custom_granularities": [{"name": "fiscal_q", "column_name": "fq"}],
+}
+
+
+def _fuzz_keys(group_by, fact, cust_map, seg_map, reg_map, fq_map):
+    """Resolve group-by items into per-row key columns (pandas)."""
+    out = {}
+    for item in group_by:
+        if item == "status":
+            out[item] = fact["status"]
+        elif item == "metric_time__month":
+            out[item] = fact["d"].map(lambda v: v.replace(day=1))
+        elif item == "metric_time__fiscal_q":
+            out[item] = fact["d"].map(fq_map)
+        elif item == "customer__segment":
+            out[item] = fact["cust"].map(seg_map)
+        elif item == "customer__region__rname":
+            out[item] = fact["cust"].map(cust_map).map(reg_map)
+        else:  # pragma: no cover
+            raise AssertionError(item)
+    return _pd.DataFrame(out) if out else None
+
+
+def _fuzz_measure(work, measure):
+    """Grouped measure value per the engine's CASE-WHEN-inside-aggregate
+    semantics: COUNT of no matches is 0, SUM of no matches is NULL."""
+    name = {"amt_sum": ("sum", "amount", None),
+            "qty_sum": ("sum", "qty", None),
+            "n_rows": ("count", None, None),
+            "amt_sum_a": ("sum", "amount", "A"),
+            "n_rows_a": ("count", None, "A")}[measure]
+    agg, col, filt = name
+
+    def f(g):
+        rows = g if filt is None else g[g["status"] == filt]
+        if agg == "count":
+            return len(rows)
+        return rows[col].sum() if len(rows) else None
+
+    return f
+
+
+def _fuzz_grouped(work, keys, value_fn):
+    """[(key_tuple, value)] with engine grouping semantics."""
+    if keys is None:
+        return {(): value_fn(work)}
+    kcols = [f"__k_{c}" for c in keys.columns]
+    w = work.join(keys.set_axis(kcols, axis=1))
+    out = {}
+    for kt, g in w.groupby(kcols, dropna=False, sort=False):
+        if not isinstance(kt, tuple):
+            kt = (kt,)
+        out[kt] = value_fn(g)
+    return out
+
+
+def _fuzz_norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if _math.isnan(v):
+            return None
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return str(v)[:10]
+    if isinstance(v, _pd.Timestamp):
+        return str(v)[:10]
+    return v
+
+
+def _fuzz_rows(mapping):
+    return sorted(
+        (tuple(_fuzz_norm(k) for k in kt) + (_fuzz_norm(v),)
+         for kt, v in mapping.items()),
+        key=lambda t: tuple(str(x) for x in t))
+
+
+def _fuzz_spark_rows(df, group_by, metric):
+    cols = list(group_by) + [metric]
+    out = {}
+    for r in df.select(*cols).collect():
+        out[tuple(r[c] for c in group_by)] = r[metric]
+    return _fuzz_rows(out)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_semantic_layer_differential_random(spark, seed):
+    rng = _random.Random(_FUZZ_OFF + 777_000 + seed)
+    rows, customers, regions, spine = _fuzz_world(rng)
+    _fuzz_register(spark, rows, customers, regions, spine)
+    fact = _pd.DataFrame(
+        rows, columns=["o_id", "cust", "d", "status", "amount", "qty"])
+    seg_map = {c: s for c, s, _ in customers}
+    cust_map = {c: r for c, _, r in customers}
+    reg_map = dict(regions)
+    fq_map = dict(spine)
+
+    kind = rng.choice(
+        ["simple", "simple_filtered", "ratio", "derived", "cumulative",
+         "offset", "timespine", "custom_grain", "hop", "two_hop"])
+    plain_groups = [["status"], ["metric_time__month"],
+                    ["status", "metric_time__month"], []]
+    measure = rng.choice(["amt_sum", "qty_sum", "n_rows"])
+    spines = None
+    order_by = None
+
+    if kind in ("simple", "simple_filtered", "ratio", "derived"):
+        group_by = rng.choice(plain_groups)
+    elif kind in ("cumulative", "offset"):
+        group_by = rng.choice([["metric_time__month"],
+                               ["status", "metric_time__month"]])
+    elif kind == "timespine":
+        group_by = rng.choice([["metric_time__month"],
+                               ["status", "metric_time__month"]])
+    elif kind == "custom_grain":
+        group_by = ["metric_time__fiscal_q"]
+        spines = [_FUZZ_SPINE_DECL]
+    elif kind == "hop":
+        group_by = rng.choice([["customer__segment"],
+                               ["customer__segment", "status"]])
+    else:  # two_hop
+        group_by = [rng.choice([["customer__region__rname"]])[0]]
+
+    if kind == "simple_filtered":
+        measure = rng.choice(["amt_sum_a", "n_rows_a"])
+        metrics = [{"name": "m", "type": "simple",
+                    "type_params": {"measure": measure}}]
+    elif kind == "ratio":
+        metrics = [{"name": "m", "type": "ratio",
+                    "type_params": {"numerator": "amt_sum",
+                                    "denominator": "n_rows"}}]
+    elif kind == "derived":
+        metrics = [
+            {"name": "a_m", "type": "simple",
+             "type_params": {"measure": "amt_sum"}},
+            {"name": "q_m", "type": "simple",
+             "type_params": {"measure": "qty_sum"}},
+            {"name": "m", "type": "derived",
+             "type_params": {"expr": "a + 2 * q",
+                             "metrics": [{"name": "a_m", "alias": "a"},
+                                         {"name": "q_m", "alias": "q"}]}},
+        ]
+    elif kind == "cumulative":
+        metrics = [{"name": "m", "type": "cumulative",
+                    "type_params": {"measure": measure}}]
+    elif kind == "offset":
+        metrics = [
+            {"name": "cur_m", "type": "simple",
+             "type_params": {"measure": measure}},
+            {"name": "m", "type": "derived",
+             "type_params": {"expr": "cur - prev",
+                             "metrics": [
+                                 {"name": "cur_m", "alias": "cur"},
+                                 {"name": "cur_m", "alias": "prev",
+                                  "offset_window": "1 month"}]}},
+        ]
+    elif kind == "timespine":
+        metrics = [{"name": "m", "type": "simple",
+                    "type_params": {"measure": {
+                        "name": measure, "join_to_timespine": True,
+                        "fill_nulls_with": 0}}}]
+    else:  # simple / custom_grain / hop / two_hop
+        metrics = [{"name": "m", "type": "simple",
+                    "type_params": {"measure": measure}}]
+
+    sql = compile_metrics_sql(["m"], metrics, _FUZZ_MODELS, _FUZZ_TABLES,
+                              group_by=group_by, order_by=order_by,
+                              time_spines=spines)
+    got = _fuzz_spark_rows(spark.sql(sql), group_by, "m")
+
+    # ---- pandas oracle ----
+    keys = _fuzz_keys(group_by, fact, cust_map, seg_map, reg_map, fq_map)
+    if kind in ("simple", "simple_filtered", "custom_grain", "hop", "two_hop"):
+        want = _fuzz_grouped(fact, keys, _fuzz_measure(fact, measure))
+    elif kind == "ratio":
+        num = _fuzz_grouped(fact, keys, _fuzz_measure(fact, "amt_sum"))
+        den = _fuzz_grouped(fact, keys, _fuzz_measure(fact, "n_rows"))
+        want = {k: (float(num[k]) / float(den[k]) if den[k] else None)
+                for k in num}
+    elif kind == "derived":
+        a = _fuzz_grouped(fact, keys, _fuzz_measure(fact, "amt_sum"))
+        q = _fuzz_grouped(fact, keys, _fuzz_measure(fact, "qty_sum"))
+        want = {k: a[k] + 2 * q[k] for k in a}
+    elif kind == "cumulative":
+        base = _fuzz_grouped(fact, keys, _fuzz_measure(fact, measure))
+        ti = group_by.index("metric_time__month")
+        want = {}
+        by_part = {}
+        for kt in sorted(base, key=lambda t: str(t[ti])):
+            part = tuple(v for i, v in enumerate(kt) if i != ti)
+            by_part[part] = by_part.get(part, 0) + base[kt]
+            want[kt] = by_part[part]
+    elif kind == "offset":
+        cur = _fuzz_grouped(fact, keys, _fuzz_measure(fact, measure))
+        ti = group_by.index("metric_time__month")
+
+        def shift(kt):
+            m = kt[ti]
+            nxt = (m.replace(year=m.year + 1, month=1) if m.month == 12
+                   else m.replace(month=m.month + 1))
+            return kt[:ti] + (nxt,) + kt[ti + 1:]
+
+        prev = {shift(kt): v for kt, v in cur.items()}
+        want = {}
+        for kt in set(cur) | set(prev):
+            c, p = cur.get(kt), prev.get(kt)
+            want[kt] = None if (c is None or p is None) else c - p
+    else:  # timespine
+        base = _fuzz_grouped(fact, keys, _fuzz_measure(fact, measure))
+        ti = group_by.index("metric_time__month")
+        months_present = sorted({kt[ti] for kt in base})
+        months, m = [], months_present[0]
+        while m <= months_present[-1]:
+            months.append(m)
+            m = (m.replace(year=m.year + 1, month=1) if m.month == 12
+                 else m.replace(month=m.month + 1))
+        parts = sorted({tuple(v for i, v in enumerate(kt) if i != ti)
+                        for kt in base}, key=str)
+        want = {}
+        for part in parts:
+            for m in months:
+                kt = part[:ti] + (m,) + part[ti:]
+                v = base.get(kt)
+                want[kt] = 0 if v is None else v
+
+    assert got == _fuzz_rows(want), (
+        f"seed={seed} kind={kind} group_by={group_by}\nsql={sql}")
