@@ -365,18 +365,52 @@ def test_pure_wire_encoder_negative_values():
     assert back["ts"] == "1969-12-31T23:59:59.500000"
 
 
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="cross-check against google.protobuf runs where it is installed")
-def test_pure_wire_encoder_matches_protobuf_bytes():
-    """Where google.protobuf IS available, the pure encoder must produce
-    byte-identical canonical serialization (ascending field order, defaults
-    skipped) for the same event info."""
+GOLDEN_PB = os.path.join(os.path.dirname(__file__), "fixtures",
+                         "golden_events.pb")
+
+GOLDEN_INFOS = [
+    {"name": "MainReportVersion", "code": "A001", "msg": "Running dbt",
+     "level": "info", "invocation_id": "0f7a3e2b", "pid": 4242,
+     "thread": "MainThread", "ts": "2026-03-04T05:06:07.000008+00:00",
+     "category": ""},
+    # negative pid + pre-1970 ts: the 10-byte two's-complement varints
+    {"name": "E", "code": "Z", "msg": "m", "level": "info",
+     "invocation_id": "iv", "pid": -7, "thread": "t",
+     "ts": "1969-12-31T23:59:59.500000+00:00", "category": ""},
+]
+
+
+def test_pure_wire_encoder_matches_golden_pb_bytes():
+    """ALWAYS-ON canonical-bytes check: the committed fixture
+    tests/fixtures/golden_events.pb holds the length-delimited canonical
+    proto3 serialization of two CoreEventInfo messages, derived from the
+    published wire spec (protobuf.dev/programming-guides/encoding) by an
+    INDEPENDENT byte-by-byte construction (tag/varint/length arithmetic
+    written separately from dbt_spark.protowire, not by the code under
+    test). The pure encoder must reproduce each framed message
+    byte-for-byte — including the 10-byte two's-complement varints of a
+    negative pid and a pre-1970 Timestamp.seconds — and the delimited
+    reader must parse the stream back to the source dicts."""
     from dbt_spark import protowire
 
-    info = {
-        "name": "NodeStart", "code": "Q024", "msg": "", "level": "debug",
-        "invocation_id": "iv", "pid": 4242, "thread": "Thread-7",
-        "ts": "2026-03-04T05:06:07.000008+00:00", "category": "",
-    }
-    assert protowire._encode_pure(info) == protowire.encode_event_info(info)
+    with open(GOLDEN_PB, "rb") as f:
+        blob = f.read()
+    # parse the varint-length framing and compare message bytes exactly
+    msgs, pos = [], 0
+    while pos < len(blob):
+        ln, pos = protowire._read_varint(blob, pos)
+        msgs.append(blob[pos:pos + ln])
+        pos += ln
+    assert len(msgs) == len(GOLDEN_INFOS)
+    for info, golden in zip(GOLDEN_INFOS, msgs):
+        assert protowire._encode_pure(info) == golden, info["name"]
+    # the delimited reader consumes the committed stream
+    decoded = protowire.read_delimited(GOLDEN_PB)
+    assert [d["name"] for d in decoded] == ["MainReportVersion", "E"]
+    assert decoded[0]["pid"] == 4242 and decoded[1]["pid"] == -7
+    assert decoded[1]["ts"].startswith("1969-12-31T23:59:59.500000")
+    # where google.protobuf IS installed, additionally require the
+    # library's own serialization of the same messages to equal the fixture
+    if _has_protobuf():
+        for info, golden in zip(GOLDEN_INFOS, msgs):
+            assert protowire.encode_event_info(info) == golden
