@@ -470,7 +470,68 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _table_profile(spark, sf_dir, exact=False)
 
 
+def table_profile_approx_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the HLL++ approx profile, oracle-paired: each
+    profiled column's ``approx_count_distinct(rsd=0.05)`` estimate must land
+    within ±2·rsd (10%) of the exact distinct count. The DuckDB oracle runs
+    the SAME contract over ITS OWN approx_count_distinct, so the value-hash
+    compare pins both engines' sketches to one tolerance — converting the
+    rows-only ``table_profile_approx`` into a value-checked accuracy bound.
+    Deterministic: HLL++ is seed-free on fixed data, so the booleans are
+    stable run to run.
+
+    Scale: exact counts here exist only to judge the sketch — the at-scale
+    profile (table_profile_approx) stays single-pass approx-only; this gate
+    runs at validation SFs. Each exact distinct is its own single-column
+    aggregate (no Expand, same plan shape as table_profile)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    cols = ["l_quantity", "l_shipdate", "l_returnflag", "l_extendedprice"]
+    one = li.agg(
+        *[F.approx_count_distinct(c, 0.05).alias(f"{c}__ad") for c in cols])
+    for c in cols:
+        one = one.crossJoin(
+            F.broadcast(li.select(c).agg(
+                F.countDistinct(c).alias(f"{c}__nd"))))
+    stack_expr = (
+        "stack({n}, {parts}) as (column_name, n_distinct_exact, approx)"
+        .format(n=len(cols),
+                parts=", ".join(f"'{c}', {c}__nd, {c}__ad" for c in cols)))
+    return one.select(F.expr(stack_expr)).select(
+        "column_name",
+        F.col("n_distinct_exact").cast("bigint").alias("n_distinct_exact"),
+        (F.abs(F.col("approx") - F.col("n_distinct_exact"))
+         <= 0.10 * F.col("n_distinct_exact")).alias("approx_within_2rsd"),
+    ).orderBy("column_name")
+
+
 ORACLES: dict[str, str] = {
+    "table_profile_approx_tolerance": """
+        SELECT column_name, n_distinct_exact,
+               abs(approx - n_distinct_exact) <= 0.10 * n_distinct_exact
+                   AS approx_within_2rsd
+        FROM (
+            SELECT 'l_quantity' AS column_name,
+                   CAST(count(DISTINCT l_quantity) AS BIGINT)
+                       AS n_distinct_exact,
+                   CAST(approx_count_distinct(l_quantity) AS BIGINT) AS approx
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate',
+                   CAST(count(DISTINCT l_shipdate) AS BIGINT),
+                   CAST(approx_count_distinct(l_shipdate) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag',
+                   CAST(count(DISTINCT l_returnflag) AS BIGINT),
+                   CAST(approx_count_distinct(l_returnflag) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice',
+                   CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+                   CAST(approx_count_distinct(l_extendedprice) AS BIGINT)
+            FROM lineitem
+        ) ORDER BY column_name
+    """,
     "join_range_binned": """
         WITH r AS (
             SELECT CAST(o_custkey % 50 AS BIGINT) AS rid,
@@ -654,6 +715,7 @@ QUERIES = {
     "attribution_touchpoints": attribution_touchpoints,
     "table_profile": table_profile,
     "table_profile_approx": table_profile_approx,
+    "table_profile_approx_tolerance": table_profile_approx_tolerance,
     "bm25_topk": bm25_topk,
     "stratified_quota_sample": stratified_quota_sample,
     "minhash_jaccard_calibration": minhash_jaccard_calibration,

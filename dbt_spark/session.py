@@ -181,8 +181,8 @@ def spread(df, spark: SparkSession, target: int | None = None):
     paid on inputs small enough for it not to matter.
     """
     target = target or spark.sparkContext.defaultParallelism
-    # memoize per cached source scan (identity match — the partition-count
-    # probe costs a py4j RDD conversion per call otherwise)
+    # memoize per cached source scan (identity match — the file-layout
+    # probe below costs a py4j call + os.stat per file otherwise)
     key = next(
         (
             (app, f"spread{target}:" + p)
@@ -193,10 +193,53 @@ def spread(df, spark: SparkSession, target: int | None = None):
     )
     if key is not None and key in _scan_cache:
         return _scan_cache[key]
-    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    out = df.repartition(target) if _scan_tasks(spark, df) < target else df
     if key is not None:
         _scan_cache[key] = out
     return out
+
+
+def _scan_tasks(spark: SparkSession, df) -> int:
+    """Estimate how many input tasks a file scan will get, from file-layout
+    METADATA only (``df.inputFiles()`` + os.stat) — Spark's own file-split
+    packing formula (FilePartition: bytesPerCore vs maxPartitionBytes vs
+    openCostInBytes), never ``df.rdd`` (which forces the plan down to the
+    RDD layer just to read a number). Non-file-backed plans return a large
+    count (spread() becomes a no-op, matching its contract: it only exists
+    to fix single-row-group small-file scans)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — e.g. connect-only sessions
+        return 1 << 30
+    if not files:
+        return 1 << 30
+    sizes = []
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        try:
+            sizes.append(os.path.getsize(p))
+        except OSError:
+            return 1 << 30
+
+    def _conf_bytes(key: str, default: int) -> int:
+        try:
+            raw = str(spark.conf.get(key)).lower().rstrip("b")
+            for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+                if raw.endswith(suffix):
+                    return int(raw[:-1]) * mult
+            return int(raw)
+        except Exception:
+            return default
+
+    open_cost = _conf_bytes("spark.sql.files.openCostInBytes", 4 << 20)
+    max_part = _conf_bytes("spark.sql.files.maxPartitionBytes", 128 << 20)
+    total = sum(sizes) + open_cost * len(sizes)
+    bytes_per_core = total / max(spark.sparkContext.defaultParallelism, 1)
+    target_size = min(max_part, max(open_cost, int(bytes_per_core)))
+    # greedy bin packing of (size + openCost) chunks into target_size bins —
+    # the FilePartition.getFilePartitions shape; ceil is close enough for
+    # the "fewer splits than cores?" decision this feeds
+    return max(1, -(-total // max(target_size, 1)))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
