@@ -436,6 +436,33 @@ class RelationStore:
             out = df.repartition(n_files, *parts)
         else:
             out = df.repartition(n_files)
+        from dbt_spark.formats import table_format
+
+        fmt_obj = table_format(rel.meta.get("file_format"))
+        if fmt_obj.acid:
+            # ACID target: compaction is one transactional overwrite of the
+            # repartitioned data (the commit makes it atomic; no staged
+            # swap), then vacuum drops the superseded small files — the
+            # OPTIMIZE-then-VACUUM shape of the real table formats. File
+            # counts come from the commit log's LIVE list where the format
+            # exposes it (the walk would count superseded files + the log)
+            def _live_count() -> int:
+                if hasattr(fmt_obj, "latest_version"):
+                    c = fmt_obj._load_commit(
+                        rel.path, fmt_obj.latest_version(rel.path))
+                    if c is not None:
+                        return len(c["files"])
+                return _count_files(rel.path)[0]
+
+            before = _live_count()
+            fmt_obj.write_overwrite(out, rel.path, parts or None)
+            if hasattr(fmt_obj, "vacuum"):
+                fmt_obj.vacuum(rel.path)
+            self.spark.catalog.refreshByPath(rel.path)
+            with self._lock:
+                self._registered.discard(rel.identifier)
+            self.register(rel)
+            return before, _live_count()
         staging = f"{rel.path}.__staging__{int(time.time() * 1000)}"
         # honor the relation's storage format — compacting a csv/json table
         # must not silently rewrite it as parquet under unchanged meta

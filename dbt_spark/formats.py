@@ -436,6 +436,37 @@ class DeltaFormat(_AcidFormat):
     def __init__(self) -> None:
         super().__init__("delta")
 
+    def merge_into(self, spark: SparkSession, path: str, batch: DataFrame,
+                   keys: list, update_columns=None, exclude_columns=None) -> None:
+        """Native Delta ``MERGE INTO`` over the path-addressed table
+        (``delta.`<path>```) — the same statement dbt-spark's merge strategy
+        compiles to. Jar-gated: only reached when ``available()`` is true
+        (operators/incremental.py:_native_merge checks), so in-container it
+        is never executed; the contract itself is exercised by
+        TxParquetFormat.merge_into's tests."""
+        self.require(spark)
+        import uuid
+
+        tmp = f"__dbt_spark_merge_src_{uuid.uuid4().hex[:8]}"
+        batch.createOrReplaceTempView(tmp)
+        try:
+            cols = batch.columns
+            non_keys = [c for c in cols if c not in keys]
+            upd = (list(update_columns) if update_columns
+                   else [c for c in non_keys
+                         if c not in set(exclude_columns or [])])
+            on = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+            set_clause = ", ".join(f"t.`{c}` = s.`{c}`" for c in upd)
+            ins_cols = ", ".join(f"`{c}`" for c in cols)
+            ins_vals = ", ".join(f"s.`{c}`" for c in cols)
+            spark.sql(
+                f"MERGE INTO {self.name}.`{path}` t USING {tmp} s ON {on} "
+                + (f"WHEN MATCHED THEN UPDATE SET {set_clause} " if upd else "")
+                + f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) "
+                  f"VALUES ({ins_vals})")
+        finally:
+            spark.catalog.dropTempView(tmp)
+
 
 class IcebergFormat(_AcidFormat):
     _probe_class = "org.apache.iceberg.spark.SparkCatalog"

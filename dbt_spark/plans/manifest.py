@@ -575,3 +575,59 @@ class Manifest:
     def write(self, path: str) -> None:
         with open(path, "w") as f:
             json.dump(self.writable(), f, indent=1, default=str)
+
+    def semantic_manifest_dict(self) -> dict:
+        """The ``semantic_manifest.json`` artifact the reference writes
+        beside manifest.json (parser/manifest.py:2088-2091
+        write_semantic_manifest → contracts/graph/semantic_manifest.py
+        _get_pydantic_semantic_manifest): semantic models, metrics, saved
+        queries, and the project configuration's time spines (declared
+        model-level ``time_spine:`` configs plus the legacy
+        ``metricflow_time_spine`` model when present)."""
+        def _entry(n: ManifestNode) -> dict:
+            out = dict(n.config.meta)
+            out.setdefault("name", n.name)
+            return out
+
+        spines, legacy = [], None
+        for n in self.nodes.values():
+            if n.resource_type != NodeType.Model:
+                continue
+            ts = n.config.meta.get("time_spine")
+            if ts:
+                std = ts.get("standard_granularity_column")
+                col = n.columns.get(std) or {}
+                spines.append({
+                    "node_relation": {"alias": n.name,
+                                      "schema_name": n.config.schema or "main"},
+                    "primary_column": {
+                        "name": std,
+                        "time_granularity": col.get("granularity") or "day"},
+                    "custom_granularities":
+                        ts.get("custom_granularities") or [],
+                })
+            elif n.name == "metricflow_time_spine":
+                # legacy spine (semantic_manifest.py:218-227): day-grain
+                # date_day model included for backward compatibility
+                legacy = {"location": n.name, "column_name": "date_day",
+                          "grain": "day"}
+        return {
+            "semantic_models": [
+                _entry(n) for n in self.nodes.values()
+                if n.resource_type == NodeType.SemanticModel],
+            "metrics": [
+                _entry(n) for n in self.nodes.values()
+                if n.resource_type == NodeType.Metric],
+            "saved_queries": [
+                _entry(n) for n in self.nodes.values()
+                if n.resource_type == NodeType.SavedQuery],
+            "project_configuration": {
+                "time_spines": spines,
+                "time_spine_table_configurations":
+                    [legacy] if legacy else [],
+            },
+        }
+
+    def write_semantic_manifest(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.semantic_manifest_dict(), f, indent=1, default=str)

@@ -782,6 +782,22 @@ def _parse_model_patches(doc: dict, project: Project, manifest: Manifest, rel: s
                 }
             for col in patch.get("columns", []) or []:
                 node.columns[col["name"]] = col
+            if node.config.meta.get("time_spine"):
+                # the reference validates at parse: the standard granularity
+                # column must exist in the model's columns AND declare a
+                # granularity (contracts/graph/semantic_manifest.py:140-148)
+                std = node.config.meta["time_spine"].get(
+                    "standard_granularity_column")
+                col = node.columns.get(std)
+                if col is None:
+                    raise CompilationError(
+                        f"model {node.name}: time_spine "
+                        f"standard_granularity_column {std!r} is not declared "
+                        "in the model's columns")
+                if not col.get("granularity"):
+                    raise CompilationError(
+                        f"model {node.name}: time_spine column {std!r} needs "
+                        "a `granularity:` key (day/week/month/quarter/year)")
             _attach_column_tests(patch, node, project, manifest, is_source=False)
 
 

@@ -155,6 +155,13 @@ class Engine:
         if getattr(self, "_write_json", True):
             # --no-write-json skips artifact writes (cli/params.py:759)
             self.manifest.write(os.path.join(target_dir, "manifest.json"))
+            # the reference writes semantic_manifest.json beside it when
+            # the project carries semantic nodes (parser/manifest.py:2088)
+            if any(n.resource_type in (NodeType.SemanticModel,
+                                       NodeType.Metric, NodeType.SavedQuery)
+                   for n in self.manifest.nodes.values()):
+                self.manifest.write_semantic_manifest(
+                    os.path.join(target_dir, "semantic_manifest.json"))
         return self.manifest
 
     def _check_resource_names(self) -> None:
@@ -1744,6 +1751,22 @@ class Engine:
                     ts.get("custom_granularities") or [],
             })
             table_for_model.setdefault(n.name, ctx.resolve_ref(n))
+        if not time_spines:
+            # legacy fallback (reference contracts/graph/
+            # semantic_manifest.py:196-227): a model named
+            # `metricflow_time_spine` with a day-grain `date_day` column
+            # serves as the project's spine when no time_spine: config is
+            # declared
+            legacy = manifest.ref_lookup("metricflow_time_spine", None)
+            if legacy is not None:
+                time_spines.append({
+                    "model": legacy.name,
+                    "standard_granularity_column": "date_day",
+                    "granularity": "day",
+                    "custom_granularities": [],
+                })
+                table_for_model.setdefault(
+                    legacy.name, ctx.resolve_ref(legacy))
         return metrics, sms, table_for_model, time_spines
 
     def _run_saved_query_exports(self, ctx: ExecutionContext,

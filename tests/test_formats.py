@@ -377,3 +377,53 @@ def test_txparquet_table_materialization_via_engine(spark, tmp_path, project_dir
     assert rel.meta["file_format"] == "txparquet"
     assert {r.id for r in eng.store.read("main", "inc").collect()} == set(range(6))
     assert table_format("txparquet").latest_version(rel.path) >= 2
+
+
+def test_txparquet_concurrent_appenders_all_survive(spark, tmp_path):
+    """REAL thread race on one table: six appenders released by a barrier
+    commit concurrently; optimistic concurrency makes each loser rebase and
+    retry, so every writer's rows land and the log shows 7 versions."""
+    import threading
+
+    store, fmt = RelationStore(spark, str(tmp_path / "wh")), table_format("txparquet")
+    store.write_table("main", "t", spark.createDataFrame([(0, 0)], "id long, v long"),
+                      file_format="txparquet")
+    rel = store.get("main", "t")
+    barrier = threading.Barrier(6)
+    errors = []
+
+    def appender(i):
+        df = spark.createDataFrame([(i, i * 10)], "id long, v long")
+        barrier.wait()
+        try:
+            fmt.write_append(df, rel.path)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(1, 7)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert fmt.latest_version(rel.path) == 7
+    assert {r.id for r in store.read("main", "t").collect()} == set(range(7))
+
+
+def test_txparquet_compact_via_store(spark, tmp_path):
+    """RelationStore.compact over an ACID relation: transactional rewrite
+    (no staged swap) then vacuum — many append-accreted files collapse to
+    few, data intact, and only the latest commit remains."""
+    store, fmt = RelationStore(spark, str(tmp_path / "wh")), table_format("txparquet")
+    store.write_table("main", "t", spark.range(0, 20).selectExpr("id"),
+                      file_format="txparquet")
+    for lo in range(20, 80, 20):
+        store.write_table("main", "t",
+                          spark.range(lo, lo + 20).selectExpr("id"),
+                          mode="append", file_format="txparquet")
+    rel = store.get("main", "t")
+    before, after = store.compact("main", "t")
+    assert before > after >= 1
+    assert store.read("main", "t").count() == 80
+    assert fmt.latest_version(rel.path) >= 5
+    assert len(os.listdir(os.path.join(rel.path, "_commits"))) == 1

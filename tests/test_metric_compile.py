@@ -1151,6 +1151,19 @@ _FUZZ_FACT_SM = {
     ],
 }
 
+_FUZZ_FACT2_SM = {
+    "name": "fact2_sm",
+    "model": "ref('fact2')",
+    "defaults": {"agg_time_dimension": "d2"},
+    "entities": [{"name": "pay", "type": "primary", "expr": "p_id"}],
+    "dimensions": [
+        {"name": "d2", "type": "time", "expr": "d2",
+         "type_params": {"time_granularity": "day"}},
+        {"name": "status", "type": "categorical", "expr": "status2"},
+    ],
+    "measures": [{"name": "pay_sum", "agg": "sum", "expr": "paid"}],
+}
+
 _FUZZ_CUST_SM = {
     "name": "cust_sm",
     "model": "ref('customers')",
@@ -1171,7 +1184,8 @@ _FUZZ_REGION_SM = {
     "measures": [{"name": "r_n", "agg": "count", "expr": "1"}],
 }
 
-_FUZZ_MODELS = [_FUZZ_FACT_SM, _FUZZ_CUST_SM, _FUZZ_REGION_SM]
+_FUZZ_MODELS = [_FUZZ_FACT_SM, _FUZZ_FACT2_SM, _FUZZ_CUST_SM,
+                _FUZZ_REGION_SM]
 
 
 def _fuzz_world(rng):
@@ -1186,6 +1200,12 @@ def _fuzz_world(rng):
          rng.choice("ABC"), rng.randrange(1, 50), rng.randrange(1, 5))
         for i in range(rng.randrange(25, 45))
     ]
+    # second fact table on a different (overlapping-but-wider) date range
+    rows2 = [
+        (i, base + _dt.timedelta(days=rng.randrange(30, 130)),
+         rng.choice("ABC"), rng.randrange(1, 30))
+        for i in range(rng.randrange(10, 25))
+    ]
     # user-declared day spine with a PYTHON-computed fiscal-quarter label
     # (fiscal year starts Feb): both engines consume the same literal rows,
     # so no cross-dialect date-arithmetic ambiguity sneaks into the oracle
@@ -1195,13 +1215,16 @@ def _fuzz_world(rng):
         shifted = day + _dt.timedelta(days=31)
         spine.append((day, f"FY{shifted.year}Q{(shifted.month - 1) // 3 + 1}"))
         day += _dt.timedelta(days=1)
-    return rows, customers, regions, spine
+    return rows, rows2, customers, regions, spine
 
 
-def _fuzz_register(spark, rows, customers, regions, spine):
+def _fuzz_register(spark, rows, rows2, customers, regions, spine):
     spark.createDataFrame(
         rows, "o_id long, cust long, d date, status string, amount long, qty long"
     ).createOrReplaceTempView("fz_fact")
+    spark.createDataFrame(
+        rows2, "p_id long, d2 date, status2 string, paid long"
+    ).createOrReplaceTempView("fz_fact2")
     spark.createDataFrame(
         customers, "c_id long, segment string, region_id long"
     ).createOrReplaceTempView("fz_customers")
@@ -1211,7 +1234,8 @@ def _fuzz_register(spark, rows, customers, regions, spine):
         spine, "date_day date, fq string").createOrReplaceTempView("fz_spine")
 
 
-_FUZZ_TABLES = {"fact": "fz_fact", "customers": "fz_customers",
+_FUZZ_TABLES = {"fact": "fz_fact", "fact2": "fz_fact2",
+                "customers": "fz_customers",
                 "regions": "fz_regions", "fiscal_days": "fz_spine"}
 
 _FUZZ_SPINE_DECL = {
@@ -1306,8 +1330,8 @@ def _fuzz_spark_rows(df, group_by, metric):
 @pytest.mark.parametrize("seed", range(40))
 def test_semantic_layer_differential_random(spark, seed):
     rng = _random.Random(_FUZZ_OFF + 777_000 + seed)
-    rows, customers, regions, spine = _fuzz_world(rng)
-    _fuzz_register(spark, rows, customers, regions, spine)
+    rows, rows2, customers, regions, spine = _fuzz_world(rng)
+    _fuzz_register(spark, rows, rows2, customers, regions, spine)
     fact = _pd.DataFrame(
         rows, columns=["o_id", "cust", "d", "status", "amount", "qty"])
     seg_map = {c: s for c, s, _ in customers}
@@ -1317,7 +1341,8 @@ def test_semantic_layer_differential_random(spark, seed):
 
     kind = rng.choice(
         ["simple", "simple_filtered", "ratio", "derived", "cumulative",
-         "offset", "timespine", "custom_grain", "hop", "two_hop"])
+         "offset", "timespine", "custom_grain", "hop", "two_hop",
+         "multi_model"])
     plain_groups = [["status"], ["metric_time__month"],
                     ["status", "metric_time__month"], []]
     measure = rng.choice(["amt_sum", "qty_sum", "n_rows"])
@@ -1338,8 +1363,11 @@ def test_semantic_layer_differential_random(spark, seed):
     elif kind == "hop":
         group_by = rng.choice([["customer__segment"],
                                ["customer__segment", "status"]])
-    else:  # two_hop
+    elif kind == "two_hop":
         group_by = [rng.choice([["customer__region__rname"]])[0]]
+    else:  # multi_model: items must resolve on BOTH semantic models
+        group_by = rng.choice([["metric_time__month"], ["status"],
+                               ["status", "metric_time__month"]])
 
     if kind == "simple_filtered":
         measure = rng.choice(["amt_sum_a", "n_rows_a"])
@@ -1379,13 +1407,58 @@ def test_semantic_layer_differential_random(spark, seed):
                     "type_params": {"measure": {
                         "name": measure, "join_to_timespine": True,
                         "fill_nulls_with": 0}}}]
+    elif kind == "multi_model":
+        metrics = [
+            {"name": "m", "type": "simple",
+             "type_params": {"measure": measure}},
+            {"name": "m2", "type": "simple",
+             "type_params": {"measure": "pay_sum"}},
+        ]
     else:  # simple / custom_grain / hop / two_hop
         metrics = [{"name": "m", "type": "simple",
                     "type_params": {"measure": measure}}]
 
-    sql = compile_metrics_sql(["m"], metrics, _FUZZ_MODELS, _FUZZ_TABLES,
+    names = ["m", "m2"] if kind == "multi_model" else ["m"]
+    sql = compile_metrics_sql(names, metrics, _FUZZ_MODELS, _FUZZ_TABLES,
                               group_by=group_by, order_by=order_by,
                               time_spines=spines)
+    if kind == "multi_model":
+        # two legs FULL OUTER joined on the group keys: rows exist for the
+        # UNION of both models' key combos; the missing side is NULL
+        got_rows = {}
+        for r in spark.sql(sql).collect():
+            got_rows[tuple(r[c] for c in group_by)] = (r["m"], r["m2"])
+        got = sorted(
+            (tuple(_fuzz_norm(k) for k in kt)
+             + (_fuzz_norm(v[0]), _fuzz_norm(v[1]))
+             for kt, v in got_rows.items()),
+            key=lambda t: tuple(str(x) for x in t))
+        fact2 = _pd.DataFrame(
+            rows2, columns=["p_id", "d2", "status2", "paid"])
+        keys_a = _fuzz_keys(group_by, fact, cust_map, seg_map, reg_map,
+                            fq_map)
+        kb = {}
+        for item in group_by:
+            if item == "status":
+                kb[item] = fact2["status2"]
+            else:
+                kb[item] = fact2["d2"].map(lambda v: v.replace(day=1))
+        keys_b = _pd.DataFrame(kb)
+        leg_a = _fuzz_grouped(fact, keys_a, _fuzz_measure(fact, measure))
+        leg_b = _fuzz_grouped(
+            fact2, keys_b,
+            lambda g: g["paid"].sum() if len(g) else None)
+        want2 = {}
+        for kt in set(leg_a) | set(leg_b):
+            want2[kt] = (leg_a.get(kt), leg_b.get(kt))
+        want_rows = sorted(
+            (tuple(_fuzz_norm(k) for k in kt)
+             + (_fuzz_norm(v[0]), _fuzz_norm(v[1]))
+             for kt, v in want2.items()),
+            key=lambda t: tuple(str(x) for x in t))
+        assert got == want_rows, (
+            f"seed={seed} kind={kind} group_by={group_by}\nsql={sql}")
+        return
     got = _fuzz_spark_rows(spark.sql(sql), group_by, "m")
 
     # ---- pandas oracle ----
@@ -1445,3 +1518,91 @@ def test_semantic_layer_differential_random(spark, seed):
 
     assert got == _fuzz_rows(want), (
         f"seed={seed} kind={kind} group_by={group_by}\nsql={sql}")
+
+
+def test_engine_time_spine_missing_column_errors(project_dir, spark):
+    """Parse-time validation mirrors the reference
+    (contracts/graph/semantic_manifest.py:140-148): the declared standard
+    granularity column must exist in columns and carry a granularity."""
+    from dbt_spark.plans.compile import CompilationError
+
+    bad_missing = dict(SPINE_PROJECT_FILES)
+    bad_missing["models/schema.yml"] = """
+version: 2
+models:
+  - name: all_days
+    time_spine:
+      standard_granularity_column: date_day
+"""
+    with pytest.raises(CompilationError, match="not declared"):
+        Engine(project_dir(bad_missing), spark=spark).parse()
+
+    bad_gran = dict(SPINE_PROJECT_FILES)
+    bad_gran["models/schema.yml"] = """
+version: 2
+models:
+  - name: all_days
+    time_spine:
+      standard_granularity_column: date_day
+    columns:
+      - name: date_day
+"""
+    with pytest.raises(CompilationError, match="granularity"):
+        Engine(project_dir(bad_gran), spark=spark).parse()
+
+
+def test_custom_granularity_in_where_filter(spine_views):
+    """{{ TimeDimension('metric_time', '<custom>') }} in a query-level
+    where resolves through the declared spine (the filter's spine join
+    accumulates before joined_from renders)."""
+    sql = compile_metrics_sql(
+        ["revenue"], METRICS, [ORDERS_SM, PAYMENTS_SM], SPINE_TABLES,
+        group_by=["status"],
+        where="{{ TimeDimension('metric_time', 'fiscal_quarter') }} = 'FY2024Q1'",
+        time_spines=[SPINE_DECL])
+    rows = {r["status"]: r["revenue"] for r in spine_views.sql(sql).collect()}
+    # FY2024Q1 = Dec 2023..Feb 2024 -> orders 1,2,3,4 (Jan/Feb)
+    assert rows == {"F": 375.0, "O": 50.0}
+
+
+def test_semantic_manifest_artifact_written(project_dir, spark):
+    """target/semantic_manifest.json mirrors the reference artifact
+    (parser/manifest.py:2088 write_semantic_manifest): semantic models,
+    metrics, saved queries, and project_configuration.time_spines."""
+    import json as _json
+
+    root = project_dir(SPINE_PROJECT_FILES)
+    eng = Engine(root, spark=spark)
+    eng.parse()
+    p = _os.path.join(root, "target", "semantic_manifest.json")
+    assert _os.path.exists(p)
+    doc = _json.load(open(p))
+    assert [m["name"] for m in doc["metrics"]] == ["revenue_spined"]
+    assert [s["name"] for s in doc["semantic_models"]] == ["orders_sm"]
+    spines = doc["project_configuration"]["time_spines"]
+    assert spines[0]["primary_column"] == {
+        "name": "date_day", "time_granularity": "day"}
+    assert spines[0]["custom_granularities"][0]["name"] == "fiscal_quarter"
+
+
+def test_legacy_metricflow_time_spine_fallback(project_dir, spark):
+    """A model named metricflow_time_spine with a day-grain date_day column
+    is picked up as the spine when no time_spine: config exists (reference
+    legacy path, contracts/graph/semantic_manifest.py:196-227)."""
+    files = dict(SPINE_PROJECT_FILES)
+    del files["models/schema.yml"]  # no declared spine config
+    files["models/metricflow_time_spine.sql"] = (
+        "select explode(sequence(date'2023-12-01', date'2024-04-30', "
+        "interval 1 day)) as date_day"
+    )
+    del files["models/all_days.sql"]
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["build"]).success
+    rows = {str(r["metric_time__month"]): r["revenue_spined"]
+            for r in eng.query_metrics(
+                ["revenue_spined"], group_by=["metric_time__month"]).collect()}
+    # panel spans the legacy spine's Dec..Apr range, zero-filled
+    assert sorted(rows) == ["2023-12-01", "2024-01-01", "2024-02-01",
+                            "2024-03-01", "2024-04-01"]
+    assert rows["2024-04-01"] == 0.0
