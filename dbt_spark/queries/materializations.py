@@ -91,6 +91,44 @@ def incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def incremental_merge_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME merge semantics as incremental_merge, driven over the
+    transactional ``txparquet`` format (formats.py TxParquetFormat): the
+    merge routes through the format's NATIVE file-pruned MERGE
+    (operators/incremental.py:_native_merge) — one optimistic-concurrency
+    commit, untouched data files re-referenced verbatim — and the final
+    state must hash-match the identical ANSI oracle. The driver's gate
+    thereby proves the ACID seam's merge path end-to-end, not just the
+    capability flags.
+
+    Scale: at 100 TB this path rewrites only the data files containing
+    matched keys (input_file_name() semi-join probe); the commit is a
+    metadata operation, so merge cost follows the touched-file volume,
+    not the table size."""
+    load_tables(spark, sf_dir, "orders")
+    ctx = _mini_ctx(spark)
+    node = _model_node("inc_merge_acid", "", materialized="incremental",
+                       incremental_strategy="merge", unique_key="o_orderkey",
+                       file_format="txparquet")
+    out = _run_incremental(ctx, node, [
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+        "SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice FROM orders "
+        "WHERE o_orderkey % 10 = 0",
+    ])
+    # contract assertions the rows alone can't show: the relation is on the
+    # ACID format and the merge produced a THIRD commit (initial write,
+    # pre-merge state, native merge) with a file-pruned file list
+    from dbt_spark.formats import table_format
+
+    rel = ctx.store.get("main", "inc_merge_acid")
+    fmt = table_format("txparquet")
+    if rel.meta.get("file_format") != "txparquet":
+        raise RuntimeError("relation did not persist file_format=txparquet")
+    if fmt.latest_version(rel.path) < 2:
+        raise RuntimeError("native merge did not commit to the log")
+    return out
+
+
 def incremental_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, "orders")
     ctx = _mini_ctx(spark)
@@ -1245,6 +1283,13 @@ ORACLES: dict[str, str] = {
     "incremental_append": """
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
     """,
+    "incremental_merge_acid": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice
+        FROM orders
+    """,
     "incremental_merge": """
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
@@ -1357,6 +1402,7 @@ QUERIES = {
     "cobucketed_join_zeroshuffle": cobucketed_join_zeroshuffle,
     "incremental_append": incremental_append,
     "incremental_merge": incremental_merge,
+    "incremental_merge_acid": incremental_merge_acid,
     "incremental_delete_insert": incremental_delete_insert,
     "incremental_insert_overwrite": incremental_insert_overwrite,
     "microbatch_backfill": microbatch_backfill,

@@ -324,7 +324,105 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_foreachbatch_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert with PER-BATCH TRANSACTIONAL MERGE — the exact
+    shape the public docs prescribe for Delta (`foreachBatch` + MERGE, one
+    transaction per micro-batch), executed here over the in-repo
+    transactional format: each micro-batch dedupes itself (keep latest per
+    user) and commits ONE file-pruned ``TxParquetFormat.merge_into``
+    against the running table. Semantics are the honest MERGE contract:
+    within a batch, latest (ts, event_id) per user wins; across batches,
+    the later batch's row supersedes (last-arriving-batch-wins), which the
+    oracle states as rank by (batch, ts, event_id).
+
+    Scale: unlike the full-relation rewrite of stream_foreachbatch_upsert,
+    each batch commit rewrites ONLY the data files containing matched
+    users; the commit is metadata. This is the per-batch-transaction sink
+    that keeps a 100 TB keyed table ingesting continuously."""
+    import tempfile as _tf
+
+    from pyspark.sql import Window as W
+
+    from dbt_spark.catalog import RelationStore
+    from dbt_spark.formats import table_format
+
+    events = (
+        read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "user_id", "ts", "value")
+        .filter(F.col("event_id") < 2000)
+    )
+    src = _tf.mkdtemp(prefix="dbt_spark_fbasrc_")
+    ckpt = _tf.mkdtemp(prefix="dbt_spark_fbackpt_")
+    wh = _tf.mkdtemp(prefix="dbt_spark_fbawh_")
+    store = RelationStore(spark, wh)
+    fmt = table_format("txparquet")
+    # two files -> two micro-batches, deterministic arrival order (file
+    # stream orders by modification time; sleep-free because write order
+    # on a local fs yields distinct mtimes at ms resolution is NOT
+    # guaranteed — encode order in the path instead via two single-file
+    # writes processed with maxFilesPerTrigger=1 in lexical mtime order)
+    events.filter(F.col("event_id") < 1000).coalesce(1).write.mode(
+        "append").parquet(src)
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtimes: batch order == arrival order
+    events.filter(F.col("event_id") >= 1000).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def upsert(batch_df, batch_id):
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        rel = store.get("main", "user_latest_acid")
+        if rel is None:
+            store.write_table("main", "user_latest_acid", latest,
+                              kind="table", file_format="txparquet")
+        else:
+            # one transactional, file-pruned MERGE per micro-batch
+            fmt.merge_into(spark, rel.path, latest, ["user_id"])
+            store.invalidate(rel)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rel = store.get("main", "user_latest_acid")
+    if fmt.latest_version(rel.path) < 2:
+        raise RuntimeError("expected one commit per micro-batch")
+    return store.read("main", "user_latest_acid").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").cast("double").alias("last_value"),
+    )
+
+
 ORACLES = {
+    "stream_foreachbatch_upsert_acid": """
+        WITH ranked AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY (event_id >= 1000) DESC, ts DESC,
+                                event_id DESC) AS rn
+            FROM events WHERE event_id < 2000
+        )
+        SELECT user_id,
+               event_id AS last_event_id,
+               CAST(value AS DOUBLE) AS last_value
+        FROM ranked WHERE rn = 1
+    """,
     "stream_foreachbatch_upsert": """
         WITH ranked AS (
             SELECT user_id, event_id, value,
@@ -413,6 +511,7 @@ QUERIES = {
     "stream_dedup_watermark": stream_dedup_watermark,
     "stream_static_join": stream_static_join,
     "stream_foreachbatch_upsert": stream_foreachbatch_upsert,
+    "stream_foreachbatch_upsert_acid": stream_foreachbatch_upsert_acid,
     "stream_stream_interval_join": stream_stream_interval_join,
     "session_window_agg": session_window_agg_q,
     "tumbling_window_agg": tumbling_window_agg,
