@@ -127,6 +127,11 @@ EXTENDED = [
     "dedup_keep_best",
     "event_outliers_exact_zscore",
     "char_len_histogram",
+    # round-7 additions
+    "semantic_entity_two_hop_dimension",
+    "semantic_metric_custom_timespine",
+    "incremental_merge_acid",
+    "table_profile_approx_tolerance",
 ]
 
 

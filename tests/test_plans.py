@@ -366,3 +366,30 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_two_hop_entity_chain_plan(spark):
+    """Multi-hop entity links: no cartesian / nested-loop anywhere; the
+    INNER hop (nation inside customer's projection subquery) broadcasts
+    statically (scan with stats under the threshold). The OUTER hop is a
+    key-equi join that plans as SMJ pre-execution (the dim subquery has no
+    stats) and AQE converts to broadcast at runtime when small — the
+    correct behavior at 100 TB, where a huge dim must NOT be force-hinted
+    into a broadcast."""
+    plan = _formatted(
+        QUERIES["semantic_entity_two_hop_dimension"](spark, SF_DIR_MED))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the nested nation hop
+    assert "AdaptiveSparkPlan" in plan, plan  # AQE owns the outer hop
+
+
+def test_custom_timespine_plan(spark):
+    """Declared-spine custom granularity: the spine joins BROADCAST (it is
+    O(days) rows), the fill join runs at group-by cardinality, and nothing
+    degenerates to a cartesian."""
+    plan = _formatted(
+        QUERIES["semantic_metric_custom_timespine"](spark, SF_DIR_MED))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
