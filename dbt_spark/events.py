@@ -54,6 +54,8 @@ EVENT_CODES: dict[str, tuple[str, str]] = {
     "DeprecatedModel": ("I065", "warn"),          # types.py:234
     "UpcomingReferenceDeprecation": ("I066", "warn"),  # types.py:849
     "SpacesInResourceNameDeprecation": ("D014", "warn"),  # types.py:419
+    "MFTimespineWithoutYamlConfigurationDeprecation": ("D018", "warn"),  # types.py:469
+    "MFCumulativeTypeParamsDeprecation": ("D019", "warn"),  # types.py:479
     "DeprecatedReference": ("I067", "warn"),      # types.py:871
     "NoNodesForSelectionCriteria": ("M030", "warn"),   # types.py:1203
     "LogFreshnessResult": ("Q018", "info"),       # types.py:1439 (DynamicLevel)

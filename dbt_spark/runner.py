@@ -152,6 +152,7 @@ class Engine:
         self._resolve_fk_constraint_refs()
         self._check_model_deprecations()
         self._check_resource_names()
+        self._check_semantic_deprecations()
         if getattr(self, "_write_json", True):
             # --no-write-json skips artifact writes (cli/params.py:759)
             self.manifest.write(os.path.join(target_dir, "manifest.json"))
@@ -190,6 +191,70 @@ class Engine:
                     warn_error=getattr(self, "_warn_error", False),
                     options=getattr(self, "_warn_error_options", None),
                     unique_id=uid,
+                )
+
+    def _check_semantic_deprecations(self) -> None:
+        """The two MetricFlow behavior flags (reference ProjectFlags +
+        contracts/graph/semantic_manifest.py:70-113):
+
+        - ``require_nested_cumulative_type_params``: cumulative metrics
+          carrying top-level ``type_params.window`` / ``grain_to_date``
+          (the pre-1.9 spelling) error when true, else fire the D019
+          deprecation;
+        - ``require_yaml_configuration_for_mf_time_spines``: a legacy
+          ``metricflow_time_spine`` model serving as the spine (semantic
+          models present, no day-grain YAML ``time_spine:`` declared)
+          errors when true, else fires the D018 deprecation."""
+        flags = getattr(self.project, "flags", None) or {}
+        old_params = []
+        sm_present = False
+        yaml_day_spine = False
+        legacy_spine = False
+        for n in self.manifest.nodes.values():
+            if n.resource_type == NodeType.SemanticModel:
+                sm_present = True
+            elif n.resource_type == NodeType.Metric:
+                m = n.config.meta
+                tp = m.get("type_params") or {}
+                if m.get("type") == "cumulative" and (
+                        tp.get("window") or tp.get("grain_to_date")):
+                    old_params.append(m.get("name") or n.name)
+            elif n.resource_type == NodeType.Model:
+                ts = n.config.meta.get("time_spine")
+                if ts:
+                    std = ts.get("standard_granularity_column")
+                    gran = (n.columns.get(std) or {}).get("granularity")
+                    if (gran or "day") == "day":
+                        yaml_day_spine = True
+                elif n.name == "metricflow_time_spine":
+                    legacy_spine = True
+        from dbt_spark.plans.compile import CompilationError
+
+        if old_params:
+            if flags.get("require_nested_cumulative_type_params"):
+                raise CompilationError(
+                    "cumulative fields type_params.window/grain_to_date "
+                    "must be nested under type_params.cumulative_type_params"
+                    f" (require_nested_cumulative_type_params): "
+                    f"{sorted(old_params)}")
+            if getattr(self, "events", None) is not None:
+                self.events.warn_or_error(
+                    "MFCumulativeTypeParamsDeprecation",
+                    warn_error=getattr(self, "_warn_error", False),
+                    options=getattr(self, "_warn_error_options", None),
+                    metrics=sorted(old_params),
+                )
+        if legacy_spine and sm_present and not yaml_day_spine:
+            if flags.get("require_yaml_configuration_for_mf_time_spines"):
+                raise CompilationError(
+                    "the metricflow_time_spine model needs a YAML "
+                    "time_spine: configuration "
+                    "(require_yaml_configuration_for_mf_time_spines)")
+            if getattr(self, "events", None) is not None:
+                self.events.warn_or_error(
+                    "MFTimespineWithoutYamlConfigurationDeprecation",
+                    warn_error=getattr(self, "_warn_error", False),
+                    options=getattr(self, "_warn_error_options", None),
                 )
 
     def _check_model_deprecations(self) -> None:

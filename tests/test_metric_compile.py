@@ -1606,3 +1606,61 @@ def test_legacy_metricflow_time_spine_fallback(project_dir, spark):
     assert sorted(rows) == ["2023-12-01", "2024-01-01", "2024-02-01",
                             "2024-03-01", "2024-04-01"]
     assert rows["2024-04-01"] == 0.0
+
+
+def test_behavior_flag_nested_cumulative_type_params(project_dir, spark):
+    """require_nested_cumulative_type_params (reference
+    contracts/graph/semantic_manifest.py:70-95): top-level
+    type_params.window on a cumulative metric errors when the flag is on,
+    and fires the D019 deprecation when off."""
+    files = dict(PROJECT_FILES)
+    files["models/semantic.yml"] = PROJECT_FILES["models/semantic.yml"].replace(
+        "saved_queries:",
+        """  - name: cum_old_style
+    label: c
+    type: cumulative
+    type_params: {measure: order_total, window: 2 month}
+saved_queries:""")
+    files["dbt_project.yml"] = (
+        "name: sl\nmodel-paths: ['models']\nseed-paths: ['seeds']\n"
+        "flags: {require_nested_cumulative_type_params: true}\n")
+    from dbt_spark.plans.compile import CompilationError
+
+    with pytest.raises(CompilationError, match="cumulative_type_params"):
+        Engine(project_dir(files), spark=spark).parse()
+
+    files["dbt_project.yml"] = (
+        "name: sl\nmodel-paths: ['models']\nseed-paths: ['seeds']\n")
+    eng = Engine(project_dir(files), spark=spark)
+    seen = []
+    eng.events.callbacks.append(seen.append)
+    eng.parse()  # flag off: parses, deprecation D019 fired
+    assert any(e.name == "MFCumulativeTypeParamsDeprecation" for e in seen)
+
+
+def test_behavior_flag_mf_time_spine_yaml_required(project_dir, spark):
+    """require_yaml_configuration_for_mf_time_spines: a legacy
+    metricflow_time_spine model without YAML time_spine: config errors when
+    the flag is on, and fires the D018 deprecation when off."""
+    files = dict(SPINE_PROJECT_FILES)
+    del files["models/schema.yml"]
+    del files["models/all_days.sql"]
+    files["models/metricflow_time_spine.sql"] = (
+        "select explode(sequence(date'2024-01-01', date'2024-03-31', "
+        "interval 1 day)) as date_day")
+    files["dbt_project.yml"] = (
+        "name: sl2\nmodel-paths: ['models']\nseed-paths: ['seeds']\n"
+        "flags: {require_yaml_configuration_for_mf_time_spines: true}\n")
+    from dbt_spark.plans.compile import CompilationError
+
+    with pytest.raises(CompilationError, match="time_spine"):
+        Engine(project_dir(files), spark=spark).parse()
+
+    files["dbt_project.yml"] = (
+        "name: sl2\nmodel-paths: ['models']\nseed-paths: ['seeds']\n")
+    eng = Engine(project_dir(files), spark=spark)
+    seen = []
+    eng.events.callbacks.append(seen.append)
+    eng.parse()
+    assert any(e.name == "MFTimespineWithoutYamlConfigurationDeprecation"
+               for e in seen)
