@@ -56,6 +56,7 @@ EVENT_CODES: dict[str, tuple[str, str]] = {
     "SpacesInResourceNameDeprecation": ("D014", "warn"),  # types.py:419
     "MFTimespineWithoutYamlConfigurationDeprecation": ("D018", "warn"),  # types.py:469
     "MFCumulativeTypeParamsDeprecation": ("D019", "warn"),  # types.py:479
+    "MicrobatchMacroOutsideOfBatchesDeprecation": ("D020", "warn"),  # types.py:490
     "DeprecatedReference": ("I067", "warn"),      # types.py:871
     "NoNodesForSelectionCriteria": ("M030", "warn"),   # types.py:1203
     "LogFreshnessResult": ("Q018", "info"),       # types.py:1439 (DynamicLevel)

@@ -244,6 +244,26 @@ class Engine:
                     options=getattr(self, "_warn_error_options", None),
                     metrics=sorted(old_params),
                 )
+        # require_batched_execution_for_custom_microbatch_strategy
+        # (reference parser/manifest.py:660-675
+        # check_for_microbatch_deprecations): a user-defined `microbatch`
+        # macro alongside microbatch models fires D020 while the flag is
+        # off — this engine always runs the batched executor, so the flag
+        # only governs the deprecation, never the execution path
+        if not flags.get(
+                "require_batched_execution_for_custom_microbatch_strategy"):
+            has_microbatch = any(
+                n.resource_type == NodeType.Model
+                and n.config.materialized == "incremental"
+                and n.config.incremental_strategy == "microbatch"
+                for n in self.manifest.nodes.values())
+            if (has_microbatch and "microbatch" in self.manifest.macros
+                    and getattr(self, "events", None) is not None):
+                self.events.warn_or_error(
+                    "MicrobatchMacroOutsideOfBatchesDeprecation",
+                    warn_error=getattr(self, "_warn_error", False),
+                    options=getattr(self, "_warn_error_options", None),
+                )
         if legacy_spine and sm_present and not yaml_day_spine:
             if flags.get("require_yaml_configuration_for_mf_time_spines"):
                 raise CompilationError(

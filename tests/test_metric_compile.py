@@ -1664,3 +1664,36 @@ def test_behavior_flag_mf_time_spine_yaml_required(project_dir, spark):
     eng.parse()
     assert any(e.name == "MFTimespineWithoutYamlConfigurationDeprecation"
                for e in seen)
+
+
+def test_behavior_flag_custom_microbatch_macro_deprecation(project_dir, spark):
+    """A user-defined `microbatch` macro beside microbatch models fires
+    D020 while require_batched_execution_for_custom_microbatch_strategy is
+    off (reference parser/manifest.py:660-675); setting the flag silences
+    it (batched execution is this engine's only mode either way)."""
+    files = {
+        "dbt_project.yml": "name: mb\nmodel-paths: ['models']\nmacro-paths: ['macros']\n",
+        "macros/microbatch.sql":
+            "{% macro microbatch() %}select 1{% endmacro %}",
+        "models/ev.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='microbatch', event_time='ts', "
+            "batch_size='day', begin='2024-01-01') }}\n"
+            "select CAST('2024-01-01' AS TIMESTAMP) as ts, 1 as v"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    seen = []
+    eng.events.callbacks.append(seen.append)
+    eng.parse()
+    assert any(e.name == "MicrobatchMacroOutsideOfBatchesDeprecation"
+               for e in seen)
+
+    files["dbt_project.yml"] += (
+        "flags: {require_batched_execution_for_custom_microbatch_strategy: true}\n")
+    eng2 = Engine(project_dir(files), spark=spark)
+    seen2 = []
+    eng2.events.callbacks.append(seen2.append)
+    eng2.parse()
+    assert not any(e.name == "MicrobatchMacroOutsideOfBatchesDeprecation"
+                   for e in seen2)
