@@ -22,7 +22,11 @@ actually runnable here:
   base and conversion measures may live on DIFFERENT semantic models that
   share the entity — each side resolves its own entity/time exprs),
   derived offset_window inputs (period-over-period: the input re-aggregates
-  into time buckets shifted forward by the offset),
+  into time buckets shifted forward by the offset) and offset_to_grain
+  inputs (grain-anchored: each output period LEFT-joins the input's value
+  at the start of its containing grain via a DATE_TRUNC key mapping),
+  conversion constant_properties (extra base↔conversion equalities riding
+  the same entity semi-join),
   cumulative with grain_to_date resets (MTD/YTD) (post-aggregate running window over the
   time grain — requires metric_time in the group-by);
 - entity-linked cross-model dimensions: ``customer__region``-style group-by
@@ -539,7 +543,8 @@ def compile_metrics_sql(
     spine_cfg: dict[str, dict] = {}  # metric name -> timespine/fill spec
 
     def _leaf(measure_spec: Any, metric_filter: Optional[str],
-              offset: Optional[str] = None) -> str:
+              offset: Optional[str] = None,
+              offset_grain: Optional[str] = None) -> str:
         mname, mfilter = _measure_name(measure_spec)
         owner = measure_owner.get(mname)
         if owner is None:
@@ -550,10 +555,13 @@ def compile_metrics_sql(
         # would make the compiled SQL text differ run-to-run
         alias = f"__m_{mname}" + (
             f"_off_{_sanitize(offset)}" if offset else "") + (
+            f"_otg_{_sanitize(offset_grain)}" if offset_grain else "") + (
             f"_{__import__('hashlib').md5(filt.encode()).hexdigest()[:8]}"
             if filt else "")
-        inst = owner.name + (f"__off_{_sanitize(offset)}" if offset else "")
-        inst_meta[inst] = (owner.name, offset)
+        inst = owner.name + (
+            f"__off_{_sanitize(offset)}" if offset else "") + (
+            f"__otg_{_sanitize(offset_grain)}" if offset_grain else "")
+        inst_meta[inst] = (owner.name, offset, offset_grain)
         leaf_cols.setdefault(inst, {})[alias] = (mname, filt)
         return alias
 
@@ -597,23 +605,39 @@ def compile_metrics_sql(
                 if isinstance(inp, dict):
                     iname, ialias = inp["name"], inp.get("alias") or inp["name"]
                     offset = inp.get("offset_window")
+                    offset_grain = inp.get("offset_to_grain")
                 else:
-                    iname, ialias, offset = str(inp), str(inp), None
-                if offset:
-                    # period-over-period input: the referenced metric's
-                    # measure re-aggregates into offset-shifted time buckets
-                    # (MetricFlow offset_window, v1/metric.py MetricInput)
+                    iname, ialias = str(inp), str(inp)
+                    offset = offset_grain = None
+                if offset and offset_grain:
+                    raise MetricQueryError(
+                        f"derived metric {name}: input {iname!r} cannot set "
+                        "both offset_window and offset_to_grain")
+                if offset or offset_grain:
+                    # offset_window: period-over-period — the input
+                    # re-aggregates into time buckets shifted FORWARD by the
+                    # offset. offset_to_grain: grain-anchored — every output
+                    # period reads the input's value at the START of its
+                    # containing grain (v1/metric.py MetricInput
+                    # offset_window/offset_to_grain)
                     target = metric_index.get(iname)
                     if target is None:
                         raise MetricQueryError(
                             f"metric {iname!r} is not defined")
                     if target.get("type", "simple") != "simple":
                         raise MetricQueryError(
-                            f"derived metric {name}: offset_window input "
+                            f"derived metric {name}: offset input "
                             f"{iname!r} must be a simple metric")
+                    if offset_grain and str(offset_grain) not in _GRAINS:
+                        raise MetricQueryError(
+                            f"derived metric {name}: offset_to_grain "
+                            f"{offset_grain!r} is not a standard grain")
                     sub = _leaf(
                         (target.get("type_params") or {}).get("measure"),
-                        target.get("filter"), offset=str(offset))
+                        target.get("filter"),
+                        offset=str(offset) if offset else None,
+                        offset_grain=(str(offset_grain)
+                                      if offset_grain else None))
                 else:
                     sub = _expand(iname)
                 expr = re.sub(rf"\b{re.escape(ialias)}\b", f"({sub})", expr)
@@ -631,12 +655,14 @@ def compile_metrics_sql(
         raise MetricQueryError("no measures resolved for requested metrics")
 
     # one aggregate CTE per participating model instance (an offset input
-    # is its own instance over the same table, shifted time keys)
-    ctes: list[tuple[str, str]] = []
+    # is its own instance over the same table: offset_window shifts time
+    # keys forward; offset_to_grain keeps natural keys and LEFT-joins via a
+    # grain-truncated key mapping — entries carry (name, sql, jspec))
+    ctes: list[tuple] = []
     model_by_name = {m.name: m for m in models}
     key_aliases = []
     for inst, cols in leaf_cols.items():
-        model_name, offset = inst_meta[inst]
+        model_name, offset, offset_grain = inst_meta[inst]
         sm = model_by_name[model_name]
         lm = _LinkedModel(sm, models, table_for_model,
                           spines=time_spines)
@@ -644,20 +670,21 @@ def compile_metrics_sql(
         if table is None:
             raise MetricQueryError(
                 f"no table registered for model {sm.ref_name()!r}")
-        selects, keys = [], []
+        selects, keys, time_keys = [], [], []
         for item in group_by:
             expr, alias = lm.resolve_group_by(item)
-            if offset and lm.is_time_item(item):
-                num, unit = str(offset).split()
-                expr = (f"({expr}) + INTERVAL {int(num)} "
-                        f"{unit.rstrip('s').upper()}")
+            if lm.is_time_item(item):
+                time_keys.append(alias)
+                if offset:
+                    num, unit = str(offset).split()
+                    expr = (f"({expr}) + INTERVAL {int(num)} "
+                            f"{unit.rstrip('s').upper()}")
             selects.append(f"{expr} AS {alias}")
             keys.append(alias)
-        if offset and group_by and not any(
-                lm.is_time_item(i) for i in group_by):
+        if (offset or offset_grain) and group_by and not time_keys:
             raise MetricQueryError(
-                f"offset_window input needs a time group-by "
-                f"(got {group_by!r})")
+                f"offset_window/offset_to_grain input needs a time "
+                f"group-by (got {group_by!r})")
         key_aliases = keys
         for alias, (measure, filt) in sorted(cols.items()):
             selects.append(f"{_measure_agg_sql(lm, measure, filt)} AS {alias}")
@@ -668,7 +695,9 @@ def compile_metrics_sql(
         sql += where_sql
         if keys:
             sql += f" GROUP BY {', '.join(keys)}"
-        ctes.append((f"__sm_{inst}", sql))
+        jspec = ({"grain": offset_grain, "time_keys": set(time_keys)}
+                 if offset_grain else None)
+        ctes.append((f"__sm_{inst}", sql, jspec))
 
     # conversion metrics (MetricFlow ConversionTypeParams,
     # core/dbt/artifacts/resources/v1/metric.py): base events joined to
@@ -769,8 +798,22 @@ def compile_metrics_sql(
             num, unit = str(ctp["window"]).split()
             win_pred = (f" AND c.__t <= b.__t + INTERVAL {int(num)} "
                         f"{unit.rstrip('s').upper()}")
+        # constant_properties (ConversionTypeParams.constant_properties,
+        # v1/metric.py:86-87): extra equalities the conversion row must
+        # share with its base row (same session, same campaign, ...) —
+        # each property resolves on ITS OWN side's model and becomes one
+        # more equi-key of the semi-join (still one keyed shuffle)
+        cp_b, cp_c, cp_pred = [], [], ""
+        for i, cp in enumerate(ctp.get("constant_properties") or []):
+            bexpr, _ = lmc.resolve_group_by(str(cp["base_property"]))
+            cexpr, _ = lmc_conv.resolve_group_by(
+                str(cp["conversion_property"]))
+            cp_b.append(f"{bexpr} AS __cp{i}")
+            cp_c.append(f"{cexpr} AS __cp{i}")
+            cp_pred += f" AND b.__cp{i} <=> c.__cp{i}"
         cols_b = keys_sel + [
-            f"{ent_expr} AS __e", f"{_time_expr(owner, base_m)} AS __t"]
+            f"{ent_expr} AS __e", f"{_time_expr(owner, base_m)} AS __t",
+        ] + cp_b
         from_b = lmc.joined_from(table)
         from_c = (from_b if conv_owner is owner
                   else lmc_conv.joined_from(conv_table))
@@ -782,13 +825,14 @@ def compile_metrics_sql(
         aux_ctes.append((
             f"__cvc_{s}",
             f"SELECT {conv_ent_expr} AS __e, "
-            f"{_time_expr(conv_owner, conv_m)} AS __t "
-            f"FROM {from_c}" + (f" WHERE {cw}" if cw else ""),
+            f"{_time_expr(conv_owner, conv_m)} AS __t"
+            + ("".join(f", {c}" for c in cp_c))
+            + f" FROM {from_c}" + (f" WHERE {cw}" if cw else ""),
         ))
         aux_ctes.append((
             f"__cvs_{s}",
             f"SELECT b.* FROM __cvb_{s} b LEFT SEMI JOIN __cvc_{s} c "
-            f"ON b.__e = c.__e AND c.__t > b.__t{win_pred}",
+            f"ON b.__e = c.__e AND c.__t > b.__t{win_pred}{cp_pred}",
         ))
         grp = f" GROUP BY {', '.join(keys)}" if keys else ""
         klist = (", ".join(keys) + ", ") if keys else ""
@@ -812,13 +856,35 @@ def compile_metrics_sql(
             f"FROM __cvg1_{s} g1 LEFT JOIN __cvg2_{s} g2 ON {on}",
         ))
 
-    # join the per-model aggregates on the group-by keys (full outer,
-    # null-safe) — the join input is group-by cardinality, not fact rows
-    base_name, base_sql = ctes[0]
-    with_parts = [f"{n} AS ({s})" for n, s in aux_ctes + ctes]
+    # join the per-model aggregates on the group-by keys — FULL OUTER and
+    # null-safe for plain/offset_window instances (the union of both legs'
+    # key combos survives), LEFT JOIN through a DATE_TRUNC key mapping for
+    # offset_to_grain instances (each output period reads the input's
+    # value at its grain start; the anchor leg owns the output periods).
+    # Join input is group-by cardinality either way, never fact rows.
+    plain = [c for c in ctes if (c[2] if len(c) > 2 else None) is None]
+    special = [c for c in ctes if (c[2] if len(c) > 2 else None) is not None]
+    if not plain:
+        raise MetricQueryError(
+            "offset_to_grain inputs need at least one non-offset metric "
+            "leg to anchor the output periods")
+    ordered = plain + special
+    base_name = ordered[0][0]
+    with_parts = [f"{c[0]} AS ({c[1]})" for c in aux_ctes + ctes]
     joined = base_name
     select_keys = [f"{base_name}.{k}" for k in key_aliases]
-    for n, _ in ctes[1:]:
+    for entry in ordered[1:]:
+        n = entry[0]
+        jspec = entry[2] if len(entry) > 2 else None
+        if jspec is not None:
+            g = str(jspec["grain"]).upper()
+            on = " AND ".join(
+                (f"CAST(DATE_TRUNC('{g}', {jk}) AS DATE) = {n}.{k}"
+                 if k in jspec["time_keys"] else f"{jk} <=> {n}.{k}")
+                for jk, k in zip(select_keys, key_aliases)
+            ) or "TRUE"
+            joined += f" LEFT JOIN {n} ON {on}"
+            continue  # LEFT JOIN adds no key combos: select_keys unchanged
         on = " AND ".join(
             f"{joined_key} <=> {n}.{k}"
             for joined_key, k in zip(select_keys, key_aliases)

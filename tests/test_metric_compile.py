@@ -1697,3 +1697,117 @@ def test_behavior_flag_custom_microbatch_macro_deprecation(project_dir, spark):
     eng2.parse()
     assert not any(e.name == "MicrobatchMacroOutsideOfBatchesDeprecation"
                    for e in seen2)
+
+
+def test_conversion_constant_properties(spark):
+    """ConversionTypeParams.constant_properties (v1/metric.py:86-87): the
+    conversion must share the listed properties with its base event — a
+    purchase in a DIFFERENT session than the signup does not convert."""
+    spark.createDataFrame(
+        [
+            (1, "signup", "2024-01-01 10:00:00", "s1"),
+            (1, "purchase", "2024-01-02 10:00:00", "s1"),   # same session ✓
+            (2, "signup", "2024-01-01 10:00:00", "s2"),
+            (2, "purchase", "2024-01-02 10:00:00", "s9"),   # other session ✗
+            (3, "signup", "2024-01-01 10:00:00", "s3"),     # no purchase ✗
+        ],
+        "u int, k string, ts string, sess string",
+    ).selectExpr("u", "k", "CAST(ts AS TIMESTAMP) AS ts", "sess"
+                 ).createOrReplaceTempView("t_events_cp")
+    sm = {**EVENTS_SM, "model": "ref('events_cp')",
+          "dimensions": EVENTS_SM["dimensions"]
+          + [{"name": "session", "type": "categorical", "expr": "sess"}]}
+    m = [{"name": "c", "type": "conversion",
+          "type_params": {"conversion_type_params": {
+              "base_measure": "signups", "conversion_measure": "purchases",
+              "entity": "user", "window": "7 days",
+              "calculation": "conversions",
+              "constant_properties": [
+                  {"base_property": "session",
+                   "conversion_property": "session"}]}}},
+         {"name": "r", "type": "conversion",
+          "type_params": {"conversion_type_params": {
+              "base_measure": "signups", "conversion_measure": "purchases",
+              "entity": "user", "window": "7 days",
+              "constant_properties": [
+                  {"base_property": "session",
+                   "conversion_property": "session"}]}}}]
+    sql = compile_metrics_sql(["c", "r"], m, [sm],
+                              {"events_cp": "t_events_cp"})
+    row = spark.sql(sql).collect()[0]
+    assert row["c"] == 1
+    assert abs(row["r"] - 1 / 3) < 1e-9
+
+
+def test_derived_offset_to_grain_quarter_anchor(views):
+    """offset_to_grain (v1/metric.py MetricInput.offset_to_grain): each
+    output month reads the input's value at the START of its containing
+    quarter — Jan anchors Q1, so Feb/Mar compare against Jan's revenue."""
+    m = METRICS + [
+        {"name": "rev_vs_qstart", "type": "derived",
+         "type_params": {"expr": "cur - qstart",
+                         "metrics": [
+                             {"name": "revenue", "alias": "cur"},
+                             {"name": "revenue", "alias": "qstart",
+                              "offset_to_grain": "quarter"}]}},
+    ]
+    sql = compile_metrics_sql(
+        ["rev_vs_qstart"], m, [ORDERS_SM, PAYMENTS_SM], TABLES,
+        group_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]): r["rev_vs_qstart"]
+            for r in views.sql(sql).collect()}
+    # Jan 150, Feb 275, Mar 25; Q1 anchor = Jan's 150
+    assert rows == {"2024-01-01": 0.0, "2024-02-01": 125.0,
+                    "2024-03-01": -125.0}
+    # the anchor leg LEFT-joins through the grain mapping (no extra
+    # output periods, no COALESCE key growth)
+    assert "LEFT JOIN __sm_orders_sm__otg_quarter" in sql
+    assert "DATE_TRUNC('QUARTER'" in sql
+
+
+def test_derived_offset_to_grain_with_extra_dim(views):
+    """offset_to_grain composes with a non-time group-by: the grain-start
+    anchor matches within each status partition."""
+    m = METRICS + [
+        {"name": "rev_vs_ystart", "type": "derived",
+         "type_params": {"expr": "cur - ystart",
+                         "metrics": [
+                             {"name": "revenue", "alias": "cur"},
+                             {"name": "revenue", "alias": "ystart",
+                              "offset_to_grain": "year"}]}},
+    ]
+    sql = compile_metrics_sql(
+        ["rev_vs_ystart"], m, [ORDERS_SM, PAYMENTS_SM], TABLES,
+        group_by=["status", "metric_time__month"])
+    rows = {(r["status"], str(r["metric_time__month"])): r["rev_vs_ystart"]
+            for r in views.sql(sql).collect()}
+    # year start = Jan: F Jan 100, O Jan 50
+    assert rows[("F", "2024-01-01")] == 0.0
+    assert rows[("F", "2024-02-01")] == 175.0   # 275 - 100
+    assert rows[("O", "2024-03-01")] == -25.0   # 25 - 50
+
+
+def test_offset_to_grain_errors(views):
+    m = METRICS + [
+        {"name": "bad_both", "type": "derived",
+         "type_params": {"expr": "a", "metrics": [
+             {"name": "revenue", "alias": "a",
+              "offset_window": "1 month", "offset_to_grain": "month"}]}},
+        {"name": "bad_grain", "type": "derived",
+         "type_params": {"expr": "a", "metrics": [
+             {"name": "revenue", "alias": "a",
+              "offset_to_grain": "fortnight"}]}},
+        {"name": "bad_no_time", "type": "derived",
+         "type_params": {"expr": "a", "metrics": [
+             {"name": "revenue", "alias": "a",
+              "offset_to_grain": "month"}]}},
+    ]
+    with pytest.raises(MetricQueryError, match="both offset_window"):
+        compile_metrics_sql(["bad_both"], m, [ORDERS_SM, PAYMENTS_SM],
+                            TABLES, group_by=["metric_time__month"])
+    with pytest.raises(MetricQueryError, match="not a standard grain"):
+        compile_metrics_sql(["bad_grain"], m, [ORDERS_SM, PAYMENTS_SM],
+                            TABLES, group_by=["metric_time__month"])
+    with pytest.raises(MetricQueryError, match="needs a time"):
+        compile_metrics_sql(["bad_no_time"], m, [ORDERS_SM, PAYMENTS_SM],
+                            TABLES, group_by=["status"])
