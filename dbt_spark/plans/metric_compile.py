@@ -522,6 +522,27 @@ def compile_metrics_sql(
     group_by = list(group_by or [])
     time_spines = list(time_spines or [])
     metric_index = {_meta(m)["name"]: _meta(m) for m in metrics}
+    # metric-level time_granularity (Metric.time_granularity,
+    # v1/metric.py:133): a BARE metric_time group-by defaults to the
+    # requested metrics' declared grain — the COARSEST among them, since a
+    # finer bucket would misstate the coarser metric (MetricFlow's
+    # common-grain rule). The output column is named at the applied grain,
+    # exactly as MetricFlow names it.
+    declared = [
+        str(metric_index[n].get("time_granularity"))
+        for n in metric_names
+        if metric_index.get(n, {}).get("time_granularity")
+    ]
+    if declared and any(g not in _GRAINS for g in declared):
+        bad = sorted(set(g for g in declared if g not in _GRAINS))
+        raise MetricQueryError(
+            f"metric time_granularity must be a standard grain, got {bad}")
+    if declared:
+        coarsest = max(declared, key=lambda g: _GRAIN_ORDER[g])
+        group_by = [
+            f"metric_time__{coarsest}" if item == "metric_time" else item
+            for item in group_by
+        ]
     models = [_Model(_meta(sm)) for sm in semantic_models]
     measure_owner: dict[str, _Model] = {}
     for sm in models:

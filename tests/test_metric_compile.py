@@ -1811,3 +1811,49 @@ def test_offset_to_grain_errors(views):
     with pytest.raises(MetricQueryError, match="needs a time"):
         compile_metrics_sql(["bad_no_time"], m, [ORDERS_SM, PAYMENTS_SM],
                             TABLES, group_by=["status"])
+
+
+def test_metric_level_time_granularity_default(views):
+    """Metric.time_granularity (v1/metric.py:133): a BARE metric_time
+    group-by defaults to the metric's declared grain; with several metrics
+    the COARSEST declared grain wins (MetricFlow's common-grain rule), and
+    the output column is named at the applied grain."""
+    m = METRICS + [
+        {"name": "rev_monthly", "type": "simple", "time_granularity": "month",
+         "type_params": {"measure": "order_total"}},
+        {"name": "rev_quarterly", "type": "simple",
+         "time_granularity": "quarter",
+         "type_params": {"measure": "order_total"}},
+    ]
+    sql = compile_metrics_sql(["rev_monthly"], m, [ORDERS_SM, PAYMENTS_SM],
+                              TABLES, group_by=["metric_time"])
+    rows = {str(r["metric_time__month"]): r["rev_monthly"]
+            for r in views.sql(sql).collect()}
+    assert rows == {"2024-01-01": 150.0, "2024-02-01": 275.0,
+                    "2024-03-01": 25.0}
+    # two metrics, different grains -> quarter (coarsest) applies to both
+    sql2 = compile_metrics_sql(
+        ["rev_monthly", "rev_quarterly"], m, [ORDERS_SM, PAYMENTS_SM],
+        TABLES, group_by=["metric_time"])
+    rows2 = {str(r["metric_time__quarter"]):
+             (r["rev_monthly"], r["rev_quarterly"])
+             for r in views.sql(sql2).collect()}
+    assert rows2 == {"2024-01-01": (450.0, 450.0)}
+    # an EXPLICIT grain still wins over the metric default
+    sql3 = compile_metrics_sql(
+        ["rev_quarterly"], m, [ORDERS_SM, PAYMENTS_SM], TABLES,
+        group_by=["metric_time__month"])
+    assert len(views.sql(sql3).collect()) == 3
+    # undeclared metrics leave bare metric_time at the raw day expr
+    sql4 = compile_metrics_sql(["revenue"], METRICS,
+                               [ORDERS_SM, PAYMENTS_SM], TABLES,
+                               group_by=["metric_time"])
+    assert "metric_time__" not in sql4.split("SELECT")[0]
+
+    with pytest.raises(MetricQueryError, match="standard grain"):
+        compile_metrics_sql(
+            ["bad"],
+            m + [{"name": "bad", "type": "simple",
+                  "time_granularity": "fortnight",
+                  "type_params": {"measure": "order_total"}}],
+            [ORDERS_SM, PAYMENTS_SM], TABLES, group_by=["metric_time"])
