@@ -1342,7 +1342,7 @@ def test_semantic_layer_differential_random(spark, seed):
     kind = rng.choice(
         ["simple", "simple_filtered", "ratio", "derived", "cumulative",
          "offset", "timespine", "custom_grain", "hop", "two_hop",
-         "multi_model"])
+         "multi_model", "offset_grain"])
     plain_groups = [["status"], ["metric_time__month"],
                     ["status", "metric_time__month"], []]
     measure = rng.choice(["amt_sum", "qty_sum", "n_rows"])
@@ -1351,7 +1351,7 @@ def test_semantic_layer_differential_random(spark, seed):
 
     if kind in ("simple", "simple_filtered", "ratio", "derived"):
         group_by = rng.choice(plain_groups)
-    elif kind in ("cumulative", "offset"):
+    elif kind in ("cumulative", "offset", "offset_grain"):
         group_by = rng.choice([["metric_time__month"],
                                ["status", "metric_time__month"]])
     elif kind == "timespine":
@@ -1401,6 +1401,17 @@ def test_semantic_layer_differential_random(spark, seed):
                                  {"name": "cur_m", "alias": "cur"},
                                  {"name": "cur_m", "alias": "prev",
                                   "offset_window": "1 month"}]}},
+        ]
+    elif kind == "offset_grain":
+        metrics = [
+            {"name": "cur_m", "type": "simple",
+             "type_params": {"measure": measure}},
+            {"name": "m", "type": "derived",
+             "type_params": {"expr": "cur - anchor",
+                             "metrics": [
+                                 {"name": "cur_m", "alias": "cur"},
+                                 {"name": "cur_m", "alias": "anchor",
+                                  "offset_to_grain": "quarter"}]}},
         ]
     elif kind == "timespine":
         metrics = [{"name": "m", "type": "simple",
@@ -1498,6 +1509,21 @@ def test_semantic_layer_differential_random(spark, seed):
         for kt in set(cur) | set(prev):
             c, p = cur.get(kt), prev.get(kt)
             want[kt] = None if (c is None or p is None) else c - p
+    elif kind == "offset_grain":
+        cur = _fuzz_grouped(fact, keys, _fuzz_measure(fact, measure))
+        ti = group_by.index("metric_time__month")
+
+        def qstart(kt):
+            m = kt[ti]
+            qm = ((m.month - 1) // 3) * 3 + 1
+            return kt[:ti] + (m.replace(month=qm),) + kt[ti + 1:]
+
+        # LEFT-join semantics: output periods are cur's; anchor is cur's
+        # value at the quarter-start period (None when that period absent)
+        want = {}
+        for kt, c in cur.items():
+            a = cur.get(qstart(kt))
+            want[kt] = None if (c is None or a is None) else c - a
     else:  # timespine
         base = _fuzz_grouped(fact, keys, _fuzz_measure(fact, measure))
         ti = group_by.index("metric_time__month")
