@@ -609,11 +609,21 @@ def compile_metrics_sql(
                 }
             if mtype == "cumulative":
                 ctp2 = tp.get("cumulative_type_params") or {}
+                period_agg = str(ctp2.get("period_agg") or "first").lower()
+                if period_agg not in ("first", "last", "average"):
+                    raise MetricQueryError(
+                        f"cumulative metric {name}: period_agg "
+                        f"{period_agg!r} must be first | last | average")
                 cumulative[name] = {
                     "window": tp.get("window") or ctp2.get("window"),
                     "grain_to_date": (tp.get("grain_to_date")
                                       or ctp2.get("grain_to_date")),
                     "leaf": alias,
+                    "period_agg": period_agg,
+                    "measure": tp.get("measure"),
+                    "mfilter": mfilter,
+                    "owner": measure_owner.get(
+                        _measure_name(tp.get("measure"))[0]),
                 }
             return alias
         if mtype == "ratio":
@@ -876,6 +886,88 @@ def compile_metrics_sql(
             f"SELECT {sel}{val} AS __cvv_{s} "
             f"FROM __cvg1_{s} g1 LEFT JOIN __cvg2_{s} g2 ON {on}",
         ))
+
+    # cumulative metrics queried at a CUSTOM granularity roll up the
+    # spine-grain running total per custom period with period_agg
+    # (CumulativeTypeParams.period_agg, v1/metric.py:90-94 — first | last |
+    # average; MetricFlow applies it exactly when the query grain is a
+    # custom calendar). Pipeline per metric: (1) one keyed aggregate of the
+    # measure at the spine's standard grain, (2) running window at that
+    # grain (group-by cardinality rows), (3) broadcast join onto the
+    # O(periods) spine's custom column, (4) MIN_BY/MAX_BY/AVG per
+    # (dims × custom period).
+    for idx, (_expr0, alias) in enumerate(list(final_exprs)):
+        win = cumulative.get(alias)
+        if win is None or win.get("owner") is None:
+            continue
+        owner = win["owner"]
+        lm = _LinkedModel(owner, models, table_for_model, spines=time_spines)
+        cg_items = [(i, a) for i, a in zip(group_by, key_aliases)
+                    if lm.custom_grain_of(i)]
+        if not cg_items:
+            continue
+        if len(cg_items) > 1 or any(lm.is_time_item(i) for i in group_by):
+            raise MetricQueryError(
+                f"cumulative metric {alias}: combine at most ONE custom "
+                "granularity with non-time dimensions (mixing custom and "
+                "standard time grains is not supported)")
+        item, calias = cg_items[0]
+        sp = lm.custom_grain_of(item)
+        gname, base_item = item.split("__")[-1], "__".join(
+            item.split("__")[:-1])
+        sgran = str(sp.get("granularity") or "day")
+        base_expr, _ = lm.resolve_group_by(f"{base_item}__{sgran}")
+        other = [(i, a) for i, a in zip(group_by, key_aliases)
+                 if a != calias]
+        table = table_for_model.get(owner.ref_name())
+        sp_table = table_for_model.get(sp["model"])
+        if table is None or sp_table is None:
+            raise MetricQueryError(
+                f"no table registered for {owner.ref_name()!r} / "
+                f"time-spine model {sp['model']!r}")
+        meas = _measure_agg_sql(
+            lm, _measure_name(win["measure"])[0], win.get("mfilter"))
+        where_sql = f" WHERE {_render_filter(where, lm)}" if where else ""
+        s2 = _sanitize(alias)
+        sel = ([f"{lm.resolve_group_by(i)[0]} AS {a}" for i, a in other]
+               + [f"{base_expr} AS __d", f"{meas} AS __v"])
+        grp_cols = [a for _, a in other] + ["__d"]
+        aux_ctes.append((
+            f"__cgd_{s2}",
+            f"SELECT {', '.join(sel)} FROM {lm.joined_from(table)}"
+            f"{where_sql} GROUP BY {', '.join(grp_cols)}"))
+        part_keys = [a for _, a in other]
+        if win.get("grain_to_date"):
+            part_keys = part_keys + [
+                f"DATE_TRUNC('{str(win['grain_to_date']).upper()}', __d)"]
+        part = (f"PARTITION BY {', '.join(part_keys)} " if part_keys else "")
+        frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if win.get("window"):
+            num, unit = str(win["window"]).split()
+            frame = (f"RANGE BETWEEN INTERVAL {int(num)} "
+                     f"{unit.rstrip('s').upper()} PRECEDING AND CURRENT ROW")
+        aux_ctes.append((
+            f"__cgc_{s2}",
+            f"SELECT *, SUM(__v) OVER ({part}ORDER BY __d {frame}) AS __c "
+            f"FROM __cgd_{s2}"))
+        cgs = {cg["name"]: (cg.get("column_name") or cg["name"])
+               for cg in sp.get("custom_granularities") or []}
+        agg = {"first": "MIN_BY(c.__c, c.__d)",
+               "last": "MAX_BY(c.__c, c.__d)",
+               "average": "AVG(c.__c)"}[win.get("period_agg") or "first"]
+        klist = ", ".join(
+            [f"c.{a}" for _, a in other] + [f"sp.__g AS {calias}"])
+        grp2 = ", ".join([f"c.{a}" for _, a in other] + ["sp.__g"])
+        ctes.append((
+            f"__cg_{s2}",
+            f"SELECT {klist}, {agg} AS __cgv_{s2} FROM __cgc_{s2} c "
+            f"JOIN (SELECT {_LinkedModel._spine_key_expr(sp)} AS __sk, "
+            f"{cgs[gname]} AS __g FROM {sp_table}) sp ON c.__d = sp.__sk "
+            f"GROUP BY {grp2}",
+            None,
+        ))
+        final_exprs[idx] = (f"__cgv_{s2}", alias)
+        del cumulative[alias]
 
     # join the per-model aggregates on the group-by keys — FULL OUTER and
     # null-safe for plain/offset_window instances (the union of both legs'

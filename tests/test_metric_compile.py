@@ -1883,3 +1883,63 @@ def test_metric_level_time_granularity_default(views):
                   "time_granularity": "fortnight",
                   "type_params": {"measure": "order_total"}}],
             [ORDERS_SM, PAYMENTS_SM], TABLES, group_by=["metric_time"])
+
+
+def test_cumulative_at_custom_granularity_period_agg(spine_views):
+    """CumulativeTypeParams.period_agg (v1/metric.py:90-94): a cumulative
+    metric queried at a CUSTOM granularity rolls up the day-grain running
+    total per fiscal quarter — first / last / average of the sub-period
+    cumulative (MetricFlow applies period_agg exactly for custom-calendar
+    grains; standard grains compute directly)."""
+    def _m(pa):
+        return [{"name": "cum", "type": "cumulative",
+                 "type_params": {"measure": "order_total",
+                                 "cumulative_type_params":
+                                     {"period_agg": pa}}}]
+
+    out = {}
+    for pa in ("first", "last", "average"):
+        sql = compile_metrics_sql(
+            ["cum"], _m(pa), [ORDERS_SM, PAYMENTS_SM], SPINE_TABLES,
+            group_by=["metric_time__fiscal_quarter"],
+            time_spines=[SPINE_DECL])
+        out[pa] = {r["metric_time__fiscal_quarter"]: r["cum"]
+                   for r in spine_views.sql(sql).collect()}
+    # orders: Jan 5 -> 100, Jan 20 -> +50, Feb 3 -> +200, Feb 10 -> +75,
+    # Mar 1 -> +25. FY2024Q1 = Dec..Feb (cum days: 100,150,350,425);
+    # FY2024Q2 = Mar..May (cum days: 450)
+    assert out["first"] == {"FY2024Q1": 100.0, "FY2024Q2": 450.0}
+    assert out["last"] == {"FY2024Q1": 425.0, "FY2024Q2": 450.0}
+    assert out["average"] == {"FY2024Q1": 256.25, "FY2024Q2": 450.0}
+
+
+def test_cumulative_custom_grain_with_extra_dim_and_errors(spine_views):
+    m = [{"name": "cum", "type": "cumulative",
+          "type_params": {"measure": "order_total",
+                          "cumulative_type_params": {"period_agg": "last"}}}]
+    sql = compile_metrics_sql(
+        ["cum"], m, [ORDERS_SM, PAYMENTS_SM], SPINE_TABLES,
+        group_by=["status", "metric_time__fiscal_quarter"],
+        time_spines=[SPINE_DECL])
+    rows = {(r["status"], r["metric_time__fiscal_quarter"]): r["cum"]
+            for r in spine_views.sql(sql).collect()}
+    # per-status running totals at quarter end
+    assert rows[("F", "FY2024Q1")] == 375.0
+    assert rows[("O", "FY2024Q1")] == 50.0
+    assert rows[("O", "FY2024Q2")] == 75.0
+
+    with pytest.raises(MetricQueryError, match="period_agg"):
+        compile_metrics_sql(
+            ["bad"],
+            [{"name": "bad", "type": "cumulative",
+              "type_params": {"measure": "order_total",
+                              "cumulative_type_params":
+                                  {"period_agg": "median"}}}],
+            [ORDERS_SM, PAYMENTS_SM], SPINE_TABLES,
+            group_by=["metric_time__fiscal_quarter"],
+            time_spines=[SPINE_DECL])
+    with pytest.raises(MetricQueryError, match="at most ONE custom"):
+        compile_metrics_sql(
+            ["cum"], m, [ORDERS_SM, PAYMENTS_SM], SPINE_TABLES,
+            group_by=["metric_time__month", "metric_time__fiscal_quarter"],
+            time_spines=[SPINE_DECL])
