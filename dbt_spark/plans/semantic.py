@@ -194,6 +194,15 @@ def validate_metric(entry: dict) -> None:
                 f"(expected one of {sorted(CONVERSION_CALC_TYPES)})",
             )
         _check_window(ctp.get("window"), "metric", name)
+        for cp in ctp.get("constant_properties") or []:
+            if not (isinstance(cp, dict) and cp.get("base_property")
+                    and cp.get("conversion_property")):
+                raise _err(
+                    "metric", name,
+                    "constant_properties entries need base_property and "
+                    "conversion_property (ConstantPropertyInput, "
+                    "v1/metric.py:76-78)",
+                )
     if mtype == "cumulative":
         ctp = tp.get("cumulative_type_params") or {}
         _check_window(tp.get("window") or ctp.get("window"), "metric", name)
@@ -210,9 +219,22 @@ def validate_metric(entry: dict) -> None:
                 "metric", name,
                 f"invalid period_agg '{pa}' (expected one of {sorted(PERIOD_AGGS)})",
             )
-    for win_key in ("offset_window",):
-        for inp in _iter_input_dicts(tp):
-            _check_window(inp.get(win_key), "metric", name)
+    for inp in _iter_input_dicts(tp):
+        _check_window(inp.get("offset_window"), "metric", name)
+        otg = inp.get("offset_to_grain")
+        if otg is not None and str(otg).lower() not in TIME_GRANULARITIES:
+            raise _err(
+                "metric", name,
+                f"invalid offset_to_grain '{otg}' "
+                f"(expected one of {sorted(TIME_GRANULARITIES)})",
+            )
+    mg = entry.get("time_granularity")
+    if mg is not None and str(mg).lower() not in TIME_GRANULARITIES:
+        raise _err(
+            "metric", name,
+            f"invalid time_granularity '{mg}' "
+            f"(expected one of {sorted(TIME_GRANULARITIES)})",
+        )
 
 
 def _iter_input_dicts(tp: dict):

@@ -320,3 +320,42 @@ def test_selector_methods_still_work(project_dir, spark):
     assert "metric.sem.number_of_people" in ids
     assert "semantic_model.sem.semantic_people" in ids
     assert "model.sem.people" in ids
+
+
+@pytest.mark.parametrize("yaml_extra,msg", [
+    ("""
+  - name: bad_cp
+    label: b
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: order_total
+        conversion_measure: order_total
+        constant_properties:
+          - {base_property: session}
+""", "constant_properties"),
+    ("""
+  - name: bad_otg
+    label: b
+    type: derived
+    type_params:
+      expr: a
+      metrics:
+        - {name: some_metric, alias: a, offset_to_grain: fortnight}
+""", "offset_to_grain"),
+    ("""
+  - name: bad_tg
+    label: b
+    type: simple
+    time_granularity: fortnight
+    type_params: {measure: order_total}
+""", "time_granularity"),
+])
+def test_new_metric_field_validation(yaml_extra, msg):
+    import yaml as _yaml
+
+    from dbt_spark.plans.semantic import SemanticValidationError, validate_metric
+
+    entry = _yaml.safe_load("metrics:" + yaml_extra)["metrics"][0]
+    with pytest.raises(SemanticValidationError, match=msg):
+        validate_metric(entry)
