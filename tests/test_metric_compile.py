@@ -1342,7 +1342,7 @@ def test_semantic_layer_differential_random(spark, seed):
     kind = rng.choice(
         ["simple", "simple_filtered", "ratio", "derived", "cumulative",
          "offset", "timespine", "custom_grain", "hop", "two_hop",
-         "multi_model", "offset_grain"])
+         "multi_model", "offset_grain", "cum_custom"])
     plain_groups = [["status"], ["metric_time__month"],
                     ["status", "metric_time__month"], []]
     measure = rng.choice(["amt_sum", "qty_sum", "n_rows"])
@@ -1359,6 +1359,10 @@ def test_semantic_layer_differential_random(spark, seed):
                                ["status", "metric_time__month"]])
     elif kind == "custom_grain":
         group_by = ["metric_time__fiscal_q"]
+        spines = [_FUZZ_SPINE_DECL]
+    elif kind == "cum_custom":
+        group_by = rng.choice([["metric_time__fiscal_q"],
+                               ["status", "metric_time__fiscal_q"]])
         spines = [_FUZZ_SPINE_DECL]
     elif kind == "hop":
         group_by = rng.choice([["customer__segment"],
@@ -1391,6 +1395,12 @@ def test_semantic_layer_differential_random(spark, seed):
     elif kind == "cumulative":
         metrics = [{"name": "m", "type": "cumulative",
                     "type_params": {"measure": measure}}]
+    elif kind == "cum_custom":
+        period_agg = rng.choice(["first", "last", "average"])
+        metrics = [{"name": "m", "type": "cumulative",
+                    "type_params": {"measure": measure,
+                                    "cumulative_type_params":
+                                        {"period_agg": period_agg}}}]
     elif kind == "offset":
         metrics = [
             {"name": "cur_m", "type": "simple",
@@ -1509,6 +1519,48 @@ def test_semantic_layer_differential_random(spark, seed):
         for kt in set(cur) | set(prev):
             c, p = cur.get(kt), prev.get(kt)
             want[kt] = None if (c is None or p is None) else c - p
+    elif kind == "cum_custom":
+        # day-grain running total per non-time keys, mapped onto the
+        # spine's fiscal quarters, then first/last/average per period
+        ci = group_by.index("metric_time__fiscal_q")
+        nt_items = [i for i in group_by if i != "metric_time__fiscal_q"]
+        day_keys = _fuzz_keys(nt_items, fact, cust_map, seg_map, reg_map,
+                              fq_map)
+        w = fact.copy()
+        if day_keys is not None:
+            w = w.join(day_keys.set_axis(
+                [f"__k_{c}" for c in day_keys.columns], axis=1))
+        vals = {}
+        mfun = _fuzz_measure(fact, measure)
+        ntc = [f"__k_{c}" for c in nt_items]
+        for kt, g in (w.groupby(ntc + ["d"], dropna=False, sort=False)
+                      if ntc else w.groupby(["d"], sort=False)):
+            if not isinstance(kt, tuple):
+                kt = (kt,)
+            vals[kt] = mfun(g)
+        cum = {}
+        running = {}
+        for kt in sorted(vals, key=lambda t: str(t[-1])):
+            part = kt[:-1]
+            running[part] = running.get(part, 0) + (vals[kt] or 0)
+            cum[kt] = running[part]
+        per_period = {}
+        for kt, c in cum.items():
+            d = kt[-1]
+            fq = fq_map.get(d)
+            if fq is None:
+                continue
+            okt = kt[:-1][:ci] + (fq,) + kt[:-1][ci:]
+            per_period.setdefault(okt, []).append((d, c))
+        want = {}
+        for okt, pairs in per_period.items():
+            pairs.sort()
+            if period_agg == "first":
+                want[okt] = pairs[0][1]
+            elif period_agg == "last":
+                want[okt] = pairs[-1][1]
+            else:
+                want[okt] = round(sum(c for _, c in pairs) / len(pairs), 9)
     elif kind == "offset_grain":
         cur = _fuzz_grouped(fact, keys, _fuzz_measure(fact, measure))
         ti = group_by.index("metric_time__month")
