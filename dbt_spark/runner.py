@@ -1867,7 +1867,11 @@ class Engine:
             exp_name = exp["name"] if isinstance(exp, dict) else str(exp)
             exp_cfg = (exp.get("config") or {}) if isinstance(exp, dict) else {}
             kind = exp_cfg.get("export_as", "table")
-            schema = exp_cfg.get("schema") or ctx.schema
+            # ExportConfig.alias / schema_name (v1/saved_query.py:24-30):
+            # the physical identifier when set, else the export's name
+            exp_name = exp_cfg.get("alias") or exp_name
+            schema = (exp_cfg.get("schema") or exp_cfg.get("schema_name")
+                      or ctx.schema)
             if kind == "view":
                 ctx.store.save_view(schema, exp_name, sql)
             else:

@@ -1995,3 +1995,19 @@ def test_cumulative_custom_grain_with_extra_dim_and_errors(spine_views):
             ["cum"], m, [ORDERS_SM, PAYMENTS_SM], SPINE_TABLES,
             group_by=["metric_time__month", "metric_time__fiscal_quarter"],
             time_spines=[SPINE_DECL])
+
+
+def test_saved_query_export_alias_and_schema_name(project_dir, spark):
+    """ExportConfig.alias / schema_name (v1/saved_query.py:24-30) control
+    the materialized identifier of a saved-query export."""
+    files = dict(PROJECT_FILES)
+    files["models/semantic.yml"] = PROJECT_FILES["models/semantic.yml"].replace(
+        """      - name: monthly_revenue_tbl
+        config: {export_as: table}""",
+        """      - name: monthly_revenue_tbl
+        config: {export_as: table, alias: rev_monthly, schema_name: marts}""")
+    eng = Engine(project_dir(files), spark=spark)
+    r = eng.invoke(["build", "--include-saved-query"])
+    assert r.success
+    assert eng.store.exists("marts", "rev_monthly")
+    assert not eng.store.exists("main", "monthly_revenue_tbl")
