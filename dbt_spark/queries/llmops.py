@@ -649,6 +649,51 @@ def language_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing — the standard multilingual /
+    multi-source pretraining mix (sampling probability ∝ n_i^α with
+    α < 1 upweights tail sources; α=0.5 here, T=200 target docs): each
+    source's quota is round(T · n_i^α / Σ n_j^α) capped at n_i, filled by
+    deterministic md5(doc_id) order so reruns and engines agree — no
+    rand().
+
+    Scale: quotas come from ONE count-by-source aggregate (source
+    cardinality rows, broadcast back); the fill is the salted per-group
+    top-k problem — here a per-source window whose partitions are bounded
+    by quota·shard at 100 TB via the same md5-prefix salting as
+    language_balanced_sample. Cross-engine determinism: floor(x + 0.5) is
+    round-half-up in BOTH dialects (a bare double→int cast truncates in
+    Spark but rounds in DuckDB), and the α-power stays in correctly-rounded
+    sqrt territory."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("n").cast("double"))).alias("z"))
+    quota = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "n",
+            F.greatest(
+                F.lit(1),
+                F.floor(200.0 * F.sqrt(F.col("n").cast("double"))
+                        / F.col("z") + 0.5).cast("int"),
+            ).alias("q"),
+        )
+        .select("lang", F.least(F.col("q"), F.col("n").cast("int")).alias("q"))
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).alias("mix_rank"))
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("mix_rank") <= F.col("q"))
+        .select("doc_id", "lang", F.col("mix_rank").cast("bigint").alias("mix_rank"))
+    )
+
+
 def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into training shards: shard = first hex
     digit of md5(doc_id) (16-way; 2 digits → 256-way at scale), position =
@@ -1293,6 +1338,32 @@ ORACLES: dict[str, str] = {
                     THEN 1 ELSE 0 END AS INT) AS keep_flag
         FROM s
     """,
+    "temperature_mix_sample": """
+        WITH counts AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS z FROM counts),
+        quota AS (
+            SELECT lang,
+                   least(
+                       greatest(1, CAST(floor(
+                           200.0 * sqrt(CAST(n AS DOUBLE)) / z + 0.5)
+                           AS INT)),
+                       CAST(n AS INT)) AS q
+            FROM counts CROSS JOIN tot
+        ),
+        ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS mix_rank
+            FROM documents
+        )
+        SELECT r.doc_id, r.lang, CAST(r.mix_rank AS BIGINT) AS mix_rank
+        FROM ranked r JOIN quota qu ON r.lang = qu.lang
+        WHERE r.mix_rank <= qu.q
+    """,
     "language_balanced_sample": """
         SELECT doc_id, lang, sample_rank FROM (
             SELECT doc_id, lang,
@@ -1610,6 +1681,7 @@ QUERIES = {
     "oov_rate_vs_vocab": oov_rate_vs_vocab,
     "quality_filter_c4": quality_filter_c4,
     "language_balanced_sample": language_balanced_sample,
+    "temperature_mix_sample": temperature_mix_sample,
     "corpus_shuffle_deterministic": corpus_shuffle_deterministic,
     "dup_chunk_ratio": dup_chunk_ratio,
     "token_count": token_count,
