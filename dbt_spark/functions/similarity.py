@@ -351,3 +351,71 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.93,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv:2303.09540): assign every embedding to its nearest k-means
+    centroid, compute pairwise cosine ONLY within each cluster, and prune
+    every item that has a lower-id near-duplicate (cos ≥ threshold) in its
+    cluster — the deterministic keep-minimal-id variant of the paper's
+    per-cluster dedup (transitive star rule: every duplicate chain keeps
+    exactly its minimal-id representative; no rand()).
+
+    Returns (id, cell, keep, dup_of, max_cos): ``dup_of`` is the smallest
+    near-duplicate id that caused a prune, NULL for kept items.
+
+    Scale: this is the whole reason SemDeDup clusters first — pairwise
+    work is Σ|cluster|² instead of N². Assignment is the argmax-as-
+    aggregate over a broadcast centroid set (one keyed shuffle to rejoin
+    vectors); the within-cluster self-join shuffles once on ``cell``; at
+    100 TB cluster count scales with corpus size so clusters stay bounded
+    (the paper's 50k-cluster setting), and a skewed giant cluster falls
+    back to the LSH near-dup path."""
+    base = with_norm(emb, vec_col)
+    scored = base.crossJoin(F.broadcast(centroids)).withColumn(
+        "__score",
+        _dot_exact(vec_col, "cv").cast("double")
+        / (F.sqrt(F.col("__norm2").cast("double"))
+           * F.sqrt(F.col("cn2").cast("double"))),
+    )
+    cells = scored.groupBy(id_col).agg(
+        F.max_by("cid", F.struct("__score", F.col("cid").cast("double") * -1))
+        .alias("cell"))
+    av = base.join(cells, id_col)
+    a = av.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("__norm2").alias("na2"))
+    b = av.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("__norm2").alias("nb2"))
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            _dot_exact("va", "vb").cast("double")
+            / (F.sqrt(F.col("na2").cast("double"))
+               * F.sqrt(F.col("nb2").cast("double"))),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    pruned = dups.groupBy("id_b").agg(
+        F.min("id_a").alias("dup_of"),
+        F.round(F.max("cos_sim"), 6).alias("max_cos"),
+    )
+    return (
+        av.select(F.col(id_col), "cell")
+        .join(pruned.withColumnRenamed("id_b", id_col), id_col, "left")
+        .select(
+            id_col, "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of", "max_cos",
+        )
+    )

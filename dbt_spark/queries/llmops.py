@@ -649,6 +649,50 @@ def language_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) over the embeddings table: k-means
+    cluster assignment (amortized trained centroids), within-cluster
+    pairwise cosine, prune every item with a lower-id near-duplicate
+    (functions/similarity.py:semdedup_prune). The function RAISES unless
+    the result satisfies the dedup invariant — no two KEPT items in one
+    cluster remain ≥ threshold — so the driver's rows check doubles as the
+    semantic gate (cluster assignment itself is engine-specific, like
+    ann_topk_ivf).
+
+    Scale: pairwise work is Σ|cluster|², not N² — the clustering IS the
+    blocking structure; see semdedup_prune's docstring for the plan."""
+    from dbt_spark.functions.similarity import (_dot_exact, semdedup_prune,
+                                                with_norm)
+
+    emb = _emb(spark, sf_dir)
+    out = semdedup_prune(
+        emb, _trained_centroids(spark, sf_dir), threshold=0.93)
+    kept = out.filter(F.col("keep")).select("vec_id", "cell")
+    kv = with_norm(emb).join(kept, "vec_id")
+    ka = kv.select("cell", F.col("vec_id").alias("ia"),
+                   F.col("embedding").alias("va"),
+                   F.col("__norm2").alias("na2"))
+    kb = kv.select("cell", F.col("vec_id").alias("ib"),
+                   F.col("embedding").alias("vb"),
+                   F.col("__norm2").alias("nb2"))
+    viol = (
+        ka.join(kb, "cell").filter(F.col("ia") < F.col("ib"))
+        .withColumn("cs", _dot_exact("va", "vb").cast("double")
+                    / (F.sqrt(F.col("na2").cast("double"))
+                       * F.sqrt(F.col("nb2").cast("double"))))
+        .filter(F.col("cs") >= 0.93).count()
+    )
+    if viol:
+        raise RuntimeError(
+            f"semdedup invariant violated: {viol} kept within-cluster "
+            "pairs still >= threshold")
+    return out.select(
+        "vec_id", "keep",
+        F.col("dup_of").cast("bigint").alias("dup_of"),
+        "max_cos",
+    ).orderBy("vec_id")
+
+
 def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing — the standard multilingual /
     multi-source pretraining mix (sampling probability ∝ n_i^α with
@@ -1682,6 +1726,7 @@ QUERIES = {
     "quality_filter_c4": quality_filter_c4,
     "language_balanced_sample": language_balanced_sample,
     "temperature_mix_sample": temperature_mix_sample,
+    "semdedup_cluster_prune": semdedup_cluster_prune,
     "corpus_shuffle_deterministic": corpus_shuffle_deterministic,
     "dup_chunk_ratio": dup_chunk_ratio,
     "token_count": token_count,

@@ -583,3 +583,36 @@ def test_table_profile_approx_within_hll_bound(spark):
         assert (r.n_rows, r.n_nulls, r.min_value, r.max_value) == (
             e.n_rows, e.n_nulls, e.min_value, e.max_value)
         assert abs(r.n_distinct - e.n_distinct) <= max(3, 0.15 * e.n_distinct)
+
+
+def test_semdedup_prune_planted_duplicates(spark):
+    """Planted near-duplicates prune to their minimal-id representative;
+    far vectors stay. Two well-separated clusters so assignment is
+    unambiguous."""
+    from pyspark.sql import functions as F
+
+    from dbt_spark.functions.similarity import (semdedup_prune,
+                                                train_centroids)
+
+    rows = [
+        # cluster around +x: 3 near-identical + 1 distinct
+        (1, [1.0, 0.02, 0.0]),
+        (2, [1.0, 0.01, 0.0]),     # dup of 1
+        (3, [0.99, 0.02, 0.01]),   # dup of 1
+        (4, [0.7, 0.7, 0.0]),      # same half-space, but far (cos ~0.72)
+        # cluster around -x
+        (10, [-1.0, 0.0, 0.02]),
+        (11, [-1.0, 0.01, 0.02]),  # dup of 10
+        (12, [-0.6, -0.8, 0.0]),   # far
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_centroids(emb, 2, 3)
+    out = {r.vec_id: (r.keep, r.dup_of)
+           for r in semdedup_prune(emb, cents, threshold=0.95).collect()}
+    assert out[1] == (True, None)
+    assert out[2][0] is False and out[2][1] == 1
+    assert out[3][0] is False and out[3][1] in (1, 2)
+    assert out[4] == (True, None)
+    assert out[10] == (True, None)
+    assert out[11][0] is False and out[11][1] == 10
+    assert out[12] == (True, None)
