@@ -132,6 +132,8 @@ EXTENDED = [
     "semantic_metric_custom_timespine",
     "incremental_merge_acid",
     "table_profile_approx_tolerance",
+    "temperature_mix_sample",
+    "semdedup_cluster_prune",  # trained-centroid cache: rep 1 trains
 ]
 
 

@@ -1148,6 +1148,8 @@ _FUZZ_FACT_SM = {
          "filter": "{{ Dimension('status') }} = 'A'"},
         {"name": "n_rows_a", "agg": "count", "expr": "1",
          "filter": "{{ Dimension('status') }} = 'A'"},
+        {"name": "n_rows_b", "agg": "count", "expr": "1",
+         "filter": "{{ Dimension('status') }} = 'B'"},
     ],
 }
 
@@ -1155,13 +1157,19 @@ _FUZZ_FACT2_SM = {
     "name": "fact2_sm",
     "model": "ref('fact2')",
     "defaults": {"agg_time_dimension": "d2"},
-    "entities": [{"name": "pay", "type": "primary", "expr": "p_id"}],
+    "entities": [
+        {"name": "pay", "type": "primary", "expr": "p_id"},
+        {"name": "customer", "type": "foreign", "expr": "cust2"},
+    ],
     "dimensions": [
         {"name": "d2", "type": "time", "expr": "d2",
          "type_params": {"time_granularity": "day"}},
         {"name": "status", "type": "categorical", "expr": "status2"},
     ],
-    "measures": [{"name": "pay_sum", "agg": "sum", "expr": "paid"}],
+    "measures": [
+        {"name": "pay_sum", "agg": "sum", "expr": "paid"},
+        {"name": "pay_n", "agg": "count", "expr": "1"},
+    ],
 }
 
 _FUZZ_CUST_SM = {
@@ -1200,9 +1208,12 @@ def _fuzz_world(rng):
          rng.choice("ABC"), rng.randrange(1, 50), rng.randrange(1, 5))
         for i in range(rng.randrange(25, 45))
     ]
-    # second fact table on a different (overlapping-but-wider) date range
+    # second fact table on a different (overlapping-but-wider) date range;
+    # cust2 keys it to customers so cross-model conversion can join on the
+    # shared `customer` entity
     rows2 = [
-        (i, base + _dt.timedelta(days=rng.randrange(30, 130)),
+        (i, rng.randrange(n_cust),
+         base + _dt.timedelta(days=rng.randrange(30, 130)),
          rng.choice("ABC"), rng.randrange(1, 30))
         for i in range(rng.randrange(10, 25))
     ]
@@ -1223,7 +1234,7 @@ def _fuzz_register(spark, rows, rows2, customers, regions, spine):
         rows, "o_id long, cust long, d date, status string, amount long, qty long"
     ).createOrReplaceTempView("fz_fact")
     spark.createDataFrame(
-        rows2, "p_id long, d2 date, status2 string, paid long"
+        rows2, "p_id long, cust2 long, d2 date, status2 string, paid long"
     ).createOrReplaceTempView("fz_fact2")
     spark.createDataFrame(
         customers, "c_id long, segment string, region_id long"
@@ -1342,14 +1353,15 @@ def test_semantic_layer_differential_random(spark, seed):
     kind = rng.choice(
         ["simple", "simple_filtered", "ratio", "derived", "cumulative",
          "offset", "timespine", "custom_grain", "hop", "two_hop",
-         "multi_model", "offset_grain", "cum_custom"])
+         "multi_model", "offset_grain", "cum_custom", "conversion"])
     plain_groups = [["status"], ["metric_time__month"],
                     ["status", "metric_time__month"], []]
     measure = rng.choice(["amt_sum", "qty_sum", "n_rows"])
     spines = None
     order_by = None
 
-    if kind in ("simple", "simple_filtered", "ratio", "derived"):
+    if kind in ("simple", "simple_filtered", "ratio", "derived",
+                "conversion"):
         group_by = rng.choice(plain_groups)
     elif kind in ("cumulative", "offset", "offset_grain"):
         group_by = rng.choice([["metric_time__month"],
@@ -1435,6 +1447,22 @@ def test_semantic_layer_differential_random(spark, seed):
             {"name": "m2", "type": "simple",
              "type_params": {"measure": "pay_sum"}},
         ]
+    elif kind == "conversion":
+        # base events on fact; conversion events either later same-model
+        # status-B rows or cross-model fact2 rows, linked on the shared
+        # `customer` entity — exercising window, calculation, and the
+        # cross-model entity-resolution path of the compiler
+        conv_cross = rng.random() < 0.5
+        conv_calc = rng.choice(["conversions", "conversion_rate"])
+        conv_win = rng.choice([None, "7 days", "1 month"])
+        conv_base = rng.choice(["n_rows", "n_rows_a"])
+        ctp = {"base_measure": conv_base,
+               "conversion_measure": "pay_n" if conv_cross else "n_rows_b",
+               "entity": "customer", "calculation": conv_calc}
+        if conv_win:
+            ctp["window"] = conv_win
+        metrics = [{"name": "m", "type": "conversion",
+                    "type_params": {"conversion_type_params": ctp}}]
     else:  # simple / custom_grain / hop / two_hop
         metrics = [{"name": "m", "type": "simple",
                     "type_params": {"measure": measure}}]
@@ -1455,7 +1483,7 @@ def test_semantic_layer_differential_random(spark, seed):
              for kt, v in got_rows.items()),
             key=lambda t: tuple(str(x) for x in t))
         fact2 = _pd.DataFrame(
-            rows2, columns=["p_id", "d2", "status2", "paid"])
+            rows2, columns=["p_id", "cust2", "d2", "status2", "paid"])
         keys_a = _fuzz_keys(group_by, fact, cust_map, seg_map, reg_map,
                             fq_map)
         kb = {}
@@ -1576,6 +1604,46 @@ def test_semantic_layer_differential_random(spark, seed):
         for kt, c in cur.items():
             a = cur.get(qstart(kt))
             want[kt] = None if (c is None or a is None) else c - a
+    elif kind == "conversion":
+        # brute force: a base event converts iff ANY conversion event of the
+        # same entity is strictly later (and inside the window when set);
+        # output groups come from the base side only (engine's __cvg1 LEFT
+        # JOIN __cvg2 shape); dedup of multiple conversions is implicit
+        base_rows = (fact[fact["status"] == "A"]
+                     if conv_base == "n_rows_a" else fact)
+        if conv_cross:
+            conv_ev = [(r[1], r[2]) for r in rows2]
+        else:
+            conv_ev = [(r[1], r[2]) for r in rows if r[3] == "B"]
+        by_ent = {}
+        for c, d in conv_ev:
+            by_ent.setdefault(c, []).append(d)
+
+        def _converted(c, t):
+            for tc in by_ent.get(c, ()):
+                if tc <= t:
+                    continue
+                if conv_win is None:
+                    return True
+                if conv_win == "7 days":
+                    lim = t + _dt.timedelta(days=7)
+                else:  # calendar month, day-clamped like Spark add_months
+                    lim = (_pd.Timestamp(t) + _pd.DateOffset(months=1)).date()
+                if tc <= lim:
+                    return True
+            return False
+
+        def conv_val(g):
+            nb = len(g)
+            nc = sum(1 for _, r in g.iterrows()
+                     if _converted(r["cust"], r["d"]))
+            if conv_calc == "conversions":
+                return nc
+            return (nc / nb) if nb else None
+
+        keys_c = _fuzz_keys(group_by, base_rows, cust_map, seg_map,
+                            reg_map, fq_map)
+        want = _fuzz_grouped(base_rows, keys_c, conv_val)
     else:  # timespine
         base = _fuzz_grouped(fact, keys, _fuzz_measure(fact, measure))
         ti = group_by.index("metric_time__month")
