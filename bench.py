@@ -134,6 +134,8 @@ EXTENDED = [
     "table_profile_approx_tolerance",
     "temperature_mix_sample",
     "semdedup_cluster_prune",  # trained-centroid cache: rep 1 trains
+    "dsir_importance_select",
+    "ngram_lm_quality_score",
 ]
 
 

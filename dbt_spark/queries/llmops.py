@@ -738,6 +738,115 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-ratio data selection (Data Selection for
+    Language Models via Importance Resampling, Xie et al. 2023,
+    arXiv:2302.03169): score each raw-corpus document by how target-like
+    its hashed n-gram profile is, keep the deterministic top-k. Features
+    are word uni+bigrams hashed into B=4096 buckets (first 3 hex digits of
+    md5 — the engine-portable hex trick from corpus_shuffle_deterministic);
+    the target slice here is lang='en', candidates are the rest. Per-bucket
+    weight lam_b = ln p_target(b) − ln p_raw(b) with +0.5 add-smoothing; a
+    doc's score is the sum of lam over its feature occurrences; selection
+    orders by (rounded score DESC, doc_id).
+
+    Scale: bucket stats are ONE conditional aggregate keyed on B=4096
+    buckets (map-side partial agg bounds the shuffle at B rows/partition);
+    the 4096-row weight table broadcasts back onto the per-gram stream, so
+    scoring shuffles once, keyed on doc_id, with map-side partial sums;
+    top-k is TakeOrderedAndProject (per-partition heaps, no global sort).
+    Two corpus scans total — DSIR is two-pass by nature."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "lang", "source",
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    # slice(ws, 1, 0) = typed empty array<string>: keeps concat well-typed
+    # for single-token docs (bare array() would infer array<null>)
+    grams = d.select(
+        "doc_id", "lang", "source",
+        F.explode(F.expr(
+            "concat(ws, CASE WHEN size(ws) >= 2 THEN "
+            "transform(sequence(0, size(ws)-2), "
+            "i -> concat(ws[i], ' ', ws[i+1])) "
+            "ELSE slice(ws, 1, 0) END)")).alias("g"))
+    h = F.md5(F.col("g"))
+
+    def _hx(i: int):
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+
+    feats = grams.select(
+        "doc_id", "lang", "source",
+        (_hx(1) * 256 + _hx(2) * 16 + _hx(3)).cast("int").alias("b"))
+    stats = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+         .cast("double").alias("ct"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+         .cast("double").alias("cr"),
+    )
+    tot = stats.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lam = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (F.log((F.col("ct") + 0.5) / (F.col("nt") + 2048.0))
+         - F.log((F.col("cr") + 0.5) / (F.col("nr") + 2048.0))).alias("lam"))
+    scored = (
+        feats.filter(F.col("lang") != "en")
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+             F.round(F.sum("lam"), 6).alias("dsir_score"))
+    )
+    return scored.orderBy(
+        F.col("dsir_score").desc(), F.col("doc_id").asc()).limit(50)
+
+
+def ngram_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359 — there a KenLM model; here the LM is trained
+    IN-ENGINE): fit an add-0.5-smoothed word-bigram model on the target
+    slice (lang='en'), then score every document's bigrams under it and
+    report the per-doc average negative log-likelihood and pseudo-perplexity
+    exp(nll). Low ppl ≈ fluent/target-like; the standard quality-bucketing
+    signal that needs no external model artifact.
+
+    Scale: the bigram/unigram count tables are vocab-sized — NOT broadcast;
+    scoring joins key on the gram itself (shuffle ∝ gram stream, map-side
+    partial sums on doc_id afterwards). LEFT joins + COALESCE(0) give
+    unseen grams the smoothing floor, so OOV text scores finite-but-high.
+    The only scalar (vocab size V) rides a 1-row broadcast."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "lang",
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    bi = d.filter(F.size("ws") >= 2).select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, "
+            "ws[i+1] AS w2))")).alias("g"),
+    ).select("doc_id", "lang", F.col("g.w1").alias("w1"),
+             F.col("g.w2").alias("w2"))
+    tgt = bi.filter(F.col("lang") == "en")
+    c2 = tgt.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2"))
+    c1 = tgt.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    vocab = tgt.agg(
+        F.countDistinct("w2").cast("double").alias("v"))
+    scored = (
+        bi.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id", "lang",
+            (-F.log((F.coalesce(F.col("c2"), F.lit(0.0)) + 0.5)
+                    / (F.coalesce(F.col("c1"), F.lit(0.0))
+                       + 0.5 * F.col("v")))).alias("nll"))
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+             F.round(F.avg("nll"), 6).alias("avg_nll"),
+             F.round(F.exp(F.avg("nll")), 4).alias("ppl"))
+    )
+    return scored
+
+
 def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into training shards: shard = first hex
     digit of md5(doc_id) (16-way; 2 digits → 256-way at scale), position =
@@ -1382,6 +1491,93 @@ ORACLES: dict[str, str] = {
                     THEN 1 ELSE 0 END AS INT) AS keep_flag
         FROM s
     """,
+    "ngram_lm_quality_score": f"""
+        WITH d AS (
+            SELECT doc_id, lang, {_TOKS} AS ws FROM documents
+            WHERE len({_TOKS}) >= 2
+        ),
+        bi AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(generate_series(1, len(ws) - 1),
+                          i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS g
+            FROM d
+        ),
+        b2 AS (SELECT doc_id, lang, g.w1 AS w1, g.w2 AS w2 FROM bi),
+        c2 AS (
+            SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
+            FROM b2 WHERE lang = 'en' GROUP BY w1, w2
+        ),
+        c1 AS (
+            SELECT w1, CAST(count(*) AS DOUBLE) AS c1
+            FROM b2 WHERE lang = 'en' GROUP BY w1
+        ),
+        v AS (
+            SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v
+            FROM b2 WHERE lang = 'en'
+        ),
+        s AS (
+            SELECT b2.doc_id, b2.lang,
+                   -ln((COALESCE(c2.c2, 0) + 0.5)
+                       / (COALESCE(c1.c1, 0) + 0.5 * v.v)) AS nll
+            FROM b2
+            LEFT JOIN c2 ON b2.w1 = c2.w1 AND b2.w2 = c2.w2
+            LEFT JOIN c1 ON b2.w1 = c1.w1
+            CROSS JOIN v
+        )
+        SELECT doc_id, lang,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(nll), 6) AS avg_nll,
+               round(exp(avg(nll)), 4) AS ppl
+        FROM s GROUP BY doc_id, lang
+    """,
+    "dsir_importance_select": f"""
+        WITH d AS (
+            SELECT doc_id, lang, source, {_TOKS} AS ws FROM documents
+        ),
+        g AS (
+            SELECT doc_id, lang, source,
+                   unnest(list_concat(ws,
+                       CASE WHEN len(ws) >= 2 THEN
+                           list_transform(generate_series(1, len(ws) - 1),
+                                          i -> ws[i] || ' ' || ws[i + 1])
+                       ELSE ws[1:0] END)) AS g
+            FROM d
+        ),
+        f AS (
+            SELECT doc_id, lang, source,
+                   (instr('0123456789abcdef', substring(md5(g), 1, 1)) - 1)
+                       * 256
+                 + (instr('0123456789abcdef', substring(md5(g), 2, 1)) - 1)
+                       * 16
+                 + (instr('0123456789abcdef', substring(md5(g), 3, 1)) - 1)
+                       AS b
+            FROM g
+        ),
+        s AS (
+            SELECT b,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS ct,
+                   CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS cr
+            FROM f GROUP BY b
+        ),
+        t AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM s),
+        l AS (
+            SELECT b, ln((ct + 0.5) / (nt + 2048.0))
+                    - ln((cr + 0.5) / (nr + 2048.0)) AS lam
+            FROM s CROSS JOIN t
+        ),
+        sc AS (
+            SELECT f.doc_id, f.lang, f.source,
+                   CAST(count(*) AS BIGINT) AS n_feats,
+                   round(sum(l.lam), 6) AS dsir_score
+            FROM f JOIN l USING (b)
+            WHERE f.lang <> 'en'
+            GROUP BY f.doc_id, f.lang, f.source
+        )
+        SELECT doc_id, lang, source, n_feats, dsir_score
+        FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 50
+    """,
     "temperature_mix_sample": """
         WITH counts AS (
             SELECT lang, count(*) AS n FROM documents GROUP BY lang
@@ -1726,6 +1922,8 @@ QUERIES = {
     "quality_filter_c4": quality_filter_c4,
     "language_balanced_sample": language_balanced_sample,
     "temperature_mix_sample": temperature_mix_sample,
+    "dsir_importance_select": dsir_importance_select,
+    "ngram_lm_quality_score": ngram_lm_quality_score,
     "semdedup_cluster_prune": semdedup_cluster_prune,
     "corpus_shuffle_deterministic": corpus_shuffle_deterministic,
     "dup_chunk_ratio": dup_chunk_ratio,

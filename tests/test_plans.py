@@ -393,3 +393,28 @@ def test_custom_timespine_plan(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dsir_importance_select_plan(spark):
+    """DSIR importance selection: the 4096-row bucket-weight table joins
+    via broadcast hash (never a shuffle of the gram stream against it),
+    both aggregates combine map-side, and top-k is TakeOrderedAndProject
+    (per-partition heaps, no global sort). The 1-row totals side is the
+    only nested-loop broadcast, by construction."""
+    plan = _formatted(QUERIES["dsir_importance_select"](spark, SF_DIR_MED))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_ngram_lm_quality_score_plan(spark):
+    """In-engine bigram-LM scoring: count-table joins are keyed equi-joins
+    (broadcast at this SF; AQE picks shuffle joins when vocab-sized at
+    scale), the per-doc rollup combines map-side, and the only nested-loop
+    broadcast is the 1-row vocab scalar."""
+    plan = _formatted(QUERIES["ngram_lm_quality_score"](spark, SF_DIR_MED))
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_avg" in plan, plan
+    assert "Join type: LeftOuter" in plan, plan

@@ -35,6 +35,8 @@ PROBE_QUERIES = [
     "retention_cohorts",          # cohort x week rollup
     "tfidf_top_terms",            # checkpointed tf fan-out
     "ngram_novelty_rate",         # gram-keyed first-occurrence join
+    "dsir_importance_select",     # bucket-stat broadcast + doc-keyed score
+    "ngram_lm_quality_score",     # gram-keyed LM-count joins + doc rollup
 ]
 
 
