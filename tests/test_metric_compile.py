@@ -2079,3 +2079,41 @@ def test_saved_query_export_alias_and_schema_name(project_dir, spark):
     assert r.success
     assert eng.store.exists("marts", "rev_monthly")
     assert not eng.store.exists("main", "monthly_revenue_tbl")
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_saved_query_object_syntax_roundtrip(seed):
+    """compile_saved_query is a pure translation layer over
+    compile_metrics_sql: MetricFlow object syntax (Dimension / TimeDimension
+    / Entity group-bys, where as a LIST of filters, limit/order_by) must
+    compile to byte-identical SQL as the directly-parameterized call —
+    randomized over the fuzz world's semantic models."""
+    rng = _random.Random(_FUZZ_OFF + 888_000 + seed)
+    pool = [
+        ("status", "Dimension('status')"),
+        ("metric_time__month", "TimeDimension('metric_time', 'month')"),
+        ("customer__segment", "Dimension('customer__segment')"),
+        ("customer", "Entity('customer')"),
+    ]
+    picks = rng.sample(pool, rng.randrange(0, 4))
+    metrics = [{"name": "m", "type": "simple",
+                "type_params": {"measure": rng.choice(
+                    ["amt_sum", "qty_sum", "n_rows"])}}]
+    where = rng.choice([
+        None,
+        ["{{ Dimension('status') }} = 'A'"],
+        ["{{ Dimension('status') }} <> 'B'",
+         "{{ Dimension('status') }} <> 'C'"],
+    ])
+    limit = rng.choice([None, 5])
+    order_by = ([picks[0][0]] if picks and rng.random() < 0.5 else None)
+    direct = compile_metrics_sql(
+        ["m"], metrics, _FUZZ_MODELS, _FUZZ_TABLES,
+        group_by=[p[0] for p in picks],
+        where=(" AND ".join(f"({w})" for w in where) if where else None),
+        order_by=order_by, limit=limit)
+    sq = {"name": "sq", "query_params": {
+        "metrics": ["m"], "group_by": [p[1] for p in picks],
+        "where": where, "order_by": order_by, "limit": limit}}
+    via_sq = compile_saved_query(sq, metrics, _FUZZ_MODELS, _FUZZ_TABLES)
+    assert via_sq == direct
