@@ -61,12 +61,28 @@ _AGG_SQL = {
     "sum": "SUM({e})",
     "min": "MIN({e})",
     "max": "MAX({e})",
+    # the reference's AggregationType enum spells it "average"
+    # (core/dbt/artifacts/resources/types.py); "avg" kept as an alias
+    "average": "AVG({e})",
     "avg": "AVG({e})",
     "count": "COUNT({e})",
     "count_distinct": "COUNT(DISTINCT {e})",
     "sum_boolean": "SUM(CASE WHEN ({e}) THEN 1 ELSE 0 END)",
     "median": "MEDIAN({e})",
 }
+
+
+def _filt(value: Any) -> Optional[str]:
+    """Normalize a filter value: the reference's WhereFilterIntersection
+    (v1/metric.py MetricInputMeasure.filter / Metric.filter) accepts a single
+    SQL string or a LIST of strings that must all hold — a list becomes one
+    AND-joined predicate."""
+    if value is None:
+        return None
+    if isinstance(value, (list, tuple)):
+        parts = [str(v) for v in value if v]
+        return " AND ".join(f"({p})" for p in parts) or None
+    return str(value)
 
 
 class MetricQueryError(SemanticValidationError):
@@ -453,17 +469,27 @@ def _measure_agg_sql(model: _Model, measure_name: str,
     if measure is None:
         raise MetricQueryError(
             f"measure {measure_name!r} not in semantic model {model.name}")
-    agg = measure.get("agg", "sum")
+    agg = str(measure.get("agg", "sum")).lower()
     expr = str(measure.get("expr") or measure["name"])
     conds = []
     if measure.get("filter"):
-        conds.append(_render_filter(str(measure["filter"]), model))
+        conds.append(_render_filter(_filt(measure["filter"]), model))
     if extra_filter:
         conds.append(_render_filter(extra_filter, model))
     if agg == "percentile":
-        p = (measure.get("agg_params") or {}).get("percentile", 0.5)
+        # MeasureAggregationParameters (v1/semantic_model.py:136-140):
+        # percentile value plus discrete/approximate flavor flags.
+        # continuous (default) = interpolated PERCENTILE; discrete =
+        # PERCENTILE_DISC (an actual data value); approximate = t-digest
+        # APPROX_PERCENTILE (one pass, mergeable sketches — the 100 TB path)
+        ap = measure.get("agg_params") or {}
+        p = ap.get("percentile", 0.5)
         guarded = (f"CASE WHEN {' AND '.join(conds)} THEN {expr} END"
                    if conds else expr)
+        if ap.get("use_approximate_percentile"):
+            return f"APPROX_PERCENTILE({guarded}, {p})"
+        if ap.get("use_discrete_percentile"):
+            return f"PERCENTILE_DISC({p}) WITHIN GROUP (ORDER BY {guarded})"
         return f"PERCENTILE({guarded}, {p})"
     if agg not in _AGG_SQL:
         raise MetricQueryError(
@@ -483,13 +509,75 @@ def _measure_agg_sql(model: _Model, measure_name: str,
 def _measure_name(spec: Any) -> tuple[str, Optional[str]]:
     """type_params.measure is a string or {name, filter?}."""
     if isinstance(spec, dict):
-        return spec["name"], spec.get("filter")
+        return spec["name"], _filt(spec.get("filter"))
     return str(spec), None
 
 
 def _sanitize(name: str) -> str:
     """Metric name → identifier-safe CTE suffix."""
     return re.sub(r"[^A-Za-z0-9_]", "_", str(name))
+
+
+def _nad_from(sm: _Model, nad: dict, table: str,
+              group_by: list[str]) -> str:
+    """Semi-additive pre-filter (Measure.non_additive_dimension,
+    core/dbt/artifacts/resources/v1/semantic_model.py:143-147
+    NonAdditiveDimension + :158): keep only the fact rows at the
+    ``window_choice`` (MIN/MAX) value of the named time dimension, computed
+    per ``window_groupings`` entity group and per queried time bucket — the
+    bank-balance semantics: SUM over accounts is additive, SUM over days is
+    not, so a month-grain query sums each account's balance at its first or
+    last snapshot date inside the month.
+
+    Spark-first shape: a GROUP BY aggregate of (groupings × time buckets →
+    window value) — map-side partial, group-cardinality output — joined
+    back to the fact on the grouping keys plus equality with the window
+    value. Deliberately NOT a ``MIN(..) OVER ()`` window: with no
+    groupings that window is unpartitioned (single-task sort at scale),
+    while this aggregate stays distributed and AQE broadcasts the small
+    window-value side."""
+    name = str(nad.get("name") or "")
+    choice = str(nad.get("window_choice") or "min").lower()
+    if choice not in ("min", "max"):
+        raise MetricQueryError(
+            f"non_additive_dimension {name!r}: window_choice must be min "
+            f"or max, got {choice!r}")
+    dim = sm.dimensions.get(name)
+    if dim is None or dim.get("type") != "time":
+        raise MetricQueryError(
+            f"non_additive_dimension {name!r} must name a time dimension "
+            f"on semantic model {sm.name} (have "
+            f"{sorted(d for d, v in sm.dimensions.items() if v.get('type') == 'time')})")
+    nad_expr = dim.get("expr") or dim["name"]
+    parts: list[str] = []
+    for g in nad.get("window_groupings") or []:
+        ent = sm.entities.get(str(g))
+        if ent is not None:
+            parts.append(ent.get("expr") or ent["name"])
+            continue
+        expr, _ = sm.resolve_group_by(str(g))
+        parts.append(expr)
+    for item in group_by:
+        # queried time buckets scope the window: balance-at-month-end per
+        # month, not one global snapshot — resolved on the OWNER model
+        # (the window runs before entity-hop joins exist)
+        if sm.is_time_item(item):
+            expr, _ = sm.resolve_group_by(item)
+            parts.append(expr)
+    if parts:
+        nk = [f"{e} AS __nk{i}" for i, e in enumerate(parts)]
+        on = " AND ".join(
+            [f"({e}) <=> __nw.__nk{i}" for i, e in enumerate(parts)]
+            + [f"({nad_expr}) = __nw.__nad_w"])
+        agg_sql = (f"SELECT {', '.join(nk)}, {choice.upper()}({nad_expr}) "
+                   f"AS __nad_w FROM {table} GROUP BY "
+                   f"{', '.join(str(i + 1) for i in range(len(parts)))}")
+    else:
+        on = f"({nad_expr}) = __nw.__nad_w"
+        agg_sql = (f"SELECT {choice.upper()}({nad_expr}) AS __nad_w "
+                   f"FROM {table}")
+    return (f"(SELECT __nf.* FROM {table} __nf JOIN ({agg_sql}) __nw "
+            f"ON {on}) __nadbase")
 
 
 def compile_metrics_sql(
@@ -549,6 +637,17 @@ def compile_metrics_sql(
         for mname in sm.measures:
             measure_owner[mname] = sm
 
+    # create_metric: true (Measure.create_metric,
+    # v1/semantic_model.py:154) — the measure auto-exposes a proxy: a
+    # simple metric named after itself, unless a declared metric already
+    # claims the name
+    for sm in models:
+        for mname, meas in sm.measures.items():
+            if meas.get("create_metric") and mname not in metric_index:
+                metric_index[mname] = {
+                    "name": mname, "type": "simple",
+                    "type_params": {"measure": mname}}
+
     # resolve each requested metric into leaf (measure-level) requirements
     # plus a final value expression
     leaf_cols: dict[str, dict[str, tuple[str, Optional[str]]]] = {}
@@ -582,9 +681,89 @@ def compile_metrics_sql(
         inst = owner.name + (
             f"__off_{_sanitize(offset)}" if offset else "") + (
             f"__otg_{_sanitize(offset_grain)}" if offset_grain else "")
-        inst_meta[inst] = (owner.name, offset, offset_grain)
+        nad = owner.measures[mname].get("non_additive_dimension")
+        if nad:
+            if offset or offset_grain:
+                raise MetricQueryError(
+                    f"measure {mname!r}: offset inputs over a "
+                    "non_additive_dimension measure are not supported")
+            # a semi-additive measure aggregates over a PRE-FILTERED fact
+            # (rows at the window_choice value of the NAD), so it gets its
+            # own model instance — other measures keep the plain scan
+            inst += f"__nad_{_sanitize(mname)}"
+        inst_meta[inst] = (owner.name, offset, offset_grain, nad)
         leaf_cols.setdefault(inst, {})[alias] = (mname, filt)
         return alias
+
+    def _offset_leaf(name: str, in_filter: Optional[str],
+                     offset: Optional[str], offset_grain: Optional[str],
+                     what: str) -> str:
+        """A metric input carrying offset_window / offset_to_grain: the
+        target must be a simple metric; its measure re-aggregates as an
+        offset instance with the target's own filter AND the input-level
+        filter applied (MetricInput.filter, v1/metric.py:64)."""
+        target = metric_index.get(name)
+        if target is None:
+            raise MetricQueryError(f"metric {name!r} is not defined")
+        if target.get("type", "simple") != "simple":
+            raise MetricQueryError(
+                f"{what}: offset input {name!r} must be a simple metric")
+        if offset_grain and str(offset_grain) not in _GRAINS:
+            raise MetricQueryError(
+                f"{what}: offset_to_grain {offset_grain!r} is not a "
+                "standard grain")
+        combined = " AND ".join(
+            f"({f})" for f in (_filt(target.get("filter")), in_filter)
+            if f) or None
+        return _leaf((target.get("type_params") or {}).get("measure"),
+                     combined,
+                     offset=str(offset) if offset else None,
+                     offset_grain=str(offset_grain) if offset_grain else None)
+
+    def _metric_input(spec: Any, outer_filter: Optional[str],
+                      what: str) -> str:
+        """Resolve a ratio numerator/denominator as a MetricInput
+        (v1/metric.py:62-73: a METRIC reference with optional input-level
+        filter and offset_window/offset_to_grain), falling back to the
+        legacy measure shorthand when the name is a measure, not a metric."""
+        name = spec["name"] if isinstance(spec, dict) else str(spec)
+        in_filter = _filt(spec.get("filter")) if isinstance(spec, dict) else None
+        offset = spec.get("offset_window") if isinstance(spec, dict) else None
+        offset_grain = (spec.get("offset_to_grain")
+                        if isinstance(spec, dict) else None)
+        target = metric_index.get(name)
+        if target is None:
+            # measure shorthand: offsets are a MetricInput-only concept
+            if offset or offset_grain:
+                raise MetricQueryError(
+                    f"{what}: {name!r} is not a metric — offset_window/"
+                    "offset_to_grain need a metric input")
+            if name not in measure_owner:
+                raise MetricQueryError(
+                    f"{what}: {name!r} is neither a metric nor a measure")
+            combined = " AND ".join(
+                f"({f})" for f in (in_filter, outer_filter) if f) or None
+            return _leaf(name, combined)
+        if offset or offset_grain:
+            if offset and offset_grain:
+                raise MetricQueryError(
+                    f"{what}: input {name!r} cannot set both offset_window "
+                    "and offset_to_grain")
+            combined = " AND ".join(
+                f"({f})" for f in (in_filter, outer_filter) if f) or None
+            return _offset_leaf(name, combined, offset, offset_grain, what)
+        if target.get("type", "simple") == "simple":
+            combined = " AND ".join(
+                f"({f})" for f in (_filt(target.get("filter")), in_filter,
+                                   outer_filter) if f) or None
+            return _leaf((target.get("type_params") or {}).get("measure"),
+                         combined)
+        if in_filter or outer_filter:
+            raise MetricQueryError(
+                f"{what}: a filter on input {name!r} needs a simple input "
+                f"metric (got type {target.get('type')!r} — filters cannot "
+                "push inside an already-composed metric)")
+        return _expand(name)
 
     def _expand(name: str) -> str:
         metric = metric_index.get(name)
@@ -592,7 +771,7 @@ def compile_metrics_sql(
             raise MetricQueryError(f"metric {name!r} is not defined")
         mtype = metric.get("type", "simple")
         tp = metric.get("type_params") or {}
-        mfilter = metric.get("filter")
+        mfilter = _filt(metric.get("filter"))
         if mtype in ("simple", "cumulative"):
             alias = _leaf(tp.get("measure"), mfilter)
             # join_to_timespine / fill_nulls_with live on the measure input
@@ -627,8 +806,14 @@ def compile_metrics_sql(
                 }
             return alias
         if mtype == "ratio":
-            num = _leaf(tp["numerator"], mfilter)
-            den = _leaf(tp["denominator"], mfilter)
+            # numerator/denominator are MetricInput refs (v1/metric.py:100-103
+            # MetricTypeParams.numerator: MetricInput) — metric names with
+            # optional input filter/offset; bare measure names still accepted
+            # as the legacy shorthand
+            num = _metric_input(tp["numerator"], mfilter,
+                                f"ratio metric {name}: numerator")
+            den = _metric_input(tp["denominator"], mfilter,
+                                f"ratio metric {name}: denominator")
             return f"CAST({num} AS DOUBLE) / NULLIF(CAST({den} AS DOUBLE), 0)"
         if mtype == "derived":
             expr = str(tp.get("expr", ""))
@@ -637,9 +822,10 @@ def compile_metrics_sql(
                     iname, ialias = inp["name"], inp.get("alias") or inp["name"]
                     offset = inp.get("offset_window")
                     offset_grain = inp.get("offset_to_grain")
+                    in_filter = _filt(inp.get("filter"))
                 else:
                     iname, ialias = str(inp), str(inp)
-                    offset = offset_grain = None
+                    offset = offset_grain = in_filter = None
                 if offset and offset_grain:
                     raise MetricQueryError(
                         f"derived metric {name}: input {iname!r} cannot set "
@@ -651,24 +837,25 @@ def compile_metrics_sql(
                     # period reads the input's value at the START of its
                     # containing grain (v1/metric.py MetricInput
                     # offset_window/offset_to_grain)
+                    sub = _offset_leaf(iname, in_filter, offset, offset_grain,
+                                       f"derived metric {name}")
+                elif in_filter:
+                    # input-level filter (MetricInput.filter, v1/metric.py:64)
+                    # re-aggregates the input's measure with the extra guard
                     target = metric_index.get(iname)
                     if target is None:
                         raise MetricQueryError(
                             f"metric {iname!r} is not defined")
                     if target.get("type", "simple") != "simple":
                         raise MetricQueryError(
-                            f"derived metric {name}: offset input "
-                            f"{iname!r} must be a simple metric")
-                    if offset_grain and str(offset_grain) not in _GRAINS:
-                        raise MetricQueryError(
-                            f"derived metric {name}: offset_to_grain "
-                            f"{offset_grain!r} is not a standard grain")
+                            f"derived metric {name}: a filter on input "
+                            f"{iname!r} needs a simple input metric")
+                    combined = " AND ".join(
+                        f"({f})" for f in (_filt(target.get("filter")),
+                                           in_filter) if f) or None
                     sub = _leaf(
                         (target.get("type_params") or {}).get("measure"),
-                        target.get("filter"),
-                        offset=str(offset) if offset else None,
-                        offset_grain=(str(offset_grain)
-                                      if offset_grain else None))
+                        combined)
                 else:
                     sub = _expand(iname)
                 expr = re.sub(rf"\b{re.escape(ialias)}\b", f"({sub})", expr)
@@ -693,7 +880,7 @@ def compile_metrics_sql(
     model_by_name = {m.name: m for m in models}
     key_aliases = []
     for inst, cols in leaf_cols.items():
-        model_name, offset, offset_grain = inst_meta[inst]
+        model_name, offset, offset_grain, nad = inst_meta[inst]
         sm = model_by_name[model_name]
         lm = _LinkedModel(sm, models, table_for_model,
                           spines=time_spines)
@@ -701,6 +888,8 @@ def compile_metrics_sql(
         if table is None:
             raise MetricQueryError(
                 f"no table registered for model {sm.ref_name()!r}")
+        if nad:
+            table = _nad_from(sm, nad, table, group_by)
         selects, keys, time_keys = [], [], []
         for item in group_by:
             expr, alias = lm.resolve_group_by(item)
@@ -798,7 +987,7 @@ def compile_metrics_sql(
             meas = side_owner.measures[measure_name]
             conds = []
             if meas.get("filter"):
-                conds.append(_render_filter(str(meas["filter"]), resolver))
+                conds.append(_render_filter(_filt(meas["filter"]), resolver))
             if extra:
                 conds.append(_render_filter(str(extra), resolver))
             if with_metric_filter and mfilter:

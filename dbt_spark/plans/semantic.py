@@ -310,6 +310,31 @@ def validate_semantic_model(entry: dict) -> None:
                 f"measure '{meas['name']}' uses a count aggregation, which "
                 "requires an expr",
             )
+        nad = meas.get("non_additive_dimension")
+        if nad is not None:
+            # NonAdditiveDimension (v1/semantic_model.py:143-147): name +
+            # window_choice + window_groupings; only MIN/MAX pick a
+            # meaningful snapshot row
+            if not isinstance(nad, dict) or not nad.get("name"):
+                raise _err(
+                    "semantic model", name,
+                    f"measure '{meas['name']}': non_additive_dimension "
+                    "must be a mapping with a 'name'",
+                )
+            wc = str(nad.get("window_choice", "min")).lower()
+            if wc not in ("min", "max"):
+                raise _err(
+                    "semantic model", name,
+                    f"measure '{meas['name']}': non_additive_dimension "
+                    f"window_choice must be min or max, got '{wc}'",
+                )
+            wg = nad.get("window_groupings")
+            if wg is not None and not isinstance(wg, list):
+                raise _err(
+                    "semantic model", name,
+                    f"measure '{meas['name']}': window_groupings must be "
+                    "a list of entity names",
+                )
 
 
 def validate_saved_query(entry: dict) -> None:
@@ -394,6 +419,27 @@ def link_semantic_graph(manifest) -> None:
                 )
             measure_owner[mname] = sm
 
+    # measures with create_metric: true expose a same-named proxy metric
+    # (Measure.create_metric, v1/semantic_model.py:154) — resolvable by
+    # saved queries and derived inputs without a declared metric entry
+    proxy_owner = {
+        (meas.get("name") if isinstance(meas, dict) else str(meas)): sm
+        for sm in semantic_models
+        for meas in sm.config.meta.get("measures") or []
+        if isinstance(meas, dict) and meas.get("create_metric")
+    }
+
+    def _resolve_metric_dep(node, mname: str, what: str) -> None:
+        dep = metrics.get(mname)
+        if dep is None:
+            owner = proxy_owner.get(mname)
+            if owner is None:
+                raise SemanticValidationError(
+                    f"{what} '{node.name}': metric '{mname}' does not exist")
+            dep = owner
+        if dep.unique_id not in node.depends_on:
+            node.depends_on.append(dep.unique_id)
+
     def _link_measure(metric, measure_ref, what: str) -> None:
         for mname in _input_names(measure_ref):
             owner = measure_owner.get(mname)
@@ -429,6 +475,9 @@ def link_semantic_graph(manifest) -> None:
             _link_measure(metric, ctp.get("conversion_measure"), "conversion_measure")
         if mtype == "derived":
             for mname in _input_names(tp.get("metrics")):
+                if mname not in metrics and mname in proxy_owner:
+                    _resolve_metric_dep(metric, mname, "metric")
+                    continue
                 dep = metrics.get(mname)
                 if dep is None:
                     raise SemanticValidationError(
@@ -443,10 +492,4 @@ def link_semantic_graph(manifest) -> None:
             continue
         qp = node.config.meta.get("query_params") or {}
         for mname in _input_names(qp.get("metrics")):
-            dep = metrics.get(mname)
-            if dep is None:
-                raise SemanticValidationError(
-                    f"saved query '{node.name}': metric '{mname}' does not exist"
-                )
-            if dep.unique_id not in node.depends_on:
-                node.depends_on.append(dep.unique_id)
+            _resolve_metric_dep(node, mname, "saved query")

@@ -1065,6 +1065,145 @@ def semantic_entity_two_hop_dimension(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def semantic_semi_additive_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive measure via non_additive_dimension
+    (core/dbt/artifacts/resources/v1/semantic_model.py:143-147
+    NonAdditiveDimension, :158 Measure.non_additive_dimension): treat each
+    order as a balance snapshot — monthly "total balance" sums, per
+    customer, only the rows at that customer's LATEST order date inside the
+    month (window_choice: max, window_groupings: [customer]); additive over
+    customers, non-additive over time.
+
+    Scale: the window compiles to a GROUP BY (customer, month) aggregate —
+    map-side partial, group-cardinality output — joined back to the fact on
+    the grouping keys + snapshot-date equality; deliberately NOT an
+    unpartitioned MIN/MAX OVER () window, so no single-task sort at 100 TB
+    and AQE can broadcast the window-value side."""
+    from dbt_spark.plans.metric_compile import compile_metrics_sql
+    from dbt_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "orders")
+    sm = {
+        "name": "orders_sm",
+        "model": "ref('orders')",
+        "defaults": {"agg_time_dimension": "order_date"},
+        "entities": [
+            {"name": "order", "type": "primary", "expr": "o_orderkey"},
+            {"name": "customer", "type": "foreign", "expr": "o_custkey"},
+        ],
+        "dimensions": [
+            {"name": "order_date", "type": "time", "expr": "o_orderdate",
+             "type_params": {"time_granularity": "day"}},
+        ],
+        "measures": [
+            {"name": "eod_balance", "agg": "sum",
+             "expr": "CAST(o_totalprice AS DECIMAL(18,2))",
+             "non_additive_dimension": {
+                 "name": "order_date", "window_choice": "max",
+                 "window_groupings": ["customer"]}},
+            {"name": "bod_balance", "agg": "sum",
+             "expr": "CAST(o_totalprice AS DECIMAL(18,2))",
+             "non_additive_dimension": {
+                 "name": "order_date", "window_choice": "min",
+                 "window_groupings": ["customer"]}},
+        ],
+    }
+    metrics = [
+        {"name": "month_end_balance", "type": "simple",
+         "type_params": {"measure": "eod_balance"}},
+        {"name": "month_start_balance", "type": "simple",
+         "type_params": {"measure": "bod_balance"}},
+    ]
+    sql = compile_metrics_sql(
+        ["month_end_balance", "month_start_balance"], metrics, [sm],
+        {"orders": "orders"},
+        group_by=["metric_time__month"],
+        order_by=["metric_time__month"],
+    )
+    return spark.sql(sql).select(
+        F.col("metric_time__month").cast("timestamp").alias("month"),
+        F.col("month_end_balance").cast("double").alias("month_end_balance"),
+        F.col("month_start_balance").cast("double")
+        .alias("month_start_balance"),
+    )
+
+
+def semantic_metric_input_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MetricInput-shaped ratio + measure features in one compile
+    (core/dbt/artifacts/resources/v1/metric.py:100-103 —
+    MetricTypeParams.numerator/denominator are MetricInput refs;
+    v1/semantic_model.py:136-140 MeasureAggregationParameters, :154
+    Measure.create_metric):
+
+    - ``fulfilled_share``: a ratio whose numerator is the METRIC ``revenue``
+      narrowed by an input-level filter LIST (WhereFilterIntersection) and
+      whose denominator is the same metric unfiltered;
+    - ``price_p90``: a percentile measure with use_discrete_percentile
+      (PERCENTILE_DISC — an actual data value, exactly comparable across
+      engines, unlike interpolated continuous percentiles);
+    - ``avg_price``: requested directly as a measure proxy — the measure
+      declares ``create_metric: true`` and uses the reference's
+      ``average`` agg spelling.
+
+    Scale: everything fuses into ONE aggregate over one scan (the ratio's
+    filtered leg is a CASE WHEN guard inside the same GROUP BY, not a second
+    scan); PERCENTILE_DISC is the only non-algebraic aggregate and Spark
+    runs it as a typed-imperative agg within the same exchange."""
+    from dbt_spark.plans.metric_compile import compile_metrics_sql
+    from dbt_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "orders")
+    sm = {
+        "name": "orders_sm",
+        "model": "ref('orders')",
+        "defaults": {"agg_time_dimension": "order_date"},
+        "entities": [
+            {"name": "order", "type": "primary", "expr": "o_orderkey"}],
+        "dimensions": [
+            {"name": "order_date", "type": "time", "expr": "o_orderdate",
+             "type_params": {"time_granularity": "day"}},
+            {"name": "status", "type": "categorical", "expr": "o_orderstatus"},
+            {"name": "prio", "type": "categorical", "expr": "o_orderpriority"},
+        ],
+        "measures": [
+            {"name": "order_total_dec", "agg": "sum",
+             "expr": "CAST(o_totalprice AS DECIMAL(18,2))"},
+            {"name": "price_p90_disc", "agg": "percentile",
+             "expr": "o_totalprice",
+             "agg_params": {"percentile": 0.9,
+                            "use_discrete_percentile": True}},
+            {"name": "avg_price", "agg": "average",
+             "expr": "CAST(o_totalprice AS DECIMAL(18,2))",
+             "create_metric": True},
+        ],
+    }
+    metrics = [
+        {"name": "revenue", "type": "simple",
+         "type_params": {"measure": "order_total_dec"}},
+        {"name": "fulfilled_share", "type": "ratio",
+         "type_params": {
+             "numerator": {
+                 "name": "revenue",
+                 "filter": ["{{ Dimension('status') }} = 'F'",
+                            "{{ Dimension('prio') }} <> '5-LOW'"]},
+             "denominator": {"name": "revenue"}}},
+        {"name": "p90_price", "type": "simple",
+         "type_params": {"measure": "price_p90_disc"}},
+    ]
+    sql = compile_metrics_sql(
+        ["fulfilled_share", "p90_price", "avg_price"], metrics, [sm],
+        {"orders": "orders"},
+        group_by=["status"],
+        order_by=["status"],
+    )
+    return spark.sql(sql).select(
+        F.col("status"),
+        F.round(F.col("fulfilled_share"), 6).alias("fulfilled_share"),
+        F.col("p90_price").cast("double").alias("p90_price"),
+        F.round(F.col("avg_price").cast("double"), 6).alias("avg_price"),
+    )
+
+
 def cobucketed_join_zeroshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-bucketed join through the REAL bucketed-table writer: orders and
     customer both hash-bucketed by custkey into the same bucket count, then
@@ -1213,6 +1352,58 @@ ORACLES: dict[str, str] = {
         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY 1 ORDER BY 1
+    """,
+    "semantic_semi_additive_metric": """
+        WITH w AS (
+            SELECT o_custkey, CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS m,
+                   MAX(o_orderdate) AS mx, MIN(o_orderdate) AS mn
+            FROM orders GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT w.m, SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS eod
+            FROM orders o JOIN w ON o.o_custkey = w.o_custkey
+                AND CAST(DATE_TRUNC('MONTH', o.o_orderdate) AS DATE) = w.m
+                AND o.o_orderdate = w.mx
+            GROUP BY 1
+        ),
+        b AS (
+            SELECT w.m, SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS bod
+            FROM orders o JOIN w ON o.o_custkey = w.o_custkey
+                AND CAST(DATE_TRUNC('MONTH', o.o_orderdate) AS DATE) = w.m
+                AND o.o_orderdate = w.mn
+            GROUP BY 1
+        )
+        SELECT CAST(e.m AS TIMESTAMP) AS month,
+               CAST(e.eod AS DOUBLE) AS month_end_balance,
+               CAST(b.bod AS DOUBLE) AS month_start_balance
+        FROM e JOIN b ON e.m = b.m
+        ORDER BY 1
+    """,
+    "semantic_metric_input_ratio": """
+        WITH p90 AS (
+            SELECT status, x AS p90_price FROM (
+                SELECT o_orderstatus AS status, o_totalprice AS x,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_totalprice) AS rn,
+                       COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+                FROM orders)
+            WHERE rn = CAST(CEIL(0.9 * n) AS BIGINT)
+        ),
+        agg AS (
+            SELECT o_orderstatus AS status,
+                   round(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                                        AND o_orderpriority <> '5-LOW'
+                                  THEN CAST(o_totalprice AS DECIMAL(18,2))
+                                  END) AS DOUBLE)
+                         / NULLIF(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                       AS DOUBLE), 0), 6) AS fulfilled_share,
+                   round(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 6) AS avg_price
+            FROM orders GROUP BY 1
+        )
+        SELECT agg.status, agg.fulfilled_share, p90.p90_price, agg.avg_price
+        FROM agg JOIN p90 ON agg.status = p90.status
+        ORDER BY 1
     """,
     "semantic_metric_query": """
         SELECT o_orderstatus AS status,
@@ -1427,4 +1618,6 @@ QUERIES = {
     "semantic_metric_timespine": semantic_metric_timespine,
     "semantic_metric_custom_timespine": semantic_metric_custom_timespine,
     "semantic_entity_two_hop_dimension": semantic_entity_two_hop_dimension,
+    "semantic_semi_additive_metric": semantic_semi_additive_metric,
+    "semantic_metric_input_ratio": semantic_metric_input_ratio,
 }

@@ -1150,6 +1150,14 @@ _FUZZ_FACT_SM = {
          "filter": "{{ Dimension('status') }} = 'A'"},
         {"name": "n_rows_b", "agg": "count", "expr": "1",
          "filter": "{{ Dimension('status') }} = 'B'"},
+        {"name": "amt_last", "agg": "sum", "expr": "amount",
+         "non_additive_dimension": {
+             "name": "d", "window_choice": "max",
+             "window_groupings": ["customer"]}},
+        {"name": "amt_first", "agg": "sum", "expr": "amount",
+         "non_additive_dimension": {
+             "name": "d", "window_choice": "min",
+             "window_groupings": ["customer"]}},
     ],
 }
 
@@ -1353,7 +1361,8 @@ def test_semantic_layer_differential_random(spark, seed):
     kind = rng.choice(
         ["simple", "simple_filtered", "ratio", "derived", "cumulative",
          "offset", "timespine", "custom_grain", "hop", "two_hop",
-         "multi_model", "offset_grain", "cum_custom", "conversion"])
+         "multi_model", "offset_grain", "cum_custom", "conversion",
+         "non_additive", "ratio_input"])
     plain_groups = [["status"], ["metric_time__month"],
                     ["status", "metric_time__month"], []]
     measure = rng.choice(["amt_sum", "qty_sum", "n_rows"])
@@ -1361,7 +1370,7 @@ def test_semantic_layer_differential_random(spark, seed):
     order_by = None
 
     if kind in ("simple", "simple_filtered", "ratio", "derived",
-                "conversion"):
+                "conversion", "non_additive", "ratio_input"):
         group_by = rng.choice(plain_groups)
     elif kind in ("cumulative", "offset", "offset_grain"):
         group_by = rng.choice([["metric_time__month"],
@@ -1446,6 +1455,26 @@ def test_semantic_layer_differential_random(spark, seed):
              "type_params": {"measure": measure}},
             {"name": "m2", "type": "simple",
              "type_params": {"measure": "pay_sum"}},
+        ]
+    elif kind == "non_additive":
+        # semi-additive measure: sum of amount over each customer's rows at
+        # the MIN/MAX of d — per queried month bucket when the group-by has
+        # a time item, globally otherwise
+        nad_choice = rng.choice(["min", "max"])
+        measure = "amt_first" if nad_choice == "min" else "amt_last"
+        metrics = [{"name": "m", "type": "simple",
+                    "type_params": {"measure": measure}}]
+    elif kind == "ratio_input":
+        # ratio legs as MetricInput refs: numerator = metric narrowed by an
+        # input-level filter, denominator = the same metric unfiltered
+        metrics = [
+            {"name": "a_m", "type": "simple",
+             "type_params": {"measure": "amt_sum"}},
+            {"name": "m", "type": "ratio",
+             "type_params": {
+                 "numerator": {"name": "a_m",
+                               "filter": "{{ Dimension('status') }} = 'A'"},
+                 "denominator": {"name": "a_m"}}},
         ]
     elif kind == "conversion":
         # base events on fact; conversion events either later same-model
@@ -1604,6 +1633,25 @@ def test_semantic_layer_differential_random(spark, seed):
         for kt, c in cur.items():
             a = cur.get(qstart(kt))
             want[kt] = None if (c is None or a is None) else c - a
+    elif kind == "non_additive":
+        # filter fact to per-(customer[, month]) snapshot rows at min/max d,
+        # then aggregate exactly like a plain sum
+        w = fact.copy()
+        part_cols = ["cust"]
+        if "metric_time__month" in group_by:
+            w = w.assign(__mb=w["d"].map(lambda v: v.replace(day=1)))
+            part_cols = ["cust", "__mb"]
+        wv = w.groupby(part_cols)["d"].transform(nad_choice)
+        w = w[w["d"] == wv].drop(columns=["__mb"], errors="ignore")
+        w = w.reset_index(drop=True)
+        keys_n = _fuzz_keys(group_by, w, cust_map, seg_map, reg_map, fq_map)
+        want = _fuzz_grouped(w, keys_n, _fuzz_measure(w, "amt_sum"))
+    elif kind == "ratio_input":
+        num = _fuzz_grouped(fact, keys, _fuzz_measure(fact, "amt_sum_a"))
+        den = _fuzz_grouped(fact, keys, _fuzz_measure(fact, "amt_sum"))
+        want = {k: (None if num[k] is None or not den[k]
+                    else float(num[k]) / float(den[k]))
+                for k in den}
     elif kind == "conversion":
         # brute force: a base event converts iff ANY conversion event of the
         # same entity is strictly later (and inside the window when set);
@@ -2117,3 +2165,247 @@ def test_saved_query_object_syntax_roundtrip(seed):
         "where": where, "order_by": order_by, "limit": limit}}
     via_sq = compile_saved_query(sq, metrics, _FUZZ_MODELS, _FUZZ_TABLES)
     assert via_sq == direct
+
+
+# --------------------------------------------------------------------------
+# measure/metric-input parity: non_additive_dimension, MetricInput ratio &
+# derived filters, create_metric proxies, agg "average", percentile flavors,
+# filter lists (WhereFilterIntersection)
+# --------------------------------------------------------------------------
+
+BALANCES_SM = {
+    "name": "bal_sm",
+    "model": "ref('bal')",
+    "defaults": {"agg_time_dimension": "ds"},
+    "entities": [{"name": "account", "type": "primary", "expr": "acct"}],
+    "dimensions": [
+        {"name": "ds", "type": "time", "expr": "ds",
+         "type_params": {"time_granularity": "day"}},
+        {"name": "kind", "type": "categorical", "expr": "kind"},
+    ],
+    "measures": [
+        {"name": "eod_balance", "agg": "sum", "expr": "balance",
+         "non_additive_dimension": {
+             "name": "ds", "window_choice": "max",
+             "window_groupings": ["account"]}},
+        {"name": "bod_balance", "agg": "sum", "expr": "balance",
+         "non_additive_dimension": {
+             "name": "ds", "window_choice": "min",
+             "window_groupings": ["account"]}},
+        {"name": "latest_any", "agg": "sum", "expr": "balance",
+         "non_additive_dimension": {"name": "ds", "window_choice": "max"}},
+        {"name": "bal_avg", "agg": "average", "expr": "balance",
+         "create_metric": True},
+        {"name": "bal_p50_disc", "agg": "percentile", "expr": "balance",
+         "agg_params": {"percentile": 0.5, "use_discrete_percentile": True}},
+        {"name": "bal_p50_approx", "agg": "percentile", "expr": "balance",
+         "agg_params": {"percentile": 0.5,
+                        "use_approximate_percentile": True}},
+    ],
+}
+
+BAL_ROWS = [
+    # acct, ds, balance, kind
+    (1, "2024-01-10", 100, "checking"),
+    (1, "2024-01-31", 120, "checking"),
+    (1, "2024-02-15", 130, "checking"),
+    (2, "2024-01-20", 50, "savings"),
+    (2, "2024-02-28", 70, "savings"),
+    (2, "2024-02-28", 5, "checking"),
+]
+
+
+@pytest.fixture(scope="module")
+def bal_views(spark):
+    spark.createDataFrame(
+        BAL_ROWS, "acct int, ds string, balance long, kind string"
+    ).selectExpr("acct", "CAST(ds AS DATE) AS ds", "balance",
+                 "kind").createOrReplaceTempView("t_bal")
+    return spark
+
+
+def _bal_run(spark, metrics, names, **kw):
+    sql = compile_metrics_sql(
+        names, metrics, [BALANCES_SM], {"bal": "t_bal"}, **kw)
+    return sql, spark.sql(sql)
+
+
+def test_non_additive_dimension_window_per_group_and_period(bal_views):
+    """Bank-balance semantics (Measure.non_additive_dimension,
+    v1/semantic_model.py:143-147,158): SUM over accounts at each account's
+    MAX/MIN snapshot date WITHIN each queried month."""
+    metrics = [
+        {"name": "total_balance", "type": "simple",
+         "type_params": {"measure": "eod_balance"}},
+        {"name": "start_balance", "type": "simple",
+         "type_params": {"measure": "bod_balance"}},
+    ]
+    sql, df = _bal_run(bal_views, metrics, ["total_balance", "start_balance"],
+                       group_by=["metric_time__month"],
+                       order_by=["metric_time__month"])
+    rows = [(str(r["metric_time__month"]), r["total_balance"],
+             r["start_balance"]) for r in df.collect()]
+    # Jan: acct1@31st=120 + acct2@20th=50; starts: 100+50
+    # Feb: acct1@15th=130 + acct2@28th=70+5;  starts: 130+75
+    assert rows == [("2024-01-01", 170, 150), ("2024-02-01", 205, 205)]
+    # the semi-additive window is an aggregate JOINed back, never an
+    # unpartitioned window function
+    assert "OVER (" not in sql.upper().replace("OVER(", "OVER (") or \
+        "PARTITION BY" in sql
+    assert "__nad_w" in sql
+
+
+def test_non_additive_dimension_global_window(bal_views):
+    """No window_groupings and no time group-by: the window is global —
+    only rows at the single overall MAX date survive (current snapshot)."""
+    metrics = [{"name": "latest", "type": "simple",
+                "type_params": {"measure": "latest_any"}}]
+    _, df = _bal_run(bal_views, metrics, ["latest"], group_by=["kind"])
+    rows = {r["kind"]: r["latest"] for r in df.collect()}
+    # global max ds = 2024-02-28 → acct2's two rows only
+    assert rows == {"savings": 70, "checking": 5}
+
+
+def test_non_additive_dimension_validation_errors():
+    bad_dim = {**BALANCES_SM, "measures": [
+        {"name": "m1", "agg": "sum", "expr": "balance",
+         "non_additive_dimension": {"name": "kind", "window_choice": "max"}}]}
+    with pytest.raises(MetricQueryError, match="time dimension"):
+        compile_metrics_sql(
+            ["x"], [{"name": "x", "type": "simple",
+                     "type_params": {"measure": "m1"}}],
+            [bad_dim], {"bal": "t_bal"})
+    bad_choice = {**BALANCES_SM, "measures": [
+        {"name": "m1", "agg": "sum", "expr": "balance",
+         "non_additive_dimension": {"name": "ds", "window_choice": "sum"}}]}
+    with pytest.raises(MetricQueryError, match="window_choice"):
+        compile_metrics_sql(
+            ["x"], [{"name": "x", "type": "simple",
+                     "type_params": {"measure": "m1"}}],
+            [bad_choice], {"bal": "t_bal"})
+
+
+def test_ratio_of_metrics_with_input_filter(views):
+    """Ratio numerator/denominator are MetricInput refs (v1/metric.py:100-103)
+    — metric names with an input-level filter list — not just measures."""
+    metrics = METRICS + [
+        {"name": "finished_share", "type": "ratio", "label": "fs",
+         "type_params": {
+             "numerator": {"name": "revenue",
+                           "filter": ["{{ Dimension('status') }} = 'F'"]},
+             "denominator": {"name": "revenue"}}},
+    ]
+    sql = compile_metrics_sql(["finished_share"], metrics,
+                              [ORDERS_SM, PAYMENTS_SM], TABLES)
+    [r] = views.sql(sql).collect()
+    assert r["finished_share"] == pytest.approx(375.0 / 450.0)
+
+
+def test_ratio_with_offset_window_input(views):
+    """Ratio input carrying offset_window: month-over-month revenue ratio."""
+    metrics = METRICS + [
+        {"name": "mom_revenue", "type": "ratio", "label": "mom",
+         "type_params": {
+             "numerator": {"name": "revenue"},
+             "denominator": {"name": "revenue",
+                             "offset_window": "1 month"}}},
+    ]
+    sql = compile_metrics_sql(
+        ["mom_revenue"], metrics, [ORDERS_SM, PAYMENTS_SM], TABLES,
+        group_by=["metric_time__month"], order_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]): r["mom_revenue"]
+            for r in views.sql(sql).collect()}
+    # Jan 150, Feb 275, Mar 25 → Feb/Jan, Mar/Feb
+    assert rows["2024-02-01"] == pytest.approx(275.0 / 150.0)
+    assert rows["2024-03-01"] == pytest.approx(25.0 / 275.0)
+    assert rows["2024-01-01"] is None
+
+
+def test_ratio_measure_shorthand_still_works(views):
+    """Legacy measure-name shorthand keeps compiling (back-compat)."""
+    sql, df = _run(views, ["avg_order_value"])
+    [r] = df.collect()
+    assert r["avg_order_value"] == pytest.approx(450.0 / 5)
+
+
+def test_ratio_filter_on_composed_input_rejected(views):
+    metrics = METRICS + [
+        {"name": "bad", "type": "ratio",
+         "type_params": {
+             "numerator": {"name": "avg_order_value",
+                           "filter": "{{ Dimension('status') }} = 'F'"},
+             "denominator": "order_count"}},
+    ]
+    with pytest.raises(MetricQueryError, match="simple input metric"):
+        compile_metrics_sql(["bad"], metrics, [ORDERS_SM, PAYMENTS_SM],
+                            TABLES)
+
+
+def test_derived_input_filter(views):
+    """MetricInput.filter on a derived input (v1/metric.py:64) re-aggregates
+    the input's measure with the extra guard."""
+    metrics = METRICS + [
+        {"name": "f_share_pct", "type": "derived", "label": "d",
+         "type_params": {
+             "expr": "100 * f / t",
+             "metrics": [
+                 {"name": "revenue", "alias": "f",
+                  "filter": "{{ Dimension('status') }} = 'F'"},
+                 {"name": "revenue", "alias": "t"},
+             ]}},
+    ]
+    sql = compile_metrics_sql(["f_share_pct"], metrics,
+                              [ORDERS_SM, PAYMENTS_SM], TABLES)
+    [r] = views.sql(sql).collect()
+    assert r["f_share_pct"] == pytest.approx(100 * 375.0 / 450.0)
+
+
+def test_create_metric_proxy_and_average_agg(bal_views):
+    """create_metric: true (Measure.create_metric, v1/semantic_model.py:154)
+    exposes the measure as a same-named simple metric; agg 'average' (the
+    reference's AggregationType spelling) compiles to AVG."""
+    _, df = _bal_run(bal_views, [], ["bal_avg"])
+    [r] = df.collect()
+    assert r["bal_avg"] == pytest.approx(475.0 / 6)
+
+
+def test_declared_metric_wins_over_proxy(bal_views):
+    """A declared metric with the measure's name takes precedence."""
+    metrics = [{"name": "bal_avg", "type": "simple",
+                "type_params": {"measure": "eod_balance"}}]
+    _, df = _bal_run(bal_views, metrics, ["bal_avg"])
+    [r] = df.collect()
+    assert r["bal_avg"] == 205  # eod_balance, not AVG(balance)
+
+
+def test_percentile_flavors(bal_views):
+    """MeasureAggregationParameters (v1/semantic_model.py:136-140):
+    use_discrete_percentile → PERCENTILE_DISC (an actual data value),
+    use_approximate_percentile → APPROX_PERCENTILE."""
+    metrics = [
+        {"name": "p50d", "type": "simple",
+         "type_params": {"measure": "bal_p50_disc"}},
+        {"name": "p50a", "type": "simple",
+         "type_params": {"measure": "bal_p50_approx"}},
+    ]
+    sql, df = _bal_run(bal_views, metrics, ["p50d", "p50a"])
+    [r] = df.collect()
+    # balances sorted: 5,50,70,100,120,130 — DISC picks an actual value
+    assert r["p50d"] in (50, 70)
+    assert r["p50a"] in (5, 50, 70, 100, 120, 130)
+    assert "PERCENTILE_DISC" in sql and "APPROX_PERCENTILE" in sql
+
+
+def test_metric_filter_list(views):
+    """Metric.filter as a LIST (WhereFilterIntersection): all predicates
+    must hold."""
+    metrics = METRICS + [
+        {"name": "jan_f_revenue", "type": "simple",
+         "type_params": {"measure": "order_total"},
+         "filter": ["{{ Dimension('status') }} = 'F'",
+                    "{{ TimeDimension('order_date', 'month') }} = DATE'2024-01-01'"]},
+    ]
+    sql = compile_metrics_sql(["jan_f_revenue"], metrics,
+                              [ORDERS_SM, PAYMENTS_SM], TABLES)
+    [r] = views.sql(sql).collect()
+    assert r["jan_f_revenue"] == 100.0

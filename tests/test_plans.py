@@ -418,3 +418,28 @@ def test_ngram_lm_quality_score_plan(spark):
     assert "CartesianProduct" not in plan, plan
     assert "partial_avg" in plan, plan
     assert "Join type: LeftOuter" in plan, plan
+
+
+def test_semi_additive_metric_plan(spark):
+    """non_additive_dimension compiles to a GROUP BY window-value aggregate
+    joined back to the fact — NEVER an unpartitioned MIN/MAX OVER () window
+    (single-task sort at 100 TB). The join is a keyed equi-join (SMJ/BHJ
+    under AQE), no cartesian."""
+    plan = _formatted(
+        QUERIES["semantic_semi_additive_metric"](spark, SF_DIR_MED))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_max" in plan or "partial_min" in plan, plan
+
+
+def test_metric_input_ratio_single_scan_plan(spark):
+    """Ratio-of-metrics with input filters fuses into ONE aggregate: the
+    filtered numerator is a CASE WHEN guard inside the same GROUP BY, so
+    the plan has exactly one scan of orders and no join (the percentile
+    measure rides the same exchange as an ObjectHashAggregate)."""
+    plan = _formatted(
+        QUERIES["semantic_metric_input_ratio"](spark, SF_DIR_MED))
+    # one file index = one scan (the node name prints twice: tree + detail)
+    assert plan.count("InMemoryFileIndex") <= 1, plan
+    assert "Join" not in plan, plan
