@@ -345,6 +345,26 @@ def validate_saved_query(entry: dict) -> None:
         raise _err("saved query", name, "query_params must be a mapping")
     if not qp.get("metrics"):
         raise _err("saved query", name, "query_params.metrics must be non-empty")
+    # saved-query-level config (SavedQueryConfig, v1/saved_query.py:59-79):
+    # export_as default + cache.enabled flag
+    sq_cfg = entry.get("config")
+    if sq_cfg is not None:
+        if not isinstance(sq_cfg, dict):
+            raise _err("saved query", name, "config must be a mapping")
+        export_as = sq_cfg.get("export_as")
+        if export_as is not None and str(export_as).lower() not in EXPORT_AS_TYPES:
+            raise _err(
+                "saved query", name,
+                f"config.export_as '{export_as}' is invalid "
+                f"(expected one of {sorted(EXPORT_AS_TYPES)})",
+            )
+        cache = sq_cfg.get("cache")
+        if cache is not None and not isinstance(cache, dict):
+            raise _err(
+                "saved query", name,
+                "config.cache must be a mapping (SavedQueryCache, "
+                "v1/saved_query.py:54-56)",
+            )
     for exp in entry.get("exports") or []:
         _require(exp, "export", "name")
         cfg = exp.get("config") or {}

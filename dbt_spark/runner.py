@@ -1862,22 +1862,41 @@ class Engine:
         metrics, sms, tables, spines = self._semantic_inputs(ctx)
         sql = compile_saved_query(node, metrics, sms, tables,
                                   time_spines=spines)
+        # saved-query-level config (SavedQueryConfig,
+        # v1/saved_query.py:59-79): export_as / schema act as DEFAULTS for
+        # exports that do not set their own; cache.enabled materializes the
+        # compiled result ONCE (Spark persist) and writes every table
+        # export from the cached relation instead of re-running the query.
+        # The YAML config: block merges into NodeConfig — schema is a real
+        # config field, export_as/cache land in config.meta
+        default_as = node.config.meta.get("export_as")
+        default_schema = node.config.schema
+        cache_enabled = bool(
+            (node.config.meta.get("cache") or {}).get("enabled"))
+        df = None
         written = []
-        for exp in exports:
-            exp_name = exp["name"] if isinstance(exp, dict) else str(exp)
-            exp_cfg = (exp.get("config") or {}) if isinstance(exp, dict) else {}
-            kind = exp_cfg.get("export_as", "table")
-            # ExportConfig.alias / schema_name (v1/saved_query.py:24-30):
-            # the physical identifier when set, else the export's name
-            exp_name = exp_cfg.get("alias") or exp_name
-            schema = (exp_cfg.get("schema") or exp_cfg.get("schema_name")
-                      or ctx.schema)
-            if kind == "view":
-                ctx.store.save_view(schema, exp_name, sql)
-            else:
-                ctx.store.write_table(
-                    schema, exp_name, ctx.spark.sql(sql), kind="table")
-            written.append(f"{schema}.{exp_name}")
+        try:
+            for exp in exports:
+                exp_name = exp["name"] if isinstance(exp, dict) else str(exp)
+                exp_cfg = (exp.get("config") or {}) if isinstance(exp, dict) else {}
+                kind = exp_cfg.get("export_as") or default_as or "table"
+                # ExportConfig.alias / schema_name (v1/saved_query.py:24-30):
+                # the physical identifier when set, else the export's name
+                exp_name = exp_cfg.get("alias") or exp_name
+                schema = (exp_cfg.get("schema") or exp_cfg.get("schema_name")
+                          or default_schema or ctx.schema)
+                if kind == "view":
+                    ctx.store.save_view(schema, exp_name, sql)
+                else:
+                    if df is None:
+                        df = ctx.spark.sql(sql)
+                        if cache_enabled:
+                            df = df.persist()
+                    ctx.store.write_table(schema, exp_name, df, kind="table")
+                written.append(f"{schema}.{exp_name}")
+        finally:
+            if df is not None and cache_enabled:
+                df.unpersist()
         return written
 
     def query_metrics(self, metric_names: list[str],

@@ -2409,3 +2409,53 @@ def test_metric_filter_list(views):
                               [ORDERS_SM, PAYMENTS_SM], TABLES)
     [r] = views.sql(sql).collect()
     assert r["jan_f_revenue"] == 100.0
+
+
+def test_saved_query_config_defaults_and_cache(project_dir, spark):
+    """SavedQueryConfig (v1/saved_query.py:59-79): saved-query-level
+    export_as / schema are DEFAULTS for exports without their own config,
+    and cache.enabled materializes the compiled result once (Spark persist)
+    for all table exports."""
+    files = dict(PROJECT_FILES)
+    files["models/semantic.yml"] = PROJECT_FILES["models/semantic.yml"].replace(
+        """saved_queries:
+  - name: monthly_revenue
+    query_params:""",
+        """saved_queries:
+  - name: monthly_revenue
+    config:
+      export_as: table
+      schema: marts
+      cache: {enabled: true}
+    query_params:""").replace(
+        """    exports:
+      - name: monthly_revenue_tbl
+        config: {export_as: table}""",
+        """    exports:
+      - name: monthly_revenue_tbl
+      - name: monthly_revenue_copy""")
+    eng = Engine(project_dir(files), spark=spark)
+    r = eng.invoke(["build", "--include-saved-query"])
+    assert r.success
+    # both exports land in the config-level schema as tables
+    assert eng.store.exists("marts", "monthly_revenue_tbl")
+    assert eng.store.exists("marts", "monthly_revenue_copy")
+    a = {str(row["metric_time__month"]): row["revenue"]
+         for row in eng.store.read("marts", "monthly_revenue_tbl").collect()}
+    b = {str(row["metric_time__month"]): row["revenue"]
+         for row in eng.store.read("marts", "monthly_revenue_copy").collect()}
+    assert a == b == {"2024-01-01": 150.0, "2024-02-01": 275.0,
+                      "2024-03-01": 25.0}
+
+
+def test_saved_query_config_validation():
+    from dbt_spark.plans.semantic import validate_entry, SemanticValidationError
+
+    with pytest.raises(SemanticValidationError, match="export_as"):
+        validate_entry("saved_queries", {
+            "name": "sq", "query_params": {"metrics": ["m"]},
+            "config": {"export_as": "materialized_view"}})
+    with pytest.raises(SemanticValidationError, match="cache"):
+        validate_entry("saved_queries", {
+            "name": "sq", "query_params": {"metrics": ["m"]},
+            "config": {"cache": "yes"}})
