@@ -136,6 +136,8 @@ EXTENDED = [
     "semdedup_cluster_prune",  # trained-centroid cache: rep 1 trains
     "dsir_importance_select",
     "ngram_lm_quality_score",
+    "semantic_semi_additive_metric",
+    "semantic_metric_input_ratio",
 ]
 
 

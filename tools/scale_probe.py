@@ -37,6 +37,7 @@ PROBE_QUERIES = [
     "ngram_novelty_rate",         # gram-keyed first-occurrence join
     "dsir_importance_select",     # bucket-stat broadcast + doc-keyed score
     "ngram_lm_quality_score",     # gram-keyed LM-count joins + doc rollup
+    "semantic_semi_additive_metric",  # NAD window-value agg + join-back
 ]
 
 
