@@ -138,6 +138,8 @@ EXTENDED = [
     "ngram_lm_quality_score",
     "semantic_semi_additive_metric",
     "semantic_metric_input_ratio",
+    "dedup_exact_substring",
+    "token_budget_select",
 ]
 
 

@@ -41,6 +41,47 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("__norm2", _dot_exact(vec_col, vec_col))
 
 
+def _dot_double(a: str, b: str) -> F.Column:
+    """Double-precision dot product, fixed left-to-right fold (deterministic
+    within the engine). Used for O(Σ|cluster|²) PAIRWISE scoring, where
+    Decimal128 multiply/add is ~10× the cost of double and the consumer
+    only compares against a threshold computed by this same expression —
+    norms (O(N·dim)) stay exact-decimal via _dot_exact."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def within_cell_pairs(av: DataFrame, id_col: str, vec_col: str,
+                      buckets: int = 32) -> DataFrame:
+    """All (id_a < id_b) pairs inside a cell with their cosine — the b-side
+    salted into ``buckets`` hash buckets and the a-side replicated across
+    them, so the Σ|cluster|² compute spreads over |cells|×buckets tasks.
+    Without the salt a k-cluster corpus caps the pair stage at k tasks —
+    and because the shuffled BYTES are tiny, AQE coalesces those further
+    (sf0.1 ran the whole 1.5M-pair stage in ONE task); the cost here is
+    compute, not shuffle, so parallelism must come from the key.
+    ``av`` must carry (cell, id, vec, __norm2)."""
+    a = av.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("__norm2").alias("na2"),
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("__bkt"))
+    b = av.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("__norm2").alias("nb2"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)).alias("__bkt"))
+    return (
+        a.join(b, ["cell", "__bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            _dot_double("va", "vb")
+            / (F.sqrt(F.col("na2").cast("double"))
+               * F.sqrt(F.col("nb2").cast("double"))),
+        )
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     query_pred: F.Column,
@@ -374,7 +415,9 @@ def semdedup_prune(
     Scale: this is the whole reason SemDeDup clusters first — pairwise
     work is Σ|cluster|² instead of N². Assignment is the argmax-as-
     aggregate over a broadcast centroid set (one keyed shuffle to rejoin
-    vectors); the within-cluster self-join shuffles once on ``cell``; at
+    vectors); the within-cluster pairs come from a bucket-SALTED self-join
+    (see within_cell_pairs — |cells|×buckets tasks, never one task per
+    cluster) scoring with a double dot (norms stay exact-decimal); at
     100 TB cluster count scales with corpus size so clusters stay bounded
     (the paper's 50k-cluster setting), and a skewed giant cluster falls
     back to the LSH near-dup path."""
@@ -389,23 +432,8 @@ def semdedup_prune(
         F.max_by("cid", F.struct("__score", F.col("cid").cast("double") * -1))
         .alias("cell"))
     av = base.join(cells, id_col)
-    a = av.select(
-        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        F.col("__norm2").alias("na2"))
-    b = av.select(
-        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        F.col("__norm2").alias("nb2"))
-    dups = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            _dot_exact("va", "vb").cast("double")
-            / (F.sqrt(F.col("na2").cast("double"))
-               * F.sqrt(F.col("nb2").cast("double"))),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    dups = within_cell_pairs(av, id_col, vec_col).filter(
+        F.col("cos_sim") >= threshold)
     pruned = dups.groupBy("id_b").agg(
         F.min("id_a").alias("dup_of"),
         F.round(F.max("cos_sim"), 6).alias("max_cos"),

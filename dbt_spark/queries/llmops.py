@@ -660,27 +660,22 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_topk_ivf).
 
     Scale: pairwise work is Σ|cluster|², not N² — the clustering IS the
-    blocking structure; see semdedup_prune's docstring for the plan."""
-    from dbt_spark.functions.similarity import (_dot_exact, semdedup_prune,
-                                                with_norm)
+    blocking structure, and the pair stage runs bucket-salted
+    (within_cell_pairs: |cells|×buckets tasks); see semdedup_prune's
+    docstring for the plan. The prune result is localCheckpointed so the
+    invariant count and the returned rows share one computation."""
+    from dbt_spark.functions.similarity import (semdedup_prune,
+                                                with_norm, within_cell_pairs)
 
     emb = _emb(spark, sf_dir)
     out = semdedup_prune(
-        emb, _trained_centroids(spark, sf_dir), threshold=0.93)
+        emb, _trained_centroids(spark, sf_dir), threshold=0.93
+    ).localCheckpoint()
     kept = out.filter(F.col("keep")).select("vec_id", "cell")
     kv = with_norm(emb).join(kept, "vec_id")
-    ka = kv.select("cell", F.col("vec_id").alias("ia"),
-                   F.col("embedding").alias("va"),
-                   F.col("__norm2").alias("na2"))
-    kb = kv.select("cell", F.col("vec_id").alias("ib"),
-                   F.col("embedding").alias("vb"),
-                   F.col("__norm2").alias("nb2"))
     viol = (
-        ka.join(kb, "cell").filter(F.col("ia") < F.col("ib"))
-        .withColumn("cs", _dot_exact("va", "vb").cast("double")
-                    / (F.sqrt(F.col("na2").cast("double"))
-                       * F.sqrt(F.col("nb2").cast("double"))))
-        .filter(F.col("cs") >= 0.93).count()
+        within_cell_pairs(kv, "vec_id", "embedding")
+        .filter(F.col("cos_sim") >= 0.93).count()
     )
     if viol:
         raise RuntimeError(
@@ -1159,7 +1154,177 @@ def per_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup measurement (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 — the
+    suffix-array ExactSubstr method): find every K-token span that appears
+    verbatim in >= 2 DISTINCT documents, and report, per document, how many
+    token positions are covered by at least one such cross-document
+    duplicated span (the positions ExactSubstr would cut). K=8 here (the
+    paper uses 50 BPE tokens; the synthetic corpus is short-doc).
+
+    The reference engine has no training-data operators; this is a
+    first-class pipeline op of this engine.
+
+    Scale: a suffix array is inherently sequential — the Spark-first shape
+    is the shingle inverted index: ONE explode (token volume × K bounded),
+    one gram-keyed aggregate (map-side partial count-distinct, shuffle ∝
+    distinct grams), one keyed join back (AQE broadcasts the dup-gram set
+    while it fits), then a per-(doc, position) dedup. At 100 TB the gram
+    key would be xxhash64 (64-bit, collision-negligible) instead of the
+    raw string carried here for exact oracle comparability."""
+    k = 8
+    docs = _docs(spark, sf_dir)
+    base = (docs
+            .select("doc_id", F.split(F.trim("text"), r"\s+").alias("ws"))
+            .where(F.size("ws") >= k))
+    g = base.selectExpr(
+        "doc_id",
+        f"posexplode(transform(sequence(1, size(ws) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(ws, i, {k})))) AS (off, gram)")
+    dup = (g.groupBy("gram")
+           .agg(F.countDistinct("doc_id").alias("df"))
+           .where(F.col("df") >= 2)
+           .select("gram"))
+    covered = (g.join(dup, "gram")
+               .selectExpr("doc_id",
+                           f"explode(sequence(off + 1, off + {k})) AS pos")
+               .distinct())
+    per_doc = covered.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_dup_tokens"))
+    return (base.select("doc_id", F.size("ws").cast("bigint")
+                        .alias("n_tokens"))
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                F.coalesce("n_dup_tokens", F.lit(0)).cast("bigint")
+                .alias("n_dup_tokens"),
+                F.round(F.coalesce("n_dup_tokens", F.lit(0)).cast("double")
+                        / F.col("n_tokens"), 6).alias("dup_ratio"),
+            ))
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained curation: per source, rank documents by a
+    quality key (type-token ratio desc, doc_id asc) and keep documents
+    while the running token total stays within 60% of that source's token
+    mass — the "best docs under a token budget" selection every
+    mixture-building pipeline runs per domain.
+
+    Scale: a naive per-source ordered cumulative sum is ONE sequential
+    window task per source (sources are few → giant skewed partitions at
+    100 TB). This compiles the scalable two-phase shape instead:
+    (1) histogram pass — docs bucket by quantized quality, per-(source,
+    bucket) token sums aggregate map-side into a |sources|×|buckets| table;
+    (2) the tiny bucket table takes the cumulative window (driver-scale),
+    picking each source's boundary bucket; (3) only BOUNDARY-bucket
+    documents (≈1/|buckets| of the data) are window-ordered to spend the
+    remaining budget. Whole buckets above the boundary are accepted with no
+    per-document ordering at all."""
+    nbuck = 1000
+    docs = _docs(spark, sf_dir)
+    base = (docs
+            .select("source", "doc_id",
+                    F.split(F.trim("text"), r"\s+").alias("ws"))
+            .select("source", "doc_id",
+                    F.size("ws").cast("long").alias("toks"),
+                    (F.size(F.array_distinct("ws")).cast("double")
+                     / F.size("ws")).alias("q"))
+            .withColumn("bucket",
+                        F.floor(F.col("q") * nbuck).cast("long")))
+    from pyspark.sql import Window
+
+    totals = base.groupBy("source").agg(
+        (F.sum("toks") * 0.6).alias("budget"))
+    bstats = base.groupBy("source", "bucket").agg(
+        F.sum("toks").alias("b_toks"), F.count("*").alias("b_docs"))
+    wb = (Window.partitionBy("source")
+          .orderBy(F.desc("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (bstats.join(F.broadcast(totals), "source")
+           .withColumn("cum", F.sum("b_toks").over(wb))
+           .withColumn("prev", F.col("cum") - F.col("b_toks")))
+    # buckets fully inside the budget; the first bucket crossing it is the
+    # boundary (prev < budget <= cum)
+    full = cum.where(F.col("cum") <= F.col("budget")).groupBy("source").agg(
+        F.sum("b_docs").alias("n_full"), F.sum("b_toks").alias("t_full"))
+    boundary = cum.where((F.col("prev") < F.col("budget"))
+                         & (F.col("cum") > F.col("budget"))).select(
+        F.col("source").alias("b_source"),
+        F.col("bucket").alias("b_bucket"),
+        (F.col("budget") - F.col("prev")).alias("remaining"))
+    wd = (Window.partitionBy("source")
+          .orderBy(F.desc("q"), F.asc("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    picked = (base.join(F.broadcast(boundary),
+                        (F.col("source") == F.col("b_source"))
+                        & (F.col("bucket") == F.col("b_bucket")))
+              .withColumn("dcum", F.sum("toks").over(wd))
+              .where(F.col("dcum") <= F.col("remaining"))
+              .groupBy("source").agg(
+                  F.count("*").alias("n_bnd"), F.sum("toks").alias("t_bnd")))
+    return (totals
+            .join(full, "source", "left")
+            .join(picked, "source", "left")
+            .select(
+                "source",
+                F.round("budget", 6).alias("budget"),
+                (F.coalesce("n_full", F.lit(0))
+                 + F.coalesce("n_bnd", F.lit(0))).cast("bigint")
+                .alias("n_selected"),
+                (F.coalesce("t_full", F.lit(0))
+                 + F.coalesce("t_bnd", F.lit(0))).cast("bigint")
+                .alias("tokens_selected"),
+            ))
+
+
 ORACLES: dict[str, str] = {
+    "dedup_exact_substring": f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKS} AS ws FROM documents
+        ),
+        b2 AS (SELECT doc_id, ws, len(ws) AS n FROM base WHERE len(ws) >= 8),
+        g AS (SELECT doc_id,
+                     unnest(generate_series(1, n - 7)) AS start,
+                     unnest(list_transform(generate_series(1, n - 7),
+                            i -> array_to_string(ws[i:i+7], ' '))) AS gram
+              FROM b2),
+        dup AS (SELECT gram FROM g GROUP BY gram
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+        cov AS (SELECT DISTINCT doc_id, pos FROM (
+                    SELECT g.doc_id,
+                           unnest(generate_series(g.start, g.start + 7)) AS pos
+                    FROM g JOIN dup USING (gram))),
+        per AS (SELECT doc_id, COUNT(*) AS nd FROM cov GROUP BY 1)
+        SELECT b2.doc_id, CAST(b2.n AS BIGINT) AS n_tokens,
+               CAST(COALESCE(per.nd, 0) AS BIGINT) AS n_dup_tokens,
+               round(CAST(COALESCE(per.nd, 0) AS DOUBLE) / b2.n, 6)
+                   AS dup_ratio
+        FROM b2 LEFT JOIN per USING (doc_id)
+    """,
+    "token_budget_select": f"""
+        WITH d AS (
+            SELECT source, doc_id, len({_TOKS}) AS toks,
+                   CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                       / len({_TOKS}) AS q
+            FROM documents
+        ),
+        t AS (SELECT source, SUM(toks) * 0.6 AS budget FROM d GROUP BY 1),
+        c AS (SELECT source, doc_id, toks, q,
+                     SUM(toks) OVER (PARTITION BY source
+                                     ORDER BY q DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+              FROM d)
+        SELECT t.source, round(t.budget, 6) AS budget,
+               CAST(COALESCE(s.n, 0) AS BIGINT) AS n_selected,
+               CAST(COALESCE(s.tk, 0) AS BIGINT) AS tokens_selected
+        FROM t LEFT JOIN (
+            SELECT c.source, COUNT(*) AS n, SUM(c.toks) AS tk
+            FROM c JOIN t ON c.source = t.source
+            WHERE c.cum <= t.budget GROUP BY 1
+        ) s ON t.source = s.source
+    """,
     "per_source_dup_rate": """
         WITH f AS (SELECT source, md5(text) AS fp FROM documents)
         SELECT source,
@@ -1906,6 +2071,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "dedup_exact_substring": dedup_exact_substring,
+    "token_budget_select": token_budget_select,
     "per_source_dup_rate": per_source_dup_rate,
     "dup_cluster_sizes": dup_cluster_sizes,
     "per_lang_length_stats": per_lang_length_stats,

@@ -616,3 +616,57 @@ def test_semdedup_prune_planted_duplicates(spark):
     assert out[10] == (True, None)
     assert out[11][0] is False and out[11][1] == 10
     assert out[12] == (True, None)
+
+
+def test_dedup_exact_substring_planted_spans(spark):
+    """A verbatim 8-token span shared by two docs marks exactly its covered
+    positions in both; a doc with no cross-doc 8-gram reports zero."""
+    from dbt_spark.queries.llmops import dedup_exact_substring
+    import tempfile, os
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = [
+        (1, f"one two three {span} four five", "en", "s", 0),
+        (2, f"{span} xxx yyy zzz aaa bbb ccc ddd eee fff", "en", "s", 0),
+        (3, "totally unique words nothing repeats here at all ok fine", "en", "s", 0),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"])
+           for r in dedup_exact_substring(spark, d).collect()}
+    # doc1: 13 tokens, positions 4..11 covered; doc2: 17 tokens, 1..8
+    assert out[1] == (13, 8)
+    assert out[2] == (17, 8)
+    assert out[3] == (10, 0)
+
+
+def test_token_budget_select_matches_direct_cumsum(spark):
+    """The two-phase (bucket histogram + boundary refinement) selection
+    equals the direct per-source ordered cumulative-sum selection."""
+    from dbt_spark.queries.llmops import token_budget_select
+
+    out = {r["source"]: (r["n_selected"], r["tokens_selected"])
+           for r in token_budget_select(spark, SF).collect()}
+    from dbt_spark.session import load_tables
+    docs = load_tables(spark, SF, "documents")["documents"]
+    rows = docs.selectExpr(
+        "source", "doc_id",
+        "size(split(trim(text), '\\\\s+')) AS toks",
+        "CAST(size(array_distinct(split(trim(text), '\\\\s+'))) AS DOUBLE)"
+        " / size(split(trim(text), '\\\\s+')) AS q").collect()
+    import collections
+    by_src = collections.defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append((r["q"], r["doc_id"], r["toks"]))
+    for src, items in by_src.items():
+        budget = sum(t for _, _, t in items) * 0.6
+        items.sort(key=lambda x: (-x[0], x[1]))
+        n = tk = 0
+        for _, _, t in items:
+            if tk + t > budget:
+                break
+            tk += t
+            n += 1
+        assert out[src] == (n, tk), src

@@ -443,3 +443,26 @@ def test_metric_input_ratio_single_scan_plan(spark):
     # one file index = one scan (the node name prints twice: tree + detail)
     assert plan.count("InMemoryFileIndex") <= 1, plan
     assert "Join" not in plan, plan
+
+
+def test_dedup_exact_substring_plan(spark):
+    """Exact-substring dedup: gram-keyed aggregate + keyed join back — no
+    cartesian/nested-loop anywhere, count-distinct isolated in its own
+    aggregate (no Expand mixing), and the dup-gram set joins broadcast at
+    this scale (AQE keeps it keyed when gram-cardinality at 100 TB)."""
+    plan = _formatted(QUERIES["dedup_exact_substring"](spark, SF_DIR_MED))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Expand" not in plan, plan
+
+
+def test_token_budget_select_plan(spark):
+    """Two-phase budget selection: the per-document window runs ONLY over
+    boundary-bucket rows (the full-bucket path is pure aggregation), the
+    bucket table and boundary set join broadcast, no cartesian. One Window
+    node per phase is expected; what must NOT appear is a window whose
+    partition is the raw source column over ALL documents — pinned by the
+    boundary filter feeding it (BroadcastHashJoin before Window)."""
+    plan = _formatted(QUERIES["token_budget_select"](spark, SF_DIR_MED))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
