@@ -186,6 +186,7 @@ class RelationStore:
     # -- writes --------------------------------------------------------------
 
     def save_view(self, schema: str, name: str, compiled_sql: str, **meta: Any) -> Relation:
+        meta.setdefault("built_at", time.time())
         rel = Relation(schema=schema, name=name, kind="view", compiled_sql=compiled_sql,
                        meta=meta)
         with self._lock:
@@ -236,6 +237,9 @@ class RelationStore:
             fmt_obj.write_append(df, path, partition_by)
         else:
             fmt_obj.write_overwrite(df, path, partition_by, swap=self._swap)
+        # build timestamp: consumed by model-level freshness.build_after
+        # gating (always refreshed — an append is still a build)
+        meta["built_at"] = time.time()
         rel = Relation(schema=schema, name=name, kind=kind, path=path,
                        partition_by=partition_by, meta=meta)
         with self._lock:
@@ -297,7 +301,7 @@ class RelationStore:
         rel = Relation(
             schema=schema, name=name, kind="table", path=path,
             meta={"buckets": int(buckets), "bucket_by": list(bucket_by),
-                  "sort_by": sort_by},
+                  "sort_by": sort_by, "built_at": time.time()},
         )
         with self._lock:
             self.relations[self.key(schema, name)] = rel
@@ -338,7 +342,7 @@ class RelationStore:
         out = Relation(
             schema=schema, name=name, kind="incremental", path=path,
             meta={"buckets": int(buckets), "bucket_by": list(bucket_by),
-                  "sort_by": sort_by},
+                  "sort_by": sort_by, "built_at": time.time()},
         )
         with self._lock:
             self.relations[self.key(schema, name)] = out

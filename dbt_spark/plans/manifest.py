@@ -262,6 +262,10 @@ class Manifest:
             if n.config.meta.get("time_spine"):
                 # Model.time_spine artifact field (v1/model.py:26-35)
                 d["time_spine"] = n.config.meta["time_spine"]
+            if n.config.meta.get("freshness"):
+                # Model.freshness artifact field (ModelFreshness,
+                # v1/model.py:51-52 — build_after gating)
+                d["freshness"] = n.config.meta["freshness"]
             if n.columns:
                 # ColumnInfo shape (v12 columns section) — carries the
                 # contract surface (data_type + constraints) so

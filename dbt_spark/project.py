@@ -780,6 +780,32 @@ def _parse_model_patches(doc: dict, project: Project, manifest: Manifest, rel: s
                          "column_name": cg.get("column_name")}
                         for cg in ts.get("custom_granularities") or []],
                 }
+            if section == "models" and patch.get("freshness"):
+                # model-level freshness: build_after (reference
+                # ModelFreshness/ModelBuildAfter, v1/model.py:38-52, parsed
+                # core/dbt/parser/schemas.py:730-752): the runner skips a
+                # rebuild while the stored relation is younger than
+                # count×period and/or upstreams haven't moved
+                ba = (patch["freshness"] or {}).get("build_after") or {}
+                period = str(ba.get("period", "hour")).lower()
+                if period not in ("minute", "hour", "day"):
+                    raise CompilationError(
+                        f"model {patch['name']}: freshness build_after "
+                        f"period {period!r} must be minute | hour | day")
+                dep = str(ba.get("depends_on", "any")).lower()
+                if dep not in ("any", "all"):
+                    raise CompilationError(
+                        f"model {patch['name']}: freshness build_after "
+                        f"depends_on {dep!r} must be any | all")
+                try:
+                    count = int(ba.get("count", 0))
+                except (TypeError, ValueError):
+                    raise CompilationError(
+                        f"model {patch['name']}: freshness build_after "
+                        f"count {ba.get('count')!r} must be an integer")
+                node.config.meta["freshness"] = {
+                    "build_after": {"count": count, "period": period,
+                                    "depends_on": dep}}
             for col in patch.get("columns", []) or []:
                 node.columns[col["name"]] = col
             if node.config.meta.get("time_spine"):

@@ -1769,6 +1769,14 @@ class Engine:
             if status == "fail":
                 raise TestFailure(f"test {node.name} failed with {tr.failures} failures")
         else:
+            fresh_msg = self._model_freshness_skip(ctx, node)
+            if fresh_msg is not None:
+                results.append(RunResult(
+                    node.unique_id, "success", time.time() - t0,
+                    message=fresh_msg))
+                for hook in node.config.post_hook:
+                    ctx.spark.sql(self._render_hook(ctx, node, hook))
+                return
             mat = node.get_materialization()
             fn = MATERIALIZATIONS.get(mat)
             if fn is None:
@@ -1794,6 +1802,65 @@ class Engine:
             self._apply_grants(ctx, node)
         for hook in node.config.post_hook:
             ctx.spark.sql(self._render_hook(ctx, node, hook))
+
+    _FRESHNESS_PERIOD_S = {"minute": 60, "hour": 3600, "day": 86400}
+
+    def _model_freshness_skip(self, ctx: ExecutionContext,
+                              node: ManifestNode) -> Optional[str]:
+        """Model-level freshness gating (ModelFreshness/ModelBuildAfter —
+        reference core/dbt/artifacts/resources/v1/model.py:38-52, parsed at
+        core/dbt/parser/schemas.py:730-752): ``freshness.build_after`` makes
+        a rebuild conditional — the model rebuilds only when BOTH
+        (a) at least count×period has elapsed since its last build, and
+        (b) upstream relations have actually been rebuilt since then
+        (``depends_on: any`` — the default — needs one moved upstream;
+        ``all`` needs every one). Otherwise the stored relation is reused
+        (registered for downstream refs) and the node reports FRESH.
+        --full-refresh bypasses; unknown timestamps rebuild (conservative).
+
+        At 100 TB this is the difference between an hourly `dbt build`
+        recomputing every mart vs touching only what moved — the model-side
+        twin of source freshness."""
+        if node.resource_type != NodeType.Model or ctx.full_refresh:
+            return None
+        ba = (node.config.meta.get("freshness") or {}).get("build_after") or {}
+        if not ba:
+            return None
+        existing = ctx.store.get(ctx.schema_for(node), ctx.name_for(node))
+        if existing is None:
+            return None
+        built = existing.meta.get("built_at")
+        if built is None:
+            return None
+        now = time.time()
+        window = int(ba.get("count", 0)) * self._FRESHNESS_PERIOD_S.get(
+            str(ba.get("period", "hour")).lower(), 3600)
+        if now - built < window:
+            ctx.store.register(existing)
+            return (f"FRESH (built {int(now - built)}s ago; "
+                    f"builds after {ba.get('count')} {ba.get('period')})")
+        moved = []
+        for uid in node.depends_on:
+            dep = ctx.manifest.nodes.get(uid)
+            if dep is None or dep.resource_type not in (
+                    NodeType.Model, NodeType.Seed, NodeType.Snapshot):
+                # sources / non-relation deps: no build clock → rebuild
+                return None
+            if dep.is_ephemeral:
+                return None
+            rel = ctx.store.get(ctx.schema_for(dep), dep.name)
+            t = rel.meta.get("built_at") if rel is not None else None
+            if t is None:
+                return None
+            moved.append(t > built)
+        if not moved:
+            return None  # no upstreams: the elapsed window alone means due
+        due = any(moved) if str(ba.get("depends_on", "any")).lower() == "any" \
+            else all(moved)
+        if due:
+            return None
+        ctx.store.register(existing)
+        return "FRESH (no upstream rebuilds since last build)"
 
     # -- semantic layer execution (metric compiler, plans/metric_compile.py) --
 

@@ -2576,3 +2576,85 @@ def test_source_freshness_output_path(project_dir, spark, tmp_path):
     doc = json.load(open(out))
     assert doc["results"] and not os.path.exists(
         os.path.join(root, "target", "sources.json"))
+
+
+# --------------------------------------------------------------------------
+# model-level freshness: build_after gating (ModelFreshness/ModelBuildAfter,
+# reference core/dbt/artifacts/resources/v1/model.py:38-52, parsed
+# core/dbt/parser/schemas.py:730-752)
+# --------------------------------------------------------------------------
+
+FRESHNESS_FILES = {
+    "dbt_project.yml": "name: fr\nmodel-paths: ['models']\nseed-paths: ['seeds']\n",
+    "seeds/raw.csv": "id,v\n1,10\n2,20\n",
+    "models/m1.sql": "select id, v from {{ ref('raw') }}",
+    "models/m2.sql": "select sum(v) as total from {{ ref('m1') }}",
+    "models/schema.yml": """
+version: 2
+models:
+  - name: m1
+    config: {materialized: table}
+    freshness:
+      build_after: {count: 1, period: hour}
+  - name: m2
+    config: {materialized: table}
+    freshness:
+      build_after: {count: 0, period: hour, depends_on: any}
+""",
+}
+
+
+def test_model_freshness_build_after_skips_and_rebuilds(project_dir, spark):
+    from dbt_spark.runner import Engine
+
+    root = project_dir(FRESHNESS_FILES)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["build"]).success
+    built1 = eng.store.get("main", "m1").meta["built_at"]
+    built2 = eng.store.get("main", "m2").meta["built_at"]
+
+    # second build: the seed rebuilds (new built_at), but m1's 1-hour window
+    # has not elapsed -> FRESH; m2's window is 0 but its only upstream (m1)
+    # did not move -> FRESH
+    r = eng.invoke(["build"])
+    assert r.success
+    msgs = {x.unique_id: (x.message or "") for x in r.results}
+    assert "FRESH" in msgs["model.fr.m1"]
+    assert "no upstream rebuilds" in msgs["model.fr.m2"]
+    assert eng.store.get("main", "m1").meta["built_at"] == built1
+    assert eng.store.get("main", "m2").meta["built_at"] == built2
+
+    # --full-refresh bypasses the gate entirely
+    r = eng.invoke(["build", "--full-refresh"])
+    assert r.success
+    assert eng.store.get("main", "m1").meta["built_at"] > built1
+
+    # age the m1 relation past its window: the elapsed gate passes and the
+    # seed HAS moved since m1's (aged) build time -> m1 rebuilds; m2's
+    # upstream m1 then moved -> m2 rebuilds too
+    rel = eng.store.get("main", "m1")
+    rel.meta["built_at"] = rel.meta["built_at"] - 7200
+    eng.store._save_state()
+    b1 = eng.store.get("main", "m1").meta["built_at"]
+    r = eng.invoke(["build"])
+    assert r.success
+    assert eng.store.get("main", "m1").meta["built_at"] > b1
+    msgs = {x.unique_id: (x.message or "") for x in r.results}
+    assert "FRESH" not in msgs.get("model.fr.m2", "")
+
+
+def test_model_freshness_validation(project_dir, spark):
+    from dbt_spark.plans.compile import CompilationError
+    from dbt_spark.runner import Engine
+    import pytest as _pytest
+
+    bad = dict(FRESHNESS_FILES)
+    bad["models/schema.yml"] = """
+version: 2
+models:
+  - name: m1
+    freshness:
+      build_after: {count: 1, period: fortnight}
+"""
+    with _pytest.raises(CompilationError, match="period"):
+        Engine(project_dir(bad), spark=spark).parse()
