@@ -706,6 +706,36 @@ def _parse_sources(doc: dict, project: Project, manifest: Manifest, rel: str) ->
                 "location", src.get("meta", {}).get("location")
             )
             node.config.meta["file_format"] = table.get("meta", {}).get("file_format", "parquet")
+            # external: block (ExternalTable, reference
+            # core/dbt/artifacts/resources/v1/source_definition.py:37-49):
+            # the typed way to declare an externally-managed table's
+            # location/file_format/partitions. Partition columns are
+            # hive-style directory partitions — Spark's scan discovers and
+            # prunes them natively, so the plumbing here is metadata +
+            # validation (names and data types required, :27-35)
+            ext = table.get("external") or src.get("external")
+            if isinstance(ext, dict):
+                if ext.get("location"):
+                    node.config.meta["location"] = ext["location"]
+                if ext.get("file_format"):
+                    node.config.meta["file_format"] = ext["file_format"]
+                parts = []
+                for p in ext.get("partitions") or []:
+                    if isinstance(p, str):
+                        parts.append(p)
+                        continue
+                    if not (isinstance(p, dict) and p.get("name")
+                            and p.get("data_type")):
+                        raise CompilationError(
+                            "External partition columns must have names and "
+                            f"data types (source {src_name}.{tbl_name})")
+                    parts.append(p["name"])
+                if parts:
+                    node.config.meta["external_partitions"] = parts
+                node.config.meta["external"] = {
+                    k: v for k, v in ext.items()
+                    if k in ("location", "file_format", "row_format",
+                             "tbl_properties", "partitions")}
             manifest.add(node)
             _attach_column_tests(table, node, project, manifest, is_source=True)
 

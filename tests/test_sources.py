@@ -63,3 +63,66 @@ def test_source_freshness(project_dir, spark):
     res2 = check_freshness(ctx, node, now=res.max_loaded_at)
     assert res2.status == "pass"
     assert res2.age_seconds == 0.0
+
+
+def test_external_source_block_with_partitions(project_dir, spark, tmp_path):
+    """external: block (ExternalTable, reference v1/source_definition.py:37-49):
+    location/file_format/partitions declare an externally-managed table;
+    hive-style partition dirs are discovered by the scan and the partition
+    filter prunes directories."""
+    import os
+
+    ext_dir = str(tmp_path / "ext_events")
+    spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01"),
+         (3, "c", "2024-01-02")],
+        "id long, v string, ds string",
+    ).write.partitionBy("ds").mode("overwrite").parquet(ext_dir)
+    root = project_dir({
+        "dbt_project.yml": "name: ext\n",
+        "models/day1.sql": (
+            "{{ config(materialized='table') }}\n"
+            "select id, v from {{ source('raw', 'events') }} "
+            "where ds = '2024-01-01'"
+        ),
+        "models/sources.yml": f"""
+sources:
+  - name: raw
+    tables:
+      - name: events
+        external:
+          location: "{ext_dir}"
+          file_format: parquet
+          partitions:
+            - {{name: ds, data_type: string}}
+""",
+    })
+    eng = Engine(root, spark=spark)
+    manifest = eng.parse()
+    src = manifest.sources["source.ext.raw.events"]
+    assert src.config.meta["location"] == ext_dir
+    assert src.config.meta["external_partitions"] == ["ds"]
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    assert eng.store.read("main", "day1").count() == 2
+
+
+def test_external_partition_validation(project_dir, spark):
+    from dbt_spark.plans.compile import CompilationError
+    import pytest
+
+    root = project_dir({
+        "dbt_project.yml": "name: ext2\n",
+        "models/sources.yml": """
+sources:
+  - name: raw
+    tables:
+      - name: bad
+        external:
+          location: "/tmp/x"
+          partitions:
+            - {name: ds}
+""",
+    })
+    with pytest.raises(CompilationError, match="names and data types"):
+        Engine(root, spark=spark).parse()
