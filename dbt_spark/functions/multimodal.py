@@ -256,3 +256,216 @@ def audio_windows(df: DataFrame, window_bytes: int = 256) -> DataFrame:
             yield _pd.DataFrame(out, dtype="int64")
 
     return df.mapInPandas(batches, schema=AUDIO_WINDOW_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL header parsers — pure-bytes, no codec libraries. Unlike the pixel
+# decode stubs above, these are complete implementations of the published
+# container formats' header layouts (PNG IHDR, JPEG SOFn marker scan,
+# GIF logical screen descriptor, BMP BITMAPINFOHEADER, RIFF/WAVE fmt+data):
+# they work on genuine files, and metadata extraction at ingest (dims,
+# sample rates, durations) is exactly the pass a 100 TB media pipeline runs
+# BEFORE deciding what to decode. Defined inside a factory so cloudpickle
+# serializes them by value into executor closures (module-global functions
+# pickle by reference, and executors may not have dbt_spark importable).
+# --------------------------------------------------------------------------
+
+def _make_header_parsers():
+    def parse_image_header(blob):
+        """(format, width, height) from real image container headers, or
+        None when no known signature matches.
+
+        PNG: 8-byte signature, IHDR chunk at offset 8 (width/height
+        big-endian at 16/20). JPEG: scan FF-markers for any SOFn frame
+        header (height at +5, width at +7, big-endian), skipping
+        variable-length segments. GIF87a/89a: logical screen descriptor
+        (LE u16 at 6/8). BMP: BITMAPINFOHEADER (LE i32 at 18/22; height
+        may be negative = top-down)."""
+        b = bytes(blob)
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            return ("png", int.from_bytes(b[16:20], "big"),
+                    int.from_bytes(b[20:24], "big"))
+        if b[:2] == b"\xff\xd8":
+            i = 2
+            sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+            while i + 9 <= len(b):
+                if b[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = b[i + 1]
+                if marker in sof:
+                    return ("jpeg", int.from_bytes(b[i + 7:i + 9], "big"),
+                            int.from_bytes(b[i + 5:i + 7], "big"))
+                if marker == 0xD9:  # EOI
+                    break
+                if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                    i += 2  # standalone markers carry no length
+                    continue
+                i += 2 + int.from_bytes(b[i + 2:i + 4], "big")
+            return None
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            return ("gif", int.from_bytes(b[6:8], "little"),
+                    int.from_bytes(b[8:10], "little"))
+        if b[:2] == b"BM" and len(b) >= 26:
+            h = int.from_bytes(b[22:26], "little", signed=True)
+            return ("bmp", int.from_bytes(b[18:22], "little", signed=True),
+                    abs(h))
+        return None
+
+    def parse_wav_header(blob):
+        """(channels, sample_rate, bits_per_sample, data_bytes) from a
+        RIFF/WAVE stream by walking its chunk list (word-aligned), or None
+        when the RIFF/WAVE signature is absent."""
+        b = bytes(blob)
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        i = 12
+        ch = sr = bits = None
+        data = 0
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            sz = int.from_bytes(b[i + 4:i + 8], "little")
+            if cid == b"fmt " and i + 24 <= len(b):
+                ch = int.from_bytes(b[i + 10:i + 12], "little")
+                sr = int.from_bytes(b[i + 12:i + 16], "little")
+                bits = int.from_bytes(b[i + 22:i + 24], "little")
+            elif cid == b"data":
+                data = sz
+            i += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if sr is None:
+            return None
+        return (ch, sr, bits, data)
+
+    return parse_image_header, parse_wav_header
+
+
+parse_image_header, parse_wav_header = _make_header_parsers()
+
+
+def _make_header_builders():
+    """Builders emitting REAL minimal container files (valid signatures,
+    chunk layout, CRCs) — the synthetic-blob side of the header round-trip
+    queries; also by-value-picklable for executor closures."""
+
+    def build_png(width, height):
+        import struct
+        import zlib
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        chunk = b"IHDR" + ihdr
+        iend = b"IEND"
+        return (b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", len(ihdr)) + chunk
+                + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+                + struct.pack(">I", 0) + iend
+                + struct.pack(">I", zlib.crc32(iend) & 0xFFFFFFFF))
+
+    def build_jpeg(width, height):
+        import struct
+
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" \
+            + struct.pack(">HH", 72, 72) + b"\x00\x00"
+        sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+                + struct.pack(">HH", height, width) + b"\x01\x11\x00")
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    def build_gif(width, height):
+        import struct
+
+        return (b"GIF89a" + struct.pack("<HH", width, height)
+                + b"\x00\x00\x00\x3b")
+
+    def build_bmp(width, height):
+        import struct
+
+        info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0,
+                           2835, 2835, 0, 0)
+        return (b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 54) + info)
+
+    def build_wav(channels, sample_rate, bits, n_samples):
+        import struct
+
+        block = channels * bits // 8
+        data_len = n_samples * block
+        fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                          sample_rate * block, block, bits)
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_len)
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", data_len) + b"\x00" * data_len)
+
+    return build_png, build_jpeg, build_gif, build_bmp, build_wav
+
+
+build_png, build_jpeg, build_gif, build_bmp, build_wav = _make_header_builders()
+
+HEADER_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_format", T.StringType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("bits", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+])
+
+
+def image_header_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL header parse over a binary column: (doc_id,
+    payload) → (media_format, width, height, n_bytes). Works on genuine
+    PNG/JPEG/GIF/BMP files — no codec library involved; unparseable blobs
+    yield NULL format/dims instead of failing the batch."""
+    parse, _ = _make_header_parsers()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in it:
+            metas = [parse(b) for b in pdf["payload"]]
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "media_format": [m[0] if m else None for m in metas],
+                "width": [m[1] if m else None for m in metas],
+                "height": [m[2] if m else None for m in metas],
+                "n_bytes": [len(b) for b in pdf["payload"]],
+            })
+
+    return df.mapInPandas(batches, schema=HEADER_SCHEMA)
+
+
+def wav_header_meta(df: DataFrame) -> DataFrame:
+    """RIFF/WAVE header parse: (doc_id, payload) → (channels, sample_rate,
+    bits, duration_ms) — duration derived from the data chunk length, the
+    standard pre-decode audio triage pass."""
+    _, parse = _make_header_parsers()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        rows = {"doc_id": [], "channels": [], "sample_rate": [], "bits": [],
+                "duration_ms": []}
+        for pdf in it:
+            out = {k: [] for k in rows}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = parse(blob)
+                out["doc_id"].append(int(doc_id))
+                if m is None:
+                    for k in ("channels", "sample_rate", "bits",
+                              "duration_ms"):
+                        out[k].append(None)
+                    continue
+                ch, sr, bits, data = m
+                out["channels"].append(ch)
+                out["sample_rate"].append(sr)
+                out["bits"].append(bits)
+                out["duration_ms"].append(
+                    data * 1000 // (sr * ch * (bits // 8)))
+            yield _pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=AUDIO_SCHEMA)

@@ -1278,7 +1278,96 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ))
 
 
+def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-header round-trip (functions/multimodal.py — pure-bytes
+    parsers for PNG IHDR / JPEG SOFn / GIF LSD / BMP BITMAPINFOHEADER, no
+    codec library): every doc gets a genuine minimal container file (format
+    keyed by doc_id % 4, dims a closed-form function of doc_id), which the
+    Arrow-batched header parser reads back — the metadata-at-ingest pass a
+    media pipeline runs before deciding what to decode. Unlike the pixel
+    decode stub, both sides here are real implementations of the published
+    container formats; the oracle recomputes the dims closed-form.
+
+    Scale: two chained mapInPandas stages (build → parse), each holding one
+    Arrow batch of blobs per task; blobs never pass through the driver."""
+    from dbt_spark.functions.multimodal import (_make_header_builders,
+                                                image_header_meta)
+
+    builders = _make_header_builders()  # by-value picklable (closure-local)
+
+    def gen(it):
+        import pandas as _pd
+
+        b_png, b_jpeg, b_gif, b_bmp, _ = builders
+        mk = [b_png, b_jpeg, b_gif, b_bmp]
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame({
+                "doc_id": ids,
+                "payload": [
+                    mk[d % 4](16 + (d * 7) % 2048, 16 + (d * 13) % 1152)
+                    for d in ids],
+            })
+
+    docs = _docs_raw(spark, sf_dir).select("doc_id")
+    blobs = docs.mapInPandas(
+        gen, schema="doc_id long, payload binary")
+    return image_header_meta(blobs).select(
+        "doc_id", "media_format", "width", "height")
+
+
+def multimodal_wav_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE header round-trip: genuine minimal WAV files (fmt +
+    data chunks; channels/sample-rate/length closed-form in doc_id) parsed
+    back by the pure-bytes chunk walker — channels, sample rate, bit depth,
+    and duration derived from the data-chunk length. The parser was
+    cross-checked against Python's stdlib ``wave`` module in unit tests;
+    the oracle recomputes every field closed-form."""
+    from dbt_spark.functions.multimodal import (_make_header_builders,
+                                                wav_header_meta)
+
+    builders = _make_header_builders()
+
+    def gen(it):
+        import pandas as _pd
+
+        build_wav = builders[4]
+        rates = [8000, 16000, 44100]
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame({
+                "doc_id": ids,
+                "payload": [
+                    build_wav(1 + d % 2, rates[d % 3], 16, 100 + d % 400)
+                    for d in ids],
+            })
+
+    docs = _docs_raw(spark, sf_dir).select("doc_id")
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return wav_header_meta(blobs)
+
+
 ORACLES: dict[str, str] = {
+    "multimodal_image_headers": """
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                               WHEN 2 THEN 'gif' ELSE 'bmp' END
+                   AS media_format,
+               CAST(16 + (doc_id * 7) % 2048 AS BIGINT) AS width,
+               CAST(16 + (doc_id * 13) % 1152 AS BIGINT) AS height
+        FROM documents
+    """,
+    "multimodal_wav_headers": """
+        SELECT doc_id,
+               CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    ELSE 44100 END AS BIGINT) AS sample_rate,
+               CAST(16 AS BIGINT) AS bits,
+               CAST((100 + doc_id % 400) * 1000
+                    // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        ELSE 44100 END) AS BIGINT) AS duration_ms
+        FROM documents
+    """,
     "dedup_exact_substring": f"""
         WITH base AS (
             SELECT doc_id, {_TOKS} AS ws FROM documents
@@ -2073,6 +2162,8 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "dedup_exact_substring": dedup_exact_substring,
     "token_budget_select": token_budget_select,
+    "multimodal_image_headers": multimodal_image_headers,
+    "multimodal_wav_headers": multimodal_wav_headers,
     "per_source_dup_rate": per_source_dup_rate,
     "dup_cluster_sizes": dup_cluster_sizes,
     "per_lang_length_stats": per_lang_length_stats,

@@ -670,3 +670,52 @@ def test_token_budget_select_matches_direct_cumsum(spark):
             tk += t
             n += 1
         assert out[src] == (n, tk), src
+
+
+def test_image_header_parsers_real_formats():
+    """The pure-bytes header parsers read genuine container layouts:
+    round-trip every builder, cross-check WAV against the stdlib `wave`
+    module (an independent implementation), and survive junk / truncated /
+    multi-segment inputs."""
+    import io
+    import wave as _wave
+
+    from dbt_spark.functions.multimodal import (
+        build_bmp, build_gif, build_jpeg, build_png, build_wav,
+        parse_image_header, parse_wav_header)
+
+    assert parse_image_header(build_png(1, 1)) == ("png", 1, 1)
+    assert parse_image_header(build_png(65535, 3)) == ("png", 65535, 3)
+    assert parse_image_header(build_jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert parse_image_header(build_gif(320, 200)) == ("gif", 320, 200)
+    assert parse_image_header(build_bmp(800, 600)) == ("bmp", 800, 600)
+    # JPEG: SOF must be found even after extra leading segments (the
+    # builder emits APP0 before SOF0 already; add a COM segment too)
+    j = build_jpeg(12, 34)
+    j2 = j[:2] + b"\xff\xfe\x00\x04ab" + j[2:]
+    assert parse_image_header(j2) == ("jpeg", 12, 34)
+    # junk / truncation: None, never an exception
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00") is None
+    assert parse_image_header(b"\xff\xd8\xff") is None
+    assert parse_wav_header(b"RIFFxxxxNOPE") is None
+    w = build_wav(2, 22050, 16, 1000)
+    assert parse_wav_header(w) == (2, 22050, 16, 4000)
+    ref = _wave.open(io.BytesIO(w))
+    assert (ref.getnchannels(), ref.getframerate(),
+            ref.getsampwidth() * 8, ref.getnframes()) == (2, 22050, 16, 1000)
+
+
+def test_multimodal_header_queries(spark):
+    from dbt_spark.queries.llmops import (multimodal_image_headers,
+                                          multimodal_wav_headers)
+
+    img = {r["doc_id"]: r for r in
+           multimodal_image_headers(spark, SF).collect()}
+    assert img[0]["media_format"] == "png" and img[0]["width"] == 16
+    assert img[1]["media_format"] == "jpeg"
+    assert img[5]["width"] == 16 + 35 and img[5]["height"] == 16 + 65
+    wav = {r["doc_id"]: r for r in
+           multimodal_wav_headers(spark, SF).collect()}
+    assert wav[0]["sample_rate"] == 8000 and wav[0]["duration_ms"] == 12
+    assert wav[1]["channels"] == 2
