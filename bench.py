@@ -140,6 +140,9 @@ EXTENDED = [
     "semantic_metric_input_ratio",
     "dedup_exact_substring",
     "token_budget_select",
+    "ann_topk_pq",  # trained-codebook cache: rep 1 trains
+    "multimodal_image_headers",
+    "multimodal_wav_headers",
 ]
 
 

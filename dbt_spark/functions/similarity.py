@@ -447,3 +447,179 @@ def semdedup_prune(
             "dup_of", "max_cos",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011, "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI — public). The billion-scale ANN
+# memory path: vectors compress to M uint8 codes (64 float32 dims → 8
+# bytes, 32×), and search scans CODES with per-query lookup tables instead
+# of float vectors (ADC — asymmetric distance computation).
+# --------------------------------------------------------------------------
+
+def _l2sq(a: str, b: str) -> F.Column:
+    """Squared L2 distance between two float arrays — double fold, fixed
+    order, deterministic in-engine."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebooks → (m, cid, cv): split each vector into ``m``
+    contiguous subvectors and run seeded Lloyd k-means independently per
+    subspace — but as ONE DataFrame pipeline (subspace index exploded into
+    the rows, every aggregate keyed by (m, cid)), so training all M
+    codebooks costs the same number of Spark stages as training one.
+
+    Init mirrors _init_centroids: the k vectors first in xxhash64(id)
+    order seed every subspace (deterministic, no driver randomness).
+    Scale: assignment is a broadcast join against M·k codebook rows
+    (tiny); the update is a per-(m, cid, dim) average — map-side partials,
+    exchange ∝ M·k·dim rows."""
+    dim_df = emb.select(F.size(vec_col).alias("d")).limit(1)
+    d = dim_df.first()["d"]
+    if d % m != 0:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    sub = d // m
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+        F.col(vec_col).alias("v"),
+    ).select(
+        "id", "m",
+        F.expr(f"slice(v, m * {sub} + 1, {sub})").alias("sv"),
+    )
+    seeds = emb.orderBy(
+        F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
+    ).limit(k).select(
+        F.col(id_col).cast("bigint").alias("cid"), F.col(vec_col).alias("v"))
+    cents = seeds.select(
+        "cid", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"), "v",
+    ).select(
+        "m", "cid", F.expr(f"slice(v, m * {sub} + 1, {sub})").alias("cv"),
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        assigned = base.join(F.broadcast(cents), "m").withColumn(
+            "__d2", _l2sq("sv", "cv"))
+        picked = assigned.groupBy("id", "m").agg(
+            F.min_by("cid", F.struct("__d2", F.col("cid").cast("double")))
+            .alias("cid"))
+        members = base.join(picked, ["id", "m"])
+        cents = (
+            members.select("m", "cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("m", "cid", "pos").agg(F.avg("val").alias("mu"))
+            .groupBy("m", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+            .select("m", "cid",
+                    F.expr("transform(pm, x -> CAST(x.mu AS FLOAT))")
+                    .alias("cv"))
+            .localCheckpoint()
+        )
+    return cents
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectors → (id, codes): per subspace, the nearest codebook entry's id
+    (argmin L2 as a min_by aggregate — ONE hash aggregate after a broadcast
+    join, the same no-window shape as IVF assignment). ``codes`` is the
+    M-length array ordered by subspace — the 8-bytes-per-vector
+    representation the 100 TB corpus actually stores."""
+    m_count = codebooks.agg(F.max("m")).first()[0] + 1
+    sub_df = codebooks.select(F.size("cv").alias("s")).limit(1)
+    sub = sub_df.first()["s"]
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m_count - 1))).alias("m"),
+        F.col(vec_col).alias("v"),
+    ).select("id", "m", F.expr(f"slice(v, m * {sub} + 1, {sub})").alias("sv"))
+    assigned = base.join(F.broadcast(codebooks), "m").withColumn(
+        "__d2", _l2sq("sv", "cv"))
+    picked = assigned.groupBy("id", "m").agg(
+        F.min_by("cid", F.struct("__d2", F.col("cid").cast("double")))
+        .alias("code"))
+    return (picked.groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("m", "code")))
+                 .alias("mc"))
+            .select("id",
+                    F.expr("transform(mc, x -> x.code)").alias("codes")))
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_pred: F.Column,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    train_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k by L2: queries stay full-precision; each
+    query builds an (m × n_codes) lookup table of subspace distances to
+    every codebook entry, and a corpus vector's approximate distance is the
+    SUM of M table lookups over its codes — the scan touches 8-byte codes,
+    never float vectors.
+
+    Plan shape: lookup tables = queries × codebooks broadcast-join (Q·M·K
+    rows, broadcast); the scan = codes exploded to (id, m, code) joined to
+    the broadcast table on (m, code) and summed per (qid, id) — one keyed
+    aggregate, map-side partials; then ADC+R refinement (the production
+    shape — Jégou et al. §V): the top ``rerank`` ADC candidates per query
+    (a qid-partitioned window over group-by-cardinality rows) join back
+    their FULL vectors for exact L2 re-ranking, so only Q·rerank float
+    vectors are ever touched. Returns (qid, nid, d2, rank). Codebooks
+    amortize via the ``codebooks=`` parameter exactly like IVF's trained
+    centroids."""
+    if codebooks is None:
+        codebooks = pq_train(emb, m=m, k=n_codes, n_iter=train_iters,
+                             id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    sub_df = codebooks.select(F.size("cv").alias("s")).limit(1)
+    sub = sub_df.first()["s"]
+    m_count = codebooks.agg(F.max("m")).first()[0] + 1
+    q = emb.filter(query_pred).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    dtable = q.select(
+        "qid",
+        F.explode(F.sequence(F.lit(0), F.lit(m_count - 1))).alias("m"), "qv",
+    ).select(
+        "qid", "m", F.expr(f"slice(qv, m * {sub} + 1, {sub})").alias("qsv"),
+    ).join(codebooks, "m").select(
+        "qid", "m", F.col("cid").alias("code"),
+        _l2sq("qsv", "cv").alias("pd2"))
+    scan = codes.select(
+        F.col("id").alias("nid"), F.posexplode("codes").alias("m", "code"))
+    scored = (scan.join(F.broadcast(dtable), ["m", "code"])
+              .groupBy("qid", "nid")
+              .agg(F.sum("pd2").alias("approx_d2"))
+              .filter(F.col("qid") != F.col("nid")))
+    r = rerank if rerank is not None else max(4 * k, 20)
+    wa = W.partitionBy("qid").orderBy(F.col("approx_d2").asc(), F.col("nid"))
+    shortlist = (scored.withColumn("__ar", F.row_number().over(wa))
+                 .filter(F.col("__ar") <= r)
+                 .select("qid", "nid"))
+    full = emb.select(F.col(id_col).alias("nid"),
+                      F.col(vec_col).alias("nv"))
+    exact = (shortlist
+             .join(F.broadcast(q), "qid")
+             .join(full, "nid")
+             .withColumn("d2", _l2sq("qv", "nv")))
+    w = W.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid"))
+    return (exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", F.round("d2", 6).alias("d2"), "rank"))

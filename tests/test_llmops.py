@@ -719,3 +719,54 @@ def test_multimodal_header_queries(spark):
            multimodal_wav_headers(spark, SF).collect()}
     assert wav[0]["sample_rate"] == 8000 and wav[0]["duration_ms"] == 12
     assert wav[1]["channels"] == 2
+
+
+def test_pq_recall_on_planted_clusters(spark):
+    """PQ with ADC+R refinement recovers exact-L2 neighbors on clustered
+    data: recall@5 >= 0.8 on the 8-cluster planted set (the discriminating
+    benchmark — the sf testdata embeddings are isotropic)."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16)) * 4
+    rows = []
+    vid = 0
+    for ci in range(8):
+        for _ in range(25):
+            v = centers[ci] + rng.normal(size=16) * 0.6
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    pred = F.col("vec_id") % 25 < 2
+    q = emb.filter(pred).selectExpr("vec_id AS qid", "embedding AS qv")
+    c = emb.selectExpr("vec_id AS nid", "embedding AS nv")
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("qid") != F.col("nid"))
+              .withColumn("d2", S._l2sq("qv", "nv")))
+    w = W.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid"))
+    truth = {}
+    for r in (scored.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= 5).collect()):
+        truth.setdefault(r["qid"], set()).add(r["nid"])
+    got = {}
+    for r in S.pq_topk(emb, pred, k=5, m=4, n_codes=16,
+                       train_iters=3).collect():
+        got.setdefault(r["qid"], set()).add(r["nid"])
+    hits = sum(len(got.get(qid, set()) & t) for qid, t in truth.items())
+    recall = hits / sum(len(t) for t in truth.values())
+    assert recall >= 0.8, recall
+
+
+def test_pq_encode_codes_shape_and_determinism(spark):
+    """Codes: one M-length array per vector, values drawn from codebook
+    cids, identical across runs (seeded training, no randomness)."""
+    emb = read_parquet(spark, f"{SF}/embeddings.parquet").limit(60)
+    books = S.pq_train(emb, m=8, k=8, n_iter=2)
+    a = {r["id"]: r["codes"] for r in S.pq_encode(emb, books).collect()}
+    b = {r["id"]: r["codes"] for r in S.pq_encode(emb, books).collect()}
+    assert a == b and len(a) == 60
+    cids = {r["cid"] for r in books.collect()}
+    for codes in a.values():
+        assert len(codes) == 8 and all(code in cids for code in codes)

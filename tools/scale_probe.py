@@ -38,6 +38,7 @@ PROBE_QUERIES = [
     "dsir_importance_select",     # bucket-stat broadcast + doc-keyed score
     "ngram_lm_quality_score",     # gram-keyed LM-count joins + doc rollup
     "semantic_semi_additive_metric",  # NAD window-value agg + join-back
+    "ann_topk_pq",                # PQ/ADC codes scan + shortlist re-rank
 ]
 
 
