@@ -1158,6 +1158,11 @@ _FUZZ_FACT_SM = {
          "non_additive_dimension": {
              "name": "d", "window_choice": "min",
              "window_groupings": ["customer"]}},
+        {"name": "amt_p50d", "agg": "percentile", "expr": "amount",
+         "agg_params": {"percentile": 0.5,
+                        "use_discrete_percentile": True}},
+        {"name": "amt_avg", "agg": "average", "expr": "amount",
+         "create_metric": True},
     ],
 }
 
@@ -1362,7 +1367,7 @@ def test_semantic_layer_differential_random(spark, seed):
         ["simple", "simple_filtered", "ratio", "derived", "cumulative",
          "offset", "timespine", "custom_grain", "hop", "two_hop",
          "multi_model", "offset_grain", "cum_custom", "conversion",
-         "non_additive", "ratio_input"])
+         "non_additive", "ratio_input", "percentile_disc", "proxy"])
     plain_groups = [["status"], ["metric_time__month"],
                     ["status", "metric_time__month"], []]
     measure = rng.choice(["amt_sum", "qty_sum", "n_rows"])
@@ -1370,7 +1375,8 @@ def test_semantic_layer_differential_random(spark, seed):
     order_by = None
 
     if kind in ("simple", "simple_filtered", "ratio", "derived",
-                "conversion", "non_additive", "ratio_input"):
+                "conversion", "non_additive", "ratio_input",
+                "percentile_disc", "proxy"):
         group_by = rng.choice(plain_groups)
     elif kind in ("cumulative", "offset", "offset_grain"):
         group_by = rng.choice([["metric_time__month"],
@@ -1464,6 +1470,16 @@ def test_semantic_layer_differential_random(spark, seed):
         measure = "amt_first" if nad_choice == "min" else "amt_last"
         metrics = [{"name": "m", "type": "simple",
                     "type_params": {"measure": measure}}]
+    elif kind == "percentile_disc":
+        # SQL-standard discrete percentile: smallest value whose cume_dist
+        # >= p (PERCENTILE_DISC WITHIN GROUP; v1/semantic_model.py
+        # MeasureAggregationParameters.use_discrete_percentile)
+        metrics = [{"name": "m", "type": "simple",
+                    "type_params": {"measure": "amt_p50d"}}]
+    elif kind == "proxy":
+        # create_metric: true — the measure IS the metric, no declared
+        # metric entry at all (Measure.create_metric)
+        metrics = []
     elif kind == "ratio_input":
         # ratio legs as MetricInput refs: numerator = metric narrowed by an
         # input-level filter, denominator = the same metric unfiltered
@@ -1496,7 +1512,8 @@ def test_semantic_layer_differential_random(spark, seed):
         metrics = [{"name": "m", "type": "simple",
                     "type_params": {"measure": measure}}]
 
-    names = ["m", "m2"] if kind == "multi_model" else ["m"]
+    names = (["m", "m2"] if kind == "multi_model"
+             else ["amt_avg"] if kind == "proxy" else ["m"])
     sql = compile_metrics_sql(names, metrics, _FUZZ_MODELS, _FUZZ_TABLES,
                               group_by=group_by, order_by=order_by,
                               time_spines=spines)
@@ -1537,7 +1554,7 @@ def test_semantic_layer_differential_random(spark, seed):
         assert got == want_rows, (
             f"seed={seed} kind={kind} group_by={group_by}\nsql={sql}")
         return
-    got = _fuzz_spark_rows(spark.sql(sql), group_by, "m")
+    got = _fuzz_spark_rows(spark.sql(sql), group_by, names[0])
 
     # ---- pandas oracle ----
     keys = _fuzz_keys(group_by, fact, cust_map, seg_map, reg_map, fq_map)
@@ -1646,6 +1663,18 @@ def test_semantic_layer_differential_random(spark, seed):
         w = w.reset_index(drop=True)
         keys_n = _fuzz_keys(group_by, w, cust_map, seg_map, reg_map, fq_map)
         want = _fuzz_grouped(w, keys_n, _fuzz_measure(w, "amt_sum"))
+    elif kind == "percentile_disc":
+        def _p50d(g):
+            import math as _m
+            vals = sorted(g["amount"].tolist())
+            return float(vals[_m.ceil(0.5 * len(vals)) - 1])
+
+        want = _fuzz_grouped(fact, keys, _p50d)
+    elif kind == "proxy":
+        def _mean(g):
+            return (float(g["amount"].sum()) / len(g)) if len(g) else None
+
+        want = _fuzz_grouped(fact, keys, _mean)
     elif kind == "ratio_input":
         num = _fuzz_grouped(fact, keys, _fuzz_measure(fact, "amt_sum_a"))
         den = _fuzz_grouped(fact, keys, _fuzz_measure(fact, "amt_sum"))
@@ -2459,3 +2488,45 @@ def test_saved_query_config_validation():
         validate_entry("saved_queries", {
             "name": "sq", "query_params": {"metrics": ["m"]},
             "config": {"cache": "yes"}})
+
+
+def test_engine_non_additive_dimension_yaml(project_dir, spark):
+    """End-to-end through the Engine: a semantic model declaring
+    non_additive_dimension in project YAML compiles and answers the
+    bank-balance query (per-account last-snapshot sum by month)."""
+    files = {
+        "dbt_project.yml": "name: nad\nmodel-paths: ['models']\nseed-paths: ['seeds']\n",
+        "seeds/raw_bal.csv": (
+            "acct,ds,balance\n"
+            "1,2024-01-10,100\n1,2024-01-31,120\n1,2024-02-15,130\n"
+            "2,2024-01-20,50\n2,2024-02-28,70\n"
+        ),
+        "models/balances.sql": "select acct, CAST(ds AS DATE) AS ds, balance from {{ ref('raw_bal') }}",
+        "models/semantic.yml": """
+version: 2
+semantic_models:
+  - name: bal_sm
+    model: ref('balances')
+    defaults: {agg_time_dimension: ds}
+    entities:
+      - {name: account, type: primary, expr: acct}
+    dimensions:
+      - {name: ds, type: time, expr: ds, type_params: {time_granularity: day}}
+    measures:
+      - name: eod_balance
+        agg: sum
+        expr: balance
+        create_metric: true
+        non_additive_dimension:
+          name: ds
+          window_choice: max
+          window_groupings: [account]
+""",
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    assert eng.invoke(["build"]).success
+    rows = {str(r["metric_time__month"]): r["eod_balance"]
+            for r in eng.query_metrics(
+                ["eod_balance"],
+                group_by=["metric_time__month"]).collect()}
+    assert rows == {"2024-01-01": 170, "2024-02-01": 200}
