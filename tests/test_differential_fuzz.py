@@ -993,3 +993,47 @@ def test_unicode_case_mapping_divergence_pinned(spark):
     assert (s.a, s.b) == ("SS", "FI")      # full mapping expands
     assert (d.a, d.b) == ("ẞ", "ﬁ")        # simple mapping is 1:1
     assert s.c != d.c                       # İ lowers with/without combining dot
+
+
+# --------------------------------------------------------------------------
+# Ordered-set aggregate family: PERCENTILE_DISC(p) WITHIN GROUP and MEDIAN —
+# the SQL-standard discrete percentile (smallest value with cume_dist >= p,
+# an ACTUAL data value → exactly comparable) is newly load-bearing for the
+# semantic layer's use_discrete_percentile measures. MEDIAN (continuous,
+# interpolated midpoint) rounds to 6 dp — both engines interpolate the same
+# two order statistics, divergence is FP-ulp only.
+# --------------------------------------------------------------------------
+
+def _gen_ordered_set_pair(seed: int) -> tuple[str, str]:
+    rng = random.Random(101_000 + _OFF + seed)
+    p = rng.choice([0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+    col = rng.choice(["o_totalprice", "o_orderkey", "o_custkey"])
+    grp = rng.choice(["o_orderstatus", "o_orderpriority"])
+    where = _atom(rng)
+    # CAST pd to DOUBLE: the discrete percentile IS an exact data value,
+    # but Spark types the aggregate DOUBLE while DuckDB keeps the input's
+    # BIGINT — same value, different render without the cast
+    s = (
+        f"SELECT {grp} AS g, "
+        f"CAST(PERCENTILE_DISC({p}) WITHIN GROUP (ORDER BY {col}) "
+        f"AS DOUBLE) AS pd, "
+        f"round(CAST(MEDIAN({col}) AS DOUBLE), 6) AS med, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM orders WHERE {where} GROUP BY {grp}"
+    )
+    return s, s
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_differential_ordered_set_aggs(spark, seed):
+    load_tables(spark, SF_DIR, "orders")
+    spark_sql, duck_sql = _gen_ordered_set_pair(seed)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'orders.parquet')}'"
+    )
+    got = spark.sql(spark_sql).toPandas()
+    want = con.sql(duck_sql).df()
+    assert sorted(got.columns) == sorted(want.columns), spark_sql
+    assert _canon(got) == _canon(want), f"seed={seed}: {spark_sql}"
