@@ -294,6 +294,11 @@ def _make_header_parsers():
                     i += 1
                     continue
                 marker = b[i + 1]
+                if marker == 0xFF:
+                    # spec-legal fill byte (ITU T.81 B.1.1.2): any number
+                    # of 0xFF may pad before a marker — consume one
+                    i += 1
+                    continue
                 if marker in sof:
                     return ("jpeg", int.from_bytes(b[i + 7:i + 9], "big"),
                             int.from_bytes(b[i + 5:i + 7], "big"))
@@ -455,7 +460,10 @@ def wav_header_meta(df: DataFrame) -> DataFrame:
             for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
                 m = parse(blob)
                 out["doc_id"].append(int(doc_id))
-                if m is None:
+                # a corrupt fmt chunk (zero channels/rate, sub-byte sample
+                # width) must yield NULLs like any unparseable blob, never
+                # a ZeroDivisionError that kills the whole Arrow batch
+                if m is None or not (m[0] and m[1] and m[2] >= 8):
                     for k in ("channels", "sample_rate", "bits",
                               "duration_ms"):
                         out[k].append(None)

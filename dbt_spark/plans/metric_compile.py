@@ -472,8 +472,11 @@ def _measure_agg_sql(model: _Model, measure_name: str,
     agg = str(measure.get("agg", "sum")).lower()
     expr = str(measure.get("expr") or measure["name"])
     conds = []
-    if measure.get("filter"):
-        conds.append(_render_filter(_filt(measure["filter"]), model))
+    # normalize FIRST: a filter list of all-falsy entries ([""] / [null])
+    # must behave like no filter, not crash _render_filter on None
+    mf = _filt(measure.get("filter"))
+    if mf:
+        conds.append(_render_filter(mf, model))
     if extra_filter:
         conds.append(_render_filter(extra_filter, model))
     if agg == "percentile":
@@ -519,7 +522,8 @@ def _sanitize(name: str) -> str:
 
 
 def _nad_from(sm: _Model, nad: dict, table: str,
-              group_by: list[str]) -> str:
+              group_by: list[str],
+              lm: Optional["_LinkedModel"] = None) -> str:
     """Semi-additive pre-filter (Measure.non_additive_dimension,
     core/dbt/artifacts/resources/v1/semantic_model.py:143-147
     NonAdditiveDimension + :158): keep only the fact rows at the
@@ -560,7 +564,16 @@ def _nad_from(sm: _Model, nad: dict, table: str,
     for item in group_by:
         # queried time buckets scope the window: balance-at-month-end per
         # month, not one global snapshot — resolved on the OWNER model
-        # (the window runs before entity-hop joins exist)
+        # (the window runs before entity-hop joins exist). A CUSTOM-grain
+        # bucket would need the spine join inside the pre-hop window —
+        # silently leaving it out would compute one GLOBAL snapshot and
+        # blank every other period, so it is an explicit error instead
+        if lm is not None and lm.custom_grain_of(item):
+            raise MetricQueryError(
+                f"non_additive_dimension measures cannot be queried at the "
+                f"custom granularity {item!r} (the semi-additive window is "
+                "computed before the time-spine join); use a standard "
+                "grain")
         if sm.is_time_item(item):
             expr, _ = sm.resolve_group_by(item)
             parts.append(expr)
@@ -840,22 +853,13 @@ def compile_metrics_sql(
                     sub = _offset_leaf(iname, in_filter, offset, offset_grain,
                                        f"derived metric {name}")
                 elif in_filter:
-                    # input-level filter (MetricInput.filter, v1/metric.py:64)
-                    # re-aggregates the input's measure with the extra guard
-                    target = metric_index.get(iname)
-                    if target is None:
+                    # input-level filter (MetricInput.filter, v1/metric.py:64):
+                    # resolved exactly like a ratio MetricInput — except a
+                    # derived input must name a METRIC, never a bare measure
+                    if iname not in metric_index:
                         raise MetricQueryError(
                             f"metric {iname!r} is not defined")
-                    if target.get("type", "simple") != "simple":
-                        raise MetricQueryError(
-                            f"derived metric {name}: a filter on input "
-                            f"{iname!r} needs a simple input metric")
-                    combined = " AND ".join(
-                        f"({f})" for f in (_filt(target.get("filter")),
-                                           in_filter) if f) or None
-                    sub = _leaf(
-                        (target.get("type_params") or {}).get("measure"),
-                        combined)
+                    sub = _metric_input(inp, None, f"derived metric {name}")
                 else:
                     sub = _expand(iname)
                 expr = re.sub(rf"\b{re.escape(ialias)}\b", f"({sub})", expr)
@@ -889,7 +893,7 @@ def compile_metrics_sql(
             raise MetricQueryError(
                 f"no table registered for model {sm.ref_name()!r}")
         if nad:
-            table = _nad_from(sm, nad, table, group_by)
+            table = _nad_from(sm, nad, table, group_by, lm=lm)
         selects, keys, time_keys = [], [], []
         for item in group_by:
             expr, alias = lm.resolve_group_by(item)
@@ -986,8 +990,9 @@ def compile_metrics_sql(
                        with_where: bool) -> list[str]:
             meas = side_owner.measures[measure_name]
             conds = []
-            if meas.get("filter"):
-                conds.append(_render_filter(_filt(meas["filter"]), resolver))
+            mf = _filt(meas.get("filter"))
+            if mf:
+                conds.append(_render_filter(mf, resolver))
             if extra:
                 conds.append(_render_filter(str(extra), resolver))
             if with_metric_filter and mfilter:

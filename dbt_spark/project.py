@@ -828,6 +828,10 @@ def _parse_model_patches(doc: dict, project: Project, manifest: Manifest, rel: s
                         f"model {patch['name']}: freshness build_after "
                         f"depends_on {dep!r} must be any | all")
                 try:
+                    # count defaults to 0 exactly like the reference's
+                    # ModelBuildAfter (v1/model.py:44-47): with count 0 the
+                    # time gate always passes and rebuilds are driven purely
+                    # by upstream movement (depends_on)
                     count = int(ba.get("count", 0))
                 except (TypeError, ValueError):
                     raise CompilationError(

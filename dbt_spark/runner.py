@@ -1848,7 +1848,10 @@ class Engine:
                 return None
             if dep.is_ephemeral:
                 return None
-            rel = ctx.store.get(ctx.schema_for(dep), dep.name)
+            # alias-aware: relations are stored under ctx.name_for (the
+            # config(alias=)/generate_alias_name identifier), never the
+            # bare model name
+            rel = ctx.store.get(ctx.schema_for(dep), ctx.name_for(dep))
             t = rel.meta.get("built_at") if rel is not None else None
             if t is None:
                 return None
@@ -1946,7 +1949,10 @@ class Engine:
             for exp in exports:
                 exp_name = exp["name"] if isinstance(exp, dict) else str(exp)
                 exp_cfg = (exp.get("config") or {}) if isinstance(exp, dict) else {}
-                kind = exp_cfg.get("export_as") or default_as or "table"
+                # lowercase: validation accepts any casing ('VIEW'), the
+                # dispatch below must agree
+                kind = str(exp_cfg.get("export_as") or default_as
+                           or "table").lower()
                 # ExportConfig.alias / schema_name (v1/saved_query.py:24-30):
                 # the physical identifier when set, else the export's name
                 exp_name = exp_cfg.get("alias") or exp_name

@@ -2658,3 +2658,28 @@ models:
 """
     with _pytest.raises(CompilationError, match="period"):
         Engine(project_dir(bad), spark=spark).parse()
+
+
+def test_model_freshness_sees_aliased_upstreams(project_dir, spark):
+    """The upstream-movement check resolves relations alias-aware
+    (config(alias=...)): an aliased upstream's rebuild is visible to the
+    downstream gate."""
+    from dbt_spark.runner import Engine
+
+    files = dict(FRESHNESS_FILES)
+    files["models/m1.sql"] = (
+        "{{ config(materialized='table', alias='m1_aliased') }}\n"
+        "select id, v from {{ ref('raw') }}"
+    )
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["build"]).success
+    assert eng.store.exists("main", "m1_aliased")
+    b2 = eng.store.get("main", "m2").meta["built_at"]
+    # second build: m1 (aliased) is FRESH (1h window); m2 sees the aliased
+    # m1 relation (not a missing bare-name lookup) -> FRESH, not a rebuild
+    r = eng.invoke(["build"])
+    assert r.success
+    msgs = {x.unique_id: (x.message or "") for x in r.results}
+    assert "no upstream rebuilds" in msgs["model.fr.m2"]
+    assert eng.store.get("main", "m2").meta["built_at"] == b2

@@ -770,3 +770,30 @@ def test_pq_encode_codes_shape_and_determinism(spark):
     cids = {r["cid"] for r in books.collect()}
     for codes in a.values():
         assert len(codes) == 8 and all(code in cids for code in codes)
+
+
+def test_wav_header_corrupt_fmt_yields_nulls(spark):
+    """Zero channels/rate or sub-byte sample width must yield NULL rows,
+    never a ZeroDivisionError inside the Arrow batch; JPEG fill bytes
+    (ITU T.81 B.1.1.2) before markers parse correctly."""
+    import struct
+
+    from dbt_spark.functions.multimodal import (build_jpeg, build_wav,
+                                                parse_image_header,
+                                                wav_header_meta)
+
+    # a structurally-valid WAV whose fmt declares 4-bit samples
+    bad = bytearray(build_wav(1, 8000, 16, 10))
+    bad[34:36] = struct.pack("<H", 4)  # bits_per_sample -> 4
+    zero_ch = bytearray(build_wav(1, 8000, 16, 10))
+    zero_ch[22:24] = struct.pack("<H", 0)  # channels -> 0
+    df = spark.createDataFrame(
+        [(1, bytes(bad)), (2, bytes(zero_ch)), (3, build_wav(2, 16000, 16, 160))],
+        "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in wav_header_meta(df).collect()}
+    assert rows[1]["duration_ms"] is None and rows[2]["duration_ms"] is None
+    assert rows[3]["duration_ms"] == 10
+    # JPEG fill bytes before the SOF marker
+    j = build_jpeg(640, 360)
+    padded = j[:2] + b"\xff\xff\xff" + j[2:]
+    assert parse_image_header(padded) == ("jpeg", 640, 360)

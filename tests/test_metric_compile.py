@@ -2530,3 +2530,41 @@ semantic_models:
                 ["eod_balance"],
                 group_by=["metric_time__month"]).collect()}
     assert rows == {"2024-01-01": 170, "2024-02-01": 200}
+
+
+def test_filter_list_of_falsy_entries_is_no_filter(views):
+    """filter: [""] / [null] normalizes to 'no filter', never a crash."""
+    metrics = METRICS + [
+        {"name": "rev_nofilter", "type": "simple",
+         "type_params": {"measure": "order_total"}, "filter": [""]},
+    ]
+    sql = compile_metrics_sql(["rev_nofilter"], metrics,
+                              [ORDERS_SM, PAYMENTS_SM], TABLES)
+    [r] = views.sql(sql).collect()
+    assert r["rev_nofilter"] == 450.0
+    # measure-level falsy list too
+    sm2 = {**ORDERS_SM, "measures": ORDERS_SM["measures"] + [
+        {"name": "ot2", "agg": "sum", "expr": "o_total", "filter": [None]}]}
+    sql = compile_metrics_sql(
+        ["m2x"], [{"name": "m2x", "type": "simple",
+                   "type_params": {"measure": "ot2"}}],
+        [sm2, PAYMENTS_SM], TABLES)
+    [r] = views.sql(sql).collect()
+    assert r["m2x"] == 450.0
+
+
+def test_non_additive_custom_grain_rejected(bal_views):
+    """NAD + custom-granularity group-by is an explicit error, not a
+    silently-global window."""
+    spine = {
+        "model": "t_bal",  # any registered table works for the probe
+        "standard_granularity_column": "ds",
+        "granularity": "day",
+        "custom_granularities": [{"name": "fq", "column_name": "kind"}],
+    }
+    metrics = [{"name": "tb", "type": "simple",
+                "type_params": {"measure": "eod_balance"}}]
+    with pytest.raises(MetricQueryError, match="custom granularity"):
+        compile_metrics_sql(
+            ["tb"], metrics, [BALANCES_SM], {"bal": "t_bal"},
+            group_by=["ds__fq"], time_spines=[spine])
