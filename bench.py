@@ -143,6 +143,7 @@ EXTENDED = [
     "ann_topk_pq",  # trained-codebook cache: rep 1 trains
     "multimodal_image_headers",
     "multimodal_wav_headers",
+    "bpe_merge_learning",
 ]
 
 

@@ -121,3 +121,72 @@ def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
         cc["punct_count"].alias("punct_count"),
         cc["digit_count"].alias("digit_count"),
     )
+
+
+def bpe_learn_merges(docs: DataFrame, k_merges: int = 12,
+                     text_col: str = "text") -> list[tuple]:
+    """In-engine BPE merge learning (Sennrich, Haddow, Birch 2016, "Neural
+    Machine Translation of Rare Words with Subword Units", ACL — public):
+    learn the top-K byte-pair merges of the corpus, the tokenizer-induction
+    step a training-data pipeline runs to fit a vocabulary to ITS corpus.
+
+    Exactly the paper's word-type algorithm, expressed as DataFrame ops:
+
+    1. ONE corpus pass reduces to the word-type histogram (word, n) —
+       vocabulary-cardinality rows, map-side combinable; every later step
+       touches only this tiny table (the reason BPE training is cheap even
+       at 100 TB: the corpus is scanned once).
+    2. Each round: explode adjacent symbol pairs weighted by word count,
+       aggregate pair counts (map-side partials), take the argmax pair
+       (count desc, then lexicographic — fully deterministic), and apply
+       the merge to every word's symbol array via a left-to-right
+       aggregate() fold (non-overlapping, leftmost-first — the paper's
+       replacement rule) — pure codegen'd expressions, zero UDFs.
+       The 1-row argmax collect per round is a bounded driver read
+       (K reads total); symbol tables localCheckpoint per round so lineage
+       stays flat.
+
+    Returns [(rank, left, right, pair_count), ...] — the merge table a
+    tokenizer would persist."""
+    spark = docs.sparkSession
+    words = (docs
+             .select(F.explode(tokens(text_col)).alias("w"))
+             .where(F.length("w") > 0)
+             .groupBy("w").agg(F.count("*").alias("n")))
+    seqs = words.select(
+        "n",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .alias("seq"),
+    ).localCheckpoint()
+    merges: list[tuple] = []
+    for rank in range(1, k_merges + 1):
+        pairs = (seqs
+                 .where(F.size("seq") >= 2)
+                 .select("n", F.expr(
+                     "explode(transform(sequence(1, size(seq) - 1), "
+                     "i -> struct(element_at(seq, i) AS a, "
+                     "element_at(seq, i + 1) AS b)))").alias("p"))
+                 .groupBy("p.a", "p.b").agg(F.sum("n").alias("c")))
+        top = (pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+               .limit(1).collect())
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((rank, a, b, c))
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        qm = (a + b).replace("'", "\\'")
+        # leftmost-first non-overlapping replacement: fold the symbol array,
+        # merging when the accumulated tail is `a` and the next symbol is
+        # `b` (a freshly-merged tail spells a+b, so it can never re-merge)
+        seqs = seqs.select(
+            "n",
+            F.expr(
+                "aggregate(seq, CAST(array() AS array<string>), "
+                f"(acc, x) -> CASE WHEN size(acc) > 0 "
+                f"AND element_at(acc, -1) = '{qa}' AND x = '{qb}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}')) "
+                "ELSE concat(acc, array(x)) END)").alias("seq"),
+        ).localCheckpoint()
+    # keep the session tidy: checkpoints release with the DataFrames
+    _ = spark
+    return merges

@@ -1341,6 +1341,21 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ))
 
 
+def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE tokenizer induction (Sennrich et al. 2016 —
+    functions/text.py:bpe_learn_merges): the top-12 byte-pair merges of the
+    documents corpus, learned entirely as DataFrame aggregates over the
+    word-type histogram (one corpus scan, then vocabulary-sized rounds).
+    Iterative with per-round argmax → not single-statement SQL-expressible
+    (rows-only); the merge SEQUENCE is pinned exactly against a pure-Python
+    reference implementation in tests/test_llmops.py."""
+    from dbt_spark.functions.text import bpe_learn_merges
+
+    merges = bpe_learn_merges(_docs(spark, sf_dir), k_merges=12)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long")
+
+
 def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-header round-trip (functions/multimodal.py — pure-bytes
     parsers for PNG IHDR / JPEG SOFn / GIF LSD / BMP BITMAPINFOHEADER, no
@@ -2227,6 +2242,7 @@ QUERIES = {
     "token_budget_select": token_budget_select,
     "multimodal_image_headers": multimodal_image_headers,
     "multimodal_wav_headers": multimodal_wav_headers,
+    "bpe_merge_learning": bpe_merge_learning,
     "per_source_dup_rate": per_source_dup_rate,
     "dup_cluster_sizes": dup_cluster_sizes,
     "per_lang_length_stats": per_lang_length_stats,

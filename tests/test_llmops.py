@@ -797,3 +797,43 @@ def test_wav_header_corrupt_fmt_yields_nulls(spark):
     j = build_jpeg(640, 360)
     padded = j[:2] + b"\xff\xff\xff" + j[2:]
     assert parse_image_header(padded) == ("jpeg", 640, 360)
+
+
+def test_bpe_merges_match_reference_implementation(spark):
+    """The engine's DataFrame-ops BPE learns the EXACT merge sequence of a
+    pure-Python reference (Sennrich et al. word-type algorithm with
+    count-desc-then-lexicographic tie-break)."""
+    import collections
+    import re as _re
+
+    from dbt_spark.functions.text import bpe_learn_merges
+
+    docs = _docs(spark)
+    got = bpe_learn_merges(docs, k_merges=8)
+
+    hist = collections.Counter()
+    for r in docs.select("text").collect():
+        for w in _re.split(r"\s+", r["text"].strip()):
+            if w:
+                hist[w] += 1
+    seq_list = [[list(w), n] for w, n in hist.items()]
+    ref = []
+    for rank in range(1, 9):
+        pc = collections.Counter()
+        for seq, n in seq_list:
+            for i in range(len(seq) - 1):
+                pc[(seq[i], seq[i + 1])] += n
+        if not pc:
+            break
+        (a, b), c = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ref.append((rank, a, b, c))
+        for item in seq_list:
+            out = []
+            for x in item[0]:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            item[0] = out
+    assert got == ref
