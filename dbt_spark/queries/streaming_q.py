@@ -324,6 +324,78 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming near-dup ingestion
+    (streaming/stateful.py:minhash_ingest_gate): two micro-batches of
+    documents, the second carrying PLANTED near-duplicates of batch-1 docs
+    (one trailing word changed) — the gate must admit batch-1 docs, admit
+    batch-2 novel docs, and reject the planted copies against the persisted
+    LSH signature store. The function RAISES unless the streamed result
+    matches a sequential batch-mode replay of the same library functions
+    (within-batch minhash_dedup + bucket-collision gate), so the driver's
+    rows check doubles as the cross-batch-semantics gate (bucket keys are
+    engine hashes → rows-only, like the other LSH ops)."""
+    import tempfile as _tf
+
+    from dbt_spark.functions.dedup import _banded_signatures, minhash_dedup
+    from dbt_spark.streaming.stateful import minhash_ingest_gate
+
+    docs = (
+        read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    b1 = docs.filter(F.col("doc_id") < 120)
+    planted = (b1.filter(F.col("doc_id") < 40)
+               .select((F.col("doc_id") + 9000).alias("doc_id"),
+                       F.concat_ws(" ", F.expr(
+                           "concat_ws(' ', slice(split(text, ' '), 1, "
+                           "size(split(text, ' ')) - 1))"),
+                           F.lit("zzz")).alias("text")))
+    b2 = docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 240)
+                     ).unionByName(planted)
+
+    src = _tf.mkdtemp(prefix="dbt_spark_ndsrc_")
+    out_dir = os.path.join(_tf.mkdtemp(prefix="dbt_spark_ndout_"), "docs")
+    sig_dir = os.path.join(_tf.mkdtemp(prefix="dbt_spark_ndsig_"), "sigs")
+    ckpt = _tf.mkdtemp(prefix="dbt_spark_ndckpt_")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(minhash_ingest_gate(out_dir, sig_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    got = {r["doc_id"] for r in
+           spark.read.parquet(out_dir).select("doc_id").collect()}
+
+    # sequential batch-mode replay with the same library primitives
+    k1 = minhash_dedup(b1, "text", "doc_id", threshold=0.5,
+                       num_perm=16, bands=8)
+    s1 = _banded_signatures(k1, "text", "doc_id", 16, 8, 2)
+    k2 = minhash_dedup(b2, "text", "doc_id", threshold=0.5,
+                       num_perm=16, bands=8)
+    s2 = _banded_signatures(k2, "text", "doc_id", 16, 8, 2)
+    hit = (s2.join(s1.select("band", "bh"), ["band", "bh"], "left_semi")
+           .select("id").distinct())
+    k2f = k2.join(hit.withColumnRenamed("id", "doc_id"), "doc_id",
+                  "left_anti")
+    want = ({r["doc_id"] for r in k1.select("doc_id").collect()}
+            | {r["doc_id"] for r in k2f.select("doc_id").collect()})
+    if got != want:
+        raise RuntimeError(
+            f"streamed near-dup gate diverged from batch replay: "
+            f"only-streamed={sorted(got - want)[:5]} "
+            f"only-batch={sorted(want - got)[:5]}")
+    if any(d >= 9000 for d in got):
+        raise RuntimeError("a planted near-duplicate survived the gate")
+    return spark.createDataFrame(
+        sorted((int(d),) for d in got), "doc_id long")
+
+
 def stream_foreachbatch_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming upsert with PER-BATCH TRANSACTIONAL MERGE — the exact
     shape the public docs prescribe for Delta (`foreachBatch` + MERGE, one
@@ -511,6 +583,7 @@ QUERIES = {
     "stream_dedup_watermark": stream_dedup_watermark,
     "stream_static_join": stream_static_join,
     "stream_foreachbatch_upsert": stream_foreachbatch_upsert,
+    "stream_neardup_ingest": stream_neardup_ingest,
     "stream_foreachbatch_upsert_acid": stream_foreachbatch_upsert_acid,
     "stream_stream_interval_join": stream_stream_interval_join,
     "session_window_agg": session_window_agg_q,

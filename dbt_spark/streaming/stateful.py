@@ -229,3 +229,55 @@ def running_totals_tws(df: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def minhash_ingest_gate(out_dir: str, sig_dir: str, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.5,
+                        num_perm: int = 16, bands: int = 8,
+                        shingle_n: int = 2):
+    """foreachBatch sink factory: CROSS-BATCH streaming near-duplicate
+    ingestion gate — the continuous form of corpus dedup, where documents
+    arriving in every micro-batch are deduplicated against everything ever
+    kept, without re-reading history text.
+
+    Per micro-batch: (1) within-batch near-dup dedup (verified Jaccard ≥
+    threshold, min-id survivor — functions/dedup.py:minhash_dedup);
+    (2) cross-batch gate: drop survivors sharing ANY MinHash-LSH
+    (band, bucket) with the persisted signature store (candidate-level
+    semantics, exactly decontam_neardup_lsh's — recall is set by the
+    banding, num_perm/bands); (3) append kept docs to ``out_dir`` and
+    their band rows to ``sig_dir``.
+
+    Scale: history is stored as DISTINCT LSH bucket keys of kept docs —
+    O(bands) longs per document, never text — so the gate is one keyed
+    LEFT SEMI/ANTI join per batch against a compact, append-only store; at
+    100 TB the store hash-partitions by (band, bh) and each batch's probe
+    touches only matching partitions. Writes are per-batch atomic in the
+    streaming sink's append contract (exactly-once via the checkpoint +
+    deterministic batch contents)."""
+    from dbt_spark.functions.dedup import _banded_signatures, minhash_dedup
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.sql import functions as SF
+
+        spark = df.sparkSession
+        kept = minhash_dedup(df, text_col, id_col, threshold=threshold,
+                             num_perm=num_perm, bands=bands)
+        sigs = _banded_signatures(kept, text_col, id_col, num_perm, bands,
+                                  shingle_n)
+        if os.path.exists(sig_dir):
+            seen = spark.read.parquet(sig_dir).select("band", "bh")
+            dup_ids = (sigs.join(seen, ["band", "bh"], "left_semi")
+                       .select("id").distinct())
+            kept = kept.join(
+                dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti")
+            sigs = sigs.join(dup_ids, "id", "left_anti")
+        # cache: kept/sigs share lineage; two actions below
+        kept = kept.localCheckpoint()
+        kept.write.mode("append").parquet(out_dir)
+        (sigs.join(kept.select(SF.col(id_col).alias("id")), "id", "left_semi")
+         .write.mode("append").parquet(sig_dir))
+
+    return sink

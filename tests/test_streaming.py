@@ -267,3 +267,30 @@ def test_transform_with_state_running_totals(spark, tmp_path):
                 "spark.sql.streaming.stateStore.providerClass", prev_provider)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_minhash_ingest_gate_cross_batch(spark, tmp_path):
+    """Cross-batch near-dup gate: batch 2's near-copy of a batch-1 doc is
+    rejected by the persisted signature store; novel docs pass; the store
+    holds bucket keys only for KEPT docs."""
+    import os
+
+    from dbt_spark.streaming.stateful import minhash_ingest_gate
+
+    words = [f"w{i}" for i in range(40)]
+    a = " ".join(words)
+    near_a = " ".join(words[:-2] + ["x1", "x2"])      # ~95% overlap with a
+    novel = " ".join(f"q{i}" for i in range(40))
+    b1 = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(2, near_a), (3, novel)],
+                               "doc_id long, text string")
+    out = str(tmp_path / "docs")
+    sig = str(tmp_path / "sigs")
+    gate = minhash_ingest_gate(out, sig)
+    gate(b1, 0)
+    gate(b2, 1)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}
+    sig_ids = {r["id"] for r in spark.read.parquet(sig).collect()}
+    assert sig_ids == {1, 3}
+    assert os.path.exists(sig)
