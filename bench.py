@@ -144,6 +144,7 @@ EXTENDED = [
     "multimodal_image_headers",
     "multimodal_wav_headers",
     "bpe_merge_learning",
+    "ann_topk_ivfpq",  # cached centroids+codebooks
 ]
 
 

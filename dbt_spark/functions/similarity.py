@@ -623,3 +623,88 @@ def pq_topk(
     return (exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rank") <= k)
             .select("qid", "nid", F.round("d2", 6).alias("d2"), "rank"))
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_pred: F.Column,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV — the FAISS default at billion scale):
+    a coarse IVF quantizer restricts the search to ``nprobe`` inverted
+    lists, and WITHIN those lists distances come from PQ codes (ADC lookup
+    tables), so the scan touches ~nprobe/n_centroids of the corpus and
+    reads 8-byte codes, never vectors; the top-R shortlist re-ranks exact.
+
+    Assignment metric is L2 end-to-end (cells by nearest-centroid L2, ADC
+    by subspace L2) so cell routing and code distances agree. Both model
+    artifacts (centroids, codebooks) amortize via their parameters.
+
+    Plan: cells = argmin-as-aggregate over a broadcast centroid set (one
+    keyed aggregate, no window); query→cell probes = per-query top-nprobe
+    over Q×|centroids| broadcast rows; the probed scan = codes ⋈ broadcast
+    probe set on cell, exploded to (qid, nid, m, code) and summed — one
+    keyed aggregate with map-side partials."""
+    if centroids is None:
+        centroids = train_centroids(emb, n_centroids, train_iters,
+                                    id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_train(emb, m=m, k=n_codes, n_iter=train_iters,
+                             id_col=id_col, vec_col=vec_col)
+    cents = centroids.select("cid", "cv")
+    base = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    cells = (base.crossJoin(F.broadcast(cents))
+             .withColumn("__d2", _l2sq("nv", "cv"))
+             .groupBy("nid")
+             .agg(F.min_by("cid", F.struct("__d2",
+                                           F.col("cid").cast("double")))
+                  .alias("cell")))
+    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col) \
+        .withColumnRenamed("id", "nid").join(cells, "nid")
+    q = emb.filter(query_pred).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    qscore = (q.crossJoin(F.broadcast(cents))
+              .withColumn("__d2", _l2sq("qv", "cv")))
+    wq = W.partitionBy("qid").orderBy(F.col("__d2").asc(), F.col("cid"))
+    probes = (qscore.withColumn("__r", F.row_number().over(wq))
+              .filter(F.col("__r") <= nprobe)
+              .select("qid", F.col("cid").alias("cell")))
+    sub_df = codebooks.select(F.size("cv").alias("s")).limit(1)
+    sub = sub_df.first()["s"]
+    m_count = codebooks.agg(F.max("m")).first()[0] + 1
+    dtable = q.select(
+        "qid",
+        F.explode(F.sequence(F.lit(0), F.lit(m_count - 1))).alias("m"), "qv",
+    ).select(
+        "qid", "m", F.expr(f"slice(qv, m * {sub} + 1, {sub})").alias("qsv"),
+    ).join(codebooks, "m").select(
+        "qid", "m", F.col("cid").alias("code"),
+        _l2sq("qsv", "cv").alias("pd2"))
+    scan = (codes.join(F.broadcast(probes), "cell")
+            .select("qid", "nid", F.posexplode("codes").alias("m", "code")))
+    scored = (scan.join(F.broadcast(dtable), ["qid", "m", "code"])
+              .groupBy("qid", "nid")
+              .agg(F.sum("pd2").alias("approx_d2"))
+              .filter(F.col("qid") != F.col("nid")))
+    r = rerank if rerank is not None else max(4 * k, 20)
+    wa = W.partitionBy("qid").orderBy(F.col("approx_d2").asc(), F.col("nid"))
+    shortlist = (scored.withColumn("__ar", F.row_number().over(wa))
+                 .filter(F.col("__ar") <= r).select("qid", "nid"))
+    exact = (shortlist
+             .join(F.broadcast(q), "qid")
+             .join(base, "nid")
+             .withColumn("d2", _l2sq("qv", "nv")))
+    w = W.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid"))
+    return (exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", F.round("d2", 6).alias("d2"), "rank"))

@@ -1341,6 +1341,44 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ))
 
 
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — IVF coarse quantizer × PQ codes (Jégou et al. 2011 §IV,
+    functions/similarity.py:ivfpq_topk, the FAISS billion-scale default):
+    probes scan ~nprobe/n_centroids of the corpus reading 8-byte codes,
+    then re-rank a shortlist exactly. RAISES below 0.6 recall@5 vs exact-L2
+    brute force, like ann_topk_pq (the isotropic test embeddings are the
+    quantizer worst case — clustered data clears 0.9 in the planted test).
+    Both model artifacts ride the session caches."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    pred = (F.col("vec_id") >= 100) & (F.col("vec_id") < 108)
+    out = S.ivfpq_topk(
+        emb, pred, k=5, n_centroids=8, nprobe=4, m=8, n_codes=16,
+        centroids=_trained_centroids(spark, sf_dir),
+        codebooks=_trained_codebooks(spark, sf_dir),
+        rerank=max(64, emb.count() // 8))
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], set()).add(r["nid"])
+    q = emb.filter(pred).selectExpr("vec_id AS qid", "embedding AS qv")
+    c = emb.selectExpr("vec_id AS nid", "embedding AS nv")
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("qid") != F.col("nid"))
+              .withColumn("d2", S._l2sq("qv", "nv")))
+    w = W.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid"))
+    truth: dict = {}
+    for r in (scored.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= 5).collect()):
+        truth.setdefault(r["qid"], set()).add(r["nid"])
+    hits = sum(len(got.get(qid, set()) & t) for qid, t in truth.items())
+    recall = hits / max(1, sum(len(t) for t in truth.values()))
+    if recall < 0.6:
+        raise RuntimeError(
+            f"IVFADC recall@5 {recall:.3f} < 0.6 vs brute force")
+    return out.orderBy("qid", "rank")
+
+
 def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine BPE tokenizer induction (Sennrich et al. 2016 —
     functions/text.py:bpe_learn_merges): the top-12 byte-pair merges of the
@@ -2288,6 +2326,7 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_pq": ann_topk_pq,
+    "ann_topk_ivfpq": ann_topk_ivfpq,
     "multimodal_decode_meta": multimodal_decode_meta,
     "multimodal_audio_windows": multimodal_audio_windows,
     "multimodal_frame_sample": multimodal_frame_sample,
