@@ -19,6 +19,11 @@ actually runnable here:
 - metric types: simple, ratio (num/den with NULLIF), derived (expr over
   input metric aliases), conversion (entity-keyed base→conversion semi-join
   within an optional window; conversions | conversion_rate calculations;
+  DOCUMENTED DIVERGENCE: the conversion must be STRICTLY later than its
+  base event (c.__t > b.__t) where MetricFlow's join is inclusive
+  (base.ts <= conv.ts) — the strict form avoids counting an event as its
+  own conversion when base and conversion share a table and timestamp,
+  and has been pinned by this engine's oracles since round 4;
   base and conversion measures may live on DIFFERENT semantic models that
   share the entity — each side resolves its own entity/time exprs),
   derived offset_window inputs (period-over-period: the input re-aggregates
@@ -56,6 +61,35 @@ _GRAINS = {"day", "week", "month", "quarter", "year"}
 # fineness order for picking a declared spine: a spine can serve any grain
 # at or coarser than its own standard granularity
 _GRAIN_ORDER = {"day": 0, "week": 1, "month": 2, "quarter": 3, "year": 4}
+
+_UNIT_DAYS = {"day": 1, "week": 7}
+_UNIT_MONTHS = {"month": 1, "quarter": 3, "year": 12}
+
+
+def _interval_sql(count: int, unit: str) -> str:
+    """'<count> <unit>' → a Spark-valid interval expression. Spark interval
+    literals have NO QUARTER unit (valid: YEAR/MONTH/WEEK/DAY/...), so
+    quarters rewrite to 3n MONTH."""
+    u = str(unit).rstrip("s").lower()
+    if u == "quarter":
+        return f"INTERVAL {int(count) * 3} MONTH"
+    return f"INTERVAL {int(count)} {u.upper()}"
+
+
+def _window_in_grain(count: int, unit: str, grain: str) -> Optional[int]:
+    """A '<count> <unit>' window as a whole number of <grain> periods, when
+    the conversion is calendar-exact (day/week are day-based; month/quarter/
+    year are month-based — the two families never mix exactly). None when
+    not exactly convertible."""
+    u = str(unit).rstrip("s").lower()
+    g = str(grain).rstrip("s").lower()
+    if u in _UNIT_DAYS and g in _UNIT_DAYS:
+        n = int(count) * _UNIT_DAYS[u]
+        return n // _UNIT_DAYS[g] if n % _UNIT_DAYS[g] == 0 else None
+    if u in _UNIT_MONTHS and g in _UNIT_MONTHS:
+        n = int(count) * _UNIT_MONTHS[u]
+        return n // _UNIT_MONTHS[g] if n % _UNIT_MONTHS[g] == 0 else None
+    return None
 
 _AGG_SQL = {
     "sum": "SUM({e})",
@@ -173,6 +207,51 @@ class _Model:
             return True
         dim = self.dimensions.get(name) or self.dimensions.get(base)
         return bool(dim is not None and dim.get("type") == "time")
+
+    def _time_parts(self, item: str):
+        """(raw_expr, effective_grain) of a time group-by item: the
+        un-truncated dimension expression plus the grain the item is
+        queried at (its __grain suffix, else the dimension's native
+        time_granularity, else day)."""
+        parts = item.split("__")
+        grain = None
+        name = item
+        if len(parts) > 1 and parts[-1] in _GRAINS:
+            grain = parts[-1]
+            name = "__".join(parts[:-1])
+        base = name.split("__")[-1]
+        if name == "metric_time" or base == "metric_time":
+            if not self.agg_time_dimension:
+                raise MetricQueryError(
+                    f"semantic model {self.name}: metric_time requested but "
+                    "defaults.agg_time_dimension is not set")
+            base = self.agg_time_dimension
+            name = base
+        dim = self.dimensions.get(name) or self.dimensions.get(base)
+        if dim is None or dim.get("type") != "time":
+            raise MetricQueryError(
+                f"semantic model {self.name}: {item!r} is not a time "
+                "dimension")
+        raw = dim.get("expr") or dim["name"]
+        native = (dim.get("type_params") or {}).get("time_granularity")
+        return raw, (grain or native or "day")
+
+    def item_grain(self, item: str) -> str:
+        """Effective grain a time item is queried at."""
+        return self._time_parts(item)[1]
+
+    def resolve_group_by_shifted(self, item: str, count: int,
+                                 unit: str) -> str:
+        """Time group-by expr with the RAW time value shifted BEFORE grain
+        truncation (offset_window semantics): a row at Jan-28 shifted
+        +7 days belongs to FEBRUARY at month grain. Shifting the truncated
+        key instead would yield off-grain keys (month-start + 7 days) that
+        can never match the anchor leg's keys."""
+        raw, grain = self._time_parts(item)
+        shifted = f"({raw}) + {_interval_sql(count, unit)}"
+        if grain == "day":
+            return f"CAST({shifted} AS DATE)"
+        return f"CAST(DATE_TRUNC('{grain.upper()}', {shifted}) AS DATE)"
 
 
 class _LinkedModel:
@@ -453,8 +532,17 @@ def _render_filter(filt: str, model: _Model) -> str:
         expr, _ = model.resolve_group_by(f"{m.group(1)}__{m.group(2)}")
         return expr
 
+    def _dim_grain(m: re.Match) -> str:
+        expr, _ = model.resolve_group_by(f"{m.group(1)}__{m.group(2)}")
+        return expr
+
+    # the chained ".grain('month')" form first — the bare-Dimension regex
+    # would otherwise leave the suffix behind as raw SQL
+    out = re.sub(
+        r"\{\{\s*Dimension\(\s*['\"]([^'\"]+)['\"]\s*\)\s*\.\s*grain\(\s*"
+        r"['\"]([^'\"]+)['\"]\s*\)\s*\}\}", _dim_grain, filt)
     out = re.sub(r"\{\{\s*Dimension\(\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}",
-                 _dim, filt)
+                 _dim, out)
     out = re.sub(
         r"\{\{\s*TimeDimension\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}",
         _tdim, out)
@@ -644,6 +732,14 @@ def compile_metrics_sql(
             f"metric_time__{coarsest}" if item == "metric_time" else item
             for item in group_by
         ]
+        if order_by:
+            # the rewrite renames the OUTPUT column — an order_by naming
+            # bare metric_time must follow or ORDER BY fails to resolve
+            order_by = [
+                re.sub(r"^metric_time\b", f"metric_time__{coarsest}",
+                       str(item).strip())
+                for item in order_by
+            ]
     models = [_Model(_meta(sm)) for sm in semantic_models]
     measure_owner: dict[str, _Model] = {}
     for sm in models:
@@ -778,13 +874,22 @@ def compile_metrics_sql(
                 "push inside an already-composed metric)")
         return _expand(name)
 
-    def _expand(name: str) -> str:
+    def _expand(name: str, top: bool = False) -> str:
         metric = metric_index.get(name)
         if metric is None:
             raise MetricQueryError(f"metric {name!r} is not defined")
         mtype = metric.get("type", "simple")
         tp = metric.get("type_params") or {}
         mfilter = _filt(metric.get("filter"))
+        if mtype == "cumulative" and not top:
+            # the running window applies AFTER the group-by joins, only to
+            # requested metrics — expanding a cumulative metric inside a
+            # derived/ratio expression would silently substitute its
+            # per-period leaf for the running total
+            raise MetricQueryError(
+                f"cumulative metric {name!r} cannot be used as a "
+                "derived/ratio input (its running window applies at the "
+                "query level); reference the cumulative metric directly")
         if mtype in ("simple", "cumulative"):
             alias = _leaf(tp.get("measure"), mfilter)
             # join_to_timespine / fill_nulls_with live on the measure input
@@ -792,13 +897,20 @@ def compile_metrics_sql(
             # MetricInputMeasure): zero/NULL-fill periods the data skips
             spec = tp.get("measure")
             sflags = spec if isinstance(spec, dict) else {}
-            if (sflags.get("join_to_timespine")
-                    or sflags.get("fill_nulls_with") is not None):
+            fill = sflags.get("fill_nulls_with") if isinstance(spec, dict) \
+                else None
+            if top and (sflags.get("join_to_timespine")
+                        or fill is not None):
                 spine_cfg[name] = {
                     "spine": bool(sflags.get("join_to_timespine")),
-                    "fill": sflags.get("fill_nulls_with"),
+                    "fill": fill,
                     "owner": measure_owner.get(_measure_name(spec)[0]),
                 }
+            elif not top and fill is not None:
+                # nested use: the fill applies VALUE-level inside the
+                # consuming expression (a panel spine is the requested
+                # metric's concern, not the input's)
+                return f"COALESCE({alias}, {fill})"
             if mtype == "cumulative":
                 ctp2 = tp.get("cumulative_type_params") or {}
                 period_agg = str(ctp2.get("period_agg") or "first").lower()
@@ -871,7 +983,7 @@ def compile_metrics_sql(
         raise MetricQueryError(f"metric {name}: unsupported type {mtype!r}")
 
     for name in metric_names:
-        final_exprs.append((_expand(name), name))
+        final_exprs.append((_expand(name, top=True), name))
 
     if not leaf_cols and not conversions:
         raise MetricQueryError("no measures resolved for requested metrics")
@@ -900,12 +1012,17 @@ def compile_metrics_sql(
             if lm.is_time_item(item):
                 time_keys.append(alias)
                 if offset:
+                    # shift the RAW time BEFORE truncating to the item's
+                    # grain: a Jan-28 row + 7 days belongs to FEBRUARY at
+                    # month grain; shifting the truncated key would emit
+                    # off-grain keys that never match the anchor leg.
+                    # Resolved on the OWNER model — an offset time item
+                    # reached through an entity hop is not supported
                     num, unit = str(offset).split()
-                    expr = (f"({expr}) + INTERVAL {int(num)} "
-                            f"{unit.rstrip('s').upper()}")
+                    expr = sm.resolve_group_by_shifted(item, int(num), unit)
             selects.append(f"{expr} AS {alias}")
             keys.append(alias)
-        if (offset or offset_grain) and group_by and not time_keys:
+        if (offset or offset_grain) and not time_keys:
             raise MetricQueryError(
                 f"offset_window/offset_to_grain input needs a time "
                 f"group-by (got {group_by!r})")
@@ -1021,8 +1138,8 @@ def compile_metrics_sql(
         win_pred = ""
         if ctp.get("window"):
             num, unit = str(ctp["window"]).split()
-            win_pred = (f" AND c.__t <= b.__t + INTERVAL {int(num)} "
-                        f"{unit.rstrip('s').upper()}")
+            win_pred = (f" AND c.__t <= b.__t "
+                        f"+ {_interval_sql(int(num), unit)}")
         # constant_properties (ConversionTypeParams.constant_properties,
         # v1/metric.py:86-87): extra equalities the conversion row must
         # share with its base row (same session, same campaign, ...) —
@@ -1137,9 +1254,19 @@ def compile_metrics_sql(
         part = (f"PARTITION BY {', '.join(part_keys)} " if part_keys else "")
         frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
         if win.get("window"):
+            # strict lower bound (MetricFlow: event_time > t - window) over
+            # spine-grain keys: a trailing window of W = k periods covers
+            # keys [t-(k-1)·grain, t] — an INTERVAL W PRECEDING frame would
+            # include the t-W boundary key, one period too many
             num, unit = str(win["window"]).split()
-            frame = (f"RANGE BETWEEN INTERVAL {int(num)} "
-                     f"{unit.rstrip('s').upper()} PRECEDING AND CURRENT ROW")
+            kk = _window_in_grain(int(num), unit, sgran)
+            if kk is None or kk < 1:
+                raise MetricQueryError(
+                    f"cumulative metric {alias}: window {win['window']!r} "
+                    f"is not a whole number of the spine's {sgran!r} "
+                    "periods")
+            frame = (f"RANGE BETWEEN {_interval_sql(kk - 1, sgran)} "
+                     "PRECEDING AND CURRENT ROW")
         aux_ctes.append((
             f"__cgc_{s2}",
             f"SELECT *, SUM(__v) OVER ({part}ORDER BY __d {frame}) AS __c "
@@ -1210,19 +1337,38 @@ def compile_metrics_sql(
     for expr, alias in final_exprs:
         win = cumulative.get(alias)
         if win is not None:
-            time_keys = [k for k in key_aliases
-                         if "metric_time" in k or "__" in k]
-            if not time_keys:
-                time_keys = key_aliases
-            if not time_keys:
+            # the running window's ORDER BY must be a genuine TIME item of
+            # the owner model — matching on name shape ("__" in the alias)
+            # would mistake entity-linked dimensions for the time axis and
+            # silently order the running total across a categorical key
+            owner = win.get("owner")
+            owner_lm = (_LinkedModel(owner, models, table_for_model,
+                                     spines=time_spines)
+                        if owner is not None else None)
+            time_pairs = [(i, a) for i, a in zip(group_by, key_aliases)
+                          if owner_lm is not None
+                          and owner_lm.is_time_item(i)]
+            if not time_pairs:
                 raise MetricQueryError(
-                    f"cumulative metric {alias} needs a time group-by")
-            order_col = time_keys[0]
+                    f"cumulative metric {alias} needs a time group-by "
+                    f"(got {group_by!r})")
+            order_item, order_col = time_pairs[0]
             frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
             if win.get("window"):
+                # strict lower bound (MetricFlow: event_time > t - window):
+                # keys sit at the queried grain, so a W = k-period trailing
+                # window is the frame [t-(k-1)·grain, t]; INTERVAL W
+                # PRECEDING would include the t-W key — one period extra
                 num, unit = str(win["window"]).split()
-                unit = unit.rstrip("s")
-                frame = (f"RANGE BETWEEN INTERVAL {num} {unit.upper()} "
+                grain = owner.item_grain(order_item)
+                kk = _window_in_grain(int(num), unit, grain)
+                if kk is None or kk < 1:
+                    raise MetricQueryError(
+                        f"cumulative metric {alias}: window "
+                        f"{win['window']!r} is not a whole number of "
+                        f"{grain!r} periods (query at a grain the window "
+                        "converts to exactly)")
+                frame = (f"RANGE BETWEEN {_interval_sql(kk - 1, grain)} "
                          "PRECEDING AND CURRENT ROW")
             part_keys = [k for k in key_aliases if k != order_col]
             if win.get("grain_to_date"):
@@ -1388,17 +1534,35 @@ def compile_saved_query(
     (schema_yaml_readers.py:739 parse; execution is the MetricFlow side)."""
     entry = _meta(saved_query)
     qp = entry.get("query_params") or {}
-    group_by = []
-    for item in qp.get("group_by", []) or []:
-        # MetricFlow object syntax: "Dimension('order_id__status')" or
-        # "TimeDimension('metric_time', 'month')"
-        m = re.match(r"\s*TimeDimension\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)", str(item))
+
+    def _object_item(item: str) -> str:
+        # MetricFlow object syntax: "Dimension('order_id__status')",
+        # "TimeDimension('metric_time', 'month')", "Entity('e')", plus the
+        # ".grain('month')" chained form — which must NOT silently
+        # truncate to the bare (native-grain) dimension
+        s = str(item)
+        m = re.match(
+            r"\s*TimeDimension\(\s*['\"]([^'\"]+)['\"]\s*,\s*"
+            r"['\"]([^'\"]+)['\"]\s*\)", s)
         if m:
-            group_by.append(f"{m.group(1)}__{m.group(2)}")
-            continue
-        m = re.match(r"\s*(?:Dimension|Entity)\(\s*['\"]([^'\"]+)['\"]\s*\)",
-                     str(item))
-        group_by.append(m.group(1) if m else str(item))
+            return f"{m.group(1)}__{m.group(2)}"
+        m = re.match(
+            r"\s*(?:Dimension|Entity)\(\s*['\"]([^'\"]+)['\"]\s*\)"
+            r"(?:\s*\.\s*grain\(\s*['\"]([^'\"]+)['\"]\s*\))?", s)
+        if m:
+            return (f"{m.group(1)}__{m.group(2)}" if m.group(2)
+                    else m.group(1))
+        return s
+
+    group_by = [_object_item(i) for i in qp.get("group_by", []) or []]
+    # order_by accepts the same object syntax with an optional leading '-'
+    # for descending (MetricFlow's order-by spelling)
+    order_by = []
+    for item in qp.get("order_by", []) or []:
+        s = str(item).strip()
+        desc = s.startswith("-")
+        resolved = _object_item(s[1:] if desc else s)
+        order_by.append(f"{resolved} DESC" if desc else resolved)
     where = qp.get("where")
     if isinstance(where, list):
         where = " AND ".join(f"({w})" for w in where) or None
@@ -1409,7 +1573,7 @@ def compile_saved_query(
         table_for_model=table_for_model,
         group_by=group_by,
         where=where,
-        order_by=qp.get("order_by"),
+        order_by=order_by or None,
         limit=qp.get("limit"),
         time_spines=time_spines,
     )

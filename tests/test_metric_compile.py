@@ -2568,3 +2568,177 @@ def test_non_additive_custom_grain_rejected(bal_views):
         compile_metrics_sql(
             ["tb"], metrics, [BALANCES_SM], {"bal": "t_bal"},
             group_by=["ds__fq"], time_spines=[spine])
+
+
+# --------------------------------------------------------------------------
+# review-driven semantics fixes: offset shift-before-truncate, strict
+# cumulative window bounds, quarter interval units, nested cumulative/fill
+# inputs, .grain() object syntax, order_by rewrites
+# --------------------------------------------------------------------------
+
+def test_offset_window_finer_than_grain_spills_periods(views):
+    """offset_window '14 days' queried at MONTH grain: rows shift by raw
+    time BEFORE truncation, so a Jan-20 row lands in February's offset
+    bucket — shifting the truncated key would produce month-start+14d keys
+    that never match the anchor leg (all-NULL output)."""
+    metrics = METRICS + [
+        {"name": "rev_14d_delta", "type": "derived",
+         "type_params": {"expr": "cur - prev",
+                         "metrics": [
+                             {"name": "revenue", "alias": "cur"},
+                             {"name": "revenue", "alias": "prev",
+                              "offset_window": "14 days"}]}},
+    ]
+    sql = compile_metrics_sql(
+        ["rev_14d_delta"], metrics, [ORDERS_SM, PAYMENTS_SM], TABLES,
+        group_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]): r["rev_14d_delta"]
+            for r in views.sql(sql).collect()}
+    # shifted buckets: Jan {100}, Feb {50, 200, 75}, Mar {25}
+    assert rows["2024-01-01"] == 150.0 - 100.0
+    assert rows["2024-02-01"] == 275.0 - 325.0
+    assert rows["2024-03-01"] == 25.0 - 25.0
+
+
+def test_cumulative_window_strict_lower_bound(views):
+    """Trailing window '7 days' at day grain covers (t-7, t] — the Feb-03
+    bucket is EXACTLY 7 days before Feb-10 and must not be included
+    (MetricFlow: event_time > t - window)."""
+    metrics = METRICS + [
+        {"name": "rev_7d", "type": "cumulative",
+         "type_params": {"measure": "order_total", "window": "7 days"}},
+    ]
+    sql = compile_metrics_sql(
+        ["rev_7d"], metrics, [ORDERS_SM, PAYMENTS_SM], TABLES,
+        group_by=["metric_time__day"])
+    rows = {str(r["metric_time__day"]): r["rev_7d"]
+            for r in views.sql(sql).collect()}
+    assert rows["2024-02-10"] == 75.0  # NOT 275: Feb-03 is outside (t-7, t]
+    assert rows["2024-02-03"] == 200.0
+
+
+def test_quarter_window_units_compile_and_run(views):
+    """'quarter' is not a Spark interval unit — windows/offsets spelled in
+    quarters must rewrite to months, not raise ParseException."""
+    metrics = METRICS + [
+        {"name": "rev_q_prev", "type": "derived",
+         "type_params": {"expr": "cur - prev",
+                         "metrics": [
+                             {"name": "revenue", "alias": "cur"},
+                             {"name": "revenue", "alias": "prev",
+                              "offset_window": "1 quarter"}]}},
+        {"name": "rev_cum_q", "type": "cumulative",
+         "type_params": {"measure": "order_total", "window": "1 quarter"}},
+    ]
+    sql = compile_metrics_sql(
+        ["rev_q_prev"], metrics, [ORDERS_SM, PAYMENTS_SM], TABLES,
+        group_by=["metric_time__month"])
+    months = {str(r["metric_time__month"]) for r in views.sql(sql).collect()}
+    assert "2024-04-01" in months  # the +3-month offset leg's periods
+    sql = compile_metrics_sql(
+        ["rev_cum_q"], metrics, [ORDERS_SM, PAYMENTS_SM], TABLES,
+        group_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]): r["rev_cum_q"]
+            for r in views.sql(sql).collect()}
+    # 1 quarter = 3 month-buckets: Mar covers (Dec, Mar] = Jan+Feb+Mar
+    assert rows["2024-03-01"] == 450.0
+
+
+def test_cumulative_as_derived_input_rejected(views):
+    metrics = METRICS + [
+        {"name": "bad", "type": "derived",
+         "type_params": {"expr": "c / 2",
+                         "metrics": [{"name": "cumulative_revenue",
+                                      "alias": "c"}]}},
+    ]
+    with pytest.raises(MetricQueryError, match="derived/ratio input"):
+        compile_metrics_sql(["bad"], metrics, [ORDERS_SM, PAYMENTS_SM],
+                            TABLES, group_by=["metric_time__month"])
+
+
+def test_nested_fill_nulls_with_applies_value_level(views):
+    """A derived input whose measure declares fill_nulls_with gets
+    COALESCE'd inside the consuming expression: months with no payments
+    contribute 0, not NULL."""
+    metrics = METRICS + [
+        {"name": "pay0", "type": "simple",
+         "type_params": {"measure": {"name": "payment_total",
+                                     "fill_nulls_with": 0}}},
+        {"name": "rev_plus_pay", "type": "derived",
+         "type_params": {"expr": "r + p",
+                         "metrics": [{"name": "revenue", "alias": "r"},
+                                     {"name": "pay0", "alias": "p"}]}},
+    ]
+    sql = compile_metrics_sql(
+        ["rev_plus_pay"], metrics, [ORDERS_SM, PAYMENTS_SM], TABLES,
+        group_by=["metric_time__month"])
+    rows = {str(r["metric_time__month"]): r["rev_plus_pay"]
+            for r in views.sql(sql).collect()}
+    assert rows["2024-03-01"] == 25.0  # payments absent -> 0, not NULL
+    assert rows["2024-01-01"] == 150.0 + 90.0
+
+
+def test_saved_query_grain_object_syntax(views):
+    """Dimension('x').grain('g') resolves to x__g (not silently truncated
+    to the bare dimension), in group_by AND in filter templates."""
+    sq = {"name": "sq", "query_params": {
+        "metrics": ["revenue"],
+        "group_by": ["Dimension('metric_time').grain('month')"],
+        "where": ["{{ Dimension('order_date').grain('month') }} = DATE'2024-01-01'"],
+    }}
+    sql = compile_saved_query(sq, METRICS, [ORDERS_SM, PAYMENTS_SM], TABLES)
+    rows = views.sql(sql).collect()
+    assert [str(r["metric_time__month"]) for r in rows] == ["2024-01-01"]
+    assert rows[0]["revenue"] == 150.0
+
+
+def test_saved_query_order_by_object_syntax_desc(views):
+    sq = {"name": "sq", "query_params": {
+        "metrics": ["revenue"],
+        "group_by": ["TimeDimension('metric_time', 'month')"],
+        "order_by": ["-TimeDimension('metric_time', 'month')"],
+    }}
+    sql = compile_saved_query(sq, METRICS, [ORDERS_SM, PAYMENTS_SM], TABLES)
+    months = [str(r["metric_time__month"]) for r in views.sql(sql).collect()]
+    assert months == sorted(months, reverse=True)
+
+
+def test_bare_metric_time_order_by_follows_grain_rewrite(views):
+    metrics = METRICS + [
+        {"name": "rev_monthly", "type": "simple",
+         "type_params": {"measure": "order_total"},
+         "time_granularity": "month"},
+    ]
+    sql = compile_metrics_sql(
+        ["rev_monthly"], metrics, [ORDERS_SM, PAYMENTS_SM], TABLES,
+        group_by=["metric_time"], order_by=["metric_time"])
+    months = [str(r["metric_time__month"]) for r in views.sql(sql).collect()]
+    assert months == sorted(months)
+
+
+def test_cumulative_orders_by_time_not_dunder_dimension(views):
+    """A dunder NON-time dimension in the group-by must not be mistaken for
+    the running window's time axis."""
+    sql, df = _run(views, ["cumulative_revenue"],
+                   group_by=["order_id__status", "metric_time__day"])
+    rows = {(r["order_id__status"], str(r["metric_time__day"])):
+            r["cumulative_revenue"] for r in df.collect()}
+    assert rows[("F", "2024-02-10")] == 375.0  # 100+200+75 running within F
+    assert rows[("O", "2024-03-01")] == 75.0
+    # and no time item at all is an error, not a silent categorical order
+    with pytest.raises(MetricQueryError, match="time group-by"):
+        _run(views, ["cumulative_revenue"], group_by=["status"])
+
+
+def test_offset_without_group_by_rejected(views):
+    metrics = METRICS + [
+        {"name": "mom", "type": "derived",
+         "type_params": {"expr": "cur - prev",
+                         "metrics": [
+                             {"name": "revenue", "alias": "cur"},
+                             {"name": "revenue", "alias": "prev",
+                              "offset_window": "1 month"}]}},
+    ]
+    with pytest.raises(MetricQueryError, match="time group-by"):
+        compile_metrics_sql(["mom"], metrics, [ORDERS_SM, PAYMENTS_SM],
+                            TABLES, group_by=[])
