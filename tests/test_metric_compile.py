@@ -1420,8 +1420,12 @@ def test_semantic_layer_differential_random(spark, seed):
                                          {"name": "q_m", "alias": "q"}]}},
         ]
     elif kind == "cumulative":
+        cum_window = rng.choice([None, "2 months"])
+        tp_c = {"measure": measure}
+        if cum_window:
+            tp_c["window"] = cum_window
         metrics = [{"name": "m", "type": "cumulative",
-                    "type_params": {"measure": measure}}]
+                    "type_params": tp_c}]
     elif kind == "cum_custom":
         period_agg = rng.choice(["first", "last", "average"])
         metrics = [{"name": "m", "type": "cumulative",
@@ -1429,6 +1433,7 @@ def test_semantic_layer_differential_random(spark, seed):
                                     "cumulative_type_params":
                                         {"period_agg": period_agg}}}]
     elif kind == "offset":
+        off_window = rng.choice(["1 month", "14 days"])
         metrics = [
             {"name": "cur_m", "type": "simple",
              "type_params": {"measure": measure}},
@@ -1437,7 +1442,7 @@ def test_semantic_layer_differential_random(spark, seed):
                              "metrics": [
                                  {"name": "cur_m", "alias": "cur"},
                                  {"name": "cur_m", "alias": "prev",
-                                  "offset_window": "1 month"}]}},
+                                  "offset_window": off_window}]}},
         ]
     elif kind == "offset_grain":
         metrics = [
@@ -1573,22 +1578,38 @@ def test_semantic_layer_differential_random(spark, seed):
         base = _fuzz_grouped(fact, keys, _fuzz_measure(fact, measure))
         ti = group_by.index("metric_time__month")
         want = {}
-        by_part = {}
-        for kt in sorted(base, key=lambda t: str(t[ti])):
-            part = tuple(v for i, v in enumerate(kt) if i != ti)
-            by_part[part] = by_part.get(part, 0) + base[kt]
-            want[kt] = by_part[part]
+        if cum_window:
+            # trailing '2 months' = strict (t - 2mo, t]: the current and
+            # the immediately-previous month bucket only
+            for kt, v in base.items():
+                m = kt[ti]
+                pm = (m.replace(year=m.year - 1, month=12) if m.month == 1
+                      else m.replace(month=m.month - 1))
+                pkt = kt[:ti] + (pm,) + kt[ti + 1:]
+                vals = [x for x in (v, base.get(pkt)) if x is not None]
+                want[kt] = sum(vals) if vals else None
+        else:
+            by_part = {}
+            for kt in sorted(base, key=lambda t: str(t[ti])):
+                part = tuple(v for i, v in enumerate(kt) if i != ti)
+                by_part[part] = by_part.get(part, 0) + base[kt]
+                want[kt] = by_part[part]
     elif kind == "offset":
         cur = _fuzz_grouped(fact, keys, _fuzz_measure(fact, measure))
-        ti = group_by.index("metric_time__month")
-
-        def shift(kt):
-            m = kt[ti]
-            nxt = (m.replace(year=m.year + 1, month=1) if m.month == 12
-                   else m.replace(month=m.month + 1))
-            return kt[:ti] + (nxt,) + kt[ti + 1:]
-
-        prev = {shift(kt): v for kt, v in cur.items()}
+        # ROW-level shift then month-bucket (the engine shifts raw time
+        # BEFORE truncation — a '14 days' offset spills late-month rows
+        # into the next month's offset bucket)
+        if off_window == "1 month":
+            shifted = fact.assign(d=fact["d"].map(
+                lambda d: (_pd.Timestamp(d) + _pd.DateOffset(months=1))
+                .date()))
+        else:
+            shifted = fact.assign(d=fact["d"].map(
+                lambda d: d + _dt.timedelta(days=14)))
+        keys_p = _fuzz_keys(group_by, shifted, cust_map, seg_map, reg_map,
+                            fq_map)
+        prev = _fuzz_grouped(shifted, keys_p,
+                             _fuzz_measure(shifted, measure))
         want = {}
         for kt in set(cur) | set(prev):
             c, p = cur.get(kt), prev.get(kt)
