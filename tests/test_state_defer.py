@@ -336,3 +336,37 @@ def test_state_modified_compare_vars(tmp_path, spark):
                   vars={"cutoff": 99})
     r3 = dev3.invoke(["ls", "--select", "state:modified", "--state", state])
     assert [x.unique_id for x in r3.results] == []
+
+
+def test_state_modified_catches_freshness_and_time_spine_changes(tmp_path, spark):
+    """Model-level freshness: and time_spine: configs ride config.meta, so
+    editing them marks the model state:modified (the reference compares
+    unrendered configs the same way)."""
+    files = dict(PROD)
+    files["models/schema.yml"] = """
+version: 2
+models:
+  - name: base_orders
+    freshness:
+      build_after: {count: 2, period: hour}
+"""
+    prod_dir = _mk(tmp_path, "prod", files)
+    prod = Engine(prod_dir, spark=spark)
+    assert prod.invoke(["run"]).success
+    state = os.path.join(prod_dir, "target")
+
+    # unchanged: nothing modified
+    r = prod.invoke(["ls", "--select", "state:modified", "--state", state])
+    assert r.success
+    assert [x.unique_id for x in r.results] == []
+
+    # change the freshness window only -> modified
+    dev = dict(files)
+    dev["models/schema.yml"] = files["models/schema.yml"].replace(
+        "count: 2", "count: 8")
+    dev_dir = _mk(tmp_path, "dev", dev)
+    eng = Engine(dev_dir, spark=spark)
+    r = eng.invoke(["ls", "--select", "state:modified.configs",
+                    "--state", state])
+    assert r.success
+    assert [x.unique_id for x in r.results] == ["model.dfr.base_orders"]
