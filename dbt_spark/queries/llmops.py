@@ -1341,6 +1341,51 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ))
 
 
+def jsonl_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine ingestion — the first stage of every
+    real crawl pipeline: read JSONL with an explicit schema in PERMISSIVE
+    mode, route unparseable lines to a quarantine column instead of
+    failing the job, and report the split. The landing file is built
+    deterministically from documents (docs with doc_id % 17 == 3 get their
+    JSON line truncated mid-object), so the oracle recomputes every count
+    closed-form.
+
+    Scale: PERMISSIVE + columnNameOfCorruptRecord is a per-task decision —
+    no driver involvement, no retries; quarantined raw lines stay in the
+    same scan (one pass) and the summary is a single map-side-combinable
+    aggregate. Spark caveat handled here: a query referencing ONLY the
+    corrupt-record column is disallowed (the parser would need a second
+    pass), so the aggregate touches data columns alongside it."""
+    import os as _os
+    import tempfile as _tf
+
+    docs = _docs_raw(spark, sf_dir).select("doc_id", "source", "n_chars")
+    landing = _os.path.join(_tf.mkdtemp(prefix="dbt_spark_jsonl_"), "in")
+    lines = docs.selectExpr(
+        "doc_id",
+        "to_json(struct(doc_id, source, n_chars)) AS line"
+    ).selectExpr(
+        "CASE WHEN doc_id % 17 = 3 "
+        "THEN concat(substring(line, 1, CAST(length(line) / 2 AS INT)), '{') "
+        "ELSE line END AS value")
+    lines.coalesce(1).write.mode("overwrite").text(landing)
+    parsed = (spark.read
+              .schema("doc_id long, source string, n_chars long, "
+                      "_corrupt string")
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt")
+              .json(landing))
+    return parsed.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).cast("bigint")
+        .alias("n_valid"),
+        F.count(F.col("_corrupt")).cast("bigint").alias("n_quarantined"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("doc_id")))
+        .cast("bigint").alias("valid_docid_sum"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("n_chars")))
+        .cast("bigint").alias("valid_chars"),
+    )
+
+
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — IVF coarse quantizer × PQ codes (Jégou et al. 2011 §IV,
     functions/similarity.py:ivfpq_topk, the FAISS billion-scale default):
@@ -1464,6 +1509,17 @@ def multimodal_wav_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "jsonl_ingest_quarantine": """
+        SELECT CAST(SUM(CASE WHEN doc_id % 17 <> 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_valid,
+               CAST(SUM(CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quarantined,
+               CAST(SUM(CASE WHEN doc_id % 17 <> 3 THEN doc_id END)
+                    AS BIGINT) AS valid_docid_sum,
+               CAST(SUM(CASE WHEN doc_id % 17 <> 3 THEN n_chars END)
+                    AS BIGINT) AS valid_chars
+        FROM documents
+    """,
     "multimodal_image_headers": """
         SELECT doc_id,
                CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
@@ -2278,6 +2334,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "dedup_exact_substring": dedup_exact_substring,
     "token_budget_select": token_budget_select,
+    "jsonl_ingest_quarantine": jsonl_ingest_quarantine,
     "multimodal_image_headers": multimodal_image_headers,
     "multimodal_wav_headers": multimodal_wav_headers,
     "bpe_merge_learning": bpe_merge_learning,

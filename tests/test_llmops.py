@@ -874,3 +874,16 @@ def test_ivfpq_recall_on_planted_clusters(spark):
         got.setdefault(r["qid"], set()).add(r["nid"])
     hits = sum(len(got.get(qid, set()) & t) for qid, t in truth.items())
     assert hits / sum(len(t) for t in truth.values()) >= 0.8
+
+
+def test_jsonl_quarantine_split(spark):
+    """PERMISSIVE ingestion: truncated JSON lines land in the quarantine
+    column; valid lines parse fully; counts match the closed-form rule."""
+    from dbt_spark.queries.llmops import jsonl_ingest_quarantine
+
+    [r] = jsonl_ingest_quarantine(spark, SF).collect()
+    docs = _docs(spark)
+    n = docs.count()
+    bad = docs.filter("doc_id % 17 = 3").count()
+    assert r["n_valid"] == n - bad and r["n_quarantined"] == bad
+    assert bad > 0  # the planted corruption rule actually fires
