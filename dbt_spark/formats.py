@@ -86,13 +86,21 @@ class SwapFileFormat:
         """Atomic replace: stage beside the target, then ``swap`` (supplied
         by RelationStore so its lock + orphan sweep apply) renames it in."""
         staging = f"{path}.__staging__{int(time.time() * 1000)}"
+        if swap is None:
+            # standalone use (no RelationStore lock/sweep): recover from a
+            # previous crashed retire-then-replace BEFORE staging new data —
+            # a crash between the two os.replace calls below leaves the
+            # target missing with its data stranded in
+            # <path>.__retired__<ts>; restore the newest such copy, then
+            # clear every leftover __retired__/__staging__ sibling
+            self._recover_standalone(path)
         self._configure_writer(df.write.mode("overwrite"), partition_by).save(staging)
         if swap is not None:
             swap(path, staging)
         else:
-            # standalone use (no RelationStore swap): os.replace refuses a
-            # non-empty target directory, so retire the old copy first —
-            # same move-aside RelationStore._swap performs under its lock
+            # os.replace refuses a non-empty target directory, so retire the
+            # old copy first — same move-aside RelationStore._swap performs
+            # under its lock
             import shutil
 
             if os.path.exists(path):
@@ -102,18 +110,36 @@ class SwapFileFormat:
                 shutil.rmtree(retired, ignore_errors=True)
             else:
                 os.replace(staging, path)
-            # sweep leftovers of earlier crashed/failed retire-then-replace
-            # cycles (a crash between the two os.replace calls, or an
-            # ignored rmtree error, strands <base>.__retired__<ts> dirs that
-            # no other sweeper covers)
-            parent, base = os.path.dirname(path), os.path.basename(path)
+
+    @staticmethod
+    def _recover_standalone(path: str) -> None:
+        """Crash recovery for standalone ``write_overwrite`` (no
+        RelationStore): if the target is missing but a ``__retired__`` copy
+        exists (crash landed between retire and swap-in), restore the
+        newest copy so readers between the crash and the next write see the
+        pre-crash table; then sweep all remaining ``__retired__`` and
+        ``__staging__`` leftovers. Standalone use is single-writer by
+        contract (RelationStore is the concurrent path), so sweeping
+        sibling staging dirs here cannot race a live writer."""
+        import shutil
+
+        parent = os.path.dirname(path) or "."
+        base = os.path.basename(path)
+        try:
+            entries = os.listdir(parent)
+        except OSError:
+            return
+        retired = sorted(e for e in entries
+                         if e.startswith(f"{base}.__retired__"))
+        if retired and not os.path.exists(path):
             try:
-                for entry in os.listdir(parent or "."):
-                    if entry.startswith(f"{base}.__retired__"):
-                        shutil.rmtree(os.path.join(parent, entry),
-                                      ignore_errors=True)
+                os.replace(os.path.join(parent, retired[-1]), path)
+                retired = retired[:-1]
             except OSError:
                 pass
+        staged = [e for e in entries if e.startswith(f"{base}.__staging__")]
+        for entry in retired + staged:
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
     def write_append(
         self,

@@ -98,6 +98,68 @@ def test_standalone_overwrite_replaces_existing_dir(spark, tmp_path):
     assert not leftovers
 
 
+def test_standalone_overwrite_crash_between_replaces_recovers(
+        spark, tmp_path, monkeypatch):
+    """Crash injection for the ADVICE r7 __retired__ leak: kill the process
+    (simulated) between the retire os.replace and the swap-in os.replace.
+    The stranded state must (a) restore the pre-crash table on the next
+    standalone write's recovery pass and (b) leave zero __retired__ /
+    __staging__ dirs behind afterwards."""
+    import dbt_spark.formats as formats_mod
+
+    fmt = table_format("parquet")
+    path = str(tmp_path / "crashy_tbl")
+    fmt.write_overwrite(spark.range(3).selectExpr("id"), path)
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def crashing_replace(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real_replace(src, dst)  # the retire move-aside succeeds...
+            raise RuntimeError("injected crash before swap-in")
+        real_replace(src, dst)
+
+    monkeypatch.setattr(formats_mod.os, "replace", crashing_replace)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fmt.write_overwrite(spark.range(2).selectExpr("id + 10 AS id"), path)
+    monkeypatch.setattr(formats_mod.os, "replace", real_replace)
+
+    # stranded state: target gone, data in a __retired__ dir + staging dir
+    parent = os.path.dirname(path)
+    assert not os.path.exists(path)
+    assert [e for e in os.listdir(parent) if "__retired__" in e]
+
+    # recovery path A: the next write restores-then-replaces and sweeps
+    fmt.write_overwrite(spark.range(2).selectExpr("id + 50 AS id"), path)
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == [50, 51]
+    leftovers = [e for e in os.listdir(parent)
+                 if "__staging__" in e or "__retired__" in e]
+    assert not leftovers
+
+
+def test_standalone_recover_restores_newest_retired_copy(spark, tmp_path):
+    """Recovery alone (no new data yet) must bring back the NEWEST retired
+    copy so a reader between crash and next write sees the pre-crash
+    table, and must sweep older retired copies and stale staging dirs."""
+    fmt = table_format("parquet")
+    path = str(tmp_path / "t")
+    spark.range(4).selectExpr("id").write.parquet(path + ".__retired__100")
+    spark.range(2).selectExpr("id + 90 AS id").write.parquet(
+        path + ".__retired__200")
+    spark.range(1).write.parquet(path + ".__staging__150")
+
+    fmt._recover_standalone(path)
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == [90, 91]  # the newest (ts=200) copy won
+    parent = os.path.dirname(path)
+    leftovers = [e for e in os.listdir(parent)
+                 if "__staging__" in e or "__retired__" in e]
+    assert not leftovers
+
+
 # --------------------------------------------------------------------------
 # txparquet: the in-container ACID format — commit-log protocol +
 # the whole materialization suite run over a transactional target

@@ -776,6 +776,65 @@ def test_timespine_spans_union_of_multiple_owners(views):
     assert rows["2024-01-01"] == (50.0, 90.0)
 
 
+def test_timespine_time_item_only_on_second_spined_owner(views):
+    """ADVICE r7 (metric_compile time-item detection): the group-by item is
+    recognized as a TIME item only by the SECOND spined owner — the first
+    owner declares a same-named dimension as categorical (still
+    bounds-resolvable, so the per-owner range scan works). owners[0]-only
+    detection rejected this with 'requires a time-dimension'; detection
+    must consult every spined owner."""
+    orders_sm = {
+        **ORDERS_SM,
+        "dimensions": ORDERS_SM["dimensions"] + [
+            {"name": "shared_date", "type": "categorical", "expr": "o_date"},
+        ],
+    }
+    payments_sm = {
+        **PAYMENTS_SM,
+        "dimensions": PAYMENTS_SM["dimensions"] + [
+            {"name": "shared_date", "type": "time", "expr": "p_date",
+             "type_params": {"time_granularity": "day"}},
+        ],
+    }
+    multi = SPINE_METRICS + [
+        {"name": "payments_spine", "type": "simple",
+         "type_params": {"measure": {"name": "payment_total",
+                                     "join_to_timespine": True,
+                                     "fill_nulls_with": 0}}},
+    ]
+    sql = compile_metrics_sql(
+        ["open_revenue_spine", "payments_spine"], multi,
+        [orders_sm, payments_sm], TABLES, group_by=["shared_date"])
+    rows = {str(r["shared_date"]):
+            (r["open_revenue_spine"], r["payments_spine"])
+            for r in views.sql(sql).collect()}
+    # day-grain panel over the UNION of both owners' shared_date ranges:
+    # orders span 2024-01-05..2024-03-01, payments 2024-01-06..2024-04-01
+    assert len(rows) == 88  # 2024-01-05 .. 2024-04-01 inclusive
+    assert rows["2024-01-20"] == (50.0, 0.0)   # open order, no payment
+    assert rows["2024-02-04"] == (0.0, 210.0)  # payment-only day
+    assert rows["2024-04-01"] == (0.0, 5.0)    # beyond orders' range
+    assert rows["2024-01-07"] == (0.0, 0.0)    # zero-filled panel cell
+
+
+def test_timespine_unresolvable_on_one_owner_names_the_model(views):
+    """When the time item resolves on one spined owner but not the other,
+    the error must NAME the failing model (whether raised by aggregate
+    resolution or the per-owner bounds loop) — not the misleading
+    'requires a time-dimension' the owners[0]-only detection produced."""
+    multi = SPINE_METRICS + [
+        {"name": "payments_spine", "type": "simple",
+         "type_params": {"measure": {"name": "payment_total",
+                                     "join_to_timespine": True,
+                                     "fill_nulls_with": 0}}},
+    ]
+    with pytest.raises(MetricQueryError, match="orders_sm"):
+        compile_metrics_sql(
+            ["open_revenue_spine", "payments_spine"], multi,
+            [ORDERS_SM, PAYMENTS_SM], TABLES,
+            group_by=["paid_date__month"])
+
+
 # --------------------------------------------------------------------------
 # multi-hop entity links: a__b__dim chains (MetricFlow's multi-hop joins;
 # each hop primary/unique-guarded, cycle-cut, ambiguity-diagnosed)
