@@ -1,12 +1,20 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are STUBS with
-a deterministic fake implementation (clearly marked) — but the Spark-side
-plumbing is real and tested: binary columns, metadata structs, Arrow-batched
-``mapInPandas`` with an explicit output schema, and partition-count control so
-each task holds only a bounded number of blobs in memory (at 100 TB you size
+Three tiers, all over the same Arrow-batched ``mapInPandas`` plumbing
+(binary columns, metadata structs, explicit output schemas, bounded
+per-task batches; blobs never pass through the driver — at 100 TB you size
 ``spark.sql.files.maxPartitionBytes`` so a task's batch of blobs fits the
-executor; blobs never pass through the driver).
+executor):
+
+1. REAL header parsers (PNG/JPEG/GIF/BMP/RIFF-WAVE) — pure bytes, work on
+   genuine files (``parse_image_header`` / ``parse_wav_header``).
+2. REAL pixel/audio codecs for the stdlib-decodable formats — PNG 8-bit
+   RGB (CRC-verified chunk walk, zlib inflate, all five scanline
+   unfilters), 24-bit BMP (both row orders, padding), WAV PCM16
+   (``_make_pixel_codecs``). JPEG/GIF pixel decode raises
+   NotImplementedError (DCT/LZW genuinely need a codec library).
+3. Deterministic FAKE kernels kept for plumbing-shape tests
+   (``fake_decode_meta`` and friends), clearly marked.
 """
 
 from __future__ import annotations
@@ -31,12 +39,14 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def real_decode_image(blob: bytes) -> tuple[int, int]:
-    """Real decoder entry point — requires an image codec library.
-
-    STUB: the execution container ships no codec libs; wire Pillow/opencv here
-    in a real deployment."""
-    raise NotImplementedError("image codec not available in this container")
+def real_decode_image(blob: bytes):
+    """Real pixel decode for the stdlib-decodable containers: PNG (zlib
+    inflate + per-row unfilter) and 24-bit BMP — see ``decode_image_rgb``.
+    JPEG/GIF raise NotImplementedError inside the dispatcher (entropy/LZW
+    decode genuinely needs a codec library; their HEADERS parse via
+    ``parse_image_header``). Returns (format, width, height, rows) with
+    ``rows`` a top-down list of RGB byte strings."""
+    return decode_image_rgb(blob)
 
 
 def fake_decode_meta(blob: bytes) -> tuple[int, int, int]:
@@ -477,3 +487,448 @@ def wav_header_meta(df: DataFrame) -> DataFrame:
             yield _pd.DataFrame(out)
 
     return df.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL pixel/audio codecs — stdlib only (zlib + struct), no codec library.
+# PNG: full scanline pipeline — chunk walk with CRC verification, IDAT
+# concatenation, zlib inflate, and per-row unfilter implementing all five
+# filter types of the PNG spec §9 (None/Sub/Up/Average/Paeth) for 8-bit
+# RGB (color type 2). BMP: 24-bit BITMAPINFOHEADER rows, 4-byte row
+# padding, bottom-up AND top-down (negative height) orders, BGR→RGB.
+# WAV: PCM16 sample decode via the RIFF chunk walker. JPEG/GIF pixel
+# decode stays a DOCUMENTED stub (DCT entropy / LZW decode genuinely
+# require a codec library; their headers parse via parse_image_header).
+#
+# Defined in a factory so cloudpickle serializes the functions by value
+# into executor closures. The per-pixel Python loops are fine for the
+# small-blob kernels here; a production deployment swaps libpng/Pillow
+# into the SAME mapInPandas batch shape (that swap point, not the loop,
+# is what the plumbing pins down).
+# --------------------------------------------------------------------------
+
+def _make_pixel_codecs():
+    import struct
+    import zlib
+
+    def _paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    def encode_png_rgb(width, height, pix):
+        """Real PNG encoder: ``pix(r, c) -> (R, G, B)``; scanlines are
+        filtered with the full rotation of filter types (row r uses type
+        r % 5) so a decoder must implement every unfilter path, then
+        zlib-compressed into one IDAT; all chunk CRCs are genuine."""
+        prev = bytes(width * 3)
+        out = bytearray()
+        for r in range(height):
+            row = bytearray()
+            for c in range(width):
+                row += bytes(pix(r, c))
+            f = r % 5
+            filt = bytearray([f])
+            for i in range(len(row)):
+                x = row[i]
+                a = row[i - 3] if i >= 3 else 0
+                b = prev[i]
+                cc = prev[i - 3] if i >= 3 else 0
+                if f == 0:
+                    v = x
+                elif f == 1:
+                    v = (x - a) & 0xFF
+                elif f == 2:
+                    v = (x - b) & 0xFF
+                elif f == 3:
+                    v = (x - (a + b) // 2) & 0xFF
+                else:
+                    v = (x - _paeth(a, b, cc)) & 0xFF
+                filt.append(v)
+            out += filt
+            prev = bytes(row)
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(out)))
+                + chunk(b"IEND", b""))
+
+    def decode_png_rgb(blob):
+        """Real PNG decoder for 8-bit RGB: CRC-verified chunk walk, IDAT
+        inflate, all five unfilter types. Returns (width, height, rows)
+        with rows top-down RGB byte strings."""
+        b = bytes(blob)
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG stream")
+        i = 8
+        width = height = None
+        idat = bytearray()
+        while i + 12 <= len(b):
+            ln = int.from_bytes(b[i:i + 4], "big")
+            tag = b[i + 4:i + 8]
+            data = b[i + 8:i + 8 + ln]
+            crc = int.from_bytes(b[i + 8 + ln:i + 12 + ln], "big")
+            if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+            if tag == b"IHDR":
+                width, height, depth, ctype = struct.unpack(">IIBB", data[:10])
+                if depth != 8 or ctype != 2:
+                    raise NotImplementedError(
+                        f"PNG decode implemented for 8-bit RGB (color type "
+                        f"2); got depth={depth} color_type={ctype}")
+                if data[12] != 0:
+                    raise NotImplementedError("interlaced PNG (Adam7)")
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            i += 12 + ln
+        if width is None:
+            raise ValueError("PNG missing IHDR")
+        raw = zlib.decompress(bytes(idat))
+        stride = width * 3
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG scanline payload length mismatch")
+        rows = []
+        prev = bytearray(stride)
+        pos = 0
+        for _r in range(height):
+            f = raw[pos]
+            cur = bytearray(raw[pos + 1:pos + 1 + stride])
+            pos += 1 + stride
+            if f == 1:
+                for i2 in range(3, stride):
+                    cur[i2] = (cur[i2] + cur[i2 - 3]) & 0xFF
+            elif f == 2:
+                for i2 in range(stride):
+                    cur[i2] = (cur[i2] + prev[i2]) & 0xFF
+            elif f == 3:
+                for i2 in range(stride):
+                    a = cur[i2 - 3] if i2 >= 3 else 0
+                    cur[i2] = (cur[i2] + (a + prev[i2]) // 2) & 0xFF
+            elif f == 4:
+                for i2 in range(stride):
+                    a = cur[i2 - 3] if i2 >= 3 else 0
+                    cc = prev[i2 - 3] if i2 >= 3 else 0
+                    cur[i2] = (cur[i2] + _paeth(a, prev[i2], cc)) & 0xFF
+            elif f != 0:
+                raise ValueError(f"PNG filter type {f} out of range")
+            rows.append(bytes(cur))
+            prev = cur
+        return width, height, rows
+
+    def encode_bmp_rgb(width, height, pix, top_down=False):
+        """Real 24-bit BMP encoder: BITMAPFILEHEADER + BITMAPINFOHEADER,
+        BGR byte order, rows padded to 4-byte boundaries, bottom-up by
+        default or top-down via negative biHeight."""
+        pad = (-(width * 3)) % 4
+        body = bytearray()
+        order = range(height) if top_down else range(height - 1, -1, -1)
+        for r in order:
+            for c in range(width):
+                rr, gg, bb = pix(r, c)
+                body += bytes((bb, gg, rr))
+            body += b"\x00" * pad
+        info = struct.pack("<IiiHHIIiiII", 40, width,
+                           -height if top_down else height,
+                           1, 24, 0, len(body), 2835, 2835, 0, 0)
+        return (b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+                + info + bytes(body))
+
+    def decode_bmp_rgb(blob):
+        """Real 24-bit BMP decoder: honors the pixel-array offset, row
+        padding, and both row orders. Returns (width, height, rows) with
+        rows top-down RGB byte strings."""
+        b = bytes(blob)
+        if b[:2] != b"BM" or len(b) < 54:
+            raise ValueError("not a BMP stream")
+        off = int.from_bytes(b[10:14], "little")
+        width = int.from_bytes(b[18:22], "little", signed=True)
+        raw_h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"BMP decode implemented for uncompressed 24bpp; got "
+                f"bpp={bpp} compression={comp}")
+        height = abs(raw_h)
+        top_down = raw_h < 0
+        stride = width * 3 + ((-(width * 3)) % 4)
+        rows = []
+        for r in range(height):
+            src = r if top_down else height - 1 - r
+            line = b[off + src * stride: off + src * stride + width * 3]
+            if len(line) < width * 3:
+                raise ValueError("BMP pixel array truncated")
+            px = bytearray(width * 3)
+            px[0::3] = line[2::3]  # R <- byte 2 of each BGR triple
+            px[1::3] = line[1::3]
+            px[2::3] = line[0::3]
+            rows.append(bytes(px))
+        return width, height, rows
+
+    def decode_image_rgb(blob):
+        """Dispatching pixel decode: (format, width, height, rows) for PNG
+        and 24-bit BMP — REAL decodes; JPEG/GIF raise NotImplementedError
+        (DCT entropy / LZW decode need a codec library — their headers
+        still parse via parse_image_header)."""
+        b = bytes(blob)
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return ("png",) + decode_png_rgb(b)
+        if b[:2] == b"BM":
+            return ("bmp",) + decode_bmp_rgb(b)
+        if b[:2] == b"\xff\xd8":
+            raise NotImplementedError(
+                "JPEG pixel decode requires a codec library (Huffman+DCT); "
+                "header metadata parses via parse_image_header")
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            raise NotImplementedError(
+                "GIF pixel decode requires LZW; header metadata parses via "
+                "parse_image_header")
+        raise ValueError("unknown image container")
+
+    def resize_nearest_rgb(width, height, rows, out_w, out_h):
+        """Nearest-neighbor resample of a decoded RGB image: output pixel
+        (R, C) reads source pixel (R*height//out_h, C*width//out_w) — the
+        standard integer NN mapping, exactly reproducible in SQL."""
+        out = []
+        for r_out in range(out_h):
+            src = rows[r_out * height // out_h]
+            line = bytearray()
+            for c_out in range(out_w):
+                c_src = c_out * width // out_w
+                line += src[c_src * 3:c_src * 3 + 3]
+            out.append(bytes(line))
+        return out
+
+    def encode_wav_pcm16(channels, sample_rate, samples):
+        """Real PCM16 WAV encoder: interleaved int16 samples into a
+        RIFF/WAVE fmt+data layout."""
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                          sample_rate * channels * 2, channels * 2, 16)
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    def decode_wav_pcm16(blob):
+        """Real PCM16 WAV decoder via the RIFF chunk walk: returns
+        (channels, sample_rate, samples) with samples the interleaved
+        int16 stream."""
+        b = bytes(blob)
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE stream")
+        i = 12
+        ch = sr = bits = fmt_tag = None
+        data = b""
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            sz = int.from_bytes(b[i + 4:i + 8], "little")
+            if cid == b"fmt " and i + 24 <= len(b):
+                fmt_tag = int.from_bytes(b[i + 8:i + 10], "little")
+                ch = int.from_bytes(b[i + 10:i + 12], "little")
+                sr = int.from_bytes(b[i + 12:i + 16], "little")
+                bits = int.from_bytes(b[i + 22:i + 24], "little")
+            elif cid == b"data":
+                data = b[i + 8:i + 8 + sz]
+            i += 8 + sz + (sz & 1)
+        if sr is None:
+            raise ValueError("WAV missing fmt chunk")
+        if fmt_tag != 1 or bits != 16:
+            raise NotImplementedError(
+                f"WAV decode implemented for PCM16 (format tag 1); got "
+                f"tag={fmt_tag} bits={bits}")
+        n = len(data) // 2
+        samples = list(struct.unpack(f"<{n}h", data[:n * 2]))
+        return ch, sr, samples
+
+    return (encode_png_rgb, decode_png_rgb, encode_bmp_rgb, decode_bmp_rgb,
+            decode_image_rgb, resize_nearest_rgb, encode_wav_pcm16,
+            decode_wav_pcm16)
+
+
+(encode_png_rgb, decode_png_rgb, encode_bmp_rgb, decode_bmp_rgb,
+ decode_image_rgb, resize_nearest_rgb, encode_wav_pcm16,
+ decode_wav_pcm16) = _make_pixel_codecs()
+
+
+PIXEL_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_format", T.StringType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("red_sum", T.LongType()),
+    T.StructField("green_sum", T.LongType()),
+    T.StructField("blue_sum", T.LongType()),
+    T.StructField("red_pos_weighted", T.LongType()),
+])
+
+
+def decode_pixel_stats(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL pixel decode over a binary column: PNG blobs go
+    through CRC-verified inflate + unfilter, BMPs through padded-row
+    BGR→RGB reads; per-image channel sums plus a position-weighted red sum
+    (Σ (r*width + c) · R(r,c)) that pins ORIENTATION — a decoder that
+    flips rows (e.g. mishandles BMP bottom-up) or transposes axes produces
+    the right channel sums but the wrong weighted sum.
+
+    Scale: one task decodes one Arrow batch of blobs at a time; blobs
+    never visit the driver. The per-pixel Python loop is the honest
+    container-bound kernel — production swaps libpng into this exact
+    mapInPandas shape."""
+    codecs = _make_pixel_codecs()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        decode = codecs[4]
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "media_format", "width",
+                                   "height", "red_sum", "green_sum",
+                                   "blue_sum", "red_pos_weighted")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, w, h, rows = decode(blob)
+                rs = gs = bs = wsum = 0
+                for r, line in enumerate(rows):
+                    base = r * w
+                    rvals = line[0::3]
+                    rs += sum(rvals)
+                    gs += sum(line[1::3])
+                    bs += sum(line[2::3])
+                    wsum += sum((base + c) * v for c, v in enumerate(rvals))
+                out["doc_id"].append(int(doc_id))
+                out["media_format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["red_sum"].append(rs)
+                out["green_sum"].append(gs)
+                out["blue_sum"].append(bs)
+                out["red_pos_weighted"].append(wsum)
+            yield _pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
+
+
+RESIZE_REAL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("red_sum", T.LongType()),
+    T.StructField("green_sum", T.LongType()),
+    T.StructField("blue_sum", T.LongType()),
+])
+
+
+def resize_images_real(df: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
+    """REAL thumbnailer: decode (PNG/BMP) → nearest-neighbor resample →
+    re-encode as PNG, binary-in/binary-out so downstream stages chain;
+    channel sums of the RESIZED image ride along so the value oracle can
+    pin the integer NN mapping (src row = r*h//out_h, src col =
+    c*w//out_w) without decoding the output blob."""
+    codecs = _make_pixel_codecs()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        encode_png, decode, resize = codecs[0], codecs[4], codecs[5]
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "payload", "width", "height",
+                                   "red_sum", "green_sum", "blue_sum")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                _fmt, w, h, rows = decode(blob)
+                small = resize(w, h, rows, out_w, out_h)
+                out["doc_id"].append(int(doc_id))
+                out["payload"].append(encode_png(
+                    out_w, out_h,
+                    lambda r, c: tuple(small[r][c * 3:c * 3 + 3])))
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["red_sum"].append(sum(sum(l[0::3]) for l in small))
+                out["green_sum"].append(sum(sum(l[1::3]) for l in small))
+                out["blue_sum"].append(sum(sum(l[2::3]) for l in small))
+            yield _pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=RESIZE_REAL_SCHEMA)
+
+
+PCM_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sample_sum", T.LongType()),
+    T.StructField("sample_min", T.LongType()),
+    T.StructField("sample_max", T.LongType()),
+])
+
+
+def decode_pcm_stats(df: DataFrame) -> DataFrame:
+    """REAL PCM16 decode over WAV blobs: interleaved int16 stream →
+    per-clip sum/min/max — the signal-level triage a 100 TB audio
+    pipeline runs after the header pass."""
+    codecs = _make_pixel_codecs()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        decode = codecs[7]
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "channels", "sample_rate",
+                                   "n_samples", "sample_sum", "sample_min",
+                                   "sample_max")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                ch, sr, samples = decode(blob)
+                out["doc_id"].append(int(doc_id))
+                out["channels"].append(ch)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(len(samples))
+                out["sample_sum"].append(sum(samples))
+                out["sample_min"].append(min(samples))
+                out["sample_max"].append(max(samples))
+            yield _pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=PCM_STATS_SCHEMA)
+
+
+PCM_WINDOW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("win_idx", T.LongType()),
+    T.StructField("win_len", T.LongType()),
+    T.StructField("abs_sum", T.LongType()),
+])
+
+
+def pcm_window_energy(df: DataFrame, window: int = 64) -> DataFrame:
+    """REAL audio windowing: decode PCM16, fan each clip out to one row
+    per fixed-length sample window with Σ|s| per window — the framing +
+    energy step of VAD/fingerprinting, 1→N over genuine WAV bytes."""
+    codecs = _make_pixel_codecs()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        decode = codecs[7]
+        w = window
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "win_idx", "win_len",
+                                   "abs_sum")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                _ch, _sr, samples = decode(blob)
+                for idx in range((len(samples) + w - 1) // w):
+                    chunk = samples[idx * w:(idx + 1) * w]
+                    out["doc_id"].append(int(doc_id))
+                    out["win_idx"].append(idx)
+                    out["win_len"].append(len(chunk))
+                    out["abs_sum"].append(sum(abs(s) for s in chunk))
+            yield _pd.DataFrame(out, dtype="int64")
+
+    return df.mapInPandas(batches, schema=PCM_WINDOW_SCHEMA)

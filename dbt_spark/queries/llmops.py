@@ -1508,7 +1508,216 @@ def multimodal_wav_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_header_meta(blobs)
 
 
+def _pixel_blob_gen(builders):
+    """Genuine PNG (even doc_id) / BMP (odd; every 4th top-down) files with
+    closed-form dims and per-channel pixel values — shared by the pixel
+    decode/resize queries so their oracles agree on one formula:
+    w = 4 + (7d)%13, h = 4 + (11d)%9,
+    R = (d + 7r + 13c)%256, G = (2d + 5r + 11c)%256, B = (3d + 3r + 17c)%256.
+    """
+    def gen(it):
+        import pandas as _pd
+
+        enc_png, enc_bmp = builders
+
+        def build(d):
+            w, h = 4 + (7 * d) % 13, 4 + (11 * d) % 9
+
+            def pix(r, c):
+                return ((d + 7 * r + 13 * c) % 256,
+                        (2 * d + 5 * r + 11 * c) % 256,
+                        (3 * d + 3 * r + 17 * c) % 256)
+
+            if d % 2 == 0:
+                return enc_png(w, h, pix)
+            return enc_bmp(w, h, pix, top_down=(d % 4 == 1))
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame({"doc_id": ids,
+                                 "payload": [build(d) for d in ids]})
+
+    return gen
+
+
+# the closed-form pixel grid as DuckDB SQL, shared by the pixel oracles
+_PX_CTE = """
+    dims AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+               4 + (7 * doc_id) % 13 AS w,
+               4 + (11 * doc_id) % 9 AS h
+        FROM documents
+    ),
+    rws AS (SELECT doc_id, fmt, w, h,
+                   unnest(generate_series(0, h - 1)) AS r FROM dims),
+    px AS (SELECT doc_id, fmt, w, h, r,
+                  unnest(generate_series(0, w - 1)) AS c FROM rws)
+"""
+
+
+def multimodal_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode round-trip: every doc gets a genuine PNG (zlib
+    IDAT, all five scanline filters in rotation, valid CRCs) or 24-bit BMP
+    (bottom-up AND top-down variants, padded rows), which the stdlib-only
+    decoder (functions/multimodal.py `_make_pixel_codecs`) inflates,
+    unfilters, and reads back; per-channel sums + a position-weighted red
+    sum pin VALUES and ORIENTATION against the closed-form oracle. This
+    retires the former decode stub — both sides are real codecs now.
+
+    Scale: two chained mapInPandas stages (encode → decode), one Arrow
+    batch of blobs per task, nothing through the driver; production swaps
+    libpng into the same kernel shape."""
+    from dbt_spark.functions.multimodal import (_make_pixel_codecs,
+                                                decode_pixel_stats)
+
+    codecs = _make_pixel_codecs()
+    gen = _pixel_blob_gen((codecs[0], codecs[2]))
+    docs = _docs_raw(spark, sf_dir).select("doc_id")
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return decode_pixel_stats(blobs)
+
+
+def multimodal_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL thumbnail pipeline: genuine PNG/BMP blobs → real decode →
+    nearest-neighbor resample to 8×6 → re-encode as PNG; the resized
+    image's channel sums are value-pinned against the oracle's integer NN
+    mapping (src = (r*h//6, c*w//8)). The binary output column is dropped
+    here (sums pin it); `tests/test_multimodal_codecs.py` proves the
+    emitted blobs decode as valid PNGs."""
+    from dbt_spark.functions.multimodal import (_make_pixel_codecs,
+                                                resize_images_real)
+
+    codecs = _make_pixel_codecs()
+    gen = _pixel_blob_gen((codecs[0], codecs[2]))
+    docs = _docs_raw(spark, sf_dir).select("doc_id")
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return resize_images_real(blobs, out_w=8, out_h=6).select(
+        "doc_id", "width", "height", "red_sum", "green_sum", "blue_sum")
+
+
+def _wav_pcm_gen(builders):
+    """Genuine PCM16 WAV files: channels = 1 + d%2, rate by d%3, frames =
+    50 + d%101, interleaved sample i = ((31d + 17i)%65536) - 32768."""
+    def gen(it):
+        import pandas as _pd
+
+        (encode_wav,) = builders
+        rates = [8000, 16000, 44100]
+
+        def build(d):
+            ch = 1 + d % 2
+            n = (50 + d % 101) * ch
+            return encode_wav(ch, rates[d % 3],
+                              [((31 * d + 17 * i) % 65536) - 32768
+                               for i in range(n)])
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame({"doc_id": ids,
+                                 "payload": [build(d) for d in ids]})
+
+    return gen
+
+
+def multimodal_wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM16 decode round-trip: genuine RIFF/WAVE files (int16
+    samples closed-form in doc_id) decoded back by the stdlib codec —
+    per-clip sample sum/min/max value-pinned against the oracle. The
+    signal-level triage pass after the header scan."""
+    from dbt_spark.functions.multimodal import (_make_pixel_codecs,
+                                                decode_pcm_stats)
+
+    codecs = _make_pixel_codecs()
+    gen = _wav_pcm_gen((codecs[6],))
+    docs = _docs_raw(spark, sf_dir).select("doc_id")
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return decode_pcm_stats(blobs)
+
+
+def multimodal_pcm_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio framing: decode PCM16 then fan each clip out to 64-sample
+    windows with Σ|s| per window — the VAD/fingerprinting framing step,
+    1→N over genuine WAV bytes, value-pinned per window."""
+    from dbt_spark.functions.multimodal import (_make_pixel_codecs,
+                                                pcm_window_energy)
+
+    codecs = _make_pixel_codecs()
+    gen = _wav_pcm_gen((codecs[6],))
+    docs = _docs_raw(spark, sf_dir).select("doc_id")
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return pcm_window_energy(blobs, window=64)
+
+
 ORACLES: dict[str, str] = {
+    "multimodal_pixel_decode": f"""
+        WITH {_PX_CTE}
+        SELECT doc_id, fmt AS media_format,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(SUM((doc_id + 7*r + 13*c) % 256) AS BIGINT) AS red_sum,
+               CAST(SUM((2*doc_id + 5*r + 11*c) % 256) AS BIGINT) AS green_sum,
+               CAST(SUM((3*doc_id + 3*r + 17*c) % 256) AS BIGINT) AS blue_sum,
+               CAST(SUM((r * w + c) * ((doc_id + 7*r + 13*c) % 256))
+                    AS BIGINT) AS red_pos_weighted
+        FROM px GROUP BY doc_id, fmt, w, h
+    """,
+    "multimodal_resize_nearest": """
+        WITH dims AS (
+            SELECT doc_id,
+                   4 + (7 * doc_id) % 13 AS w,
+                   4 + (11 * doc_id) % 9 AS h
+            FROM documents
+        ),
+        rws AS (SELECT doc_id, w, h,
+                       unnest(generate_series(0, 5)) AS ro FROM dims),
+        grid AS (SELECT doc_id, w, h, ro,
+                        unnest(generate_series(0, 7)) AS co FROM rws),
+        mapped AS (
+            SELECT doc_id,
+                   (ro * h) // 6 AS r, (co * w) // 8 AS c
+            FROM grid
+        )
+        SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+               CAST(SUM((doc_id + 7*r + 13*c) % 256) AS BIGINT) AS red_sum,
+               CAST(SUM((2*doc_id + 5*r + 11*c) % 256) AS BIGINT) AS green_sum,
+               CAST(SUM((3*doc_id + 3*r + 17*c) % 256) AS BIGINT) AS blue_sum
+        FROM mapped GROUP BY doc_id
+    """,
+    "multimodal_wav_pcm_decode": """
+        WITH d AS (
+            SELECT doc_id, 1 + doc_id % 2 AS ch,
+                   CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        ELSE 44100 END AS sr,
+                   (50 + doc_id % 101) * (1 + doc_id % 2) AS n
+            FROM documents
+        ),
+        s AS (SELECT doc_id, ch, sr, n,
+                     ((31 * doc_id + 17 * unnest(generate_series(0, n - 1)))
+                      % 65536) - 32768 AS v
+              FROM d)
+        SELECT doc_id, CAST(ch AS BIGINT) AS channels,
+               CAST(sr AS BIGINT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS sample_sum,
+               CAST(MIN(v) AS BIGINT) AS sample_min,
+               CAST(MAX(v) AS BIGINT) AS sample_max
+        FROM s GROUP BY doc_id, ch, sr, n
+    """,
+    "multimodal_pcm_window_energy": """
+        WITH d AS (
+            SELECT doc_id,
+                   (50 + doc_id % 101) * (1 + doc_id % 2) AS n
+            FROM documents
+        ),
+        s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+        v AS (SELECT doc_id, i // 64 AS win_idx,
+                     ((31 * doc_id + 17 * i) % 65536) - 32768 AS smp
+              FROM s)
+        SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+               CAST(COUNT(*) AS BIGINT) AS win_len,
+               CAST(SUM(ABS(smp)) AS BIGINT) AS abs_sum
+        FROM v GROUP BY doc_id, win_idx
+    """,
     "jsonl_ingest_quarantine": """
         SELECT CAST(SUM(CASE WHEN doc_id % 17 <> 3 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_valid,
@@ -2337,6 +2546,10 @@ QUERIES = {
     "jsonl_ingest_quarantine": jsonl_ingest_quarantine,
     "multimodal_image_headers": multimodal_image_headers,
     "multimodal_wav_headers": multimodal_wav_headers,
+    "multimodal_pixel_decode": multimodal_pixel_decode,
+    "multimodal_resize_nearest": multimodal_resize_nearest,
+    "multimodal_wav_pcm_decode": multimodal_wav_pcm_decode,
+    "multimodal_pcm_window_energy": multimodal_pcm_window_energy,
     "bpe_merge_learning": bpe_merge_learning,
     "per_source_dup_rate": per_source_dup_rate,
     "dup_cluster_sizes": dup_cluster_sizes,

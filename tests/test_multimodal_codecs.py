@@ -1,0 +1,280 @@
+"""REAL stdlib pixel/audio codecs (functions/multimodal.py):
+
+PNG 8-bit RGB (CRC-verified chunk walk, zlib inflate, all five scanline
+filters), 24-bit BMP (bottom-up and top-down, row padding), WAV PCM16, and
+the nearest-neighbor resampler — round-trip and adversarial cases, plus the
+Spark mapInPandas kernels over genuine container bytes.
+
+Mirrors the reference's functional-test strategy of pinning operator
+behavior against independently computed expectations (SURVEY.md §5)."""
+
+import struct
+import zlib
+
+import pytest
+
+from dbt_spark.functions.multimodal import (
+    decode_bmp_rgb,
+    decode_image_rgb,
+    decode_pcm_stats,
+    decode_pixel_stats,
+    decode_png_rgb,
+    decode_wav_pcm16,
+    encode_bmp_rgb,
+    encode_png_rgb,
+    encode_wav_pcm16,
+    pcm_window_energy,
+    resize_images_real,
+    resize_nearest_rgb,
+)
+
+
+def pix(r, c):
+    return ((5 + 7 * r + 13 * c) % 256,
+            (10 + 5 * r + 11 * c) % 256,
+            (15 + 3 * r + 17 * c) % 256)
+
+
+def rows_for(width, height, f=pix):
+    return [b"".join(bytes(f(r, c)) for c in range(width))
+            for r in range(height)]
+
+
+# -------------------------------------------------------------- PNG
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    # height 7 > 5 ⇒ the cycling encoder emits every filter type 0..4
+    w, h = 9, 7
+    blob = encode_png_rgb(w, h, pix)
+    gw, gh, rows = decode_png_rgb(blob)
+    assert (gw, gh) == (w, h)
+    assert rows == rows_for(w, h)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_single_filter_type_roundtrip(ftype, monkeypatch):
+    """Force EVERY row through one filter type so each unfilter path is
+    pinned in isolation (the cycling encoder interleaves them)."""
+    w, h = 6, 4
+
+    # build a PNG by hand with the single filter type
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    prev = bytes(w * 3)
+    out = bytearray()
+    for r in range(h):
+        row = b"".join(bytes(pix(r, c)) for c in range(w))
+        out.append(ftype)
+        for i in range(len(row)):
+            x = row[i]
+            a = row[i - 3] if i >= 3 else 0
+            b = prev[i]
+            cc = prev[i - 3] if i >= 3 else 0
+            v = {0: x, 1: x - a, 2: x - b, 3: x - (a + b) // 2,
+                 4: x - paeth(a, b, cc)}[ftype] & 0xFF
+            out.append(v)
+        prev = row
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b""))
+    gw, gh, rows = decode_png_rgb(blob)
+    assert (gw, gh, rows) == (w, h, rows_for(w, h))
+
+
+def test_png_multiple_idat_chunks_concatenate():
+    blob = bytearray(encode_png_rgb(4, 3, pix))
+    # split the single IDAT into two chunks at an arbitrary byte boundary
+    i = 8
+    while True:
+        ln = int.from_bytes(blob[i:i + 4], "big")
+        tag = bytes(blob[i + 4:i + 8])
+        if tag == b"IDAT":
+            data = bytes(blob[i + 8:i + 8 + ln])
+            break
+        i += 12 + ln
+    cut = len(data) // 2
+    parts = b""
+    for piece in (data[:cut], data[cut:]):
+        parts += (struct.pack(">I", len(piece)) + b"IDAT" + piece
+                  + struct.pack(">I", zlib.crc32(b"IDAT" + piece) & 0xFFFFFFFF))
+    rebuilt = bytes(blob[:i]) + parts + bytes(blob[i + 12 + ln:])
+    assert decode_png_rgb(rebuilt) == decode_png_rgb(bytes(blob))
+
+
+def test_png_crc_corruption_detected():
+    blob = bytearray(encode_png_rgb(5, 5, pix))
+    blob[-5] ^= 0xFF  # flip a byte inside the IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_rgb(bytes(blob))
+
+
+def test_png_unsupported_color_type_is_explicit():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)  # RGBA
+    chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    with pytest.raises(NotImplementedError, match="color type"):
+        decode_png_rgb(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+# -------------------------------------------------------------- BMP
+
+
+@pytest.mark.parametrize("top_down", [False, True])
+@pytest.mark.parametrize("w", [4, 5, 6, 7])  # strides 12/15/18/21 → pads 0..3
+def test_bmp_roundtrip_row_orders_and_padding(top_down, w):
+    h = 3
+    blob = encode_bmp_rgb(w, h, pix, top_down=top_down)
+    gw, gh, rows = decode_bmp_rgb(blob)
+    assert (gw, gh) == (w, h)
+    assert rows == rows_for(w, h)  # decode always returns top-down RGB
+
+
+def test_bmp_rejects_unsupported_depth():
+    blob = bytearray(encode_bmp_rgb(4, 2, pix))
+    blob[28:30] = struct.pack("<H", 8)
+    with pytest.raises(NotImplementedError, match="24bpp"):
+        decode_bmp_rgb(bytes(blob))
+
+
+def test_dispatch_and_documented_stubs():
+    fmt, w, h, rows = decode_image_rgb(encode_png_rgb(3, 2, pix))
+    assert (fmt, w, h) == ("png", 3, 2) and rows == rows_for(3, 2)
+    fmt, w, h, rows = decode_image_rgb(encode_bmp_rgb(3, 2, pix))
+    assert (fmt, w, h) == ("bmp", 3, 2) and rows == rows_for(3, 2)
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image_rgb(b"\xff\xd8\xff\xe0rest")
+    with pytest.raises(NotImplementedError, match="GIF"):
+        decode_image_rgb(b"GIF89a" + b"\x00" * 8)
+    with pytest.raises(ValueError, match="unknown"):
+        decode_image_rgb(b"\x00\x01\x02")
+
+
+# -------------------------------------------------------------- resize
+
+
+def test_resize_nearest_matches_integer_mapping():
+    w, h, out_w, out_h = 10, 8, 4, 3
+    rows = rows_for(w, h)
+    small = resize_nearest_rgb(w, h, rows, out_w, out_h)
+    for r_out in range(out_h):
+        for c_out in range(out_w):
+            src = pix(r_out * h // out_h, c_out * w // out_w)
+            assert tuple(small[r_out][c_out * 3:c_out * 3 + 3]) == src
+
+
+def test_resize_upscale_repeats_pixels():
+    rows = rows_for(2, 2)
+    big = resize_nearest_rgb(2, 2, rows, 4, 4)
+    assert tuple(big[0][:3]) == pix(0, 0)
+    assert tuple(big[3][9:12]) == pix(1, 1)
+
+
+# -------------------------------------------------------------- WAV
+
+
+def test_wav_pcm16_roundtrip_and_stdlib_crosscheck(tmp_path):
+    samples = [((31 * i * i + 7) % 65536) - 32768 for i in range(300)]
+    blob = encode_wav_pcm16(2, 16000, samples)
+    ch, sr, got = decode_wav_pcm16(blob)
+    assert (ch, sr) == (2, 16000)
+    assert got == samples
+    # independent cross-check against the stdlib wave module
+    import io
+    import wave
+
+    wf = wave.open(io.BytesIO(blob))
+    assert (wf.getnchannels(), wf.getframerate(), wf.getsampwidth()) == (2, 16000, 2)
+    frames = wf.readframes(wf.getnframes())
+    assert list(struct.unpack(f"<{len(frames)//2}h", frames)) == samples
+
+
+def test_wav_rejects_non_pcm16():
+    blob = bytearray(encode_wav_pcm16(1, 8000, [0, 1, -1]))
+    blob[20:22] = struct.pack("<H", 3)  # IEEE float format tag
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        decode_wav_pcm16(bytes(blob))
+
+
+# ---------------------------------------------------- Spark kernels
+
+
+def _blob_df(spark, build):
+    rows = [(d, bytearray(build(d))) for d in range(8)]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_decode_pixel_stats_kernel(spark):
+    def build(d):
+        enc = encode_png_rgb if d % 2 == 0 else encode_bmp_rgb
+        return enc(3 + d % 4, 2 + d % 3,
+                   lambda r, c: ((d + r + c) % 256, 1, 2))
+
+    got = {r["doc_id"]: r for r in
+           decode_pixel_stats(_blob_df(spark, build)).collect()}
+    for d in range(8):
+        w, h = 3 + d % 4, 2 + d % 3
+        exp_red = sum((d + r + c) % 256 for r in range(h) for c in range(w))
+        exp_wsum = sum((r * w + c) * ((d + r + c) % 256)
+                       for r in range(h) for c in range(w))
+        row = got[d]
+        assert row["media_format"] == ("png" if d % 2 == 0 else "bmp")
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["red_sum"] == exp_red
+        assert row["green_sum"] == w * h
+        assert row["blue_sum"] == 2 * w * h
+        assert row["red_pos_weighted"] == exp_wsum
+
+
+def test_resize_real_kernel_output_is_decodable_png(spark):
+    def build(d):
+        return encode_bmp_rgb(6 + d, 5, pix, top_down=bool(d % 2))
+
+    out = resize_images_real(_blob_df(spark, build), out_w=4, out_h=3).collect()
+    assert len(out) == 8
+    for row in out:
+        gw, gh, rows = decode_png_rgb(bytes(row["payload"]))
+        assert (gw, gh) == (4, 3)
+        assert row["red_sum"] == sum(sum(l[0::3]) for l in rows)
+
+
+def test_pcm_kernels(spark):
+    def build(d):
+        n = 100 + 37 * d
+        return encode_wav_pcm16(1 + d % 2, 8000,
+                                [((d * 31 + i * 17) % 65536) - 32768
+                                 for i in range(n)])
+
+    stats = {r["doc_id"]: r for r in
+             decode_pcm_stats(_blob_df(spark, build)).collect()}
+    for d in range(8):
+        n = 100 + 37 * d
+        samples = [((d * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+        row = stats[d]
+        assert row["n_samples"] == n
+        assert row["sample_sum"] == sum(samples)
+        assert (row["sample_min"], row["sample_max"]) == (min(samples),
+                                                          max(samples))
+
+    wins = pcm_window_energy(_blob_df(spark, build), window=64).collect()
+    by_key = {(r["doc_id"], r["win_idx"]): r for r in wins}
+    d = 5
+    n = 100 + 37 * d
+    samples = [((d * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+    for idx in range((n + 63) // 64):
+        chunk = samples[idx * 64:(idx + 1) * 64]
+        row = by_key[(d, idx)]
+        assert row["win_len"] == len(chunk)
+        assert row["abs_sum"] == sum(abs(s) for s in chunk)
