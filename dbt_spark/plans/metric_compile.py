@@ -19,11 +19,15 @@ actually runnable here:
 - metric types: simple, ratio (num/den with NULLIF), derived (expr over
   input metric aliases), conversion (entity-keyed base→conversion semi-join
   within an optional window; conversions | conversion_rate calculations;
-  DOCUMENTED DIVERGENCE: the conversion must be STRICTLY later than its
-  base event (c.__t > b.__t) where MetricFlow's join is inclusive
-  (base.ts <= conv.ts) — the strict form avoids counting an event as its
-  own conversion when base and conversion share a table and timestamp,
-  and has been pinned by this engine's oracles since round 4;
+  DOCUMENTED DIVERGENCE, now with a fidelity mode: by default the
+  conversion must be STRICTLY later than its base event (c.__t > b.__t)
+  where MetricFlow's join is inclusive (base.ts <= conv.ts) — the strict
+  form avoids counting an event as its own conversion when base and
+  conversion share a table and timestamp, and has been pinned by this
+  engine's oracles since round 4; declaring
+  ``conversion_type_params.fidelity: inclusive`` compiles the
+  MetricFlow-exact bound (c.__t >= b.__t) for users porting MetricFlow
+  results that must match on same-timestamp events;
   base and conversion measures may live on DIFFERENT semantic models that
   share the entity — each side resolves its own entity/time exprs),
   derived offset_window inputs (period-over-period: the input re-aggregates
@@ -1135,6 +1139,20 @@ def compile_metrics_sql(
                                 with_where=conv_owner is owner)
         bw = " AND ".join(f"({c})" for c in base_conds)
         cw = " AND ".join(f"({c})" for c in conv_conds)
+        # fidelity (engine extension on ConversionTypeParams): 'strict'
+        # (default, c.__t > b.__t — this engine's oracle-pinned semantics
+        # since round 4) or 'inclusive' (c.__t >= b.__t — MetricFlow's
+        # join bound; base.ts <= conv.ts in its generated SQL). Inclusive
+        # mode counts a conversion sharing the base event's timestamp —
+        # including the base event itself when both measures read the same
+        # table — exactly as MetricFlow does; opt in per metric when
+        # porting MetricFlow results that must match to the row.
+        fidelity = str(ctp.get("fidelity") or "strict").lower()
+        if fidelity not in ("strict", "inclusive"):
+            raise MetricQueryError(
+                f"conversion metric {cname}: fidelity must be 'strict' or "
+                f"'inclusive', got {fidelity!r}")
+        cmp_op = ">=" if fidelity == "inclusive" else ">"
         win_pred = ""
         if ctp.get("window"):
             num, unit = str(ctp["window"]).split()
@@ -1174,7 +1192,7 @@ def compile_metrics_sql(
         aux_ctes.append((
             f"__cvs_{s}",
             f"SELECT b.* FROM __cvb_{s} b LEFT SEMI JOIN __cvc_{s} c "
-            f"ON b.__e = c.__e AND c.__t > b.__t{win_pred}{cp_pred}",
+            f"ON b.__e = c.__e AND c.__t {cmp_op} b.__t{win_pred}{cp_pred}",
         ))
         grp = f" GROUP BY {', '.join(keys)}" if keys else ""
         klist = (", ".join(keys) + ", ") if keys else ""

@@ -541,12 +541,16 @@ def test_cumulative_grain_to_date_resets(views):
 
 
 def test_conversion_metric_matches_bruteforce_random(conv_views):
-    """Randomized timelines: the compiled conversion SQL equals a
-    brute-force python evaluation of 'base event with >=1 strictly-later
-    conversion within the window' across several seeds."""
+    """Randomized timelines with PLANTED same-timestamp collisions: the
+    compiled conversion SQL equals a brute-force python evaluation for
+    BOTH fidelity modes — strict (default, conversion strictly later) and
+    MetricFlow-inclusive (conversion at the same timestamp counts,
+    `conversion_type_params.fidelity: inclusive`) — across several
+    seeds, and the two modes demonstrably diverge on the collisions."""
     import random as _random
 
     spark = conv_views
+    modes_diverged = False
     for seed in range(4):
         rng = _random.Random(1234 + seed)
         rows = []
@@ -556,28 +560,55 @@ def test_conversion_metric_matches_bruteforce_random(conv_views):
             # integer-second timestamps over ~40 days
             t = rng.randrange(0, 40 * 86400)
             rows.append((u, kind, t))
+        # plant purchase events at EXACTLY a signup's timestamp — the case
+        # where strict (>) and inclusive (>=) bounds differ
+        planted = 0
+        for u, kind, t in list(rows):
+            if kind == "signup" and planted < 5:
+                rows.append((u, "purchase", t))
+                planted += 1
         spark.createDataFrame(rows, "u int, k string, sec int").selectExpr(
             "u", "k", "timestamp_seconds(sec) AS ts", "sec"
         ).createOrReplaceTempView("t_events_rand")
 
-        expected = 0
+        expected = {"strict": 0, "inclusive": 0}
         for u, kind, t in rows:
             if kind != "signup":
                 continue
-            if any(cu == u and ck == "purchase" and t < ct <= t + 7 * 86400
-                   for cu, ck, ct in rows):
-                expected += 1
+            for mode, lo_ok in (("strict", lambda ct, t=t: t < ct),
+                                ("inclusive", lambda ct, t=t: t <= ct)):
+                if any(cu == u and ck == "purchase" and lo_ok(ct)
+                       and ct <= t + 7 * 86400
+                       for cu, ck, ct in rows):
+                    expected[mode] += 1
 
-        m = [{"name": "c", "type": "conversion", "label": "c",
-              "type_params": {"conversion_type_params": {
-                  "base_measure": "signups",
-                  "conversion_measure": "purchases",
-                  "entity": "user", "window": "7 days",
-                  "calculation": "conversions"}}}]
-        sql = compile_metrics_sql(["c"], m, [EVENTS_SM],
-                                  {"events_t": "t_events_rand"})
-        got = spark.sql(sql).collect()[0]["c"]
-        assert got == expected, f"seed={seed}: {got} != {expected}"
+        for mode in ("strict", "inclusive"):
+            ctp = {"base_measure": "signups",
+                   "conversion_measure": "purchases",
+                   "entity": "user", "window": "7 days",
+                   "calculation": "conversions"}
+            if mode == "inclusive":
+                ctp["fidelity"] = "inclusive"
+            m = [{"name": "c", "type": "conversion", "label": "c",
+                  "type_params": {"conversion_type_params": ctp}}]
+            sql = compile_metrics_sql(["c"], m, [EVENTS_SM],
+                                      {"events_t": "t_events_rand"})
+            got = spark.sql(sql).collect()[0]["c"]
+            assert got == expected[mode], (
+                f"seed={seed} mode={mode}: {got} != {expected[mode]}")
+        if expected["inclusive"] > expected["strict"]:
+            modes_diverged = True
+    # the planted collisions must actually exercise the divergence
+    assert modes_diverged
+
+
+def test_conversion_fidelity_validation():
+    m = [{"name": "c", "type": "conversion", "label": "c",
+          "type_params": {"conversion_type_params": {
+              "base_measure": "signups", "conversion_measure": "purchases",
+              "entity": "user", "fidelity": "metricflow"}}}]
+    with pytest.raises(MetricQueryError, match="fidelity"):
+        compile_metrics_sql(["c"], m, [EVENTS_SM], {"events_t": "t"})
 
 
 # --------------------------------------------------------------------------
@@ -1410,7 +1441,7 @@ def _fuzz_spark_rows(df, group_by, metric):
     return _fuzz_rows(out)
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", range(64))
 def test_semantic_layer_differential_random(spark, seed):
     rng = _random.Random(_FUZZ_OFF + 777_000 + seed)
     rows, rows2, customers, regions, spine = _fuzz_world(rng)
@@ -1422,11 +1453,51 @@ def test_semantic_layer_differential_random(spark, seed):
     reg_map = dict(regions)
     fq_map = dict(spine)
 
+    # composed kinds (round-8 depth pass) combine two orthogonal features
+    # in one spec: non_additive_hop (semi-additive × entity hop),
+    # conversion_hop (conversion × entity hop), cum_filtered (cumulative ×
+    # measure filter), timespine_filtered (zero-fill spine × metric
+    # filter), plus two REJECTION compositions pinning documented
+    # constraints (ratio_of_cumulative, offset at custom grain)
     kind = rng.choice(
         ["simple", "simple_filtered", "ratio", "derived", "cumulative",
          "offset", "timespine", "custom_grain", "hop", "two_hop",
          "multi_model", "offset_grain", "cum_custom", "conversion",
-         "non_additive", "ratio_input", "percentile_disc", "proxy"])
+         "non_additive", "ratio_input", "percentile_disc", "proxy",
+         "non_additive_hop", "conversion_hop", "cum_filtered",
+         "timespine_filtered", "ratio_of_cumulative",
+         "offset_custom_grain"])
+
+    if kind == "ratio_of_cumulative":
+        # composition REJECTION: a cumulative metric cannot feed a ratio /
+        # derived input (its running window applies at query level)
+        metrics = [
+            {"name": "cum_m", "type": "cumulative",
+             "type_params": {"measure": "amt_sum"}},
+            {"name": "m", "type": "ratio",
+             "type_params": {"numerator": {"name": "cum_m"},
+                             "denominator": "n_rows"}}]
+        with pytest.raises(MetricQueryError, match="cumulative"):
+            compile_metrics_sql(["m"], metrics, _FUZZ_MODELS, _FUZZ_TABLES,
+                                group_by=["metric_time__month"])
+        return
+    if kind == "offset_custom_grain":
+        # composition REJECTION: offset inputs need a standard time
+        # group-by — a custom-granularity item is not an offset anchor
+        metrics = [
+            {"name": "cur_m", "type": "simple",
+             "type_params": {"measure": "amt_sum"}},
+            {"name": "m", "type": "derived",
+             "type_params": {"expr": "cur - prev",
+                             "metrics": [
+                                 {"name": "cur_m", "alias": "cur"},
+                                 {"name": "cur_m", "alias": "prev",
+                                  "offset_window": "1 month"}]}}]
+        with pytest.raises(MetricQueryError, match="time group-by"):
+            compile_metrics_sql(["m"], metrics, _FUZZ_MODELS, _FUZZ_TABLES,
+                                group_by=["metric_time__fiscal_q"],
+                                time_spines=[_FUZZ_SPINE_DECL])
+        return
     plain_groups = [["status"], ["metric_time__month"],
                     ["status", "metric_time__month"], []]
     measure = rng.choice(["amt_sum", "qty_sum", "n_rows"])
@@ -1437,10 +1508,13 @@ def test_semantic_layer_differential_random(spark, seed):
                 "conversion", "non_additive", "ratio_input",
                 "percentile_disc", "proxy"):
         group_by = rng.choice(plain_groups)
-    elif kind in ("cumulative", "offset", "offset_grain"):
+    elif kind in ("cumulative", "offset", "offset_grain", "cum_filtered"):
         group_by = rng.choice([["metric_time__month"],
                                ["status", "metric_time__month"]])
-    elif kind == "timespine":
+    elif kind in ("non_additive_hop", "conversion_hop"):
+        group_by = rng.choice([["customer__segment"],
+                               ["customer__segment", "status"]])
+    elif kind in ("timespine", "timespine_filtered"):
         group_by = rng.choice([["metric_time__month"],
                                ["status", "metric_time__month"]])
     elif kind == "custom_grain":
@@ -1526,14 +1600,33 @@ def test_semantic_layer_differential_random(spark, seed):
             {"name": "m2", "type": "simple",
              "type_params": {"measure": "pay_sum"}},
         ]
-    elif kind == "non_additive":
+    elif kind in ("non_additive", "non_additive_hop"):
         # semi-additive measure: sum of amount over each customer's rows at
         # the MIN/MAX of d — per queried month bucket when the group-by has
-        # a time item, globally otherwise
+        # a time item, globally otherwise; the _hop variant groups by an
+        # entity-linked dimension (customer__segment), composing the NAD
+        # window with the cross-model join path
         nad_choice = rng.choice(["min", "max"])
         measure = "amt_first" if nad_choice == "min" else "amt_last"
         metrics = [{"name": "m", "type": "simple",
                     "type_params": {"measure": measure}}]
+    elif kind == "cum_filtered":
+        # cumulative × measure-level filter: buckets with no status-A rows
+        # aggregate to NULL and the running/trailing window must skip them
+        cum_window = rng.choice([None, "2 months"])
+        tp_c = {"measure": "amt_sum_a"}
+        if cum_window:
+            tp_c["window"] = cum_window
+        metrics = [{"name": "m", "type": "cumulative",
+                    "type_params": tp_c}]
+    elif kind == "timespine_filtered":
+        # zero-fill spine × metric-level filter: the panel spans the FULL
+        # fact's time range while values come from the filtered subset
+        metrics = [{"name": "m", "type": "simple",
+                    "filter": "{{ Dimension('status') }} = 'A'",
+                    "type_params": {"measure": {
+                        "name": measure, "join_to_timespine": True,
+                        "fill_nulls_with": 0}}}]
     elif kind == "percentile_disc":
         # SQL-standard discrete percentile: smallest value whose cume_dist
         # >= p (PERCENTILE_DISC WITHIN GROUP; v1/semantic_model.py
@@ -1556,20 +1649,41 @@ def test_semantic_layer_differential_random(spark, seed):
                                "filter": "{{ Dimension('status') }} = 'A'"},
                  "denominator": {"name": "a_m"}}},
         ]
-    elif kind == "conversion":
+    elif kind in ("conversion", "conversion_hop"):
         # base events on fact; conversion events either later same-model
         # status-B rows or cross-model fact2 rows, linked on the shared
-        # `customer` entity — exercising window, calculation, and the
+        # `customer` entity — exercising window, calculation, fidelity
+        # (strict default vs MetricFlow-inclusive >=), and the
         # cross-model entity-resolution path of the compiler
         conv_cross = rng.random() < 0.5
         conv_calc = rng.choice(["conversions", "conversion_rate"])
         conv_win = rng.choice([None, "7 days", "1 month"])
         conv_base = rng.choice(["n_rows", "n_rows_a"])
+        conv_fid = rng.choice(["strict", "inclusive"])
+        # plant same-date conversion events for a few base rows — where
+        # the strict (>) and inclusive (>=) join bounds diverge (incl.
+        # the self-conversion case when both measures share the model)
+        nid = max(r[0] for r in rows) + 1
+        nid2 = (max(r[0] for r in rows2) + 1) if rows2 else 0
+        for r in rng.sample(rows, k=min(4, len(rows))):
+            if conv_cross:
+                rows2.append((nid2, r[1], r[2], rng.choice("ABC"),
+                              rng.randrange(1, 30)))
+                nid2 += 1
+            else:
+                rows.append((nid, r[1], r[2], "B", rng.randrange(1, 50),
+                             rng.randrange(1, 5)))
+                nid += 1
+        _fuzz_register(spark, rows, rows2, customers, regions, spine)
+        fact = _pd.DataFrame(
+            rows, columns=["o_id", "cust", "d", "status", "amount", "qty"])
         ctp = {"base_measure": conv_base,
                "conversion_measure": "pay_n" if conv_cross else "n_rows_b",
                "entity": "customer", "calculation": conv_calc}
         if conv_win:
             ctp["window"] = conv_win
+        if conv_fid == "inclusive":
+            ctp["fidelity"] = "inclusive"
         metrics = [{"name": "m", "type": "conversion",
                     "type_params": {"conversion_type_params": ctp}}]
     else:  # simple / custom_grain / hop / two_hop
@@ -1653,6 +1767,60 @@ def test_semantic_layer_differential_random(spark, seed):
                 part = tuple(v for i, v in enumerate(kt) if i != ti)
                 by_part[part] = by_part.get(part, 0) + base[kt]
                 want[kt] = by_part[part]
+    elif kind == "cum_filtered":
+        # cumulative over a filtered measure: month buckets exist wherever
+        # ANY fact row exists, but only status-A rows contribute — NULL
+        # buckets are skipped by the running/trailing sum (SUM ignores
+        # NULL) and the total stays NULL until the first contributing
+        # bucket
+        base = _fuzz_grouped(fact, keys, _fuzz_measure(fact, "amt_sum_a"))
+        ti = group_by.index("metric_time__month")
+        want = {}
+        if cum_window:
+            for kt, v in base.items():
+                m = kt[ti]
+                pm = (m.replace(year=m.year - 1, month=12) if m.month == 1
+                      else m.replace(month=m.month - 1))
+                pkt = kt[:ti] + (pm,) + kt[ti + 1:]
+                vals = [x for x in (v, base.get(pkt)) if x is not None]
+                want[kt] = sum(vals) if vals else None
+        else:
+            by_part = {}
+            for kt in sorted(base, key=lambda t: str(t[ti])):
+                part = tuple(v for i, v in enumerate(kt) if i != ti)
+                if base[kt] is not None:
+                    by_part[part] = by_part.get(part, 0) + base[kt]
+                want[kt] = by_part.get(part)
+    elif kind == "timespine_filtered":
+        # panel shape (months × dims) comes from the FULL fact — the spine
+        # spans the owner table's unfiltered time range and non-time dims
+        # cross with it — while values come from the metric-filtered
+        # subset, zero-filled
+        filt_m = {"amt_sum": "amt_sum_a", "qty_sum": None,
+                  "n_rows": "n_rows_a"}[measure]
+        if filt_m is None:
+            vals = _fuzz_grouped(
+                fact, keys,
+                lambda g: (g[g["status"] == "A"]["qty"].sum()
+                           if len(g[g["status"] == "A"]) else None))
+        else:
+            vals = _fuzz_grouped(fact, keys, _fuzz_measure(fact, filt_m))
+        full = _fuzz_grouped(fact, keys, _fuzz_measure(fact, "n_rows"))
+        ti = group_by.index("metric_time__month")
+        months_present = sorted({kt[ti] for kt in full})
+        months, m = [], months_present[0]
+        while m <= months_present[-1]:
+            months.append(m)
+            m = (m.replace(year=m.year + 1, month=1) if m.month == 12
+                 else m.replace(month=m.month + 1))
+        parts = sorted({tuple(v for i, v in enumerate(kt) if i != ti)
+                        for kt in full}, key=str)
+        want = {}
+        for part in parts:
+            for mm in months:
+                kt = part[:ti] + (mm,) + part[ti:]
+                v = vals.get(kt)
+                want[kt] = 0 if v is None else v
     elif kind == "offset":
         cur = _fuzz_grouped(fact, keys, _fuzz_measure(fact, measure))
         # ROW-level shift then month-bucket (the engine shifts raw time
@@ -1730,7 +1898,7 @@ def test_semantic_layer_differential_random(spark, seed):
         for kt, c in cur.items():
             a = cur.get(qstart(kt))
             want[kt] = None if (c is None or a is None) else c - a
-    elif kind == "non_additive":
+    elif kind in ("non_additive", "non_additive_hop"):
         # filter fact to per-(customer[, month]) snapshot rows at min/max d,
         # then aggregate exactly like a plain sum
         w = fact.copy()
@@ -1761,11 +1929,13 @@ def test_semantic_layer_differential_random(spark, seed):
         want = {k: (None if num[k] is None or not den[k]
                     else float(num[k]) / float(den[k]))
                 for k in den}
-    elif kind == "conversion":
+    elif kind in ("conversion", "conversion_hop"):
         # brute force: a base event converts iff ANY conversion event of the
-        # same entity is strictly later (and inside the window when set);
-        # output groups come from the base side only (engine's __cvg1 LEFT
-        # JOIN __cvg2 shape); dedup of multiple conversions is implicit
+        # same entity is later — strictly under the default fidelity,
+        # same-timestamp-allowed under MetricFlow-inclusive — and inside
+        # the window when set; output groups come from the base side only
+        # (engine's __cvg1 LEFT JOIN __cvg2 shape); dedup of multiple
+        # conversions is implicit
         base_rows = (fact[fact["status"] == "A"]
                      if conv_base == "n_rows_a" else fact)
         if conv_cross:
@@ -1778,7 +1948,7 @@ def test_semantic_layer_differential_random(spark, seed):
 
         def _converted(c, t):
             for tc in by_ent.get(c, ()):
-                if tc <= t:
+                if (tc <= t) if conv_fid == "strict" else (tc < t):
                     continue
                 if conv_win is None:
                     return True
