@@ -145,6 +145,11 @@ EXTENDED = [
     "multimodal_wav_headers",
     "bpe_merge_learning",
     "ann_topk_ivfpq",  # cached centroids+codebooks
+    # round-8 additions
+    "multimodal_pixel_decode",
+    "multimodal_resize_nearest",
+    "multimodal_wav_pcm_decode",
+    "multimodal_pcm_window_energy",
 ]
 
 
@@ -165,6 +170,14 @@ def main() -> None:
         wfn = QUERIES.get(wname)
         if wfn is not None:
             wfn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    # ANN model/index artifacts (IVF centroids, PQ codebooks, encoded
+    # codes, IVFADC index) are INGEST-time work at scale — train/encode
+    # once here, timed as its own entry, so the per-query ANN numbers
+    # below measure the search path alone (probes + ADC scan + re-rank).
+    from dbt_spark.queries.llmops import warm_ann_artifacts
+
+    ann_train = warm_ann_artifacts(spark, sf_dir)
 
     # Min-of-N per query: the VM's wall clock swings ±40% run-to-run, so a
     # single sample cannot distinguish a regression from noise. The min of 3
@@ -200,11 +213,50 @@ def main() -> None:
                 "queries": times,
                 "queries_extended": times_ext,
                 "sf": sf,
+                "ann_train_artifacts": ann_train,
                 "parse_2000_models": _bench_parse_2000(),
+                "run_2000_models": _bench_run_2000(spark),
                 "orchestration": _bench_orchestration(spark, sf_dir),
             }
         )
     )
+
+
+def _bench_run_2000(spark) -> dict:
+    """The reference's 2,000-model perf project exercised PAST parse:
+    materialize all 2,000 models as views end-to-end and pin per-node
+    scheduler overhead. Shape: 200 independent chains of depth 10 — the
+    same node count as the parse bench; bounding ref depth keeps Catalyst's
+    view-plan copies linear, so the number measures the ENGINE's parse +
+    DAG link + thread-pool scheduling + view-registration cost rather than
+    quadratic logical-plan inlining (a 2,000-deep view chain is an
+    anti-pattern on any SQL engine)."""
+    import shutil
+    import tempfile
+
+    from dbt_spark.runner import Engine
+
+    root = tempfile.mkdtemp(prefix="bench_run2000_")
+    try:
+        with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+            f.write("name: perf2000run\n")
+        models = os.path.join(root, "models")
+        os.makedirs(models)
+        for c in range(200):
+            for i in range(10):
+                sql = ("select 1 as id, 'x' as v" if i == 0 else
+                       f"select * from {{{{ ref('n_{c}_{i - 1}') }}}}")
+                with open(os.path.join(models, f"n_{c}_{i}.sql"), "w") as f:
+                    f.write(sql)
+        eng = Engine(root, spark=spark)
+        t0 = time.time()
+        res = eng.invoke(["run"])
+        total = round(time.time() - t0, 3)
+        return {"run_sec": total, "ok": bool(res.success),
+                "n_models": 2000,
+                "ms_per_node": round(total * 1000.0 / 2000, 3)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _bench_parse_2000() -> dict:

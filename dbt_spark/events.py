@@ -306,14 +306,17 @@ class EventBus:
             msg=render(data) if render else data.get("msg", ""),
             thread=threading.current_thread().name,
         )
-        line = json.dumps(ev.to_dict(), default=str)
         rank = {"debug": 0, "info": 1, "warn": 2, "error": 3}
         to_file = rank.get(ev.level, 1) >= rank.get(self.file_level, 0)
         with self._lock:
             if self.log_path and to_file:
+                # serialize only when the line is actually written — the
+                # dumps cost is per-event and shows up at 2,000-model scale
                 with open(self.log_path, "a") as f:
-                    f.write(line + "\n")
-            if self._pb_write is not None:
+                    f.write(json.dumps(ev.to_dict(), default=str) + "\n")
+            if self._pb_write is not None and to_file:
+                # the .pb stream mirrors the JSON file log, so it honors
+                # the same level filter
                 self._pb_write(ev.to_dict()["info"])
             for cb in self.callbacks:
                 cb(ev)

@@ -568,6 +568,7 @@ def pq_topk(
     vec_col: str = "embedding",
     codebooks: DataFrame | None = None,
     rerank: int | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k by L2: queries stay full-precision; each
     query builds an (m × n_codes) lookup table of subspace distances to
@@ -584,11 +585,14 @@ def pq_topk(
     their FULL vectors for exact L2 re-ranking, so only Q·rerank float
     vectors are ever touched. Returns (qid, nid, d2, rank). Codebooks
     amortize via the ``codebooks=`` parameter exactly like IVF's trained
-    centroids."""
+    centroids, and the encoded corpus via ``codes=`` — at scale the codes
+    ARE the stored index (8 bytes/vector), written once at ingest and
+    reused by every query batch, not re-derived per query."""
     if codebooks is None:
         codebooks = pq_train(emb, m=m, k=n_codes, n_iter=train_iters,
                              id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
     sub_df = codebooks.select(F.size("cv").alias("s")).limit(1)
     sub = sub_df.first()["s"]
     m_count = codebooks.agg(F.max("m")).first()[0] + 1
@@ -625,6 +629,32 @@ def pq_topk(
             .select("qid", "nid", F.round("d2", 6).alias("d2"), "rank"))
 
 
+def ivfpq_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVFADC index table ``(nid, codes, cell)``: PQ-encode every
+    vector and tag it with its nearest-centroid cell (argmin-as-aggregate
+    over a broadcast centroid set — one keyed aggregate, no window). This
+    is the ingest-time artifact a 100 TB deployment WRITES (8-byte codes +
+    a cell id per vector, ~32× smaller than the vectors); query batches
+    then pass it to ``ivfpq_topk(codes=...)`` and never touch vectors
+    outside the final shortlist re-rank."""
+    cents = centroids.select("cid", "cv")
+    base = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    cells = (base.crossJoin(F.broadcast(cents))
+             .withColumn("__d2", _l2sq("nv", "cv"))
+             .groupBy("nid")
+             .agg(F.min_by("cid", F.struct("__d2",
+                                           F.col("cid").cast("double")))
+                  .alias("cell")))
+    return pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col) \
+        .withColumnRenamed("id", "nid").join(cells, "nid")
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_pred: F.Column,
@@ -639,6 +669,7 @@ def ivfpq_topk(
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
     rerank: int | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV — the FAISS default at billion scale):
     a coarse IVF quantizer restricts the search to ``nprobe`` inverted
@@ -647,8 +678,12 @@ def ivfpq_topk(
     reads 8-byte codes, never vectors; the top-R shortlist re-ranks exact.
 
     Assignment metric is L2 end-to-end (cells by nearest-centroid L2, ADC
-    by subspace L2) so cell routing and code distances agree. Both model
-    artifacts (centroids, codebooks) amortize via their parameters.
+    by subspace L2) so cell routing and code distances agree. All THREE
+    index artifacts amortize via parameters: ``centroids`` and
+    ``codebooks`` (the trained models) and ``codes`` (the cell-tagged
+    code table ``(nid, codes, cell)`` — at scale this IS the stored
+    index, built once at ingest; per-query work is then only the probed
+    scan + shortlist re-rank).
 
     Plan: cells = argmin-as-aggregate over a broadcast centroid set (one
     keyed aggregate, no window); query→cell probes = per-query top-nprobe
@@ -663,14 +698,9 @@ def ivfpq_topk(
                              id_col=id_col, vec_col=vec_col)
     cents = centroids.select("cid", "cv")
     base = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    cells = (base.crossJoin(F.broadcast(cents))
-             .withColumn("__d2", _l2sq("nv", "cv"))
-             .groupBy("nid")
-             .agg(F.min_by("cid", F.struct("__d2",
-                                           F.col("cid").cast("double")))
-                  .alias("cell")))
-    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col) \
-        .withColumnRenamed("id", "nid").join(cells, "nid")
+    if codes is None:
+        codes = ivfpq_index(emb, centroids, codebooks,
+                            id_col=id_col, vec_col=vec_col)
     q = emb.filter(query_pred).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     qscore = (q.crossJoin(F.broadcast(cents))

@@ -793,3 +793,54 @@ def test_orphaned_staging_dirs_swept_and_never_read(project_dir, spark):
     assert Engine(root, spark=spark).invoke(["run"]).success
     assert not os.path.exists(orphan)
     assert eng.store.read("main", "t").collect()[0]["total"] == 6
+
+
+# --------------------------------------------------------------------------
+# catalog persistence: snapshot + write-ahead journal (O(1) per relation
+# save — the whole-file rewrite was O(catalog) per model and dominated
+# 2,000-model runs)
+# --------------------------------------------------------------------------
+
+
+def test_catalog_journal_appends_and_compacts_on_load(spark, tmp_path):
+    from dbt_spark.catalog import RelationStore
+
+    wh = str(tmp_path / "wh")
+    store = RelationStore(spark, wh)
+    for i in range(5):
+        store.save_view("main", f"v{i}", f"SELECT {i} AS id")
+    log = os.path.join(wh, "_catalog.json.log")
+    # steady state: upserts land in the journal, snapshot untouched
+    assert os.path.exists(log)
+    assert len(open(log).read().strip().splitlines()) == 5
+    import json as _json
+    snap = (_json.load(open(os.path.join(wh, "_catalog.json")))
+            if os.path.exists(os.path.join(wh, "_catalog.json")) else {})
+    assert "main.v3" not in snap
+
+    # a fresh store replays the journal, folds it into the snapshot, and
+    # truncates the log
+    store2 = RelationStore(spark, wh)
+    assert sorted(r.name for r in store2.list_relations("main")) == [
+        f"v{i}" for i in range(5)]
+    assert not os.path.exists(log)
+    snap = _json.load(open(os.path.join(wh, "_catalog.json")))
+    assert "main.v3" in snap
+
+
+def test_catalog_journal_tombstone_and_torn_tail(spark, tmp_path):
+    from dbt_spark.catalog import RelationStore
+
+    wh = str(tmp_path / "wh")
+    store = RelationStore(spark, wh)
+    store.save_view("main", "keep", "SELECT 1 AS id")
+    store.save_view("main", "gone", "SELECT 2 AS id")
+    store.drop("main", "gone")
+    log = os.path.join(wh, "_catalog.json.log")
+    # simulate a crash mid-append: torn (truncated) trailing json line
+    with open(log, "a") as f:
+        f.write('{"k": "main.torn", "r": {"schema": "mai')
+    store2 = RelationStore(spark, wh)
+    names = sorted(r.name for r in store2.list_relations("main"))
+    assert names == ["keep"]  # tombstone applied, torn line ignored
+    assert not os.path.exists(log)
