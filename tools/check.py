@@ -90,8 +90,43 @@ def run_one(name, fn, sql, spark, con, sf_dir):
         diff = next(
             (i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y
         ) if len(a) == len(b) else ("len", len(a), len(b))
+        # Bit-determinism guard (round-8 directive): the inventory contract
+        # is exact float identity — NO tolerance is applied. But when the
+        # ONLY differences are float cells agreeing to ~1e-9 relative, the
+        # cause is almost certainly a non-reproducible float (reduction
+        # order, JIT fma, a new non-deterministic expression), which is a
+        # CONTRACT violation distinct from a wrong answer — name it so the
+        # fix targets determinism, not values.
+        if len(a) == len(b) and _only_float_noise(a, b):
+            return ("NONDETERMINISTIC_FLOAT",
+                    f"exact-compare failed but every diff is float noise "
+                    f"<1e-9 rel — bit-determinism contract violated; first "
+                    f"diff {diff}", t_spark, None)
         return ("VALUE_MISMATCH", f"first diff {diff} (cols={sorted(spark_pdf.columns)})", t_spark, None)
     return ("OK", len(spark_pdf), t_spark, None)
+
+
+def _only_float_noise(a, b, rel=1e-9):
+    """True iff every differing cell pair is two parseable floats whose
+    relative difference is below ``rel`` (the non-reproducible-float
+    signature). Any non-float or genuinely different cell → False."""
+    saw_diff = False
+    for ra, rb in zip(a, b):
+        if ra == rb:
+            continue
+        for x, y in zip(ra, rb):
+            if x == y:
+                continue
+            saw_diff = True
+            try:
+                fx, fy = float(x), float(y)
+            except (TypeError, ValueError):
+                return False
+            if not (math.isfinite(fx) and math.isfinite(fy)):
+                return False
+            if abs(fx - fy) > rel * max(1.0, abs(fx), abs(fy)):
+                return False
+    return saw_diff
 
 
 def main():
