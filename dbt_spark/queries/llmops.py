@@ -1444,7 +1444,10 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     then re-rank a shortlist exactly. RAISES below 0.6 recall@5 vs exact-L2
     brute force, like ann_topk_pq (the isotropic test embeddings are the
     quantizer worst case — clustered data clears 0.9 in the planted test).
-    Both model artifacts ride the session caches."""
+    All three index artifacts (centroids, codebooks, cell-tagged code
+    table) ride the session caches — per-query work is the probed ADC
+    scan + shortlist re-rank, matching a production deployment where
+    train/encode runs once at ingest."""
     from pyspark.sql import Window as W
 
     emb = _emb(spark, sf_dir)

@@ -157,11 +157,22 @@ def test_multimodal_roundtrip_schema_and_determinism(spark):
     assert one["width"] == one["n_bytes"] % 640
 
 
-def test_real_decoder_is_marked_stub():
+def test_real_decoder_decodes_png_and_stubs_jpeg():
+    """Round 8: real_decode_image is REAL for the stdlib-decodable formats
+    (PNG/BMP — full decode pipeline, tests/test_multimodal_codecs.py) and
+    a documented stub only for codec-bound JPEG/GIF."""
     import pytest
-    from dbt_spark.functions.multimodal import real_decode_image
+    from dbt_spark.functions.multimodal import (encode_png_rgb,
+                                                real_decode_image)
 
-    with pytest.raises(NotImplementedError):
+    fmt, w, h, rows = real_decode_image(
+        encode_png_rgb(3, 2, lambda r, c: (r, c, 7)))
+    assert (fmt, w, h) == ("png", 3, 2)
+    assert rows[1][3:6] == bytes((1, 1, 7))
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        real_decode_image(b"\xff\xd8\xff\xe0jfif")
+    # a truncated/bad signature is a ValueError, not a silent None
+    with pytest.raises(ValueError):
         real_decode_image(b"\x89PNG")
 
 
