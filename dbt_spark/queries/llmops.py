@@ -1704,7 +1704,59 @@ def multimodal_pcm_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pcm_window_energy(blobs, window=64)
 
 
+def html_extract_visible_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL HTML→text extraction round-trip (functions/html_extract.py —
+    stdlib html.parser state machine, no third-party dep): every doc's text
+    is wrapped into a genuine HTML page (entity-escaped copy split across
+    nested divs, plus the boilerplate a crawl carries: head/title, a script
+    containing angle brackets and a fake tag inside a string literal,
+    style, nav links, comments, footer with NESTED nav), then the
+    boilerplate-aware extractor recovers the visible text. The md5 of the
+    whitespace-normalized extraction must equal the oracle's md5 of the
+    normalized source text — an exact end-to-end pin of tag stripping,
+    entity unescaping, drop-subtree nesting, and comment handling.
+
+    Scale: two chained mapInPandas stages (render → extract), no shuffle;
+    at 100 TB this is the embarrassingly parallel first pass over a crawl,
+    one Arrow batch of pages per task."""
+    from dbt_spark.functions.html_extract import (_make_html_tools,
+                                                  extract_visible_text)
+
+    tools = _make_html_tools()
+
+    def gen(it):
+        import pandas as _pd
+
+        build = tools[1]
+        for pdf in it:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "html": [build(t, int(d)) for d, t in
+                         zip(pdf["doc_id"], pdf["text"])],
+            })
+
+    docs = _docs_raw(spark, sf_dir).select("doc_id", "text")
+    pages = docs.mapInPandas(gen, schema="doc_id long, html string")
+    return extract_visible_text(pages)
+
+
 ORACLES: dict[str, str] = {
+    "html_extract_visible_text": """
+        WITH norm AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> ''), ' ') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               md5(t) AS text_md5,
+               CAST(length(t) AS BIGINT) AS n_chars,
+               CAST(CASE WHEN t = '' THEN 0
+                    ELSE length(t) - length(replace(t, ' ', '')) + 1 END
+                    AS BIGINT) AS n_words
+        FROM norm
+    """,
     "multimodal_pixel_decode": f"""
         WITH {_PX_CTE}
         SELECT doc_id, fmt AS media_format,
@@ -2601,6 +2653,7 @@ QUERIES = {
     "jsonl_ingest_quarantine": jsonl_ingest_quarantine,
     "multimodal_image_headers": multimodal_image_headers,
     "multimodal_wav_headers": multimodal_wav_headers,
+    "html_extract_visible_text": html_extract_visible_text,
     "multimodal_pixel_decode": multimodal_pixel_decode,
     "multimodal_resize_nearest": multimodal_resize_nearest,
     "multimodal_wav_pcm_decode": multimodal_wav_pcm_decode,
