@@ -932,3 +932,56 @@ def pcm_window_energy(df: DataFrame, window: int = 64) -> DataFrame:
             yield _pd.DataFrame(out, dtype="int64")
 
     return df.mapInPandas(batches, schema=PCM_WINDOW_SCHEMA)
+
+
+PCM_DECIMATE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_out_samples", T.LongType()),
+    T.StructField("out_sum", T.LongType()),
+    T.StructField("out_min", T.LongType()),
+    T.StructField("out_max", T.LongType()),
+])
+
+
+def pcm_decimate_2to1(df: DataFrame) -> DataFrame:
+    """REAL 2:1 audio downsample over WAV PCM16 blobs: decode, average
+    adjacent FRAMES per channel (floor of the pair mean — integer-exact,
+    so a SQL oracle reproduces it bit-for-bit), drop a trailing odd frame,
+    re-encode at half the sample rate. Binary-in/binary-out like the image
+    resizer, with the output stream's stats riding along so the value
+    oracle pins the resample without decoding the emitted blob.
+
+    This is the standard anti-aliased-enough decimation a speech pipeline
+    runs to normalize 16 kHz→8 kHz corpora (a production kernel swaps a
+    polyphase filter into the same mapInPandas shape)."""
+    codecs = _make_pixel_codecs()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        encode, decode = codecs[6], codecs[7]
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "payload", "sample_rate",
+                                   "n_out_samples", "out_sum", "out_min",
+                                   "out_max")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                ch, sr, samples = decode(blob)
+                n_frames = len(samples) // ch
+                half = []
+                for g in range(n_frames // 2):
+                    for c in range(ch):
+                        a = samples[(2 * g) * ch + c]
+                        b = samples[(2 * g + 1) * ch + c]
+                        half.append((a + b) // 2)
+                out["doc_id"].append(int(doc_id))
+                out["payload"].append(encode(ch, sr // 2, half))
+                out["sample_rate"].append(sr // 2)
+                out["n_out_samples"].append(len(half))
+                out["out_sum"].append(sum(half) if half else 0)
+                out["out_min"].append(min(half) if half else 0)
+                out["out_max"].append(max(half) if half else 0)
+            yield _pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=PCM_DECIMATE_SCHEMA)

@@ -1704,6 +1704,26 @@ def multimodal_pcm_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pcm_window_energy(blobs, window=64)
 
 
+def multimodal_pcm_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 2:1 audio downsample round-trip: genuine PCM16 WAV files →
+    decode → per-channel adjacent-frame floor-mean decimation → re-encode
+    at half rate; the output stream's sum/min/max are value-pinned against
+    the closed-form oracle (integer floor math reproduces bit-exact in
+    SQL). The 16 kHz→8 kHz normalization pass of a speech corpus. The
+    emitted half-rate blob is dropped here (stats pin it);
+    tests/test_multimodal_codecs.py proves it re-decodes as a valid WAV."""
+    from dbt_spark.functions.multimodal import (_make_pixel_codecs,
+                                                pcm_decimate_2to1)
+
+    codecs = _make_pixel_codecs()
+    gen = _wav_pcm_gen((codecs[6],))
+    docs = _docs_raw(spark, sf_dir).select("doc_id")
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return pcm_decimate_2to1(blobs).select(
+        "doc_id", "sample_rate", "n_out_samples", "out_sum", "out_min",
+        "out_max")
+
+
 def html_extract_visible_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL HTML→text extraction round-trip (functions/html_extract.py —
     stdlib html.parser state machine, no third-party dep): every doc's text
@@ -1809,6 +1829,31 @@ ORACLES: dict[str, str] = {
                CAST(MIN(v) AS BIGINT) AS sample_min,
                CAST(MAX(v) AS BIGINT) AS sample_max
         FROM s GROUP BY doc_id, ch, sr, n
+    """,
+    "multimodal_pcm_decimate": """
+        WITH d AS (
+            SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 101 AS fr,
+                   CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        ELSE 44100 END AS sr
+            FROM documents
+        ),
+        g AS (SELECT doc_id, ch, fr, sr,
+                     unnest(generate_series(0, fr // 2 - 1)) AS gg FROM d),
+        s AS (SELECT doc_id, ch, fr, sr, gg,
+                     unnest(generate_series(0, ch - 1)) AS c FROM g),
+        v AS (SELECT doc_id, ch, fr, sr,
+                     CAST(FLOOR((
+                         (((31*doc_id + 17*((2*gg)*ch + c)) % 65536) - 32768)
+                       + (((31*doc_id + 17*((2*gg+1)*ch + c)) % 65536) - 32768)
+                     ) / 2.0) AS BIGINT) AS hv
+              FROM s)
+        SELECT doc_id,
+               CAST(sr // 2 AS BIGINT) AS sample_rate,
+               CAST((fr // 2) * ch AS BIGINT) AS n_out_samples,
+               CAST(SUM(hv) AS BIGINT) AS out_sum,
+               CAST(MIN(hv) AS BIGINT) AS out_min,
+               CAST(MAX(hv) AS BIGINT) AS out_max
+        FROM v GROUP BY doc_id, ch, fr, sr
     """,
     "multimodal_pcm_window_energy": """
         WITH d AS (
@@ -2658,6 +2703,7 @@ QUERIES = {
     "multimodal_resize_nearest": multimodal_resize_nearest,
     "multimodal_wav_pcm_decode": multimodal_wav_pcm_decode,
     "multimodal_pcm_window_energy": multimodal_pcm_window_energy,
+    "multimodal_pcm_decimate": multimodal_pcm_decimate,
     "bpe_merge_learning": bpe_merge_learning,
     "per_source_dup_rate": per_source_dup_rate,
     "dup_cluster_sizes": dup_cluster_sizes,

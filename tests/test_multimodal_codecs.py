@@ -278,3 +278,34 @@ def test_pcm_kernels(spark):
         row = by_key[(d, idx)]
         assert row["win_len"] == len(chunk)
         assert row["abs_sum"] == sum(abs(s) for s in chunk)
+
+
+def test_pcm_decimate_2to1_kernel(spark):
+    from dbt_spark.functions.multimodal import pcm_decimate_2to1
+
+    def build(d):
+        ch = 1 + d % 2
+        n_frames = 11 + d  # odd counts exercise the trailing-frame drop
+        return encode_wav_pcm16(
+            ch, 16000,
+            [((d * 31 + i * 17) % 65536) - 32768
+             for i in range(n_frames * ch)])
+
+    out = {r["doc_id"]: r for r in
+           pcm_decimate_2to1(_blob_df(spark, build)).collect()}
+    for d in range(8):
+        ch = 1 + d % 2
+        n_frames = 11 + d
+        samples = [((d * 31 + i * 17) % 65536) - 32768
+                   for i in range(n_frames * ch)]
+        half = [(samples[(2 * g) * ch + c] + samples[(2 * g + 1) * ch + c]) // 2
+                for g in range(n_frames // 2) for c in range(ch)]
+        row = out[d]
+        assert row["sample_rate"] == 8000
+        assert row["n_out_samples"] == (n_frames // 2) * ch
+        assert row["out_sum"] == sum(half)
+        assert (row["out_min"], row["out_max"]) == (min(half), max(half))
+        # the emitted blob is a VALID half-rate WAV holding exactly `half`
+        ch2, sr2, got = decode_wav_pcm16(bytes(row["payload"]))
+        assert (ch2, sr2) == (ch, 8000)
+        assert got == half
