@@ -178,6 +178,7 @@ def main() -> None:
     from dbt_spark.queries.llmops import warm_ann_artifacts
 
     ann_train = warm_ann_artifacts(spark, sf_dir)
+    ann_train["search_only"] = _bench_ann_search_only(spark, sf_dir)
 
     # Min-of-N per query: the VM's wall clock swings ±40% run-to-run, so a
     # single sample cannot distinguish a regression from noise. The min of 3
@@ -220,6 +221,46 @@ def main() -> None:
             }
         )
     )
+
+
+def _bench_ann_search_only(spark, sf_dir: str) -> dict:
+    """The production ANN cost: PQ/IVFADC SEARCH with every index artifact
+    prebuilt (codes/centroids/codebooks cached, metadata hints passed) —
+    what a query batch pays once ingest has built the index. The
+    registered ann_topk_* queries additionally carry their in-query
+    brute-force recall GATE, so their bench entries measure
+    search + validation; this entry isolates the search path."""
+    from pyspark.sql import functions as F
+
+    from dbt_spark.functions import similarity as S
+    from dbt_spark.queries.llmops import (_emb, _emb_meta, _encoded_codes,
+                                          _ivfpq_idx, _trained_centroids,
+                                          _trained_codebooks)
+
+    emb = _emb(spark, sf_dir)
+    pred = (F.col("vec_id") >= 100) & (F.col("vec_id") < 108)
+    n, dim = _emb_meta(spark, sf_dir)
+    out = {}
+    for name, build in (
+        ("pq", lambda: S.pq_topk(
+            emb, pred, k=5, m=8, n_codes=16, rerank=max(64, n // 8),
+            codebooks=_trained_codebooks(spark, sf_dir),
+            codes=_encoded_codes(spark, sf_dir),
+            subdim=dim // 8, m_count=8)),
+        ("ivfpq", lambda: S.ivfpq_topk(
+            emb, pred, k=5, n_centroids=8, nprobe=4, m=8, n_codes=16,
+            centroids=_trained_centroids(spark, sf_dir),
+            codebooks=_trained_codebooks(spark, sf_dir),
+            codes=_ivfpq_idx(spark, sf_dir),
+            rerank=max(64, n // 8), subdim=dim // 8, m_count=8)),
+    ):
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            build().write.mode("overwrite").format("noop").save()
+            best = min(best or 9e9, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
 
 
 def _bench_run_2000(spark) -> dict:

@@ -569,6 +569,8 @@ def pq_topk(
     codebooks: DataFrame | None = None,
     rerank: int | None = None,
     codes: DataFrame | None = None,
+    subdim: int | None = None,
+    m_count: int | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k by L2: queries stay full-precision; each
     query builds an (m × n_codes) lookup table of subspace distances to
@@ -593,9 +595,15 @@ def pq_topk(
                              id_col=id_col, vec_col=vec_col)
     if codes is None:
         codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
-    sub_df = codebooks.select(F.size("cv").alias("s")).limit(1)
-    sub = sub_df.first()["s"]
-    m_count = codebooks.agg(F.max("m")).first()[0] + 1
+    # metadata (subspace width, codebook count) is derivable from the
+    # codebooks with two tiny driver jobs — callers that already know them
+    # (they chose m and the embedding dim) pass subdim/m_count to keep the
+    # per-query plan build job-free
+    if subdim is None:
+        subdim = codebooks.select(F.size("cv").alias("s")).limit(1).first()["s"]
+    if m_count is None:
+        m_count = codebooks.agg(F.max("m")).first()[0] + 1
+    sub = subdim
     q = emb.filter(query_pred).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     dtable = q.select(
@@ -606,6 +614,14 @@ def pq_topk(
     ).join(codebooks, "m").select(
         "qid", "m", F.col("cid").alias("code"),
         _l2sq("qsv", "cv").alias("pd2"))
+    # ADC scan shape, measured against an in-place alternative (round 8):
+    # a broadcast map-of-maps lookup folded over the codes array avoids
+    # the M× posexplode and the (qid, nid) re-aggregation, but Spark runs
+    # higher-order lambdas INTERPRETED per element while this explode →
+    # broadcast-join → hash-aggregate pipeline stays in whole-stage
+    # codegen with map-side partials — the codegen'd shape measured ~1.4×
+    # faster end-to-end, so it stays. The agg exchange carries one partial
+    # per (qid, nid) per task, the same order as the top-R window's input.
     scan = codes.select(
         F.col("id").alias("nid"), F.posexplode("codes").alias("m", "code"))
     scored = (scan.join(F.broadcast(dtable), ["m", "code"])
@@ -670,6 +686,8 @@ def ivfpq_topk(
     codebooks: DataFrame | None = None,
     rerank: int | None = None,
     codes: DataFrame | None = None,
+    subdim: int | None = None,
+    m_count: int | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV — the FAISS default at billion scale):
     a coarse IVF quantizer restricts the search to ``nprobe`` inverted
@@ -709,9 +727,11 @@ def ivfpq_topk(
     probes = (qscore.withColumn("__r", F.row_number().over(wq))
               .filter(F.col("__r") <= nprobe)
               .select("qid", F.col("cid").alias("cell")))
-    sub_df = codebooks.select(F.size("cv").alias("s")).limit(1)
-    sub = sub_df.first()["s"]
-    m_count = codebooks.agg(F.max("m")).first()[0] + 1
+    if subdim is None:
+        subdim = codebooks.select(F.size("cv").alias("s")).limit(1).first()["s"]
+    if m_count is None:
+        m_count = codebooks.agg(F.max("m")).first()[0] + 1
+    sub = subdim
     dtable = q.select(
         "qid",
         F.explode(F.sequence(F.lit(0), F.lit(m_count - 1))).alias("m"), "qv",
@@ -720,6 +740,9 @@ def ivfpq_topk(
     ).join(codebooks, "m").select(
         "qid", "m", F.col("cid").alias("code"),
         _l2sq("qsv", "cv").alias("pd2"))
+    # probed scan: codes ⋈ broadcast probe set keeps the IVF cell pruning;
+    # scoring uses the same codegen'd explode/join/aggregate shape as
+    # pq_topk (see the measurement note there)
     scan = (codes.join(F.broadcast(probes), "cell")
             .select("qid", "nid", F.posexplode("codes").alias("m", "code")))
     scored = (scan.join(F.broadcast(dtable), ["qid", "m", "code"])

@@ -78,6 +78,21 @@ def _trained_codebooks(spark: SparkSession, sf_dir: str,
 # shortlist re-rank only.
 _PQ_CODES: dict = {}
 _IVFPQ_INDEX: dict = {}
+_EMB_META: dict = {}
+
+
+def _emb_meta(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(row count, vector dim) of the embeddings corpus — session-cached
+    so per-query plan builds stay free of metadata driver jobs (the
+    rerank sizing and PQ subspace width both need these)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_META:
+        e = _emb(spark, sf_dir)
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size("embedding")).alias("dim")).first()
+        _EMB_META[key] = (int(row["n"]), int(row["dim"]))
+    return _EMB_META[key]
 
 
 def _encoded_codes(spark: SparkSession, sf_dir: str,
@@ -110,6 +125,7 @@ def warm_ann_artifacts(spark: SparkSession, sf_dir: str) -> dict:
     per-query ANN bench entries measure the search path alone, mirroring
     production where training/encoding never runs inside a query."""
     t0 = time.time()
+    _emb_meta(spark, sf_dir)
     _trained_centroids(spark, sf_dir).count()
     _trained_codebooks(spark, sf_dir).count()
     n_codes = _encoded_codes(spark, sf_dir).count()
@@ -544,10 +560,11 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall needs a corpus-proportional ADC shortlist; on clustered
     # real-world embeddings (the planted test) rerank=4k already clears 0.9
     # recall. PQ still prunes 8× of the exact scans and compresses 32×.
-    rerank = max(64, emb.count() // 8)
-    out = S.pq_topk(emb, pred, k=5, m=8, n_codes=16, rerank=rerank,
+    n, dim = _emb_meta(spark, sf_dir)
+    out = S.pq_topk(emb, pred, k=5, m=8, n_codes=16, rerank=max(64, n // 8),
                     codebooks=_trained_codebooks(spark, sf_dir),
-                    codes=_encoded_codes(spark, sf_dir))
+                    codes=_encoded_codes(spark, sf_dir),
+                    subdim=dim // 8, m_count=8)
     got: dict = {}
     for r in out.collect():
         got.setdefault(r["qid"], set()).add(r["nid"])
@@ -1452,12 +1469,13 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     pred = (F.col("vec_id") >= 100) & (F.col("vec_id") < 108)
+    n, dim = _emb_meta(spark, sf_dir)
     out = S.ivfpq_topk(
         emb, pred, k=5, n_centroids=8, nprobe=4, m=8, n_codes=16,
         centroids=_trained_centroids(spark, sf_dir),
         codebooks=_trained_codebooks(spark, sf_dir),
         codes=_ivfpq_idx(spark, sf_dir),
-        rerank=max(64, emb.count() // 8))
+        rerank=max(64, n // 8), subdim=dim // 8, m_count=8)
     got: dict = {}
     for r in out.collect():
         got.setdefault(r["qid"], set()).add(r["nid"])
