@@ -675,24 +675,218 @@ def _make_pixel_codecs():
             rows.append(bytes(px))
         return width, height, rows
 
+    # ---- GIF: REAL LZW codec (GIF89a §§15-22, Welch 1984) --------------
+    # Variable-width LZW with the GIF conventions: clear/end codes, code
+    # width growth up to 12 bits ("late change" on the encoder side — the
+    # decoder's string table trails the encoder's by one entry, so the
+    # encoder widens one code later than the decoder), deferred-clear
+    # tolerant, data packaged in ≤255-byte sub-blocks.
+
+    def _gif_lzw_decode(min_code_size, data):
+        clear = 1 << min_code_size
+        end = clear + 1
+        code_size = min_code_size + 1
+        table = {i: (i,) for i in range(clear)}
+        next_code = end + 1
+        out = []
+        prev = None
+        bitpos = 0
+        total_bits = len(data) * 8
+        while True:
+            if bitpos + code_size > total_bits:
+                break
+            code = 0
+            for i in range(code_size):
+                if (data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1:
+                    code |= 1 << i
+            bitpos += code_size
+            if code == end:
+                break
+            if code == clear:
+                code_size = min_code_size + 1
+                table = {i: (i,) for i in range(clear)}
+                next_code = end + 1
+                prev = None
+                continue
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)  # the cScSc special case
+            else:
+                raise ValueError(f"GIF LZW: code {code} out of sequence")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+        return out
+
+    def _gif_lzw_encode(min_code_size, pixels):
+        clear = 1 << min_code_size
+        end = clear + 1
+        code_size = min_code_size + 1
+        table = {(i,): i for i in range(clear)}
+        next_code = end + 1
+        bits = bytearray()
+        acc = 0
+        nacc = 0
+
+        out = bytearray()
+
+        def emit(code):
+            nonlocal acc, nacc
+            acc |= code << nacc
+            nacc += code_size
+            while nacc >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+
+        emit(clear)
+        w = ()
+        for px in pixels:
+            wk = w + (px,)
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w])
+            if next_code < 4096:
+                table[wk] = next_code
+                next_code += 1
+                # late change: widen AFTER the decoder would (its table
+                # trails ours by one entry at read time)
+                if next_code == (1 << code_size) + 1 and code_size < 12:
+                    code_size += 1
+            else:
+                emit(clear)
+                code_size = min_code_size + 1
+                table = {(i,): i for i in range(clear)}
+                next_code = end + 1
+            w = (px,)
+        if w:
+            emit(table[w])
+        emit(end)
+        if nacc:
+            out.append(acc & 0xFF)
+        del bits
+        return bytes(out)
+
+    _GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+    def encode_gif_indexed(width, height, idx, palette, interlace=False):
+        """Real GIF89a encoder: ``idx(r, c)`` gives the palette index of
+        each pixel; ``palette`` is a list of (R, G, B) whose length is a
+        power of two ≤256. True variable-width LZW compression, optional
+        interlaced row order, global color table."""
+        n_pal = len(palette)
+        bits_pp = max(1, (n_pal - 1).bit_length())
+        if (1 << bits_pp) != n_pal:
+            raise ValueError("GIF palette length must be a power of two")
+        min_code = max(2, bits_pp)
+        gct = b"".join(bytes(p) for p in palette)
+        lsd = struct.pack("<HHBBB", width, height,
+                          0x80 | ((bits_pp - 1) << 4) | (bits_pp - 1), 0, 0)
+        if interlace:
+            order = [r for start, step in _GIF_PASSES
+                     for r in range(start, height, step)]
+        else:
+            order = range(height)
+        pixels = [idx(r, c) for r in order for c in range(width)]
+        lzw = _gif_lzw_encode(min_code, pixels)
+        sub = b"".join(
+            bytes([min(255, len(lzw) - i)]) + lzw[i:i + 255]
+            for i in range(0, len(lzw), 255)) + b"\x00"
+        imd = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height,
+                          0x40 if interlace else 0)
+        return (b"GIF89a" + lsd + gct + imd + bytes([min_code]) + sub
+                + b"\x3b")
+
+    def decode_gif_rgb(blob):
+        """Real GIF decoder: logical screen descriptor, global/local color
+        tables, extension-block skipping, sub-block reassembly, full LZW
+        decompression, interlace reordering. Returns (width, height, rows)
+        as top-down RGB byte strings for the FIRST image in the stream."""
+        b = bytes(blob)
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF stream")
+        sw = int.from_bytes(b[6:8], "little")
+        sh = int.from_bytes(b[8:10], "little")
+        packed = b[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = [tuple(b[pos + 3 * i:pos + 3 * i + 3]) for i in range(n)]
+            pos += 3 * n
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"GIF: unexpected block 0x{block:02x}")
+            width = int.from_bytes(b[pos + 5:pos + 7], "little")
+            height = int.from_bytes(b[pos + 7:pos + 9], "little")
+            ipacked = b[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = [tuple(b[pos + 3 * i:pos + 3 * i + 3])
+                       for i in range(n)]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idxs = _gif_lzw_decode(min_code, bytes(data))
+            if len(idxs) < width * height:
+                raise ValueError("GIF pixel data truncated")
+            rows = [None] * height
+            if ipacked & 0x40:  # interlaced
+                order = [r for start, step in _GIF_PASSES
+                         for r in range(start, height, step)]
+            else:
+                order = range(height)
+            for out_i, r in enumerate(order):
+                line = bytearray()
+                for c in range(width):
+                    line += bytes(pal[idxs[out_i * width + c]])
+                rows[r] = bytes(line)
+            return width, height, rows
+        raise ValueError(f"GIF: no image descriptor (screen {sw}x{sh})")
+
     def decode_image_rgb(blob):
-        """Dispatching pixel decode: (format, width, height, rows) for PNG
-        and 24-bit BMP — REAL decodes; JPEG/GIF raise NotImplementedError
-        (DCT entropy / LZW decode need a codec library — their headers
-        still parse via parse_image_header)."""
+        """Dispatching pixel decode: (format, width, height, rows) for
+        PNG, 24-bit BMP, and GIF (full LZW) — REAL decodes; JPEG raises
+        NotImplementedError (DCT entropy decode needs a codec library —
+        its headers still parse via parse_image_header)."""
         b = bytes(blob)
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             return ("png",) + decode_png_rgb(b)
         if b[:2] == b"BM":
             return ("bmp",) + decode_bmp_rgb(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return ("gif",) + decode_gif_rgb(b)
         if b[:2] == b"\xff\xd8":
             raise NotImplementedError(
                 "JPEG pixel decode requires a codec library (Huffman+DCT); "
                 "header metadata parses via parse_image_header")
-        if b[:6] in (b"GIF87a", b"GIF89a"):
-            raise NotImplementedError(
-                "GIF pixel decode requires LZW; header metadata parses via "
-                "parse_image_header")
         raise ValueError("unknown image container")
 
     def resize_nearest_rgb(width, height, rows, out_w, out_h):
@@ -752,12 +946,12 @@ def _make_pixel_codecs():
 
     return (encode_png_rgb, decode_png_rgb, encode_bmp_rgb, decode_bmp_rgb,
             decode_image_rgb, resize_nearest_rgb, encode_wav_pcm16,
-            decode_wav_pcm16)
+            decode_wav_pcm16, encode_gif_indexed, decode_gif_rgb)
 
 
 (encode_png_rgb, decode_png_rgb, encode_bmp_rgb, decode_bmp_rgb,
  decode_image_rgb, resize_nearest_rgb, encode_wav_pcm16,
- decode_wav_pcm16) = _make_pixel_codecs()
+ decode_wav_pcm16, encode_gif_indexed, decode_gif_rgb) = _make_pixel_codecs()
 
 
 PIXEL_STATS_SCHEMA = T.StructType([

@@ -1722,6 +1722,45 @@ def multimodal_pcm_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pcm_window_energy(blobs, window=64)
 
 
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF round-trip — full LZW both ways (round 8 retires the GIF
+    stub; JPEG's DCT remains the only codec-bound one): every doc gets a
+    genuine GIF89a (true variable-width LZW compression with code growth,
+    global 256-color table p[i] = (i, 2i%256, 3i%256), every 2nd doc
+    INTERLACED), which the pure-stdlib decoder (sub-block reassembly, LZW
+    with the cScSc case and deferred clears, interlace reordering)
+    rasterizes back; channel sums + the position-weighted red sum pin
+    values and row order against the closed-form oracle.
+
+    Scale: same shuffle-free chained mapInPandas profile as the other
+    codec queries."""
+    from dbt_spark.functions.multimodal import (_make_pixel_codecs,
+                                                decode_pixel_stats)
+
+    codecs = _make_pixel_codecs()
+    enc_gif = codecs[8]
+
+    def gen(it):
+        import pandas as _pd
+
+        pal = [(i, (2 * i) % 256, (3 * i) % 256) for i in range(256)]
+
+        def build(d):
+            w, h = 4 + (7 * d) % 13, 4 + (11 * d) % 9
+            return enc_gif(
+                w, h, lambda r, c: (d + 7 * r + 13 * c) % 256, pal,
+                interlace=(d % 2 == 1))
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame({"doc_id": ids,
+                                 "payload": [build(d) for d in ids]})
+
+    docs = _docs_raw(spark, sf_dir).select("doc_id")
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return decode_pixel_stats(blobs)
+
+
 def multimodal_pcm_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL 2:1 audio downsample round-trip: genuine PCM16 WAV files →
     decode → per-channel adjacent-frame floor-mean decimation → re-encode
@@ -1847,6 +1886,27 @@ ORACLES: dict[str, str] = {
                CAST(MIN(v) AS BIGINT) AS sample_min,
                CAST(MAX(v) AS BIGINT) AS sample_max
         FROM s GROUP BY doc_id, ch, sr, n
+    """,
+    "multimodal_gif_decode": """
+        WITH dims AS (
+            SELECT doc_id,
+                   4 + (7 * doc_id) % 13 AS w,
+                   4 + (11 * doc_id) % 9 AS h
+            FROM documents
+        ),
+        rws AS (SELECT doc_id, w, h,
+                       unnest(generate_series(0, h - 1)) AS r FROM dims),
+        px AS (SELECT doc_id, w, h, r,
+                      unnest(generate_series(0, w - 1)) AS c FROM rws),
+        v AS (SELECT doc_id, w, h, r, c,
+                     (doc_id + 7*r + 13*c) % 256 AS idx FROM px)
+        SELECT doc_id, 'gif' AS media_format,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(SUM(idx) AS BIGINT) AS red_sum,
+               CAST(SUM((2 * idx) % 256) AS BIGINT) AS green_sum,
+               CAST(SUM((3 * idx) % 256) AS BIGINT) AS blue_sum,
+               CAST(SUM((r * w + c) * idx) AS BIGINT) AS red_pos_weighted
+        FROM v GROUP BY doc_id, w, h
     """,
     "multimodal_pcm_decimate": """
         WITH d AS (
@@ -2722,6 +2782,7 @@ QUERIES = {
     "multimodal_wav_pcm_decode": multimodal_wav_pcm_decode,
     "multimodal_pcm_window_energy": multimodal_pcm_window_energy,
     "multimodal_pcm_decimate": multimodal_pcm_decimate,
+    "multimodal_gif_decode": multimodal_gif_decode,
     "bpe_merge_learning": bpe_merge_learning,
     "per_source_dup_rate": per_source_dup_rate,
     "dup_cluster_sizes": dup_cluster_sizes,
