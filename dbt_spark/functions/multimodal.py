@@ -871,11 +871,369 @@ def _make_pixel_codecs():
             return width, height, rows
         raise ValueError(f"GIF: no image descriptor (screen {sw}x{sh})")
 
+    # ---- JPEG: REAL baseline codec, grayscale (ITU T.81) ---------------
+    # Full entropy pipeline both directions: level shift, orthonormal 2D
+    # DCT as two 8×8 matrix products (numpy), quantization, zigzag, DC
+    # prediction, (run, size) AC run-length symbols with ZRL/EOB,
+    # OPTIMAL per-image Huffman tables written to DHT (the decoder
+    # reconstructs canonical codes from BITS/HUFFVAL like any JPEG
+    # reader), MSB-first bit packing with 0xFF byte stuffing. Scope:
+    # baseline sequential, single 8-bit component (grayscale), no
+    # chroma subsampling / progressive / restart markers — those raise
+    # a named NotImplementedError. Constant 8×8 tiles survive the
+    # DCT→quantize→IDCT round trip BIT-EXACTLY (only the DC coefficient
+    # is nonzero and it is an exact multiple of 8), which is what the
+    # value-pinned oracle query exploits; arbitrary images round-trip
+    # within ±2 gray levels at quant=1 (float DCT + coefficient
+    # rounding), asserted in tests.
+
+    _ZZ = []
+    for _s in range(15):
+        _rs = list(range(max(0, _s - 7), min(7, _s) + 1))
+        if _s % 2 == 0:
+            _rs.reverse()
+        for _r in _rs:
+            _ZZ.append((_r, _s - _r))
+
+    def _dct_matrix():
+        import math
+
+        import numpy as np
+
+        m = np.zeros((8, 8))
+        for u in range(8):
+            for x in range(8):
+                cu = math.sqrt(1.0 / 8) if u == 0 else math.sqrt(2.0 / 8)
+                m[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16)
+        return m
+
+    def _huff_lengths(freqs):
+        """Symbol → canonical code length via plain Huffman (heapq);
+        alphabets here are ≤ 176 symbols on ≥1 counts, so lengths stay
+        far below JPEG's 16-bit cap (asserted)."""
+        import heapq
+        import itertools
+
+        heap = [(f, n, (s,)) for n, (s, f) in
+                enumerate(it for it in freqs.items() if it[1] > 0)]
+        heapq.heapify(heap)
+        if len(heap) == 1:
+            return {heap[0][2][0]: 1}
+        counter = itertools.count(len(heap))
+        depth = {}
+        while len(heap) > 1:
+            f1, _, s1 = heapq.heappop(heap)
+            f2, _, s2 = heapq.heappop(heap)
+            for s in s1 + s2:
+                depth[s] = depth.get(s, 0) + 1
+            heapq.heappush(heap, (f1 + f2, next(counter), s1 + s2))
+        assert max(depth.values()) <= 16, "JPEG Huffman length overflow"
+        return depth
+
+    def _canonical_codes(lengths):
+        """(BITS, HUFFVAL, symbol→(code, length)) — canonical assignment
+        in (length, symbol) order, exactly how DHT is interpreted."""
+        by = sorted(lengths.items(), key=lambda kv: (kv[1], kv[0]))
+        bits = [0] * 17
+        huffval = []
+        codes = {}
+        code = 0
+        prev_len = 0
+        for sym, ln in by:
+            code <<= (ln - prev_len)
+            codes[sym] = (code, ln)
+            code += 1
+            prev_len = ln
+            bits[ln] += 1
+            huffval.append(sym)
+        return bits, huffval, codes
+
+    def _mag_cat(v):
+        return 0 if v == 0 else abs(v).bit_length()
+
+    def encode_jpeg_gray(width, height, pix):
+        """Real baseline JPEG encoder (grayscale, quant table all ones —
+        maximum fidelity): ``pix`` is either ``pix(r, c) -> 0..255`` or a
+        (height, width) numpy array (the vectorized fast path the
+        registered query uses — per-pixel Python calls dominate
+        otherwise). Two passes: collect DC/AC symbol frequencies, build
+        optimal Huffman tables, then entropy-encode. Emits
+        SOI/APP0/DQT/SOF0/DHT×2/SOS/EOI."""
+        import numpy as np
+
+        M = _dct_matrix()
+        bw, bh = (width + 7) // 8, (height + 7) // 8
+        if isinstance(pix, np.ndarray):
+            img = np.pad(pix.astype(np.float64),
+                         ((0, bh * 8 - height), (0, bw * 8 - width)),
+                         mode="edge")
+        else:
+            img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+            for r in range(bh * 8):
+                for c in range(bw * 8):
+                    img[r, c] = pix(min(r, height - 1), min(c, width - 1))
+        blocks = []
+        for br in range(bh):
+            for bc in range(bw):
+                blk = img[br * 8:br * 8 + 8, bc * 8:bc * 8 + 8] - 128.0
+                coef = M @ blk @ M.T
+                q = np.rint(coef).astype(np.int64)
+                blocks.append([int(q[r, c]) for (r, c) in _ZZ])
+
+        # pass 1: symbol streams + frequencies
+        dc_syms, ac_syms = [], []
+        pred = 0
+        per_block = []
+        for zz in blocks:
+            diff = zz[0] - pred
+            pred = zz[0]
+            ds = _mag_cat(diff)
+            dc_syms.append(ds)
+            events = [("dc", ds, diff)]
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    events.append(("ac", 0xF0, 0))
+                    ac_syms.append(0xF0)
+                    run -= 16
+                sz = _mag_cat(zz[k])
+                sym = (run << 4) | sz
+                events.append(("ac", sym, zz[k]))
+                ac_syms.append(sym)
+                run = 0
+            if last_nz < 63:
+                events.append(("ac", 0x00, 0))
+                ac_syms.append(0x00)
+            per_block.append(events)
+
+        def freq(syms):
+            f = {}
+            for s in syms:
+                f[s] = f.get(s, 0) + 1
+            return f
+
+        dc_bits, dc_vals, dc_codes = _canonical_codes(_huff_lengths(freq(dc_syms)))
+        ac_bits, ac_vals, ac_codes = _canonical_codes(_huff_lengths(freq(ac_syms)))
+
+        # pass 2: entropy-coded segment, MSB-first + byte stuffing
+        out = bytearray()
+        acc = {"v": 0, "n": 0}
+
+        def put(code, length):
+            acc["v"] = (acc["v"] << length) | code
+            acc["n"] += length
+            while acc["n"] >= 8:
+                byte = (acc["v"] >> (acc["n"] - 8)) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+                acc["n"] -= 8
+                acc["v"] &= (1 << acc["n"]) - 1
+
+        for events in per_block:
+            for kind, sym, val in events:
+                code, ln = (dc_codes if kind == "dc" else ac_codes)[sym]
+                put(code, ln)
+                sz = sym & 15 if kind == "ac" else sym
+                if sz:
+                    put(val if val > 0 else val + (1 << sz) - 1, sz)
+        if acc["n"]:
+            pad = 8 - acc["n"]
+            put((1 << pad) - 1, pad)  # 1-bit padding per spec
+
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) + struct.pack(
+                ">H", len(payload) + 2) + payload
+
+        def dht(cls, bits, vals):
+            return seg(0xC4, bytes([cls << 4]) + bytes(bits[1:17])
+                       + bytes(vals))
+
+        app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00"
+                   + struct.pack(">HH", 72, 72) + b"\x00\x00")
+        dqt = seg(0xDB, b"\x00" + b"\x01" * 64)
+        sof0 = seg(0xC0, b"\x08" + struct.pack(">HH", height, width)
+                   + b"\x01" + b"\x01\x11\x00")
+        sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+        return (b"\xff\xd8" + app0 + dqt + sof0
+                + dht(0, dc_bits, dc_vals) + dht(1, ac_bits, ac_vals)
+                + sos + bytes(out) + b"\xff\xd9")
+
+    def decode_jpeg_gray(blob):
+        """Real baseline JPEG decoder (grayscale): marker walk, DQT/DHT
+        (canonical codes from BITS/HUFFVAL), SOF0 validation, Huffman +
+        magnitude decode with DC prediction, dequantize, dezigzag,
+        IDCT, clamp. Returns (width, height, rows) of 8-bit gray
+        bytes. Progressive / multi-component / restart-interval streams
+        raise NotImplementedError by name."""
+        import numpy as np
+
+        b = bytes(blob)
+        if b[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG stream")
+        i = 2
+        qtabs = {}
+        htabs = {}
+        width = height = None
+        data = None
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker == 0xD9:
+                break
+            if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                          0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    f"JPEG SOF{marker - 0xC0}: only baseline sequential "
+                    "(SOF0) is implemented")
+            ln = int.from_bytes(b[i + 2:i + 4], "big")
+            payload = b[i + 4:i + 2 + ln]
+            if marker == 0xDB:
+                p = 0
+                while p < len(payload):
+                    pq, tq = payload[p] >> 4, payload[p] & 15
+                    if pq != 0:
+                        raise NotImplementedError("16-bit quant table")
+                    qtabs[tq] = list(payload[p + 1:p + 65])
+                    p += 65
+            elif marker == 0xC4:
+                p = 0
+                while p < len(payload):
+                    cls, tid = payload[p] >> 4, payload[p] & 15
+                    bits = [0] + list(payload[p + 1:p + 17])
+                    nval = sum(bits)
+                    vals = list(payload[p + 17:p + 17 + nval])
+                    lengths = {}
+                    vi = 0
+                    for L in range(1, 17):
+                        for _ in range(bits[L]):
+                            lengths[vals[vi]] = L
+                            vi += 1
+                    # canonical codes must follow DHT order (BITS/HUFFVAL
+                    # sequence), not symbol order
+                    codes = {}
+                    code = 0
+                    prev = 0
+                    vi = 0
+                    for L in range(1, 17):
+                        code <<= (L - prev)
+                        prev = L
+                        for _ in range(bits[L]):
+                            codes[(L, code)] = vals[vi]
+                            code += 1
+                            vi += 1
+                    htabs[(cls, tid)] = codes
+                    p += 17 + nval
+            elif marker == 0xC0:
+                height = int.from_bytes(payload[1:3], "big")
+                width = int.from_bytes(payload[3:5], "big")
+                ncomp = payload[5]
+                if ncomp != 1:
+                    raise NotImplementedError(
+                        f"JPEG with {ncomp} components: only grayscale "
+                        "(1 component) is implemented")
+                if payload[6 + 1] != 0x11:
+                    raise NotImplementedError("JPEG chroma subsampling")
+                qsel = payload[6 + 2]
+            elif marker == 0xDD:
+                raise NotImplementedError("JPEG restart intervals (DRI)")
+            elif marker == 0xDA:
+                td, ta = payload[2] >> 4, payload[2] & 15
+                j = i + 2 + ln
+                raw = bytearray()
+                while j < len(b) - 1:
+                    if b[j] == 0xFF:
+                        if b[j + 1] == 0x00:
+                            raw.append(0xFF)
+                            j += 2
+                            continue
+                        if 0xD0 <= b[j + 1] <= 0xD7:
+                            raise NotImplementedError(
+                                "JPEG restart markers (RSTn)")
+                        break
+                    raw.append(b[j])
+                    j += 1
+                data = bytes(raw)
+                break
+            i += 2 + ln
+        if width is None or data is None:
+            raise ValueError("JPEG missing SOF0/SOS")
+        q = qtabs[qsel]
+        dc_codes, ac_codes = htabs[(0, td)], htabs[(1, ta)]
+        M = _dct_matrix()
+        bw, bh = (width + 7) // 8, (height + 7) // 8
+        pos = {"bit": 0}
+        total = len(data) * 8
+
+        def read_bit():
+            p = pos["bit"]
+            if p >= total:
+                raise ValueError("JPEG entropy data exhausted")
+            pos["bit"] += 1
+            return (data[p >> 3] >> (7 - (p & 7))) & 1
+
+        def read_sym(codes):
+            code = 0
+            for L in range(1, 17):
+                code = (code << 1) | read_bit()
+                if (L, code) in codes:
+                    return codes[(L, code)]
+            raise ValueError("JPEG: invalid Huffman code")
+
+        def read_val(sz):
+            v = 0
+            for _ in range(sz):
+                v = (v << 1) | read_bit()
+            if sz and v < (1 << (sz - 1)):
+                v -= (1 << sz) - 1
+            return v
+
+        out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        pred = 0
+        for br in range(bh):
+            for bc in range(bw):
+                zz = [0] * 64
+                ds = read_sym(dc_codes)
+                pred += read_val(ds)
+                zz[0] = pred * q[0]
+                k = 1
+                while k < 64:
+                    sym = read_sym(ac_codes)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("JPEG: AC index out of range")
+                    zz[k] = read_val(sym & 15) * q[k]
+                    k += 1
+                coef = np.zeros((8, 8))
+                for idx, (r, c) in enumerate(_ZZ):
+                    coef[r, c] = zz[idx]
+                blk = M.T @ coef @ M + 128.0
+                out[br * 8:br * 8 + 8, bc * 8:bc * 8 + 8] = blk
+        clamped = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+        rows = [bytes(clamped[r, :width]) for r in range(height)]
+        return width, height, rows
+
     def decode_image_rgb(blob):
-        """Dispatching pixel decode: (format, width, height, rows) for
-        PNG, 24-bit BMP, and GIF (full LZW) — REAL decodes; JPEG raises
-        NotImplementedError (DCT entropy decode needs a codec library —
-        its headers still parse via parse_image_header)."""
+        """Dispatching pixel decode — ALL FOUR containers are REAL now:
+        PNG (inflate+unfilter), 24-bit BMP, GIF (full LZW), baseline
+        grayscale JPEG (Huffman+DCT; gray expanded to RGB). JPEG
+        variants outside baseline-grayscale (progressive, chroma
+        components, restart markers) raise a NAMED NotImplementedError
+        from the JPEG decoder itself."""
         b = bytes(blob)
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             return ("png",) + decode_png_rgb(b)
@@ -884,9 +1242,15 @@ def _make_pixel_codecs():
         if b[:6] in (b"GIF87a", b"GIF89a"):
             return ("gif",) + decode_gif_rgb(b)
         if b[:2] == b"\xff\xd8":
-            raise NotImplementedError(
-                "JPEG pixel decode requires a codec library (Huffman+DCT); "
-                "header metadata parses via parse_image_header")
+            w, h, gray = decode_jpeg_gray(b)
+            rows = []
+            for line in gray:
+                px = bytearray(w * 3)
+                px[0::3] = line
+                px[1::3] = line
+                px[2::3] = line
+                rows.append(bytes(px))
+            return ("jpeg", w, h, rows)
         raise ValueError("unknown image container")
 
     def resize_nearest_rgb(width, height, rows, out_w, out_h):
@@ -946,12 +1310,14 @@ def _make_pixel_codecs():
 
     return (encode_png_rgb, decode_png_rgb, encode_bmp_rgb, decode_bmp_rgb,
             decode_image_rgb, resize_nearest_rgb, encode_wav_pcm16,
-            decode_wav_pcm16, encode_gif_indexed, decode_gif_rgb)
+            decode_wav_pcm16, encode_gif_indexed, decode_gif_rgb,
+            encode_jpeg_gray, decode_jpeg_gray)
 
 
 (encode_png_rgb, decode_png_rgb, encode_bmp_rgb, decode_bmp_rgb,
  decode_image_rgb, resize_nearest_rgb, encode_wav_pcm16,
- decode_wav_pcm16, encode_gif_indexed, decode_gif_rgb) = _make_pixel_codecs()
+ decode_wav_pcm16, encode_gif_indexed, decode_gif_rgb,
+ encode_jpeg_gray, decode_jpeg_gray) = _make_pixel_codecs()
 
 
 PIXEL_STATS_SCHEMA = T.StructType([

@@ -154,10 +154,11 @@ def test_dispatch_and_documented_stubs():
     assert (fmt, w, h) == ("png", 3, 2) and rows == rows_for(3, 2)
     fmt, w, h, rows = decode_image_rgb(encode_bmp_rgb(3, 2, pix))
     assert (fmt, w, h) == ("bmp", 3, 2) and rows == rows_for(3, 2)
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # GIF and JPEG decode are REAL now (round 8) — truncated streams are
+    # ValueErrors, not stubs; JPEG's remaining NotImplementedError scope
+    # (progressive/chroma/DRI) is pinned in test_jpeg_scope_errors_are_named
+    with pytest.raises(ValueError):
         decode_image_rgb(b"\xff\xd8\xff\xe0rest")
-    # GIF decode is REAL now (round 8) — a truncated GIF is a ValueError,
-    # not a stub
     with pytest.raises(ValueError):
         decode_image_rgb(b"GIF89a" + b"\x00" * 8)
     with pytest.raises(ValueError, match="unknown"):
@@ -411,3 +412,87 @@ def test_gif_dispatcher_and_extension_blocks():
     assert decode_gif_rgb(rigged) == decode_gif_rgb(bytes(blob))
     fmt, w, h, rows = decode_image_rgb(bytes(blob))
     assert fmt == "gif" and (w, h) == (4, 3)
+
+
+# -------------------------------------------------------------- JPEG
+
+
+from dbt_spark.functions.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+
+def test_jpeg_constant_tiles_bit_exact():
+    # constant 8x8 tiles: only the DC coefficient survives the DCT and it
+    # is an exact multiple of 8 at quant=1 -> bit-exact round trip
+    def tp(r, c):
+        return (3 + 7 * (r // 8) + 13 * (c // 8)) % 256
+
+    w, h = 24, 16
+    gw, gh, rows = decode_jpeg_gray(encode_jpeg_gray(w, h, tp))
+    assert (gw, gh) == (w, h)
+    assert all(rows[r][c] == tp(r, c) for r in range(h) for c in range(w))
+
+
+def test_jpeg_extreme_tiles_and_dc_prediction():
+    # alternating 0/255 tiles exercise the widest DC-diff magnitude
+    # categories and the differential predictor across blocks
+    def tp(r, c):
+        return 0 if (r // 8 + c // 8) % 2 else 255
+
+    gw, gh, rows = decode_jpeg_gray(encode_jpeg_gray(16, 16, tp))
+    assert all(rows[r][c] == tp(r, c) for r in range(16) for c in range(16))
+
+
+def test_jpeg_arbitrary_image_within_one_gray_level():
+    rng = _random.Random(1)
+    grid = [[rng.randrange(256) for _ in range(37)] for _ in range(21)]
+    gw, gh, rows = decode_jpeg_gray(
+        encode_jpeg_gray(37, 21, lambda r, c: grid[r][c]))
+    assert (gw, gh) == (37, 21)  # non-multiple-of-8 dims crop correctly
+    maxerr = max(abs(rows[r][c] - grid[r][c])
+                 for r in range(21) for c in range(37))
+    assert maxerr <= 1
+
+
+def test_jpeg_scope_errors_are_named():
+    import struct as _struct
+
+    blob = bytearray(encode_jpeg_gray(8, 8, lambda r, c: 7))
+    # rewrite SOF0 -> SOF2 (progressive)
+    i = blob.index(b"\xff\xc0")
+    prog = bytes(blob[:i + 1]) + b"\xc2" + bytes(blob[i + 2:])
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg_gray(prog)
+    # 3-component SOF0 header
+    sof3 = (b"\xff\xd8" + b"\xff\xc0" + _struct.pack(">H", 17) + b"\x08"
+            + _struct.pack(">HH", 8, 8) + b"\x03"
+            + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01" + b"\xff\xd9")
+    with pytest.raises(NotImplementedError, match="components"):
+        decode_jpeg_gray(sof3)
+
+
+def test_jpeg_dispatcher_expands_gray_to_rgb_and_header_parses():
+    from dbt_spark.functions.multimodal import parse_image_header
+
+    blob = encode_jpeg_gray(24, 16, lambda r, c: (r // 8 * 40 + 10))
+    assert parse_image_header(blob) == ("jpeg", 24, 16)
+    fmt, w, h, rows = decode_image_rgb(blob)
+    assert (fmt, w, h) == ("jpeg", 24, 16)
+    assert rows[0][:3] == bytes((10, 10, 10))  # gray replicated to RGB
+    assert rows[15][:3] == bytes((50, 50, 50))
+
+
+def test_jpeg_byte_stuffing_round_trip():
+    # hunt content whose entropy stream contains 0xFF bytes (stuffed):
+    # random seeds until the encoded blob has an FF00 inside the scan
+    for seed in range(40):
+        rng = _random.Random(seed)
+        grid = [[rng.randrange(256) for _ in range(16)] for _ in range(16)]
+        blob = encode_jpeg_gray(16, 16, lambda r, c: grid[r][c])
+        scan_start = blob.index(b"\xff\xda")
+        if b"\xff\x00" in blob[scan_start:-2]:
+            gw, gh, rows = decode_jpeg_gray(blob)
+            maxerr = max(abs(rows[r][c] - grid[r][c])
+                         for r in range(16) for c in range(16))
+            assert maxerr <= 1
+            return
+    raise AssertionError("no stuffed byte produced in 40 seeds")
