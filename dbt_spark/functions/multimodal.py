@@ -1308,16 +1308,98 @@ def _make_pixel_codecs():
         samples = list(struct.unpack(f"<{n}h", data[:n * 2]))
         return ch, sr, samples
 
+    # ---- G.711 μ-law / A-law (ITU-T G.711) -----------------------------
+    # The telephony companding codecs — 8 kHz speech corpora (call-center
+    # data, classic ASR sets) arrive in these. Bit-exact integer
+    # algorithms, so decode(encode(s)) has a CLOSED FORM a SQL oracle
+    # reproduces (segment by magnitude range, mantissa by shift).
+
+    def g711_ulaw_encode(s):
+        sign = 0x80 if s < 0 else 0
+        m = min(32635, abs(s)) + 0x84
+        seg = m.bit_length() - 8
+        return ~(sign | (seg << 4) | ((m >> (seg + 3)) & 0xF)) & 0xFF
+
+    def g711_ulaw_decode(u):
+        u = ~u & 0xFF
+        seg = (u >> 4) & 7
+        v = ((((u & 0xF) << 3) + 0x84) << seg) - 0x84
+        return -v if u & 0x80 else v
+
+    def g711_alaw_encode(s):
+        sign = 0x80 if s >= 0 else 0
+        a = min(32767, abs(s)) >> 3  # 13-bit magnitude
+        if a < 32:
+            seg, mant = 0, a >> 1
+        else:
+            seg = a.bit_length() - 5
+            mant = (a >> seg) & 0xF
+        return (sign | (seg << 4) | mant) ^ 0x55
+
+    def g711_alaw_decode(code):
+        code ^= 0x55
+        seg = (code >> 4) & 7
+        mant = code & 0xF
+        if seg == 0:
+            v = (mant << 1) + 1
+        else:
+            v = (((mant | 0x10) << 1) | 1) << (seg - 1)
+        v <<= 3
+        return v if code & 0x80 else -v
+
+    def encode_wav_g711(channels, sample_rate, samples, law="ulaw"):
+        """Real G.711 WAV: PCM16 samples companded to 8-bit μ-law (format
+        tag 7) or A-law (tag 6) in a RIFF/WAVE container."""
+        enc = g711_ulaw_encode if law == "ulaw" else g711_alaw_encode
+        tag = 7 if law == "ulaw" else 6
+        data = bytes(enc(s) for s in samples)
+        fmt = struct.pack("<HHIIHH", tag, channels, sample_rate,
+                          sample_rate * channels, channels, 8)
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    def decode_wav_g711(blob):
+        """Real G.711 WAV decode: expands μ-law/A-law bytes back to
+        linear PCM16. Returns (channels, sample_rate, samples)."""
+        b = bytes(blob)
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE stream")
+        i = 12
+        ch = sr = bits = fmt_tag = None
+        data = b""
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            sz = int.from_bytes(b[i + 4:i + 8], "little")
+            if cid == b"fmt " and i + 24 <= len(b):
+                fmt_tag = int.from_bytes(b[i + 8:i + 10], "little")
+                ch = int.from_bytes(b[i + 10:i + 12], "little")
+                sr = int.from_bytes(b[i + 12:i + 16], "little")
+                bits = int.from_bytes(b[i + 22:i + 24], "little")
+            elif cid == b"data":
+                data = b[i + 8:i + 8 + sz]
+            i += 8 + sz + (sz & 1)
+        if sr is None:
+            raise ValueError("WAV missing fmt chunk")
+        if fmt_tag not in (6, 7) or bits != 8:
+            raise NotImplementedError(
+                f"G.711 WAV decode needs format tag 6 (A-law) or 7 "
+                f"(mu-law) at 8 bits; got tag={fmt_tag} bits={bits}")
+        dec = g711_ulaw_decode if fmt_tag == 7 else g711_alaw_decode
+        return ch, sr, [dec(x) for x in data]
+
     return (encode_png_rgb, decode_png_rgb, encode_bmp_rgb, decode_bmp_rgb,
             decode_image_rgb, resize_nearest_rgb, encode_wav_pcm16,
             decode_wav_pcm16, encode_gif_indexed, decode_gif_rgb,
-            encode_jpeg_gray, decode_jpeg_gray)
+            encode_jpeg_gray, decode_jpeg_gray, encode_wav_g711,
+            decode_wav_g711)
 
 
 (encode_png_rgb, decode_png_rgb, encode_bmp_rgb, decode_bmp_rgb,
  decode_image_rgb, resize_nearest_rgb, encode_wav_pcm16,
  decode_wav_pcm16, encode_gif_indexed, decode_gif_rgb,
- encode_jpeg_gray, decode_jpeg_gray) = _make_pixel_codecs()
+ encode_jpeg_gray, decode_jpeg_gray, encode_wav_g711,
+ decode_wav_g711) = _make_pixel_codecs()
 
 
 PIXEL_STATS_SCHEMA = T.StructType([

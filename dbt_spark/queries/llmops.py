@@ -1761,6 +1761,57 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_pixel_stats(blobs)
 
 
+def multimodal_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 companding round-trip (ITU-T G.711 — the telephony
+    codec 8 kHz speech corpora arrive in): PCM16 samples closed-form in
+    doc_id are companded to 8-bit μ-law (even docs, WAV format tag 7) or
+    A-law (odd docs, tag 6), then expanded back to linear PCM16 by the
+    decoder. decode(encode(s)) is a bit-exact integer function (segment
+    by magnitude range, mantissa by shift), so the oracle reproduces the
+    companded values CLOSED-FORM in SQL — the whole lossy codec is
+    value-pinned, not tolerance-checked."""
+    from dbt_spark.functions.multimodal import _make_pixel_codecs
+
+    codecs = _make_pixel_codecs()
+    enc_g711, dec_g711 = codecs[12], codecs[13]
+
+    def gen(it):
+        import pandas as _pd
+
+        def build(d):
+            n = 80 + d % 120
+            return enc_g711(
+                1, 8000,
+                [((31 * d + 17 * i) % 65536) - 32768 for i in range(n)],
+                law="ulaw" if d % 2 == 0 else "alaw")
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame({"doc_id": ids,
+                                 "payload": [build(d) for d in ids]})
+
+    def stats(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "n_samples", "dec_sum",
+                                   "dec_min", "dec_max")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                _ch, _sr, dec = dec_g711(blob)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(len(dec))
+                out["dec_sum"].append(sum(dec))
+                out["dec_min"].append(min(dec))
+                out["dec_max"].append(max(dec))
+            yield _pd.DataFrame(out)
+
+    docs = _docs_raw(spark, sf_dir).select("doc_id")
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        stats, schema="doc_id long, n_samples long, dec_sum long, "
+                      "dec_min long, dec_max long")
+
+
 def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG round-trip — the LAST codec stub retired (round
     8): every doc gets a genuine grayscale baseline JPEG (full entropy
@@ -1929,6 +1980,58 @@ ORACLES: dict[str, str] = {
                CAST(MIN(v) AS BIGINT) AS sample_min,
                CAST(MAX(v) AS BIGINT) AS sample_max
         FROM s GROUP BY doc_id, ch, sr, n
+    """,
+    "multimodal_g711_roundtrip": """
+        WITH d AS (
+            SELECT doc_id, 80 + doc_id % 120 AS n FROM documents
+        ),
+        s AS (SELECT doc_id, n,
+                     ((31 * doc_id + 17 * unnest(generate_series(0, n - 1)))
+                      % 65536) - 32768 AS v
+              FROM d),
+        ulaw AS (
+            SELECT doc_id, n, v, least(32635, abs(v)) + 132 AS m FROM s
+            WHERE doc_id % 2 = 0
+        ),
+        useg AS (
+            SELECT doc_id, n, v, m,
+                   CASE WHEN m<256 THEN 0 WHEN m<512 THEN 1
+                        WHEN m<1024 THEN 2 WHEN m<2048 THEN 3
+                        WHEN m<4096 THEN 4 WHEN m<8192 THEN 5
+                        WHEN m<16384 THEN 6 ELSE 7 END AS g
+            FROM ulaw
+        ),
+        udec AS (
+            SELECT doc_id, n,
+                   CASE WHEN v<0 THEN -1 ELSE 1 END *
+                   (((((m >> (g+3)) & 15) * 8 + 132) << g) - 132) AS dec
+            FROM useg
+        ),
+        alaw AS (
+            SELECT doc_id, n, v, least(32767, abs(v)) >> 3 AS a FROM s
+            WHERE doc_id % 2 = 1
+        ),
+        aseg AS (
+            SELECT doc_id, n, v, a,
+                   CASE WHEN a<64 THEN 1 WHEN a<128 THEN 2 WHEN a<256 THEN 3
+                        WHEN a<512 THEN 4 WHEN a<1024 THEN 5
+                        WHEN a<2048 THEN 6 ELSE 7 END AS g
+            FROM alaw
+        ),
+        adec AS (
+            SELECT doc_id, n,
+                   CASE WHEN v >= 0 THEN 1 ELSE -1 END *
+                   CASE WHEN a < 32 THEN ((a >> 1) * 2 + 1) * 8
+                        ELSE ((((a >> g) & 15) + 16) * 2 + 1)
+                             * (1 << (g - 1)) * 8 END AS dec
+            FROM aseg
+        ),
+        all_dec AS (SELECT * FROM udec UNION ALL SELECT * FROM adec)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+               CAST(SUM(dec) AS BIGINT) AS dec_sum,
+               CAST(MIN(dec) AS BIGINT) AS dec_min,
+               CAST(MAX(dec) AS BIGINT) AS dec_max
+        FROM all_dec GROUP BY doc_id, n
     """,
     "multimodal_jpeg_decode": """
         WITH dims AS (
@@ -2848,6 +2951,7 @@ QUERIES = {
     "multimodal_pcm_decimate": multimodal_pcm_decimate,
     "multimodal_gif_decode": multimodal_gif_decode,
     "multimodal_jpeg_decode": multimodal_jpeg_decode,
+    "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
     "bpe_merge_learning": bpe_merge_learning,
     "per_source_dup_rate": per_source_dup_rate,
     "dup_cluster_sizes": dup_cluster_sizes,

@@ -496,3 +496,50 @@ def test_jpeg_byte_stuffing_round_trip():
             assert maxerr <= 1
             return
     raise AssertionError("no stuffed byte produced in 40 seeds")
+
+
+# -------------------------------------------------------------- G.711
+
+
+from dbt_spark.functions.multimodal import decode_wav_g711, encode_wav_g711
+
+
+@pytest.mark.parametrize("law,tag", [("ulaw", 7), ("alaw", 6)])
+def test_g711_wav_roundtrip_matches_reference_expansion(law, tag):
+    samples = ([0, 1, -1, 8, -8, 31, 32, 132, -132, 2048, -2048, 32635,
+                -32635, 32767, -32768]
+               + [((i * 977) % 65536) - 32768 for i in range(500)])
+    blob = encode_wav_g711(1, 8000, samples, law=law)
+    assert int.from_bytes(blob[20:22], "little") == tag
+    ch, sr, dec = decode_wav_g711(blob)
+    assert (ch, sr) == (1, 8000)
+
+    # independent reference expansion per ITU G.711 closed form
+    def ulaw_rt(s):
+        m = min(32635, abs(s)) + 132
+        seg = m.bit_length() - 8
+        v = ((((m >> (seg + 3)) & 15) * 8 + 132) << seg) - 132
+        return -v if s < 0 else v
+
+    def alaw_rt(s):
+        a = min(32767, abs(s)) >> 3
+        if a < 32:
+            v = ((a >> 1) * 2 + 1) * 8
+        else:
+            seg = a.bit_length() - 5
+            v = ((((a >> seg) & 15) + 16) * 2 + 1) * (1 << (seg - 1)) * 8
+        return v if s >= 0 else -v
+
+    rt = ulaw_rt if law == "ulaw" else alaw_rt
+    assert dec == [rt(s) for s in samples]
+    # companding error bound: |dec - s| grows with the segment step size,
+    # never beyond ~1/16 relative at full scale
+    for s, d in zip(samples, dec):
+        assert abs(d - s) <= max(16, abs(s) // 16 + 64)
+
+
+def test_g711_rejects_wrong_format_tag():
+    blob = bytearray(encode_wav_g711(1, 8000, [0, 5], law="ulaw"))
+    blob[20:22] = struct.pack("<H", 1)  # PCM tag
+    with pytest.raises(NotImplementedError, match="G.711"):
+        decode_wav_g711(bytes(blob))
