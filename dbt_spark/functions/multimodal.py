@@ -520,24 +520,23 @@ def _make_pixel_codecs():
             return b
         return c
 
-    def encode_png_rgb(width, height, pix):
-        """Real PNG encoder: ``pix(r, c) -> (R, G, B)``; scanlines are
-        filtered with the full rotation of filter types (row r uses type
-        r % 5) so a decoder must implement every unfilter path, then
-        zlib-compressed into one IDAT; all chunk CRCs are genuine."""
-        prev = bytes(width * 3)
+    _ADAM7 = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+              (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+
+    def _png_filter_scanlines(rows, bpp, f_of_row):
+        """Filter a list of equal-length raw scanlines (PNG spec §9):
+        each row uses filter type ``f_of_row(r)``; returns the serialized
+        filter-byte + filtered-bytes stream."""
         out = bytearray()
-        for r in range(height):
-            row = bytearray()
-            for c in range(width):
-                row += bytes(pix(r, c))
-            f = r % 5
+        prev = bytes(len(rows[0])) if rows else b""
+        for r, row in enumerate(rows):
+            f = f_of_row(r)
             filt = bytearray([f])
             for i in range(len(row)):
                 x = row[i]
-                a = row[i - 3] if i >= 3 else 0
+                a = row[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                cc = prev[i - 3] if i >= 3 else 0
+                cc = prev[i - bpp] if i >= bpp else 0
                 if f == 0:
                     v = x
                 elif f == 1:
@@ -550,26 +549,93 @@ def _make_pixel_codecs():
                     v = (x - _paeth(a, b, cc)) & 0xFF
                 filt.append(v)
             out += filt
-            prev = bytes(row)
+            prev = row
+        return out
+
+    def encode_png_rgb(width, height, pix, interlace=False):
+        """Real PNG encoder: ``pix(r, c) -> (R, G, B)``; scanlines are
+        filtered with the full rotation of filter types (row r uses type
+        r % 5) so a decoder must implement every unfilter path, then
+        zlib-compressed into one IDAT; all chunk CRCs are genuine.
+        ``interlace=True`` writes Adam7: the seven passes serialize as
+        independent sub-images, each filtered against its own previous
+        pass row."""
+        full = [b"".join(bytes(pix(r, c)) for c in range(width))
+                for r in range(height)]
+        if not interlace:
+            out = _png_filter_scanlines(full, 3, lambda r: r % 5)
+        else:
+            out = bytearray()
+            for (x0, dx, y0, dy) in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub = [b"".join(full[y0 + r * dy][(x0 + c * dx) * 3:
+                                                  (x0 + c * dx) * 3 + 3]
+                                for c in range(pw))
+                       for r in range(ph)]
+                out += _png_filter_scanlines(sub, 3, lambda r: r % 5)
 
         def chunk(tag, data):
             return (struct.pack(">I", len(data)) + tag + data
                     + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
-        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0,
+                           1 if interlace else 0)
         return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                 + chunk(b"IDAT", zlib.compress(bytes(out)))
                 + chunk(b"IEND", b""))
 
+    def _png_unfilter(raw, pos, wpx, hpx, bpp):
+        """Unfilter ``hpx`` scanlines of ``wpx`` pixels at ``bpp`` bytes
+        each (all five PNG filter types); returns (rows, new_pos)."""
+        stride = wpx * bpp
+        rows = []
+        prev = bytearray(stride)
+        for _r in range(hpx):
+            if pos >= len(raw):
+                raise ValueError("PNG scanline payload truncated")
+            f = raw[pos]
+            cur = bytearray(raw[pos + 1:pos + 1 + stride])
+            if len(cur) < stride:
+                raise ValueError("PNG scanline payload truncated")
+            pos += 1 + stride
+            if f == 1:
+                for i2 in range(bpp, stride):
+                    cur[i2] = (cur[i2] + cur[i2 - bpp]) & 0xFF
+            elif f == 2:
+                for i2 in range(stride):
+                    cur[i2] = (cur[i2] + prev[i2]) & 0xFF
+            elif f == 3:
+                for i2 in range(stride):
+                    a = cur[i2 - bpp] if i2 >= bpp else 0
+                    cur[i2] = (cur[i2] + (a + prev[i2]) // 2) & 0xFF
+            elif f == 4:
+                for i2 in range(stride):
+                    a = cur[i2 - bpp] if i2 >= bpp else 0
+                    cc = prev[i2 - bpp] if i2 >= bpp else 0
+                    cur[i2] = (cur[i2] + _paeth(a, prev[i2], cc)) & 0xFF
+            elif f != 0:
+                raise ValueError(f"PNG filter type {f} out of range")
+            rows.append(bytes(cur))
+            prev = cur
+        return rows, pos
+
     def decode_png_rgb(blob):
-        """Real PNG decoder for 8-bit RGB: CRC-verified chunk walk, IDAT
-        inflate, all five unfilter types. Returns (width, height, rows)
-        with rows top-down RGB byte strings."""
+        """Real PNG decoder for EVERY 8-bit color type — 0 grayscale,
+        2 RGB, 3 palette (PLTE), 4 gray+alpha, 6 RGBA — plus Adam7
+        interlacing: CRC-verified chunk walk, IDAT inflate, all five
+        unfilter types at the color type's bytes-per-pixel, per-pass
+        reconstruction for interlaced streams. Returns (width, height,
+        rows) with rows top-down RGB byte strings (alpha channels are
+        dropped; 16-bit depths raise NotImplementedError by name)."""
         b = bytes(blob)
         if b[:8] != b"\x89PNG\r\n\x1a\n":
             raise ValueError("not a PNG stream")
         i = 8
         width = height = None
+        plte = None
         idat = bytearray()
         while i + 12 <= len(b):
             ln = int.from_bytes(b[i:i + 4], "big")
@@ -580,12 +646,17 @@ def _make_pixel_codecs():
                 raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
             if tag == b"IHDR":
                 width, height, depth, ctype = struct.unpack(">IIBB", data[:10])
-                if depth != 8 or ctype != 2:
+                if depth != 8:
                     raise NotImplementedError(
-                        f"PNG decode implemented for 8-bit RGB (color type "
-                        f"2); got depth={depth} color_type={ctype}")
-                if data[12] != 0:
-                    raise NotImplementedError("interlaced PNG (Adam7)")
+                        f"PNG decode implemented for 8-bit depth; got "
+                        f"depth={depth}")
+                if ctype not in (0, 2, 3, 4, 6):
+                    raise ValueError(f"PNG color type {ctype} invalid")
+                interlace = data[12]
+                if interlace not in (0, 1):
+                    raise ValueError("PNG interlace method invalid")
+            elif tag == b"PLTE":
+                plte = [tuple(data[j:j + 3]) for j in range(0, len(data), 3)]
             elif tag == b"IDAT":
                 idat += data
             elif tag == b"IEND":
@@ -594,35 +665,54 @@ def _make_pixel_codecs():
         if width is None:
             raise ValueError("PNG missing IHDR")
         raw = zlib.decompress(bytes(idat))
-        stride = width * 3
-        if len(raw) != (stride + 1) * height:
-            raise ValueError("PNG scanline payload length mismatch")
+        bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        if interlace == 0:
+            raws, pos = _png_unfilter(raw, 0, width, height, bpp)
+            if pos != len(raw):
+                raise ValueError("PNG scanline payload length mismatch")
+        else:
+            canvas = [bytearray(width * bpp) for _ in range(height)]
+            pos = 0
+            for (x0, dx, y0, dy) in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                prows, pos = _png_unfilter(raw, pos, pw, ph, bpp)
+                for ri, line in enumerate(prows):
+                    y = y0 + ri * dy
+                    for ci in range(pw):
+                        x = x0 + ci * dx
+                        canvas[y][x * bpp:(x + 1) * bpp] = \
+                            line[ci * bpp:(ci + 1) * bpp]
+            if pos != len(raw):
+                raise ValueError("PNG scanline payload length mismatch")
+            raws = [bytes(r) for r in canvas]
+        # normalize every color type to RGB rows
+        if ctype == 2:
+            return width, height, raws
         rows = []
-        prev = bytearray(stride)
-        pos = 0
-        for _r in range(height):
-            f = raw[pos]
-            cur = bytearray(raw[pos + 1:pos + 1 + stride])
-            pos += 1 + stride
-            if f == 1:
-                for i2 in range(3, stride):
-                    cur[i2] = (cur[i2] + cur[i2 - 3]) & 0xFF
-            elif f == 2:
-                for i2 in range(stride):
-                    cur[i2] = (cur[i2] + prev[i2]) & 0xFF
-            elif f == 3:
-                for i2 in range(stride):
-                    a = cur[i2 - 3] if i2 >= 3 else 0
-                    cur[i2] = (cur[i2] + (a + prev[i2]) // 2) & 0xFF
-            elif f == 4:
-                for i2 in range(stride):
-                    a = cur[i2 - 3] if i2 >= 3 else 0
-                    cc = prev[i2 - 3] if i2 >= 3 else 0
-                    cur[i2] = (cur[i2] + _paeth(a, prev[i2], cc)) & 0xFF
-            elif f != 0:
-                raise ValueError(f"PNG filter type {f} out of range")
-            rows.append(bytes(cur))
-            prev = cur
+        for line in raws:
+            px = bytearray(width * 3)
+            if ctype == 0:
+                px[0::3] = line
+                px[1::3] = line
+                px[2::3] = line
+            elif ctype == 4:
+                g = line[0::2]
+                px[0::3] = g
+                px[1::3] = g
+                px[2::3] = g
+            elif ctype == 6:
+                px[0::3] = line[0::4]
+                px[1::3] = line[1::4]
+                px[2::3] = line[2::4]
+            else:  # 3: palette
+                if plte is None:
+                    raise ValueError("PNG palette image missing PLTE")
+                for c, idx in enumerate(line):
+                    px[c * 3:c * 3 + 3] = bytes(plte[idx])
+            rows.append(bytes(px))
         return width, height, rows
 
     def encode_bmp_rgb(width, height, pix, top_down=False):

@@ -1582,10 +1582,10 @@ def multimodal_wav_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pixel_blob_gen(builders):
-    """Genuine PNG (even doc_id) / BMP (odd; every 4th top-down) files with
-    closed-form dims and per-channel pixel values — shared by the pixel
-    decode/resize queries so their oracles agree on one formula:
-    w = 4 + (7d)%13, h = 4 + (11d)%9,
+    """Genuine PNG (even doc_id; every 4th Adam7-INTERLACED) / BMP (odd;
+    every 4th top-down) files with closed-form dims and per-channel pixel
+    values — shared by the pixel decode/resize queries so their oracles
+    agree on one formula: w = 4 + (7d)%13, h = 4 + (11d)%9,
     R = (d + 7r + 13c)%256, G = (2d + 5r + 11c)%256, B = (3d + 3r + 17c)%256.
     """
     def gen(it):
@@ -1602,7 +1602,7 @@ def _pixel_blob_gen(builders):
                         (3 * d + 3 * r + 17 * c) % 256)
 
             if d % 2 == 0:
-                return enc_png(w, h, pix)
+                return enc_png(w, h, pix, interlace=(d % 4 == 2))
             return enc_bmp(w, h, pix, top_down=(d % 4 == 1))
 
         for pdf in it:

@@ -121,12 +121,67 @@ def test_png_crc_corruption_detected():
         decode_png_rgb(bytes(blob))
 
 
-def test_png_unsupported_color_type_is_explicit():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)  # RGBA
+def test_png_unsupported_depth_is_explicit():
+    # every 8-bit color type decodes now; 16-bit depth is the named gap
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
              + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
-    with pytest.raises(NotImplementedError, match="color type"):
+    with pytest.raises(NotImplementedError, match="depth"):
         decode_png_rgb(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (7, 7), (8, 8), (9, 5),
+                                 (13, 11), (33, 9)])
+def test_png_adam7_interlaced_roundtrip(w, h):
+    """Adam7: seven independently-filtered passes reassemble to the same
+    image, including dims smaller than one 8x8 tile (empty passes)."""
+    blob = encode_png_rgb(w, h, pix, interlace=True)
+    gw, gh, rows = decode_png_rgb(blob)
+    assert (gw, gh) == (w, h)
+    assert rows == rows_for(w, h)
+
+
+def _build_png_raw(ctype, w, h, rowfn, extra=b""):
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    out = bytearray()
+    for r in range(h):
+        out += b"\x00" + rowfn(r)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_all_color_types_normalize_to_rgb():
+    # 0: grayscale
+    blob = _build_png_raw(0, 5, 3, lambda r: bytes(r * 40 + c
+                                                   for c in range(5)))
+    assert decode_png_rgb(blob)[2][2][:6] == bytes((80, 80, 80, 81, 81, 81))
+    # 4: gray+alpha (alpha dropped)
+    blob = _build_png_raw(4, 3, 2, lambda r: bytes(
+        v for c in range(3) for v in (r * 10 + c, 200)))
+    assert decode_png_rgb(blob)[2][1][:6] == bytes((10, 10, 10, 11, 11, 11))
+    # 6: RGBA (alpha dropped)
+    blob = _build_png_raw(6, 2, 2, lambda r: bytes(
+        v for c in range(2) for v in (r + 1, c + 1, 7, 128)))
+    assert decode_png_rgb(blob)[2][1][3:6] == bytes((2, 2, 7))
+    # 3: palette via PLTE
+    pal = [(i, 255 - i, (i * 3) % 256) for i in range(256)]
+    plte_data = b"".join(bytes(p) for p in pal)
+    plte = (struct.pack(">I", len(plte_data)) + b"PLTE" + plte_data
+            + struct.pack(">I",
+                          zlib.crc32(b"PLTE" + plte_data) & 0xFFFFFFFF))
+    blob = _build_png_raw(3, 4, 2, lambda r: bytes(r * 4 + c
+                                                   for c in range(4)),
+                          extra=plte)
+    assert decode_png_rgb(blob)[2][1][3:6] == bytes(pal[5])
+    # 3 without PLTE is a named error
+    blob = _build_png_raw(3, 2, 1, lambda r: b"\x00\x01")
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png_rgb(blob)
 
 
 # -------------------------------------------------------------- BMP
