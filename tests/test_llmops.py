@@ -157,21 +157,27 @@ def test_multimodal_roundtrip_schema_and_determinism(spark):
     assert one["width"] == one["n_bytes"] % 640
 
 
-def test_real_decoder_decodes_png_and_stubs_jpeg():
-    """Round 8: real_decode_image is REAL for the stdlib-decodable formats
-    (PNG/BMP — full decode pipeline, tests/test_multimodal_codecs.py) and
-    a documented stub only for codec-bound JPEG/GIF."""
+def test_real_decoder_handles_all_four_containers():
+    """Round 8 final state: real_decode_image is REAL for all four image
+    containers (PNG incl. Adam7/all color types, BMP, GIF with full LZW,
+    baseline grayscale JPEG — tests/test_multimodal_codecs.py); the only
+    named NotImplementedErrors left are out-of-scope VARIANTS (progressive
+    JPEG, chroma, 16-bit PNG), raised from inside the real decoders."""
     import pytest
-    from dbt_spark.functions.multimodal import (encode_png_rgb,
+    from dbt_spark.functions.multimodal import (encode_jpeg_gray,
+                                                encode_png_rgb,
                                                 real_decode_image)
 
     fmt, w, h, rows = real_decode_image(
         encode_png_rgb(3, 2, lambda r, c: (r, c, 7)))
     assert (fmt, w, h) == ("png", 3, 2)
     assert rows[1][3:6] == bytes((1, 1, 7))
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    fmt, w, h, rows = real_decode_image(
+        encode_jpeg_gray(8, 8, lambda r, c: 99))
+    assert (fmt, w, h, rows[0][:3]) == ("jpeg", 8, 8, bytes((99, 99, 99)))
+    # truncated/bad streams are ValueErrors, never silent
+    with pytest.raises(ValueError):
         real_decode_image(b"\xff\xd8\xff\xe0jfif")
-    # a truncated/bad signature is a ValueError, not a silent None
     with pytest.raises(ValueError):
         real_decode_image(b"\x89PNG")
 
