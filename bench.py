@@ -150,6 +150,11 @@ EXTENDED = [
     "multimodal_resize_nearest",
     "multimodal_wav_pcm_decode",
     "multimodal_pcm_window_energy",
+    "multimodal_pcm_decimate",
+    "multimodal_gif_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_g711_roundtrip",
+    "html_extract_visible_text",
 ]
 
 
