@@ -8,11 +8,14 @@ executor):
 
 1. REAL header parsers (PNG/JPEG/GIF/BMP/RIFF-WAVE) — pure bytes, work on
    genuine files (``parse_image_header`` / ``parse_wav_header``).
-2. REAL pixel/audio codecs for the stdlib-decodable formats — PNG 8-bit
-   RGB (CRC-verified chunk walk, zlib inflate, all five scanline
-   unfilters), 24-bit BMP (both row orders, padding), WAV PCM16
-   (``_make_pixel_codecs``). JPEG/GIF pixel decode raises
-   NotImplementedError (DCT/LZW genuinely need a codec library).
+2. REAL pixel/audio codecs for ALL the container formats
+   (``_make_pixel_codecs``): PNG (CRC-verified chunk walk, zlib inflate,
+   all five scanline unfilters, every 8-bit color type, Adam7
+   interlacing), 24-bit BMP (both row orders, padding), GIF (full
+   variable-width LZW both directions), baseline grayscale JPEG
+   (DCT + optimal Huffman both directions), WAV PCM16, and G.711
+   μ-law/A-law companding. Out-of-scope variants (16-bit PNG,
+   progressive/chroma JPEG, …) raise named NotImplementedErrors.
 3. Deterministic FAKE kernels kept for plumbing-shape tests
    (``fake_decode_meta`` and friends), clearly marked.
 """
@@ -40,12 +43,13 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def real_decode_image(blob: bytes):
-    """Real pixel decode for the stdlib-decodable containers: PNG (zlib
-    inflate + per-row unfilter) and 24-bit BMP — see ``decode_image_rgb``.
-    JPEG/GIF raise NotImplementedError inside the dispatcher (entropy/LZW
-    decode genuinely needs a codec library; their HEADERS parse via
-    ``parse_image_header``). Returns (format, width, height, rows) with
-    ``rows`` a top-down list of RGB byte strings."""
+    """Real pixel decode for ALL FOUR image containers — see
+    ``decode_image_rgb``: PNG (zlib inflate + unfilter, every 8-bit color
+    type, Adam7), 24-bit BMP, GIF (full LZW), baseline grayscale JPEG
+    (Huffman+DCT). Out-of-scope VARIANTS (16-bit PNG, progressive/chroma
+    JPEG, compressed BMP) raise named NotImplementedErrors from inside the
+    real decoders, like any codec library. Returns (format, width, height,
+    rows) with ``rows`` a top-down list of RGB byte strings."""
     return decode_image_rgb(blob)
 
 
