@@ -155,6 +155,7 @@ EXTENDED = [
     "multimodal_jpeg_decode",
     "multimodal_g711_roundtrip",
     "html_extract_visible_text",
+    "unigram_tokenizer_learning",
 ]
 
 

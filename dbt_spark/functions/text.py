@@ -190,3 +190,122 @@ def bpe_learn_merges(docs: DataFrame, k_merges: int = 12,
     # keep the session tidy: checkpoints release with the DataFrames
     _ = spark
     return merges
+
+
+def unigram_train(docs: DataFrame, vocab_size: int = 60,
+                  seed_size: int = 200, n_iters: int = 3,
+                  max_piece_len: int = 6,
+                  text_col: str = "text") -> list[tuple]:
+    """In-engine unigram-LM tokenizer training (Kudo 2018, "Subword
+    Regularization", ACL — the SentencePiece unigram algorithm), in its
+    deterministic hard-EM (Viterbi) variant:
+
+    1. ONE corpus pass reduces to the word-type histogram — like BPE,
+       every later step touches vocabulary-cardinality rows only, which
+       is why tokenizer induction stays cheap at 100 TB.
+    2. Seed vocabulary: every substring of length ≤ ``max_piece_len``
+       exploded from the word types as a codegen'd expression, counts
+       aggregated with map-side partials; top ``seed_size`` multi-char
+       pieces (count desc, piece asc — deterministic) plus ALL single
+       characters (kept forever so segmentation is always total).
+    3. EM rounds: the current vocabulary (bounded: seed_size + alphabet)
+       broadcasts into an Arrow-batched mapInPandas kernel that Viterbi-
+       segments each word type (ties → longer-first, deterministic) and
+       emits per-piece counts weighted by word frequency; ONE keyed
+       aggregate re-estimates counts; multi-char pieces outside the top
+       ``vocab_size`` are pruned (hard-EM's prune step), characters are
+       floored at count 1 (closure smoothing).
+
+    Per-round driver reads are vocabulary-bounded collects (the same
+    bounded-collect contract as bpe_learn_merges' argmax reads).
+    Returns [(rank, piece, count), ...] — the vocabulary a tokenizer
+    persists; the full sequence is pinned against an independent
+    pure-Python reference in tests."""
+    import math
+
+    words = (docs
+             .select(F.explode(tokens(text_col)).alias("w"))
+             .where(F.length("w") > 0)
+             .groupBy("w").agg(F.count("*").alias("n"))
+             .localCheckpoint())
+    subs = words.select(
+        "n",
+        F.explode(F.expr(
+            f"flatten(transform(sequence(1, length(w)), s -> "
+            f"transform(sequence(1, least({int(max_piece_len)}, "
+            f"length(w) - s + 1)), l -> substring(w, s, l))))"
+        )).alias("piece"))
+    counts = subs.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    chars = counts.filter(F.length("piece") == 1).collect()
+    multi = (counts.filter(F.length("piece") > 1)
+             .orderBy(F.col("cnt").desc(), "piece")
+             .limit(int(seed_size)).collect())
+    vocab = {r["piece"]: int(r["cnt"]) for r in chars}
+    char_set = set(vocab)
+    for r in multi:
+        vocab[r["piece"]] = int(r["cnt"])
+
+    mpl = int(max_piece_len)
+    def viterbi(word, logp, max_len):
+        """Best segmentation of ``word`` under piece log-probs:
+        left-to-right DP maximizing the summed log-prob; ties broken for
+        the LONGER last piece (smaller split point) — deterministic.
+        Single characters are always in the vocabulary, so a path always
+        exists. Defined nested so cloudpickle ships it BY VALUE into the
+        executor closure (module globals pickle by reference and
+        executors may not have dbt_spark importable)."""
+        n = len(word)
+        best = [None] * (n + 1)  # (score, start_of_last_piece)
+        best[0] = (0.0, -1)
+        for j in range(1, n + 1):
+            cand = None
+            for i in range(max(0, j - max_len), j):
+                if best[i] is None:
+                    continue
+                lp = logp.get(word[i:j])
+                if lp is None:
+                    continue
+                sc = best[i][0] + lp
+                if (cand is None or sc > cand[0] + 1e-12
+                        or (abs(sc - cand[0]) <= 1e-12 and i < cand[1])):
+                    cand = (sc, i)
+            best[j] = cand
+        pieces = []
+        j = n
+        while j > 0:
+            i = best[j][1]
+            pieces.append(word[i:j])
+            j = i
+        pieces.reverse()
+        return pieces
+
+    for _ in range(int(n_iters)):
+        bvocab = dict(vocab)
+
+        def seg_batches(it):
+            import math as _m
+
+            import pandas as _pd
+
+            total = float(sum(bvocab.values()))
+            logp = {p: _m.log(c / total) for p, c in bvocab.items()}
+            for pdf in it:
+                op, on = [], []
+                for w, n in zip(pdf["w"], pdf["n"]):
+                    for p in viterbi(w, logp, mpl):
+                        op.append(p)
+                        on.append(int(n))
+                yield _pd.DataFrame({"piece": op, "n": on})
+
+        got = {r["piece"]: int(r["cnt"]) for r in
+               words.mapInPandas(seg_batches, "piece string, n long")
+               .groupBy("piece").agg(F.sum("n").alias("cnt")).collect()}
+        vocab = {c: got.get(c, 0) + 1 for c in char_set}
+        keep = sorted(((cnt, p) for p, cnt in got.items()
+                       if len(p) > 1 and cnt > 0),
+                      key=lambda t: (-t[0], t[1]))[:int(vocab_size)]
+        for cnt, p in keep:
+            vocab[p] = cnt
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    _ = math
+    return [(i + 1, p, c) for i, (p, c) in enumerate(ranked)]

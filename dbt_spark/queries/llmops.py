@@ -1512,6 +1512,25 @@ def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges, "rank long, left string, right string, pair_count long")
 
 
+def unigram_tokenizer_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine unigram-LM tokenizer training (Kudo 2018, the
+    SentencePiece unigram algorithm; functions/text.py:unigram_train) in
+    its deterministic hard-EM variant: substring-seeded vocabulary from
+    the word-type histogram (one corpus scan), then Viterbi E-step /
+    count-re-estimate M-step / prune rounds with the bounded vocabulary
+    broadcast into Arrow-batched segmentation kernels. Iterative with
+    per-round vocabulary-bounded collects → not single-statement
+    SQL-expressible (rows-only); the full ranked vocabulary is pinned
+    exactly against an independent pure-Python reference in
+    tests/test_llmops.py."""
+    from dbt_spark.functions.text import unigram_train
+
+    vocab = unigram_train(_docs(spark, sf_dir), vocab_size=40,
+                          seed_size=150, n_iters=2)
+    return spark.createDataFrame(
+        vocab, "rank long, piece string, cnt long")
+
+
 def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-header round-trip (functions/multimodal.py — pure-bytes
     parsers for PNG IHDR / JPEG SOFn / GIF LSD / BMP BITMAPINFOHEADER, no
@@ -2953,6 +2972,7 @@ QUERIES = {
     "multimodal_jpeg_decode": multimodal_jpeg_decode,
     "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
     "bpe_merge_learning": bpe_merge_learning,
+    "unigram_tokenizer_learning": unigram_tokenizer_learning,
     "per_source_dup_rate": per_source_dup_rate,
     "dup_cluster_sizes": dup_cluster_sizes,
     "per_lang_length_stats": per_lang_length_stats,
