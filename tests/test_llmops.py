@@ -1007,3 +1007,57 @@ def test_unigram_synthetic_behavior(spark):
     # every single character of the corpus stays in the closure
     for ch in set("prefixmidtail"):
         assert ch in pieces
+
+
+def test_unigram_segment_counts_match_reference(spark):
+    """The apply pass (token_count_unigram's kernel) reproduces the
+    reference segmenter's per-doc piece counts exactly."""
+    import collections
+    import math as _m
+    import re as _re
+
+    from dbt_spark.functions.text import (unigram_segment_counts,
+                                          unigram_train)
+
+    docs = _docs(spark).limit(60)
+    vocab = unigram_train(docs, vocab_size=25, seed_size=60, n_iters=2,
+                          max_piece_len=5)
+    got = {r["doc_id"]: (r["n_words"], r["n_pieces"], r["n_unique_pieces"])
+           for r in unigram_segment_counts(docs, vocab,
+                                           max_piece_len=5).collect()}
+
+    probs = {p: c for _, p, c in vocab}
+    total = float(sum(probs.values()))
+    logp = {p: _m.log(c / total) for p, c in probs.items()}
+
+    def viterbi(word):
+        best = [None] * (len(word) + 1)
+        best[0] = (0.0, -1)
+        for j in range(1, len(word) + 1):
+            cand = None
+            for i in range(max(0, j - 5), j):
+                if best[i] is None:
+                    continue
+                lp = logp.get(word[i:j])
+                if lp is None:
+                    continue
+                sc = best[i][0] + lp
+                if (cand is None or sc > cand[0] + 1e-12
+                        or (abs(sc - cand[0]) <= 1e-12 and i < cand[1])):
+                    cand = (sc, i)
+            best[j] = cand
+        out = []
+        j = len(word)
+        while j > 0:
+            i = best[j][1]
+            out.append(word[i:j])
+            j = i
+        return out
+
+    for r in docs.select("doc_id", "text").collect():
+        words = r["text"].split()
+        pieces = []
+        for w in words:
+            pieces.extend(viterbi(w))
+        assert got[r["doc_id"]] == (len(words), len(pieces),
+                                    len(set(pieces))), r["doc_id"]
