@@ -481,6 +481,20 @@ def stream_foreachbatch_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 ORACLES = {
+    "stream_media_triage": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 IN (3, 7) THEN 'quarantined'
+                    ELSE 'kept' END AS status,
+               CASE WHEN doc_id % 11 = 3 THEN NULL
+                    WHEN doc_id % 11 = 7 THEN 'gif'
+                    ELSE CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                         WHEN 2 THEN 'gif' ELSE 'bmp' END END AS media_format,
+               CASE WHEN doc_id % 11 = 3 THEN 'unknown_container'
+                    WHEN doc_id % 11 = 7 THEN 'bad_dims'
+                    ELSE NULL END AS reason
+        FROM documents
+    """,
+
     "stream_foreachbatch_upsert_acid": """
         WITH ranked AS (
             SELECT user_id, event_id, value,
@@ -578,12 +592,92 @@ ORACLES = {
     """,
 }
 
+
+
+def stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming media-ingest triage (streaming/stateful.py:
+    media_triage_gate): two micro-batches of binary blobs — genuine
+    PNG/JPEG/GIF/BMP container files (REAL header builders), plus PLANTED
+    corrupt uploads (junk bytes) and out-of-policy files (zero-width GIF)
+    closed-form in doc_id — routed by the pure-bytes header parsers into
+    kept (with parsed metadata) vs quarantined (with a named reason).
+    RAISES unless the streamed kept/quarantined sets match a direct
+    batch-mode triage of the same blobs; the per-doc routing is
+    closed-form, so the final table is ORACLE-PAIRED (a value-checked
+    STREAMING query)."""
+    import tempfile as _tf
+
+    from dbt_spark.functions.multimodal import _make_header_builders
+    from dbt_spark.streaming.stateful import media_triage_gate
+
+    builders = _make_header_builders()
+
+    def gen(it):
+        import pandas as _pd
+
+        b_png, b_jpeg, b_gif, b_bmp, _b_wav = builders
+        mk = [b_png, b_jpeg, b_gif, b_bmp]
+
+        def build(d):
+            if d % 11 == 3:   # corrupt upload: no known signature
+                return bytes((d * 31 + i * 7) % 251 for i in range(64))
+            if d % 11 == 7:   # parseable but out of policy: zero width
+                return b_gif(0, 5)
+            return mk[d % 4](16 + (d * 7) % 2048, 16 + (d * 13) % 1152)
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame({"doc_id": ids,
+                                 "payload": [build(d) for d in ids]})
+
+    docs = (read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id"))
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+    src = _tf.mkdtemp(prefix="dbt_spark_mtsrc_")
+    kept_dir = os.path.join(_tf.mkdtemp(prefix="dbt_spark_mtkeep_"), "k")
+    quar_dir = os.path.join(_tf.mkdtemp(prefix="dbt_spark_mtquar_"), "q")
+    ckpt = _tf.mkdtemp(prefix="dbt_spark_mtckpt_")
+    blobs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append").parquet(src)
+    blobs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (spark.readStream.schema(blobs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(media_triage_gate(kept_dir, quar_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    kept = spark.read.parquet(kept_dir)
+    quar = spark.read.parquet(quar_dir)
+    streamed = kept.unionByName(quar)
+
+    # batch-mode replay check: run the SAME gate body once over all blobs
+    rsrc = _tf.mkdtemp(prefix="dbt_spark_mtrsrc_")
+    rk = os.path.join(rsrc, "k")
+    rq = os.path.join(rsrc, "q")
+    media_triage_gate(rk, rq)(blobs, 0)
+    replay = spark.read.parquet(rk).unionByName(spark.read.parquet(rq))
+    a = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in replay.collect()}
+    if a != b:
+        raise RuntimeError(
+            f"streamed media triage diverged from batch replay: "
+            f"{len(a ^ b)} differing rows")
+    return streamed.select("doc_id", "status", "media_format", "reason")
+
+
 QUERIES = {
     "streaming_ingest_checkpoint": streaming_ingest_checkpoint,
     "stream_dedup_watermark": stream_dedup_watermark,
     "stream_static_join": stream_static_join,
     "stream_foreachbatch_upsert": stream_foreachbatch_upsert,
     "stream_neardup_ingest": stream_neardup_ingest,
+    "stream_media_triage": stream_media_triage,
     "stream_foreachbatch_upsert_acid": stream_foreachbatch_upsert_acid,
     "stream_stream_interval_join": stream_stream_interval_join,
     "session_window_agg": session_window_agg_q,

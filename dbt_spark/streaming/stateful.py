@@ -281,3 +281,80 @@ def minhash_ingest_gate(out_dir: str, sig_dir: str, text_col: str = "text",
          .write.mode("append").parquet(sig_dir))
 
     return sink
+
+
+def media_triage_gate(kept_dir: str, quarantine_dir: str):
+    """foreachBatch sink factory: REAL header-parse triage of media blobs
+    at ingest — the binary-level analog of PERMISSIVE JSONL quarantine.
+    Every arriving blob is probed with the pure-bytes container parsers
+    (PNG/JPEG/GIF/BMP dimensions, RIFF/WAVE fmt walk): parseable blobs
+    with sane metadata (positive dims ≤ 16384, sample rate ≤ 768 kHz)
+    append to ``kept_dir`` WITH their parsed metadata columns; everything
+    else appends to ``quarantine_dir`` with a NAMED reason
+    (unknown_container | bad_dims | bad_rate) — corrupt uploads never
+    poison the corpus and never kill the batch.
+
+    Scale: stateless per blob — one Arrow-batched mapInPandas pass per
+    micro-batch, no shuffle, no driver involvement; the two appends ride
+    the streaming sink's per-batch exactly-once contract."""
+    from dbt_spark.functions.multimodal import _make_header_parsers
+
+    parsers = _make_header_parsers()
+
+    def sink(df, batch_id: int) -> None:
+        parse_img, parse_wav = parsers
+
+        def batches(it):
+            import pandas as _pd
+
+            for pdf in it:
+                out = {"doc_id": [], "status": [], "media_format": [],
+                       "width": [], "height": [], "sample_rate": [],
+                       "reason": []}
+
+                def emit(did, status, fmt=None, w=None, h=None, sr=None,
+                         reason=None):
+                    out["doc_id"].append(int(did))
+                    out["status"].append(status)
+                    out["media_format"].append(fmt)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sample_rate"].append(sr)
+                    out["reason"].append(reason)
+
+                for did, blob in zip(pdf["doc_id"], pdf["payload"]):
+                    b = bytes(blob)
+                    img = parse_img(b)
+                    if img is not None:
+                        fmt, w, h = img
+                        if 0 < w <= 16384 and 0 < h <= 16384:
+                            emit(did, "kept", fmt, w, h)
+                        else:
+                            emit(did, "quarantined", fmt, w, h,
+                                 reason="bad_dims")
+                        continue
+                    wav = parse_wav(b)
+                    if wav is not None:
+                        ch, sr, bits, _data = wav
+                        if 0 < sr <= 768000 and ch > 0:
+                            emit(did, "kept", "wav", sr=sr)
+                        else:
+                            emit(did, "quarantined", "wav", sr=sr,
+                                 reason="bad_rate")
+                        continue
+                    emit(did, "quarantined", reason="unknown_container")
+                yield _pd.DataFrame(out)
+
+        triaged = df.mapInPandas(
+            batches,
+            schema="doc_id long, status string, media_format string, "
+                   "width long, height long, sample_rate long, "
+                   "reason string")
+        from pyspark.sql import functions as SF
+
+        triaged.filter(SF.col("status") == "kept").write.mode(
+            "append").parquet(kept_dir)
+        triaged.filter(SF.col("status") == "quarantined").write.mode(
+            "append").parquet(quarantine_dir)
+
+    return sink

@@ -318,3 +318,33 @@ def test_minhash_ingest_gate_cross_batch(spark, tmp_path):
     sig_ids = {r["id"] for r in spark.read.parquet(sig).collect()}
     assert sig_ids == {1, 3}
     assert os.path.exists(sig)
+
+
+def test_media_triage_gate_routing(spark, tmp_path):
+    """The foreachBatch media gate routes by REAL header parsing: valid
+    containers keep their parsed metadata, out-of-policy and corrupt
+    blobs land in quarantine with named reasons; nothing is dropped."""
+    from dbt_spark.functions.multimodal import (build_bmp, build_gif,
+                                                build_png, build_wav)
+    from dbt_spark.streaming.stateful import media_triage_gate
+
+    rows = [
+        (1, bytearray(build_png(640, 360))),
+        (2, bytearray(build_wav(2, 16000, 16, 100))),
+        (3, bytearray(b"\x00garbage-bytes\x01\x02")),
+        (4, bytearray(build_gif(0, 9))),          # zero width -> bad_dims
+        (5, bytearray(build_bmp(20000, 10))),     # over policy cap
+        (6, bytearray(build_wav(1, 0, 16, 10))),  # zero rate -> bad_rate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    kept_dir, quar_dir = str(tmp_path / "k"), str(tmp_path / "q")
+    media_triage_gate(kept_dir, quar_dir)(df, 0)
+    kept = {r["doc_id"]: r for r in spark.read.parquet(kept_dir).collect()}
+    quar = {r["doc_id"]: r for r in spark.read.parquet(quar_dir).collect()}
+    assert set(kept) == {1, 2} and set(quar) == {3, 4, 5, 6}
+    assert (kept[1]["media_format"], kept[1]["width"]) == ("png", 640)
+    assert kept[2]["sample_rate"] == 16000
+    assert quar[3]["reason"] == "unknown_container"
+    assert quar[4]["reason"] == "bad_dims"
+    assert quar[5]["reason"] == "bad_dims"
+    assert quar[6]["reason"] == "bad_rate"
