@@ -157,6 +157,7 @@ EXTENDED = [
     "html_extract_visible_text",
     "unigram_tokenizer_learning",  # trained-vocab cache: rep 1 trains
     "token_count_unigram",
+    "stream_media_triage",
 ]
 
 
