@@ -662,14 +662,23 @@ def _gen_like_pair(seed: int) -> tuple[str, str]:
             f"SELECT o_orderkey, regexp_matches(o_orderpriority, '{rx}') AS m "
             f"FROM orders WHERE o_orderkey % {mod} = 0",
         )
-    grp = rng.choice(["([0-9])-", "-(\\\\w+)"])
+    # regex class escapes need DIALECT-SPECIFIC literals: Spark processes
+    # backslash escapes inside single-quoted strings ('\\w' → \w) while
+    # DuckDB's single-quoted strings are escape-free ('\w' IS \w) — a
+    # shared literal silently changes the pattern on one side (caught by
+    # the DBT_SPARK_FUZZ_OFFSET=777 rotation)
+    grp_spark, grp_duck = rng.choice([
+        ("([0-9])-", "([0-9])-"),
+        ("-(\\\\w+)", "-(\\w+)"),
+    ])
     mod = rng.randrange(3, 9)
-    shared_fn = (
-        f"SELECT o_orderkey, "
-        f"regexp_extract(o_orderpriority, '{grp}', 1) AS g "
-        f"FROM orders WHERE o_orderkey % {mod} = 0"
-    )
-    return shared_fn, shared_fn
+
+    def q(grp):
+        return (f"SELECT o_orderkey, "
+                f"regexp_extract(o_orderpriority, '{grp}', 1) AS g "
+                f"FROM orders WHERE o_orderkey % {mod} = 0")
+
+    return q(grp_spark), q(grp_duck)
 
 
 @pytest.mark.parametrize("seed", range(12))
