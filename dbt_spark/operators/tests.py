@@ -13,6 +13,7 @@ for a persisted audit table.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Optional
 
@@ -27,6 +28,9 @@ class TestResult:
     failures: int
     status: str  # pass|warn|fail
     unique_id: str
+
+
+_REF_CALL_RE = re.compile(r"^\s*(ref|source)\s*\(")
 
 
 def _quoted_list(values: list) -> str:
@@ -86,15 +90,40 @@ def build_generic_test_sql(ctx: ExecutionContext, node: ManifestNode) -> str:
         )
     else:
         # custom generic test: a {% test name(model, column_name) %} macro
-        # (parser renames to test_<name>, core/dbt/parser/macros.py:97-99)
-        macro_name = f"test_{test_name}"
+        # (parser renames to test_<name>, core/dbt/parser/macros.py:97-99).
+        # Namespaced YAML names (`dbt_utils.equal_rowcount`) resolve
+        # package-qualified first, then flat (reference test-name resolution,
+        # parser/generic_test_builders.py TestBuilder.name handling).
+        if "." in test_name:
+            pkg, bare = test_name.split(".", 1)
+            qualified = f"{pkg}.test_{bare}"
+            macro_name = (
+                qualified if qualified in ctx.manifest.macros else f"test_{bare}"
+            )
+        else:
+            macro_name = f"test_{test_name}"
         if macro_name not in ctx.manifest.macros:
             raise ValueError(f"{node.unique_id}: unknown generic test {test_name!r}")
         from dbt_spark.plans.compile import runtime_render
         from dbt_spark.plans.manifest import NodeType
 
-        call_kwargs = {"model": base, "column_name": col, **kwargs}
-        arg_list = ", ".join(f"{k}={v!r}" for k, v in call_kwargs.items())
+        # column_name only for column-level tests (reference TestBuilder
+        # passes it only when the test is attached to a column)
+        call_kwargs = {"model": base}
+        if col is not None:
+            call_kwargs["column_name"] = col
+        call_kwargs.update(kwargs)
+
+        def _kwarg_literal(v):
+            # a kwarg written as `ref('x')`/`source('a','b')` in YAML is a
+            # Jinja expression, not a string — emit it raw so runtime_render
+            # resolves it to the relation (reference renders test kwargs
+            # through Jinja: generic_test_builders.py kwargs rendering)
+            if isinstance(v, str) and _REF_CALL_RE.match(v):
+                return f"({v})"
+            return repr(v)
+
+        arg_list = ", ".join(f"{k}={_kwarg_literal(v)}" for k, v in call_kwargs.items())
         call_node = ManifestNode(
             unique_id=f"call.{node.unique_id}",
             name=node.name,
@@ -103,6 +132,8 @@ def build_generic_test_sql(ctx: ExecutionContext, node: ManifestNode) -> str:
             resource_type=NodeType.Operation,
             raw_code=f"{{{{ {macro_name}({arg_list}) }}}}",
         )
+        from dbt_spark.plans.macros import RuntimeAdapter
+
         sql = runtime_render(
             call_node,
             ctx.manifest,
@@ -112,6 +143,9 @@ def build_generic_test_sql(ctx: ExecutionContext, node: ManifestNode) -> str:
             is_incremental=False,
             full_refresh=False,
             run_query=ctx.run_query,
+            # introspective test macros (dbt_utils.equality without
+            # compare_columns) read columns off the live store
+            extra={"adapter": RuntimeAdapter(ctx)},
         ).strip().rstrip(";")
     if node.config.limit:
         sql += f" LIMIT {node.config.limit}"

@@ -26,6 +26,9 @@ MACRO_BLOCK_RE = re.compile(
 MATERIALIZATION_BLOCK_RE = re.compile(
     r"{%-?\s*materialization\s+(\w+)", re.DOTALL
 )
+_WRAPPED_RELATION_RE = re.compile(
+    r"^\(\s*select\s+\*\s+from\s+([A-Za-z0-9_.`]+)", re.IGNORECASE
+)
 TEST_BLOCK_RE = re.compile(
     # {% test name(args) %} body {% endtest %} — generic test definitions
     r"{%-?\s*test\s+(\w+)\s*(\(.*?\))\s*-?%}(.*?){%-?\s*endtest\s*-?%}",
@@ -219,9 +222,15 @@ class RuntimeAdapter:
     def _split(self, relation: Any) -> tuple[str, str]:
         schema = getattr(relation, "schema", None) or "main"
         name = getattr(relation, "name", None) or str(relation)
-        if self._ctx.store.get(schema, name) is None and "__" in str(relation):
+        m = _WRAPPED_RELATION_RE.match(str(relation))
+        if m and getattr(relation, "name", None) is None:
+            # generic tests receive `model` as "(SELECT * FROM rel [WHERE ..])"
+            # (the where-subquery contract, reference get_where_subquery) —
+            # unwrap so introspective macros (star/equality) can read columns
+            name = m.group(1)
+        if self._ctx.store.get(schema, name) is None and "__" in name:
             # identifier-form "schema__name" fallback
-            s, _, n = str(relation).partition("__")
+            s, _, n = name.partition("__")
             if self._ctx.store.get(s, n) is not None:
                 return s, n
         return schema, name

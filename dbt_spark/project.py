@@ -879,7 +879,9 @@ def _attach_column_tests(
                   "store_failures"):
             if k in kwargs:
                 cfg_kwargs[k] = kwargs.pop(k)
-        parts = [test_name, node.name]
+        # namespaced names (`dbt_utils.equal_rowcount`) flatten with `_`
+        # (reference: TestBuilder fqn/name building)
+        parts = [test_name.replace(".", "_"), node.name]
         if column:
             parts.append(column)
         ident = "_".join(parts)
@@ -901,15 +903,20 @@ def _attach_column_tests(
             fqn=[project.name, ident],
         )
         tnode.depends_on.append(node.unique_id)
-        if test_name == "relationships" and "to" in kwargs:
-            # `to:` is a ref()/source() string — parse-render it to capture the dep
-            _, refs, sources, _ = parse_render(
-                "{{ " + str(kwargs["to"]).replace("{{", "").replace("}}", "") + " }}",
-                ident,
-                project.vars,
-                {},
-            )
-            tnode.refs, tnode.sources = refs, sources
+        # any kwarg written as a ref()/source() expression (`to:` on
+        # relationships, `compare_model:` on dbt_utils tests, ...) is a
+        # graph dependency — parse-render each to capture it (reference:
+        # generic_test_builders.py renders kwargs through Jinja)
+        for v in kwargs.values():
+            if isinstance(v, str) and ("ref(" in v or "source(" in v):
+                _, refs, sources, _ = parse_render(
+                    "{{ " + v.replace("{{", "").replace("}}", "") + " }}",
+                    ident,
+                    project.vars,
+                    {},
+                )
+                tnode.refs.extend(refs)
+                tnode.sources.extend(sources)
         manifest.add(tnode)
 
     for col in patch.get("columns", []) or []:

@@ -261,7 +261,7 @@ def seed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _test_ctx(spark: SparkSession, sf_dir: str):
     ctx = _mini_ctx(spark)
-    for tbl in ("orders", "events", "nation"):
+    for tbl in ("orders", "events", "nation", "customer", "lineitem"):
         src = ManifestNode(
             unique_id=f"source.matq.tpch.{tbl}",
             name=tbl,
@@ -318,6 +318,142 @@ def test_relationships_failing_rows(spark: SparkSession, sf_dir: str) -> DataFra
         spark, sf_dir, "events", "user_id", "relationships",
         field="n_nationkey", to_table="nation",
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+# dbt_utils-compatible generic tests (built-in global package) — each query
+# renders the {% test %} macro through the REAL engine builder
+# (operators/tests.py namespaced lookup -> runtime_render) and returns the
+# failing rows. Reference consumption: hub package dbt-labs/dbt_utils,
+# macros/generic_tests/*; execution contract core/dbt/task/test.py:142-197.
+# --------------------------------------------------------------------------
+
+_UTILS_MACROS_CACHE: dict = {}
+
+
+def _utils_pack_macros() -> dict:
+    """Built-in global-macro pack (flat + dbt_utils.-namespaced), as
+    project.py loads it for real projects (project.py:268-307)."""
+    if _UTILS_MACROS_CACHE:
+        return _UTILS_MACROS_CACHE
+    from dbt_spark.plans.macros import extract_generic_tests, extract_macros
+
+    base = os.path.join(
+        os.path.dirname(__file__), "..", "include", "global_macros"
+    )
+    for fn in sorted(os.listdir(base)):
+        if not fn.endswith(".sql"):
+            continue
+        with open(os.path.join(base, fn)) as f:
+            raw = f.read()
+        found = dict(extract_macros(raw))
+        found.update(extract_generic_tests(raw))
+        _UTILS_MACROS_CACHE.update(found)
+        _UTILS_MACROS_CACHE.update(
+            {f"dbt_utils.{n}": s for n, s in found.items()}
+        )
+    return _UTILS_MACROS_CACHE
+
+
+def _utils_test_df(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    test_name: str,
+    column: str = None,
+    where: str = None,
+    **kwargs,
+) -> DataFrame:
+    """Failing rows of a dbt_utils generic test over a tpch source table.
+
+    kwargs values may be callables (ctx) -> str for relation-dependent
+    arguments (compare_model/to) that need the resolved source identifier.
+    """
+    from dbt_spark.operators.tests import build_generic_test_sql
+
+    ctx = _test_ctx(spark, sf_dir)
+    ctx.manifest.macros.update(_utils_pack_macros())
+    resolved = {k: (v(ctx) if callable(v) else v) for k, v in kwargs.items()}
+    cfg = NodeConfig(materialized="test")
+    if where:
+        cfg = cfg.merged(where=where)
+    tnode = ManifestNode(
+        unique_id=f"test.matq.dbt_utils_{test_name}_{table}",
+        name=f"dbt_utils_{test_name}_{table}",
+        package_name="matq",
+        path="models/sources.yml",
+        resource_type=NodeType.Test,
+        column_name=column,
+        test_metadata={"name": f"dbt_utils.{test_name}", "kwargs": resolved},
+        attached_node=f"source.matq.tpch.{table}",
+        config=cfg,
+    )
+    return spark.sql(build_generic_test_sql(ctx, tnode))
+
+
+def _tpch_source_ident(ctx, table: str) -> str:
+    return ctx.resolve_source(ctx.manifest.sources[f"source.matq.tpch.{table}"])
+
+
+def utilpack_accepted_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt_utils.accepted_range failing rows: customers with negative
+    account balance against min_value=0 (hub dbt_utils
+    macros/generic_tests/accepted_range.sql semantics)."""
+    df = _utils_test_df(
+        spark, sf_dir, "customer", "accepted_range",
+        column="c_acctbal", min_value=0, inclusive=True,
+    )
+    return df.select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+
+
+def utilpack_equal_rowcount_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt_utils.equal_rowcount with group_by_columns: per-region nation
+    counts vs a filtered twin — failing rows are the drifted groups."""
+    return _utils_test_df(
+        spark, sf_dir, "nation", "equal_rowcount",
+        group_by_columns=["n_regionkey"],
+        compare_model=lambda ctx: (
+            f"(select * from {_tpch_source_ident(ctx, 'nation')} "
+            "where n_nationkey < 20)"
+        ),
+    )
+
+
+def utilpack_sequential_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt_utils.sequential_values: o_orderkey gaps on a bounded slice
+    (every 7th key filtered out, so failing rows exist at any SF) —
+    one lag() window, no self-join."""
+    return _utils_test_df(
+        spark, sf_dir, "orders", "sequential_values",
+        column="o_orderkey",
+        where="o_orderkey <= 400 and o_orderkey % 7 != 0", interval=1,
+    )
+
+
+def utilpack_mutually_exclusive_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt_utils.mutually_exclusive_ranges over per-customer 30-day order
+    windows: overlapping ranges are failing rows. Single lag() window keyed
+    on the partition column — one shuffle, scales with key cardinality."""
+    return _utils_test_df(
+        spark, sf_dir, "orders", "mutually_exclusive_ranges",
+        where="o_custkey < 50",
+        lower_bound_column="o_orderdate",
+        upper_bound_column="o_orderdate + interval 30 day",
+        partition_by="o_custkey",
+        gaps="allowed",
+    )
+
+
+def utilpack_cardinality_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt_utils.cardinality_equality: order custkey multiset vs customer
+    key multiset — EXCEPT both directions over (value, count) pairs."""
+    return _utils_test_df(
+        spark, sf_dir, "orders", "cardinality_equality",
+        column="o_custkey", field="c_custkey",
+        to=lambda ctx: _tpch_source_ident(ctx, "customer"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1569,6 +1705,56 @@ ORACLES: dict[str, str] = {
         LEFT JOIN nation n ON e.user_id = n.n_nationkey
         WHERE e.user_id IS NOT NULL AND n.n_nationkey IS NULL
     """,
+    "utilpack_accepted_range": """
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer WHERE NOT (TRUE AND c_acctbal >= 0)
+    """,
+    "utilpack_equal_rowcount_grouped": """
+        WITH a AS (SELECT n_regionkey, count(*) AS count_a
+                   FROM nation GROUP BY n_regionkey),
+             b AS (SELECT n_regionkey, count(*) AS count_b
+                   FROM nation WHERE n_nationkey < 20 GROUP BY n_regionkey)
+        SELECT n_regionkey,
+               coalesce(count_a, 0) AS count_a,
+               coalesce(count_b, 0) AS count_b
+        FROM a FULL OUTER JOIN b USING (n_regionkey)
+        WHERE coalesce(count_a, 0) != coalesce(count_b, 0)
+    """,
+    "utilpack_sequential_values": """
+        WITH windowed AS (
+            SELECT o_orderkey AS current_value,
+                   lag(o_orderkey) OVER (ORDER BY o_orderkey) AS previous_value
+            FROM orders WHERE o_orderkey <= 400 AND o_orderkey % 7 != 0
+        )
+        SELECT * FROM windowed
+        WHERE previous_value IS NOT NULL
+          AND current_value != previous_value + 1
+    """,
+    "utilpack_mutually_exclusive_ranges": """
+        WITH windowed AS (
+            SELECT o_custkey,
+                   o_orderdate AS lower_bound,
+                   o_orderdate + INTERVAL 30 DAY AS upper_bound,
+                   lag(o_orderdate + INTERVAL 30 DAY) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderdate + INTERVAL 30 DAY
+                   ) AS previous_upper_bound
+            FROM orders WHERE o_custkey < 50
+        )
+        SELECT * FROM windowed
+        WHERE NOT (lower_bound < upper_bound)
+           OR (previous_upper_bound IS NOT NULL
+               AND NOT (previous_upper_bound <= lower_bound))
+    """,
+    "utilpack_cardinality_equality": """
+        WITH a AS (SELECT o_custkey AS v, count(*) AS n
+                   FROM orders GROUP BY o_custkey),
+             b AS (SELECT c_custkey AS v, count(*) AS n
+                   FROM customer GROUP BY c_custkey)
+        (SELECT v, n FROM a EXCEPT SELECT v, n FROM b)
+        UNION ALL
+        (SELECT v, n FROM b EXCEPT SELECT v, n FROM a)
+    """,
     "zorder_layout_scan": """
         SELECT o_orderkey, o_custkey,
                CAST(o_totalprice AS DOUBLE) AS o_totalprice
@@ -1604,6 +1790,11 @@ QUERIES = {
     "test_unique_failing_rows": test_unique_failing_rows,
     "test_accepted_values_failing_rows": test_accepted_values_failing_rows,
     "test_relationships_failing_rows": test_relationships_failing_rows,
+    "utilpack_accepted_range": utilpack_accepted_range,
+    "utilpack_equal_rowcount_grouped": utilpack_equal_rowcount_grouped,
+    "utilpack_sequential_values": utilpack_sequential_values,
+    "utilpack_mutually_exclusive_ranges": utilpack_mutually_exclusive_ranges,
+    "utilpack_cardinality_equality": utilpack_cardinality_equality,
     "engine_run_e2e": engine_run_e2e,
     "zorder_layout_scan": zorder_layout_scan,
     "snapshot_hard_delete": snapshot_hard_delete,

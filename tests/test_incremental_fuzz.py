@@ -1,0 +1,148 @@
+"""Differential fuzzing for incremental-strategy semantics.
+
+Seeded random batch sequences (overlapping keys / partitions, occasional
+empty batches) run through the REAL incremental materializer
+(operators/incremental.py::materialize_incremental) for every strategy,
+then the final table is compared exactly against a pure-pandas replay
+oracle implementing the reference semantics
+(core/dbt/../incremental strategy docs; merge = upsert all columns on
+unique_key, delete+insert = delete batch keys then insert, insert_overwrite
+= replace touched partitions, append = blind concat).
+
+Same discipline as tests/test_differential_fuzz.py: fixed seeds, family
+base rotated by DBT_SPARK_FUZZ_OFFSET.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import tempfile
+
+import pandas as pd
+import pytest
+
+from dbt_spark.catalog import RelationStore
+from dbt_spark.operators.incremental import materialize_incremental
+from dbt_spark.operators.materialize import ExecutionContext
+from dbt_spark.plans.manifest import Manifest, ManifestNode, NodeConfig, NodeType
+from dbt_spark.project import Project
+
+_OFF = int(os.environ.get("DBT_SPARK_FUZZ_OFFSET", "0"))
+_BASE = 130_000  # family seed base (next free 10k block after the r7 families)
+
+STRATS = ["append", "merge", "delete+insert", "insert_overwrite"]
+PARTS = ["p0", "p1", "p2", "p3"]
+
+
+def _gen_batches(seed: int) -> tuple[str, list[pd.DataFrame]]:
+    """(strategy, batches) — each batch a small frame with engineered
+    key/partition collisions across batches."""
+    rng = random.Random(_BASE + _OFF + seed)
+    strategy = STRATS[seed % len(STRATS)]
+    n_batches = rng.randrange(2, 5)
+    batches = []
+    for b in range(n_batches):
+        if b > 0 and rng.random() < 0.15:
+            batches.append(pd.DataFrame(columns=["k", "part", "val", "b"]))
+            continue
+        n = rng.randrange(1, 7)
+        ks = rng.sample(range(1, 9), n)  # unique k within a batch
+        rows = [
+            {
+                "k": k,
+                "part": rng.choice(PARTS),
+                "val": (seed + 1) * 100 + b * 10 + i,
+                "b": b,
+            }
+            for i, k in enumerate(ks)
+        ]
+        batches.append(pd.DataFrame(rows))
+    return strategy, batches
+
+
+def _replay_oracle(strategy: str, batches: list[pd.DataFrame]) -> pd.DataFrame:
+    """Pure-pandas reference replay of the strategy semantics."""
+    state = pd.DataFrame(columns=["k", "part", "val", "b"])
+    for batch in batches:
+        if strategy == "append":
+            state = pd.concat([state, batch], ignore_index=True)
+        elif strategy == "merge":
+            if len(batch):
+                state = state[~state["k"].isin(set(batch["k"]))]
+                state = pd.concat([state, batch], ignore_index=True)
+        elif strategy == "delete+insert":
+            if len(batch):
+                state = state[~state["k"].isin(set(batch["k"]))]
+                state = pd.concat([state, batch], ignore_index=True)
+        elif strategy == "insert_overwrite":
+            if len(batch):
+                state = state[~state["part"].isin(set(batch["part"]))]
+                state = pd.concat([state, batch], ignore_index=True)
+    return state
+
+
+def _batch_sql(batch: pd.DataFrame) -> str:
+    if not len(batch):
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS k, CAST(NULL AS STRING) AS part, "
+            "CAST(NULL AS BIGINT) AS val, CAST(NULL AS BIGINT) AS b WHERE 1=0"
+        )
+    rows = ", ".join(
+        f"({r.k}, '{r.part}', {r.val}, {r.b})" for r in batch.itertuples()
+    )
+    return (
+        f"SELECT CAST(k AS BIGINT) AS k, part, CAST(val AS BIGINT) AS val, "
+        f"CAST(b AS BIGINT) AS b FROM (VALUES {rows}) AS t(k, part, val, b)"
+    )
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = [
+        tuple(None if pd.isna(v) else int(v) if isinstance(v, float) else v
+              for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_incremental_strategy_differential(spark, seed):
+    strategy, batches = _gen_batches(seed)
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_incfuzz_")
+    project = Project(
+        name="incfuzz",
+        root=tmp,
+        profile={"warehouse": os.path.join(tmp, "wh"), "schema": "main",
+                 "threads": 2},
+    )
+    ctx = ExecutionContext(
+        spark=spark,
+        store=RelationStore(spark, project.profile["warehouse"]),
+        manifest=Manifest(project_name="incfuzz"),
+        project=project,
+    )
+    cfg = {"materialized": "incremental", "incremental_strategy": strategy}
+    if strategy in ("merge", "delete+insert"):
+        cfg["unique_key"] = "k"
+    if strategy == "insert_overwrite":
+        cfg["partition_by"] = "part"
+    node = ManifestNode(
+        unique_id=f"model.incfuzz.t{seed}",
+        name=f"t{seed}",
+        package_name="incfuzz",
+        path=f"models/t{seed}.sql",
+        resource_type=NodeType.Model,
+        raw_code="",
+        config=NodeConfig().merged(**cfg),
+    )
+    for batch in batches:
+        node.raw_code = _batch_sql(batch)
+        materialize_incremental(ctx, node)
+    got = ctx.store.read("main", node.name).toPandas()
+    want = _replay_oracle(strategy, batches)
+    assert _canon(got) == _canon(want), (
+        f"seed={seed} strategy={strategy} "
+        f"batches={[len(b) for b in batches]}"
+    )
