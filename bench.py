@@ -158,6 +158,7 @@ EXTENDED = [
     "unigram_tokenizer_learning",  # trained-vocab cache: rep 1 trains
     "token_count_unigram",
     "stream_media_triage",
+    "kneser_ney_quality_score",
     "utilpack_accepted_range",
     "utilpack_mutually_exclusive_ranges",
     "utilpack_cardinality_equality",

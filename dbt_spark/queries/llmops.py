@@ -973,6 +973,97 @@ def ngram_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored
 
 
+def kneser_ney_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram LM quality scoring (Chen & Goodman
+    1998 smoothing — the method KenLM implements and CCNet/Wenzek 2020
+    consume; trained IN-ENGINE on the lang='en' slice, fixed discount
+    D=0.75). Per-doc average NLL + pseudo-perplexity over trigrams:
+
+        P3(w3|w1w2) = (max(c3-D,0) + D*n3f(w1w2)*P2(w3|w2)) / c2ctx(w1w2)
+        P2(w3|w2)   = (max(c2-D,0) + D*n2f(w2)*Pc(w3)) / c1ctx(w2)
+        Pc(w3)      = (N1+(.w3) + 0.5) / (N1+(..) + 0.5*(Vc+1))
+
+    with full backoff to the lower order when a context is unseen and an
+    additive-floored continuation unigram so OOV tokens score finite
+    (KenLM's <unk> analog).
+
+    Scale: c3/c2b (the gram TYPE tables) are the only stream-cardinality
+    aggregates, localCheckpointed because 2-3 consumers each derive from
+    them; every other KN table DERIVES at type cardinality (n3f = rows of
+    c3 per context, continuation counts = rows of c2b per suffix —
+    Kneser-Ney's N1+ counts are exactly type-table row counts, so no
+    countDistinct/Expand anywhere). The exploded streams themselves are
+    NOT checkpointed — re-running the codegen explode is cheaper than
+    serializing the stream. Scoring LEFT-joins key on the gram; count
+    tables AQE-broadcast under sane vocab sizes, else the joins shuffle
+    ∝ trigram stream."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "lang",
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    tri = d.filter(F.size("ws") >= 3).select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws)-3), i -> struct(ws[i] AS w1, "
+            "ws[i+1] AS w2, ws[i+2] AS w3))")).alias("g"),
+    ).select("doc_id", "lang", F.col("g.w1").alias("w1"),
+             F.col("g.w2").alias("w2"), F.col("g.w3").alias("w3"))
+    bi = d.filter(F.size("ws") >= 2).select(
+        "lang",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS a, "
+            "ws[i+1] AS b))")).alias("g"),
+    ).select("lang", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+    # the ONLY stream-cardinality aggregates: trigram/bigram type counts
+    c3 = ttype = tri.filter(F.col("lang") == "en").groupBy(
+        "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("double").alias("c3")
+    ).localCheckpoint(eager=False)
+    c2b = bi.filter(F.col("lang") == "en").groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("c2b")
+    ).localCheckpoint(eager=False)
+    # every other KN table derives at TYPE cardinality: context totals are
+    # sums, N1+ counts are type-table row counts
+    ctx3 = c3.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2ctx"),
+        F.count(F.lit(1)).cast("double").alias("n3f"))
+    ctx2 = c2b.groupBy("a").agg(
+        F.sum("c2b").alias("c1ctx"),
+        F.count(F.lit(1)).cast("double").alias("n2f"))
+    cont = c2b.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("cont"))
+    scal = cont.agg(
+        F.sum("cont").alias("ncc"),
+        F.count(F.lit(1)).cast("double").alias("vc"))
+    dd = F.lit(0.75)
+    pc = (F.coalesce(F.col("cont"), F.lit(0.0)) + 0.5) / (
+        F.col("ncc") + 0.5 * (F.col("vc") + 1.0))
+    p2 = F.when(
+        F.coalesce(F.col("c1ctx"), F.lit(0.0)) > 0.0,
+        (F.greatest(F.coalesce(F.col("c2b"), F.lit(0.0)) - dd, F.lit(0.0))
+         + dd * F.col("n2f") * pc) / F.col("c1ctx"),
+    ).otherwise(pc)
+    p3 = F.when(
+        F.coalesce(F.col("c2ctx"), F.lit(0.0)) > 0.0,
+        (F.greatest(F.coalesce(F.col("c3"), F.lit(0.0)) - dd, F.lit(0.0))
+         + dd * F.col("n3f") * p2) / F.col("c2ctx"),
+    ).otherwise(p2)
+    return (
+        tri.join(c3, ["w1", "w2", "w3"], "left")
+        .join(ctx3, ["w1", "w2"], "left")
+        .join(c2b, (F.col("w2") == F.col("a")) & (F.col("w3") == F.col("b")),
+              "left").drop("a", "b")
+        .join(ctx2.withColumnRenamed("a", "w2"), ["w2"], "left")
+        .join(cont.withColumnRenamed("b", "w3"), ["w3"], "left")
+        .crossJoin(F.broadcast(scal))
+        .select("doc_id", "lang", (-F.log(p3)).alias("nll"))
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+             F.round(F.avg("nll"), 6).alias("avg_nll"),
+             F.round(F.exp(F.avg("nll")), 4).alias("ppl"))
+    )
+
+
 def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into training shards: shard = first hex
     digit of md5(doc_id) (16-way; 2 digits → 256-way at scale), position =
@@ -2611,6 +2702,87 @@ ORACLES: dict[str, str] = {
                round(exp(avg(nll)), 4) AS ppl
         FROM s GROUP BY doc_id, lang
     """,
+    "kneser_ney_quality_score": f"""
+        WITH d AS (
+            SELECT doc_id, lang, {_TOKS} AS ws FROM documents
+        ),
+        tri AS (
+            SELECT doc_id, lang, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(list_transform(generate_series(1, len(ws) - 2),
+                              i -> {{'w1': ws[i], 'w2': ws[i + 1],
+                                     'w3': ws[i + 2]}})) AS g
+                FROM d WHERE len(ws) >= 3
+            )
+        ),
+        bi AS (
+            SELECT lang, g.a AS a, g.b AS b
+            FROM (
+                SELECT lang,
+                       unnest(list_transform(generate_series(1, len(ws) - 1),
+                              i -> {{'a': ws[i], 'b': ws[i + 1]}})) AS g
+                FROM d WHERE len(ws) >= 2
+            )
+        ),
+        c3 AS (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c3
+               FROM tri WHERE lang = 'en' GROUP BY w1, w2, w3),
+        c2ctx AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2ctx
+                  FROM tri WHERE lang = 'en' GROUP BY w1, w2),
+        n3f AS (SELECT w1, w2, CAST(count(DISTINCT w3) AS DOUBLE) AS n3f
+                FROM tri WHERE lang = 'en' GROUP BY w1, w2),
+        c2b AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS c2b
+                FROM bi WHERE lang = 'en' GROUP BY a, b),
+        c1ctx AS (SELECT a, CAST(count(*) AS DOUBLE) AS c1ctx
+                  FROM bi WHERE lang = 'en' GROUP BY a),
+        n2f AS (SELECT a, CAST(count(DISTINCT b) AS DOUBLE) AS n2f
+                FROM bi WHERE lang = 'en' GROUP BY a),
+        bt AS (SELECT DISTINCT a, b FROM bi WHERE lang = 'en'),
+        cont AS (SELECT b, CAST(count(*) AS DOUBLE) AS cont
+                 FROM bt GROUP BY b),
+        scal AS (SELECT CAST(count(*) AS DOUBLE) AS ncc,
+                        CAST(count(DISTINCT b) AS DOUBLE) AS vc
+                 FROM bt),
+        s AS (
+            SELECT tri.doc_id, tri.lang,
+                   -ln(
+                     CASE WHEN COALESCE(c2ctx.c2ctx, 0) > 0 THEN
+                       (greatest(COALESCE(c3.c3, 0) - 0.75, 0)
+                        + 0.75 * n3f.n3f *
+                          (CASE WHEN COALESCE(c1ctx.c1ctx, 0) > 0 THEN
+                             (greatest(COALESCE(c2b.c2b, 0) - 0.75, 0)
+                              + 0.75 * n2f.n2f *
+                                ((COALESCE(cont.cont, 0) + 0.5)
+                                 / (scal.ncc + 0.5 * (scal.vc + 1))))
+                             / c1ctx.c1ctx
+                           ELSE (COALESCE(cont.cont, 0) + 0.5)
+                                / (scal.ncc + 0.5 * (scal.vc + 1)) END))
+                       / c2ctx.c2ctx
+                     WHEN COALESCE(c1ctx.c1ctx, 0) > 0 THEN
+                       (greatest(COALESCE(c2b.c2b, 0) - 0.75, 0)
+                        + 0.75 * n2f.n2f *
+                          ((COALESCE(cont.cont, 0) + 0.5)
+                           / (scal.ncc + 0.5 * (scal.vc + 1))))
+                       / c1ctx.c1ctx
+                     ELSE (COALESCE(cont.cont, 0) + 0.5)
+                          / (scal.ncc + 0.5 * (scal.vc + 1)) END) AS nll
+            FROM tri
+            LEFT JOIN c3 ON tri.w1 = c3.w1 AND tri.w2 = c3.w2
+                        AND tri.w3 = c3.w3
+            LEFT JOIN c2ctx ON tri.w1 = c2ctx.w1 AND tri.w2 = c2ctx.w2
+            LEFT JOIN n3f ON tri.w1 = n3f.w1 AND tri.w2 = n3f.w2
+            LEFT JOIN c2b ON tri.w2 = c2b.a AND tri.w3 = c2b.b
+            LEFT JOIN c1ctx ON tri.w2 = c1ctx.a
+            LEFT JOIN n2f ON tri.w2 = n2f.a
+            LEFT JOIN cont ON tri.w3 = cont.b
+            CROSS JOIN scal
+        )
+        SELECT doc_id, lang,
+               CAST(count(*) AS BIGINT) AS n_trigrams,
+               round(avg(nll), 6) AS avg_nll,
+               round(exp(avg(nll)), 4) AS ppl
+        FROM s GROUP BY doc_id, lang
+    """,
     "dsir_importance_select": f"""
         WITH d AS (
             SELECT doc_id, lang, source, {_TOKS} AS ws FROM documents
@@ -3022,6 +3194,7 @@ QUERIES = {
     "temperature_mix_sample": temperature_mix_sample,
     "dsir_importance_select": dsir_importance_select,
     "ngram_lm_quality_score": ngram_lm_quality_score,
+    "kneser_ney_quality_score": kneser_ney_quality_score,
     "semdedup_cluster_prune": semdedup_cluster_prune,
     "corpus_shuffle_deterministic": corpus_shuffle_deterministic,
     "dup_chunk_ratio": dup_chunk_ratio,

@@ -1061,3 +1061,31 @@ def test_unigram_segment_counts_match_reference(spark):
             pieces.extend(viterbi(w))
         assert got[r["doc_id"]] == (len(words), len(pieces),
                                     len(set(pieces))), r["doc_id"]
+
+
+def test_kneser_ney_quality_score_invariants(spark):
+    """KN trigram scorer: finite positive NLL everywhere, trigram counts
+    match tokenization, and in-domain (en) docs score lower median ppl
+    than out-of-domain text under the en-trained LM — the signal CCNet
+    buckets on. Exact values are pinned by the DuckDB oracle twin; this
+    guards the semantic shape."""
+    import math
+    import statistics
+
+    from dbt_spark.queries.llmops import kneser_ney_quality_score
+    from dbt_spark.session import read_parquet
+
+    rows = kneser_ney_quality_score(spark, SF).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: len(r["text"].strip().split())
+        for r in read_parquet(spark, SF + "/documents.parquet").collect()
+    }
+    ppl = {"en": [], "other": []}
+    for r in rows:
+        assert r["n_trigrams"] == max(docs[r["doc_id"]] - 2, 0), r["doc_id"]
+        assert r["avg_nll"] > 0 and math.isfinite(r["avg_nll"])
+        assert r["ppl"] > 1.0
+        ppl["en" if r["lang"] == "en" else "other"].append(r["ppl"])
+    assert ppl["en"] and ppl["other"]
+    assert statistics.median(ppl["en"]) < statistics.median(ppl["other"])
