@@ -128,3 +128,114 @@ from {{ rel }}
 {% macro group_by(n) -%}
 group by {% for i in range(1, n + 1) %}{{ i }}{% if not loop.last %}, {% endif %}{% endfor %}
 {%- endmacro %}
+
+{% macro deduplicate(relation, partition_by, order_by) -%}
+{# keep exactly one row per partition_by group, first under order_by —
+   one row_number() window (single shuffle on the partition key) #}
+select * except (_dbt_dedup_rn) from (
+    select *, row_number() over (
+        partition by {{ partition_by }}
+        order by {{ order_by }}
+    ) as _dbt_dedup_rn
+    from {{ relation }}
+) where _dbt_dedup_rn = 1
+{%- endmacro %}
+
+{% macro unpivot(relation, cast_to='string', exclude=[], remove=[], field_name='field_name', value_name='value') -%}
+{%- if not execute -%}
+select 1 as _dbt_parse_placeholder
+{%- else -%}
+{%- set cols = [] -%}
+{%- for col in adapter.get_columns_in_relation(relation) -%}
+  {%- if col.name not in exclude and col.name not in remove -%}
+    {%- do cols.append(col.name) -%}
+  {%- endif -%}
+{%- endfor -%}
+{%- for col in cols %}
+select
+  {% for ex in exclude %}{{ ex }}, {% endfor %}
+  cast('{{ col }}' as string) as {{ field_name }},
+  cast({{ col }} as {{ cast_to }}) as {{ value_name }}
+from {{ relation }}
+{% if not loop.last %}union all{% endif %}
+{%- endfor -%}
+{%- endif -%}
+{%- endmacro %}
+
+{% macro get_column_values(table, column, max_records=None, default=None, where=None, order_by='count(*) desc') -%}
+{%- if not execute -%}
+{{ return(default if default is not none else []) }}
+{%- else -%}
+{%- set sql -%}
+select {{ column }} as value from {{ table }}
+{% if where %}where {{ where }}{% endif %}
+group by {{ column }} order by {{ order_by }}
+{% if max_records is not none %}limit {{ max_records }}{% endif %}
+{%- endset -%}
+{%- set res = run_query(sql) -%}
+{%- if res is none -%}
+{{ return(default if default is not none else []) }}
+{%- else -%}
+{%- set vals = [] -%}
+{%- for row in res.rows -%}{%- do vals.append(row[0]) -%}{%- endfor -%}
+{{ return(vals) }}
+{%- endif -%}
+{%- endif -%}
+{%- endmacro %}
+
+{% macro get_filtered_columns_in_relation(from, except=[]) -%}
+{%- if not execute -%}
+{{ return([]) }}
+{%- else -%}
+{%- set names = [] -%}
+{%- for col in adapter.get_columns_in_relation(from) -%}
+  {%- if col.name not in except -%}{%- do names.append(col.name) -%}{%- endif -%}
+{%- endfor -%}
+{{ return(names) }}
+{%- endif -%}
+{%- endmacro %}
+
+{% macro safe_add(field_list) -%}
+{%- for f in field_list -%}
+coalesce({{ f }}, 0){% if not loop.last %} + {% endif %}
+{%- endfor -%}
+{%- endmacro %}
+
+{% macro safe_subtract(field_list) -%}
+{%- for f in field_list -%}
+coalesce({{ f }}, 0){% if not loop.last %} - {% endif %}
+{%- endfor -%}
+{%- endmacro %}
+
+{% macro generate_series(upper_bound) -%}
+select explode(sequence(1, {{ upper_bound }})) as generated_number
+{%- endmacro %}
+
+{% macro get_url_host(field) -%}
+regexp_extract(regexp_replace({{ field }}, '^[a-zA-Z]+://', ''), '^([^/?#]*)', 1)
+{%- endmacro %}
+
+{% macro get_url_path(field) -%}
+nullif(regexp_extract(regexp_replace({{ field }}, '^[a-zA-Z]+://', ''), '^[^/?#]*([^?#]*)', 1), '')
+{%- endmacro %}
+
+{% macro get_url_parameter(field, url_parameter) -%}
+nullif(regexp_extract({{ field }}, '[?&]{{ url_parameter }}=([^&#]*)', 1), '')
+{%- endmacro %}
+
+{% macro slugify(column) -%}
+regexp_replace(regexp_replace(regexp_replace(trim(lower({{ column }})), '[^a-z0-9\\s_-]+', ''), '[\\s-]+', '_'), '^_+|_+$', '')
+{%- endmacro %}
+
+{% macro width_bucket(expr, min_value, max_value, num_buckets) -%}
+width_bucket({{ expr }}, {{ min_value }}, {{ max_value }}, {{ num_buckets }})
+{%- endmacro %}
+
+{% macro haversine_distance(lat1, lon1, lat2, lon2, unit='mi') -%}
+{#- great-circle distance; 2*R*asin(sqrt(haversine)) with R in {{ unit }} -#}
+(2 * {{ 3959.0 if unit == 'mi' else 6371.0 }} * asin(sqrt(
+    pow(sin(radians(({{ lat2 }}) - ({{ lat1 }})) / 2), 2)
+    + cos(radians({{ lat1 }})) * cos(radians({{ lat2 }}))
+      * pow(sin(radians(({{ lon2 }}) - ({{ lon1 }})) / 2), 2)
+)))
+{%- endmacro %}

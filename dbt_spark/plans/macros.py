@@ -81,6 +81,33 @@ def _compiled(env: jinja2.Environment, source: str) -> Any:
     return tpl
 
 
+class MacroReturn(Exception):
+    """Raised by the ``return(value)`` macro global; caught at the macro-call
+    boundary so the call evaluates to ``value`` (reference
+    core/dbt/clients/jinja.py MacroReturn)."""
+
+    def __init__(self, value: Any) -> None:
+        super().__init__("macro return")
+        self.value = value
+
+
+def _macro_return(value: Any = None) -> Any:
+    raise MacroReturn(value)
+
+
+def _catch_macro_return(macro: Any) -> Any:
+    def call(*args: Any, **kwargs: Any) -> Any:
+        try:
+            return macro(*args, **kwargs)
+        except MacroReturn as r:
+            return r.value
+
+    call.__name__ = getattr(macro, "name", None) or getattr(
+        macro, "__name__", "macro")
+    call._dbt_macro = macro
+    return call
+
+
 class MacroNamespace:
     """Lazily-instantiated Jinja macro module bound to a render context.
 
@@ -100,7 +127,12 @@ class MacroNamespace:
         Dotted keys (``pkg.macro``) become package namespaces: ``bound['pkg']``
         is an object whose attributes are that package's macros, built from a
         module where the package's own definitions are appended last so they
-        win name collisions (reference package macro namespacing)."""
+        win name collisions (reference package macro namespacing).
+
+        ``return(value)`` inside a macro short-circuits it and makes the CALL
+        evaluate to ``value`` (any object, not just text) — the reference's
+        MacroReturn escape (core/dbt/clients/jinja.py MacroReturn), which
+        list-returning package macros (dbt_utils.get_column_values) rely on."""
         flat = {k: v for k, v in self.sources.items() if "." not in k}
         pkgs: dict[str, dict[str, str]] = {}
         for k, v in self.sources.items():
@@ -109,6 +141,8 @@ class MacroNamespace:
                 pkgs.setdefault(p, {})[n] = v
         if not flat and not pkgs:
             return {}
+        mvars = dict(ctx)
+        mvars.setdefault("return", _macro_return)
         bound: dict[str, Any] = {}
         if flat:
             # one module for the whole flat namespace: macros can call each
@@ -117,10 +151,10 @@ class MacroNamespace:
             # by source hash (module-level) — a 2,000-model parse renders
             # 2,000 times but compiles the macro prelude once.
             module = _compiled(self.env, "\n".join(flat.values())).make_module(
-                vars=ctx
+                vars=mvars
             )
             bound = {
-                name: getattr(module, name)
+                name: _catch_macro_return(getattr(module, name))
                 for name in flat
                 if hasattr(module, name)
             }
@@ -136,9 +170,12 @@ class MacroNamespace:
             else:
                 srcs = [v for k, v in flat.items() if k not in names]
                 srcs.extend(names.values())
-                pmod = _compiled(self.env, "\n".join(srcs)).make_module(vars=ctx)
+                pmod = _compiled(self.env, "\n".join(srcs)).make_module(
+                    vars=mvars
+                )
                 ns = SimpleNamespace(
-                    **{n: getattr(pmod, n) for n in names if hasattr(pmod, n)}
+                    **{n: _catch_macro_return(getattr(pmod, n))
+                       for n in names if hasattr(pmod, n)}
                 )
             bound.setdefault(p, ns)
         return bound

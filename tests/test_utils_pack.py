@@ -384,3 +384,134 @@ models:
         if n is not None:
             dep_names.add(n.name)
     assert {"kids", "kids_copy"} <= dep_names
+
+
+# ---------------------------------------------------------------------------
+# dbt_utils MACROS (beyond the generic tests): each rendered inside a real
+# model through the engine (parse -> namespace bind -> run)
+# ---------------------------------------------------------------------------
+
+MACRO_BASE = {
+    "dbt_project.yml": "name: utilmac\n",
+    "seeds/raw.csv": (
+        "id,grp,a,b,url,title,lat,lon\n"
+        "1,x,1,,http://www.example.com/path/page?utm=abc&x=1,Hello World! 42,40.7,-74.0\n"
+        "2,x,2,5,https://sub.shop.org/,  Mixed--CASE  thing ,34.05,-118.24\n"
+        "3,y,,7,ftp://files.net/a/b.txt?x=2,already_slugged,40.7,-74.0\n"
+        "4,y,4,1,http://files.net,Trailing spaces  ,51.5,-0.1\n"
+    ),
+}
+
+
+@pytest.fixture()
+def macro_eng(project_dir, spark):
+    pdir = project_dir(MACRO_BASE)
+    return Engine(pdir, spark=spark), pdir
+
+
+def _run_model(eng_pdir, name, sql):
+    eng, pdir = eng_pdir
+    os.makedirs(os.path.join(pdir, "models"), exist_ok=True)
+    with open(os.path.join(pdir, "models", f"{name}.sql"), "w") as f:
+        f.write(sql)
+    r = eng.invoke(["build", "--select", f"+{name}"])
+    assert r.success, [getattr(x, "message", None) for x in r.results]
+    return eng.store.read("main", name)
+
+
+def test_macro_deduplicate(macro_eng):
+    df = _run_model(
+        macro_eng, "dedup",
+        "{{ dbt_utils.deduplicate(ref('raw'), partition_by='grp',"
+        " order_by='id desc') }}",
+    )
+    rows = {r["grp"]: r["id"] for r in df.collect()}
+    assert rows == {"x": 2, "y": 4}
+    assert "_dbt_dedup_rn" not in df.columns
+
+
+def test_macro_unpivot(macro_eng):
+    df = _run_model(
+        macro_eng, "unpiv",
+        "{{ dbt_utils.unpivot(ref('raw'), cast_to='string',"
+        " exclude=['id'], remove=['grp', 'url', 'title', 'lat', 'lon']) }}",
+    )
+    got = {(r["id"], r["field_name"]): r["value"] for r in df.collect()}
+    assert got[(1, "a")] == "1" and got[(1, "b")] is None
+    assert got[(2, "b")] == "5"
+    assert len(got) == 8  # 4 rows x 2 unpivoted cols
+
+
+def test_macro_get_column_values_and_pivot(macro_eng):
+    # list-returning macro feeding pivot() — needs the return() escape
+    df = _run_model(
+        macro_eng, "piv",
+        "select grp, {{ dbt_utils.pivot('grp',"
+        " dbt_utils.get_column_values(ref('raw'), 'grp', order_by='value')) }}"
+        " from {{ ref('raw') }} group by grp",
+    )
+    rows = {r["grp"]: (r["x"], r["y"]) for r in df.collect()}
+    assert rows == {"x": (2, 0), "y": (0, 2)}
+
+
+def test_macro_get_filtered_columns_and_safe_math(macro_eng):
+    df = _run_model(
+        macro_eng, "safem",
+        "select id, {{ dbt_utils.safe_add(['a', 'b']) }} as s,"
+        " {{ dbt_utils.safe_subtract(['a', 'b']) }} as d"
+        " from {{ ref('raw') }}",
+    )
+    rows = {r["id"]: (r["s"], r["d"]) for r in df.collect()}
+    assert rows[1] == (1, 1) and rows[2] == (7, -3) and rows[3] == (7, -7)
+    # get_filtered_columns_in_relation returns a python list at render time
+    df2 = _run_model(
+        macro_eng, "filtered",
+        "{% set cols = dbt_utils.get_filtered_columns_in_relation("
+        "ref('raw'), except=['url', 'title', 'lat', 'lon']) %}"
+        "select {{ cols | join(', ') }} from {{ ref('raw') }}",
+    )
+    assert df2.columns == ["id", "grp", "a", "b"]
+
+
+def test_macro_url_helpers_and_slugify(macro_eng):
+    df = _run_model(
+        macro_eng, "urls",
+        "select id, {{ dbt_utils.get_url_host('url') }} as host,"
+        " {{ dbt_utils.get_url_path('url') }} as path,"
+        " {{ dbt_utils.get_url_parameter('url', 'x') }} as px,"
+        " {{ dbt_utils.slugify('title') }} as slug"
+        " from {{ ref('raw') }}",
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["host"] == "www.example.com"
+    assert rows[1]["path"] == "/path/page"
+    assert rows[1]["px"] == "1"
+    assert rows[1]["slug"] == "hello_world_42"
+    assert rows[2]["host"] == "sub.shop.org"
+    assert rows[2]["path"] == "/"
+    assert rows[2]["px"] is None
+    assert rows[2]["slug"] == "mixed_case_thing"
+    assert rows[3]["host"] == "files.net"
+    assert rows[3]["path"] == "/a/b.txt"
+    assert rows[3]["px"] == "2"
+    assert rows[3]["slug"] == "already_slugged"
+    assert rows[4]["path"] is None
+    assert rows[4]["slug"] == "trailing_spaces"
+
+
+def test_macro_series_bucket_haversine(macro_eng):
+    df = _run_model(
+        macro_eng, "series",
+        "{{ dbt_utils.generate_series(5) }}",
+    )
+    assert sorted(r["generated_number"] for r in df.collect()) == [1, 2, 3, 4, 5]
+    df2 = _run_model(
+        macro_eng, "geo",
+        "select id, {{ dbt_utils.width_bucket('a', 0, 10, 5) }} as wb,"
+        " {{ dbt_utils.haversine_distance('lat', 'lon', 40.7, -74.0) }} as mi"
+        " from {{ ref('raw') }} where a is not null",
+    )
+    rows = {r["id"]: r for r in df2.collect()}
+    assert rows[1]["wb"] == 1 and rows[4]["wb"] == 3
+    assert abs(rows[1]["mi"]) < 1e-6          # same point
+    assert 2400 < rows[2]["mi"] < 2500        # NYC -> LA great-circle ~2445 mi
