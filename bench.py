@@ -159,6 +159,7 @@ EXTENDED = [
     "token_count_unigram",
     "stream_media_triage",
     "kneser_ney_quality_score",
+    "exact_substring_remove",
     "utilpack_accepted_range",
     "utilpack_mutually_exclusive_ranges",
     "utilpack_cardinality_equality",

@@ -1086,6 +1086,66 @@ def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL (the rewrite half of Lee 2021
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — ExactSubstr marks spans; this REMOVES them, the
+    RefinedWeb/FineWeb boilerplate-scrub analog at aligned-chunk
+    granularity): an 8-token chunk occurring in >= 2 distinct documents is
+    cut from EVERY document; the survivor text is rebuilt order-preserving
+    and emitted as md5 + counts — the shape a downstream materialization
+    persists.
+
+    Scale: one chunk explode, per-hash distinct-doc counts as row counts
+    over a (hash, doc) projection (no countDistinct/Expand), a left_anti
+    against the dup set (AQE-broadcastable: dup chunks only), one per-doc
+    array_sort reconstruction — shuffles ∝ chunk stream keyed on hash then
+    doc_id, no all-pairs anything."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 1)
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size("ws") - 1) / 8).cast("int"))
+        ).alias("ci"),
+        "ws",
+    ).select(
+        "doc_id", "ci",
+        F.array_join(F.slice("ws", F.col("ci") * 8 + 1, F.lit(8)), " ")
+        .alias("chunk"),
+    )
+    cand = chunks.select(
+        F.md5(F.col("chunk")).alias("h"), "doc_id").distinct()
+    dup = cand.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs")).filter(F.col("n_docs") >= 2)
+    kept = chunks.join(
+        dup.select("h"),
+        F.md5(F.col("chunk")) == F.col("h"),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(ci, chunk))), "
+                   "s -> s.chunk)"),
+        ).alias("new_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"))
+    return (
+        totals.join(rebuilt, ["doc_id"], "left")
+        .select(
+            "doc_id", "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint").alias("n_removed"),
+            F.md5(F.coalesce(F.col("new_text"), F.lit(""))).alias("text_md5"),
+        )
+    )
+
+
 def dup_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-content fraction (the Gopher 'duplicate
     content' signal at chunk granularity): split docs into 8-token chunks,
@@ -2881,6 +2941,42 @@ ORACLES: dict[str, str] = {
                ) AS INT) AS shard_pos
         FROM d
     """,
+    "exact_substring_remove": f"""
+        WITH d AS (
+            SELECT doc_id, {_TOKS} AS ws FROM documents
+            WHERE len({_TOKS}) >= 1
+        ),
+        chunks AS (
+            SELECT doc_id, ci,
+                   array_to_string(ws[ci * 8 + 1 : ci * 8 + 8], ' ') AS chunk
+            FROM (SELECT doc_id, ws,
+                         unnest(generate_series(
+                             0, CAST(floor((len(ws) - 1) / 8) AS BIGINT)))
+                             AS ci
+                  FROM d)
+        ),
+        cand AS (SELECT DISTINCT md5(chunk) AS h, doc_id FROM chunks),
+        dup AS (SELECT h FROM cand GROUP BY h HAVING count(*) >= 2),
+        kept AS (
+            SELECT doc_id, ci, chunk FROM chunks
+            WHERE md5(chunk) NOT IN (SELECT h FROM dup)
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(chunk, ' ' ORDER BY ci) AS new_text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id
+        ),
+        totals AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+            FROM chunks GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_chunks,
+               CAST(t.n_chunks - COALESCE(r.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               md5(COALESCE(r.new_text, '')) AS text_md5
+        FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
     "dup_chunk_ratio": f"""
         WITH d AS (
             SELECT doc_id, {_TOKS} AS ws FROM documents
@@ -3195,6 +3291,7 @@ QUERIES = {
     "dsir_importance_select": dsir_importance_select,
     "ngram_lm_quality_score": ngram_lm_quality_score,
     "kneser_ney_quality_score": kneser_ney_quality_score,
+    "exact_substring_remove": exact_substring_remove,
     "semdedup_cluster_prune": semdedup_cluster_prune,
     "corpus_shuffle_deterministic": corpus_shuffle_deterministic,
     "dup_chunk_ratio": dup_chunk_ratio,
