@@ -118,9 +118,13 @@ def build_generic_test_sql(ctx: ExecutionContext, node: ManifestNode) -> str:
             # a kwarg written as `ref('x')`/`source('a','b')` in YAML is a
             # Jinja expression, not a string — emit it raw so runtime_render
             # resolves it to the relation (reference renders test kwargs
-            # through Jinja: generic_test_builders.py kwargs rendering)
-            if isinstance(v, str) and _REF_CALL_RE.match(v):
-                return f"({v})"
+            # through Jinja: generic_test_builders.py kwargs rendering).
+            # Brace-wrapped spellings ("{{ ref('x') }}") unwrap to the bare
+            # expression first.
+            if isinstance(v, str):
+                bare = v.replace("{{", "").replace("}}", "").strip()
+                if _REF_CALL_RE.match(bare):
+                    return f"({bare})"
             return repr(v)
 
         arg_list = ", ".join(f"{k}={_kwarg_literal(v)}" for k, v in call_kwargs.items())

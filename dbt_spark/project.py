@@ -908,7 +908,10 @@ def _attach_column_tests(
         # graph dependency — parse-render each to capture it (reference:
         # generic_test_builders.py renders kwargs through Jinja)
         for v in kwargs.values():
-            if isinstance(v, str) and ("ref(" in v or "source(" in v):
+            # anchored, matching operators/tests.py::_REF_CALL_RE — a value
+            # IS a ref()/source() expression, not merely contains one
+            if isinstance(v, str) and re.match(
+                    r"^\s*(ref|source)\s*\(", v.replace("{{", "").lstrip()):
                 _, refs, sources, _ = parse_render(
                     "{{ " + v.replace("{{", "").replace("}}", "") + " }}",
                     ident,
