@@ -160,6 +160,7 @@ EXTENDED = [
     "stream_media_triage",
     "kneser_ney_quality_score",
     "exact_substring_remove",
+    "quality_classifier_linear",
     "utilpack_accepted_range",
     "utilpack_mutually_exclusive_ranges",
     "utilpack_cardinality_equality",

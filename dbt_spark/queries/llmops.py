@@ -1064,6 +1064,65 @@ def kneser_ney_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine linear quality classifier (the CCNet/GPT-3 'looks like the
+    target corpus' filter, Wenzek 2020 / Brown 2020 Appendix A — there a
+    fastText model; here hashed bag-of-words + logistic regression trained
+    with Spark MLlib, all JVM-side): deterministic md5 train/holdout split,
+    fit on the train buckets, score EVERY doc, emit keep decisions.
+
+    The training label here is a planted separable target (docs whose token
+    set contains 'vector') because the synthetic corpus's lang/source
+    metadata is, by construction, independent of the text — a real corpus
+    would pass `label` as wiki-vs-crawl membership. Separability makes the
+    query EXACTLY oracle-pairable: a correctly-trained model's decisions
+    equal the label rule itself, so the DuckDB twin recomputes the rule from
+    raw text and the value hash must match; the in-query RAISE fails loudly
+    (instead of hash-drifting) if training regresses below perfect.
+
+    Scale: HashingTF (fixed 2^15 dims, stateless hashing — no vocab build)
+    and LogisticRegression run as Spark jobs: LBFGS treeAggregate gradient
+    passes, coefficients broadcast for the scoring map pass, nothing
+    driver-side but the 2^15-dim weight vector. maxIter bounds training at
+    ~30 cached scans; at 100 TB the standard play is train-on-sample,
+    score-everything."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.array_contains(toks, "vector").cast("double").alias("label"),
+        # deterministic split: first md5 nibble of doc_id, 12/16 train
+        (F.instr(F.lit("0123456789abcdef"),
+                 F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1)
+        .alias("bucket"),
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features",
+                   numFeatures=32768, binary=True)
+    feats = tf.transform(base)
+    train = feats.filter(F.col("bucket") < 12)
+    lr = LogisticRegression(
+        maxIter=30, regParam=0.0, standardization=False,
+        featuresCol="features", labelCol="label")
+    model = lr.fit(train)
+    scored = model.transform(feats)
+    acc = scored.select(
+        F.avg((F.col("prediction") == F.col("label")).cast("double"))
+        .alias("acc")).collect()[0]["acc"]
+    if acc is None or acc < 1.0:
+        raise AssertionError(
+            f"quality_classifier_linear: accuracy {acc} < 1.0 on a "
+            "separable target — train/score plumbing broken")
+    return scored.select(
+        "doc_id",
+        F.col("label").cast("bigint").alias("is_target"),
+        F.col("prediction").cast("bigint").alias("keep_flag"),
+    )
+
+
 def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into training shards: shard = first hex
     digit of md5(doc_id) (16-way; 2 digits → 256-way at scale), position =
@@ -2762,6 +2821,14 @@ ORACLES: dict[str, str] = {
                round(exp(avg(nll)), 4) AS ppl
         FROM s GROUP BY doc_id, lang
     """,
+    "quality_classifier_linear": f"""
+        SELECT doc_id,
+               CAST(CASE WHEN list_contains({_TOKS_L}, 'vector')
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_target,
+               CAST(CASE WHEN list_contains({_TOKS_L}, 'vector')
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+        FROM documents
+    """,
     "kneser_ney_quality_score": f"""
         WITH d AS (
             SELECT doc_id, lang, {_TOKS} AS ws FROM documents
@@ -3292,6 +3359,7 @@ QUERIES = {
     "ngram_lm_quality_score": ngram_lm_quality_score,
     "kneser_ney_quality_score": kneser_ney_quality_score,
     "exact_substring_remove": exact_substring_remove,
+    "quality_classifier_linear": quality_classifier_linear,
     "semdedup_cluster_prune": semdedup_cluster_prune,
     "corpus_shuffle_deterministic": corpus_shuffle_deterministic,
     "dup_chunk_ratio": dup_chunk_ratio,
