@@ -233,10 +233,17 @@ def _incremental_bucketed(
 
     if not is_incremental:
         return _write(new)
-    existing = ctx.store.read(schema, ctx.name_for(node))
+    existing_raw = ctx.store.read(schema, ctx.name_for(node))
     existing, new = apply_schema_change(
-        existing, new, node.config.on_schema_change, node.unique_id)
+        existing_raw, new, node.config.on_schema_change, node.unique_id)
     if strategy == "append":
+        if existing.columns != existing_raw.columns:
+            # schema evolution reshapes the target (see the plain append
+            # path) — staged bucketed rewrite instead of a fast append
+            return ctx.store.rewrite_bucketed(
+                schema, ctx.name_for(node), existing.unionByName(new),
+                bucket_by=bucket_by, buckets=buckets, sort_by=sort_by,
+            )
         return _write(new, mode="append")
     if strategy == "merge":
         combined = merge_upsert(
@@ -344,7 +351,17 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
 
     if strategy == "append":
         existing = ctx.store.read(schema, ctx.name_for(node))
-        _, new = apply_schema_change(existing, new, node.config.on_schema_change, node.unique_id)
+        aligned, new = apply_schema_change(
+            existing, new, node.config.on_schema_change, node.unique_id)
+        if aligned.columns != existing.columns:
+            # schema evolution must reshape the TARGET too (the warehouse
+            # ALTER TABLE analog: append_new_columns null-fills old rows,
+            # sync_all_columns also drops removed columns) — one staged
+            # full rewrite; the plain fast-append below never pays this
+            return ctx.store.write_table(
+                schema, ctx.name_for(node), aligned.unionByName(new),
+                kind="incremental", partition_by=parts, **storage,
+            )
         return ctx.store.write_table(
             schema, ctx.name_for(node), new, kind="incremental", partition_by=parts,
             mode="append", **storage,

@@ -696,11 +696,13 @@ select id, day, val from {{ ref('events') }} where day = {{ var('d') }}
     assert "Exchange hashpartitioning" not in plan, plan
 
 
-def test_csv_append_rejects_prefix_change(project_dir, spark):
-    """CSV targets read positionally against the persisted schema, so an
-    incremental append that drops/reorders the existing column prefix (via
-    on_schema_change=sync_all_columns) must ERROR instead of silently
-    shift-misreading older files; appending new tail columns stays legal."""
+def test_csv_append_schema_evolution(project_dir, spark):
+    """CSV targets read positionally against the persisted schema. A
+    schema-evolving incremental append (on_schema_change=sync_all_columns
+    dropping a column) now rewrites the WHOLE target once — the warehouse
+    ALTER TABLE analog — so the table stays positionally consistent with
+    the column removed everywhere instead of erroring or shift-misreading
+    older files. Same-schema appends stay fast appends."""
     sql = """
 {{ config(materialized='incremental', incremental_strategy='append',
           file_format='csv', on_schema_change='sync_all_columns') }}
@@ -710,23 +712,28 @@ from {{ ref('events') }} where day = {{ var('day', 1) }}
     root, eng = make_engine(project_dir, spark, sql)
     assert eng.invoke(["seed"]).success
     assert eng.invoke(["run"]).success
-    # dropping `val` mid-history: rejected for csv
     r = eng.invoke(["run"], )
     assert r.success  # same schema appends fine
     eng.vars = {"dropcol": True, "day": 2}
     r2 = eng.invoke(["run"])
-    assert not r2.success
-    assert "csv append" in (r2.results[0].message or "")
+    assert r2.success, [x.message for x in r2.results]
+    out = spark.sql("select * from main__target")
+    assert out.columns == ["id", "day"]  # dropped everywhere, no mixed files
+    assert {row.day for row in out.collect()} == {1, 2}
 
-    # appending a NEW tail column is allowed; old rows read as null
+
+def test_csv_append_new_tail_column(project_dir, spark):
+    """csv + append_new_columns adding a tail column: target rewrites once,
+    old rows read as trailing null, new rows carry the value."""
     sql_add = """
 {{ config(materialized='incremental', incremental_strategy='append',
           file_format='csv', on_schema_change='append_new_columns') }}
 select id, day, val{{ ", 'x' as tag" if var('addcol', false) else "" }}
 from {{ ref('events') }} where day = {{ var('day', 1) }}
 """
-    with open(os.path.join(root, "models", "target.sql"), "w") as f:
-        f.write(sql_add)
+    root, eng = make_engine(project_dir, spark, sql_add)
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
     eng2 = Engine(root, spark=spark, vars={"addcol": True, "day": 2})
     r3 = eng2.invoke(["run"])
     assert r3.success, [x.message for x in r3.results]
