@@ -231,6 +231,22 @@ regexp_replace(regexp_replace(regexp_replace(trim(lower({{ column }})), '[^a-z0-
 width_bucket({{ expr }}, {{ min_value }}, {{ max_value }}, {{ num_buckets }})
 {%- endmacro %}
 
+{% macro get_relations_by_pattern(schema_pattern, table_pattern, exclude='', database=None) -%}
+{%- if not execute -%}
+{{ return([]) }}
+{%- else -%}
+{{ return(adapter.get_relations_by_pattern(schema_pattern, table_pattern, exclude)) }}
+{%- endif -%}
+{%- endmacro %}
+
+{% macro get_relations_by_prefix(schema, prefix, exclude='', database=None) -%}
+{%- if not execute -%}
+{{ return([]) }}
+{%- else -%}
+{{ return(adapter.get_relations_by_pattern(schema, prefix ~ '%', exclude)) }}
+{%- endif -%}
+{%- endmacro %}
+
 {% macro haversine_distance(lat1, lon1, lat2, lon2, unit='mi') -%}
 {#- great-circle distance; 2*R*asin(sqrt(haversine)) with R in {{ unit }} -#}
 (2 * {{ 3959.0 if unit == 'mi' else 6371.0 }} * asin(sqrt(

@@ -288,6 +288,33 @@ class RuntimeAdapter:
         schema, name = self._split(relation)
         return self.get_relation(schema=schema, identifier=name)
 
+    def get_relations_by_pattern(
+        self,
+        schema_pattern: str = "%",
+        table_pattern: str = "%",
+        exclude: str = "",
+    ) -> list["RelationProxy"]:
+        """SQL-LIKE pattern listing over the relation store (the
+        information_schema query dbt_utils.get_relations_by_pattern runs on
+        a warehouse; % = any run, _ = any char, case-insensitive)."""
+
+        def rx(p: str):
+            esc = re.escape(str(p)).replace("%", ".*").replace("_", ".")
+            return re.compile(f"^{esc}$", re.IGNORECASE)
+
+        s_rx, t_rx = rx(schema_pattern), rx(table_pattern)
+        x_rx = rx(exclude) if exclude else None
+        out = []
+        for rel in self._ctx.store.list_relations():
+            if not s_rx.match(rel.schema) or not t_rx.match(rel.name):
+                continue
+            if x_rx is not None and x_rx.match(rel.name):
+                continue
+            out.append(
+                RelationProxy(rel.identifier, schema=rel.schema, name=rel.name)
+            )
+        return sorted(out, key=lambda r: (r.schema, r.name))
+
     def get_columns_in_relation(self, relation: Any) -> list[ColumnInfo]:
         schema, name = self._split(relation)
         rel = self._ctx.store.get(schema, name)

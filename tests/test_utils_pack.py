@@ -515,3 +515,36 @@ def test_macro_series_bucket_haversine(macro_eng):
     assert rows[1]["wb"] == 1 and rows[4]["wb"] == 3
     assert abs(rows[1]["mi"]) < 1e-6          # same point
     assert 2400 < rows[2]["mi"] < 2500        # NYC -> LA great-circle ~2445 mi
+
+
+def test_macro_get_relations_by_pattern_union(macro_eng):
+    """get_relations_by_pattern/prefix list live relations; composed with
+    union_relations they build the classic shard-union model (run staged:
+    shards first, then the union — the dynamic listing is execute-time)."""
+    eng, pdir = macro_eng
+    os.makedirs(os.path.join(pdir, "models"), exist_ok=True)
+    with open(os.path.join(pdir, "models", "part_a.sql"), "w") as f:
+        f.write("select id, grp from {{ ref('raw') }} where id <= 2")
+    with open(os.path.join(pdir, "models", "part_b.sql"), "w") as f:
+        f.write("select id, grp, a from {{ ref('raw') }} where id > 2")
+    r = eng.invoke(["build", "--select", "+part_a +part_b"])
+    assert r.success
+    df = _run_model(
+        macro_eng, "unioned",
+        "{{ dbt_utils.union_relations("
+        "dbt_utils.get_relations_by_pattern('main', 'part_%')) }}",
+    )
+    rows = df.collect()
+    assert len(rows) == 4
+    assert set(df.columns) == {"_dbt_source_relation", "id", "grp", "a"}
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["a"] is None          # part_a lacks `a` -> null-filled
+    assert by_id[4]["a"] == 4
+    assert "part_a" in by_id[1]["_dbt_source_relation"]
+    # prefix variant + exclude
+    df2 = _run_model(
+        macro_eng, "only_b",
+        "{% set rels = dbt_utils.get_relations_by_prefix('main', 'part_',"
+        " exclude='part_a') %}select * from {{ rels[0] }}",
+    )
+    assert sorted(r["id"] for r in df2.collect()) == [3, 4]
