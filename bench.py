@@ -161,6 +161,7 @@ EXTENDED = [
     "kneser_ney_quality_score",
     "exact_substring_remove",
     "quality_classifier_linear",
+    "export_sharded_jsonl",
     "utilpack_accepted_range",
     "utilpack_mutually_exclusive_ranges",
     "utilpack_cardinality_equality",

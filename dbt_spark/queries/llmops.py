@@ -1123,6 +1123,50 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def export_sharded_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard EXPORT with write-back verification: docs assigned to
+    16 deterministic shards (first md5 nibble of doc_id — the same portable
+    hash the shuffle op uses), physically written as one JSONL file per
+    shard (repartition on the shard key → per-shard files), then READ BACK
+    from the written files to report per-shard stats. The returned numbers
+    therefore prove the export round-trip, not just the plan; the oracle
+    recomputes the same stats from the source table directly.
+
+    Scale: one repartition(shard) shuffle, one write, one read of the
+    written shards. At 100 TB add maxRecordsPerFile for intra-shard file
+    splits; shard count scales as hex digits (16^k)."""
+    import os
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    d = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1)
+        .cast("int").alias("shard"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"dbt_spark_export_{spark.sparkContext.applicationId}",
+    )
+    (
+        d.repartition(16, "shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(out_dir)
+    )
+    back = spark.read.json(out_dir)
+    return (
+        back.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
 def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into training shards: shard = first hex
     digit of md5(doc_id) (16-way; 2 digits → 256-way at scale), position =
@@ -2821,6 +2865,14 @@ ORACLES: dict[str, str] = {
                round(exp(avg(nll)), 4) AS ppl
         FROM s GROUP BY doc_id, lang
     """,
+    "export_sharded_jsonl": """
+        SELECT (instr('0123456789abcdef',
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                   AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1
+    """,
     "quality_classifier_linear": f"""
         SELECT doc_id,
                CAST(CASE WHEN list_contains({_TOKS_L}, 'vector')
@@ -3360,6 +3412,7 @@ QUERIES = {
     "kneser_ney_quality_score": kneser_ney_quality_score,
     "exact_substring_remove": exact_substring_remove,
     "quality_classifier_linear": quality_classifier_linear,
+    "export_sharded_jsonl": export_sharded_jsonl,
     "semdedup_cluster_prune": semdedup_cluster_prune,
     "corpus_shuffle_deterministic": corpus_shuffle_deterministic,
     "dup_chunk_ratio": dup_chunk_ratio,

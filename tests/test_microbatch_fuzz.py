@@ -35,32 +35,41 @@ BEGIN = datetime(2024, 1, 1)
 
 
 def _gen_case(seed: int):
-    """(lookback, now1, now2, v1, v2) — rows are (k, ts, v)."""
+    """(lookback, [(now_i, v_i), ...]) — a full build then 1-2 incremental
+    runs, the upstream mutating (update/delete/insert) between each; rows
+    are (k, ts, v)."""
     rng = random.Random(_BASE + _OFF + seed)
     lookback = rng.randrange(0, 3)
-    now1 = datetime(2024, 1, rng.randrange(3, 6), 12)
-    now2 = now1 + timedelta(days=rng.randrange(1, 4))
-    v1 = []
-    for k in range(1, 15):
+    now = datetime(2024, 1, rng.randrange(3, 6), 12)
+    v = []
+    next_k = 1
+    for _ in range(14):
         # event times from Dec 30 (before begin: must never appear) through
-        # beyond now2's grid (appears only if its window is in a run's grid)
+        # beyond the last grid (appears only once its window is processed)
         day = rng.randrange(-2, 9)
         ts = BEGIN + timedelta(days=day, hours=rng.randrange(0, 24))
-        v1.append((k, ts, rng.randrange(100)))
-    v2 = []
-    for (k, ts, v) in v1:
-        r = rng.random()
-        if r < 0.2:
-            continue  # deleted upstream
-        if r < 0.5:
-            v2.append((k, ts, v + 1000))  # updated value
-        else:
-            v2.append((k, ts, v))  # unchanged
-    for k in range(15, 15 + rng.randrange(1, 5)):  # late-arriving inserts
-        day = rng.randrange(0, 9)
-        ts = BEGIN + timedelta(days=day, hours=rng.randrange(0, 24))
-        v2.append((k, ts, rng.randrange(100)))
-    return lookback, now1, now2, v1, v2
+        v.append((next_k, ts, rng.randrange(100)))
+        next_k += 1
+    runs = [(now, list(v))]
+    for _ in range(rng.randrange(1, 3)):
+        now = now + timedelta(days=rng.randrange(1, 4))
+        nv = []
+        for (k, ts, val) in v:
+            r = rng.random()
+            if r < 0.2:
+                continue  # deleted upstream
+            if r < 0.5:
+                nv.append((k, ts, val + 1000))  # updated value
+            else:
+                nv.append((k, ts, val))  # unchanged
+        for _ in range(rng.randrange(1, 5)):  # late-arriving inserts
+            day = rng.randrange(0, 9)
+            ts = BEGIN + timedelta(days=day, hours=rng.randrange(0, 24))
+            nv.append((next_k, ts, rng.randrange(100)))
+            next_k += 1
+        v = nv
+        runs.append((now, list(v)))
+    return lookback, runs
 
 
 def _windows(now: datetime) -> list[datetime]:
@@ -73,21 +82,25 @@ def _windows(now: datetime) -> list[datetime]:
     return out
 
 
-def _replay_oracle(lookback, now1, now2, v1, v2):
-    """{window_start: rows} -> flat sorted rows after both runs."""
+def _replay_oracle(lookback, runs):
+    """{window_start: rows}: each window holds the upstream version of the
+    LAST run that processed it. Run 0 = full build; later runs reprocess
+    only the trailing lookback+1 day windows of their grid."""
     win_rows: dict[datetime, list] = {}
 
     def window_of(ts):
         return ts.replace(hour=0, minute=0, second=0, microsecond=0)
 
-    for w in _windows(now1):  # full build on v1
-        win_rows[w] = [r for r in v1 if window_of(r[1]) == w]
-    # incremental on v2: trailing lookback+1 windows of now2's grid
-    inc_start = now2.replace(
-        hour=0, minute=0, second=0, microsecond=0) - timedelta(days=lookback)
-    for w in _windows(now2):
-        if w >= inc_start:
-            win_rows[w] = [r for r in v2 if window_of(r[1]) == w]
+    for i, (now, v) in enumerate(runs):
+        if i == 0:
+            wins = _windows(now)
+        else:
+            inc_start = now.replace(
+                hour=0, minute=0, second=0, microsecond=0
+            ) - timedelta(days=lookback)
+            wins = [w for w in _windows(now) if w >= inc_start]
+        for w in wins:
+            win_rows[w] = [r for r in v if window_of(r[1]) == w]
     return sorted(
         (k, ts.strftime("%Y-%m-%d %H:%M:%S"), v)
         for rows in win_rows.values() for (k, ts, v) in rows
@@ -112,7 +125,7 @@ def _values_sql(rows, view: str) -> str:
 
 @pytest.mark.parametrize("seed", range(16))
 def test_microbatch_differential(spark, seed):
-    lookback, now1, now2, v1, v2 = _gen_case(seed)
+    lookback, runs = _gen_case(seed)
     tmp = tempfile.mkdtemp(prefix="dbt_spark_mbfuzz_")
     project = Project(
         name="mbfuzz",
@@ -142,15 +155,15 @@ def test_microbatch_differential(spark, seed):
             lookback=lookback,
         ),
     )
-    node.raw_code = _values_sql(v1, "v1")
-    run_microbatch(ctx, node, now=now1)
-    node.raw_code = _values_sql(v2, "v2")
-    run_microbatch(ctx, node, now=now2)
+    for i, (now, v) in enumerate(runs):
+        node.raw_code = _values_sql(v, f"v{i}")
+        run_microbatch(ctx, node, now=now)
     got = sorted(
         (r["k"], r["ts"].strftime("%Y-%m-%d %H:%M:%S"), r["v"])
         for r in ctx.store.read("main", node.name).collect()
     )
-    want = _replay_oracle(lookback, now1, now2, v1, v2)
+    want = _replay_oracle(lookback, runs)
     assert got == want, (
-        f"seed={seed} lookback={lookback} now1={now1} now2={now2}"
+        f"seed={seed} lookback={lookback} "
+        f"runs={[(str(n), len(v)) for n, v in runs]}"
     )
