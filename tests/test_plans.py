@@ -466,3 +466,41 @@ def test_token_budget_select_plan(spark):
     plan = _formatted(QUERIES["token_budget_select"](spark, SF_DIR_MED))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_kneser_ney_plan_no_expand_no_cartesian(spark):
+    """KN trigram scorer: N1+ counts derive from type-table row counts, so
+    there is NO countDistinct (no Expand); scoring joins stay keyed/broadcast
+    (no cartesian outside the 1-row scalar broadcast); the higher-order
+    explode appears exactly twice (trigram + bigram streams) in the final
+    plan — the count tables consume the localCheckpointed type tables, not
+    fresh explodes."""
+    plan = _formatted(QUERIES["kneser_ney_quality_score"](spark, SF_DIR_MED))
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_exact_substring_remove_plan(spark):
+    """Removal rewrite: dup set anti-joins (no cartesian), reconstruction is
+    one per-doc aggregate — no window over the whole corpus."""
+    plan = _formatted(QUERIES["exact_substring_remove"](spark, SF_DIR_MED))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan  # array_sort inside agg, not a window
+
+
+def test_export_sharded_plan_single_shuffle(spark):
+    """Shard export stats: reading back the written shards costs one
+    aggregate; no joins at all."""
+    plan = _formatted(QUERIES["export_sharded_jsonl"](spark, SF_DIR_MED))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_utilpack_ranges_single_window_shuffle(spark):
+    """mutually_exclusive_ranges compiles to ONE lag() window partitioned on
+    the key — no self-join shape."""
+    plan = _formatted(
+        QUERIES["utilpack_mutually_exclusive_ranges"](spark, SF_DIR_MED))
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan, plan
