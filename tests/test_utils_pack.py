@@ -548,3 +548,28 @@ def test_macro_get_relations_by_pattern_union(macro_eng):
         " exclude='part_a') %}select * from {{ rels[0] }}",
     )
     assert sorted(r["id"] for r in df2.collect()) == [3, 4]
+
+
+def test_utils_test_store_failures_audit(eng):
+    """The core severity/store_failures knobs apply to dbt_utils tests
+    unchanged: a failing accepted_range with store_failures persists its
+    failing rows under the audit schema."""
+    eng_, pdir = eng
+    with open(os.path.join(pdir, "models", "schema.yml"), "w") as f:
+        f.write("""
+models:
+  - name: bads
+    columns:
+      - name: amount
+        data_tests:
+          - dbt_utils.accepted_range:
+              min_value: 0
+              max_value: 100
+              config: {severity: warn, store_failures: true}
+""")
+    r = eng_.invoke(["build"])
+    assert any(x.status == "warn" for x in r.results)
+    audit = eng_.store.list_relations("main_dbt_test__audit")
+    assert audit, "failing rows not persisted under the audit schema"
+    stored = eng_.store.read(audit[0].schema, audit[0].name)
+    assert stored.count() == 2  # -1.0 and 150.0
