@@ -162,6 +162,7 @@ EXTENDED = [
     "exact_substring_remove",
     "quality_classifier_linear",
     "export_sharded_jsonl",
+    "ppl_bucket_split",
     "utilpack_accepted_range",
     "utilpack_mutually_exclusive_ranges",
     "utilpack_cardinality_equality",

@@ -1123,6 +1123,30 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ppl_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek 2020 §4.3): per language, rank
+    documents by LM pseudo-perplexity and cut into terciles — head = most
+    target-like third, the slice CCNet keeps for LM pretraining. Reuses the
+    in-engine bigram scorer, then one ntile(3) window per language.
+
+    Scale: scorer cost (gram-keyed joins) + ONE window partitioned by lang
+    ordered by ppl — the window shuffles on lang, so heavily-skewed language
+    mixes should pre-split by (lang, ppl-range); tercile boundaries per
+    partition are exact."""
+    from pyspark.sql import Window
+
+    scored = ngram_lm_quality_score(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.col("ppl").asc(),
+                                           F.col("doc_id").asc())
+    bucket = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id", "lang", "ppl",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), bucket
+        ).alias("ppl_bucket"),
+    )
+
+
 def export_sharded_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard EXPORT with write-back verification: docs assigned to
     16 deterministic shards (first md5 nibble of doc_id — the same portable
@@ -2214,6 +2238,47 @@ def html_extract_visible_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_visible_text(pages)
 
 
+_NGRAM_LM_SQL = f"""
+        WITH d AS (
+            SELECT doc_id, lang, {_TOKS} AS ws FROM documents
+            WHERE len({_TOKS}) >= 2
+        ),
+        bi AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(generate_series(1, len(ws) - 1),
+                          i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS g
+            FROM d
+        ),
+        b2 AS (SELECT doc_id, lang, g.w1 AS w1, g.w2 AS w2 FROM bi),
+        c2 AS (
+            SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
+            FROM b2 WHERE lang = 'en' GROUP BY w1, w2
+        ),
+        c1 AS (
+            SELECT w1, CAST(count(*) AS DOUBLE) AS c1
+            FROM b2 WHERE lang = 'en' GROUP BY w1
+        ),
+        v AS (
+            SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v
+            FROM b2 WHERE lang = 'en'
+        ),
+        s AS (
+            SELECT b2.doc_id, b2.lang,
+                   -ln((COALESCE(c2.c2, 0) + 0.5)
+                       / (COALESCE(c1.c1, 0) + 0.5 * v.v)) AS nll
+            FROM b2
+            LEFT JOIN c2 ON b2.w1 = c2.w1 AND b2.w2 = c2.w2
+            LEFT JOIN c1 ON b2.w1 = c1.w1
+            CROSS JOIN v
+        )
+        SELECT doc_id, lang,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(nll), 6) AS avg_nll,
+               round(exp(avg(nll)), 4) AS ppl
+        FROM s GROUP BY doc_id, lang
+    """
+
+
 ORACLES: dict[str, str] = {
     "html_extract_visible_text": """
         WITH norm AS (
@@ -2826,44 +2891,14 @@ ORACLES: dict[str, str] = {
                     THEN 1 ELSE 0 END AS INT) AS keep_flag
         FROM s
     """,
-    "ngram_lm_quality_score": f"""
-        WITH d AS (
-            SELECT doc_id, lang, {_TOKS} AS ws FROM documents
-            WHERE len({_TOKS}) >= 2
-        ),
-        bi AS (
-            SELECT doc_id, lang,
-                   unnest(list_transform(generate_series(1, len(ws) - 1),
-                          i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS g
-            FROM d
-        ),
-        b2 AS (SELECT doc_id, lang, g.w1 AS w1, g.w2 AS w2 FROM bi),
-        c2 AS (
-            SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
-            FROM b2 WHERE lang = 'en' GROUP BY w1, w2
-        ),
-        c1 AS (
-            SELECT w1, CAST(count(*) AS DOUBLE) AS c1
-            FROM b2 WHERE lang = 'en' GROUP BY w1
-        ),
-        v AS (
-            SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v
-            FROM b2 WHERE lang = 'en'
-        ),
-        s AS (
-            SELECT b2.doc_id, b2.lang,
-                   -ln((COALESCE(c2.c2, 0) + 0.5)
-                       / (COALESCE(c1.c1, 0) + 0.5 * v.v)) AS nll
-            FROM b2
-            LEFT JOIN c2 ON b2.w1 = c2.w1 AND b2.w2 = c2.w2
-            LEFT JOIN c1 ON b2.w1 = c1.w1
-            CROSS JOIN v
-        )
-        SELECT doc_id, lang,
-               CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(avg(nll), 6) AS avg_nll,
-               round(exp(avg(nll)), 4) AS ppl
-        FROM s GROUP BY doc_id, lang
+    "ngram_lm_quality_score": _NGRAM_LM_SQL,
+    "ppl_bucket_split": f"""
+        WITH scored AS ({_NGRAM_LM_SQL})
+        SELECT doc_id, lang, ppl,
+               (['head', 'middle', 'tail'])[ntile(3) OVER (
+                   PARTITION BY lang ORDER BY ppl ASC, doc_id ASC)]
+                   AS ppl_bucket
+        FROM scored
     """,
     "export_sharded_jsonl": """
         SELECT (instr('0123456789abcdef',
@@ -3413,6 +3448,7 @@ QUERIES = {
     "exact_substring_remove": exact_substring_remove,
     "quality_classifier_linear": quality_classifier_linear,
     "export_sharded_jsonl": export_sharded_jsonl,
+    "ppl_bucket_split": ppl_bucket_split,
     "semdedup_cluster_prune": semdedup_cluster_prune,
     "corpus_shuffle_deterministic": corpus_shuffle_deterministic,
     "dup_chunk_ratio": dup_chunk_ratio,
