@@ -163,6 +163,7 @@ EXTENDED = [
     "quality_classifier_linear",
     "export_sharded_jsonl",
     "ppl_bucket_split",
+    "skewed_agg_salted",
     "utilpack_accepted_range",
     "utilpack_mutually_exclusive_ranges",
     "utilpack_cardinality_equality",

@@ -504,7 +504,47 @@ def table_profile_approx_tolerance(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("column_name")
 
 
+def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation — the canonical hot-key mitigation when
+    one grouping key holds most of the rows (here event_type, ~5 values over
+    10k+ events, the classic power-law shape): phase 1 groups on
+    (key, salt=crc32(event_id) % 16) so the hot key's rows spread over 16
+    reducers; phase 2 merges the 16 partials per key. Both phases are plain
+    hash aggregates; results are integer/decimal-exact so the plain GROUP BY
+    oracle matches bit-for-bit.
+
+    Scale: phase-1 shuffle keys = key-cardinality × 16 (bounded), phase-2
+    input = that tiny partial table. AQE's skew handling covers JOINS; a
+    skewed AGGREGATE still needs the salt — this is the written-down
+    pattern. Sum stays DECIMAL until the final cast."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    salted = ev.select(
+        "event_type",
+        (F.crc32(F.col("event_id").cast("string")) % 16).alias("salt"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("s").cast("decimal(18,6)").cast("double").alias("value_sum"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "skewed_agg_salted": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                    AS DOUBLE) AS value_sum
+        FROM events GROUP BY event_type
+    """,
     "table_profile_approx_tolerance": """
         SELECT column_name, n_distinct_exact,
                abs(approx - n_distinct_exact) <= 0.10 * n_distinct_exact
@@ -711,6 +751,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "skewed_agg_salted": skewed_agg_salted,
     "join_range_binned": join_range_binned,
     "attribution_touchpoints": attribution_touchpoints,
     "table_profile": table_profile,

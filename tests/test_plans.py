@@ -504,3 +504,13 @@ def test_utilpack_ranges_single_window_shuffle(spark):
         QUERIES["utilpack_mutually_exclusive_ranges"](spark, SF_DIR_MED))
     assert plan.count("Window") >= 1
     assert "Join" not in plan, plan
+
+
+def test_skewed_agg_salted_two_phase(spark):
+    """Salted aggregation: exactly two hash-aggregate phases, phase-1 keyed
+    on (key, salt) — the exchange partitions on both columns — no window,
+    no join."""
+    plan = _formatted(QUERIES["skewed_agg_salted"](spark, SF_DIR_MED))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("Exchange") >= 2  # salt-keyed then key-keyed
+    assert "salt" in plan, plan
