@@ -387,5 +387,28 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
             raise IncrementalError(
                 f"{node.unique_id}: insert_overwrite requires partition_by"
             )
+        existing = ctx.store.read(schema, ctx.name_for(node))
+        aligned, new = apply_schema_change(
+            existing, new, node.config.on_schema_change, node.unique_id)
+        if aligned.columns != existing.columns:
+            # schema evolution reshapes the WHOLE target (dynamic partition
+            # overwrite would otherwise leave untouched partitions on the
+            # old schema — a mixed-schema table): keep untouched partitions'
+            # rows from the realigned frame, replace touched ones, one
+            # staged full rewrite
+            touched = [
+                tuple(r) for r in new.select(*parts).distinct().collect()
+            ]
+            pred = F.lit(False)
+            for combo in touched:
+                clause = F.lit(True)
+                for col, val in zip(parts, combo):
+                    clause = clause & (F.col(col) == F.lit(val))
+                pred = pred | clause
+            combined = aligned.filter(~pred).unionByName(new)
+            return ctx.store.write_table(
+                schema, ctx.name_for(node), combined, kind="incremental",
+                partition_by=parts, **storage,
+            )
         return ctx.store.overwrite_partitions(schema, ctx.name_for(node), new, parts)
     raise IncrementalError(f"{node.unique_id}: unknown incremental_strategy {strategy!r}")

@@ -39,9 +39,10 @@ def _gen_case(seed: int):
     """(strategy, policy, batches) — batch = list of row dicts sharing the
     batch's column set."""
     rng = random.Random(_BASE + _OFF + seed)
-    strategy = ["append", "merge"][seed % 2]
+    strategy = ["append", "merge", "delete+insert", "insert_overwrite"][
+        seed % 4]
     policy = ["ignore", "append_new_columns", "sync_all_columns"][
-        (seed // 2) % 3]
+        (seed // 4) % 3]
     n_batches = rng.randrange(2, 5)
     batches = []
     cols = ["k", "v"]
@@ -61,12 +62,13 @@ def _gen_case(seed: int):
         ks = rng.sample(range(1, 8), rng.randrange(1, 5))
         rows = []
         for i, k in enumerate(ks):
-            r = {"k": k, "v": (seed + 1) * 100 + b * 10 + i}
+            r = {"k": k, "v": (seed + 1) * 100 + b * 10 + i,
+                 "part": f"p{k % 3}"}
             for e in cols:
                 if e in EXTRAS:
                     r[e] = b * 1000 + k
             rows.append(r)
-        batches.append((list(cols), rows))
+        batches.append((["part"] + list(cols), rows))
     return strategy, policy, batches
 
 
@@ -93,7 +95,14 @@ def _replay_oracle(strategy, policy, batches):
         if strategy == "append":
             state = [{c: r.get(c) for c in target_cols} for r in state]
             state.extend(batch)
-        else:  # merge on k
+        elif strategy == "insert_overwrite":
+            touched = {r["part"] for r in batch}
+            state = [
+                {c: r.get(c) for c in target_cols}
+                for r in state if r["part"] not in touched
+            ]
+            state.extend(batch)
+        else:  # merge / delete+insert on k (identical with unique keys)
             keys = {r["k"] for r in batch}
             state = [
                 {c: r.get(c) for c in target_cols}
@@ -108,20 +117,28 @@ def _canon(target_cols, rows):
     out = []
     for r in rows:
         out.append(tuple(
-            None if r.get(c) is None or pd.isna(r.get(c)) else int(r.get(c))
+            None if r.get(c) is None or pd.isna(r.get(c))
+            else r.get(c) if isinstance(r.get(c), str)
+            else int(r.get(c))
             for c in cols))
-    return sorted(out, key=lambda t: tuple((x is None, x) for x in t))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
 def _batch_sql(cols, rows) -> str:
+    def lit(r, c):
+        return f"'{r[c]}'" if isinstance(r[c], str) else str(r[c])
+
     lits = ", ".join(
-        "(" + ", ".join(str(r[c]) for c in cols) + ")" for r in rows
+        "(" + ", ".join(lit(r, c) for c in cols) + ")" for r in rows
     )
-    casts = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    casts = ", ".join(
+        f"{c}" if c == "part" else f"CAST({c} AS BIGINT) AS {c}"
+        for c in cols
+    )
     return f"SELECT {casts} FROM (VALUES {lits}) AS t({', '.join(cols)})"
 
 
-@pytest.mark.parametrize("seed", range(18))
+@pytest.mark.parametrize("seed", range(24))
 def test_schema_change_differential(spark, seed):
     strategy, policy, batches = _gen_case(seed)
     tmp = tempfile.mkdtemp(prefix="dbt_spark_scfuzz_")
@@ -142,8 +159,10 @@ def test_schema_change_differential(spark, seed):
         "incremental_strategy": strategy,
         "on_schema_change": policy,
     }
-    if strategy == "merge":
+    if strategy in ("merge", "delete+insert"):
         cfg["unique_key"] = "k"
+    if strategy == "insert_overwrite":
+        cfg["partition_by"] = "part"
     node = ManifestNode(
         unique_id=f"model.scfuzz.t{seed}",
         name=f"t{seed}",
