@@ -159,6 +159,7 @@ EXTENDED = [
     "token_count_unigram",
     "stream_media_triage",
     "kneser_ney_quality_score",
+    "kneser_ney_mod_quality_score",
     "exact_substring_remove",
     "quality_classifier_linear",
     "export_sharded_jsonl",

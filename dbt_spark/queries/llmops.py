@@ -1064,6 +1064,145 @@ def kneser_ney_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kneser_ney_mod_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODIFIED Kneser-Ney trigram LM scoring (Chen & Goodman 1999 §3 — the
+    three-discount variant KenLM estimates by default): per order, discounts
+    D1/D2/D3+ derive from the counts-of-counts
+
+        Y = N1/(N1+2*N2); D1 = 1-2Y*N2/N1; D2 = 2-3Y*N3/N2; D3+ = 3-4Y*N4/N3
+
+    each clamped to >= 0 and guarded against empty count classes (fallback
+    to the fixed 0.75 of the plain interpolated variant); the interpolation
+    weight is the context's full discount mass
+
+        gamma(ctx) = (D1*n1(ctx) + D2*n2(ctx) + D3+*n3p(ctx)) / c(ctx)
+
+    with n_k(ctx) = #types in ctx seen exactly k (3+ pooled) times. Same
+    backoff chain and floored continuation unigram as
+    kneser_ney_quality_score.
+
+    Scale: identical plan family — the per-context count-class table is ONE
+    conditional-sum aggregate over the type table (no countDistinct), the
+    counts-of-counts are 1-row broadcasts."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "lang",
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    tri = d.filter(F.size("ws") >= 3).select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws)-3), i -> struct(ws[i] AS w1, "
+            "ws[i+1] AS w2, ws[i+2] AS w3))")).alias("g"),
+    ).select("doc_id", "lang", F.col("g.w1").alias("w1"),
+             F.col("g.w2").alias("w2"), F.col("g.w3").alias("w3"))
+    bi = d.filter(F.size("ws") >= 2).select(
+        "lang",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS a, "
+            "ws[i+1] AS b))")).alias("g"),
+    ).select("lang", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+    c3 = tri.filter(F.col("lang") == "en").groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("double").alias("c3")
+    ).localCheckpoint(eager=False)
+    c2b = bi.filter(F.col("lang") == "en").groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("c2b")
+    ).localCheckpoint(eager=False)
+
+    def _klass(cnt):
+        return [
+            F.sum(F.when(F.col(cnt) == 1.0, 1.0).otherwise(0.0)).alias("k1"),
+            F.sum(F.when(F.col(cnt) == 2.0, 1.0).otherwise(0.0)).alias("k2"),
+            F.sum(F.when(F.col(cnt) >= 3.0, 1.0).otherwise(0.0)).alias("k3p"),
+            F.sum(cnt).alias("ctot"),
+        ]
+
+    ctx3 = c3.groupBy("w1", "w2").agg(*_klass("c3"))
+    ctx2 = c2b.groupBy("a").agg(*_klass("c2b"))
+
+    def _discounts(types, cnt, p):
+        """1-row frame with d1/d2/d3 from global counts-of-counts. An
+        ill-formed solution (any count class empty, or any discount <= 0 —
+        zero discount mass would leave unseen extensions with p=0) falls
+        back WHOLESALE to (0.5, 1.0, 1.5), KenLM's --discount_fallback
+        convention."""
+        cc = types.agg(
+            F.sum(F.when(F.col(cnt) == 1.0, 1.0).otherwise(0.0)).alias("n1"),
+            F.sum(F.when(F.col(cnt) == 2.0, 1.0).otherwise(0.0)).alias("n2"),
+            F.sum(F.when(F.col(cnt) == 3.0, 1.0).otherwise(0.0)).alias("n3"),
+            F.sum(F.when(F.col(cnt) == 4.0, 1.0).otherwise(0.0)).alias("n4"),
+        )
+        ok_counts = ((F.col("n1") > 0) & (F.col("n2") > 0)
+                     & (F.col("n3") > 0) & (F.col("n4") > 0))
+        # divisions only under the count guard (lazy CASE branches — safe
+        # under ANSI mode too)
+        y = F.col("n1") / (F.col("n1") + 2.0 * F.col("n2"))
+        d1 = F.when(ok_counts,
+                    F.lit(1.0) - 2.0 * y * F.col("n2") / F.col("n1"))
+        d2 = F.when(ok_counts,
+                    F.lit(2.0) - 3.0 * y * F.col("n3") / F.col("n2"))
+        d3 = F.when(ok_counts,
+                    F.lit(3.0) - 4.0 * y * F.col("n4") / F.col("n3"))
+        ok = ok_counts & (d1 > 0) & (d2 > 0) & (d3 > 0)
+        return cc.select(
+            F.when(ok, d1).otherwise(0.5).alias(f"{p}d1"),
+            F.when(ok, d2).otherwise(1.0).alias(f"{p}d2"),
+            F.when(ok, d3).otherwise(1.5).alias(f"{p}d3"),
+        )
+
+    disc3 = _discounts(c3, "c3", "t")
+    disc2 = _discounts(c2b, "c2b", "b")
+    cont = c2b.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("cont"))
+    scal = cont.agg(
+        F.sum("cont").alias("ncc"),
+        F.count(F.lit(1)).cast("double").alias("vc"))
+
+    def _dsel(c, d1, d2, d3):
+        return (F.when(c >= 3.0, d3).when(c == 2.0, d2).otherwise(d1))
+
+    pc = (F.coalesce(F.col("cont"), F.lit(0.0)) + 0.5) / (
+        F.col("ncc") + 0.5 * (F.col("vc") + 1.0))
+    c2v = F.coalesce(F.col("c2b"), F.lit(0.0))
+    gamma2 = (F.col("bd1") * F.col("bk1") + F.col("bd2") * F.col("bk2")
+              + F.col("bd3") * F.col("bk3p")) / F.col("bctot")
+    p2 = F.when(
+        F.coalesce(F.col("bctot"), F.lit(0.0)) > 0.0,
+        F.greatest(c2v - _dsel(c2v, F.col("bd1"), F.col("bd2"), F.col("bd3")),
+                   F.lit(0.0)) / F.col("bctot") + gamma2 * pc,
+    ).otherwise(pc)
+    c3v = F.coalesce(F.col("c3"), F.lit(0.0))
+    gamma3 = (F.col("td1") * F.col("tk1") + F.col("td2") * F.col("tk2")
+              + F.col("td3") * F.col("tk3p")) / F.col("tctot")
+    p3 = F.when(
+        F.coalesce(F.col("tctot"), F.lit(0.0)) > 0.0,
+        F.greatest(c3v - _dsel(c3v, F.col("td1"), F.col("td2"), F.col("td3")),
+                   F.lit(0.0)) / F.col("tctot") + gamma3 * p2,
+    ).otherwise(p2)
+    ctx3r = ctx3.select(
+        "w1", "w2", F.col("k1").alias("tk1"), F.col("k2").alias("tk2"),
+        F.col("k3p").alias("tk3p"), F.col("ctot").alias("tctot"))
+    ctx2r = ctx2.select(
+        F.col("a").alias("w2"), F.col("k1").alias("bk1"),
+        F.col("k2").alias("bk2"), F.col("k3p").alias("bk3p"),
+        F.col("ctot").alias("bctot"))
+    return (
+        tri.join(c3, ["w1", "w2", "w3"], "left")
+        .join(ctx3r, ["w1", "w2"], "left")
+        .join(c2b, (F.col("w2") == F.col("a")) & (F.col("w3") == F.col("b")),
+              "left").drop("a", "b")
+        .join(ctx2r, ["w2"], "left")
+        .join(cont.withColumnRenamed("b", "w3"), ["w3"], "left")
+        .crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(disc3))
+        .crossJoin(F.broadcast(disc2))
+        .select("doc_id", "lang", (-F.log(p3)).alias("nll"))
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+             F.round(F.avg("nll"), 6).alias("avg_nll"),
+             F.round(F.exp(F.avg("nll")), 4).alias("ppl"))
+    )
+
+
 def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine linear quality classifier (the CCNet/GPT-3 'looks like the
     target corpus' filter, Wenzek 2020 / Brown 2020 Appendix A — there a
@@ -2908,6 +3047,144 @@ ORACLES: dict[str, str] = {
                CAST(sum(length(text)) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1
     """,
+    "kneser_ney_mod_quality_score": f"""
+        WITH d AS (
+            SELECT doc_id, lang, {_TOKS} AS ws FROM documents
+        ),
+        tri AS (
+            SELECT doc_id, lang, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(list_transform(generate_series(1, len(ws) - 2),
+                              i -> {{'w1': ws[i], 'w2': ws[i + 1],
+                                     'w3': ws[i + 2]}})) AS g
+                FROM d WHERE len(ws) >= 3
+            )
+        ),
+        bi AS (
+            SELECT lang, g.a AS a, g.b AS b
+            FROM (
+                SELECT lang,
+                       unnest(list_transform(generate_series(1, len(ws) - 1),
+                              i -> {{'a': ws[i], 'b': ws[i + 1]}})) AS g
+                FROM d WHERE len(ws) >= 2
+            )
+        ),
+        c3 AS (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c3
+               FROM tri WHERE lang = 'en' GROUP BY w1, w2, w3),
+        c2b AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS c2b
+                FROM bi WHERE lang = 'en' GROUP BY a, b),
+        ctx3 AS (SELECT w1, w2,
+                        sum(CASE WHEN c3 = 1 THEN 1.0 ELSE 0.0 END) AS tk1,
+                        sum(CASE WHEN c3 = 2 THEN 1.0 ELSE 0.0 END) AS tk2,
+                        sum(CASE WHEN c3 >= 3 THEN 1.0 ELSE 0.0 END) AS tk3p,
+                        sum(c3) AS tctot
+                 FROM c3 GROUP BY w1, w2),
+        ctx2 AS (SELECT a,
+                        sum(CASE WHEN c2b = 1 THEN 1.0 ELSE 0.0 END) AS bk1,
+                        sum(CASE WHEN c2b = 2 THEN 1.0 ELSE 0.0 END) AS bk2,
+                        sum(CASE WHEN c2b >= 3 THEN 1.0 ELSE 0.0 END) AS bk3p,
+                        sum(c2b) AS bctot
+                 FROM c2b GROUP BY a),
+        cc3 AS (SELECT sum(CASE WHEN c3 = 1 THEN 1.0 ELSE 0.0 END) AS n1,
+                       sum(CASE WHEN c3 = 2 THEN 1.0 ELSE 0.0 END) AS n2,
+                       sum(CASE WHEN c3 = 3 THEN 1.0 ELSE 0.0 END) AS n3,
+                       sum(CASE WHEN c3 = 4 THEN 1.0 ELSE 0.0 END) AS n4
+                FROM c3),
+        disc3raw AS (SELECT
+            CASE WHEN n1 > 0 AND n2 > 0 THEN
+                1.0 - 2.0 * (n1 / (n1 + 2.0 * n2)) * n2 / n1 END AS r1,
+            CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 THEN
+                2.0 - 3.0 * (n1 / (n1 + 2.0 * n2)) * n3 / n2 END AS r2,
+            CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 THEN
+                3.0 - 4.0 * (n1 / (n1 + 2.0 * n2)) * n4 / n3 END AS r3
+            FROM cc3),
+        disc3 AS (SELECT
+            CASE WHEN COALESCE(r1, 0) > 0 AND COALESCE(r2, 0) > 0
+                  AND COALESCE(r3, 0) > 0 THEN r1 ELSE 0.5 END AS td1,
+            CASE WHEN COALESCE(r1, 0) > 0 AND COALESCE(r2, 0) > 0
+                  AND COALESCE(r3, 0) > 0 THEN r2 ELSE 1.0 END AS td2,
+            CASE WHEN COALESCE(r1, 0) > 0 AND COALESCE(r2, 0) > 0
+                  AND COALESCE(r3, 0) > 0 THEN r3 ELSE 1.5 END AS td3
+            FROM disc3raw),
+        cc2 AS (SELECT sum(CASE WHEN c2b = 1 THEN 1.0 ELSE 0.0 END) AS n1,
+                       sum(CASE WHEN c2b = 2 THEN 1.0 ELSE 0.0 END) AS n2,
+                       sum(CASE WHEN c2b = 3 THEN 1.0 ELSE 0.0 END) AS n3,
+                       sum(CASE WHEN c2b = 4 THEN 1.0 ELSE 0.0 END) AS n4
+                FROM c2b),
+        disc2raw AS (SELECT
+            CASE WHEN n1 > 0 AND n2 > 0 THEN
+                1.0 - 2.0 * (n1 / (n1 + 2.0 * n2)) * n2 / n1 END AS r1,
+            CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 THEN
+                2.0 - 3.0 * (n1 / (n1 + 2.0 * n2)) * n3 / n2 END AS r2,
+            CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 THEN
+                3.0 - 4.0 * (n1 / (n1 + 2.0 * n2)) * n4 / n3 END AS r3
+            FROM cc2),
+        disc2 AS (SELECT
+            CASE WHEN COALESCE(r1, 0) > 0 AND COALESCE(r2, 0) > 0
+                  AND COALESCE(r3, 0) > 0 THEN r1 ELSE 0.5 END AS bd1,
+            CASE WHEN COALESCE(r1, 0) > 0 AND COALESCE(r2, 0) > 0
+                  AND COALESCE(r3, 0) > 0 THEN r2 ELSE 1.0 END AS bd2,
+            CASE WHEN COALESCE(r1, 0) > 0 AND COALESCE(r2, 0) > 0
+                  AND COALESCE(r3, 0) > 0 THEN r3 ELSE 1.5 END AS bd3
+            FROM disc2raw),
+        bt AS (SELECT DISTINCT a, b FROM bi WHERE lang = 'en'),
+        cont AS (SELECT b, CAST(count(*) AS DOUBLE) AS cont
+                 FROM bt GROUP BY b),
+        scal AS (SELECT CAST(count(*) AS DOUBLE) AS ncc,
+                        CAST(count(DISTINCT b) AS DOUBLE) AS vc
+                 FROM bt),
+        s AS (
+            SELECT tri.doc_id, tri.lang,
+                   -ln(
+                     CASE WHEN COALESCE(ctx3.tctot, 0) > 0 THEN
+                       greatest(COALESCE(c3.c3, 0) -
+                           (CASE WHEN COALESCE(c3.c3, 0) >= 3 THEN disc3.td3
+                                 WHEN COALESCE(c3.c3, 0) = 2 THEN disc3.td2
+                                 ELSE disc3.td1 END), 0) / ctx3.tctot
+                       + ((disc3.td1 * ctx3.tk1 + disc3.td2 * ctx3.tk2
+                           + disc3.td3 * ctx3.tk3p) / ctx3.tctot) *
+                         (CASE WHEN COALESCE(ctx2.bctot, 0) > 0 THEN
+                            greatest(COALESCE(c2b.c2b, 0) -
+                                (CASE WHEN COALESCE(c2b.c2b, 0) >= 3
+                                      THEN disc2.bd3
+                                      WHEN COALESCE(c2b.c2b, 0) = 2
+                                      THEN disc2.bd2
+                                      ELSE disc2.bd1 END), 0) / ctx2.bctot
+                            + ((disc2.bd1 * ctx2.bk1 + disc2.bd2 * ctx2.bk2
+                                + disc2.bd3 * ctx2.bk3p) / ctx2.bctot) *
+                              ((COALESCE(cont.cont, 0) + 0.5)
+                               / (scal.ncc + 0.5 * (scal.vc + 1)))
+                          ELSE (COALESCE(cont.cont, 0) + 0.5)
+                               / (scal.ncc + 0.5 * (scal.vc + 1)) END)
+                     WHEN COALESCE(ctx2.bctot, 0) > 0 THEN
+                       greatest(COALESCE(c2b.c2b, 0) -
+                           (CASE WHEN COALESCE(c2b.c2b, 0) >= 3
+                                 THEN disc2.bd3
+                                 WHEN COALESCE(c2b.c2b, 0) = 2
+                                 THEN disc2.bd2
+                                 ELSE disc2.bd1 END), 0) / ctx2.bctot
+                       + ((disc2.bd1 * ctx2.bk1 + disc2.bd2 * ctx2.bk2
+                           + disc2.bd3 * ctx2.bk3p) / ctx2.bctot) *
+                         ((COALESCE(cont.cont, 0) + 0.5)
+                          / (scal.ncc + 0.5 * (scal.vc + 1)))
+                     ELSE (COALESCE(cont.cont, 0) + 0.5)
+                          / (scal.ncc + 0.5 * (scal.vc + 1)) END) AS nll
+            FROM tri
+            LEFT JOIN c3 ON tri.w1 = c3.w1 AND tri.w2 = c3.w2
+                        AND tri.w3 = c3.w3
+            LEFT JOIN ctx3 ON tri.w1 = ctx3.w1 AND tri.w2 = ctx3.w2
+            LEFT JOIN c2b ON tri.w2 = c2b.a AND tri.w3 = c2b.b
+            LEFT JOIN ctx2 ON tri.w2 = ctx2.a
+            LEFT JOIN cont ON tri.w3 = cont.b
+            CROSS JOIN scal CROSS JOIN disc3 CROSS JOIN disc2
+        )
+        SELECT doc_id, lang,
+               CAST(count(*) AS BIGINT) AS n_trigrams,
+               round(avg(nll), 6) AS avg_nll,
+               round(exp(avg(nll)), 4) AS ppl
+        FROM s GROUP BY doc_id, lang
+    """,
     "quality_classifier_linear": f"""
         SELECT doc_id,
                CAST(CASE WHEN list_contains({_TOKS_L}, 'vector')
@@ -3445,6 +3722,7 @@ QUERIES = {
     "dsir_importance_select": dsir_importance_select,
     "ngram_lm_quality_score": ngram_lm_quality_score,
     "kneser_ney_quality_score": kneser_ney_quality_score,
+    "kneser_ney_mod_quality_score": kneser_ney_mod_quality_score,
     "exact_substring_remove": exact_substring_remove,
     "quality_classifier_linear": quality_classifier_linear,
     "export_sharded_jsonl": export_sharded_jsonl,
