@@ -146,3 +146,63 @@ def test_incremental_strategy_differential(spark, seed):
         f"seed={seed} strategy={strategy} "
         f"batches={[len(b) for b in batches]}"
     )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_incremental_merge_predicates_differential(spark, seed):
+    """incremental_predicates scope the MERGE match set (reference
+    v1/config.py incremental_predicates — the bound that keeps a 100 TB
+    merge from scanning history): target rows outside the predicate pass
+    through untouched even when their key matches, so a batch row with
+    that key INSERTS beside them. Replayed against a pure-pandas oracle
+    encoding exactly that."""
+    rng = random.Random(_BASE + _OFF + 5000 + seed)
+    pred_b = rng.randrange(0, 3)
+    n_batches = rng.randrange(2, 5)
+    batches = []
+    for b in range(n_batches):
+        n = rng.randrange(1, 7)
+        ks = rng.sample(range(1, 9), n)
+        batches.append(pd.DataFrame([
+            {"k": k, "part": PARTS[k % len(PARTS)],
+             "val": (seed + 1) * 100 + b * 10 + i, "b": b}
+            for i, k in enumerate(ks)
+        ]))
+
+    # oracle: merge where only rows with b >= pred_b are match candidates
+    state = pd.DataFrame(columns=["k", "part", "val", "b"])
+    for batch in batches:
+        if not len(state):
+            state = batch.copy()
+            continue
+        scoped = state[state["b"] >= pred_b]
+        untouched = state[~(state["b"] >= pred_b)]
+        scoped = scoped[~scoped["k"].isin(set(batch["k"]))]
+        state = pd.concat([scoped, untouched, batch], ignore_index=True)
+
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_incpred_")
+    project = Project(
+        name="incpred", root=tmp,
+        profile={"warehouse": os.path.join(tmp, "wh"), "schema": "main",
+                 "threads": 2},
+    )
+    ctx = ExecutionContext(
+        spark=spark, store=RelationStore(spark, project.profile["warehouse"]),
+        manifest=Manifest(project_name="incpred"), project=project,
+    )
+    cfg = NodeConfig().merged(
+        materialized="incremental", incremental_strategy="merge",
+        unique_key="k")
+    cfg.meta["incremental_predicates"] = [f"b >= {pred_b}"]
+    node = ManifestNode(
+        unique_id=f"model.incpred.t{seed}", name=f"t{seed}",
+        package_name="incpred", path=f"models/t{seed}.sql",
+        resource_type=NodeType.Model, raw_code="", config=cfg,
+    )
+    for batch in batches:
+        node.raw_code = _batch_sql(batch)
+        materialize_incremental(ctx, node)
+    got = ctx.store.read("main", node.name).toPandas()
+    assert _canon(got) == _canon(state), (
+        f"seed={seed} pred_b={pred_b} batches={[len(b) for b in batches]}"
+    )
