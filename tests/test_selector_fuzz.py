@@ -152,3 +152,87 @@ def test_selector_dsl_differential(seed):
         f"seed={seed} select={select} exclude={exclude} "
         f"edges={sorted(edges)}"
     )
+
+
+def _gen_defn(rng, depth=0):
+    """(yaml-selector-definition, replay-closure) — random union/intersection
+    trees with nested excludes and method leaves carrying parents/children/
+    childrens_parents knobs (core/dbt/config/selectors.py shapes)."""
+    def leaf():
+        if rng.random() < 0.6:
+            method, value = "fqn", f"m{rng.randrange(N)}"
+        else:
+            method, value = "tag", rng.choice(TAGS)
+        d = {"method": method, "value": value}
+        kind = rng.random()
+        if kind < 0.2:
+            d["childrens_parents"] = True
+            parsed = ("@", None,
+                      value if method == "fqn" else f"tag:{value}", None)
+        else:
+            pre = post = None
+            if kind < 0.5:
+                d["parents"] = True
+                dep = rng.choice([None, 1, 2])
+                if dep:
+                    d["parents_depth"] = dep
+                pre = f"{dep}+" if dep else "+"
+            if rng.random() < 0.4:
+                d["children"] = True
+                dep = rng.choice([None, 1])
+                if dep:
+                    d["children_depth"] = dep
+                post = f"+{dep}" if dep else "+"
+            parsed = (None, pre,
+                      value if method == "fqn" else f"tag:{value}", post)
+        return d, parsed
+
+    if depth >= 1 or rng.random() < 0.4:
+        d, parsed = leaf()
+        return d, ("leaf", parsed)
+    op = rng.choice(["union", "intersection"])
+    children, closures = [], []
+    for _ in range(rng.randrange(2, 4)):
+        c, cl = _gen_defn(rng, depth + 1)
+        children.append(c)
+        closures.append(cl)
+    excl = None
+    if rng.random() < 0.4:
+        e, ecl = leaf()
+        children.append({"exclude": [e]})
+        excl = ("leaf", ecl)
+    return {op: children}, (op, closures, excl)
+
+
+def _replay_defn(closure, man, edges, tags):
+    kind = closure[0]
+    if kind == "leaf":
+        return _replay_atom(closure[1], man, edges, tags)
+    op, closures, excl = closure
+    result = None
+    for cl in closures:
+        part = _replay_defn(cl, man, edges, tags)
+        if result is None:
+            result = part
+        elif op == "union":
+            result |= part
+        else:
+            result &= part
+    result = result or set()
+    if excl is not None:
+        result -= _replay_defn(excl, man, edges, tags)
+    return result
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_selector_definition_tree_differential(seed):
+    """YAML selector definitions: union/intersection trees, nested
+    excludes, and method leaves with parents/children(_depth)/
+    childrens_parents — vs the same BFS replay."""
+    rng = random.Random(_BASE + _OFF + 7000 + seed)
+    man, edges, tags = _gen_world(rng)
+    graph = Linker().link_graph(man)
+    defn, closure = _gen_defn(rng)
+    got = select_nodes(man, graph, selector_def=defn)
+    want = _replay_defn(closure, man, edges, tags)
+    assert got == want, f"seed={seed} defn={defn}"
