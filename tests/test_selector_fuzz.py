@@ -236,3 +236,72 @@ def test_selector_definition_tree_differential(seed):
     got = select_nodes(man, graph, selector_def=defn)
     want = _replay_defn(closure, man, edges, tags)
     assert got == want, f"seed={seed} defn={defn}"
+
+
+def _state_entry(node, body_changed, cfg_changed):
+    """Old-manifest artifact dict the way runner.py loads --state entries."""
+    cfg = {k: v for k, v in node.config.__dict__.items()
+           if v not in (None, [], {})}
+    if cfg_changed:
+        cfg = dict(cfg)
+        cfg["materialized"] = "table" if cfg.get(
+            "materialized") != "table" else "view"
+    return {
+        "checksum": ("0" * 32) if body_changed else node.checksum(),
+        "config": cfg,
+    }
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_state_modified_differential(seed):
+    """state:new / state:modified[.body/.configs] against a randomized old
+    manifest (nodes absent / identical / body-edited / config-edited), incl.
+    graph expansion (+state:modified) — vs a direct replay of the reference
+    comparison semantics (selector_methods.py:610-700)."""
+    rng = random.Random(_BASE + _OFF + 9000 + seed)
+    man, edges, tags = _gen_world(rng)
+    graph = Linker().link_graph(man)
+
+    state, kinds = {}, {}
+    for uid, node in man.nodes.items():
+        r = rng.random()
+        if r < 0.2:
+            kinds[uid] = "new"          # absent from old manifest
+            continue
+        if r < 0.45:
+            kinds[uid] = "body"
+            state[uid] = _state_entry(node, True, False)
+        elif r < 0.65:
+            kinds[uid] = "config"
+            state[uid] = _state_entry(node, False, True)
+        else:
+            kinds[uid] = "same"
+            state[uid] = _state_entry(node, False, False)
+
+    def expect(value):
+        out = set()
+        for uid, kind in kinds.items():
+            if value == "new":
+                hit = kind == "new"
+            elif value == "modified":
+                hit = kind != "same"
+            elif value == "modified.body":
+                hit = kind in ("new", "body")
+            else:  # modified.configs
+                hit = kind in ("new", "config")
+            if hit:
+                out.add(uid)
+        return out
+
+    for value in ("new", "modified", "modified.body", "modified.configs"):
+        got = select_nodes(man, graph, select=[f"state:{value}"],
+                           state=dict(state))
+        assert got == expect(value), f"seed={seed} state:{value}"
+
+    # graph expansion composes: children of modified nodes
+    got = select_nodes(man, graph, select=["state:modified+"],
+                       state=dict(state))
+    want = set(expect("modified"))
+    for uid in expect("modified"):
+        want |= _descendants(edges, uid)
+    assert got == want, f"seed={seed} state:modified+"
