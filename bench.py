@@ -165,6 +165,8 @@ EXTENDED = [
     "export_sharded_jsonl",
     "ppl_bucket_split",
     "skewed_agg_salted",
+    "zipf_slope_fit",
+    "source_drift_ks",
     "utilpack_accepted_range",
     "utilpack_mutually_exclusive_ranges",
     "utilpack_cardinality_equality",

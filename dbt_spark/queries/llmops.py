@@ -1340,6 +1340,95 @@ def export_sharded_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic per language: OLS slope of log(freq) on
+    log(rank) over the top-200 vocabulary (natural corpora sit near -1;
+    synthetic/duplicated corpora drift toward 0 — a standard
+    corpus-health check). regr_slope is the closed-form aggregate in both
+    engines, so the fit is exactly oracle-paired.
+
+    Scale: one token aggregate (shuffle ∝ vocab), one rank window
+    partitioned BY LANGUAGE (never a global unpartitioned sort), then a
+    per-lang 200-row regression aggregate."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    freq = toks.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("freq"))
+    rank_w = Window.partitionBy("lang").orderBy(
+        F.col("freq").desc(), F.col("w").asc())
+    ranked = freq.select(
+        "lang", "freq", F.row_number().over(rank_w).alias("rank")
+    ).filter(F.col("rank") <= 200)
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.round(
+                F.expr("regr_slope(ln(freq), ln(rank))"), 6
+            ).alias("zipf_slope"),
+        )
+    )
+
+
+def source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection per source: two-sample
+    Kolmogorov-Smirnov distance between each source's doc-length
+    distribution and the whole corpus — KS = max_t |CDF_src(t) - CDF_all(t)|
+    over the (capped) length spine. The standard ingest-gate for "this
+    source changed shape" monitoring.
+
+    Scale: CDFs are built by a theta-join against the DISTINCT length
+    spine (bounded by the 200-bucket cap — broadcastable by construction),
+    NOT by a single-partition cumulative window; per-source aggregates
+    shuffle on source. Everything is integer counts divided once at the
+    end — exactly oracle-paired."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "source",
+        F.least(F.size(F.split(F.trim(F.col("text")), r"\s+")), F.lit(200))
+        .cast("bigint").alias("b"),
+    )
+    src_counts = d.groupBy("source", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("c"))
+    tot_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("tot"))
+    glob_counts = d.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("g"))
+    total = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    spine = d.select("b").distinct().withColumnRenamed("b", "t")
+    src_cdf_raw = (
+        src_counts.join(F.broadcast(spine), F.col("b") <= F.col("t"))
+        .groupBy("source", "t").agg(F.sum("c").alias("cum_c"))
+    )
+    # full (source x spine) grid: t below a source's min length has
+    # CDF_src = 0, where |0 - CDF_all| may be the KS max
+    grid = tot_src.select("source").crossJoin(F.broadcast(spine))
+    src_cdf = grid.join(src_cdf_raw, ["source", "t"], "left").select(
+        "source", "t", F.coalesce(F.col("cum_c"), F.lit(0.0)).alias("cum_c"))
+    glob_cdf = (
+        glob_counts.join(F.broadcast(spine), F.col("b") <= F.col("t"))
+        .groupBy("t").agg(F.sum("g").alias("cum_g"))
+    )
+    return (
+        src_cdf.join(glob_cdf, ["t"])
+        .join(tot_src, ["source"])
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_docs"),
+            F.round(
+                F.max(F.abs(F.col("cum_c") / F.col("tot")
+                            - F.col("cum_g") / F.col("n"))), 6
+            ).alias("ks_distance"),
+        )
+    )
+
+
 def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into training shards: shard = first hex
     digit of md5(doc_id) (16-way; 2 digits → 256-way at scale), position =
@@ -3195,6 +3284,70 @@ ORACLES: dict[str, str] = {
                round(exp(avg(nll)), 4) AS ppl
         FROM s GROUP BY doc_id, lang
     """,
+    "source_drift_ks": f"""
+        WITH d AS (
+            SELECT source,
+                   CAST(least(len({_TOKS}), 200) AS BIGINT) AS b
+            FROM documents
+        ),
+        src_counts AS (
+            SELECT source, b, CAST(count(*) AS DOUBLE) AS c
+            FROM d GROUP BY source, b
+        ),
+        tot_src AS (
+            SELECT source, CAST(count(*) AS DOUBLE) AS tot
+            FROM d GROUP BY source
+        ),
+        glob_counts AS (
+            SELECT b, CAST(count(*) AS DOUBLE) AS g FROM d GROUP BY b
+        ),
+        total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+        spine AS (SELECT DISTINCT b AS t FROM d),
+        src_cdf_raw AS (
+            SELECT source, t, sum(c) AS cum_c
+            FROM src_counts JOIN spine ON b <= t
+            GROUP BY source, t
+        ),
+        grid AS (SELECT source, t FROM tot_src CROSS JOIN spine),
+        src_cdf AS (
+            SELECT grid.source, grid.t,
+                   COALESCE(src_cdf_raw.cum_c, 0) AS cum_c
+            FROM grid LEFT JOIN src_cdf_raw
+              ON grid.source = src_cdf_raw.source AND grid.t = src_cdf_raw.t
+        ),
+        glob_cdf AS (
+            SELECT t, sum(g) AS cum_g
+            FROM glob_counts JOIN spine ON b <= t
+            GROUP BY t
+        )
+        SELECT src_cdf.source,
+               CAST(max(tot) AS BIGINT) AS n_docs,
+               round(max(abs(cum_c / tot - cum_g / n)), 6) AS ks_distance
+        FROM src_cdf
+        JOIN glob_cdf USING (t)
+        JOIN tot_src ON src_cdf.source = tot_src.source
+        CROSS JOIN total
+        GROUP BY src_cdf.source
+    """,
+    "zipf_slope_fit": f"""
+        WITH toks AS (
+            SELECT lang, unnest({_TOKS_L}) AS w FROM documents
+        ),
+        freq AS (
+            SELECT lang, w, CAST(count(*) AS DOUBLE) AS freq
+            FROM toks GROUP BY lang, w
+        ),
+        ranked AS (
+            SELECT lang, freq,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY freq DESC, w ASC) AS rank
+            FROM freq
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope
+        FROM ranked WHERE rank <= 200 GROUP BY lang
+    """,
     "quality_classifier_linear": f"""
         SELECT doc_id,
                CAST(CASE WHEN list_contains({_TOKS_L}, 'vector')
@@ -3737,6 +3890,8 @@ QUERIES = {
     "quality_classifier_linear": quality_classifier_linear,
     "export_sharded_jsonl": export_sharded_jsonl,
     "ppl_bucket_split": ppl_bucket_split,
+    "zipf_slope_fit": zipf_slope_fit,
+    "source_drift_ks": source_drift_ks,
     "semdedup_cluster_prune": semdedup_cluster_prune,
     "corpus_shuffle_deterministic": corpus_shuffle_deterministic,
     "dup_chunk_ratio": dup_chunk_ratio,
