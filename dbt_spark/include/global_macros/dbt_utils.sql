@@ -255,3 +255,25 @@ width_bucket({{ expr }}, {{ min_value }}, {{ max_value }}, {{ num_buckets }})
       * pow(sin(radians(({{ lon2 }}) - ({{ lon1 }})) / 2), 2)
 )))
 {%- endmacro %}
+
+{% macro nullcheck(cols) -%}
+{# empty-string -> NULL for string-typed columns; non-strings pass through
+   (Spark has no implicit numeric<->'' comparison) #}
+{%- for col in cols -%}
+{%- set cname = col.name if col.name is defined else col -%}
+{%- set ctype = col.dtype if col.dtype is defined else 'string' -%}
+{%- if ctype == 'string' -%}
+nullif({{ cname }}, '') as {{ cname }}
+{%- else -%}
+{{ cname }}
+{%- endif -%}{% if not loop.last %}, {% endif %}
+{%- endfor -%}
+{%- endmacro %}
+
+{% macro nullcheck_table(relation) -%}
+{%- if not execute -%}
+select 1 as _dbt_parse_placeholder
+{%- else -%}
+select {{ nullcheck(adapter.get_columns_in_relation(relation)) }} from {{ relation }}
+{%- endif -%}
+{%- endmacro %}

@@ -514,3 +514,13 @@ def test_skewed_agg_salted_two_phase(spark):
     assert "Join" not in plan and "Window" not in plan, plan
     assert plan.count("Exchange") >= 2  # salt-keyed then key-keyed
     assert "salt" in plan, plan
+
+
+def test_corpus_diagnostics_plans(spark):
+    """zipf: rank window partitioned by lang (never global); ks: CDFs via
+    broadcast spine theta-joins, NO window at all."""
+    plan = _formatted(QUERIES["zipf_slope_fit"](spark, SF_DIR_MED))
+    assert "Window" in plan and "partitionBy" not in plan  # spark names it
+    plan_ks = _formatted(QUERIES["source_drift_ks"](spark, SF_DIR_MED))
+    assert "Window" not in plan_ks, plan_ks
+    assert "BroadcastNestedLoopJoin" in plan_ks or "BroadcastHashJoin" in plan_ks

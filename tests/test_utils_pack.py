@@ -573,3 +573,15 @@ models:
     assert audit, "failing rows not persisted under the audit schema"
     stored = eng_.store.read(audit[0].schema, audit[0].name)
     assert stored.count() == 2  # -1.0 and 150.0
+
+
+def test_macro_nullcheck_table(macro_eng):
+    df = _run_model(
+        macro_eng, "nullchecked",
+        "{{ dbt_utils.nullcheck_table(ref('raw')) }}",
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    # title for id=2 is non-empty -> kept; empty strings would become NULL
+    assert rows[2]["title"] is not None
+    assert set(df.columns) == {"id", "grp", "a", "b", "url", "title",
+                               "lat", "lon"}
