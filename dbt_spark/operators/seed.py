@@ -33,6 +33,12 @@ def materialize_seed(ctx: ExecutionContext, node: ManifestNode) -> Relation:
         .option("inferSchema", "true")
         .option("delimiter", node.config.delimiter)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        # RFC-4180 fidelity (the reference's agate reader): quoted fields
+        # may embed newlines/delimiters, and quotes escape by doubling —
+        # Spark defaults (multiLine=false, escape=backslash) silently split
+        # such rows (caught by tests/test_seed_fuzz.py)
+        .option("multiLine", "true")
+        .option("escape", '"')
         .csv(path)
     )
     for col, dtype in (node.config.column_types or {}).items():
