@@ -38,6 +38,15 @@ DBT_VERSION = "1.10.0-spark"
 #: one id per process/invocation (base.py invocation_id contextproperty)
 _INVOCATION_ID: str = __import__("uuid").uuid4().hex
 
+#: when set (by the partial-parse flow), every env_var() read during
+#: rendering records ``name -> os.environ value (or None)`` so the cache
+#: can be invalidated when the environment changes between invocations
+#: (reference tracks per-file env vars and reparses them:
+#: core/dbt/parser/manifest.py:854-975 validity gates; here the gate is
+#: coarser — any tracked env var changing cold-starts the whole cache,
+#: which over-invalidates but never goes stale)
+ENV_VAR_TRACKER: "Optional[dict[str, Optional[str]]]" = None
+
 
 def _base_context(var_overrides: dict, target: dict) -> dict[str, Any]:
     """Context members from core/dbt/context/base.py (§2C table)."""
@@ -57,6 +66,8 @@ def _base_context(var_overrides: dict, target: dict) -> dict[str, Any]:
                 f"env_var {name!r}: DBT_ENV_SECRET_ variables are only usable "
                 "in profiles/packages rendering, never in models"
             )
+        if ENV_VAR_TRACKER is not None:
+            ENV_VAR_TRACKER[name] = os.environ.get(name)
         val = os.environ.get(name, default)
         if val is None:
             raise CompilationError(f"env_var '{name}' not set and no default provided")

@@ -20,7 +20,7 @@ from typing import Optional
 
 from dbt_spark.plans.manifest import ManifestNode
 
-CACHE_VERSION = 1
+CACHE_VERSION = 2
 
 
 def file_checksum(path: str) -> str:
@@ -33,33 +33,50 @@ def file_checksum(path: str) -> str:
 
 class ParseCache:
     """{f"{relpath}:{checksum}": [ManifestNode, ...]} — a file can yield
-    several nodes (snapshot blocks)."""
+    several nodes (snapshot blocks).
 
-    def __init__(self, entries: Optional[dict] = None, token: str = "") -> None:
+    ``env_vars`` records every ``env_var()`` name read during the cached
+    parses with the os.environ value observed at the time (None = unset,
+    default used). A later load whose environment disagrees on ANY recorded
+    name cold-starts the cache — the reference's env-var validity gate
+    (core/dbt/parser/manifest.py:854-975), coarsened from per-file to
+    whole-cache (over-invalidates, never stale)."""
+
+    def __init__(self, entries: Optional[dict] = None, token: str = "",
+                 env_vars: Optional[dict] = None) -> None:
         self.entries: dict[str, list[ManifestNode]] = entries or {}
         self.token = token
+        self.env_vars: dict[str, Optional[str]] = env_vars or {}
         self.hits = 0
         self.misses = 0
 
     @classmethod
     def load(cls, path: str, token: str) -> "ParseCache":
-        """token = hash of vars/profile/version; mismatch → cold cache
-        (the reference's full-reparse validity gates)."""
+        """token = hash of vars/profile/config-trees/macro-sources/version;
+        mismatch → cold cache (the reference's full-reparse validity gates)."""
         try:
             with open(path, "rb") as f:
                 payload = pickle.load(f)
             if payload.get("version") != CACHE_VERSION or payload.get("token") != token:
                 return cls(token=token)
-            return cls(payload["entries"], token)
+            recorded = payload.get("env_vars") or {}
+            if any(os.environ.get(k) != v for k, v in recorded.items()):
+                return cls(token=token)
+            return cls(payload["entries"], token, recorded)
         except (OSError, pickle.PickleError, EOFError, AttributeError, KeyError):
             return cls(token=token)
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, env_vars: Optional[dict] = None) -> None:
+        """``env_vars``: names read by THIS parse (cache-hit files never
+        re-render, so their earlier recordings are kept via merge)."""
+        if env_vars:
+            self.env_vars.update(env_vars)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             pickle.dump(
-                {"version": CACHE_VERSION, "token": self.token, "entries": self.entries},
+                {"version": CACHE_VERSION, "token": self.token,
+                 "entries": self.entries, "env_vars": self.env_vars},
                 f,
                 protocol=pickle.HIGHEST_PROTOCOL,
             )
@@ -88,3 +105,33 @@ def cache_token(vars: dict, profile: dict) -> str:
     return hashlib.md5(
         repr((CACHE_VERSION, sorted(vars.items()), sorted(profile.items()))).encode()
     ).hexdigest()
+
+
+def macro_digest(project) -> str:
+    """Digest of every macro-source file (built-in global package, installed
+    packages, project macro paths, tests/generic). Macros execute inside
+    model/snapshot/test parse-renders, so an edited macro can change a
+    byte-identical model file's extraction — the reference reparses
+    macro-dependent files (core/dbt/parser/partial.py); here any macro edit
+    cold-starts the cache (correct, coarser)."""
+    from dbt_spark.project import _walk, macro_roots
+
+    h = hashlib.md5()
+    for mroot, mpaths, pkg_name in macro_roots(project, is_root=True):
+        for full, rel in _walk(mroot, mpaths, (".sql",)):
+            h.update(rel.encode())
+            h.update(file_checksum(full).encode())
+    return h.hexdigest()
+
+
+def project_cache_token(project) -> str:
+    """The full validity-gate token for a project: vars + config trees +
+    profile + macro sources (runner.parse and the fuzz harness share this
+    so the gate itself is what gets tested)."""
+    return cache_token(
+        {**project.vars,
+         "__models__": repr(project.model_config),
+         "__seeds__": repr(project.seed_config),
+         "__macros__": macro_digest(project)},
+        project.profile,
+    )

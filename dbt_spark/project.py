@@ -234,6 +234,51 @@ def _walk(root: str, subdirs: list[str], exts: tuple[str, ...]):
                     yield full, os.path.relpath(full, root)
 
 
+def macro_roots(
+    project: Project, is_root: bool = True
+) -> list[tuple[str, list[str], Optional[str]]]:
+    """Ordered (root, subdirs, package_name) triples holding macro sources.
+
+    Shared by parse_project and the partial-parse cache token
+    (plans/partial.py): a macro edit anywhere in these roots changes the
+    token and forces a full reparse, because macros run inside model
+    parse-renders and can change a cached file's extraction (reference
+    reparses macro-dependent files: core/dbt/parser/partial.py macro
+    handling; validity gates core/dbt/parser/manifest.py:854-975)."""
+    roots: list[tuple[str, list[str], Optional[str]]] = []
+    if is_root:
+        # built-in global macro package (the dbt-adapters "global project"
+        # analog): dbt_utils-compatible idioms in the Spark dialect, loaded
+        # FIRST so any project/package macro overrides them
+        builtin = os.path.join(os.path.dirname(__file__), "include")
+        if os.path.isdir(os.path.join(builtin, "global_macros")):
+            roots.append((builtin, ["global_macros"], "dbt_utils"))
+        # package macros join the global namespace BEFORE any model parses
+        # (reference loads all macros first: load_and_parse_macros,
+        # core/dbt/parser/manifest.py:677-704); root project loads LAST so its
+        # macros win unqualified-name collisions (reference resolution order)
+        for pkg_dir in _package_dirs(project):
+            pkg_name = os.path.basename(pkg_dir)
+            try:
+                import yaml as _yaml
+
+                with open(os.path.join(pkg_dir, "dbt_project.yml")) as f:
+                    pkg_name = (_yaml.safe_load(f) or {}).get("name", pkg_name)
+            except OSError:
+                pass
+            roots.append((pkg_dir, ["macros"], pkg_name))
+    roots.append((project.root, project.macro_paths, None))
+    # tests/generic/ holds {% test %} definitions, not singular tests
+    # (reference: parser/manifest.py loads generic tests from both macro
+    # paths and test_paths/generic)
+    roots.append((
+        project.root,
+        [os.path.join(p, "generic") for p in project.test_paths],
+        None,
+    ))
+    return roots
+
+
 def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = None) -> Manifest:
     """``cache`` is an optional plans.partial.ParseCache: files whose
     checksum is unchanged skip the Jinja parse-render (partial parsing,
@@ -261,38 +306,7 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
     # --- macros first (models may call them at parse-render time) ---------
     from dbt_spark.plans.macros import extract_generic_tests, extract_macros
 
-    macro_roots: list[tuple[str, list[str], Optional[str]]] = []
-    if is_root:
-        # built-in global macro package (the dbt-adapters "global project"
-        # analog): dbt_utils-compatible idioms in the Spark dialect, loaded
-        # FIRST so any project/package macro overrides them
-        builtin = os.path.join(os.path.dirname(__file__), "include")
-        if os.path.isdir(os.path.join(builtin, "global_macros")):
-            macro_roots.append((builtin, ["global_macros"], "dbt_utils"))
-        # package macros join the global namespace BEFORE any model parses
-        # (reference loads all macros first: load_and_parse_macros,
-        # core/dbt/parser/manifest.py:677-704); root project loads LAST so its
-        # macros win unqualified-name collisions (reference resolution order)
-        for pkg_dir in _package_dirs(project):
-            pkg_name = os.path.basename(pkg_dir)
-            try:
-                import yaml as _yaml
-
-                with open(os.path.join(pkg_dir, "dbt_project.yml")) as f:
-                    pkg_name = (_yaml.safe_load(f) or {}).get("name", pkg_name)
-            except OSError:
-                pass
-            macro_roots.append((pkg_dir, ["macros"], pkg_name))
-    macro_roots.append((project.root, project.macro_paths, None))
-    # tests/generic/ holds {% test %} definitions, not singular tests
-    # (reference: parser/manifest.py loads generic tests from both macro
-    # paths and test_paths/generic)
-    macro_roots.append((
-        project.root,
-        [os.path.join(p, "generic") for p in project.test_paths],
-        None,
-    ))
-    for mroot, mpaths, pkg_name in macro_roots:
+    for mroot, mpaths, pkg_name in macro_roots(project, is_root=is_root):
         for full, rel in _walk(mroot, mpaths, (".sql",)):
             with open(full) as f:
                 raw = f.read()

@@ -133,22 +133,24 @@ class Engine:
     # -- lifecycle ----------------------------------------------------------
 
     def parse(self, partial: bool = True) -> Manifest:
-        from dbt_spark.plans.partial import ParseCache, cache_token
+        from dbt_spark.plans import compile as _compile
+        from dbt_spark.plans.partial import ParseCache, project_cache_token
 
         target_dir = self.project.target_path
         os.makedirs(target_dir, exist_ok=True)
         cache_path = os.path.join(target_dir, "partial_parse.pickle")
         cache = None
         if partial:
-            token = cache_token(
-                {**self.project.vars, "__models__": repr(self.project.model_config),
-                 "__seeds__": repr(self.project.seed_config)},
-                self.project.profile,
-            )
-            cache = ParseCache.load(cache_path, token)
-        self.manifest = parse_project(self.project, cache=cache)
+            cache = ParseCache.load(cache_path, project_cache_token(self.project))
+        # record env_var() reads for the cache's environment validity gate
+        prev_tracker, _compile.ENV_VAR_TRACKER = _compile.ENV_VAR_TRACKER, {}
+        try:
+            self.manifest = parse_project(self.project, cache=cache)
+            seen_env = _compile.ENV_VAR_TRACKER
+        finally:
+            _compile.ENV_VAR_TRACKER = prev_tracker
         if cache is not None:
-            cache.save(cache_path)
+            cache.save(cache_path, env_vars=seen_env)
         self._resolve_fk_constraint_refs()
         self._check_model_deprecations()
         self._check_resource_names()
