@@ -170,6 +170,8 @@ EXTENDED = [
     "utilpack_accepted_range",
     "utilpack_mutually_exclusive_ranges",
     "utilpack_cardinality_equality",
+    # round-9 additions
+    "suffix_repeat_stats",  # distributed suffix array: doubling rounds + LCP lifting
 ]
 
 

@@ -1,0 +1,304 @@
+"""Distributed suffix-array construction (prefix doubling) + repeat stats.
+
+The scale path for Lee 2021 "Deduplicating Training Data Makes Language
+Models Better" (arXiv:2107.06499): ExactSubstr dedup is defined over a
+corpus suffix array. A single-node suffix array caps at RAM; the
+distributed construction here is prefix doubling (Manber & Myers 1990;
+distributed-memory formulation per Flick & Aluru, SC'15 "Parallel
+distributed memory construction of suffix and LCP arrays"), with the two
+standard engineering moves:
+
+- **head-index ranks** instead of dense ranks: a suffix's rank is the
+  1-based sorted position of the FIRST member of its tie block. Order and
+  equality semantics are identical to dense ranks, but a refined block's
+  new ranks stay inside the parent block's index span — so each doubling
+  round re-ranks ONLY still-tied suffixes with two rank-partitioned
+  windows (never unpartitioned, never a global re-sort), and the final
+  suffix-array index is pure arithmetic (rank + position-in-block), no
+  extra shuffle;
+- **granule seeding**: the first table ranks the 16-char prefix directly
+  (one range-partitioned sort of short fixed-width keys), replacing four
+  doubling rounds; sub-granule LCP resolution is recovered at the end by
+  one direct compare of ≤15-char fragments fetched via a doc-keyed join.
+
+Per-round traffic after seeding is longs-only (16-byte rows): each round
+is one equi-join on (doc_id, pos+k) against the full table plus two
+windows over the tied subset, which shrinks geometrically on real
+corpora. LCP of suffix-array-adjacent suffixes uses classic binary
+lifting over the SAME rank tables (equal ranks at shifted positions
+extend the common prefix) — joins on computed (doc, pos+lcp) keys.
+
+At 100 TB: rounds = log2(max repeat length / granule); bounded-depth
+ranking (256 here) is exactly the ExactSubstr use case (~50-token
+repeats), and the same loop un-capped builds the full suffix array in
+log2(n) rounds. Known hot spot: a tie block traversed by one window
+partition — real corpora cap block sizes at duplicate-cluster size;
+adversarial single-character corpora would need block salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: seed prefix length — the granule of the rank tables
+GRANULE = 16
+
+#: sentinel LCP for pairs already decided by equal final ranks
+_DECIDED = 1 << 40
+
+__all__ = ["global_head_ranks", "suffix_rank_tables", "suffix_repeat_lengths"]
+
+
+def global_head_ranks(
+    df: DataFrame, key: str, tiebreak: list[str], out: str = "rank"
+) -> DataFrame:
+    """Global 1-based head-index rank of ``key``: the sorted position of
+    the first row sharing the key (dense in ORDER, stable under later
+    within-block refinement). Range-repartitions on the key alone (equal
+    keys land in one partition), then two per-partition windows plus a
+    bounded one-row-per-partition collect for the offsets. Sampling-based
+    range boundaries affect the split, never the rank values."""
+    spark = df.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (
+        df.repartitionByRange(npart, F.col(key))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sizes = sorted(
+        part.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
+    )
+    offsets, acc = {}, 0
+    for r in sizes:
+        offsets[r["__pid"]] = acc
+        acc += r["count"]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    order = [F.col(c) for c in tiebreak]
+    w_all = Window.partitionBy("__pid").orderBy(F.col(key), *order)
+    w_tie = Window.partitionBy("__pid", key).orderBy(*order)
+    w_blk = Window.partitionBy("__pid", key)
+    return part.withColumn(
+        out,
+        (off_map[F.col("__pid")] + F.row_number().over(w_all)
+         - F.row_number().over(w_tie) + F.lit(1)).cast("long"),
+    ).withColumn(
+        "__sz", F.count(F.lit(1)).over(w_blk)
+    ).drop("__pid", key)
+
+
+def _double(ranks: DataFrame, k: int) -> DataFrame:
+    """One prefix-doubling round, depth k -> 2k: refine every tie block by
+    the partner rank at pos+k (absent partner = -1, so a shorter suffix
+    sorts before its extensions, matching SQL string order). ``__sz`` (the
+    block size) is carried between rounds: rows that became unique never
+    travel through another window."""
+    single = ranks.filter(F.col("__sz") == 1)
+    tied = ranks.filter(F.col("__sz") > 1)
+    partner = ranks.select(
+        F.col("doc_id").alias("r_doc"),
+        (F.col("pos") - F.lit(k)).alias("r_pos"),
+        F.col("rank").alias("rank2"),
+    )
+    paired = tied.join(
+        partner,
+        (F.col("doc_id") == F.col("r_doc")) & (F.col("pos") == F.col("r_pos")),
+        "left",
+    ).select(
+        "doc_id", "pos", "doc_len", "rank",
+        F.coalesce(F.col("rank2"), F.lit(-1).cast("long")).alias("rank2"),
+    )
+    w_blk = Window.partitionBy("rank").orderBy("rank2", "doc_id", "pos")
+    w_sub = Window.partitionBy("rank", "rank2")
+    refined = (
+        paired.withColumn("__rn", F.row_number().over(w_blk))
+        .withColumn("__head", F.min("__rn").over(w_sub))
+        .withColumn("__nsz", F.count(F.lit(1)).over(w_sub))
+        .select(
+            "doc_id", "pos", "doc_len",
+            (F.col("rank") + F.col("__head") - F.lit(1)).alias("rank"),
+            F.col("__nsz").alias("__sz"),
+        )
+    )
+    return single.unionByName(refined)
+
+
+def suffix_rank_tables(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_depth: int = 256,
+) -> list[tuple[int, DataFrame]]:
+    """Prefix-doubling rank tables over every suffix of every document:
+    [(depth, df(doc_id, pos, doc_len, rank))] at depths GRANULE, 2·GRANULE,
+    …, max_depth. rank orders suffixes by their first ``depth`` characters
+    (truncated at the document end; shorter prefixes sort first)."""
+    positions = docs.filter(F.length(text_col) >= 1).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("pos"),
+        F.length(text_col).alias("doc_len"),
+        F.col(text_col).alias("__text"),
+    )
+    # column pruning drops __text before the seed's range shuffle: only
+    # (doc_id, pos, doc_len, 16-char key) rows ever travel
+    seeded = global_head_ranks(
+        positions.withColumn(
+            "__k", F.expr(f"substring(__text, pos, {GRANULE})")
+        ).drop("__text"),
+        key="__k",
+        tiebreak=["doc_id", "pos"],
+    ).localCheckpoint(eager=False)
+    tables: list[tuple[int, DataFrame]] = [(GRANULE, seeded)]
+    depth = GRANULE
+    while depth < max_depth:
+        nxt = _double(tables[-1][1], depth).localCheckpoint(eager=False)
+        depth *= 2
+        tables.append((depth, nxt))
+    return tables
+
+
+def _frag_lcp(a, b, width: int):
+    """Exact LCP (codegen'd binary search, no UDF) of two ≤width-char
+    fragments. Both-exhausted windows compare equal and overshoot — the
+    caller's remaining-length clamp restores exactness (overshoot only
+    happens when the suffixes are identical to their ends)."""
+    lcp = F.lit(0)
+    step = 1
+    while step * 2 <= width:
+        step *= 2
+    while step >= 1:
+        lcp = F.when(
+            a.substr(lcp + F.lit(1), F.lit(step))
+            == b.substr(lcp + F.lit(1), F.lit(step)),
+            lcp + F.lit(step),
+        ).otherwise(lcp)
+        step //= 2
+    return lcp
+
+
+def suffix_repeat_lengths(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_depth: int = 256,
+) -> DataFrame:
+    """Per suffix position: the longest prefix (≤ max_depth chars) it
+    shares with ANY other suffix in the corpus ("repeat length").
+
+    Blocks of suffixes sharing an ℓ-prefix are contiguous in suffix-array
+    order, so each position's best partner is an SA-adjacent neighbor:
+    rep(p) = max(LCP(prev, p), LCP(p, next)). Returns (doc_id, pos, rep).
+    """
+    tables = suffix_rank_tables(docs, id_col, text_col, max_depth)
+    final = tables[-1][1]
+    # suffix-array index is arithmetic on head ranks: a unique row's index
+    # IS its rank; only still-tied rows (equal max_depth-prefixes) need a
+    # within-block row_number — a window over that small subset alone
+    uniq = final.filter(F.col("__sz") == 1).withColumn("idx", F.col("rank"))
+    tied = final.filter(F.col("__sz") > 1).withColumn(
+        "idx",
+        F.col("rank")
+        + F.row_number().over(
+            Window.partitionBy("rank").orderBy("doc_id", "pos")
+        )
+        - F.lit(1),
+    )
+    sa = uniq.unionByName(tied)
+    left = sa.select(
+        F.col("idx").alias("i"),
+        F.col("doc_id").alias("d1"), F.col("pos").alias("p1"),
+        F.col("doc_len").alias("l1"), F.col("rank").alias("r1"),
+    )
+    right = sa.select(
+        (F.col("idx") - F.lit(1)).alias("i"),
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"),
+        F.col("doc_len").alias("l2"), F.col("rank").alias("r2"),
+    )
+    pairs = left.join(right, "i", "inner").select(
+        "d1", "p1", "l1", "d2", "p2", "l2",
+        # equal final ranks ⇒ identical (truncated) max_depth-prefixes:
+        # LCP = remaining length, restored by the clamp below
+        F.when(F.col("r1") == F.col("r2"), F.lit(_DECIDED))
+        .otherwise(F.lit(0).cast("long")).alias("lcp"),
+    )
+    # binary lifting over the coarser tables (GRANULE multiples) …
+    for depth, table in reversed(tables[:-1]):
+        ra = table.select(
+            F.col("doc_id").alias("a_doc"), F.col("pos").alias("a_pos"),
+            F.col("rank").alias("a_rank"),
+        )
+        rb = table.select(
+            F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos"),
+            F.col("rank").alias("b_rank"),
+        )
+        undecided = F.col("lcp") < F.lit(_DECIDED)
+        pairs = (
+            pairs.join(
+                ra,
+                undecided
+                & (F.col("d1") == F.col("a_doc"))
+                & (F.col("a_pos") == F.col("p1") + F.col("lcp")),
+                "left",
+            )
+            .join(
+                rb,
+                undecided
+                & (F.col("d2") == F.col("b_doc"))
+                & (F.col("b_pos") == F.col("p2") + F.col("lcp")),
+                "left",
+            )
+            .withColumn(
+                "lcp",
+                F.when(
+                    undecided
+                    & (F.coalesce(F.col("a_rank"), F.lit(-1).cast("long"))
+                       == F.coalesce(F.col("b_rank"), F.lit(-1).cast("long"))),
+                    F.col("lcp") + F.lit(depth).cast("long"),
+                ).otherwise(F.col("lcp")),
+            )
+            .select("d1", "p1", "l1", "d2", "p2", "l2", "lcp")
+        )
+    # … then sub-granule refinement: direct compare of ≤(GRANULE-1)-char
+    # fragments fetched by doc-keyed joins (broadcast-sized dimension at
+    # test scale; plain hash join at corpus scale)
+    t1 = docs.select(F.col(id_col).alias("d1"), F.col(text_col).alias("__t1"))
+    t2 = docs.select(F.col(id_col).alias("d2"), F.col(text_col).alias("__t2"))
+    undecided = F.col("lcp") < F.lit(_DECIDED)
+    frag_w = GRANULE - 1
+    pairs = (
+        pairs.join(t1, "d1").join(t2, "d2")
+        .withColumn(
+            "lcp",
+            F.when(
+                undecided,
+                F.col("lcp")
+                + _frag_lcp(
+                    F.col("__t1").substr(
+                        (F.col("p1") + F.col("lcp")).cast("int"), F.lit(frag_w)),
+                    F.col("__t2").substr(
+                        (F.col("p2") + F.col("lcp")).cast("int"), F.lit(frag_w)),
+                    frag_w,
+                ).cast("long"),
+            ).otherwise(F.col("lcp")),
+        )
+        .select("d1", "p1", "l1", "d2", "p2", "l2", "lcp")
+    )
+    # clamp: overshoot past either suffix's end means the two suffixes are
+    # identical to their (equal-length) ends — true LCP = remaining length
+    pairs = pairs.withColumn(
+        "lcp",
+        F.least(
+            F.col("lcp"),
+            F.col("l1") - F.col("p1") + F.lit(1),
+            F.col("l2") - F.col("p2") + F.lit(1),
+            F.lit(max_depth).cast("long"),
+        ),
+    )
+    both = pairs.select(
+        F.col("d1").alias("doc_id"), F.col("p1").alias("pos"), "lcp"
+    ).unionAll(
+        pairs.select(F.col("d2").alias("doc_id"), F.col("p2").alias("pos"), "lcp")
+    )
+    return both.groupBy("doc_id", "pos").agg(F.max("lcp").alias("rep"))

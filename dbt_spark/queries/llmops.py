@@ -1813,8 +1813,11 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference engine has no training-data operators; this is a
     first-class pipeline op of this engine.
 
-    Scale: a suffix array is inherently sequential — the Spark-first shape
-    is the shingle inverted index: ONE explode (token volume × K bounded),
+    Scale: a single-node suffix array is sequential, so the default
+    Spark-first shape is the shingle inverted index below (the TRUE
+    distributed suffix array also exists in this engine —
+    functions/suffix.py prefix doubling, exercised by suffix_repeat_stats):
+    ONE explode (token volume × K bounded),
     one gram-keyed aggregate (map-side partial count-distinct, shuffle ∝
     distinct grams), one keyed join back (AQE broadcasts the dup-gram set
     while it fits), then a per-(doc, position) dedup. At 100 TB the gram
@@ -1849,6 +1852,42 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.coalesce("n_dup_tokens", F.lit(0)).cast("double")
                         / F.col("n_tokens"), 6).alias("dup_ratio"),
             ))
+
+
+def suffix_repeat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus repeated-substring statistics via a DISTRIBUTED SUFFIX ARRAY
+    (prefix doubling, Manber & Myers 1990 / Flick & Aluru SC'15) — the real
+    data structure behind Lee 2021 ExactSubstr dedup (arXiv:2107.06499),
+    not the shingle approximation: per document, the longest substring
+    (capped at 256 chars) shared verbatim with any other position in the
+    corpus, and how many of its positions start a ≥50-char shared span.
+
+    The reference engine has no training-data operators; this is a
+    first-class pipeline op of this engine.
+
+    Scale (functions/suffix.py): a 16-char-granule seeded rank table +
+    log2(256/16)=4 doubling rounds; per-round traffic is longs-only
+    equi-joins and rank-partitioned windows over the still-tied subset
+    (shrinks geometrically); LCP by binary lifting over the same rank
+    tables. No unpartitioned window, no driver collect beyond one row per
+    partition, shuffle rows are fixed-width — the construction the paper
+    runs single-node is here a bounded number of joins at any corpus size."""
+    from dbt_spark.functions.suffix import suffix_repeat_lengths
+
+    docs = _docs(spark, sf_dir)
+    reps = suffix_repeat_lengths(docs.select("doc_id", "text"))
+    per_doc = reps.groupBy("doc_id").agg(
+        F.max("rep").alias("mr"),
+        F.sum((F.col("rep") >= 50).cast("bigint")).alias("nr"),
+    )
+    return (
+        docs.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("mr"), F.lit(0)).cast("bigint").alias("max_rep"),
+            F.coalesce(F.col("nr"), F.lit(0)).cast("bigint").alias("n_rep50"),
+        )
+    )
 
 
 def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2518,6 +2557,66 @@ _NGRAM_LM_SQL = f"""
 
 
 ORACLES: dict[str, str] = {
+    # naive restatement of the suffix-array semantics: sort every suffix's
+    # 256-char prefix, LCP with both sorted neighbors via an exact unrolled
+    # binary search (both-exhausted windows compare equal and overshoot;
+    # the least(len) clamp restores exactness — suffixes identical to their
+    # ends have LCP = remaining length)
+    "suffix_repeat_stats": """
+        WITH expl AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS p
+            FROM documents
+            WHERE length(text) >= 1
+        ),
+        pos AS (
+            SELECT doc_id, p, substr(text, p, 256) AS key FROM expl
+        ),
+        ord AS MATERIALIZED (
+            SELECT doc_id, p, key,
+                   lag(key)  OVER (ORDER BY key, doc_id, p) AS pk,
+                   lead(key) OVER (ORDER BY key, doc_id, p) AS nk
+            FROM pos
+        ),
+        nbr AS (
+            SELECT doc_id, p, key AS a, pk AS b FROM ord WHERE pk IS NOT NULL
+            UNION ALL
+            SELECT doc_id, p, key AS a, nk AS b FROM ord WHERE nk IS NOT NULL
+        ),
+        -- each lift step MATERIALIZED: lateral-alias inlining would expand
+        -- the binary search to 2^9 substr evaluations per row otherwise
+        s0 AS MATERIALIZED (
+            SELECT doc_id, p, a, b,
+              CASE WHEN substr(a,1,256)=substr(b,1,256) THEN 256 ELSE 0 END AS v
+            FROM nbr),
+        s1 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,128)=substr(b,v+1,128) THEN 128 ELSE 0 END AS v FROM s0),
+        s2 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,64)=substr(b,v+1,64) THEN 64 ELSE 0 END AS v FROM s1),
+        s3 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,32)=substr(b,v+1,32) THEN 32 ELSE 0 END AS v FROM s2),
+        s4 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,16)=substr(b,v+1,16) THEN 16 ELSE 0 END AS v FROM s3),
+        s5 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,8)=substr(b,v+1,8) THEN 8 ELSE 0 END AS v FROM s4),
+        s6 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,4)=substr(b,v+1,4) THEN 4 ELSE 0 END AS v FROM s5),
+        s7 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,2)=substr(b,v+1,2) THEN 2 ELSE 0 END AS v FROM s6),
+        s8 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,1)=substr(b,v+1,1) THEN 1 ELSE 0 END AS v FROM s7),
+        rep AS (
+            SELECT doc_id, p,
+                   max(least(v, length(a), length(b))) AS rep
+            FROM s8 GROUP BY doc_id, p
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(max(r.rep), 0) AS BIGINT) AS max_rep,
+               CAST(coalesce(sum(CASE WHEN r.rep >= 50 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_rep50
+        FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+        GROUP BY d.doc_id
+    """,
     "html_extract_visible_text": """
         WITH norm AS (
             SELECT doc_id,
@@ -3850,6 +3949,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "dedup_exact_substring": dedup_exact_substring,
+    "suffix_repeat_stats": suffix_repeat_stats,
     "token_budget_select": token_budget_select,
     "jsonl_ingest_quarantine": jsonl_ingest_quarantine,
     "multimodal_image_headers": multimodal_image_headers,

@@ -1,0 +1,163 @@
+"""Distributed suffix array (functions/suffix.py): differential fuzz vs a
+pure-python suffix sort + adversarial structure cases + plan hygiene.
+
+REPLAY family #12: random multi-document corpora (small alphabet to force
+deep ties, planted cross-document spans, duplicate documents) through the
+REAL prefix-doubling pipeline vs a brute-force python oracle (sort every
+truncated suffix, LCP with sorted neighbors). Family base 230k rotated by
+DBT_SPARK_FUZZ_OFFSET.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from dbt_spark.functions.suffix import (
+    GRANULE,
+    global_head_ranks,
+    suffix_rank_tables,
+    suffix_repeat_lengths,
+)
+
+_OFF = int(os.environ.get("DBT_SPARK_FUZZ_OFFSET", "0"))
+_BASE = 230_000
+
+
+def _brute_reps(docs: list[tuple[int, str]], cap: int = 256) -> dict:
+    """Oracle: per (doc, pos) the longest ≤cap-char prefix shared with any
+    other suffix — sorted truncated suffixes, LCP with both neighbors."""
+    sufs = []
+    for d, t in docs:
+        for p in range(1, len(t) + 1):
+            sufs.append((t[p - 1:p - 1 + cap], d, p))
+    sufs.sort()
+
+    def lcp(a: str, b: str) -> int:
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    rep = {}
+    for i, (s, d, p) in enumerate(sufs):
+        best = 0
+        if i > 0:
+            best = max(best, lcp(s, sufs[i - 1][0]))
+        if i + 1 < len(sufs):
+            best = max(best, lcp(s, sufs[i + 1][0]))
+        rep[(d, p)] = min(best, cap)
+    return rep
+
+
+def _check(spark, docs: list[tuple[int, str]], cap: int = 256) -> None:
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["pos"]): r["rep"]
+        for r in suffix_repeat_lengths(df, max_depth=cap).collect()
+    }
+    want = _brute_reps(docs, cap)
+    assert got == want, {
+        k: (got.get(k), want.get(k))
+        for k in set(got) | set(want)
+        if got.get(k) != want.get(k)
+    }
+
+
+def _gen_corpus(rng: random.Random) -> list[tuple[int, str]]:
+    alpha = rng.choice(["ab", "abc", "abcd"])
+    docs = []
+    for d in range(rng.randrange(3, 7)):
+        docs.append(
+            (d, "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 80))))
+        )
+    # plant a shared span across two random docs (may exceed GRANULE·2)
+    if rng.random() < 0.8 and len(docs) >= 2:
+        span = "".join(rng.choice(alpha) for _ in range(rng.randrange(5, 90)))
+        i, j = rng.sample(range(len(docs)), 2)
+        docs[i] = (docs[i][0], docs[i][1] + span)
+        docs[j] = (docs[j][0], span + docs[j][1])
+    # occasionally an exact duplicate document
+    if rng.random() < 0.4 and len(docs) >= 2:
+        i, j = rng.sample(range(len(docs)), 2)
+        docs[j] = (docs[j][0], docs[i][1])
+    return docs
+
+
+@pytest.mark.parametrize("seed", [_BASE + _OFF + i for i in range(6)])
+def test_suffix_repeat_fuzz(spark, seed):
+    rng = random.Random(seed)
+    _check(spark, _gen_corpus(rng))
+
+
+def test_suffix_repeat_all_same_char(spark):
+    """Worst case for doubling: one giant tie block per depth, rounds go to
+    the cap, every LCP decided by the remaining-length clamp."""
+    _check(spark, [(0, "a" * 120), (1, "a" * 40)])
+
+
+def test_suffix_repeat_periodic_and_short(spark):
+    _check(spark, [(0, "abcabcabcabcab")])
+    _check(spark, [(0, "x"), (1, "x"), (2, "yz"), (3, "yz")])
+    # shorter cap than GRANULE·2 still exact
+    _check(spark, [(0, "abzabza"), (1, "zab")], cap=32)
+
+
+def test_suffix_repeat_unicode(spark):
+    """Codepoint (not byte) positions — matches Spark/DuckDB substr
+    semantics for multibyte text."""
+    _check(spark, [(0, "naïve café naïve"), (1, "café crème")])
+
+
+def test_global_head_ranks_exact(spark):
+    rng = random.Random(_BASE + _OFF + 77)
+    rows = [(i, rng.choice(["aa", "ab", "b", "ccc", "d"])) for i in range(60)]
+    df = spark.createDataFrame(rows, "rid long, k string")
+    got = {
+        r["rid"]: r["rank"]
+        for r in global_head_ranks(df, key="k", tiebreak=["rid"]).collect()
+    }
+    ordered = sorted(rows, key=lambda x: (x[1], x[0]))
+    heads, want = {}, {}
+    for idx, (rid, k) in enumerate(ordered, start=1):
+        heads.setdefault(k, idx)
+        want[rid] = heads[k]
+    assert got == want
+
+
+def test_suffix_rank_tables_order_matches_sorted_suffixes(spark):
+    """The final table's (rank, doc, pos) order IS the suffix-array order
+    of truncated suffixes (head ranks: equal prefixes share a rank)."""
+    docs = [(0, "banana"), (1, "bandana")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tables = suffix_rank_tables(df, max_depth=64)
+    final = tables[-1][1].collect()
+    got = sorted(((r["rank"], r["doc_id"], r["pos"]) for r in final))
+    texts = dict(docs)
+    sufs = sorted(
+        (texts[d][p - 1:p - 1 + 64], d, p)
+        for d in texts for p in range(1, len(texts[d]) + 1)
+    )
+    # ranks must be head indices: rank of row k (0-based sorted) equals
+    # 1 + index of the first row with the same truncated suffix
+    first = {}
+    for i, (s, d, p) in enumerate(sufs):
+        first.setdefault(s, i + 1)
+    want = sorted((first[s], d, p) for s, d, p in sufs)
+    assert got == want
+    assert tables[0][0] == GRANULE and tables[-1][0] == 64
+
+
+def test_suffix_plan_no_cartesian_no_python_udf(spark):
+    """Plan hygiene: the whole pipeline stays codegen'd DataFrame ops —
+    no cartesian products, no Python UDF/eval nodes."""
+    docs = spark.createDataFrame(
+        [(0, "abcabc"), (1, "bcabca")], "doc_id long, text string"
+    )
+    plan = suffix_repeat_lengths(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -39,6 +39,7 @@ PROBE_QUERIES = [
     "ngram_lm_quality_score",     # gram-keyed LM-count joins + doc rollup
     "semantic_semi_additive_metric",  # NAD window-value agg + join-back
     "ann_topk_pq",                # PQ/ADC codes scan + shortlist re-rank
+    "suffix_repeat_stats",        # prefix-doubling suffix array + LCP lifting
 ]
 
 
