@@ -172,6 +172,7 @@ EXTENDED = [
     "utilpack_cardinality_equality",
     # round-9 additions
     "suffix_repeat_stats",  # distributed suffix array: doubling rounds + LCP lifting
+    "dedup_cc_star_chain",  # Kiveris large/small-star CC over chain duplicate graphs
 ]
 
 

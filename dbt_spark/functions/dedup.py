@@ -375,6 +375,89 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels
 
 
+def connected_components_star(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(id, component) via the ALTERNATING large-star/small-star algorithm
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond") —
+    the 100 TB-scale upgrade over min-label propagation: propagation needs
+    O(component diameter) rounds (a 10k-doc duplicate CHAIN = 10k rounds),
+    large/small-star halves star heights every alternation and converges in
+    O(log n) rounds regardless of diameter.
+
+    large-star: every node u links its LARGER neighbors to the minimum of
+    its closed neighborhood; small-star: with edges canonicalized larger→
+    smaller, every node links its smaller neighbors (and itself) to that
+    minimum. The fixed point is a forest of stars centered at each
+    component's minimum id. Each half-round is one hash aggregate + one
+    join on the edge partitioning; convergence is detected by an
+    order-independent edge-set fingerprint (sum of per-edge hashes + count
+    — one aggregate row, no full comparison)."""
+    # self-loops carry no information; canonical (big, small) orientation
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    verts = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def fingerprint(df: DataFrame) -> tuple:
+        # bit_xor: order-independent, no ANSI overflow; edge set is distinct
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = fingerprint(e)
+    for _ in range(max_iter):
+        # large-star over the symmetric neighborhood: (center per node,
+        # larger neighbors re-linked to it)
+        sym = e.select("u", "v").unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("mn"), F.col("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on canonical larger->smaller edges
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(mins2, "u")
+        small = (
+            joined.select(F.col("u"), F.col("m").alias("v"))
+            .unionAll(
+                joined.filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        nfp = fingerprint(small)
+        e = small
+        if nfp == fp:
+            break
+        fp = nfp
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    centers = verts.join(
+        members.select("id"), "id", "left_anti"
+    ).withColumn("component", F.col("id"))
+    return members.unionByName(centers).distinct()
+
+
 def minhash_dedup_cc(
     df: DataFrame,
     text_col: str,

@@ -1661,6 +1661,41 @@ _LANG_SCORES = ", ".join(
 )
 
 
+def dedup_cc_star_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a CHAIN-shaped duplicate graph via the
+    alternating large-star/small-star algorithm (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — value-paired: edges
+    link CONSECUTIVE doc_ids within each exact-dedup-key group (the
+    (lang, n_chars) key dedup_exact uses; a lag window partitioned by the
+    key), so the component structure is closed-form (min doc_id per
+    duplicated key) while the algorithm must do genuine multi-hop work —
+    no single edge connects a member to its component min.
+
+    Scale: min-label propagation (dedup_minhash_cc) needs O(diameter)
+    rounds — a 10k-doc duplicate chain = 10k shuffles; large/small-star
+    halves star heights per alternation and converges in O(log n) rounds
+    on any topology. Each half-round is one hash aggregate + one join;
+    convergence is a one-row edge-set fingerprint (count + bit_xor of
+    per-edge hashes), never a full comparison."""
+    from pyspark.sql import Window
+
+    from dbt_spark.functions.dedup import connected_components_star
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang", "n_chars").orderBy("doc_id")
+    chain = docs.select(
+        "doc_id", F.lag("doc_id").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    edges = chain.select(
+        F.col("prev").alias("src"), F.col("doc_id").alias("dst")
+    )
+    comps = connected_components_star(edges)
+    return comps.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
 def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate cluster-size distribution: md5(text) clusters ->
     (cluster_size, n_clusters, n_docs). The dedup REPORTING step every
@@ -2557,6 +2592,20 @@ _NGRAM_LM_SQL = f"""
 
 
 ORACLES: dict[str, str] = {
+    # the chain edges are built within exact-dedup-key groups, so the
+    # component of every colliding doc is closed-form: min doc_id sharing
+    # its (lang, n_chars) key (the CC algorithm must traverse the chain)
+    "dedup_cc_star_chain": """
+        WITH dup AS (
+            SELECT doc_id,
+                   count(*)    OVER (PARTITION BY lang, n_chars) AS c,
+                   min(doc_id) OVER (PARTITION BY lang, n_chars) AS m
+            FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(m AS BIGINT) AS component
+        FROM dup WHERE c > 1
+    """,
     # naive restatement of the suffix-array semantics: sort every suffix's
     # 256-char prefix, LCP with both sorted neighbors via an exact unrolled
     # binary search (both-exhausted windows compare equal and overshoot;
@@ -3950,6 +3999,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "dedup_exact_substring": dedup_exact_substring,
     "suffix_repeat_stats": suffix_repeat_stats,
+    "dedup_cc_star_chain": dedup_cc_star_chain,
     "token_budget_select": token_budget_select,
     "jsonl_ingest_quarantine": jsonl_ingest_quarantine,
     "multimodal_image_headers": multimodal_image_headers,

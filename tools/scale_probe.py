@@ -40,6 +40,7 @@ PROBE_QUERIES = [
     "semantic_semi_additive_metric",  # NAD window-value agg + join-back
     "ann_topk_pq",                # PQ/ADC codes scan + shortlist re-rank
     "suffix_repeat_stats",        # prefix-doubling suffix array + LCP lifting
+    "dedup_cc_star_chain",        # alternating large/small-star CC
 ]
 
 
