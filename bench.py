@@ -173,6 +173,8 @@ EXTENDED = [
     # round-9 additions
     "suffix_repeat_stats",  # distributed suffix array: doubling rounds + LCP lifting
     "dedup_cc_star_chain",  # Kiveris large/small-star CC over chain duplicate graphs
+    "heavy_hitters_mg",  # Misra-Gries candidates + exact verify (bounded-memory top tokens)
+    "decontam_bloom_prefilter",  # Bloom words-array map-side prefilter + exact join
 ]
 
 

@@ -1,0 +1,129 @@
+"""Mergeable-summary operators: Misra-Gries heavy hitters.
+
+Misra & Gries 1982 ("Finding repeated elements"); the summary-merge
+framing is Agarwal et al. 2012 ("Mergeable Summaries", PODS). The
+at-scale problem: exact token frequencies over a 100 TB corpus need a
+groupBy whose hash table is the full vocabulary (billions of keys,
+spill-bound). For THRESHOLD queries — every item with count > N/k — the
+two-pass candidate/verify shape bounds memory at k counters per
+partition:
+
+1. candidate pass: each partition streams once through a k-counter
+   Misra-Gries summary (Arrow-batched ``mapInPandas``; state persists
+   across the partition's batches). Pigeonhole guarantee: an item with
+   global count > N/k exceeds its local n_p/k share in at least one
+   partition, so the union of partition summaries is a SUPERSET of every
+   global heavy hitter — regardless of how rows are partitioned.
+2. verify pass: exact counts for candidates only — the corpus streams
+   through a broadcast semi-join (candidates ≤ k × partitions, tiny), so
+   the aggregation hash table holds candidate keys, never the vocabulary.
+
+The result is EXACT (deterministic, partition-independent): MG only
+generates candidates; the threshold is applied to true counts.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_summarize(k: int, col: str):
+    """mapInPandas kernel: one Misra-Gries summary per partition (dict of
+    ≤ k-1 counters; inserting into a full summary decrements every counter
+    — amortized O(1) per row: each decrement is paid for by an insert)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for batch in batches:
+            for item in batch[col]:
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k - 1:
+                    counters[item] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {col: list(counters.keys()), "mg_count": list(counters.values())}
+        )
+
+    return fn
+
+
+def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned: (col, mg_count) with
+    ≤ k-1 rows per partition. mg_count is a LOWER bound on the partition-
+    local count (standard MG undercount ≤ n_p/k)."""
+    src = df.select(F.col(col).cast("string").alias(col))
+    schema = f"{col} string, mg_count long"
+    return src.mapInPandas(_mg_summarize(k, col), schema=schema)
+
+
+def bloom_build(df: DataFrame, col, m_bits: int = 1 << 17, h: int = 4) -> list:
+    """Build an m-bit Bloom filter (Bloom 1970) over ``col`` as a python
+    list of m/64 longs — the driver-side artifact a probe expression embeds
+    as a literal. The set-bit positions are computed DISTRIBUTIVELY
+    (h seeded xxhash64 per row, distinct), so the collect is bounded by
+    min(h·n, m) ints regardless of input size. Spark's own runtime-filter
+    machinery uses the same shape internally (BloomFilterAggregate);
+    bloom_filter_agg isn't in the public function registry, so the words
+    are assembled here. At very large m (≫ tens of MB) prefer the
+    broadcast semi-join — a literal that size bloats the plan."""
+    pos = (
+        df.select(
+            F.explode(
+                F.array(*[
+                    F.pmod(F.xxhash64(F.lit(i), F.col(col) if isinstance(col, str) else col),
+                           F.lit(m_bits))
+                    for i in range(h)
+                ])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in pos:
+        p = int(r["p"])
+        words[p >> 6] |= 1 << (p & 63)
+    # Spark longs are signed; normalize to the signed 64-bit range
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_might_contain(words: list, col, m_bits: int = 1 << 17, h: int = 4):
+    """Codegen'd probe: AND over h (element_at(words, p>>6) >> (p&63)) & 1
+    tests against the literal words array — a map-side filter, no shuffle,
+    no UDF. False positives only (the caller's exact join removes them);
+    never false negatives."""
+    arr = F.array(*[F.lit(w) for w in words])
+    c = F.col(col) if isinstance(col, str) else col
+    cond = F.lit(True)
+    for i in range(h):
+        p = F.pmod(F.xxhash64(F.lit(i), c), F.lit(m_bits))
+        word = F.element_at(arr, (p / F.lit(64)).cast("int") + F.lit(1))
+        shifted = F.call_function("shiftright", word, (p % F.lit(64)).cast("int"))
+        cond = cond & (shifted.bitwiseAND(F.lit(1)) == F.lit(1))
+    return cond
+
+
+def heavy_hitters_threshold(df: DataFrame, col: str, k: int) -> DataFrame:
+    """EXACT (item, cnt) for every item with count > N/k — bounded-memory
+    two-pass shape (module docstring). Returns (col, cnt)."""
+    src = df.select(F.col(col).cast("string").alias(col))
+    n_total = src.count()
+    cands = mg_candidates(src, col, k).select(col).distinct()
+    exact = (
+        src.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact.filter(F.col("cnt") > n_total / float(k))

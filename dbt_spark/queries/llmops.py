@@ -1696,6 +1696,73 @@ def dedup_cc_star_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered n-gram decontamination — decontam_ngram_overlap's
+    exact semantics (per training doc, distinct 3-grams shared with the
+    benchmark) with the production at-scale shape in front: an m-bit Bloom
+    filter (Bloom 1970) built over benchmark grams probes the corpus gram
+    stream MAP-SIDE (codegen'd element_at + shift against a words-array
+    literal — functions/sketches.py), so non-colliding grams die in the
+    scan stage without ever shuffling; the surviving sliver then takes the
+    exact broadcast join, which removes Bloom false positives. Output is
+    therefore EXACT and value-paired with the naive restatement.
+
+    Scale: this is what Spark's own runtime filters (BloomFilterAggregate)
+    do for joins, applied explicitly: at 100 TB the corpus side's shuffle
+    volume drops to the true-overlap rate + FP rate (~0 at m/n = 64 bits
+    per gram), while the broadcast set stays benchmark-sized."""
+    from dbt_spark.functions.sketches import bloom_build, bloom_might_contain
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 3)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws)-3), "
+            "i -> concat_ws(' ', slice(ws, i+1, 3)))"
+        )).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    words = bloom_build(bench, "g")
+    pre = grams.filter(F.col("doc_id") % 97 != 0).filter(
+        bloom_might_contain(words, "g")
+    )
+    return (
+        pre.join(F.broadcast(bench), "g", "inner")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").cast("bigint").alias("n_overlap"))
+    )
+
+
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus tokens with frequency > N/k (k=100) via the
+    bounded-memory two-pass shape (functions/sketches.py): per-partition
+    Misra-Gries candidate summaries (Misra & Gries 1982; mergeable-summary
+    framing Agarwal 2012) in one Arrow-batched mapInPandas, then exact
+    verification counting ONLY the broadcast candidate set.
+
+    The reference engine has no training-data operators; this is a
+    first-class pipeline op of this engine.
+
+    Scale: a vocabulary-wide groupBy over 100 TB of text spills its hash
+    table (billions of distinct tokens); here the candidate pass holds ≤
+    k counters per partition, the verify pass's aggregate holds ≤
+    k × partitions keys, and the threshold result is EXACT and partition-
+    independent (pigeonhole: a global heavy hitter beats its local n_p/k
+    share somewhere, so MG summaries union to a candidate superset)."""
+    from dbt_spark.functions.sketches import heavy_hitters_threshold
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters_threshold(toks, "token", k=100).select(
+        "token", F.col("cnt").cast("bigint").alias("cnt")
+    )
+
+
 def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate cluster-size distribution: md5(text) clusters ->
     (cluster_size, n_clusters, n_docs). The dedup REPORTING step every
@@ -2592,6 +2659,42 @@ _NGRAM_LM_SQL = f"""
 
 
 ORACLES: dict[str, str] = {
+    # the Bloom filter only PREFILTERS (false positives removed by the
+    # exact join), so the naive restatement is decontam_ngram_overlap's
+    "decontam_bloom_prefilter": f"""
+        WITH d AS (
+            SELECT doc_id, {_TOKS} AS ws FROM documents
+            WHERE len({_TOKS}) >= 3
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ws) - 2),
+                          i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+                       AS g
+            FROM d
+        ),
+        b AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+        SELECT g.doc_id,
+               CAST(count(DISTINCT g.g) AS BIGINT) AS n_overlap
+        FROM g JOIN b ON g.g = b.g
+        WHERE g.doc_id % 97 != 0
+        GROUP BY g.doc_id
+    """,
+    # exact threshold semantics: the MG pass only GENERATES candidates, so
+    # the naive full groupBy restates the result exactly
+    "heavy_hitters_mg": """
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(lower(trim(text)), '\\s+'),
+                x -> x <> '')) AS token
+            FROM documents
+        ),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks, tot
+        GROUP BY token, tot.n
+        HAVING count(*) > tot.n / 100.0
+    """,
     # the chain edges are built within exact-dedup-key groups, so the
     # component of every colliding doc is closed-form: min doc_id sharing
     # its (lang, n_chars) key (the CC algorithm must traverse the chain)
@@ -4000,6 +4103,8 @@ QUERIES = {
     "dedup_exact_substring": dedup_exact_substring,
     "suffix_repeat_stats": suffix_repeat_stats,
     "dedup_cc_star_chain": dedup_cc_star_chain,
+    "heavy_hitters_mg": heavy_hitters_mg,
+    "decontam_bloom_prefilter": decontam_bloom_prefilter,
     "token_budget_select": token_budget_select,
     "jsonl_ingest_quarantine": jsonl_ingest_quarantine,
     "multimodal_image_headers": multimodal_image_headers,

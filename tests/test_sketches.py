@@ -1,0 +1,103 @@
+"""Sketch operators (functions/sketches.py): Misra-Gries heavy hitters and
+the Bloom prefilter — differential fuzz vs pure-python oracles.
+
+REPLAY family #14: random skewed streams through the REAL two-pass
+heavy-hitters pipeline vs collections.Counter; random set/probe pairs
+through the Bloom words-array build/probe vs exact membership (no false
+negatives ever; false positives bounded). Family base 250k rotated by
+DBT_SPARK_FUZZ_OFFSET.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dbt_spark.functions.sketches import (
+    bloom_build,
+    bloom_might_contain,
+    heavy_hitters_threshold,
+    mg_candidates,
+)
+
+_OFF = int(os.environ.get("DBT_SPARK_FUZZ_OFFSET", "0"))
+_BASE = 250_000
+
+
+def _zipf_stream(rng: random.Random, n: int, vocab: int) -> list[str]:
+    # skewed stream: item i drawn ∝ 1/(i+1)
+    weights = [1.0 / (i + 1) for i in range(vocab)]
+    return [f"t{rng.choices(range(vocab), weights)[0]}" for _ in range(n)]
+
+
+@pytest.mark.parametrize("seed", [_BASE + _OFF + i for i in range(6)])
+def test_heavy_hitters_fuzz(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randrange(200, 1500)
+    k = rng.choice([10, 20, 50])
+    stream = _zipf_stream(rng, n, rng.randrange(20, 200))
+    df = spark.createDataFrame([(x,) for x in stream], "token string")
+    got = {
+        r["token"]: r["cnt"]
+        for r in heavy_hitters_threshold(df, "token", k).collect()
+    }
+    counts = Counter(stream)
+    want = {t: c for t, c in counts.items() if c > n / k}
+    assert got == want, (n, k, {x: (got.get(x), want.get(x))
+                                for x in set(got) ^ set(want)})
+    # pigeonhole guarantee: MG candidates ⊇ every true heavy hitter
+    cands = {r["token"] for r in mg_candidates(df, "token", k).collect()}
+    assert set(want) <= cands
+
+
+def test_heavy_hitters_partition_independent(spark):
+    """The threshold result must not depend on partitioning (MG summaries
+    do; the verified output doesn't)."""
+    rng = random.Random(_BASE + _OFF + 91)
+    stream = _zipf_stream(rng, 800, 50)
+    base = spark.createDataFrame([(x,) for x in stream], "token string")
+    outs = []
+    for parts in (1, 7, 32):
+        df = base.repartition(parts)
+        outs.append(sorted(
+            (r["token"], r["cnt"])
+            for r in heavy_hitters_threshold(df, "token", 20).collect()
+        ))
+    assert outs[0] == outs[1] == outs[2] and outs[0]
+
+
+@pytest.mark.parametrize("seed", [_BASE + _OFF + 200 + i for i in range(4)])
+def test_bloom_no_false_negatives(spark, seed):
+    rng = random.Random(seed)
+    members = [f"m{rng.randrange(10_000)}" for _ in range(rng.randrange(50, 400))]
+    probes = members + [f"x{rng.randrange(10_000)}" for _ in range(300)]
+    mdf = spark.createDataFrame([(x,) for x in set(members)], "g string")
+    words = bloom_build(mdf, "g", m_bits=1 << 14, h=4)
+    pdf = spark.createDataFrame([(x,) for x in probes], "g string")
+    hits = {
+        r["g"] for r in
+        pdf.filter(bloom_might_contain(words, "g", m_bits=1 << 14, h=4)).collect()
+    }
+    assert set(members) <= hits  # NEVER a false negative
+    # FP rate sanity at 16384 bits / ≤400 items / 4 hashes: ≲ 1%
+    fps = [x for x in hits if x.startswith("x")]
+    assert len(fps) <= 0.05 * 300, fps
+
+
+def test_bloom_probe_is_codegen_filter(spark):
+    """The probe compiles to a scan-stage filter — no join, no shuffle, no
+    Python eval."""
+    mdf = spark.createDataFrame([("a",), ("b",)], "g string")
+    words = bloom_build(mdf, "g", m_bits=1 << 10, h=2)
+    pdf = spark.createDataFrame([("a",), ("z",)], "g string")
+    plan = (
+        pdf.filter(bloom_might_contain(words, "g", m_bits=1 << 10, h=2))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, plan

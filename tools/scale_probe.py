@@ -41,6 +41,8 @@ PROBE_QUERIES = [
     "ann_topk_pq",                # PQ/ADC codes scan + shortlist re-rank
     "suffix_repeat_stats",        # prefix-doubling suffix array + LCP lifting
     "dedup_cc_star_chain",        # alternating large/small-star CC
+    "heavy_hitters_mg",           # MG candidate pass + exact verify
+    "decontam_bloom_prefilter",   # Bloom literal prefilter + exact join
 ]
 
 
