@@ -175,6 +175,8 @@ EXTENDED = [
     "dedup_cc_star_chain",  # Kiveris large/small-star CC over chain duplicate graphs
     "heavy_hitters_mg",  # Misra-Gries candidates + exact verify (bounded-memory top tokens)
     "decontam_bloom_prefilter",  # Bloom words-array map-side prefilter + exact join
+    "moore_lewis_select",  # cross-entropy-difference selection, two in-engine LMs
+    "unimax_language_budget",  # UniMax water-filling + per-lang greedy fill
 ]
 
 

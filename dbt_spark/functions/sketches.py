@@ -115,6 +115,26 @@ def bloom_might_contain(words: list, col, m_bits: int = 1 << 17, h: int = 4):
     return cond
 
 
+def water_fill(caps: list[tuple[str, float]], budget: float) -> dict[str, float]:
+    """Water-filling allocation (UniMax, Chung et al. 2023): quota_i =
+    min(cap_i, tau) with tau chosen so the quotas sum to ``budget`` (or
+    quota=cap everywhere when the budget covers all caps). ``caps`` must
+    be sorted ascending by (cap, key); runs on metadata-sized input (one
+    row per language/source)."""
+    n = len(caps)
+    prefix, tau, kfull = 0.0, float("inf"), n
+    for i in range(n):
+        level = (budget - prefix) / (n - i)
+        if caps[i][1] >= level:
+            tau, kfull = level, i
+            break
+        prefix += caps[i][1]
+    return {
+        key: (cap if i < kfull else min(cap, tau))
+        for i, (key, cap) in enumerate(caps)
+    }
+
+
 def heavy_hitters_threshold(df: DataFrame, col: str, k: int) -> DataFrame:
     """EXACT (item, cnt) for every item with count > N/k — bounded-memory
     two-pass shape (module docstring). Returns (col, cnt)."""

@@ -973,6 +973,111 @@ def ngram_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored
 
 
+def moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection (Moore & Lewis
+    2010, "Intelligent Selection of Language Model Training Data"): score
+    every document under an IN-DOMAIN LM (here the lang='en' slice) and a
+    GENERAL LM (the whole corpus), keep documents where
+    H_in(doc) - H_gen(doc) < 0 — text that looks more like the target
+    domain than like the pool average. Both LMs are the engine's
+    add-0.5-smoothed word-bigram models (ngram_lm_quality_score's
+    estimator), trained in-engine — no external artifacts.
+
+    Scale: ONE gram stream feeds both models; four count-table LEFT joins
+    keyed on the gram (shuffle ∝ gram stream), two 1-row vocab broadcasts,
+    per-doc rollup with map-side partials. Same profile as the single-LM
+    scorer — the second model adds joins, not passes."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "lang",
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    bi = d.filter(F.size("ws") >= 2).select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, "
+            "ws[i+1] AS w2))")).alias("g"),
+    ).select("doc_id", "lang", F.col("g.w1").alias("w1"),
+             F.col("g.w2").alias("w2"))
+    tgt = bi.filter(F.col("lang") == "en")
+
+    def tables(stream, tag):
+        c2 = stream.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("double").alias(f"c2_{tag}"))
+        c1 = stream.groupBy("w1").agg(
+            F.count(F.lit(1)).cast("double").alias(f"c1_{tag}"))
+        v = stream.agg(
+            F.countDistinct("w2").cast("double").alias(f"v_{tag}"))
+        return c2, c1, v
+
+    c2i, c1i, vi = tables(tgt, "in")
+    c2g, c1g, vg = tables(bi, "gen")
+
+    def nll(tag):
+        return -F.log(
+            (F.coalesce(F.col(f"c2_{tag}"), F.lit(0.0)) + 0.5)
+            / (F.coalesce(F.col(f"c1_{tag}"), F.lit(0.0))
+               + 0.5 * F.col(f"v_{tag}")))
+
+    scored = (
+        bi.join(c2i, ["w1", "w2"], "left").join(c1i, ["w1"], "left")
+        .join(c2g, ["w1", "w2"], "left").join(c1g, ["w1"], "left")
+        .crossJoin(F.broadcast(vi)).crossJoin(F.broadcast(vg))
+        .select("doc_id", nll("in").alias("nll_in"),
+                nll("gen").alias("nll_gen"))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("nll_in") - F.avg("nll_gen"), 6).alias("ce_diff"))
+    )
+    return scored.select(
+        "doc_id", "ce_diff",
+        (F.col("ce_diff") < 0).cast("bigint").alias("keep_flag"),
+    )
+
+
+def unimax_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget-constrained language sampling (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining", ICLR): given a token budget B (0.9 of the
+    corpus) and a per-language epoch cap E (=1), allocate by WATER-FILLING
+    — every language gets min(E·n_l, τ) where the level τ satisfies
+    Σ min(E·n_l, τ) = B. Small languages are taken whole (never repeated
+    past E epochs); the oversized head is trimmed to the common level —
+    UniMax's fairness property vs temperature sampling's head bias.
+
+    The τ scan runs on the per-language table — language count is
+    metadata-sized, so the bounded collect is the honest shape (the
+    selection itself stays distributed: md5-ordered greedy prefix per
+    language under a lang-partitioned cumulative window, the same
+    deterministic fill as temperature_mix_sample)."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"))
+    per_lang = sorted(
+        d.groupBy("lang").agg(F.sum("toks").alias("n")).collect(),
+        key=lambda r: (float(r["n"]), r["lang"]),
+    )
+    total = float(sum(r["n"] for r in per_lang))
+    budget, epochs = 0.9 * total, 1.0
+    caps = [(r["lang"], epochs * float(r["n"])) for r in per_lang]
+    from dbt_spark.functions.sketches import water_fill
+
+    quotas = water_fill(caps, budget)
+    from pyspark.sql import Window
+
+    qmap = F.create_map(*[F.lit(x) for kv in quotas.items() for x in kv])
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = (Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    picked = (
+        d.withColumn("cum", F.sum("toks").over(w))
+        .where(F.col("cum") <= qmap[F.col("lang")])
+    )
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("tokens_selected"),
+    )
+
+
 _KN_TABLES: dict = {}
 
 
@@ -3381,6 +3486,103 @@ ORACLES: dict[str, str] = {
         FROM s
     """,
     "ngram_lm_quality_score": _NGRAM_LM_SQL,
+    # UniMax water-filling restated in SQL: ascending-cap scan, first cap
+    # clearing the fair level fixes tau; md5-ordered greedy prefix per lang
+    "unimax_language_budget": f"""
+        WITH d AS (
+            SELECT doc_id, lang, len({_TOKS}) AS toks FROM documents
+        ),
+        nl AS (
+            SELECT lang, CAST(sum(toks) AS DOUBLE) AS cap
+            FROM d GROUP BY lang
+        ),
+        tot AS (SELECT 0.9 * sum(cap) AS b, count(*) AS nlang FROM nl),
+        ord AS (
+            SELECT lang, cap,
+                   row_number() OVER (ORDER BY cap, lang) AS i,
+                   COALESCE(sum(cap) OVER (
+                       ORDER BY cap, lang
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0.0) AS pre
+            FROM nl
+        ),
+        lvl AS (
+            SELECT i, cap, (tot.b - pre) / (tot.nlang - i + 1) AS level
+            FROM ord, tot
+        ),
+        brk AS (
+            SELECT i AS kf, level AS tau FROM lvl
+            WHERE cap >= level ORDER BY i LIMIT 1
+        ),
+        quotas AS (
+            SELECT ord.lang,
+                   CASE WHEN brk.kf IS NULL OR ord.i < brk.kf THEN ord.cap
+                        ELSE least(ord.cap, brk.tau) END AS quota
+            FROM ord LEFT JOIN brk ON TRUE
+        ),
+        sel AS (
+            SELECT d.lang, d.toks,
+                   sum(d.toks) OVER (
+                       PARTITION BY d.lang
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM d
+        )
+        SELECT sel.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(sel.toks) AS BIGINT) AS tokens_selected
+        FROM sel JOIN quotas ON sel.lang = quotas.lang
+        WHERE sel.cum <= quotas.quota
+        GROUP BY sel.lang
+    """,
+    # same estimator, two models (in-domain = lang='en', general = all),
+    # per-doc cross-entropy difference
+    "moore_lewis_select": f"""
+        WITH d AS (
+            SELECT doc_id, lang, {_TOKS} AS ws FROM documents
+            WHERE len({_TOKS}) >= 2
+        ),
+        bi AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(generate_series(1, len(ws) - 1),
+                          i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS g
+            FROM d
+        ),
+        b2 AS (SELECT doc_id, lang, g.w1 AS w1, g.w2 AS w2 FROM bi),
+        c2i AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2i
+                FROM b2 WHERE lang = 'en' GROUP BY w1, w2),
+        c1i AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1i
+                FROM b2 WHERE lang = 'en' GROUP BY w1),
+        vi AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vi
+               FROM b2 WHERE lang = 'en'),
+        c2g AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2g
+                FROM b2 GROUP BY w1, w2),
+        c1g AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1g
+                FROM b2 GROUP BY w1),
+        vg AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS vg FROM b2),
+        s AS (
+            SELECT b2.doc_id,
+                   -ln((COALESCE(c2i.c2i, 0) + 0.5)
+                       / (COALESCE(c1i.c1i, 0) + 0.5 * vi.vi)) AS nll_in,
+                   -ln((COALESCE(c2g.c2g, 0) + 0.5)
+                       / (COALESCE(c1g.c1g, 0) + 0.5 * vg.vg)) AS nll_gen
+            FROM b2
+            LEFT JOIN c2i ON b2.w1 = c2i.w1 AND b2.w2 = c2i.w2
+            LEFT JOIN c1i ON b2.w1 = c1i.w1
+            LEFT JOIN c2g ON b2.w1 = c2g.w1 AND b2.w2 = c2g.w2
+            LEFT JOIN c1g ON b2.w1 = c1g.w1
+            CROSS JOIN vi CROSS JOIN vg
+        ),
+        agg AS (
+            SELECT doc_id, round(avg(nll_in) - avg(nll_gen), 6) AS ce_diff
+            FROM s GROUP BY doc_id
+        )
+        SELECT doc_id, ce_diff,
+               CAST(CASE WHEN ce_diff < 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS keep_flag
+        FROM agg
+    """,
     "ppl_bucket_split": f"""
         WITH scored AS ({_NGRAM_LM_SQL})
         SELECT doc_id, lang, ppl,
@@ -4105,6 +4307,8 @@ QUERIES = {
     "dedup_cc_star_chain": dedup_cc_star_chain,
     "heavy_hitters_mg": heavy_hitters_mg,
     "decontam_bloom_prefilter": decontam_bloom_prefilter,
+    "moore_lewis_select": moore_lewis_select,
+    "unimax_language_budget": unimax_language_budget,
     "token_budget_select": token_budget_select,
     "jsonl_ingest_quarantine": jsonl_ingest_quarantine,
     "multimodal_image_headers": multimodal_image_headers,

@@ -101,3 +101,56 @@ def test_bloom_probe_is_codegen_filter(spark):
     )
     for bad in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# UniMax water-filling (pure function; the distributed selection is
+# oracle-paired as unimax_language_budget)
+# --------------------------------------------------------------------------
+
+def _wf_brute(caps, budget, steps=200000):
+    """Independent check: binary-search the level tau."""
+    total = sum(c for _, c in caps)
+    if budget >= total:
+        return {k: c for k, c in caps}
+    lo, hi = 0.0, max(c for _, c in caps)
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if sum(min(c, mid) for _, c in caps) < budget:
+            lo = mid
+        else:
+            hi = mid
+    tau = (lo + hi) / 2
+    return {k: min(c, tau) for k, c in caps}
+
+
+@pytest.mark.parametrize("seed", [_BASE + _OFF + 300 + i for i in range(8)])
+def test_water_fill_fuzz(seed):
+    from dbt_spark.functions.sketches import water_fill
+
+    rng = random.Random(seed)
+    n = rng.randrange(1, 12)
+    caps = sorted(
+        ((f"l{i}", float(rng.randrange(1, 10_000))) for i in range(n)),
+        key=lambda x: (x[1], x[0]),
+    )
+    total = sum(c for _, c in caps)
+    budget = rng.uniform(0.05, 1.3) * total
+    got = water_fill(caps, budget)
+    want = _wf_brute(caps, budget)
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-3 * max(1.0, want[k]), (k, got[k], want[k])
+    # the allocation exhausts the budget (or every cap)
+    assert abs(sum(got.values()) - min(budget, total)) < 1e-6 * max(1.0, total)
+
+
+def test_water_fill_edges():
+    from dbt_spark.functions.sketches import water_fill
+
+    # budget covers everything -> quota = cap
+    assert water_fill([("a", 5.0), ("b", 10.0)], 100.0) == {"a": 5.0, "b": 10.0}
+    # single language
+    assert water_fill([("a", 8.0)], 4.0) == {"a": 4.0}
+    # exactly at the sum
+    assert water_fill([("a", 2.0), ("b", 3.0)], 5.0) == {"a": 2.0, "b": 3.0}

@@ -43,6 +43,7 @@ PROBE_QUERIES = [
     "dedup_cc_star_chain",        # alternating large/small-star CC
     "heavy_hitters_mg",           # MG candidate pass + exact verify
     "decontam_bloom_prefilter",   # Bloom literal prefilter + exact join
+    "moore_lewis_select",         # two-LM gram-keyed scoring joins
 ]
 
 
