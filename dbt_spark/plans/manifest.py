@@ -251,7 +251,13 @@ class Manifest:
                 "checksum": {"name": "md5", "checksum": n.checksum()},
                 "raw_code": n.raw_code,
                 "config": _config(n),
-                "depends_on": {"macros": [], "nodes": n.depends_on},
+                # v12: seeds carry MacroDependsOn (no "nodes" key — seeds
+                # cannot ref; reference v1/seed.py SeedNode.depends_on)
+                "depends_on": (
+                    {"macros": []}
+                    if n.resource_type == NodeType.Seed
+                    else {"macros": [], "nodes": n.depends_on}
+                ),
                 "description": n.description,
                 "tags": list(n.config.tags),
                 "meta": n.config.meta,
