@@ -177,6 +177,8 @@ EXTENDED = [
     "decontam_bloom_prefilter",  # Bloom words-array map-side prefilter + exact join
     "moore_lewis_select",  # cross-entropy-difference selection, two in-engine LMs
     "unimax_language_budget",  # UniMax water-filling + per-lang greedy fill
+    "pmi_top_pairs",  # doc-presence PMI collocations, TakeOrdered top-k
+    "stream_heavy_hitters",  # cross-batch stateful MG + exact verify (value-paired streaming)
 ]
 
 

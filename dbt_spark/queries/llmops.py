@@ -1078,6 +1078,50 @@ def unimax_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top within-document co-occurring term pairs by pointwise mutual
+    information (Church & Hanks 1990): PMI(a,b) = ln(N·c(a,b)/(c(a)·c(b)))
+    over document-level presence counts, min co-occurrence 5, top 50 pairs
+    (ties broken lexically). The standard collocation/phrase-mining signal
+    for corpus analysis.
+
+    Scale: presence sets are doc-distinct tokens (one hash aggregate);
+    the pair stream is a within-doc self-join a<b — quadratic in DISTINCT
+    TOKENS PER DOC, not corpus size, and real vocabularies cap it via a
+    min-df prefilter (here the synthetic ~30-word vocab needs none —
+    docstring knob df_min). Counts join back keyed on the token; the
+    final top-k is a TakeOrderedAndProject, never a global sort."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.split(F.trim(F.lower("text")), r"\s+"))).alias("t"),
+    ).filter(F.col("t") != "")
+    n_docs = docs.count()
+    cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.t") < F.col("b.t")))
+        .groupBy(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 5)
+    )
+    ca = cnt.select(F.col("t").alias("ta"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("t").alias("tb"), F.col("c").alias("cb"))
+    scored = (
+        pairs.join(ca, "ta").join(cb, "tb")
+        .select(
+            "ta", "tb", F.col("cab").cast("bigint").alias("cab"),
+            F.round(F.log(F.lit(float(n_docs)) * F.col("cab")
+                          / (F.col("ca") * F.col("cb"))), 6).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("ta").asc(), F.col("tb").asc()
+    ).limit(50)
+
+
 _KN_TABLES: dict = {}
 
 
@@ -3486,6 +3530,32 @@ ORACLES: dict[str, str] = {
         FROM s
     """,
     "ngram_lm_quality_score": _NGRAM_LM_SQL,
+    "pmi_top_pairs": """
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x <> '')) AS t
+            FROM documents
+        ),
+        nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+               FROM documents),
+        cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        pairs AS (
+            SELECT a.t AS ta, b.t AS tb, count(*) AS cab
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND a.t < b.t
+            GROUP BY a.t, b.t HAVING count(*) >= 5
+        )
+        SELECT ta, tb, CAST(cab AS BIGINT) AS cab,
+               round(ln(nd.n * cab / (ca.c * cb.c)), 6) AS pmi
+        FROM pairs
+        JOIN cnt ca ON pairs.ta = ca.t
+        JOIN cnt cb ON pairs.tb = cb.t
+        CROSS JOIN nd
+        ORDER BY pmi DESC, ta ASC, tb ASC
+        LIMIT 50
+    """,
     # UniMax water-filling restated in SQL: ascending-cap scan, first cap
     # clearing the fair level fixes tau; md5-ordered greedy prefix per lang
     "unimax_language_budget": f"""
@@ -4309,6 +4379,7 @@ QUERIES = {
     "decontam_bloom_prefilter": decontam_bloom_prefilter,
     "moore_lewis_select": moore_lewis_select,
     "unimax_language_budget": unimax_language_budget,
+    "pmi_top_pairs": pmi_top_pairs,
     "token_budget_select": token_budget_select,
     "jsonl_ingest_quarantine": jsonl_ingest_quarantine,
     "multimodal_image_headers": multimodal_image_headers,

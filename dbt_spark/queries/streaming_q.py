@@ -396,6 +396,85 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted((int(d),) for d in got), "doc_id long")
 
 
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-source heavy hitters, value-paired: a cross-batch
+    Misra-Gries summary per source (applyInPandasWithState,
+    streaming/stateful.py:mg_heavy_hitters_stream — counters persist in
+    checkpointed state, so the superset guarantee covers the WHOLE stream,
+    not each micro-batch) generates candidates over two micro-batches;
+    an exact batch verify pass then counts only the candidate set and
+    applies the count > n_source/k threshold. Because MG only GENERATES
+    candidates, the final output is exact and closed-form — a streaming
+    query the DuckDB oracle can restate. The function additionally RAISES
+    unless the candidate-verified result equals the direct full groupBy
+    threshold (the cross-batch-state gate: dropping state between batches
+    would lose hitters concentrated in batch 1).
+
+    Scale: state is k counters per source; per-batch traffic is the
+    summary rows; the verify aggregate holds candidates, never the
+    vocabulary — the streaming twin of heavy_hitters_mg."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from dbt_spark.streaming.stateful import mg_heavy_hitters_stream
+
+    k = 50
+    docs = (
+        read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "source", "text")
+    )
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250)
+    src = _tf.mkdtemp(prefix="dbt_spark_hhsrc_")
+    ckpt = _tf.mkdtemp(prefix="dbt_spark_hhckpt_")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    tok_stream = stream.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    name = f"hh_mg_{_uuid.uuid4().hex[:8]}"
+    q = (mg_heavy_hitters_stream(tok_stream, k)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    cands = spark.table(name).select("source", "token").distinct()
+
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    ns = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    verified = (
+        toks.join(F.broadcast(cands), ["source", "token"], "left_semi")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(ns), "source")
+        .filter(F.col("cnt") > F.col("n_src") / float(k))
+        .select("source", "token", F.col("cnt").cast("bigint").alias("cnt"))
+    )
+    direct = (
+        toks.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(ns), "source")
+        .filter(F.col("cnt") > F.col("n_src") / float(k))
+        .select("source", "token")
+    )
+    verified = verified.localCheckpoint()
+    missed = direct.join(verified, ["source", "token"], "left_anti").count()
+    extra = verified.join(direct, ["source", "token"], "left_semi").count()
+    if missed != 0 or extra != verified.count():
+        raise RuntimeError(
+            f"streamed MG candidates diverged from the direct threshold: "
+            f"missed={missed}")
+    return verified
+
+
 def stream_foreachbatch_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming upsert with PER-BATCH TRANSACTIONAL MERGE — the exact
     shape the public docs prescribe for Delta (`foreachBatch` + MERGE, one
@@ -481,6 +560,22 @@ def stream_foreachbatch_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 ORACLES = {
+    # the streamed MG state only GENERATES candidates; the exact verify
+    # pass makes the output the closed-form per-source threshold
+    "stream_heavy_hitters": """
+        WITH toks AS (
+            SELECT source,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x <> '')) AS token
+            FROM documents
+        ),
+        ns AS (SELECT source, count(*) AS n FROM toks GROUP BY source)
+        SELECT toks.source, token, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks JOIN ns ON toks.source = ns.source
+        GROUP BY toks.source, token, ns.n
+        HAVING count(*) > ns.n / 50.0
+    """,
     "stream_media_triage": """
         SELECT doc_id,
                CASE WHEN doc_id % 11 IN (3, 7) THEN 'quarantined'
@@ -673,6 +768,7 @@ def stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "streaming_ingest_checkpoint": streaming_ingest_checkpoint,
+    "stream_heavy_hitters": stream_heavy_hitters,
     "stream_dedup_watermark": stream_dedup_watermark,
     "stream_static_join": stream_static_join,
     "stream_foreachbatch_upsert": stream_foreachbatch_upsert,

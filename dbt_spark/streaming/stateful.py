@@ -28,6 +28,7 @@ def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -128,6 +129,73 @@ def _sessionize_group(
                 "status": [st for *_, st in out],
             }
         )
+
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("token", StringType()),
+        StructField("mg_count", LongType()),
+    ]
+)
+
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("ks", ArrayType(StringType())),
+        StructField("vs", ArrayType(LongType())),
+    ]
+)
+
+
+def _mg_group(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState,
+              k: int) -> Iterable[pd.DataFrame]:
+    """Per-group CROSS-BATCH Misra-Gries summary (functions/sketches.py has
+    the batch twin): counters persist in checkpointed state, so the group's
+    whole stream flows through ONE k-counter summary regardless of how it
+    is micro-batched — the heavy-hitter superset guarantee holds over the
+    full stream, not per batch. Emits the summary after every batch; any
+    emitted superset feeds the exact verify pass, so candidates from
+    earlier batches are harmless."""
+    (group,) = key
+    if state.exists:
+        ks, vs = state.get
+        counters = dict(zip(list(ks), list(vs)))
+    else:
+        counters = {}
+    for pdf in pdfs:
+        for item in pdf["token"]:
+            if item in counters:
+                counters[item] += 1
+            elif len(counters) < k - 1:
+                counters[item] = 1
+            else:
+                dead = []
+                for key2 in counters:
+                    counters[key2] -= 1
+                    if counters[key2] == 0:
+                        dead.append(key2)
+                for key2 in dead:
+                    del counters[key2]
+    state.update((list(counters.keys()), [int(v) for v in counters.values()]))
+    yield pd.DataFrame(
+        {
+            "source": [group] * len(counters),
+            "token": list(counters.keys()),
+            "mg_count": [int(v) for v in counters.values()],
+        }
+    )
+
+
+def mg_heavy_hitters_stream(df: DataFrame, k: int) -> DataFrame:
+    """applyInPandasWithState per-source Misra-Gries candidates over a
+    token stream with columns (source, token)."""
+    return df.groupBy("source").applyInPandasWithState(
+        lambda key, pdfs, state: _mg_group(key, pdfs, state, k),
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def streaming_dedup(

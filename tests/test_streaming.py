@@ -348,3 +348,38 @@ def test_media_triage_gate_routing(spark, tmp_path):
     assert quar[4]["reason"] == "bad_dims"
     assert quar[5]["reason"] == "bad_dims"
     assert quar[6]["reason"] == "bad_rate"
+
+
+def test_mg_heavy_hitters_cross_batch_state(spark, tmp_path):
+    """Cross-batch Misra-Gries state (stateful.py:mg_heavy_hitters_stream):
+    a hitter concentrated ENTIRELY in micro-batch 1 must still be in the
+    final candidate summary after batch 2 drains — dropping state between
+    batches would lose it. (The full value-paired e2e is the registered
+    stream_heavy_hitters query.)"""
+    import pandas as pd
+
+    from dbt_spark.streaming.stateful import mg_heavy_hitters_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: 'hot' dominates source s; batch 2: uniform noise, no 'hot'
+    b1 = spark.createDataFrame(
+        [("s", "hot")] * 40 + [("s", f"w{i}") for i in range(10)],
+        "source string, token string")
+    b2 = spark.createDataFrame(
+        [("s", f"n{i % 20}") for i in range(40)],
+        "source string, token string")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (mg_heavy_hitters_stream(stream, k=8)
+         .writeStream.format("memory").queryName("mg_hh_t")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    cands = {r["token"] for r in
+             spark.table("mg_hh_t").select("token").collect()}
+    # 'hot' has 40 of 90 total > 90/8: the guarantee requires it to survive
+    assert "hot" in cands
