@@ -20,7 +20,7 @@ extraction stale. project_cache_token now digests every macro source and
 ParseCache records observed env values (plans/partial.py).
 
 No Spark needed — parsing is pure python, so the family is cheap to grow.
-Fixed seeds; family base 200k rotated by DBT_SPARK_FUZZ_OFFSET.
+Fixed seeds; family base 270k rotated by DBT_SPARK_FUZZ_OFFSET.
 """
 
 from __future__ import annotations
@@ -38,7 +38,7 @@ from dbt_spark.plans.partial import ParseCache, project_cache_token
 from dbt_spark.project import Project, parse_project
 
 _OFF = int(os.environ.get("DBT_SPARK_FUZZ_OFFSET", "0"))
-_BASE = 200_000
+_BASE = 270_000
 
 ENV_NAME = "DBT_SPARK_FUZZ_EV"
 DIRS = ["a", "b"]
