@@ -49,9 +49,23 @@ def check_freshness(ctx, node: ManifestNode, now: Optional[datetime] = None) -> 
         max_loaded_at = row[0][0]
     elif node.loaded_at_field:
         df = ctx.source_df(node)
+        # freshness `filter` bounds the scanned slice (reference passes it
+        # into calculate_freshness, task/freshness.py:136-140; threshold
+        # field v1/components.py:136) — predicate pushdown makes this the
+        # partition-pruning knob for huge sources
+        if freshness.get("filter"):
+            df = df.filter(F.expr(freshness["filter"]))
         row = df.agg(F.max(F.col(node.loaded_at_field)).alias("m")).collect()[0]
         max_loaded_at = row["m"]
     else:
+        # a filter cannot apply to a metadata (mtime) check — reference
+        # fires a WARN note and proceeds (task/freshness.py:144-150)
+        if freshness.get("filter") and getattr(ctx, "events", None) is not None:
+            ctx.events.warn_or_error(
+                "FreshnessFilterIgnored", warn_error=False,
+                msg=(f"A filter cannot be applied to a metadata freshness "
+                     f"check on source '{node.name}'."),
+            )
         # metadata fallback: file mtime of the source location
         location = node.config.meta.get("location")
         mtime = max(
