@@ -76,6 +76,7 @@ def _gen_state(rng: random.Random) -> dict:
         },
         "snapshots": [_gen_snap(rng, 0)],
         "singular_ref": rng.choice(order),
+        "exposure_on": rng.choice([None, order[0]]),
     }
 
 
@@ -173,12 +174,21 @@ def _render_files(state: dict) -> dict[str, str]:
         patch_yaml.append("    columns:")
         patch_yaml.append("      - name: id")
         patch_yaml.append(f"        data_tests: {p['tests']!r}")
+    exposure_yaml = ""
+    if state.get("exposure_on") and state["exposure_on"] in state["models"]:
+        exposure_yaml = (
+            "exposures:\n"
+            "  - name: dash\n"
+            "    type: dashboard\n"
+            "    owner: {name: fuzz}\n"
+            f"    depends_on: [\"ref('{state['exposure_on']}')\"]\n"
+        )
     files["models/schema.yml"] = (
         "sources:\n"
         "  - name: s1\n"
         "    tables:\n"
         "      - name: t1\n"
-        "      - name: t2\n" + "\n".join(patch_yaml) + "\n"
+        "      - name: t2\n" + "\n".join(patch_yaml) + "\n" + exposure_yaml
     )
     snap_blocks = []
     for s in state["snapshots"]:
@@ -232,6 +242,8 @@ def _referrers(state: dict, name: str) -> list[str]:
         out.append("__singular__")
     if any(s["target"] == name for s in state["snapshots"]):
         out.append("__snapshot__")
+    if state.get("exposure_on") == name:
+        out.append("__exposure__")
     return out
 
 
@@ -240,6 +252,7 @@ def _mutate(rng: random.Random, state: dict) -> str:
         "touch_model", "change_refs", "toggle_config", "add_model",
         "drop_model", "edit_macro", "edit_patch", "edit_vars",
         "edit_dir_cfg", "flip_env", "edit_snapshot", "edit_singular",
+        "toggle_exposure",
     ]
     op = rng.choice(ops)
     models, order = state["models"], state["order"]
@@ -289,6 +302,8 @@ def _mutate(rng: random.Random, state: dict) -> str:
                 rng, len(state["snapshots"]) - 1)
     elif op == "edit_singular":
         state["singular_ref"] = rng.choice(order)
+    elif op == "toggle_exposure":
+        state["exposure_on"] = rng.choice([None, order[0], order[-1]])
     return op
 
 
