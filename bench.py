@@ -179,6 +179,7 @@ EXTENDED = [
     "unimax_language_budget",  # UniMax water-filling + per-lang greedy fill
     "pmi_top_pairs",  # doc-presence PMI collocations, TakeOrdered top-k
     "stream_heavy_hitters",  # cross-batch stateful MG + exact verify (value-paired streaming)
+    "suffix_substring_remove",  # ExactSubstr removal on the true suffix array
 ]
 
 

@@ -2141,6 +2141,55 @@ def suffix_repeat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def suffix_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee 2021 ExactSubstr REMOVAL on the TRUE distributed suffix array
+    (functions/suffix.py; the chunk-based approximation is
+    exact_substring_remove): every position whose suffix shares a ≥50-char
+    prefix with any other corpus position starts a duplicated span
+    [pos, pos+rep); the union of spans is cut per document and the
+    survivor text rebuilt order-preserving. Value-paired: the DuckDB twin
+    recomputes per-position repeat lengths from sorted truncated suffixes
+    and rebuilds identically (md5-pinned).
+
+    Runs on the doc_id<120 slice to bound sweep cost — the plan is
+    slice-size-free. Scale: span explosion is ∝ duplicated volume (the
+    thing being removed), the coverage set is a distinct hash aggregate,
+    and the rebuild is one per-doc sorted array fold."""
+    from dbt_spark.functions.suffix import suffix_repeat_lengths
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 120).select(
+        "doc_id", "text")
+    reps = suffix_repeat_lengths(docs)
+    starts = reps.filter(F.col("rep") >= 50)
+    covered = starts.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.col("pos"), F.col("pos") + F.col("rep") - 1)).alias("cpos"),
+    ).distinct()
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
+        F.col("text"),
+    ).select("doc_id", "pos", F.expr("substring(text, pos, 1)").alias("ch"))
+    kept = chars.join(
+        covered,
+        (chars.doc_id == covered.doc_id) & (chars.pos == covered.cpos),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, ch))),"
+            " x -> x.ch), '')"
+        ).alias("new_text")
+    )
+    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("new_text"), F.lit(""))).alias("text_md5"),
+        F.length(F.coalesce(F.col("new_text"), F.lit(""))).cast("bigint")
+        .alias("new_len"),
+    )
+
+
 def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget-constrained curation: per source, rank documents by a
     quality key (type-token ratio desc, doc_id asc) and keep documents
@@ -2857,6 +2906,79 @@ ORACLES: dict[str, str] = {
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                CAST(m AS BIGINT) AS component
         FROM dup WHERE c > 1
+    """,
+    # removal twin: per-position repeat lengths (same machinery as
+    # suffix_repeat_stats, doc_id<120 slice), union the >=50 spans, rebuild
+    "suffix_substring_remove": """
+        WITH docs AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id < 120 AND length(text) >= 1
+        ),
+        expl AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS p
+            FROM docs
+        ),
+        pos AS (
+            SELECT doc_id, p, substr(text, p, 256) AS key FROM expl
+        ),
+        ord AS MATERIALIZED (
+            SELECT doc_id, p, key,
+                   lag(key)  OVER (ORDER BY key, doc_id, p) AS pk,
+                   lead(key) OVER (ORDER BY key, doc_id, p) AS nk
+            FROM pos
+        ),
+        nbr AS (
+            SELECT doc_id, p, key AS a, pk AS b FROM ord WHERE pk IS NOT NULL
+            UNION ALL
+            SELECT doc_id, p, key AS a, nk AS b FROM ord WHERE nk IS NOT NULL
+        ),
+        s0 AS MATERIALIZED (
+            SELECT doc_id, p, a, b,
+              CASE WHEN substr(a,1,256)=substr(b,1,256) THEN 256 ELSE 0 END AS v
+            FROM nbr),
+        s1 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,128)=substr(b,v+1,128) THEN 128 ELSE 0 END AS v FROM s0),
+        s2 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,64)=substr(b,v+1,64) THEN 64 ELSE 0 END AS v FROM s1),
+        s3 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,32)=substr(b,v+1,32) THEN 32 ELSE 0 END AS v FROM s2),
+        s4 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,16)=substr(b,v+1,16) THEN 16 ELSE 0 END AS v FROM s3),
+        s5 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,8)=substr(b,v+1,8) THEN 8 ELSE 0 END AS v FROM s4),
+        s6 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,4)=substr(b,v+1,4) THEN 4 ELSE 0 END AS v FROM s5),
+        s7 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,2)=substr(b,v+1,2) THEN 2 ELSE 0 END AS v FROM s6),
+        s8 AS MATERIALIZED (SELECT doc_id, p, a, b,
+              v + CASE WHEN substr(a,v+1,1)=substr(b,v+1,1) THEN 1 ELSE 0 END AS v FROM s7),
+        rep AS (
+            SELECT doc_id, p,
+                   max(least(v, length(a), length(b))) AS rep
+            FROM s8 GROUP BY doc_id, p
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, unnest(generate_series(p, p + rep - 1))
+                       AS cpos
+            FROM rep WHERE rep >= 50
+        ),
+        chars AS (
+            SELECT doc_id, p, substr(text, p, 1) AS ch FROM expl
+        ),
+        rebuilt AS (
+            SELECT chars.doc_id,
+                   coalesce(string_agg(ch, '' ORDER BY p), '') AS new_text
+            FROM chars
+            LEFT JOIN covered
+              ON chars.doc_id = covered.doc_id AND chars.p = covered.cpos
+            WHERE covered.cpos IS NULL
+            GROUP BY chars.doc_id
+        )
+        SELECT d.doc_id,
+               md5(coalesce(r.new_text, '')) AS text_md5,
+               CAST(length(coalesce(r.new_text, '')) AS BIGINT) AS new_len
+        FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
     """,
     # naive restatement of the suffix-array semantics: sort every suffix's
     # 256-char prefix, LCP with both sorted neighbors via an exact unrolled
@@ -4374,6 +4496,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "dedup_exact_substring": dedup_exact_substring,
     "suffix_repeat_stats": suffix_repeat_stats,
+    "suffix_substring_remove": suffix_substring_remove,
     "dedup_cc_star_chain": dedup_cc_star_chain,
     "heavy_hitters_mg": heavy_hitters_mg,
     "decontam_bloom_prefilter": decontam_bloom_prefilter,
