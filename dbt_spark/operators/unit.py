@@ -219,7 +219,21 @@ def run_unit_test(ctx: ExecutionContext, node: ManifestNode) -> tuple[str, str]:
     else:
         expect_rows = _rows_from_fixture(expect)
         if not expect_rows:
-            raise UnitTestError(f"unit test {node.name}: expect.rows is required")
+            if expect.get("rows") is None:
+                raise UnitTestError(
+                    f"unit test {node.name}: expect.rows is required")
+            # `rows: []` is legal and asserts the model outputs NOTHING
+            # (reference fixtures use it: tests/functional/unit_testing/
+            # fixtures.py:85-91 — e.g. testing a filter that drops all rows)
+            n_actual = actual.count()
+            if n_actual:
+                sample = actual.limit(3).collect()
+                return (
+                    "fail",
+                    f"{n_actual} unexpected row(s), 0 missing row(s); "
+                    f"diff sample: {sample}",
+                )
+            return "pass", "matched 0 expected row(s)"
         expect_cols = list(expect_rows[0].keys())
         missing = [c for c in expect_cols if c not in actual.columns]
         if missing:
