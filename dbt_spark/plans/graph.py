@@ -86,7 +86,20 @@ class GraphQueue:
     """Thread-safe priority-topological queue (graph/queue.py:19-121)."""
 
     def __init__(self, graph: nx.DiGraph, selected: set[str]) -> None:
-        self.graph = graph.subgraph(selected).copy()
+        # subsetting must PRESERVE transitive ordering through removed
+        # nodes (reference graph/graph.py get_subset_graph: "the edges
+        # between the remaining nodes are preserved"): an ephemeral model
+        # between two materialized ones is never executed, but its
+        # consumer still must not run before the ephemeral's own upstreams
+        # (caught by the round-9 catalog fuzz: m4 -> ephemeral m3 -> m1
+        # scheduled m4 before m1)
+        g = graph.copy()
+        for n in [x for x in list(g.nodes) if x not in selected]:
+            preds, succs = list(g.predecessors(n)), list(g.successors(n))
+            g.add_edges_from(
+                (p, s) for p in preds for s in succs if p != s)
+            g.remove_node(n)
+        self.graph = g
         self._scores = self._get_scores(self.graph)
         self._lock = threading.Lock()
         self._in_degree = {n: self.graph.in_degree(n) for n in self.graph.nodes}

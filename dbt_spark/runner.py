@@ -1148,15 +1148,29 @@ class Engine:
                         for dp, _d, fs in os.walk(rel.path)
                         for fn in fs if fn.endswith(".parquet")
                     )
+                    # v1 StatsItem: {id, label, value, include[, description]}
+                    # all required but description (catalog/v1.json)
                     stats = {
-                        "row_count": {"value": n_rows, "include": True,
-                                      "label": "# Rows"},
-                        "bytes": {"value": n_bytes, "include": True,
-                                  "label": "Approximate Size"},
-                        "has_stats": {"value": True, "include": False},
+                        "row_count": {"id": "row_count", "label": "# Rows",
+                                      "value": n_rows, "include": True,
+                                      "description": None},
+                        "bytes": {"id": "bytes",
+                                  "label": "Approximate Size",
+                                  "value": n_bytes, "include": True,
+                                  "description": None},
+                        "has_stats": {"id": "has_stats",
+                                      "label": "Has Stats?",
+                                      "value": True, "include": False,
+                                      "description": None},
                     }
                 except Exception:  # noqa: BLE001 — stats are best-effort
                     stats = {}
+            if not stats:
+                # the reference always carries a has_stats marker
+                stats = {"has_stats": {"id": "has_stats",
+                                       "label": "Has Stats?",
+                                       "value": False, "include": False,
+                                       "description": None}}
             doc_cols = rel.meta.get("doc_columns") or {}
             nodes_cat[uid] = {
                 "metadata": {"type": rel.kind, "schema": rel.schema,
@@ -1191,10 +1205,17 @@ class Engine:
                 }
             except Exception:  # noqa: BLE001 — unreadable source: skip entry
                 continue
+        from dbt_spark.plans.compile import _INVOCATION_ID, DBT_VERSION
+
         payload = {
+            # CatalogMetadata (catalog/v1.json): additionalProperties false —
+            # no extra keys; env carries the engine tag instead
             "metadata": {
                 "dbt_schema_version": "https://schemas.getdbt.com/dbt/catalog/v1.json",
-                "generator": "dbt_spark",
+                "dbt_version": DBT_VERSION,
+                "generated_at": datetime.now(timezone.utc).isoformat(),
+                "invocation_id": _INVOCATION_ID,
+                "env": {"generator": "dbt_spark"},
             },
             "nodes": nodes_cat,
             "sources": sources_cat,

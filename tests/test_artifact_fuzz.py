@@ -66,3 +66,44 @@ def test_random_project_manifest_validates_v12(seed, tmp_path, monkeypatch):
     d1, d2 = json.load(open(out)), json.load(open(out2))
     d1.pop("metadata", None), d2.pop("metadata", None)
     assert d1 == d2
+
+
+CATALOG_SCHEMA = "/root/reference/schemas/dbt/catalog/v1.json"
+RUN_RESULTS_SCHEMA = "/root/reference/schemas/dbt/run-results/v5.json"
+
+
+@pytest.mark.parametrize("seed", [_BASE + _OFF + 100 + i for i in range(4)])
+def test_random_project_catalog_and_run_results_validate(
+    seed, tmp_path, monkeypatch, spark
+):
+    """Full engine pass over random worlds: run models, docs generate, and
+    validate catalog.json (v1) + run_results.json (v5) strictly against the
+    reference's published schemas — the executable twin of the manifest
+    fuzz above (models only: fuzz snapshots reference columns their
+    upstream may not produce)."""
+    from dbt_spark.runner import Engine
+
+    rng = random.Random(seed)
+    state = _gen_state(rng)
+    monkeypatch.setenv(ENV_NAME, state["env_val"])
+    root = str(tmp_path)
+    files = _render_files(state)
+    files.pop("snapshots/snaps.sql", None)
+    _write_tree(root, files, set())
+    eng = Engine(root, spark=spark)
+    r = eng.invoke(["run"])
+    assert r.success, (seed, [x.message for x in r.results][:3])
+    assert eng.invoke(["docs", "generate"]).success
+    for rel, schema in (("catalog.json", CATALOG_SCHEMA),
+                        ("run_results.json", RUN_RESULTS_SCHEMA)):
+        doc = json.load(open(os.path.join(root, "target", rel)))
+        errs = _validate_against(doc, schema)
+        assert errs == [], f"seed={seed} {rel}: " + "\n".join(
+            f"{list(e.absolute_path)[:6]} -> {e.message[:140]}"
+            for e in errs[:10]
+        )
+
+
+def _validate_against(doc, schema_path) -> list:
+    schema = json.load(open(schema_path))
+    return list(jsonschema.Draft7Validator(schema).iter_errors(doc))

@@ -193,7 +193,10 @@ def test_docs_generate_catalog(feat):
     catalog = json.load(open(os.path.join(pdir, "target", "catalog.json")))
     entry = catalog["nodes"]["model.feat.amounts"]
     assert set(entry["columns"]) == {"o_orderkey", "dollars"}
-    assert entry["stats"] == {}  # views carry no storage stats
+    # views carry no storage stats — only the has_stats=False marker the
+    # reference always emits (catalog v1 StatsItem shape)
+    assert set(entry["stats"]) == {"has_stats"}
+    assert entry["stats"]["has_stats"]["value"] is False
 
     # tables get footer-derived stats (row count from parquet metadata, no
     # scan; on-disk bytes) — reference catalog stats shape

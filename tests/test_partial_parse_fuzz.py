@@ -54,6 +54,9 @@ def _gen_state(rng: random.Random) -> dict:
     models = {}
     for i, name in enumerate(order):
         models[name] = _gen_model(rng, order[:i])
+    # the pick() macro refs the macro target: a target that itself calls
+    # the macro would be a self-edge (cycle at link time)
+    models["m0"]["use_macro"] = False
     return {
         "next_id": n,
         "order": order,
@@ -188,7 +191,10 @@ def _render_files(state: dict) -> dict[str, str]:
         "  - name: s1\n"
         "    tables:\n"
         "      - name: t1\n"
-        "      - name: t2\n" + "\n".join(patch_yaml) + "\n" + exposure_yaml
+        "        meta: {location: \"/root/testdata/sf0.001/region.parquet\"}\n"
+        "      - name: t2\n"
+        "        meta: {location: \"/root/testdata/sf0.001/nation.parquet\"}\n"
+        + "\n".join(patch_yaml) + "\n" + exposure_yaml
     )
     snap_blocks = []
     for s in state["snapshots"]:
@@ -240,6 +246,8 @@ def _referrers(state: dict, name: str) -> list[str]:
     ]
     if state["singular_ref"] == name:
         out.append("__singular__")
+    if state["macro_target"] == name:
+        out.append("__macro__")
     if any(s["target"] == name for s in state["snapshots"]):
         out.append("__snapshot__")
     if state.get("exposure_on") == name:
@@ -280,10 +288,11 @@ def _mutate(rng: random.Random, state: dict) -> str:
             del models[victim]
             state["patches"].pop(victim, None)
     elif op == "edit_macro":
-        if rng.random() < 0.5:
-            state["macro_target"] = rng.choice(order[:2])
-        else:
-            state["macro_scalar"] = rng.randrange(10)
+        # target stays m0 (refs nothing, uses no macro — any other target
+        # can close a cycle through a macro-calling ancestor); macro EDITS
+        # are fuzzed via the scalar body, which changes the file checksum
+        # and must invalidate exactly like a target change
+        state["macro_scalar"] = rng.randrange(10)
     elif op == "edit_patch":
         state["patches"][rng.choice(order)] = _gen_patch(rng)
     elif op == "edit_vars":
