@@ -309,7 +309,21 @@ def _match_method(
                         for k, v in node.config.__dict__.items()
                         if v not in (None, [], {})
                     }
-                    old_cfg = old.get("config", {})
+                    old_cfg = dict(old.get("config", {}))
+                    if state.get("__compare_unrendered__"):
+                        # behavior flag state_modified_compare_more_
+                        # unrendered_values (reference ProjectFlags): config
+                        # keys whose UNRENDERED schema-YAML values are known
+                        # on both sides compare unrendered — an env_var()
+                        # rendering differently between environments is not
+                        # a modification; editing the template is
+                        new_un = node.unrendered_config or {}
+                        old_un = old.get("unrendered_config") or {}
+                        for k in set(new_un) & set(old_un):
+                            if str(new_un[k]) != str(old_un[k]):
+                                return True
+                            new_cfg.pop(k, None)
+                            old_cfg.pop(k, None)
                     if {k: str(v) for k, v in new_cfg.items()} != {
                         k: str(v) for k, v in old_cfg.items()
                     }:

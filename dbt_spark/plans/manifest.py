@@ -132,6 +132,10 @@ class ManifestNode:
     sources: list[tuple[str, str]] = field(default_factory=list)
     description: str = ""
     columns: dict[str, dict] = field(default_factory=dict)
+    # raw (pre-render) schema-YAML config values, where the patch carried
+    # them — the comparand for state_modified_compare_more_unrendered_values
+    # (reference manifest field unrendered_config)
+    unrendered_config: dict[str, Any] = field(default_factory=dict)
     # tests
     column_name: Optional[str] = None
     test_metadata: dict[str, Any] = field(default_factory=dict)
@@ -261,6 +265,7 @@ class Manifest:
                 "description": n.description,
                 "tags": list(n.config.tags),
                 "meta": n.config.meta,
+                "unrendered_config": dict(n.unrendered_config),
             }
             if n.compiled_code is not None:
                 d["compiled"] = True

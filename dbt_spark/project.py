@@ -10,6 +10,7 @@ snapshot-paths, singular tests under test-paths, generic tests from YAML
 
 from __future__ import annotations
 
+import copy
 import os
 import re
 from dataclasses import dataclass, field
@@ -466,10 +467,10 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
         (".yml", ".yaml"),
     ):
         with open(full) as f:
-            doc = yaml.safe_load(f) or {}
-        doc = _render_yaml_values(doc, project.vars)
+            raw_doc = yaml.safe_load(f) or {}
+        doc = _render_yaml_values(copy.deepcopy(raw_doc), project.vars)
         _parse_sources(doc, project, manifest, rel)
-        _parse_model_patches(doc, project, manifest, rel)
+        _parse_model_patches(doc, project, manifest, rel, raw_doc=raw_doc)
         _parse_unit_tests(doc, project, manifest, rel)
         _parse_metadata_nodes(doc, project, manifest, rel)
 
@@ -771,7 +772,18 @@ def _as_deprecation_date(value):
     return value
 
 
-def _parse_model_patches(doc: dict, project: Project, manifest: Manifest, rel: str) -> None:
+def _parse_model_patches(doc: dict, project: Project, manifest: Manifest,
+                         rel: str, raw_doc: Optional[dict] = None) -> None:
+    # raw_doc = the same YAML BEFORE env_var/var substitution: config
+    # values from it become node.unrendered_config, the comparand for
+    # state:modified under state_modified_compare_more_unrendered_values
+    # (reference ProjectFlags + manifest unrendered_config)
+    raw_cfg_by_name: dict[tuple[str, str], dict] = {}
+    if raw_doc:
+        for section in ("models", "seeds", "snapshots"):
+            for patch in raw_doc.get(section, []) or []:
+                if isinstance(patch, dict) and patch.get("config"):
+                    raw_cfg_by_name[(section, patch.get("name"))] = patch["config"]
     for section in ("models", "seeds", "snapshots"):
         for patch in doc.get(section, []) or []:
             uid_prefix = {"models": "model", "seeds": "seed", "snapshots": "snapshot"}[section]
@@ -810,6 +822,9 @@ def _parse_model_patches(doc: dict, project: Project, manifest: Manifest, rel: s
             )
             if patch.get("config"):
                 node.config = node.config.merged(**patch["config"])
+                raw_cfg = raw_cfg_by_name.get((section, patch.get("name")))
+                if raw_cfg:
+                    node.unrendered_config = copy.deepcopy(raw_cfg)
             if section == "models" and patch.get("time_spine"):
                 # model-level time_spine: config (reference
                 # core/dbt/parser/schemas.py:730-744 → TimeSpine on the

@@ -951,6 +951,9 @@ class Engine:
                 k: str(v)
                 for k, v in {**self.project.vars, **self.vars}.items()
             }
+        if (getattr(self.project, "flags", None) or {}).get(
+                "state_modified_compare_more_unrendered_values"):
+            out["__compare_unrendered__"] = True
         # semantic-layer sections are graph-participating too (state:new etc.)
         for section in ("exposures", "metrics", "groups", "semantic_models",
                         "saved_queries", "unit_tests"):

@@ -370,3 +370,50 @@ models:
                     "--state", state])
     assert r.success
     assert [x.unique_id for x in r.results] == ["model.dfr.base_orders"]
+
+
+def test_state_modified_compare_more_unrendered_values(tmp_path, spark, monkeypatch):
+    """Behavior flag state_modified_compare_more_unrendered_values
+    (reference ProjectFlags + manifest unrendered_config): with the flag,
+    a schema-YAML config whose UNRENDERED template is unchanged does not
+    mark the node modified even when an env_var() inside it renders
+    differently between environments; editing the template itself does."""
+    yml = (
+        "models:\n"
+        "  - name: m\n"
+        "    config: {meta: {loc: \"{{ env_var('SMU_LOC', 'x') }}\"}}\n"
+    )
+    files = {
+        "dbt_project.yml": (
+            "name: smu\n"
+            "flags: {state_modified_compare_more_unrendered_values: true}\n"
+        ),
+        "models/m.sql": "select 1 as x",
+        "models/schema.yml": yml,
+    }
+    monkeypatch.setenv("SMU_LOC", "prod-bucket")
+    prod_dir = _mk(tmp_path, "prod", files)
+    prod = Engine(prod_dir, spark=spark)
+    assert prod.invoke(["run"]).success
+    state = os.path.join(prod_dir, "target")
+
+    # different env rendering, same template -> NOT modified (flag on)
+    monkeypatch.setenv("SMU_LOC", "dev-bucket")
+    dev = Engine(_mk(tmp_path, "dev", files), spark=spark)
+    r = dev.invoke(["ls", "--select", "state:modified", "--state", state])
+    assert [x.unique_id for x in r.results] == []
+
+    # flag off -> the rendered difference IS a modification
+    files_off = dict(files)
+    files_off["dbt_project.yml"] = "name: smu\n"
+    dev2 = Engine(_mk(tmp_path, "dev2", files_off), spark=spark)
+    r2 = dev2.invoke(["ls", "--select", "state:modified", "--state", state])
+    assert [x.unique_id for x in r2.results] == ["model.smu.m"]
+
+    # editing the TEMPLATE is a modification even with the flag
+    files_edit = dict(files)
+    files_edit["models/schema.yml"] = yml.replace("SMU_LOC", "SMU_OTHER")
+    monkeypatch.setenv("SMU_OTHER", "prod-bucket")
+    dev3 = Engine(_mk(tmp_path, "dev3", files_edit), spark=spark)
+    r3 = dev3.invoke(["ls", "--select", "state:modified", "--state", state])
+    assert [x.unique_id for x in r3.results] == ["model.smu.m"]
