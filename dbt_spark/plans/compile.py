@@ -195,6 +195,7 @@ def parse_render(
     var_overrides: Optional[dict] = None,
     target: Optional[dict] = None,
     macros: Optional[dict[str, str]] = None,
+    dispatch_meta: Optional[dict] = None,
 ) -> tuple[str, list[tuple], list[tuple[str, str]], dict]:
     """Phase-1 render: returns (rendered_sql, refs, sources, config_calls)."""
     refs: list[tuple] = []
@@ -258,7 +259,7 @@ def parse_render(
         }
     )
     ctx["render"] = lambda s: _ENV.from_string(str(s)).render(**ctx)
-    _bind_macros(ctx, macros)
+    _bind_macros(ctx, macros, dispatch_meta)
     try:
         rendered = _ENV.from_string(raw_code).render(**ctx)
     except jinja2.TemplateError as e:
@@ -266,8 +267,16 @@ def parse_render(
     return rendered, refs, sources, config_calls
 
 
-def _bind_macros(ctx: dict, macros: Optional[dict[str, str]]) -> None:
-    """Make project macros + adapter.dispatch callable inside the render."""
+def _bind_macros(
+    ctx: dict,
+    macros: Optional[dict[str, str]],
+    dispatch_meta: Optional[dict] = None,
+) -> None:
+    """Make project macros + adapter.dispatch callable inside the render.
+
+    ``dispatch_meta`` carries the project-level ``dispatch:`` config, the
+    root project name, and installed package names so dispatch honors
+    ``macro_namespace`` search order (providers.py:126-224)."""
     if not macros:
         return
     from dbt_spark.plans.macros import MacroNamespace, make_dispatcher
@@ -277,7 +286,13 @@ def _bind_macros(ctx: dict, macros: Optional[dict[str, str]]) -> None:
     ctx.update({k: v for k, v in bound.items() if k not in ctx})
     adapter = ctx.get("adapter")
     if adapter is not None:
-        adapter.dispatch = make_dispatcher(bound)
+        meta = dispatch_meta or {}
+        adapter.dispatch = make_dispatcher(
+            bound,
+            dispatch_config=meta.get("config"),
+            root_project=meta.get("root_project"),
+            dependencies=meta.get("dependencies"),
+        )
 
 
 class _LazyGraph:
@@ -432,7 +447,15 @@ def runtime_render(
     # render(string): evaluate a jinja string in the CURRENT context
     # (providers.py:1046-1080) — closure over ctx sees every member above
     ctx["render"] = lambda s: _ENV.from_string(str(s)).render(**ctx)
-    _bind_macros(ctx, macros if macros is not None else manifest.macros)
+    _bind_macros(
+        ctx,
+        macros if macros is not None else manifest.macros,
+        {
+            "config": manifest.dispatch_config,
+            "root_project": manifest.project_name,
+            "dependencies": manifest.dependencies,
+        },
+    )
     try:
         return _ENV.from_string(node.raw_code).render(**ctx)
     except jinja2.TemplateError as e:

@@ -181,15 +181,87 @@ class MacroNamespace:
         return bound
 
 
-def make_dispatcher(macros: dict[str, Any], adapter_type: str = "spark"):
-    """adapter.dispatch(name) -> macro, trying <adapter>__name, default__name,
-    then the bare name (providers.py:177 dispatch order)."""
+def make_dispatcher(
+    macros: dict[str, Any],
+    adapter_type: str = "spark",
+    dispatch_config: Optional[list] = None,
+    root_project: Optional[str] = None,
+    dependencies: Optional[list] = None,
+):
+    """``adapter.dispatch(name, macro_namespace=...)`` with the reference's
+    full search-order semantics (core/dbt/context/providers.py:126-224):
+
+    - search packages: the project-level ``dispatch:`` config entry matching
+      ``macro_namespace`` wins (``search_order`` list,
+      core/dbt/config/project.py:775 get_macro_search_order); else, if the
+      namespace is an installed dependency, ``[root_project, namespace]``;
+      else the global namespace (providers.py:157-174 _get_search_packages).
+    - within each package, prefixes ``{adapter}__`` then ``default__``
+      (providers.py:150-155 _get_adapter_macro_prefixes).
+    - failure raises CompilationError listing every attempted name
+      (providers.py:218-221), after one repo-specific lenience: the bare
+      unprefixed name in the global namespace (kept for macros written
+      without the ``default__`` convention).
+
+    ``macros`` is the BOUND namespace from MacroNamespace.bind: flat macro
+    callables plus per-package attribute namespaces.
+    """
+    from dbt_spark.plans.compile import CompilationError
+
+    prefixes = (adapter_type, "default")
+    deps = set(dependencies or ())
+
+    def _get_from_package(package: Optional[str], search_name: str):
+        if package is None:
+            return macros.get(search_name)
+        ns = macros.get(package)
+        member = getattr(ns, search_name, None) if ns is not None else None
+        if callable(member):
+            return member
+        return None
+
+    def _search_packages(namespace: Optional[str]) -> list:
+        if namespace is None:
+            return [None]
+        if not isinstance(namespace, str):
+            raise CompilationError(
+                f"In adapter.dispatch, got a {type(namespace).__name__} "
+                f"macro_namespace argument ({namespace!r}), but "
+                "macro_namespace should be None or a string."
+            )
+        for entry in dispatch_config or ():
+            if entry.get("macro_namespace") == namespace:
+                return list(entry.get("search_order") or [])
+        if namespace in deps:
+            return [root_project, namespace]
+        return [None]
 
     def dispatch(name: str, macro_namespace: Optional[str] = None):
-        for cand in (f"{adapter_type}__{name}", f"default__{name}", name):
-            if cand in macros:
-                return macros[cand]
-        raise KeyError(f"adapter.dispatch: no macro named {name!r}")
+        if "." in name:
+            pkg, bare = name.split(".", 1)
+            raise CompilationError(
+                f'In adapter.dispatch, got a macro name of "{name}", but "." '
+                f"is not a valid macro name component. Did you mean "
+                f'`adapter.dispatch("{bare}", macro_namespace="{pkg}")`?'
+            )
+        attempts = []
+        for package in _search_packages(macro_namespace):
+            for prefix in prefixes:
+                search_name = f"{prefix}__{name}"
+                attempts.append(
+                    search_name if package is None
+                    else f"{package}.{search_name}"
+                )
+                found = _get_from_package(package, search_name)
+                if found is not None:
+                    return found
+        if macro_namespace is None and name in macros and callable(macros[name]):
+            return macros[name]
+        searched = ", ".join(repr(a) for a in attempts)
+        raise CompilationError(
+            f"In dispatch: No macro named '{name}' found within namespace: "
+            f"'{macro_namespace}'\n    Searched for: {searched}"
+        )
 
     return dispatch
 

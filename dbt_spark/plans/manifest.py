@@ -192,6 +192,12 @@ class Manifest:
     # project+CLI vars active at parse time — written into metadata.env so
     # state_modified_compare_vars can diff them (reference ProjectFlags)
     vars: dict[str, Any] = field(default_factory=dict)
+    # project-level `dispatch:` config (list of {macro_namespace,
+    # search_order}) + installed package names — adapter.dispatch search
+    # order inputs (core/dbt/config/project.py:775 get_macro_search_order,
+    # providers.py:157-174 _get_search_packages)
+    dispatch_config: list = field(default_factory=list)
+    dependencies: list = field(default_factory=list)
 
     def add(self, node: ManifestNode) -> None:
         store = self.sources if node.resource_type == NodeType.Source else self.nodes

@@ -59,6 +59,10 @@ class Project:
     # dbt_project.yml `flags:` — CLI-option defaults + behavior flags
     # (reference ProjectFlags, core/dbt/contracts/project.py:318)
     flags: dict = field(default_factory=dict)
+    # dbt_project.yml `dispatch:` — [{macro_namespace, search_order}]
+    # (core/dbt/config/project.py:429,775): reroutes adapter.dispatch
+    # macro resolution per namespace (the dbt_utils→spark_utils shim idiom)
+    dispatch: list = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if not self.target_path:
@@ -182,7 +186,29 @@ class Project:
             plugins=list(cfg.get("plugins", []) or []),
             target_path=tpath,
             flags=dict(cfg.get("flags") or {}),
+            dispatch=cls._load_dispatch(cfg),
         )
+
+    @staticmethod
+    def _load_dispatch(cfg: dict) -> list:
+        """Validate the `dispatch:` block: each entry needs a string
+        macro_namespace and a non-empty search_order list (the reference's
+        Project contract rejects malformed entries at load)."""
+        entries = cfg.get("dispatch") or []
+        if not isinstance(entries, list):
+            raise ValueError("dbt_project.yml: dispatch must be a list")
+        out = []
+        for e in entries:
+            ns = isinstance(e, dict) and e.get("macro_namespace")
+            order = isinstance(e, dict) and e.get("search_order")
+            if not isinstance(ns, str) or not isinstance(order, list) or not order:
+                raise ValueError(
+                    "dbt_project.yml: each dispatch entry needs "
+                    f"macro_namespace (string) and search_order (list): {e!r}"
+                )
+            out.append({"macro_namespace": ns,
+                        "search_order": [str(p) for p in order]})
+        return out
 
     @staticmethod
     def _load_selectors(project_dir: str) -> dict[str, dict]:
@@ -307,19 +333,44 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
     # --- macros first (models may call them at parse-render time) ---------
     from dbt_spark.plans.macros import extract_generic_tests, extract_macros
 
+    if is_root:
+        manifest.dispatch_config = list(project.dispatch)
     for mroot, mpaths, pkg_name in macro_roots(project, is_root=is_root):
+        if pkg_name and pkg_name not in manifest.dependencies:
+            manifest.dependencies.append(pkg_name)
         for full, rel in _walk(mroot, mpaths, (".sql",)):
             with open(full) as f:
                 raw = f.read()
             found = dict(extract_macros(raw))
             found.update(extract_generic_tests(raw))
-            manifest.macros.update(found)
-            if pkg_name:
-                # package-qualified access: {{ pkg.macro() }} (reference
-                # MacroNamespace package namespacing)
-                manifest.macros.update(
-                    {f"{pkg_name}.{n}": src for n, src in found.items()}
-                )
+            if is_root:
+                manifest.macros.update(found)
+            else:
+                # package merge into a root manifest: the root's macro pass
+                # already registered every package source with the root
+                # project loading LAST (its macros win unqualified-name
+                # collisions — reference resolution order, MacroResolver
+                # root-package precedence). Re-registering here must not
+                # clobber a root override with the package version.
+                for n, src in found.items():
+                    manifest.macros.setdefault(n, src)
+            # package-qualified access: {{ pkg.macro() }} (reference
+            # MacroNamespace package namespacing). The owning project's
+            # own macros are namespaced under its project name so
+            # dispatch search orders naming the root project resolve
+            # (providers.py:168 `[self.config.project_name, namespace]`).
+            qual = pkg_name or project.name
+            manifest.macros.update(
+                {f"{qual}.{n}": src for n, src in found.items()}
+            )
+
+    # dispatch search-order inputs for every parse-phase render below
+    # (live references: the lists keep filling as packages merge)
+    dispatch_meta = {
+        "config": manifest.dispatch_config,
+        "root_project": manifest.project_name,
+        "dependencies": manifest.dependencies,
+    }
 
     # --- {% docs %} markdown blocks (DocumentationParser) ------------------
     from dbt_spark.plans.macros import extract_docs
@@ -351,7 +402,8 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
             refs, sources, config_calls = extract_or_render(
                 raw, name,
                 lambda raw=raw, name=name: parse_render(
-                    raw, name, project.vars, target_ctx, macros=manifest.macros
+                    raw, name, project.vars, target_ctx, macros=manifest.macros,
+                dispatch_meta=dispatch_meta,
                 ),
                 flags=getattr(project, "flags", None),
             )
@@ -406,7 +458,8 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
         file_nodes = []
         for snap_name, body, cfg in _extract_snapshot_blocks(raw):
             _, refs, sources, config_calls = parse_render(
-                body, snap_name, project.vars, target_ctx, macros=manifest.macros
+                body, snap_name, project.vars, target_ctx, macros=manifest.macros,
+                dispatch_meta=dispatch_meta,
             )
             cfg.update(config_calls)
             config = NodeConfig(materialized="snapshot").merged(**cfg)
@@ -441,7 +494,8 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
         with open(full) as f:
             raw = f.read()
         _, refs, sources, config_calls = parse_render(
-            raw, name, project.vars, target_ctx, macros=manifest.macros
+            raw, name, project.vars, target_ctx, macros=manifest.macros,
+                dispatch_meta=dispatch_meta,
         )
         config = NodeConfig(materialized="test").merged(**config_calls)
         tnode = ManifestNode(
@@ -480,7 +534,8 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
         with open(full) as f:
             raw = f.read()
         _, refs, sources, config_calls = parse_render(
-            raw, name, project.vars, target_ctx, macros=manifest.macros
+            raw, name, project.vars, target_ctx, macros=manifest.macros,
+                dispatch_meta=dispatch_meta,
         )
         manifest.add(
             ManifestNode(

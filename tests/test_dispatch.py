@@ -1,0 +1,172 @@
+"""adapter.dispatch search-order semantics (VERDICT r9 directive #1).
+
+Reference: core/dbt/context/providers.py:126-224 (_get_search_packages /
+_get_adapter_macro_prefixes / dispatch) + core/dbt/config/project.py:775
+(get_macro_search_order over the project-level ``dispatch:`` config).
+The dbt_utils→spark_utils shim idiom depends on exactly this resolution:
+a project-level dispatch entry reroutes a whole macro namespace to an
+override package without touching any call site.
+"""
+
+import os
+from types import SimpleNamespace
+
+import pytest
+
+from dbt_spark.plans.compile import CompilationError
+from dbt_spark.plans.macros import make_dispatcher
+from dbt_spark.runner import Engine
+
+
+# ---------------------------------------------------------------- unit level
+
+def _mk(tag):
+    fn = lambda *a, **k: tag  # noqa: E731
+    return fn
+
+
+BOUND = {
+    "spark__m": _mk("global-spark"),
+    "default__m": _mk("global-default"),
+    "bare_only": _mk("global-bare"),
+    "pkgA": SimpleNamespace(default__m=_mk("A-default")),
+    "pkgB": SimpleNamespace(spark__m=_mk("B-spark"), default__m=_mk("B-default")),
+    "rootp": SimpleNamespace(default__other=_mk("root-other")),
+}
+
+
+def _dispatcher(**kw):
+    kw.setdefault("root_project", "rootp")
+    kw.setdefault("dependencies", ["pkgA", "pkgB"])
+    return make_dispatcher(BOUND, **kw)
+
+
+def test_no_namespace_prefers_adapter_prefix_in_global_namespace():
+    d = _dispatcher()
+    assert d("m")() == "global-spark"
+
+
+def test_default_prefix_when_adapter_missing():
+    bound = {"default__m": _mk("only-default")}
+    d = make_dispatcher(bound)
+    assert d("m")() == "only-default"
+
+
+def test_bare_name_lenience_only_without_namespace():
+    d = _dispatcher()
+    assert d("bare_only")() == "global-bare"
+    with pytest.raises(CompilationError) as e:
+        d("bare_only", macro_namespace="pkgA")
+    # error lists every attempted candidate (providers.py:218-221)
+    assert "rootp.spark__bare_only" in str(e.value)
+    assert "pkgA.default__bare_only" in str(e.value)
+
+
+def test_dependency_namespace_searches_root_then_package():
+    d = _dispatcher()
+    # rootp lacks m -> falls to the namespace package; spark__ beats default__
+    assert d("m", macro_namespace="pkgB")() == "B-spark"
+    assert d("m", macro_namespace="pkgA")() == "A-default"
+
+
+def test_dispatch_config_overrides_search_order():
+    cfg = [{"macro_namespace": "pkgA", "search_order": ["pkgB", "pkgA"]}]
+    d = _dispatcher(dispatch_config=cfg)
+    assert d("m", macro_namespace="pkgA")() == "B-spark"
+
+
+def test_unknown_namespace_falls_back_to_global():
+    d = _dispatcher()
+    assert d("m", macro_namespace="not_installed")() == "global-spark"
+
+
+def test_dotted_macro_name_raises_with_suggestion():
+    d = _dispatcher()
+    with pytest.raises(CompilationError) as e:
+        d("pkgA.m")
+    assert 'macro_namespace="pkgA"' in str(e.value)
+
+
+def test_non_string_namespace_raises():
+    d = _dispatcher()
+    with pytest.raises(CompilationError):
+        d("m", macro_namespace=["pkgA"])
+
+
+# ------------------------------------------------------------- engine level
+
+PKG_BASE = {
+    "dbt_project.yml": (
+        "name: rootproj\n"
+        "packages: []\n"
+    ),
+    "packages.yml": (
+        "packages:\n"
+        "  - local: pkgs/basepack\n"
+        "  - local: pkgs/shimpack\n"
+    ),
+    "pkgs/basepack/dbt_project.yml": "name: basepack\n",
+    "pkgs/basepack/macros/greet.sql": (
+        "{% macro default__greet() %}'base' as who{% endmacro %}"
+    ),
+    "pkgs/shimpack/dbt_project.yml": "name: shimpack\n",
+    "pkgs/shimpack/macros/greet.sql": (
+        "{% macro default__greet() %}'shim-default' as who{% endmacro %}\n"
+        "{% macro spark__greet() %}'shim-spark' as who{% endmacro %}"
+    ),
+    "models/hello.sql": (
+        "select {{ adapter.dispatch('greet', macro_namespace='basepack')() }}"
+    ),
+}
+
+
+def _who(pdir, spark):
+    eng = Engine(pdir, spark=spark)
+    r = eng.invoke(["run", "--select", "hello"])
+    assert r.success, [getattr(x, "message", None) for x in r.results]
+    return eng.store.read("main", "hello").collect()[0]["who"]
+
+
+def test_engine_dispatch_defaults_to_namespace_package(project_dir, spark):
+    pdir = project_dir(PKG_BASE)
+    assert _who(pdir, spark) == "base"
+
+
+def test_engine_dispatch_config_reroutes_namespace(project_dir, spark):
+    files = dict(PKG_BASE)
+    files["dbt_project.yml"] = (
+        "name: rootproj\n"
+        "dispatch:\n"
+        "  - macro_namespace: basepack\n"
+        "    search_order: ['rootproj', 'shimpack', 'basepack']\n"
+    )
+    pdir = project_dir(files)
+    # shimpack precedes basepack and its spark__ variant beats default__
+    assert _who(pdir, spark) == "shim-spark"
+
+
+def test_engine_dispatch_root_project_wins_search_order(project_dir, spark):
+    files = dict(PKG_BASE)
+    files["dbt_project.yml"] = (
+        "name: rootproj\n"
+        "dispatch:\n"
+        "  - macro_namespace: basepack\n"
+        "    search_order: ['rootproj', 'shimpack', 'basepack']\n"
+    )
+    files["macros/local_greet.sql"] = (
+        "{% macro spark__greet() %}'root-spark' as who{% endmacro %}"
+    )
+    pdir = project_dir(files)
+    assert _who(pdir, spark) == "root-spark"
+
+
+def test_engine_malformed_dispatch_config_rejected(project_dir, spark):
+    files = dict(PKG_BASE)
+    files["dbt_project.yml"] = (
+        "name: rootproj\n"
+        "dispatch:\n"
+        "  - macro_namespace: basepack\n"
+    )
+    pdir = project_dir(files)
+    with pytest.raises(ValueError, match="dispatch entry"):
+        Engine(pdir, spark=spark)
