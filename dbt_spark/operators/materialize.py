@@ -248,7 +248,8 @@ class ExecutionContext:
         ident = f"__eph__{node.name}"
         sql = compile_sql(self, node)
         node.compiled_code = sql
-        self.spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {ident} AS {sql}")
+        self.execute_sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {ident} AS {sql}", node=node)
         if node.config.meta.get("cache"):
             # config(cache=true) on an ephemeral model: materialize the shared
             # subplan once in executor memory/disk instead of recomputing it
@@ -265,13 +266,58 @@ class ExecutionContext:
             self.spark.catalog.cacheTable(ident)
         return ident
 
+    def record_execution(
+        self,
+        sql: str,
+        node: Optional[ManifestNode] = None,
+        artifact: bool = True,
+    ) -> str:
+        """Attribution layer for one executed statement: render + attach the
+        project's query-comment, set the Spark job description (UI
+        attribution), persist the executed form under target/run/<path>.
+        Returns the comment-bearing SQL (the adapter execute +
+        MacroQueryStringSetter layer, core/dbt/context/query_header.py)."""
+        from dbt_spark.plans.query_comment import (
+            attach_comment,
+            job_description,
+            render_comment,
+        )
+
+        comment = render_comment(self.project, node)
+        qc_cfg = getattr(self.project, "query_comment", None) or {}
+        executed = attach_comment(sql, comment, qc_cfg.get("append", False))
+        try:
+            self.spark.sparkContext.setJobDescription(
+                job_description(self.project, node, comment))
+        except Exception:  # noqa: BLE001 — a stopped/Connect session
+            pass
+        if artifact and node is not None and getattr(node, "path", ""):
+            try:
+                out = os.path.join(
+                    self.project.target_path, "run", node.path)
+                os.makedirs(os.path.dirname(out), exist_ok=True)
+                with open(out, "w") as f:
+                    f.write(executed)
+            except OSError:
+                pass
+        return executed
+
+    def execute_sql(
+        self,
+        sql: str,
+        node: Optional[ManifestNode] = None,
+        artifact: bool = True,
+    ):
+        """Run one statement through the attribution layer above."""
+        return self.spark.sql(self.record_execution(sql, node, artifact))
+
     def run_query(self, sql: str):
         """Driver-side query for macros (`run_query` context member,
         providers.py:971-1024 backing store). Collects — macro results are
         small control-flow values (column lists, partition sets), never data."""
         from dbt_spark.plans.macros import QueryResult
 
-        df = self.spark.sql(sql)
+        df = self.execute_sql(sql)
         return QueryResult(list(df.columns), [tuple(r) for r in df.limit(10000).collect()])
 
     def ensure_upstream_registered(self, node: ManifestNode) -> None:
@@ -350,7 +396,7 @@ def run_model_df(ctx: ExecutionContext, node: ManifestNode, is_incremental: bool
     else:
         sql = compile_sql(ctx, node, is_incremental=is_incremental)
         node.compiled_code = sql
-        df = ctx.spark.sql(sql)
+        df = ctx.execute_sql(sql, node=node)
     return _apply_output_transforms(node, df)
 
 
@@ -495,6 +541,13 @@ def materialize_view(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     node.compiled_code = sql
     if node.config.contract.get("enforced"):
         enforce_contract(node, ctx.spark.sql(sql))  # schema-only, no execution
+    # the "executed statement" for a view is its registration DDL — record
+    # it (query-comment + target/run + job description) without re-running
+    ctx.record_execution(
+        f"CREATE OR REPLACE VIEW "
+        f"{ctx.schema_for(node)}.{ctx.name_for(node)} AS {sql}",
+        node=node,
+    )
     rel = ctx.store.save_view(ctx.schema_for(node), ctx.name_for(node), sql)
     if node.config.meta.get("cache"):
         # config(cache=true): a hot shared intermediate — materialize it once

@@ -165,7 +165,7 @@ def run_test(ctx: ExecutionContext, node: ManifestNode) -> TestResult:
         if node.config.limit:
             sql = f"SELECT * FROM ({sql}) __t LIMIT {node.config.limit}"
     node.compiled_code = sql
-    failures_df: DataFrame = ctx.spark.sql(sql)
+    failures_df: DataFrame = ctx.execute_sql(sql, node=node)
 
     store_as = node.config.meta.get("store_failures_as")
     if store_as == "view":

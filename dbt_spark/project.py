@@ -29,6 +29,12 @@ from dbt_spark.plans.manifest import (
 GENERIC_TESTS = {"not_null", "unique", "accepted_values", "relationships"}
 
 
+#: query-comment default: enabled, dbt's default JSON header, prepended
+DEFAULT_QUERY_COMMENT = {
+    "comment": None, "append": False, "job_label": False, "enabled": True,
+}
+
+
 @dataclass
 class Project:
     name: str
@@ -63,6 +69,14 @@ class Project:
     # (core/dbt/config/project.py:429,775): reroutes adapter.dispatch
     # macro resolution per namespace (the dbt_utils→spark_utils shim idiom)
     dispatch: list = field(default_factory=list)
+    # dbt_project.yml `query-comment:` — warehouse-side audit attribution
+    # rendered onto every executed statement (core/dbt/config/project.py:208
+    # _query_comment_from_cfg; rendering core/dbt/context/query_header.py).
+    # Normalized: {comment: str|None (None = default JSON), append: bool,
+    # job_label: bool, enabled: bool}
+    query_comment: dict = field(
+        default_factory=lambda: dict(DEFAULT_QUERY_COMMENT)
+    )
 
     def __post_init__(self) -> None:
         if not self.target_path:
@@ -187,7 +201,38 @@ class Project:
             target_path=tpath,
             flags=dict(cfg.get("flags") or {}),
             dispatch=cls._load_dispatch(cfg),
+            query_comment=cls._load_query_comment(cfg),
         )
+
+    @staticmethod
+    def _load_query_comment(cfg: dict) -> dict:
+        """`query-comment:` forms (core/dbt/config/project.py:208):
+        absent → default JSON comment prepended; string → that template;
+        null/empty string → disabled; dict → {comment, append, job-label}."""
+        out = dict(DEFAULT_QUERY_COMMENT)
+        if "query-comment" not in cfg:
+            return out
+        val = cfg.get("query-comment")
+        if val is None or val == "":
+            out["enabled"] = False
+            return out
+        if isinstance(val, str):
+            out["comment"] = val
+            return out
+        if isinstance(val, dict):
+            comment = val.get("comment")
+            if comment is not None and not isinstance(comment, str):
+                raise ValueError(
+                    "dbt_project.yml: query-comment.comment must be a string")
+            if comment == "":
+                out["enabled"] = False
+            out["comment"] = comment or None
+            out["append"] = bool(val.get("append", False))
+            out["job_label"] = bool(
+                val.get("job-label", val.get("job_label", False)))
+            return out
+        raise ValueError(
+            "dbt_project.yml: query-comment must be a string or mapping")
 
     @staticmethod
     def _load_dispatch(cfg: dict) -> list:

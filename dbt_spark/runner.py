@@ -1769,7 +1769,8 @@ class Engine:
         t0: float,
     ) -> None:
         for hook in node.config.pre_hook:
-            ctx.spark.sql(self._render_hook(ctx, node, hook))
+            ctx.execute_sql(self._render_hook(ctx, node, hook), node=node,
+                            artifact=False)
         self.events.fire("NodeExecuting", node_id=node.unique_id)
         from dbt_spark.plans.manifest import METADATA_NODE_TYPES
 
@@ -1818,7 +1819,8 @@ class Engine:
                     node.unique_id, "success", time.time() - t0,
                     message=fresh_msg))
                 for hook in node.config.post_hook:
-                    ctx.spark.sql(self._render_hook(ctx, node, hook))
+                    ctx.execute_sql(self._render_hook(ctx, node, hook), node=node,
+                            artifact=False)
                 return
             mat = node.get_materialization()
             fn = MATERIALIZATIONS.get(mat)
@@ -1844,7 +1846,8 @@ class Engine:
             self._persist_docs(ctx, node)
             self._apply_grants(ctx, node)
         for hook in node.config.post_hook:
-            ctx.spark.sql(self._render_hook(ctx, node, hook))
+            ctx.execute_sql(self._render_hook(ctx, node, hook), node=node,
+                            artifact=False)
 
     _FRESHNESS_PERIOD_S = {"minute": 60, "hour": 3600, "day": 86400}
 
@@ -2162,7 +2165,7 @@ class Engine:
                     target=dict(ctx.project.profile),
                     extra=extra,
                 )
-                ctx.spark.sql(sql)
+                ctx.execute_sql(sql, node=hook_node, artifact=False)
             except Exception as e:  # noqa: BLE001
                 raise RuntimeError(f"{phase} hook failed: {e}") from e
 
