@@ -198,6 +198,10 @@ class Manifest:
     # providers.py:157-174 _get_search_packages)
     dispatch_config: list = field(default_factory=list)
     dependencies: list = field(default_factory=list)
+    # package name -> its dbt_project.yml `restrict-access:` flag; gates
+    # cross-package protected/private ref errors (config/project.py:640,
+    # manifest.py:1502)
+    restrict_access: dict = field(default_factory=dict)
 
     def add(self, node: ManifestNode) -> None:
         store = self.sources if node.resource_type == NodeType.Source else self.nodes

@@ -69,6 +69,12 @@ class Project:
     # (core/dbt/config/project.py:429,775): reroutes adapter.dispatch
     # macro resolution per namespace (the dbt_utils→spark_utils shim idiom)
     dispatch: list = field(default_factory=list)
+    # dbt_project.yml `restrict-access:` — when TRUE on a package, its
+    # protected models reject ALL cross-package refs (and private models
+    # reject cross-package refs even within a group); when false (default),
+    # cross-package protected refs are allowed (core/dbt/config/
+    # project.py:640, manifest.py:1502 is_invalid_protected_ref)
+    restrict_access: bool = False
     # dbt_project.yml `query-comment:` — warehouse-side audit attribution
     # rendered onto every executed statement (core/dbt/config/project.py:208
     # _query_comment_from_cfg; rendering core/dbt/context/query_header.py).
@@ -202,6 +208,7 @@ class Project:
             flags=dict(cfg.get("flags") or {}),
             dispatch=cls._load_dispatch(cfg),
             query_comment=cls._load_query_comment(cfg),
+            restrict_access=bool(cfg.get("restrict-access", False)),
         )
 
     @staticmethod
@@ -380,6 +387,7 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
 
     if is_root:
         manifest.dispatch_config = list(project.dispatch)
+    manifest.restrict_access[project.name] = bool(project.restrict_access)
     for mroot, mpaths, pkg_name in macro_roots(project, is_root=is_root):
         if pkg_name and pkg_name not in manifest.dependencies:
             manifest.dependencies.append(pkg_name)
@@ -1061,12 +1069,18 @@ def _attach_column_tests(
 def _validate_access(
     consumer: ManifestNode, target: ManifestNode, manifest: Manifest
 ) -> None:
-    """access: private → same group only; protected → same package or the
-    installing root project; public → anyone
-    (core/dbt/context/providers.py:603-622)."""
+    """access: private → same group only (plus no cross-package under
+    restrict-access); protected → cross-package refs error ONLY when the
+    target's package sets `restrict-access: true`; public → anyone
+    (core/dbt/context/providers.py:603-622;
+    core/dbt/contracts/graph/manifest.py:1502 is_invalid_protected_ref /
+    is_invalid_private_ref gate on the target package's restrict-access,
+    core/dbt/config/project.py:640)."""
     access = getattr(target.config, "access", "protected")
     if access == "public":
         return
+    cross_package = target.package_name != consumer.package_name
+    restricted = bool(manifest.restrict_access.get(target.package_name))
     if access == "private":
         if (target.config.group or consumer.config.group) and (
             target.config.group != consumer.config.group
@@ -1076,16 +1090,21 @@ def _validate_access(
                 f"'{target.name}' (group {target.config.group!r} != "
                 f"{consumer.config.group!r})"
             )
+        if cross_package and restricted:
+            raise CompilationError(
+                f"{consumer.unique_id}: cannot ref private model "
+                f"'{target.name}' across packages — "
+                f"{target.package_name!r} sets restrict-access"
+            )
         return
-    # protected (default): same package, or the root project that installed it
-    if (
-        target.package_name != consumer.package_name
-        and consumer.package_name != manifest.project_name
-    ):
+    # protected (default): any ref within the package; cross-package refs
+    # are valid unless the defining package opts into restrict-access
+    if cross_package and restricted:
         raise CompilationError(
             f"{consumer.unique_id}: cannot ref protected model "
             f"'{target.name}' from package {consumer.package_name!r} "
-            f"(defined in {target.package_name!r}; set access: public)"
+            f"({target.package_name!r} sets restrict-access; "
+            "set access: public to export it)"
         )
 
 

@@ -170,3 +170,58 @@ def test_engine_malformed_dispatch_config_rejected(project_dir, spark):
     pdir = project_dir(files)
     with pytest.raises(ValueError, match="dispatch entry"):
         Engine(pdir, spark=spark)
+
+
+# ------------------------------------------------- restrict-access semantics
+
+ACC_BASE = {
+    "dbt_project.yml": "name: rootproj\n",
+    "packages.yml": "packages:\n  - local: pkgs/libpack\n",
+    "pkgs/libpack/models/guarded.sql": "select 1 as id",
+    "models/consumer.sql": "select * from {{ ref('guarded') }}",
+}
+
+
+def test_cross_package_protected_ref_allowed_without_flag(project_dir, spark):
+    """Reference default: protected models accept cross-package refs unless
+    the defining package sets restrict-access
+    (manifest.py:1502 is_invalid_protected_ref)."""
+    files = dict(ACC_BASE)
+    files["pkgs/libpack/dbt_project.yml"] = "name: libpack\n"
+    pdir = project_dir(files)
+    eng = Engine(pdir, spark=spark)
+    m = eng.parse()
+    assert "model.rootproj.consumer" in m.nodes
+
+
+def test_cross_package_protected_ref_errors_with_flag(project_dir, spark):
+    files = dict(ACC_BASE)
+    files["pkgs/libpack/dbt_project.yml"] = (
+        "name: libpack\nrestrict-access: true\n"
+    )
+    pdir = project_dir(files)
+    eng = Engine(pdir, spark=spark)
+    with pytest.raises(CompilationError, match="restrict-access"):
+        eng.parse()
+
+
+def test_private_ref_cross_package_gated_by_flag(project_dir, spark):
+    # same group, different package: allowed without the flag,
+    # rejected with it (manifest.py is_invalid_private_ref)
+    files = dict(ACC_BASE)
+    files["pkgs/libpack/models/guarded.sql"] = (
+        "{{ config(access='private', group='g1') }} select 1 as id"
+    )
+    files["models/consumer.sql"] = (
+        "{{ config(group='g1') }} select * from {{ ref('guarded') }}"
+    )
+    files["pkgs/libpack/dbt_project.yml"] = "name: libpack\n"
+    pdir = project_dir(files)
+    assert "model.rootproj.consumer" in Engine(pdir, spark=spark).parse().nodes
+
+    files["pkgs/libpack/dbt_project.yml"] = (
+        "name: libpack\nrestrict-access: true\n"
+    )
+    pdir2 = project_dir(files)
+    with pytest.raises(CompilationError, match="restrict-access"):
+        Engine(pdir2, spark=spark).parse()
