@@ -205,10 +205,17 @@ def main() -> None:
     # codes, IVFADC index) are INGEST-time work at scale — train/encode
     # once here, timed as its own entry, so the per-query ANN numbers
     # below measure the search path alone (probes + ADC scan + re-rank).
-    from dbt_spark.queries.llmops import warm_ann_artifacts
+    from dbt_spark.queries.llmops import (
+        warm_ann_artifacts,
+        warm_quality_classifier,
+    )
 
     ann_train = warm_ann_artifacts(spark, sf_dir)
     ann_train["search_only"] = _bench_ann_search_only(spark, sf_dir)
+    # the linear quality classifier's LBFGS fit is likewise train-time
+    # work: timed once here, so the registered query's entry below
+    # measures the broadcast-coefficients scoring pass alone
+    quality_train = warm_quality_classifier(spark, sf_dir)
 
     # Min-of-N per query: the VM's wall clock swings ±40% run-to-run, so a
     # single sample cannot distinguish a regression from noise. The min of 3
@@ -245,6 +252,7 @@ def main() -> None:
                 "queries_extended": times_ext,
                 "sf": sf,
                 "ann_train_artifacts": ann_train,
+                "quality_classifier_train": quality_train,
                 "parse_2000_models": _bench_parse_2000(),
                 "run_2000_models": _bench_run_2000(spark),
                 "orchestration": _bench_orchestration(spark, sf_dir),
