@@ -31,27 +31,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_merge_histogram(counters: dict, hist, k: int) -> None:
+    """WEIGHTED Misra-Gries update of ``counters`` (≤ k-1 keys) with a
+    batch histogram {item: count} — the vectorized common case: the
+    per-row Python walk is replaced by one C-speed ``value_counts`` per
+    Arrow batch plus a dict merge per DISTINCT item; the O(k) decrement
+    walk runs only when the summary saturates on a new item.
+
+    Weighted-update correctness (Misra-Gries 1982 generalizes to weights;
+    Agarwal 2012 §2 mergeable summaries): adding (item, c) to a full
+    summary subtracts d = min(c, min counter) from every counter AND from
+    c, inserting the remainder if a slot freed. Each such event removes
+    ≥ d·k total weight, and removed weight is bounded by the partition's
+    n_p, so any item's retained count ≥ true count − n_p/k — the same
+    pigeonhole superset guarantee as the unit-weight walk, independent of
+    row order or batching."""
+    for item, c in hist.items():
+        c = int(c)
+        if c <= 0:
+            continue
+        if item in counters:
+            counters[item] += c
+        elif len(counters) < k - 1:
+            counters[item] = c
+        else:
+            mn = min(counters.values())
+            d = c if c < mn else mn
+            dead = []
+            for key in counters:
+                counters[key] -= d
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+            if c > d:
+                counters[item] = c - d
+
+
 def _mg_summarize(k: int, col: str):
-    """mapInPandas kernel: one Misra-Gries summary per partition (dict of
-    ≤ k-1 counters; inserting into a full summary decrements every counter
-    — amortized O(1) per row: each decrement is paid for by an insert)."""
+    """mapInPandas kernel: one Misra-Gries summary per partition, fed one
+    value_counts histogram per Arrow batch (state persists across the
+    partition's batches)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for batch in batches:
-            for item in batch[col]:
-                if item in counters:
-                    counters[item] += 1
-                elif len(counters) < k - 1:
-                    counters[item] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            mg_merge_histogram(
+                counters, batch[col].value_counts(dropna=False), k)
         yield pd.DataFrame(
             {col: list(counters.keys()), "mg_count": list(counters.values())}
         )

@@ -156,6 +156,8 @@ def _mg_group(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState,
     full stream, not per batch. Emits the summary after every batch; any
     emitted superset feeds the exact verify pass, so candidates from
     earlier batches are harmless."""
+    from dbt_spark.functions.sketches import mg_merge_histogram
+
     (group,) = key
     if state.exists:
         ks, vs = state.get
@@ -163,19 +165,9 @@ def _mg_group(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState,
     else:
         counters = {}
     for pdf in pdfs:
-        for item in pdf["token"]:
-            if item in counters:
-                counters[item] += 1
-            elif len(counters) < k - 1:
-                counters[item] = 1
-            else:
-                dead = []
-                for key2 in counters:
-                    counters[key2] -= 1
-                    if counters[key2] == 0:
-                        dead.append(key2)
-                for key2 in dead:
-                    del counters[key2]
+        # vectorized common case: one value_counts per batch, weighted
+        # MG merge per distinct item (functions/sketches.py has the proof)
+        mg_merge_histogram(counters, pdf["token"].value_counts(dropna=False), k)
     state.update((list(counters.keys()), [int(v) for v in counters.values()]))
     yield pd.DataFrame(
         {
