@@ -37,6 +37,36 @@ def _quoted_list(values: list) -> str:
     return ", ".join(f"'{v}'" if isinstance(v, str) else str(v) for v in values)
 
 
+def _render_config_sql(ctx: ExecutionContext, node: ManifestNode,
+                       text: Optional[str]) -> Optional[str]:
+    """Render jinja embedded in a test config SQL fragment (introspective
+    `where:` subqueries over {{ ref(...) }}/{{ source(...) }} — reference
+    custom-generic-test-config fixture,
+    tests/functional/schema_tests/fixtures.py:402-470; the parse side
+    captures the embedded calls as graph deps)."""
+    if not text or "{{" not in text:
+        return text
+    from dbt_spark.plans.compile import runtime_render
+    from dbt_spark.plans.manifest import NodeType as NT
+
+    frag = ManifestNode(
+        unique_id=f"{node.unique_id}.where",
+        name=node.name,
+        package_name=node.package_name,
+        path="",
+        resource_type=NT.Operation,
+        raw_code=text,
+    )
+    return runtime_render(
+        frag, ctx.manifest,
+        resolve_ref=ctx.resolve_ref, resolve_source=ctx.resolve_source,
+        this_name=node.name, is_incremental=False,
+        full_refresh=ctx.full_refresh,
+        var_overrides=dict(ctx.vars),
+        target=dict(ctx.project.profile),
+    )
+
+
 def build_generic_test_sql(ctx: ExecutionContext, node: ManifestNode) -> str:
     """Failing-rows SQL for not_null/unique/accepted_values/relationships."""
     meta = node.test_metadata
@@ -53,7 +83,7 @@ def build_generic_test_sql(ctx: ExecutionContext, node: ManifestNode) -> str:
     else:
         rel_ident = ctx.resolve_ref(attached)
     col = node.column_name
-    where = node.config.where
+    where = _render_config_sql(ctx, node, node.config.where)
     base = f"(SELECT * FROM {rel_ident}" + (f" WHERE {where})" if where else ")")
 
     if test_name == "not_null":

@@ -1044,11 +1044,13 @@ def _attach_column_tests(
         # relationships, `compare_model:` on dbt_utils tests, ...) is a
         # graph dependency — parse-render each to capture it (reference:
         # generic_test_builders.py renders kwargs through Jinja)
-        for v in kwargs.values():
+        where_cfg = getattr(tnode.config, "where", None)
+        for v in list(kwargs.values()) + ([where_cfg] if where_cfg else []):
+            if not isinstance(v, str):
+                continue
             # anchored, matching operators/tests.py::_REF_CALL_RE — a value
             # IS a ref()/source() expression, not merely contains one
-            if isinstance(v, str) and re.match(
-                    r"^\s*(ref|source)\s*\(", v.replace("{{", "").lstrip()):
+            if re.match(r"^\s*(ref|source)\s*\(", v.replace("{{", "").lstrip()):
                 _, refs, sources, _ = parse_render(
                     "{{ " + v.replace("{{", "").replace("}}", "") + " }}",
                     ident,
@@ -1057,6 +1059,20 @@ def _attach_column_tests(
                 )
                 tnode.refs.extend(refs)
                 tnode.sources.extend(sources)
+            elif "{{" in v:
+                # EMBEDDED refs: jinja subexpressions inside a larger SQL
+                # string (introspective `config.where` / kwarg subqueries —
+                # the reference's custom-generic-test-config fixture idiom,
+                # tests/functional/schema_tests/fixtures.py:402-470). Each
+                # embedded call is a graph dependency too.
+                for m in re.finditer(
+                        r"\{\{\s*(ref|source)\s*\(([^)]*)\)\s*\}\}", v):
+                    _, refs, sources, _ = parse_render(
+                        f"{{{{ {m.group(1)}({m.group(2)}) }}}}",
+                        ident, project.vars, {},
+                    )
+                    tnode.refs.extend(refs)
+                    tnode.sources.extend(sources)
         manifest.add(tnode)
 
     for col in patch.get("columns", []) or []:

@@ -446,6 +446,39 @@ def utilpack_mutually_exclusive_ranges(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def utilpack_unique_combination_of_columns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dbt_utils.unique_combination_of_columns failing rows: (o_custkey,
+    o_orderstatus) pairs appearing more than once — one hash groupBy with
+    map-side partials, HAVING on the count (hub dbt_utils
+    macros/generic_tests/unique_combination_of_columns.sql)."""
+    return _utils_test_df(
+        spark, sf_dir, "orders", "unique_combination_of_columns",
+        combination_of_columns=["o_custkey", "o_orderstatus"],
+        where="o_custkey < 100",
+    )
+
+
+def utilpack_fewer_rows_than_introspective(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dbt_utils.fewer_rows_than, INTROSPECTIVE compare_model form: the
+    kwarg is a rendered subquery over another relation (the reference's
+    custom-config fixture idiom, tests/functional/schema_tests/
+    fixtures.py:402-470 — test args may embed ref()/source() subqueries).
+    Grouped by o_orderstatus vs the even-orderkey half: every status has
+    count_our >= count_comparison, so each group is a failing row."""
+    return _utils_test_df(
+        spark, sf_dir, "orders", "fewer_rows_than",
+        group_by_columns=["o_orderstatus"],
+        compare_model=lambda ctx: (
+            f"(select * from {_tpch_source_ident(ctx, 'orders')} "
+            "where o_orderkey % 2 = 0)"
+        ),
+    )
+
+
 def utilpack_cardinality_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dbt_utils.cardinality_equality: order custkey multiset vs customer
     key multiset — EXCEPT both directions over (value, count) pairs."""
@@ -1746,6 +1779,21 @@ ORACLES: dict[str, str] = {
            OR (previous_upper_bound IS NOT NULL
                AND NOT (previous_upper_bound <= lower_bound))
     """,
+    "utilpack_unique_combination_of_columns": """
+        SELECT o_custkey, o_orderstatus, count(*) AS n_records
+        FROM orders WHERE o_custkey < 100
+        GROUP BY o_custkey, o_orderstatus HAVING count(*) > 1
+    """,
+    "utilpack_fewer_rows_than_introspective": """
+        WITH a AS (SELECT o_orderstatus, count(*) AS count_our_model
+                   FROM orders GROUP BY o_orderstatus),
+             b AS (SELECT o_orderstatus, count(*) AS count_comparison_model
+                   FROM orders WHERE o_orderkey % 2 = 0
+                   GROUP BY o_orderstatus)
+        SELECT o_orderstatus, count_our_model, count_comparison_model
+        FROM a INNER JOIN b USING (o_orderstatus)
+        WHERE count_our_model >= count_comparison_model
+    """,
     "utilpack_cardinality_equality": """
         WITH a AS (SELECT o_custkey AS v, count(*) AS n
                    FROM orders GROUP BY o_custkey),
@@ -1795,6 +1843,10 @@ QUERIES = {
     "utilpack_sequential_values": utilpack_sequential_values,
     "utilpack_mutually_exclusive_ranges": utilpack_mutually_exclusive_ranges,
     "utilpack_cardinality_equality": utilpack_cardinality_equality,
+    "utilpack_unique_combination_of_columns":
+        utilpack_unique_combination_of_columns,
+    "utilpack_fewer_rows_than_introspective":
+        utilpack_fewer_rows_than_introspective,
     "engine_run_e2e": engine_run_e2e,
     "zorder_layout_scan": zorder_layout_scan,
     "snapshot_hard_delete": snapshot_hard_delete,

@@ -585,3 +585,47 @@ def test_macro_nullcheck_table(macro_eng):
     assert rows[2]["title"] is not None
     assert set(df.columns) == {"id", "grp", "a", "b", "url", "title",
                                "lat", "lon"}
+
+
+def test_unique_combination_store_failures_parity(eng):
+    """dbt_utils.unique_combination_of_columns with store_failures: the
+    persisted audit rows must EQUAL the failing-rows query's own output
+    (store-failures parity — task/test.py:142-197 persists exactly the
+    failing rows; fixture usage tests/functional/schema_tests/
+    fixtures.py:402-470)."""
+    r = _run_tests(eng, """
+models:
+  - name: bads
+    data_tests:
+      - dbt_utils.unique_combination_of_columns:
+          combination_of_columns: [id, grp]
+          config: {severity: warn, store_failures: true}
+""")
+    eng_, pdir = eng
+    assert any(x.status == "warn" for x in r.results)
+    audit = eng_.store.list_relations("main_dbt_test__audit")
+    assert audit, "failing rows not persisted under the audit schema"
+    stored = eng_.store.read(audit[0].schema, audit[0].name)
+    rows = {(r["id"], r["grp"]): r["n_records"] for r in stored.collect()}
+    # bads has id=1/grp=a twice — exactly one failing combination
+    assert rows == {(1, "a"): 2}
+    assert set(stored.columns) == {"id", "grp", "n_records"}
+
+
+def test_fewer_rows_than_introspective_config(eng):
+    """fewer_rows_than with an INTROSPECTIVE config.where — a subquery over
+    {{ ref(...) }} rendered inside the test kwargs/config (the reference's
+    custom-generic-test-config fixture idiom)."""
+    r = _run_tests(eng, """
+models:
+  - name: kids
+    data_tests:
+      - dbt_utils.fewer_rows_than:
+          compare_model: ref('bads')
+          config:
+            where: "id in (select id from {{ ref('kids_copy') }})"
+""")
+    st = _statuses(r)
+    # kids filtered to kids_copy ids (all 3) still has 3 rows = bads' 3 ->
+    # NOT fewer -> fail; proves the where-subquery actually applied
+    assert st["test.utilpack.dbt_utils_fewer_rows_than_kids"] == "fail"
