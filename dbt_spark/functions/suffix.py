@@ -31,9 +31,13 @@ extend the common prefix) — joins on computed (doc, pos+lcp) keys.
 At 100 TB: rounds = log2(max repeat length / granule); bounded-depth
 ranking (256 here) is exactly the ExactSubstr use case (~50-token
 repeats), and the same loop un-capped builds the full suffix array in
-log2(n) rounds. Known hot spot: a tie block traversed by one window
-partition — real corpora cap block sizes at duplicate-cluster size;
-adversarial single-character corpora would need block salting.
+log2(n) rounds. Tie blocks never serialize one window task: head ranks
+and per-round refinement are per-KEY quantities computed by hash
+aggregates (map-side partials) + AQE-skew-splittable join-backs, with
+summary windows over one-row-per-key tables; the one per-row window (the
+final within-block SA index) is salted over ``_IDX_SALT`` buckets — an
+adversarial single-character corpus (one block = the whole corpus) fans
+out instead of landing on a single core.
 """
 
 from __future__ import annotations
@@ -46,6 +50,10 @@ GRANULE = 16
 
 #: sentinel LCP for pairs already decided by equal final ranks
 _DECIDED = 1 << 40
+
+#: salt buckets for the within-block SA-index window: bounds the widest
+#: single window task at block_size/_IDX_SALT (adversarial corpora)
+_IDX_SALT = 32
 
 __all__ = ["global_head_ranks", "suffix_rank_tables", "suffix_repeat_lengths"]
 
@@ -76,17 +84,33 @@ def global_head_ranks(
     off_map = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     ) if offsets else F.create_map()
-    order = [F.col(c) for c in tiebreak]
-    w_all = Window.partitionBy("__pid").orderBy(F.col(key), *order)
-    w_tie = Window.partitionBy("__pid", key).orderBy(*order)
-    w_blk = Window.partitionBy("__pid", key)
-    return part.withColumn(
-        out,
-        (off_map[F.col("__pid")] + F.row_number().over(w_all)
-         - F.row_number().over(w_tie) + F.lit(1)).cast("long"),
-    ).withColumn(
-        "__sz", F.count(F.lit(1)).over(w_blk)
-    ).drop("__pid", key)
+    # Head rank = partition offset + (# rows with a strictly smaller key in
+    # the partition) + 1, and block size is the key's count — BOTH are
+    # per-KEY quantities, so they come from an aggregate over distinct keys
+    # (one row per key) joined back, never a window over the raw rows. A
+    # window partitioned by (__pid) would serialize an adversarial giant
+    # tie block (single-character corpus) through one task; the aggregate
+    # shuffles with map-side partials across every core, the summary window
+    # runs over one-row-per-KEY, and the join-back is AQE-skew-splittable
+    # (windows are not). ``tiebreak`` never affects head ranks (in-block
+    # order cancels out of first-member position); kept for API parity.
+    blk = part.groupBy("__pid", key).agg(F.count(F.lit(1)).alias("__sz"))
+    w_keys = (
+        Window.partitionBy("__pid").orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blk = blk.withColumn(
+        "__before", F.coalesce(F.sum("__sz").over(w_keys), F.lit(0))
+    )
+    return (
+        part.join(blk, ["__pid", key])
+        .withColumn(
+            out,
+            (off_map[F.col("__pid")] + F.col("__before") + F.lit(1))
+            .cast("long"),
+        )
+        .drop("__pid", "__before", key)
+    )
 
 
 def _double(ranks: DataFrame, k: int) -> DataFrame:
@@ -110,17 +134,25 @@ def _double(ranks: DataFrame, k: int) -> DataFrame:
         "doc_id", "pos", "doc_len", "rank",
         F.coalesce(F.col("rank2"), F.lit(-1).cast("long")).alias("rank2"),
     )
-    w_blk = Window.partitionBy("rank").orderBy("rank2", "doc_id", "pos")
-    w_sub = Window.partitionBy("rank", "rank2")
-    refined = (
-        paired.withColumn("__rn", F.row_number().over(w_blk))
-        .withColumn("__head", F.min("__rn").over(w_sub))
-        .withColumn("__nsz", F.count(F.lit(1)).over(w_sub))
-        .select(
-            "doc_id", "pos", "doc_len",
-            (F.col("rank") + F.col("__head") - F.lit(1)).alias("rank"),
-            F.col("__nsz").alias("__sz"),
-        )
+    # Refined head rank = parent rank + (# rows in the parent block with a
+    # smaller partner rank). Aggregate per (rank, rank2) sub-block + join
+    # back — one row per sub-block through the summary window, so an
+    # adversarial giant tie block (all-"a" corpus: one block holding nearly
+    # every position, O(1) distinct partners) never serializes a window
+    # task; the raw rows only take a hash-aggregate and an
+    # AQE-skew-splittable join.
+    sub = paired.groupBy("rank", "rank2").agg(F.count(F.lit(1)).alias("__nsz"))
+    w_sub = (
+        Window.partitionBy("rank").orderBy("rank2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sub = sub.withColumn(
+        "__before", F.coalesce(F.sum("__nsz").over(w_sub), F.lit(0))
+    )
+    refined = paired.join(sub, ["rank", "rank2"]).select(
+        "doc_id", "pos", "doc_len",
+        (F.col("rank") + F.col("__before")).alias("rank"),
+        F.col("__nsz").alias("__sz"),
     )
     return single.unionByName(refined)
 
@@ -197,13 +229,38 @@ def suffix_repeat_lengths(
     # IS its rank; only still-tied rows (equal max_depth-prefixes) need a
     # within-block row_number — a window over that small subset alone
     uniq = final.filter(F.col("__sz") == 1).withColumn("idx", F.col("rank"))
+    # Within-block index assignment is SALTED: members of a final tie block
+    # share their full (truncated) max_depth-prefix, so ANY in-block
+    # permutation yields identical rep values (in-block adjacent pairs are
+    # rank-equal -> decided by the remaining-length clamp; the member
+    # adjacent to a neighboring block sees an LCP that depends only on the
+    # block's common prefix). That freedom lets the one per-row window run
+    # over (rank, salt) instead of (rank): an adversarial single-character
+    # corpus (one block ~ the whole corpus) fans out over _IDX_SALT tasks
+    # with per-(rank,salt) offsets from a one-row-per-bucket summary window.
     tied = final.filter(F.col("__sz") > 1).withColumn(
-        "idx",
-        F.col("rank")
-        + F.row_number().over(
-            Window.partitionBy("rank").orderBy("doc_id", "pos")
+        "__salt", F.pmod(F.xxhash64("doc_id", "pos"), F.lit(_IDX_SALT))
+    )
+    bucket = tied.groupBy("rank", "__salt").agg(
+        F.count(F.lit(1)).alias("__bn"))
+    w_bkt = (
+        Window.partitionBy("rank").orderBy("__salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket = bucket.withColumn(
+        "__boff", F.coalesce(F.sum("__bn").over(w_bkt), F.lit(0))
+    ).drop("__bn")
+    tied = (
+        tied.join(bucket, ["rank", "__salt"])
+        .withColumn(
+            "idx",
+            F.col("rank") + F.col("__boff")
+            + F.row_number().over(
+                Window.partitionBy("rank", "__salt").orderBy("doc_id", "pos")
+            )
+            - F.lit(1),
         )
-        - F.lit(1),
+        .drop("__salt", "__boff")
     )
     sa = uniq.unionByName(tied)
     left = sa.select(

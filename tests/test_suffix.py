@@ -161,3 +161,26 @@ def test_suffix_plan_no_cartesian_no_python_udf(spark):
     plan = suffix_repeat_lengths(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_suffix_repeat_adversarial_10k_single_char(spark):
+    """The round-10 adversarial gate (VERDICT r9 directive #8): a 10k-char
+    single-character doc — every depth's tie block is (nearly) the whole
+    corpus. Per-round work must stay aggregate/join-shaped (no window
+    serializing the block through one task) and the result must still
+    match the pure-python oracle. Wall-clock is asserted loosely only to
+    catch an accidental O(n^2)-per-task regression."""
+    import time as _t
+
+    docs = [(0, "a" * 10_000)]
+    t0 = _t.time()
+    _check(spark, docs)
+    assert _t.time() - t0 < 240, "adversarial corpus took pathological time"
+
+
+def test_suffix_repeat_adversarial_mixed_block(spark):
+    """Giant block PLUS normal text: salting must not disturb cross-block
+    adjacency (rep values at block boundaries)."""
+    rng = random.Random(_BASE + _OFF + 991)
+    filler = "".join(rng.choice("xyz ") for _ in range(300))
+    _check(spark, [(0, "b" * 3_000), (1, filler), (2, "b" * 500 + filler[:40])])
