@@ -132,6 +132,10 @@ def project_cache_token(project) -> str:
         {**project.vars,
          "__models__": repr(project.model_config),
          "__seeds__": repr(project.seed_config),
-         "__macros__": macro_digest(project)},
+         "__macros__": macro_digest(project),
+         # dispatch reroutes macro resolution INSIDE parse-renders; a
+         # config edit can change a byte-identical model's extraction
+         "__dispatch__": repr(project.dispatch),
+         "__restrict__": repr(project.restrict_access)},
         project.profile,
     )

@@ -537,7 +537,71 @@ def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered distributed triangle counting (Suri & Vassilvitskii
+    2011; functions/graph_stats.py) over the co-purchase graph — parts
+    joined by appearing in the same order. Emits the 20 highest-triangle
+    nodes with degree and clustering coefficient (the dedup-diagnostics
+    shape: clique density over a similarity/co-occurrence graph).
+
+    Scale: edge build is one equi-join on the order key (bounded fan-out:
+    pairs-per-order = lines²); counting is two equi-joins on packed
+    (degree, node) longs with per-apex wedge work capped at
+    out-degree² ≤ O(m) under degree ordering — no vertex serializes a
+    task, no windows anywhere. Top-20 via TakeOrderedAndProject."""
+    from dbt_spark.functions.graph_stats import canonical_edges, triangle_stats
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+    edges = canonical_edges(pairs, "pa", "pb")
+    return (
+        triangle_stats(edges)
+        .select(
+            F.col("node").alias("part_id"), "degree", "triangles",
+            "clustering_coeff",
+        )
+        .orderBy(F.col("triangles").desc(), F.col("part_id").asc())
+        .limit(20)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "copurchase_triangle_stats": """
+        WITH e AS (
+            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                            greatest(a.l_partkey, b.l_partkey) AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, count(*) AS degree FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+            ) GROUP BY node
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        corner AS (
+            SELECT node, count(*) AS triangles FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b AS node FROM tri
+                UNION ALL SELECT c AS node FROM tri
+            ) GROUP BY node
+        )
+        SELECT deg.node AS part_id, deg.degree,
+               coalesce(corner.triangles, 0) AS triangles,
+               round(CASE WHEN deg.degree >= 2
+                     THEN coalesce(corner.triangles, 0) * 2.0
+                          / (deg.degree * (deg.degree - 1))
+                     ELSE 0.0 END, 6) AS clustering_coeff
+        FROM deg LEFT JOIN corner ON deg.node = corner.node
+        ORDER BY triangles DESC, part_id ASC LIMIT 20
+    """,
     "skewed_agg_salted": """
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_events,
@@ -751,6 +815,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "copurchase_triangle_stats": copurchase_triangle_stats,
     "skewed_agg_salted": skewed_agg_salted,
     "join_range_binned": join_range_binned,
     "attribution_touchpoints": attribution_touchpoints,

@@ -225,3 +225,29 @@ def test_private_ref_cross_package_gated_by_flag(project_dir, spark):
     pdir2 = project_dir(files)
     with pytest.raises(CompilationError, match="restrict-access"):
         Engine(pdir2, spark=spark).parse()
+
+
+def test_dispatch_config_change_invalidates_partial_parse_cache():
+    """dispatch: edits reroute macro resolution inside parse-renders, so
+    the partial-parse validity token must change (plans/partial.py
+    project_cache_token)."""
+    from dbt_spark.plans.partial import project_cache_token
+
+    class P:
+        vars = {}
+        model_config = {}
+        seed_config = {}
+        profile = {"schema": "main"}
+        dispatch = []
+        restrict_access = False
+        root = "/nonexistent"
+        macro_paths = []
+        test_paths = []
+        packages = []
+        name = "p"
+
+    a = project_cache_token(P())
+    P.dispatch = [{"macro_namespace": "dbt_utils",
+                   "search_order": ["p", "dbt_utils"]}]
+    b = project_cache_token(P())
+    assert a != b

@@ -1,0 +1,100 @@
+"""Differential fuzzing for degree-ordered triangle counting.
+
+Random graphs through the REAL operator (functions/graph_stats.py:
+canonical_edges -> triangle_stats) vs an independent pure-python
+counter (adjacency-set intersection). Covers: duplicate/reversed input
+edges, self-loops, isolated-star hubs (the curse-of-the-last-reducer
+shape degree ordering exists for), multi-component graphs, and empty
+triangle sets. Fixed seeds; family base 310k rotated by
+DBT_SPARK_FUZZ_OFFSET.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import random
+
+import pytest
+
+from dbt_spark.functions.graph_stats import canonical_edges, triangle_stats
+
+_OFF = int(os.environ.get("DBT_SPARK_FUZZ_OFFSET", "0"))
+_BASE = 310_000
+
+
+def _brute(edges: set[tuple[int, int]]) -> dict[int, tuple[int, int]]:
+    """node -> (degree, triangles) by adjacency-set intersection."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = {n: 0 for n in adj}
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            tri[w] = tri.get(w, 0)  # corners counted below
+    # count each triangle once, attribute to all three corners
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {n: (len(adj[n]), tri[n]) for n in adj}
+
+
+def _gen_edges(rng: random.Random) -> list[tuple[int, int]]:
+    n = rng.randint(4, 28)
+    p = rng.choice([0.08, 0.2, 0.45])
+    out = []
+    for u in range(n):
+        for v in range(u + 1, n):
+            if rng.random() < p:
+                # raw input may be reversed, duplicated, or a self-loop
+                pair = (v, u) if rng.random() < 0.5 else (u, v)
+                out.append(pair)
+                if rng.random() < 0.2:
+                    out.append((pair[1], pair[0]))
+    if rng.random() < 0.3:
+        out.append((0, 0))
+    if rng.random() < 0.4:
+        # star hub: high-degree vertex with a few closing edges
+        hub = n
+        spokes = list(range(min(n, 12)))
+        out += [(hub, s) for s in spokes]
+        out += [(spokes[i], spokes[i + 1]) for i in range(len(spokes) - 1)
+                if rng.random() < 0.5]
+    return out
+
+
+@pytest.mark.parametrize("seed", [_BASE + _OFF + i for i in range(10)])
+def test_triangle_stats_vs_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    raw = _gen_edges(rng)
+    df = spark.createDataFrame(
+        [(a, b) for a, b in raw], "x long, y long")
+    got = {
+        r["node"]: (r["degree"], r["triangles"])
+        for r in triangle_stats(canonical_edges(df, "x", "y")).collect()
+    }
+    canon = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    assert got == _brute(canon), f"seed={seed} edges={sorted(canon)}"
+
+
+def test_triangle_stats_clique_and_coefficient(spark):
+    # K5: every node degree 4, C(4,2)=6 triangles per corner, coeff 1.0
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(edges, "x long, y long")
+    rows = triangle_stats(canonical_edges(df, "x", "y")).collect()
+    assert all(r["degree"] == 4 and r["triangles"] == 6
+               and r["clustering_coeff"] == 1.0 for r in rows)
+
+
+def test_triangle_stats_no_cartesian_no_udf(spark):
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    df = spark.createDataFrame(edges, "x long, y long")
+    plan = (
+        triangle_stats(canonical_edges(df, "x", "y"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -44,6 +44,7 @@ PROBE_QUERIES = [
     "heavy_hitters_mg",           # MG candidate pass + exact verify
     "decontam_bloom_prefilter",   # Bloom literal prefilter + exact join
     "moore_lewis_select",         # two-LM gram-keyed scoring joins
+    "copurchase_triangle_stats",  # degree-ordered triangle counting
 ]
 
 
