@@ -78,8 +78,25 @@ def main() -> int:
                     help="with --defer, unselected upstreams prefer --state")
     ap.add_argument("--store-failures", action="store_true")
     ap.add_argument("--include-saved-query", action="store_true")
-    ap.add_argument("--resource-type", action="append", default=[])
-    ap.add_argument("--exclude-resource-type", action="append", default=[])
+    ap.add_argument("--resource-type", "--resource-types",
+                    action="append", default=[])
+    ap.add_argument("--exclude-resource-type", "--exclude-resource-types",
+                    action="append", default=[])
+    ap.add_argument("--record-timing-info", default=None,
+                    help="write per-node timing profile to this path "
+                         "(reference --record-timing-info)")
+    ap.add_argument("--source", dest="deps_source", default="hub",
+                    choices=["hub", "git", "local"],
+                    help="deps --add-package source (reference --source)")
+    ap.add_argument("--log-format-file",
+                    default=os.environ.get("DBT_LOG_FORMAT_FILE"),
+                    choices=["text", "debug", "json", "default", None],
+                    help="file log encoding, overrides --log-format for the "
+                         "file sink (reference --log-format-file)")
+    ap.add_argument("--log-file-max-bytes", type=int,
+                    default=os.environ.get("DBT_LOG_FILE_MAX_BYTES"),
+                    help="roll dbt.log past this size; 0 = unlimited "
+                         "(reference --log-file-max-bytes)")
     ap.add_argument("--no-partial-parse", action="store_true")
     ap.add_argument("--no-write-json", action="store_true")
     ap.add_argument("--defer-state", default=None,
@@ -154,6 +171,9 @@ def main() -> int:
         target_path=args.target_path,
         log_path=args.log_path,
         log_level_file=args.log_level_file,
+        log_format_file=args.log_format_file,
+        log_file_max_bytes=(int(args.log_file_max_bytes)
+                            if args.log_file_max_bytes is not None else None),
     )
     if args.threads:
         engine.project.profile["threads"] = args.threads
@@ -238,6 +258,10 @@ def main() -> int:
         argv += ["--defer-state", args.defer_state]
     if args.add_package:
         argv += ["--add-package", args.add_package]
+        if args.deps_source != "hub":
+            argv += ["--source", args.deps_source]
+    if args.record_timing_info:
+        argv += ["--record-timing-info", args.record_timing_info]
     if args.upgrade:
         argv.append("--upgrade")
     if args.lock:

@@ -273,12 +273,20 @@ class EventBus:
     """fire_event analog: thread-safe append to a JSONL file + callbacks."""
 
     def __init__(self, log_path: Optional[str] = None,
-                 file_level: str = "debug") -> None:
+                 file_level: str = "debug",
+                 file_format: str = "json",
+                 max_bytes: int = 0) -> None:
         self.log_path = log_path
         # --log-level-file / DBT_LOG_LEVEL_FILE (reference cli/params.py
         # "--log-level-file"): events below this level skip the JSONL file
         # (callbacks/console are governed separately by --log-level)
         self.file_level = file_level
+        # --log-format-file (cli/params.py:315): json = one JSON object per
+        # line; text/debug = the human "ts [level] [thread] msg" line
+        self.file_format = file_format if file_format != "default" else "json"
+        # --log-file-max-bytes (cli/params.py:339, default 10 MB, 0 = no
+        # limit): roll dbt.log -> dbt.log.1 before exceeding the cap
+        self.max_bytes = int(max_bytes or 0)
         self.invocation_id = str(uuid.uuid4())
         self.callbacks: list[Callable[[Event], None]] = []
         self._lock = threading.Lock()
@@ -312,8 +320,21 @@ class EventBus:
             if self.log_path and to_file:
                 # serialize only when the line is actually written — the
                 # dumps cost is per-event and shows up at 2,000-model scale
+                if self.file_format in ("text", "debug"):
+                    line = (f"{ev.ts} [{ev.level:<5}] [{ev.thread}] "
+                            f"{ev.msg or ev.name}\n")
+                else:
+                    line = json.dumps(ev.to_dict(), default=str) + "\n"
+                if self.max_bytes:
+                    try:
+                        if (os.path.exists(self.log_path)
+                                and os.path.getsize(self.log_path)
+                                + len(line) > self.max_bytes):
+                            os.replace(self.log_path, self.log_path + ".1")
+                    except OSError:
+                        pass
                 with open(self.log_path, "a") as f:
-                    f.write(json.dumps(ev.to_dict(), default=str) + "\n")
+                    f.write(line)
             if self._pb_write is not None and to_file:
                 # the .pb stream mirrors the JSON file log, so it honors
                 # the same level filter

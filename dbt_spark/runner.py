@@ -98,6 +98,8 @@ class Engine:
         target_path: Optional[str] = None,
         log_path: Optional[str] = None,
         log_level_file: Optional[str] = None,
+        log_format_file: Optional[str] = None,
+        log_file_max_bytes: Optional[int] = None,
     ) -> None:
         from dbt_spark.session import get_spark
 
@@ -122,12 +124,27 @@ class Engine:
             or os.environ.get("DBT_LOG_PATH")
             or os.path.join(self.project.target_path, "logs")
         )
+        fmt = (log_format_file
+               or os.environ.get("DBT_LOG_FORMAT_FILE")
+               or (self.project.flags or {}).get("log_format_file")
+               or "json")
+        max_bytes = log_file_max_bytes
+        if max_bytes is None:
+            max_bytes = int(
+                os.environ.get("DBT_LOG_FILE_MAX_BYTES")
+                or (self.project.flags or {}).get("log_file_max_bytes")
+                or 0)
+        # text/debug format writes the classic dbt.log name; json keeps the
+        # engine's .jsonl (reference writes both formats into logs/dbt.log)
+        log_name = "dbt.log" if fmt in ("text", "debug") else "dbt.log.jsonl"
         self.events = EventBus(
-            os.path.join(log_dir, "dbt.log.jsonl"),
+            os.path.join(log_dir, log_name),
             file_level=(log_level_file
                         or os.environ.get("DBT_LOG_LEVEL_FILE")
                         or (self.project.flags or {}).get("log_level_file")
                         or "debug"),
+            file_format=fmt,
+            max_bytes=max_bytes,
         )
 
     # -- lifecycle ----------------------------------------------------------
@@ -397,6 +414,7 @@ class Engine:
         sample: Optional[str] = None
         resource_filter: list[str] = []
         resource_exclude: list[str] = []
+        record_timing_path: Optional[str] = None
         no_partial_parse = False
         write_json = True
         defer_state: Optional[str] = None
@@ -412,6 +430,7 @@ class Engine:
         ls_output = "selector"
         ls_output_keys: list[str] = []
         add_package: Optional[str] = None
+        deps_source = "hub"
         deps_upgrade = False
         deps_lock_only = False
         empty_catalog = False
@@ -489,12 +508,19 @@ class Engine:
             elif rest[i] == "--sample":
                 i += 1
                 sample = rest[i]
-            elif rest[i] == "--resource-type":
+            elif rest[i] in ("--resource-type", "--resource-types"):
+                # both spellings accepted (cli/params.py:500-501)
                 i += 1
                 resource_filter.append(rest[i])
-            elif rest[i] == "--exclude-resource-type":
+            elif rest[i] in ("--exclude-resource-type",
+                             "--exclude-resource-types"):
                 i += 1
                 resource_exclude.append(rest[i])
+            elif rest[i] == "--record-timing-info":
+                # low-level per-node timing profile written to the given
+                # path (cli/params.py:190 "--record-timing-info")
+                i += 1
+                record_timing_path = rest[i]
             elif rest[i] == "--no-partial-parse":
                 no_partial_parse = True
             elif rest[i] == "--partial-parse-file-path":
@@ -510,6 +536,11 @@ class Engine:
             elif rest[i] == "--add-package":
                 i += 1
                 add_package = rest[i]
+            elif rest[i] == "--source":
+                # deps --add-package source: hub (default) | git | local
+                # (cli/params.py:606)
+                i += 1
+                deps_source = rest[i]
             elif rest[i] == "--upgrade":
                 deps_upgrade = True
             elif rest[i] == "--lock":
@@ -552,7 +583,8 @@ class Engine:
         if command == "retry":
             return self._retry(full_refresh=full_refresh, snapshot_ts=snapshot_ts, now=now)
         if command == "deps":
-            return self._deps(add_package=add_package, upgrade=deps_upgrade,
+            return self._deps(add_package=add_package, source=deps_source,
+                              upgrade=deps_upgrade,
                               lock_only=deps_lock_only)
         if command == "debug":
             return self._debug()
@@ -650,9 +682,18 @@ class Engine:
         )
         resource_types = RESOURCE_FOR_COMMAND[command]
         if resource_filter:
-            # --resource-type narrows the command's default set (reference
-            # --resource-type flag on build/ls)
-            wanted = {NodeType(v) for v in resource_filter}
+            # --resource-type narrows the command's executable set; the
+            # special values expand per resource_types_from_args
+            # (core/dbt/task/base.py:478: "all" -> every type the command
+            # can touch, "default" -> the command's default set)
+            names = set(resource_filter)
+            if "all" in names:
+                names.remove("all")
+                names |= {t.value for t in RESOURCE_FOR_COMMAND[command]}
+            if "default" in names:
+                names.remove("default")
+                names |= {t.value for t in RESOURCE_FOR_COMMAND[command]}
+            wanted = {NodeType(v) for v in names}
             resource_types = {t for t in resource_types if t in wanted}
         if resource_exclude:
             # --exclude-resource-type (reference cli/params.py:204)
@@ -886,6 +927,18 @@ class Engine:
         success = all(r.status in ("success", "pass", "warn", "skipped") for r in results)
         if getattr(self, "_write_json", True):
             self._write_run_results(results, success, command=command)
+        if record_timing_path:
+            # --record-timing-info: per-node timing profile at the given
+            # path (cli/params.py:190; reference dumps the cProfile-style
+            # trace — here the per-node wall timings the engine measures)
+            try:
+                with open(record_timing_path, "w") as f:
+                    json.dump(
+                        [{"unique_id": r.unique_id, "status": r.status,
+                          "execution_time": r.execution_time}
+                         for r in results], f, indent=1)
+            except OSError:
+                pass
         # reference end-of-run sequence: StatsLine Z023 + EndOfRunSummary Z030
         # (task/runnable.py print_results_line / print_run_end_messages)
         stats = {"pass": 0, "warn": 0, "error": 0, "skip": 0,
@@ -1485,7 +1538,7 @@ class Engine:
         ok = all(r.status == "success" for r in results)
         return RunnerResult(ok, results, self.manifest)
 
-    def _deps(self, add_package: Optional[str] = None,
+    def _deps(self, add_package: Optional[str] = None, source: str = "hub",
               upgrade: bool = False, lock_only: bool = False) -> RunnerResult:
         """dbt deps: resolve packages.yml into dbt_packages/.
 
@@ -1511,16 +1564,27 @@ class Engine:
 
         if add_package:
             name, _, spec = add_package.partition("@")
-            entry: dict = {"package": name}
-            if spec:
-                entry["version"] = [spec]
+            # --source picks the entry form (cli/params.py:606: hub | git |
+            # local): hub -> {package, version}, git -> {git, revision},
+            # local -> {local}
+            if source == "git":
+                entry: dict = {"git": name}
+                if spec:
+                    entry["revision"] = spec
+            elif source == "local":
+                entry = {"local": name}
+            else:
+                entry = {"package": name}
+                if spec:
+                    entry["version"] = [spec]
             pk_path = os.path.join(self.project.root, "packages.yml")
             doc = {"packages": []}
             if os.path.exists(pk_path):
                 with open(pk_path) as f:
                     doc = _yaml.safe_load(f) or {"packages": []}
+            key = {"git": "git", "local": "local"}.get(source, "package")
             pkgs = [p for p in (doc.get("packages") or [])
-                    if p.get("package") != name] + [entry]
+                    if p.get(key) != name] + [entry]
             doc["packages"] = pkgs
             with open(pk_path, "w") as f:
                 _yaml.safe_dump(doc, f, sort_keys=False)
