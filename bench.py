@@ -180,6 +180,9 @@ EXTENDED = [
     "pmi_top_pairs",  # doc-presence PMI collocations, TakeOrdered top-k
     "stream_heavy_hitters",  # cross-batch stateful MG + exact verify (value-paired streaming)
     "suffix_substring_remove",  # ExactSubstr removal on the true suffix array
+    # round-10 additions
+    "copurchase_triangle_stats",  # degree-ordered triangle counting
+    "utilpack_unique_combination_of_columns",  # hash-groupBy duplicate combos
 ]
 
 
