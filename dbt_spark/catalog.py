@@ -293,6 +293,21 @@ class RelationStore:
         self.register(rel)
         return rel
 
+    def adopt_table(self, schema: str, name: str, path: str,
+                    **meta: Any) -> Relation:
+        """Adopt parquet files ALREADY WRITTEN at ``path`` (by a custom
+        materialization's own DDL) as a catalog relation — journals the
+        entry and registers it, no data movement."""
+        meta.setdefault("built_at", time.time())
+        rel = Relation(schema=schema, name=name, kind="table", path=path,
+                       meta=meta)
+        with self._lock:
+            self.relations[self.key(schema, name)] = rel
+            self._registered.discard(rel.identifier)
+            self._journal(self.key(schema, name), rel)
+        self.register(rel)
+        return rel
+
     def write_bucketed(
         self,
         schema: str,

@@ -24,7 +24,10 @@ MACRO_BLOCK_RE = re.compile(
     re.DOTALL,
 )
 MATERIALIZATION_BLOCK_RE = re.compile(
-    r"{%-?\s*materialization\s+(\w+)", re.DOTALL
+    r"{%-?\s*materialization\s+(\w+)\s*,\s*"
+    r"(?:(default)|adapter\s*=\s*['\"](\w+)['\"])\s*-?%}"
+    r"(.*?){%-?\s*endmaterialization\s*-?%}",
+    re.DOTALL,
 )
 _WRAPPED_RELATION_RE = re.compile(
     r"^\(\s*select\s+\*\s+from\s+([A-Za-z0-9_.`]+)", re.IGNORECASE
@@ -44,6 +47,19 @@ DOCS_BLOCK_RE = re.compile(
 def extract_macros(raw: str) -> dict[str, str]:
     """name -> full ``{% macro %}…{% endmacro %}`` source text."""
     return {m.group(2): m.group(1) for m in MACRO_BLOCK_RE.finditer(raw)}
+
+
+def extract_materializations(raw: str) -> dict[tuple[str, str], str]:
+    """(name, adapter) -> body for every ``{% materialization name,
+    default|adapter='spark' %}…{% endmaterialization %}`` block (reference
+    parses these into Macro nodes named materialization_<name>_<adapter>,
+    core/dbt/parser/macros.py block extraction; dispatch specificity
+    manifest.py:1005-1046 find_materialization_macro_by_name)."""
+    out: dict[tuple[str, str], str] = {}
+    for m in MATERIALIZATION_BLOCK_RE.finditer(raw):
+        name, default_kw, adapter, body = m.groups()
+        out[(name, adapter or "default")] = body
+    return out
 
 
 def extract_docs(raw: str) -> dict[str, str]:

@@ -202,6 +202,11 @@ class Manifest:
     # cross-package protected/private ref errors (config/project.py:640,
     # manifest.py:1502)
     restrict_access: dict = field(default_factory=dict)
+    # custom {% materialization %} blocks:
+    # name -> adapter ('spark'|'default') -> (body, package_name, is_root)
+    # (reference find_materialization_macro_by_name candidates,
+    # manifest.py:1005-1046)
+    materialization_macros: dict = field(default_factory=dict)
 
     def add(self, node: ManifestNode) -> None:
         store = self.sources if node.resource_type == NodeType.Source else self.nodes

@@ -383,7 +383,11 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
         return ck, hit
 
     # --- macros first (models may call them at parse-render time) ---------
-    from dbt_spark.plans.macros import extract_generic_tests, extract_macros
+    from dbt_spark.plans.macros import (
+        extract_generic_tests,
+        extract_macros,
+        extract_materializations,
+    )
 
     if is_root:
         manifest.dispatch_config = list(project.dispatch)
@@ -394,6 +398,15 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
         for full, rel in _walk(mroot, mpaths, (".sql",)):
             with open(full) as f:
                 raw = f.read()
+            for (mname, madapter), body in extract_materializations(raw).items():
+                # custom {% materialization %} blocks (the reference's #1
+                # extension point); locality recorded for the
+                # require_explicit_package_overrides_for_builtin_
+                # materializations gate (manifest.py:1026-1044)
+                owner = pkg_name or project.name
+                is_root_locality = pkg_name is None and is_root
+                manifest.materialization_macros.setdefault(mname, {})[
+                    madapter] = (body, owner, is_root_locality)
             found = dict(extract_macros(raw))
             found.update(extract_generic_tests(raw))
             if is_root:

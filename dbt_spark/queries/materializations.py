@@ -548,6 +548,55 @@ def engine_run_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.read("main", "customer_orders")
 
 
+def engine_custom_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A user-defined {% materialization %} through the whole engine
+    (operators/custom_mat.py; reference task/run.py:305-334): the macro
+    compiles the model SELECT over the orders source, issues its own
+    CREATE TABLE ... USING PARQUET LOCATION via {% call statement('main')
+    %}, and the engine adopts the files as the node's relation. Output is
+    oracle-checked against the plain aggregate the macro materialized."""
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: cmq\n",
+        "macros/by_status.sql": (
+            "{% materialization adopted_table, default %}\n"
+            "  {% call statement('main') %}\n"
+            "    {{ create_table_as(False, this, sql) }}\n"
+            "  {% endcall %}\n"
+            "  {{ return({'relations': [this]}) }}\n"
+            "{% endmaterialization %}\n"
+        ),
+        "models/sources.yml": (
+            "sources:\n  - name: tpch\n    tables:\n      - name: orders\n"
+            '        meta: {location: "__SF__/orders.parquet"}\n'
+        ),
+        "models/status_rollup.sql": (
+            "{{ config(materialized='adopted_table') }} "
+            "select o_orderstatus, count(*) as n_orders, "
+            "cast(sum(cast(o_totalprice as decimal(18,2))) as double) "
+            "as total_price "
+            "from {{ source('tpch', 'orders') }} group by o_orderstatus"
+        ),
+    }
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_custmat_")
+    for rel, content in files.items():
+        p = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content.replace("__SF__", sf_dir))
+    eng = Engine(tmp, spark=spark)
+    result = eng.invoke(["run"])
+    if not result.success:
+        raise RuntimeError(
+            f"custom materialization run failed: "
+            f"{[r.message for r in result.results]}")
+    rel = eng.store.get("main", "status_rollup")
+    if not rel.meta.get("custom_materialization"):
+        raise RuntimeError("relation was not built by the custom path")
+    return eng.store.read("main", "status_rollup")
+
+
 def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """config(zorder_by=[k1, k2]) through the engine: Morton-interleaved
     clustering (functions/layout.py) relays the full row set unchanged — the
@@ -1808,6 +1857,12 @@ ORACLES: dict[str, str] = {
                CAST(o_totalprice AS DOUBLE) AS o_totalprice
         FROM orders
     """,
+    "engine_custom_materialization": """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders GROUP BY o_orderstatus
+    """,
     "engine_run_e2e": """
         WITH order_stats AS (
             SELECT o_custkey,
@@ -1848,6 +1903,7 @@ QUERIES = {
     "utilpack_fewer_rows_than_introspective":
         utilpack_fewer_rows_than_introspective,
     "engine_run_e2e": engine_run_e2e,
+    "engine_custom_materialization": engine_custom_materialization,
     "zorder_layout_scan": zorder_layout_scan,
     "snapshot_hard_delete": snapshot_hard_delete,
     "unit_test_fixture_diff": unit_test_fixture_diff,

@@ -1887,7 +1887,21 @@ class Engine:
                             artifact=False)
                 return
             mat = node.get_materialization()
-            fn = MATERIALIZATIONS.get(mat)
+            from dbt_spark.operators.custom_mat import (
+                resolve_custom_materialization,
+                run_custom_materialization,
+            )
+
+            custom_body = resolve_custom_materialization(
+                ctx.manifest, mat,
+                project_flags=getattr(self.project, "flags", None) or {},
+                builtin_names=set(MATERIALIZATIONS),
+            )
+            if custom_body is not None:
+                fn = (lambda c, n, _b=custom_body:
+                      run_custom_materialization(c, n, _b))
+            else:
+                fn = MATERIALIZATIONS.get(mat)
             if fn is None:
                 raise ValueError(f"{node.unique_id}: unknown materialization {mat!r}")
             from dbt_spark.operators.microbatch import MicrobatchPartialFailure
