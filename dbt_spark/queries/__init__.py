@@ -7,6 +7,7 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 from dbt_spark.queries import curation  # noqa: E402
+from dbt_spark.queries import hygiene  # noqa: E402
 from dbt_spark.queries import extended  # noqa: E402
 from dbt_spark.queries import relational  # noqa: E402
 from dbt_spark.queries import tpch_rest  # noqa: E402
@@ -28,3 +29,5 @@ QUERIES.update(extended.QUERIES)
 ORACLES.update(extended.ORACLES)
 QUERIES.update(curation.QUERIES)
 ORACLES.update(curation.ORACLES)
+QUERIES.update(hygiene.QUERIES)
+ORACLES.update(hygiene.ORACLES)

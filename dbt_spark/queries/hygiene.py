@@ -1,0 +1,372 @@
+"""Corpus-hygiene operators: PII redaction, boilerplate segment removal,
+leakage-safe holdout splits.
+
+The pre-release scrub stage of a training-data pipeline: strip personally
+identifiable information, drop boilerplate that repeats across documents
+(CCNet-style line dedup, Wenzek et al. 2020), and carve train/valid/test
+splits that keep every document group (here: source feed) inside one
+split so near-duplicates can't leak across the eval boundary.
+
+Every query is a pure DataFrame plan (regex + aggregates, no UDFs) with
+an exactly-paired DuckDB oracle. Cross-engine equality of the *redacted
+text itself* is proven by md5 fingerprints folded in doc_id order —
+Spark: md5(array_join(transform(array_sort(collect_list(struct(...))))));
+DuckDB: md5(string_agg(... ORDER BY doc_id)) — so a single differing
+byte anywhere in the corpus flips the hash.
+
+Scale notes per query inline. Reference parity: the reference engine
+ships none of these (its test corpus stops at SQL shapes); this is
+training-data breadth on top of §2E, same tier as functions/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_spark.functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE, redact_pii
+from dbt_spark.session import load_tables, spread
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load_tables(spark, sf_dir, "documents")["documents"], spark)
+
+
+# --------------------------------------------------------------------------
+# PII injection fixture (the synthetic corpus contains no digits at all, so
+# matches would be vacuously zero; inject deterministic contact lines from
+# doc_id/source with the SAME expression in both engines — the operator
+# under test is the redaction chain, the injection is the fixture)
+# --------------------------------------------------------------------------
+
+def _with_pii(docs: DataFrame) -> DataFrame:
+    email = F.concat(
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@"), F.col("source"), F.lit(".example.com"),
+    )
+    phone = F.concat(
+        F.lit(" dial +1 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 250).cast("string"),
+    )
+    full = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, email).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 1, phone).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 2, ip).otherwise(F.lit("")),
+    )
+    return docs.withColumn("full_text", full)
+
+
+_PII_SQL = """
+        SELECT *,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@'
+                            || source || '.example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 1
+                       THEN ' dial +1 555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 2
+                       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                            || '.' || CAST(doc_id % 250 AS VARCHAR)
+                       ELSE '' END AS full_text
+        FROM documents
+"""
+
+# the chained count/replace pipeline in DuckDB SQL — counts taken on the
+# string each pattern actually sees, mirroring functions/pii.py exactly
+_REDACT_SQL = f"""
+        SELECT doc_id, lang,
+               len(regexp_extract_all(full_text, '{EMAIL_RE}')) AS emails,
+               len(regexp_extract_all(t1, '{PHONE_RE}')) AS phones,
+               len(regexp_extract_all(t2, '{IPV4_RE}')) AS ips,
+               t3 AS redacted
+        FROM (
+            SELECT *, regexp_replace(t2, '{IPV4_RE}', '<IP>', 'g') AS t3
+            FROM (
+                SELECT *, regexp_replace(t1, '{PHONE_RE}', '<PHONE>', 'g') AS t2
+                FROM (
+                    SELECT *,
+                           regexp_replace(full_text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+                    FROM ({_PII_SQL})
+                )
+            )
+        )
+"""
+
+
+def _redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_pii(_docs(spark, sf_dir))
+    cols = redact_pii(F.col("full_text"))
+    return docs.select(
+        "doc_id", "lang",
+        cols["emails"].alias("emails"),
+        cols["phones"].alias("phones"),
+        cols["ips"].alias("ips"),
+        cols["redacted"].alias("redacted"),
+    )
+
+
+def _ordered_md5(key_col: str, val_col: str):
+    """md5 over per-row md5s folded in key order — one aggregate column
+    whose value pins every byte of ``val_col`` across the whole group."""
+    return F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(key_col).alias("k"),
+                                            F.md5(F.col(val_col)).alias("h")))
+                ),
+                lambda s: s["h"],
+            ),
+            "",
+        )
+    )
+
+
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language PII scrub report: match counts by kind, documents
+    touched, and an order-folded md5 of every redacted byte.
+
+    Scale: redaction is row-local codegen on the scan stage; the only
+    shuffle is the final groupBy(lang) (5 groups, map-side partials).
+    The fingerprint keeps per-group state at one 32-char hash per doc —
+    at 100 TB you'd swap the ordered fold for xxhash64-XOR (order-free,
+    constant state); the ordered form is chosen here because DuckDB can
+    replicate it exactly."""
+    r = _redacted(spark, sf_dir)
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("emails").cast("bigint").alias("emails"),
+            F.sum("phones").cast("bigint").alias("phones"),
+            F.sum("ips").cast("bigint").alias("ips"),
+            F.sum(
+                ((F.col("emails") + F.col("phones") + F.col("ips")) > 0)
+                .cast("int")
+            ).cast("bigint").alias("docs_touched"),
+            _ordered_md5("doc_id", "redacted").alias("redacted_md5"),
+        )
+        .orderBy("lang")
+    )
+
+
+def pii_doc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by PII density with per-doc redaction proof
+    (count triple + md5 + post-redaction length). TakeOrderedAndProject —
+    no full sort materializes."""
+    r = _redacted(spark, sf_dir)
+    return (
+        r.select(
+            "doc_id", "lang", "emails", "phones", "ips",
+            (F.col("emails") + F.col("phones") + F.col("ips")).alias("pii_total"),
+            F.length("redacted").cast("bigint").alias("redacted_len"),
+            F.md5("redacted").alias("redacted_md5"),
+        )
+        .orderBy(F.col("pii_total").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate segment removal (CCNet-style line dedup)
+# --------------------------------------------------------------------------
+
+def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove word-segments that repeat across >=5% of documents (CCNet
+    line-level dedup, Wenzek et al. 2020 — the corpus has no newlines, so
+    the "line" unit is a fixed 2-word segment; the operator shape is
+    identical for any segmenter). Emits per-language removal stats plus
+    an order-folded md5 of the cleaned corpus.
+
+    Scale: segmenting is shuffle-free array math on the scan (split +
+    slice, one posexplode). Document frequency is one hash shuffle on the
+    segment string with map-side partial distinct; the boilerplate set is
+    tiny BY CONSTRUCTION (bounded by docs/threshold distinct values), so
+    the removal join broadcasts. Reassembly is one shuffle back on
+    doc_id. Total: two shuffles, both on uniform keys."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    nseg = F.ceil(F.size(toks) / F.lit(2)).cast("int")
+    segs = (
+        docs.select(
+            "doc_id", "lang",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "),
+                )
+            ).alias("seg_id", "segment"),
+        )
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    boiler = (
+        segs.groupBy("segment")
+        .agg(F.countDistinct("doc_id").alias("df_docs"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("df_docs") * 20 >= F.col("n_total"))
+        .select("segment")
+    )
+    flagged = segs.join(
+        F.broadcast(boiler.withColumn("is_boiler", F.lit(True))),
+        "segment", "left",
+    )
+    cleaned = flagged.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("segments_total"),
+        F.sum(F.coalesce(F.col("is_boiler").cast("int"), F.lit(0)))
+        .alias("segments_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("seg_id").alias("k"),
+                            F.when(F.col("is_boiler"), F.lit(None))
+                            .otherwise(F.col("segment")).alias("s"),
+                        )
+                    )
+                ),
+                lambda s: s["s"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("segments_total").cast("bigint").alias("segments_total"),
+            F.sum("segments_removed").cast("bigint").alias("segments_removed"),
+            _ordered_md5("doc_id", "cleaned").alias("cleaned_md5"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe grouped holdout split
+# --------------------------------------------------------------------------
+
+def holdout_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split keyed on
+    md5(source) — every document group lands wholly in one split, so
+    near-duplicates sharing a source can never straddle the eval
+    boundary (the leakage failure mode of row-wise random splits).
+
+    Bucket = (ascii(h1)*16 + ascii(h2)) % 10 over the first two md5 hex
+    chars: engine-portable (no engine-specific hash()), uniform enough
+    over real group keys, and a pure scan-stage expression. One groupBy
+    shuffle on (split); at 100 TB the split column is written back as a
+    partition key so downstream reads prune."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("source"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))
+    ) % 10
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("source").alias("first_source"),
+            F.max("source").alias("last_source"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "pii_redact_stats": f"""
+        WITH r AS ({_REDACT_SQL})
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(emails) AS BIGINT) AS emails,
+               CAST(sum(phones) AS BIGINT) AS phones,
+               CAST(sum(ips) AS BIGINT) AS ips,
+               CAST(sum(CASE WHEN emails + phones + ips > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_touched,
+               md5(string_agg(md5(redacted), '' ORDER BY doc_id)) AS redacted_md5
+        FROM r GROUP BY lang ORDER BY lang
+    """,
+    "pii_doc_audit": f"""
+        WITH r AS ({_REDACT_SQL})
+        SELECT doc_id, lang, emails, phones, ips,
+               emails + phones + ips AS pii_total,
+               CAST(length(redacted) AS BIGINT) AS redacted_len,
+               md5(redacted) AS redacted_md5
+        FROM r
+        ORDER BY pii_total DESC, doc_id ASC LIMIT 20
+    """,
+    "boilerplate_segment_dedup": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word,
+                   generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS ord
+            FROM documents
+        ), segs AS (
+            SELECT doc_id, lang, (ord - 1) // 2 AS seg_id,
+                   string_agg(word, ' ' ORDER BY ord) AS segment
+            FROM toks GROUP BY 1, 2, 3
+        ), boiler AS (
+            SELECT segment FROM segs
+            GROUP BY segment
+            HAVING count(DISTINCT doc_id) * 20 >= (SELECT count(*) FROM documents)
+        ), flagged AS (
+            SELECT s.*, (b.segment IS NOT NULL) AS is_boiler
+            FROM segs s LEFT JOIN boiler b USING (segment)
+        ), cleaned AS (
+            SELECT doc_id, lang,
+                   count(*) AS segments_total,
+                   sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS segments_removed,
+                   coalesce(string_agg(CASE WHEN is_boiler THEN NULL ELSE segment END,
+                                       ' ' ORDER BY seg_id), '') AS cleaned
+            FROM flagged GROUP BY 1, 2
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(segments_total) AS BIGINT) AS segments_total,
+               CAST(sum(segments_removed) AS BIGINT) AS segments_removed,
+               md5(string_agg(md5(cleaned), '' ORDER BY doc_id)) AS cleaned_md5
+        FROM cleaned GROUP BY lang ORDER BY lang
+    """,
+    "holdout_split_grouped": """
+        WITH b AS (
+            SELECT *,
+                   (ascii(substr(md5(source), 1, 1)) * 16
+                    + ascii(substr(md5(source), 2, 1))) % 10 AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'valid'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(source) AS first_source,
+               max(source) AS last_source
+        FROM b GROUP BY 1 ORDER BY 1
+    """,
+}
+
+QUERIES = {
+    "pii_redact_stats": pii_redact_stats,
+    "pii_doc_audit": pii_doc_audit,
+    "boilerplate_segment_dedup": boilerplate_segment_dedup,
+    "holdout_split_grouped": holdout_split_grouped,
+}

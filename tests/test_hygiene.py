@@ -1,0 +1,140 @@
+"""Corpus-hygiene operators (queries/hygiene.py): PII redaction chain,
+boilerplate segment dedup, leakage-safe grouped split.
+
+REPLAY family #18: random PII-bearing strings through the REAL
+redact_pii() column chain vs a pure-python re-based oracle running the
+identical patterns in the identical order. Family base 340k rotated by
+DBT_SPARK_FUZZ_OFFSET.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_spark.functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE, redact_pii
+
+_OFF = int(os.environ.get("DBT_SPARK_FUZZ_OFFSET", "0"))
+_BASE = 340_000
+_SF = "/root/testdata/sf0.001"
+
+
+def _py_redact(text: str) -> dict:
+    """Pure-python oracle for the chained count/replace pipeline."""
+    emails = len(re.findall(EMAIL_RE, text))
+    t1 = re.sub(EMAIL_RE, "<EMAIL>", text)
+    phones = len(re.findall(PHONE_RE, t1))
+    t2 = re.sub(PHONE_RE, "<PHONE>", t1)
+    ips = len(re.findall(IPV4_RE, t2))
+    t3 = re.sub(IPV4_RE, "<IP>", t2)
+    return {"emails": emails, "phones": phones, "ips": ips, "redacted": t3}
+
+
+def _gen_text(rng: random.Random) -> str:
+    """Random prose interleaved with PII-shaped and near-miss fragments."""
+    words = ["alpha", "beta", "gamma", "delta", "run", "fast", "data"]
+    frags = []
+    for _ in range(rng.randint(1, 12)):
+        kind = rng.randint(0, 7)
+        if kind == 0:
+            frags.append(
+                f"user{rng.randint(0, 99999)}@host{rng.randint(0, 9)}.example.com"
+            )
+        elif kind == 1:
+            frags.append(
+                "+%d %d%d%d-%04d" % (
+                    rng.randint(1, 99), rng.randint(2, 9), rng.randint(0, 9),
+                    rng.randint(0, 9), rng.randint(0, 9999),
+                )
+            )
+        elif kind == 2:
+            frags.append(
+                ".".join(str(rng.randint(0, 300)) for _ in range(4))
+            )
+        elif kind == 3:  # near-misses: bare @, short digits, trailing dot
+            frags.append(rng.choice(["a@b", "12-34", "1.2.3.", "@x.co", "+12"]))
+        else:
+            frags.append(rng.choice(words))
+    return " ".join(frags)
+
+
+@pytest.mark.parametrize("seed", [_BASE + _OFF + i for i in range(12)])
+def test_redact_pii_vs_python(spark, seed):
+    rng = random.Random(seed)
+    rows = [(i, _gen_text(rng)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    cols = redact_pii(F.col("t"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id", "t",
+            cols["emails"].alias("e"), cols["phones"].alias("p"),
+            cols["ips"].alias("i"), cols["redacted"].alias("r"),
+        ).collect()
+    }
+    for i, t in rows:
+        want = _py_redact(t)
+        g = got[i]
+        assert (g["e"], g["p"], g["i"]) == (
+            want["emails"], want["phones"], want["ips"]), (seed, t)
+        assert g["r"] == want["redacted"], (seed, t)
+
+
+def test_pii_queries_shapes(spark):
+    from dbt_spark.queries.hygiene import pii_doc_audit, pii_redact_stats
+
+    stats = pii_redact_stats(spark, _SF).collect()
+    assert len(stats) == 5  # five langs
+    assert sum(r["emails"] for r in stats) > 0
+    assert sum(r["phones"] for r in stats) > 0
+    assert sum(r["ips"] for r in stats) > 0
+    for r in stats:
+        assert len(r["redacted_md5"]) == 32
+    audit = pii_doc_audit(spark, _SF).collect()
+    assert len(audit) == 20
+    totals = [r["pii_total"] for r in audit]
+    assert totals == sorted(totals, reverse=True)
+    # injection fixture: no residual raw PII survives redaction anywhere
+    from dbt_spark.queries.hygiene import _redacted
+
+    leftover = (
+        _redacted(spark, _SF)
+        .filter(
+            F.col("redacted").rlike(EMAIL_RE)
+            | F.col("redacted").rlike(IPV4_RE)
+        )
+        .count()
+    )
+    assert leftover == 0
+
+
+def test_boilerplate_segment_dedup_semantics(spark):
+    from dbt_spark.queries.hygiene import boilerplate_segment_dedup
+
+    rows = boilerplate_segment_dedup(spark, _SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["segments_removed"] <= r["segments_total"]
+        assert len(r["cleaned_md5"]) == 32
+    # the synthetic corpus has hot bigrams above the 5% threshold
+    assert sum(r["segments_removed"] for r in rows) > 0
+
+
+def test_holdout_split_leakproof(spark):
+    from dbt_spark.queries.hygiene import holdout_split_grouped
+    from dbt_spark.session import load_tables
+
+    rows = {r["split"]: r for r in holdout_split_grouped(spark, _SF).collect()}
+    docs = load_tables(spark, _SF, "documents")["documents"]
+    total_docs = docs.count()
+    total_sources = docs.select("source").distinct().count()
+    assert sum(r["n_docs"] for r in rows.values()) == total_docs
+    # leakage-safety: each source lands in exactly one split, so the
+    # per-split distinct-source counts partition the global set
+    assert sum(r["n_sources"] for r in rows.values()) == total_sources
+    assert "train" in rows
+    assert rows["train"]["n_docs"] == max(r["n_docs"] for r in rows.values())
