@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["canonical_edges", "triangle_stats"]
+__all__ = ["canonical_edges", "pagerank", "triangle_stats"]
 
 #: (degree, node) total order packed into one sortable long — node ids must
 #: fit in 32 bits (true for every key column in the test corpus; a general
@@ -105,4 +105,47 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
                 6,
             ).alias("clustering_coeff"),
         )
+    )
+
+
+def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> DataFrame:
+    """Power-iteration PageRank over canonical (u < v) undirected edges,
+    N-scaled (ranks average 1.0, so the teleport term is a constant and
+    no global count broadcasts into the update).
+
+    Classic Page et al. 1999 / Pregel-style iteration as pure DataFrame
+    rounds: each iteration is one equi-join of (edge, deg) with the rank
+    vector on the source key plus one sum-shuffle on the destination key
+    — map-side partial aggregation makes per-round traffic O(edges)
+    contributions collapsing to O(nodes) partials. Fixed iteration count
+    keeps the plan a linear chain (no driver-side convergence collect);
+    callers wanting convergence stop on max |Δrank| with one 1-row
+    aggregate per round. Undirected graphs have no dangling nodes, so no
+    lost-mass correction term is needed.
+
+    Floating-point contract: the update is the single IEEE expression
+    ``(1 - damping) + damping * SUM(rank / deg)`` with BOTH constants as
+    source literals — sum order varies across partitions/engines, so
+    consumers round final ranks (round-6 keeps ~1e-13 relative
+    cross-engine drift far from the grid; see curation.pagerank oracle).
+
+    Returns (node, degree, rank) for every node of the edge set.
+    """
+    directed = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ed = directed.join(deg, "u")
+    ranks = deg.select(F.col("u").alias("node"), F.lit(1.0).alias("rank"))
+    base = F.lit(1.0 - damping)
+    for _ in range(iterations):
+        contribs = ed.join(ranks.withColumnRenamed("node", "u"), "u").select(
+            F.col("v").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        ranks = contribs.groupBy("node").agg(
+            (base + F.lit(damping) * F.sum("c")).alias("rank")
+        )
+    return deg.select(F.col("u").alias("node"), F.col("deg").alias("degree")).join(
+        ranks, "node"
     )

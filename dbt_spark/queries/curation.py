@@ -567,7 +567,76 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (functions/graph_stats.py::pagerank, 4 fixed
+    power iterations, damping 0.85) over the co-purchase graph — the
+    centrality signal a curation pipeline uses to weight documents by
+    source-graph authority. Top-20 nodes by round-6 N-scaled rank.
+
+    Scale: per iteration one equi-join on the source key + one sum
+    shuffle on the destination key, partial-aggregated map-side; rank
+    state is (node, double). Fixed iterations = linear plan chain, no
+    driver collect. Oracle: the SAME four iterations unrolled as
+    MATERIALIZED CTE levels in DuckDB; both engines round the final
+    double to 6 (sum-order drift ~1e-13 relative, far from the grid —
+    float contract in the function docstring)."""
+    from dbt_spark.functions.graph_stats import canonical_edges, pagerank
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+    edges = canonical_edges(pairs, "pa", "pb")
+    r = pagerank(edges, iterations=4, damping=0.85)
+    return (
+        r.select(
+            F.col("node").alias("part_id"),
+            "degree",
+            F.round(F.col("rank"), 6).alias("pagerank_r6"),
+        )
+        .orderBy(F.col("pagerank_r6").desc(), F.col("part_id").asc())
+        .limit(20)
+    )
+
+
+def _pagerank_oracle_sql(iterations: int = 4, damping: float = 0.85) -> str:
+    """Unroll the identical power iterations as MATERIALIZED CTE levels
+    (chained lateral aliases would inline each level twice — the
+    2^steps blowup documented in the verify notes)."""
+    base = repr(1.0 - damping)  # same Python double the Spark plan uses
+    lvls = []
+    for i in range(1, iterations + 1):
+        lvls.append(
+            f"""r{i} AS MATERIALIZED (
+            SELECT d.v AS node,
+                   {base} + {damping!r} * sum(r.rank / deg.deg) AS rank
+            FROM d JOIN deg USING (u) JOIN r{i-1} r ON r.node = d.u
+            GROUP BY d.v
+        )"""
+        )
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                            greatest(a.l_partkey, b.l_partkey) AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), d AS MATERIALIZED (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ), deg AS MATERIALIZED (
+            SELECT u, count(*) AS deg FROM d GROUP BY 1
+        ), r0 AS (
+            SELECT u AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg
+        ), {", ".join(lvls)}
+        SELECT deg.u AS part_id,
+               deg.deg AS degree,
+               round(r{iterations}.rank, 6) AS pagerank_r6
+        FROM deg JOIN r{iterations} ON r{iterations}.node = deg.u
+        ORDER BY pagerank_r6 DESC, part_id ASC LIMIT 20
+    """
+
+
 ORACLES: dict[str, str] = {
+    "copurchase_pagerank": _pagerank_oracle_sql(),
     "copurchase_triangle_stats": """
         WITH e AS (
             SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
@@ -815,6 +884,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "copurchase_pagerank": copurchase_pagerank,
     "copurchase_triangle_stats": copurchase_triangle_stats,
     "skewed_agg_salted": skewed_agg_salted,
     "join_range_binned": join_range_binned,

@@ -98,3 +98,44 @@ def test_triangle_stats_no_cartesian_no_udf(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def _py_pagerank(edges: set[tuple[int, int]], iterations=4, d=0.85) -> dict[int, float]:
+    """Independent dense power iteration (N-scaled), same float contract."""
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    rank = {n: 1.0 for n in adj}
+    for _ in range(iterations):
+        incoming: dict[int, list[float]] = {n: [] for n in adj}
+        for n, nbrs in adj.items():
+            c = rank[n] / len(nbrs)
+            for m in nbrs:
+                incoming[m].append(c)
+        # summation order differs from Spark's partial aggregation — the
+        # tolerance below is the operator's documented float contract
+        rank = {n: (1.0 - d) + d * sum(cs) for n, cs in incoming.items()}
+    return rank
+
+
+@pytest.mark.parametrize("seed", [_BASE + _OFF + 100 + i for i in range(8)])
+def test_pagerank_vs_python(spark, seed):
+    from dbt_spark.functions.graph_stats import pagerank
+
+    rng = random.Random(seed)
+    raw = _gen_edges(rng)
+    if not raw:
+        raw = [(0, 1)]
+    df = spark.createDataFrame(raw, "a long, b long")
+    edges = canonical_edges(df, "a", "b")
+    got = {r["node"]: (r["degree"], r["rank"])
+           for r in pagerank(edges, iterations=4, damping=0.85).collect()}
+    dedup = {(min(u, v), max(u, v)) for u, v in raw if u != v}
+    want = _py_pagerank(dedup)
+    assert set(got) == set(want), seed
+    n = len(want)
+    # ranks are a probability mass scaled by N: total is conserved
+    assert abs(sum(r for _, r in got.values()) - n) < 1e-9 * max(n, 1)
+    for node, w in want.items():
+        assert abs(got[node][1] - w) < 1e-9, (seed, node)
