@@ -7,6 +7,11 @@ validation), meta column names :35-42, runner core/dbt/task/snapshot.py:16-57:
   is strictly newer than the tracked current version's.
 - ``check`` strategy: new version when any ``check_cols`` value differs
   (null-safe); ``check_cols: all`` compares every non-key column.
+- any OTHER strategy name is a CUSTOM strategy (v1/snapshot.py:68-69):
+  it dispatches to a user macro ``snapshot_<name>_strategy`` whose
+  returned dict supplies updated_at / row_changed (+ optional scd_id)
+  SQL expressions, applied here via F.expr over frames aliased
+  ``source_data`` / ``snapshotted_data`` (the reference's alias names).
 - meta columns: dbt_scd_id (md5 of key + version timestamp), dbt_valid_from,
   dbt_valid_to (NULL for current), dbt_updated_at, dbt_is_deleted (when
   hard_deletes='new_record').
@@ -84,24 +89,120 @@ def _scd_id(keys: list[str], version_ts_col: str) -> F.Column:
     return F.md5(F.concat_ws("|", *parts))
 
 
-def _with_meta(df: DataFrame, node: ManifestNode, run_ts: str) -> DataFrame:
+def _custom_strategy(ctx: ExecutionContext, node: ManifestNode,
+                     target_exists: bool) -> dict:
+    """Resolve and call a user-defined ``snapshot_<strategy>_strategy``
+    macro for a non-builtin strategy name.
+
+    Reference: core treats any strategy that isn't 'check'/'timestamp' as
+    custom and passes it through parse validation
+    (core/dbt/artifacts/resources/v1/snapshot.py:68-69 comment); the
+    adapters-side snapshot materialization dispatches
+    ``snapshot_{name}_strategy(node, snapshotted_rel, current_rel,
+    model_config, target_exists)`` and expects a dict with SQL-expression
+    entries ``unique_key`` / ``updated_at`` / ``row_changed`` (+ optional
+    ``scd_id``). Here the returned expressions are applied via F.expr on
+    DataFrames aliased ``source_data`` / ``snapshotted_data`` — the same
+    names the reference hands the macro, so qualified expressions work
+    verbatim."""
+    from dbt_spark.plans.compile import CompilationError, runtime_render
+    from dbt_spark.plans.macros import MacroReturn, _macro_return
+    from dbt_spark.plans.manifest import NodeType
+
+    mname = f"snapshot_{node.config.strategy}_strategy"
+    cfg = {
+        k: getattr(node.config, k, None)
+        for k in ("strategy", "unique_key", "updated_at", "check_cols",
+                  "hard_deletes")
+    }
+    cfg["meta"] = dict(node.config.meta or {})
+    driver = (
+        "{{ return(" + mname
+        + "(node, 'snapshotted_data', 'source_data', config_dict,"
+          " target_exists)) }}"
+    )
+    drv = ManifestNode(
+        unique_id=f"operation.{node.unique_id}.strategy",
+        name=node.name,
+        package_name=node.package_name,
+        path="",
+        resource_type=NodeType.Operation,
+        raw_code=driver,
+        config=node.config,
+    )
+    try:
+        runtime_render(
+            drv, ctx.manifest,
+            resolve_ref=ctx.resolve_ref, resolve_source=ctx.resolve_source,
+            this_name=ctx.name_for(node), is_incremental=False,
+            full_refresh=ctx.full_refresh,
+            var_overrides=dict(ctx.vars),
+            target=dict(ctx.project.profile),
+            run_query=ctx.run_query,
+            extra={
+                "node": node,
+                "config_dict": cfg,
+                "target_exists": target_exists,
+                "return": _macro_return,
+            },
+        )
+    except MacroReturn as r:
+        strat = r.value
+        if not isinstance(strat, dict) or "row_changed" not in strat:
+            raise CompilationError(
+                f"snapshot {node.name}: custom strategy macro {mname} must "
+                "return a dict with at least a 'row_changed' expression"
+            )
+        return strat
+    except Exception as exc:
+        if mname in str(exc) or "undefined" in str(exc).lower():
+            raise CompilationError(
+                f"snapshot {node.name}: strategy "
+                f"{node.config.strategy!r} requires a macro named "
+                f"'{mname}' (custom snapshot strategy dispatch)"
+            ) from exc
+        raise
+    raise CompilationError(
+        f"snapshot {node.name}: custom strategy macro {mname} did not "
+        "return() a strategy dict"
+    )
+
+
+def _with_meta(df: DataFrame, node: ManifestNode, run_ts: str,
+               strat: dict | None = None) -> DataFrame:
     """Append meta columns to fresh source rows (first version)."""
-    if node.config.strategy == "timestamp":
+    if strat is not None:
+        df = df.alias("source_data").withColumn(
+            "dbt_updated_at",
+            F.expr(str(strat["updated_at"])).cast("timestamp")
+            if strat.get("updated_at") else F.lit(run_ts).cast("timestamp"),
+        )
+    elif node.config.strategy == "timestamp":
         version_col = node.config.updated_at
         df = df.withColumn("dbt_updated_at", F.col(version_col))
     else:
         df = df.withColumn("dbt_updated_at", F.lit(run_ts).cast("timestamp"))
+    scd = (
+        F.expr(str(strat["scd_id"]))
+        if strat is not None and strat.get("scd_id")
+        else _scd_id(_keys(node), "dbt_updated_at")
+    )
     df = (
         df.withColumn("dbt_valid_from", F.col("dbt_updated_at"))
         .withColumn("dbt_valid_to", F.lit(None).cast("timestamp"))
-        .withColumn("dbt_scd_id", _scd_id(_keys(node), "dbt_updated_at"))
+        .withColumn("dbt_scd_id", scd)
     )
     if node.config.hard_deletes == "new_record":
         df = df.withColumn("dbt_is_deleted", F.lit(False))
     return df
 
 
-def _changed_predicate(node: ManifestNode, src: DataFrame, cur: DataFrame) -> F.Column:
+def _changed_predicate(node: ManifestNode, src: DataFrame, cur: DataFrame,
+                       strat: dict | None = None) -> F.Column:
+    if strat is not None:
+        # evaluated in the joined scope where src is aliased source_data
+        # and cur snapshotted_data — qualified refs resolve verbatim
+        return F.expr(str(strat["row_changed"]))
     if node.config.strategy == "timestamp":
         ua = node.config.updated_at
         return src[ua] > cur["dbt_updated_at"]
@@ -123,10 +224,17 @@ def materialize_snapshot(ctx: ExecutionContext, node: ManifestNode) -> Relation:
 
     source = run_model_df(ctx, node)
 
-    if not ctx.store.exists(schema, ctx.name_for(node)):
+    exists = ctx.store.exists(schema, ctx.name_for(node))
+    strat = (
+        None
+        if node.config.strategy in ("timestamp", "check")
+        else _custom_strategy(ctx, node, exists)
+    )
+
+    if not exists:
         from dbt_spark.operators.materialize import storage_options
 
-        first = _to_external(_with_meta(source, node, run_ts), node)
+        first = _to_external(_with_meta(source, node, run_ts, strat), node)
         return ctx.store.write_table(schema, ctx.name_for(node), first,
                                      kind="snapshot", **storage_options(node))
 
@@ -135,19 +243,28 @@ def materialize_snapshot(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     history = snap.filter(F.col("dbt_valid_to").isNotNull())
     current = snap.filter(F.col("dbt_valid_to").isNull())
 
-    src = source.alias("src")
-    cur = current.alias("cur")
+    # alias names match what the reference hands strategy macros, so a
+    # custom strategy's qualified row_changed/updated_at exprs resolve
+    src = source.alias("source_data")
+    cur = current.alias("snapshotted_data")
     on = [src[k].eqNullSafe(cur[k]) for k in keys]
     joined = src.join(cur, on, "full_outer")
 
     src_key = src[keys[0]]
     cur_key = cur[keys[0]]
-    changed = _changed_predicate(node, src, cur)
-    version_ts = (
-        src[node.config.updated_at]
-        if node.config.strategy == "timestamp"
-        else F.lit(run_ts).cast("timestamp")
-    )
+    changed = _changed_predicate(node, src, cur, strat)
+    if strat is not None:
+        version_ts = (
+            F.expr(str(strat["updated_at"])).cast("timestamp")
+            if strat.get("updated_at")
+            else F.lit(run_ts).cast("timestamp")
+        )
+    else:
+        version_ts = (
+            src[node.config.updated_at]
+            if node.config.strategy == "timestamp"
+            else F.lit(run_ts).cast("timestamp")
+        )
 
     cur_cols = [cur[c].alias(c) for c in current.columns]
     src_data_cols = [src[c].alias(c) for c in source.columns]
@@ -167,7 +284,7 @@ def materialize_snapshot(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     fresh_src = joined.filter(
         src_key.isNotNull() & (cur_key.isNull() | changed)
     ).select(*src_data_cols)
-    inserts = _with_meta(fresh_src, node, run_ts)
+    inserts = _with_meta(fresh_src, node, run_ts, strat)
 
     # 4. hard deletes
     vanished = joined.filter(src_key.isNull() & cur_key.isNotNull())

@@ -808,14 +808,22 @@ def _extract_snapshot_blocks(raw: str):
 
 def _validate_snapshot_config(name: str, config: NodeConfig) -> None:
     """core/dbt/artifacts/resources/v1/snapshot.py:44-72 validation."""
-    if config.strategy not in ("timestamp", "check"):
+    # Any strategy that isn't 'check'/'timestamp' is a CUSTOM strategy and
+    # passes parse validation (v1/snapshot.py:68-69: "If the strategy is not
+    # 'check' or 'timestamp' it's a custom strategy") — it resolves to a
+    # snapshot_<name>_strategy macro at materialization.
+    if not config.strategy:
         raise CompilationError(
-            f"snapshot {name}: strategy must be 'timestamp' or 'check', got {config.strategy!r}"
+            f"snapshot {name}: snapshots must be configured with a 'strategy'"
         )
     if config.unique_key is None:
         raise CompilationError(f"snapshot {name}: unique_key is required")
     if config.strategy == "timestamp" and not config.updated_at:
         raise CompilationError(f"snapshot {name}: timestamp strategy requires updated_at")
+    if config.strategy == "timestamp" and config.check_cols:
+        raise CompilationError(
+            f"snapshot {name}: a 'timestamp' snapshot should not have 'check_cols'"
+        )
     if config.strategy == "check" and not config.check_cols:
         raise CompilationError(f"snapshot {name}: check strategy requires check_cols")
 

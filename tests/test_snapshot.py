@@ -289,3 +289,97 @@ def root_for(files, spark):
         with open(p, "w") as f:
             f.write(content)
     return base
+
+
+SNAP_CUSTOM = """
+{% snapshot people_snap %}
+{{ config(strategy='newer_name', unique_key='id', updated_at='updated_at') }}
+select * from {{ ref('people') }}
+{% endsnapshot %}
+"""
+
+# reference-shaped custom strategy macro: same signature the adapters-side
+# snapshot materialization dispatches (node, snapshotted_rel, current_rel,
+# model_config, target_exists) returning SQL-expression entries
+CUSTOM_STRATEGY_MACRO = """
+{% macro snapshot_newer_name_strategy(node, snapshotted_rel, current_rel, model_config, target_exists) %}
+{{ return({
+    'unique_key': model_config['unique_key'],
+    'updated_at': current_rel ~ '.updated_at',
+    'row_changed': current_rel ~ '.name <> ' ~ snapshotted_rel ~ '.name'
+}) }}
+{% endmacro %}
+"""
+
+
+def test_custom_strategy_e2e(project_dir, spark):
+    files = {
+        "dbt_project.yml": "name: snap\n",
+        "seeds/people.csv": V1_CSV,
+        "snapshots/people.sql": SNAP_CUSTOM,
+        "macros/strategy.sql": CUSTOM_STRATEGY_MACRO,
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["snapshot"], snapshot_ts="2020-01-15 00:00:00")
+    assert r.success, [x.message for x in r.results]
+    snap = eng.store.read("main", "people_snap").collect()
+    assert len(snap) == 3
+    # custom updated_at expr drives dbt_valid_from on first write
+    assert all(str(row["dbt_valid_from"]).startswith("2020-01-01") for row in snap)
+
+    Path(root, "seeds/people.csv").write_text(V2_CSV)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["snapshot"], snapshot_ts="2020-02-15 00:00:00")
+    assert r.success, [x.message for x in r.results]
+    rows = eng.store.read("main", "people_snap").collect()
+    by = {}
+    for row in rows:
+        by.setdefault(row["id"], []).append(row)
+    # id=1: name unchanged -> custom row_changed says no new version
+    assert len(by[1]) == 1 and by[1][0]["dbt_valid_to"] is None
+    # id=2: name changed -> closed at the custom updated_at expression's
+    # value (source_data.updated_at = 2020-02-01), plus a new current row
+    v2 = sorted(by[2], key=lambda r: r["dbt_valid_from"])
+    assert len(v2) == 2
+    assert v2[0]["name"] == "bob"
+    assert str(v2[0]["dbt_valid_to"]).startswith("2020-02-01")
+    assert v2[1]["name"] == "robert" and v2[1]["dbt_valid_to"] is None
+    # id=3: hard_deletes defaults to ignore
+    assert len(by[3]) == 1 and by[3][0]["dbt_valid_to"] is None
+    assert len(by[4]) == 1 and by[4][0]["dbt_valid_to"] is None
+
+
+def test_custom_strategy_missing_macro_errors(project_dir, spark):
+    files = {
+        "dbt_project.yml": "name: snap\n",
+        "seeds/people.csv": V1_CSV,
+        "snapshots/people.sql": SNAP_CUSTOM.replace("newer_name", "nope"),
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["snapshot"], snapshot_ts="2020-01-15 00:00:00")
+    assert not r.success
+    msgs = " ".join(x.message or "" for x in r.results)
+    assert "snapshot_nope_strategy" in msgs
+
+
+def test_timestamp_strategy_rejects_check_cols(project_dir, spark):
+    import pytest as _pytest
+
+    from dbt_spark.plans.compile import CompilationError
+
+    bad = SNAP_TS.replace(
+        "hard_deletes='invalidate'",
+        "hard_deletes='invalidate', check_cols=['name']",
+    )
+    files = {
+        "dbt_project.yml": "name: snap\n",
+        "seeds/people.csv": V1_CSV,
+        "snapshots/people.sql": bad,
+    }
+    root = project_dir(files)
+    with _pytest.raises(CompilationError, match="should not have 'check_cols'"):
+        Engine(root, spark=spark).invoke(["snapshot"])
