@@ -183,6 +183,10 @@ EXTENDED = [
     # round-10 additions
     "copurchase_triangle_stats",  # degree-ordered triangle counting
     "utilpack_unique_combination_of_columns",  # hash-groupBy duplicate combos
+    "copurchase_pagerank",  # 4 power iterations, 2 shuffles each
+    "pii_redact_stats",  # chained 3-kind redaction, scan-stage codegen
+    "boilerplate_segment_dedup",  # CCNet line dedup: 2 shuffles
+    "holdout_split_grouped",  # leakage-safe grouped split
 ]
 
 

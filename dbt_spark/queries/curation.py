@@ -599,6 +599,78 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gini coefficient of document length — the corpus-
+    balance diagnostic (is one source hogging the token budget?).
+
+    Uses the sorted-rank identity G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x)
+    with ranks from ONE partitioned window (never a global sort) and all
+    sums in DECIMAL(38,0) so they are order-independent and exact; only
+    the final division is a double (single correctly-rounded IEEE op →
+    bit-equal to the DuckDB oracle while operands stay < 2^53; at larger
+    scale round-6 the output). One shuffle on lang."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang", F.col("n_chars").cast("decimal(38,0)").alias("x"),
+        F.row_number().over(w).cast("decimal(38,0)").alias("i"),
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("x").cast("decimal(38,0)").alias("sum_chars_d"),
+            F.sum(F.col("i") * F.col("x")).cast("decimal(38,0)").alias("s1"),
+        )
+        .select(
+            "lang", "n_docs",
+            F.col("sum_chars_d").cast("bigint").alias("sum_chars"),
+            (
+                (F.lit(2).cast("decimal(38,0)") * F.col("s1")
+                 - (F.col("n_docs") + 1).cast("decimal(38,0)") * F.col("sum_chars_d"))
+                .cast("double")
+                / (F.col("n_docs").cast("decimal(38,0)") * F.col("sum_chars_d"))
+                .cast("double")
+            ).alias("gini"),
+        )
+        .orderBy("lang")
+    )
+
+
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the exponential race
+    (Efraimidis & Spirakis 2006 A-ES): each doc draws key = −ln(u)/w from
+    a reproducible pseudo-uniform u (6 md5 hex digits of doc_id — a pure
+    function, so reruns and late shards draw the SAME key; no rand()),
+    and the global sample is the k smallest keys — TakeOrderedAndProject,
+    so every partition keeps a local top-k and nothing global sorts.
+    Weight = n_chars: longer docs proportionally likelier, the standard
+    size-weighted corpus subsample.
+
+    ln() is the one non-correctly-rounded op (≤1 ulp cross-engine); keys
+    are emitted round-6 and selection boundaries sit ~1/n apart, far
+    from ulp scale. Ties (u collision at 16M levels) break on doc_id."""
+    docs = _docs(spark, sf_dir)
+    u_int = F.lit(0).cast("bigint")
+    for pos in range(1, 7):
+        digit = F.expr(
+            f"instr('0123456789abcdef', substring(md5(cast(doc_id as string)), {pos}, 1)) - 1"
+        ).cast("bigint")
+        u_int = u_int * 16 + digit
+    u = (u_int.cast("double") + F.lit(0.5)) / F.lit(float(16 ** 6))
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round(key, 6).alias("race_key_r6"),
+            key.alias("__k"),
+        )
+        .orderBy(F.col("__k").asc(), F.col("doc_id").asc())
+        .limit(20)
+        .drop("__k")
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 4, damping: float = 0.85) -> str:
     """Unroll the identical power iterations as MATERIALIZED CTE levels
     (chained lateral aliases would inline each level twice — the
@@ -635,7 +707,45 @@ def _pagerank_oracle_sql(iterations: int = 4, damping: float = 0.85) -> str:
     """
 
 
+_HEX_DIGITS_SQL = ", ".join(
+    f"instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), {p}, 1)) - 1 AS d{p}"
+    for p in range(1, 7)
+)
+
 ORACLES: dict[str, str] = {
+    "source_gini_inequality": """
+        WITH ranked AS (
+            SELECT lang, CAST(n_chars AS DECIMAL(38,0)) AS x,
+                   CAST(row_number() OVER (PARTITION BY lang
+                                           ORDER BY n_chars, doc_id)
+                        AS DECIMAL(38,0)) AS i
+            FROM documents
+        ), agg AS (
+            SELECT lang, count(*) AS n_docs, sum(x) AS sum_chars_d,
+                   sum(i * x) AS s1
+            FROM ranked GROUP BY 1
+        )
+        SELECT lang,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(sum_chars_d AS BIGINT) AS sum_chars,
+               CAST(2 * s1 - (n_docs + 1) * sum_chars_d AS DOUBLE)
+               / CAST(n_docs * sum_chars_d AS DOUBLE) AS gini
+        FROM agg ORDER BY lang
+    """,
+    "weighted_sample_topk": f"""
+        WITH digits AS (
+            SELECT doc_id, lang, n_chars, {_HEX_DIGITS_SQL}
+            FROM documents
+        ), keyed AS (
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                   -ln((CAST(((((d1 * 16 + d2) * 16 + d3) * 16 + d4) * 16 + d5)
+                             * 16 + d6 AS DOUBLE) + 0.5) / 16777216.0)
+                   / CAST(n_chars AS DOUBLE) AS k
+            FROM digits
+        )
+        SELECT doc_id, lang, n_chars, round(k, 6) AS race_key_r6
+        FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 20
+    """,
     "copurchase_pagerank": _pagerank_oracle_sql(),
     "copurchase_triangle_stats": """
         WITH e AS (
@@ -885,6 +995,8 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "copurchase_pagerank": copurchase_pagerank,
+    "source_gini_inequality": source_gini_inequality,
+    "weighted_sample_topk": weighted_sample_topk,
     "copurchase_triangle_stats": copurchase_triangle_stats,
     "skewed_agg_salted": skewed_agg_salted,
     "join_range_binned": join_range_binned,

@@ -7,6 +7,14 @@ identifiable information, drop boilerplate that repeats across documents
 splits that keep every document group (here: source feed) inside one
 split so near-duplicates can't leak across the eval boundary.
 
+Relationship to queries/llmops.py: ``pii_redaction`` there is the
+single-pass email scrub on truncated text; this module is the full
+chained multi-kind pipeline with corpus-level byte-equality proofs.
+``train_val_test_split`` there is the row-wise iid split (md5 of
+doc_id); ``holdout_split_grouped`` here splits at GROUP granularity —
+the anti-leakage variant (near-duplicates share a source and must share
+a split).
+
 Every query is a pure DataFrame plan (regex + aggregates, no UDFs) with
 an exactly-paired DuckDB oracle. Cross-engine equality of the *redacted
 text itself* is proven by md5 fingerprints folded in doc_id order —
