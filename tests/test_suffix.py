@@ -184,3 +184,45 @@ def test_suffix_repeat_adversarial_mixed_block(spark):
     rng = random.Random(_BASE + _OFF + 991)
     filler = "".join(rng.choice("xyz ") for _ in range(300))
     _check(spark, [(0, "b" * 3_000), (1, filler), (2, "b" * 500 + filler[:40])])
+
+
+def test_both_physical_plans_same_result(spark):
+    """The adaptive planner's two physical plans (window fast path vs
+    skew-safe aggregates) are one logical operator: same corpus, both
+    pinned paths, identical result vs the pure-python oracle."""
+    rng = random.Random(_BASE + _OFF + 77)
+    docs = _gen_corpus(rng)
+    want = _brute_reps(docs, 64)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for skew_safe in (False, True):
+        got = {
+            (r["doc_id"], r["pos"]): r["rep"]
+            for r in suffix_repeat_lengths(
+                df, max_depth=64, skew_safe=skew_safe).collect()
+        }
+        assert got == want, skew_safe
+
+
+def test_skew_probe_detection(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_spark.functions.suffix import GRANULE, _probe_skew
+
+    def probe(docs):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        positions = df.select(
+            F.col("text").alias("__text"),
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
+        )
+        return _probe_skew(
+            positions, F.expr(f"substring(__text, pos, {GRANULE})"))
+
+    # single-character corpus: one giant tie block -> skew-safe plan
+    assert probe([(0, "a" * 4000)]) is True
+    # diverse corpus: seed keys are near-unique -> fast window plan
+    rng = random.Random(_BASE + _OFF + 78)
+    alpha = "abcdefgh"
+    diverse = [
+        (d, "".join(rng.choice(alpha) for _ in range(300))) for d in range(30)
+    ]
+    assert probe(diverse) is False
