@@ -45,6 +45,12 @@ PROBE_QUERIES = [
     "decontam_bloom_prefilter",   # Bloom literal prefilter + exact join
     "moore_lewis_select",         # two-LM gram-keyed scoring joins
     "copurchase_triangle_stats",  # degree-ordered triangle counting
+    "copurchase_pagerank",        # 4 power iterations (join + sum shuffle)
+    "pii_redact_stats",           # chained regex redaction, scan-stage
+    "boilerplate_segment_dedup",  # segment DF + broadcast removal join
+    "holdout_split_grouped",      # md5-bucket grouped split
+    "source_gini_inequality",     # partitioned rank window + decimal sums
+    "weighted_sample_topk",       # A-ES race, TakeOrderedAndProject
 ]
 
 
