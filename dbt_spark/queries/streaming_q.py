@@ -559,7 +559,96 @@ def stream_foreachbatch_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PII scrub gate: the chained email→phone→ipv4 redaction
+    (functions/pii.py) runs INSIDE a file stream — documents land in two
+    micro-batch file drops, each availableNow run scrubs only the new
+    files (checkpoint), and the accumulated output must equal the batch
+    pipeline byte-for-byte: the oracle is the SAME per-lang report as
+    ``pii_redact_stats`` (counts + doc_id-ordered md5 fold over every
+    redacted byte), so this is a VALUE-PAIRED streaming query.
+
+    Scale: the redaction is stateless row-local codegen — the streaming
+    plan carries no state store at all; throughput is the file-source
+    read rate. The quarantine shape (scrub-on-ingest before anything
+    lands in the lake) is the standard privacy-boundary deployment."""
+    from dbt_spark.functions.pii import redact_pii
+    from dbt_spark.queries.hygiene import _with_pii
+
+    docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    dirty = _with_pii(docs).select("doc_id", "lang", "full_text")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    src = tempfile.mkdtemp(prefix="dbt_spark_piisrc_")
+    out_dir = tempfile.mkdtemp(prefix="dbt_spark_piiout_")
+    ckpt = tempfile.mkdtemp(prefix="dbt_spark_piickpt_")
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(dirty.schema).parquet(src)
+        cols = redact_pii(F.col("full_text"))
+        scrubbed = stream.select(
+            "doc_id", "lang",
+            cols["emails"].alias("emails"),
+            cols["phones"].alias("phones"),
+            cols["ips"].alias("ips"),
+            cols["redacted"].alias("redacted"),
+        )
+        q = (
+            scrubbed.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    dirty.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_once()
+    dirty.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_once()
+
+    res = spark.read.parquet(out_dir)
+    return (
+        res.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("emails").cast("bigint").alias("emails"),
+            F.sum("phones").cast("bigint").alias("phones"),
+            F.sum("ips").cast("bigint").alias("ips"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("doc_id").alias("k"),
+                                    F.md5(F.col("redacted")).alias("h"),
+                                )
+                            )
+                        ),
+                        lambda s: s["h"],
+                    ),
+                    "",
+                )
+            ).alias("redacted_md5"),
+        )
+        .orderBy("lang")
+    )
+
+
 ORACLES = {
+    "stream_pii_scrub": """
+        WITH r AS ({REDACT})
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(emails) AS BIGINT) AS emails,
+               CAST(sum(phones) AS BIGINT) AS phones,
+               CAST(sum(ips) AS BIGINT) AS ips,
+               md5(string_agg(md5(redacted), '' ORDER BY doc_id)) AS redacted_md5
+        FROM r GROUP BY lang ORDER BY lang
+    """,
     # the streamed MG state only GENERATES candidates; the exact verify
     # pass makes the output the closed-form per-source threshold
     "stream_heavy_hitters": """
@@ -766,7 +855,16 @@ def stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streamed.select("doc_id", "status", "media_format", "reason")
 
 
+# the streaming scrub's oracle embeds the SAME chained-redaction SQL the
+# batch twin uses (hygiene._REDACT_SQL) — substituted here because the
+# regex patterns contain literal braces that an f-string would mangle
+from dbt_spark.queries.hygiene import _REDACT_SQL as _PII_REDACT_SQL  # noqa: E402
+
+ORACLES["stream_pii_scrub"] = ORACLES["stream_pii_scrub"].replace(
+    "{REDACT}", _PII_REDACT_SQL)
+
 QUERIES = {
+    "stream_pii_scrub": stream_pii_scrub,
     "streaming_ingest_checkpoint": streaming_ingest_checkpoint,
     "stream_heavy_hitters": stream_heavy_hitters,
     "stream_dedup_watermark": stream_dedup_watermark,
