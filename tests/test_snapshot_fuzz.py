@@ -181,3 +181,72 @@ def test_snapshot_scd2_differential(spark, seed):
         f"seed={seed} strategy={strategy} hard_deletes={hard_deletes} "
         f"batches={batches}"
     )
+
+
+MIMIC_CHECK_MACRO = """
+{% macro snapshot_mimic_check_strategy(node, snapshotted_rel, current_rel, model_config, target_exists) %}
+{{ return({
+    'unique_key': model_config['unique_key'],
+    'row_changed': current_rel ~ '.v <> ' ~ snapshotted_rel ~ '.v'
+}) }}
+{% endmacro %}
+"""
+
+
+@pytest.mark.parametrize("seed", [s for s in range(12) if s % 2 == 0][:6])
+def test_custom_strategy_equals_builtin_check(spark, seed):
+    """A custom strategy macro that reproduces the check strategy's
+    row_changed expression must produce the IDENTICAL SCD2 table —
+    meta columns included — through the snapshot_<name>_strategy
+    dispatch path (custom strategies default version_ts to run_ts, the
+    same as check)."""
+    strategy, hard_deletes, batches = _gen_states(seed)
+    assert strategy == "check"  # even seeds
+
+    def run(strategy_name: str, macros: dict) -> list:
+        tmp = tempfile.mkdtemp(prefix=f"dbt_spark_snapcust_{strategy_name}_")
+        project = Project(
+            name="snapfuzz",
+            root=tmp,
+            profile={"warehouse": os.path.join(tmp, "wh"), "schema": "main",
+                     "threads": 2},
+        )
+        manifest = Manifest(project_name="snapfuzz")
+        manifest.macros.update(macros)
+        ctx = ExecutionContext(
+            spark=spark,
+            store=RelationStore(spark, project.profile["warehouse"]),
+            manifest=manifest,
+            project=project,
+        )
+        cfg = {
+            "materialized": "snapshot",
+            "unique_key": "k",
+            "strategy": strategy_name,
+            "hard_deletes": hard_deletes,
+        }
+        if strategy_name == "check":
+            cfg["check_cols"] = ["v"]
+        node = ManifestNode(
+            unique_id=f"snapshot.snapfuzz.c{seed}",
+            name=f"c{seed}",
+            package_name="snapfuzz",
+            path=f"snapshots/c{seed}.sql",
+            resource_type=NodeType.Snapshot,
+            raw_code="",
+            config=NodeConfig().merged(**cfg),
+        )
+        for ts, state in batches:
+            ctx.snapshot_ts = ts
+            node.raw_code = _batch_sql("check", state)
+            materialize_snapshot(ctx, node)
+        return sorted(
+            tuple(r[c] for c in ("k", "v", "dbt_valid_from", "dbt_valid_to",
+                                 "dbt_updated_at", "dbt_scd_id"))
+            for r in ctx.store.read("main", node.name).collect()
+        )
+
+    builtin = run("check", {})
+    custom = run("mimic_check",
+                 {"snapshot_mimic_check_strategy": MIMIC_CHECK_MACRO})
+    assert builtin == custom, f"seed={seed} hard_deletes={hard_deletes}"
