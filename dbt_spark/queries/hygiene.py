@@ -258,6 +258,53 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Unicode NFC normalization (Arrow mapInPandas vs DuckDB nfc_normalize)
+# --------------------------------------------------------------------------
+
+#: injection fixture (the corpus is pure ASCII, an NFC fixed point):
+#: decomposed combining sequences that NFC composes …
+_DECOMPOSED = " cafe\u0301 nai\u0308ve"
+#: … and NFC fixed points that must survive untouched (ligature ﬁ and a
+#: fullwidth letter are only folded by NFKC, never NFC; é is composed)
+_NFC_STABLE = " ﬁne ｗide é"
+
+
+def unicode_nfc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize corpus text to NFC and report per-language what
+    changed: docs touched, chars before/after (composition shrinks
+    combining pairs), and an order-folded md5 of every normalized byte.
+
+    The normalizer is functions/unicode_norm.py::normalize_nfc — Arrow
+    mapInPandas over Python unicodedata, shuffle-free on the scan stage;
+    the DuckDB oracle runs its native nfc_normalize over the identically
+    augmented text, so the pairing proves the two independent Unicode
+    implementations agree byte-for-byte AND that NFC fixed points
+    (ligatures, fullwidth forms — NFKC-only foldings) pass through."""
+    from dbt_spark.functions.unicode_norm import normalize_nfc
+
+    docs = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_DECOMPOSED)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 1, F.lit(_NFC_STABLE)).otherwise(F.lit("")),
+    )
+    aug = docs.select("doc_id", "lang", raw.alias("raw"))
+    norm = normalize_nfc(aug, "raw", "norm")
+    return (
+        norm.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("norm") != F.col("raw")).cast("int"))
+            .cast("bigint").alias("docs_changed"),
+            F.sum(F.length("raw")).cast("bigint").alias("chars_before"),
+            F.sum(F.length("norm")).cast("bigint").alias("chars_after"),
+            _ordered_md5("doc_id", "norm").alias("norm_md5"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
 # Leakage-safe grouped holdout split
 # --------------------------------------------------------------------------
 
@@ -350,6 +397,26 @@ ORACLES: dict[str, str] = {
                md5(string_agg(md5(cleaned), '' ORDER BY doc_id)) AS cleaned_md5
         FROM cleaned GROUP BY lang ORDER BY lang
     """,
+    "unicode_nfc_scrub": f"""
+        WITH aug AS (
+            SELECT doc_id, lang,
+                   text
+                   || CASE WHEN doc_id % 3 = 0 THEN '{_DECOMPOSED}' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 1 THEN '{_NFC_STABLE}' ELSE '' END
+                   AS raw
+            FROM documents
+        ), n AS (
+            SELECT doc_id, lang, raw, nfc_normalize(raw) AS norm FROM aug
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN norm <> raw THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_changed,
+               CAST(sum(length(raw)) AS BIGINT) AS chars_before,
+               CAST(sum(length(norm)) AS BIGINT) AS chars_after,
+               md5(string_agg(md5(norm), '' ORDER BY doc_id)) AS norm_md5
+        FROM n GROUP BY lang ORDER BY lang
+    """,
     "holdout_split_grouped": """
         WITH b AS (
             SELECT *,
@@ -374,4 +441,5 @@ QUERIES = {
     "pii_doc_audit": pii_doc_audit,
     "boilerplate_segment_dedup": boilerplate_segment_dedup,
     "holdout_split_grouped": holdout_split_grouped,
+    "unicode_nfc_scrub": unicode_nfc_scrub,
 }

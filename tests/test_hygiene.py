@@ -138,3 +138,46 @@ def test_holdout_split_leakproof(spark):
     assert sum(r["n_sources"] for r in rows.values()) == total_sources
     assert "train" in rows
     assert rows["train"]["n_docs"] == max(r["n_docs"] for r in rows.values())
+
+
+def test_unicode_nfc_scrub_semantics(spark):
+    import unicodedata
+
+    from dbt_spark.queries.hygiene import (
+        _DECOMPOSED, _NFC_STABLE, unicode_nfc_scrub)
+
+    # fixture sanity: one injects real decomposed sequences, one is an
+    # NFC fixed point (NFKC-only foldings must NOT be applied)
+    assert unicodedata.normalize("NFC", _DECOMPOSED) != _DECOMPOSED
+    assert unicodedata.normalize("NFC", _NFC_STABLE) == _NFC_STABLE
+
+    rows = unicode_nfc_scrub(spark, _SF).collect()
+    assert len(rows) == 5
+    assert sum(r["docs_changed"] for r in rows) > 0
+    for r in rows:
+        # composition only ever shrinks: 2-codepoint combining pairs -> 1
+        assert r["chars_after"] <= r["chars_before"]
+        assert len(r["norm_md5"]) == 32
+    # docs with neither injection (ASCII) are untouched: changed count is
+    # exactly the doc_id % 3 == 0 population
+    from dbt_spark.session import load_tables
+
+    docs = load_tables(spark, _SF, "documents")["documents"]
+    import pyspark.sql.functions as SF
+
+    want = docs.filter(SF.col("doc_id") % 3 == 0).count()
+    assert sum(r["docs_changed"] for r in rows) == want
+
+
+def test_normalize_nfc_function_passthrough(spark):
+    from dbt_spark.functions.unicode_norm import normalize_nfc
+
+    df = spark.createDataFrame(
+        [(1, "plain"), (2, "café"), (3, None)], "id long, t string")
+    out = {r["id"]: (r["t"], r["n"])
+           for r in normalize_nfc(df, "t", "n").collect()}
+    assert out[1] == ("plain", "plain")
+    assert out[2][1] == "café"
+    assert out[3] == (None, None)
+    # input schema object must not be mutated by the schema build
+    assert [f.name for f in df.schema.fields] == ["id", "t"]
