@@ -343,6 +343,94 @@ def holdout_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: content blocklist — multi-phrase matcher compiled to ONE alternation
+#: regex (the regexp-engine analog of Aho-Corasick multi-pattern search);
+#: phrases chosen to actually occur in the synthetic corpus
+_BLOCK_PHRASES = ["batch batch", "window window", "merge merge"]
+_BLOCK_RE = r"\b(?:" + "|".join(_BLOCK_PHRASES) + r")\b"
+
+
+def blocklist_phrase_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content filtering against a phrase blocklist (the NSFW/bad-words
+    gate every production corpus runs): all phrases compile into ONE
+    alternation regex evaluated once per document — a single scan-stage
+    codegen pass regardless of blocklist size (the regexp-automaton
+    analog of Aho-Corasick), never one pass per phrase. Emits per-lang
+    kept/flagged counts, total hits, and an md5 fold of the SURVIVING
+    corpus proving both engines dropped exactly the same documents.
+
+    At 100 TB with ~10⁵-phrase blocklists the same shape holds: the
+    automaton compiles once per task, the corpus is read once."""
+    docs = _docs(spark, sf_dir)
+    hits = F.regexp_count(F.col("text"), F.lit(_BLOCK_RE))
+    scored = docs.select(
+        "doc_id", "lang", "text", hits.alias("hits"),
+        (hits > 0).alias("flagged"),
+    )
+    kept = scored.filter(~F.col("flagged"))
+    per_lang = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_total"),
+        F.sum(F.col("flagged").cast("int")).cast("bigint")
+        .alias("docs_flagged"),
+        F.sum("hits").cast("bigint").alias("total_hits"),
+    )
+    kept_md5 = kept.groupBy("lang").agg(
+        _ordered_md5("doc_id", "text").alias("kept_md5"))
+    return per_lang.join(kept_md5, "lang", "left").select(
+        "lang", "docs_total", "docs_flagged", "total_hits",
+        F.coalesce("kept_md5", F.lit("")).alias("kept_md5"),
+    ).orderBy("lang")
+
+
+def corpus_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots (even vs
+    odd doc_ids as the A/B fixture — in production: yesterday's crawl vs
+    today's) over document-length buckets, per language. PSI =
+    Σ (pₐ−p_b)·ln(pₐ/p_b) with +1-smoothed bucket counts; the standard
+    drift alarm (<0.1 stable, >0.25 shifted).
+
+    All bucket counts are exact integers from one groupBy; shares and
+    the ln() ride a single double expression per bucket and the
+    9-bucket sum is rounded to 6 (the documented 1-ulp ln contract).
+    One shuffle on (lang, bucket); the bucket table is metadata-sized."""
+    docs = _docs(spark, sf_dir)
+    # floor() explicitly: CAST(double AS INT) truncates in Spark but
+    # ROUNDS in DuckDB (documented dialect trap) — floor is exact in both
+    bucket = F.least(F.floor(F.col("n_chars") / F.lit(100.0)),
+                     F.lit(8)).cast("int")
+    side = F.when(F.col("doc_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+    counts = (
+        docs.select("lang", bucket.alias("bucket"), side.alias("side"))
+        .groupBy("lang", "bucket", "side")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.sum(F.when(F.col("side") == "a", F.col("n")).otherwise(0))
+            .alias("na"),
+            F.sum(F.when(F.col("side") == "b", F.col("n")).otherwise(0))
+            .alias("nb"),
+        )
+    )
+    tot = counts.groupBy("lang").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb"),
+        F.count(F.lit(1)).alias("nbuckets"),
+    )
+    j = counts.join(tot, "lang")
+    pa = (F.col("na") + 1).cast("double") / (F.col("ta") + F.col("nbuckets")).cast("double")
+    pb = (F.col("nb") + 1).cast("double") / (F.col("tb") + F.col("nbuckets")).cast("double")
+    term = (pa - pb) * F.log(pa / pb)
+    return (
+        j.select("lang", term.alias("term"), "ta", "tb")
+        .groupBy("lang")
+        .agg(
+            F.max("ta").cast("bigint").alias("docs_a"),
+            F.max("tb").cast("bigint").alias("docs_b"),
+            F.round(F.sum("term"), 6).alias("psi_r6"),
+        )
+        .orderBy("lang")
+    )
+
+
 ORACLES: dict[str, str] = {
     "pii_redact_stats": f"""
         WITH r AS ({_REDACT_SQL})
@@ -397,6 +485,52 @@ ORACLES: dict[str, str] = {
                md5(string_agg(md5(cleaned), '' ORDER BY doc_id)) AS cleaned_md5
         FROM cleaned GROUP BY lang ORDER BY lang
     """,
+    "blocklist_phrase_filter": f"""
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+                   len(regexp_extract_all(text, '{_BLOCK_RE}')) AS hits
+            FROM documents
+        ), per_lang AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS docs_total,
+                   CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS docs_flagged,
+                   CAST(sum(hits) AS BIGINT) AS total_hits
+            FROM scored GROUP BY lang
+        ), kept AS (
+            SELECT lang, md5(string_agg(md5(text), '' ORDER BY doc_id))
+                       AS kept_md5
+            FROM scored WHERE hits = 0 GROUP BY lang
+        )
+        SELECT p.lang, p.docs_total, p.docs_flagged, p.total_hits,
+               coalesce(k.kept_md5, '') AS kept_md5
+        FROM per_lang p LEFT JOIN kept k ON p.lang = k.lang
+        ORDER BY p.lang
+    """,
+    "corpus_psi_drift": """
+        WITH c AS (
+            SELECT lang,
+                   least(CAST(floor(n_chars / 100.0) AS INT), 8) AS bucket,
+                   sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+                   sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+            FROM documents GROUP BY 1, 2
+        ), tot AS (
+            SELECT lang, sum(na) AS ta, sum(nb) AS tb,
+                   count(*) AS nbuckets
+            FROM c GROUP BY lang
+        )
+        SELECT c.lang,
+               CAST(max(ta) AS BIGINT) AS docs_a,
+               CAST(max(tb) AS BIGINT) AS docs_b,
+               round(sum(
+                   (CAST(na + 1 AS DOUBLE) / CAST(ta + nbuckets AS DOUBLE)
+                    - CAST(nb + 1 AS DOUBLE) / CAST(tb + nbuckets AS DOUBLE))
+                   * ln((CAST(na + 1 AS DOUBLE) / CAST(ta + nbuckets AS DOUBLE))
+                        / (CAST(nb + 1 AS DOUBLE) / CAST(tb + nbuckets AS DOUBLE)))
+               ), 6) AS psi_r6
+        FROM c JOIN tot ON c.lang = tot.lang
+        GROUP BY c.lang ORDER BY c.lang
+    """,
     "unicode_nfc_scrub": f"""
         WITH aug AS (
             SELECT doc_id, lang,
@@ -442,4 +576,6 @@ QUERIES = {
     "boilerplate_segment_dedup": boilerplate_segment_dedup,
     "holdout_split_grouped": holdout_split_grouped,
     "unicode_nfc_scrub": unicode_nfc_scrub,
+    "blocklist_phrase_filter": blocklist_phrase_filter,
+    "corpus_psi_drift": corpus_psi_drift,
 }

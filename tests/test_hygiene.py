@@ -181,3 +181,35 @@ def test_normalize_nfc_function_passthrough(spark):
     assert out[3] == (None, None)
     # input schema object must not be mutated by the schema build
     assert [f.name for f in df.schema.fields] == ["id", "t"]
+
+
+def test_blocklist_phrase_filter_semantics(spark):
+    from dbt_spark.queries.hygiene import (
+        _BLOCK_PHRASES, blocklist_phrase_filter)
+
+    rows = blocklist_phrase_filter(spark, _SF).collect()
+    assert len(rows) == 5
+    assert sum(r["docs_flagged"] for r in rows) > 0
+    for r in rows:
+        assert r["total_hits"] >= r["docs_flagged"]
+        assert r["docs_flagged"] <= r["docs_total"]
+    # independent recount of one phrase family via plain substring checks
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{_SF}/documents.parquet")
+    import re
+
+    pat = re.compile(r"\b(?:" + "|".join(_BLOCK_PHRASES) + r")\b")
+    want_flagged = int(sum(bool(pat.search(t)) for t in pdf["text"]))
+    assert sum(r["docs_flagged"] for r in rows) == want_flagged
+
+
+def test_corpus_psi_drift_properties(spark):
+    from dbt_spark.queries.hygiene import corpus_psi_drift
+
+    rows = corpus_psi_drift(spark, _SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # PSI is a nonnegative divergence; identical halves would be ~0
+        assert r["psi_r6"] >= 0.0
+        assert r["docs_a"] + r["docs_b"] > 0
