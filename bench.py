@@ -187,6 +187,11 @@ EXTENDED = [
     "pii_redact_stats",  # chained 3-kind redaction, scan-stage codegen
     "boilerplate_segment_dedup",  # CCNet line dedup: 2 shuffles
     "holdout_split_grouped",  # leakage-safe grouped split
+    "source_gini_inequality",  # partitioned rank window + decimal sums
+    "weighted_sample_topk",  # A-ES race + TakeOrderedAndProject
+    "unicode_nfc_scrub",  # Arrow mapInPandas NFC
+    "blocklist_phrase_filter",  # one alternation regex scan
+    "corpus_psi_drift",  # bucket counts + round-6 PSI
 ]
 
 

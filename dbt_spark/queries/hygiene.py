@@ -431,7 +431,128 @@ def corpus_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact-substring decontamination window width (chars); 20 yields real
+#: cross-corpus overlap on the synthetic corpus (124 matched windows /
+#: 50 contaminated docs at sf0.01) while keeping the Lee-2021 shape —
+#: production corpora use ~50 tokens; the operator is width-agnostic
+_COVER_W = 20
+
+
+def decontam_exact_substring_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus EXACT-SUBSTRING contamination coverage (the GPT-3 /
+    Lee 2021 decontamination standard at substring granularity): how many
+    characters of each train document are covered by some >=W-char span
+    that also appears in the benchmark set (eval fixture: doc_id % 97 == 0).
+
+    Key identity making this a JOIN and not a suffix problem: a shared
+    span of length L >= W contains a shared W-gram at EVERY offset, so
+    positional coverage by >=W shared spans == positional coverage by
+    matched W-grams. The benchmark side is always tiny (eval suites), so
+    its distinct window hashes broadcast; train windows stream through
+    one equi-join on xxhash64(window) — 8-byte keys, never the strings —
+    and coverage is the distinct (doc, char) union of matched windows.
+    Per-lang report: train docs, contaminated docs, covered/total chars,
+    round-6 pct. 64-bit hash joins: a false match needs ~2^64 pairs
+    (same contract as the boilerplate filter); the DuckDB oracle joins on
+    the raw substrings, so any collision would surface as a mismatch."""
+    docs = _docs(spark, sf_dir)
+    w = _COVER_W
+    is_eval = F.col("doc_id") % 97 == 0
+    long_enough = F.length("text") >= w
+    ev_hashes = (
+        docs.filter(is_eval & long_enough)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (w - 1))).alias("p"),
+            F.col("text"),
+        )
+        .select(F.xxhash64(F.expr(f"substring(text, p, {w})")).alias("h"))
+        .distinct()
+    )
+    train = docs.filter(~is_eval)
+    tr_windows = (
+        train.filter(long_enough)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (w - 1))).alias("p"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id", "p",
+            F.xxhash64(F.expr(f"substring(text, p, {w})")).alias("h"),
+        )
+    )
+    matched = tr_windows.join(F.broadcast(ev_hashes), "h").select("doc_id", "p")
+    covered = (
+        matched.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + (w - 1))).alias("c"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    per_doc = train.join(covered, "doc_id", "left").select(
+        "lang",
+        F.coalesce("covered", F.lit(0)).alias("covered"),
+        F.length("text").alias("len"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("train_docs"),
+            F.sum((F.col("covered") > 0).cast("int")).cast("bigint")
+            .alias("docs_contaminated"),
+            F.sum("covered").cast("bigint").alias("chars_covered"),
+            F.sum("len").cast("bigint").alias("chars_total"),
+            F.round(
+                F.sum("covered").cast("double")
+                / F.sum("len").cast("double"), 6,
+            ).alias("contamination_pct_r6"),
+        )
+        .orderBy("lang")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "decontam_exact_substring_cover": f"""
+        WITH ev AS (
+            SELECT DISTINCT substr(text, CAST(p AS INT), {_COVER_W}) AS wnd
+            FROM documents,
+                 unnest(generate_series(1, length(text) - {_COVER_W - 1}))
+                     AS g(p)
+            WHERE doc_id % 97 = 0 AND length(text) >= {_COVER_W}
+        ), tw AS (
+            SELECT doc_id, CAST(p AS INT) AS p,
+                   substr(text, CAST(p AS INT), {_COVER_W}) AS wnd
+            FROM documents,
+                 unnest(generate_series(1, length(text) - {_COVER_W - 1}))
+                     AS g(p)
+            WHERE doc_id % 97 <> 0 AND length(text) >= {_COVER_W}
+        ), matched AS (
+            SELECT tw.doc_id, tw.p FROM tw JOIN ev USING (wnd)
+        ), covered AS (
+            SELECT doc_id, count(DISTINCT c) AS covered
+            FROM matched,
+                 unnest(generate_series(p, p + {_COVER_W - 1})) AS u(c)
+            GROUP BY doc_id
+        ), per_doc AS (
+            SELECT d.lang, coalesce(c.covered, 0) AS covered,
+                   length(d.text) AS len
+            FROM documents d LEFT JOIN covered c USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS train_docs,
+               CAST(sum(CASE WHEN covered > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_contaminated,
+               CAST(sum(covered) AS BIGINT) AS chars_covered,
+               CAST(sum(len) AS BIGINT) AS chars_total,
+               round(CAST(sum(covered) AS DOUBLE) / CAST(sum(len) AS DOUBLE), 6)
+                   AS contamination_pct_r6
+        FROM per_doc GROUP BY lang ORDER BY lang
+    """,
     "pii_redact_stats": f"""
         WITH r AS ({_REDACT_SQL})
         SELECT lang,
@@ -578,4 +699,5 @@ QUERIES = {
     "unicode_nfc_scrub": unicode_nfc_scrub,
     "blocklist_phrase_filter": blocklist_phrase_filter,
     "corpus_psi_drift": corpus_psi_drift,
+    "decontam_exact_substring_cover": decontam_exact_substring_cover,
 }

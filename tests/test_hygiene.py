@@ -213,3 +213,19 @@ def test_corpus_psi_drift_properties(spark):
         # PSI is a nonnegative divergence; identical halves would be ~0
         assert r["psi_r6"] >= 0.0
         assert r["docs_a"] + r["docs_b"] > 0
+
+
+def test_decontam_exact_substring_cover_semantics(spark):
+    from dbt_spark.queries.hygiene import (
+        _COVER_W, decontam_exact_substring_cover)
+
+    rows = decontam_exact_substring_cover(spark, _SF).collect()
+    assert len(rows) == 5
+    total_cov = sum(r["chars_covered"] for r in rows)
+    assert total_cov > 0  # the fixture eval set really contaminates
+    for r in rows:
+        assert 0 <= r["chars_covered"] <= r["chars_total"]
+        assert 0.0 <= r["contamination_pct_r6"] <= 1.0
+        # every contaminated doc is covered by >= one full window
+        if r["docs_contaminated"]:
+            assert r["chars_covered"] >= _COVER_W
