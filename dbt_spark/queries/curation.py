@@ -671,6 +671,42 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences (the behavioral-analytics staple: which action follows
+    which). LAG over a (user, ts, event_id)-ordered window pairs each
+    event with its predecessor; one groupBy counts transitions; row
+    probabilities are a single double division rounded 6.
+
+    Scale: ONE user-partitioned window (user histories are bounded;
+    never an unpartitioned global order) + one (prev, next) groupBy with
+    map-side partials — transition pairs ∝ events, matrix output is
+    |types|² rows. Deterministic tie-break on event_id for same-ts
+    events so both engines pair identically."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    row_tot = counts.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        counts.join(row_tot, "prev_type")
+        .select(
+            "prev_type", "next_type", "n",
+            F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6)
+            .alias("p_r6"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 4, damping: float = 0.85) -> str:
     """Unroll the identical power iterations as MATERIALIZED CTE levels
     (chained lateral aliases would inline each level twice — the
@@ -747,6 +783,25 @@ ORACLES: dict[str, str] = {
         FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 20
     """,
     "copurchase_pagerank": _pagerank_oracle_sql(),
+    "event_transition_matrix": """
+        WITH pairs AS (
+            SELECT user_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type,
+                   event_type AS next_type
+            FROM events
+        ), counts AS (
+            SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+            FROM pairs WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT prev_type, sum(n) AS t FROM counts GROUP BY 1
+        )
+        SELECT c.prev_type, c.next_type, c.n,
+               round(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS p_r6
+        FROM counts c JOIN tot t USING (prev_type)
+        ORDER BY c.prev_type, c.next_type
+    """,
     "copurchase_triangle_stats": """
         WITH e AS (
             SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
@@ -997,6 +1052,7 @@ QUERIES = {
     "copurchase_pagerank": copurchase_pagerank,
     "source_gini_inequality": source_gini_inequality,
     "weighted_sample_topk": weighted_sample_topk,
+    "event_transition_matrix": event_transition_matrix,
     "copurchase_triangle_stats": copurchase_triangle_stats,
     "skewed_agg_salted": skewed_agg_salted,
     "join_range_binned": join_range_binned,
