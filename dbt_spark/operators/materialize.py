@@ -430,6 +430,24 @@ def _apply_output_transforms(node: ManifestNode, df: DataFrame) -> DataFrame:
                      else list(lang_filter))
             df = df.filter(X.lang_id(meta.get("lang_col", "text")).isin(langs))
 
+    # config(pii_redact=['text_col', ...]): chained email→phone→ipv4
+    # scrub (functions/pii.py) applied in place to each listed column —
+    # the scrub-before-landing privacy boundary as a materialization
+    # knob; row-local codegen, composes before the dedup shuffle
+    pii_cols = meta.get("pii_redact")
+    if pii_cols:
+        from pyspark.sql import functions as F
+
+        from dbt_spark.functions.pii import redact_pii
+
+        cols = [pii_cols] if isinstance(pii_cols, str) else list(pii_cols)
+        for c in cols:
+            if c not in df.columns:
+                raise ValueError(
+                    f"{node.unique_id}: pii_redact column {c!r} not in output"
+                )
+            df = df.withColumn(c, redact_pii(F.col(c))["redacted"])
+
     dedup_keys = meta.get("dedup_keys")
     fp_col = meta.get("dedup_fingerprint")
     mh_col = meta.get("dedup_minhash")

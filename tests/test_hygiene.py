@@ -229,3 +229,49 @@ def test_decontam_exact_substring_cover_semantics(spark):
         # every contaminated doc is covered by >= one full window
         if r["docs_contaminated"]:
             assert r["chars_covered"] >= _COVER_W
+
+
+def test_pii_redact_model_config(project_dir, spark):
+    """config(pii_redact=['text']) scrubs inside the materialization —
+    the privacy boundary as a declarative model knob, composing with the
+    other text-pipeline configs."""
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: piicfg\n",
+        "models/sources.yml": """
+sources:
+  - name: corpus
+    tables:
+      - name: documents
+        meta: {location: "/root/testdata/sf0.001/documents.parquet"}
+""",
+        "models/scrubbed.sql": (
+            "{{ config(materialized='table', pii_redact=['text']) }}"
+            "select doc_id, text || ' mail me: a.b@example.com or "
+            "10.0.0.1' as text from {{ source('corpus','documents') }}"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    out = eng.store.read("main", "scrubbed")
+    assert out.filter(F.col("text").rlike(EMAIL_RE)).count() == 0
+    assert out.filter(F.col("text").contains("<EMAIL>")).count() == out.count()
+    assert out.filter(F.col("text").contains("<IP>")).count() == out.count()
+
+
+def test_pii_redact_model_config_bad_column(project_dir, spark):
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: piibad\n",
+        "models/m.sql": (
+            "{{ config(materialized='table', pii_redact=['nope']) }}"
+            "select 1 as id"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    r = eng.invoke(["run"])
+    assert not r.success
+    assert "pii_redact" in " ".join(x.message or "" for x in r.results)
