@@ -173,3 +173,44 @@ def heavy_hitters_threshold(df: DataFrame, col: str, k: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return exact.filter(F.col("cnt") > n_total / float(k))
+
+
+def hll_registers(df, col: str = None, p: int = 12, group_cols: list | None = None,
+                  hash_col=None, hash_bits: int = 63):
+    """Explicit HyperLogLog registers (Flajolet et al. 2007) as a
+    DataFrame aggregate — the mergeable-cardinality sketch spelled out
+    (same tier as the explicit Bloom build above; Spark's
+    approx_count_distinct wraps the same math opaquely).
+
+    63-bit positive hash (sign bit masked so ``>>`` is portable between
+    arithmetic and logical shifts), low ``p`` bits route to one of 2^p
+    buckets, and rho = leading-zero count of the remaining 63-p bits + 1
+    comes from ``length(bin(w))`` — an EXACT integer identity
+    (len = floor(log2 w)+1), no float log anywhere. Registers are
+    groupBy(bucket).max(rho): order-free, mergeable, shuffle of at most
+    2^p longs per group. Returns (bucket, rho).
+
+    ``hash_col`` overrides the default xxhash64 with any 64-bit column —
+    the oracle-paired query passes a portable md5-derived 60-bit hash so
+    DuckDB reproduces the registers bit-for-bit; production keeps the
+    cheaper codegen xxhash64.
+    """
+    from pyspark.sql import functions as F
+
+    # hash_bits MUST match the real entropy width of the hash: a window
+    # wider than the hash guarantees leading zeros in every value, which
+    # inflates rho uniformly and multiplies the estimate by 2^slack
+    wbits = hash_bits - p
+    raw = hash_col if hash_col is not None else F.xxhash64(F.col(col))
+    hp = raw.bitwiseAND(F.lit((1 << hash_bits) - 1))
+    bucket = hp.bitwiseAND(F.lit((1 << p) - 1))
+    w = F.shiftright(hp, p)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    keys = list(group_cols or [])
+    return (
+        df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )

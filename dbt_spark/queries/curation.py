@@ -707,6 +707,68 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality via EXPLICIT HyperLogLog
+    registers (Flajolet 2007; functions/sketches.py::hll_registers) with
+    the exact count alongside — the mergeable sketch a 100 TB pipeline
+    keeps per shard and ORs together instead of re-scanning (Spark's
+    approx_count_distinct is this same math opaque; here the registers
+    are a first-class DataFrame so they persist/merge/diff).
+
+    Register state: ≤ 2^12 longs per language. The harmonic sum is kept
+    EXACT as Σ 2^(52-rho) in DECIMAL(38,0) (order-independent integer
+    adds) with ONE decimal→double cast at the end; estimate + Flajolet
+    small-range correction are a single double expression rounded to 6
+    (both engines' decimal→double casts round-to-nearest; round-6
+    absorbs the documented 1-ulp divergence). Exactness of rho: length
+    of the binary string — no float log anywhere."""
+    from dbt_spark.functions.sketches import hll_registers
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    # portable 60-bit hash (15 md5 hex digits) so DuckDB reproduces the
+    # registers bit-for-bit; production uses the default codegen xxhash64
+    h60 = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    regs = hll_registers(toks, p=12, group_cols=["lang"], hash_col=h60,
+                         hash_bits=60)
+    m = 4096
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("v_obs"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(52) - F.col("rho")).cast("double"))
+            .cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("s_int"),
+    )
+    z = (
+        agg["s_int"].cast("double") / F.lit(float(1 << 52))
+        + (F.lit(m) - F.col("v_obs")).cast("double")
+    )
+    e_raw = F.lit(alpha * m * m) / z
+    v0 = (F.lit(m) - F.col("v_obs")).cast("double")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v0 > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v0),
+    ).otherwise(e_raw)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").cast("bigint").alias("exact_distinct"))
+    return (
+        agg.select("lang", F.round(est, 6).alias("hll_estimate_r6"))
+        .join(exact, "lang")
+        .select(
+            "lang", "exact_distinct", "hll_estimate_r6",
+            F.round(
+                (F.col("hll_estimate_r6") - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 6,
+            ).alias("rel_err_r6"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 4, damping: float = 0.85) -> str:
     """Unroll the identical power iterations as MATERIALIZED CTE levels
     (chained lateral aliases would inline each level twice — the
@@ -783,6 +845,48 @@ ORACLES: dict[str, str] = {
         FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 20
     """,
     "copurchase_pagerank": _pagerank_oracle_sql(),
+    "hll_token_cardinality": """
+        WITH toks AS (
+            SELECT lang,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        ), hashed AS (
+            SELECT lang,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hp
+            FROM toks
+        ), regs AS (
+            SELECT lang, hp & 4095 AS bucket,
+                   max(CASE WHEN (hp >> 12) = 0 THEN 49
+                            ELSE 49 - length(bin(hp >> 12)) END) AS rho
+            FROM hashed GROUP BY 1, 2
+        ), agg AS (
+            SELECT lang, count(*) AS v_obs,
+                   CAST(sum(CAST(pow(2.0, CAST(52 - rho AS DOUBLE))
+                                 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_int
+            FROM regs GROUP BY 1
+        ), est AS (
+            SELECT lang, v_obs,
+                   (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+                   / (CAST(s_int AS DOUBLE) / 4503599627370496.0
+                      + CAST(4096 - v_obs AS DOUBLE)) AS e_raw
+            FROM agg
+        ), fin AS (
+            SELECT lang,
+                   CASE WHEN e_raw <= 2.5 * 4096 AND (4096 - v_obs) > 0
+                        THEN 4096.0 * ln(4096.0 / CAST(4096 - v_obs AS DOUBLE))
+                        ELSE e_raw END AS e
+            FROM est
+        ), exact AS (
+            SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+            FROM toks GROUP BY 1
+        )
+        SELECT f.lang, x.exact_distinct,
+               round(f.e, 6) AS hll_estimate_r6,
+               round((round(f.e, 6) - x.exact_distinct) / x.exact_distinct, 6)
+                   AS rel_err_r6
+        FROM fin f JOIN exact x ON f.lang = x.lang
+        ORDER BY f.lang
+    """,
     "event_transition_matrix": """
         WITH pairs AS (
             SELECT user_id,
@@ -1053,6 +1157,7 @@ QUERIES = {
     "source_gini_inequality": source_gini_inequality,
     "weighted_sample_topk": weighted_sample_topk,
     "event_transition_matrix": event_transition_matrix,
+    "hll_token_cardinality": hll_token_cardinality,
     "copurchase_triangle_stats": copurchase_triangle_stats,
     "skewed_agg_salted": skewed_agg_salted,
     "join_range_binned": join_range_binned,

@@ -154,3 +154,40 @@ def test_water_fill_edges():
     assert water_fill([("a", 8.0)], 4.0) == {"a": 4.0}
     # exactly at the sum
     assert water_fill([("a", 2.0), ("b", 3.0)], 5.0) == {"a": 2.0, "b": 3.0}
+
+
+def test_hll_registers_large_cardinality(spark):
+    """Main HLL branch (no small-range correction): 60k distinct keys
+    through the explicit registers land within the 1.04/sqrt(m) ~ 1.6%
+    expected error band (assert 5%); registers stay <= 2^p rows."""
+    from dbt_spark.functions.sketches import hll_registers
+
+    n = 60_000
+    df = spark.range(n).select(F.col("id").cast("string").alias("k"))
+    regs = hll_registers(df, "k", p=12).collect()
+    assert len(regs) <= 4096
+    m = 4096
+    z = sum(2.0 ** -r["rho"] for r in regs) + (m - len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e_raw = alpha * m * m / z
+    assert e_raw > 2.5 * m  # genuinely the uncorrected branch
+    assert abs(e_raw - n) / n < 0.05, e_raw
+
+
+def test_hll_registers_merge_property(spark):
+    """Registers are mergeable: max() of two halves' registers equals
+    the whole corpus' registers (the property that makes HLL the
+    per-shard sketch at 100 TB)."""
+    from dbt_spark.functions.sketches import hll_registers
+
+    df = spark.range(10_000).select(F.col("id").cast("string").alias("k"))
+    whole = {r["bucket"]: r["rho"]
+             for r in hll_registers(df, "k", p=10).collect()}
+    a = {r["bucket"]: r["rho"]
+         for r in hll_registers(
+             df.filter(F.col("id") % 2 == 0), "k", p=10).collect()}
+    b = {r["bucket"]: r["rho"]
+         for r in hll_registers(
+             df.filter(F.col("id") % 2 == 1), "k", p=10).collect()}
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == whole
