@@ -214,3 +214,41 @@ def hll_registers(df, col: str = None, p: int = 12, group_cols: list | None = No
         .groupBy(*keys, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def cms_counters(df, col: str, depth: int = 4, width: int = 1024,
+                 portable: bool = False):
+    """Count-Min Sketch counters (Cormode & Muthukrishnan 2005) as a
+    DataFrame aggregate: ``depth`` independent hash rows × ``width``
+    buckets, each counter the SUM of arrivals routed there. One
+    explode(depth) + one (row, bucket) groupBy with map-side partials —
+    state is depth·width longs, mergeable by addition (the per-shard
+    frequency sketch; point estimate = min over rows, always >= truth).
+
+    ``portable=True`` routes with md5-salted 32-bit hashes both DuckDB
+    and Spark compute identically (oracle pairing); default is codegen
+    xxhash64 with the row index as seed-salt.
+    """
+    from pyspark.sql import functions as F
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    base = df.select(F.col(col).alias("__it"), rows)
+    if portable:
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("r").cast("string"),
+                                   F.lit("|"), F.col("__it"))), 1, 8),
+                16, 10,
+            ).cast("bigint") % width
+        )
+    else:
+        bucket = F.pmod(
+            F.xxhash64(F.col("r").cast("string"), F.col("__it")),
+            F.lit(width),
+        )
+    return (
+        base.select("r", bucket.alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

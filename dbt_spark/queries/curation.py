@@ -769,6 +769,53 @@ def hll_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point estimates for the 15 most frequent corpus
+    tokens, exact counts alongside (functions/sketches.py::cms_counters
+    — the additive-mergeable frequency sketch a 100 TB pipeline keeps
+    per shard; CMS never underestimates, and with width 1024 over a
+    ~31-token vocabulary collisions are the interesting part the
+    estimate column exposes).
+
+    Build: one explode(depth=4) + (row, bucket) groupBy — 4096 counters.
+    Probe: top-15 exact tokens (TakeOrderedAndProject) joined to their
+    4 row counters, estimate = min. All integers, portable md5 routing —
+    the DuckDB oracle rebuilds the identical counters."""
+    from dbt_spark.functions.sketches import cms_counters
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    counters = cms_counters(toks, "tok", depth=4, width=1024, portable=True)
+    top = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+        .limit(15)
+    )
+    probes = top.select(
+        "tok", "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"),
+    ).withColumn(
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit("|"),
+                               F.col("tok"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 1024,
+    )
+    return (
+        probes.join(F.broadcast(counters), ["r", "b"])
+        .groupBy("tok")
+        .agg(
+            F.max("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.min("cnt").cast("bigint").alias("cms_estimate"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 4, damping: float = 0.85) -> str:
     """Unroll the identical power iterations as MATERIALIZED CTE levels
     (chained lateral aliases would inline each level twice — the
@@ -845,6 +892,32 @@ ORACLES: dict[str, str] = {
         FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 20
     """,
     "copurchase_pagerank": _pagerank_oracle_sql(),
+    "cms_token_freq": """
+        WITH toks AS (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        ), routed AS (
+            SELECT r, tok,
+                   CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || tok),
+                                        1, 8)) AS BIGINT) % 1024 AS b
+            FROM toks, unnest(generate_series(0, 3)) AS g(r)
+        ), counters AS (
+            SELECT r, b, count(*) AS cnt FROM routed GROUP BY 1, 2
+        ), top AS (
+            SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY 1
+            ORDER BY exact_cnt DESC, tok ASC LIMIT 15
+        ), probes AS (
+            SELECT t.tok, t.exact_cnt, g.r,
+                   CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || '|' || t.tok),
+                                        1, 8)) AS BIGINT) % 1024 AS b
+            FROM top t, unnest(generate_series(0, 3)) AS g(r)
+        )
+        SELECT p.tok,
+               CAST(max(p.exact_cnt) AS BIGINT) AS exact_cnt,
+               CAST(min(c.cnt) AS BIGINT) AS cms_estimate
+        FROM probes p JOIN counters c ON p.r = c.r AND p.b = c.b
+        GROUP BY p.tok ORDER BY exact_cnt DESC, p.tok ASC
+    """,
     "hll_token_cardinality": """
         WITH toks AS (
             SELECT lang,
@@ -1158,6 +1231,7 @@ QUERIES = {
     "weighted_sample_topk": weighted_sample_topk,
     "event_transition_matrix": event_transition_matrix,
     "hll_token_cardinality": hll_token_cardinality,
+    "cms_token_freq": cms_token_freq,
     "copurchase_triangle_stats": copurchase_triangle_stats,
     "skewed_agg_salted": skewed_agg_salted,
     "join_range_binned": join_range_binned,
