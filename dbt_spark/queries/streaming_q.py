@@ -639,6 +639,39 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "stream_hll_cardinality": """
+        WITH toks AS (
+            SELECT lang,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        ), hashed AS (
+            SELECT lang,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hp
+            FROM toks
+        ), regs AS (
+            SELECT lang, hp & 4095 AS bucket,
+                   max(CASE WHEN (hp >> 12) = 0 THEN 49
+                            ELSE 49 - length(bin(hp >> 12)) END) AS rho
+            FROM hashed GROUP BY 1, 2
+        ), agg AS (
+            SELECT lang, count(*) AS v_obs,
+                   CAST(sum(CAST(pow(2.0, CAST(52 - rho AS DOUBLE))
+                                 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_int
+            FROM regs GROUP BY 1
+        ), est AS (
+            SELECT lang, v_obs,
+                   (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+                   / (CAST(s_int AS DOUBLE) / 4503599627370496.0
+                      + CAST(4096 - v_obs AS DOUBLE)) AS e_raw
+            FROM agg
+        )
+        SELECT lang,
+               CAST(v_obs AS BIGINT) AS v_obs,
+               round(CASE WHEN e_raw <= 2.5 * 4096 AND (4096 - v_obs) > 0
+                          THEN 4096.0 * ln(4096.0 / CAST(4096 - v_obs AS DOUBLE))
+                          ELSE e_raw END, 6) AS hll_estimate_r6
+        FROM est ORDER BY lang
+    """,
     "stream_pii_scrub": """
         WITH r AS ({REDACT})
         SELECT lang,
@@ -855,6 +888,100 @@ def stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streamed.select("doc_id", "status", "media_format", "reason")
 
 
+def stream_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-token cardinality via explicit HyperLogLog
+    registers merged across micro-batches — VALUE-PAIRED because HLL
+    registers are a lattice (max-merge is associative/commutative/
+    idempotent): registers folded per batch into a persisted store are
+    BIT-IDENTICAL to one batch pass over the whole corpus, so the
+    streaming estimate equals the batch oracle exactly.
+
+    foreachBatch computes the batch's (lang, bucket, rho) registers and
+    max-merges them into a parquet store (O(langs · 2^p) longs — the
+    per-shard sketch state a 100 TB ingest keeps instead of a distinct
+    set); the final estimate reads the merged store. Portable md5 hash
+    → the DuckDB oracle rebuilds the registers from the full corpus."""
+    import tempfile as _tf
+
+    from dbt_spark.functions.sketches import hll_registers
+
+    docs = read_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "lang", "text")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    src = _tf.mkdtemp(prefix="dbt_spark_hllsrc_")
+    store = os.path.join(_tf.mkdtemp(prefix="dbt_spark_hllstore_"), "regs")
+    ckpt = _tf.mkdtemp(prefix="dbt_spark_hllckpt_")
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+        "append").parquet(src)
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    def fold(batch_df, batch_id) -> None:
+        toks = batch_df.select(
+            "lang",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        h60 = F.conv(
+            F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+        regs = hll_registers(toks, p=12, group_cols=["lang"],
+                             hash_col=h60, hash_bits=60)
+        b_spark = batch_df.sparkSession
+        if os.path.isdir(store):
+            prev = b_spark.read.parquet(store)
+            regs = (
+                prev.unionByName(regs)
+                .groupBy("lang", "bucket")
+                .agg(F.max("rho").alias("rho"))
+            )
+        out = regs.collect()  # bounded: langs x 2^p register rows
+        b_spark.createDataFrame(out, "lang string, bucket long, rho int") \
+            .coalesce(1).write.mode("overwrite").parquet(store + "_next")
+        import shutil as _sh
+
+        _sh.rmtree(store, ignore_errors=True)
+        os.rename(store + "_next", store)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    regs = spark.read.parquet(store)
+    m = 4096
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("v_obs"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(52) - F.col("rho")).cast("double"))
+            .cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("s_int"),
+    )
+    z = (
+        agg["s_int"].cast("double") / F.lit(float(1 << 52))
+        + (F.lit(m) - F.col("v_obs")).cast("double")
+    )
+    e_raw = F.lit(alpha * m * m) / z
+    v0 = (F.lit(m) - F.col("v_obs")).cast("double")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v0 > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v0),
+    ).otherwise(e_raw)
+    return agg.select(
+        "lang",
+        F.col("v_obs").cast("bigint").alias("v_obs"),
+        F.round(est, 6).alias("hll_estimate_r6"),
+    ).orderBy("lang")
+
+
 # the streaming scrub's oracle embeds the SAME chained-redaction SQL the
 # batch twin uses (hygiene._REDACT_SQL) — substituted here because the
 # regex patterns contain literal braces that an f-string would mangle
@@ -865,6 +992,7 @@ ORACLES["stream_pii_scrub"] = ORACLES["stream_pii_scrub"].replace(
 
 QUERIES = {
     "stream_pii_scrub": stream_pii_scrub,
+    "stream_hll_cardinality": stream_hll_cardinality,
     "streaming_ingest_checkpoint": streaming_ingest_checkpoint,
     "stream_heavy_hitters": stream_heavy_hitters,
     "stream_dedup_watermark": stream_dedup_watermark,
