@@ -192,6 +192,12 @@ EXTENDED = [
     "unicode_nfc_scrub",  # Arrow mapInPandas NFC
     "blocklist_phrase_filter",  # one alternation regex scan
     "corpus_psi_drift",  # bucket counts + round-6 PSI
+    "decontam_exact_substring_cover",  # broadcast W-gram hash join
+    "hll_token_cardinality",  # explicit HLL registers
+    "cms_token_freq",  # CMS counters + probe
+    "event_transition_matrix",  # LAG window + pair groupBy
+    "stream_pii_scrub",  # streaming quarantine gate (harness floor)
+    "stream_hll_cardinality",  # cross-batch register merge
 ]
 
 

@@ -51,6 +51,10 @@ PROBE_QUERIES = [
     "holdout_split_grouped",      # md5-bucket grouped split
     "source_gini_inequality",     # partitioned rank window + decimal sums
     "weighted_sample_topk",       # A-ES race, TakeOrderedAndProject
+    "decontam_exact_substring_cover",  # broadcast W-gram hash join
+    "hll_token_cardinality",      # explicit HLL registers
+    "cms_token_freq",             # CMS counters + probe join
+    "event_transition_matrix",    # user-partitioned LAG + pair groupBy
 ]
 
 
