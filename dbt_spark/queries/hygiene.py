@@ -1,5 +1,7 @@
 """Corpus-hygiene operators: PII redaction, boilerplate segment removal,
-leakage-safe holdout splits.
+leakage-safe holdout splits, Unicode NFC canonicalization, blocklist
+content filtering, snapshot drift detection (PSI), and cross-corpus
+exact-substring decontamination coverage.
 
 The pre-release scrub stage of a training-data pipeline: strip personally
 identifiable information, drop boilerplate that repeats across documents
