@@ -913,6 +913,54 @@ def _parse_model_patches(doc: dict, project: Project, manifest: Manifest,
             for patch in raw_doc.get(section, []) or []:
                 if isinstance(patch, dict) and patch.get("config"):
                     raw_cfg_by_name[(section, patch.get("name"))] = patch["config"]
+    # YAML-defined snapshots: an entry under `snapshots:` carrying a
+    # `relation:` property IS the snapshot — no SQL file exists; the body
+    # is synthesized as `select * from {{ relation }}` (reference
+    # core/dbt/parser/schemas.py:276-330 _add_yaml_snapshot_nodes_to_manifest,
+    # dbt 1.9 "snapshots in YAML")
+    for patch in doc.get("snapshots", []) or []:
+        if not isinstance(patch, dict) or "relation" not in patch:
+            continue
+        if "name" not in patch:
+            raise CompilationError(
+                f"{rel}: a snapshot must define the 'name' property")
+        name = patch["name"]
+        uid = f"snapshot.{project.name}.{name}"
+        if uid in manifest.nodes:
+            continue
+        relation = str(patch["relation"]).strip()
+        m_ref = re.fullmatch(
+            r"ref\(\s*'([^']+)'\s*(?:,\s*'([^']+)'\s*)?\)", relation)
+        m_src = re.fullmatch(
+            r"source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)", relation)
+        refs, sources = [], []
+        if m_src:
+            sources = [(m_src.group(1), m_src.group(2))]
+        elif m_ref:
+            if m_ref.group(2):
+                refs = [(m_ref.group(1), m_ref.group(2))]
+            else:
+                refs = [(None, m_ref.group(1))]
+        else:
+            raise CompilationError(
+                f"snapshot {name}: 'relation' must be a ref(...) or "
+                f"source(...) expression, got {relation!r}")
+        config = NodeConfig(materialized="snapshot").merged(
+            **(patch.get("config") or {}))
+        _validate_snapshot_config(name, config)
+        manifest.add(ManifestNode(
+            unique_id=uid,
+            name=name,
+            package_name=project.name,
+            path=rel,
+            resource_type=NodeType.Snapshot,
+            raw_code="select * from {{ " + relation + " }}",
+            config=config,
+            refs=refs,
+            sources=sources,
+            fqn=[project.name, name],
+        ))
+
     for section in ("models", "seeds", "snapshots"):
         for patch in doc.get(section, []) or []:
             uid_prefix = {"models": "model", "seeds": "seed", "snapshots": "snapshot"}[section]

@@ -383,3 +383,62 @@ def test_timestamp_strategy_rejects_check_cols(project_dir, spark):
     root = project_dir(files)
     with _pytest.raises(CompilationError, match="should not have 'check_cols'"):
         Engine(root, spark=spark).invoke(["snapshot"])
+
+
+YAML_SNAPSHOT = """
+snapshots:
+  - name: people_snap
+    relation: ref('people')
+    description: YAML-defined snapshot, no SQL file
+    config:
+      strategy: timestamp
+      unique_key: id
+      updated_at: updated_at
+      hard_deletes: invalidate
+"""
+
+
+def test_yaml_defined_snapshot_e2e(project_dir, spark):
+    """dbt 1.9 YAML snapshots (schemas.py _add_yaml_snapshot_nodes_to_
+    manifest): a `snapshots:` entry with `relation:` IS the snapshot —
+    body synthesized as select * from the relation, full SCD2 applies."""
+    files = {
+        "dbt_project.yml": "name: snap\n",
+        "seeds/people.csv": V1_CSV,
+        "snapshots/people.yml": YAML_SNAPSHOT,
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["snapshot"], snapshot_ts="2020-01-15 00:00:00")
+    assert r.success, [x.message for x in r.results]
+    snap = eng.store.read("main", "people_snap").collect()
+    assert len(snap) == 3 and all(x["dbt_valid_to"] is None for x in snap)
+
+    Path(root, "seeds/people.csv").write_text(V2_CSV)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["snapshot"], snapshot_ts="2020-02-15 00:00:00")
+    assert r.success, [x.message for x in r.results]
+    rows = eng.store.read("main", "people_snap").collect()
+    by = {}
+    for row in rows:
+        by.setdefault(row["id"], []).append(row)
+    assert len(by[2]) == 2  # changed -> two versions
+    assert len(by[3]) == 1 and str(by[3][0]["dbt_valid_to"]).startswith("2020-02-15")
+    assert len(by[4]) == 1
+
+
+def test_yaml_snapshot_bad_relation_errors(project_dir, spark):
+    import pytest as _pytest
+
+    from dbt_spark.plans.compile import CompilationError
+
+    files = {
+        "dbt_project.yml": "name: snap\n",
+        "seeds/people.csv": V1_CSV,
+        "snapshots/people.yml": YAML_SNAPSHOT.replace(
+            "ref('people')", "just_a_table_name"),
+    }
+    root = project_dir(files)
+    with _pytest.raises(CompilationError, match="ref\\(...\\) or source"):
+        Engine(root, spark=spark).invoke(["snapshot"])
