@@ -935,9 +935,14 @@ def stream_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("lang", "bucket")
                 .agg(F.max("rho").alias("rho"))
             )
-        out = regs.collect()  # bounded: langs x 2^p register rows
-        b_spark.createDataFrame(out, "lang string, bucket long, rho int") \
-            .coalesce(1).write.mode("overwrite").parquet(store + "_next")
+        # write the merged registers to a sibling dir, then swap — the
+        # read (old store) and write (next) never touch the same path,
+        # so no driver materialization is needed; state stays bounded at
+        # langs x 2^p rows regardless
+        regs.select(
+            F.col("lang"), F.col("bucket").cast("long"),
+            F.col("rho").cast("int"),
+        ).coalesce(1).write.mode("overwrite").parquet(store + "_next")
         import shutil as _sh
 
         _sh.rmtree(store, ignore_errors=True)
