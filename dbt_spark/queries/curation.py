@@ -816,6 +816,76 @@ def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: standard-normal quantiles for the Cornish-Fisher expansion — CONSTANTS
+#: so no normal-quantile function needs cross-engine agreement
+_Z = {"p50": 0.0, "p90": 1.2815515655446004, "p99": 2.3263478740408408}
+
+
+def moments_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments-sketch quantile estimation (Gan et al., SIGMOD'18 "Moment-
+    based quantile sketches"): per-language document-length quantiles
+    from FIVE power sums (n, Σx..Σx⁴) via the Cornish-Fisher expansion,
+    with the exact interpolated percentiles alongside for calibration.
+
+    Why it matters at 100 TB: the sketch state is O(1) numbers per group,
+    mergeable by ADDITION across shards/days (vs an exact percentile's
+    per-group shuffle of all values) — the cheapest cross-shard quantile
+    monitor there is. All power sums stay EXACT (integer n_chars in
+    DECIMAL(38,0), order-independent); mean/σ/skew/kurtosis and the CF
+    polynomial are one double expression tree from those exact sums with
+    fixed z-constants, rounded to 6; exact percentiles use the shared
+    (1-g)·a + g·b interpolation both engines define identically."""
+    docs = _docs(spark, sf_dir)
+    # DECIMAL(9,0) per factor: 9+9+9+9 = 36 digits for x^4, inside
+    # both engines' 38-digit multiplication rules (38,0 factors
+    # overflow DuckDB's required-scale computation)
+    x = F.col("n_chars").cast("decimal(9,0)")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("s1"),
+        F.sum(x * x).cast("decimal(38,0)").alias("s2"),
+        F.sum(x * x * x).cast("decimal(38,0)").alias("s3"),
+        F.sum(x * x * x * x).cast("decimal(38,0)").alias("s4"),
+        F.expr("percentile(n_chars, 0.5)").alias("ex50"),
+        F.expr("percentile(n_chars, 0.9)").alias("ex90"),
+        F.expr("percentile(n_chars, 0.99)").alias("ex99"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    m4 = F.col("s4").cast("double") / n
+    var = m2 - m1 * m1
+    sd = F.sqrt(var)
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (sd * sd * sd)
+    kurt = (
+        (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+        / (var * var)
+    ) - 3.0
+
+    def cf(z: float):
+        zc = F.lit(z)
+        w = (
+            zc
+            + (zc * zc - 1) * skew / 6
+            + (zc * zc * zc - 3 * zc) * kurt / 24
+            - (2 * zc * zc * zc - 5 * zc) * skew * skew / 36
+        )
+        return m1 + sd * w
+
+    return agg.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(m1, 6).alias("mean_r6"),
+        F.round(F.col("ex50"), 6).alias("p50_exact_r6"),
+        F.round(cf(_Z["p50"]), 6).alias("p50_cf_r6"),
+        F.round(F.col("ex90"), 6).alias("p90_exact_r6"),
+        F.round(cf(_Z["p90"]), 6).alias("p90_cf_r6"),
+        F.round(F.col("ex99"), 6).alias("p99_exact_r6"),
+        F.round(cf(_Z["p99"]), 6).alias("p99_cf_r6"),
+    ).orderBy("lang")
+
+
 def _pagerank_oracle_sql(iterations: int = 4, damping: float = 0.85) -> str:
     """Unroll the identical power iterations as MATERIALIZED CTE levels
     (chained lateral aliases would inline each level twice — the
@@ -892,6 +962,72 @@ ORACLES: dict[str, str] = {
         FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 20
     """,
     "copurchase_pagerank": _pagerank_oracle_sql(),
+    "moments_quantile_sketch": """
+        WITH agg AS (
+            SELECT lang,
+                   count(*) AS n,
+                   CAST(sum(CAST(n_chars AS DECIMAL(9,0))) AS DECIMAL(38,0)) AS s1,
+                   CAST(sum(CAST(n_chars AS DECIMAL(9,0))
+                            * CAST(n_chars AS DECIMAL(9,0))) AS DECIMAL(38,0)) AS s2,
+                   CAST(sum(CAST(n_chars AS DECIMAL(9,0))
+                            * CAST(n_chars AS DECIMAL(9,0))
+                            * CAST(n_chars AS DECIMAL(9,0))) AS DECIMAL(38,0)) AS s3,
+                   CAST(sum(CAST(n_chars AS DECIMAL(9,0))
+                            * CAST(n_chars AS DECIMAL(9,0))
+                            * CAST(n_chars AS DECIMAL(9,0))
+                            * CAST(n_chars AS DECIMAL(9,0))) AS DECIMAL(38,0)) AS s4,
+                   quantile_cont(n_chars, 0.5) AS ex50,
+                   quantile_cont(n_chars, 0.9) AS ex90,
+                   quantile_cont(n_chars, 0.99) AS ex99
+            FROM documents GROUP BY lang
+        ), mom AS (
+            SELECT lang, n, ex50, ex90, ex99,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+                   CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3,
+                   CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS m4
+            FROM agg
+        ), stats AS (
+            SELECT lang, n, ex50, ex90, ex99, m1,
+                   m2 - m1 * m1 AS var,
+                   sqrt(m2 - m1 * m1) AS sd,
+                   (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                       / (sqrt(m2 - m1 * m1) * sqrt(m2 - m1 * m1)
+                          * sqrt(m2 - m1 * m1)) AS skew,
+                   ((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
+                     - 3 * m1 * m1 * m1 * m1)
+                    / ((m2 - m1 * m1) * (m2 - m1 * m1))) - 3.0 AS kurt
+            FROM mom
+        )
+        SELECT lang,
+               CAST(n AS BIGINT) AS n_docs,
+               round(m1, 6) AS mean_r6,
+               round(ex50, 6) AS p50_exact_r6,
+               round(m1 + sd * (0.0
+                     + (0.0e0 * 0.0e0 - 1) * skew / 6
+                     + (0.0e0 * 0.0e0 * 0.0e0 - 3 * 0.0e0) * kurt / 24
+                     - (2 * 0.0e0 * 0.0e0 * 0.0e0 - 5 * 0.0e0) * skew * skew / 36),
+                     6) AS p50_cf_r6,
+               round(ex90, 6) AS p90_exact_r6,
+               round(m1 + sd * (1.2815515655446004e0
+                     + (1.2815515655446004e0 * 1.2815515655446004e0 - 1) * skew / 6
+                     + (1.2815515655446004e0 * 1.2815515655446004e0
+                        * 1.2815515655446004e0 - 3 * 1.2815515655446004e0)
+                       * kurt / 24
+                     - (2 * 1.2815515655446004e0 * 1.2815515655446004e0
+                        * 1.2815515655446004e0 - 5 * 1.2815515655446004e0)
+                       * skew * skew / 36), 6) AS p90_cf_r6,
+               round(ex99, 6) AS p99_exact_r6,
+               round(m1 + sd * (2.3263478740408408e0
+                     + (2.3263478740408408e0 * 2.3263478740408408e0 - 1) * skew / 6
+                     + (2.3263478740408408e0 * 2.3263478740408408e0
+                        * 2.3263478740408408e0 - 3 * 2.3263478740408408e0)
+                       * kurt / 24
+                     - (2 * 2.3263478740408408e0 * 2.3263478740408408e0
+                        * 2.3263478740408408e0 - 5 * 2.3263478740408408e0)
+                       * skew * skew / 36), 6) AS p99_cf_r6
+        FROM stats ORDER BY lang
+    """,
     "cms_token_freq": """
         WITH toks AS (
             SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
@@ -1232,6 +1368,7 @@ QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "hll_token_cardinality": hll_token_cardinality,
     "cms_token_freq": cms_token_freq,
+    "moments_quantile_sketch": moments_quantile_sketch,
     "copurchase_triangle_stats": copurchase_triangle_stats,
     "skewed_agg_salted": skewed_agg_salted,
     "join_range_binned": join_range_binned,

@@ -51,3 +51,19 @@ def test_weighted_sample_vs_python(spark):
         assert abs(r["race_key_r6"] - round(w["k"], 6)) <= 1e-6
     # weight bias: the size-weighted sample skews long
     assert want["n_chars"].mean() > pdf["n_chars"].mean()
+
+
+def test_moments_quantile_sketch_calibration(spark):
+    from dbt_spark.queries.curation import moments_quantile_sketch
+
+    rows = moments_quantile_sketch(spark, _SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # CF estimates track the exact interpolated percentiles: generous
+        # bands (CF is an asymptotic expansion, not a guarantee), but the
+        # p50 estimate must beat a mean-only guess at p90/p99
+        assert abs(r["p50_cf_r6"] - r["p50_exact_r6"]) < 0.15 * r["p50_exact_r6"]
+        assert abs(r["p90_cf_r6"] - r["p90_exact_r6"]) < 0.15 * r["p90_exact_r6"]
+        assert abs(r["p99_cf_r6"] - r["p99_exact_r6"]) < 0.25 * r["p99_exact_r6"]
+        # monotone in p
+        assert r["p50_cf_r6"] < r["p90_cf_r6"] < r["p99_cf_r6"]
