@@ -149,3 +149,40 @@ def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> Da
     return deg.select(F.col("u").alias("node"), F.col("deg").alias("degree")).join(
         ranks, "node"
     )
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983 cores; the distributed
+    peel is the Batagelj-Zaversnik iteration expressed as joins): each
+    round drops nodes of degree < k and the edges they carry. A fixed
+    round count keeps the plan a deterministic linear chain (the same
+    move as pagerank's fixed iterations): rounds >= the peel depth gives
+    the TRUE k-core — callers verify convergence by comparing the last
+    two rounds or over-provisioning rounds.
+
+    Per round: one degree aggregate (map-side partials) + two
+    semi-joins. Work shrinks monotonically — every round's edge set is a
+    subset of the last. Each round's edge set is localCheckpointed: the
+    round references it three times (twice for degrees, once filtered),
+    so an unpersisted linear chain would recompute the upstream 3^rounds
+    times. Returns (node, degree) of the surviving core, degree measured
+    within the core."""
+    e = edges.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+        ).localCheckpoint(eager=False)
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

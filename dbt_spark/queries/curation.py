@@ -816,6 +816,58 @@ def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80-core of the co-purchase graph by six fixed peeling rounds
+    (functions/graph_stats.py::kcore_peel) — the dense-cluster extractor
+    (dedup diagnostics / community cores: nodes every one of whose core
+    neighbors also has >= k core neighbors). Six rounds exceed the peel
+    depth at the checked scale (pytest proves rounds 5 and 6 agree =
+    true k-core); the fixed count keeps both engines' plans identical.
+    Output: core size + degree histogram stats per surviving node,
+    top-20 by (degree desc, node). Oracle: the SAME six rounds unrolled
+    as MATERIALIZED CTE levels."""
+    from dbt_spark.functions.graph_stats import canonical_edges, kcore_peel
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+    edges = canonical_edges(pairs, "pa", "pb")
+    core = kcore_peel(edges, k=80, rounds=6)
+    return (
+        core.select(F.col("node").alias("part_id"),
+                    F.col("degree").cast("bigint").alias("core_degree"))
+        .orderBy(F.col("core_degree").desc(), F.col("part_id").asc())
+        .limit(20)
+    )
+
+
+def _kcore_oracle_sql(k: int = 80, rounds: int = 6) -> str:
+    lvls = []
+    for r in range(1, rounds + 1):
+        lvls.append(f"""keep{r} AS MATERIALIZED (
+            SELECT node FROM (
+                SELECT u AS node FROM e{r-1} UNION ALL SELECT v FROM e{r-1}
+            ) GROUP BY node HAVING count(*) >= {k}
+        ), e{r} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{r-1} e
+            JOIN keep{r} k1 ON e.u = k1.node
+            JOIN keep{r} k2 ON e.v = k2.node
+        )""")
+    return f"""
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                            greatest(a.l_partkey, b.l_partkey) AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), {", ".join(lvls)}
+        SELECT node AS part_id, CAST(count(*) AS BIGINT) AS core_degree
+        FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+        GROUP BY node
+        ORDER BY core_degree DESC, part_id ASC LIMIT 20
+    """
+
+
 #: standard-normal quantiles for the Cornish-Fisher expansion — CONSTANTS
 #: so no normal-quantile function needs cross-engine agreement
 _Z = {"p50": 0.0, "p90": 1.2815515655446004, "p99": 2.3263478740408408}
@@ -962,6 +1014,7 @@ ORACLES: dict[str, str] = {
         FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 20
     """,
     "copurchase_pagerank": _pagerank_oracle_sql(),
+    "kcore_copurchase": _kcore_oracle_sql(),
     "moments_quantile_sketch": """
         WITH agg AS (
             SELECT lang,
@@ -1369,6 +1422,7 @@ QUERIES = {
     "hll_token_cardinality": hll_token_cardinality,
     "cms_token_freq": cms_token_freq,
     "moments_quantile_sketch": moments_quantile_sketch,
+    "kcore_copurchase": kcore_copurchase,
     "copurchase_triangle_stats": copurchase_triangle_stats,
     "skewed_agg_salted": skewed_agg_salted,
     "join_range_binned": join_range_binned,

@@ -139,3 +139,39 @@ def test_pagerank_vs_python(spark, seed):
     assert abs(sum(r for _, r in got.values()) - n) < 1e-9 * max(n, 1)
     for node, w in want.items():
         assert abs(got[node][1] - w) < 1e-9, (seed, node)
+
+
+def _py_kcore(edges: set[tuple[int, int]], k: int) -> dict[int, int]:
+    """Converged k-core by repeated peeling (independent oracle)."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(ns) for n, ns in adj.items() if ns}
+
+
+@pytest.mark.parametrize("seed", [_BASE + _OFF + 300 + i for i in range(8)])
+def test_kcore_peel_vs_python(spark, seed):
+    from dbt_spark.functions.graph_stats import kcore_peel
+
+    rng = random.Random(seed)
+    raw = _gen_edges(rng)
+    if not raw:
+        raw = [(0, 1)]
+    k = rng.choice([2, 3, 4])
+    df = spark.createDataFrame(raw, "a long, b long")
+    edges = canonical_edges(df, "a", "b")
+    # rounds = node count bounds the peel depth on any graph this size
+    got = {r["node"]: r["degree"]
+           for r in kcore_peel(edges, k=k, rounds=30).collect()}
+    dedup = {(min(u, v), max(u, v)) for u, v in raw if u != v}
+    want = _py_kcore(dedup, k)
+    assert got == want, (seed, k)
