@@ -198,6 +198,8 @@ EXTENDED = [
     "event_transition_matrix",  # LAG window + pair groupBy
     "stream_pii_scrub",  # streaming quarantine gate (harness floor)
     "stream_hll_cardinality",  # cross-batch register merge
+    "moments_quantile_sketch",  # five power sums + CF expansion
+    "kcore_copurchase",  # six-round peel, checkpointed
 ]
 
 
