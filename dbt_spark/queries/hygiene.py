@@ -517,7 +517,75 @@ def decontam_exact_substring_cover(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level diff between two corpus snapshots (the ops
+    complement to corpus_psi_drift's distribution view): per-language
+    added / removed / changed / unchanged document counts plus changed
+    bytes, from one full outer join on doc_id comparing md5(text).
+    Snapshot fixture: v1 drops doc_id % 101 == 0 (late arrivals), v2
+    rewrites text for doc_id % 89 == 0 (re-crawled docs) — both sides
+    derived with the SAME expressions in both engines.
+
+    Scale: one co-partitioned full outer join on the id + md5 compare —
+    content equality via 16-byte digests, never text transfer; at 100 TB
+    both sides are id-bucketed so the join is shuffle-free."""
+    docs = _docs(spark, sf_dir)
+    v1 = docs.filter(F.col("doc_id") % 101 != 0).select(
+        "doc_id", "lang", F.md5("text").alias("h1"),
+        F.length("text").alias("len1"))
+    v2 = docs.select(
+        "doc_id", "lang",
+        F.md5(
+            F.when(F.col("doc_id") % 89 == 0,
+                   F.concat(F.lit("recrawled "), F.col("text")))
+            .otherwise(F.col("text"))
+        ).alias("h2"),
+        F.length("text").alias("len2"),
+    )
+    j = v1.join(v2, ["doc_id", "lang"], "full_outer")
+    status = (
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select("lang", status.alias("status"),
+                 F.coalesce("len2", "len1").alias("nbytes"))
+        .groupBy("lang", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nbytes").cast("bigint").alias("nbytes"),
+        )
+        .orderBy("lang", "status")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "corpus_snapshot_diff": """
+        WITH v1 AS (
+            SELECT doc_id, lang, md5(text) AS h1, length(text) AS len1
+            FROM documents WHERE doc_id % 101 <> 0
+        ), v2 AS (
+            SELECT doc_id, lang,
+                   md5(CASE WHEN doc_id % 89 = 0
+                            THEN 'recrawled ' || text ELSE text END) AS h2,
+                   length(text) AS len2
+            FROM documents
+        ), j AS (
+            SELECT coalesce(v1.lang, v2.lang) AS lang,
+                   CASE WHEN h1 IS NULL THEN 'added'
+                        WHEN h2 IS NULL THEN 'removed'
+                        WHEN h1 <> h2 THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   coalesce(len2, len1) AS nbytes
+            FROM v1 FULL OUTER JOIN v2 USING (doc_id, lang)
+        )
+        SELECT lang, status,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nbytes) AS BIGINT) AS nbytes
+        FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "decontam_exact_substring_cover": f"""
         WITH ev AS (
             SELECT DISTINCT substr(text, CAST(p AS INT), {_COVER_W}) AS wnd
@@ -702,4 +770,5 @@ QUERIES = {
     "blocklist_phrase_filter": blocklist_phrase_filter,
     "corpus_psi_drift": corpus_psi_drift,
     "decontam_exact_substring_cover": decontam_exact_substring_cover,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
 }
