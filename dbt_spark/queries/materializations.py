@@ -597,6 +597,52 @@ def engine_custom_materialization(spark: SparkSession, sf_dir: str) -> DataFrame
     return eng.store.read("main", "status_rollup")
 
 
+def engine_pii_scrub_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """config(pii_redact=['text']) through the WHOLE engine: a real
+    project whose model emits synthetic contact lines, materialized as a
+    table with the scrub config — the stored relation must contain the
+    chained-redaction output byte-for-byte (per-lang ordered md5 fold
+    vs the DuckDB replay of the same chain). Proves the privacy knob
+    composes with materialization exactly like quality/dedup configs."""
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: piiq\n",
+        "models/sources.yml": (
+            "sources:\n  - name: corpus\n    tables:\n      - name: documents\n"
+            '        meta: {location: "__SF__/documents.parquet"}\n'
+        ),
+        "models/scrubbed.sql": (
+            "{{ config(materialized='table', pii_redact=['text']) }} "
+            "select doc_id, lang, text || ' contact user' || "
+            "cast(doc_id as string) || '@' || source || '.example.com' "
+            "as text from {{ source('corpus', 'documents') }}"
+        ),
+    }
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_piiq_")
+    for rel, content in files.items():
+        p = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content.replace("__SF__", sf_dir))
+    eng = Engine(tmp, spark=spark)
+    result = eng.invoke(["run"])
+    if not result.success:
+        raise RuntimeError(
+            f"pii scrub run failed: {[r.message for r in result.results]}")
+    out = eng.store.read("main", "scrubbed")
+    from dbt_spark.queries.hygiene import _ordered_md5
+
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            _ordered_md5("doc_id", "text").alias("redacted_md5"),
+        )
+        .orderBy("lang")
+    )
+
+
 def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """config(zorder_by=[k1, k2]) through the engine: Morton-interleaved
     clustering (functions/layout.py) relays the full row set unchanged — the
@@ -1468,7 +1514,27 @@ def cobucketed_join_zeroshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from dbt_spark.functions.pii import EMAIL_RE as _EM, IPV4_RE as _IP, PHONE_RE as _PH  # noqa: E402
+
 ORACLES: dict[str, str] = {
+    "engine_pii_scrub_model": f"""
+        WITH m AS (
+            SELECT doc_id, lang,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@' || source || '.example.com' AS text
+            FROM documents
+        ), r AS (
+            SELECT doc_id, lang,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       text, '{_EM}', '<EMAIL>', 'g'),
+                       '{_PH}', '<PHONE>', 'g'),
+                       '{_IP}', '<IP>', 'g') AS text
+            FROM m
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               md5(string_agg(md5(text), '' ORDER BY doc_id)) AS redacted_md5
+        FROM r GROUP BY lang ORDER BY lang
+    """,
     "cobucketed_join_zeroshuffle": """
         SELECT c.c_mktsegment,
                CAST(count(*) AS BIGINT) AS n_orders,
@@ -1879,6 +1945,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "engine_pii_scrub_model": engine_pii_scrub_model,
     "cobucketed_join_zeroshuffle": cobucketed_join_zeroshuffle,
     "incremental_append": incremental_append,
     "incremental_merge": incremental_merge,
