@@ -200,6 +200,18 @@ def hll_registers(df, col: str = None, p: int = 12, group_cols: list | None = No
     # hash_bits MUST match the real entropy width of the hash: a window
     # wider than the hash guarantees leading zeros in every value, which
     # inflates rho uniformly and multiplies the estimate by 2^slack
+    if col is None and hash_col is None:
+        raise ValueError(
+            "hll_registers: supply exactly one of col= (a column to "
+            "xxhash64) or hash_col= (a precomputed 64-bit hash column)")
+    if col is not None and hash_col is not None:
+        raise ValueError(
+            "hll_registers: col= and hash_col= are mutually exclusive")
+    if not p < hash_bits <= 64:
+        raise ValueError(
+            f"hll_registers: hash_bits={hash_bits} must satisfy "
+            f"p ({p}) < hash_bits <= 64 — the bucket index consumes the "
+            "low p bits and rho needs at least one bit of w")
     wbits = hash_bits - p
     raw = hash_col if hash_col is not None else F.xxhash64(F.col(col))
     hp = raw.bitwiseAND(F.lit((1 << hash_bits) - 1))

@@ -25,6 +25,7 @@ snapshot's unique_key — current rows vs source shuffle once on that key.
 
 from __future__ import annotations
 
+import re
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
@@ -89,6 +90,35 @@ def _scd_id(keys: list[str], version_ts_col: str) -> F.Column:
     return F.md5(F.concat_ws("|", *parts))
 
 
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _strat_key_plan(node: ManifestNode, strat: dict | None):
+    """Join-key plan honoring a custom strategy's ``unique_key`` contract.
+
+    The reference materialization drives the merge key off the strategy
+    dict (``strategy.unique_key``), not the node config — a custom macro
+    may return a transformed or composite key. Returns ``(keys, derived)``
+    where ``derived`` maps a generated column name -> SQL expression to
+    evaluate on BOTH sides before the join (for non-identifier key
+    expressions); plain column names pass straight through as keys."""
+    if strat is None or not strat.get("unique_key"):
+        return _keys(node), {}
+    uk = strat["unique_key"]
+    uks = [uk] if isinstance(uk, str) else list(uk)
+    keys: list[str] = []
+    derived: dict[str, str] = {}
+    for i, u in enumerate(uks):
+        u = str(u).strip()
+        if _IDENT.fullmatch(u):
+            keys.append(u)
+        else:
+            name = f"__sg_strat_key_{i}"
+            derived[name] = u
+            keys.append(name)
+    return keys, derived
+
+
 def _custom_strategy(ctx: ExecutionContext, node: ManifestNode,
                      target_exists: bool) -> dict:
     """Resolve and call a user-defined ``snapshot_<strategy>_strategy``
@@ -110,6 +140,15 @@ def _custom_strategy(ctx: ExecutionContext, node: ManifestNode,
     from dbt_spark.plans.manifest import NodeType
 
     mname = f"snapshot_{node.config.strategy}_strategy"
+    # detect the missing macro up front from the parsed macro registry —
+    # substring-matching render exceptions would misreport a genuine bug
+    # inside an existing strategy macro as "macro not found"
+    if mname not in ctx.manifest.macros:
+        raise CompilationError(
+            f"snapshot {node.name}: strategy "
+            f"{node.config.strategy!r} requires a macro named "
+            f"'{mname}' (custom snapshot strategy dispatch)"
+        )
     cfg = {
         k: getattr(node.config, k, None)
         for k in ("strategy", "unique_key", "updated_at", "check_cols",
@@ -154,14 +193,6 @@ def _custom_strategy(ctx: ExecutionContext, node: ManifestNode,
                 "return a dict with at least a 'row_changed' expression"
             )
         return strat
-    except Exception as exc:
-        if mname in str(exc) or "undefined" in str(exc).lower():
-            raise CompilationError(
-                f"snapshot {node.name}: strategy "
-                f"{node.config.strategy!r} requires a macro named "
-                f"'{mname}' (custom snapshot strategy dispatch)"
-            ) from exc
-        raise
     raise CompilationError(
         f"snapshot {node.name}: custom strategy macro {mname} did not "
         "return() a strategy dict"
@@ -169,7 +200,8 @@ def _custom_strategy(ctx: ExecutionContext, node: ManifestNode,
 
 
 def _with_meta(df: DataFrame, node: ManifestNode, run_ts: str,
-               strat: dict | None = None) -> DataFrame:
+               strat: dict | None = None,
+               keys: list[str] | None = None) -> DataFrame:
     """Append meta columns to fresh source rows (first version)."""
     if strat is not None:
         df = df.alias("source_data").withColumn(
@@ -185,7 +217,7 @@ def _with_meta(df: DataFrame, node: ManifestNode, run_ts: str,
     scd = (
         F.expr(str(strat["scd_id"]))
         if strat is not None and strat.get("scd_id")
-        else _scd_id(_keys(node), "dbt_updated_at")
+        else _scd_id(keys or _keys(node), "dbt_updated_at")
     )
     df = (
         df.withColumn("dbt_valid_from", F.col("dbt_updated_at"))
@@ -220,7 +252,6 @@ def _changed_predicate(node: ManifestNode, src: DataFrame, cur: DataFrame,
 def materialize_snapshot(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     schema = ctx.schema_for(node)
     run_ts = ctx.snapshot_ts or datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
-    keys = _keys(node)
 
     source = run_model_df(ctx, node)
 
@@ -230,15 +261,26 @@ def materialize_snapshot(ctx: ExecutionContext, node: ManifestNode) -> Relation:
         if node.config.strategy in ("timestamp", "check")
         else _custom_strategy(ctx, node, exists)
     )
+    # join keys come from the strategy dict when a custom strategy
+    # returned one (reference contract); composite/expression keys become
+    # derived columns evaluated identically on both sides
+    keys, derived = _strat_key_plan(node, strat)
+    for dname, dexpr in derived.items():
+        source = source.withColumn(dname, F.expr(dexpr))
 
     if not exists:
         from dbt_spark.operators.materialize import storage_options
 
-        first = _to_external(_with_meta(source, node, run_ts, strat), node)
-        return ctx.store.write_table(schema, ctx.name_for(node), first,
+        first = _with_meta(source, node, run_ts, strat, keys)
+        if derived:
+            first = first.drop(*derived)
+        return ctx.store.write_table(schema, ctx.name_for(node),
+                                     _to_external(first, node),
                                      kind="snapshot", **storage_options(node))
 
     snap = _to_internal(ctx.store.read(schema, ctx.name_for(node)), node)
+    for dname, dexpr in derived.items():
+        snap = snap.withColumn(dname, F.expr(dexpr))
     has_deleted_col = "dbt_is_deleted" in snap.columns
     history = snap.filter(F.col("dbt_valid_to").isNotNull())
     current = snap.filter(F.col("dbt_valid_to").isNull())
@@ -284,7 +326,7 @@ def materialize_snapshot(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     fresh_src = joined.filter(
         src_key.isNotNull() & (cur_key.isNull() | changed)
     ).select(*src_data_cols)
-    inserts = _with_meta(fresh_src, node, run_ts, strat)
+    inserts = _with_meta(fresh_src, node, run_ts, strat, keys)
 
     # 4. hard deletes
     vanished = joined.filter(src_key.isNull() & cur_key.isNotNull())
@@ -320,6 +362,9 @@ def materialize_snapshot(ctx: ExecutionContext, node: ManifestNode) -> Relation:
             new_snap = new_snap.withColumn("dbt_is_deleted", F.lit(False))
         new_snap = new_snap.unionByName(markers, allowMissingColumns=True)
         new_snap = new_snap.fillna(False, subset=["dbt_is_deleted"])
+
+    if derived:
+        new_snap = new_snap.drop(*derived)
 
     from dbt_spark.operators.materialize import storage_options
 

@@ -929,18 +929,30 @@ def _parse_model_patches(doc: dict, project: Project, manifest: Manifest,
         if uid in manifest.nodes:
             continue
         relation = str(patch["relation"]).strip()
+        # accepts positional package + a version/v keyword arg, matching the
+        # reference's statically_parse_ref_or_source grammar
+        # (core/dbt/parser/schemas.py: ref('x'), ref('pkg','x'),
+        # ref('x', version=2), ref('x', v=2))
         m_ref = re.fullmatch(
-            r"ref\(\s*'([^']+)'\s*(?:,\s*'([^']+)'\s*)?\)", relation)
+            r"ref\(\s*['\"]([^'\"]+)['\"]\s*"
+            r"(?:,\s*['\"]([^'\"]+)['\"]\s*)?"
+            r"(?:,\s*(?:version|v)\s*=\s*([0-9]+)\s*)?\)", relation)
         m_src = re.fullmatch(
-            r"source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)", relation)
+            r"source\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)",
+            relation)
         refs, sources = [], []
         if m_src:
             sources = [(m_src.group(1), m_src.group(2))]
         elif m_ref:
             if m_ref.group(2):
-                refs = [(m_ref.group(1), m_ref.group(2))]
+                pkg, nm = m_ref.group(1), m_ref.group(2)
             else:
-                refs = [(None, m_ref.group(1))]
+                pkg, nm = None, m_ref.group(1)
+            if m_ref.group(3):
+                # versioned ref resolves to the <name>_v<k> node, same
+                # convention as the runtime ref(name, version=) surface
+                nm = f"{nm}_v{m_ref.group(3)}"
+            refs = [(pkg, nm)]
         else:
             raise CompilationError(
                 f"snapshot {name}: 'relation' must be a ref(...) or "

@@ -533,14 +533,15 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = docs.filter(F.col("doc_id") % 101 != 0).select(
         "doc_id", "lang", F.md5("text").alias("h1"),
         F.length("text").alias("len1"))
+    v2_text = (
+        F.when(F.col("doc_id") % 89 == 0,
+               F.concat(F.lit("recrawled "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
     v2 = docs.select(
         "doc_id", "lang",
-        F.md5(
-            F.when(F.col("doc_id") % 89 == 0,
-                   F.concat(F.lit("recrawled "), F.col("text")))
-            .otherwise(F.col("text"))
-        ).alias("h2"),
-        F.length("text").alias("len2"),
+        F.md5(v2_text).alias("h2"),
+        F.length(v2_text).alias("len2"),
     )
     j = v1.join(v2, ["doc_id", "lang"], "full_outer")
     status = (
@@ -570,7 +571,8 @@ ORACLES: dict[str, str] = {
             SELECT doc_id, lang,
                    md5(CASE WHEN doc_id % 89 = 0
                             THEN 'recrawled ' || text ELSE text END) AS h2,
-                   length(text) AS len2
+                   length(CASE WHEN doc_id % 89 = 0
+                               THEN 'recrawled ' || text ELSE text END) AS len2
             FROM documents
         ), j AS (
             SELECT coalesce(v1.lang, v2.lang) AS lang,

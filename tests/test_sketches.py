@@ -239,3 +239,24 @@ def test_cms_counters_vs_counter(spark, seed):
                    for r in range(depth)) == n
         )
         assert exact_hits >= 1
+
+
+def test_hll_registers_arg_validation(spark):
+    """round-11 ADVICE: clear errors for missing/conflicting col args and
+    a hash_bits window wider than the hash (which would inflate rho)."""
+    import pytest as _pytest
+
+    from dbt_spark.functions.sketches import hll_registers
+
+    df = spark.range(10).selectExpr("cast(id as string) as s",
+                                    "id as h")
+    with _pytest.raises(ValueError, match="exactly one of col"):
+        hll_registers(df)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        hll_registers(df, col="s", hash_col=df["h"])
+    with _pytest.raises(ValueError, match="hash_bits"):
+        hll_registers(df, col="s", p=12, hash_bits=10)
+    with _pytest.raises(ValueError, match="hash_bits"):
+        hll_registers(df, col="s", hash_bits=65)
+    # the happy path still works
+    assert hll_registers(df, col="s", p=4).count() > 0

@@ -442,3 +442,123 @@ def test_yaml_snapshot_bad_relation_errors(project_dir, spark):
     root = project_dir(files)
     with _pytest.raises(CompilationError, match="ref\\(...\\) or source"):
         Engine(root, spark=spark).invoke(["snapshot"])
+
+
+# ---- round-11: custom strategy unique_key contract + error fidelity ----
+
+EXPR_KEY_STRATEGY = """
+{% macro snapshot_by_code_strategy(node, snapshotted_rel, current_rel, model_config, target_exists) %}
+{{ return({
+    'unique_key': 'upper(code)',
+    'updated_at': current_rel ~ '.updated_at',
+    'row_changed': current_rel ~ '.val <> ' ~ snapshotted_rel ~ '.val'
+}) }}
+{% endmacro %}
+"""
+
+SNAP_BY_CODE = """
+{% snapshot things_snap %}
+{{ config(strategy='by_code', unique_key='id', updated_at='updated_at') }}
+select * from {{ ref('things') }}
+{% endsnapshot %}
+"""
+
+
+def test_custom_strategy_unique_key_honored(project_dir, spark):
+    """A custom strategy's returned unique_key (here an EXPRESSION,
+    upper(code)) drives the join — not node.config.unique_key. Run 2's
+    row carries a different id AND a case-changed code; matching on the
+    strategy key closes the old version instead of inserting a new key."""
+    files = {
+        "dbt_project.yml": "name: snap\n",
+        "seeds/things.csv": (
+            "id,code,val,updated_at\n"
+            "1,a,10,2020-01-01 00:00:00\n"
+            "2,b,20,2020-01-01 00:00:00\n"
+        ),
+        "snapshots/things.sql": SNAP_BY_CODE,
+        "macros/strategy.sql": EXPR_KEY_STRATEGY,
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["snapshot"], snapshot_ts="2020-01-15 00:00:00")
+    assert r.success, [x.message for x in r.results]
+
+    # id flips 1->9 and code flips a->A: same strategy key upper(code)='A'
+    Path(root, "seeds/things.csv").write_text(
+        "id,code,val,updated_at\n"
+        "9,A,11,2020-02-01 00:00:00\n"
+        "2,b,20,2020-01-01 00:00:00\n"
+    )
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["snapshot"], snapshot_ts="2020-02-15 00:00:00")
+    assert r.success, [x.message for x in r.results]
+    rows = eng.store.read("main", "things_snap").collect()
+    # derived helper key column must not leak into the stored table
+    assert not any(c.startswith("__sg_strat_key") for c in rows[0].asDict())
+    by_code = {}
+    for row in rows:
+        by_code.setdefault(row["code"].upper(), []).append(row)
+    a = sorted(by_code["A"], key=lambda r: str(r["dbt_valid_from"]))
+    assert len(a) == 2, rows  # matched on upper(code): closed + new version
+    assert a[0]["val"] == 10 and a[0]["dbt_valid_to"] is not None
+    assert a[1]["val"] == 11 and a[1]["id"] == 9 and a[1]["dbt_valid_to"] is None
+    assert len(by_code["B"]) == 1 and by_code["B"][0]["dbt_valid_to"] is None
+
+
+BUGGY_STRATEGY = """
+{% macro snapshot_buggy_strategy(node, snapshotted_rel, current_rel, model_config, target_exists) %}
+{% set oops = totally_missing_helper() %}
+{{ return({
+    'unique_key': model_config['unique_key'],
+    'updated_at': current_rel ~ '.updated_at',
+    'row_changed': current_rel ~ '.name <> ' ~ snapshotted_rel ~ '.name'
+}) }}
+{% endmacro %}
+"""
+
+
+def test_custom_strategy_macro_bug_not_misreported(project_dir, spark):
+    """A genuine bug INSIDE an existing strategy macro (undefined variable)
+    must surface as that bug — not as 'requires a macro named ...'. The
+    missing-macro error now comes from a registry lookup, not exception
+    substring matching."""
+    files = {
+        "dbt_project.yml": "name: snap\n",
+        "seeds/people.csv": V1_CSV,
+        "snapshots/people.sql": SNAP_CUSTOM.replace("newer_name", "buggy"),
+        "macros/strategy.sql": BUGGY_STRATEGY,
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["snapshot"], snapshot_ts="2020-01-15 00:00:00")
+    assert not r.success
+    msgs = " ".join(x.message or "" for x in r.results)
+    assert "requires a macro named" not in msgs
+    assert "totally_missing_helper" in msgs
+
+
+def test_yaml_snapshot_versioned_ref_relation(project_dir, spark):
+    """YAML snapshot relation: accepts ref('name', version=N) — the
+    reference's statically_parse_ref_or_source grammar
+    (core/dbt/parser/schemas.py), previously rejected by the regex."""
+    yaml_snap = YAML_SNAPSHOT.replace(
+        "ref('people')", "ref('people_m', version=2)")
+    files = {
+        "dbt_project.yml": "name: snap\n",
+        "seeds/people.csv": V1_CSV,
+        "models/people_m_v2.sql": "select * from {{ ref('people') }}",
+        "snapshots/people.yml": yaml_snap,
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark)
+    m = eng.parse()
+    assert "model.snap.people_m_v2" in m.nodes["snapshot.snap.people_snap"].depends_on
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    r = eng.invoke(["snapshot"], snapshot_ts="2020-01-15 00:00:00")
+    assert r.success, [x.message for x in r.results]
+    snap = eng.store.read("main", "people_snap").collect()
+    assert len(snap) == 3 and all(x["dbt_valid_to"] is None for x in snap)
