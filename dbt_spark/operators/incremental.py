@@ -17,6 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -30,6 +31,138 @@ from dbt_spark.plans.manifest import ManifestNode
 
 class IncrementalError(Exception):
     pass
+
+
+#: builtin strategy names — any OTHER configured name dispatches to a
+#: user macro ``get_incremental_<name>_sql`` (reference:
+#: adapter.get_incremental_strategy_macro, exercised by
+#: tests/functional/materializations/test_incremental.py:33-53; the
+#: microbatch compiled-patch lookup resolves the same naming scheme at
+#: core/dbt/contracts/graph/manifest.py:1763)
+BUILTIN_STRATEGIES = ("append", "merge", "delete+insert",
+                      "insert_overwrite", "microbatch")
+
+
+def strategy_macro_name(strategy: str) -> str:
+    """``delete+insert`` → ``get_incremental_delete_insert_sql`` — the
+    reference normalizes ``+``/spaces to ``_`` before the macro lookup."""
+    return "get_incremental_" + re.sub(r"[+\s-]+", "_", strategy) + "_sql"
+
+
+def _run_custom_strategy(
+    ctx: ExecutionContext, node: ManifestNode, strategy: str,
+    new: DataFrame, parts: list[str], storage: dict,
+) -> Relation:
+    """Execute a user-defined incremental strategy macro.
+
+    Contract (mirrors the reference's incremental materialization): the
+    macro ``get_incremental_<name>_sql(arg_dict)`` receives a dict with
+    ``target_relation`` / ``temp_relation`` / ``unique_key`` /
+    ``dest_columns`` / ``incremental_predicates`` and returns the DML to
+    run. Here the new batch is registered as the temp relation and the
+    target is exposed as a session-catalog EXTERNAL parquet table over
+    the store path, so returned ``INSERT INTO`` / ``INSERT OVERWRITE
+    TABLE`` statements land files exactly where the relation lives; the
+    engine then re-adopts the path. Parquet-only: txparquet/delta route
+    DML through their own commit protocols and must not be written
+    around."""
+    from dbt_spark.plans.compile import runtime_render
+    from dbt_spark.plans.macros import (
+        ColumnInfo,
+        MacroReturn,
+        RelationProxy,
+        RuntimeAdapter,
+        _macro_return,
+    )
+    from dbt_spark.plans.manifest import NodeType
+
+    mname = strategy_macro_name(strategy)
+    if (storage.get("file_format") or "parquet") != "parquet":
+        raise IncrementalError(
+            f"{node.unique_id}: custom incremental strategy "
+            f"{strategy!r} is parquet-only (file_format="
+            f"{storage['file_format']!r} commits through its own protocol)")
+    if parts:
+        raise IncrementalError(
+            f"{node.unique_id}: custom incremental strategy {strategy!r} "
+            "does not support partition_by (the transient DML table has "
+            "no partition spec; use a builtin partitioned strategy)")
+
+    schema = ctx.schema_for(node)
+    name = ctx.name_for(node)
+    rel = ctx.store.get(schema, name)
+    existing = ctx.store.read(schema, name)
+
+    ident = rel.identifier
+    tmp_ident = f"{ident}__dbt_tmp"
+    new.createOrReplaceTempView(tmp_ident)
+
+    target = RelationProxy(ident, schema, name)
+    temp = RelationProxy(tmp_ident, schema, tmp_ident)
+    arg_dict = {
+        "target_relation": target,
+        "temp_relation": temp,
+        "unique_key": node.config.unique_key,
+        "dest_columns": [
+            ColumnInfo(f.name, f.dataType.simpleString())
+            for f in existing.schema.fields
+        ],
+        "incremental_predicates":
+            node.config.meta.get("incremental_predicates"),
+    }
+    drv = ManifestNode(
+        unique_id=f"operation.{node.unique_id}.incremental_strategy",
+        name=node.name,
+        package_name=node.package_name,
+        path="",
+        resource_type=NodeType.Operation,
+        raw_code="{{ return(" + mname + "(arg_dict)) }}",
+        config=node.config,
+    )
+
+    # the temp view registered for {{ this }} would shadow the catalog
+    # table of the same name — swap it out for the DML's duration
+    ctx.spark.catalog.dropTempView(ident)
+    ctx.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+    ctx.spark.sql(f"CREATE TABLE {ident} USING parquet LOCATION '{rel.path}'")
+    try:
+        build_sql = None
+        try:
+            runtime_render(
+                drv, ctx.manifest,
+                resolve_ref=ctx.resolve_ref,
+                resolve_source=ctx.resolve_source,
+                this_name=ident, is_incremental=True,
+                full_refresh=ctx.full_refresh,
+                var_overrides=dict(ctx.vars),
+                target=dict(ctx.project.profile),
+                run_query=ctx.run_query,
+                extra={
+                    "arg_dict": arg_dict,
+                    "adapter": RuntimeAdapter(ctx),
+                    "this": target,
+                    "temp_relation": temp,
+                    "return": _macro_return,
+                },
+            )
+        except MacroReturn as r:
+            build_sql = r.value
+        if not isinstance(build_sql, str) or not build_sql.strip():
+            raise IncrementalError(
+                f"{node.unique_id}: {mname} must return() the SQL to "
+                "execute (got "
+                f"{type(build_sql).__name__})")
+        for stmt in (s.strip() for s in build_sql.split(";")):
+            if stmt:
+                ctx.execute_sql(stmt, node=node)
+    finally:
+        # external table: dropping the catalog entry keeps the files;
+        # re-register adopts whatever the DML wrote
+        ctx.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        ctx.spark.catalog.dropTempView(tmp_ident)
+        ctx.store.invalidate(rel)
+        ctx.store.register(rel)
+    return rel
 
 
 def _unique_keys(node: ManifestNode) -> list[str]:
@@ -411,4 +544,10 @@ def materialize_incremental(ctx: ExecutionContext, node: ManifestNode) -> Option
                 partition_by=parts, **storage,
             )
         return ctx.store.overwrite_partitions(schema, ctx.name_for(node), new, parts)
-    raise IncrementalError(f"{node.unique_id}: unknown incremental_strategy {strategy!r}")
+    if strategy_macro_name(strategy) in ctx.manifest.macros:
+        return _run_custom_strategy(ctx, node, strategy, new, parts, storage)
+    raise IncrementalError(
+        f"{node.unique_id}: unknown incremental_strategy {strategy!r} — "
+        "dbt could not find an incremental strategy macro with the name "
+        f"'{strategy_macro_name(strategy)}' (built-ins: "
+        + ", ".join(BUILTIN_STRATEGIES) + ")")

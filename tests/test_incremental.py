@@ -775,3 +775,112 @@ select id, day, val from {{ ref('events') }} where day = {{ var('day', 1) }}
     got = sorted((r.id, r.day, r.val)
                  for r in eng.store.read("main", "target").collect())
     assert got == sorted((r.id, r.day, r.val) for r in before)
+
+
+# ---- round-11: custom incremental strategies (get_incremental_<name>_sql) ----
+# Reference: adapter.get_incremental_strategy_macro resolves any non-builtin
+# strategy name to a macro get_incremental_<name>_sql (normalizing '+' to '_'),
+# exercised by tests/functional/materializations/test_incremental.py:33-53 and
+# the microbatch lookup core/dbt/contracts/graph/manifest.py:1763.
+
+INSERT_ONLY_NEW_MACRO = """
+{% macro get_incremental_insert_only_new_sql(arg_dict) %}
+{% set t = arg_dict['target_relation'] %}
+{% set s = arg_dict['temp_relation'] %}
+{% set k = arg_dict['unique_key'] %}
+INSERT INTO {{ t }}
+SELECT {{ arg_dict['dest_columns'] | map(attribute='quoted') | join(', ') }}
+FROM {{ s }}
+WHERE {{ k }} NOT IN (SELECT {{ k }} FROM {{ t }})
+{% endmacro %}
+"""
+
+CUSTOM_STRAT_SQL = """
+{{ config(materialized='incremental', incremental_strategy='insert_only_new',
+          unique_key='id') }}
+select id, day, val * {{ var('mult', 1) }} as val
+from {{ ref('events') }}
+where day <= {{ var('upto', 3) }}
+"""
+
+
+def test_custom_incremental_strategy_e2e(project_dir, spark):
+    """A project-defined get_incremental_insert_only_new_sql macro drives the
+    incremental run: first-write-wins — existing keys are NOT updated, only
+    brand-new keys insert (so run 2's x10 values appear only on new ids)."""
+    root, eng = make_engine(
+        project_dir, spark, CUSTOM_STRAT_SQL,
+        vars={"upto": 2, "mult": 1},
+        extra_files={"macros/strategy.sql": INSERT_ONLY_NEW_MACRO},
+    )
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    rows = {r["id"]: r["val"] for r in eng.store.read("main", "target").collect()}
+    assert rows == {1: 10, 2: 20, 3: 30, 4: 40}
+    eng2 = Engine(root, spark=spark, vars={"upto": 3, "mult": 10})
+    r = eng2.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    rows = {r["id"]: r["val"] for r in eng2.store.read("main", "target").collect()}
+    # ids 1-4 keep their first-run values; only 5,6 arrive (at x10)
+    assert rows == {1: 10, 2: 20, 3: 30, 4: 40, 5: 500, 6: 600}
+
+
+def test_custom_incremental_strategy_multi_statement(project_dir, spark):
+    """A strategy macro may return multiple ';'-separated statements — each
+    executes in order (delete-flavored emulation: append markers twice)."""
+    macro = """
+{% macro get_incremental_double_append_sql(arg_dict) %}
+{% set t = arg_dict['target_relation'] %}
+{% set s = arg_dict['temp_relation'] %}
+INSERT INTO {{ t }} SELECT id, day, val FROM {{ s }};
+INSERT INTO {{ t }} SELECT id + 1000 as id, day, val FROM {{ s }}
+{% endmacro %}
+"""
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='double_append') }}
+select id, day, val from {{ ref('events') }} where day = {{ var('d') }}
+"""
+    root, eng = make_engine(project_dir, spark, sql, vars={"d": 1},
+                            extra_files={"macros/strategy.sql": macro})
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success  # first run: plain create (2 rows)
+    eng2 = Engine(root, spark=spark, vars={"d": 2})
+    r = eng2.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    ids = sorted(r["id"] for r in eng2.store.read("main", "target").collect())
+    assert ids == [1, 2, 3, 4, 1003, 1004]
+
+
+def test_unknown_incremental_strategy_names_macro(project_dir, spark):
+    """Error-message parity: an unknown strategy names the macro dbt would
+    have dispatched (get_incremental_<name>_sql) and the builtin list."""
+    sql = CUSTOM_STRAT_SQL.replace("insert_only_new", "no_such_thing")
+    root, eng = make_engine(project_dir, spark, sql, vars={"upto": 2})
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success  # first run never dispatches a strategy
+    eng2 = Engine(root, spark=spark, vars={"upto": 3})
+    r = eng2.invoke(["run"])
+    assert not r.success
+    msgs = " ".join(x.message or "" for x in r.results)
+    assert "get_incremental_no_such_thing_sql" in msgs
+    assert "unknown incremental_strategy" in msgs
+
+
+def test_custom_strategy_must_return_sql(project_dir, spark):
+    """A strategy macro that return()s a non-string fails loudly."""
+    macro = """
+{% macro get_incremental_broken_sql(arg_dict) %}
+{{ return({'not': 'sql'}) }}
+{% endmacro %}
+"""
+    sql = CUSTOM_STRAT_SQL.replace("insert_only_new", "broken")
+    root, eng = make_engine(project_dir, spark, sql, vars={"upto": 2},
+                            extra_files={"macros/strategy.sql": macro})
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success
+    eng2 = Engine(root, spark=spark, vars={"upto": 3})
+    r = eng2.invoke(["run"])
+    assert not r.success
+    msgs = " ".join(x.message or "" for x in r.results)
+    assert "must return() the SQL" in msgs

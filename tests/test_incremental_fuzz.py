@@ -206,3 +206,81 @@ def test_incremental_merge_predicates_differential(spark, seed):
     assert _canon(got) == _canon(state), (
         f"seed={seed} pred_b={pred_b} batches={[len(b) for b in batches]}"
     )
+
+
+# ---- round-11: custom strategy seeds (get_incremental_<name>_sql dispatch) ----
+
+_CUSTOM_MACRO = """
+{% macro get_incremental_insert_only_new_sql(arg_dict) %}
+{% set t = arg_dict['target_relation'] %}
+{% set s = arg_dict['temp_relation'] %}
+INSERT INTO {{ t }}
+SELECT {{ arg_dict['dest_columns'] | map(attribute='quoted') | join(', ') }}
+FROM {{ s }}
+WHERE k NOT IN (SELECT k FROM {{ t }})
+{% endmacro %}
+"""
+
+
+def _replay_insert_only_new(batches: list[pd.DataFrame]) -> pd.DataFrame:
+    """First-write-wins: a key's first-seen row is never updated."""
+    state = pd.DataFrame(columns=["k", "part", "val", "b"])
+    first = True
+    for batch in batches:
+        if first:
+            # first run is a plain create (strategy not dispatched)
+            state = batch.copy()
+            first = False
+        elif len(batch):
+            fresh = batch[~batch["k"].isin(set(state["k"]))]
+            state = pd.concat([state, fresh], ignore_index=True)
+    return state
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_incremental_custom_strategy_differential(spark, seed):
+    """Seeded batch sequences through the REAL materializer with a
+    user-defined strategy macro vs the pure-pandas first-write-wins replay."""
+    rng = random.Random(_BASE + _OFF + 7000 + seed)
+    n_batches = rng.randrange(2, 5)
+    batches = []
+    for b in range(n_batches):
+        if b > 0 and rng.random() < 0.15:
+            batches.append(pd.DataFrame(columns=["k", "part", "val", "b"]))
+            continue
+        n = rng.randrange(1, 7)
+        ks = rng.sample(range(1, 9), n)
+        batches.append(pd.DataFrame([
+            {"k": k, "part": rng.choice(PARTS),
+             "val": (seed + 1) * 100 + b * 10 + i, "b": b}
+            for i, k in enumerate(ks)
+        ]))
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_inccustom_")
+    project = Project(
+        name="inccustom", root=tmp,
+        profile={"warehouse": os.path.join(tmp, "wh"), "schema": "main",
+                 "threads": 2},
+    )
+    manifest = Manifest(project_name="inccustom")
+    manifest.macros["get_incremental_insert_only_new_sql"] = _CUSTOM_MACRO
+    ctx = ExecutionContext(
+        spark=spark,
+        store=RelationStore(spark, project.profile["warehouse"]),
+        manifest=manifest,
+        project=project,
+    )
+    node = ManifestNode(
+        unique_id=f"model.inccustom.t{seed}", name=f"t{seed}",
+        package_name="inccustom", path=f"models/t{seed}.sql",
+        resource_type=NodeType.Model, raw_code="",
+        config=NodeConfig().merged(
+            materialized="incremental",
+            incremental_strategy="insert_only_new", unique_key="k"),
+    )
+    for batch in batches:
+        node.raw_code = _batch_sql(batch)
+        materialize_incremental(ctx, node)
+    got = ctx.store.read("main", node.name).toPandas()
+    want = _replay_insert_only_new(batches)
+    assert _canon(got) == _canon(want), (
+        f"seed={seed} batches={[len(b) for b in batches]}")
