@@ -54,6 +54,7 @@ EVENT_CODES: dict[str, tuple[str, str]] = {
     "DeprecatedModel": ("I065", "warn"),          # types.py:234
     "UpcomingReferenceDeprecation": ("I066", "warn"),  # types.py:849
     "SpacesInResourceNameDeprecation": ("D014", "warn"),  # types.py:419
+    "SourceFreshnessProjectHooksNotRun": ("D017", "warn"),  # types.py:459
     "MFTimespineWithoutYamlConfigurationDeprecation": ("D018", "warn"),  # types.py:469
     "MFCumulativeTypeParamsDeprecation": ("D019", "warn"),  # types.py:479
     "MicrobatchMacroOutsideOfBatchesDeprecation": ("D020", "warn"),  # types.py:490
@@ -106,6 +107,11 @@ _MSG: dict[str, Callable[[dict[str, Any]], str]] = {
     ),
     "SpacesInResourceNameDeprecation": lambda d: (
         f"Found spaces in the name of `{d.get('unique_id')}`"
+    ),
+    "SourceFreshnessProjectHooksNotRun": lambda d: (
+        "In a future version of dbt, the `source freshness` command will "
+        "start running `on-run-start` and `on-run-end` hooks by default "
+        "(set flags: {source_freshness_run_project_hooks: true} to opt in)"
     ),
     "UpcomingReferenceDeprecation": lambda d: (
         "While compiling '{}': Found a reference to {}{}, which is slated "

@@ -1409,6 +1409,16 @@ class Engine:
             "source_freshness_run_project_hooks"))
         if run_hooks:
             self._run_hooks(ctx, self.project.on_run_start, "on-run-start")
+        elif ((self.project.on_run_start or self.project.on_run_end)
+              and getattr(self, "events", None) is not None):
+            # hooks exist but the flag is off: reference fires the D017
+            # deprecation instead of running them
+            # (core/dbt/task/freshness.py:271-276 get_hooks_by_type)
+            self.events.warn_or_error(
+                "SourceFreshnessProjectHooksNotRun",
+                warn_error=getattr(self, "_warn_error", False),
+                options=getattr(self, "_warn_error_options", None),
+            )
         for uid, src in manifest.sources.items():
             if chosen is not None and uid not in chosen:
                 continue

@@ -126,3 +126,43 @@ sources:
     })
     with pytest.raises(CompilationError, match="names and data types"):
         Engine(root, spark=spark).parse()
+
+
+def test_source_freshness_project_hooks_flag_on(project_dir, spark):
+    """flags: source_freshness_run_project_hooks — `source freshness` runs
+    project on-run-start/end hooks iff the flag is set (reference
+    core/dbt/task/freshness.py:271-276 get_hooks_by_type,
+    core/dbt/contracts/project.py:344 ProjectFlags default False).
+    Observable: a failing hook propagates when the flag is on."""
+    import pytest as _pytest
+
+    root = project_dir({
+        "dbt_project.yml": (
+            "name: srcs\n"
+            "flags: {source_freshness_run_project_hooks: true}\n"
+            "on-run-start: ['select * from definitely_missing_table']\n"),
+        "models/sources.yml": SOURCES_YML,
+    })
+    eng = Engine(root, spark=spark)
+    with _pytest.raises(RuntimeError, match="on-run-start hook failed"):
+        eng.invoke(["source", "freshness"])
+
+
+def test_source_freshness_project_hooks_flag_off_fires_d017(project_dir, spark):
+    """Flag unset (default): hooks do NOT run — the same failing hook is
+    skipped, freshness succeeds, and the D017
+    SourceFreshnessProjectHooksNotRun deprecation fires."""
+    root = project_dir({
+        "dbt_project.yml": (
+            "name: srcs\n"
+            "on-run-start: ['select * from definitely_missing_table']\n"),
+        "models/sources.yml": SOURCES_YML,
+    })
+    eng = Engine(root, spark=spark)
+    seen = []
+    eng.events.callbacks.append(lambda ev: seen.append((ev.name, ev.code)))
+    # must NOT raise the hook failure; the stale fixture data itself may
+    # yield error-status freshness rows, which is fine here
+    r = eng.invoke(["source", "freshness"])
+    assert all("hook" not in (x.message or "") for x in r.results)
+    assert ("SourceFreshnessProjectHooksNotRun", "D017") in seen
