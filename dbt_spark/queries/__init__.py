@@ -13,6 +13,7 @@ from dbt_spark.queries import relational  # noqa: E402
 from dbt_spark.queries import tpch_rest  # noqa: E402
 from dbt_spark.queries import llmops  # noqa: E402
 from dbt_spark.queries import materializations  # noqa: E402
+from dbt_spark.queries import sft  # noqa: E402
 from dbt_spark.queries import streaming_q  # noqa: E402
 
 QUERIES.update(relational.QUERIES)
@@ -31,3 +32,5 @@ QUERIES.update(curation.QUERIES)
 ORACLES.update(curation.ORACLES)
 QUERIES.update(hygiene.QUERIES)
 ORACLES.update(hygiene.ORACLES)
+QUERIES.update(sft.QUERIES)
+ORACLES.update(sft.ORACLES)

@@ -1,0 +1,52 @@
+"""SFT/conversation operators (queries/sft.py): structural invariants on
+sf0.001 — the value-exact cross-engine pairing is tools/check.py's job."""
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dialog_turn_flatten_roles_partition(spark):
+    from dbt_spark.queries.sft import dialog_turn_flatten
+
+    rows = dialog_turn_flatten(spark, SF).collect()
+    assert rows, "conversations expected"
+    for r in rows:
+        assert r["n_user"] + r["n_assistant"] == r["n_turns"]
+        # alternating roles offset by conv parity: counts differ by <= 1
+        assert abs(r["n_user"] - r["n_assistant"]) <= 1
+        assert len(r["transcript_md5"]) == 32
+
+
+def test_turn_dedup_counts(spark):
+    from dbt_spark.queries.sft import turn_dedup_normalized
+
+    rows = turn_dedup_normalized(spark, SF).collect()
+    assert rows
+    total_dropped = sum(r["n_dropped"] for r in rows)
+    for r in rows:
+        assert r["n_unique"] + r["n_dropped"] == r["n_turns"]
+        assert r["n_unique"] >= 1
+    # fixture injects canned turns on doc_id % 5 in {0,1} — some MUST collapse
+    assert total_dropped > 0
+
+
+def test_best_of_k_is_argmax(spark):
+    from dbt_spark.queries.sft import _PROMPTS, rejection_sample_best_of_k, _docs
+    from pyspark.sql import functions as F
+
+    best = {r["prompt_id"]: r for r in
+            rejection_sample_best_of_k(spark, SF).collect()}
+    # independent recompute of the per-prompt max score
+    docs = _docs(spark, SF).select(
+        (F.col("doc_id") % _PROMPTS).alias("prompt_id"),
+        "doc_id",
+        ((F.length("text")
+          - F.length(F.replace(F.col("text"), F.lit("join"), F.lit("")))) / 4
+         * 10 + (F.length("text") % 37)).cast("bigint").alias("score"),
+    )
+    truth = docs.groupBy("prompt_id").agg(
+        F.max("score").alias("mx"),
+        F.count(F.lit(1)).alias("n")).collect()
+    for t in truth:
+        b = best[t["prompt_id"]]
+        assert b["best_score"] == t["mx"]
+        assert b["n_candidates"] == t["n"]
