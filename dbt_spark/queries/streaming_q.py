@@ -6,6 +6,14 @@
 - session_window_agg: Spark's session_window vs the classic gaps-and-islands
   SQL (LAG + cumulative flag) — proving the streaming-native operator agrees
   with its pure-SQL semantics.
+
+HARNESS / PRODUCT BOUNDARY: the ``mid = <1-row agg>.collect()`` pattern
+that appears in this module's setup code is TEST-HARNESS plumbing — it
+splits the fixture into replay batches so a batch oracle can verify the
+stream. It is bounded (a single aggregate row) and validation-only. Do
+NOT copy the replay-verify shape into a production sink: a real
+streaming pipeline never collects to decide batch boundaries — the
+checkpoint + watermark machinery owns that.
 """
 
 from __future__ import annotations
