@@ -202,6 +202,140 @@ def rejection_sample_best_of_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.join(pool, "prompt_id").orderBy("prompt_id")
 
 
+#: token budget per packed training sequence
+_SEQ_BUDGET = 256
+#: independent packing streams — a FIXTURE size; at corpus scale the
+#: shard count is ∝ corpus size so the per-shard cumsum window stays
+#: bounded (shards are the packing parallelism unit)
+_SHARDS = 8
+
+
+def sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (in doc_id order
+    within a shard) into one token stream and slice it into fixed
+    ``_SEQ_BUDGET``-token training sequences; documents straddle block
+    boundaries (the standard pretraining concat-and-chunk, vs the
+    no-straddle first-fit variant).
+
+    Plan: whitespace token counts → per-shard cumulative offset (window
+    partitioned by shard — bounded because shard count scales with the
+    corpus), each doc explodes into the 1..k blocks it overlaps
+    (sequence/explode — fan-out ∝ doc length / budget), then one
+    (shard, seq_id) aggregate. Integer-only arithmetic → bit-exact
+    pairing. Per sequence: docs contributing, tokens filled, straddlers."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        (F.col("doc_id") % _SHARDS).alias("shard"),
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offs = toks.withColumn("off", F.coalesce(F.sum("n_tok").over(w),
+                                             F.lit(0)))
+    b = F.lit(_SEQ_BUDGET)
+    spans = offs.select(
+        "shard", "doc_id", "n_tok", "off",
+        F.explode(
+            F.sequence(
+                (F.col("off") / b).cast("bigint"),
+                ((F.col("off") + F.col("n_tok") - 1) / b).cast("bigint"),
+            )
+        ).alias("seq_id"),
+    )
+    overlap = (
+        F.least(F.col("off") + F.col("n_tok"), (F.col("seq_id") + 1) * b)
+        - F.greatest(F.col("off"), F.col("seq_id") * b)
+    )
+    crosses = (
+        ((F.col("off") / b).cast("bigint")
+         != ((F.col("off") + F.col("n_tok") - 1) / b).cast("bigint"))
+        .cast("int")
+    )
+    return (
+        spans.select("shard", "seq_id", overlap.alias("tok_in_block"),
+                     crosses.alias("crosses"))
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tok_in_block").cast("bigint").alias("n_tokens"),
+            F.sum("crosses").cast("bigint").alias("n_straddlers"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+def chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering + loss-mask span computation: each turn
+    renders as ``<|role|>content<|end|>``; the training loss is masked to
+    assistant CONTENT spans only. Emits per conversation the rendered
+    transcript md5 and the mask spans md5 (start:end char offsets over
+    the rendered string) — the byte-exact contract a tokenizer-side
+    masking step consumes.
+
+    Plan: per-conversation cumulative length window (bounded groups) for
+    turn start offsets; span arithmetic is pure column algebra; two md5
+    folds prove cross-engine byte equality of both the template and the
+    mask. One shuffle keyed conv_id."""
+    t = _turns(spark, sf_dir)
+    rendered = t.select(
+        "conv_id", "turn_idx", "role", "content",
+        F.concat(F.lit("<|"), F.col("role"), F.lit("|>"),
+                 F.col("content"), F.lit("<|end|>")).alias("r"),
+    ).withColumn("rlen", F.length("r"))
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offs = rendered.withColumn(
+        "start", F.coalesce(F.sum("rlen").over(w), F.lit(0)))
+    # assistant content span: skip '<|assistant|>' (13 chars), stop
+    # before '<|end|>' (7 chars)
+    span = offs.withColumn(
+        "m_start",
+        F.col("start") + F.length("role") + F.lit(4)).withColumn(
+        "m_end", F.col("start") + F.col("rlen") - F.lit(7))
+    return (
+        span.groupBy("conv_id")
+        .agg(
+            F.sum("rlen").cast("bigint").alias("total_chars"),
+            F.sum(
+                F.when(F.col("role") == "assistant",
+                       F.col("m_end") - F.col("m_start")).otherwise(F.lit(0))
+            ).cast("bigint").alias("masked_chars"),
+            F.sum((F.col("role") == "assistant").cast("int"))
+            .cast("bigint").alias("n_mask_spans"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("turn_idx", "r"))),
+                        lambda s: s["r"]),
+                    "")
+            ).alias("template_md5"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("role") == "assistant",
+                                    F.struct(
+                                        "turn_idx",
+                                        F.concat(
+                                            F.col("m_start").cast("string"),
+                                            F.lit(":"),
+                                            F.col("m_end").cast("string"),
+                                        ).alias("s"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s["s"]),
+                    ",")
+            ).alias("mask_md5"),
+        )
+        .orderBy("conv_id")
+    )
+
+
 ORACLES: dict[str, str] = {
     "dialog_turn_flatten": f"""
         WITH {_TURNS_CTE}
@@ -232,6 +366,68 @@ ORACLES: dict[str, str] = {
                               ORDER BY kept_idx)) AS kept_turns_md5
         FROM kept GROUP BY conv_id ORDER BY conv_id
     """,
+    "sequence_pack_chunks": f"""
+        WITH toks AS (
+            SELECT doc_id % {_SHARDS} AS shard, doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tok
+            FROM documents
+        ), offs AS (
+            SELECT shard, doc_id, n_tok,
+                   CAST(COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS tok_off
+            FROM toks
+        ), spans AS (
+            SELECT shard, n_tok, tok_off, CAST(s AS BIGINT) AS seq_id
+            FROM offs,
+                 unnest(generate_series(tok_off // {_SEQ_BUDGET},
+                     (tok_off + n_tok - 1) // {_SEQ_BUDGET})) AS g(s)
+        )
+        SELECT shard, seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(least(tok_off + n_tok,
+                              (seq_id + 1) * {_SEQ_BUDGET})
+                        - greatest(tok_off, seq_id * {_SEQ_BUDGET}))
+                    AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN tok_off // {_SEQ_BUDGET}
+                             <> (tok_off + n_tok - 1) // {_SEQ_BUDGET}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+        FROM spans GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "chat_template_render": f"""
+        WITH {_TURNS_CTE}, rendered AS (
+            SELECT conv_id, turn_idx, role,
+                   '<|' || role || '|>' || content || '<|end|>' AS r
+            FROM turns
+        ), offs AS (
+            SELECT conv_id, turn_idx, role, r, length(r) AS rlen,
+                   COALESCE(SUM(length(r)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS st
+            FROM rendered
+        ), span AS (
+            SELECT *, st + length(role) + 4 AS m_start,
+                   st + rlen - 7 AS m_end
+            FROM offs
+        )
+        SELECT conv_id,
+               CAST(sum(rlen) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN role = 'assistant'
+                             THEN m_end - m_start ELSE 0 END)
+                    AS BIGINT) AS masked_chars,
+               CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_mask_spans,
+               md5(string_agg(r, '' ORDER BY turn_idx)) AS template_md5,
+               md5(COALESCE(string_agg(
+                   CASE WHEN role = 'assistant'
+                        THEN CAST(m_start AS VARCHAR) || ':'
+                             || CAST(m_end AS VARCHAR) END,
+                   ',' ORDER BY turn_idx), '')) AS mask_md5
+        FROM span GROUP BY conv_id ORDER BY conv_id
+    """,
     "rejection_sample_best_of_k": f"""
         WITH cand AS (
             SELECT doc_id % {_PROMPTS} AS prompt_id, doc_id,
@@ -260,4 +456,6 @@ QUERIES = {
     "dialog_turn_flatten": dialog_turn_flatten,
     "turn_dedup_normalized": turn_dedup_normalized,
     "rejection_sample_best_of_k": rejection_sample_best_of_k,
+    "sequence_pack_chunks": sequence_pack_chunks,
+    "chat_template_render": chat_template_render,
 }

@@ -50,3 +50,39 @@ def test_best_of_k_is_argmax(spark):
         b = best[t["prompt_id"]]
         assert b["best_score"] == t["mx"]
         assert b["n_candidates"] == t["n"]
+
+
+def test_sequence_pack_conservation(spark):
+    """Packing conserves tokens: sum over blocks == corpus token count;
+    every block except each shard's last is exactly full."""
+    from pyspark.sql import functions as F
+
+    from dbt_spark.queries.sft import (_SEQ_BUDGET, _docs,
+                                       sequence_pack_chunks)
+
+    rows = sequence_pack_chunks(spark, SF).collect()
+    total = _docs(spark, SF).select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))).collect()[0][0]
+    assert sum(r["n_tokens"] for r in rows) == total
+    last_per_shard = {}
+    for r in rows:
+        last_per_shard[r["shard"]] = max(
+            last_per_shard.get(r["shard"], -1), r["seq_id"])
+    for r in rows:
+        if r["seq_id"] != last_per_shard[r["shard"]]:
+            assert r["n_tokens"] == _SEQ_BUDGET, r
+        assert r["n_docs"] >= 1
+
+
+def test_chat_template_mask_inside_template(spark):
+    """Mask spans cover only assistant content: masked < total, and span
+    count equals assistant turn count from the flatten view."""
+    from dbt_spark.queries.sft import (chat_template_render,
+                                       dialog_turn_flatten)
+
+    masks = {r["conv_id"]: r for r in chat_template_render(spark, SF).collect()}
+    flat = {r["conv_id"]: r for r in dialog_turn_flatten(spark, SF).collect()}
+    assert set(masks) == set(flat)
+    for cid, m in masks.items():
+        assert 0 < m["masked_chars"] < m["total_chars"]
+        assert m["n_mask_spans"] == flat[cid]["n_assistant"]
