@@ -268,10 +268,14 @@ class Engine:
                 )
         # require_batched_execution_for_custom_microbatch_strategy
         # (reference parser/manifest.py:660-675
-        # check_for_microbatch_deprecations): a user-defined `microbatch`
-        # macro alongside microbatch models fires D020 while the flag is
-        # off — this engine always runs the batched executor, so the flag
-        # only governs the deprecation, never the execution path
+        # check_for_microbatch_deprecations + manifest.py:1760
+        # _microbatch_macro_is_core): a user-defined
+        # `get_incremental_microbatch_sql` macro alongside microbatch
+        # models fires D020 while the flag is off — this engine always
+        # runs the batched executor, so the flag only governs the
+        # deprecation, never the execution path. manifest.macros holds
+        # only user/package macros (builtins are native code), so mere
+        # presence means non-core locality.
         if not flags.get(
                 "require_batched_execution_for_custom_microbatch_strategy"):
             has_microbatch = any(
@@ -279,7 +283,8 @@ class Engine:
                 and n.config.materialized == "incremental"
                 and n.config.incremental_strategy == "microbatch"
                 for n in self.manifest.nodes.values())
-            if (has_microbatch and "microbatch" in self.manifest.macros
+            if (has_microbatch
+                    and "get_incremental_microbatch_sql" in self.manifest.macros
                     and getattr(self, "events", None) is not None):
                 self.events.warn_or_error(
                     "MicrobatchMacroOutsideOfBatchesDeprecation",

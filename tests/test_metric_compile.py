@@ -2140,14 +2140,17 @@ def test_behavior_flag_mf_time_spine_yaml_required(project_dir, spark):
 
 
 def test_behavior_flag_custom_microbatch_macro_deprecation(project_dir, spark):
-    """A user-defined `microbatch` macro beside microbatch models fires
-    D020 while require_batched_execution_for_custom_microbatch_strategy is
-    off (reference parser/manifest.py:660-675); setting the flag silences
-    it (batched execution is this engine's only mode either way)."""
+    """A user-defined `get_incremental_microbatch_sql` macro beside
+    microbatch models fires D020 while
+    require_batched_execution_for_custom_microbatch_strategy is off
+    (reference parser/manifest.py:660-675 + the non-core locality check
+    manifest.py:1760); setting the flag silences it (batched execution is
+    this engine's only mode either way)."""
     files = {
         "dbt_project.yml": "name: mb\nmodel-paths: ['models']\nmacro-paths: ['macros']\n",
         "macros/microbatch.sql":
-            "{% macro microbatch() %}select 1{% endmacro %}",
+            "{% macro get_incremental_microbatch_sql(arg_dict) %}"
+            "select 1{% endmacro %}",
         "models/ev.sql": (
             "{{ config(materialized='incremental', "
             "incremental_strategy='microbatch', event_time='ts', "
