@@ -336,6 +336,130 @@ def chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rendered-character budget for context-window truncation
+_CTX_BUDGET = 200
+
+
+def context_window_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-limit truncation: keep the longest SUFFIX of each
+    conversation's turns whose cumulative rendered length fits the
+    budget (what a serving/training stack does when a dialog outgrows
+    the context window — drop the oldest turns, keep the recent ones).
+
+    Closed form, no iteration: reverse cumulative length per
+    conversation (window ordered turn_idx DESC, bounded groups); a turn
+    survives iff its reverse-cumsum ≤ budget. Per conversation: turns
+    kept/dropped, chars kept, the first kept turn index, and whether the
+    kept window starts on a user turn (stacks re-anchor on a user turn;
+    the flag feeds that re-anchoring). One shuffle keyed conv_id."""
+    t = _turns(spark, sf_dir)
+    rlen = F.length("content") + F.length("role") + F.lit(11)
+    w = (Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = t.withColumn("revcum", F.sum(rlen).over(w))
+    kept = F.col("revcum") <= _CTX_BUDGET
+    return (
+        r.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum(kept.cast("int")))
+            .cast("bigint").alias("n_dropped"),
+            F.sum(F.when(kept, rlen).otherwise(F.lit(0)))
+            .cast("bigint").alias("chars_kept"),
+            # struct-min = lexicographic (turn_idx, role): the earliest
+            # kept turn and its role in ONE aggregate, no nested window
+            F.min(F.when(kept, F.struct("turn_idx", "role"))).alias("__fk"),
+        )
+        .select(
+            "conv_id", "n_turns", "n_kept", "n_dropped", "chars_kept",
+            F.col("__fk.turn_idx").cast("bigint").alias("first_kept_idx"),
+            (F.col("__fk.role") == "user").alias("starts_on_user"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def dialog_role_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-sequence validation after a lossy filter: drop every turn
+    whose doc_id % 11 == 0 (simulating scrubbed/failed turns), then flag
+    conversations whose REMAINING sequence violates the chat contract —
+    consecutive same-role turns or an assistant-first opening. The
+    standard post-scrub data-quality gate before SFT packaging.
+
+    Plan: one filter + per-conversation LAG window (bounded groups) +
+    conv-level aggregate. Output one row per conversation with the
+    violation counts so downstream can quarantine rather than crash."""
+    t = _turns(spark, sf_dir).filter(F.col("doc_id") % 11 != 0)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    r = t.withColumn("prev_role", F.lag("role").over(w)).withColumn(
+        "rn", F.row_number().over(w))
+    return (
+        r.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.coalesce(
+                F.sum((F.col("prev_role") == F.col("role")).cast("int")),
+                F.lit(0),
+            ).cast("bigint").alias("n_same_role_adjacent"),
+            F.max(
+                F.when(F.col("rn") == 1,
+                       (F.col("role") == "assistant").cast("int"))
+            ).cast("boolean").alias("assistant_first"),
+        )
+        .withColumn(
+            "valid",
+            (F.col("n_same_role_adjacent") == 0) & ~F.col("assistant_first"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def dpo_pair_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction: per candidate pool (the
+    best-of-k fixture), pair the argmax-scored response (chosen) with
+    the argmin-scored one (rejected), deterministic doc_id tie-breaks,
+    emit only pools with ≥2 candidates and a strictly positive margin —
+    the dataset shape direct-preference-optimization training consumes.
+
+    Plan: two row_numbers over the SAME prompt-partitioned sort (one
+    window exchange feeds both), conditional aggregation to one row per
+    prompt — no self-join. Integer scores → bit-exact pairing."""
+    docs = _docs(spark, sf_dir)
+    cand = docs.select(
+        (F.col("doc_id") % _PROMPTS).alias("prompt_id"),
+        "doc_id",
+        ((F.length("text")
+          - F.length(F.replace(F.col("text"), F.lit("join"), F.lit("")))) / 4
+         * 10 + (F.length("text") % 37)).cast("bigint").alias("score"),
+    )
+    w_best = Window.partitionBy("prompt_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    w_worst = Window.partitionBy("prompt_id").orderBy(
+        F.col("score").asc(), F.col("doc_id").desc())
+    r = (cand.withColumn("rb", F.row_number().over(w_best))
+         .withColumn("rw", F.row_number().over(w_worst)))
+    return (
+        r.groupBy("prompt_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.max(F.when(F.col("rb") == 1, F.col("doc_id")))
+            .cast("bigint").alias("chosen_doc_id"),
+            F.max(F.when(F.col("rb") == 1, F.col("score")))
+            .cast("bigint").alias("chosen_score"),
+            F.max(F.when(F.col("rw") == 1, F.col("doc_id")))
+            .cast("bigint").alias("rejected_doc_id"),
+            F.max(F.when(F.col("rw") == 1, F.col("score")))
+            .cast("bigint").alias("rejected_score"),
+        )
+        .withColumn("margin",
+                    (F.col("chosen_score") - F.col("rejected_score"))
+                    .cast("bigint"))
+        .filter((F.col("n_candidates") >= 2) & (F.col("margin") > 0))
+        .orderBy("prompt_id")
+    )
+
+
 ORACLES: dict[str, str] = {
     "dialog_turn_flatten": f"""
         WITH {_TURNS_CTE}
@@ -428,6 +552,89 @@ ORACLES: dict[str, str] = {
                    ',' ORDER BY turn_idx), '')) AS mask_md5
         FROM span GROUP BY conv_id ORDER BY conv_id
     """,
+    "context_window_truncate": f"""
+        WITH {_TURNS_CTE}, r AS (
+            SELECT conv_id, turn_idx, role,
+                   length(content) + length(role) + 11 AS rlen,
+                   CAST(SUM(length(content) + length(role) + 11) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS revcum
+            FROM turns
+        )
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(CASE WHEN revcum <= {_CTX_BUDGET} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(count(*)
+                    - sum(CASE WHEN revcum <= {_CTX_BUDGET} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN revcum <= {_CTX_BUDGET} THEN rlen
+                             ELSE 0 END) AS BIGINT) AS chars_kept,
+               CAST(min(CASE WHEN revcum <= {_CTX_BUDGET} THEN turn_idx END)
+                    AS BIGINT) AS first_kept_idx,
+               arg_min(role, turn_idx)
+                   FILTER (WHERE revcum <= {_CTX_BUDGET}) = 'user'
+                   AS starts_on_user
+        FROM r GROUP BY conv_id ORDER BY conv_id
+    """,
+    "dialog_role_validate": f"""
+        WITH {_TURNS_CTE}, f AS (
+            SELECT conv_id, turn_idx, role,
+                   lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS prev_role,
+                   row_number() OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS rn
+            FROM turns WHERE doc_id % 11 <> 0
+        ), agg AS (
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(COALESCE(sum(CASE WHEN prev_role = role
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_same_role_adjacent,
+                   CAST(max(CASE WHEN rn = 1 THEN
+                                 CASE WHEN role = 'assistant'
+                                      THEN 1 ELSE 0 END END)
+                        AS BOOLEAN) AS assistant_first
+            FROM f GROUP BY conv_id
+        )
+        SELECT conv_id, n_turns, n_same_role_adjacent, assistant_first,
+               (n_same_role_adjacent = 0 AND NOT assistant_first) AS valid
+        FROM agg ORDER BY conv_id
+    """,
+    "dpo_pair_construct": f"""
+        WITH cand AS (
+            SELECT doc_id % {_PROMPTS} AS prompt_id, doc_id,
+                   CAST((length(text) - length(replace(text, 'join', '')))
+                        / 4 * 10 + (length(text) % 37) AS BIGINT) AS score
+            FROM documents
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY prompt_id
+                       ORDER BY score DESC, doc_id ASC) AS rb,
+                   row_number() OVER (PARTITION BY prompt_id
+                       ORDER BY score ASC, doc_id DESC) AS rw
+            FROM cand
+        )
+        SELECT prompt_id,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(max(CASE WHEN rb = 1 THEN doc_id END) AS BIGINT)
+                   AS chosen_doc_id,
+               CAST(max(CASE WHEN rb = 1 THEN score END) AS BIGINT)
+                   AS chosen_score,
+               CAST(max(CASE WHEN rw = 1 THEN doc_id END) AS BIGINT)
+                   AS rejected_doc_id,
+               CAST(max(CASE WHEN rw = 1 THEN score END) AS BIGINT)
+                   AS rejected_score,
+               CAST(max(CASE WHEN rb = 1 THEN score END)
+                    - max(CASE WHEN rw = 1 THEN score END) AS BIGINT)
+                   AS margin
+        FROM r GROUP BY prompt_id
+        HAVING count(*) >= 2
+           AND max(CASE WHEN rb = 1 THEN score END)
+               - max(CASE WHEN rw = 1 THEN score END) > 0
+        ORDER BY prompt_id
+    """,
     "rejection_sample_best_of_k": f"""
         WITH cand AS (
             SELECT doc_id % {_PROMPTS} AS prompt_id, doc_id,
@@ -458,4 +665,7 @@ QUERIES = {
     "rejection_sample_best_of_k": rejection_sample_best_of_k,
     "sequence_pack_chunks": sequence_pack_chunks,
     "chat_template_render": chat_template_render,
+    "context_window_truncate": context_window_truncate,
+    "dialog_role_validate": dialog_role_validate,
+    "dpo_pair_construct": dpo_pair_construct,
 }

@@ -86,3 +86,48 @@ def test_chat_template_mask_inside_template(spark):
     for cid, m in masks.items():
         assert 0 < m["masked_chars"] < m["total_chars"]
         assert m["n_mask_spans"] == flat[cid]["n_assistant"]
+
+
+def test_context_truncate_suffix_property(spark):
+    """Kept turns form a SUFFIX: first_kept_idx + n_kept - 1 == last turn;
+    budget respected; dropping anything means the window is full-ish."""
+    from dbt_spark.queries.sft import _CTX_BUDGET, context_window_truncate
+
+    rows = context_window_truncate(spark, SF).collect()
+    assert rows
+    dropped_any = False
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_turns"]
+        assert 1 <= r["n_kept"] <= r["n_turns"]
+        assert r["chars_kept"] <= _CTX_BUDGET
+        assert r["first_kept_idx"] == r["n_turns"] - r["n_kept"]
+        dropped_any = dropped_any or r["n_dropped"] > 0
+    assert dropped_any  # the budget genuinely bites on this corpus
+
+
+def test_role_validate_finds_violations(spark):
+    """The lossy filter creates both valid and invalid conversations, and
+    'valid' is exactly the conjunction of its two components."""
+    from dbt_spark.queries.sft import dialog_role_validate
+
+    rows = dialog_role_validate(spark, SF).collect()
+    vals = {r["valid"] for r in rows}
+    assert vals == {True, False}
+    for r in rows:
+        assert r["valid"] == (
+            r["n_same_role_adjacent"] == 0 and not r["assistant_first"])
+
+
+def test_dpo_pairs_are_extremes(spark):
+    """chosen/rejected are the pool extremes and margins are positive."""
+    from dbt_spark.queries.sft import dpo_pair_construct, rejection_sample_best_of_k
+
+    best = {r["prompt_id"]: r for r in
+            rejection_sample_best_of_k(spark, SF).collect()}
+    pairs = dpo_pair_construct(spark, SF).collect()
+    assert pairs
+    for p in pairs:
+        assert p["margin"] > 0
+        assert p["chosen_score"] > p["rejected_score"]
+        assert p["chosen_doc_id"] == best[p["prompt_id"]]["best_doc_id"]
+        assert p["chosen_score"] == best[p["prompt_id"]]["best_score"]
