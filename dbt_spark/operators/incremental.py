@@ -65,7 +65,15 @@ def _run_custom_strategy(
     TABLE`` statements land files exactly where the relation lives; the
     engine then re-adopts the path. Parquet-only: txparquet/delta route
     DML through their own commit protocols and must not be written
-    around."""
+    around.
+
+    Caveats owned by the macro author (same as any warehouse DML the
+    reference executes): multi-statement returns are NOT one transaction
+    — a failure between statements leaves earlier appends in place; and
+    ``INSERT OVERWRITE`` of the target while the model SQL reads
+    ``{{ this }}`` is a self-overwrite (Spark rejects it through the
+    catalog table; a path-level read may not be detected). ``INSERT
+    INTO`` with a self-read is safe and verified."""
     from dbt_spark.plans.compile import runtime_render
     from dbt_spark.plans.macros import (
         ColumnInfo,
