@@ -129,6 +129,41 @@ def incremental_merge_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_CUSTOM_STRATEGY_MACRO = """
+{% macro get_incremental_insert_only_new_sql(arg_dict) %}
+{% set t = arg_dict['target_relation'] %}
+{% set s = arg_dict['temp_relation'] %}
+{% set k = arg_dict['unique_key'] %}
+INSERT INTO {{ t }}
+SELECT {{ arg_dict['dest_columns'] | map(attribute='quoted') | join(', ') }}
+FROM {{ s }}
+WHERE {{ k }} NOT IN (SELECT {{ k }} FROM {{ t }})
+{% endmacro %}
+"""
+
+
+def incremental_custom_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM incremental strategy through the REAL materializer: a
+    user-defined ``get_incremental_insert_only_new_sql`` macro (the
+    reference's strategy→macro dispatch, exercised by its
+    tests/functional/materializations/test_incremental.py:33-53) drives
+    run 2 — first-write-wins, so run 2's restatus lands only on keys run
+    1 never saw. The oracle states that final state directly."""
+    load_tables(spark, sf_dir, "orders")
+    ctx = _mini_ctx(spark)
+    ctx.manifest.macros["get_incremental_insert_only_new_sql"] = (
+        _CUSTOM_STRATEGY_MACRO)
+    node = _model_node("inc_custom", "", materialized="incremental",
+                       incremental_strategy="insert_only_new",
+                       unique_key="o_orderkey")
+    return _run_incremental(ctx, node, [
+        "SELECT o_orderkey, o_orderstatus FROM orders "
+        "WHERE o_orderkey % 3 = 0",
+        "SELECT o_orderkey, 'Y' AS o_orderstatus FROM orders "
+        "WHERE o_orderkey % 2 = 0",
+    ])
+
+
 def incremental_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, "orders")
     ctx = _mini_ctx(spark)
@@ -1772,6 +1807,12 @@ ORACLES: dict[str, str] = {
                o_totalprice
         FROM orders
     """,
+    "incremental_custom_strategy": """
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, 'Y' AS o_orderstatus FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+    """,
     "incremental_delete_insert": """
         SELECT o_orderkey,
                CASE WHEN o_custkey % 7 = 0 THEN 'Z' ELSE o_orderpriority END
@@ -1949,6 +1990,7 @@ QUERIES = {
     "cobucketed_join_zeroshuffle": cobucketed_join_zeroshuffle,
     "incremental_append": incremental_append,
     "incremental_merge": incremental_merge,
+    "incremental_custom_strategy": incremental_custom_strategy,
     "incremental_merge_acid": incremental_merge_acid,
     "incremental_delete_insert": incremental_delete_insert,
     "incremental_insert_overwrite": incremental_insert_overwrite,
