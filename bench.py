@@ -200,6 +200,16 @@ EXTENDED = [
     "stream_hll_cardinality",  # cross-batch register merge
     "moments_quantile_sketch",  # five power sums + CF expansion
     "kcore_copurchase",  # six-round peel, checkpointed
+    # round-11 additions (SFT/conversation family + strategy dispatch e2e)
+    "dialog_turn_flatten",  # struct-array collect + ordered rejoin, md5-pinned
+    "turn_dedup_normalized",  # (conv, normalized turn) first-occurrence dedup
+    "rejection_sample_best_of_k",  # argmax per candidate pool
+    "sequence_pack_chunks",  # concat-and-chunk packing, block-span explode
+    "chat_template_render",  # template + loss-mask spans, byte-pinned
+    "context_window_truncate",  # reverse-cumsum suffix selection
+    "dialog_role_validate",  # post-scrub chat-contract gate
+    "dpo_pair_construct",  # chosen/rejected extremes, one window exchange
+    "incremental_custom_strategy",  # get_incremental_<name>_sql dispatch e2e
 ]
 
 
