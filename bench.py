@@ -210,6 +210,7 @@ EXTENDED = [
     "dialog_role_validate",  # post-scrub chat-contract gate
     "dpo_pair_construct",  # chosen/rejected extremes, one window exchange
     "incremental_custom_strategy",  # get_incremental_<name>_sql dispatch e2e
+    "stream_turn_dedup",  # stateful cross-batch dropDuplicates (value-paired streaming)
 ]
 
 

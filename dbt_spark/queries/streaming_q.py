@@ -646,6 +646,80 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING turn-level dedup — the streaming twin of
+    queries/sft.py::turn_dedup_normalized: conversation turns land in two
+    micro-batch file drops and a STATEFUL ``dropDuplicates(conv_id,
+    norm)`` suppresses every repeat of a normalized turn, including
+    repeats arriving in a LATER batch (checkpointed state store — the
+    cross-batch suppression is what the second drop proves; the fixture's
+    canned 'thanks!' turns recur across the doc_id split).
+
+    Pairing is arrival-order-independent by construction: the KEPT SET of
+    normalized turns per conversation is deterministic even though which
+    occurrence survives is not, so the outputs are set-level — n_unique,
+    n_dropped, and an md5 fold over the SORTED per-turn md5s. Oracle: the
+    same set computed relationally.
+
+    Scale: dedup state is one entry per distinct (conv, norm) — in a
+    production unbounded stream this runs with
+    ``withWatermark`` + event-time in the dedup key to bound state
+    (stream_dedup_watermark covers that shape); here the corpus is finite
+    and availableNow-driven."""
+    from dbt_spark.queries.sft import _turns
+
+    turns = _turns(spark, sf_dir).select("conv_id", "doc_id", "content")
+    mid = turns.agg(F.max("doc_id")).collect()[0][0] // 2  # harness split
+    src = tempfile.mkdtemp(prefix="dbt_spark_tdsrc_")
+    out_dir = tempfile.mkdtemp(prefix="dbt_spark_tdout_")
+    ckpt = tempfile.mkdtemp(prefix="dbt_spark_tdckpt_")
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            turns.select("conv_id", "content").schema).parquet(src)
+        norm = F.lower(F.trim(F.regexp_replace("content", r"\s+", " ")))
+        deduped = (
+            stream.select("conv_id", norm.alias("norm"))
+            .dropDuplicates(["conv_id", "norm"])
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    turns.filter(F.col("doc_id") <= mid).select(
+        "conv_id", "content").coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    turns.filter(F.col("doc_id") > mid).select(
+        "conv_id", "content").coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    kept = spark.read.parquet(out_dir)
+    totals = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"))
+    uniq = kept.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list(F.md5("norm"))), ",")
+        ).alias("norms_md5"),
+    )
+    return (
+        totals.join(uniq, "conv_id")
+        .select(
+            "conv_id", "n_turns", "n_unique",
+            (F.col("n_turns") - F.col("n_unique"))
+            .cast("bigint").alias("n_dropped"),
+            "norms_md5",
+        )
+        .orderBy("conv_id")
+    )
+
+
 ORACLES = {
     "stream_hll_cardinality": """
         WITH toks AS (
@@ -1003,8 +1077,35 @@ from dbt_spark.queries.hygiene import _REDACT_SQL as _PII_REDACT_SQL  # noqa: E4
 ORACLES["stream_pii_scrub"] = ORACLES["stream_pii_scrub"].replace(
     "{REDACT}", _PII_REDACT_SQL)
 
+from dbt_spark.queries.sft import _TURNS_CTE as _SFT_TURNS_CTE  # noqa: E402
+
+ORACLES["stream_turn_dedup"] = f"""
+    WITH {_SFT_TURNS_CTE}, norms AS (
+        SELECT conv_id,
+               lower(trim(regexp_replace(content, '\\s+', ' ', 'g'))) AS norm
+        FROM turns
+    ), uniq AS (
+        SELECT conv_id, norm FROM norms GROUP BY 1, 2
+    ), per_conv AS (
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_unique,
+               md5(string_agg(md5(norm), ',' ORDER BY md5(norm)))
+                   AS norms_md5
+        FROM uniq GROUP BY conv_id
+    ), totals AS (
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+        FROM norms GROUP BY conv_id
+    )
+    SELECT t.conv_id, t.n_turns, p.n_unique,
+           CAST(t.n_turns - p.n_unique AS BIGINT) AS n_dropped,
+           p.norms_md5
+    FROM totals t JOIN per_conv p ON t.conv_id = p.conv_id
+    ORDER BY t.conv_id
+"""
+
 QUERIES = {
     "stream_pii_scrub": stream_pii_scrub,
+    "stream_turn_dedup": stream_turn_dedup,
     "stream_hll_cardinality": stream_hll_cardinality,
     "streaming_ingest_checkpoint": streaming_ingest_checkpoint,
     "stream_heavy_hitters": stream_heavy_hitters,
