@@ -884,3 +884,33 @@ def test_custom_strategy_must_return_sql(project_dir, spark):
     assert not r.success
     msgs = " ".join(x.message or "" for x in r.results)
     assert "must return() the SQL" in msgs
+
+
+def test_custom_strategy_receives_incremental_predicates(project_dir, spark):
+    """arg_dict['incremental_predicates'] reaches the strategy macro
+    (reference arg_dict contract) and can scope its DML."""
+    macro = """
+{% macro get_incremental_pred_append_sql(arg_dict) %}
+{% set t = arg_dict['target_relation'] %}
+{% set s = arg_dict['temp_relation'] %}
+{% set preds = arg_dict['incremental_predicates'] %}
+INSERT INTO {{ t }}
+SELECT id, day, val FROM {{ s }}
+{% if preds %}WHERE {{ preds | join(' AND ') }}{% endif %}
+{% endmacro %}
+"""
+    sql = """
+{{ config(materialized='incremental', incremental_strategy='pred_append',
+          unique_key='id', incremental_predicates=['day = 2']) }}
+select id, day, val from {{ ref('events') }} where day <= {{ var('upto') }}
+"""
+    root, eng = make_engine(project_dir, spark, sql, vars={"upto": 1},
+                            extra_files={"macros/strategy.sql": macro})
+    assert eng.invoke(["seed"]).success
+    assert eng.invoke(["run"]).success  # first run: plain create (day 1)
+    eng2 = Engine(root, spark=spark, vars={"upto": 3})
+    r = eng2.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    days = sorted(r["day"] for r in eng2.store.read("main", "target").collect())
+    # run 2 offered days 1-3 but the predicate admitted only day 2
+    assert days == [1, 1, 2, 2]

@@ -562,3 +562,26 @@ def test_yaml_snapshot_versioned_ref_relation(project_dir, spark):
     assert r.success, [x.message for x in r.results]
     snap = eng.store.read("main", "people_snap").collect()
     assert len(snap) == 3 and all(x["dbt_valid_to"] is None for x in snap)
+
+
+def test_yaml_snapshot_versioned_ref_warm_reparse(project_dir, spark):
+    """Partial-parse stability for the round-11 versioned-ref YAML
+    snapshot grammar: a warm second parse (unchanged files) resolves the
+    same dependency edge the cold parse did."""
+    yaml_snap = YAML_SNAPSHOT.replace(
+        "ref('people')", "ref('people_m', version=2)")
+    files = {
+        "dbt_project.yml": "name: snap\n",
+        "seeds/people.csv": V1_CSV,
+        "models/people_m_v2.sql": "select * from {{ ref('people') }}",
+        "snapshots/people.yml": yaml_snap,
+    }
+    root = project_dir(files)
+    m1 = Engine(root, spark=spark).parse()
+    dep = "model.snap.people_m_v2"
+    assert dep in m1.nodes["snapshot.snap.people_snap"].depends_on
+    # warm engine over the same root: partial-parse path
+    m2 = Engine(root, spark=spark).parse()
+    assert dep in m2.nodes["snapshot.snap.people_snap"].depends_on
+    assert m1.nodes["snapshot.snap.people_snap"].raw_code == \
+        m2.nodes["snapshot.snap.people_snap"].raw_code
