@@ -562,7 +562,70 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: k-anonymity threshold for quasi-identifier release
+_K_ANON = 5
+
+
+def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression over quasi-identifiers before a stats
+    release (Sweeney 2002): cells of the (lang, source, length-decile)
+    contingency table with fewer than k members are SUPPRESSED — their
+    identifying attributes generalized to '*' and their counts pooled
+    into one residual row per lang — so no released row isolates fewer
+    than k documents. The privacy gate that runs before any per-slice
+    corpus stats leave the enclave.
+
+    Plan: one exact groupBy on the quasi-identifier triple (map-side
+    partials), a conditional re-aggregate for the suppressed pool —
+    two keyed shuffles, no row-level data movement beyond the first
+    aggregate; at 100 TB the released table is dimension-sized. The
+    decile comes from integer bucketing (n_chars/100 capped), not a
+    quantile sketch, so both engines agree bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.least((F.col("n_chars") / 100).cast("bigint"), F.lit(9))
+    cells = (
+        docs.select("lang", bucket.alias("len_decile"))
+        .groupBy("lang", "len_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    released = cells.filter(F.col("n") >= _K_ANON).select(
+        "lang", F.col("len_decile").cast("string").alias("len_decile"),
+        "n", F.lit(False).alias("suppressed"),
+    )
+    pooled = (
+        cells.filter(F.col("n") < _K_ANON)
+        .groupBy("lang")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .select("lang", F.lit("*").alias("len_decile"), "n",
+                F.lit(True).alias("suppressed"))
+    )
+    return (
+        released.unionByName(pooled)
+        .orderBy("lang", "len_decile")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "k_anonymity_release": f"""
+        WITH cells AS (
+            SELECT lang,
+                   least(n_chars // 100, 9) AS len_decile,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
+        ), released AS (
+            SELECT lang, CAST(len_decile AS VARCHAR) AS len_decile,
+                   n, FALSE AS suppressed
+            FROM cells WHERE n >= {_K_ANON}
+        ), pooled AS (
+            SELECT lang, '*' AS len_decile,
+                   CAST(sum(n) AS BIGINT) AS n, TRUE AS suppressed
+            FROM cells WHERE n < {_K_ANON} GROUP BY lang
+        )
+        SELECT * FROM released
+        UNION ALL
+        SELECT * FROM pooled
+        ORDER BY lang, len_decile
+    """,
     "corpus_snapshot_diff": """
         WITH v1 AS (
             SELECT doc_id, lang, md5(text) AS h1, length(text) AS len1
@@ -773,4 +836,5 @@ QUERIES = {
     "corpus_psi_drift": corpus_psi_drift,
     "decontam_exact_substring_cover": decontam_exact_substring_cover,
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "k_anonymity_release": k_anonymity_release,
 }

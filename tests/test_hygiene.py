@@ -275,3 +275,24 @@ def test_pii_redact_model_config_bad_column(project_dir, spark):
     r = eng.invoke(["run"])
     assert not r.success
     assert "pii_redact" in " ".join(x.message or "" for x in r.results)
+
+
+def test_k_anonymity_release_invariants(spark):
+    """No released row isolates < k docs; pooled rows absorb the rest;
+    totals conserve the corpus."""
+    from pyspark.sql import functions as F
+
+    from dbt_spark.queries.hygiene import _K_ANON, _docs, k_anonymity_release
+
+    rows = k_anonymity_release(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    total = _docs(spark, "/root/testdata/sf0.001").count()
+    assert sum(r["n"] for r in rows) == total
+    assert any(r["suppressed"] for r in rows)
+    assert any(not r["suppressed"] for r in rows)
+    for r in rows:
+        if not r["suppressed"]:
+            assert r["n"] >= _K_ANON
+            assert r["len_decile"] != "*"
+        else:
+            assert r["len_decile"] == "*"
