@@ -284,3 +284,75 @@ def test_incremental_custom_strategy_differential(spark, seed):
     want = _replay_insert_only_new(batches)
     assert _canon(got) == _canon(want), (
         f"seed={seed} batches={[len(b) for b in batches]}")
+
+
+_TAGGED_MACRO = """
+{% macro get_incremental_tagged_append_sql(arg_dict) %}
+{% set t = arg_dict['target_relation'] %}
+{% set s = arg_dict['temp_relation'] %}
+INSERT INTO {{ t }} SELECT k, part, val, b FROM {{ s }};
+INSERT INTO {{ t }} SELECT k + 1000 AS k, part, val, b FROM {{ s }}
+{% endmacro %}
+"""
+
+
+def _replay_tagged_append(batches: list[pd.DataFrame]) -> pd.DataFrame:
+    """First run creates; each later batch appends itself AND a k+1000
+    tagged copy (the two-statement shape: both statements must run, in
+    order, on every incremental run)."""
+    state = pd.DataFrame(columns=["k", "part", "val", "b"])
+    first = True
+    for batch in batches:
+        if first:
+            state = batch.copy()
+            first = False
+        elif len(batch):
+            tagged = batch.copy()
+            tagged["k"] = tagged["k"] + 1000
+            state = pd.concat([state, batch, tagged], ignore_index=True)
+    return state
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_incremental_custom_multistatement_differential(spark, seed):
+    """';'-separated multi-statement strategy DML: every statement runs on
+    every incremental run, verified against a pure-pandas replay."""
+    rng = random.Random(_BASE + _OFF + 8000 + seed)
+    n_batches = rng.randrange(2, 4)
+    batches = []
+    for b in range(n_batches):
+        n = rng.randrange(1, 6)
+        ks = rng.sample(range(1, 9), n)
+        batches.append(pd.DataFrame([
+            {"k": k, "part": rng.choice(PARTS),
+             "val": (seed + 1) * 100 + b * 10 + i, "b": b}
+            for i, k in enumerate(ks)
+        ]))
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_incmulti_")
+    project = Project(
+        name="incmulti", root=tmp,
+        profile={"warehouse": os.path.join(tmp, "wh"), "schema": "main",
+                 "threads": 2},
+    )
+    manifest = Manifest(project_name="incmulti")
+    manifest.macros["get_incremental_tagged_append_sql"] = _TAGGED_MACRO
+    ctx = ExecutionContext(
+        spark=spark,
+        store=RelationStore(spark, project.profile["warehouse"]),
+        manifest=manifest, project=project,
+    )
+    node = ManifestNode(
+        unique_id=f"model.incmulti.t{seed}", name=f"t{seed}",
+        package_name="incmulti", path=f"models/t{seed}.sql",
+        resource_type=NodeType.Model, raw_code="",
+        config=NodeConfig().merged(
+            materialized="incremental",
+            incremental_strategy="tagged_append"),
+    )
+    for batch in batches:
+        node.raw_code = _batch_sql(batch)
+        materialize_incremental(ctx, node)
+    got = ctx.store.read("main", node.name).toPandas()
+    want = _replay_tagged_append(batches)
+    assert _canon(got) == _canon(want), (
+        f"seed={seed} batches={[len(b) for b in batches]}")
