@@ -28,6 +28,14 @@ def test_example_project_builds(tmp_path, spark):
     top = eng.store.read("main", "top_customers").collect()
     assert len(top) == 2 and top[0]["customer_lifetime_value"] >= top[1]["customer_lifetime_value"]
 
+    # custom incremental strategy (get_incremental_append_new_sql macro):
+    # run 1 created order_events_log via build; run 2 re-offers the same
+    # orders and the first-write-wins DML must insert nothing new
+    n1 = eng.store.read("main", "order_events_log").count()
+    r = eng.invoke(["run", "--select", "order_events_log"])
+    assert r.success, [x.message for x in r.results]
+    assert eng.store.read("main", "order_events_log").count() == n1 == 4
+
     # snapshot (separate command), then verify SCD2 columns
     r = eng.invoke(["snapshot"])
     assert r.success
