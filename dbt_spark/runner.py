@@ -439,6 +439,7 @@ class Engine:
         deps_upgrade = False
         deps_lock_only = False
         empty_catalog = False
+        clean_project_files_only = True
         i = 0
         while i < len(rest):
             if rest[i] in ("--select", "-s", "--models", "--model", "-m"):
@@ -494,6 +495,13 @@ class Engine:
                 indirect = rest[i]
             elif rest[i] in ("--fail-fast", "-x"):
                 fail_fast = True
+            elif rest[i] == "--no-clean-project-files-only":
+                # dbt clean may delete clean-paths outside the project only
+                # with this explicit opt-out (reference cli/params.py
+                # "--clean-project-files-only", default True)
+                clean_project_files_only = False
+            elif rest[i] == "--clean-project-files-only":
+                clean_project_files_only = True
             elif rest[i] == "--empty-catalog":
                 # docs generate: skip warehouse introspection entirely
                 # (reference cli/params.py "--empty-catalog")
@@ -577,12 +585,38 @@ class Engine:
 
         if command == "clean":
             # remove the clean-targets dirs (reference: CleanTask,
-            # core/dbt/task/clean.py:13 — defaults target/ + dbt_packages/)
+            # core/dbt/task/clean.py:13-55 — defaults target/ +
+            # dbt_packages/); protections mirrored: source paths are never
+            # cleaned, and paths outside the project require the explicit
+            # --no-clean-project-files-only opt-out
             import shutil
+            from pathlib import Path as _P
 
-            for d in self.project.clean_targets:
-                full = os.path.join(self.project.root, d)
-                if os.path.isdir(full):
+            root = _P(self.project.root).resolve()
+            targets = {(_P(self.project.root) / d).resolve()
+                       for d in self.project.clean_targets}
+            protected_dirs = (
+                list(self.project.model_paths)
+                + list(self.project.seed_paths)
+                + list(self.project.snapshot_paths)
+                + list(self.project.macro_paths)
+                + list(self.project.test_paths)
+            )
+            source_paths = {(_P(self.project.root) / d).resolve()
+                            for d in protected_dirs}
+            hit = targets & source_paths
+            if hit:
+                raise RuntimeError(
+                    "dbt will not clean the following source paths: "
+                    f"{sorted(str(p) for p in hit)}")
+            outside = {p for p in targets if root not in p.parents}
+            if outside and clean_project_files_only:
+                raise RuntimeError(
+                    "dbt will not clean the following directories outside "
+                    f"the project: {sorted(str(p) for p in outside)} "
+                    "(pass --no-clean-project-files-only to allow)")
+            for full in targets:
+                if full.is_dir():
                     shutil.rmtree(full)
             return RunnerResult(success=True, results=[])
         if command == "retry":

@@ -2714,3 +2714,38 @@ def test_init_profile_scaffold_and_skip(tmp_path, monkeypatch):
     assert _init("noprof", skip_profile=True) == 0
     assert not os.path.exists("noprof/profiles.yml")
     assert os.path.exists("noprof/dbt_project.yml")
+
+
+def test_clean_protections(project_dir, spark, tmp_path):
+    """dbt clean protections (reference core/dbt/task/clean.py:26-43):
+    source paths are never cleaned; paths outside the project need the
+    explicit --no-clean-project-files-only opt-out."""
+    import pytest as _pytest
+
+    # 1. a clean target that IS a source path: refuse
+    pdir = project_dir({
+        "dbt_project.yml": "name: cp\nclean-targets: [target, models]\n",
+        "models/m1.sql": "select 1 as id",
+    })
+    with _pytest.raises(RuntimeError, match="source paths"):
+        Engine(pdir, spark=spark).invoke(["clean"])
+    assert os.path.isdir(os.path.join(pdir, "models"))
+
+    # 2. outside-project target: refused by default, allowed with opt-out
+    # (project_dir's root IS tmp_path, so go genuinely outside it)
+    import pathlib
+    import tempfile as _tf
+
+    outside = pathlib.Path(_tf.mkdtemp(prefix="dbt_spark_outside_"))
+    pdir2 = project_dir({
+        "dbt_project.yml":
+            f"name: cp2\nclean-targets: [target, '{outside}']\n",
+        "models/m1.sql": "select 1 as id",
+    })
+    with _pytest.raises(RuntimeError, match="outside the project"):
+        Engine(pdir2, spark=spark).invoke(["clean"])
+    assert outside.is_dir()
+    r = Engine(pdir2, spark=spark).invoke(
+        ["clean", "--no-clean-project-files-only"])
+    assert r.success
+    assert not outside.exists()
