@@ -485,7 +485,10 @@ class Engine:
                 warn_error_options = WarnErrorOptions.parse(rest[i])
             elif rest[i] == "--store-failures":
                 store_failures = True
-            elif rest[i] == "--include-saved-query":
+            elif rest[i] in ("--include-saved-query", "--export-saved-queries"):
+                # --export-saved-queries is the current spelling on `build`
+                # (cli/main.py:175); --include-saved-query is its deprecated
+                # alias (p.deprecated_include_saved_query)
                 include_saved_query = True
             elif rest[i] == "--selector":
                 i += 1

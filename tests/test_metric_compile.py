@@ -260,8 +260,9 @@ def test_saved_query_export_materializes_in_build(project_dir, spark):
     r = eng.invoke(["build"])
     assert r.success
     assert not eng.store.exists("main", "monthly_revenue_tbl")
-    # --include-saved-query: exports materialize
-    r = eng.invoke(["build", "--include-saved-query"])
+    # --export-saved-queries (current spelling; --include-saved-query is
+    # its deprecated alias): exports materialize
+    r = eng.invoke(["build", "--export-saved-queries"])
     assert r.success
     msg = next(x.message for x in r.results
                if x.unique_id == "saved_query.sl.monthly_revenue")
