@@ -448,6 +448,34 @@ def _apply_output_transforms(node: ManifestNode, df: DataFrame) -> DataFrame:
                 )
             df = df.withColumn(c, redact_pii(F.col(c))["redacted"])
 
+    # config(turn_dedup={'conversation': 'conv', 'content': 'content'
+    #        [, 'order': 'turn_idx']}): SFT turn-level dedup as a
+    # materialization knob — first occurrence (min order col, else
+    # arbitrary-but-deterministic by content) per (conversation,
+    # whitespace-normalized lowercase content) survives, full rows kept.
+    # Window partitioned by the dedup key: bounded groups, scalable.
+    turn_dedup = meta.get("turn_dedup")
+    if turn_dedup:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if not isinstance(turn_dedup, dict) or not {
+                "conversation", "content"} <= set(turn_dedup):
+            raise ValueError(
+                f"{node.unique_id}: turn_dedup needs "
+                "{'conversation': col, 'content': col[, 'order': col]}")
+        conv, content = turn_dedup["conversation"], turn_dedup["content"]
+        order = turn_dedup.get("order")
+        for c in (conv, content, order):
+            if c is not None and c not in df.columns:
+                raise ValueError(
+                    f"{node.unique_id}: turn_dedup column {c!r} not in output")
+        norm = F.lower(F.trim(F.regexp_replace(F.col(content), r"\s+", " ")))
+        w = Window.partitionBy(F.col(conv), norm).orderBy(
+            F.col(order) if order else F.col(content))
+        df = (df.withColumn("__sg_td_rn", F.row_number().over(w))
+              .filter(F.col("__sg_td_rn") == 1).drop("__sg_td_rn"))
+
     dedup_keys = meta.get("dedup_keys")
     fp_col = meta.get("dedup_fingerprint")
     mh_col = meta.get("dedup_minhash")

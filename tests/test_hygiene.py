@@ -296,3 +296,53 @@ def test_k_anonymity_release_invariants(spark):
             assert r["len_decile"] != "*"
         else:
             assert r["len_decile"] == "*"
+
+
+def test_turn_dedup_model_config(project_dir, spark):
+    """config(turn_dedup={...}) dedups conversation turns inside the
+    materialization: first occurrence per (conversation, normalized
+    content) survives with its full row."""
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: tdcfg\n",
+        "seeds/turns.csv": (
+            "conv,idx,content,who\n"
+            "1,0,hello there,u\n"
+            "1,1,Hello   THERE,a\n"   # normalized dup of idx 0
+            "1,2,thanks!,u\n"
+            "2,0,thanks!,u\n"          # same content, other conversation: kept
+            "2,1,bye,a\n"
+        ),
+        "models/deduped.sql": (
+            "{{ config(materialized='table', "
+            "turn_dedup={'conversation': 'conv', 'content': 'content', "
+            "'order': 'idx'}) }}"
+            "select * from {{ ref('turns') }}"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    assert eng.invoke(["seed"]).success
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    rows = {(x["conv"], x["idx"]): x
+            for x in eng.store.read("main", "deduped").collect()}
+    # idx 1 of conv 1 collapsed into idx 0; cross-conversation copy kept
+    assert set(rows) == {(1, 0), (1, 2), (2, 0), (2, 1)}
+    assert rows[(1, 0)]["who"] == "u"  # the FIRST row's full payload survives
+
+
+def test_turn_dedup_model_config_bad_shape(project_dir, spark):
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: tdbad\n",
+        "models/m.sql": (
+            "{{ config(materialized='table', turn_dedup={'content': 'c'}) }}"
+            "select 1 as c"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    r = eng.invoke(["run"])
+    assert not r.success
+    assert any("turn_dedup needs" in (x.message or "") for x in r.results)
