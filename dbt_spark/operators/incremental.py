@@ -128,12 +128,14 @@ def _run_custom_strategy(
         config=node.config,
     )
 
-    # the temp view registered for {{ this }} would shadow the catalog
-    # table of the same name — swap it out for the DML's duration
-    ctx.spark.catalog.dropTempView(ident)
-    ctx.spark.sql(f"DROP TABLE IF EXISTS {ident}")
-    ctx.spark.sql(f"CREATE TABLE {ident} USING parquet LOCATION '{rel.path}'")
     try:
+        # the temp view registered for {{ this }} would shadow the catalog
+        # table of the same name — swap it out for the DML's duration
+        # (inside the try so ANY failure restores the view in finally)
+        ctx.spark.catalog.dropTempView(ident)
+        ctx.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        ctx.spark.sql(
+            f"CREATE TABLE {ident} USING parquet LOCATION '{rel.path}'")
         build_sql = None
         try:
             runtime_render(
