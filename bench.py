@@ -211,6 +211,7 @@ EXTENDED = [
     "dpo_pair_construct",  # chosen/rejected extremes, one window exchange
     "incremental_custom_strategy",  # get_incremental_<name>_sql dispatch e2e
     "stream_turn_dedup",  # stateful cross-batch dropDuplicates (value-paired streaming)
+    "rm_pair_extract",  # user->assistant adjacency pairs, one LAG window
 ]
 
 

@@ -460,7 +460,54 @@ def dpo_pair_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rm_pair_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reward-model pair extraction: every assistant turn paired with its
+    immediately preceding user turn — the (prompt, response) dataset shape
+    RM/annotation pipelines consume. Assistant turns whose predecessor is
+    not a user turn (conversation opener) are dropped, and the md5s pin
+    both sides byte-exactly.
+
+    Plan: one LAG window per conversation (bounded groups) + a filter —
+    no join; at 100 TB this is a single conv-keyed shuffle."""
+    t = _turns(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    r = t.withColumn("prev_role", F.lag("role").over(w)).withColumn(
+        "prev_content", F.lag("content").over(w))
+    return (
+        r.filter((F.col("role") == "assistant")
+                 & (F.col("prev_role") == "user"))
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("bigint").alias("response_idx"),
+            F.md5("prev_content").alias("prompt_md5"),
+            F.md5("content").alias("response_md5"),
+            F.length("prev_content").cast("bigint").alias("prompt_chars"),
+            F.length("content").cast("bigint").alias("response_chars"),
+        )
+        .orderBy("conv_id", "response_idx")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "rm_pair_extract": f"""
+        WITH {_TURNS_CTE}, r AS (
+            SELECT conv_id, turn_idx, role, content,
+                   lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS prev_role,
+                   lag(content) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS prev_content
+            FROM turns
+        )
+        SELECT conv_id,
+               CAST(turn_idx AS BIGINT) AS response_idx,
+               md5(prev_content) AS prompt_md5,
+               md5(content) AS response_md5,
+               CAST(length(prev_content) AS BIGINT) AS prompt_chars,
+               CAST(length(content) AS BIGINT) AS response_chars
+        FROM r
+        WHERE role = 'assistant' AND prev_role = 'user'
+        ORDER BY conv_id, response_idx
+    """,
     "dialog_turn_flatten": f"""
         WITH {_TURNS_CTE}
         SELECT conv_id,
@@ -668,4 +715,5 @@ QUERIES = {
     "context_window_truncate": context_window_truncate,
     "dialog_role_validate": dialog_role_validate,
     "dpo_pair_construct": dpo_pair_construct,
+    "rm_pair_extract": rm_pair_extract,
 }

@@ -131,3 +131,18 @@ def test_dpo_pairs_are_extremes(spark):
         assert p["chosen_score"] > p["rejected_score"]
         assert p["chosen_doc_id"] == best[p["prompt_id"]]["best_doc_id"]
         assert p["chosen_score"] == best[p["prompt_id"]]["best_score"]
+
+
+def test_rm_pairs_are_user_assistant_adjacent(spark):
+    """Every extracted pair is an assistant turn whose predecessor in the
+    SAME conversation is a user turn; counts bounded by assistant count."""
+    from dbt_spark.queries.sft import _turns, rm_pair_extract
+
+    pairs = rm_pair_extract(spark, SF).collect()
+    assert pairs
+    turns = {(r["conv_id"], r["turn_idx"]): r["role"]
+             for r in _turns(spark, SF).collect()}
+    for p in pairs:
+        assert turns[(p["conv_id"], p["response_idx"])] == "assistant"
+        assert turns[(p["conv_id"], p["response_idx"] - 1)] == "user"
+        assert p["prompt_chars"] > 0 and p["response_chars"] > 0
