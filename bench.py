@@ -212,6 +212,7 @@ EXTENDED = [
     "incremental_custom_strategy",  # get_incremental_<name>_sql dispatch e2e
     "stream_turn_dedup",  # stateful cross-batch dropDuplicates (value-paired streaming)
     "rm_pair_extract",  # user->assistant adjacency pairs, one LAG window
+    "matryoshka_overlap_probe",  # MRL truncation recall, decimal-exact ranking
 ]
 
 

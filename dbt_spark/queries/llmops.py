@@ -519,6 +519,43 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(_emb(spark, sf_dir), F.col("vec_id") < 8, k=5)
 
 
+def matryoshka_overlap_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality probe (Kusupati et al. 2022 MRL): how
+    much of the exact full-dim cosine top-5 survives when the index stores
+    only the first d dims (d ∈ 8/16/32 of 64)? The evaluation a team runs
+    before shipping truncated embeddings to cut index cost 2-8×.
+
+    Outputs are INTEGER overlap counts per (query, trunc_dim); internal
+    scores use the decimal-exact dot/norm discipline of
+    ann_topk_bruteforce, so the ranking (ties broken by nid) is
+    bit-identical cross-engine and no float ever reaches the output.
+
+    Scale: one broadcast(q) × corpus pass per truncation width — the
+    probe query set is fixed-size, the corpus side streams; at 100 TB
+    each pass is a scan with a per-partition top-k accumulator."""
+    emb = _emb(spark, sf_dir)
+    pred = F.col("vec_id") < 8
+    full = S.cosine_topk(emb, pred, k=5).select("qid", "nid")
+    qids = full.select("qid").distinct()
+    parts = []
+    for d in (8, 16, 32):
+        sliced = emb.withColumn("tv", F.slice("embedding", 1, d))
+        top = S.cosine_topk(sliced, pred, k=5, vec_col="tv").select(
+            "qid", "nid")
+        ov = (top.join(full, ["qid", "nid"], "inner")
+              .groupBy("qid")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("overlap5")))
+        parts.append(
+            qids.join(ov, "qid", "left").select(
+                "qid", F.lit(d).cast("bigint").alias("trunc_dim"),
+                F.coalesce("overlap5", F.lit(0)).cast("bigint")
+                .alias("overlap5")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("qid", "trunc_dim")
+
+
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list ANN (rows-only: recall < 1 by construction, like
     ann_topk_lsh; the exact-recall baseline is ann_topk_bruteforce)."""
@@ -4456,6 +4493,66 @@ ORACLES: dict[str, str] = {
         WHERE CAST(dot AS DOUBLE) /
               (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.3
     """,
+    "matryoshka_overlap_probe": """
+        WITH dims AS (SELECT * FROM (VALUES (8), (16), (32)) AS t(d)),
+        fnorms AS (
+            SELECT vec_id, embedding,
+                   (SELECT SUM(CAST(embedding[i] AS DECIMAL(18,9))
+                               * CAST(embedding[i] AS DECIMAL(18,9)))
+                    FROM UNNEST(generate_series(1, len(embedding))) AS t(i))
+                       AS n2
+            FROM embeddings
+        ),
+        fscored AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   CAST((SELECT SUM(CAST(q.embedding[i] AS DECIMAL(18,9))
+                                    * CAST(c.embedding[i] AS DECIMAL(18,9)))
+                         FROM UNNEST(generate_series(1, len(q.embedding)))
+                             AS t(i)) AS DOUBLE)
+                   / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+                       AS cos
+            FROM fnorms q JOIN fnorms c
+              ON q.vec_id < 8 AND c.vec_id != q.vec_id
+        ),
+        ftop AS (
+            SELECT qid, nid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, nid) AS rank FROM fscored) t
+            WHERE rank <= 5
+        ),
+        sliced AS (
+            SELECT d, vec_id, embedding[1:d] AS tv FROM embeddings, dims
+        ),
+        tnorms AS (
+            SELECT d, vec_id, tv,
+                   (SELECT SUM(CAST(tv[i] AS DECIMAL(18,9))
+                               * CAST(tv[i] AS DECIMAL(18,9)))
+                    FROM UNNEST(generate_series(1, len(tv))) AS t(i)) AS n2
+            FROM sliced
+        ),
+        tscored AS (
+            SELECT q.d, q.vec_id AS qid, c.vec_id AS nid,
+                   CAST((SELECT SUM(CAST(q.tv[i] AS DECIMAL(18,9))
+                                    * CAST(c.tv[i] AS DECIMAL(18,9)))
+                         FROM UNNEST(generate_series(1, len(q.tv)))
+                             AS t(i)) AS DOUBLE)
+                   / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+                       AS cos
+            FROM tnorms q JOIN tnorms c
+              ON q.d = c.d AND q.vec_id < 8 AND c.vec_id != q.vec_id
+        ),
+        ttop AS (
+            SELECT d, qid, nid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY d, qid
+                    ORDER BY cos DESC, nid) AS rank FROM tscored) t
+            WHERE rank <= 5
+        )
+        SELECT t.qid, CAST(t.d AS BIGINT) AS trunc_dim,
+               CAST(count(f.nid) AS BIGINT) AS overlap5
+        FROM ttop t LEFT JOIN ftop f ON t.qid = f.qid AND t.nid = f.nid
+        GROUP BY t.qid, t.d
+        ORDER BY t.qid, trunc_dim
+    """,
     "ann_topk_bruteforce": """
         WITH norms AS (
             SELECT vec_id, embedding,
@@ -4602,6 +4699,7 @@ QUERIES = {
     "sequence_packing": sequence_packing,
     "training_data_pipeline": training_data_pipeline,
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "matryoshka_overlap_probe": matryoshka_overlap_probe,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_pq": ann_topk_pq,

@@ -146,3 +146,22 @@ def test_rm_pairs_are_user_assistant_adjacent(spark):
         assert turns[(p["conv_id"], p["response_idx"])] == "assistant"
         assert turns[(p["conv_id"], p["response_idx"] - 1)] == "user"
         assert p["prompt_chars"] > 0 and p["response_chars"] > 0
+
+
+def test_matryoshka_overlap_monotone_tendency(spark):
+    """Truncation probe sanity: overlaps are in [0,5], every (query, dim)
+    row exists, and the 32-dim mean overlap is >= the 8-dim mean (more
+    dims can only help on average for exact cosine)."""
+    from collections import defaultdict
+
+    from dbt_spark.queries.llmops import matryoshka_overlap_probe
+
+    rows = matryoshka_overlap_probe(spark, SF).collect()
+    by_dim = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["overlap5"] <= 5
+        by_dim[r["trunc_dim"]].append(r["overlap5"])
+    assert set(by_dim) == {8, 16, 32}
+    assert len(by_dim[8]) == len(by_dim[16]) == len(by_dim[32])
+    mean = {d: sum(v) / len(v) for d, v in by_dim.items()}
+    assert mean[32] >= mean[8]
