@@ -43,6 +43,66 @@ BUILTIN_STRATEGIES = ("append", "merge", "delete+insert",
                       "insert_overwrite", "microbatch")
 
 
+def split_dml_statements(sql: str) -> list[str]:
+    """Split a multi-statement DML string on ';' — quote- and comment-aware
+    (ADVICE r11: a naive split breaks on semicolons inside string literals).
+
+    Handles single-quoted literals (with '' and backslash escapes),
+    double-quoted literals/identifiers, backtick identifiers, ``--`` line
+    comments, and ``/* */`` block comments — the lexical classes Spark SQL
+    accepts.  Statements are returned stripped and non-empty."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(sql)
+    mode: Optional[str] = None  # "'", '"', '`', '--', '/*'
+    while i < n:
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < n else ""
+        if mode is None:
+            if ch == ";":
+                stmts.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+            if ch in ("'", '"', "`"):
+                mode = ch
+            elif ch == "-" and nxt == "-":
+                mode = "--"
+            elif ch == "/" and nxt == "*":
+                mode = "/*"
+        elif mode in ("'", '"'):
+            if ch == "\\":
+                buf.append(ch)
+                if nxt:
+                    buf.append(nxt)
+                i += 2
+                continue
+            if ch == mode:
+                if nxt == mode:  # doubled-quote escape ('' or "")
+                    buf.append(ch)
+                    buf.append(nxt)
+                    i += 2
+                    continue
+                mode = None
+        elif mode == "`":
+            if ch == "`":
+                mode = None
+        elif mode == "--":
+            if ch == "\n":
+                mode = None
+        elif mode == "/*":
+            if ch == "*" and nxt == "/":
+                buf.append(ch)
+                buf.append(nxt)
+                i += 2
+                mode = None
+                continue
+        buf.append(ch)
+        i += 1
+    stmts.append("".join(buf))
+    return [s for s in (x.strip() for x in stmts) if s]
+
+
 def strategy_macro_name(strategy: str) -> str:
     """``delete+insert`` → ``get_incremental_delete_insert_sql`` — the
     reference normalizes ``+``/spaces to ``_`` before the macro lookup."""
@@ -162,9 +222,8 @@ def _run_custom_strategy(
                 f"{node.unique_id}: {mname} must return() the SQL to "
                 "execute (got "
                 f"{type(build_sql).__name__})")
-        for stmt in (s.strip() for s in build_sql.split(";")):
-            if stmt:
-                ctx.execute_sql(stmt, node=node)
+        for stmt in split_dml_statements(build_sql):
+            ctx.execute_sql(stmt, node=node)
     finally:
         # external table: dropping the catalog entry keeps the files;
         # re-register adopts whatever the DML wrote

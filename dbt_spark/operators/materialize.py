@@ -471,8 +471,15 @@ def _apply_output_transforms(node: ManifestNode, df: DataFrame) -> DataFrame:
                 raise ValueError(
                     f"{node.unique_id}: turn_dedup column {c!r} not in output")
         norm = F.lower(F.trim(F.regexp_replace(F.col(content), r"\s+", " ")))
-        w = Window.partitionBy(F.col(conv), norm).orderBy(
-            F.col(order) if order else F.col(content))
+        # ADVICE r11: without an 'order' column, raw content alone ties for
+        # rows identical in content but differing elsewhere — append every
+        # remaining column as a tiebreaker so the survivor is deterministic
+        if order:
+            sort_cols = [F.col(order)]
+        else:
+            sort_cols = [F.col(content)] + [
+                F.col(c).cast("string") for c in df.columns if c != content]
+        w = Window.partitionBy(F.col(conv), norm).orderBy(*sort_cols)
         df = (df.withColumn("__sg_td_rn", F.row_number().over(w))
               .filter(F.col("__sg_td_rn") == 1).drop("__sg_td_rn"))
 

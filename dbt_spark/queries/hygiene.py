@@ -452,7 +452,8 @@ def decontam_exact_substring_cover(spark: SparkSession, sf_dir: str) -> DataFram
     matched W-grams. The benchmark side is always tiny (eval suites), so
     its distinct window hashes broadcast; train windows stream through
     one equi-join on xxhash64(window) — 8-byte keys, never the strings —
-    and coverage is the distinct (doc, char) union of matched windows.
+    and coverage is the interval union of matched spans (gaps-and-islands
+    merge, O(matches) rows — not a per-char explode).
     Per-lang report: train docs, contaminated docs, covered/total chars,
     round-6 pct. 64-bit hash joins: a false match needs ~2^64 pairs
     (same contract as the boilerplate filter); the DuckDB oracle joins on
@@ -486,14 +487,26 @@ def decontam_exact_substring_cover(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     matched = tr_windows.join(F.broadcast(ev_hashes), "h").select("doc_id", "p")
+    # Coverage = union length of the matched [p, p+W-1] spans — a
+    # gaps-and-islands interval merge (VERDICT r11 #4): spans sorted by p
+    # within each doc merge while p <= prev_p + W (overlap or adjacency);
+    # each island contributes max_p - min_p + W chars. O(matches) rows
+    # through ONE doc-keyed window — the old per-char explode+distinct
+    # shuffled W× the matched volume, dominant on a contaminated shard.
+    # (matched is unique on (doc_id, p): tr_windows has one row per
+    # position and ev_hashes is distinct on h.)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy("p")
+    new_island = F.when(F.col("p") > F.lag("p").over(win) + w, 1).otherwise(0)
+    island_id = F.sum(new_island).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     covered = (
-        matched.select(
-            "doc_id",
-            F.explode(F.sequence(F.col("p"), F.col("p") + (w - 1))).alias("c"),
-        )
-        .distinct()
+        matched.withColumn("island", island_id)
+        .groupBy("doc_id", "island")
+        .agg((F.max("p") - F.min("p") + w).alias("ilen"))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("covered"))
+        .agg(F.sum("ilen").alias("covered"))
     )
     per_doc = train.join(covered, "doc_id", "left").select(
         "lang",
@@ -568,10 +581,12 @@ _K_ANON = 5
 
 def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity suppression over quasi-identifiers before a stats
-    release (Sweeney 2002): cells of the (lang, source, length-decile)
+    release (Sweeney 2002): cells of the (lang, length-decile)
     contingency table with fewer than k members are SUPPRESSED — their
-    identifying attributes generalized to '*' and their counts pooled
-    into one residual row per lang — so no released row isolates fewer
+    identifying attribute generalized to '*' and their counts pooled
+    into one residual row per lang — and a pooled residual that STILL
+    has n < k (e.g. a lang with one suppressed cell of size 1) is
+    dropped entirely (ADVICE r11), so no released row isolates fewer
     than k documents. The privacy gate that runs before any per-slice
     corpus stats leave the enclave.
 
@@ -596,6 +611,7 @@ def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.filter(F.col("n") < _K_ANON)
         .groupBy("lang")
         .agg(F.sum("n").cast("bigint").alias("n"))
+        .filter(F.col("n") >= _K_ANON)  # residual itself must satisfy k
         .select("lang", F.lit("*").alias("len_decile"), "n",
                 F.lit(True).alias("suppressed"))
     )
@@ -620,6 +636,7 @@ ORACLES: dict[str, str] = {
             SELECT lang, '*' AS len_decile,
                    CAST(sum(n) AS BIGINT) AS n, TRUE AS suppressed
             FROM cells WHERE n < {_K_ANON} GROUP BY lang
+            HAVING sum(n) >= {_K_ANON}
         )
         SELECT * FROM released
         UNION ALL

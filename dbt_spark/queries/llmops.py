@@ -657,14 +657,32 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """resize (binary→binary) chained into feature extraction
     (binary→array<float>) — the two-stage media pipeline shape; rows-only
-    (stub kernels; exact values asserted in tests/test_llmops.py)."""
+    (stub kernels; exact raw-array values asserted in tests/test_llmops.py).
+
+    Driver contract: the raw ``array<float>`` column is folded to scalar
+    digests here (md5 of the comma-joined fixed-format components plus
+    rounded sum/min/max) so the harness's pandas canonicalizer — which
+    sorts every output column and cannot hash Python lists — can check the
+    row set. The array-valued form stays available via
+    ``extract_features`` directly and is value-asserted in the unit tests."""
     from dbt_spark.functions.multimodal import extract_features, resize_images
 
     payload = attach_binary_payload(_docs_raw(spark, sf_dir)).filter(
         F.col("media_type") == "image/png"
     )
     resized = resize_images(payload, width=64, height=48)
-    return extract_features(resized, dim=16).orderBy("doc_id")
+    feats = extract_features(resized, dim=16)
+    comp = F.transform("features", lambda x: F.format_string("%.6f", x))
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        F.md5(F.concat_ws(",", comp)).alias("feat_md5"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feat_sum"
+        ),
+        F.round(F.array_min("features"), 6).alias("feat_min"),
+        F.round(F.array_max("features"), 6).alias("feat_max"),
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -598,12 +598,17 @@ class Engine:
             root = _P(self.project.root).resolve()
             targets = {(_P(self.project.root) / d).resolve()
                        for d in self.project.clean_targets}
+            # all_source_paths in the reference = model + seed + snapshot +
+            # analysis + macro (config/project.py:645); docs_paths defaults
+            # to all_source_paths (project.py:412) so cover any explicit ones
             protected_dirs = (
                 list(self.project.model_paths)
                 + list(self.project.seed_paths)
                 + list(self.project.snapshot_paths)
+                + list(self.project.analysis_paths)
                 + list(self.project.macro_paths)
                 + list(self.project.test_paths)
+                + list(getattr(self.project, "docs_paths", None) or [])
             )
             source_paths = {(_P(self.project.root) / d).resolve()
                             for d in protected_dirs}

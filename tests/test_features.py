@@ -2749,3 +2749,14 @@ def test_clean_protections(project_dir, spark, tmp_path):
         ["clean", "--no-clean-project-files-only"])
     assert r.success
     assert not outside.exists()
+
+    # 3. analyses is a source path too (reference all_source_paths =
+    # model+seed+snapshot+analysis+macro, config/project.py:645) — ADVICE
+    # r11: `clean-targets: [analyses]` must refuse, not rmtree
+    pdir3 = project_dir({
+        "dbt_project.yml": "name: cp3\nclean-targets: [analyses]\n",
+        "analyses/a1.sql": "select 1 as id",
+    })
+    with _pytest.raises(RuntimeError, match="source paths"):
+        Engine(pdir3, spark=spark).invoke(["clean"])
+    assert os.path.isdir(os.path.join(pdir3, "analyses"))

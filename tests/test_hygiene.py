@@ -278,8 +278,9 @@ def test_pii_redact_model_config_bad_column(project_dir, spark):
 
 
 def test_k_anonymity_release_invariants(spark):
-    """No released row isolates < k docs; pooled rows absorb the rest;
-    totals conserve the corpus."""
+    """EVERY released row (pooled residuals included — ADVICE r11) has
+    n >= k; what the release drops is < k per lang; totals otherwise
+    conserve the corpus."""
     from pyspark.sql import functions as F
 
     from dbt_spark.queries.hygiene import _K_ANON, _docs, k_anonymity_release
@@ -287,15 +288,49 @@ def test_k_anonymity_release_invariants(spark):
     rows = k_anonymity_release(spark, "/root/testdata/sf0.001").collect()
     assert rows
     total = _docs(spark, "/root/testdata/sf0.001").count()
-    assert sum(r["n"] for r in rows) == total
-    assert any(r["suppressed"] for r in rows)
+    released = sum(r["n"] for r in rows)
+    # dropped mass = sub-k residual pools only, each < k
+    langs = {r["lang"] for r in rows}
+    assert released <= total
+    assert total - released < _K_ANON * (len(langs) + 1)
     assert any(not r["suppressed"] for r in rows)
     for r in rows:
+        assert r["n"] >= _K_ANON  # the k-anonymity contract, no exceptions
         if not r["suppressed"]:
-            assert r["n"] >= _K_ANON
             assert r["len_decile"] != "*"
         else:
             assert r["len_decile"] == "*"
+
+
+def test_k_anonymity_subk_residual_dropped(spark):
+    """Adversarial fixture: a lang whose ONLY suppressed cell has size 1 —
+    the pooled residual would itself violate k and must be dropped, not
+    released (ADVICE r11)."""
+    import pandas as pd
+
+    from dbt_spark.queries import hygiene as H
+
+    pdf = pd.DataFrame(
+        # lang 'aa': 10 docs in decile 0 (released) + 1 doc in decile 9
+        # (suppressed; pooled residual n=1 < k → dropped)
+        [{"doc_id": i, "lang": "aa", "n_chars": 50} for i in range(10)]
+        + [{"doc_id": 10, "lang": "aa", "n_chars": 950}]
+        # lang 'bb': 3+3 in two small cells → pooled residual n=6 ≥ k: kept
+        + [{"doc_id": 11 + i, "lang": "bb", "n_chars": 50 + 100 * (i % 2)}
+           for i in range(6)]
+    )
+    df = spark.createDataFrame(pdf)
+    orig = H._docs
+    H._docs = lambda _spark, _sf: df
+    try:
+        rows = H.k_anonymity_release(spark, "ignored").collect()
+    finally:
+        H._docs = orig
+    got = {(r["lang"], r["len_decile"]): (r["n"], r["suppressed"]) for r in rows}
+    assert got == {
+        ("aa", "0"): (10, False),
+        ("bb", "*"): (6, True),
+    }
 
 
 def test_turn_dedup_model_config(project_dir, spark):
@@ -330,6 +365,40 @@ def test_turn_dedup_model_config(project_dir, spark):
     # idx 1 of conv 1 collapsed into idx 0; cross-conversation copy kept
     assert set(rows) == {(1, 0), (1, 2), (2, 0), (2, 1)}
     assert rows[(1, 0)]["who"] == "u"  # the FIRST row's full payload survives
+
+
+def test_turn_dedup_orderless_survivor_deterministic(project_dir, spark):
+    """ADVICE r11: without an 'order' column, two rows identical in content
+    but differing elsewhere tie on the raw-content sort — every remaining
+    column is a tiebreaker, so the survivor is the lexicographic minimum,
+    stable across runs and partitionings."""
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: tdtie\n",
+        "seeds/turns.csv": (
+            "conv,content,who\n"
+            "1,same text,zz\n"
+            "1,same text,aa\n"    # identical content, differs only in who
+            "1,other,mm\n"
+        ),
+        "models/deduped.sql": (
+            "{{ config(materialized='table', "
+            "turn_dedup={'conversation': 'conv', 'content': 'content'}) }}"
+            "select * from {{ ref('turns') }}"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    assert eng.invoke(["seed"]).success
+    survivors = set()
+    for _ in range(3):
+        r = eng.invoke(["run", "--full-refresh"])
+        assert r.success, [x.message for x in r.results]
+        rows = {x["content"]: x["who"]
+                for x in eng.store.read("main", "deduped").collect()}
+        assert set(rows) == {"same text", "other"}
+        survivors.add(rows["same text"])
+    assert survivors == {"aa"}  # lexicographic min on the tiebreak columns
 
 
 def test_turn_dedup_model_config_bad_shape(project_dir, spark):

@@ -356,3 +356,179 @@ def test_incremental_custom_multistatement_differential(spark, seed):
     want = _replay_tagged_append(batches)
     assert _canon(got) == _canon(want), (
         f"seed={seed} batches={[len(b) for b in batches]}")
+
+
+# ---- round-12: quote-aware DML splitting + predicate-scoped custom strategy ----
+
+def test_split_dml_statements_lexical_classes():
+    """ADVICE r11: ';' inside string literals / comments / backtick
+    identifiers must not split; doubled-quote and backslash escapes stay
+    inside the literal."""
+    from dbt_spark.operators.incremental import split_dml_statements as split
+
+    assert split("select 1; select 2") == ["select 1", "select 2"]
+    assert split("select 'a;b'; select 2") == ["select 'a;b'", "select 2"]
+    assert split('select "x;y"; select 2') == ['select "x;y"', "select 2"]
+    assert split("select `c;1` from t; select 2") == [
+        "select `c;1` from t", "select 2"]
+    # doubled-quote escape keeps the literal open across the would-be close
+    assert split("select 'it''s;fine'; select 2") == [
+        "select 'it''s;fine'", "select 2"]
+    # backslash escape
+    assert split(r"select 'a\';b'; select 2") == [r"select 'a\';b'", "select 2"]
+    # line comment swallows its ';' to end-of-line only
+    assert split("select 1 -- no;split\n; select 2") == [
+        "select 1 -- no;split", "select 2"]
+    # block comment swallows ';' until */
+    assert split("select 1 /* a;b */; select 2") == [
+        "select 1 /* a;b */", "select 2"]
+    # trailing semicolon / blanks produce no empty statements
+    assert split("select 1; ;\n;") == ["select 1"]
+    assert split("") == []
+
+
+_LIT_SEMI_MACRO = """
+{% macro get_incremental_lit_semicolon_sql(arg_dict) %}
+{% set t = arg_dict['target_relation'] %}
+{% set s = arg_dict['temp_relation'] %}
+INSERT INTO {{ t }} SELECT k, 'x;y' AS part, val, b FROM {{ s }};
+-- comment with ; semicolons stays attached to statement two
+INSERT INTO {{ t }} SELECT k + 1000 AS k, part, val, b FROM {{ s }}
+WHERE part <> 'a;b'
+{% endmacro %}
+"""
+
+
+def _replay_lit_semicolon(batches: list[pd.DataFrame]) -> pd.DataFrame:
+    """First run creates; each later batch appends a part='x;y' copy plus a
+    k+1000 tagged copy (the WHERE never filters: parts are p0..p3)."""
+    state = pd.DataFrame(columns=["k", "part", "val", "b"])
+    first = True
+    for batch in batches:
+        if first:
+            state = batch.copy()
+            first = False
+        elif len(batch):
+            lit = batch.copy()
+            lit["part"] = "x;y"
+            tagged = batch.copy()
+            tagged["k"] = tagged["k"] + 1000
+            state = pd.concat([state, lit, tagged], ignore_index=True)
+    return state
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_incremental_custom_semicolon_literal_differential(spark, seed):
+    """ADVICE r11 end-to-end: custom-strategy DML whose first statement
+    contains a ';' inside a string literal (and a ';' in a line comment)
+    must execute as exactly two statements."""
+    rng = random.Random(_BASE + _OFF + 9000 + seed)
+    n_batches = rng.randrange(2, 4)
+    batches = []
+    for b in range(n_batches):
+        n = rng.randrange(1, 6)
+        ks = rng.sample(range(1, 9), n)
+        batches.append(pd.DataFrame([
+            {"k": k, "part": rng.choice(PARTS),
+             "val": (seed + 1) * 100 + b * 10 + i, "b": b}
+            for i, k in enumerate(ks)
+        ]))
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_inclitsemi_")
+    project = Project(
+        name="inclitsemi", root=tmp,
+        profile={"warehouse": os.path.join(tmp, "wh"), "schema": "main",
+                 "threads": 2},
+    )
+    manifest = Manifest(project_name="inclitsemi")
+    manifest.macros["get_incremental_lit_semicolon_sql"] = _LIT_SEMI_MACRO
+    ctx = ExecutionContext(
+        spark=spark, store=RelationStore(spark, project.profile["warehouse"]),
+        manifest=manifest, project=project,
+    )
+    node = ManifestNode(
+        unique_id=f"model.inclitsemi.t{seed}", name=f"t{seed}",
+        package_name="inclitsemi", path=f"models/t{seed}.sql",
+        resource_type=NodeType.Model, raw_code="",
+        config=NodeConfig().merged(
+            materialized="incremental",
+            incremental_strategy="lit_semicolon"),
+    )
+    for batch in batches:
+        node.raw_code = _batch_sql(batch)
+        materialize_incremental(ctx, node)
+    got = ctx.store.read("main", node.name).toPandas()
+    want = _replay_lit_semicolon(batches)
+    assert _canon(got) == _canon(want), (
+        f"seed={seed} batches={[len(b) for b in batches]}")
+
+
+_PRED_SCOPED_MACRO = """
+{% macro get_incremental_pred_append_sql(arg_dict) %}
+{% set t = arg_dict['target_relation'] %}
+{% set s = arg_dict['temp_relation'] %}
+INSERT INTO {{ t }}
+SELECT k, part, val, b FROM {{ s }}
+WHERE {{ arg_dict['incremental_predicates'] | join(' AND ') }}
+{% endmacro %}
+"""
+
+
+def _replay_pred_append(batches: list[pd.DataFrame], parity: int) -> pd.DataFrame:
+    """First run creates unfiltered; later batches append only rows whose
+    val has the configured parity (the predicate the macro consumed)."""
+    state = pd.DataFrame(columns=["k", "part", "val", "b"])
+    first = True
+    for batch in batches:
+        if first:
+            state = batch.copy()
+            first = False
+        elif len(batch):
+            keep = batch[batch["val"] % 2 == parity]
+            state = pd.concat([state, keep], ignore_index=True)
+    return state
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_incremental_custom_strategy_consumes_predicates(spark, seed):
+    """VERDICT r11 #6: incremental_predicates flow through arg_dict into a
+    custom strategy's DML and actually scope it — differential vs a
+    pure-pandas replay that applies the same predicate."""
+    rng = random.Random(_BASE + _OFF + 9500 + seed)
+    parity = seed % 2
+    n_batches = rng.randrange(2, 5)
+    batches = []
+    for b in range(n_batches):
+        n = rng.randrange(1, 7)
+        ks = rng.sample(range(1, 9), n)
+        batches.append(pd.DataFrame([
+            {"k": k, "part": rng.choice(PARTS),
+             "val": (seed + 1) * 100 + b * 10 + i, "b": b}
+            for i, k in enumerate(ks)
+        ]))
+    tmp = tempfile.mkdtemp(prefix="dbt_spark_incpredcust_")
+    project = Project(
+        name="incpredcust", root=tmp,
+        profile={"warehouse": os.path.join(tmp, "wh"), "schema": "main",
+                 "threads": 2},
+    )
+    manifest = Manifest(project_name="incpredcust")
+    manifest.macros["get_incremental_pred_append_sql"] = _PRED_SCOPED_MACRO
+    ctx = ExecutionContext(
+        spark=spark, store=RelationStore(spark, project.profile["warehouse"]),
+        manifest=manifest, project=project,
+    )
+    cfg = NodeConfig().merged(
+        materialized="incremental", incremental_strategy="pred_append")
+    cfg.meta["incremental_predicates"] = [f"val % 2 = {parity}"]
+    node = ManifestNode(
+        unique_id=f"model.incpredcust.t{seed}", name=f"t{seed}",
+        package_name="incpredcust", path=f"models/t{seed}.sql",
+        resource_type=NodeType.Model, raw_code="", config=cfg,
+    )
+    for batch in batches:
+        node.raw_code = _batch_sql(batch)
+        materialize_incremental(ctx, node)
+    got = ctx.store.read("main", node.name).toPandas()
+    want = _replay_pred_append(batches, parity)
+    assert _canon(got) == _canon(want), (
+        f"seed={seed} parity={parity} batches={[len(b) for b in batches]}")
