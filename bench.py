@@ -213,6 +213,10 @@ EXTENDED = [
     "stream_turn_dedup",  # stateful cross-batch dropDuplicates (value-paired streaming)
     "rm_pair_extract",  # user->assistant adjacency pairs, one LAG window
     "matryoshka_overlap_probe",  # MRL truncation recall, decimal-exact ranking
+    # round-12 additions (SFT release gates: decontam + preference QA + mixture)
+    "prompt_decontam_ngram",  # user-turn 3-gram overlap vs benchmark prompts
+    "preference_pair_consistency",  # tie/margin/degenerate-pair audit per pool
+    "dialog_mixture_stats",  # role-balance + length-budget mixture cells
 ]
 
 

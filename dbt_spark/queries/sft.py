@@ -488,7 +488,268 @@ def rm_pair_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: benchmark-prompt fixture modulus for prompt-level decontamination
+_BENCH_MOD = 13
+#: shared-3-gram containment threshold flagging a contaminated prompt
+_DECON_THRESH = 0.3
+
+
+def prompt_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt-level SFT decontamination (VERDICT r11 #5a): user turns are
+    checked for word-3-gram overlap against a benchmark-prompt set
+    (fixture: user turns with doc_id % 13 == 0) — the release gate that
+    keeps eval prompts out of the SFT mix, the turn-keyed analogue of
+    document-level decontamination_anti_join.
+
+    Per train user turn: distinct 3-grams, how many also occur in ANY
+    benchmark prompt, containment = shared/|grams|, contaminated flag at
+    the 0.3 threshold. Turns with < 3 tokens carry no 3-gram signal and
+    are excluded.
+
+    Plan (100 TB): benchmark prompts are eval-suite sized → their
+    distinct gram hashes BROADCAST; train grams explode map-side from
+    the token array (no window), match via one broadcast equi-join on
+    xxhash64(gram) — 8-byte keys, never strings — then one doc-keyed
+    aggregate. The DuckDB oracle joins raw gram strings, so any 64-bit
+    collision would surface as a value mismatch."""
+    t = _turns(spark, sf_dir).filter(F.col("role") == "user")
+    toks = F.split(F.lower(F.trim("content")), r"\s+")
+    grams = (
+        t.select("conv_id", "doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "conv_id", "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i + 1),
+                        F.element_at("t", i + 2), F.element_at("t", i + 3)),
+                )
+            ).alias("g"),
+        )
+        .select("conv_id", "doc_id", F.xxhash64("g").alias("h"))
+        .distinct()
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = grams.filter(is_bench).select("h").distinct()
+    train = grams.filter(~is_bench)
+    shared = (
+        train.join(F.broadcast(bench), "h", "left_semi")
+        .groupBy("conv_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sizes = train.groupBy("conv_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    cont = F.round(
+        F.col("n_shared").cast("double") / F.col("n_grams").cast("double"), 6)
+    return (
+        sizes.join(shared, ["conv_id", "doc_id"], "left")
+        .select(
+            "conv_id", "doc_id", "n_grams",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        )
+        .select(
+            "conv_id", "doc_id", "n_grams", "n_shared",
+            cont.alias("containment"),
+            (cont >= _DECON_THRESH).alias("contaminated"),
+        )
+        .orderBy("conv_id", "doc_id")
+    )
+
+
+def preference_pair_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair consistency audit (VERDICT r11 #5b): the QA
+    complement of dpo_pair_construct — instead of FILTERING bad pools
+    out, report per pool WHY it is usable or not: score-tie counts at
+    the max/min (argmax/argmin broken only by doc_id order), zero
+    margins, and degenerate pairs whose chosen and rejected CONTENT is
+    byte-identical (md5) despite distinct doc_ids. The audit a
+    preference-data team runs before shipping a DPO/RM mix.
+
+    Plan: same two prompt-partitioned row_number windows as
+    dpo_pair_construct (one exchange feeds both) + conditional
+    aggregation; tie counts are plain conditional sums against the pool
+    max/min — no self-join, one prompt-keyed shuffle."""
+    docs = _docs(spark, sf_dir)
+    cand = docs.select(
+        (F.col("doc_id") % _PROMPTS).alias("prompt_id"),
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        ((F.length("text")
+          - F.length(F.replace(F.col("text"), F.lit("join"), F.lit("")))) / 4
+         * 10 + (F.length("text") % 37)).cast("bigint").alias("score"),
+    )
+    w_best = Window.partitionBy("prompt_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    w_worst = Window.partitionBy("prompt_id").orderBy(
+        F.col("score").asc(), F.col("doc_id").desc())
+    w_pool = Window.partitionBy("prompt_id")
+    r = (cand.withColumn("rb", F.row_number().over(w_best))
+         .withColumn("rw", F.row_number().over(w_worst))
+         .withColumn("mx", F.max("score").over(w_pool))
+         .withColumn("mn", F.min("score").over(w_pool)))
+    agg = r.groupBy("prompt_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.max("score").cast("bigint").alias("max_score"),
+        F.min("score").cast("bigint").alias("min_score"),
+        F.sum((F.col("score") == F.col("mx")).cast("int"))
+        .cast("bigint").alias("n_max_ties"),
+        F.sum((F.col("score") == F.col("mn")).cast("int"))
+        .cast("bigint").alias("n_min_ties"),
+        F.max(F.when(F.col("rb") == 1, F.col("content_md5")))
+        .alias("chosen_md5"),
+        F.max(F.when(F.col("rw") == 1, F.col("content_md5")))
+        .alias("rejected_md5"),
+    )
+    margin = (F.col("max_score") - F.col("min_score")).cast("bigint")
+    degenerate = F.col("chosen_md5") == F.col("rejected_md5")
+    tie_broken = (F.col("n_max_ties") > 1) | (F.col("n_min_ties") > 1)
+    return (
+        agg.select(
+            "prompt_id", "n_candidates", margin.alias("margin"),
+            "n_max_ties", "n_min_ties",
+            degenerate.alias("degenerate_pair"),
+            F.when(F.col("n_candidates") < 2, F.lit("too_small"))
+            .when(margin == 0, F.lit("zero_margin"))
+            .when(degenerate, F.lit("degenerate"))
+            .when(tie_broken, F.lit("tie_broken"))
+            .otherwise(F.lit("ok")).alias("audit_status"),
+        )
+        .orderBy("prompt_id")
+    )
+
+
+def dialog_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation role-balance / length-budget stats for SFT
+    mixture design (VERDICT r11 #5c): user vs assistant turn and char
+    counts, assistant char share, a role-balance flag (alternating chat
+    ⇒ |n_user − n_assistant| ≤ 1), and a capped 500-char length bucket —
+    the cell keys a mixture designer weights over.
+
+    Plan: ONE conv-keyed aggregate with map-side partials; output is
+    conversation-dimension sized. Share is a round-6 double of two
+    bigint sums — bit-stable cross-engine."""
+    t = _turns(spark, sf_dir)
+    is_u = (F.col("role") == "user").cast("int")
+    clen = F.length("content")
+    agg = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(is_u).cast("bigint").alias("n_user"),
+        F.sum(1 - is_u).cast("bigint").alias("n_assistant"),
+        F.sum(F.when(F.col("role") == "user", clen).otherwise(0))
+        .cast("bigint").alias("user_chars"),
+        F.sum(F.when(F.col("role") == "assistant", clen).otherwise(0))
+        .cast("bigint").alias("assistant_chars"),
+    )
+    total = F.col("user_chars") + F.col("assistant_chars")
+    return (
+        agg.select(
+            "conv_id", "n_turns", "n_user", "n_assistant",
+            "user_chars", "assistant_chars",
+            F.round(F.col("assistant_chars").cast("double")
+                    / total.cast("double"), 6).alias("assistant_share"),
+            (F.abs(F.col("n_user") - F.col("n_assistant")) <= 1)
+            .alias("role_balanced"),
+            F.least((total / 500).cast("bigint"), F.lit(9))
+            .alias("len_bucket"),
+        )
+        .orderBy("conv_id")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "prompt_decontam_ngram": f"""
+        WITH {_TURNS_CTE}, utoks AS (
+            SELECT conv_id, doc_id,
+                   string_split_regex(trim(lower(content)), '\\s+') AS t
+            FROM turns WHERE role = 'user'
+        ), grams AS (
+            SELECT DISTINCT conv_id, doc_id, g
+            FROM utoks, UNNEST(list_transform(
+                     range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(g)
+            WHERE len(t) >= 3
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+        ), train AS (
+            SELECT * FROM grams WHERE doc_id % {_BENCH_MOD} <> 0
+        ), stats AS (
+            SELECT conv_id, doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN g IN (SELECT g FROM bench)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+            FROM train GROUP BY 1, 2
+        )
+        SELECT conv_id, doc_id, n_grams, n_shared,
+               round(CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+                   AS containment,
+               round(CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+                   >= {_DECON_THRESH} AS contaminated
+        FROM stats ORDER BY conv_id, doc_id
+    """,
+    "preference_pair_consistency": f"""
+        WITH cand AS (
+            SELECT doc_id % {_PROMPTS} AS prompt_id, doc_id,
+                   md5(text) AS content_md5,
+                   CAST((length(text) - length(replace(text, 'join', '')))
+                        / 4 * 10 + (length(text) % 37) AS BIGINT) AS score
+            FROM documents
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY prompt_id
+                       ORDER BY score DESC, doc_id ASC) AS rb,
+                   row_number() OVER (PARTITION BY prompt_id
+                       ORDER BY score ASC, doc_id DESC) AS rw,
+                   max(score) OVER (PARTITION BY prompt_id) AS mx,
+                   min(score) OVER (PARTITION BY prompt_id) AS mn
+            FROM cand
+        ), agg AS (
+            SELECT prompt_id,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(max(score) - min(score) AS BIGINT) AS margin,
+                   CAST(sum(CASE WHEN score = mx THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_max_ties,
+                   CAST(sum(CASE WHEN score = mn THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_min_ties,
+                   max(CASE WHEN rb = 1 THEN content_md5 END) AS chosen_md5,
+                   max(CASE WHEN rw = 1 THEN content_md5 END) AS rejected_md5
+            FROM r GROUP BY prompt_id
+        )
+        SELECT prompt_id, n_candidates, margin, n_max_ties, n_min_ties,
+               chosen_md5 = rejected_md5 AS degenerate_pair,
+               CASE WHEN n_candidates < 2 THEN 'too_small'
+                    WHEN margin = 0 THEN 'zero_margin'
+                    WHEN chosen_md5 = rejected_md5 THEN 'degenerate'
+                    WHEN n_max_ties > 1 OR n_min_ties > 1 THEN 'tie_broken'
+                    ELSE 'ok' END AS audit_status
+        FROM agg ORDER BY prompt_id
+    """,
+    "dialog_mixture_stats": f"""
+        WITH {_TURNS_CTE}, agg AS (
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_assistant,
+                   CAST(sum(CASE WHEN role = 'user' THEN length(content)
+                                 ELSE 0 END) AS BIGINT) AS user_chars,
+                   CAST(sum(CASE WHEN role = 'assistant'
+                                 THEN length(content) ELSE 0 END)
+                        AS BIGINT) AS assistant_chars
+            FROM turns GROUP BY conv_id
+        )
+        SELECT conv_id, n_turns, n_user, n_assistant,
+               user_chars, assistant_chars,
+               round(CAST(assistant_chars AS DOUBLE)
+                     / CAST(user_chars + assistant_chars AS DOUBLE), 6)
+                   AS assistant_share,
+               abs(n_user - n_assistant) <= 1 AS role_balanced,
+               CAST(least((user_chars + assistant_chars) // 500, 9)
+                    AS BIGINT) AS len_bucket
+        FROM agg ORDER BY conv_id
+    """,
     "rm_pair_extract": f"""
         WITH {_TURNS_CTE}, r AS (
             SELECT conv_id, turn_idx, role, content,
@@ -707,6 +968,9 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "prompt_decontam_ngram": prompt_decontam_ngram,
+    "preference_pair_consistency": preference_pair_consistency,
+    "dialog_mixture_stats": dialog_mixture_stats,
     "dialog_turn_flatten": dialog_turn_flatten,
     "turn_dedup_normalized": turn_dedup_normalized,
     "rejection_sample_best_of_k": rejection_sample_best_of_k,

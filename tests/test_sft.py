@@ -165,3 +165,74 @@ def test_matryoshka_overlap_monotone_tendency(spark):
     assert len(by_dim[8]) == len(by_dim[16]) == len(by_dim[32])
     mean = {d: sum(v) / len(v) for d, v in by_dim.items()}
     assert mean[32] >= mean[8]
+
+
+def test_prompt_decontam_excludes_benchmark_and_bounds(spark):
+    """Decontam gate structure: benchmark turns (doc_id % 13 == 0) never
+    appear as train rows; 0 <= n_shared <= n_grams; a benchmark turn's
+    exact duplicate among train turns would be fully contained."""
+    from dbt_spark.queries.sft import _BENCH_MOD, prompt_decontam_ngram
+
+    rows = prompt_decontam_ngram(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % _BENCH_MOD != 0
+        assert 0 <= r["n_shared"] <= r["n_grams"]
+        assert r["contaminated"] == (r["containment"] >= 0.3)
+    # canned turns ('thanks!' etc are <3 tokens, so excluded) — but text
+    # prefixes repeat across doc ids; SOME turn must share grams with the
+    # benchmark set at this fixture density
+    assert any(r["n_shared"] > 0 for r in rows)
+    assert any(r["n_shared"] == 0 for r in rows)
+
+
+def test_preference_consistency_status_partition(spark):
+    """Audit statuses partition the pools; flags agree with the dpo
+    filter: every pool dpo_pair_construct KEEPS must audit ok or
+    tie_broken/degenerate (margin > 0, >= 2 candidates), every pool it
+    drops must audit too_small or zero_margin."""
+    from dbt_spark.queries.sft import (
+        dpo_pair_construct,
+        preference_pair_consistency,
+    )
+
+    audit = {r["prompt_id"]: r
+             for r in preference_pair_consistency(spark, SF).collect()}
+    kept = {r["prompt_id"] for r in dpo_pair_construct(spark, SF).collect()}
+    assert audit
+    for pid, r in audit.items():
+        assert r["audit_status"] in (
+            "ok", "too_small", "zero_margin", "degenerate", "tie_broken")
+        if pid in kept:
+            assert r["n_candidates"] >= 2 and r["margin"] > 0
+            assert r["audit_status"] in ("ok", "tie_broken", "degenerate")
+        else:
+            assert r["audit_status"] in ("too_small", "zero_margin")
+
+
+def test_dialog_mixture_stats_conservation(spark):
+    """Mixture cells conserve the turn fixture: per-conv user+assistant
+    counts and chars match a direct recount; share in [0,1]; alternating
+    roles ⇒ every conversation is role_balanced."""
+    from collections import defaultdict
+
+    from dbt_spark.queries.sft import _turns, dialog_mixture_stats
+
+    stats = {r["conv_id"]: r for r in dialog_mixture_stats(spark, SF).collect()}
+    counts = defaultdict(lambda: [0, 0, 0, 0])
+    for t in _turns(spark, SF).collect():
+        c = counts[t["conv_id"]]
+        if t["role"] == "user":
+            c[0] += 1
+            c[2] += len(t["content"])
+        else:
+            c[1] += 1
+            c[3] += len(t["content"])
+    assert set(stats) == set(counts)
+    for cid, (nu, na, uc, ac) in counts.items():
+        r = stats[cid]
+        assert (r["n_user"], r["n_assistant"]) == (nu, na)
+        assert (r["user_chars"], r["assistant_chars"]) == (uc, ac)
+        assert 0.0 <= r["assistant_share"] <= 1.0
+        assert r["role_balanced"]  # fixture alternates roles strictly
+        assert 0 <= r["len_bucket"] <= 9
