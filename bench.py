@@ -217,6 +217,8 @@ EXTENDED = [
     "prompt_decontam_ngram",  # user-turn 3-gram overlap vs benchmark prompts
     "preference_pair_consistency",  # tie/margin/degenerate-pair audit per pool
     "dialog_mixture_stats",  # role-balance + length-budget mixture cells
+    "filter_funnel_report",  # sequential quality-gate survival funnel
+    "chunk_with_overlap",  # RAG sliding-window chunking, shuffle-free
 ]
 
 

@@ -621,7 +621,189 @@ def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: funnel stage names, in gate order (index 1-based in the report)
+_FUNNEL_STAGES = [
+    "token_count", "mean_token_len", "stopwords", "symbol_ratio",
+    "exact_dedup", "decontam",
+]
+
+
+def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate FUNNEL: the per-stage survival report a curation team
+    reads before shipping a corpus — every document walks the standard
+    cascade (C4/Gopher token-count → mean-token-length → stopword →
+    symbol-ratio bounds, then exact-dedup survivorship, then the eval
+    decontamination anti-join) and the report counts, per (lang, stage),
+    how many docs entered, survived, and dropped. Sequential semantics:
+    a doc reaches stage i only if it passed stages 1..i-1 — the funnel
+    shape (same gates as quality_filter_c4 / dedup_exact /
+    decontamination_anti_join, composed).
+
+    Plan (100 TB): per-doc gate flags are one codegen'd scan (higher-
+    order aggregates over the token array, no explode); the dedup gate
+    is the only keyed shuffle (min doc_id per md5(text) — 16-byte keys);
+    docs then reduce to (lang, pass-depth) counts (dimension-sized), and
+    the 6-stage expansion is a broadcast join against a 6-row literal.
+    Nothing after the first aggregate touches row-level data."""
+    from dbt_spark.functions import text as X
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    d = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+        .alias("n_tokens"),
+        F.expr("aggregate(split(trim(text), '\\\\s+'), 0L, "
+               "(a, t) -> a + length(t))").cast("bigint")
+        .alias("token_chars"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (F.length("text")
+         - F.length(F.translate("text", ".,!?;:#{}[]|", "")))
+        .cast("bigint").alias("n_symbols"),
+        X.count_matches("text", X.STOPWORDS).alias("stop_hits"),
+        F.md5("text").alias("h"),
+    )
+    w = Window.partitionBy("h")
+    d = d.withColumn("is_first", F.col("doc_id") == F.min("doc_id").over(w))
+    mean_len = (F.col("token_chars").cast("double")
+                / F.col("n_tokens").cast("double"))
+    sym_ratio = (F.col("n_symbols").cast("double")
+                 / F.col("n_chars").cast("double"))
+    g = [
+        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 100000),
+        (mean_len >= 3.0) & (mean_len <= 10.0),
+        F.col("stop_hits") >= 2,
+        sym_ratio <= 0.1,
+        F.col("is_first"),
+        F.col("doc_id") % 97 != 0,
+    ]
+    # pass-depth: # of consecutive leading gates passed (cumulative ANDs
+    # are null-proof: false AND null = false, and gate 1 is never null)
+    cum = g[0]
+    depth = cum.cast("int")
+    for gi in g[1:]:
+        cum = cum & gi
+        depth = depth + cum.cast("int")
+    counts = (
+        d.select("lang", depth.alias("depth"))
+        .groupBy("lang", "depth")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    stages = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(_FUNNEL_STAGES)],
+        "stage_idx INT, stage STRING",
+    )
+    return (
+        counts.crossJoin(F.broadcast(stages))  # 6-row literal, broadcast
+        .groupBy("lang", "stage_idx", "stage")
+        .agg(
+            F.sum(F.when(F.col("depth") >= F.col("stage_idx") - 1,
+                         F.col("cnt")).otherwise(0))
+            .cast("bigint").alias("n_in"),
+            F.sum(F.when(F.col("depth") >= F.col("stage_idx"),
+                         F.col("cnt")).otherwise(0))
+            .cast("bigint").alias("n_out"),
+        )
+        .select(
+            "lang", F.col("stage_idx").cast("bigint").alias("stage_idx"),
+            "stage", "n_in", "n_out",
+            (F.col("n_in") - F.col("n_out")).cast("bigint")
+            .alias("n_dropped"),
+            F.round(
+                F.when(F.col("n_in") > 0,
+                       (F.col("n_in") - F.col("n_out")).cast("double")
+                       / F.col("n_in").cast("double")).otherwise(0.0),
+                6).alias("drop_share"),
+        )
+        .orderBy("lang", "stage_idx")
+    )
+
+
+_STOP_ARR_SQL = None  # built lazily below to avoid import-order cycles
+
+
+def _stop_arr() -> str:
+    from dbt_spark.functions import text as X
+
+    return "['" + "', '".join(X.STOPWORDS) + "']"
+
+
+def _funnel_oracle() -> str:
+    stages_values = ", ".join(
+        f"({i + 1}, '{s}')" for i, s in enumerate(_FUNNEL_STAGES))
+    return f"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens,
+                   CAST(list_sum(list_transform(
+                            string_split_regex(trim(text), '\\s+'),
+                            t -> length(t))) AS BIGINT) AS token_chars,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) -
+                        length(translate(text, '.,!?;:#{{}}[]|', ''))
+                        AS BIGINT) AS n_symbols,
+                   CAST(len(list_filter(
+                            string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> list_contains({_stop_arr()}, t)))
+                        AS BIGINT) AS stop_hits,
+                   md5(text) AS h
+            FROM documents
+        ), dd AS (
+            SELECT *, doc_id = min(doc_id) OVER (PARTITION BY h) AS g5
+            FROM d
+        ), flags AS (
+            SELECT lang,
+                   (n_tokens BETWEEN 20 AND 100000) AS g1,
+                   (CAST(token_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                        BETWEEN 3.0 AND 10.0) AS g2,
+                   (stop_hits >= 2) AS g3,
+                   (CAST(n_symbols AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                        <= 0.1) AS g4,
+                   g5,
+                   (doc_id % 97 <> 0) AS g6
+            FROM dd
+        ), dpt AS (
+            SELECT lang,
+                   CAST(g1 AS INT) + CAST(g1 AND g2 AS INT)
+                   + CAST(g1 AND g2 AND g3 AS INT)
+                   + CAST(g1 AND g2 AND g3 AND g4 AS INT)
+                   + CAST(g1 AND g2 AND g3 AND g4 AND g5 AS INT)
+                   + CAST(g1 AND g2 AND g3 AND g4 AND g5 AND g6 AS INT)
+                       AS depth
+            FROM flags
+        ), counts AS (
+            SELECT lang, depth, CAST(count(*) AS BIGINT) AS cnt
+            FROM dpt GROUP BY 1, 2
+        ), stages(stage_idx, stage) AS (VALUES {stages_values})
+        SELECT lang, CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+               CAST(sum(CASE WHEN depth >= stage_idx - 1 THEN cnt
+                             ELSE 0 END) AS BIGINT) AS n_in,
+               CAST(sum(CASE WHEN depth >= stage_idx THEN cnt
+                             ELSE 0 END) AS BIGINT) AS n_out,
+               CAST(sum(CASE WHEN depth >= stage_idx - 1 THEN cnt
+                             ELSE 0 END)
+                    - sum(CASE WHEN depth >= stage_idx THEN cnt
+                               ELSE 0 END) AS BIGINT) AS n_dropped,
+               round(CASE WHEN sum(CASE WHEN depth >= stage_idx - 1
+                                        THEN cnt ELSE 0 END) > 0
+                          THEN CAST(sum(CASE WHEN depth >= stage_idx - 1
+                                             THEN cnt ELSE 0 END)
+                                    - sum(CASE WHEN depth >= stage_idx
+                                               THEN cnt ELSE 0 END)
+                                    AS DOUBLE)
+                               / CAST(sum(CASE WHEN depth >= stage_idx - 1
+                                               THEN cnt ELSE 0 END)
+                                      AS DOUBLE)
+                          ELSE 0.0 END, 6) AS drop_share
+        FROM counts CROSS JOIN stages
+        GROUP BY lang, stage_idx, stage
+        ORDER BY lang, stage_idx
+    """
+
+
 ORACLES: dict[str, str] = {
+    "filter_funnel_report": _funnel_oracle(),
     "k_anonymity_release": f"""
         WITH cells AS (
             SELECT lang,
@@ -854,4 +1036,5 @@ QUERIES = {
     "decontam_exact_substring_cover": decontam_exact_substring_cover,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "k_anonymity_release": k_anonymity_release,
+    "filter_funnel_report": filter_funnel_report,
 }

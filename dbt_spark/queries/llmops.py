@@ -390,6 +390,50 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "doc_id")
 
 
+#: RAG chunking window / stride (chars): 50-char overlap between chunks
+_CHUNK_W = 200
+_CHUNK_S = 150
+
+
+def chunk_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap — the RAG/embedding
+    ingestion shape (fixed window W, stride S < W, so consecutive chunks
+    share W−S chars of context). Chunk starts are 0, S, 2S, … up to the
+    last multiple of S below the doc length; tail chunks may be shorter
+    than W. Emits per chunk: index, char offset, actual length, and the
+    chunk md5 (byte-exact pairing of the substring math).
+
+    Scale (100 TB): pure map-side fan-out — sequence/explode over the
+    scan, fan-out ∝ len/S per doc, substring+md5 codegen'd; NO shuffle
+    anywhere (the orderBy is the test harness's determinism sort). This
+    is the op that feeds embedding backfills, so staying shuffle-free is
+    the whole design."""
+    # empty docs chunk to nothing (guard: Spark sequence(0,-1) would DESCEND)
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 1)
+    w, s = _CHUNK_W, _CHUNK_S
+    chunks = docs.select(
+        "doc_id",
+        F.length("text").alias("len"),
+        F.col("text"),
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.length("text") - 1) / s))
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * s
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            start.cast("bigint").alias("start_off"),
+            F.least(F.lit(w), F.col("len") - start).cast("bigint")
+            .alias("chunk_len"),
+            F.md5(F.substring(F.col("text"), (start + 1).cast("int"), w))
+            .alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep: quality scoring → language routing →
     fingerprint dedup → per-language corpus stats (low-quality docs dropped,
@@ -3575,6 +3619,23 @@ ORACLES: dict[str, str] = {
         SELECT doc_id FROM fps
         WHERE doc_id % 97 != 0 AND fp NOT IN (SELECT fp FROM bench)
     """,
+    "chunk_with_overlap": f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) >= 1
+        ), chunks AS (
+            SELECT doc_id, len, text, CAST(i AS BIGINT) AS chunk_idx
+            FROM d, UNNEST(generate_series(0, (len - 1) // {_CHUNK_S}))
+                     AS u(i)
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(chunk_idx * {_CHUNK_S} AS BIGINT) AS start_off,
+               CAST(least({_CHUNK_W}, len - chunk_idx * {_CHUNK_S})
+                    AS BIGINT) AS chunk_len,
+               md5(substring(text, CAST(chunk_idx * {_CHUNK_S} + 1 AS INT),
+                             {_CHUNK_W})) AS chunk_md5
+        FROM chunks ORDER BY doc_id, chunk_idx
+    """,
     "pii_redaction": r"""
         WITH dirty AS (
             SELECT doc_id,
@@ -4715,6 +4776,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "corpus_weighted_sample": corpus_weighted_sample,
     "sequence_packing": sequence_packing,
+    "chunk_with_overlap": chunk_with_overlap,
     "training_data_pipeline": training_data_pipeline,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "matryoshka_overlap_probe": matryoshka_overlap_probe,

@@ -415,3 +415,38 @@ def test_turn_dedup_model_config_bad_shape(project_dir, spark):
     r = eng.invoke(["run"])
     assert not r.success
     assert any("turn_dedup needs" in (x.message or "") for x in r.results)
+
+
+def test_filter_funnel_monotone_and_conserving(spark):
+    """Funnel invariants: stage 1 n_in = corpus size per lang; n_out <=
+    n_in; each stage's n_in equals the previous stage's n_out (sequential
+    semantics); stage set complete and ordered."""
+    from collections import defaultdict
+
+    from dbt_spark.queries.hygiene import (
+        _FUNNEL_STAGES,
+        _docs,
+        filter_funnel_report,
+    )
+
+    rows = filter_funnel_report(spark, "/root/testdata/sf0.001").collect()
+    per_lang = defaultdict(list)
+    for r in rows:
+        per_lang[r["lang"]].append(r)
+    totals = {
+        r["lang"]: r["n"]
+        for r in _docs(spark, "/root/testdata/sf0.001")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_lang) == set(totals)
+    for lang, stages in per_lang.items():
+        stages.sort(key=lambda r: r["stage_idx"])
+        assert [r["stage"] for r in stages] == _FUNNEL_STAGES
+        assert stages[0]["n_in"] == totals[lang]
+        prev_out = None
+        for r in stages:
+            assert 0 <= r["n_out"] <= r["n_in"]
+            assert r["n_dropped"] == r["n_in"] - r["n_out"]
+            if prev_out is not None:
+                assert r["n_in"] == prev_out
+            prev_out = r["n_out"]

@@ -1089,3 +1089,33 @@ def test_kneser_ney_quality_score_invariants(spark):
         ppl["en" if r["lang"] == "en" else "other"].append(r["ppl"])
     assert ppl["en"] and ppl["other"]
     assert statistics.median(ppl["en"]) < statistics.median(ppl["other"])
+
+
+def test_chunk_with_overlap_tiles_documents(spark):
+    """Chunk layout: starts at multiples of the stride, every char of a
+    doc is inside >=1 chunk, consecutive chunks overlap by W-S while the
+    doc is long enough, and the last chunk reaches exactly the doc end."""
+    from collections import defaultdict
+
+    from dbt_spark.queries.llmops import _CHUNK_S, _CHUNK_W, _docs, chunk_with_overlap
+
+    sf = "/root/testdata/sf0.001"
+    lens = {r["doc_id"]: r["n"] for r in
+            _docs(spark, sf).selectExpr("doc_id", "length(text) as n").collect()}
+    by_doc = defaultdict(list)
+    for r in chunk_with_overlap(spark, sf).collect():
+        by_doc[r["doc_id"]].append(r)
+    assert set(by_doc) == {d for d, n in lens.items() if n >= 1}
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = lens[doc]
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert len(chunks) == (n - 1) // _CHUNK_S + 1
+        for c in chunks:
+            assert c["start_off"] == c["chunk_idx"] * _CHUNK_S
+            assert c["chunk_len"] == min(_CHUNK_W, n - c["start_off"])
+        last = chunks[-1]
+        assert last["start_off"] + last["chunk_len"] == n
+        # coverage: next chunk starts before the previous one ends
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_off"] <= a["start_off"] + a["chunk_len"]
