@@ -219,6 +219,7 @@ EXTENDED = [
     "dialog_mixture_stats",  # role-balance + length-budget mixture cells
     "filter_funnel_report",  # sequential quality-gate survival funnel
     "chunk_with_overlap",  # RAG sliding-window chunking, shuffle-free
+    "stream_prompt_decontam",  # stream-static gram gate + stateful doc dedup (value-paired streaming)
 ]
 
 

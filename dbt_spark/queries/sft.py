@@ -513,9 +513,22 @@ def prompt_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. The DuckDB oracle joins raw gram strings, so any 64-bit
     collision would surface as a value mismatch."""
     t = _turns(spark, sf_dir).filter(F.col("role") == "user")
+    grams = _user_turn_gram_hashes(t)
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = grams.filter(is_bench).select("h").distinct()
+    train = grams.filter(~is_bench)
+    return _decontam_report(train, bench).orderBy("conv_id", "doc_id")
+
+
+def _user_turn_gram_hashes(df: DataFrame) -> DataFrame:
+    """(conv_id, doc_id) → distinct word-3-gram xxhash64 rows; turns with
+    < 3 tokens carry no 3-gram signal and vanish. Map-side explode over
+    the token array, then one distinct keyed on 8-byte hashes. Shared by
+    the batch query above and its streaming twin
+    (queries/streaming_q.py::stream_prompt_decontam)."""
     toks = F.split(F.lower(F.trim("content")), r"\s+")
-    grams = (
-        t.select("conv_id", "doc_id", toks.alias("t"))
+    return (
+        df.select("conv_id", "doc_id", toks.alias("t"))
         .filter(F.size("t") >= 3)
         .select(
             "conv_id", "doc_id",
@@ -531,9 +544,12 @@ def prompt_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("conv_id", "doc_id", F.xxhash64("g").alias("h"))
         .distinct()
     )
-    is_bench = F.col("doc_id") % _BENCH_MOD == 0
-    bench = grams.filter(is_bench).select("h").distinct()
-    train = grams.filter(~is_bench)
+
+
+def _decontam_report(train: DataFrame, bench: DataFrame) -> DataFrame:
+    """Per-turn containment report: |grams ∩ bench| / |grams| with the
+    contamination flag at ``_DECON_THRESH``; ``bench`` broadcasts (it is
+    eval-suite sized by contract)."""
     shared = (
         train.join(F.broadcast(bench), "h", "left_semi")
         .groupBy("conv_id", "doc_id")
@@ -554,7 +570,6 @@ def prompt_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             cont.alias("containment"),
             (cont >= _DECON_THRESH).alias("contaminated"),
         )
-        .orderBy("conv_id", "doc_id")
     )
 
 

@@ -1079,6 +1079,80 @@ ORACLES["stream_pii_scrub"] = ORACLES["stream_pii_scrub"].replace(
 
 from dbt_spark.queries.sft import _TURNS_CTE as _SFT_TURNS_CTE  # noqa: E402
 
+def stream_prompt_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING prompt decontamination — the streaming twin of
+    queries/sft.py::prompt_decontam_ngram: train user turns land in two
+    micro-batch file drops and each batch is gated against the STATIC
+    benchmark-gram set (stream-static broadcast semi-join inside
+    foreachBatch — the production shape for decontaminating a live crawl
+    against a fixed eval suite). A stateful ``dropDuplicates(doc_id)``
+    in front suppresses re-crawled prompts: the second drop deliberately
+    RE-SENDS a slice of the first, and the value pairing with the batch
+    oracle only holds if the checkpointed state swallowed the repeats.
+
+    VALUE-PAIRED: each turn is one row, so its containment report is
+    complete within its batch — arrival order cannot change the output
+    set, and the oracle is the SAME SQL as the batch twin.
+
+    Scale: dedup state is one 8-byte key per distinct prompt (watermark
+    + event-time bounds it on an unbounded stream —
+    stream_dedup_watermark covers that shape); the gram gate is
+    stateless per batch, benchmark side broadcast."""
+    from dbt_spark.queries.sft import (
+        _BENCH_MOD,
+        _decontam_report,
+        _turns,
+        _user_turn_gram_hashes,
+    )
+
+    turns = _turns(spark, sf_dir).filter(F.col("role") == "user")
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    # benchmark grams are static reference data: computed once, batch-side
+    bench = (
+        _user_turn_gram_hashes(turns.filter(is_bench)).select("h").distinct()
+    )
+    train = turns.filter(~is_bench).select("conv_id", "doc_id", "content")
+    mid = train.agg(F.max("doc_id")).collect()[0][0] // 2  # harness split
+    src = tempfile.mkdtemp(prefix="dbt_spark_pdcsrc_")
+    out_dir = tempfile.mkdtemp(prefix="dbt_spark_pdcout_")
+    ckpt = tempfile.mkdtemp(prefix="dbt_spark_pdcckpt_")
+
+    def gate(batch_df: DataFrame, _batch_id: int) -> None:
+        report = _decontam_report(_user_turn_gram_hashes(batch_df), bench)
+        report.write.mode("append").parquet(out_dir)
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(train.schema).parquet(src)
+            .dropDuplicates(["doc_id"])
+        )
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    first = train.filter(F.col("doc_id") <= mid)
+    first.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    # second drop: the rest PLUS a re-send of half of drop 1 — the
+    # repeats must be swallowed by the checkpointed dedup state
+    (train.filter(F.col("doc_id") > mid)
+     .unionByName(first.filter(F.col("doc_id") <= mid // 2))
+     .coalesce(1).write.mode("append").parquet(src))
+    run_once()
+
+    return read_parquet(spark, out_dir).orderBy("conv_id", "doc_id")
+
+
+from dbt_spark.queries.sft import (  # noqa: E402
+    ORACLES as _SFT_ORACLES,
+)
+
+ORACLES["stream_prompt_decontam"] = _SFT_ORACLES["prompt_decontam_ngram"]
+
 ORACLES["stream_turn_dedup"] = f"""
     WITH {_SFT_TURNS_CTE}, norms AS (
         SELECT conv_id,
@@ -1106,6 +1180,7 @@ ORACLES["stream_turn_dedup"] = f"""
 QUERIES = {
     "stream_pii_scrub": stream_pii_scrub,
     "stream_turn_dedup": stream_turn_dedup,
+    "stream_prompt_decontam": stream_prompt_decontam,
     "stream_hll_cardinality": stream_hll_cardinality,
     "streaming_ingest_checkpoint": streaming_ingest_checkpoint,
     "stream_heavy_hitters": stream_heavy_hitters,

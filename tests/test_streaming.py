@@ -383,3 +383,23 @@ def test_mg_heavy_hitters_cross_batch_state(spark, tmp_path):
              spark.table("mg_hh_t").select("token").collect()}
     # 'hot' has 40 of 90 total > 90/8: the guarantee requires it to survive
     assert "hot" in cands
+
+
+def test_stream_prompt_decontam_cross_batch_dedup(spark):
+    """The streaming decontam gate must (1) equal the batch twin exactly
+    — a stream-static join is arrival-order-free — and (2) have swallowed
+    the second drop's deliberate re-sends via checkpointed dropDuplicates
+    state: one output row per train prompt, no repeats."""
+    from collections import Counter
+
+    from dbt_spark.queries.sft import prompt_decontam_ngram
+    from dbt_spark.queries.streaming_q import stream_prompt_decontam
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_prompt_decontam(spark, sf).collect()
+    ids = Counter(r["doc_id"] for r in got)
+    assert max(ids.values()) == 1, "re-sent prompts leaked through state"
+    want = prompt_decontam_ngram(spark, sf).collect()
+    key = lambda r: (r["conv_id"], r["doc_id"])
+    assert sorted(map(tuple, got), key=lambda t: t[:2]) == sorted(
+        map(tuple, want), key=lambda t: t[:2])
