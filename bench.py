@@ -220,6 +220,9 @@ EXTENDED = [
     "filter_funnel_report",  # sequential quality-gate survival funnel
     "chunk_with_overlap",  # RAG sliding-window chunking, shuffle-free
     "stream_prompt_decontam",  # stream-static gram gate + stateful doc dedup (value-paired streaming)
+    "packed_attention_doc_mask",  # cu_seqlens boundary metadata per packed block
+    "source_ngram_overlap",  # source-pair 5-gram jaccard matrix, bounded fan-out
+    "epoch_repetition_plan",  # data-constrained 4-epoch-cap allocation
 ]
 
 

@@ -719,6 +719,67 @@ def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair n-gram overlap matrix: distinct word-5-gram Jaccard
+    between every pair of ingest sources — the corpus-level similarity
+    report that tells a mixture designer which sources are near-copies
+    (mirrors, re-crawls) BEFORE they are weighted as if independent.
+    The source-granular complement of doc-level dedup_ngram_jaccard.
+
+    Plan (100 TB): grams reduce to DISTINCT (xxhash64(gram), source)
+    map-side — 8-byte keys + a source id, strings never shuffle; the
+    self-join fans out ≤ #sources rows per gram key (bounded by the
+    SOURCE count, not the corpus — no df cap needed, unlike the doc-pair
+    variant); output is C(#sources, 2)-sized. The DuckDB oracle joins
+    raw gram strings, so a 64-bit collision would surface as a value
+    mismatch."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    grams = (
+        docs.select("source", toks.alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 5),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("t", i + k) for k in range(1, 6)]
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("source", F.xxhash64("g").alias("h"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("n").alias("nb"))
+    return (
+        pairs.join(sa, "source_a").join(sb, "source_b")
+        .select(
+            "source_a", "source_b", "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+                .cast("double"), 6).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 _STOP_ARR_SQL = None  # built lazily below to avoid import-order cycles
 
 
@@ -804,6 +865,36 @@ def _funnel_oracle() -> str:
 
 ORACLES: dict[str, str] = {
     "filter_funnel_report": _funnel_oracle(),
+    "source_ngram_overlap": """
+        WITH toks AS (
+            SELECT source,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT source, g
+            FROM toks, UNNEST(list_transform(
+                     range(1, len(t) - 3),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                          || t[i+3] || ' ' || t[i+4])) AS u(g)
+            WHERE len(t) >= 5
+        ), sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n
+            FROM grams GROUP BY 1
+        ), pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM grams a JOIN grams b
+                 ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, n_common,
+               round(CAST(n_common AS DOUBLE)
+                     / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON source_a = sa.source
+        JOIN sizes sb ON source_b = sb.source
+        ORDER BY source_a, source_b
+    """,
     "k_anonymity_release": f"""
         WITH cells AS (
             SELECT lang,
@@ -1037,4 +1128,5 @@ QUERIES = {
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "k_anonymity_release": k_anonymity_release,
     "filter_funnel_report": filter_funnel_report,
+    "source_ngram_overlap": source_ngram_overlap,
 }

@@ -1132,6 +1132,60 @@ def moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: data-constrained planning knobs: budget = 7/2 × corpus tokens, ≤4
+#: epochs of any single source (diminishing returns past ~4 repeats,
+#: Muennighoff et al. 2023, "Scaling Data-Constrained Language Models")
+_REPEAT_BUDGET_NUM, _REPEAT_BUDGET_DEN = 7, 2
+_REPEAT_CAP = 4
+
+
+def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained repetition planning (Muennighoff et al. 2023,
+    public): given a total training-token budget larger than the corpus
+    (here 3.5×) and an EQUAL-WEIGHT per-source mixture target, allocate
+    each source min(target, 4 × available) tokens — repeating data at
+    most 4 epochs, past which returns decay — and report the repeat
+    factor, the cap flag, and the unmet allocation a mixture designer
+    must redistribute or shrink the run by.
+
+    Plan (100 TB): per-source available tokens is ONE scan with map-side
+    partial sums (source-keyed, dimension-sized result); the budget is a
+    1-row aggregate broadcast back via crossJoin; everything after the
+    scan is arithmetic on a #sources-row frame. Integer-only allocation
+    (the budget is a 7/2 rational, epoch cap an integer multiply) →
+    bit-exact pairing; only the repeat factor is a round-6 double."""
+    docs = _docs(spark, sf_dir)
+    avail = (
+        docs.select("source", X.token_count("text").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("available_tokens"))
+    )
+    totals = avail.agg(
+        F.sum("available_tokens").cast("bigint").alias("corpus_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    planned = avail.crossJoin(F.broadcast(totals)).withColumn(
+        # integer-exact: 64-bit div, no double round-trip
+        "target_tokens",
+        F.expr(f"(corpus_tokens * {_REPEAT_BUDGET_NUM}) "
+               f"div {_REPEAT_BUDGET_DEN} div n_sources"),
+    )
+    target = F.col("target_tokens")
+    allocated = F.least(target, F.col("available_tokens") * _REPEAT_CAP)
+    return (
+        planned.select(
+            "source", "available_tokens", "target_tokens",
+            allocated.cast("bigint").alias("allocated_tokens"),
+            F.round(allocated.cast("double")
+                    / F.col("available_tokens").cast("double"), 6)
+            .alias("repeat_factor"),
+            (allocated < target).alias("capped"),
+            (target - allocated).cast("bigint").alias("unmet_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def unimax_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax budget-constrained language sampling (Chung et al. 2023,
     "UniMax: Fairer and More Effective Language Sampling for Large-Scale
@@ -3619,6 +3673,38 @@ ORACLES: dict[str, str] = {
         SELECT doc_id FROM fps
         WHERE doc_id % 97 != 0 AND fp NOT IN (SELECT fp FROM bench)
     """,
+    "epoch_repetition_plan": f"""
+        WITH avail AS (
+            SELECT source,
+                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                                 ELSE len({_TOKS}) END) AS BIGINT)
+                       AS available_tokens
+            FROM documents GROUP BY 1
+        ), totals AS (
+            SELECT CAST(sum(available_tokens) AS BIGINT) AS corpus_tokens,
+                   CAST(count(*) AS BIGINT) AS n_sources
+            FROM avail
+        ), planned AS (
+            SELECT a.source, a.available_tokens,
+                   CAST(corpus_tokens * {_REPEAT_BUDGET_NUM}
+                        // {_REPEAT_BUDGET_DEN} // n_sources AS BIGINT)
+                       AS target_tokens
+            FROM avail a CROSS JOIN totals
+        )
+        SELECT source, available_tokens, target_tokens,
+               CAST(least(target_tokens,
+                          available_tokens * {_REPEAT_CAP}) AS BIGINT)
+                   AS allocated_tokens,
+               round(CAST(least(target_tokens,
+                                available_tokens * {_REPEAT_CAP}) AS DOUBLE)
+                     / CAST(available_tokens AS DOUBLE), 6) AS repeat_factor,
+               least(target_tokens, available_tokens * {_REPEAT_CAP})
+                   < target_tokens AS capped,
+               CAST(target_tokens
+                    - least(target_tokens, available_tokens * {_REPEAT_CAP})
+                    AS BIGINT) AS unmet_tokens
+        FROM planned ORDER BY source
+    """,
     "chunk_with_overlap": f"""
         WITH d AS (
             SELECT doc_id, text, length(text) AS len
@@ -4777,6 +4863,7 @@ QUERIES = {
     "corpus_weighted_sample": corpus_weighted_sample,
     "sequence_packing": sequence_packing,
     "chunk_with_overlap": chunk_with_overlap,
+    "epoch_repetition_plan": epoch_repetition_plan,
     "training_data_pipeline": training_data_pipeline,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "matryoshka_overlap_probe": matryoshka_overlap_probe,

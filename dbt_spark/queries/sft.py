@@ -265,6 +265,66 @@ def sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def packed_attention_doc_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-packed-sequence document-boundary metadata (``cu_seqlens``):
+    for every training block produced by the concat-and-chunk packer,
+    the sorted intra-block offsets where a new document starts — the
+    array a block-diagonal attention mask / flash-attention varlen
+    kernel consumes so packed documents cannot attend across boundaries.
+    Boundary list is md5-folded to a scalar (driver canonicalizer
+    contract); n_boundaries and the block fill are carried alongside.
+
+    Plan: the same shard-partitioned cumulative-offset window and block
+    explode as sequence_pack_chunks (one keyed shuffle + bounded
+    fan-out), then one (shard, seq_id) aggregate whose collect_list is
+    bounded by docs-per-block (≤ budget when every doc is 1 token).
+    Integer-only → bit-exact pairing."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        (F.col("doc_id") % _SHARDS).alias("shard"),
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offs = toks.withColumn("off", F.coalesce(F.sum("n_tok").over(w),
+                                             F.lit(0)))
+    b = F.lit(_SEQ_BUDGET)
+    spans = offs.select(
+        "shard", "doc_id", "n_tok", "off",
+        F.explode(
+            F.sequence(
+                (F.col("off") / b).cast("bigint"),
+                ((F.col("off") + F.col("n_tok") - 1) / b).cast("bigint"),
+            )
+        ).alias("seq_id"),
+    )
+    # intra-block start: docs straddling in from the previous block start
+    # at offset 0 here, fresh docs at their stream offset modulo the block
+    intra = F.greatest(F.col("off") - F.col("seq_id") * b, F.lit(0))
+    fill = (
+        F.least(F.col("off") + F.col("n_tok"), (F.col("seq_id") + 1) * b)
+        - F.greatest(F.col("off"), F.col("seq_id") * b)
+    )
+    return (
+        spans.select("shard", "seq_id", intra.alias("boundary"),
+                     fill.alias("fill"))
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+            F.sum("fill").cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("boundary")),
+                        lambda x: x.cast("string")),
+                    ",")
+            ).alias("cu_seqlens_md5"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
 def chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chat-template rendering + loss-mask span computation: each turn
     renders as ``<|role|>content<|end|>``; the training loss is masked to
@@ -765,6 +825,38 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS len_bucket
         FROM agg ORDER BY conv_id
     """,
+    "packed_attention_doc_mask": f"""
+        WITH toks AS (
+            SELECT doc_id % {_SHARDS} AS shard, doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tok
+            FROM documents
+        ), offs AS (
+            SELECT shard, doc_id, n_tok,
+                   CAST(COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS tok_off
+            FROM toks
+        ), spans AS (
+            SELECT shard, n_tok, tok_off, CAST(s AS BIGINT) AS seq_id
+            FROM offs,
+                 unnest(generate_series(tok_off // {_SEQ_BUDGET},
+                     (tok_off + n_tok - 1) // {_SEQ_BUDGET})) AS g(s)
+        ), marked AS (
+            SELECT shard, seq_id,
+                   greatest(tok_off - seq_id * {_SEQ_BUDGET}, 0) AS boundary,
+                   least(tok_off + n_tok, (seq_id + 1) * {_SEQ_BUDGET})
+                   - greatest(tok_off, seq_id * {_SEQ_BUDGET}) AS fill
+            FROM spans
+        )
+        SELECT shard, seq_id,
+               CAST(count(*) AS BIGINT) AS n_boundaries,
+               CAST(sum(fill) AS BIGINT) AS n_tokens,
+               md5(string_agg(CAST(boundary AS VARCHAR), ','
+                              ORDER BY boundary)) AS cu_seqlens_md5
+        FROM marked GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "rm_pair_extract": f"""
         WITH {_TURNS_CTE}, r AS (
             SELECT conv_id, turn_idx, role, content,
@@ -990,6 +1082,7 @@ QUERIES = {
     "turn_dedup_normalized": turn_dedup_normalized,
     "rejection_sample_best_of_k": rejection_sample_best_of_k,
     "sequence_pack_chunks": sequence_pack_chunks,
+    "packed_attention_doc_mask": packed_attention_doc_mask,
     "chat_template_render": chat_template_render,
     "context_window_truncate": context_window_truncate,
     "dialog_role_validate": dialog_role_validate,

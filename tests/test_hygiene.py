@@ -450,3 +450,16 @@ def test_filter_funnel_monotone_and_conserving(spark):
             if prev_out is not None:
                 assert r["n_in"] == prev_out
             prev_out = r["n_out"]
+
+
+def test_source_ngram_overlap_symmetric_bounds(spark):
+    """Overlap matrix invariants: source_a < source_b (upper triangle),
+    jaccard in (0, 1], and n_common bounded by the smaller gram set."""
+    from dbt_spark.queries.hygiene import _docs, source_ngram_overlap
+
+    rows = source_ngram_overlap(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["n_common"] >= 1
+        assert 0.0 < r["jaccard"] <= 1.0

