@@ -223,6 +223,8 @@ EXTENDED = [
     "packed_attention_doc_mask",  # cu_seqlens boundary metadata per packed block
     "source_ngram_overlap",  # source-pair 5-gram jaccard matrix, bounded fan-out
     "epoch_repetition_plan",  # data-constrained 4-epoch-cap allocation
+    "tokenizer_fertility_by_lang",  # BPE-per-word fertility, one scan
+    "vocab_coverage_curve",  # top-k occurrence coverage checkpoints
 ]
 
 

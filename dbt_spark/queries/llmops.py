@@ -492,6 +492,100 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report per language: BPE-ish tokens per
+    whitespace word (fertility — how many subwords the tokenizer spends
+    per word, the standard multilingual-tokenizer cost metric) and chars
+    per BPE token (compression). High-fertility languages burn context
+    budget; this is the table a vocab/mixture owner reads before fixing
+    per-language token budgets.
+
+    Plan: one scan — both token counts are codegen'd regexp/array math
+    (token_count_bpe's splitter classes) — then a lang-keyed aggregate
+    with map-side partials; dimension-sized output, round-6 ratios of
+    exact bigint sums."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "lang",
+        F.expr(
+            r"regexp_count(text, '''[a-z]+|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+|\\s+')"
+        ).cast("bigint").alias("n_bpe"),
+        X.token_count("text").alias("n_ws"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
+    return (
+        agg.select(
+            "lang", "n_docs", "bpe_tokens", "ws_tokens", "chars_total",
+            F.round(F.col("bpe_tokens").cast("double")
+                    / F.col("ws_tokens").cast("double"), 6)
+            .alias("fertility"),
+            F.round(F.col("chars_total").cast("double")
+                    / F.col("bpe_tokens").cast("double"), 6)
+            .alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+#: vocabulary coverage checkpoints (top-k distinct tokens by frequency)
+_COVERAGE_KS = (100, 500, 2000)
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for top-k vocabularies at fixed
+    checkpoints, the share of all token OCCURRENCES covered — the curve
+    that sizes a vocab (diminishing coverage per added type) and flags
+    heavy-tail corpora. Deterministic top-k: ties broken by token text.
+
+    Plan: one token-frequency aggregate (map-side partials), then per
+    checkpoint a TakeOrderedAndProject top-k (no global window — the
+    k·checkpoints rows collapse to one coverage sum each) unioned into a
+    checkpoint-sized output. The frequency table shuffles once and is
+    reused across checkpoints via cache-free recompute of a tiny plan."""
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.select(F.explode(
+            F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
+        .filter(F.length("tok") >= 1)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    totals = freq.agg(
+        F.sum("c").cast("bigint").alias("total_occurrences"),
+        F.count(F.lit(1)).cast("bigint").alias("total_types"),
+    )
+    parts = []
+    for k in _COVERAGE_KS:
+        topk = freq.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(k)
+        parts.append(
+            topk.agg(
+                F.lit(k).cast("bigint").alias("vocab_k"),
+                F.count(F.lit(1)).cast("bigint").alias("types_used"),
+                F.sum("c").cast("bigint").alias("occurrences_covered"),
+            )
+        )
+    curve = parts[0]
+    for p in parts[1:]:
+        curve = curve.unionByName(p)
+    return (
+        curve.crossJoin(F.broadcast(totals))  # 1-row totals frame
+        .select(
+            "vocab_k", "types_used", "occurrences_covered",
+            "total_occurrences", "total_types",
+            F.round(F.col("occurrences_covered").cast("double")
+                    / F.col("total_occurrences").cast("double"), 6)
+            .alias("coverage"),
+        )
+        .orderBy("vocab_k")
+    )
+
+
 def decontamination_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/benchmark decontamination: drop every training doc whose
     fingerprint collides with a held-out benchmark set (here: every 97th doc
@@ -3654,6 +3748,60 @@ ORACLES: dict[str, str] = {
         WHERE g.doc_id % 97 != 0
         GROUP BY g.doc_id
     """,
+    "tokenizer_fertility_by_lang": f"""
+        WITH d AS (
+            SELECT lang,
+                   CAST(len(regexp_extract_all(text, {_BPE_PATTERN_SQL}))
+                        AS BIGINT) AS n_bpe,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len({_TOKS}) END AS BIGINT) AS n_ws,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        ), agg AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+                   CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_total
+            FROM d GROUP BY lang
+        )
+        SELECT lang, n_docs, bpe_tokens, ws_tokens, chars_total,
+               round(CAST(bpe_tokens AS DOUBLE)
+                     / CAST(ws_tokens AS DOUBLE), 6) AS fertility,
+               round(CAST(chars_total AS DOUBLE)
+                     / CAST(bpe_tokens AS DOUBLE), 6) AS chars_per_token
+        FROM agg ORDER BY lang
+    """,
+    "vocab_coverage_curve": f"""
+        WITH freq AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest({_TOKS_L}) AS tok FROM documents)
+            WHERE length(tok) >= 1
+            GROUP BY tok
+        ), totals AS (
+            SELECT CAST(sum(c) AS BIGINT) AS total_occurrences,
+                   CAST(count(*) AS BIGINT) AS total_types
+            FROM freq
+        ), ranked AS (
+            SELECT tok, c,
+                   row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+            FROM freq
+        ), curve AS (
+            SELECT CAST(k AS BIGINT) AS vocab_k,
+                   CAST(count(*) AS BIGINT) AS types_used,
+                   CAST(sum(c) AS BIGINT) AS occurrences_covered
+            FROM ranked,
+                 (VALUES {", ".join(f"({k})" for k in _COVERAGE_KS)}) AS ks(k)
+            WHERE rn <= k
+            GROUP BY k
+        )
+        SELECT vocab_k, types_used, occurrences_covered,
+               total_occurrences, total_types,
+               round(CAST(occurrences_covered AS DOUBLE)
+                     / CAST(total_occurrences AS DOUBLE), 6) AS coverage
+        FROM curve CROSS JOIN totals
+        ORDER BY vocab_k
+    """,
     "token_count_bpe": f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text,
@@ -4864,6 +5012,8 @@ QUERIES = {
     "sequence_packing": sequence_packing,
     "chunk_with_overlap": chunk_with_overlap,
     "epoch_repetition_plan": epoch_repetition_plan,
+    "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
+    "vocab_coverage_curve": vocab_coverage_curve,
     "training_data_pipeline": training_data_pipeline,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "matryoshka_overlap_probe": matryoshka_overlap_probe,

@@ -1138,3 +1138,39 @@ def test_epoch_repetition_plan_conserves_and_caps(spark):
         assert r["unmet_tokens"] == r["target_tokens"] - want_alloc
         assert r["capped"] == (want_alloc < r["target_tokens"])
         assert r["repeat_factor"] <= _REPEAT_CAP + 1e-9
+
+
+def test_tokenizer_fertility_bounds(spark):
+    """Fertility >= 1 (a word is at least one BPE piece under the splitter
+    classes); chars_per_token positive and below the longest plausible
+    piece; totals recount against token_count_bpe."""
+    from dbt_spark.queries.llmops import (
+        token_count_bpe,
+        tokenizer_fertility_by_lang,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = tokenizer_fertility_by_lang(spark, sf).collect()
+    assert len(rows) == 5
+    want_bpe = sum(r["n_bpe_tokens"] for r in token_count_bpe(spark, sf).collect())
+    assert sum(r["bpe_tokens"] for r in rows) == want_bpe
+    for r in rows:
+        assert r["fertility"] >= 1.0
+        assert 0.0 < r["chars_per_token"] < 50.0
+
+
+def test_vocab_coverage_monotone(spark):
+    """Coverage is monotone in k, bounded by 1, and the largest checkpoint
+    covering every type covers every occurrence."""
+    from dbt_spark.queries.llmops import _COVERAGE_KS, vocab_coverage_curve
+
+    rows = sorted(vocab_coverage_curve(spark, "/root/testdata/sf0.001").collect(),
+                  key=lambda r: r["vocab_k"])
+    assert [r["vocab_k"] for r in rows] == list(_COVERAGE_KS)
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)
+    for r in rows:
+        assert r["types_used"] == min(r["vocab_k"], r["total_types"])
+        assert 0.0 < r["coverage"] <= 1.0
+        if r["types_used"] == r["total_types"]:
+            assert r["occurrences_covered"] == r["total_occurrences"]
