@@ -225,6 +225,7 @@ EXTENDED = [
     "epoch_repetition_plan",  # data-constrained 4-epoch-cap allocation
     "tokenizer_fertility_by_lang",  # BPE-per-word fertility, one scan
     "vocab_coverage_curve",  # top-k occurrence coverage checkpoints
+    "kmv_theta_set_ops",  # bottom-k theta sketches: union/intersection estimates
 ]
 
 

@@ -1414,8 +1414,198 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+#: KMV (k-minimum-values / bottom-k theta) sketch size and the source
+#: subset the pairwise report covers (6 pairs; fan-out bounded by k each)
+_KMV_K = 256
+_KMV_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def kmv_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set UNION and INTERSECTION estimates between source
+    corpora via bottom-k (KMV / theta) sketches over word-3-grams —
+    the mergeable sketch family that, unlike HyperLogLog, supports set
+    INTERSECTION directly (Beyer et al. 2007; the theta-sketch algebra):
+    keep each source's k smallest 60-bit gram hashes; the union sketch
+    is the k smallest of the merged sketches; any union-sketch member
+    below the union threshold is exactly testable for membership in
+    each input sketch, so jaccard_est = |both| / k and intersection_est
+    = jaccard_est × union_est. Exact union/intersection computed
+    alongside as the validation twin (same contract as
+    hll_token_cardinality / cms_token_freq).
+
+    Plan (100 TB): distinct (source, gram-hash) reduces map-side; each
+    per-source KMV is a SOURCE-partitioned top-k window over 8-byte
+    keys (state k longs per source — the sketch a shard persists); the
+    pairwise stage touches only 2k rows per pair. Portable md5-60-bit
+    hash so DuckDB rebuilds the identical sketches; production swaps in
+    xxhash64."""
+    docs = _docs(spark, sf_dir).filter(F.col("source").isin(*_KMV_SOURCES))
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    grams = (
+        docs.select("source", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i + 1),
+                        F.element_at("t", i + 2), F.element_at("t", i + 3)),
+                )
+            ).alias("g"),
+        )
+    )
+    hashed = grams.select(
+        "source",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+        .cast("bigint").alias("h"),
+    ).distinct()
+    w_src = Window.partitionBy("source").orderBy("h")
+    kmv = (hashed.withColumn("rn", F.row_number().over(w_src))
+           .filter(F.col("rn") <= _KMV_K).select("source", "h"))
+    # pairwise: tag each sketch row with every pair it belongs to
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(_KMV_SOURCES)
+         for b in _KMV_SOURCES[i + 1:]],
+        "source_a STRING, source_b STRING",
+    )
+    side_a = (F.broadcast(pairs)
+              .join(kmv, F.col("source") == F.col("source_a"))
+              .select("source_a", "source_b", "h", F.lit(1).alias("in_a"),
+                      F.lit(0).alias("in_b")))
+    side_b = (F.broadcast(pairs)
+              .join(kmv, F.col("source") == F.col("source_b"))
+              .select("source_a", "source_b", "h", F.lit(0).alias("in_a"),
+                      F.lit(1).alias("in_b")))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w_pair = Window.partitionBy("source_a", "source_b").orderBy("h")
+    union_kmv = (merged.withColumn("rn", F.row_number().over(w_pair))
+                 .filter(F.col("rn") <= _KMV_K))
+    two60 = float(1 << 60)
+    sk = union_kmv.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kmv"),
+        F.max("h").alias("h_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_kmv") < _KMV_K, F.col("n_kmv").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(two60)
+                / F.col("h_k").cast("double"))
+    jacc = F.col("n_both").cast("double") / F.col("n_kmv").cast("double")
+    # exact twin from the full distinct-hash sets (validation cost):
+    # equi-join on h, fan-out bounded by the source count per key
+    ea = hashed.alias("ea")
+    eb = hashed.alias("eb")
+    exact = (
+        ea.join(eb, (F.col("ea.h") == F.col("eb.h"))
+                & (F.col("ea.source") < F.col("eb.source")))
+        .groupBy(F.col("ea.source").alias("source_a"),
+                 F.col("eb.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    sizes = hashed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    za = sizes.select(F.col("source").alias("source_a"),
+                      F.col("n").alias("na"))
+    zb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("n").alias("nb"))
+    return (
+        sk.join(exact, ["source_a", "source_b"], "left")
+        .join(za, "source_a").join(zb, "source_b")
+        .select(
+            "source_a", "source_b",
+            F.coalesce("exact_intersection", F.lit(0)).cast("bigint")
+            .alias("exact_intersection"),
+            (F.col("na") + F.col("nb")
+             - F.coalesce("exact_intersection", F.lit(0))).cast("bigint")
+            .alias("exact_union"),
+            F.round(union_est, 6).alias("union_est_r6"),
+            F.round(jacc, 6).alias("jaccard_est_r6"),
+            F.round(jacc * union_est, 6).alias("intersection_est_r6"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_KMV_PAIRS_SQL = ", ".join(
+    f"('{a}', '{b}')" for i, a in enumerate(_KMV_SOURCES)
+    for b in _KMV_SOURCES[i + 1:])
+_KMV_SRCS_SQL = ", ".join(f"'{s}'" for s in _KMV_SOURCES)
+_TWO60_SQL = f"{float(1 << 60):.1f}"
+
+ORACLES["kmv_theta_set_ops"] = f"""
+    WITH toks AS (
+        SELECT source, {_TOKS_L} AS t
+        FROM documents WHERE source IN ({_KMV_SRCS_SQL})
+    ), grams AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+        FROM toks, UNNEST(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(g)
+        WHERE len(t) >= 3
+    ), kmv AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM grams) WHERE rn <= {_KMV_K}
+    ), pairs(source_a, source_b) AS (VALUES {_KMV_PAIRS_SQL}),
+    tagged AS (
+        SELECT p.source_a, p.source_b, k.h,
+               max(CASE WHEN k.source = p.source_a THEN 1 ELSE 0 END)
+                   AS in_a,
+               max(CASE WHEN k.source = p.source_b THEN 1 ELSE 0 END)
+                   AS in_b
+        FROM pairs p JOIN kmv k ON k.source IN (p.source_a, p.source_b)
+        GROUP BY 1, 2, 3
+    ), union_kmv AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY source_a, source_b
+                                         ORDER BY h) AS rn
+            FROM tagged) WHERE rn <= {_KMV_K}
+    ), sk AS (
+        SELECT source_a, source_b,
+               CAST(count(*) AS BIGINT) AS n_kmv,
+               max(h) AS h_k,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+        FROM union_kmv GROUP BY 1, 2
+    ), sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1
+    ), exact AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS exact_intersection
+        FROM grams a JOIN grams b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b,
+           CAST(COALESCE(e.exact_intersection, 0) AS BIGINT)
+               AS exact_intersection,
+           CAST(sa.n + sb.n - COALESCE(e.exact_intersection, 0) AS BIGINT)
+               AS exact_union,
+           round(CASE WHEN s.n_kmv < {_KMV_K} THEN CAST(s.n_kmv AS DOUBLE)
+                      ELSE {_KMV_K - 1}.0 * {_TWO60_SQL}
+                           / CAST(s.h_k AS DOUBLE) END, 6) AS union_est_r6,
+           round(CAST(s.n_both AS DOUBLE) / CAST(s.n_kmv AS DOUBLE), 6)
+               AS jaccard_est_r6,
+           round(CAST(s.n_both AS DOUBLE) / CAST(s.n_kmv AS DOUBLE)
+                 * CASE WHEN s.n_kmv < {_KMV_K} THEN CAST(s.n_kmv AS DOUBLE)
+                        ELSE {_KMV_K - 1}.0 * {_TWO60_SQL}
+                             / CAST(s.h_k AS DOUBLE) END, 6)
+               AS intersection_est_r6
+    FROM sk s
+    LEFT JOIN exact e USING (source_a, source_b)
+    JOIN sizes sa ON s.source_a = sa.source
+    JOIN sizes sb ON s.source_b = sb.source
+    ORDER BY source_a, source_b
+"""
+
 QUERIES = {
     "copurchase_pagerank": copurchase_pagerank,
+    "kmv_theta_set_ops": kmv_theta_set_ops,
     "source_gini_inequality": source_gini_inequality,
     "weighted_sample_topk": weighted_sample_topk,
     "event_transition_matrix": event_transition_matrix,

