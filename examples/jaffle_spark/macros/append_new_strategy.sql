@@ -7,8 +7,12 @@
 {% set t = arg_dict['target_relation'] %}
 {% set s = arg_dict['temp_relation'] %}
 {% set k = arg_dict['unique_key'] %}
+{% set preds = arg_dict['incremental_predicates'] %}
 INSERT INTO {{ t }}
 SELECT {{ arg_dict['dest_columns'] | map(attribute='quoted') | join(', ') }}
 FROM {{ s }}
 WHERE {{ k }} NOT IN (SELECT {{ k }} FROM {{ t }})
+{%- if preds %}
+  AND {{ preds | join(' AND ') }}
+{%- endif %}
 {% endmacro %}
