@@ -227,6 +227,7 @@ EXTENDED = [
     "vocab_coverage_curve",  # top-k occurrence coverage checkpoints
     "kmv_theta_set_ops",  # bottom-k theta sketches: union/intersection estimates
     "stream_kmv_cardinality",  # cross-batch bottom-k merge (value-paired streaming)
+    "embedding_pca_power_iteration",  # integer-exact distributed power iteration
 ]
 
 

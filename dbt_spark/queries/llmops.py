@@ -657,6 +657,79 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(_emb(spark, sf_dir), F.col("vec_id") < 8, k=5)
 
 
+#: PCA power-iteration knobs: fixed-point quantization scale + iterations
+_PCA_Q = 1000
+_PCA_ITERS = 3
+
+
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding table via POWER ITERATION
+    over the (uncentered) second-moment matrix — the distributed linear-
+    algebra primitive behind PCA whitening / spectral embedding-quality
+    checks, kept BIT-EXACT cross-engine by integer fixed-point: embedding
+    components quantize to floor(x·1000) longs, A = Σ x xᵀ accumulates in
+    exact BIGINT, and every iterate renormalizes to max-abs 1000 with
+    truncate-toward-zero integer division (no float accumulation order
+    anywhere — the same trick as copurchase_pagerank's unrolled rounds,
+    hardened from round-6 doubles to exact ints). Three unrolled
+    iterations; the oracle runs the identical recurrence as MATERIALIZED
+    CTEs. NOTE: the fixture embeddings are near-isotropic (λ1/λ2 ≈ 1.07)
+    so k=3 demonstrates the primitive, not a converged eigenvector — a
+    production run raises the round count to match the spectrum (cost is
+    k broadcasts of a d-row vector; A is computed once).
+
+    Plan (100 TB): A is d²=4096 entries — metadata-sized, computed by a
+    self-join on vec_id with map-side partial sums (one shuffle of
+    (i,j)-keyed longs); each iteration is a broadcast of the d-row
+    vector against the d²-row matrix (A never moves); the 1-row scale
+    crossJoins back broadcast. Corpus size only affects the FIRST
+    aggregate."""
+    emb = _emb(spark, sf_dir)
+    x = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+        .select(
+            "vec_id", "i",
+            F.floor(F.col("v").cast("double") * _PCA_Q)
+            .cast("bigint").alias("xq"),
+        )
+    )
+    a = x.alias("a")
+    b = x.alias("b")
+    mat = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.xq") * F.col("b.xq")).alias("m"))
+    )
+    v = mat.select("i").distinct().select(
+        F.col("i").alias("dim"), F.lit(int(_PCA_Q)).cast("bigint").alias("val"))
+    scale = None
+    for _ in range(_PCA_ITERS):
+        av = (
+            mat.join(F.broadcast(v), mat["j"] == v["dim"])
+            .groupBy("i")
+            .agg(F.sum(F.col("m") * F.col("val")).alias("num"))
+        )
+        scale = av.agg(F.max(F.abs("num")).cast("bigint").alias("s"))
+        v = (
+            av.crossJoin(F.broadcast(scale))  # 1-row scale frame
+            .select(
+                F.col("i").alias("dim"),
+                F.expr(f"({_PCA_Q} * num) div s").cast("bigint").alias("val"),
+            )
+        )
+    return (
+        v.crossJoin(F.broadcast(scale))
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("val").alias("v_q"),
+            F.round(F.col("val").cast("double") / _PCA_Q, 6)
+            .alias("v_unit_r6"),
+            F.col("s").alias("lambda_scale"),
+        )
+        .orderBy("dim")
+    )
+
+
 def matryoshka_overlap_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation quality probe (Kusupati et al. 2022 MRL): how
     much of the exact full-dim cosine top-5 survives when the index stores
@@ -3821,6 +3894,35 @@ ORACLES: dict[str, str] = {
         SELECT doc_id FROM fps
         WHERE doc_id % 97 != 0 AND fp NOT IN (SELECT fp FROM bench)
     """,
+    "embedding_pca_power_iteration": (lambda q=_PCA_Q, iters=_PCA_ITERS: f"""
+        WITH x AS MATERIALIZED (
+            SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+                   CAST(floor(CAST(embedding[i] AS DOUBLE) * {q})
+                        AS BIGINT) AS xq
+            FROM embeddings,
+                 UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        ), m AS MATERIALIZED (
+            SELECT a.i, b.i AS j, CAST(sum(a.xq * b.xq) AS BIGINT) AS m
+            FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+        ), v0 AS (
+            SELECT DISTINCT i AS dim, CAST({q} AS BIGINT) AS val FROM m
+        )""" + "".join(f""", av{k} AS MATERIALIZED (
+            SELECT m.i, CAST(sum(m.m * v{k - 1}.val) AS BIGINT) AS num
+            FROM m JOIN v{k - 1} ON m.j = v{k - 1}.dim GROUP BY 1
+        ), s{k} AS (
+            SELECT CAST(max(abs(num)) AS BIGINT) AS s FROM av{k}
+        ), v{k} AS MATERIALIZED (
+            SELECT i AS dim,
+                   CAST(CASE WHEN num >= 0 THEN ({q} * num) // s
+                             ELSE -((({q} * -num)) // s) END
+                        AS BIGINT) AS val
+            FROM av{k}, s{k}
+        )""" for k in range(1, iters + 1)) + f"""
+        SELECT dim, val AS v_q,
+               round(CAST(val AS DOUBLE) / {q}, 6) AS v_unit_r6,
+               (SELECT s FROM s{iters}) AS lambda_scale
+        FROM v{iters} ORDER BY dim
+    """)(),
     "epoch_repetition_plan": f"""
         WITH avail AS (
             SELECT source,
@@ -5014,6 +5116,7 @@ QUERIES = {
     "epoch_repetition_plan": epoch_repetition_plan,
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
     "vocab_coverage_curve": vocab_coverage_curve,
+    "embedding_pca_power_iteration": embedding_pca_power_iteration,
     "training_data_pipeline": training_data_pipeline,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "matryoshka_overlap_probe": matryoshka_overlap_probe,

@@ -1174,3 +1174,39 @@ def test_vocab_coverage_monotone(spark):
         assert 0.0 < r["coverage"] <= 1.0
         if r["types_used"] == r["total_types"]:
             assert r["occurrences_covered"] == r["total_occurrences"]
+
+
+def test_pca_power_iteration_matches_exact_recurrence(spark):
+    """The distributed iterate equals an EXACT python big-int replay of
+    the same recurrence (quantize → A = xqᵀxq → k rounds of truncated
+    integer renormalized A·v) component-for-component, including
+    lambda_scale — the bit-exactness contract; convergence SPEED is a
+    property of the spectrum (this fixture is near-isotropic, λ1/λ2
+    ≈ 1.07, so k=3 is a primitive demo, not a converged eigenvector)."""
+    import numpy as np
+    import pandas as pd
+
+    from dbt_spark.queries.llmops import (
+        _PCA_ITERS,
+        _PCA_Q,
+        embedding_pca_power_iteration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(embedding_pca_power_iteration(spark, sf).collect(),
+                  key=lambda r: r["dim"])
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    xq = np.floor(np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+                  * _PCA_Q).astype(object)
+    A = (xq.T @ xq)
+    v = np.full(A.shape[0], _PCA_Q, dtype=object)
+    s = None
+    for _ in range(_PCA_ITERS):
+        num = A @ v
+        s = max(abs(int(n)) for n in num)
+        v = np.array(
+            [int(_PCA_Q * int(n)) // s if n >= 0
+             else -((_PCA_Q * -int(n)) // s) for n in num], dtype=object)
+    assert [r["v_q"] for r in rows] == [int(x) for x in v]
+    assert all(r["lambda_scale"] == s for r in rows)
+    assert all(abs(r["v_q"]) <= _PCA_Q for r in rows)
