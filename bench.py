@@ -228,6 +228,8 @@ EXTENDED = [
     "kmv_theta_set_ops",  # bottom-k theta sketches: union/intersection estimates
     "stream_kmv_cardinality",  # cross-batch bottom-k merge (value-paired streaming)
     "embedding_pca_power_iteration",  # integer-exact distributed power iteration
+    "embedding_quality_audit",  # norm/NaN/zero gate before index builds
+    "bitext_margin_mine",  # Artetxe-Schwenk ratio-margin pair mining
 ]
 
 

@@ -263,6 +263,92 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.3, bound=200)
 
 
+#: bitext mining knobs: margin neighborhood size, mined threshold, and
+#: the exact-all-pairs candidate bound (oracle cap, like embedding_neardup)
+_BITEXT_K = 4
+_BITEXT_BOUND = 200
+
+
+def bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    LASER/ccMatrix criterion, public): two sides (fixture: even/odd
+    vec_id under the bound) score all cross pairs by cosine, normalize
+    each pair's score by the mean cosine of both endpoints' K-nearest
+    neighborhoods (the RATIO margin — absolute cosine thresholds fail
+    under hubness), and keep each query's argmax candidate with its
+    margin and a mined flag at margin > 1.0.
+
+    Scale: the all-pairs stage is the `bound`-capped ORACLE variant
+    (same contract as embedding_neardup); the production path routes
+    candidate generation through the IVF/LSH machinery and applies the
+    identical margin algebra on candidates only. Determinism: dot
+    products are exact DECIMAL, cosines double, neighborhood means are
+    exact-decimal sums of round-12 cosines divided once — no float
+    accumulation order anywhere."""
+    from pyspark.sql import Window
+
+    from dbt_spark.functions.similarity import _dot_exact, with_norm
+
+    base = with_norm(_emb(spark, sf_dir), "embedding").filter(
+        F.col("vec_id") < _BITEXT_BOUND)
+    qs = base.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("va"),
+        F.col("__norm2").alias("na2"))
+    cs = base.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("vb"),
+        F.col("__norm2").alias("nb2"))
+    cos = (
+        _dot_exact("va", "vb").cast("double")
+        / (F.sqrt(F.col("na2").cast("double"))
+           * F.sqrt(F.col("nb2").cast("double")))
+    )
+    pairs = (
+        qs.crossJoin(cs)  # bound-capped oracle variant (see docstring)
+        .select("qid", "bid", cos.alias("cos"))
+        # round-12 decimal image of the cosine: exact-decimal neighbor
+        # sums below stay order-independent
+        .withColumn("cos_d", F.col("cos").cast("decimal(20,12)"))
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                            F.col("bid").asc())
+    w_b = Window.partitionBy("bid").orderBy(F.col("cos").desc(),
+                                            F.col("qid").asc())
+    ranked = (pairs.withColumn("rq", F.row_number().over(w_q))
+              .withColumn("rb", F.row_number().over(w_b)))
+    rq_mean = (
+        ranked.filter(F.col("rq") <= _BITEXT_K)
+        .groupBy("qid")
+        .agg((F.sum("cos_d").cast("double") / _BITEXT_K).alias("q_nbhd"))
+    )
+    rb_mean = (
+        ranked.filter(F.col("rb") <= _BITEXT_K)
+        .groupBy("bid")
+        .agg((F.sum("cos_d").cast("double") / _BITEXT_K).alias("b_nbhd"))
+    )
+    margin = F.col("cos") / ((F.col("q_nbhd") + F.col("b_nbhd")) / 2)
+    scored = (
+        pairs.join(rq_mean, "qid").join(rb_mean, "bid")
+        .withColumn("margin", margin)
+    )
+    w_best = Window.partitionBy("qid").orderBy(
+        F.col("margin").desc(), F.col("bid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid", F.col("bid").alias("best_bid"),
+            F.round("cos", 6).alias("cos_r6"),
+            # r4, not r6: margin is a RATIO of decimal->double casts, so
+            # it inherits ~2 ulp of engine divergence (the round-2
+            # documented gotcha); round-6 sits on a boundary for one
+            # fixture pair, round-4 gives 1e11x boundary headroom
+            F.round("margin", 4).alias("margin_r4"),
+            (F.col("margin") > 1.0).alias("mined"),
+        )
+        .orderBy("qid")
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (class means) — the clustering /
     prototype primitive. Element-wise mean via posexplode + one aggregate
@@ -655,6 +741,58 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(_emb(spark, sf_dir), F.col("vec_id") < 8, k=5)
+
+
+def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table data-quality gate: per norm-decile bucket, vector
+    counts, exact norm² sums, zero-vector and non-finite detection, and
+    dim consistency — the audit that runs before an embedding backfill
+    is allowed into an index build (a single NaN poisons an IVF train).
+
+    Plan: one scan; norm² is an exact DECIMAL sum over the component
+    array (F.aggregate — no explode), flags are higher-order EXISTS
+    scans; one dimension-sized bucket aggregate. Norm² stays decimal
+    until the final round-6 double."""
+    emb = _emb(spark, sf_dir)
+    # accumulator re-cast each step: Spark types the addition (38,17) and
+    # the lambda must return the accumulator's exact type. The 1e-17
+    # HALF_UP step rounding is invisible under the round-6 output.
+    norm2 = F.aggregate(
+        "embedding",
+        F.lit(0).cast("decimal(38,18)"),
+        lambda a, x: (
+            a + (x.cast("decimal(18,9)") * x.cast("decimal(18,9)"))
+            .cast("decimal(38,18)")
+        ).cast("decimal(38,18)"),
+    )
+    has_bad = F.exists(
+        "embedding", lambda x: x.isNull() | F.isnan(x)
+        | (F.abs(x) > F.lit(1e30)))
+    d = emb.select(
+        F.size("embedding").cast("bigint").alias("dim"),
+        norm2.alias("n2"),
+        has_bad.alias("bad"),
+        (norm2 == 0).alias("zero"),
+    )
+    # floor, not cast: Spark casts truncate but DuckDB casts ROUND; the
+    # +0.5 offset keeps every bucket edge >=0.25 away from the unit norm
+    # the fixture (and any normalized table) clusters at, so the engines'
+    # ~1e-9 float->decimal cast divergence can never flip a bucket
+    bucket = F.least(
+        F.floor(F.col("n2") * 2 + F.lit(0.5).cast("decimal(2,1)"))
+        .cast("bigint"), F.lit(9))
+    return (
+        d.groupBy("dim", bucket.alias("norm2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.col("zero").cast("int")).cast("bigint")
+            .alias("n_zero"),
+            F.sum(F.col("bad").cast("int")).cast("bigint")
+            .alias("n_nonfinite"),
+            F.round(F.sum("n2").cast("double"), 6).alias("sum_norm2_r6"),
+        )
+        .orderBy("dim", "norm2_bucket")
+    )
 
 
 #: PCA power-iteration knobs: fixed-point quantization scale + iterations
@@ -3894,6 +4032,33 @@ ORACLES: dict[str, str] = {
         SELECT doc_id FROM fps
         WHERE doc_id % 97 != 0 AND fp NOT IN (SELECT fp FROM bench)
     """,
+    "embedding_quality_audit": """
+        WITH d AS (
+            SELECT CAST(len(embedding) AS BIGINT) AS dim,
+                   (SELECT SUM(CAST(CAST(embedding[i] AS DECIMAL(18,9))
+                                    * CAST(embedding[i] AS DECIMAL(18,9))
+                                    AS DECIMAL(38,18)))
+                    FROM UNNEST(generate_series(1, len(embedding)))
+                         AS t(i)) AS n2,
+                   (SELECT bool_or(embedding[i] IS NULL
+                                   OR isnan(CAST(embedding[i] AS DOUBLE))
+                                   OR abs(CAST(embedding[i] AS DOUBLE))
+                                      > 1e30)
+                    FROM UNNEST(generate_series(1, len(embedding)))
+                         AS t(i)) AS bad
+            FROM embeddings
+        )
+        SELECT dim,
+               CAST(least(floor(n2 * 2 + 0.5), 9) AS BIGINT)
+                   AS norm2_bucket,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero,
+               CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nonfinite,
+               round(CAST(sum(n2) AS DOUBLE), 6) AS sum_norm2_r6
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "embedding_pca_power_iteration": (lambda q=_PCA_Q, iters=_PCA_ITERS: f"""
         WITH x AS MATERIALIZED (
             SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
@@ -4883,6 +5048,59 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON id_b = sb.doc_id
         WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.1
     """,
+    "bitext_margin_mine": f"""
+        WITH b AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {_BITEXT_BOUND}
+        ), norms AS (
+            SELECT vec_id,
+                   (SELECT SUM(CAST(embedding[i] AS DECIMAL(18,9))
+                               * CAST(embedding[i] AS DECIMAL(18,9)))
+                    FROM UNNEST(generate_series(1, len(embedding)))
+                         AS t(i)) AS n2
+            FROM b
+        ), pairs AS MATERIALIZED (
+            SELECT q.vec_id AS qid, c.vec_id AS bid,
+                   CAST((SELECT SUM(CAST(q.embedding[i] AS DECIMAL(18,9))
+                                    * CAST(c.embedding[i] AS DECIMAL(18,9)))
+                         FROM UNNEST(generate_series(1, len(q.embedding)))
+                              AS t(i)) AS DOUBLE)
+                   / (sqrt(CAST(nq.n2 AS DOUBLE))
+                      * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos
+            FROM b q JOIN b c
+                 ON q.vec_id % 2 = 0 AND c.vec_id % 2 = 1
+            JOIN norms nq ON q.vec_id = nq.vec_id
+            JOIN norms nc ON c.vec_id = nc.vec_id
+        ), pd AS MATERIALIZED (
+            SELECT qid, bid, cos, CAST(cos AS DECIMAL(20,12)) AS cos_d,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, bid ASC) AS rq,
+                   row_number() OVER (PARTITION BY bid
+                                      ORDER BY cos DESC, qid ASC) AS rb
+            FROM pairs
+        ), qm AS (
+            SELECT qid, CAST(sum(cos_d) AS DOUBLE) / {_BITEXT_K} AS q_nbhd
+            FROM pd WHERE rq <= {_BITEXT_K} GROUP BY qid
+        ), bm AS (
+            SELECT bid, CAST(sum(cos_d) AS DOUBLE) / {_BITEXT_K} AS b_nbhd
+            FROM pd WHERE rb <= {_BITEXT_K} GROUP BY bid
+        ), scored AS (
+            SELECT p.qid, p.bid, p.cos,
+                   p.cos / ((qm.q_nbhd + bm.b_nbhd) / 2) AS margin
+            FROM pairs p
+            JOIN qm ON p.qid = qm.qid
+            JOIN bm ON p.bid = bm.bid
+        ), best AS (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY margin DESC, bid ASC) AS rn
+            FROM scored
+        )
+        SELECT qid, bid AS best_bid,
+               round(cos, 6) AS cos_r6,
+               round(margin, 4) AS margin_r4,
+               margin > 1.0 AS mined
+        FROM best WHERE rn = 1 ORDER BY qid
+    """,
     "embedding_neardup": """
         WITH b AS (
             SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
@@ -5117,6 +5335,8 @@ QUERIES = {
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
     "vocab_coverage_curve": vocab_coverage_curve,
     "embedding_pca_power_iteration": embedding_pca_power_iteration,
+    "embedding_quality_audit": embedding_quality_audit,
+    "bitext_margin_mine": bitext_margin_mine,
     "training_data_pipeline": training_data_pipeline,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "matryoshka_overlap_probe": matryoshka_overlap_probe,

@@ -1210,3 +1210,35 @@ def test_pca_power_iteration_matches_exact_recurrence(spark):
     assert [r["v_q"] for r in rows] == [int(x) for x in v]
     assert all(r["lambda_scale"] == s for r in rows)
     assert all(abs(r["v_q"]) <= _PCA_Q for r in rows)
+
+
+def test_embedding_quality_audit_counts(spark):
+    """Audit conserves the table: vector counts sum to the table size,
+    the fixture is clean (no zero/NaN), one dim, unit-norm bucket."""
+    import pandas as pd
+
+    from dbt_spark.queries.llmops import embedding_quality_audit
+
+    sf = "/root/testdata/sf0.001"
+    rows = embedding_quality_audit(spark, sf).collect()
+    total = len(pd.read_parquet(f"{sf}/embeddings.parquet"))
+    assert sum(r["n_vectors"] for r in rows) == total
+    assert all(r["n_zero"] == 0 and r["n_nonfinite"] == 0 for r in rows)
+    assert {r["dim"] for r in rows} == {64}
+
+
+def test_bitext_margin_mine_structure(spark):
+    """One row per even-id query under the bound; best_bid odd; margins
+    positive; the mined flag agrees with the margin threshold."""
+    from dbt_spark.queries.llmops import _BITEXT_BOUND, bitext_margin_mine
+
+    rows = bitext_margin_mine(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    qids = [r["qid"] for r in rows]
+    assert len(qids) == len(set(qids))
+    for r in rows:
+        assert r["qid"] % 2 == 0 and r["qid"] < _BITEXT_BOUND
+        assert r["best_bid"] % 2 == 1 and r["best_bid"] < _BITEXT_BOUND
+        assert r["margin_r4"] > 0
+        assert r["mined"] == (r["margin_r4"] > 1.0) or abs(
+            r["margin_r4"] - 1.0) < 1e-3
