@@ -230,6 +230,9 @@ EXTENDED = [
     "embedding_pca_power_iteration",  # integer-exact distributed power iteration
     "embedding_quality_audit",  # norm/NaN/zero gate before index builds
     "bitext_margin_mine",  # Artetxe-Schwenk ratio-margin pair mining
+    "dp_laplace_release",  # deterministic Laplace-noise contingency release
+    "skipgram_negative_table",  # unigram^0.75 slot table, exact decimal partition
+    "rag_retrieval_eval",  # planted-query chunk-retrieval recall harness
 ]
 
 

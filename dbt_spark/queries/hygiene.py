@@ -719,6 +719,54 @@ def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DP release budget (Laplace scale = sensitivity/epsilon = 1/epsilon)
+_DP_EPSILON = 1.0
+
+
+def dp_laplace_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private contingency release (Dwork 2006, public):
+    the SAME (lang, length-decile) table k_anonymity_release suppresses
+    is instead released in full with Laplace(1/ε) noise on every count —
+    the other standard privacy gate (noise, not suppression; sensitivity
+    of a disjoint count histogram is 1). Noise is a DETERMINISTIC
+    portable draw — u = md5-60-bit(cell key)/2⁶⁰ − ½, noise =
+    −(1/ε)·sign(u)·ln(1−2|u|) — so both engines produce the identical
+    release and the pairing checks the mechanism end-to-end; a
+    production run swaps the keyed hash for a seeded RNG.
+
+    Plan: one keyed aggregate (map-side partials) + row-local noise
+    math; output is dimension-sized. ln() is the one transcendental —
+    1-ulp engine divergence — so the noisy count rounds to 4 decimals
+    (boundary probability ~1e-12 per cell)."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.least((F.col("n_chars") / 100).cast("bigint"), F.lit(9))
+    cells = (
+        docs.select("lang", bucket.alias("len_decile"))
+        .groupBy("lang", "len_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", "lang", F.col("len_decile").cast("string"))),
+            1, 15),
+        16, 10,
+    ).cast("bigint")
+    u = h.cast("double") / float(1 << 60) - 0.5
+    noise = (
+        -(1.0 / _DP_EPSILON) * F.signum(u)
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+    return (
+        cells.select(
+            "lang",
+            F.col("len_decile").cast("string").alias("len_decile"),
+            F.round(F.col("n") + noise, 4).alias("noisy_n_r4"),
+            F.lit(float(_DP_EPSILON)).alias("epsilon"),
+        )
+        .orderBy("lang", "len_decile")
+    )
+
+
 def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair n-gram overlap matrix: distinct word-5-gram Jaccard
     between every pair of ingest sources — the corpus-level similarity
@@ -865,6 +913,26 @@ def _funnel_oracle() -> str:
 
 ORACLES: dict[str, str] = {
     "filter_funnel_report": _funnel_oracle(),
+    "dp_laplace_release": f"""
+        WITH cells AS (
+            SELECT lang,
+                   least(n_chars // 100, 9) AS len_decile,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
+        ), noised AS (
+            SELECT lang, CAST(len_decile AS VARCHAR) AS len_decile, n,
+                   CAST(('0x' || substr(md5(lang || ':'
+                                        || CAST(len_decile AS VARCHAR)),
+                                        1, 15)) AS BIGINT)
+                   / {float(1 << 60):.1f} - 0.5 AS u
+            FROM cells
+        )
+        SELECT lang, len_decile,
+               round(n + (-(1.0 / {_DP_EPSILON}) * sign(u)
+                          * ln(1.0 - 2.0 * abs(u))), 4) AS noisy_n_r4,
+               {float(_DP_EPSILON)} AS epsilon
+        FROM noised ORDER BY lang, len_decile
+    """,
     "source_ngram_overlap": """
         WITH toks AS (
             SELECT source,
@@ -1129,4 +1197,5 @@ QUERIES = {
     "k_anonymity_release": k_anonymity_release,
     "filter_funnel_report": filter_funnel_report,
     "source_ngram_overlap": source_ngram_overlap,
+    "dp_laplace_release": dp_laplace_release,
 }

@@ -520,6 +520,119 @@ def chunk_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: RAG retrieval-eval knobs: query fixture (every 17th doc, a 120-char
+#: probe starting at char 301 — inside chunk 2 of the 200/150 chunking),
+#: top-k, and the gram document-frequency cap (IDF pruning: grams hotter
+#: than 100 chunks carry no discrimination and would dominate join cost)
+_RAG_Q_MOD = 17
+_RAG_Q_OFF = 300
+_RAG_Q_LEN = 120
+_RAG_K = 5
+_RAG_DF_CAP = 100
+
+
+def rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation over the chunk store: plant a query
+    inside a known chunk (fixture: chars 301-420 of every 17th document
+    — fully inside chunk 2 of the 200/150 sliding chunking), retrieve
+    top-k chunks by shared distinct word-3-grams, and report per query
+    the rank of the GOLD chunk, hit@k, and the winner — the recall
+    harness a RAG ingestion pipeline runs after every re-chunk/re-embed.
+
+    Scale: gram matching joins 8-byte hashes with a document-frequency
+    cap (grams in > 100 chunks are dropped — IDF pruning bounds the
+    per-gram fan-out exactly like jaccard_pairs' max_shingle_df);
+    scoring shuffles (query, chunk) pairs once; ranking windows are
+    query-partitioned. The DuckDB oracle joins raw gram strings, so a
+    hash collision would surface as a value mismatch."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w, s = _CHUNK_W, _CHUNK_S
+
+    def grams3(df: DataFrame, text_col: str, keys: list) -> DataFrame:
+        toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+        return (
+            df.select(*keys, toks.alias("t"))
+            .filter(F.size("t") >= 3)
+            .select(
+                *keys,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - 3),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at("t", i + 1),
+                            F.element_at("t", i + 2),
+                            F.element_at("t", i + 3)),
+                    )
+                ).alias("g"),
+            )
+            .select(*keys, F.xxhash64("g").alias("h"))
+            .distinct()
+        )
+
+    queries = docs.filter(
+        (F.col("doc_id") % _RAG_Q_MOD == 0)
+        & (F.length("text") >= _RAG_Q_OFF + _RAG_Q_LEN + 1)
+    ).select(
+        F.col("doc_id").alias("qid"),
+        F.substring("text", _RAG_Q_OFF + 1, _RAG_Q_LEN).alias("qtext"),
+    )
+    chunks = (
+        docs.filter(F.length("text") >= 1)
+        .select(
+            "doc_id", F.length("text").alias("len"), "text",
+            F.explode(
+                F.sequence(F.lit(0), F.floor((F.length("text") - 1) / s))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id", "chunk_idx",
+            F.substring(
+                F.col("text"), (F.col("chunk_idx") * s + 1).cast("int"), w
+            ).alias("ctext"),
+        )
+    )
+    qg = grams3(queries, "qtext", [F.col("qid")])
+    cg = grams3(chunks, "ctext", [F.col("doc_id"), F.col("chunk_idx")])
+    hot = (cg.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > _RAG_DF_CAP).select("h"))
+    cg = cg.join(F.broadcast(hot), "h", "left_anti")
+    qg = qg.join(F.broadcast(hot), "h", "left_anti")
+    qsizes = qg.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_query_grams"))
+    scores = (
+        qg.join(cg, "h")
+        .groupBy("qid", "doc_id", "chunk_idx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("score"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc(),
+        F.col("chunk_idx").asc())
+    ranked = scores.withColumn("rank", F.row_number().over(w_rank))
+    top = ranked.filter(F.col("rank") <= _RAG_K)
+    gold = (F.col("doc_id") == F.col("qid")) & (F.col("chunk_idx") == 2)
+    per_q = top.groupBy("qid").agg(
+        F.max(F.when(gold, F.col("rank"))).cast("bigint")
+        .alias("gold_rank"),
+        F.max(F.when(F.col("rank") == 1, F.col("doc_id")))
+        .cast("bigint").alias("top1_doc"),
+        F.max(F.when(F.col("rank") == 1, F.col("chunk_idx")))
+        .cast("bigint").alias("top1_chunk"),
+        F.max(F.when(F.col("rank") == 1, F.col("score")))
+        .cast("bigint").alias("top1_score"),
+    )
+    return (
+        qsizes.join(per_q, "qid")
+        .select(
+            "qid", "n_query_grams", "gold_rank",
+            F.col("gold_rank").isNotNull().alias("hit_at_k"),
+            "top1_doc", "top1_chunk", "top1_score",
+        )
+        .orderBy("qid")
+    )
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep: quality scoring → language routing →
     fingerprint dedup → per-language corpus stats (low-quality docs dropped,
@@ -616,6 +729,86 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_per_token"),
         )
         .orderBy("lang")
+    )
+
+
+#: word2vec negative-sampling table: slot count and the count exponent's
+#: rational form (c^0.75 computed as sqrt(c·sqrt(c)) — IEEE-exact, no pow)
+_NEG_TABLE_SLOTS = 1000
+
+
+def skipgram_negative_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table construction (Mikolov et al.
+    2013, public): tokens weighted by count^0.75, a fixed-size slot
+    table partitioned proportionally — the draw table every skip-gram /
+    contrastive trainer ships to workers. Per token: its count, weight
+    share, and slots assigned.
+
+    Determinism: c^0.75 = sqrt(c·sqrt(c)) (two correctly-rounded IEEE
+    sqrts, no transcendental pow); weights fix to DECIMAL(28,12); the
+    cumulative partition is an EXACT decimal comparison cross-multiplied
+    to integers (slot s belongs to token t iff cum_lo·2M < total·(2s+1)
+    ≤ cum_hi·2M) — no float boundary anywhere after the weight fix.
+
+    Plan: one token-count aggregate; the cumulative runs as a self-join
+    over the VOCABULARY (not the corpus — vocab² rows, metadata-sized;
+    a global window would single-task the sort, and the vocab is the
+    natural broadcast side at any corpus scale); slots are a 1000-row
+    range crossJoined broadcast."""
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.select(F.explode(
+            F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
+        .filter(F.length("tok") >= 1)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = F.sqrt(F.col("c").cast("double")
+               * F.sqrt(F.col("c").cast("double")))
+    wd = freq.select("tok", "c", w.cast("decimal(28,12)").alias("wd"))
+    a = wd.alias("a")
+    b = wd.alias("b")
+    # vocab-sized self-join cumsum in (c DESC, tok ASC) order
+    cum = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.c") > F.col("a.c"))
+            | ((F.col("b.c") == F.col("a.c"))
+               & (F.col("b.tok") <= F.col("a.tok"))),
+        )
+        .groupBy(F.col("a.tok").alias("tok"), F.col("a.c").alias("c"),
+                 F.col("a.wd").alias("wd"))
+        .agg(F.sum(F.col("b.wd")).cast("decimal(38,12)").alias("cum_hi"))
+        .withColumn("cum_lo",
+                    (F.col("cum_hi") - F.col("wd")).cast("decimal(38,12)"))
+    )
+    total = wd.agg(F.sum("wd").cast("decimal(38,12)").alias("total"))
+    m = _NEG_TABLE_SLOTS
+    slots = spark.range(m).select(F.col("id").alias("slot"))
+    assigned = (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(slots))  # vocab × 1000 slots, both tiny
+        .filter(
+            (F.col("cum_lo") * (2 * m)
+             < F.col("total") * (2 * F.col("slot") + 1))
+            & (F.col("total") * (2 * F.col("slot") + 1)
+               <= F.col("cum_hi") * (2 * m))
+        )
+    )
+    return (
+        assigned.groupBy("tok", "c", "wd", "total")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_slots"),
+            F.min("slot").cast("bigint").alias("first_slot"),
+            F.max("slot").cast("bigint").alias("last_slot"),
+        )
+        .select(
+            "tok", "c", "n_slots", "first_slot", "last_slot",
+            F.round(F.col("wd").cast("double")
+                    / F.col("total").cast("double"), 6)
+            .alias("weight_share_r6"),
+        )
+        .orderBy("tok")
     )
 
 
@@ -3983,6 +4176,116 @@ ORACLES: dict[str, str] = {
                      / CAST(bpe_tokens AS DOUBLE), 6) AS chars_per_token
         FROM agg ORDER BY lang
     """,
+    "rag_retrieval_eval": f"""
+        WITH q AS (
+            SELECT doc_id AS qid,
+                   substring(text, {_RAG_Q_OFF + 1}, {_RAG_Q_LEN}) AS qtext
+            FROM documents
+            WHERE doc_id % {_RAG_Q_MOD} = 0
+              AND length(text) >= {_RAG_Q_OFF + _RAG_Q_LEN + 1}
+        ), chunks AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   substring(text, CAST(i * {_CHUNK_S} + 1 AS INT),
+                             {_CHUNK_W}) AS ctext
+            FROM documents,
+                 UNNEST(generate_series(0, (length(text) - 1)
+                        // {_CHUNK_S})) AS u(i)
+            WHERE length(text) >= 1
+        ), qt AS (
+            SELECT qid, string_split_regex(trim(lower(qtext)), '\\s+') AS t
+            FROM q
+        ), qg AS (
+            SELECT DISTINCT qid, g
+            FROM qt, UNNEST(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(g)
+            WHERE len(t) >= 3
+        ), ct AS (
+            SELECT doc_id, chunk_idx,
+                   string_split_regex(trim(lower(ctext)), '\\s+') AS t
+            FROM chunks
+        ), cg0 AS (
+            SELECT DISTINCT doc_id, chunk_idx, g
+            FROM ct, UNNEST(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(g)
+            WHERE len(t) >= 3
+        ), hot AS (
+            SELECT g FROM cg0 GROUP BY g HAVING count(*) > {_RAG_DF_CAP}
+        ), cg AS (
+            SELECT * FROM cg0 WHERE g NOT IN (SELECT g FROM hot)
+        ), qg2 AS (
+            SELECT * FROM qg WHERE g NOT IN (SELECT g FROM hot)
+        ), qsizes AS (
+            SELECT qid, CAST(count(*) AS BIGINT) AS n_query_grams
+            FROM qg2 GROUP BY 1
+        ), scores AS (
+            SELECT qid, doc_id, chunk_idx,
+                   CAST(count(*) AS BIGINT) AS score
+            FROM qg2 JOIN cg USING (g) GROUP BY 1, 2, 3
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, doc_id ASC, chunk_idx ASC) AS rank
+            FROM scores
+        ), top AS (
+            SELECT * FROM ranked WHERE rank <= {_RAG_K}
+        ), per_q AS (
+            SELECT qid,
+                   CAST(max(CASE WHEN doc_id = qid AND chunk_idx = 2
+                                 THEN rank END) AS BIGINT) AS gold_rank,
+                   CAST(max(CASE WHEN rank = 1 THEN doc_id END)
+                        AS BIGINT) AS top1_doc,
+                   CAST(max(CASE WHEN rank = 1 THEN chunk_idx END)
+                        AS BIGINT) AS top1_chunk,
+                   CAST(max(CASE WHEN rank = 1 THEN score END)
+                        AS BIGINT) AS top1_score
+            FROM top GROUP BY qid
+        )
+        SELECT s.qid, s.n_query_grams, p.gold_rank,
+               p.gold_rank IS NOT NULL AS hit_at_k,
+               p.top1_doc, p.top1_chunk, p.top1_score
+        FROM qsizes s JOIN per_q p USING (qid)
+        ORDER BY s.qid
+    """,
+    "skipgram_negative_table": f"""
+        WITH freq AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest({_TOKS_L}) AS tok FROM documents)
+            WHERE length(tok) >= 1
+            GROUP BY tok
+        ), wd AS (
+            SELECT tok, c,
+                   CAST(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE)))
+                        AS DECIMAL(28,12)) AS wd
+            FROM freq
+        ), cum AS (
+            SELECT tok, c, wd,
+                   CAST(SUM(wd) OVER (ORDER BY c DESC, tok ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DECIMAL(38,12)) AS cum_hi
+            FROM wd
+        ), cum2 AS (
+            SELECT *, CAST(cum_hi - wd AS DECIMAL(38,12)) AS cum_lo
+            FROM cum
+        ), total AS (
+            SELECT CAST(SUM(wd) AS DECIMAL(38,12)) AS total FROM wd
+        ), slots AS (
+            SELECT CAST(s AS BIGINT) AS slot
+            FROM generate_series(0, {_NEG_TABLE_SLOTS - 1}) AS g(s)
+        ), assigned AS (
+            SELECT tok, c, wd, total, slot
+            FROM cum2, total, slots
+            WHERE cum_lo * {2 * _NEG_TABLE_SLOTS}
+                      < total * (2 * slot + 1)
+              AND total * (2 * slot + 1)
+                      <= cum_hi * {2 * _NEG_TABLE_SLOTS}
+        )
+        SELECT tok, c,
+               CAST(count(*) AS BIGINT) AS n_slots,
+               CAST(min(slot) AS BIGINT) AS first_slot,
+               CAST(max(slot) AS BIGINT) AS last_slot,
+               round(CAST(wd AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                   AS weight_share_r6
+        FROM assigned GROUP BY tok, c, wd, total ORDER BY tok
+    """,
     "vocab_coverage_curve": f"""
         WITH freq AS (
             SELECT tok, CAST(count(*) AS BIGINT) AS c
@@ -5337,6 +5640,8 @@ QUERIES = {
     "embedding_pca_power_iteration": embedding_pca_power_iteration,
     "embedding_quality_audit": embedding_quality_audit,
     "bitext_margin_mine": bitext_margin_mine,
+    "skipgram_negative_table": skipgram_negative_table,
+    "rag_retrieval_eval": rag_retrieval_eval,
     "training_data_pipeline": training_data_pipeline,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "matryoshka_overlap_probe": matryoshka_overlap_probe,

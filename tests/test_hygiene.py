@@ -463,3 +463,29 @@ def test_source_ngram_overlap_symmetric_bounds(spark):
         assert r["source_a"] < r["source_b"]
         assert r["n_common"] >= 1
         assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_dp_laplace_release_mechanism(spark):
+    """DP release invariants: every cell of the contingency table is
+    released (no suppression), noise is bounded for the fixed portable
+    draws (|noise| = ln(1/(1-2|u|)) — finite since u != ±0.5 for md5
+    draws), and the noisy counts differ from the true counts."""
+    from collections import Counter
+
+    from dbt_spark.queries.hygiene import _docs, dp_laplace_release
+
+    sf = "/root/testdata/sf0.001"
+    rows = dp_laplace_release(spark, sf).collect()
+    docs = _docs(spark, sf)
+    true_cells = (
+        docs.selectExpr("lang", "least(cast(n_chars/100 as bigint), 9) d")
+        .groupBy("lang", "d").count().collect()
+    )
+    assert len(rows) == len(true_cells)
+    true = {(r["lang"], str(r["d"])): r["count"] for r in true_cells}
+    for r in rows:
+        t = true[(r["lang"], r["len_decile"])]
+        assert abs(r["noisy_n_r4"] - t) < 50  # Laplace(1) tail at md5 draws
+        assert r["epsilon"] == 1.0
+    assert any(abs(r["noisy_n_r4"] - true[(r["lang"], r["len_decile"])])
+               > 1e-6 for r in rows)

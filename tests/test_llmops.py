@@ -1242,3 +1242,44 @@ def test_bitext_margin_mine_structure(spark):
         assert r["margin_r4"] > 0
         assert r["mined"] == (r["margin_r4"] > 1.0) or abs(
             r["margin_r4"] - 1.0) < 1e-3
+
+
+def test_skipgram_table_partitions_all_slots(spark):
+    """Slot table invariants: slots partition exactly (sum n_slots =
+    table size), per-token slots are contiguous, and slot share tracks
+    the count^0.75 share within quantization (±1 slot)."""
+    from dbt_spark.queries.llmops import (
+        _NEG_TABLE_SLOTS,
+        skipgram_negative_table,
+    )
+
+    rows = skipgram_negative_table(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["n_slots"] for r in rows) == _NEG_TABLE_SLOTS
+    for r in rows:
+        assert r["last_slot"] - r["first_slot"] + 1 == r["n_slots"]
+        want = r["weight_share_r6"] * _NEG_TABLE_SLOTS
+        assert abs(r["n_slots"] - want) <= 1.0 + 1e-6
+    # contiguity across tokens: slot ranges tile 0..M-1 without overlap
+    spans = sorted((r["first_slot"], r["last_slot"]) for r in rows)
+    assert spans[0][0] == 0 and spans[-1][1] == _NEG_TABLE_SLOTS - 1
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert b0 == a1 + 1
+
+
+def test_rag_retrieval_planted_query_found(spark):
+    """The planted probe lives verbatim inside its gold chunk, so the
+    gold chunk holds the MAX score and must rank in the top-k on the
+    fixture (another doc's chunk may TIE the score — the synthetic
+    corpus repeats text — and win the tie on doc_id order, so top-1
+    equality is not guaranteed, but a tied winner implies gold scored
+    no lower)."""
+    from dbt_spark.queries.llmops import rag_retrieval_eval
+
+    rows = rag_retrieval_eval(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["hit_at_k"]
+        assert r["gold_rank"] is not None and 1 <= r["gold_rank"] <= 5
+        if (r["top1_doc"], r["top1_chunk"]) != (r["qid"], 2):
+            # a non-gold winner can only be a score tie broken by id
+            assert r["top1_doc"] < r["qid"]
