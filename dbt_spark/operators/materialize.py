@@ -430,6 +430,54 @@ def _apply_output_transforms(node: ManifestNode, df: DataFrame) -> DataFrame:
                      else list(lang_filter))
             df = df.filter(X.lang_id(meta.get("lang_col", "text")).isin(langs))
 
+    # config(chunk_text={'content': col[, 'window': 200, 'stride': 150]}):
+    # RAG sliding-window chunking at WRITE time — the model lands one row
+    # per chunk with chunk_idx / chunk_start / <content> replaced by the
+    # chunk slice (queries/llmops.py::chunk_with_overlap as an engine
+    # knob). Pure map-side sequence/explode, zero shuffles; empty content
+    # chunks to nothing (Spark sequence(0,-1) would DESCEND — guarded).
+    chunk_cfg = meta.get("chunk_text")
+    if chunk_cfg:
+        from pyspark.sql import functions as F
+
+        if not isinstance(chunk_cfg, dict) or "content" not in chunk_cfg:
+            raise ValueError(
+                f"{node.unique_id}: chunk_text needs "
+                "{'content': col[, 'window': int, 'stride': int]}")
+        content = chunk_cfg["content"]
+        if content not in df.columns:
+            raise ValueError(
+                f"{node.unique_id}: chunk_text column {content!r} "
+                "not in output")
+        w = int(chunk_cfg.get("window", 200))
+        s = int(chunk_cfg.get("stride", 150))
+        if not (0 < s <= w):
+            raise ValueError(
+                f"{node.unique_id}: chunk_text needs 0 < stride <= window "
+                f"(got window={w}, stride={s})")
+        others = [c for c in df.columns if c != content]
+        start = F.col("chunk_idx") * s
+        df = (
+            df.filter(F.length(content) >= 1)
+            .select(
+                *others, F.col(content),
+                F.explode(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.length(content) - 1) / s).cast("bigint"),
+                    )
+                ).alias("chunk_idx"),
+            )
+            .select(
+                *others,
+                F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+                start.cast("bigint").alias("chunk_start"),
+                F.substring(
+                    F.col(content), (start + 1).cast("int"), w
+                ).alias(content),
+            )
+        )
+
     # config(pii_redact=['text_col', ...]): chained email→phone→ipv4
     # scrub (functions/pii.py) applied in place to each listed column —
     # the scrub-before-landing privacy boundary as a materialization

@@ -489,3 +489,49 @@ def test_dp_laplace_release_mechanism(spark):
         assert r["epsilon"] == 1.0
     assert any(abs(r["noisy_n_r4"] - true[(r["lang"], r["len_decile"])])
                > 1e-6 for r in rows)
+
+
+def test_chunk_text_model_config(project_dir, spark):
+    """config(chunk_text={...}) lands one row per sliding-window chunk:
+    idx/start columns added, content replaced by the slice, other
+    columns carried through, empty content dropped."""
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: ckcfg\n",
+        "models/chunked.sql": (
+            "{{ config(materialized='table', "
+            "chunk_text={'content': 'body', 'window': 10, 'stride': 6}) }}"
+            "select * from (values (1, 'abcdefghijklmnop', 'x'), "
+            "(2, 'short', 'y'), (3, '', 'z')) as t(id, body, tag)"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    r = eng.invoke(["run"])
+    assert r.success, [x.message for x in r.results]
+    rows = {(x["id"], x["chunk_idx"]): x
+            for x in eng.store.read("main", "chunked").collect()}
+    # id 1: len 16 -> starts 0, 6, 12; id 2: len 5 -> one chunk; id 3: none
+    assert set(rows) == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert rows[(1, 0)]["body"] == "abcdefghij"
+    assert rows[(1, 1)]["body"] == "ghijklmnop"
+    assert rows[(1, 2)]["body"] == "mnop"
+    assert rows[(1, 1)]["chunk_start"] == 6
+    assert rows[(2, 0)]["body"] == "short"
+    assert all(x["tag"] in "xy" for x in rows.values())
+
+
+def test_chunk_text_model_config_bad_shape(project_dir, spark):
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: ckbad\n",
+        "models/m.sql": (
+            "{{ config(materialized='table', "
+            "chunk_text={'content': 'c', 'window': 5, 'stride': 9}) }}"
+            "select 'abc' as c"
+        ),
+    }
+    r = Engine(project_dir(files), spark=spark).invoke(["run"])
+    assert not r.success
+    assert any("stride" in (x.message or "") for x in r.results)
