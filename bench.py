@@ -233,6 +233,7 @@ EXTENDED = [
     "dp_laplace_release",  # deterministic Laplace-noise contingency release
     "skipgram_negative_table",  # unigram^0.75 slot table, exact decimal partition
     "rag_retrieval_eval",  # planted-query chunk-retrieval recall harness
+    "filter_rate_wilson_ci",  # pass-rate monitoring with Wilson intervals
 ]
 
 

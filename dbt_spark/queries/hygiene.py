@@ -719,6 +719,49 @@ def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: z for 95% two-sided Wilson interval
+_WILSON_Z = 1.96
+
+
+def filter_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-gate pass rates with Wilson score intervals
+    (Wilson 1927, public) — the monitoring table that distinguishes a
+    REAL filter-rate shift from small-sample noise before anyone pages
+    on a 2-point drop in a 50-doc source. Pass = the C4 token-count gate
+    (20 ≤ tokens ≤ 100k), the cheapest always-on gate.
+
+    Determinism: counts are exact bigints; the interval is one closed-
+    form expression over them (+ − × ÷ sqrt — all IEEE correctly
+    rounded), rounded to 6. One scan + one source-keyed aggregate,
+    dimension-sized output."""
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    passed = ((n_tokens >= 20) & (n_tokens <= 100000)).cast("int")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(passed).cast("bigint").alias("n_pass"),
+    )
+    z = _WILSON_Z
+    n = F.col("n").cast("double")
+    p = F.col("n_pass").cast("double") / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    # association mirrors the oracle exactly: (center_num ± half_num)/denom
+    center_num = p + z2 / (2.0 * n)
+    half_num = z * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    return (
+        agg.select(
+            "source", "n", "n_pass",
+            F.round(p, 6).alias("rate_r6"),
+            F.round((center_num - half_num) / denom, 6)
+            .alias("wilson_lo_r6"),
+            F.round((center_num + half_num) / denom, 6)
+            .alias("wilson_hi_r6"),
+        )
+        .orderBy("source")
+    )
+
+
 #: DP release budget (Laplace scale = sensitivity/epsilon = 1/epsilon)
 _DP_EPSILON = 1.0
 
@@ -913,6 +956,34 @@ def _funnel_oracle() -> str:
 
 ORACLES: dict[str, str] = {
     "filter_funnel_report": _funnel_oracle(),
+    "filter_rate_wilson_ci": f"""
+        WITH agg AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN len(string_split_regex(trim(text),
+                                     '\\s+')) BETWEEN 20 AND 100000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+            FROM documents GROUP BY 1
+        ), calc AS (
+            SELECT source, n, n_pass,
+                   CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                   CAST(n AS DOUBLE) AS nd
+            FROM agg
+        )
+        SELECT source, n, n_pass,
+               round(p, 6) AS rate_r6,
+               round(((p + {_WILSON_Z * _WILSON_Z!r} / (2.0 * nd))
+                      - ({_WILSON_Z!r} * sqrt(p * (1.0 - p) / nd
+                         + {_WILSON_Z * _WILSON_Z!r} / (4.0 * nd * nd))))
+                     / (1.0 + {_WILSON_Z * _WILSON_Z!r} / nd), 6)
+                   AS wilson_lo_r6,
+               round(((p + {_WILSON_Z * _WILSON_Z!r} / (2.0 * nd))
+                      + ({_WILSON_Z!r} * sqrt(p * (1.0 - p) / nd
+                         + {_WILSON_Z * _WILSON_Z!r} / (4.0 * nd * nd))))
+                     / (1.0 + {_WILSON_Z * _WILSON_Z!r} / nd), 6)
+                   AS wilson_hi_r6
+        FROM calc ORDER BY source
+    """,
     "dp_laplace_release": f"""
         WITH cells AS (
             SELECT lang,
@@ -1198,4 +1269,5 @@ QUERIES = {
     "filter_funnel_report": filter_funnel_report,
     "source_ngram_overlap": source_ngram_overlap,
     "dp_laplace_release": dp_laplace_release,
+    "filter_rate_wilson_ci": filter_rate_wilson_ci,
 }

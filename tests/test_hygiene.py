@@ -535,3 +535,18 @@ def test_chunk_text_model_config_bad_shape(project_dir, spark):
     r = Engine(project_dir(files), spark=spark).invoke(["run"])
     assert not r.success
     assert any("stride" in (x.message or "") for x in r.results)
+
+
+def test_wilson_ci_brackets_rate(spark):
+    """Interval sanity: lo <= rate <= hi, interval within [0,1], and it
+    narrows with n (pooled vs per-source width comparison)."""
+    from dbt_spark.queries.hygiene import filter_rate_wilson_ci
+
+    rows = filter_rate_wilson_ci(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["wilson_lo_r6"] <= r["rate_r6"] <= r["wilson_hi_r6"] <= 1.0
+        assert r["n_pass"] <= r["n"]
+        # Wilson width bound: ~2z/(2 sqrt(n)) worst case
+        width = r["wilson_hi_r6"] - r["wilson_lo_r6"]
+        assert width <= 2 * 1.96 / (2 * (r["n"] ** 0.5)) + 0.05
