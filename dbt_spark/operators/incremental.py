@@ -50,11 +50,14 @@ def split_dml_statements(sql: str) -> list[str]:
     Handles single-quoted literals (with '' and backslash escapes),
     double-quoted literals/identifiers, backtick identifiers, ``--`` line
     comments, and ``/* */`` block comments — the lexical classes Spark SQL
-    accepts.  Statements are returned stripped and non-empty."""
+    accepts.  Block comments NEST (Spark 3.0+ accepts
+    ``/* a /* b */ still comment */``), so a depth counter tracks them
+    (ADVICE r12).  Statements are returned stripped and non-empty."""
     stmts: list[str] = []
     buf: list[str] = []
     i, n = 0, len(sql)
     mode: Optional[str] = None  # "'", '"', '`', '--', '/*'
+    depth = 0  # block-comment nesting depth while mode == "/*"
     while i < n:
         ch = sql[i]
         nxt = sql[i + 1] if i + 1 < n else ""
@@ -70,6 +73,11 @@ def split_dml_statements(sql: str) -> list[str]:
                 mode = "--"
             elif ch == "/" and nxt == "*":
                 mode = "/*"
+                depth = 1
+                buf.append(ch)
+                buf.append(nxt)
+                i += 2
+                continue
         elif mode in ("'", '"'):
             if ch == "\\":
                 buf.append(ch)
@@ -91,11 +99,19 @@ def split_dml_statements(sql: str) -> list[str]:
             if ch == "\n":
                 mode = None
         elif mode == "/*":
+            if ch == "/" and nxt == "*":
+                depth += 1
+                buf.append(ch)
+                buf.append(nxt)
+                i += 2
+                continue
             if ch == "*" and nxt == "/":
                 buf.append(ch)
                 buf.append(nxt)
                 i += 2
-                mode = None
+                depth -= 1
+                if depth == 0:
+                    mode = None
                 continue
         buf.append(ch)
         i += 1

@@ -385,6 +385,10 @@ def compile_sql(
         run_query=ctx.run_query,
         extra={"adapter": RuntimeAdapter(ctx),
                "project_flags": getattr(ctx.project, "flags", None) or {}},
+        # microbatch batches expose {{ model.batch.* }} to user SQL
+        # (core/dbt/context/providers.py:268-280 consumes it; the batch
+        # context is set per-batch at core/dbt/task/run.py:354)
+        batch=getattr(ctx, "current_batch", None),
     ).strip().rstrip(";")
 
 
@@ -455,8 +459,20 @@ def _apply_output_transforms(node: ManifestNode, df: DataFrame) -> DataFrame:
             raise ValueError(
                 f"{node.unique_id}: chunk_text needs 0 < stride <= window "
                 f"(got window={w}, stride={s})")
+        clash = [c for c in ("chunk_idx", "chunk_start") if c in df.columns]
+        if clash:
+            # ADVICE r12: injecting the aliases over an existing column of
+            # the same name would make the later F.col("chunk_idx") ref an
+            # opaque ambiguous-column AnalysisException — fail clearly.
+            raise ValueError(
+                f"{node.unique_id}: chunk_text injects columns "
+                f"{clash} which already exist in the model output — "
+                "rename or drop them before chunking")
         others = [c for c in df.columns if c != content]
         start = F.col("chunk_idx") * s
+        # NULL content rows are dropped along with empty strings: a NULL
+        # document has no chunkable bytes (F.length(NULL) >= 1 is NULL →
+        # filtered). Documented here per ADVICE r12.
         df = (
             df.filter(F.length(content) >= 1)
             .select(

@@ -68,6 +68,18 @@ class Batch:
         return self.start.strftime("%Y%m%dT%H%M%S")
 
 
+@dataclass
+class BatchContext:
+    """The per-batch object user SQL sees as ``{{ model.batch }}`` during a
+    microbatch run — id / event_time_start / event_time_end, mirroring the
+    reference's BatchContext (core/dbt/contracts/graph/nodes.py:448-470,
+    populated at core/dbt/task/run.py:354)."""
+
+    id: str
+    event_time_start: datetime
+    event_time_end: datetime
+
+
 class MicrobatchBuilder:
     """Batch-grid math; same contract as the reference class, reimplemented."""
 
@@ -204,6 +216,13 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
         bctx.event_time_filters = {
             "*": (batch.start.isoformat(sep=" "), batch.end.isoformat(sep=" "))
         }
+        # {{ model.batch.id / .event_time_start / .event_time_end }} for
+        # this batch's compile (compile_sql passes it into runtime_render)
+        bctx.current_batch = BatchContext(
+            id=batch.batch_id,
+            event_time_start=batch.start,
+            event_time_end=batch.end,
+        )
         window = bctx.event_time_filters["*"]
         df = run_model_df(bctx, node, is_incremental=is_incremental or idx > 0)
         # defensive scope: the model output itself is clamped to the batch
@@ -262,7 +281,15 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
     succeeded: list[Batch] = []
     rel: Optional[Relation] = None
 
+    # pre_hook runs ONLY with the first batch, post_hook ONLY with the last
+    # (core/dbt/task/run.py:829-833 blanks the other batches' hook lists).
+    # The runner hands per-node hook executors via ctx.microbatch_hooks and
+    # skips its own once-per-node loops for microbatch models.
+    hooks = getattr(ctx, "microbatch_hooks", None) or {}
+
     def safe(batch: Batch, idx: int) -> Optional[Relation]:
+        if idx == 0 and hooks.get("pre"):
+            hooks["pre"]()
         try:
             r = run_one(batch, idx)
             succeeded.append(batch)
@@ -270,6 +297,9 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
         except Exception:  # noqa: BLE001
             failed.append(batch)
             return None
+        finally:
+            if idx == len(batches) - 1 and hooks.get("post"):
+                hooks["post"]()
 
     if len(batches) > 2 and concurrent_ok:
         from concurrent.futures import ThreadPoolExecutor

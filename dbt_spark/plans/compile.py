@@ -246,6 +246,10 @@ def parse_render(
             "execute": False,
             "is_incremental": lambda: False,
             "should_full_refresh": lambda: False,
+            # parse-phase model: name only, batch always None (the batch
+            # context exists only while a microbatch batch compiles)
+            "model": {"name": node_name, "unique_id": f"model.{node_name}",
+                      "batch": None},
             "adapter": _ParseAdapter(),
             # parse-phase graph is empty (the reference populates it only at
             # execute time; macros guard with `if execute`)
@@ -368,6 +372,7 @@ def runtime_render(
     extra: Optional[dict] = None,
     macros: Optional[dict[str, str]] = None,
     run_query: Optional[Callable[[str], Any]] = None,
+    batch: Optional[Any] = None,
 ) -> str:
     """Phase-2 render: refs/sources resolve to executable Spark relation names."""
 
@@ -435,7 +440,12 @@ def runtime_render(
             "execute": True,
             "is_incremental": lambda: is_incremental,
             "should_full_refresh": lambda: full_refresh,
-            "model": {"name": node.name, "unique_id": node.unique_id},
+            # model.batch is populated (a BatchContext with id /
+            # event_time_start / event_time_end) only while a microbatch
+            # batch is compiling — core/dbt/contracts/graph/nodes.py:448-470
+            # (BatchContext) set at core/dbt/task/run.py:354; None otherwise
+            "model": {"name": node.name, "unique_id": node.unique_id,
+                      "batch": batch},
             "adapter": _ParseAdapter(),
             "run_query": run_query or (lambda sql: None),
             "store_result": store_result,

@@ -764,6 +764,9 @@ def filter_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: DP release budget (Laplace scale = sensitivity/epsilon = 1/epsilon)
 _DP_EPSILON = 1.0
+#: largest float64 strictly below 0.5 — the |u| clamp that keeps the
+#: Laplace inverse-CDF ln() argument positive for every 60-bit hash
+_DP_U_MAX = 0.49999999999999994
 
 
 def dp_laplace_release(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,7 +797,14 @@ def dp_laplace_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             1, 15),
         16, 10,
     ).cast("bigint")
-    u = h.cast("double") / float(1 << 60) - 0.5
+    # Clamp |u| strictly inside (-0.5, 0.5): h = 0 would make u exactly
+    # -0.5 and ln(1-2|u|) = -inf (ADVICE r12 — probability ~2^-60 per
+    # cell, but deterministic once a colliding cell key exists). The
+    # bound is the largest double < 0.5; an additive 2^-60 shift would
+    # round away under float64 (ulp(0.5) = 2^-53). Both engines parse
+    # the literal to the identical double, so the pairing is exact.
+    u0 = h.cast("double") / float(1 << 60) - 0.5
+    u = F.signum(u0) * F.least(F.abs(u0), F.lit(_DP_U_MAX))
     noise = (
         -(1.0 / _DP_EPSILON) * F.signum(u)
         * F.log(1.0 - 2.0 * F.abs(u))
@@ -995,14 +1005,18 @@ ORACLES: dict[str, str] = {
                    CAST(('0x' || substr(md5(lang || ':'
                                         || CAST(len_decile AS VARCHAR)),
                                         1, 15)) AS BIGINT)
-                   / {float(1 << 60):.1f} - 0.5 AS u
+                   / {float(1 << 60):.1f} - 0.5 AS u0
             FROM cells
+        ), clamped AS (
+            SELECT lang, len_decile, n,
+                   sign(u0) * least(abs(u0), {_DP_U_MAX!r}) AS u
+            FROM noised
         )
         SELECT lang, len_decile,
                round(n + (-(1.0 / {_DP_EPSILON}) * sign(u)
                           * ln(1.0 - 2.0 * abs(u))), 4) AS noisy_n_r4,
                {float(_DP_EPSILON)} AS epsilon
-        FROM noised ORDER BY lang, len_decile
+        FROM clamped ORDER BY lang, len_decile
     """,
     "source_ngram_overlap": """
         WITH toks AS (

@@ -599,8 +599,18 @@ def rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("df") > _RAG_DF_CAP).select("h"))
     cg = cg.join(F.broadcast(hot), "h", "left_anti")
     qg = qg.join(F.broadcast(hot), "h", "left_anti")
-    qsizes = qg.groupBy("qid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_query_grams"))
+    # qsizes anchors on the QUERY LIST, not the surviving grams, so a
+    # query whose grams were all DF-capped still reports n_query_grams=0
+    # (ADVICE r12 — the recall denominator must include zero-gram queries).
+    qsizes = (
+        queries.select("qid")
+        .join(
+            qg.groupBy("qid").agg(
+                F.count(F.lit(1)).cast("bigint").alias("ng")),
+            "qid", "left")
+        .select("qid", F.coalesce("ng", F.lit(0)).cast("bigint")
+                .alias("n_query_grams"))
+    )
     scores = (
         qg.join(cg, "h")
         .groupBy("qid", "doc_id", "chunk_idx")
@@ -622,8 +632,11 @@ def rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rank") == 1, F.col("score")))
         .cast("bigint").alias("top1_score"),
     )
+    # LEFT join (ADVICE r12): a query whose grams all got DF-capped or
+    # matched no chunk must appear with gold_rank NULL / hit_at_k false,
+    # not vanish — an inner join would overstate recall.
     return (
-        qsizes.join(per_q, "qid")
+        qsizes.join(per_q, "qid", "left")
         .select(
             "qid", "n_query_grams", "gold_rank",
             F.col("gold_rank").isNotNull().alias("hit_at_k"),
@@ -947,6 +960,18 @@ def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans; one dimension-sized bucket aggregate. Norm² stays decimal
     until the final round-6 double."""
     emb = _emb(spark, sf_dir)
+
+    # Non-finite guard BEFORE the decimal math (ADVICE r12): a NaN/Inf
+    # component would NULL Spark's decimal norm² (row vanishes into a NULL
+    # bucket) while DuckDB's DECIMAL cast errors outright — precisely the
+    # defective vectors this audit exists to catch. Treat bad components
+    # as 0 in BOTH engines so bad vectors bucket deterministically (and
+    # still count in n_nonfinite via has_bad).
+    def _fin(x):
+        return F.when(
+            x.isNull() | F.isnan(x) | (F.abs(x) > F.lit(1e30)), F.lit(0.0)
+        ).otherwise(x)
+
     # accumulator re-cast each step: Spark types the addition (38,17) and
     # the lambda must return the accumulator's exact type. The 1e-17
     # HALF_UP step rounding is invisible under the round-6 output.
@@ -954,7 +979,7 @@ def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.lit(0).cast("decimal(38,18)"),
         lambda a, x: (
-            a + (x.cast("decimal(18,9)") * x.cast("decimal(18,9)"))
+            a + (_fin(x).cast("decimal(18,9)") * _fin(x).cast("decimal(18,9)"))
             .cast("decimal(38,18)")
         ).cast("decimal(38,18)"),
     )
@@ -4215,8 +4240,11 @@ ORACLES: dict[str, str] = {
         ), qg2 AS (
             SELECT * FROM qg WHERE g NOT IN (SELECT g FROM hot)
         ), qsizes AS (
-            SELECT qid, CAST(count(*) AS BIGINT) AS n_query_grams
-            FROM qg2 GROUP BY 1
+            SELECT q.qid,
+                   CAST(coalesce(gsz.ng, 0) AS BIGINT) AS n_query_grams
+            FROM q LEFT JOIN (
+                SELECT qid, count(*) AS ng FROM qg2 GROUP BY 1
+            ) gsz ON q.qid = gsz.qid
         ), scores AS (
             SELECT qid, doc_id, chunk_idx,
                    CAST(count(*) AS BIGINT) AS score
@@ -4242,7 +4270,7 @@ ORACLES: dict[str, str] = {
         SELECT s.qid, s.n_query_grams, p.gold_rank,
                p.gold_rank IS NOT NULL AS hit_at_k,
                p.top1_doc, p.top1_chunk, p.top1_score
-        FROM qsizes s JOIN per_q p USING (qid)
+        FROM qsizes s LEFT JOIN per_q p USING (qid)
         ORDER BY s.qid
     """,
     "skipgram_negative_table": f"""
@@ -4338,11 +4366,16 @@ ORACLES: dict[str, str] = {
     "embedding_quality_audit": """
         WITH d AS (
             SELECT CAST(len(embedding) AS BIGINT) AS dim,
-                   (SELECT SUM(CAST(CAST(embedding[i] AS DECIMAL(18,9))
-                                    * CAST(embedding[i] AS DECIMAL(18,9))
+                   (SELECT SUM(CAST(CAST(fx AS DECIMAL(18,9))
+                                    * CAST(fx AS DECIMAL(18,9))
                                     AS DECIMAL(38,18)))
-                    FROM UNNEST(generate_series(1, len(embedding)))
-                         AS t(i)) AS n2,
+                    FROM (SELECT CASE WHEN embedding[i] IS NULL
+                                       OR isnan(CAST(embedding[i] AS DOUBLE))
+                                       OR abs(CAST(embedding[i] AS DOUBLE))
+                                          > 1e30
+                                      THEN 0.0 ELSE embedding[i] END AS fx
+                          FROM UNNEST(generate_series(1, len(embedding)))
+                               AS t(i)) ) AS n2,
                    (SELECT bool_or(embedding[i] IS NULL
                                    OR isnan(CAST(embedding[i] AS DOUBLE))
                                    OR abs(CAST(embedding[i] AS DOUBLE))

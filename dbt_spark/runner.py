@@ -1889,9 +1889,30 @@ class Engine:
         results: list[RunResult],
         t0: float,
     ) -> None:
-        for hook in node.config.pre_hook:
-            ctx.execute_sql(self._render_hook(ctx, node, hook), node=node,
-                            artifact=False)
+        # Microbatch models run hooks WITH the batches — pre_hook only on
+        # the first batch, post_hook only on the last (task/run.py:829-833
+        # blanks the other batches' hooks). The executors close over the
+        # render so run_microbatch fires them at the right batch index.
+        is_microbatch = (
+            node.resource_type == NodeType.Model
+            and node.get_materialization() == "incremental"
+            and (node.config.incremental_strategy or "append") == "microbatch"
+        )
+        if is_microbatch:
+            ctx.microbatch_hooks = {
+                "pre": lambda: [
+                    ctx.execute_sql(self._render_hook(ctx, node, h),
+                                    node=node, artifact=False)
+                    for h in node.config.pre_hook],
+                "post": lambda: [
+                    ctx.execute_sql(self._render_hook(ctx, node, h),
+                                    node=node, artifact=False)
+                    for h in node.config.post_hook],
+            }
+        else:
+            for hook in node.config.pre_hook:
+                ctx.execute_sql(self._render_hook(ctx, node, hook), node=node,
+                                artifact=False)
         self.events.fire("NodeExecuting", node_id=node.unique_id)
         from dbt_spark.plans.manifest import METADATA_NODE_TYPES
 
@@ -1939,9 +1960,15 @@ class Engine:
                 results.append(RunResult(
                     node.unique_id, "success", time.time() - t0,
                     message=fresh_msg))
-                for hook in node.config.post_hook:
-                    ctx.execute_sql(self._render_hook(ctx, node, hook), node=node,
-                            artifact=False)
+                if is_microbatch:
+                    # no batches ran, so fire both hook sets once here
+                    ctx.microbatch_hooks["pre"]()
+                    ctx.microbatch_hooks["post"]()
+                    ctx.microbatch_hooks = None
+                else:
+                    for hook in node.config.post_hook:
+                        ctx.execute_sql(self._render_hook(ctx, node, hook),
+                                        node=node, artifact=False)
                 return
             mat = node.get_materialization()
             from dbt_spark.operators.custom_mat import (
@@ -1980,6 +2007,9 @@ class Engine:
                 results.append(RunResult(node.unique_id, "success", time.time() - t0))
             self._persist_docs(ctx, node)
             self._apply_grants(ctx, node)
+        if is_microbatch:
+            ctx.microbatch_hooks = None  # fired inside run_microbatch
+            return
         for hook in node.config.post_hook:
             ctx.execute_sql(self._render_hook(ctx, node, hook), node=node,
                             artifact=False)
