@@ -413,6 +413,17 @@ class Manifest:
                 "depends_on": {"macros": [], "nodes": n.depends_on},
             }
 
+        def _element_config(el: dict) -> dict:
+            """dimension/measure/entity `config: {meta: ...}` passthrough —
+            SemanticLayerElementConfig (reference
+            core/dbt/artifacts/resources/v1/semantic_model.py:34-39,
+            .changes/unreleased/Features-20250106-132829.yaml). Emitted only
+            when the YAML carried it (schema default is null)."""
+            cfg = el.get("config")
+            if isinstance(cfg, dict) and isinstance(cfg.get("meta"), dict):
+                return {"config": {"meta": dict(cfg["meta"])}}
+            return {}
+
         def semantic_model_dict(n: ManifestNode) -> dict:
             m = n.config.meta
             dims = []
@@ -423,6 +434,7 @@ class Manifest:
                     d["type_params"] = {
                         "time_granularity": str(tp["time_granularity"]).lower()
                     }
+                d.update(_element_config(dim))
                 dims.append(d)
             return {
                 **_base(n),
@@ -434,7 +446,8 @@ class Manifest:
                 },
                 "description": n.description,
                 "entities": [
-                    {"name": str(e["name"]), "type": str(e["type"]).lower()}
+                    {"name": str(e["name"]), "type": str(e["type"]).lower(),
+                     **_element_config(e)}
                     for e in m.get("entities") or []
                 ],
                 "dimensions": dims,
@@ -444,6 +457,7 @@ class Manifest:
                         "agg": str(mm["agg"]).lower(),
                         **({"expr": str(mm["expr"])} if mm.get("expr") is not None else {}),
                         "create_metric": bool(mm.get("create_metric", False)),
+                        **_element_config(mm),
                     }
                     for mm in m.get("measures") or []
                 ],
@@ -474,6 +488,16 @@ class Manifest:
                 ],
                 "description": n.description,
                 "config": {"enabled": True},
+                # tags: union of the entry-level list and config.tags,
+                # sorted unique — schema_yaml_readers.py:826-834 wrap_tags
+                # (.changes/unreleased/Features-20241216-095435.yaml)
+                "tags": sorted({
+                    *(
+                        [m["tags"]] if isinstance(m.get("tags"), str)
+                        else [str(t) for t in m.get("tags") or []]
+                    ),
+                    *[str(t) for t in n.config.tags or []],
+                }),
                 "depends_on": {"macros": [], "nodes": n.depends_on},
             }
 
