@@ -154,6 +154,8 @@ EXTENDED = [
     "multimodal_gif_decode",
     "multimodal_jpeg_decode",
     "multimodal_g711_roundtrip",
+    "multimodal_pair_dedup",          # r13 image-text pair dedup (2 gates)
+    "multimodal_caption_alignment",   # r13 caption-page containment audit
     "html_extract_visible_text",
     "unigram_tokenizer_learning",  # trained-vocab cache: rep 1 trains
     "token_count_unigram",

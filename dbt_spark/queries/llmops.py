@@ -3524,6 +3524,247 @@ def html_extract_visible_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_visible_text(pages)
 
 
+# --------------------------------------------------------------------------
+# image-text pair curation (r13): pre-contrastive-training gates
+# --------------------------------------------------------------------------
+
+#: image-content group — pairs with equal doc_id % mod carry pixel-exact
+#: duplicate images (the re-hosted / mirrored-image case a crawl plants)
+_PAIR_IMG_MOD = 97
+#: caption base-doc group: caption text derives from doc (doc_id % mod)
+_PAIR_CAP_MOD = 89
+_PAIR_MH_PERMS = 6   # portable-md5 minhash permutations (3 bands × 2 rows)
+
+
+def _pair_blob_gen(builders):
+    """Image half of the image-text pair fixture: genuine PNG (even group;
+    every 4th Adam7-interlaced) / BMP (odd; every 4th top-down) keyed by
+    g = doc_id % _PAIR_IMG_MOD — same closed-form pixel grammar as
+    ``_pixel_blob_gen`` but keyed on the GROUP, so distinct pairs in one
+    group are bit-identical images the dedup gate must catch."""
+    def gen(it):
+        import pandas as _pd
+
+        enc_png, enc_bmp = builders
+
+        def build(d):
+            g = d % _PAIR_IMG_MOD
+            w, h = 4 + (7 * g) % 13, 4 + (11 * g) % 9
+
+            def pix(r, c):
+                return ((g + 7 * r + 13 * c) % 256,
+                        (2 * g + 5 * r + 11 * c) % 256,
+                        (3 * g + 3 * r + 17 * c) % 256)
+
+            if g % 2 == 0:
+                return enc_png(w, h, pix, interlace=(g % 4 == 2))
+            return enc_bmp(w, h, pix, top_down=(g % 4 == 1))
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame({"doc_id": ids,
+                                 "payload": [build(int(d)) for d in ids]})
+
+    return gen
+
+
+def multimodal_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text PAIR dedup — the gate a contrastive-training set runs
+    before (image, caption) pairs are weighted as independent samples.
+    Two keyed gates, unioned:
+
+    - IMAGE gate: genuine PNG/BMP blobs → REAL decode → 16-bit perceptual
+      average-hash (functions/multimodal.py::perceptual_phash); pairs
+      sharing a phash collapse to the min doc_id.
+    - CAPTION gate: portable-md5 MinHash (6 perms, 3 bands × 2 rows) over
+      caption word-2-grams; pairs sharing ANY band bucket collapse to the
+      min doc_id in that bucket (the LSH keyed-union form of
+      functions/dedup.py::minhash_lsh, made hash-portable so DuckDB
+      rebuilds the signatures bit-for-bit).
+
+    keep = doc_id == least(image-group min, caption-band min).
+
+    Plan (100 TB): blobs stay inside one mapInPandas chain (encode →
+    decode+phash) and never shuffle — only 8-byte phashes and 60-bit
+    band keys move; both gates are hash-keyed groupBy/join (map-side
+    partials, no all-pairs anywhere); the caption base join broadcasts a
+    _PAIR_CAP_MOD-row dimension. The oracle rebuilds the phash from the
+    generator's closed pixel form — pairing proves the REAL container
+    decode end-to-end, like multimodal_pixel_decode."""
+    from dbt_spark.functions.multimodal import (_make_pixel_codecs,
+                                                perceptual_phash)
+
+    codecs = _make_pixel_codecs()
+    docs = _docs_raw(spark, sf_dir)
+    blobs = docs.select("doc_id").mapInPandas(
+        _pair_blob_gen((codecs[0], codecs[2])),
+        schema="doc_id long, payload binary")
+    ph = perceptual_phash(blobs).select("doc_id", "phash")
+
+    # captions: first 15 tokens of the group-base doc's text + a per-pair
+    # variant token (near-dup captions with Jaccard just under 1)
+    base = docs.select(
+        F.col("doc_id").alias("cap_base"), F.col("text").alias("base_text")
+    ).filter(F.col("cap_base") < _PAIR_CAP_MOD)
+    cap = (
+        docs.select("doc_id",
+                    (F.col("doc_id") % _PAIR_CAP_MOD).alias("cap_base"))
+        .join(F.broadcast(base), "cap_base")
+        .select(
+            "doc_id",
+            F.trim(F.concat_ws(
+                " ",
+                F.concat_ws(" ", F.slice(
+                    F.split(F.trim(F.lower("base_text")), r"\s+"), 1, 15)),
+                F.concat(F.lit("x"), (F.col("doc_id") % 3).cast("string")),
+            )).alias("caption"),
+        )
+    )
+    toks = F.split(F.col("caption"), r"\s+")
+    sh = (
+        cap.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("t", i + 1),
+                                  F.element_at("t", i + 2)),
+        )).alias("s"))
+        .distinct()
+    )
+    perm = sh.select(
+        "doc_id", "s",
+        F.explode(F.sequence(F.lit(0), F.lit(_PAIR_MH_PERMS - 1))).alias("p"))
+    hv = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("p").cast("string"), "s")),
+                    1, 15), 16, 10).cast("bigint")
+    sig = perm.select("doc_id", "p", hv.alias("hv")).groupBy("doc_id").agg(
+        *[F.min(F.when(F.col("p") == i, F.col("hv"))).alias(f"m{i}")
+          for i in range(_PAIR_MH_PERMS)])
+    bands = sig.select("doc_id", F.explode(F.array(*[
+        F.struct(
+            F.lit(b).alias("bi"),
+            F.md5(F.concat_ws(
+                ":", F.col(f"m{2 * b}").cast("string"),
+                F.col(f"m{2 * b + 1}").cast("string"))).alias("bh"),
+        ) for b in range(_PAIR_MH_PERMS // 2)])).alias("x"),
+    ).select("doc_id", "x.bi", "x.bh")
+    band_min = bands.groupBy("bi", "bh").agg(F.min("doc_id").alias("mn"))
+    cap_min = (
+        bands.join(band_min, ["bi", "bh"])
+        .groupBy("doc_id").agg(F.min("mn").alias("cap_min"))
+    )
+    img_min = ph.groupBy("phash").agg(F.min("doc_id").alias("img_min"))
+    cm = F.coalesce(F.col("cap_min"), F.col("doc_id"))
+    return (
+        ph.join(F.broadcast(img_min), "phash")
+        .join(cap_min, "doc_id", "left")
+        .select(
+            "doc_id", "phash",
+            F.col("img_min").cast("bigint").alias("img_min"),
+            cm.cast("bigint").alias("cap_min"),
+            (F.col("doc_id") == F.least(F.col("img_min"), cm)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: caption-alignment fixture knobs: window offset mod, window tokens,
+#: containment threshold
+_ALIGN_K_MOD = 5
+_ALIGN_WIN = 12
+_ALIGN_THRESH = 0.8
+
+
+def multimodal_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-alignment audit — the second pre-contrastive gate: does the
+    caption actually describe THIS page? Per pair, the caption's distinct
+    word-3-grams are checked for containment in the page's REAL-extracted
+    visible text (functions/html_extract.py builds a genuine boilerplated
+    page around the doc text, then the stdlib-parser extractor recovers
+    the visible copy); misaligned pairs (containment < 0.8) are flagged.
+    Captions are a consecutive 12-token window of the page copy; every
+    4th pair carries 3 planted off-page noise tokens (the stock-photo
+    caption case), so the audit has true positives at every SF.
+
+    Plan (100 TB): page render + extraction is one shuffle-free
+    mapInPandas pass (Arrow batches, blobs/pages never leave the task);
+    gram matching shuffles 8-byte xxhash64 keys only (the DuckDB oracle
+    joins raw gram strings, so a 64-bit collision would surface as a
+    value mismatch); output is one row per pair."""
+    from dbt_spark.functions.html_extract import _make_html_tools
+
+    tools = _make_html_tools()
+
+    def gen(it):
+        import pandas as _pd
+
+        extract, build = tools
+        for pdf in it:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "vis": [extract(build(t, int(d)))
+                        for d, t in zip(pdf["doc_id"], pdf["text"])],
+            })
+
+    docs = _docs_raw(spark, sf_dir).select("doc_id", "text")
+    pages = docs.mapInPandas(gen, schema="doc_id long, vis string")
+
+    def grams3(df: DataFrame, arr_col) -> DataFrame:
+        return (
+            df.select("doc_id", arr_col.alias("t"))
+            .filter(F.size("t") >= 3)
+            .select("doc_id", F.explode(F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i + 1), F.element_at("t", i + 2),
+                    F.element_at("t", i + 3)),
+            )).alias("g"))
+            .select("doc_id", F.xxhash64("g").alias("h"))
+            .distinct()
+        )
+
+    pg = grams3(pages, F.split(F.trim("vis"), r"\s+"))
+    noise = F.array(*[
+        F.concat(F.lit(f"zzq{ch}"), (F.col("doc_id") % 7).cast("string"))
+        for ch in "abc"])
+    cap_toks = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.col("win"), noise)).otherwise(F.col("win"))
+    caps = (
+        docs.select(
+            "doc_id",
+            F.expr(f"slice(split(trim(text), '\\\\s+'), "
+                   f"int(doc_id % {_ALIGN_K_MOD}) + 1, {_ALIGN_WIN})")
+            .alias("win"))
+        .select("doc_id", cap_toks.alias("ct"))
+    )
+    cg = grams3(caps, F.col("ct"))
+    per = (
+        cg.join(pg.withColumn("hit", F.lit(1)), ["doc_id", "h"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_caption_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
+            .alias("n_matched"),
+        )
+    )
+    ratio = F.col("n_matched") / F.col("n_caption_grams")
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_caption_grams", F.lit(0)).cast("bigint")
+            .alias("n_caption_grams"),
+            F.coalesce("n_matched", F.lit(0)).cast("bigint")
+            .alias("n_matched"),
+            F.round(ratio, 6).alias("containment_r6"),
+            F.coalesce(ratio >= _ALIGN_THRESH, F.lit(False)).alias("aligned"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _NGRAM_LM_SQL = f"""
         WITH d AS (
             SELECT doc_id, lang, {_TOKS} AS ws FROM documents
@@ -3764,6 +4005,140 @@ ORACLES: dict[str, str] = {
                     ELSE length(t) - length(replace(t, ' ', '')) + 1 END
                     AS BIGINT) AS n_words
         FROM norm
+    """,
+    # phash rebuilt from the generator's closed pixel form (the Spark side
+    # REALLY decodes the PNG/BMP container); minhash is portable md5 so
+    # both engines derive identical signatures
+    "multimodal_pair_dedup": f"""
+        WITH gsel AS (
+            SELECT doc_id, doc_id % {_PAIR_IMG_MOD} AS g FROM documents
+        ), dims AS (
+            SELECT doc_id, g,
+                   4 + (7 * g) % 13 AS w, 4 + (11 * g) % 9 AS h
+            FROM gsel
+        ), cells AS (
+            SELECT doc_id,
+                   CAST(i * 4 + j AS INT) AS bit,
+                   ((g + 7 * ((i * h) // 4) + 13 * ((j * w) // 4)) % 256
+                    + (2 * g + 5 * ((i * h) // 4)
+                       + 11 * ((j * w) // 4)) % 256
+                    + (3 * g + 3 * ((i * h) // 4)
+                       + 17 * ((j * w) // 4)) % 256) AS lum
+            FROM dims,
+                 UNNEST(generate_series(0, 3)) u(i),
+                 UNNEST(generate_series(0, 3)) v(j)
+        ), tot AS (
+            SELECT doc_id, sum(lum) AS total FROM cells GROUP BY 1
+        ), ph AS (
+            SELECT c.doc_id,
+                   CAST(sum(CASE WHEN 16 * c.lum > t.total
+                                 THEN (CAST(1 AS BIGINT) << c.bit)
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM cells c JOIN tot t USING (doc_id) GROUP BY 1
+        ), cap AS (
+            SELECT d.doc_id,
+                   trim(concat_ws(' ',
+                        array_to_string(list_slice(
+                            string_split_regex(trim(lower(b.text)), '\\s+'),
+                            1, 15), ' '),
+                        'x' || CAST(d.doc_id % 3 AS VARCHAR))) AS caption
+            FROM documents d
+            JOIN documents b ON b.doc_id = d.doc_id % {_PAIR_CAP_MOD}
+        ), capt AS (
+            SELECT doc_id, string_split_regex(caption, '\\s+') AS t FROM cap
+        ), sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS s
+            FROM capt, UNNEST(generate_series(1, len(t) - 1)) u(i)
+            WHERE len(t) >= 2
+        ), hv AS (
+            SELECT doc_id, p,
+                   min(CAST(('0x' || substr(md5(CAST(p AS VARCHAR)
+                                                || ':' || s), 1, 15))
+                            AS BIGINT)) AS mh
+            FROM sh, UNNEST(generate_series(0, {_PAIR_MH_PERMS - 1})) pp(p)
+            GROUP BY 1, 2
+        ), sig AS (
+            SELECT doc_id,
+                   min(CASE WHEN p = 0 THEN mh END) AS m0,
+                   min(CASE WHEN p = 1 THEN mh END) AS m1,
+                   min(CASE WHEN p = 2 THEN mh END) AS m2,
+                   min(CASE WHEN p = 3 THEN mh END) AS m3,
+                   min(CASE WHEN p = 4 THEN mh END) AS m4,
+                   min(CASE WHEN p = 5 THEN mh END) AS m5
+            FROM hv GROUP BY 1
+        ), bands AS (
+            SELECT doc_id, b,
+                   md5(CAST(CASE WHEN b = 0 THEN m0 WHEN b = 1 THEN m2
+                                 ELSE m4 END AS VARCHAR) || ':' ||
+                       CAST(CASE WHEN b = 0 THEN m1 WHEN b = 1 THEN m3
+                                 ELSE m5 END AS VARCHAR)) AS bh
+            FROM sig, UNNEST(generate_series(0, 2)) bb(b)
+        ), band_min AS (
+            SELECT b, bh, min(doc_id) AS mn FROM bands GROUP BY 1, 2
+        ), capmin AS (
+            SELECT bands.doc_id, min(band_min.mn) AS cap_min
+            FROM bands JOIN band_min USING (b, bh) GROUP BY 1
+        ), img_min AS (
+            SELECT phash, min(doc_id) AS img_min FROM ph GROUP BY 1
+        )
+        SELECT p.doc_id, p.phash,
+               CAST(i.img_min AS BIGINT) AS img_min,
+               CAST(coalesce(c.cap_min, p.doc_id) AS BIGINT) AS cap_min,
+               p.doc_id = least(i.img_min,
+                                coalesce(c.cap_min, p.doc_id)) AS keep
+        FROM ph p
+        JOIN img_min i USING (phash)
+        LEFT JOIN capmin c ON c.doc_id = p.doc_id
+        ORDER BY p.doc_id
+    """,
+    # the page's visible text is exactly the whitespace-normalized source
+    # text (html_extract_visible_text pins that md5-exactly), so the
+    # oracle grams the source directly while Spark grams the REAL
+    # parser-extracted copy
+    "multimodal_caption_alignment": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS ws FROM documents
+        ), capt AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0 THEN
+                       list_concat(
+                           list_slice(ws, doc_id % {_ALIGN_K_MOD} + 1,
+                                      doc_id % {_ALIGN_K_MOD}
+                                      + {_ALIGN_WIN}),
+                           ['zzqa' || CAST(doc_id % 7 AS VARCHAR),
+                            'zzqb' || CAST(doc_id % 7 AS VARCHAR),
+                            'zzqc' || CAST(doc_id % 7 AS VARCHAR)])
+                   ELSE list_slice(ws, doc_id % {_ALIGN_K_MOD} + 1,
+                                   doc_id % {_ALIGN_K_MOD} + {_ALIGN_WIN})
+                   END AS ct
+            FROM t
+        ), cg AS (
+            SELECT DISTINCT doc_id,
+                   ct[i] || ' ' || ct[i + 1] || ' ' || ct[i + 2] AS g
+            FROM capt, UNNEST(generate_series(1, len(ct) - 2)) u(i)
+            WHERE len(ct) >= 3
+        ), pg AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+            FROM t, UNNEST(generate_series(1, len(ws) - 2)) u(i)
+            WHERE len(ws) >= 3
+        ), per AS (
+            SELECT cg.doc_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN pg.g IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS m
+            FROM cg LEFT JOIN pg
+                ON cg.doc_id = pg.doc_id AND cg.g = pg.g
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(per.n, 0) AS BIGINT) AS n_caption_grams,
+               CAST(coalesce(per.m, 0) AS BIGINT) AS n_matched,
+               round(CAST(per.m AS DOUBLE) / per.n, 6) AS containment_r6,
+               coalesce(CAST(per.m AS DOUBLE) / per.n
+                        >= {_ALIGN_THRESH}, false) AS aligned
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        ORDER BY d.doc_id
     """,
     "multimodal_pixel_decode": f"""
         WITH {_PX_CTE}
@@ -5607,6 +5982,8 @@ QUERIES = {
     "multimodal_image_headers": multimodal_image_headers,
     "multimodal_wav_headers": multimodal_wav_headers,
     "html_extract_visible_text": html_extract_visible_text,
+    "multimodal_pair_dedup": multimodal_pair_dedup,
+    "multimodal_caption_alignment": multimodal_caption_alignment,
     "multimodal_pixel_decode": multimodal_pixel_decode,
     "multimodal_resize_nearest": multimodal_resize_nearest,
     "multimodal_wav_pcm_decode": multimodal_wav_pcm_decode,

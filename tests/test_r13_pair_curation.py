@@ -1,0 +1,131 @@
+"""Round-13 image-text pair curation gates (queries/llmops.py):
+
+- multimodal_pair_dedup: REAL-decode perceptual phash × portable-md5
+  caption MinHash bands, keyed union of both gates
+- multimodal_caption_alignment: caption 3-gram containment vs the REAL
+  html-extracted page copy
+- functions/multimodal.py::perceptual_phash kernel properties
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+_SF = "/root/testdata/sf0.001"
+
+
+def test_perceptual_phash_matches_closed_form(spark):
+    """The REAL decode path (PNG and BMP, interlaced/top-down variants)
+    must reproduce the generator's closed-form average-hash."""
+    from dbt_spark.functions.multimodal import (_make_pixel_codecs,
+                                                perceptual_phash)
+    from dbt_spark.queries.llmops import _PAIR_IMG_MOD, _pair_blob_gen
+
+    codecs = _make_pixel_codecs()
+    ids = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    blobs = ids.mapInPandas(_pair_blob_gen((codecs[0], codecs[2])),
+                            schema="doc_id long, payload binary")
+    got = {r["doc_id"]: (r["width"], r["height"], r["phash"])
+           for r in perceptual_phash(blobs).collect()}
+
+    def expect(d):
+        g = d % _PAIR_IMG_MOD
+        w, h = 4 + (7 * g) % 13, 4 + (11 * g) % 9
+        lum = []
+        for i in range(4):
+            r = i * h // 4
+            for j in range(4):
+                c = j * w // 4
+                lum.append(((g + 7 * r + 13 * c) % 256)
+                           + ((2 * g + 5 * r + 11 * c) % 256)
+                           + ((3 * g + 3 * r + 17 * c) % 256))
+        total = sum(lum)
+        ph = 0
+        for bit, v in enumerate(lum):
+            if 16 * v > total:
+                ph |= 1 << bit
+        return (w, h, ph)
+
+    for d in range(120):
+        assert got[d] == expect(d), f"doc {d}"
+
+
+def test_pair_dedup_collapses_planted_image_groups(spark):
+    from dbt_spark.queries.llmops import _PAIR_IMG_MOD, multimodal_pair_dedup
+
+    rows = multimodal_pair_dedup(spark, _SF).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) == 500
+    # pairs in the same image group share a phash, and the group's min
+    # doc_id is the img_min for every member
+    groups: dict[int, list] = {}
+    for r in rows:
+        groups.setdefault(r["doc_id"] % _PAIR_IMG_MOD, []).append(r)
+    for g, members in groups.items():
+        phashes = {m["phash"] for m in members}
+        assert len(phashes) == 1, f"group {g} split phashes"
+    # img_min is the min doc_id of the PHASH group (distinct planted
+    # groups may legitimately merge on a 16-bit perceptual collision)
+    ph_groups: dict[int, list] = {}
+    for r in rows:
+        ph_groups.setdefault(r["phash"], []).append(r)
+    for members in ph_groups.values():
+        lead = min(m["doc_id"] for m in members)
+        assert all(m["img_min"] == lead for m in members)
+    # keep semantics: kept rows are exactly those equal to their own
+    # least(img_min, cap_min); a dropped row names a smaller keeper
+    for r in rows:
+        lead = min(r["img_min"], r["cap_min"])
+        assert r["keep"] == (r["doc_id"] == lead)
+        if not r["keep"]:
+            assert lead < r["doc_id"] and lead in by_id
+    # both gates actually fire: some drop through the image gate alone
+    # and some through the caption gate alone
+    img_only = [r for r in rows
+                if r["img_min"] < r["doc_id"] <= r["cap_min"]]
+    cap_only = [r for r in rows
+                if r["cap_min"] < r["doc_id"] <= r["img_min"]]
+    assert img_only and cap_only
+
+
+def test_pair_dedup_deterministic(spark):
+    from dbt_spark.queries.llmops import multimodal_pair_dedup
+
+    a = [tuple(r) for r in multimodal_pair_dedup(spark, _SF).collect()]
+    b = [tuple(r) for r in multimodal_pair_dedup(spark, _SF).collect()]
+    assert a == b
+
+
+def test_caption_alignment_flags_planted_noise_only(spark):
+    from dbt_spark.queries.llmops import multimodal_caption_alignment
+
+    rows = multimodal_caption_alignment(spark, _SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        if r["n_caption_grams"] == 0:
+            assert not r["aligned"] and r["containment_r6"] is None
+            continue
+        assert 0.0 <= r["containment_r6"] <= 1.0
+        if r["doc_id"] % 4 == 0:
+            # planted off-page noise tokens: gram containment must drop
+            # below the threshold (3 noise tokens taint >=3 of <=13 grams)
+            assert not r["aligned"], r
+        else:
+            # clean captions are consecutive windows of the page copy —
+            # every 3-gram is on the page
+            assert r["n_matched"] == r["n_caption_grams"], r
+            assert r["aligned"]
+
+
+def test_caption_alignment_noise_grams_counted(spark):
+    """Noise pairs keep their full gram count (the audit reports the
+    denominator, it doesn't silently drop tainted grams)."""
+    from dbt_spark.queries.llmops import multimodal_caption_alignment
+
+    rows = multimodal_caption_alignment(spark, _SF).collect()
+    noisy = [r for r in rows
+             if r["doc_id"] % 4 == 0 and r["n_caption_grams"] > 3]
+    assert noisy
+    for r in noisy:
+        assert r["n_matched"] < r["n_caption_grams"]
