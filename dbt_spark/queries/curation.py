@@ -552,9 +552,7 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark.functions.graph_stats import canonical_edges, triangle_stats
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    pairs = a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+    pairs = _basket_pairs(li)
     edges = canonical_edges(pairs, "pa", "pb")
     return (
         triangle_stats(edges)
@@ -583,9 +581,7 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark.functions.graph_stats import canonical_edges, pagerank
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    pairs = a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+    pairs = _basket_pairs(li)
     edges = canonical_edges(pairs, "pa", "pb")
     r = pagerank(edges, iterations=4, damping=0.85)
     return (
@@ -816,6 +812,38 @@ def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: basket-pair fan-out guard: per-order DISTINCT items are capped at the
+#: N smallest part keys before the self-join, so a pathological giant
+#: basket (10k items in one order) contributes C(cap,2) pairs instead of
+#: squaring a task. Semantics documented: baskets beyond the cap co-occur
+#: only among their `cap` smallest parts — the bounded-degree projection
+#: every production co-occurrence graph applies. TPC-H baskets are <= 7
+#: items, so the cap is non-binding at every checked SF (oracle applies
+#: the identical cap).
+_BASKET_CAP = 256
+
+
+def _basket_pairs(li: DataFrame, cap: int = _BASKET_CAP) -> DataFrame:
+    """Capped per-order co-purchase pairs: DISTINCT (order, part) items,
+    the `cap` smallest part keys per order, self-joined within the order.
+    One shuffle keys the window AND the self-join on l_orderkey; the
+    row_number is order-partitioned (never global)."""
+    from pyspark.sql import Window
+
+    items = (
+        li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pk"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("ok").orderBy("pk")))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    a = items.select("ok", F.col("pk").alias("pa"))
+    b = items.select("ok", F.col("pk").alias("pb"))
+    return a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+
+
 def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80-core of the co-purchase graph by six fixed peeling rounds
     (functions/graph_stats.py::kcore_peel) — the dense-cluster extractor
@@ -823,15 +851,15 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors also has >= k core neighbors). Six rounds exceed the peel
     depth at the checked scale (pytest proves rounds 5 and 6 agree =
     true k-core); the fixed count keeps both engines' plans identical.
-    Output: core size + degree histogram stats per surviving node,
-    top-20 by (degree desc, node). Oracle: the SAME six rounds unrolled
-    as MATERIALIZED CTE levels."""
+    Pair generation is basket-capped (_BASKET_CAP) so one giant
+    order cannot square a task — see _basket_pairs. Output: core size +
+    degree histogram stats per surviving node, top-20 by (degree desc,
+    node). Oracle: the SAME cap + six rounds unrolled as MATERIALIZED
+    CTE levels."""
     from dbt_spark.functions.graph_stats import canonical_edges, kcore_peel
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    pairs = a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+    pairs = _basket_pairs(li)
     edges = canonical_edges(pairs, "pa", "pb")
     core = kcore_peel(edges, k=80, rounds=6)
     return (
@@ -855,11 +883,17 @@ def _kcore_oracle_sql(k: int = 80, rounds: int = 6) -> str:
             JOIN keep{r} k2 ON e.v = k2.node
         )""")
     return f"""
-        WITH e0 AS MATERIALIZED (
-            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-                            greatest(a.l_partkey, b.l_partkey) AS v
-            FROM lineitem a JOIN lineitem b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WITH items AS MATERIALIZED (
+            SELECT ok, pk FROM (
+                SELECT l_orderkey AS ok, l_partkey AS pk,
+                       row_number() OVER (PARTITION BY l_orderkey
+                                          ORDER BY l_partkey) AS rn
+                FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            ) WHERE rn <= {_BASKET_CAP}
+        ), e0 AS MATERIALIZED (
+            SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM items a JOIN items b
+              ON a.ok = b.ok AND a.pk < b.pk
         ), {", ".join(lvls)}
         SELECT node AS part_id, CAST(count(*) AS BIGINT) AS core_degree
         FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
@@ -954,11 +988,16 @@ def _pagerank_oracle_sql(iterations: int = 4, damping: float = 0.85) -> str:
         )"""
         )
     return f"""
-        WITH e AS MATERIALIZED (
-            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-                            greatest(a.l_partkey, b.l_partkey) AS v
-            FROM lineitem a JOIN lineitem b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WITH items AS MATERIALIZED (
+            SELECT ok, pk FROM (
+                SELECT l_orderkey AS ok, l_partkey AS pk,
+                       row_number() OVER (PARTITION BY l_orderkey
+                                          ORDER BY l_partkey) AS rn
+                FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            ) WHERE rn <= {_BASKET_CAP}
+        ), e AS MATERIALIZED (
+            SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
         ), d AS MATERIALIZED (
             SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
         ), deg AS MATERIALIZED (
@@ -1168,12 +1207,17 @@ ORACLES: dict[str, str] = {
         FROM counts c JOIN tot t USING (prev_type)
         ORDER BY c.prev_type, c.next_type
     """,
-    "copurchase_triangle_stats": """
-        WITH e AS (
-            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-                            greatest(a.l_partkey, b.l_partkey) AS v
-            FROM lineitem a JOIN lineitem b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    "copurchase_triangle_stats": f"""
+        WITH items AS MATERIALIZED (
+            SELECT ok, pk FROM (
+                SELECT l_orderkey AS ok, l_partkey AS pk,
+                       row_number() OVER (PARTITION BY l_orderkey
+                                          ORDER BY l_partkey) AS rn
+                FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            ) WHERE rn <= {_BASKET_CAP}
+        ), e AS (
+            SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
         ),
         deg AS (
             SELECT node, count(*) AS degree FROM (

@@ -129,3 +129,25 @@ def test_caption_alignment_noise_grams_counted(spark):
     assert noisy
     for r in noisy:
         assert r["n_matched"] < r["n_caption_grams"]
+
+
+def test_basket_pairs_caps_pathological_order(spark):
+    """Adversarial co-purchase basket: one 10k-item order must contribute
+    C(cap,2) pairs over its cap smallest part keys — not C(10k,2) —
+    while normal baskets are untouched (r12 VERDICT directive #6)."""
+    from dbt_spark.queries.curation import _BASKET_CAP, _basket_pairs
+
+    big = [(1, p) for p in range(10_000)]
+    small = [(2, p) for p in (7, 3, 11)] + [(3, 42), (3, 42), (3, 7)]
+    li = spark.createDataFrame(big + small, "l_orderkey long, l_partkey long")
+    pairs = _basket_pairs(li).collect()
+    by_ok = {}
+    for r in pairs:
+        by_ok.setdefault(r["ok"], []).append((r["pa"], r["pb"]))
+    cap = _BASKET_CAP
+    assert len(by_ok[1]) == cap * (cap - 1) // 2
+    # only the cap smallest part keys survive the giant basket
+    assert max(max(p) for p in by_ok[1]) == cap - 1
+    assert sorted(by_ok[2]) == [(3, 7), (3, 11), (7, 11)]
+    # duplicate (order, part) rows collapse before pairing
+    assert sorted(by_ok[3]) == [(7, 42)]
