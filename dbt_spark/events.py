@@ -294,6 +294,10 @@ class EventBus:
         # limit): roll dbt.log -> dbt.log.1 before exceeding the cap
         self.max_bytes = int(max_bytes or 0)
         self.invocation_id = str(uuid.uuid4())
+        # stamped once per invocation; artifacts carry it as
+        # metadata.invocation_started_at (1.10, reference
+        # artifacts/schemas/base.py:58-62 get_invocation_started_at)
+        self.invocation_started_at = datetime.now(timezone.utc).isoformat()
         self.callbacks: list[Callable[[Event], None]] = []
         self._lock = threading.Lock()
         self._pb_write = None

@@ -131,6 +131,9 @@ class ManifestNode:
     refs: list[tuple] = field(default_factory=list)
     sources: list[tuple[str, str]] = field(default_factory=list)
     description: str = ""
+    # unique_ids of {{ doc() }} references resolved from the description
+    # (1.10 doc_blocks, reference manifest.py:1662-1697)
+    doc_blocks: list[str] = field(default_factory=list)
     columns: dict[str, dict] = field(default_factory=dict)
     # raw (pre-render) schema-YAML config values, where the patch carried
     # them — the comparand for state_modified_compare_more_unrendered_values
@@ -192,6 +195,11 @@ class Manifest:
     # project+CLI vars active at parse time — written into metadata.env so
     # state_modified_compare_vars can diff them (reference ProjectFlags)
     vars: dict[str, Any] = field(default_factory=dict)
+    # invocation identity stamped by the engine before artifact writes
+    # (metadata.invocation_id + 1.10 metadata.invocation_started_at,
+    # reference artifacts/schemas/base.py:58-62)
+    invocation_id: Optional[str] = None
+    invocation_started_at: Optional[str] = None
     # project-level `dispatch:` config (list of {macro_namespace,
     # search_order}) + installed package names — adapter.dispatch search
     # order inputs (core/dbt/config/project.py:775 get_macro_search_order,
@@ -278,6 +286,7 @@ class Manifest:
                     else {"macros": [], "nodes": n.depends_on}
                 ),
                 "description": n.description,
+                "doc_blocks": list(n.doc_blocks),
                 "tags": list(n.config.tags),
                 "meta": n.config.meta,
                 "unrendered_config": dict(n.unrendered_config),
@@ -302,6 +311,7 @@ class Manifest:
                         "description": str(spec.get("description", "")),
                         "data_type": spec.get("data_type"),
                         "constraints": spec.get("constraints") or [],
+                        "doc_blocks": list(spec.get("doc_blocks") or []),
                     }
                     for name, spec in n.columns.items()
                 }
@@ -341,6 +351,7 @@ class Manifest:
                 "loader": "",
                 "identifier": n.identifier or n.name,
                 "description": n.description,
+                "doc_blocks": list(n.doc_blocks),
                 "config": _config(n),
                 "meta": n.config.meta,
                 "tags": list(n.config.tags),
@@ -570,6 +581,8 @@ class Manifest:
                 "dbt_schema_version": "https://schemas.getdbt.com/dbt/manifest/v12.json",
                 "dbt_version": "1.10.0",
                 "generated_at": datetime.now(timezone.utc).isoformat(),
+                "invocation_id": self.invocation_id,
+                "invocation_started_at": self.invocation_started_at,
                 "project_name": self.project_name,
                 "adapter_type": "spark",
                 # env is a string->string map in the published v12 schema;

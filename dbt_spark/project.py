@@ -846,6 +846,10 @@ def _parse_sources(doc: dict, project: Project, manifest: Manifest, rel: str) ->
                 freshness=table.get("freshness", src.get("freshness", {})) or {},
                 fqn=[project.name, src_name, tbl_name],
             )
+            node.doc_blocks = _doc_refs(
+                table.get("description", ""), manifest)
+            node.description = _render_description(
+                table.get("description", ""), manifest)
             node.config.meta["location"] = table.get("meta", {}).get(
                 "location", src.get("meta", {}).get("location")
             )
@@ -1006,6 +1010,7 @@ def _parse_model_patches(doc: dict, project: Project, manifest: Manifest,
                             ventry["deprecation_date"])
             if node is None:
                 continue
+            node.doc_blocks = _doc_refs(patch.get("description", ""), manifest)
             node.description = _render_description(
                 patch.get("description", ""), manifest
             )
@@ -1059,6 +1064,13 @@ def _parse_model_patches(doc: dict, project: Project, manifest: Manifest,
                     "build_after": {"count": count, "period": period,
                                     "depends_on": dep}}
             for col in patch.get("columns", []) or []:
+                col = dict(col)
+                # per-column doc_blocks + rendered description
+                # (reference _process_docs_for_node, manifest.py:1709-1711)
+                col["doc_blocks"] = _doc_refs(
+                    col.get("description", ""), manifest)
+                col["description"] = _render_description(
+                    col.get("description", ""), manifest)
                 node.columns[col["name"]] = col
             if node.config.meta.get("time_spine"):
                 # the reference validates at parse: the standard granularity
@@ -1218,6 +1230,31 @@ def _render_description(text: str, manifest: Manifest) -> str:
         )
     except jinja2.TemplateError:
         return text
+
+
+def _doc_refs(text: str, manifest: Manifest) -> list[str]:
+    """doc_blocks for a description: unique_ids of every resolving
+    {{ doc('name') }} reference, in order of appearance (reference
+    _get_doc_blocks, core/dbt/parser/manifest.py:1662-1697 — appended per
+    occurrence, 1.10 feature Features-20250122-170328). Unresolvable
+    names are skipped, like the reference's resolve_doc None branch."""
+    if not text or "{{" not in text:
+        return []
+    found: list[str] = []
+
+    def _doc(*args: str) -> str:
+        name = args[-1]
+        if name in manifest.docs:
+            found.append(f"doc.{manifest.project_name}.{name}")
+        return manifest.docs.get(name, "")
+
+    try:
+        import jinja2
+
+        jinja2.Environment().from_string(text).render(doc=_doc)
+    except jinja2.TemplateError:
+        return []
+    return found
 
 
 def _parse_unit_tests(doc: dict, project: Project, manifest: Manifest, rel: str) -> None:

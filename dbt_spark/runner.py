@@ -177,6 +177,9 @@ class Engine:
         self._check_semantic_deprecations()
         if getattr(self, "_write_json", True):
             # --no-write-json skips artifact writes (cli/params.py:759)
+            self.manifest.invocation_id = self.events.invocation_id
+            self.manifest.invocation_started_at = (
+                self.events.invocation_started_at)
             self.manifest.write(os.path.join(target_dir, "manifest.json"))
             # the reference writes semantic_manifest.json beside it when
             # the project carries semantic nodes (parser/manifest.py:2088)
@@ -1318,6 +1321,9 @@ class Engine:
                 "dbt_version": DBT_VERSION,
                 "generated_at": datetime.now(timezone.utc).isoformat(),
                 "invocation_id": _INVOCATION_ID,
+                # 1.10 field, present in the published catalog v1 schema
+                # (run-results v5 predates it, so that artifact omits it)
+                "invocation_started_at": self.events.invocation_started_at,
                 "env": {"generator": "dbt_spark"},
             },
             "nodes": nodes_cat,
