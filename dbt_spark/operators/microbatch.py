@@ -287,9 +287,13 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
     # skips its own once-per-node loops for microbatch models.
     hooks = getattr(ctx, "microbatch_hooks", None) or {}
 
+    def _bc(batch: Batch) -> BatchContext:
+        return BatchContext(id=batch.batch_id, event_time_start=batch.start,
+                            event_time_end=batch.end)
+
     def safe(batch: Batch, idx: int) -> Optional[Relation]:
         if idx == 0 and hooks.get("pre"):
-            hooks["pre"]()
+            hooks["pre"](_bc(batch))
         try:
             r = run_one(batch, idx)
             succeeded.append(batch)
@@ -299,7 +303,7 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
             return None
         finally:
             if idx == len(batches) - 1 and hooks.get("post"):
-                hooks["post"]()
+                hooks["post"](_bc(batch))
 
     if len(batches) > 2 and concurrent_ok:
         from concurrent.futures import ThreadPoolExecutor

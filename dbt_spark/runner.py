@@ -1906,13 +1906,15 @@ class Engine:
         )
         if is_microbatch:
             ctx.microbatch_hooks = {
-                "pre": lambda: [
-                    ctx.execute_sql(self._render_hook(ctx, node, h),
-                                    node=node, artifact=False)
+                "pre": lambda batch=None: [
+                    ctx.execute_sql(
+                        self._render_hook(ctx, node, h, batch=batch),
+                        node=node, artifact=False)
                     for h in node.config.pre_hook],
-                "post": lambda: [
-                    ctx.execute_sql(self._render_hook(ctx, node, h),
-                                    node=node, artifact=False)
+                "post": lambda batch=None: [
+                    ctx.execute_sql(
+                        self._render_hook(ctx, node, h, batch=batch),
+                        node=node, artifact=False)
                     for h in node.config.post_hook],
             }
         else:
@@ -2212,7 +2214,8 @@ class Engine:
         )
         return self.spark.sql(sql)
 
-    def _render_hook(self, ctx: ExecutionContext, node: ManifestNode, hook: str) -> str:
+    def _render_hook(self, ctx: ExecutionContext, node: ManifestNode,
+                     hook: str, batch=None) -> str:
         from dbt_spark.plans.compile import runtime_render
 
         hook_node = ManifestNode(
@@ -2233,6 +2236,10 @@ class Engine:
             full_refresh=ctx.full_refresh,
             var_overrides={**ctx.project.vars, **ctx.vars},
             target=dict(ctx.project.profile),
+            # microbatch first/last-batch hooks see {{ model.batch }} like
+            # the reference's batch runner (hooks compile on the node copy
+            # whose .batch is set, task/run.py:354,829-833)
+            batch=batch,
         )
 
     def _persist_docs(self, ctx: ExecutionContext, node: ManifestNode) -> None:

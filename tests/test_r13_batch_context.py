@@ -162,3 +162,35 @@ def test_non_microbatch_hooks_unchanged(project_dir, spark):
         assert tags == ["post", "pre"], tags
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_microbatch_hooks_see_model_batch(project_dir, spark):
+    """Hook SQL renders {{ model.batch.* }} of the batch it fires with:
+    pre_hook sees the FIRST batch, post_hook the LAST (the reference's
+    batch runner compiles hooks on the node copy whose .batch is set)."""
+    tbl = "hook_log_r13_batchctx"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"CREATE TABLE {tbl} (tag STRING, bid STRING) USING parquet")
+    try:
+        files = {
+            "dbt_project.yml": "name: mbhookctx\n",
+            "seeds/stream.csv": STREAM_CSV,
+            "models/target.sql": (
+                "{{ config(materialized='incremental', "
+                "incremental_strategy='microbatch', event_time='ts', "
+                "batch_size='day', begin='2020-01-01', "
+                f"pre_hook=\"INSERT INTO {tbl} VALUES "
+                "('pre', '{{ model.batch.id }}')\", "
+                f"post_hook=\"INSERT INTO {tbl} VALUES "
+                "('post', '{{ model.batch.id }}')\") }}\n"
+                "select id, ts, val from {{ ref('stream') }}"
+            ),
+        }
+        eng = Engine(project_dir(files), spark=spark)
+        assert eng.invoke(["seed"]).success
+        r = eng.invoke(["run"], now=datetime(2020, 1, 3, 12))  # 3 batches
+        assert r.success, [x.message for x in r.results]
+        got = {x["tag"]: x["bid"] for x in spark.table(tbl).collect()}
+        assert got == {"pre": "20200101T000000", "post": "20200103T000000"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
