@@ -229,6 +229,7 @@ EXTENDED = [
     "vocab_coverage_curve",  # top-k occurrence coverage checkpoints
     "kmv_theta_set_ops",  # bottom-k theta sketches: union/intersection estimates
     "stream_kmv_cardinality",  # cross-batch bottom-k merge (value-paired streaming)
+    "stream_pair_phash_dedup",  # r13 in-stream REAL-decode image dedup (value-paired)
     "embedding_pca_power_iteration",  # integer-exact distributed power iteration
     "embedding_quality_audit",  # norm/NaN/zero gate before index builds
     "bitext_margin_mine",  # Artetxe-Schwenk ratio-margin pair mining

@@ -3535,6 +3535,36 @@ _PAIR_IMG_MOD = 97
 _PAIR_CAP_MOD = 89
 _PAIR_MH_PERMS = 6   # portable-md5 minhash permutations (3 bands × 2 rows)
 
+#: closed-form DuckDB twin of the pair fixture's REAL-decode phash chain
+#: (gsel -> dims -> cells -> tot -> ph); shared by the batch pair-dedup
+#: oracle and the streaming ingest twin so one formula pins both
+_PAIR_PHASH_CTE = f"""gsel AS (
+            SELECT doc_id, doc_id % {_PAIR_IMG_MOD} AS g FROM documents
+        ), dims AS (
+            SELECT doc_id, g,
+                   4 + (7 * g) % 13 AS w, 4 + (11 * g) % 9 AS h
+            FROM gsel
+        ), cells AS (
+            SELECT doc_id,
+                   CAST(i * 4 + j AS INT) AS bit,
+                   ((g + 7 * ((i * h) // 4) + 13 * ((j * w) // 4)) % 256
+                    + (2 * g + 5 * ((i * h) // 4)
+                       + 11 * ((j * w) // 4)) % 256
+                    + (3 * g + 3 * ((i * h) // 4)
+                       + 17 * ((j * w) // 4)) % 256) AS lum
+            FROM dims,
+                 UNNEST(generate_series(0, 3)) u(i),
+                 UNNEST(generate_series(0, 3)) v(j)
+        ), tot AS (
+            SELECT doc_id, sum(lum) AS total FROM cells GROUP BY 1
+        ), ph AS (
+            SELECT c.doc_id,
+                   CAST(sum(CASE WHEN 16 * c.lum > t.total
+                                 THEN (CAST(1 AS BIGINT) << c.bit)
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM cells c JOIN tot t USING (doc_id) GROUP BY 1
+        )"""
+
 
 def _pair_blob_gen(builders):
     """Image half of the image-text pair fixture: genuine PNG (even group;
@@ -4010,32 +4040,7 @@ ORACLES: dict[str, str] = {
     # REALLY decodes the PNG/BMP container); minhash is portable md5 so
     # both engines derive identical signatures
     "multimodal_pair_dedup": f"""
-        WITH gsel AS (
-            SELECT doc_id, doc_id % {_PAIR_IMG_MOD} AS g FROM documents
-        ), dims AS (
-            SELECT doc_id, g,
-                   4 + (7 * g) % 13 AS w, 4 + (11 * g) % 9 AS h
-            FROM gsel
-        ), cells AS (
-            SELECT doc_id,
-                   CAST(i * 4 + j AS INT) AS bit,
-                   ((g + 7 * ((i * h) // 4) + 13 * ((j * w) // 4)) % 256
-                    + (2 * g + 5 * ((i * h) // 4)
-                       + 11 * ((j * w) // 4)) % 256
-                    + (3 * g + 3 * ((i * h) // 4)
-                       + 17 * ((j * w) // 4)) % 256) AS lum
-            FROM dims,
-                 UNNEST(generate_series(0, 3)) u(i),
-                 UNNEST(generate_series(0, 3)) v(j)
-        ), tot AS (
-            SELECT doc_id, sum(lum) AS total FROM cells GROUP BY 1
-        ), ph AS (
-            SELECT c.doc_id,
-                   CAST(sum(CASE WHEN 16 * c.lum > t.total
-                                 THEN (CAST(1 AS BIGINT) << c.bit)
-                                 ELSE 0 END) AS BIGINT) AS phash
-            FROM cells c JOIN tot t USING (doc_id) GROUP BY 1
-        ), cap AS (
+        WITH {_PAIR_PHASH_CTE}, cap AS (
             SELECT d.doc_id,
                    trim(concat_ws(' ',
                         array_to_string(list_slice(

