@@ -3760,10 +3760,13 @@ def multimodal_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap_toks = F.when(
         F.col("doc_id") % 4 == 0,
         F.concat(F.col("win"), noise)).otherwise(F.col("win"))
+    # filter(x != ''): an empty document must yield an EMPTY window, not a
+    # phantom '' token (split of '' is ['']) — caught by the r13 fuzz
     caps = (
         docs.select(
             "doc_id",
-            F.expr(f"slice(split(trim(text), '\\\\s+'), "
+            F.expr(f"slice(filter(split(trim(text), '\\\\s+'), "
+                   f"x -> x != ''), "
                    f"int(doc_id % {_ALIGN_K_MOD}) + 1, {_ALIGN_WIN})")
             .alias("win"))
         .select("doc_id", cap_toks.alias("ct"))
@@ -4103,20 +4106,23 @@ ORACLES: dict[str, str] = {
     "multimodal_caption_alignment": f"""
         WITH t AS (
             SELECT doc_id, {_TOKS} AS ws FROM documents
+        ), tf AS (
+            -- empty docs yield an EMPTY window, not a phantom '' token
+            SELECT doc_id, ws, list_filter(ws, x -> x <> '') AS wf FROM t
         ), capt AS (
             SELECT doc_id,
                    CASE WHEN doc_id % 4 = 0 THEN
                        list_concat(
-                           list_slice(ws, doc_id % {_ALIGN_K_MOD} + 1,
+                           list_slice(wf, doc_id % {_ALIGN_K_MOD} + 1,
                                       doc_id % {_ALIGN_K_MOD}
                                       + {_ALIGN_WIN}),
                            ['zzqa' || CAST(doc_id % 7 AS VARCHAR),
                             'zzqb' || CAST(doc_id % 7 AS VARCHAR),
                             'zzqc' || CAST(doc_id % 7 AS VARCHAR)])
-                   ELSE list_slice(ws, doc_id % {_ALIGN_K_MOD} + 1,
+                   ELSE list_slice(wf, doc_id % {_ALIGN_K_MOD} + 1,
                                    doc_id % {_ALIGN_K_MOD} + {_ALIGN_WIN})
                    END AS ct
-            FROM t
+            FROM tf
         ), cg AS (
             SELECT DISTINCT doc_id,
                    ct[i] || ' ' || ct[i + 1] || ' ' || ct[i + 2] AS g
