@@ -59,6 +59,8 @@ EVENT_CODES: dict[str, tuple[str, str]] = {
     "MFCumulativeTypeParamsDeprecation": ("D019", "warn"),  # types.py:479
     "MicrobatchMacroOutsideOfBatchesDeprecation": ("D020", "warn"),  # types.py:490
     "DeprecatedReference": ("I067", "warn"),      # types.py:871
+    "MicrobatchModelNoEventTimeInputs": ("I074", "warn"),  # types.py:957
+    "InvalidConcurrentBatchesConfig": ("I075", "warn"),    # types.py:970
     "NoNodesForSelectionCriteria": ("M030", "warn"),   # types.py:1203
     "LogFreshnessResult": ("Q018", "info"),       # types.py:1439 (DynamicLevel)
     "RunResultWarning": ("Z021", "warn"),         # types.py:1935
@@ -107,6 +109,18 @@ _MSG: dict[str, Callable[[dict[str, Any]], str]] = {
     ),
     "SpacesInResourceNameDeprecation": lambda d: (
         f"Found spaces in the name of `{d.get('unique_id')}`"
+    ),
+    "MicrobatchModelNoEventTimeInputs": lambda d: (
+        f"The microbatch model '{d.get('model_name', '')}' has no 'ref' or "
+        "'source' input with an 'event_time' configuration. This means no "
+        "filtering can be applied and can result in unexpected duplicate "
+        "records in the resulting microbatch model."
+    ),
+    "InvalidConcurrentBatchesConfig": lambda d: (
+        f"Found {d.get('num_models', 0)} microbatch model(s) with the "
+        "`concurrent_batches` config set to true, but the model cannot run "
+        "batches concurrently (it reads {{ this }} or is unpartitioned). "
+        "Batches will be run sequentially."
     ),
     "SourceFreshnessProjectHooksNotRun": lambda d: (
         "In a future version of dbt, the `source freshness` command will "

@@ -173,6 +173,7 @@ class Engine:
             cache.save(cache_path, env_vars=seen_env)
         self._resolve_fk_constraint_refs()
         self._check_model_deprecations()
+        self._check_microbatch_inputs()
         self._check_resource_names()
         self._check_semantic_deprecations()
         if getattr(self, "_write_json", True):
@@ -306,6 +307,67 @@ class Engine:
                     warn_error=getattr(self, "_warn_error", False),
                     options=getattr(self, "_warn_error_options", None),
                 )
+
+    def _check_microbatch_inputs(self) -> None:
+        """Parse-time microbatch input validation (reference
+        check_microbatch_model_has_a_filtered_input +
+        check_forcing_batch_concurrency,
+        core/dbt/parser/manifest.py:1478-1520):
+
+        - a microbatch model none of whose inputs carries an event_time
+          config gets NO upstream filtering — warn I074 (always fired,
+          Fixes-20241209-113806);
+        - a non-bool event_time on an input is a parse error;
+        - concurrent_batches: true on a model that cannot run batches
+          concurrently here (reads ``{{ this }}`` or is unpartitioned —
+          operators/microbatch.py's should_run_in_parallel analog) warns
+          I075 once with the model count."""
+        if getattr(self, "events", None) is None:
+            return
+        weo = getattr(self, "_warn_error_options", None)
+        we = getattr(self, "_warn_error", False)
+        forcing = 0
+        for node in self.manifest.nodes.values():
+            if (node.resource_type != NodeType.Model
+                    or node.get_materialization() != "incremental"
+                    or (node.config.incremental_strategy or "append")
+                    != "microbatch"):
+                continue
+            has_filtered_input = False
+            for dep_uid in node.depends_on:
+                dep = (self.manifest.nodes.get(dep_uid)
+                       or self.manifest.sources.get(dep_uid))
+                if dep is None:
+                    continue
+                et = dep.config.event_time or (
+                    dep.loaded_at_field
+                    if dep.resource_type == NodeType.Source else None)
+                if et is not None and not isinstance(et, str):
+                    from dbt_spark.plans.compile import CompilationError
+
+                    raise CompilationError(
+                        f"Microbatch model '{node.name}' depends on input "
+                        f"'{dep.name}' with an 'event_time' config of "
+                        f"invalid (non-string) type: {type(et)}")
+                if et:
+                    has_filtered_input = True
+            if not has_filtered_input:
+                self.events.warn_or_error(
+                    "MicrobatchModelNoEventTimeInputs", warn_error=we,
+                    options=weo, model_name=node.name)
+            cb = node.config.meta.get("concurrent_batches")
+            raw = node.raw_code or ""
+            cannot_parallel = (
+                not node.config.partition_by
+                or "{{ this }}" in raw
+                or "{{this}}" in raw.replace(" ", "")
+            )
+            if cb is True and cannot_parallel:
+                forcing += 1
+        if forcing:
+            self.events.warn_or_error(
+                "InvalidConcurrentBatchesConfig", warn_error=we,
+                options=weo, num_models=forcing)
 
     def _check_model_deprecations(self) -> None:
         """Model deprecation warnings at parse time (reference
@@ -1208,7 +1270,10 @@ class Engine:
             from dbt_spark.operators.materialize import run_model_df
 
             df = run_model_df(ctx, manifest.nodes[models[0]])
-        rows = [r.asDict() for r in df.limit(limit).collect()]
+        # --limit -1 means NO limit (task/show.py:29,131 maps negative to
+        # None instead of passing a negative int to the engine)
+        shown = df if limit is None or limit < 0 else df.limit(limit)
+        rows = [r.asDict() for r in shown.collect()]
         result = RunnerResult(True, [RunResult("show", "success", 0.0)], manifest)
         result.preview = rows
         return result

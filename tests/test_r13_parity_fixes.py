@@ -1,0 +1,126 @@
+"""Round-13 parity with the reference's unreleased fixes:
+
+- I074 MicrobatchModelNoEventTimeInputs fires when no input of a
+  microbatch model carries event_time (always fired —
+  Fixes-20241209-113806; reference parser/manifest.py:1499-1520)
+- I075 InvalidConcurrentBatchesConfig fires when concurrent_batches:
+  true is forced on a model that cannot run batches concurrently
+  (reference parser/manifest.py:1478-1497)
+- non-string event_time on a microbatch input is a parse error
+- dbt show --limit -1 means NO limit (task/show.py:29,131 maps
+  negative to None instead of passing a negative int)
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from dbt_spark.runner import Engine
+
+STREAM_CSV = (
+    "id,ts,val\n"
+    "1,2020-01-01 05:00:00,1\n"
+    "2,2020-01-02 05:00:00,2\n"
+)
+
+MB_NOFILTER = """
+{{ config(materialized='incremental', incremental_strategy='microbatch',
+          event_time='ts', batch_size='day', begin='2020-01-01') }}
+select id, ts, val from {{ ref('stream') }}
+"""
+
+
+def _events_named(eng, name):
+    return [e for e in eng.events.captured if e.name == name]
+
+
+class _Capture:
+    def __init__(self, eng):
+        self.eng = eng
+        eng.events.captured = []
+        eng.events.callbacks.append(
+            lambda ev: eng.events.captured.append(ev))
+
+
+def test_microbatch_no_event_time_inputs_warns(project_dir, spark):
+    files = {
+        "dbt_project.yml": "name: mbwarn\n",
+        "seeds/stream.csv": STREAM_CSV,
+        "models/target.sql": MB_NOFILTER,
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    _Capture(eng)
+    eng.parse()
+    evs = _events_named(eng, "MicrobatchModelNoEventTimeInputs")
+    assert len(evs) == 1
+    assert evs[0].data["model_name"] == "target"
+    assert evs[0].code == "I074"
+
+
+def test_microbatch_filtered_input_does_not_warn(project_dir, spark):
+    files = {
+        "dbt_project.yml": "name: mbok\n",
+        "seeds/stream.csv": STREAM_CSV,
+        "seeds/schema.yml": (
+            "seeds:\n  - name: stream\n    config:\n      event_time: ts\n"
+        ),
+        "models/target.sql": MB_NOFILTER,
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    _Capture(eng)
+    eng.parse()
+    assert _events_named(eng, "MicrobatchModelNoEventTimeInputs") == []
+
+
+def test_invalid_concurrent_batches_warns(project_dir, spark):
+    """concurrent_batches=true on an UNPARTITIONED microbatch model (which
+    this engine always runs sequentially) warns I075."""
+    files = {
+        "dbt_project.yml": "name: mbconc\n",
+        "seeds/stream.csv": STREAM_CSV,
+        "seeds/schema.yml": (
+            "seeds:\n  - name: stream\n    config:\n      event_time: ts\n"
+        ),
+        "models/target.sql": MB_NOFILTER.replace(
+            "begin='2020-01-01'",
+            "begin='2020-01-01', concurrent_batches=true"),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    _Capture(eng)
+    eng.parse()
+    evs = _events_named(eng, "InvalidConcurrentBatchesConfig")
+    assert len(evs) == 1 and evs[0].data["num_models"] == 1
+
+
+def test_nonstring_event_time_on_input_errors(project_dir, spark):
+    from dbt_spark.plans.compile import CompilationError
+
+    files = {
+        "dbt_project.yml": "name: mbbad\n",
+        "seeds/stream.csv": STREAM_CSV,
+        "seeds/schema.yml": (
+            "seeds:\n  - name: stream\n    config:\n      event_time: 123\n"
+        ),
+        "models/target.sql": MB_NOFILTER,
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    with pytest.raises(CompilationError, match="non-string"):
+        eng.parse()
+
+
+def test_show_limit_minus_one_means_unlimited(project_dir, spark):
+    files = {
+        "dbt_project.yml": "name: showall\n",
+        "models/nums.sql": (
+            "select * from (values (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),"
+            "(11),(12)) as t(n)"
+        ),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    r = eng.invoke(["show", "--select", "nums", "--limit", "-1"])
+    assert r.success
+    assert len(r.preview) == 12
+    r5 = eng.invoke(["show", "--select", "nums", "--limit", "5"])
+    assert len(r5.preview) == 5
