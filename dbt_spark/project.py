@@ -1223,12 +1223,14 @@ def _render_description(text: str, manifest: Manifest) -> str:
     if not text or "{{" not in text:
         return text
     try:
-        import jinja2
+        import jinja2  # noqa: F401
 
         return jinja2.Environment().from_string(text).render(
             doc=lambda *args: manifest.docs.get(args[-1], "")
         )
-    except jinja2.TemplateError:
+    except Exception:  # noqa: BLE001 — a description must never crash
+        # parse (reference Fixes-20250218: _get_doc_blocks crashed when
+        # .format was called on a doc ref); fall back to the raw text
         return text
 
 
@@ -1249,10 +1251,10 @@ def _doc_refs(text: str, manifest: Manifest) -> list[str]:
         return manifest.docs.get(name, "")
 
     try:
-        import jinja2
+        import jinja2  # noqa: F401
 
         jinja2.Environment().from_string(text).render(doc=_doc)
-    except jinja2.TemplateError:
+    except Exception:  # noqa: BLE001 — same contract as the renderer
         return []
     return found
 

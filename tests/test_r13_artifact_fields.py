@@ -137,3 +137,24 @@ def test_invocation_metadata_in_artifacts(project_dir, spark):
     # v5 published schema predates the field: strictness requires absence
     assert "invocation_started_at" not in rr["metadata"]
     assert _validate(rr, RUN_RESULTS_SCHEMA) == []
+
+
+def test_pathological_description_never_crashes_parse(project_dir, spark):
+    """Reference Fixes-20250218-134745: _get_doc_blocks crashed parsing
+    when .format was called on a doc reference — arbitrary jinja runtime
+    errors in descriptions must degrade to raw text, not crash."""
+    from dbt_spark.runner import Engine
+
+    files = {
+        "dbt_project.yml": "name: patho\n",
+        "models/docs.md": "{% docs d %}text{% enddocs %}\n",
+        "models/schema.yml": (
+            "models:\n  - name: m\n"
+            "    description: \"{{ doc('d') + 5 }}\"\n"
+            "    columns:\n      - name: x\n"
+            "        description: \"{{ doc('d').format('y') }}\"\n"
+        ),
+        "models/m.sql": "select 1 as x",
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    assert eng.invoke(["parse"]).success
