@@ -693,7 +693,11 @@ class Engine:
                     shutil.rmtree(full)
             return RunnerResult(success=True, results=[])
         if command == "retry":
-            return self._retry(full_refresh=full_refresh, snapshot_ts=snapshot_ts, now=now)
+            # --threads must reach the replayed command (reference fix
+            # Fixes-20240822-122132: retry ignored --threads)
+            return self._retry(full_refresh=full_refresh,
+                               snapshot_ts=snapshot_ts, now=now,
+                               threads_override=threads_override)
         if command == "deps":
             return self._deps(add_package=add_package, source=deps_source,
                               upgrade=deps_upgrade,

@@ -124,3 +124,28 @@ def test_show_limit_minus_one_means_unlimited(project_dir, spark):
     assert len(r.preview) == 12
     r5 = eng.invoke(["show", "--select", "nums", "--limit", "5"])
     assert len(r5.preview) == 5
+
+
+def test_retry_respects_threads_override(project_dir, spark):
+    """Reference Fixes-20240822-122132: dbt retry ignored --threads. The
+    replayed command must run with the retry invocation's --threads."""
+    files = {
+        "dbt_project.yml": "name: rthreads\n",
+        "models/bad.sql": (
+            "{{ config(materialized='table') }}\n"
+            "select {{ var('boom', 'cast(null as int)') }} as x "
+            "{% if var('fail', true) %} from nonexistent_table_xyz "
+            "{% endif %}"
+        ),
+    }
+    root = project_dir(files)
+    eng = Engine(root, spark=spark, vars={"fail": True})
+    assert not eng.invoke(["run"]).success
+    eng2 = Engine(root, spark=spark, vars={"fail": False})
+    seen = []
+    eng2.events.callbacks.append(
+        lambda ev: seen.append(ev.data.get("num_threads"))
+        if ev.name == "ConcurrencyLine" else None)
+    r = eng2.invoke(["retry", "--threads", "7"])
+    assert r.success, [x.message for x in r.results]
+    assert 7 in seen, seen
