@@ -49,6 +49,9 @@ EVENT_CODES: dict[str, tuple[str, str]] = {
     "SkippingDetails": ("Q034", "info"),          # types.py:1614
     "NothingToDo": ("Q035", "warn"),              # types.py:1629
     "CommandCompleted": ("Q039", "debug"),        # types.py:1661
+    "MicrobatchExecutionDebug": ("Q044", "debug"),  # types.py:1723
+    "LogStartBatch": ("Q045", "info"),            # types.py:1731
+    "LogBatchResult": ("Q046", "info"),           # types.py:1748 (Dynamic)
     "FoundStats": ("W006", "info"),               # types.py:1825
     "PackageRedirectDeprecation": ("D001", "warn"),  # types.py Deprecations
     "DeprecatedModel": ("I065", "warn"),          # types.py:234
@@ -109,6 +112,18 @@ _MSG: dict[str, Callable[[dict[str, Any]], str]] = {
     ),
     "SpacesInResourceNameDeprecation": lambda d: (
         f"Found spaces in the name of `{d.get('unique_id')}`"
+    ),
+    "MicrobatchExecutionDebug": lambda d: d.get("msg", ""),
+    "LogStartBatch": lambda d: (
+        f"Batch START {d.get('description', '')} "
+        f"[{d.get('batch_index', '')}/{d.get('total_batches', '')}] RUN"
+    ),
+    "LogBatchResult": lambda d: (
+        "Batch {} {} [{}/{}] in {}s".format(
+            "ERROR creating" if d.get("status") == "error" else "OK created",
+            d.get("description", ""), d.get("batch_index", ""),
+            d.get("total_batches", ""), d.get("execution_time", ""),
+        )
     ),
     "MicrobatchModelNoEventTimeInputs": lambda d: (
         f"The microbatch model '{d.get('model_name', '')}' has no 'ref' or "

@@ -291,17 +291,39 @@ def run_microbatch(ctx, node: ManifestNode, now: Optional[datetime] = None) -> R
         return BatchContext(id=batch.batch_id, event_time_start=batch.start,
                             event_time_end=batch.end)
 
+    # per-batch structured events (reference Q044/Q045/Q046 —
+    # events/types.py:1723-1773, Fixes-20241209-150711 debug info)
+    ev = getattr(ctx, "events", None)
+
     def safe(batch: Batch, idx: int) -> Optional[Relation]:
+        import time as _time
+
+        desc = f"batch {batch.batch_id} of {node.unique_id}"
+        if ev:
+            ev.fire("LogStartBatch", description=desc, batch_index=idx + 1,
+                    total_batches=len(batches))
         if idx == 0 and hooks.get("pre"):
             hooks["pre"](_bc(batch))
+        t0 = _time.time()
+        status = "success"
         try:
             r = run_one(batch, idx)
             succeeded.append(batch)
             return r
-        except Exception:  # noqa: BLE001
+        except Exception as e:  # noqa: BLE001
+            status = "error"
+            if ev:
+                ev.fire("MicrobatchExecutionDebug",
+                        msg=f"{desc} failed: {e} (window "
+                            f"[{batch.start.isoformat()}, "
+                            f"{batch.end.isoformat()}))")
             failed.append(batch)
             return None
         finally:
+            if ev:
+                ev.fire("LogBatchResult", status=status, description=desc,
+                        batch_index=idx + 1, total_batches=len(batches),
+                        execution_time=round(_time.time() - t0, 2))
             if idx == len(batches) - 1 and hooks.get("post"):
                 hooks["post"](_bc(batch))
 

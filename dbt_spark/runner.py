@@ -177,10 +177,14 @@ class Engine:
         self._check_resource_names()
         self._check_semantic_deprecations()
         if getattr(self, "_write_json", True):
-            # --no-write-json skips artifact writes (cli/params.py:759)
-            self.manifest.invocation_id = self.events.invocation_id
-            self.manifest.invocation_started_at = (
-                self.events.invocation_started_at)
+            # --no-write-json skips artifact writes (cli/params.py:759).
+            # A bare Engine (bench parse harness) carries no event bus —
+            # the invocation fields stay None (schema allows null).
+            ev = getattr(self, "events", None)
+            if ev is not None:
+                self.manifest.invocation_id = ev.invocation_id
+                self.manifest.invocation_started_at = (
+                    ev.invocation_started_at)
             self.manifest.write(os.path.join(target_dir, "manifest.json"))
             # the reference writes semantic_manifest.json beside it when
             # the project carries semantic nodes (parser/manifest.py:2088)

@@ -149,3 +149,27 @@ def test_retry_respects_threads_override(project_dir, spark):
     r = eng2.invoke(["retry", "--threads", "7"])
     assert r.success, [x.message for x in r.results]
     assert 7 in seen, seen
+
+
+def test_microbatch_batch_events_fire(project_dir, spark):
+    """Q045 LogStartBatch / Q046 LogBatchResult fire once per batch with
+    1-based index/total (reference events/types.py:1731-1773)."""
+    files = {
+        "dbt_project.yml": "name: mbev\n",
+        "seeds/stream.csv": STREAM_CSV,
+        "seeds/schema.yml": (
+            "seeds:\n  - name: stream\n    config:\n      event_time: ts\n"
+        ),
+        "models/target.sql": MB_NOFILTER,
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    assert eng.invoke(["seed"]).success
+    _Capture(eng)
+    r = eng.invoke(["run"], now=datetime(2020, 1, 2, 12))  # 2 batches
+    assert r.success
+    starts = _events_named(eng, "LogStartBatch")
+    results = _events_named(eng, "LogBatchResult")
+    assert [e.data["batch_index"] for e in starts] == [1, 2]
+    assert all(e.data["total_batches"] == 2 for e in starts)
+    assert [e.data["status"] for e in results] == ["success", "success"]
+    assert all(e.code == "Q046" for e in results)
