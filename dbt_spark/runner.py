@@ -1924,11 +1924,13 @@ class Engine:
         }
         if not failed_names:
             return RunnerResult(True, [], self.manifest)
-        return self.invoke(
-            [prev_command, "--select", " ".join(failed_names)],
-            retry_batches=retry_batches,
-            **kwargs,
-        )
+        argv = [prev_command, "--select", " ".join(failed_names)]
+        # --threads flows to the replayed command as a CLI flag (invoke
+        # parses it from argv, not kwargs) — Fixes-20240822-122132
+        threads = kwargs.pop("threads_override", None)
+        if threads:
+            argv += ["--threads", str(threads)]
+        return self.invoke(argv, retry_batches=retry_batches, **kwargs)
 
     # -- node execution -------------------------------------------------------
 
