@@ -3698,6 +3698,82 @@ def multimodal_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: phash near-dup knobs: Hamming radius + band split (4 bands × 4 bits:
+#: ≤2 bit errors corrupt at most 2 bands, so any-shared-band candidate
+#: generation is COMPLETE for radius 2 — the pigeonhole LSH guarantee)
+_PH_RADIUS = 2
+_PH_BANDS = 4
+
+
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-tolerant image near-dup — the production form of the pair
+    gate: re-encoded/recompressed copies rarely hash IDENTICALLY, so the
+    dedup key is "perceptual hash within Hamming ≤ 2". Candidates come
+    from 4-bit band buckets over the DISTINCT hash table (pigeonhole:
+    ≤2 errors leave ≥2 of 4 bands intact — no all-pairs stage anywhere),
+    exact popcount(xor) verifies, and each hash canonicalizes to the MIN
+    hash of its verified neighborhood in ONE round (star semantics, not
+    transitive closure — documented: A−B−C chains with d(A,C)>2 keep two
+    canonicals, the conservative production default; the CC variant is
+    dedup_minhash_cc's machinery if chains must merge).
+
+    Plan (100 TB): the REAL-decode phash kernel reduces the corpus to a
+    DISTINCT hash table bounded by 2^16 ROWS REGARDLESS OF CORPUS SIZE —
+    banding, pair verify, and canonical mins all run on that bounded
+    table (broadcastable by construction); the corpus is touched exactly
+    twice (decode scan + the canonical-map broadcast join back). The
+    DuckDB oracle rebuilds everything from the closed pixel form."""
+    from dbt_spark.functions.multimodal import (_make_pixel_codecs,
+                                                perceptual_phash)
+
+    codecs = _make_pixel_codecs()
+    docs = _docs_raw(spark, sf_dir)
+    blobs = docs.select("doc_id").mapInPandas(
+        _pair_blob_gen((codecs[0], codecs[2])),
+        schema="doc_id long, payload binary")
+    ph = perceptual_phash(blobs).select("doc_id", "phash")
+
+    hashes = ph.select("phash").distinct()
+    bands = hashes.select(
+        "phash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.expr(f"shiftright(phash, {4 * b}) & 15").alias("bv"),
+            ) for b in range(_PH_BANDS)])).alias("x"),
+    ).select("phash", "x.bi", "x.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("a.phash") < F.col("b.phash"))
+        .select(F.col("a.phash").alias("u"), F.col("b.phash").alias("v"))
+        .distinct()
+    )
+    verified = cand.filter(
+        F.bit_count(F.col("u").bitwiseXOR(F.col("v"))) <= _PH_RADIUS)
+    nb = (
+        verified.select(F.col("u").alias("phash"), F.col("v").alias("nb"))
+        .unionByName(verified.select(F.col("v").alias("phash"),
+                                     F.col("u").alias("nb")))
+        .unionByName(hashes.select("phash", F.col("phash").alias("nb")))
+    )
+    canon = nb.groupBy("phash").agg(F.min("nb").alias("canonical_phash"))
+    grp_min = (
+        ph.join(F.broadcast(canon), "phash")
+        .groupBy("canonical_phash")
+        .agg(F.min("doc_id").alias("grp_min"))
+    )
+    return (
+        ph.join(F.broadcast(canon), "phash")
+        .join(F.broadcast(grp_min), "canonical_phash")
+        .select(
+            "doc_id", "phash", "canonical_phash",
+            (F.col("doc_id") == F.col("grp_min")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: caption-alignment fixture knobs: window offset mod, window tokens,
 #: containment threshold
 _ALIGN_K_MOD = 5
@@ -4098,6 +4174,37 @@ ORACLES: dict[str, str] = {
         JOIN img_min i USING (phash)
         LEFT JOIN capmin c ON c.doc_id = p.doc_id
         ORDER BY p.doc_id
+    """,
+    "multimodal_phash_neardup": f"""
+        WITH {_PAIR_PHASH_CTE}, hashes AS (
+            SELECT DISTINCT phash FROM ph
+        ), bands AS (
+            SELECT phash, bi, (phash >> (4 * bi)) & 15 AS bv
+            FROM hashes, UNNEST(generate_series(0, {_PH_BANDS - 1})) u(bi)
+        ), cand AS (
+            SELECT DISTINCT a.phash AS u, b2.phash AS v
+            FROM bands a JOIN bands b2
+              ON a.bi = b2.bi AND a.bv = b2.bv AND a.phash < b2.phash
+        ), ver AS (
+            SELECT u, v FROM cand
+            WHERE bit_count(xor(u, v)) <= {_PH_RADIUS}
+        ), nb AS (
+            SELECT u AS phash, v AS nb FROM ver
+            UNION ALL SELECT v AS phash, u AS nb FROM ver
+            UNION ALL SELECT phash, phash AS nb FROM hashes
+        ), canon AS (
+            SELECT phash, min(nb) AS canonical_phash FROM nb GROUP BY 1
+        ), withc AS (
+            SELECT p.doc_id, p.phash, c.canonical_phash
+            FROM ph p JOIN canon c USING (phash)
+        ), gm AS (
+            SELECT canonical_phash, min(doc_id) AS grp_min
+            FROM withc GROUP BY 1
+        )
+        SELECT w.doc_id, w.phash, w.canonical_phash,
+               w.doc_id = g.grp_min AS keep
+        FROM withc w JOIN gm g USING (canonical_phash)
+        ORDER BY w.doc_id
     """,
     # the page's visible text is exactly the whitespace-normalized source
     # text (html_extract_visible_text pins that md5-exactly), so the
@@ -5994,6 +6101,7 @@ QUERIES = {
     "multimodal_wav_headers": multimodal_wav_headers,
     "html_extract_visible_text": html_extract_visible_text,
     "multimodal_pair_dedup": multimodal_pair_dedup,
+    "multimodal_phash_neardup": multimodal_phash_neardup,
     "multimodal_caption_alignment": multimodal_caption_alignment,
     "multimodal_pixel_decode": multimodal_pixel_decode,
     "multimodal_resize_nearest": multimodal_resize_nearest,

@@ -169,3 +169,34 @@ def test_stream_pair_phash_dedup_cross_batch(spark):
     assert total_unique < 500  # duplicates were actually suppressed
     assert sorted(r["bucket"] for r in rows) == sorted(
         {r["bucket"] for r in rows})  # one row per bucket
+
+
+def test_phash_neardup_matches_bruteforce_hamming(spark):
+    """Band-bucketed candidates + popcount verify must reproduce the
+    BRUTE-FORCE Hamming<=2 neighborhood over the distinct hash set (the
+    pigeonhole completeness guarantee), and canonicalization is the
+    single-round min-neighbor."""
+    from dbt_spark.queries.llmops import (_PH_RADIUS,
+                                          multimodal_phash_neardup)
+
+    rows = multimodal_phash_neardup(spark, _SF).collect()
+    assert len(rows) == 500
+    hashes = sorted({r["phash"] for r in rows})
+    # brute-force single-round min-neighbor canonical per hash
+    expect_canon = {}
+    for h in hashes:
+        nbs = [o for o in hashes
+               if bin(h ^ o).count("1") <= _PH_RADIUS]
+        expect_canon[h] = min(nbs)
+    for r in rows:
+        assert r["canonical_phash"] == expect_canon[r["phash"]], r
+    # keep = min doc of the canonical group
+    grp = {}
+    for r in rows:
+        grp.setdefault(r["canonical_phash"], []).append(r["doc_id"])
+    for r in rows:
+        assert r["keep"] == (r["doc_id"] == min(grp[r["canonical_phash"]]))
+    # the planted fixture actually exercises tolerance: some canonical
+    # groups span MULTIPLE distinct hashes
+    multi = [c for c, _ in expect_canon.items() if expect_canon[c] != c]
+    assert multi, "no Hamming-tolerant merges in fixture"
