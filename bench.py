@@ -157,6 +157,7 @@ EXTENDED = [
     "multimodal_pair_dedup",          # r13 image-text pair dedup (2 gates)
     "multimodal_caption_alignment",   # r13 caption-page containment audit
     "multimodal_phash_neardup",       # r13 Hamming-2 banded image near-dup
+    "pair_hard_negative_mine",        # r13 contrastive negatives, df-capped gram join
     "html_extract_visible_text",
     "unigram_tokenizer_learning",  # trained-vocab cache: rep 1 trains
     "token_count_unigram",

@@ -3698,6 +3698,85 @@ def multimodal_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hard-negative mining knobs: anchor sampling mod, negatives per anchor,
+#: caption-gram document-frequency cap
+_NEG_ANCHOR_MOD = 11
+_NEG_K = 3
+_NEG_DF_CAP = 50
+
+
+def pair_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining — the batch-construction step
+    AFTER pair dedup/alignment: for each anchor pair, the top-k most
+    caption-similar pairs from OTHER caption groups (same-group pairs are
+    near-positives and excluded). Similarity = shared distinct
+    word-2-gram count with a document-frequency cap (grams in >
+    _NEG_DF_CAP captions are stopword-like and carry no discriminative
+    signal — and uncapped they square the join). Deterministic ranking:
+    (shared desc, candidate doc asc), anchor-partitioned row_number.
+
+    Plan (100 TB): one gram-keyed equi-join — 8-byte xxhash64 keys, never
+    strings (the DuckDB oracle joins raw grams, so a collision surfaces
+    as a value mismatch); per-gram fan-out is bounded by the df cap, so
+    candidate volume ≤ |anchor grams| × cap; the ranking window is
+    anchor-partitioned (never global). Anchors sample doc_id %
+    _NEG_ANCHOR_MOD == 0 — the eval-slice shape; a full mining run drops
+    the filter and the plan is unchanged."""
+    from pyspark.sql import Window
+
+    docs = _docs_raw(spark, sf_dir)
+    base = docs.select(
+        F.col("doc_id").alias("cap_base"), F.col("text").alias("base_text")
+    ).filter(F.col("cap_base") < _PAIR_CAP_MOD)
+    cap = (
+        docs.select("doc_id",
+                    (F.col("doc_id") % _PAIR_CAP_MOD).alias("cap_base"))
+        .join(F.broadcast(base), "cap_base")
+        .select(
+            "doc_id", "cap_base",
+            F.trim(F.concat_ws(
+                " ",
+                F.concat_ws(" ", F.slice(
+                    F.split(F.trim(F.lower("base_text")), r"\s+"), 1, 15)),
+                F.concat(F.lit("x"), (F.col("doc_id") % 3).cast("string")),
+            )).alias("caption"),
+        )
+    )
+    toks = F.split(F.col("caption"), r"\s+")
+    sh = (
+        cap.select("doc_id", "cap_base", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", "cap_base", F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("t", i + 1),
+                                  F.element_at("t", i + 2)),
+        )).alias("s"))
+        .select("doc_id", "cap_base", F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    hot = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > _NEG_DF_CAP).select("h"))
+    sh = sh.join(F.broadcast(hot), "h", "left_anti")
+    anchors = sh.filter(F.col("doc_id") % _NEG_ANCHOR_MOD == 0)
+    scored = (
+        anchors.alias("a")
+        .join(sh.alias("b"), "h")
+        .filter(F.col("a.cap_base") != F.col("b.cap_base"))
+        .groupBy(F.col("a.doc_id").alias("anchor_id"),
+                 F.col("b.doc_id").alias("neg_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("n_shared_grams").desc(), F.col("neg_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NEG_K)
+        .select("anchor_id", F.col("rank").cast("bigint").alias("rank"),
+                "neg_id", "n_shared_grams")
+        .orderBy("anchor_id", "rank")
+    )
+
+
 #: phash near-dup knobs: Hamming radius + band split (4 bands × 4 bits:
 #: ≤2 bit errors corrupt at most 2 bands, so any-shared-band candidate
 #: generation is COMPLETE for radius 2 — the pigeonhole LSH guarantee)
@@ -4174,6 +4253,44 @@ ORACLES: dict[str, str] = {
         JOIN img_min i USING (phash)
         LEFT JOIN capmin c ON c.doc_id = p.doc_id
         ORDER BY p.doc_id
+    """,
+    "pair_hard_negative_mine": f"""
+        WITH cap AS (
+            SELECT d.doc_id, d.doc_id % {_PAIR_CAP_MOD} AS cap_base,
+                   trim(concat_ws(' ',
+                        array_to_string(list_slice(
+                            string_split_regex(trim(lower(b.text)), '\\s+'),
+                            1, 15), ' '),
+                        'x' || CAST(d.doc_id % 3 AS VARCHAR))) AS caption
+            FROM documents d
+            JOIN documents b ON b.doc_id = d.doc_id % {_PAIR_CAP_MOD}
+        ), capt AS (
+            SELECT doc_id, cap_base,
+                   string_split_regex(caption, '\\s+') AS t
+            FROM cap
+        ), sh0 AS (
+            SELECT DISTINCT doc_id, cap_base, t[i] || ' ' || t[i + 1] AS s
+            FROM capt, UNNEST(generate_series(1, len(t) - 1)) u(i)
+            WHERE len(t) >= 2
+        ), hot AS (
+            SELECT s FROM sh0 GROUP BY s HAVING count(*) > {_NEG_DF_CAP}
+        ), sh AS (
+            SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
+        ), scored AS (
+            SELECT a.doc_id AS anchor_id, b.doc_id AS neg_id,
+                   CAST(count(*) AS BIGINT) AS n_shared_grams
+            FROM sh a JOIN sh b ON a.s = b.s AND a.cap_base <> b.cap_base
+            WHERE a.doc_id % {_NEG_ANCHOR_MOD} = 0
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+                ORDER BY n_shared_grams DESC, neg_id ASC) AS rank
+            FROM scored
+        )
+        SELECT anchor_id, CAST(rank AS BIGINT) AS rank, neg_id,
+               n_shared_grams
+        FROM ranked WHERE rank <= {_NEG_K}
+        ORDER BY anchor_id, rank
     """,
     "multimodal_phash_neardup": f"""
         WITH {_PAIR_PHASH_CTE}, hashes AS (
@@ -6102,6 +6219,7 @@ QUERIES = {
     "html_extract_visible_text": html_extract_visible_text,
     "multimodal_pair_dedup": multimodal_pair_dedup,
     "multimodal_phash_neardup": multimodal_phash_neardup,
+    "pair_hard_negative_mine": pair_hard_negative_mine,
     "multimodal_caption_alignment": multimodal_caption_alignment,
     "multimodal_pixel_decode": multimodal_pixel_decode,
     "multimodal_resize_nearest": multimodal_resize_nearest,

@@ -200,3 +200,29 @@ def test_phash_neardup_matches_bruteforce_hamming(spark):
     # groups span MULTIPLE distinct hashes
     multi = [c for c, _ in expect_canon.items() if expect_canon[c] != c]
     assert multi, "no Hamming-tolerant merges in fixture"
+
+
+def test_hard_negative_mine_properties(spark):
+    """Negatives come from OTHER caption groups, ranks are dense 1..k per
+    anchor, and ordering is (shared desc, neg_id asc)."""
+    from dbt_spark.queries.llmops import (_NEG_ANCHOR_MOD, _NEG_K,
+                                          _PAIR_CAP_MOD,
+                                          pair_hard_negative_mine)
+
+    rows = pair_hard_negative_mine(spark, _SF).collect()
+    assert rows
+    by_anchor = {}
+    for r in rows:
+        assert r["anchor_id"] % _NEG_ANCHOR_MOD == 0
+        # never a same-group (near-positive) candidate
+        assert (r["anchor_id"] % _PAIR_CAP_MOD
+                != r["neg_id"] % _PAIR_CAP_MOD)
+        assert r["n_shared_grams"] >= 1
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    for anchor, rs in by_anchor.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _NEG_K
+        for x, y in zip(rs, rs[1:]):
+            assert (x["n_shared_grams"], -x["neg_id"]) >= (
+                y["n_shared_grams"], -y["neg_id"])
