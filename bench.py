@@ -158,6 +158,7 @@ EXTENDED = [
     "multimodal_caption_alignment",   # r13 caption-page containment audit
     "multimodal_phash_neardup",       # r13 Hamming-2 banded image near-dup
     "pair_hard_negative_mine",        # r13 contrastive negatives, df-capped gram join
+    "audio_transcript_rate_audit",    # r13 speech-rate pair plausibility gate
     "html_extract_visible_text",
     "unigram_tokenizer_learning",  # trained-vocab cache: rep 1 trains
     "token_count_unigram",

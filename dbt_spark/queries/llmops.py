@@ -3698,6 +3698,61 @@ def multimodal_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: audio-transcript plausibility band (tokens/second on the fixture's
+#: millisecond clips; a speech corpus would use ~1-6 tok/s) + the
+#: per-pair transcript-length knob
+_RATE_MIN = 100.0
+_RATE_MAX = 2000.0
+_RATE_TOK_MOD = 29
+
+
+def audio_transcript_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-text pair plausibility gate — the speech analog of the
+    caption-alignment audit: a transcript whose token rate against the
+    clip's REAL decoded duration falls outside the plausible band is a
+    mismatched pair (wrong clip, truncated audio, or hallucinated
+    transcript). Duration comes from the genuine RIFF/WAVE container
+    through the stdlib PCM16 codec (channels / sample_rate / n_samples —
+    never trusted from metadata); rate = tokens · sample_rate / frames.
+
+    Plan (100 TB): one mapInPandas decode chain (blobs never shuffle) +
+    one doc-keyed equi-join against the transcript token counts — both
+    sides co-keyed on doc_id, no window, no fan-out. The oracle rebuilds
+    duration from the closed WAV-generator form, so the pairing pins the
+    REAL container decode end-to-end."""
+    from dbt_spark.functions.multimodal import (_make_pixel_codecs,
+                                                decode_pcm_stats)
+
+    codecs = _make_pixel_codecs()
+    gen = _wav_pcm_gen((codecs[6],))
+    docs = _docs_raw(spark, sf_dir)
+    blobs = docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary")
+    pcm = decode_pcm_stats(blobs).select(
+        "doc_id", "channels", "sample_rate", "n_samples")
+    toks = docs.select(
+        "doc_id",
+        F.least(
+            F.size(F.expr(r"filter(split(trim(text), '\\s+'), x -> x != '')")),
+            (F.lit(1) + F.col("doc_id") % _RATE_TOK_MOD).cast("int"),
+        ).cast("bigint").alias("n_transcript_tokens"),
+    )
+    frames = (F.col("n_samples") / F.col("channels")).cast("bigint")
+    rate = F.round(
+        F.col("n_transcript_tokens") * F.col("sample_rate")
+        / frames.cast("double"), 6)
+    return (
+        pcm.join(toks, "doc_id")
+        .select(
+            "doc_id", "channels", "sample_rate",
+            frames.alias("n_frames"), "n_transcript_tokens",
+            rate.alias("rate_tok_per_s_r6"),
+            ((rate >= _RATE_MIN) & (rate <= _RATE_MAX)).alias("rate_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: hard-negative mining knobs: anchor sampling mod, negatives per anchor,
 #: caption-gram document-frequency cap
 _NEG_ANCHOR_MOD = 11
@@ -4253,6 +4308,30 @@ ORACLES: dict[str, str] = {
         JOIN img_min i USING (phash)
         LEFT JOIN capmin c ON c.doc_id = p.doc_id
         ORDER BY p.doc_id
+    """,
+    "audio_transcript_rate_audit": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        ELSE 44100 END AS BIGINT) AS sample_rate,
+                   CAST(50 + doc_id % 101 AS BIGINT) AS n_frames,
+                   CAST(least(
+                       len(list_filter({_TOKS}, x -> x <> '')),
+                       1 + doc_id % {_RATE_TOK_MOD}) AS BIGINT)
+                       AS n_transcript_tokens
+            FROM documents
+        )
+        SELECT doc_id, channels, sample_rate, n_frames,
+               n_transcript_tokens,
+               round(n_transcript_tokens * sample_rate
+                     / CAST(n_frames AS DOUBLE), 6) AS rate_tok_per_s_r6,
+               (round(n_transcript_tokens * sample_rate
+                      / CAST(n_frames AS DOUBLE), 6) >= {_RATE_MIN}
+                AND round(n_transcript_tokens * sample_rate
+                          / CAST(n_frames AS DOUBLE), 6) <= {_RATE_MAX})
+                   AS rate_ok
+        FROM d ORDER BY doc_id
     """,
     "pair_hard_negative_mine": f"""
         WITH cap AS (
@@ -6220,6 +6299,7 @@ QUERIES = {
     "multimodal_pair_dedup": multimodal_pair_dedup,
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "pair_hard_negative_mine": pair_hard_negative_mine,
+    "audio_transcript_rate_audit": audio_transcript_rate_audit,
     "multimodal_caption_alignment": multimodal_caption_alignment,
     "multimodal_pixel_decode": multimodal_pixel_decode,
     "multimodal_resize_nearest": multimodal_resize_nearest,

@@ -226,3 +226,27 @@ def test_hard_negative_mine_properties(spark):
         for x, y in zip(rs, rs[1:]):
             assert (x["n_shared_grams"], -x["neg_id"]) >= (
                 y["n_shared_grams"], -y["neg_id"])
+
+
+def test_audio_transcript_rate_audit_real_decode(spark):
+    """Duration comes from the REAL WAV decode: frames must equal the
+    generator's closed form, and the flag matches a python replay."""
+    from dbt_spark.queries.llmops import (_RATE_MAX, _RATE_MIN,
+                                          _RATE_TOK_MOD,
+                                          audio_transcript_rate_audit)
+
+    rows = audio_transcript_rate_audit(spark, _SF).collect()
+    assert len(rows) == 500
+    ok = flagged = 0
+    for r in rows:
+        d = r["doc_id"]
+        assert r["channels"] == 1 + d % 2
+        assert r["sample_rate"] == [8000, 16000, 44100][d % 3]
+        assert r["n_frames"] == 50 + d % 101
+        assert r["n_transcript_tokens"] <= 1 + d % _RATE_TOK_MOD
+        rate = round(r["n_transcript_tokens"] * r["sample_rate"]
+                     / r["n_frames"], 6)
+        assert abs(r["rate_tok_per_s_r6"] - rate) < 1e-9
+        assert r["rate_ok"] == (_RATE_MIN <= rate <= _RATE_MAX)
+        ok += r["rate_ok"]; flagged += not r["rate_ok"]
+    assert ok and flagged  # band splits the fixture both ways
