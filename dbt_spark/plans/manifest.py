@@ -231,7 +231,23 @@ class Manifest:
             ):
                 if package is None or node.package_name == package:
                     return node
-        return None
+        # unversioned ref('name') to a VERSIONED model resolves to the
+        # LATEST version (reference manifest.py resolve_ref: ref without
+        # a version keyword targets latest_version) — nodes follow the
+        # <name>_v<k> naming convention, so match on base + version
+        best: Optional[ManifestNode] = None
+        for node in self.nodes.values():
+            if (
+                node.resource_type == NodeType.Model
+                and node.version is not None
+                and node.name == f"{name}_v{node.version}"
+                and (package is None or node.package_name == package)
+            ):
+                if node.is_latest_version:
+                    return node
+                if best is None or (node.version or 0) > (best.version or 0):
+                    best = node
+        return best
 
     def source_lookup(self, source_name: str, table_name: str) -> Optional[ManifestNode]:
         # scan (not uid-construct): sources may come from package projects

@@ -581,9 +581,13 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
             cache.put(rel, ck, [tnode])
 
     # --- schema YAML (sources, model patches, generic tests) -------------
+    # test_paths included: singular-test `data_tests:` patches live beside
+    # the tests they configure (reference parses schema files under EVERY
+    # resource path; SingularTestPatchParser, schemas.py:1183)
     for full, rel in _walk(
         project.root,
-        project.model_paths + project.seed_paths + project.snapshot_paths,
+        project.model_paths + project.seed_paths + project.snapshot_paths
+        + project.test_paths,
         (".yml", ".yaml"),
     ):
         with open(full) as f:
@@ -627,8 +631,11 @@ def parse_project(project: Project, cache=None, manifest: Optional[Manifest] = N
             sub.vars = {**sub.vars, **project.vars}
             parse_project(sub, cache=None, manifest=manifest)
         _inject_plugin_nodes(project, manifest)
-        _resolve_depends_on(manifest)
+        # versions BEFORE ref resolution: an unversioned ref('name') to a
+        # versioned model needs version/latest_version populated to land
+        # on the latest version
         _finalize_versions(manifest)
+        _resolve_depends_on(manifest)
         # semantic-manifest cross-checks: metric→measure→semantic-model and
         # saved-query→metric references become DAG edges; dangling ones raise
         from dbt_spark.plans.semantic import link_semantic_graph
@@ -1089,6 +1096,24 @@ def _parse_model_patches(doc: dict, project: Project, manifest: Manifest,
                         f"model {node.name}: time_spine column {std!r} needs "
                         "a `granularity:` key (day/week/month/quarter/year)")
             _attach_column_tests(patch, node, project, manifest, is_source=False)
+
+    # top-level `data_tests:` patches target SINGULAR tests by name
+    # (reference SingularTestPatchParser, core/dbt/parser/schemas.py:
+    # 1183-1228; 1.10 Fixes-20241212: yaml configs for singular tests) —
+    # description + config merge onto the parsed tests/*.sql node
+    for patch in doc.get("data_tests", []) or []:
+        if not isinstance(patch, dict) or "name" not in patch:
+            continue
+        tnode = manifest.nodes.get(f"test.{project.name}.{patch['name']}")
+        if tnode is None or tnode.resource_type != NodeType.Test:
+            continue
+        if patch.get("description") is not None:
+            tnode.description = _render_description(
+                str(patch["description"]), manifest)
+        if patch.get("meta"):
+            tnode.config.meta.update(dict(patch["meta"]))
+        if patch.get("config"):
+            tnode.config = tnode.config.merged(**patch["config"])
 
 
 def _attach_column_tests(
