@@ -27,9 +27,21 @@ class FreshnessResult:
 
 
 def _threshold_seconds(spec: Optional[dict]) -> Optional[float]:
-    if not spec:
+    """Seconds for a {count, period} threshold, or None for no threshold.
+
+    A spec missing ``count`` or ``period`` is NO threshold rather than an
+    error: the reference's Time.exceeded returns False when either is None
+    (core/dbt/artifacts/resources/v1/components.py:117-129; validation
+    deliberately loosened for previously-wrong-but-harmless configs,
+    .changes/unreleased/Fixes-20250128-135509.yaml). An unknown period
+    string still raises — that shape never parsed in any version.
+    """
+    if not spec or not isinstance(spec, dict):
         return None
-    return spec["count"] * PERIOD_SECONDS[spec["period"]]
+    count, period = spec.get("count"), spec.get("period")
+    if count is None or period is None:
+        return None
+    return count * PERIOD_SECONDS[period]
 
 
 def check_freshness(ctx, node: ManifestNode, now: Optional[datetime] = None) -> FreshnessResult:

@@ -844,3 +844,41 @@ def test_catalog_journal_tombstone_and_torn_tail(spark, tmp_path):
     names = sorted(r.name for r in store2.list_relations("main"))
     assert names == ["keep"]  # tombstone applied, torn line ignored
     assert not os.path.exists(log)
+
+
+def test_generic_test_custom_config_fields(project_dir, spark):
+    """not_null/unique with CUSTOM config keys parse and run: unknown keys
+    route into config.meta instead of erroring — the reference fixed this
+    exact shape for its not_null/unique shortcut path
+    (.changes/unreleased/Fixes-20250110-155824.yaml, issue 11208;
+    schema_generic_tests.py:288-298 keeps builder.config verbatim)."""
+    root = project_dir({
+        "dbt_project.yml": "name: custcfg\n",
+        "models/m.sql": "select 1 as id",
+        "models/schema.yml": (
+            "models:\n"
+            "  - name: m\n"
+            "    columns:\n"
+            "      - name: id\n"
+            "        data_tests:\n"
+            "          - not_null:\n"
+            "              config:\n"
+            "                custom_owner: data-eng\n"
+            "                severity: warn\n"
+            "          - unique:\n"
+            "              config:\n"
+            "                ticket: ABC-123\n"
+        ),
+    })
+    eng = Engine(root, spark=spark)
+    manifest = eng.parse()
+    nn = manifest.nodes["test.custcfg.not_null_m_id"]
+    uq = manifest.nodes["test.custcfg.unique_m_id"]
+    assert nn.config.meta.get("custom_owner") == "data-eng"
+    assert nn.config.severity == "warn"  # known keys still bind typed
+    assert uq.config.meta.get("ticket") == "ABC-123"
+    res = eng.invoke(["build"])
+    assert res.success
+    statuses = {r.unique_id: r.status for r in res.results}
+    assert statuses["test.custcfg.not_null_m_id"] == "pass"
+    assert statuses["test.custcfg.unique_m_id"] == "pass"

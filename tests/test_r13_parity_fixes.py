@@ -173,3 +173,59 @@ def test_microbatch_batch_events_fire(project_dir, spark):
     assert all(e.data["total_batches"] == 2 for e in starts)
     assert [e.data["status"] for e in results] == ["success", "success"]
     assert all(e.code == "Q046" for e in results)
+
+
+def test_microbatch_single_batch_runs_exactly_once(project_dir, spark):
+    """One grid window → exactly ONE batch executes and pre/post hooks each
+    fire once (first batch == last batch). Pins the reference's
+    single-batch fix (Fixes-20241209-133317: an extra 'last' batch ran
+    when there was only one batch)."""
+    files = {
+        "dbt_project.yml": "name: mb1\n",
+        "seeds/stream.csv": STREAM_CSV,
+        "seeds/schema.yml": (
+            "seeds:\n  - name: stream\n    config:\n      event_time: ts\n"
+        ),
+        "models/target.sql": MB_NOFILTER.replace(
+            "{{ config(", "{{ config(pre_hook='select 1 as pre_probe', "
+            "post_hook='select 1 as post_probe', "),
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    assert eng.invoke(["seed"]).success
+    _Capture(eng)
+    # now inside day 1 → the grid holds exactly one window
+    r = eng.invoke(["run"], now=datetime(2020, 1, 1, 23))
+    assert r.success
+    starts = _events_named(eng, "LogStartBatch")
+    results = _events_named(eng, "LogBatchResult")
+    assert [e.data["batch_index"] for e in starts] == [1]
+    assert all(e.data["total_batches"] == 1 for e in starts)
+    assert len(results) == 1
+    rows = eng.store.read("main", "target").count()
+    assert rows == 1  # only the 2020-01-01 event landed
+
+
+def test_ls_output_json_microbatch_model(project_dir, spark):
+    """`dbt ls --output json` on a microbatch model serializes cleanly
+    (reference Fixes-20250109-123309: batch objects broke list --output
+    json) and carries the microbatch config keys."""
+    import json as _json
+
+    files = {
+        "dbt_project.yml": "name: mbls\n",
+        "seeds/stream.csv": STREAM_CSV,
+        "seeds/schema.yml": (
+            "seeds:\n  - name: stream\n    config:\n      event_time: ts\n"
+        ),
+        "models/target.sql": MB_NOFILTER,
+    }
+    eng = Engine(project_dir(files), spark=spark)
+    res = eng.invoke(["ls", "--output", "json", "--select", "target"])
+    assert res.success
+    [line] = [x.message for x in res.results]
+    d = _json.loads(line)
+    assert d["name"] == "target"
+    cfg = d["config"]
+    assert cfg["incremental_strategy"] == "microbatch"
+    assert cfg["event_time"] == "ts"
+    assert cfg["batch_size"] == "day"

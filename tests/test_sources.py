@@ -166,3 +166,21 @@ def test_source_freshness_project_hooks_flag_off_fires_d017(project_dir, spark):
     r = eng.invoke(["source", "freshness"])
     assert all("hook" not in (x.message or "") for x in r.results)
     assert ("SourceFreshnessProjectHooksNotRun", "D017") in seen
+
+
+def test_freshness_threshold_loosened_validation():
+    """A warn_after/error_after missing count or period is NO threshold,
+    not a parse error — reference Time.exceeded returns False when either
+    is None (v1/components.py:117-129; validation loosened by
+    Fixes-20250128-135509 for previously-wrong-but-harmless configs)."""
+    from dbt_spark.sources.freshness import _threshold_seconds
+
+    assert _threshold_seconds(None) is None
+    assert _threshold_seconds({}) is None
+    assert _threshold_seconds({"count": 2}) is None          # period missing
+    assert _threshold_seconds({"period": "hour"}) is None    # count missing
+    assert _threshold_seconds({"count": 2, "period": "hour"}) == 7200
+    # unknown period never parsed in any version: still an error
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        _threshold_seconds({"count": 1, "period": "fortnight"})
