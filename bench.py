@@ -1,7 +1,9 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...} — kept under the driver's 2,000-char
+stdout capture so it parses whole; the extended-set/train-artifact detail
+is written to BENCH_DETAIL.json alongside.
 
 Each query is executed to completion with the `noop` sink (full plan runs,
 nothing collected to the driver — measures engine throughput, not driver IO).
@@ -159,6 +161,9 @@ EXTENDED = [
     "multimodal_phash_neardup",       # r13 Hamming-2 banded image near-dup
     "pair_hard_negative_mine",        # r13 contrastive negatives, df-capped gram join
     "audio_transcript_rate_audit",    # r13 speech-rate pair plausibility gate
+    "domain_mixture_reweight",        # r13 DoReMi-lite MW mixture optimization
+    "doc_entropy_quality",            # r13 unigram-entropy spam gate
+    "lang_script_mismatch_audit",     # r13 declared-lang vs script audit
     "html_extract_visible_text",
     "unigram_tokenizer_learning",  # trained-vocab cache: rep 1 trains
     "token_count_unigram",
@@ -301,24 +306,51 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     times_ext = _time_set(EXTENDED)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "reps": reps,
-                "queries": times,
-                "queries_extended": times_ext,
-                "sf": sf,
-                "ann_train_artifacts": ann_train,
-                "quality_classifier_train": quality_train,
-                "parse_2000_models": _bench_parse_2000(),
-                "run_2000_models": _bench_run_2000(spark),
-                "orchestration": _bench_orchestration(spark, sf_dir),
-            }
-        )
-    )
+    parse2k = _bench_parse_2000()
+    run2k = _bench_run_2000(spark)
+    orch = _bench_orchestration(spark, sf_dir)
+
+    # Full detail (extended set, train-time artifacts, orchestration
+    # breakdown) goes to a repo-root file: the round driver captures only
+    # the last 2,000 chars of stdout, so the stdout line below is kept
+    # COMPACT enough to parse whole while this file carries everything.
+    detail = {
+        "metric": "headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "reps": reps,
+        "queries": times,
+        "queries_extended": times_ext,
+        "sf": sf,
+        "ann_train_artifacts": ann_train,
+        "quality_classifier_train": quality_train,
+        "parse_2000_models": parse2k,
+        "run_2000_models": run2k,
+        "orchestration": orch,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    compact = {
+        "metric": "headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "reps": reps,
+        "queries": times,
+        "sf": sf,
+        "parse2k_cold": parse2k.get("cold_sec"),
+        "parse2k_warm": parse2k.get("warm_partial_sec"),
+        "run2k": run2k.get("run_sec"),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:  # driver tail cap is 2,000 chars; stay inside it
+        compact["queries"] = {
+            k: v for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:40]
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 def _bench_ann_search_only(spark, sf_dir: str) -> dict:

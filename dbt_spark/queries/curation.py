@@ -1018,7 +1018,94 @@ _HEX_DIGITS_SQL = ", ".join(
     for p in range(1, 7)
 )
 
+#: doc_entropy_quality gate thresholds: flag a doc whose word distribution
+#: is too peaked (template/spam shape) — entropy below, or top-token
+#: share above, these bounds
+_ENTROPY_MIN = 3.0
+_TOPFRAC_MAX = 0.15
+
+
+def doc_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy + top-token share — the
+    information-density quality gate (low entropy = boilerplate/template/
+    keyword-stuffed spam; a different failure mode than Gopher's
+    repetition fractions, which need REPEATED n-grams — a doc cycling a
+    tiny vocabulary without literal repeats still scores low here).
+
+    H = log2(n) − (Σ c·log2 c)/n over per-word counts c — the decomposed
+    form keeps every log2 argument a small INTEGER, so both engines
+    evaluate the same discrete log set (1-ulp each) and the Σ rounds
+    stably to 6 decimals. top_frac and the flag compare exact bigints
+    (20·max_c > 3·n avoids the double divide entirely).
+
+    Scale: explode → (doc_id, word)-keyed count with map-side partials →
+    doc-keyed rollup. All shuffles carry the doc key; output is
+    corpus-row-sized. At 100 TB this is the same two-stage shape as
+    token_count — no global state."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    cnt = words.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    per_doc = cnt.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.max("c").cast("bigint").alias("max_c"),
+        F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+        .alias("clogc"),
+    )
+    n = F.col("n_tokens").cast("double")
+    entropy = F.log2(n) - F.col("clogc") / n
+    # exact-integer flag: top_frac > 0.15 ⇔ 20·max_c > 3·n;
+    # entropy < 3.0 stays a double compare on the r6-pinned value
+    flagged = (
+        (F.round(entropy, 6) < _ENTROPY_MIN)
+        | (20 * F.col("max_c") > 3 * F.col("n_tokens"))
+    )
+    return (
+        per_doc.select(
+            "doc_id", "lang", "n_tokens", "n_types",
+            F.round(entropy, 6).alias("entropy_r6"),
+            F.round(F.col("max_c").cast("double") / n, 6).alias("top_frac_r6"),
+            flagged.cast("int").alias("low_quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "doc_entropy_quality": f"""
+        WITH words AS (
+            SELECT doc_id, lang, w
+            FROM (SELECT doc_id, lang,
+                         unnest(string_split_regex(trim(text), '\\s+')) AS w
+                  FROM documents)
+            WHERE length(w) > 0
+        ), cnt AS (
+            SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS c
+            FROM words GROUP BY doc_id, lang, w
+        ), per_doc AS (
+            SELECT doc_id, lang,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(max(c) AS BIGINT) AS max_c,
+                   sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clogc
+            FROM cnt GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, n_tokens, n_types,
+               round(log2(CAST(n_tokens AS DOUBLE))
+                     - clogc / CAST(n_tokens AS DOUBLE), 6) AS entropy_r6,
+               round(CAST(max_c AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                   AS top_frac_r6,
+               CAST(round(log2(CAST(n_tokens AS DOUBLE))
+                          - clogc / CAST(n_tokens AS DOUBLE), 6)
+                        < {_ENTROPY_MIN}
+                    OR 20 * max_c > 3 * n_tokens AS INT) AS low_quality
+        FROM per_doc
+        ORDER BY doc_id
+    """,
     "source_gini_inequality": """
         WITH ranked AS (
             SELECT lang, CAST(n_chars AS DECIMAL(38,0)) AS x,
@@ -1650,6 +1737,7 @@ ORACLES["kmv_theta_set_ops"] = f"""
 QUERIES = {
     "copurchase_pagerank": copurchase_pagerank,
     "kmv_theta_set_ops": kmv_theta_set_ops,
+    "doc_entropy_quality": doc_entropy_quality,
     "source_gini_inequality": source_gini_inequality,
     "weighted_sample_topk": weighted_sample_topk,
     "event_transition_matrix": event_transition_matrix,

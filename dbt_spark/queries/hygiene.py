@@ -964,8 +964,96 @@ def _funnel_oracle() -> str:
     """
 
 
+#: deterministic Han repair appended to every third zh doc so the audit
+#: has true negatives AND true positives on the all-ASCII fixture
+_HAN_PLANT = "中文数据质量审计样本"
+
+
+def lang_script_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-language vs script consistency audit — the metadata-
+    trust gate a multilingual crawl runs before per-language routing:
+    a doc tagged `zh` containing zero Han characters (or a Latin-tagged
+    doc dominated by Han) means the upstream language tag is wrong and
+    every per-lang decision downstream (tokenizer, mix weight, filters)
+    is misrouted. Distinct from lang_id_heuristic (which PREDICTS a
+    language from content); this checks content against the DECLARED tag.
+
+    The fixture corpus is all-ASCII, so every zh doc is naturally
+    mismatched; a deterministic Han repair is planted on doc_id % 3 == 0
+    zh docs (mirrored in the oracle) so both verdicts occur. All
+    comparisons are exact integers (presence/majority, never ratios) —
+    no float boundary anywhere.
+
+    Scale: one scan, two regexp counts per row (codegen'd, no shuffle),
+    one lang-keyed aggregate with map-side partials; output is
+    lang-cardinality-sized."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text2",
+        F.when(
+            (F.col("lang") == "zh") & (F.col("doc_id") % 3 == 0),
+            F.concat(F.col("text"), F.lit(" " + _HAN_PLANT)),
+        ).otherwise(F.col("text")),
+    )
+    counted = planted.select(
+        "doc_id", "lang",
+        F.regexp_count("text2", F.lit(r"\p{IsHan}")).cast("bigint")
+        .alias("han"),
+        F.regexp_count("text2", F.lit("[A-Za-z]")).cast("bigint")
+        .alias("latin"),
+    )
+    mism = (
+        ((F.col("lang") == "zh") & (F.col("han") == 0))
+        | ((F.col("lang") != "zh") & (F.col("han") > F.col("latin")))
+    ).cast("int")
+    return (
+        counted.withColumn("mismatch", mism)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("mismatch").cast("bigint").alias("n_mismatch"),
+            F.sum((F.col("han") > 0).cast("int")).cast("bigint")
+            .alias("n_with_han"),
+            F.min(F.when(F.col("mismatch") == 1, F.col("doc_id")))
+            .alias("first_flagged"),
+            F.max(F.when(F.col("mismatch") == 1, F.col("doc_id")))
+            .alias("last_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
 ORACLES: dict[str, str] = {
     "filter_funnel_report": _funnel_oracle(),
+    "lang_script_mismatch_audit": f"""
+        WITH planted AS (
+            SELECT doc_id, lang,
+                   CASE WHEN lang = 'zh' AND doc_id % 3 = 0
+                        THEN text || ' {_HAN_PLANT}' ELSE text END AS text2
+            FROM documents
+        ), counted AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(text2, '\\p{{Han}}'))
+                        AS BIGINT) AS han,
+                   CAST(len(regexp_extract_all(text2, '[A-Za-z]'))
+                        AS BIGINT) AS latin
+            FROM planted
+        ), flagged AS (
+            SELECT *, CAST((lang = 'zh' AND han = 0)
+                           OR (lang <> 'zh' AND han > latin) AS INT)
+                          AS mismatch
+            FROM counted
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(mismatch) AS BIGINT) AS n_mismatch,
+               CAST(sum(CASE WHEN han > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_with_han,
+               min(CASE WHEN mismatch = 1 THEN doc_id END) AS first_flagged,
+               max(CASE WHEN mismatch = 1 THEN doc_id END) AS last_flagged
+        FROM flagged
+        GROUP BY lang ORDER BY lang
+    """,
     "filter_rate_wilson_ci": f"""
         WITH agg AS (
             SELECT source,
@@ -1284,4 +1372,5 @@ QUERIES = {
     "source_ngram_overlap": source_ngram_overlap,
     "dp_laplace_release": dp_laplace_release,
     "filter_rate_wilson_ci": filter_rate_wilson_ci,
+    "lang_script_mismatch_audit": lang_script_mismatch_audit,
 }

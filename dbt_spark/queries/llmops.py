@@ -4049,7 +4049,151 @@ _NGRAM_LM_SQL = f"""
     """
 
 
+#: domain_mixture_reweight knobs: multiplicative-weights step size and
+#: the positivity clamp (weights can never hit zero)
+_MIX_ETA = 0.2
+_MIX_FLOOR = 1e-9
+
+
+def domain_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style mixture reweighting (Xie et al. 2023, public): start
+    from the token-share baseline mixture over sources and run three
+    multiplicative-weights rounds against a per-source loss proxy,
+    upweighting sources whose loss exceeds the current mixture's weighted
+    mean — the domain-mixture optimization step between corpus stats and
+    sampler config in a pretraining pipeline. The exp() update is
+    linearized to w·(1 + η·excess) (polynomial-weights Hedge, same
+    fixed point direction) so every operation is + − × ÷ on doubles.
+
+    Determinism: weights are pinned to 6 decimals after every round and
+    the two cross-source reductions per round (weighted mean loss,
+    normalizer) are pinned to 9 — each round's inputs are bit-identical
+    in both engines, so order-dependent double summation cannot compound
+    (the copurchase_pagerank round-pinning pattern). Loss proxy = mean
+    non-whitespace chars per token, exact bigint ratios.
+
+    Scale: the corpus is touched by ONE source-keyed aggregate with
+    map-side partials; all three rounds operate on the source-cardinality
+    frame (dimension-sized) with 1-row broadcast scalars — at 100 TB the
+    iterations still cost nothing.
+    """
+    docs = _docs(spark, sf_dir)
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint").alias("toks"),
+        F.sum(F.length(F.regexp_replace("text", r"\s+", "")))
+        .cast("bigint").alias("letters"),
+    )
+    tot = agg.agg(F.sum("toks").cast("bigint").alias("tot_toks"))
+    base = (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "toks",
+            (F.col("letters").cast("double") / F.col("toks").cast("double")
+             ).alias("loss"),
+            F.round(F.col("toks").cast("double")
+                    / F.col("tot_toks").cast("double"), 6).alias("w0"),
+        )
+    )
+    # pin the corpus aggregate: every MW round references the previous
+    # round's frame 3× (mean, update, normalizer), so an un-checkpointed
+    # lineage re-derives the corpus scan 2^rounds times. One eager
+    # localCheckpoint of the source-cardinality frame caps the corpus at
+    # exactly ONE scan; the rounds then run on ~20 rows.
+    base = base.localCheckpoint(eager=True)
+    w = base.withColumn("w", F.col("w0"))
+    for _ in range(3):
+        m = w.agg(F.round(F.sum(F.col("w") * F.col("loss")), 9).alias("m"))
+        raw = (
+            w.crossJoin(F.broadcast(m))
+            .withColumn(
+                "r",
+                F.greatest(
+                    F.lit(_MIX_FLOOR),
+                    F.col("w") * (1.0 + _MIX_ETA * (F.col("loss") - F.col("m"))),
+                ),
+            )
+        )
+        s = raw.agg(F.round(F.sum("r"), 9).alias("s"))
+        w = (
+            raw.crossJoin(F.broadcast(s))
+            .select(
+                "source", "n_docs", "toks", "loss", "w0",
+                F.round(F.col("r") / F.col("s"), 6).alias("w"),
+            )
+        )
+    return (
+        w.select(
+            "source", "n_docs", "toks",
+            F.round("loss", 6).alias("loss_r6"),
+            F.col("w0").alias("w_base_r6"),
+            F.col("w").alias("w_opt_r6"),
+            F.round(F.col("w") - F.col("w0"), 6).alias("w_delta_r6"),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLES: dict[str, str] = {
+    # three multiplicative-weights rounds unrolled as MATERIALIZED CTEs;
+    # the round-pinning (weights r6, cross-source reductions r9) makes
+    # every round's inputs bit-identical to the Spark plan
+    "domain_mixture_reweight": f"""
+        WITH agg AS MATERIALIZED (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                        AS BIGINT) AS toks,
+                   CAST(sum(length(regexp_replace(text, '\\s+', '', 'g')))
+                        AS BIGINT) AS letters
+            FROM documents GROUP BY source
+        ), base AS MATERIALIZED (
+            SELECT source, n_docs, toks,
+                   CAST(letters AS DOUBLE) / CAST(toks AS DOUBLE) AS loss,
+                   round(CAST(toks AS DOUBLE) /
+                         CAST((SELECT CAST(sum(toks) AS BIGINT) FROM agg)
+                              AS DOUBLE), 6) AS w
+            FROM agg
+        ), m1 AS MATERIALIZED (
+            SELECT round(sum(w * loss), 9) AS m FROM base
+        ), r1 AS MATERIALIZED (
+            SELECT b.*, greatest({_MIX_FLOOR},
+                     w * (1.0 + {_MIX_ETA} * (loss - m1.m))) AS r
+            FROM base b CROSS JOIN m1
+        ), w1 AS MATERIALIZED (
+            SELECT source, n_docs, toks, loss,
+                   round(r / (SELECT round(sum(r), 9) FROM r1), 6) AS w
+            FROM r1
+        ), m2 AS MATERIALIZED (
+            SELECT round(sum(w * loss), 9) AS m FROM w1
+        ), r2 AS MATERIALIZED (
+            SELECT b.*, greatest({_MIX_FLOOR},
+                     w * (1.0 + {_MIX_ETA} * (loss - m2.m))) AS r
+            FROM w1 b CROSS JOIN m2
+        ), w2 AS MATERIALIZED (
+            SELECT source, n_docs, toks, loss,
+                   round(r / (SELECT round(sum(r), 9) FROM r2), 6) AS w
+            FROM r2
+        ), m3 AS MATERIALIZED (
+            SELECT round(sum(w * loss), 9) AS m FROM w2
+        ), r3 AS MATERIALIZED (
+            SELECT b.*, greatest({_MIX_FLOOR},
+                     w * (1.0 + {_MIX_ETA} * (loss - m3.m))) AS r
+            FROM w2 b CROSS JOIN m3
+        ), w3 AS MATERIALIZED (
+            SELECT source, n_docs, toks, loss,
+                   round(r / (SELECT round(sum(r), 9) FROM r3), 6) AS w
+            FROM r3
+        )
+        SELECT w3.source, w3.n_docs, w3.toks,
+               round(w3.loss, 6) AS loss_r6,
+               base.w AS w_base_r6,
+               w3.w AS w_opt_r6,
+               round(w3.w - base.w, 6) AS w_delta_r6
+        FROM w3 JOIN base ON w3.source = base.source
+        ORDER BY w3.source
+    """,
     # the Bloom filter only PREFILTERS (false positives removed by the
     # exact join), so the naive restatement is decontam_ngram_overlap's
     "decontam_bloom_prefilter": f"""
@@ -6300,6 +6444,7 @@ QUERIES = {
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "pair_hard_negative_mine": pair_hard_negative_mine,
     "audio_transcript_rate_audit": audio_transcript_rate_audit,
+    "domain_mixture_reweight": domain_mixture_reweight,
     "multimodal_caption_alignment": multimodal_caption_alignment,
     "multimodal_pixel_decode": multimodal_pixel_decode,
     "multimodal_resize_nearest": multimodal_resize_nearest,

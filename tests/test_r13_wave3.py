@@ -1,0 +1,81 @@
+"""Round-13 wave-3 curation operators:
+
+- domain_mixture_reweight (queries/llmops.py): linearized DoReMi
+  multiplicative-weights mixture optimization over per-source loss
+- doc_entropy_quality (queries/curation.py): per-doc unigram entropy +
+  top-token-share gate
+- lang_script_mismatch_audit (queries/hygiene.py): declared-lang vs
+  script consistency with planted Han repairs
+"""
+
+from __future__ import annotations
+
+import math
+
+_SF = "/root/testdata/sf0.001"
+
+
+def test_domain_mixture_reweight_properties(spark):
+    from dbt_spark.queries.llmops import domain_mixture_reweight
+
+    rows = domain_mixture_reweight(spark, _SF).collect()
+    assert len(rows) > 1
+    w_opt = [r["w_opt_r6"] for r in rows]
+    w_base = [r["w_base_r6"] for r in rows]
+    # a normalized distribution (up to the r6 pinning of each weight)
+    assert abs(sum(w_opt) - 1.0) < 1e-4
+    assert abs(sum(w_base) - 1.0) < 1e-4
+    assert all(w > 0 for w in w_opt)
+    # the MW direction: the max-loss source never loses weight and the
+    # min-loss source never gains (monotone update around the weighted
+    # mean, three rounds)
+    by_loss = sorted(rows, key=lambda r: r["loss_r6"])
+    assert by_loss[-1]["w_delta_r6"] >= 0
+    assert by_loss[0]["w_delta_r6"] <= 0
+    for r in rows:
+        assert abs(r["w_opt_r6"] - r["w_base_r6"] - r["w_delta_r6"]) < 2e-6
+
+
+def test_doc_entropy_quality_properties(spark):
+    from dbt_spark.queries.curation import (_ENTROPY_MIN, _TOPFRAC_MAX,
+                                            doc_entropy_quality)
+
+    rows = doc_entropy_quality(spark, _SF).collect()
+    assert len(rows) > 10
+    assert _TOPFRAC_MAX == 0.15  # the 20·max_c > 3·n integer form
+    for r in rows:
+        # 0 ≤ H ≤ log2(n_types) ≤ log2(n_tokens)
+        assert -1e-6 <= r["entropy_r6"] <= math.log2(r["n_types"]) + 1e-6
+        assert 0 < r["top_frac_r6"] <= 1.0
+        assert r["n_types"] <= r["n_tokens"]
+        expect = int(r["entropy_r6"] < _ENTROPY_MIN
+                     or r["top_frac_r6"] > _TOPFRAC_MAX)
+        assert r["low_quality"] == expect
+    # the gate discriminates on the fixture: both verdicts occur
+    flags = {r["low_quality"] for r in rows}
+    assert flags == {0, 1}
+
+
+def test_lang_script_mismatch_audit_plant_arithmetic(spark):
+    from dbt_spark.queries.hygiene import lang_script_mismatch_audit
+    from dbt_spark.session import load_tables
+
+    rows = {r["lang"]: r for r in
+            lang_script_mismatch_audit(spark, _SF).collect()}
+    docs = load_tables(spark, _SF, "documents")["documents"]
+    zh_ids = [r["doc_id"] for r in
+              docs.filter("lang = 'zh'").select("doc_id").collect()]
+    planted = [d for d in zh_ids if d % 3 == 0]
+    zh = rows["zh"]
+    # every planted doc carries Han, every unplanted zh doc is flagged
+    assert zh["n_with_han"] == len(planted)
+    assert zh["n_mismatch"] == len(zh_ids) - len(planted)
+    assert zh["n_docs"] == len(zh_ids)
+    flagged = sorted(set(zh_ids) - set(planted))
+    assert zh["first_flagged"] == flagged[0]
+    assert zh["last_flagged"] == flagged[-1]
+    # Latin-declared languages: all-ASCII corpus -> zero mismatches
+    for lang, r in rows.items():
+        if lang != "zh":
+            assert r["n_mismatch"] == 0
+            assert r["first_flagged"] is None
