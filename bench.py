@@ -162,6 +162,8 @@ EXTENDED = [
     "pair_hard_negative_mine",        # r13 contrastive negatives, df-capped gram join
     "audio_transcript_rate_audit",    # r13 speech-rate pair plausibility gate
     "domain_mixture_reweight",        # r13 DoReMi-lite MW mixture optimization
+    "dedup_minhash_lsh_paired",       # r13 value-paired banded LSH (portable md5)
+    "stream_mixture_reweight",        # r13 streaming MW mixture twin (sum-merge state)
     "doc_entropy_quality",            # r13 unigram-entropy spam gate
     "lang_script_mismatch_audit",     # r13 declared-lang vs script audit
     "html_extract_visible_text",

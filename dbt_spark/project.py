@@ -69,6 +69,12 @@ class Project:
     # (core/dbt/config/project.py:429,775): reroutes adapter.dispatch
     # macro resolution per namespace (the dbt_utils→spark_utils shim idiom)
     dispatch: list = field(default_factory=list)
+    # profiles.yml `secondary_profiles:` on the selected output — named
+    # extra connection profiles resolved with the same target rules
+    # (reference Profile.secondary_profiles, config/profile.py:63,328-357,
+    # .changes/unreleased/Under the Hood-20250214-123853.yaml): no nesting,
+    # no duplicate names, single-output targets infer their target name
+    secondary_profiles: dict[str, dict] = field(default_factory=dict)
     # dbt_project.yml `restrict-access:` — when TRUE on a package, its
     # protected models reject ALL cross-package refs (and private models
     # reject cross-package refs even within a group); when false (default),
@@ -156,6 +162,7 @@ class Project:
                 prof.setdefault("target_name", tgt)
             elif isinstance(entry, dict):
                 prof = dict(entry)
+        secondary = _parse_secondary_profiles(prof, target)
         # require-dbt-version: the project refuses to load under an engine
         # version outside the range (reference core/dbt/config/project.py
         # validate_version / DbtProjectError; flags.version_check /
@@ -209,6 +216,7 @@ class Project:
             dispatch=cls._load_dispatch(cfg),
             query_comment=cls._load_query_comment(cfg),
             restrict_access=bool(cfg.get("restrict-access", False)),
+            secondary_profiles=secondary,
         )
 
     @staticmethod
@@ -299,6 +307,47 @@ class Project:
                     {k.lstrip("+"): v for k, v in level.items() if k.startswith("+")}
                 )
         return merged
+
+
+def _parse_secondary_profiles(prof: dict, target: Optional[str]) -> dict:
+    """Resolve `secondary_profiles:` on the selected output — named extra
+    connection profiles using the SAME target-resolution rules as the
+    primary (reference Profile.from_raw_profile_info, config/profile.py:
+    305-362): the CLI --target override wins, then the entry's `target:`
+    key, then single-output inference; nested secondary_profiles and
+    duplicate names are profile errors. Mutates `prof` (pops the key) so
+    the execution profile stays a flat credentials dict."""
+    out: dict[str, dict] = {}
+    for p in prof.pop("secondary_profiles", []) or []:
+        if not isinstance(p, dict):
+            continue
+        for sname, sraw in p.items():
+            if sname in out:
+                raise ValueError(
+                    f"profiles.yml: secondary profile {sname!r} is "
+                    "already defined")
+            if not isinstance(sraw, dict):
+                continue
+            if isinstance(sraw.get("outputs"), dict):
+                stgt = target or sraw.get("target")
+                if stgt is None and len(sraw["outputs"]) == 1:
+                    # single-output inference (profile.py:279-281)
+                    stgt = next(iter(sraw["outputs"]))
+                stgt = stgt or "default"
+                if stgt not in sraw["outputs"]:
+                    raise KeyError(
+                        f"profiles.yml: secondary profile {sname!r}: target "
+                        f"{stgt!r} not in outputs {sorted(sraw['outputs'])}")
+                sdata = dict(sraw["outputs"][stgt])
+                sdata.setdefault("target_name", stgt)
+            else:
+                sdata = dict(sraw)
+            if "secondary_profiles" in sdata:
+                raise ValueError(
+                    f"profiles.yml: secondary profile {sname!r} cannot have "
+                    "nested secondary profiles")
+            out[sname] = sdata
+    return out
 
 
 def _walk(root: str, subdirs: list[str], exts: tuple[str, ...]):

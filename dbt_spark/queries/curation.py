@@ -194,6 +194,113 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact-arithmetic outlier detection over events
 # --------------------------------------------------------------------------
 
+# LSH geometry for the VALUE-paired banded near-dup: 16 portable-md5
+# permutations in 4 bands × 4 rows (S-curve threshold ≈ (1/4)^(1/4) ≈ 0.71),
+# verification keeps candidate pairs with exact Jaccard ≥ the floor
+_LSHP_PERMS = 16
+_LSHP_BANDS = 4
+_LSHP_VERIFY_T = 0.35
+
+
+def dedup_minhash_lsh_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup with a VALUE-exact oracle: the xxhash64
+    production path (dedup_minhash_lsh) is rows-only by design because
+    DuckDB has no xxhash64 twin — this query routes the SAME banded
+    construction through portable md5-60-bit permutation hashes so the
+    oracle rebuilds every signature, band bucket, candidate pair and
+    verified Jaccard bit-for-bit. The full LSH pipeline semantics —
+    min-over-shingles signatures, band bucketing, candidate generation
+    strictly from bucket collisions, exact verify — are thereby
+    value-checked end-to-end, not just row-counted.
+
+    Scale: identical shape to the production path — candidates come ONLY
+    from band-bucket self-joins (never all-pairs), signature aggregation
+    is one 16-buffer min() hash aggregate with map-side partials (the
+    shuffle carries one 16-long row per doc), and the verify joins fan
+    out only over bucket-collision pairs.
+    """
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    grams = (
+        docs.withColumn("t", t)
+        .filter(F.size("t") >= 2)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    mins = grams.groupBy("id").agg(*[
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{p}|"), F.col("g"))), 1, 15),
+                16, 10,
+            ).cast("bigint")
+        ).alias(f"mh{p}")
+        for p in range(_LSHP_PERMS)
+    ])
+    rows = _LSHP_PERMS // _LSHP_BANDS
+    bl = mins.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    F.col(f"mh{b * rows + r}").cast("string")
+                    for r in range(rows)
+                ])).alias("bh"),
+            )
+            for b in range(_LSHP_BANDS)
+        ])).alias("s"),
+    ).select("id", "s.band", "s.bh")
+    cand = (
+        bl.alias("a")
+        .join(
+            bl.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands_hit"))
+    )
+    sizes = grams.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"))
+    shared = (
+        grams.alias("ga")
+        .join(cand.select("id_a", "id_b"), F.col("ga.id") == F.col("id_a"))
+        .join(
+            grams.alias("gb"),
+            (F.col("gb.id") == F.col("id_b")) & (F.col("ga.g") == F.col("gb.g")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+    )
+    return (
+        cand.join(shared, ["id_a", "id_b"])
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("n_g").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_g").alias("nb")), "id_b")
+        .filter(jac >= _LSHP_VERIFY_T)
+        .select(
+            "id_a", "id_b", "n_bands_hit", "n_common",
+            F.round(jac, 6).alias("jaccard_r6"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def event_outliers_exact_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type 3σ outlier counts with cross-engine-exact arithmetic:
     values are fixed to DECIMAL(15,3), Σx and Σx² accumulate exactly in
@@ -1075,7 +1182,59 @@ def doc_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lshp_oracle() -> str:
+    rows = _LSHP_PERMS // _LSHP_BANDS
+    mins = ", ".join(
+        f"min(CAST(('0x' || substr(md5('{p}|' || g), 1, 15)) AS BIGINT)) "
+        f"AS mh{p}"
+        for p in range(_LSHP_PERMS))
+    bands = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5("
+        + " || ',' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + ") AS bh FROM mins"
+        for b in range(_LSHP_BANDS))
+    return f"""
+        WITH t AS (SELECT doc_id AS id, {_TOKS_L} AS t FROM documents),
+        grams AS (
+            SELECT DISTINCT id, u.g
+            FROM t, UNNEST(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS u(g)
+            WHERE len(t) >= 2
+        ), mins AS (SELECT id, {mins} FROM grams GROUP BY id),
+        bandsl AS ({bands}),
+        cand AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_bands_hit
+            FROM bandsl a
+            JOIN bandsl b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+            GROUP BY 1, 2
+        ), sizes AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS n_g FROM grams GROUP BY id
+        ), shared AS (
+            SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_common
+            FROM cand c
+            JOIN grams ga ON ga.id = c.id_a
+            JOIN grams gb ON gb.id = c.id_b AND ga.g = gb.g
+            GROUP BY 1, 2
+        )
+        SELECT c.id_a, c.id_b, c.n_bands_hit, s.n_common,
+               round(CAST(s.n_common AS DOUBLE)
+                     / CAST(sa.n_g + sb.n_g - s.n_common AS DOUBLE), 6)
+                   AS jaccard_r6
+        FROM cand c
+        JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b
+        JOIN sizes sa ON sa.id = c.id_a
+        JOIN sizes sb ON sb.id = c.id_b
+        WHERE CAST(s.n_common AS DOUBLE)
+              / CAST(sa.n_g + sb.n_g - s.n_common AS DOUBLE)
+              >= {_LSHP_VERIFY_T}
+        ORDER BY c.id_a, c.id_b
+    """
+
+
 ORACLES: dict[str, str] = {
+    "dedup_minhash_lsh_paired": _lshp_oracle(),
     "doc_entropy_quality": f"""
         WITH words AS (
             SELECT doc_id, lang, w
@@ -1738,6 +1897,7 @@ QUERIES = {
     "copurchase_pagerank": copurchase_pagerank,
     "kmv_theta_set_ops": kmv_theta_set_ops,
     "doc_entropy_quality": doc_entropy_quality,
+    "dedup_minhash_lsh_paired": dedup_minhash_lsh_paired,
     "source_gini_inequality": source_gini_inequality,
     "weighted_sample_topk": weighted_sample_topk,
     "event_transition_matrix": event_transition_matrix,

@@ -4078,13 +4078,26 @@ def domain_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations still cost nothing.
     """
     docs = _docs(spark, sf_dir)
-    agg = docs.groupBy("source").agg(
+    return mixture_weights_from_partials(mixture_partials(docs))
+
+
+def mixture_partials(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, toks, letters) — the corpus-touching aggregate of
+    domain_mixture_reweight, split out because the partials are ADDITIVE
+    (bigint sums): micro-batch partials sum-merge to exactly the full-scan
+    result, which is what makes the streaming twin value-pairable."""
+    return docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size(F.split(F.trim("text"), r"\s+")))
         .cast("bigint").alias("toks"),
         F.sum(F.length(F.regexp_replace("text", r"\s+", "")))
         .cast("bigint").alias("letters"),
     )
+
+
+def mixture_weights_from_partials(agg: DataFrame) -> DataFrame:
+    """The three pinned multiplicative-weights rounds over a
+    (source, n_docs, toks, letters) frame — see domain_mixture_reweight."""
     tot = agg.agg(F.sum("toks").cast("bigint").alias("tot_toks"))
     base = (
         agg.crossJoin(F.broadcast(tot))

@@ -1413,7 +1413,73 @@ def _pair_phash_oracle() -> str:
 
 ORACLES["stream_pair_phash_dedup"] = _pair_phash_oracle()
 
+
+def stream_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING domain-mixture reweighting — the streaming twin of
+    queries/llmops.py::domain_mixture_reweight. The corpus-touching stage
+    is a per-source (n_docs, toks, letters) aggregate whose partials are
+    ADDITIVE bigint sums, so folding each micro-batch's partials into a
+    persisted store (union + sum-merge — a lattice operation) yields
+    exactly the full-scan frame regardless of batching; the three pinned
+    multiplicative-weights rounds then run ONCE on the merged
+    source-cardinality frame. VALUE-PAIRED against the same unrolled-CTE
+    oracle as the batch query.
+
+    This is the production shape for mixture optimization over a live
+    ingest: state is source-cardinality-sized (three longs per source),
+    never corpus-sized, and the optimization never rescans history."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from dbt_spark.queries.llmops import (mixture_partials,
+                                          mixture_weights_from_partials)
+
+    docs = read_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "source", "text")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # harness split
+    src = _tf.mkdtemp(prefix="dbt_spark_mixsrc_")
+    store = os.path.join(_tf.mkdtemp(prefix="dbt_spark_mixstore_"), "mix")
+    ckpt = _tf.mkdtemp(prefix="dbt_spark_mixckpt_")
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+        "append").parquet(src)
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        part = mixture_partials(batch_df)
+        b_spark = batch_df.sparkSession
+        if os.path.isdir(store):
+            prev = b_spark.read.parquet(store)
+            part = prev.unionByName(part).groupBy("source").agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("toks").cast("bigint").alias("toks"),
+                F.sum("letters").cast("bigint").alias("letters"),
+            )
+        part.coalesce(1).write.mode("overwrite").parquet(store + "_next")
+        _sh.rmtree(store, ignore_errors=True)
+        os.rename(store + "_next", store)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return mixture_weights_from_partials(spark.read.parquet(store))
+
+
+from dbt_spark.queries.llmops import ORACLES as _LLM_ORACLES  # noqa: E402
+
+ORACLES["stream_mixture_reweight"] = _LLM_ORACLES["domain_mixture_reweight"]
+
 QUERIES = {
+    "stream_mixture_reweight": stream_mixture_reweight,
     "stream_pii_scrub": stream_pii_scrub,
     "stream_turn_dedup": stream_turn_dedup,
     "stream_pair_phash_dedup": stream_pair_phash_dedup,

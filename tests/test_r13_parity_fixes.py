@@ -229,3 +229,57 @@ def test_ls_output_json_microbatch_model(project_dir, spark):
     assert cfg["incremental_strategy"] == "microbatch"
     assert cfg["event_time"] == "ts"
     assert cfg["batch_size"] == "day"
+
+
+def test_secondary_profiles_resolution(project_dir, spark, tmp_path):
+    """`secondary_profiles:` on the selected output resolve into
+    Project.secondary_profiles with the reference's rules (config/
+    profile.py:305-362): target override > entry target > single-output
+    inference; nesting and duplicate names are profile errors."""
+    import pytest as _pt
+
+    from dbt_spark.project import Project, _parse_secondary_profiles
+
+    root = project_dir({
+        "dbt_project.yml": "name: secp\nprofile: main_prof\n",
+        "models/m.sql": "select 1 as x",
+        "profiles.yml": (
+            "main_prof:\n"
+            "  target: dev\n"
+            "  outputs:\n"
+            "    dev:\n"
+            "      schema: dev_sch\n"
+            "      secondary_profiles:\n"
+            "        - warehouse_b:\n"
+            "            outputs:\n"
+            "              only: {schema: b_sch}\n"
+            "        - warehouse_c:\n"
+            "            target: t2\n"
+            "            outputs:\n"
+            "              t1: {schema: c1}\n"
+            "              t2: {schema: c2}\n"
+        ),
+    })
+    proj = Project.load(root)
+    # the execution profile stays a flat credentials dict
+    assert "secondary_profiles" not in proj.profile
+    assert proj.profile["schema"] == "dev_sch"
+    sec = proj.secondary_profiles
+    # single-output target-name inference
+    assert sec["warehouse_b"]["schema"] == "b_sch"
+    assert sec["warehouse_b"]["target_name"] == "only"
+    # entry's own target key picks the output
+    assert sec["warehouse_c"]["schema"] == "c2"
+
+    # duplicate name -> error
+    with _pt.raises(ValueError, match="already defined"):
+        _parse_secondary_profiles(
+            {"secondary_profiles": [{"a": {"schema": "x"}},
+                                    {"a": {"schema": "y"}}]}, None)
+    # nested secondary profiles -> error
+    with _pt.raises(ValueError, match="nested"):
+        _parse_secondary_profiles(
+            {"secondary_profiles": [
+                {"a": {"schema": "x",
+                       "secondary_profiles": [{"b": {"schema": "y"}}]}}]},
+            None)

@@ -79,3 +79,31 @@ def test_lang_script_mismatch_audit_plant_arithmetic(spark):
         if lang != "zh":
             assert r["n_mismatch"] == 0
             assert r["first_flagged"] is None
+
+
+def test_dedup_minhash_lsh_paired_properties(spark):
+    from dbt_spark.queries.curation import (_LSHP_VERIFY_T,
+                                            dedup_minhash_lsh_paired)
+
+    rows = dedup_minhash_lsh_paired(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 1 <= r["n_bands_hit"] <= 4
+        assert r["jaccard_r6"] >= _LSHP_VERIFY_T
+        assert r["n_common"] >= 1
+    # exact duplicates (jaccard 1.0) must collide in EVERY band
+    for r in rows:
+        if r["jaccard_r6"] == 1.0:
+            assert r["n_bands_hit"] == 4
+
+
+def test_stream_mixture_reweight_equals_batch(spark):
+    """The streaming twin's merged partials reproduce the batch query
+    exactly (additive sum-merge is batching-independent)."""
+    from dbt_spark.queries.llmops import domain_mixture_reweight
+    from dbt_spark.queries.streaming_q import stream_mixture_reweight
+
+    got = stream_mixture_reweight(spark, _SF).collect()
+    want = domain_mixture_reweight(spark, _SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
