@@ -1,0 +1,249 @@
+"""Round-13 wave-3 differential fuzz: random corpora written to tmp
+sf-dirs run through the REAL registered queries, vs pure-python replays
+of the documented semantics.
+
+1. domain_mixture_reweight vs a python replay of the pinned (r6/r9)
+   multiplicative-weights rounds
+2. doc_entropy_quality vs Counter + math.log2 in the same decomposed form
+3. lang_script_mismatch_audit vs regex char-class counting incl. the
+   Han plant rule
+4. dedup_minhash_lsh_paired vs a hashlib.md5 minhash/banding/verify
+   replay (exact pair set, band hits, common grams, jaccard)
+
+Same discipline as tests/test_differential_fuzz.py: fixed seeds, family
+base rotated by DBT_SPARK_FUZZ_OFFSET. Family base 400k.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import random
+import re
+from collections import Counter
+
+import pytest
+
+_OFF = int(os.environ.get("DBT_SPARK_FUZZ_OFFSET", "0"))
+_BASE = 400_000
+
+_HAN_CHARS = "中文数据质量审计样本语料清洗模型训练"
+
+
+def _write_docs(tmp_path, rows):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+            "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows)
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    con.sql(f"COPY documents TO '{path}' (FORMAT PARQUET)")
+    return str(tmp_path)
+
+
+def _rand_corpus(rng, langs=("en",), n_sources=4, min_docs=25, max_docs=50):
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    for d in range(rng.randrange(min_docs, max_docs)):
+        n = rng.choice([1, 2, rng.randrange(3, 30)])
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        rows.append((d, text, rng.choice(langs),
+                     f"s{rng.randrange(n_sources)}", len(text)))
+    return rows
+
+
+# ---- 1. mixture rounds --------------------------------------------------
+
+def _py_mixture(rows, eta, floor):
+    per = {}
+    for _, text, _, src, _ in rows:
+        toks = len(re.split(r"\s+", text.strip()))
+        letters = len(re.sub(r"\s+", "", text))
+        n, t, l = per.get(src, (0, 0, 0))
+        per[src] = (n + 1, t + toks, l + letters)
+    total = sum(t for _, t, _ in per.values())
+    out = {}
+    for src, (n, t, l) in per.items():
+        out[src] = {"n_docs": n, "toks": t, "loss": l / t,
+                    "w0": round(t / total, 6)}
+    srcs = sorted(out)
+    w = {s: out[s]["w0"] for s in srcs}
+    for _ in range(3):
+        m = round(sum(w[s] * out[s]["loss"] for s in srcs), 9)
+        r = {s: max(floor, w[s] * (1.0 + eta * (out[s]["loss"] - m)))
+             for s in srcs}
+        tot_r = round(sum(r[s] for s in srcs), 9)
+        w = {s: round(r[s] / tot_r, 6) for s in srcs}
+    for s in srcs:
+        out[s]["w_opt"] = w[s]
+    return out
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_mixture_reweight_random_corpus_replay(spark, tmp_path, seed):
+    from dbt_spark.queries import llmops as L
+
+    rng = random.Random(_BASE + _OFF + seed)
+    rows = _rand_corpus(rng)
+    sf = _write_docs(tmp_path, rows)
+    got = {r["source"]: r for r in
+           L.domain_mixture_reweight(spark, sf).collect()}
+    want = _py_mixture(rows, L._MIX_ETA, L._MIX_FLOOR)
+    assert set(got) == set(want)
+    for s, w in want.items():
+        g = got[s]
+        assert g["n_docs"] == w["n_docs"], (seed, s)
+        assert g["toks"] == w["toks"], (seed, s)
+        assert abs(g["loss_r6"] - round(w["loss"], 6)) < 1e-9, (seed, s)
+        assert abs(g["w_base_r6"] - w["w0"]) < 1e-9, (seed, s)
+        assert abs(g["w_opt_r6"] - w["w_opt"]) < 1e-9, (seed, s)
+
+
+# ---- 2. doc entropy -----------------------------------------------------
+
+@pytest.mark.parametrize("seed", range(4))
+def test_doc_entropy_random_corpus_replay(spark, tmp_path, seed):
+    from dbt_spark.queries import curation as C
+
+    rng = random.Random(_BASE + _OFF + 1000 + seed)
+    rows = _rand_corpus(rng, langs=("en", "fr"))
+    sf = _write_docs(tmp_path, rows)
+    got = {r["doc_id"]: r for r in
+           C.doc_entropy_quality(spark, sf).collect()}
+    for d, text, _, _, _ in rows:
+        toks = [t for t in re.split(r"\s+", text.strip()) if t]
+        if not toks:
+            assert d not in got
+            continue
+        cnt = Counter(toks)
+        n = sum(cnt.values())
+        h = round(math.log2(n)
+                  - sum(c * math.log2(c) for c in cnt.values()) / n, 6)
+        g = got[d]
+        assert g["n_tokens"] == n, (seed, d)
+        assert g["n_types"] == len(cnt), (seed, d)
+        assert abs(g["entropy_r6"] - h) < 1e-9, (seed, d, text)
+        top = max(cnt.values())
+        assert abs(g["top_frac_r6"] - round(top / n, 6)) < 1e-9
+        expect = int(h < C._ENTROPY_MIN or 20 * top > 3 * n)
+        assert g["low_quality"] == expect, (seed, d, text)
+
+
+# ---- 3. script audit ----------------------------------------------------
+
+@pytest.mark.parametrize("seed", range(4))
+def test_script_audit_random_corpus_replay(spark, tmp_path, seed):
+    from dbt_spark.queries import hygiene as H
+
+    rng = random.Random(_BASE + _OFF + 2000 + seed)
+    rows = []
+    for d in range(rng.randrange(30, 60)):
+        lang = rng.choice(["en", "zh", "de"])
+        words = []
+        for _ in range(rng.randrange(1, 12)):
+            if rng.random() < 0.3:
+                words.append("".join(rng.choice(_HAN_CHARS)
+                                     for _ in range(rng.randrange(1, 4))))
+            else:
+                words.append(f"w{rng.randrange(30)}")
+        text = " ".join(words)
+        rows.append((d, text, lang, "s0", len(text)))
+    sf = _write_docs(tmp_path, rows)
+    got = {r["lang"]: r for r in
+           H.lang_script_mismatch_audit(spark, sf).collect()}
+
+    agg = {}
+    for d, text, lang, _, _ in rows:
+        if lang == "zh" and d % 3 == 0:
+            text = text + " " + H._HAN_PLANT
+        han = sum(1 for ch in text if "一" <= ch <= "鿿")
+        latin = len(re.findall(r"[A-Za-z]", text))
+        mism = int((lang == "zh" and han == 0)
+                   or (lang != "zh" and han > latin))
+        a = agg.setdefault(lang, {"n": 0, "m": 0, "h": 0, "ids": []})
+        a["n"] += 1
+        a["m"] += mism
+        a["h"] += int(han > 0)
+        if mism:
+            a["ids"].append(d)
+    assert set(got) == set(agg)
+    for lang, a in agg.items():
+        g = got[lang]
+        assert g["n_docs"] == a["n"], (seed, lang)
+        assert g["n_mismatch"] == a["m"], (seed, lang)
+        assert g["n_with_han"] == a["h"], (seed, lang)
+        assert g["first_flagged"] == (min(a["ids"]) if a["ids"] else None)
+        assert g["last_flagged"] == (max(a["ids"]) if a["ids"] else None)
+
+
+# ---- 4. banded LSH ------------------------------------------------------
+
+def _py_lsh_pairs(rows, perms, bands, thresh):
+    def gramset(text):
+        toks = re.split(r"\s+", text.lower().strip())
+        if len(toks) < 2:
+            return set()
+        return {toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    grams = {d: gramset(t) for d, t, *_ in rows}
+    grams = {d: g for d, g in grams.items() if g}
+    sigs = {
+        d: [min(h60(f"{p}|{g}") for g in gs) for p in range(perms)]
+        for d, gs in grams.items()
+    }
+    r = perms // bands
+    bhs = {
+        d: [hashlib.md5(",".join(str(x) for x in sig[b * r:(b + 1) * r])
+                        .encode()).hexdigest()
+            for b in range(bands)]
+        for d, sig in sigs.items()
+    }
+    out = {}
+    ids = sorted(bhs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            hits = sum(1 for x in range(bands) if bhs[a][x] == bhs[b][x])
+            if not hits:
+                continue
+            common = len(grams[a] & grams[b])
+            if common == 0:
+                continue  # inner join with the shared-gram table
+            jac = common / (len(grams[a]) + len(grams[b]) - common)
+            if jac >= thresh:
+                out[(a, b)] = (hits, common, round(jac, 6))
+    return out
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_lsh_paired_random_corpus_replay(spark, tmp_path, seed):
+    from dbt_spark.queries import curation as C
+
+    rng = random.Random(_BASE + _OFF + 3000 + seed)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    d = 0
+    for _ in range(rng.randrange(12, 20)):
+        n = rng.randrange(2, 15)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        rows.append((d, text, "en", "s0", len(text)))
+        d += 1
+        if rng.random() < 0.4:  # plant a near/exact duplicate
+            t2 = text if rng.random() < 0.5 else text + " " + rng.choice(vocab)
+            rows.append((d, t2, "en", "s0", len(t2)))
+            d += 1
+    sf = _write_docs(tmp_path, rows)
+    got = {(r["id_a"], r["id_b"]): (r["n_bands_hit"], r["n_common"],
+                                    r["jaccard_r6"])
+           for r in C.dedup_minhash_lsh_paired(spark, sf).collect()}
+    want = _py_lsh_pairs(rows, C._LSHP_PERMS, C._LSHP_BANDS,
+                         C._LSHP_VERIFY_T)
+    assert set(got) == set(want), (seed, set(got) ^ set(want))
+    for k, (hits, common, jac) in want.items():
+        gh, gc, gj = got[k]
+        assert gh == hits and gc == common, (seed, k)
+        assert abs(gj - jac) < 1e-9, (seed, k)
