@@ -164,6 +164,7 @@ EXTENDED = [
     "domain_mixture_reweight",        # r13 DoReMi-lite MW mixture optimization
     "dedup_minhash_lsh_paired",       # r13 value-paired banded LSH (portable md5)
     "stream_mixture_reweight",        # r13 streaming MW mixture twin (sum-merge state)
+    "bt_preference_strength",         # r13 Bradley-Terry eval-winrate MM fit
     "doc_entropy_quality",            # r13 unigram-entropy spam gate
     "lang_script_mismatch_audit",     # r13 declared-lang vs script audit
     "html_extract_visible_text",

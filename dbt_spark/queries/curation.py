@@ -194,6 +194,115 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact-arithmetic outlier detection over events
 # --------------------------------------------------------------------------
 
+#: Bradley-Terry MM fit: fixed rounds + positivity clamp (a type that
+#: never wins decays toward the floor instead of dividing by zero)
+_BT_ROUNDS = 3
+_BT_FLOOR = 1e-9
+
+
+def bt_preference_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength fitting over pairwise contests (Bradley &
+    Terry 1952; MM algorithm per Hunter 2004 — both public) — the
+    eval-winrate aggregation shape of an RLHF pipeline: pairwise
+    preference outcomes (model A beat model B) fit into per-competitor
+    strengths that rank and CALIBRATE (P(i beats j) = s_i/(s_i+s_j)),
+    which raw win percentages cannot. Contests here: per user, for each
+    pair of event types both present, the type with the larger
+    decimal-exact engagement sum wins one contest (ties void).
+
+    Determinism: contest outcomes compare DECIMAL(15,3) sums (exact, the
+    event_outliers pattern); the MM rounds pin strengths to 6 decimals
+    and the two cross-competitor reductions (per-i denominator,
+    normalizer) to 9 — the copurchase_pagerank/domain_mixture round-
+    pinning pattern, so both engines run bit-identical rounds.
+
+    Scale: ONE user-keyed aggregate touches the corpus; the per-user
+    pair stage fans out ≤ |types|² rows per user (bounded, user-keyed);
+    everything after is |types|²-sized. MM rounds cost nothing at any
+    corpus size. Win matrix is localCheckpointed so rounds never re-derive
+    the corpus lineage."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type",
+        F.round("value", 3).cast("decimal(15,3)").alias("x"),
+    )
+    per = ev.groupBy("user_id", "event_type").agg(F.sum("x").alias("s"))
+    pairs = (
+        per.alias("a")
+        .join(per.alias("b"),
+              (F.col("a.user_id") == F.col("b.user_id"))
+              & (F.col("a.event_type") < F.col("b.event_type")))
+        .filter(F.col("a.s") != F.col("b.s"))
+        .select(
+            F.when(F.col("a.s") > F.col("b.s"), F.col("a.event_type"))
+            .otherwise(F.col("b.event_type")).alias("winner"),
+            F.when(F.col("a.s") > F.col("b.s"), F.col("b.event_type"))
+            .otherwise(F.col("a.event_type")).alias("loser"),
+        )
+    )
+    wins = pairs.groupBy("winner", "loser").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w"))
+    # every ordered (i, j) with any games between them, win count attached
+    pm = (
+        wins.select(F.col("winner").alias("i"), F.col("loser").alias("j"),
+                    F.col("w").alias("wij"))
+        .unionByName(
+            wins.select(F.col("loser").alias("i"),
+                        F.col("winner").alias("j"),
+                        F.lit(0).cast("bigint").alias("wij")))
+        .groupBy("i", "j").agg(F.sum("wij").cast("bigint").alias("wij"))
+    )
+    games = (
+        pm.alias("x")
+        .join(pm.alias("y"),
+              (F.col("x.i") == F.col("y.j")) & (F.col("x.j") == F.col("y.i")))
+        .select(F.col("x.i").alias("i"), F.col("x.j").alias("j"),
+                F.col("x.wij").alias("wij"),
+                (F.col("x.wij") + F.col("y.wij")).cast("bigint")
+                .alias("games"))
+    ).localCheckpoint(eager=True)
+    totals = games.groupBy("i").agg(
+        F.sum("wij").cast("bigint").alias("n_wins"),
+        F.sum("games").cast("bigint").alias("n_contests"),
+    )
+    k = totals.count()  # competitor count — dimension-sized, driver-safe
+    s = totals.select("i", "n_wins", "n_contests",
+                      F.lit(round(1.0 / k, 6)).alias("s"))
+    for _ in range(_BT_ROUNDS):
+        j_side = s.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+        denom = (
+            games.join(s.select("i", "s"), "i").join(j_side, "j")
+            .groupBy("i")
+            .agg(F.round(
+                F.sum(F.col("games").cast("double")
+                      / (F.col("s") + F.col("sj"))), 9).alias("denom"))
+        )
+        raw = (
+            s.join(denom, "i")
+            .withColumn(
+                "raw",
+                F.greatest(
+                    F.lit(_BT_FLOOR),
+                    F.col("n_wins").cast("double") / F.col("denom")))
+        )
+        tot = raw.agg(F.round(F.sum("raw"), 9).alias("tot"))
+        # each round references s twice (denominator join + update join):
+        # pin the 5-row frame per round or the lineage re-derives the
+        # whole upstream 2^rounds times (same fix as the mixture query)
+        s = (
+            raw.crossJoin(F.broadcast(tot))
+            .select("i", "n_wins", "n_contests",
+                    F.round(F.col("raw") / F.col("tot"), 6).alias("s"))
+        ).localCheckpoint(eager=True)
+    return (
+        s.select(F.col("i").alias("event_type"), "n_wins", "n_contests",
+                 F.col("s").alias("s_bt_r6"),
+                 F.round(F.col("n_wins").cast("double")
+                         / F.col("n_contests").cast("double"), 6)
+                 .alias("raw_winrate_r6"))
+        .orderBy("event_type")
+    )
+
+
 # LSH geometry for the VALUE-paired banded near-dup: 16 portable-md5
 # permutations in 4 bands × 4 rows (S-curve threshold ≈ (1/4)^(1/4) ≈ 0.71),
 # verification keeps candidate pairs with exact Jaccard ≥ the floor
@@ -1182,6 +1291,75 @@ def doc_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bt_oracle() -> str:
+    rounds = []
+    prev = "s0"
+    for t in range(1, _BT_ROUNDS + 1):
+        rounds.append(f"""
+        d{t} AS MATERIALIZED (
+            SELECT g.i, round(sum(CAST(g.games AS DOUBLE)
+                                  / (si.s + sj.s)), 9) AS denom
+            FROM games g
+            JOIN {prev} si ON g.i = si.i
+            JOIN {prev} sj ON g.j = sj.i
+            GROUP BY g.i
+        ), r{t} AS MATERIALIZED (
+            SELECT p.i, p.n_wins, p.n_contests,
+                   greatest({_BT_FLOOR},
+                            CAST(p.n_wins AS DOUBLE) / d{t}.denom) AS raw
+            FROM {prev} p JOIN d{t} ON p.i = d{t}.i
+        ), s{t} AS MATERIALIZED (
+            SELECT i, n_wins, n_contests,
+                   round(raw / (SELECT round(sum(raw), 9) FROM r{t}), 6) AS s
+            FROM r{t}
+        )""")
+        prev = f"s{t}"
+    return f"""
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   CAST(round(value, 3) AS DECIMAL(15,3)) AS x
+            FROM events
+        ), per AS (
+            SELECT user_id, event_type, sum(x) AS s
+            FROM ev GROUP BY 1, 2
+        ), contests AS (
+            SELECT CASE WHEN a.s > b.s THEN a.event_type
+                        ELSE b.event_type END AS winner,
+                   CASE WHEN a.s > b.s THEN b.event_type
+                        ELSE a.event_type END AS loser
+            FROM per a
+            JOIN per b ON a.user_id = b.user_id
+                      AND a.event_type < b.event_type
+            WHERE a.s <> b.s
+        ), wins AS (
+            SELECT winner, loser, CAST(count(*) AS BIGINT) AS w
+            FROM contests GROUP BY 1, 2
+        ), pm AS (
+            SELECT i, j, CAST(sum(wij) AS BIGINT) AS wij FROM (
+                SELECT winner AS i, loser AS j, w AS wij FROM wins
+                UNION ALL
+                SELECT loser AS i, winner AS j, 0 AS wij FROM wins)
+            GROUP BY 1, 2
+        ), games AS MATERIALIZED (
+            SELECT x.i, x.j, x.wij,
+                   CAST(x.wij + y.wij AS BIGINT) AS games
+            FROM pm x JOIN pm y ON x.i = y.j AND x.j = y.i
+        ), totals AS MATERIALIZED (
+            SELECT i, CAST(sum(wij) AS BIGINT) AS n_wins,
+                   CAST(sum(games) AS BIGINT) AS n_contests
+            FROM games GROUP BY 1
+        ), s0 AS MATERIALIZED (
+            SELECT i, n_wins, n_contests,
+                   round(1.0 / (SELECT count(*) FROM totals), 6) AS s
+            FROM totals
+        ), {", ".join(r.lstrip() for r in rounds)}
+        SELECT i AS event_type, n_wins, n_contests, s AS s_bt_r6,
+               round(CAST(n_wins AS DOUBLE) / CAST(n_contests AS DOUBLE), 6)
+                   AS raw_winrate_r6
+        FROM {prev} ORDER BY 1
+    """
+
+
 def _lshp_oracle() -> str:
     rows = _LSHP_PERMS // _LSHP_BANDS
     mins = ", ".join(
@@ -1234,6 +1412,7 @@ def _lshp_oracle() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "bt_preference_strength": _bt_oracle(),
     "dedup_minhash_lsh_paired": _lshp_oracle(),
     "doc_entropy_quality": f"""
         WITH words AS (
@@ -1898,6 +2077,7 @@ QUERIES = {
     "kmv_theta_set_ops": kmv_theta_set_ops,
     "doc_entropy_quality": doc_entropy_quality,
     "dedup_minhash_lsh_paired": dedup_minhash_lsh_paired,
+    "bt_preference_strength": bt_preference_strength,
     "source_gini_inequality": source_gini_inequality,
     "weighted_sample_topk": weighted_sample_topk,
     "event_transition_matrix": event_transition_matrix,

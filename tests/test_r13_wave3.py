@@ -107,3 +107,22 @@ def test_stream_mixture_reweight_equals_batch(spark):
     got = stream_mixture_reweight(spark, _SF).collect()
     want = domain_mixture_reweight(spark, _SF).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_bt_preference_strength_properties(spark):
+    from dbt_spark.queries.curation import bt_preference_strength
+
+    rows = bt_preference_strength(spark, _SF).collect()
+    assert len(rows) >= 2
+    s = [r["s_bt_r6"] for r in rows]
+    assert abs(sum(s) - 1.0) < 1e-4
+    assert all(x > 0 for x in s)
+    # BT strengths are winrate-monotone on a balanced complete schedule
+    # (every type plays every other the same users): more wins -> more
+    # strength
+    by_wins = sorted(rows, key=lambda r: r["n_wins"])
+    bt_order = [r["event_type"] for r in by_wins]
+    by_s = sorted(rows, key=lambda r: r["s_bt_r6"])
+    assert [r["event_type"] for r in by_s] == bt_order
+    for r in rows:
+        assert 0.0 <= r["raw_winrate_r6"] <= 1.0
