@@ -9,6 +9,8 @@ of the documented semantics.
    Han plant rule
 4. dedup_minhash_lsh_paired vs a hashlib.md5 minhash/banding/verify
    replay (exact pair set, band hits, common grams, jaccard)
+5. bt_preference_strength vs a Decimal-exact contest derivation +
+   pinned Hunter-2004 MM rounds replay
 
 Same discipline as tests/test_differential_fuzz.py: fixed seeds, family
 base rotated by DBT_SPARK_FUZZ_OFFSET. Family base 400k.
@@ -247,3 +249,80 @@ def test_lsh_paired_random_corpus_replay(spark, tmp_path, seed):
         gh, gc, gj = got[k]
         assert gh == hits and gc == common, (seed, k)
         assert abs(gj - jac) < 1e-9, (seed, k)
+
+
+# ---- 5. Bradley-Terry ---------------------------------------------------
+
+def _py_bt(events, rounds, floor):
+    from decimal import Decimal
+
+    per = {}
+    for u, ty, v in events:
+        key = (u, ty)
+        per[key] = per.get(key, Decimal(0)) + Decimal(str(round(v, 3)))
+    by_user = {}
+    for (u, ty), s in per.items():
+        by_user.setdefault(u, {})[ty] = s
+    wins = Counter()
+    games = Counter()
+    for u, d in by_user.items():
+        tys = sorted(d)
+        for i, a in enumerate(tys):
+            for b in tys[i + 1:]:
+                if d[a] == d[b]:
+                    continue
+                w, l = (a, b) if d[a] > d[b] else (b, a)
+                wins[(w, l)] += 1
+                games[(a, b)] += 1
+                games[(b, a)] += 1
+    types = sorted({t for pair in games for t in pair})
+    if not types:
+        return {}
+    n_wins = {t: sum(w for (a, _), w in wins.items() if a == t)
+              for t in types}
+    n_games = {t: sum(g for (a, _), g in games.items() if a == t)
+               for t in types}
+    s = {t: round(1.0 / len(types), 6) for t in types}
+    for _ in range(rounds):
+        denom = {}
+        for t in types:
+            denom[t] = round(sum(
+                games[(t, o)] / (s[t] + s[o])
+                for o in types if games.get((t, o))), 9)
+        raw = {t: max(floor, n_wins[t] / denom[t]) for t in types}
+        tot = round(sum(raw[t] for t in types), 9)
+        s = {t: round(raw[t] / tot, 6) for t in types}
+    return {t: (n_wins[t], n_games[t], s[t]) for t in types}
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_bt_strength_random_events_replay(spark, tmp_path, seed):
+    import duckdb
+
+    from dbt_spark.queries import curation as C
+
+    rng = random.Random(_BASE + _OFF + 4000 + seed)
+    types = ["a", "b", "c", "d"][: rng.randrange(2, 5)]
+    events = []
+    for e in range(rng.randrange(60, 140)):
+        events.append((rng.randrange(12), rng.choice(types),
+                       round(rng.uniform(-5, 10), 2)))
+    con = duckdb.connect()
+    con.sql("CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, "
+            "user_id BIGINT, event_type VARCHAR, value DOUBLE, "
+            "props VARCHAR)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, TIMESTAMP '2024-01-01', ?, ?, ?, '')",
+        [(i, u, ty, v) for i, (u, ty, v) in enumerate(events)])
+    path = os.path.join(str(tmp_path), "events.parquet")
+    con.sql(f"COPY events TO '{path}' (FORMAT PARQUET)")
+
+    got = {r["event_type"]: r for r in
+           C.bt_preference_strength(spark, str(tmp_path)).collect()}
+    want = _py_bt(events, C._BT_ROUNDS, C._BT_FLOOR)
+    assert set(got) == set(want), seed
+    for t, (w, g, s) in want.items():
+        r = got[t]
+        assert r["n_wins"] == w, (seed, t)
+        assert r["n_contests"] == g, (seed, t)
+        assert abs(r["s_bt_r6"] - s) < 1e-9, (seed, t)
