@@ -345,15 +345,21 @@ def dedup_minhash_lsh_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    mins = grams.groupBy("id").agg(*[
-        F.min(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{p}|"), F.col("g"))), 1, 15),
-                16, 10,
-            ).cast("bigint")
-        ).alias(f"mh{p}")
-        for p in range(_LSHP_PERMS)
-    ])
+    # the per-doc gram count rides the SAME 16-buffer aggregate as the
+    # signature mins — one corpus pass fewer than a separate sizes scan
+    mins = grams.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{p}|"), F.col("g"))), 1, 15),
+                    16, 10,
+                ).cast("bigint")
+            ).alias(f"mh{p}")
+            for p in range(_LSHP_PERMS)
+        ],
+    )
     rows = _LSHP_PERMS // _LSHP_BANDS
     bl = mins.select(
         "id",
@@ -379,8 +385,7 @@ def dedup_minhash_lsh_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands_hit"))
     )
-    sizes = grams.groupBy("id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_g"))
+    sizes = mins.select("id", "n_g")
     shared = (
         grams.alias("ga")
         .join(cand.select("id_a", "id_b"), F.col("ga.id") == F.col("id_a"))
