@@ -66,3 +66,24 @@ def test_no_unpartitioned_windows_in_tree():
                     if pat.search(line):
                         offenders.append(f"{path}:{ln}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
+
+
+def test_iterative_queries_pin_their_round_lineage(spark):
+    """The iterative dimension-frame queries (multiplicative-weights
+    mixture, Bradley-Terry MM) reference each round's frame more than
+    once; without an eager localCheckpoint the final plan re-derives the
+    corpus aggregate 2^rounds times. Guard: the FINAL physical plan
+    contains no corpus file scan at all — the rounds run purely on
+    checkpointed dimension-sized frames."""
+    from dbt_spark.queries.curation import bt_preference_strength
+    from dbt_spark.queries.llmops import domain_mixture_reweight
+
+    sf = "/root/testdata/sf0.001"
+    for fn, scans_allowed in ((domain_mixture_reweight, 0),
+                              (bt_preference_strength, 0)):
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        n_scans = plan.count("Scan parquet")
+        assert n_scans == scans_allowed, (fn.__name__, n_scans)
