@@ -165,6 +165,7 @@ EXTENDED = [
     "dedup_minhash_lsh_paired",       # r13 value-paired banded LSH (portable md5)
     "stream_mixture_reweight",        # r13 streaming MW mixture twin (sum-merge state)
     "bt_preference_strength",         # r13 Bradley-Terry eval-winrate MM fit
+    "stream_bt_strength",             # r13 streaming BT twin (decimal lattice fold)
     "doc_entropy_quality",            # r13 unigram-entropy spam gate
     "lang_script_mismatch_audit",     # r13 declared-lang vs script audit
     "html_extract_visible_text",

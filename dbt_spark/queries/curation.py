@@ -221,11 +221,26 @@ def bt_preference_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after is |types|²-sized. MM rounds cost nothing at any
     corpus size. Win matrix is localCheckpointed so rounds never re-derive
     the corpus lineage."""
-    ev = _events(spark, sf_dir).select(
-        "user_id", "event_type",
-        F.round("value", 3).cast("decimal(15,3)").alias("x"),
+    per = bt_engagement_partials(_events(spark, sf_dir))
+    return bt_strength_from_partials(per)
+
+
+def bt_engagement_partials(ev: DataFrame) -> DataFrame:
+    """(user_id, event_type, s DECIMAL(15,3)-summed) — the corpus-touching
+    aggregate of bt_preference_strength, split out because decimal sums
+    are ADDITIVE: micro-batch partials sum-merge to exactly the full-scan
+    frame, which is what makes the streaming twin value-pairable."""
+    return (
+        ev.select(
+            "user_id", "event_type",
+            F.round("value", 3).cast("decimal(15,3)").alias("x"))
+        .groupBy("user_id", "event_type").agg(F.sum("x").alias("s"))
     )
-    per = ev.groupBy("user_id", "event_type").agg(F.sum("x").alias("s"))
+
+
+def bt_strength_from_partials(per: DataFrame) -> DataFrame:
+    """Contests + the pinned Bradley-Terry MM rounds over a
+    (user_id, event_type, s) frame — see bt_preference_strength."""
     pairs = (
         per.alias("a")
         .join(per.alias("b"),

@@ -1474,12 +1474,70 @@ def stream_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights_from_partials(spark.read.parquet(store))
 
 
+def stream_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Bradley-Terry strength fitting — the streaming twin of
+    queries/curation.py::bt_preference_strength. Per-(user, event_type)
+    DECIMAL engagement sums are additive, so each micro-batch's partials
+    sum-merge into a persisted store (exact decimal lattice fold); the
+    contest derivation and pinned MM rounds run ONCE on the merged
+    frame. VALUE-PAIRED against the same unrolled-CTE oracle as the
+    batch query — decimal exactness makes the fold batching-independent.
+
+    State is one decimal per active (user, type) key — the standard
+    streaming-aggregation state shape, never event-volume-sized; the
+    winrate fit itself never rescans history."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from dbt_spark.queries.curation import (bt_engagement_partials,
+                                            bt_strength_from_partials)
+
+    ev = read_parquet(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).select("event_id", "user_id", "event_type", "value")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2  # harness split
+    src = _tf.mkdtemp(prefix="dbt_spark_btsrc_")
+    store = os.path.join(_tf.mkdtemp(prefix="dbt_spark_btstore_"), "bt")
+    ckpt = _tf.mkdtemp(prefix="dbt_spark_btckpt_")
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.mode(
+        "append").parquet(src)
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        part = bt_engagement_partials(batch_df)
+        b_spark = batch_df.sparkSession
+        if os.path.isdir(store):
+            prev = b_spark.read.parquet(store)
+            part = prev.unionByName(part).groupBy(
+                "user_id", "event_type").agg(F.sum("s").alias("s"))
+        part.coalesce(1).write.mode("overwrite").parquet(store + "_next")
+        _sh.rmtree(store, ignore_errors=True)
+        os.rename(store + "_next", store)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return bt_strength_from_partials(spark.read.parquet(store))
+
+
 from dbt_spark.queries.llmops import ORACLES as _LLM_ORACLES  # noqa: E402
+from dbt_spark.queries.curation import ORACLES as _CUR_ORACLES  # noqa: E402
 
 ORACLES["stream_mixture_reweight"] = _LLM_ORACLES["domain_mixture_reweight"]
+ORACLES["stream_bt_strength"] = _CUR_ORACLES["bt_preference_strength"]
 
 QUERIES = {
     "stream_mixture_reweight": stream_mixture_reweight,
+    "stream_bt_strength": stream_bt_strength,
     "stream_pii_scrub": stream_pii_scrub,
     "stream_turn_dedup": stream_turn_dedup,
     "stream_pair_phash_dedup": stream_pair_phash_dedup,

@@ -126,3 +126,14 @@ def test_bt_preference_strength_properties(spark):
     assert [r["event_type"] for r in by_s] == bt_order
     for r in rows:
         assert 0.0 <= r["raw_winrate_r6"] <= 1.0
+
+
+def test_stream_bt_strength_equals_batch(spark):
+    """Decimal partials sum-merge is batching-independent: the streaming
+    twin reproduces the batch fit exactly."""
+    from dbt_spark.queries.curation import bt_preference_strength
+    from dbt_spark.queries.streaming_q import stream_bt_strength
+
+    got = stream_bt_strength(spark, _SF).collect()
+    want = bt_preference_strength(spark, _SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
