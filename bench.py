@@ -166,6 +166,7 @@ EXTENDED = [
     "stream_mixture_reweight",        # r13 streaming MW mixture twin (sum-merge state)
     "bt_preference_strength",         # r13 Bradley-Terry eval-winrate MM fit
     "stream_bt_strength",             # r13 streaming BT twin (decimal lattice fold)
+    "dp_exponential_topk",            # r13 DP private selection (Gumbel-max top-k)
     "doc_entropy_quality",            # r13 unigram-entropy spam gate
     "lang_script_mismatch_audit",     # r13 declared-lang vs script audit
     "html_extract_visible_text",

@@ -820,6 +820,53 @@ def dp_laplace_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DP top-k release size
+_DP_TOPK = 10
+
+
+def dp_exponential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private TOP-K release via the exponential mechanism
+    (McSherry-Talwar 2007, public), implemented with the Gumbel-max trick
+    (argmax of score·ε/2Δ + Gumbel noise samples the exponential
+    mechanism exactly — public equivalence): the top-10 corpus tokens by
+    frequency are released through PRIVATE SELECTION rather than additive
+    noise — the other standard DP release class next to
+    dp_laplace_release (Laplace = noisy values for every cell; this =
+    noisy choice of WHICH cells to reveal, the right tool when the
+    domain, not the counts, is the sensitive surface).
+
+    Noise is a DETERMINISTIC portable draw so both engines release the
+    identical set: u = (h + 0.5)/2⁶⁰ ∈ (0,1) strictly (never hits either
+    endpoint for any 60-bit hash h — no clamp needed, unlike the Laplace
+    twin), g = −ln(−ln(u)), noisy = count·ε/2 + g pinned to 6 decimals
+    BEFORE ranking, so the double-transcendental 1-ulp divergence cannot
+    flip the cross-engine ordering. A production run swaps the keyed
+    hash for a seeded RNG.
+
+    Scale: one explode + token-keyed count with map-side partials;
+    selection is TakeOrdered over vocab-sized rows (never a global
+    window); output is k rows."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("double")
+    u = (h + 0.5) / float(1 << 60)
+    g = -F.log(-F.log(u))
+    noisy = F.round(
+        F.col("n").cast("double") * (float(_DP_EPSILON) / 2.0) + g, 6)
+    return (
+        cnt.select(
+            "tok",
+            noisy.alias("noisy_score_r6"),
+            F.lit(float(_DP_EPSILON)).alias("epsilon"),
+        )
+        .orderBy(F.desc("noisy_score_r6"), "tok")
+        .limit(_DP_TOPK)
+    )
+
+
 def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair n-gram overlap matrix: distinct word-5-gram Jaccard
     between every pair of ingest sources — the corpus-level similarity
@@ -1081,6 +1128,27 @@ ORACLES: dict[str, str] = {
                      / (1.0 + {_WILSON_Z * _WILSON_Z!r} / nd), 6)
                    AS wilson_hi_r6
         FROM calc ORDER BY source
+    """,
+    "dp_exponential_topk": f"""
+        WITH toks AS (
+            SELECT tok FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS tok
+                FROM documents)
+            WHERE length(tok) > 0
+        ), cnt AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+        )
+        SELECT tok,
+               round(CAST(n AS DOUBLE) * {float(_DP_EPSILON) / 2.0}
+                     + (-ln(-ln((CAST(('0x' || substr(md5(tok), 1, 15))
+                                      AS BIGINT) + 0.5)
+                                / {float(1 << 60)!r}))), 6)
+                   AS noisy_score_r6,
+               {float(_DP_EPSILON)!r} AS epsilon
+        FROM cnt
+        ORDER BY noisy_score_r6 DESC, tok
+        LIMIT {_DP_TOPK}
     """,
     "dp_laplace_release": f"""
         WITH cells AS (
@@ -1371,6 +1439,7 @@ QUERIES = {
     "filter_funnel_report": filter_funnel_report,
     "source_ngram_overlap": source_ngram_overlap,
     "dp_laplace_release": dp_laplace_release,
+    "dp_exponential_topk": dp_exponential_topk,
     "filter_rate_wilson_ci": filter_rate_wilson_ci,
     "lang_script_mismatch_audit": lang_script_mismatch_audit,
 }

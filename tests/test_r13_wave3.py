@@ -137,3 +137,26 @@ def test_stream_bt_strength_equals_batch(spark):
     got = stream_bt_strength(spark, _SF).collect()
     want = bt_preference_strength(spark, _SF).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_dp_exponential_topk_properties(spark):
+    """Private selection: exactly k rows, deterministically ordered, and
+    the released set is frequency-biased (the true top token survives the
+    noise at eps=1 on this corpus's count gaps)."""
+    from dbt_spark.queries.curation import _docs
+    from dbt_spark.queries.hygiene import _DP_TOPK, dp_exponential_topk
+    from pyspark.sql import functions as F
+
+    rows = dp_exponential_topk(spark, _SF).collect()
+    assert len(rows) == _DP_TOPK
+    scores = [r["noisy_score_r6"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # the argmax of count*eps/2 + Gumbel with count gaps >> noise scale
+    # keeps the true most-frequent token at rank 1
+    toks = (_docs(spark, _SF)
+            .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                    .alias("t"))
+            .filter(F.length("t") > 0)
+            .groupBy("t").count().orderBy(F.desc("count"), "t"))
+    true_top = toks.first()["t"]
+    assert rows[0]["tok"] == true_top
