@@ -820,6 +820,76 @@ def dp_laplace_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement matrix between quality gates (confusion counts,
+    raw agreement, Cohen's kappa — Cohen 1960, public): the meta-analysis
+    a pipeline owner runs before stacking filters, because two gates with
+    kappa near 1 are redundant (pay one compute pass, not two) while
+    kappa near 0 means they prune DIFFERENT failure modes and both earn
+    their place in the funnel. Gates: the C4 token-count band (the
+    filter_rate_wilson_ci gate), the unigram-entropy gate
+    (doc_entropy_quality's), and a mean-word-length boilerplate gate.
+
+    Determinism: every verdict is integer-exact (the entropy gate
+    compares the r6-pinned entropy exactly as doc_entropy_quality does;
+    word-length uses 12·tokens ≥ letters cross-multiplication); kappa is
+    one closed-form rational over bigint counts, rounded to 6.
+
+    Scale: ONE corpus pass for the row-local gates + one doc-keyed
+    explode/aggregate for entropy (the token_count shape); the agreement
+    rollup is a single aggregate to a 3-row output."""
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    letters = F.length(F.regexp_replace("text", r"\s+", ""))
+    base = docs.select(
+        "doc_id",
+        ((n_tokens >= 20) & (n_tokens <= 100000)).cast("int").alias("g_c4"),
+        # mean word length ≤ 12 ⇔ letters ≤ 12·tokens (exact integers)
+        (letters <= 12 * n_tokens).cast("int").alias("g_wordlen"),
+    )
+    from dbt_spark.queries.curation import doc_entropy_quality
+
+    ent = doc_entropy_quality(spark, sf_dir).select(
+        "doc_id", (1 - F.col("low_quality")).alias("g_entropy"))
+    flags = base.join(ent, "doc_id", "left").na.fill({"g_entropy": 0})
+    pairs = [("g_c4", "g_entropy"), ("g_c4", "g_wordlen"),
+             ("g_entropy", "g_wordlen")]
+    out = None
+    for a, b in pairs:
+        fa, fb = F.col(a), F.col(b)
+        agg = flags.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((fa * fb)).cast("bigint").alias("n11"),
+            F.sum((fa * (1 - fb))).cast("bigint").alias("n10"),
+            F.sum(((1 - fa) * fb)).cast("bigint").alias("n01"),
+            F.sum(((1 - fa) * (1 - fb))).cast("bigint").alias("n00"),
+        ).select(
+            F.lit(a).alias("gate_a"), F.lit(b).alias("gate_b"),
+            "n", "n11", "n10", "n01", "n00",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = (
+        ((F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+         + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00")))
+        .cast("double") / (n * n)
+    )
+    return (
+        out.select(
+            "gate_a", "gate_b", "n11", "n10", "n01", "n00",
+            F.round(po, 6).alias("agreement_r6"),
+            # degenerate chance-agreement pe=1 (both gates constant):
+            # kappa is defined as 1 — perfect agreement with no room for
+            # chance correction
+            F.round(
+                F.when(pe == 1.0, F.lit(1.0))
+                .otherwise((po - pe) / (1.0 - pe)), 6).alias("kappa_r6"),
+        )
+        .orderBy("gate_a", "gate_b")
+    )
+
+
 #: DP top-k release size
 _DP_TOPK = 10
 
@@ -1128,6 +1198,91 @@ ORACLES: dict[str, str] = {
                      / (1.0 + {_WILSON_Z * _WILSON_Z!r} / nd), 6)
                    AS wilson_hi_r6
         FROM calc ORDER BY source
+    """,
+    "filter_agreement_kappa": """
+        WITH words AS (
+            SELECT doc_id, w
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(text), '\\s+')) AS w
+                  FROM documents)
+            WHERE length(w) > 0
+        ), wcnt AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+            FROM words GROUP BY doc_id, w
+        ), per_doc AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(max(c) AS BIGINT) AS max_c,
+                   sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clogc
+            FROM wcnt GROUP BY doc_id
+        ), ent AS (
+            SELECT doc_id,
+                   CASE WHEN round(log2(CAST(n_tokens AS DOUBLE))
+                                   - clogc / CAST(n_tokens AS DOUBLE), 6)
+                             < 3.0
+                          OR 20 * max_c > 3 * n_tokens
+                        THEN 0 ELSE 1 END AS g_entropy
+            FROM per_doc
+        ), base AS (
+            SELECT doc_id,
+                   CASE WHEN len(string_split_regex(trim(text), '\\s+'))
+                             BETWEEN 20 AND 100000
+                        THEN 1 ELSE 0 END AS g_c4,
+                   CASE WHEN length(regexp_replace(text, '\\s+', '', 'g'))
+                             <= 12 * len(string_split_regex(trim(text),
+                                                            '\\s+'))
+                        THEN 1 ELSE 0 END AS g_wordlen
+            FROM documents
+        ), flags AS (
+            SELECT b.doc_id, b.g_c4, b.g_wordlen,
+                   COALESCE(e.g_entropy, 0) AS g_entropy
+            FROM base b LEFT JOIN ent e ON b.doc_id = e.doc_id
+        ), cells AS (
+            SELECT 'g_c4' AS gate_a, 'g_entropy' AS gate_b,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(g_c4 * g_entropy) AS BIGINT) AS n11,
+                   CAST(sum(g_c4 * (1 - g_entropy)) AS BIGINT) AS n10,
+                   CAST(sum((1 - g_c4) * g_entropy) AS BIGINT) AS n01,
+                   CAST(sum((1 - g_c4) * (1 - g_entropy)) AS BIGINT) AS n00
+            FROM flags
+            UNION ALL
+            SELECT 'g_c4', 'g_wordlen',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(g_c4 * g_wordlen) AS BIGINT),
+                   CAST(sum(g_c4 * (1 - g_wordlen)) AS BIGINT),
+                   CAST(sum((1 - g_c4) * g_wordlen) AS BIGINT),
+                   CAST(sum((1 - g_c4) * (1 - g_wordlen)) AS BIGINT)
+            FROM flags
+            UNION ALL
+            SELECT 'g_entropy', 'g_wordlen',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(g_entropy * g_wordlen) AS BIGINT),
+                   CAST(sum(g_entropy * (1 - g_wordlen)) AS BIGINT),
+                   CAST(sum((1 - g_entropy) * g_wordlen) AS BIGINT),
+                   CAST(sum((1 - g_entropy) * (1 - g_wordlen)) AS BIGINT)
+            FROM flags
+        )
+        SELECT gate_a, gate_b, n11, n10, n01, n00,
+               round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                   AS agreement_r6,
+               round(CASE WHEN CAST((n11 + n10) * (n11 + n01)
+                                    + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                               = 1.0
+                          THEN 1.0
+                          ELSE (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                                - CAST((n11 + n10) * (n11 + n01)
+                                       + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                               / (1.0
+                                  - CAST((n11 + n10) * (n11 + n01)
+                                         + (n01 + n00) * (n10 + n00)
+                                         AS DOUBLE)
+                                    / (CAST(n AS DOUBLE)
+                                       * CAST(n AS DOUBLE)))
+                          END, 6) AS kappa_r6
+        FROM cells
+        ORDER BY gate_a, gate_b
     """,
     "dp_exponential_topk": f"""
         WITH toks AS (
@@ -1440,6 +1595,7 @@ QUERIES = {
     "source_ngram_overlap": source_ngram_overlap,
     "dp_laplace_release": dp_laplace_release,
     "dp_exponential_topk": dp_exponential_topk,
+    "filter_agreement_kappa": filter_agreement_kappa,
     "filter_rate_wilson_ci": filter_rate_wilson_ci,
     "lang_script_mismatch_audit": lang_script_mismatch_audit,
 }

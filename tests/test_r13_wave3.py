@@ -160,3 +160,19 @@ def test_dp_exponential_topk_properties(spark):
             .groupBy("t").count().orderBy(F.desc("count"), "t"))
     true_top = toks.first()["t"]
     assert rows[0]["tok"] == true_top
+
+
+def test_filter_agreement_kappa_properties(spark):
+    from dbt_spark.queries.hygiene import filter_agreement_kappa
+
+    rows = filter_agreement_kappa(spark, _SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        n = r["n11"] + r["n10"] + r["n01"] + r["n00"]
+        assert n > 0
+        po = (r["n11"] + r["n00"]) / n
+        assert abs(r["agreement_r6"] - round(po, 6)) < 1e-9
+        assert -1.0 - 1e-9 <= r["kappa_r6"] <= 1.0 + 1e-9
+    assert [(r["gate_a"], r["gate_b"]) for r in rows] == [
+        ("g_c4", "g_entropy"), ("g_c4", "g_wordlen"),
+        ("g_entropy", "g_wordlen")]
