@@ -11,6 +11,9 @@ of the documented semantics.
    replay (exact pair set, band hits, common grams, jaccard)
 5. bt_preference_strength vs a Decimal-exact contest derivation +
    pinned Hunter-2004 MM rounds replay
+6. dp_exponential_topk vs a hashlib/math Gumbel-max replay (exact
+   released set + pinned scores)
+7. filter_agreement_kappa vs per-doc gate replays + closed-form kappa
 
 Same discipline as tests/test_differential_fuzz.py: fixed seeds, family
 base rotated by DBT_SPARK_FUZZ_OFFSET. Family base 400k.
@@ -326,3 +329,86 @@ def test_bt_strength_random_events_replay(spark, tmp_path, seed):
         assert r["n_wins"] == w, (seed, t)
         assert r["n_contests"] == g, (seed, t)
         assert abs(r["s_bt_r6"] - s) < 1e-9, (seed, t)
+
+
+# ---- 6. DP exponential top-k --------------------------------------------
+
+@pytest.mark.parametrize("seed", range(3))
+def test_dp_topk_random_corpus_replay(spark, tmp_path, seed):
+    from dbt_spark.queries import hygiene as H
+
+    rng = random.Random(_BASE + _OFF + 5000 + seed)
+    rows = _rand_corpus(rng)
+    sf = _write_docs(tmp_path, rows)
+    got = [(r["tok"], r["noisy_score_r6"]) for r in
+           H.dp_exponential_topk(spark, sf).collect()]
+
+    cnt = Counter()
+    for _, text, *_ in rows:
+        for t in re.split(r"\s+", text.lower().strip()):
+            if t:
+                cnt[t] += 1
+    eps = H._DP_EPSILON
+    scored = []
+    for t, n in cnt.items():
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        g = -math.log(-math.log(u))
+        scored.append((t, round(n * (eps / 2.0) + g, 6)))
+    want = sorted(scored, key=lambda x: (-x[1], x[0]))[:H._DP_TOPK]
+    assert [t for t, _ in got] == [t for t, _ in want], seed
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+# ---- 7. filter agreement kappa ------------------------------------------
+
+@pytest.mark.parametrize("seed", range(3))
+def test_kappa_random_corpus_replay(spark, tmp_path, seed):
+    from dbt_spark.queries import hygiene as H
+
+    rng = random.Random(_BASE + _OFF + 6000 + seed)
+    # long AND short docs so the C4 band actually splits
+    vocab = [f"w{i}" for i in range(10)] + ["x" * 20]
+    rows = []
+    for d in range(rng.randrange(30, 60)):
+        n = rng.choice([1, 5, 25, rng.randrange(20, 60)])
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        rows.append((d, text, "en", "s0", len(text)))
+    sf = _write_docs(tmp_path, rows)
+    got = {(r["gate_a"], r["gate_b"]): r for r in
+           H.filter_agreement_kappa(spark, sf).collect()}
+
+    flags = {}
+    for d, text, *_ in rows:
+        toks = [t for t in re.split(r"\s+", text.strip()) if t]
+        nt_spark = len(re.split(r"\s+", text.strip()))  # includes '' token
+        letters = len(re.sub(r"\s+", "", text))
+        g_c4 = int(20 <= nt_spark <= 100000)
+        g_wl = int(letters <= 12 * nt_spark)
+        if toks:
+            cnt = Counter(toks)
+            n = sum(cnt.values())
+            hh = round(math.log2(n)
+                       - sum(c * math.log2(c) for c in cnt.values()) / n, 6)
+            low = int(hh < 3.0 or 20 * max(cnt.values()) > 3 * n)
+            g_ent = 1 - low
+        else:
+            g_ent = 0
+        flags[d] = (g_c4, g_ent, g_wl)
+    names = {"g_c4": 0, "g_entropy": 1, "g_wordlen": 2}
+    for (a, b), r in got.items():
+        ia, ib = names[a], names[b]
+        n11 = sum(1 for f in flags.values() if f[ia] and f[ib])
+        n10 = sum(1 for f in flags.values() if f[ia] and not f[ib])
+        n01 = sum(1 for f in flags.values() if not f[ia] and f[ib])
+        n00 = sum(1 for f in flags.values() if not f[ia] and not f[ib])
+        assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (
+            n11, n10, n01, n00), (seed, a, b)
+        n = n11 + n10 + n01 + n00
+        po = (n11 + n00) / n
+        pe = ((n11 + n10) * (n11 + n01)
+              + (n01 + n00) * (n10 + n00)) / (n * n)
+        kappa = 1.0 if pe == 1.0 else (po - pe) / (1.0 - pe)
+        assert abs(r["agreement_r6"] - round(po, 6)) < 1e-9
+        assert abs(r["kappa_r6"] - round(kappa, 6)) < 1e-9, (seed, a, b)
