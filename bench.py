@@ -168,6 +168,7 @@ EXTENDED = [
     "stream_bt_strength",             # r13 streaming BT twin (decimal lattice fold)
     "dp_exponential_topk",            # r13 DP private selection (Gumbel-max top-k)
     "filter_agreement_kappa",         # r13 gate-redundancy Cohen-kappa matrix
+    "timeseries_rollup_cascade",      # r13 hypertable continuous-aggregate cascade
     "doc_entropy_quality",            # r13 unigram-entropy spam gate
     "lang_script_mismatch_audit",     # r13 declared-lang vs script audit
     "html_extract_visible_text",

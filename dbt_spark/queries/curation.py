@@ -194,6 +194,55 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact-arithmetic outlier detection over events
 # --------------------------------------------------------------------------
 
+def timeseries_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup cascade (the hypertable continuous-
+    aggregate pattern, e.g. TimescaleDB's public design): minute partials
+    from raw events, HOUR partials re-aggregated from the MINUTE table,
+    DAY from the HOUR table — coarse resolutions never rescan raw data,
+    which is the whole economics of time rollups at 100 TB (a day rollup
+    touches 24 hour-rows per key, not 86,400 s of raw events). Sums are
+    DECIMAL(15,3)-exact so re-aggregation is lossless by construction,
+    and the output carries an in-query proof: ``cascade_exact`` compares
+    every day cell against a direct-from-raw aggregate (decimal
+    equality) — 1 everywhere or the cascade is broken.
+
+    Scale: each level is one keyed aggregate with map-side partials over
+    the previous level's (already tiny) table; only level 1 touches the
+    corpus. The verification twin rescans raw once — in production it is
+    a sampled audit, here it runs in full as the oracle-visible proof.
+    """
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts",
+        F.round("value", 3).cast("decimal(15,3)").alias("x"),
+    )
+    minute = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("x").alias("s"))
+    hour = minute.groupBy(
+        "event_type", F.date_trunc("hour", "m").alias("h")
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("s").alias("s"))
+    day = hour.groupBy(
+        "event_type", F.date_trunc("day", "h").alias("d")
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("s").alias("s"))
+    direct = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_direct"),
+          F.sum("x").alias("s_direct"))
+    return (
+        day.join(direct, ["event_type", "d"])
+        .select(
+            "event_type",
+            F.col("d").cast("timestamp").alias("day"),
+            F.col("n").alias("n_events"),
+            F.round(F.col("s").cast("double"), 3).alias("sum_value_r3"),
+            ((F.col("n") == F.col("n_direct"))
+             & (F.col("s") == F.col("s_direct"))).cast("int")
+            .alias("cascade_exact"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 #: Bradley-Terry MM fit: fixed rounds + positivity clamp (a type that
 #: never wins decays toward the floor instead of dividing by zero)
 _BT_ROUNDS = 3
@@ -1432,6 +1481,40 @@ def _lshp_oracle() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "timeseries_rollup_cascade": """
+        WITH ev AS (
+            SELECT event_type, ts,
+                   CAST(round(value, 3) AS DECIMAL(15,3)) AS x
+            FROM events
+        ), minute AS (
+            SELECT event_type, date_trunc('minute', ts) AS m,
+                   CAST(count(*) AS BIGINT) AS n, sum(x) AS s
+            FROM ev GROUP BY 1, 2
+        ), hour AS (
+            SELECT event_type, date_trunc('hour', m) AS h,
+                   CAST(sum(n) AS BIGINT) AS n, sum(s) AS s
+            FROM minute GROUP BY 1, 2
+        ), day AS (
+            SELECT event_type, date_trunc('day', h) AS d,
+                   CAST(sum(n) AS BIGINT) AS n, sum(s) AS s
+            FROM hour GROUP BY 1, 2
+        ), direct AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(count(*) AS BIGINT) AS n_direct,
+                   sum(x) AS s_direct
+            FROM ev GROUP BY 1, 2
+        )
+        SELECT day.event_type,
+               CAST(day.d AS TIMESTAMP) AS day,
+               day.n AS n_events,
+               round(CAST(day.s AS DOUBLE), 3) AS sum_value_r3,
+               CAST(day.n = direct.n_direct
+                    AND day.s = direct.s_direct AS INT) AS cascade_exact
+        FROM day
+        JOIN direct ON day.event_type = direct.event_type
+                   AND day.d = direct.d
+        ORDER BY day.event_type, day
+    """,
     "bt_preference_strength": _bt_oracle(),
     "dedup_minhash_lsh_paired": _lshp_oracle(),
     "doc_entropy_quality": f"""
@@ -2098,6 +2181,7 @@ QUERIES = {
     "doc_entropy_quality": doc_entropy_quality,
     "dedup_minhash_lsh_paired": dedup_minhash_lsh_paired,
     "bt_preference_strength": bt_preference_strength,
+    "timeseries_rollup_cascade": timeseries_rollup_cascade,
     "source_gini_inequality": source_gini_inequality,
     "weighted_sample_topk": weighted_sample_topk,
     "event_transition_matrix": event_transition_matrix,

@@ -176,3 +176,14 @@ def test_filter_agreement_kappa_properties(spark):
     assert [(r["gate_a"], r["gate_b"]) for r in rows] == [
         ("g_c4", "g_entropy"), ("g_c4", "g_wordlen"),
         ("g_entropy", "g_wordlen")]
+
+
+def test_timeseries_rollup_cascade_exact_everywhere(spark):
+    from dbt_spark.queries.curation import timeseries_rollup_cascade
+
+    rows = timeseries_rollup_cascade(spark, _SF).collect()
+    assert len(rows) > 0
+    # decimal re-aggregation is lossless: the in-query proof must hold on
+    # every day cell
+    assert all(r["cascade_exact"] == 1 for r in rows)
+    assert all(r["n_events"] > 0 for r in rows)
