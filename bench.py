@@ -169,6 +169,8 @@ EXTENDED = [
     "dp_exponential_topk",            # r13 DP private selection (Gumbel-max top-k)
     "filter_agreement_kappa",         # r13 gate-redundancy Cohen-kappa matrix
     "timeseries_rollup_cascade",      # r13 hypertable continuous-aggregate cascade
+    "stream_rollup_cascade",          # r13 streaming continuous-aggregate twin
+    "canary_extraction_audit",        # r13 memorization-canary inventory audit
     "doc_entropy_quality",            # r13 unigram-entropy spam gate
     "lang_script_mismatch_audit",     # r13 declared-lang vs script audit
     "html_extract_visible_text",

@@ -820,6 +820,85 @@ def dp_laplace_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: canary inventory: 8 planted (doc_id % 41 == 3·i) + 2 never planted,
+#: giving both 'leaked' and 'clean' verdicts on any corpus with ≥42 docs
+_N_CANARY_PLANTED = 8
+_N_CANARY = 10
+_CANARY_MOD = 41
+
+
+def canary_extraction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-canary audit (Carlini et al. 2019 'secret sharer',
+    public): unique canary strings are planted into the corpus and an
+    exact-substring detector accounts for every copy — the
+    pre/post-training control surface for extraction tests (before
+    training you verify the planted inventory SURVIVED dedup/filtering
+    intact; after training you probe the model for them). Canary i =
+    'canary-' + md5('c<i>')[:8], planted into docs with doc_id %
+    41 == 3·i (mirrored in the oracle); canaries 8-9 are never planted,
+    so the audit demonstrates both 'leaked' and 'clean' verdicts.
+
+    Determinism: all-integer accounting (counts, sources, min/max doc).
+
+    Scale: the canary inventory is dimension-sized and broadcast; the
+    scan applies contains() row-locally (codegen, no shuffle before the
+    canary-keyed rollup) — the blocklist-scan shape. A production sweep
+    with thousands of canaries swaps contains() for the Aho-Corasick /
+    gram-hash routing of the decontam family."""
+    docs = _docs(spark, sf_dir)
+    import hashlib as _hl
+
+    canaries = [
+        (i, "canary-" + _hl.md5(f"c{i}".encode()).hexdigest()[:8],
+         (3 * i) if i < _N_CANARY_PLANTED else None)
+        for i in range(_N_CANARY)
+    ]
+    planted = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            *[
+                F.when(
+                    F.col("doc_id") % _CANARY_MOD == resid,
+                    F.lit(" " + c)).otherwise(F.lit(""))
+                for _, c, resid in canaries if resid is not None
+            ],
+        ),
+    )
+    dim = spark.createDataFrame(
+        [(i, c) for i, c, _ in canaries], "canary_id int, canary string")
+    matched = (
+        planted.crossJoin(F.broadcast(dim))
+        .filter(F.col("text2").contains(F.col("canary")))
+        .select("canary_id", "canary", "doc_id", "source")
+    )
+    # countDistinct never shares a groupBy with other aggregates here
+    # (the Expand-plan shuffle blowup — round-4b discipline): counts and
+    # distinct-source cardinality aggregate separately and join on the
+    # canary key
+    counts = matched.groupBy("canary_id", "canary").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_containing"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    srcs = (
+        matched.select("canary_id", "canary", "source").distinct()
+        .groupBy("canary_id", "canary")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"))
+    )
+    hits = counts.join(srcs, ["canary_id", "canary"])
+    return (
+        dim.join(hits, ["canary_id", "canary"], "left")
+        .na.fill({"n_docs_containing": 0, "n_sources": 0})
+        .select(
+            "canary_id", "canary", "n_docs_containing", "n_sources",
+            "first_doc", "last_doc",
+            (F.col("n_docs_containing") > 0).cast("int").alias("leaked"),
+        )
+        .orderBy("canary_id")
+    )
+
+
 def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise agreement matrix between quality gates (confusion counts,
     raw agreement, Cohen's kappa — Cohen 1960, public): the meta-analysis
@@ -1140,7 +1219,52 @@ def lang_script_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canary_oracle() -> str:
+    import hashlib as _hl
+
+    cans = [
+        (i, "canary-" + _hl.md5(f"c{i}".encode()).hexdigest()[:8],
+         (3 * i) if i < _N_CANARY_PLANTED else None)
+        for i in range(_N_CANARY)
+    ]
+    plant = " || ".join(
+        f"CASE WHEN doc_id % {_CANARY_MOD} = {resid} "
+        f"THEN ' {c}' ELSE '' END"
+        for _, c, resid in cans if resid is not None)
+    dim_vals = ", ".join(f"({i}, '{c}')" for i, c, _ in cans)
+    return f"""
+        WITH planted AS (
+            SELECT doc_id, source, text || {plant} AS text2
+            FROM documents
+        ), dim(canary_id, canary) AS (VALUES {dim_vals}),
+        matched AS (
+            SELECT d.canary_id, d.canary, p.doc_id, p.source
+            FROM planted p JOIN dim d ON contains(p.text2, d.canary)
+        ), counts AS (
+            SELECT canary_id, canary,
+                   CAST(count(*) AS BIGINT) AS n_docs_containing,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM matched GROUP BY 1, 2
+        ), srcs AS (
+            SELECT canary_id, canary,
+                   CAST(count(*) AS BIGINT) AS n_sources
+            FROM (SELECT DISTINCT canary_id, canary, source FROM matched)
+            GROUP BY 1, 2
+        )
+        SELECT dim.canary_id, dim.canary,
+               COALESCE(c.n_docs_containing, 0) AS n_docs_containing,
+               COALESCE(s.n_sources, 0) AS n_sources,
+               c.first_doc, c.last_doc,
+               CAST(COALESCE(c.n_docs_containing, 0) > 0 AS INT) AS leaked
+        FROM dim
+        LEFT JOIN counts c ON dim.canary_id = c.canary_id
+        LEFT JOIN srcs s ON dim.canary_id = s.canary_id
+        ORDER BY dim.canary_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    "canary_extraction_audit": _canary_oracle(),
     "filter_funnel_report": _funnel_oracle(),
     "lang_script_mismatch_audit": f"""
         WITH planted AS (
@@ -1596,6 +1720,7 @@ QUERIES = {
     "dp_laplace_release": dp_laplace_release,
     "dp_exponential_topk": dp_exponential_topk,
     "filter_agreement_kappa": filter_agreement_kappa,
+    "canary_extraction_audit": canary_extraction_audit,
     "filter_rate_wilson_ci": filter_rate_wilson_ci,
     "lang_script_mismatch_audit": lang_script_mismatch_audit,
 }

@@ -1529,15 +1529,106 @@ def stream_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_strength_from_partials(spark.read.parquet(store))
 
 
+def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING continuous aggregate — the streaming twin of
+    queries/curation.py::timeseries_rollup_cascade and the literal
+    production form of the pattern: MINUTE-level decimal partials fold
+    additively across micro-batches into a persisted store (count +
+    DECIMAL sum per (event_type, minute) — a lattice merge, so the store
+    equals the full-scan minute table for ANY batching), and the
+    hour→day cascade re-aggregates the store once at read time. The
+    day-vs-direct exactness proof reruns against the static table (the
+    audit twin). VALUE-PAIRED with the batch oracle.
+
+    State is one (count, decimal) pair per active (event_type, minute)
+    key — the continuous-aggregate state shape; coarse resolutions never
+    touch raw history."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    ev_raw = read_parquet(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).select("event_id", "event_type", "ts", "value")
+    mid = ev_raw.agg(F.max("event_id")).collect()[0][0] // 2
+    src = _tf.mkdtemp(prefix="dbt_spark_rollsrc_")
+    store = os.path.join(_tf.mkdtemp(prefix="dbt_spark_rollstore_"), "min")
+    ckpt = _tf.mkdtemp(prefix="dbt_spark_rollckpt_")
+    ev_raw.filter(F.col("event_id") <= mid).coalesce(1).write.mode(
+        "append").parquet(src)
+    ev_raw.filter(F.col("event_id") > mid).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    def _minute(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("m")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round("value", 3).cast("decimal(15,3)")).alias("s"),
+        )
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        part = _minute(batch_df)
+        b_spark = batch_df.sparkSession
+        if os.path.isdir(store):
+            prev = b_spark.read.parquet(store)
+            part = prev.unionByName(part).groupBy("event_type", "m").agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("s").alias("s"),
+            )
+        part.coalesce(1).write.mode("overwrite").parquet(store + "_next")
+        _sh.rmtree(store, ignore_errors=True)
+        os.rename(store + "_next", store)
+
+    stream = (
+        spark.readStream.schema(ev_raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    minute = spark.read.parquet(store)
+    hour = minute.groupBy(
+        "event_type", F.date_trunc("hour", "m").alias("h")
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("s").alias("s"))
+    day = hour.groupBy(
+        "event_type", F.date_trunc("day", "h").alias("d")
+    ).agg(F.sum("n").cast("bigint").alias("n"), F.sum("s").alias("s"))
+    direct = ev_raw.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_direct"),
+          F.sum(F.round("value", 3).cast("decimal(15,3)"))
+          .alias("s_direct"))
+    return (
+        day.join(direct, ["event_type", "d"])
+        .select(
+            "event_type",
+            F.col("d").cast("timestamp").alias("day"),
+            F.col("n").alias("n_events"),
+            F.round(F.col("s").cast("double"), 3).alias("sum_value_r3"),
+            ((F.col("n") == F.col("n_direct"))
+             & (F.col("s") == F.col("s_direct"))).cast("int")
+            .alias("cascade_exact"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 from dbt_spark.queries.llmops import ORACLES as _LLM_ORACLES  # noqa: E402
 from dbt_spark.queries.curation import ORACLES as _CUR_ORACLES  # noqa: E402
 
 ORACLES["stream_mixture_reweight"] = _LLM_ORACLES["domain_mixture_reweight"]
 ORACLES["stream_bt_strength"] = _CUR_ORACLES["bt_preference_strength"]
+ORACLES["stream_rollup_cascade"] = _CUR_ORACLES["timeseries_rollup_cascade"]
 
 QUERIES = {
     "stream_mixture_reweight": stream_mixture_reweight,
     "stream_bt_strength": stream_bt_strength,
+    "stream_rollup_cascade": stream_rollup_cascade,
     "stream_pii_scrub": stream_pii_scrub,
     "stream_turn_dedup": stream_turn_dedup,
     "stream_pair_phash_dedup": stream_pair_phash_dedup,

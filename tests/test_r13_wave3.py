@@ -187,3 +187,40 @@ def test_timeseries_rollup_cascade_exact_everywhere(spark):
     # every day cell
     assert all(r["cascade_exact"] == 1 for r in rows)
     assert all(r["n_events"] > 0 for r in rows)
+
+
+def test_canary_extraction_audit_inventory(spark):
+    from dbt_spark.queries.hygiene import (_CANARY_MOD, _N_CANARY,
+                                           _N_CANARY_PLANTED,
+                                           canary_extraction_audit)
+    from dbt_spark.session import load_tables
+
+    rows = {r["canary_id"]: r for r in
+            canary_extraction_audit(spark, _SF).collect()}
+    assert len(rows) == _N_CANARY
+    ids = [r["doc_id"] for r in
+           load_tables(spark, _SF, "documents")["documents"]
+           .select("doc_id").collect()]
+    for i in range(_N_CANARY):
+        r = rows[i]
+        if i < _N_CANARY_PLANTED:
+            want = [d for d in ids if d % _CANARY_MOD == 3 * i]
+            assert r["n_docs_containing"] == len(want), i
+            assert r["leaked"] == (1 if want else 0)
+            if want:
+                assert r["first_doc"] == min(want)
+                assert r["last_doc"] == max(want)
+        else:
+            assert r["n_docs_containing"] == 0
+            assert r["leaked"] == 0
+            assert r["first_doc"] is None
+
+
+def test_stream_rollup_cascade_equals_batch(spark):
+    from dbt_spark.queries.curation import timeseries_rollup_cascade
+    from dbt_spark.queries.streaming_q import stream_rollup_cascade
+
+    got = stream_rollup_cascade(spark, _SF).collect()
+    want = timeseries_rollup_cascade(spark, _SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert all(r["cascade_exact"] == 1 for r in got)
