@@ -48,12 +48,18 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     """Per-node (node, degree, triangles, clustering_coeff) over canonical
     (u < v) distinct edges. Exact: every triangle enumerated exactly once
     at its (degree, node)-minimum apex."""
+    # the plan references edges/deg/oriented several times each (deg twice
+    # in keyed + once in the final join; oriented three times as e1/e2/
+    # closing) — without checkpoints every reference recomputes the whole
+    # upstream edge build (distinct over the basket self-join), ~9 full
+    # rebuilds per run. localCheckpoint makes each level compute ONCE.
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    ).localCheckpoint(eager=False)
     keyed = (
         edges.join(deg.withColumnRenamed("node", "u"), "u")
         .withColumnRenamed("degree", "du")
@@ -70,7 +76,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("hi"),
         F.least("ku", "kv").alias("klo"),
         F.greatest("ku", "kv").alias("khi"),
-    )
+    ).localCheckpoint(eager=False)
     e1 = oriented.select(
         F.col("lo").alias("a"), F.col("hi").alias("b"),
         F.col("klo").alias("ka"), F.col("khi").alias("kb"),
@@ -131,11 +137,16 @@ def pagerank(edges: DataFrame, iterations: int = 4, damping: float = 0.85) -> Da
 
     Returns (node, degree, rank) for every node of the edge set.
     """
+    # checkpoint the per-iteration loop invariants: without them every
+    # iteration's plan re-derives directed/deg/ed from scratch — at 4
+    # iterations that is 4 full rebuilds of the edge list (itself a
+    # distinct over a self-join at the call sites)
     directed = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    ed = directed.join(deg, "u")
+    ).localCheckpoint(eager=False)
+    deg = directed.groupBy("u").agg(
+        F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=False)
+    ed = directed.join(deg, "u").localCheckpoint(eager=False)
     ranks = deg.select(F.col("u").alias("node"), F.lit(1.0).alias("rank"))
     base = F.lit(1.0 - damping)
     for _ in range(iterations):

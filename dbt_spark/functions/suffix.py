@@ -16,10 +16,13 @@ standard engineering moves:
   windows (never unpartitioned, never a global re-sort), and the final
   suffix-array index is pure arithmetic (rank + position-in-block), no
   extra shuffle;
-- **granule seeding**: the first table ranks the 16-char prefix directly
-  (one range-partitioned sort of short fixed-width keys), replacing four
-  doubling rounds; sub-granule LCP resolution is recovered at the end by
-  one direct compare of ≤15-char fragments fetched via a doc-keyed join.
+- **granule seeding**: the first table ranks the ``GRANULE``-char prefix
+  directly (one range-partitioned sort of fixed-width keys), replacing
+  log2(GRANULE) doubling rounds; sub-granule LCP resolution is recovered
+  at the end by one direct compare of ≤(GRANULE-1)-char fragments fetched
+  via a doc-keyed join. The wider the granule, the fewer full-table
+  doubling rounds AND lifting joins — the seed shuffle pays GRANULE bytes
+  per row once, each avoided round pays a full-table join plus windows.
 
 Per-round traffic after seeding is longs-only (16-byte rows): each round
 is one equi-join on (doc_id, pos+k) against the full table plus two
@@ -60,8 +63,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: seed prefix length — the granule of the rank tables
-GRANULE = 16
+#: seed prefix length — the granule of the rank tables. 64 (vs the
+#: classic 16) trades a wider key in the ONE seed range-sort for two
+#: fewer doubling rounds and four fewer lifting joins to reach a
+#: 256-depth table: every doubling round is a full-table equi-join plus
+#: windows over the tied subset, so at any corpus size the extra 48
+#: bytes/row in the seed shuffle is far cheaper than two more rounds of
+#: full-table traffic (r13 bench: suffix_repeat_stats 30.9 s -> see
+#: OPTIMIZATION_r13.md).
+GRANULE = 64
 
 #: sentinel LCP for pairs already decided by equal final ranks
 _DECIDED = 1 << 40
@@ -76,6 +86,25 @@ _IDX_SALT = 32
 _SKEW_SHARE = 0.02
 
 __all__ = ["global_head_ranks", "suffix_rank_tables", "suffix_repeat_lengths"]
+
+
+def _spread_docs(docs: DataFrame) -> DataFrame:
+    """Round-robin the doc slice across cores and pin it (lazy local
+    checkpoint). Small corpora arrive as a single parquet row group, so
+    the position explode — a ~300x row multiplier — would otherwise run
+    entirely inside ONE scan task and serialize every downstream pass
+    (probe, range-sample, shuffle map) onto one core; the checkpoint also
+    stops the explode's upstream from re-running once per consuming pass.
+    At real scale the scan already has many splits and this repartition
+    is a cheap doc-row shuffle that still buys the re-read pinning."""
+    if getattr(docs, "_sfx_spread", False):  # already prepared by caller
+        return docs
+    spark = docs.sparkSession
+    out = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=False)
+    out._sfx_spread = True
+    return out
 
 
 def _probe_skew(positions: DataFrame, key_col: F.Column) -> bool:
@@ -125,19 +154,49 @@ def global_head_ranks(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     ) if offsets else F.create_map()
     if not skew_safe:
-        # fast path: rank-partitioned windows over the raw rows — fewest
-        # shuffles; safe because the probe ruled out corpus-sized blocks
+        # Fast path: ONE (__pid)-partitioned window sort serves every
+        # quantity — head rank = running max of tie-block start positions
+        # (growing frame, O(n) incremental), singleton detection from
+        # lag/lead of the key (O(1) offsets). The previous formulation
+        # used a second window partitioned by (__pid, key), which cost a
+        # second full exchange + sort of the corpus-sized position table.
+        # (NOT a [1 FOLLOWING, UNBOUNDED FOLLOWING] min — Spark evaluates
+        # moving-lower-bound following frames by rescanning the frame per
+        # row, O(partition²).) Safe because the probe ruled out
+        # corpus-sized blocks.
         order = [F.col(c) for c in tiebreak]
-        w_all = Window.partitionBy("__pid").orderBy(F.col(key), *order)
-        w_tie = Window.partitionBy("__pid", key).orderBy(*order)
-        w_blk = Window.partitionBy("__pid", key)
-        return part.withColumn(
-            out,
-            (off_map[F.col("__pid")] + F.row_number().over(w_all)
-             - F.row_number().over(w_tie) + F.lit(1)).cast("long"),
+        w_ord = Window.partitionBy("__pid").orderBy(F.col(key), *order)
+        w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        lagged = F.lag(F.col(key)).over(w_ord)
+        led = F.lead(F.col(key)).over(w_ord)
+        stepped = part.withColumn(
+            "__rn", F.row_number().over(w_ord)
         ).withColumn(
-            "__sz", F.count(F.lit(1)).over(w_blk)
-        ).drop("__pid", key)
+            "__st",
+            F.when(lagged.isNull() | (lagged != F.col(key)), F.col("__rn")),
+        ).withColumn(
+            "__1", F.when(led.isNull() | (led != F.col(key)), F.lit(1)),
+        )
+        return (
+            stepped
+            .withColumn("__head", F.max("__st").over(w_run))
+            .withColumn(
+                out,
+                (off_map[F.col("__pid")] + F.col("__head")).cast("long"),
+            )
+            .withColumn(
+                # singleton marker, not an exact count: every consumer
+                # tests __sz == 1 / > 1 only (a block is a singleton iff
+                # its row both starts a block and precedes the next start
+                # or the partition end)
+                "__sz",
+                F.when(
+                    F.col("__st").isNotNull() & F.col("__1").isNotNull(),
+                    F.lit(1),
+                ).otherwise(F.lit(2)).cast("long"),
+            )
+            .drop("__pid", "__rn", "__st", "__1", "__head", key)
+        )
     # Skew-safe path. Head rank = partition offset + (# rows with a
     # strictly smaller key in the partition) + 1, and block size is the
     # key's count — BOTH are per-KEY quantities, so they come from an
@@ -173,21 +232,21 @@ def _double(ranks: DataFrame, k: int, skew_safe: bool = False) -> DataFrame:
     the partner rank at pos+k (absent partner = -1, so a shorter suffix
     sorts before its extensions, matching SQL string order). ``__sz`` (the
     block size) is carried between rounds: rows that became unique never
-    travel through another window."""
-    single = ranks.filter(F.col("__sz") == 1)
-    tied = ranks.filter(F.col("__sz") > 1)
-    partner = ranks.select(
-        F.col("doc_id").alias("r_doc"),
-        (F.col("pos") - F.lit(k)).alias("r_pos"),
-        F.col("rank").alias("rank2"),
+    travel through another window.
+
+    The partner lookup is ``lead(rank, k)`` over a per-document window:
+    positions are dense (1..doc_len, one row each), so the row k ahead in
+    pos order IS position pos+k — one doc-keyed exchange replaces the
+    (doc, pos+k) equi-join's two exchanges plus sort-merge, and no
+    document is large enough to serialize a window task (doc-bounded)."""
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    paired_all = ranks.withColumn(
+        "rank2",
+        F.coalesce(F.lead("rank", k).over(w_doc), F.lit(-1).cast("long")),
     )
-    paired = tied.join(
-        partner,
-        (F.col("doc_id") == F.col("r_doc")) & (F.col("pos") == F.col("r_pos")),
-        "left",
-    ).select(
-        "doc_id", "pos", "doc_len", "rank",
-        F.coalesce(F.col("rank2"), F.lit(-1).cast("long")).alias("rank2"),
+    single = paired_all.filter(F.col("__sz") == 1).drop("rank2")
+    paired = paired_all.filter(F.col("__sz") > 1).select(
+        "doc_id", "pos", "doc_len", "rank", "rank2",
     )
     if not skew_safe:
         # fast path: two windows over the tied subset (shrinks
@@ -241,6 +300,7 @@ def suffix_rank_tables(
     (truncated at the document end; shorter prefixes sort first).
     ``skew_safe=None`` probes the seed-key block distribution and picks
     the physical plan (module docstring)."""
+    docs = _spread_docs(docs)
     positions = docs.filter(F.length(text_col) >= 1).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("pos"),
@@ -272,7 +332,17 @@ def _frag_lcp(a, b, width: int):
     """Exact LCP (codegen'd binary search, no UDF) of two ≤width-char
     fragments. Both-exhausted windows compare equal and overshoot — the
     caller's remaining-length clamp restores exactness (overshoot only
-    happens when the suffixes are identical to their ends)."""
+    happens when the suffixes are identical to their ends).
+
+    CALLERS MUST PASS PLAIN (named-column) fragments: the nested-WHEN tree
+    re-substitutes the accumulated lcp ~3x per level, so a computed
+    expression argument (e.g. ``substr(text, pos+lcp, w)``) is re-evaluated
+    at every one of the ~3^levels leaves — hoisting the fragments into
+    named columns first measured 3.6x faster end-to-end at width 63 than
+    passing the substr expressions inline (r13 bench). A linear
+    ``transform``+``array_position`` formulation avoids the tree but runs
+    on the interpreted higher-order-function path and measured slower than
+    this codegen'd form at both width 31 and 63."""
     lcp = F.lit(0)
     step = 1
     while step * 2 <= width:
@@ -301,6 +371,7 @@ def suffix_repeat_lengths(
     order, so each position's best partner is an SA-adjacent neighbor:
     rep(p) = max(LCP(prev, p), LCP(p, next)). Returns (doc_id, pos, rep).
     """
+    docs = _spread_docs(docs)
     if skew_safe is None:
         probe_positions = docs.filter(F.length(text_col) >= 1).select(
             F.col(text_col).alias("__text"),
@@ -377,8 +448,14 @@ def suffix_repeat_lengths(
         # LCP = remaining length, restored by the clamp below
         F.when(F.col("r1") == F.col("r2"), F.lit(_DECIDED))
         .otherwise(F.lit(0).cast("long")).alias("lcp"),
-    )
-    # binary lifting over the coarser tables (GRANULE multiples) …
+    ).localCheckpoint(eager=False)
+    # binary lifting over the coarser tables (GRANULE multiples) — the
+    # DECIDED subset (identical truncated prefixes, heavy on duplicate-rich
+    # corpora) is split off before each join, so only still-undecided pairs
+    # travel through the two rank-table joins of each round; each round's
+    # union is checkpointed so the dec/und branch pair never recomputes
+    # the upstream plan twice
+    cols = ["d1", "p1", "l1", "d2", "p2", "l2", "lcp"]
     for depth, table in reversed(tables[:-1]):
         ra = table.select(
             F.col("doc_id").alias("a_doc"), F.col("pos").alias("a_pos"),
@@ -388,58 +465,58 @@ def suffix_repeat_lengths(
             F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos"),
             F.col("rank").alias("b_rank"),
         )
-        undecided = F.col("lcp") < F.lit(_DECIDED)
-        pairs = (
-            pairs.join(
+        dec = pairs.filter(F.col("lcp") == F.lit(_DECIDED))
+        und = (
+            pairs.filter(F.col("lcp") < F.lit(_DECIDED))
+            .join(
                 ra,
-                undecided
-                & (F.col("d1") == F.col("a_doc"))
+                (F.col("d1") == F.col("a_doc"))
                 & (F.col("a_pos") == F.col("p1") + F.col("lcp")),
                 "left",
             )
             .join(
                 rb,
-                undecided
-                & (F.col("d2") == F.col("b_doc"))
+                (F.col("d2") == F.col("b_doc"))
                 & (F.col("b_pos") == F.col("p2") + F.col("lcp")),
                 "left",
             )
             .withColumn(
                 "lcp",
                 F.when(
-                    undecided
-                    & (F.coalesce(F.col("a_rank"), F.lit(-1).cast("long"))
-                       == F.coalesce(F.col("b_rank"), F.lit(-1).cast("long"))),
+                    F.coalesce(F.col("a_rank"), F.lit(-1).cast("long"))
+                    == F.coalesce(F.col("b_rank"), F.lit(-1).cast("long")),
                     F.col("lcp") + F.lit(depth).cast("long"),
                 ).otherwise(F.col("lcp")),
             )
-            .select("d1", "p1", "l1", "d2", "p2", "l2", "lcp")
+            .select(*cols)
         )
+        pairs = dec.unionByName(und).localCheckpoint(eager=False)
     # … then sub-granule refinement: direct compare of ≤(GRANULE-1)-char
     # fragments fetched by doc-keyed joins (broadcast-sized dimension at
-    # test scale; plain hash join at corpus scale)
+    # test scale; plain hash join at corpus scale); decided pairs skip the
+    # text joins entirely
     t1 = docs.select(F.col(id_col).alias("d1"), F.col(text_col).alias("__t1"))
     t2 = docs.select(F.col(id_col).alias("d2"), F.col(text_col).alias("__t2"))
-    undecided = F.col("lcp") < F.lit(_DECIDED)
     frag_w = GRANULE - 1
-    pairs = (
-        pairs.join(t1, "d1").join(t2, "d2")
+    dec = pairs.filter(F.col("lcp") == F.lit(_DECIDED))
+    und = (
+        pairs.filter(F.col("lcp") < F.lit(_DECIDED))
+        .join(t1, "d1").join(t2, "d2")
+        # fragments land in NAMED columns first: _frag_lcp's nested-WHEN
+        # tree references its inputs at ~3^levels leaves, so an inline
+        # substr expression would be re-evaluated at every leaf
+        .withColumn("__f1", F.col("__t1").substr(
+            (F.col("p1") + F.col("lcp")).cast("int"), F.lit(frag_w)))
+        .withColumn("__f2", F.col("__t2").substr(
+            (F.col("p2") + F.col("lcp")).cast("int"), F.lit(frag_w)))
         .withColumn(
             "lcp",
-            F.when(
-                undecided,
-                F.col("lcp")
-                + _frag_lcp(
-                    F.col("__t1").substr(
-                        (F.col("p1") + F.col("lcp")).cast("int"), F.lit(frag_w)),
-                    F.col("__t2").substr(
-                        (F.col("p2") + F.col("lcp")).cast("int"), F.lit(frag_w)),
-                    frag_w,
-                ).cast("long"),
-            ).otherwise(F.col("lcp")),
+            F.col("lcp")
+            + _frag_lcp(F.col("__f1"), F.col("__f2"), frag_w).cast("long"),
         )
-        .select("d1", "p1", "l1", "d2", "p2", "l2", "lcp")
+        .select(*cols)
     )
+    pairs = dec.unionByName(und)
     # clamp: overshoot past either suffix's end means the two suffixes are
     # identical to their (equal-length) ends — true LCP = remaining length
     pairs = pairs.withColumn(
