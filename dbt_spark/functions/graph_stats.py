@@ -78,20 +78,30 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.greatest("ku", "kv").alias("khi"),
     ).localCheckpoint(eager=False)
     e1 = oriented.select(
-        F.col("lo").alias("a"), F.col("hi").alias("b"),
-        F.col("klo").alias("ka"), F.col("khi").alias("kb"),
+        F.col("lo").alias("a"), F.col("klo").alias("ka"),
+        F.col("khi").alias("kb"),
     )
     e2 = oriented.select(
-        F.col("lo").alias("a2"), F.col("hi").alias("c"),
         F.col("klo").alias("ka2"), F.col("khi").alias("kc"),
     )
-    # wedges at the apex: two out-edges (a->b, a->c) with kb < kc
+    # wedges at the apex: two out-edges (a->b, a->c) with kb < kc. The
+    # wedge set is the volume knee (Σ out-degree² rows feed the closing
+    # join), so each wedge row carries only (a, kb, kc) — the b/c node ids
+    # are the packed keys' low 32 bits, recovered AFTER the join instead
+    # of shuffled alongside them (5 longs -> 3 per wedge). An adjacency-
+    # array edge-iterator variant (array_intersect of out-neighbor lists)
+    # measured 1.5x SLOWER: joining node arrays onto edges replicates the
+    # same Σ out-degree² bytes and adds a per-edge hash-set build.
     wedges = e1.join(
         e2, (F.col("ka") == F.col("ka2")) & (F.col("kb") < F.col("kc"))
-    ).select("a", "b", "c", "kb", "kc")
+    ).select("a", "kb", "kc")
     closing = oriented.select(
         F.col("klo").alias("kb"), F.col("khi").alias("kc"))
-    tris = wedges.join(closing, ["kb", "kc"]).select("a", "b", "c")
+    tris = wedges.join(closing, ["kb", "kc"]).select(
+        "a",
+        F.col("kb").bitwiseAND(F.lit(_KEY - 1)).alias("b"),
+        F.col("kc").bitwiseAND(F.lit(_KEY - 1)).alias("c"),
+    )
     corner = (
         tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")

@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbt_spark.session import read_parquet
+from dbt_spark.session import read_parquet, stream_conf
 
 GAP_MIN = 30
 
@@ -89,15 +89,17 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = spark.readStream.schema(events.schema).parquet(src)
     deduped = streaming_dedup(stream, ["event_id"], event_time="ts", watermark="1 hour")
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark, src):
+        with stream_conf(spark, src):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     return spark.read.parquet(out_dir).select("event_id", "user_id", "value")
 
 
@@ -200,15 +202,16 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("c_user = p_user AND p_ts >= c_ts "
                "AND p_ts <= c_ts + INTERVAL 30 MINUTES"),
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark, src):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -318,13 +321,14 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         store.write_table("main", "user_latest", latest, kind="table")
 
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark, src):
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return store.read("main", "user_latest").select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -371,12 +375,13 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (spark.readStream.schema(b1.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
-    q = (stream.writeStream
-         .foreachBatch(minhash_ingest_gate(out_dir, sig_dir))
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    with stream_conf(spark, src):
+        q = (stream.writeStream
+             .foreachBatch(minhash_ingest_gate(out_dir, sig_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
     got = {r["doc_id"] for r in
            spark.read.parquet(out_dir).select("doc_id").collect()}
 
@@ -445,12 +450,13 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
     name = f"hh_mg_{_uuid.uuid4().hex[:8]}"
-    q = (mg_heavy_hitters_stream(tok_stream, k)
-         .writeStream.format("memory").queryName(name)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    with stream_conf(spark, src):
+        q = (mg_heavy_hitters_stream(tok_stream, k)
+             .writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
     cands = spark.table(name).select("source", "token").distinct()
 
     toks = docs.select(
@@ -550,13 +556,14 @@ def stream_foreachbatch_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFra
             fmt.merge_into(spark, rel.path, latest, ["user_id"])
             store.invalidate(rel)
 
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark, src):
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     rel = store.get("main", "user_latest_acid")
     if fmt.latest_version(rel.path) < 2:
         raise RuntimeError("expected one commit per micro-batch")
@@ -600,15 +607,16 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             cols["ips"].alias("ips"),
             cols["redacted"].alias("redacted"),
         )
-        q = (
-            scrubbed.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_conf(spark, src):
+            q = (
+                scrubbed.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     dirty.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
         "append").parquet(src)
@@ -682,15 +690,16 @@ def stream_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream.select("conv_id", norm.alias("norm"))
             .dropDuplicates(["conv_id", "norm"])
         )
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_conf(spark, src):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     turns.filter(F.col("doc_id") <= mid).select(
         "conv_id", "content").coalesce(1).write.mode("append").parquet(src)
@@ -944,12 +953,13 @@ def stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (spark.readStream.schema(blobs.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
-    q = (stream.writeStream
-         .foreachBatch(media_triage_gate(kept_dir, quar_dir))
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    with stream_conf(spark, src):
+        q = (stream.writeStream
+             .foreachBatch(media_triage_gate(kept_dir, quar_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
 
     kept = spark.read.parquet(kept_dir)
     quar = spark.read.parquet(quar_dir)
@@ -1034,13 +1044,14 @@ def stream_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark, src):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     regs = spark.read.parquet(store)
     m = 4096
@@ -1157,13 +1168,14 @@ def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark, src):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     kmv = spark.read.parquet(store)
     sk = kmv.groupBy("source").agg(
@@ -1236,13 +1248,14 @@ def stream_prompt_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(train.schema).parquet(src)
             .dropDuplicates(["doc_id"])
         )
-        q = (
-            stream.writeStream.foreachBatch(gate)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_conf(spark, src):
+            q = (
+                stream.writeStream.foreachBatch(gate)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     first = train.filter(F.col("doc_id") <= mid)
     first.coalesce(1).write.mode("append").parquet(src)
@@ -1365,16 +1378,17 @@ def stream_pair_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run_once() -> None:
         stream = spark.readStream.schema(blobs.schema).parquet(src)
         hashed = perceptual_phash(stream).select("doc_id", "phash")
-        q = (
-            hashed.dropDuplicates(["phash"])
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_conf(spark, src):
+            q = (
+                hashed.dropDuplicates(["phash"])
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     blobs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
         "append").parquet(src)
@@ -1464,13 +1478,14 @@ def stream_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark, src):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return mixture_weights_from_partials(spark.read.parquet(store))
 
 
@@ -1519,13 +1534,14 @@ def stream_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark, src):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return bt_strength_from_partials(spark.read.parquet(store))
 
 
@@ -1583,13 +1599,14 @@ def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(ev_raw.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark, src):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     minute = spark.read.parquet(store)
     hour = minute.groupBy(

@@ -72,8 +72,12 @@ def materialize_streaming(ctx: ExecutionContext, node: ManifestNode) -> Relation
     ctx.ensure_upstream_registered(node)
 
     registered: list[str] = []
+    source_dirs: list[str] = []
 
     def resolve_source_streaming(src: ManifestNode) -> str:
+        loc = src.config.meta.get("location")
+        if loc:
+            source_dirs.append(loc)
         ident = f"__stream__{src.source_name}__{src.name}"
         df = _streaming_source_df(ctx, src)
         wm = (node.config.meta.get("watermark") or {})
@@ -104,16 +108,19 @@ def materialize_streaming(ctx: ExecutionContext, node: ManifestNode) -> Relation
         aggregating = bool(node.config.unique_key) or _plan_aggregates(out)
         strategy = "merge" if aggregating else "append"
 
+    from dbt_spark.session import stream_conf
+
     if strategy == "append":
-        q = (
-            out.writeStream.format("parquet")
-            .option("path", path)
-            .option("checkpointLocation", checkpoint)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_conf(ctx.spark, *source_dirs):
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", path)
+                .option("checkpointLocation", checkpoint)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     elif strategy == "merge":
         keys = node.config.unique_key
         keys = [keys] if isinstance(keys, str) else list(keys or [])
@@ -130,14 +137,15 @@ def materialize_streaming(ctx: ExecutionContext, node: ManifestNode) -> Relation
             else:
                 ctx.store.write_table(schema, ctx.name_for(node), batch_df, kind="streaming")
 
-        q = (
-            out.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", checkpoint)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_conf(ctx.spark, *source_dirs):
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", checkpoint)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     else:
         raise StreamingError(f"{node.unique_id}: unknown stream_strategy {strategy!r}")
 
