@@ -254,7 +254,7 @@ def train_centroids(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         F.col("__norm2").alias("n2"),
     )
-    cents = _init_centroids(base, n_centroids).localCheckpoint()
+    cents = _init_centroids(base, n_centroids).localCheckpoint(eager=False)
     for _ in range(n_iter):
         assigned = base.crossJoin(F.broadcast(cents)).withColumn(
             "__csim",
@@ -279,7 +279,7 @@ def train_centroids(
                 F.expr("transform(pm, x -> CAST(x.m AS FLOAT))").alias("cv"),
             )
             .withColumn("cn2", _dot_exact("cv", "cv"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return cents
 
@@ -496,7 +496,7 @@ def pq_train(
     ).select(
         "id", "m",
         F.expr(f"slice(v, m * {sub} + 1, {sub})").alias("sv"),
-    )
+    ).localCheckpoint(eager=False)
     seeds = emb.orderBy(
         F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
     ).limit(k).select(
@@ -505,7 +505,7 @@ def pq_train(
         "cid", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"), "v",
     ).select(
         "m", "cid", F.expr(f"slice(v, m * {sub} + 1, {sub})").alias("cv"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(n_iter):
         assigned = base.join(F.broadcast(cents), "m").withColumn(
             "__d2", _l2sq("sv", "cv"))
@@ -521,7 +521,7 @@ def pq_train(
             .select("m", "cid",
                     F.expr("transform(pm, x -> CAST(x.mu AS FLOAT))")
                     .alias("cv"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return cents
 

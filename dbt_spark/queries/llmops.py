@@ -9,6 +9,7 @@ brute-force cosine) present as an oracle-checked query.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -134,11 +135,35 @@ def warm_ann_artifacts(spark: SparkSession, sf_dir: str) -> dict:
             "n_codes": int(n_codes), "n_index_rows": int(n_idx)}
 
 
+_DOCS_RAW_SPREAD: dict = {}
+
+
 def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unspread documents scan for Pandas-UDF (multimodal) paths: per-partition
-    Python worker startup dominates tiny inputs, so keep the scan's natural
-    split count there (real-scale inputs parallelize at the scan anyway)."""
-    return load_tables(spark, sf_dir, "documents")["documents"]
+    """Documents scan for Pandas-UDF (multimodal) paths, spread to a
+    ROW-count-adaptive partition count: the file arrives as one parquet
+    row group, so the chained mapInPandas codec stages would otherwise
+    encode+decode every payload on ONE core. Row count comes from the
+    parquet footer (no Spark job); ~150 docs per partition amortizes the
+    Python-worker batch startup that dominates tiny inputs (500-doc
+    sweeps get 3 partitions, 5,000-doc bench gets the full core count;
+    real-scale inputs already parallelize at the scan and the cheap
+    doc-row shuffle is then bounded by the core count)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DOCS_RAW_SPREAD:
+        try:
+            import pyarrow.parquet as pq
+
+            rows = pq.read_metadata(
+                os.path.join(sf_dir, "documents.parquet")).num_rows
+        except Exception:  # noqa: BLE001 — non-file layout: keep the scan
+            rows = 0
+        target = min(spark.sparkContext.defaultParallelism, max(1, rows // 150))
+        _DOCS_RAW_SPREAD[key] = (
+            docs.repartition(target).localCheckpoint(eager=False)
+            if target > 1 else docs
+        )
+    return _DOCS_RAW_SPREAD[key]
 
 
 # --------------------------------------------------------------------------
@@ -2073,7 +2098,20 @@ def _trained_quality_lr(spark: SparkSession, sf_dir: str):
     if key not in _QUALITY_LR:
         from pyspark.ml.classification import LogisticRegression
 
-        train = _quality_features(spark, sf_dir).filter(F.col("bucket") < 12)
+        from dbt_spark.session import _input_bytes
+
+        # LBFGS runs ~25-30 treeAggregate passes: with the docs scan spread
+        # over every core the tiny train set sits in 32 near-empty
+        # partitions and each pass pays 32 task launches (measured 15.3 s
+        # -> 3.1 s at sf0.1). Size the partition count from the input
+        # volume (same ~32 MB/partition policy as stream_conf), floor 4.
+        nparts = min(
+            spark.sparkContext.defaultParallelism,
+            max(4, _input_bytes(
+                os.path.join(sf_dir, "documents.parquet")) // (32 << 20) + 1),
+        )
+        train = (_quality_features(spark, sf_dir)
+                 .filter(F.col("bucket") < 12).coalesce(int(nparts)))
         lr = LogisticRegression(
             maxIter=30, regParam=0.0, standardization=False,
             featuresCol="features", labelCol="label")
@@ -3629,7 +3667,10 @@ def multimodal_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = docs.select("doc_id").mapInPandas(
         _pair_blob_gen((codecs[0], codecs[2])),
         schema="doc_id long, payload binary")
-    ph = perceptual_phash(blobs).select("doc_id", "phash")
+    # pinned: referenced by the img_min aggregate AND the final join —
+    # without the checkpoint the real decode chain runs twice
+    ph = perceptual_phash(blobs).select("doc_id", "phash").localCheckpoint(
+        eager=False)
 
     # captions: first 15 tokens of the group-base doc's text + a per-pair
     # variant token (near-dup captions with Jaccard just under 1)
@@ -3865,7 +3906,10 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = docs.select("doc_id").mapInPandas(
         _pair_blob_gen((codecs[0], codecs[2])),
         schema="doc_id long, payload binary")
-    ph = perceptual_phash(blobs).select("doc_id", "phash")
+    # pinned: referenced by the distinct hash table AND the canonical-map
+    # join-back — without the checkpoint the real decode chain runs twice
+    ph = perceptual_phash(blobs).select("doc_id", "phash").localCheckpoint(
+        eager=False)
 
     hashes = ph.select("phash").distinct()
     bands = hashes.select(
