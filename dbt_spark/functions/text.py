@@ -157,7 +157,7 @@ def bpe_learn_merges(docs: DataFrame, k_merges: int = 12,
         "n",
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .alias("seq"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merges: list[tuple] = []
     for rank in range(1, k_merges + 1):
         pairs = (seqs
@@ -186,7 +186,7 @@ def bpe_learn_merges(docs: DataFrame, k_merges: int = 12,
                 f"AND element_at(acc, -1) = '{qa}' AND x = '{qb}' "
                 f"THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}')) "
                 "ELSE concat(acc, array(x)) END)").alias("seq"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # materialized by next round's argmax
     # keep the session tidy: checkpoints release with the DataFrames
     _ = spark
     return merges

@@ -59,15 +59,20 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t")
     )
-    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE pass over the token stream: tf is the only aggregate that reads
+    # it; doc lengths and the query-term frequency table both derive from
+    # tf (Σ tf over terms / docs — bit-identical counts), and the pin
+    # stops tf's four consumers re-running the explode+shuffle
+    tf = (toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=False))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     qterms = (
-        toks.filter(~F.col("t").isin(STOPWORDS))
+        tf.filter(~F.col("t").isin(STOPWORDS))
         .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("tf").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("t"))
         .limit(3)
         .select("t")
@@ -323,7 +328,9 @@ def bt_strength_from_partials(per: DataFrame) -> DataFrame:
                 F.col("x.wij").alias("wij"),
                 (F.col("x.wij") + F.col("y.wij")).cast("bigint")
                 .alias("games"))
-    ).localCheckpoint(eager=True)
+    # lazy: the totals.count() right below materializes it — one blocking
+    # job fewer than an eager checkpoint (same pattern as k-means rounds)
+    ).localCheckpoint(eager=False)
     totals = games.groupBy("i").agg(
         F.sum("wij").cast("bigint").alias("n_wins"),
         F.sum("games").cast("bigint").alias("n_contests"),
@@ -356,7 +363,7 @@ def bt_strength_from_partials(per: DataFrame) -> DataFrame:
             raw.crossJoin(F.broadcast(tot))
             .select("i", "n_wins", "n_contests",
                     F.round(F.col("raw") / F.col("tot"), 6).alias("s"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # materialized by next round's jobs
     return (
         s.select(F.col("i").alias("event_type"), "n_wins", "n_contests",
                  F.col("s").alias("s_bt_r6"),

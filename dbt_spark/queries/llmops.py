@@ -143,11 +143,12 @@ def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROW-count-adaptive partition count: the file arrives as one parquet
     row group, so the chained mapInPandas codec stages would otherwise
     encode+decode every payload on ONE core. Row count comes from the
-    parquet footer (no Spark job); ~150 docs per partition amortizes the
-    Python-worker batch startup that dominates tiny inputs (500-doc
-    sweeps get 3 partitions, 5,000-doc bench gets the full core count;
-    real-scale inputs already parallelize at the scan and the cheap
-    doc-row shuffle is then bounded by the core count)."""
+    parquet footer (no Spark job); ~400 docs per partition amortizes the
+    Python-worker batch startup that dominates tiny inputs (A/B at sf0.1:
+    150/part over-fans cheap header-only codecs 2.5x while 1000/part
+    re-serializes the heavy JPEG path; 400 is best for both). Real-scale
+    inputs already parallelize at the scan and the cheap doc-row shuffle
+    is then bounded by the core count."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _DOCS_RAW_SPREAD:
@@ -158,7 +159,7 @@ def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(sf_dir, "documents.parquet")).num_rows
         except Exception:  # noqa: BLE001 — non-file layout: keep the scan
             rows = 0
-        target = min(spark.sparkContext.defaultParallelism, max(1, rows // 150))
+        target = min(spark.sparkContext.defaultParallelism, max(1, rows // 400))
         _DOCS_RAW_SPREAD[key] = (
             docs.repartition(target).localCheckpoint(eager=False)
             if target > 1 else docs
@@ -1076,11 +1077,16 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     a = x.alias("a")
     b = x.alias("b")
+    # pin the d²-entry moment matrix: the iteration references it once per
+    # round (plus the init vector's distinct), so an unpinned lineage
+    # re-runs the corpus self-join per reference; likewise pin each
+    # round's d-row Av frame, which is referenced twice (scale + update)
+    # — without it the upstream doubles per iteration
     mat = (
         a.join(b, "vec_id")
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
         .agg(F.sum(F.col("a.xq") * F.col("b.xq")).alias("m"))
-    )
+    ).localCheckpoint(eager=False)
     v = mat.select("i").distinct().select(
         F.col("i").alias("dim"), F.lit(int(_PCA_Q)).cast("bigint").alias("val"))
     scale = None
@@ -1089,7 +1095,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             mat.join(F.broadcast(v), mat["j"] == v["dim"])
             .groupBy("i")
             .agg(F.sum(F.col("m") * F.col("val")).alias("num"))
-        )
+        ).localCheckpoint(eager=False)
         scale = av.agg(F.max(F.abs("num")).cast("bigint").alias("s"))
         v = (
             av.crossJoin(F.broadcast(scale))  # 1-row scale frame
@@ -1630,10 +1636,12 @@ def moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-0.5-smoothed word-bigram models (ngram_lm_quality_score's
     estimator), trained in-engine — no external artifacts.
 
-    Scale: ONE gram stream feeds both models; four count-table LEFT joins
-    keyed on the gram (shuffle ∝ gram stream), two 1-row vocab broadcasts,
-    per-doc rollup with map-side partials. Same profile as the single-LM
-    scorer — the second model adds joins, not passes."""
+    Scale: ONE gram stream feeds both models — a single (w1, w2)-keyed
+    aggregate counts general and in-domain occurrences side by side, the
+    unigram tables and both vocab sizes then derive from that (much
+    smaller) bigram count table, never re-scanning the stream; two
+    count-table LEFT joins keyed on the gram (shuffle ∝ gram stream), one
+    1-row vocab broadcast, per-doc rollup with map-side partials."""
     docs = _docs(spark, sf_dir)
     d = docs.select(
         "doc_id", "lang",
@@ -1645,19 +1653,24 @@ def moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ws[i+1] AS w2))")).alias("g"),
     ).select("doc_id", "lang", F.col("g.w1").alias("w1"),
              F.col("g.w2").alias("w2"))
-    tgt = bi.filter(F.col("lang") == "en")
 
-    def tables(stream, tag):
-        c2 = stream.groupBy("w1", "w2").agg(
-            F.count(F.lit(1)).cast("double").alias(f"c2_{tag}"))
-        c1 = stream.groupBy("w1").agg(
-            F.count(F.lit(1)).cast("double").alias(f"c1_{tag}"))
-        v = stream.agg(
-            F.countDistinct("w2").cast("double").alias(f"v_{tag}"))
-        return c2, c1, v
-
-    c2i, c1i, vi = tables(tgt, "in")
-    c2g, c1g, vg = tables(bi, "gen")
+    # one pass over the gram stream builds BOTH models' bigram tables
+    # (in-domain count = conditional count inside the same buffers); the
+    # pin stops the c1/v/scored-join consumers re-running the corpus
+    # explode+shuffle. A w1-seen-only-in-general row carries c2_in = 0.0
+    # exactly where the old per-model LEFT joins produced NULL→coalesce 0.
+    c2 = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2_gen"),
+        F.count(F.when(F.col("lang") == "en", F.lit(1)))
+        .cast("double").alias("c2_in"),
+    ).localCheckpoint(eager=False)
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2_gen").alias("c1_gen"),
+        F.sum("c2_in").alias("c1_in"))
+    v = c2.agg(
+        F.countDistinct("w2").cast("double").alias("v_gen"),
+        F.countDistinct(F.when(F.col("c2_in") > 0, F.col("w2")))
+        .cast("double").alias("v_in"))
 
     def nll(tag):
         return -F.log(
@@ -1666,9 +1679,8 @@ def moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                + 0.5 * F.col(f"v_{tag}")))
 
     scored = (
-        bi.join(c2i, ["w1", "w2"], "left").join(c1i, ["w1"], "left")
-        .join(c2g, ["w1", "w2"], "left").join(c1g, ["w1"], "left")
-        .crossJoin(F.broadcast(vi)).crossJoin(F.broadcast(vg))
+        bi.join(c2, ["w1", "w2"], "left").join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
         .select("doc_id", nll("in").alias("nll_in"),
                 nll("gen").alias("nll_gen"))
         .groupBy("doc_id")
@@ -2620,7 +2632,11 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> concat_ws(' ', slice(ws, i+1, 3)))"
         )).alias("g"),
     )
-    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    # pin the benchmark gram set: bloom_build's collect materializes it,
+    # and the exact broadcast join then reuses the pinned rows instead of
+    # re-running the doc-slice explode+distinct a second time
+    bench = (grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+             .localCheckpoint(eager=False))
     words = bloom_build(bench, "g")
     pre = grams.filter(F.col("doc_id") % 97 != 0).filter(
         bloom_might_contain(words, "g")
