@@ -1604,10 +1604,14 @@ def ngram_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", F.col("g.w1").alias("w1"),
              F.col("g.w2").alias("w2"))
     tgt = bi.filter(F.col("lang") == "en")
+    # one pass over the target gram stream: the unigram table and vocab
+    # size derive from the pinned bigram count table (Σ over w2 /
+    # countDistinct w2 — bit-identical counts), never re-scanning docs
     c2 = tgt.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("c2"))
-    c1 = tgt.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
-    vocab = tgt.agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    ).localCheckpoint(eager=False)
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = c2.agg(
         F.countDistinct("w2").cast("double").alias("v"))
     scored = (
         bi.join(c2, ["w1", "w2"], "left")
