@@ -2035,11 +2035,14 @@ def kmv_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
+    # pinned: the gram explode + md5 + distinct feeds FOUR consumers (the
+    # per-source KMV window, both sides of the exact self-join, and the
+    # size aggregate) — unpinned the corpus pass replays per consumer
     hashed = grams.select(
         "source",
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
         .cast("bigint").alias("h"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     w_src = Window.partitionBy("source").orderBy("h")
     kmv = (hashed.withColumn("rn", F.row_number().over(w_src))
            .filter(F.col("rn") <= _KMV_K).select("source", "h"))

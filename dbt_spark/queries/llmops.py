@@ -620,7 +620,10 @@ def rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qg = grams3(queries, "qtext", [F.col("qid")])
-    cg = grams3(chunks, "ctext", [F.col("doc_id"), F.col("chunk_idx")])
+    # pinned: the chunk-gram explode+distinct feeds BOTH the hot-gram DF
+    # aggregate and the anti-join probe side — unpinned it runs twice
+    cg = grams3(chunks, "ctext", [F.col("doc_id"), F.col("chunk_idx")]
+                ).localCheckpoint(eager=False)
     hot = (cg.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
            .filter(F.col("df") > _RAG_DF_CAP).select("h"))
     cg = cg.join(F.broadcast(hot), "h", "left_anti")
@@ -1131,27 +1134,72 @@ def matryoshka_overlap_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one broadcast(q) × corpus pass per truncation width — the
     probe query set is fixed-size, the corpus side streams; at 100 TB
     each pass is a scan with a per-partition top-k accumulator."""
+    from pyspark.sql import Window as W
+
     emb = _emb(spark, sf_dir)
     pred = F.col("vec_id") < 8
-    full = S.cosine_topk(emb, pred, k=5).select("qid", "nid")
-    qids = full.select("qid").distinct()
-    parts = []
-    for d in (8, 16, 32):
-        sliced = emb.withColumn("tv", F.slice("embedding", 1, d))
-        top = S.cosine_topk(sliced, pred, k=5, vec_col="tv").select(
-            "qid", "nid")
-        ov = (top.join(full, ["qid", "nid"], "inner")
-              .groupBy("qid")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("overlap5")))
-        parts.append(
-            qids.join(ov, "qid", "left").select(
-                "qid", F.lit(d).cast("bigint").alias("trunc_dim"),
-                F.coalesce("overlap5", F.lit(0)).cast("bigint")
-                .alias("overlap5")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("qid", "trunc_dim")
+
+    # ONE corpus pass for all four truncation widths: prefix dots/norms
+    # decompose into SEGMENT sums (1-8, 9-16, 17-32, 33-64); decimal
+    # addition at fixed scale is exact, so d16 = d8 + seg(9..16) is
+    # bit-identical to _dot_exact over the 16-wide slice — the per-width
+    # scores (and hence rankings) match the old 4-pass cosine_topk form
+    # exactly while the broadcast(q)×corpus join and the qid-partitioned
+    # exchange happen once instead of four times.
+    segs = [(8, 1, 8), (16, 9, 8), (32, 17, 16), (64, 33, 32)]
+
+    def seg_dot(a: str, b: str, start: int, ln: int) -> F.Column:
+        return S._dot_exact(f"slice({a}, {start}, {ln})",
+                            f"slice({b}, {start}, {ln})")
+
+    base = emb.select(
+        "vec_id", "embedding",
+        *[seg_dot("embedding", "embedding", s, ln).alias(f"ns{w}")
+          for w, s, ln in segs])
+    q = base.filter(pred).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        *[F.col(f"ns{w}").alias(f"qs{w}") for w, _, _ in segs])
+    c = base.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"),
+        *[F.col(f"ns{w}").alias(f"cs{w}") for w, _, _ in segs])
+    pairs = (F.broadcast(q).crossJoin(c)
+             .filter(F.col("qid") != F.col("nid"))
+             .select("qid", "nid",
+                     *[F.col(f"qs{w}") for w, _, _ in segs],
+                     *[F.col(f"cs{w}") for w, _, _ in segs],
+                     *[seg_dot("qv", "nv", s, ln).alias(f"ds{w}")
+                       for w, s, ln in segs]))
+    cos_cols, qn, nn, dd = [], None, None, None
+    for w, _, _ in segs:
+        qn = F.col(f"qs{w}") if qn is None else qn + F.col(f"qs{w}")
+        nn = F.col(f"cs{w}") if nn is None else nn + F.col(f"cs{w}")
+        dd = F.col(f"ds{w}") if dd is None else dd + F.col(f"ds{w}")
+        cos_cols.append(
+            (dd.cast("double")
+             / (F.sqrt(qn.cast("double")) * F.sqrt(nn.cast("double"))))
+            .alias(f"cos{w}"))
+    scored = pairs.select("qid", "nid", *cos_cols)
+    # four windows share the one qid-hash exchange (same partitioning,
+    # different orderBy → one shuffle, per-width sorts)
+    ranked = scored.select(
+        "qid", "nid",
+        *[F.row_number().over(
+            W.partitionBy("qid").orderBy(F.col(f"cos{w}").desc(), "nid"))
+          .alias(f"r{w}") for w, _, _ in segs])
+    in5 = {w: F.col(f"r{w}") <= 5 for w, _, _ in segs}
+    ov = ranked.groupBy("qid").agg(
+        *[F.sum(F.when(in5[w] & in5[64], 1).otherwise(0))
+          .cast("bigint").alias(f"o{w}") for w, _, _ in segs[:3]])
+    return (
+        ov.select(
+            "qid",
+            F.explode(F.array(*[
+                F.struct(F.lit(w).cast("bigint").alias("trunc_dim"),
+                         F.col(f"o{w}").alias("overlap5"))
+                for w, _, _ in segs[:3]])).alias("x"))
+        .select("qid", "x.trunc_dim", "x.overlap5")
+        .orderBy("qid", "trunc_dim")
+    )
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2984,7 +3032,11 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.size(F.array_distinct("ws")).cast("double")
                      / F.size("ws")).alias("q"))
             .withColumn("bucket",
-                        F.floor(F.col("q") * nbuck).cast("long")))
+                        F.floor(F.col("q") * nbuck).cast("long"))
+            # pinned: the tokenize/TTR pass feeds totals, the bucket
+            # histogram AND the boundary-bucket pick — 3 passes unpinned;
+            # the pinned frame is 5 narrow columns per doc, not text
+            .localCheckpoint(eager=False))
     from pyspark.sql import Window
 
     totals = base.groupBy("source").agg(

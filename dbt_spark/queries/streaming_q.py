@@ -938,9 +938,16 @@ def stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": ids,
                                  "payload": [build(d) for d in ids]})
 
-    docs = (read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
-            .select("doc_id"))
-    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    # _docs_raw spread + lazy pin: the encode chain parallelizes instead
+    # of running on the scan's single row-group task, and runs ONCE for
+    # the two landing drops plus the batch-mode replay check
+    from dbt_spark.queries.llmops import _docs_raw
+
+    docs = _docs_raw(spark, sf_dir).select("doc_id")
+    # EAGER pin (see stream_pair_phash_dedup): coalesce(1) writes would
+    # otherwise fold the whole encode into their single task
+    blobs = docs.mapInPandas(
+        gen, schema="doc_id long, payload binary").localCheckpoint()
 
     src = _tf.mkdtemp(prefix="dbt_spark_mtsrc_")
     kept_dir = os.path.join(_tf.mkdtemp(prefix="dbt_spark_mtkeep_"), "k")
@@ -1366,10 +1373,18 @@ def stream_pair_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark.queries.llmops import _pair_blob_gen
 
     codecs = _make_pixel_codecs()
-    docs = read_parquet(
-        spark, os.path.join(sf_dir, "documents.parquet")).select("doc_id")
-    blobs = docs.mapInPandas(_pair_blob_gen((codecs[0], codecs[2])),
-                             schema="doc_id long, payload binary")
+    # _docs_raw: the one-row-group scan would otherwise run the whole
+    # Python encode chain on ONE core; the pin computes it once for the
+    # two landing drops (coalesce(1) then only re-reads pinned blocks)
+    from dbt_spark.queries.llmops import _docs_raw
+
+    docs = _docs_raw(spark, sf_dir).select("doc_id")
+    # EAGER pin: the first consumer is a coalesce(1) single-file write —
+    # a lazy checkpoint would materialize (i.e. run the whole encode)
+    # inside that one task; eager materializes it as a parallel job
+    blobs = docs.mapInPandas(
+        _pair_blob_gen((codecs[0], codecs[2])),
+        schema="doc_id long, payload binary").localCheckpoint()
     mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # harness split
     src = tempfile.mkdtemp(prefix="dbt_spark_ppdsrc_")
     out_dir = tempfile.mkdtemp(prefix="dbt_spark_ppdout_")
