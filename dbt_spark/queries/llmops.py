@@ -2440,16 +2440,11 @@ def exact_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "ci",
         F.array_join(F.slice("ws", F.col("ci") * 8 + 1, F.lit(8)), " ")
         .alias("chunk"),
-    )
-    cand = chunks.select(
-        F.md5(F.col("chunk")).alias("h"), "doc_id").distinct()
+    ).withColumn("h", F.md5(F.col("chunk")))
+    cand = chunks.select("h", "doc_id").distinct()
     dup = cand.groupBy("h").agg(
         F.count(F.lit(1)).alias("n_docs")).filter(F.col("n_docs") >= 2)
-    kept = chunks.join(
-        dup.select("h"),
-        F.md5(F.col("chunk")) == F.col("h"),
-        "left_anti",
-    )
+    kept = chunks.join(dup.select("h"), "h", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
@@ -2458,8 +2453,13 @@ def exact_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("new_text"),
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
     )
-    totals = chunks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_chunks"))
+    # chunk count per doc is closed-form from the token count (doc_id is
+    # unique in documents) — the third full chunk-explode pass this frame
+    # used to run is pure recompute
+    totals = d.select(
+        "doc_id",
+        (F.floor((F.size("ws") - 1) / 8) + 1).cast("bigint")
+        .alias("n_chunks"))
     return (
         totals.join(rebuilt, ["doc_id"], "left")
         .select(
