@@ -487,6 +487,9 @@ def test_exact_substring_remove_plan(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" not in plan, plan  # array_sort inside agg, not a window
+    # r13: per-doc chunk totals are closed-form from the token array —
+    # only the cand and kept branches may explode (was 6 Generate nodes)
+    assert plan.count("Generate") <= 4, plan
 
 
 def test_export_sharded_plan_single_shuffle(spark):
