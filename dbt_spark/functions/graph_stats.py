@@ -92,15 +92,24 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     # array edge-iterator variant (array_intersect of out-neighbor lists)
     # measured 1.5x SLOWER: joining node arrays onto edges replicates the
     # same Σ out-degree² bytes and adds a per-edge hash-set build.
+    # the (kb, kc) closing key packs into ONE long of node ids: degree is
+    # a function of the node, so k1 == k2 iff their low-32 node ids match
+    # — wedge rows shrink 3 longs -> 2 and the closing join hashes a
+    # single key (shiftleft/OR is overflow-free under ANSI, bijective on
+    # 32-bit pairs)
+    def _bc(lo_key, hi_key):
+        return F.shiftleft(
+            F.col(lo_key).bitwiseAND(F.lit(_KEY - 1)), 32
+        ).bitwiseOR(F.col(hi_key).bitwiseAND(F.lit(_KEY - 1)))
+
     wedges = e1.join(
         e2, (F.col("ka") == F.col("ka2")) & (F.col("kb") < F.col("kc"))
-    ).select("a", "kb", "kc")
-    closing = oriented.select(
-        F.col("klo").alias("kb"), F.col("khi").alias("kc"))
-    tris = wedges.join(closing, ["kb", "kc"]).select(
+    ).select("a", _bc("kb", "kc").alias("bc"))
+    closing = oriented.select(_bc("klo", "khi").alias("bc"))
+    tris = wedges.join(closing, ["bc"]).select(
         "a",
-        F.col("kb").bitwiseAND(F.lit(_KEY - 1)).alias("b"),
-        F.col("kc").bitwiseAND(F.lit(_KEY - 1)).alias("c"),
+        F.shiftright("bc", 32).bitwiseAND(F.lit(_KEY - 1)).alias("b"),
+        F.col("bc").bitwiseAND(F.lit(_KEY - 1)).alias("c"),
     )
     corner = (
         tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
