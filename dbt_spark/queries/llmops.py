@@ -2967,41 +2967,55 @@ def suffix_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     and rebuilds identically (md5-pinned).
 
     Runs on the doc_id<120 slice to bound sweep cost — the plan is
-    slice-size-free. Scale: span explosion is ∝ duplicated volume (the
-    thing being removed), the coverage set is a distinct hash aggregate,
-    and the rebuild is one per-doc sorted array fold."""
+    slice-size-free. Scale: the span union is a gaps-and-islands interval
+    merge at SPAN granularity (the r12 decontam_exact_substring_cover
+    shape — work ∝ duplicated spans, never per-character rows), and the
+    rebuild cuts each doc's survivor text with one substring fold over
+    its merged-interval array — one pass over the doc text, no char
+    explode, no char-level anti-join or re-sort."""
+    from pyspark.sql import Window
+
     from dbt_spark.functions.suffix import suffix_repeat_lengths
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 120).select(
         "doc_id", "text")
     reps = suffix_repeat_lengths(docs)
-    starts = reps.filter(F.col("rep") >= 50)
-    covered = starts.select(
-        "doc_id",
-        F.explode(F.sequence(
-            F.col("pos"), F.col("pos") + F.col("rep") - 1)).alias("cpos"),
-    ).distinct()
-    chars = docs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
-        F.col("text"),
-    ).select("doc_id", "pos", F.expr("substring(text, pos, 1)").alias("ch"))
-    kept = chars.join(
-        covered,
-        (chars.doc_id == covered.doc_id) & (chars.pos == covered.cpos),
-        "left_anti",
+    starts = reps.filter(F.col("rep") >= 50).select(
+        "doc_id", "pos", (F.col("pos") + F.col("rep") - 1).alias("end"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = starts.withColumn(
+        "new_isl",
+        F.when(prev_max.isNull() | (F.col("pos") > prev_max), 1)
+        .otherwise(0),
+    ).withColumn(
+        "isl", F.sum("new_isl").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    merged = isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e"))
+    iv = merged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivs"))
+    # fold the sorted disjoint intervals: emit the gap before each span,
+    # then flush the tail after the last span (substring with len <= 0 is
+    # '' — zero-width gaps and spans past end-of-text are no-ops, exactly
+    # the old char-level anti-join semantics)
+    cut = (
+        "aggregate(ivs, struct(1 as nxt, '' as acc), "
+        "(st, iv) -> struct(cast(iv.e + 1 as int) as nxt, "
+        "concat(st.acc, substring(text, st.nxt, cast(iv.s as int) - st.nxt"
+        ")) as acc), "
+        "st -> concat(st.acc, "
+        "substring(text, st.nxt, length(text) - st.nxt + 1)))"
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(pos, ch))),"
-            " x -> x.ch), '')"
-        ).alias("new_text")
-    )
-    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+    return docs.join(iv, "doc_id", "left").select(
         "doc_id",
-        F.md5(F.coalesce(F.col("new_text"), F.lit(""))).alias("text_md5"),
-        F.length(F.coalesce(F.col("new_text"), F.lit(""))).cast("bigint")
-        .alias("new_len"),
+        F.when(F.col("ivs").isNull(), F.coalesce("text", F.lit("")))
+        .otherwise(F.expr(cut)).alias("new_text"),
+    ).select(
+        "doc_id",
+        F.md5("new_text").alias("text_md5"),
+        F.length("new_text").cast("bigint").alias("new_len"),
     )
 
 
