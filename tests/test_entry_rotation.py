@@ -53,6 +53,24 @@ def test_oracles_follow_query_order():
     assert o == [k for k in q if k in set(o)]
 
 
+def test_oracle_less_keys_sort_last():
+    """A driver sample slot spent on a key with no oracle pairing verifies
+    nothing (it reports ``no_oracle``): every key lacking an oracle must sort
+    after every oracle-paired key, regardless of sample history."""
+    from dbt_spark.queries import ORACLES, QUERIES
+
+    order = entry._rotation_order(list(QUERIES))
+    no_oracle = [k for k in order if k not in ORACLES]
+    assert no_oracle, "inventory unexpectedly fully oracle-paired"
+    first_bare = order.index(no_oracle[0])
+    assert all(k not in ORACLES for k in order[first_bare:])
+    # the r13 rewrites the verdict wants driver-checked lead the sample
+    head = order[:50]
+    assert "copurchase_triangle_stats" in head
+    assert "bm25_topk" in head
+    assert all(k in ORACLES for k in head)
+
+
 def test_rotation_counts_multiplicity(tmp_path, monkeypatch):
     # Keys sampled twice sort after keys sampled once, which sort after
     # never-sampled keys; registry position breaks ties.
