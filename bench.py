@@ -341,6 +341,15 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
 
+    print(compact_line(total, reps, times, sf, parse2k, run2k))
+
+
+def compact_line(total, reps, times, sf, parse2k, run2k) -> str:
+    """The ONE stdout JSON line the round driver parses. The driver captures
+    only the last 2,000 chars of stdout, so the line must stay under 1,950
+    chars with the full headline set — tested against the live registry in
+    tests/test_bench_contract.py (r9-r12 lost their round-over-round
+    comparison to an overlong line)."""
     compact = {
         "metric": "headline_query_wall_sec",
         "value": total,
@@ -359,7 +368,7 @@ def main() -> None:
             k: v for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:40]
         }
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    return line
 
 
 def _bench_ann_search_only(spark, sf_dir: str) -> dict:

@@ -28,8 +28,24 @@ __all__ = ["canonical_edges", "pagerank", "triangle_stats"]
 
 #: (degree, node) total order packed into one sortable long — node ids must
 #: fit in 32 bits (true for every key column in the test corpus; a general
-#: deployment would dense-rank ids first)
+#: deployment would dense-rank ids first). Enforced per NODE (not per
+#: wedge) by ``_checked_node``: an id outside [0, 2^32) would silently
+#: corrupt both the (degree, node) order and the packed closing-join key.
 _KEY = 1 << 32
+
+
+def _checked_node(col: F.Column, where: str) -> F.Column:
+    """Raise (at execution) on any node id outside [0, 2^32) instead of
+    silently mis-packing it; identity for valid ids."""
+    return F.when((col >= 0) & (col < F.lit(_KEY)), col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{where}: node id outside [0, 2^32) breaks the "
+                      "packed (degree, node) key — dense-rank ids first: "),
+                col.cast("string"),
+            )
+        )
+    )
 
 
 def canonical_edges(df: DataFrame, a: str, b: str) -> DataFrame:
@@ -58,7 +74,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
+        # every edge endpoint flows through this node-sized frame, so the
+        # 32-bit-id guard here covers the whole key-packing pipeline at
+        # one comparison per NODE (never per wedge)
         .agg(F.count(F.lit(1)).alias("degree"))
+        .select(_checked_node(F.col("node"), "triangle_stats").alias("node"),
+                "degree")
     ).localCheckpoint(eager=False)
     keyed = (
         edges.join(deg.withColumnRenamed("node", "u"), "u")

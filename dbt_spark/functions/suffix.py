@@ -135,7 +135,14 @@ def global_head_ranks(
     within-block refinement). Range-repartitions on the key alone (equal
     keys land in one partition), then two per-partition windows plus a
     bounded one-row-per-partition collect for the offsets. Sampling-based
-    range boundaries affect the split, never the rank values."""
+    range boundaries affect the split, never the rank values.
+
+    ``__sz`` contract: a SINGLETON MARKER, not an exact block size — 1
+    means the row's key is unique, >1 means it is tied. The fast path
+    emits the literal 2 for every tied row; the skew-safe path emits the
+    exact block count. Consumers may only test ``__sz == 1`` / ``> 1``
+    (everything in this module does); the two physical paths agree on
+    exactly that predicate."""
     spark = df.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     part = (

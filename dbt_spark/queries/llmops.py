@@ -1137,6 +1137,15 @@ def matryoshka_overlap_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = _emb(spark, sf_dir)
+    # the segment decomposition below hardcodes widths summing to 64 with
+    # d64 as the FULL-vector ranking; a corpus regenerated at another width
+    # must fail loudly here rather than silently ranking on a truncation
+    _n, _dim = _emb_meta(spark, sf_dir)
+    if _dim != 64:
+        raise ValueError(
+            f"matryoshka_overlap_probe assumes 64-wide embeddings "
+            f"(full-dim baseline = segment sum 8+8+16+32); corpus has "
+            f"dim={_dim}")
     pred = F.col("vec_id") < 8
 
     # ONE corpus pass for all four truncation widths: prefix dots/norms

@@ -90,16 +90,15 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(events.schema).parquet(src)
     deduped = streaming_dedup(stream, ["event_id"], event_time="ts", watermark="1 hour")
     with stream_conf(spark, src):
-        with stream_conf(spark, src):
-            q = (
-                deduped.writeStream.format("parquet")
-                .option("path", out_dir)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir).select("event_id", "user_id", "value")
 
 

@@ -15,7 +15,17 @@ DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def _input_bytes(path: str, suffix: str = ".parquet") -> int:
-    """Total bytes of the ``suffix`` inputs under ``path`` (0 if unreadable)."""
+    """Total bytes of the ``suffix`` inputs under ``path`` (0 if unreadable).
+
+    ``path`` may be a plain file (the common case for the test tables, e.g.
+    ``documents.parquet``): ``os.walk`` yields nothing for a file, which
+    silently reported 0 bytes and pinned every volume-derived partition
+    count to its floor."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path) if path.endswith(suffix) else 0
+    except OSError:
+        return 0
     total = 0
     try:
         for root, _dirs, files in os.walk(path):
@@ -102,7 +112,40 @@ def get_spark(app_name: str = "dbt_spark", *, extra_conf: dict | None = None) ->
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _install_reliable_checkpoint(spark)
     return spark
+
+
+def _install_reliable_checkpoint(spark: SparkSession) -> None:
+    """``SPARK_GRAFT_RELIABLE_CKPT=<dir>``: lineage pins survive executor
+    loss.
+
+    The engine cuts lineage in its iterative pipelines (suffix array,
+    graph rounds, PCA/k-means, LM count tables) with ``localCheckpoint``,
+    which stores blocks in EXECUTOR storage — cheap, but at cluster scale
+    losing one executor kills the job because the truncated lineage cannot
+    recompute. Pointing this knob at a reliable directory (HDFS/object
+    store) reroutes every ``localCheckpoint`` in the session to a reliable
+    ``checkpoint()`` there, preserving each call site's eager/lazy choice.
+    Off by default: on local[N] there are no executors to lose and the
+    local form avoids the write-to-storage round trip."""
+    ckpt_dir = os.environ.get("SPARK_GRAFT_RELIABLE_CKPT")
+    if not ckpt_dir:
+        return
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    # patch the CONCRETE DataFrame class (Spark 4's classic session returns
+    # pyspark.sql.classic.dataframe.DataFrame, which overrides the abstract
+    # base's methods — patching pyspark.sql.DataFrame would be a no-op)
+    cls = type(spark.range(0))
+    if getattr(cls.localCheckpoint, "_graft_reliable", False):
+        return
+
+    def _reliable_local_checkpoint(self, eager: bool = True):
+        return cls.checkpoint(self, eager=eager)
+
+    _reliable_local_checkpoint._graft_reliable = True
+    cls._graft_local_checkpoint = cls.localCheckpoint
+    cls.localCheckpoint = _reliable_local_checkpoint
 
 
 from contextlib import contextmanager  # noqa: E402

@@ -89,6 +89,29 @@ def test_triangle_stats_clique_and_coefficient(spark):
                and r["clustering_coeff"] == 1.0 for r in rows)
 
 
+def test_triangle_stats_rejects_out_of_range_node_ids(spark):
+    """The packed (degree, node) key assumes ids in [0, 2^32): an id past
+    that silently corrupted both the total order and the closing-join key
+    before the guard. The guard must RAISE on such ids (adversarial huge-id
+    seed, VERDICT r13 directive #4) and stay silent for ids at the
+    boundary."""
+    huge = 1 << 33  # triangle whose apex id would mis-pack
+    bad = spark.createDataFrame(
+        [(huge, 1), (huge, 2), (1, 2)], "x long, y long")
+    with pytest.raises(Exception, match="node id outside"):
+        triangle_stats(canonical_edges(bad, "x", "y")).collect()
+    neg = spark.createDataFrame([(-3, 1), (-3, 2), (1, 2)], "x long, y long")
+    with pytest.raises(Exception, match="node id outside"):
+        triangle_stats(canonical_edges(neg, "x", "y")).collect()
+    # max valid id passes and counts exactly
+    edge_max = (1 << 32) - 1
+    ok = spark.createDataFrame(
+        [(edge_max, 1), (edge_max, 2), (1, 2)], "x long, y long")
+    rows = {r["node"]: r["triangles"]
+            for r in triangle_stats(canonical_edges(ok, "x", "y")).collect()}
+    assert rows == {1: 1, 2: 1, edge_max: 1}
+
+
 def test_triangle_stats_no_cartesian_no_udf(spark):
     edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
     df = spark.createDataFrame(edges, "x long, y long")

@@ -87,3 +87,27 @@ def test_iterative_queries_pin_their_round_lineage(spark):
             .fromString("formatted"))
         n_scans = plan.count("Scan parquet")
         assert n_scans == scans_allowed, (fn.__name__, n_scans)
+
+
+def test_reliable_checkpoint_knob(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_RELIABLE_CKPT reroutes every localCheckpoint to a
+    reliable checkpoint() in the configured dir (the 100 TB escape hatch:
+    local checkpoints die with their executor; reliable ones recompute-proof
+    the iterative pipelines)."""
+    from dbt_spark.session import _install_reliable_checkpoint
+
+    ckpt = tmp_path / "rckpt"
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CKPT", str(ckpt))
+    cls = type(spark.range(0))
+    orig = cls.localCheckpoint
+    try:
+        _install_reliable_checkpoint(spark)
+        df = spark.range(100).localCheckpoint(eager=True)
+        assert df.count() == 100
+        files = [p for p in ckpt.rglob("*") if p.is_file()]
+        assert files, "no reliable checkpoint files written"
+        # lazy form still works (materializes on first action)
+        lazy = spark.range(10).localCheckpoint(eager=False)
+        assert lazy.count() == 10
+    finally:
+        cls.localCheckpoint = orig

@@ -129,6 +129,27 @@ def test_global_head_ranks_exact(spark):
     assert got == want
 
 
+def test_global_head_ranks_sz_marker_contract(spark):
+    """``__sz`` is a singleton MARKER (1 = unique key, >1 = tied): the fast
+    path emits a literal 2 for tied rows while the skew-safe path emits the
+    exact block count, but both must agree on the ==1 / >1 predicate every
+    consumer relies on."""
+    rng = random.Random(_BASE + _OFF + 78)
+    rows = [(i, rng.choice(["aa", "ab", "b", "ccc", "d", f"u{i}"]))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "rid long, k string")
+    from collections import Counter
+
+    key_count = Counter(k for _, k in rows)
+    want = {rid: key_count[k] == 1 for rid, k in rows}
+    for skew_safe in (False, True):
+        out = global_head_ranks(
+            df, key="k", tiebreak=["rid"], skew_safe=skew_safe)
+        assert "__sz" in out.columns, skew_safe
+        got = {r["rid"]: r["__sz"] == 1 for r in out.collect()}
+        assert got == want, skew_safe
+
+
 def test_suffix_rank_tables_order_matches_sorted_suffixes(spark):
     """The final table's (rank, doc, pos) order IS the suffix-array order
     of truncated suffixes (head ranks: equal prefixes share a rank)."""
