@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import re
 import threading
 import time
 from dataclasses import dataclass, field
@@ -48,6 +49,10 @@ class Relation:
         return f"{self.schema}__{self.name}"
 
 
+#: SQL identifier tokens, for matching statements against pending lazy views
+_IDENT_RX = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
 class RelationStore:
     def __init__(self, spark: SparkSession, warehouse: str) -> None:
         self.spark = spark
@@ -55,8 +60,18 @@ class RelationStore:
         os.makedirs(self.warehouse, exist_ok=True)
         self._lock = threading.RLock()
         self._registered: set[str] = set()
+        #: lazily registered views: identifier -> compiled SQL, realized as
+        #: temp views on first reference (ensure_registered_for)
+        self._lazy_views: dict[str, str] = {}
+        #: lazy views whose analysis failed (ident -> exception), drained by
+        #: flush_lazy_views for end-of-run node attribution
+        self._lazy_failures: dict[str, Exception] = {}
+        #: --fail-fast switches view registration back to eager so a broken
+        #: view fails its own node before any sibling is scheduled
+        self.eager_views = False
         self._state_path = os.path.join(self.warehouse, "_catalog.json")
         self._log_path = self._state_path + ".log"
+        self._log_fh = None  # persistent journal handle (_journal)
         self.relations: dict[str, Relation] = {}
         self._load_state()
 
@@ -103,6 +118,9 @@ class RelationStore:
         with open(tmp, "w") as f:
             json.dump({k: r.__dict__ for k, r in self.relations.items()}, f, indent=1)
         os.replace(tmp, self._state_path)
+        if self._log_fh is not None:  # never append to an unlinked journal
+            self._log_fh.close()
+            self._log_fh = None
         try:
             os.remove(self._log_path)
         except OSError:
@@ -110,10 +128,15 @@ class RelationStore:
 
     def _journal(self, key: str, rel: Optional[Relation]) -> None:
         """Append one upsert (rel) or tombstone (None) to the journal.
-        Callers hold self._lock, so lines never interleave."""
-        with open(self._log_path, "a") as f:
-            f.write(json.dumps(
-                {"k": key, "r": None if rel is None else rel.__dict__}) + "\n")
+        Callers hold self._lock, so lines never interleave. The handle is
+        opened once and kept (open-per-append cost one syscall pair per
+        model at 2,000-model scale); each line is flushed, so the journal
+        is exactly as crash-durable as the open-per-append form."""
+        if self._log_fh is None:
+            self._log_fh = open(self._log_path, "a")
+        self._log_fh.write(json.dumps(
+            {"k": key, "r": None if rel is None else rel.__dict__}) + "\n")
+        self._log_fh.flush()
 
     @staticmethod
     def key(schema: str, name: str) -> str:
@@ -139,17 +162,28 @@ class RelationStore:
     # -- registration (the ref()-resolution path) ---------------------------
 
     def register(self, rel: Relation) -> str:
-        """Make the relation addressable from Spark SQL; returns identifier."""
+        """Make the relation addressable from Spark SQL; returns identifier.
+
+        View registration is LAZY: the identifier -> compiled SQL mapping is
+        recorded here and the actual temp view (``spark.sql(sql).createOr
+        ReplaceTempView``, the analyzed-plan form — measured ~2x cheaper than
+        a CREATE VIEW DDL round trip) is created by ``ensure_registered_for``
+        at the first statement that actually references the identifier. A
+        view-only ``dbt run`` is pure metadata either way — dbt's CREATE VIEW
+        does no data work — but the eager form paid one py4j + Catalyst
+        analysis round trip per node, ~70%% of the engine's per-node
+        scheduling cost at 2,000-model scale."""
         with self._lock:
             if rel.identifier in self._registered:
                 return rel.identifier
             if rel.kind == "view":
-                # register the ANALYZED plan (spark.sql(...).createOrReplace
-                # TempView) rather than a CREATE ... VIEW DDL statement —
-                # measured ~2× cheaper per view (no DDL parse + text-plan
-                # round trip), which matters at 2,000-model scale
-                self.spark.sql(rel.compiled_sql).createOrReplaceTempView(
-                    rel.identifier)
+                if self.eager_views:
+                    # --fail-fast: analysis failures must surface on the
+                    # owning node immediately, not at first reference
+                    self.spark.sql(rel.compiled_sql).createOrReplaceTempView(
+                        rel.identifier)
+                else:
+                    self._lazy_views[rel.identifier] = rel.compiled_sql
             elif rel.meta.get("buckets"):
                 # bucketed relations resolve through the session catalog so
                 # Catalyst sees the bucket spec (outputPartitioning) and can
@@ -159,6 +193,93 @@ class RelationStore:
                 self._read_files(rel).createOrReplaceTempView(rel.identifier)
             self._registered.add(rel.identifier)
             return rel.identifier
+
+    def ensure_registered_for(self, sql: str) -> None:
+        """Create the temp views for every LAZILY registered view identifier
+        the statement references (transitively: a pending view's SQL may
+        reference other pending views, which must exist first for its
+        analysis to resolve). One token scan of the statement; no-op when
+        nothing is pending — call before any ``spark.sql`` of compiled or
+        user SQL."""
+        if not self._lazy_views or not sql:
+            return
+        with self._lock:
+            if not self._lazy_views:
+                return
+            hits = set(_IDENT_RX.findall(sql)) & self._lazy_views.keys()
+            for ident in hits:
+                self._flush_lazy_view(ident)
+
+    def _flush_lazy_view(self, ident: str) -> None:
+        sql = self._lazy_views.pop(ident, None)
+        if sql is None:
+            return
+        for dep in set(_IDENT_RX.findall(sql)) & self._lazy_views.keys():
+            self._flush_lazy_view(dep)
+        try:
+            self.spark.sql(sql).createOrReplaceTempView(ident)
+        except Exception as e:  # noqa: BLE001 — recorded for node attribution
+            self._lazy_failures[ident] = e
+            raise
+
+    def flush_lazy_views(self, threads: int = 8) -> dict[str, Exception]:
+        """Realize every still-pending lazy view and return
+        ``identifier -> analysis error`` for all failures this session —
+        both views whose first flush happens here and views that already
+        failed when a consuming statement flushed them mid-run. The runner
+        calls this at end of invocation so a broken view still fails ITS
+        OWN node within the run that built it (dbt parity: the warehouse
+        validates CREATE VIEW at run time), while healthy views pay their
+        one analysis only when first referenced.
+
+        The flush runs in DEPENDENCY WAVES on a small thread pool: a view
+        analyzes only after every pending view it references exists, but
+        views with no pending deps (one wave per chain level) analyze
+        concurrently — the per-view cost is almost entirely JVM-side
+        Catalyst work (~20 ms measured), which parallelizes, while the
+        Python side just waits on the py4j socket (GIL released)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with self._lock:
+            pending = dict(self._lazy_views)
+            self._lazy_views.clear()
+        deps = {
+            ident: (set(_IDENT_RX.findall(sql)) & pending.keys()) - {ident}
+            for ident, sql in pending.items()
+        }
+
+        def _realize(ident: str) -> tuple[str, Optional[Exception]]:
+            try:
+                self.spark.sql(pending[ident]).createOrReplaceTempView(ident)
+                return ident, None
+            except Exception as e:  # noqa: BLE001 — attributed by the runner
+                return ident, e
+
+        failed: dict[str, Exception] = {}
+        with ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
+            while deps:
+                ready = [i for i, d in deps.items() if not d]
+                if not ready:
+                    # dependency cycle among pending views (possible only
+                    # via raw SQL naming an ident): realize sequentially so
+                    # each gets a real analysis error, not a deadlock
+                    ready = list(deps)
+                for ident, err in pool.map(_realize, ready):
+                    deps.pop(ident, None)
+                    if err is not None:
+                        failed[ident] = err
+                for d in deps.values():
+                    d.difference_update(ready)
+        with self._lock:
+            failed.update(self._lazy_failures)
+            self._lazy_failures.clear()
+        return failed
+
+    def _unregister(self, ident: str) -> None:
+        """Forget a registration (both the done-set and any pending lazy
+        view) so the next ``register`` re-registers fresh SQL."""
+        self._registered.discard(ident)
+        self._lazy_views.pop(ident, None)
 
     def _check_csv_append_schema(self, schema: str, name: str, df: DataFrame) -> None:
         """CSV reads apply the persisted schema POSITIONALLY, and append mode
@@ -216,7 +337,7 @@ class RelationStore:
 
     def invalidate(self, rel: Relation) -> None:
         with self._lock:
-            self._registered.discard(rel.identifier)
+            self._unregister(rel.identifier)
 
     def read(self, schema: str, name: str) -> DataFrame:
         rel = self.get(schema, name)
@@ -224,6 +345,7 @@ class RelationStore:
             raise KeyError(f"relation {schema}.{name} does not exist")
         if rel.kind == "view" or rel.meta.get("buckets"):
             self.register(rel)
+            self.ensure_registered_for(rel.identifier)
             return self.spark.table(rel.identifier)
         return self._read_files(rel)
 
@@ -235,7 +357,7 @@ class RelationStore:
                        meta=meta)
         with self._lock:
             self.relations[self.key(schema, name)] = rel
-            self._registered.discard(rel.identifier)
+            self._unregister(rel.identifier)
             self._journal(self.key(schema, name), rel)
         self.register(rel)
         return rel
@@ -288,7 +410,7 @@ class RelationStore:
                        partition_by=partition_by, meta=meta)
         with self._lock:
             self.relations[self.key(schema, name)] = rel
-            self._registered.discard(rel.identifier)
+            self._unregister(rel.identifier)
             self._journal(self.key(schema, name), rel)
         self.register(rel)
         return rel
@@ -303,7 +425,7 @@ class RelationStore:
                        meta=meta)
         with self._lock:
             self.relations[self.key(schema, name)] = rel
-            self._registered.discard(rel.identifier)
+            self._unregister(rel.identifier)
             self._journal(self.key(schema, name), rel)
         self.register(rel)
         return rel
@@ -427,7 +549,7 @@ class RelationStore:
                        partition_by=partition_by)
         with self._lock:
             self.relations[self.key(schema, name)] = rel
-            self._registered.discard(rel.identifier)
+            self._unregister(rel.identifier)
             self._journal(self.key(schema, name), rel)
         self.register(rel)
         return rel
@@ -484,7 +606,7 @@ class RelationStore:
                 self.spark.sql(f"DROP TABLE IF EXISTS {tmp_ident}")  # files stay
                 self.spark.sql(f"DROP TABLE IF EXISTS {rel.identifier}")
                 self._swap(rel.path, staging)
-                self._registered.discard(rel.identifier)
+                self._unregister(rel.identifier)
             self.register(rel)  # _ensure_bucketed_table re-declares CLUSTERED BY
             after, _ = _count_files(rel.path)
             return before, after
@@ -523,7 +645,7 @@ class RelationStore:
                 fmt_obj.vacuum(rel.path)
             self.spark.catalog.refreshByPath(rel.path)
             with self._lock:
-                self._registered.discard(rel.identifier)
+                self._unregister(rel.identifier)
             self.register(rel)
             return before, _live_count()
         staging = f"{rel.path}.__staging__{int(time.time() * 1000)}"
@@ -539,7 +661,7 @@ class RelationStore:
         self._swap(rel.path, staging)
         self.spark.catalog.refreshByPath(rel.path)
         with self._lock:
-            self._registered.discard(rel.identifier)
+            self._unregister(rel.identifier)
         self.register(rel)
         after, _ = _count_files(rel.path)
         return before, after
@@ -548,7 +670,7 @@ class RelationStore:
         with self._lock:
             rel = self.relations.pop(self.key(schema, name), None)
             if rel is not None:
-                self._registered.discard(rel.identifier)
+                self._unregister(rel.identifier)
                 self.spark.catalog.dropTempView(rel.identifier)
                 if rel.meta.get("buckets"):
                     self.spark.sql(f"DROP TABLE IF EXISTS {rel.identifier}")

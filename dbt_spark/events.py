@@ -329,6 +329,7 @@ class EventBus:
         self.invocation_started_at = datetime.now(timezone.utc).isoformat()
         self.callbacks: list[Callable[[Event], None]] = []
         self._lock = threading.Lock()
+        self._log_fh = None  # persistent JSONL handle (_write_log_line)
         self._pb_write = None
         if log_path:
             os.makedirs(os.path.dirname(log_path), exist_ok=True)
@@ -339,6 +340,28 @@ class EventBus:
 
             self._pb_write = delimited_writer(
                 os.path.splitext(log_path)[0] + ".pb")
+
+    def _write_log_line(self, line: str) -> None:
+        """Append one line to the JSONL log through a PERSISTENT handle —
+        open-per-event was measured at ~50 us x 2 files x 6 events/node,
+        a visible slice of the 2,000-model run. Flushed per line so
+        ``tail -f`` and crash forensics behave like the open-per-append
+        form; rotation (--log-file-max-bytes) tracks the size via the
+        handle's own position instead of statting the file each event."""
+        fh = self._log_fh
+        if fh is None:
+            fh = self._log_fh = open(self.log_path, "a")
+            fh.seek(0, os.SEEK_END)  # make tell() the true size pre-write
+        if self.max_bytes:
+            try:
+                if fh.tell() + len(line) > self.max_bytes:
+                    fh.close()
+                    os.replace(self.log_path, self.log_path + ".1")
+                    fh = self._log_fh = open(self.log_path, "a")
+            except OSError:
+                pass
+        fh.write(line)
+        fh.flush()
 
     def fire(self, name: str, level: Optional[str] = None, **data: Any) -> Event:
         code, default_level = EVENT_CODES.get(name, ("", "info"))
@@ -364,16 +387,7 @@ class EventBus:
                             f"{ev.msg or ev.name}\n")
                 else:
                     line = json.dumps(ev.to_dict(), default=str) + "\n"
-                if self.max_bytes:
-                    try:
-                        if (os.path.exists(self.log_path)
-                                and os.path.getsize(self.log_path)
-                                + len(line) > self.max_bytes):
-                            os.replace(self.log_path, self.log_path + ".1")
-                    except OSError:
-                        pass
-                with open(self.log_path, "a") as f:
-                    f.write(line)
+                self._write_log_line(line)
             if self._pb_write is not None and to_file:
                 # the .pb stream mirrors the JSON file log, so it honors
                 # the same level filter

@@ -189,6 +189,9 @@ class ExecutionContext:
                 if _re.search(rf"\b{_re.escape(plain)}\b", sql):
                     dep_ident = self._register_deferred(dep)
                     sql = _re.sub(rf"\b{_re.escape(plain)}\b", dep_ident, sql)
+            # the state view's rewritten SQL may still reference LOCAL
+            # lazily-registered idents (favor-state mixes namespaces)
+            self.store.ensure_registered_for(sql)
             self.spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {ident} AS {sql}")
             return ident
         self.defer_store._read_files(state_rel).createOrReplaceTempView(ident)
@@ -309,6 +312,7 @@ class ExecutionContext:
         artifact: bool = True,
     ):
         """Run one statement through the attribution layer above."""
+        self.store.ensure_registered_for(sql)
         return self.spark.sql(self.record_execution(sql, node, artifact))
 
     def run_query(self, sql: str):
@@ -590,7 +594,9 @@ def _run_python_model(ctx: ExecutionContext, node: ManifestNode) -> DataFrame:
             found = ctx.manifest.ref_lookup(name)
             if found is None:
                 raise RuntimeError(f"dbt.ref('{name}') not found")
-            return ctx.spark.sql(f"SELECT * FROM {ctx.resolve_ref(found)}")
+            ident = ctx.resolve_ref(found)
+            ctx.store.ensure_registered_for(ident)
+            return ctx.spark.sql(f"SELECT * FROM {ident}")
 
         def source(self, src: str, tbl: str) -> DataFrame:
             found = ctx.manifest.source_lookup(src, tbl)
@@ -657,6 +663,7 @@ def materialize_view(ctx: ExecutionContext, node: ManifestNode) -> Relation:
     sql = compile_sql(ctx, node)
     node.compiled_code = sql
     if node.config.contract.get("enforced"):
+        ctx.store.ensure_registered_for(sql)
         enforce_contract(node, ctx.spark.sql(sql))  # schema-only, no execution
     # the "executed statement" for a view is its registration DDL — record
     # it (query-comment + target/run + job description) without re-running
@@ -673,6 +680,7 @@ def materialize_view(ctx: ExecutionContext, node: ManifestNode) -> Relation:
         # Spark-first feature (no reference analog: dbt models share via the
         # warehouse); LAZY so unconsumed caches cost nothing. The runner
         # uncaches at end of invocation.
+        ctx.store.ensure_registered_for(rel.identifier)
         ctx.spark.sql(f"CACHE LAZY TABLE {rel.identifier}")
         ctx.cached_idents.append(rel.identifier)
     return rel
@@ -846,6 +854,7 @@ def materialize_materialized_view(ctx: ExecutionContext, node: ManifestNode) -> 
         # metadata check vs a full rebuild.
         ctx.store.register(existing)
         return existing
+    ctx.store.ensure_registered_for(sql)
     df = ctx.spark.sql(sql)
     enforce_contract(node, df)
     enforce_constraints(node, df)

@@ -99,7 +99,9 @@ def _input_target(ctx: ExecutionContext, input_str: str) -> ManifestNode:
 def _sql_fixture_df(ctx: ExecutionContext, fixture: dict) -> DataFrame:
     """``format: sql`` fixture — rows holds a SELECT producing the fixture
     relation (UnitTestFormat.SQL, v1/unit_test_definition.py:26-57)."""
-    return ctx.spark.sql(str(fixture.get("rows") or fixture.get("fixture")))
+    sql = str(fixture.get("rows") or fixture.get("fixture"))
+    ctx.store.ensure_registered_for(sql)
+    return ctx.spark.sql(sql)
 
 
 def _fixture_df(ctx: ExecutionContext, target: ManifestNode, rows: list[dict]) -> DataFrame:

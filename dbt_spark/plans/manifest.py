@@ -221,8 +221,32 @@ class Manifest:
         if node.unique_id in store:
             raise ValueError(f"duplicate node {node.unique_id}")
         store[node.unique_id] = node
+        self.__dict__.pop("_ref_index", None)
 
     def ref_lookup(self, name: str, package: Optional[str] = None) -> Optional[ManifestNode]:
+        # name -> [uid] accelerator: ref() resolution is called a few times
+        # per node, and the linear scan made a 2,000-model run O(n^2). Pure
+        # fast path — a hit is re-validated against self.nodes (deletions)
+        # and ANY miss falls through to the original full scan (nodes added
+        # behind the index's back), so semantics are unchanged.
+        idx = self.__dict__.get("_ref_index")
+        if idx is None:
+            idx = {}
+            for node in self.nodes.values():
+                if node.resource_type in (
+                        NodeType.Model, NodeType.Seed, NodeType.Snapshot):
+                    idx.setdefault(node.name, []).append(node.unique_id)
+            self.__dict__["_ref_index"] = idx
+        for uid in idx.get(name, ()):
+            node = self.nodes.get(uid)
+            if (
+                node is not None
+                and node.name == name
+                and node.resource_type in (
+                    NodeType.Model, NodeType.Seed, NodeType.Snapshot)
+                and (package is None or node.package_name == package)
+            ):
+                return node
         for node in self.nodes.values():
             if node.name == name and node.resource_type in (
                 NodeType.Model,

@@ -159,3 +159,68 @@ def extract_or_render(
                 f"static={static} rendered={(refs, sources, config)}"
             )
     return static
+
+
+#: parse env matching plans.compile._ENV's text-shaping options, so a plan
+#: rebuilt from the AST is byte-identical to a real jinja render
+_RENDER_ENV = jinja2.Environment(keep_trailing_newline=True)
+
+#: raw_code -> render plan (None = provably-not-static); bounded
+_PLAN_MEMO: dict[str, Any] = {}
+_MISS = object()
+
+
+def static_render_parts(raw_code: str) -> Optional[list]:
+    """Render PLAN for a provably-static template, else None.
+
+    A static template (same whitelist as ``static_extract``) renders as a
+    straight concatenation of its literal text and the values of its
+    ``ref``/``source``/``config`` calls — no template compile, no exec, no
+    context. The plan is a list of parts: ``str`` literals,
+    ``("ref", package_or_None, name)`` (version already folded into the
+    name, mirroring ``_capture_call``), ``("source", src, table)``, and
+    ``("config",)`` (renders as the empty string, exactly like the runtime
+    ``config()`` hook). Memoized per raw_code: the 2,000-model run pays one
+    jinja PARSE per model here instead of parse + compile + exec."""
+    plan = _PLAN_MEMO.get(raw_code, _MISS)
+    if plan is not _MISS:
+        return plan
+    try:
+        tree = _RENDER_ENV.parse(raw_code)
+    except jinja2.TemplateError:
+        plan = None
+    else:
+        try:
+            plan = _plan_parts(tree)
+        except _NotStatic:
+            plan = None
+    if len(_PLAN_MEMO) < 8192:
+        _PLAN_MEMO[raw_code] = plan
+    return plan
+
+
+def _plan_parts(tree: j.Template) -> list:
+    parts: list = []
+    for nd in tree.body:
+        if isinstance(nd, j.TemplateData):
+            parts.append(nd.data)
+            continue
+        if not isinstance(nd, j.Output):
+            raise _NotStatic(type(nd).__name__)
+        for child in nd.nodes:
+            if isinstance(child, j.TemplateData):
+                parts.append(child.data)
+                continue
+            if not isinstance(child, j.Call):
+                raise _NotStatic(type(child).__name__)
+            refs: list = []
+            sources: list = []
+            config: dict = {}
+            _capture_call(child, refs, sources, config)
+            if refs:
+                parts.append(("ref", refs[0][0], refs[0][1]))
+            elif sources:
+                parts.append(("source", sources[0][0], sources[0][1]))
+            else:
+                parts.append(("config",))
+    return parts

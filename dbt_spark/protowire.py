@@ -251,13 +251,17 @@ def decode_event_info(data: bytes) -> dict:
 def delimited_writer(path: str) -> Callable[[dict], None]:
     """Returns an append-one-event callable (varint-length-delimited
     framing). Routes through google.protobuf when importable, else the
-    pure-Python wire encoder — same bytes either way."""
+    pure-Python wire encoder — same bytes either way. The file handle is
+    opened once and kept (open-per-event was ~1/3 of the event-log cost at
+    2,000-model scale); each event is flushed so the stream survives a
+    crash like the open-per-append form did."""
+    fh = open(path, "ab")
 
     def write(info: dict) -> None:
         payload = encode_event_info(info)
-        with open(path, "ab") as f:
-            f.write(_varint(len(payload)))
-            f.write(payload)
+        fh.write(_varint(len(payload)))
+        fh.write(payload)
+        fh.flush()
 
     return write
 

@@ -727,6 +727,10 @@ class Engine:
             if pf.get("write_json") is False:
                 write_json = False
 
+        # --fail-fast asks for the earliest possible failure: views must
+        # validate on THEIR node, so registration goes back to eager
+        self.store.eager_views = bool(fail_fast)
+
         # parse-time warnings (deprecations) honor the invocation's flags; a
         # promoted warning fails the invocation like the reference's
         # EventCompilationError out of warn_or_error
@@ -750,6 +754,7 @@ class Engine:
             return self._run_operation(manifest, positional[0], op_args)
         if command == "show":
             if inline_direct is not None:
+                self.store.ensure_registered_for(inline_direct)
                 rows = [r.asDict() for r in
                         self.spark.sql(inline_direct).limit(limit).collect()]
                 res = RunnerResult(
@@ -1033,6 +1038,36 @@ class Engine:
             done = {r.unique_id for r in results}
             for uid in sorted(runnable - done):
                 results.append(RunResult(uid, "skipped", 0.0, "fail-fast abort"))
+
+        # View registration is lazy (catalog.py register): realize every
+        # view still pending so a broken view fails ITS OWN node within the
+        # run that built it (dbt parity — the warehouse validates CREATE
+        # VIEW at run time), and attribute any analysis failure (including
+        # ones a consuming statement hit mid-run) back to the owning node.
+        lazy_errors = self.store.flush_lazy_views(
+            threads=min(16, self.spark.sparkContext.defaultParallelism))
+        if lazy_errors:
+            ident_uid: dict[str, str] = {}
+            for uid in runnable:
+                n = manifest.nodes.get(uid)
+                if n is None:
+                    continue
+                try:
+                    ident_uid[
+                        f"{ctx.schema_for(n)}__{ctx.name_for(n)}"] = uid
+                except Exception:  # noqa: BLE001 — naming macros may raise
+                    continue
+            for ident, err in lazy_errors.items():
+                uid = ident_uid.get(ident)
+                if uid is None:
+                    continue
+                for rr in results:
+                    if rr.unique_id == uid and rr.status == "success":
+                        rr.status = "error"
+                        rr.message = (
+                            f"view registration failed: {str(err)[:700]}")
+                        self.events.fire("RunResultError", node_id=uid,
+                                         msg=str(err)[:300])
 
         self._run_hooks(ctx, self.project.on_run_end, "on-run-end",
                         results=results)
@@ -2256,6 +2291,7 @@ class Engine:
                     ctx.store.save_view(schema, exp_name, sql)
                 else:
                     if df is None:
+                        ctx.store.ensure_registered_for(sql)
                         df = ctx.spark.sql(sql)
                         if cache_enabled:
                             df = df.persist()
@@ -2287,6 +2323,7 @@ class Engine:
             group_by=group_by, where=where, order_by=order_by, limit=limit,
             time_spines=spines,
         )
+        self.store.ensure_registered_for(sql)
         return self.spark.sql(sql)
 
     def _render_hook(self, ctx: ExecutionContext, node: ManifestNode,

@@ -93,6 +93,7 @@ def materialize_streaming(ctx: ExecutionContext, node: ManifestNode) -> Relation
 
     sql = compile_sql_streaming(ctx, node, resolve_source_streaming)
     node.compiled_code = sql
+    ctx.store.ensure_registered_for(sql)
     out = ctx.spark.sql(sql)
     if not out.isStreaming:
         raise StreamingError(

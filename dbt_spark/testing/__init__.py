@@ -74,6 +74,7 @@ class TestProject:
         engine's session with relations registered; fetch="one"/"all"."""
         for rel in self.engine.store.list_relations():
             self.engine.store.read(rel.schema, rel.name).createOrReplaceTempView(rel.name)
+        self.engine.store.ensure_registered_for(sql)
         df = self.spark.sql(sql)
         if fetch == "one":
             rows = df.limit(1).collect()
