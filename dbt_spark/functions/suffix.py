@@ -76,6 +76,10 @@ GRANULE = 64
 #: sentinel LCP for pairs already decided by equal final ranks
 _DECIDED = 1 << 40
 
+#: (doc, pos) single-long packing base for the adjacency/lifting tables —
+#: doc ids and positions must fit 32 bits (guarded at pair construction)
+_PACK = 1 << 32
+
 #: salt buckets for the within-block SA-index window: bounds the widest
 #: single window task at block_size/_IDX_SALT (adversarial corpora)
 _IDX_SALT = 32
@@ -245,7 +249,15 @@ def _double(ranks: DataFrame, k: int, skew_safe: bool = False) -> DataFrame:
     positions are dense (1..doc_len, one row each), so the row k ahead in
     pos order IS position pos+k — one doc-keyed exchange replaces the
     (doc, pos+k) equi-join's two exchanges plus sort-merge, and no
-    document is large enough to serialize a window task (doc-bounded)."""
+    document is large enough to serialize a window task (doc-bounded).
+
+    Any extra ``r<depth>`` columns on the input (the shallower tables'
+    ranks, stamped by ``suffix_rank_tables``) ride along unchanged: they
+    let the LCP lifting compare shallower ranks at offset 0 as plain
+    columns instead of re-joining the shallower tables (suffix_repeat_
+    lengths)."""
+    carry = [c for c in ranks.columns
+             if c not in ("doc_id", "pos", "doc_len", "rank", "__sz")]
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     paired_all = ranks.withColumn(
         "rank2",
@@ -253,7 +265,7 @@ def _double(ranks: DataFrame, k: int, skew_safe: bool = False) -> DataFrame:
     )
     single = paired_all.filter(F.col("__sz") == 1).drop("rank2")
     paired = paired_all.filter(F.col("__sz") > 1).select(
-        "doc_id", "pos", "doc_len", "rank", "rank2",
+        "doc_id", "pos", "doc_len", "rank", "rank2", *carry,
     )
     if not skew_safe:
         # fast path: two windows over the tied subset (shrinks
@@ -268,6 +280,7 @@ def _double(ranks: DataFrame, k: int, skew_safe: bool = False) -> DataFrame:
                 "doc_id", "pos", "doc_len",
                 (F.col("rank") + F.col("__head") - F.lit(1)).alias("rank"),
                 F.col("__nsz").alias("__sz"),
+                *carry,
             )
         )
         return single.unionByName(refined)
@@ -290,6 +303,7 @@ def _double(ranks: DataFrame, k: int, skew_safe: bool = False) -> DataFrame:
         "doc_id", "pos", "doc_len",
         (F.col("rank") + F.col("__before")).alias("rank"),
         F.col("__nsz").alias("__sz"),
+        *carry,
     )
     return single.unionByName(refined)
 
@@ -332,8 +346,14 @@ def suffix_rank_tables(
     tables: list[tuple[int, DataFrame]] = [(GRANULE, seeded)]
     depth = GRANULE
     while depth < max_depth:
-        nxt = _double(tables[-1][1], depth, skew_safe).localCheckpoint(
-            eager=False)
+        # stamp this depth's rank as a carried r<depth> column BEFORE the
+        # next round refines `rank`: the final table then holds every
+        # shallower depth's rank per position, and LCP lifting at offset 0
+        # is a column comparison instead of a join against this table
+        nxt = _double(
+            tables[-1][1].withColumn(f"r{depth}", F.col("rank")),
+            depth, skew_safe,
+        ).localCheckpoint(eager=False)
         depth *= 2
         tables.append((depth, nxt))
     return tables
@@ -443,54 +463,96 @@ def suffix_repeat_lengths(
             .drop("__salt", "__boff")
         )
     sa = uniq.unionByName(tied)
+    # (doc, pos) PACKED into one long per side — pairs rows shrink from
+    # seven longs (d1,p1,l1,d2,p2,l2,lcp) to four (k1,k2,cap,lcp), i.e.
+    # ~45% fewer bytes through every lifting join's shuffle and every
+    # per-round checkpoint (§2.3), and each lifting lookup becomes a
+    # SINGLE-long equi-join: pack(d, p + lcp) = k + lcp because lcp
+    # ≤ max_depth stays inside the pos bits. The remaining-length clamp is
+    # a per-pair CONSTANT, so it is folded into `cap` here instead of
+    # carrying both doc lengths through the loop. Guarded: ids/positions
+    # outside 32 bits would corrupt the packing (same contract as the
+    # graph key pack).
+    def _pack(d: F.Column, p: F.Column) -> F.Column:
+        ok = (d >= 0) & (d < F.lit(_PACK)) & (p > 0) & (p < F.lit(_PACK) - max_depth)
+        return F.when(ok, F.shiftleft(d, 32).bitwiseOR(p)).otherwise(
+            F.raise_error(F.concat(
+                F.lit("suffix pack: doc_id/pos outside [0, 2^32): "),
+                d.cast("string"), F.lit("/"), p.cast("string"))))
+
+    depths = [d for d, _ in tables[:-1]]  # shallower depths, ascending
     left = sa.select(
         F.col("idx").alias("i"),
-        F.col("doc_id").alias("d1"), F.col("pos").alias("p1"),
-        F.col("doc_len").alias("l1"), F.col("rank").alias("r1"),
+        _pack(F.col("doc_id"), F.col("pos")).alias("k1"),
+        (F.col("doc_len") - F.col("pos") + 1).alias("rem1"),
+        F.col("rank").alias("r1"),
+        *[F.col(f"r{d}").alias(f"q1_{d}") for d in depths],
     )
     right = sa.select(
         (F.col("idx") - F.lit(1)).alias("i"),
-        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"),
-        F.col("doc_len").alias("l2"), F.col("rank").alias("r2"),
+        F.shiftleft(F.col("doc_id"), 32).bitwiseOR(F.col("pos")).alias("k2"),
+        (F.col("doc_len") - F.col("pos") + 1).alias("rem2"),
+        F.col("rank").alias("r2"),
+        *[F.col(f"r{d}").alias(f"q2_{d}") for d in depths],
     )
+    # Binary-lifting round 1 (the DEEPEST shallower table) folds into this
+    # projection: every pair starts at offset 0, and the final table
+    # carries each position's shallower ranks as r<depth> COLUMNS
+    # (suffix_rank_tables), so "rank_d(pos+0) equal?" is a column compare —
+    # no join, no extra exchange. Equal final ranks ⇒ identical (truncated)
+    # max_depth-prefixes ⇒ LCP = cap (the folded remaining-length clamp).
+    top = depths[-1] if depths else None
+    lcp0 = F.when(F.col("r1") == F.col("r2"), F.lit(_DECIDED))
+    if top is not None:
+        lcp0 = lcp0.when(
+            F.col(f"q1_{top}") == F.col(f"q2_{top}"), F.lit(top).cast("long"))
+    carry_q = [(f"q1_{d}", f"q2_{d}") for d in depths[:-1]]
     pairs = left.join(right, "i", "inner").select(
-        "d1", "p1", "l1", "d2", "p2", "l2",
-        # equal final ranks ⇒ identical (truncated) max_depth-prefixes:
-        # LCP = remaining length, restored by the clamp below
-        F.when(F.col("r1") == F.col("r2"), F.lit(_DECIDED))
-        .otherwise(F.lit(0).cast("long")).alias("lcp"),
+        "k1", "k2",
+        F.least("rem1", "rem2", F.lit(max_depth).cast("long")).alias("cap"),
+        lcp0.otherwise(F.lit(0).cast("long")).alias("lcp"),
+        *[c for pair in carry_q for c in pair],
     ).localCheckpoint(eager=False)
-    # binary lifting over the coarser tables (GRANULE multiples) — the
-    # DECIDED subset (identical truncated prefixes, heavy on duplicate-rich
-    # corpora) is split off before each join, so only still-undecided pairs
-    # travel through the two rank-table joins of each round; each round's
-    # union is checkpointed so the dec/und branch pair never recomputes
-    # the upstream plan twice
-    cols = ["d1", "p1", "l1", "d2", "p2", "l2", "lcp"]
-    for depth, table in reversed(tables[:-1]):
+    # Remaining rounds, shallowest-table ranks consumed deepest-first. Per
+    # round, three branches instead of a full-table join pair:
+    #   - DECIDED pairs pass through untouched;
+    #   - offset-0 pairs (lcp == 0, the vast majority on natural text:
+    #     their first `depth` chars already differ or match per the carried
+    #     column) compare r<depth> columns — join-free;
+    #   - extended pairs (0 < lcp, only those whose deeper prefix matched)
+    #     join the depth table at pack(doc, pos + lcp) = k + lcp — the only
+    #     corpus-table join left in the lifting, over a small subset.
+    cols = ["k1", "k2", "cap", "lcp"]
+    for ridx, (depth, table) in enumerate(reversed(tables[:-1])):
+        if ridx == 0:
+            continue  # folded into the adjacency projection above
+        remaining = [(f"q1_{d}", f"q2_{d}") for d in depths[:-1 - ridx]]
+        keep = [c for pair in remaining for c in pair]
         ra = table.select(
-            F.col("doc_id").alias("a_doc"), F.col("pos").alias("a_pos"),
+            F.shiftleft(F.col("doc_id"), 32).bitwiseOR(F.col("pos"))
+            .alias("ka"),
             F.col("rank").alias("a_rank"),
         )
         rb = table.select(
-            F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos"),
+            F.shiftleft(F.col("doc_id"), 32).bitwiseOR(F.col("pos"))
+            .alias("kb"),
             F.col("rank").alias("b_rank"),
         )
-        dec = pairs.filter(F.col("lcp") == F.lit(_DECIDED))
-        und = (
-            pairs.filter(F.col("lcp") < F.lit(_DECIDED))
-            .join(
-                ra,
-                (F.col("d1") == F.col("a_doc"))
-                & (F.col("a_pos") == F.col("p1") + F.col("lcp")),
-                "left",
-            )
-            .join(
-                rb,
-                (F.col("d2") == F.col("b_doc"))
-                & (F.col("b_pos") == F.col("p2") + F.col("lcp")),
-                "left",
-            )
+        dec = pairs.filter(F.col("lcp") == F.lit(_DECIDED)).select(
+            *cols, *keep)
+        zero = pairs.filter(F.col("lcp") == 0).select(
+            "k1", "k2", "cap",
+            F.when(
+                F.col(f"q1_{depth}") == F.col(f"q2_{depth}"),
+                F.lit(depth).cast("long"),
+            ).otherwise(F.lit(0).cast("long")).alias("lcp"),
+            *keep,
+        )
+        ext = (
+            pairs.filter(
+                (F.col("lcp") > 0) & (F.col("lcp") < F.lit(_DECIDED)))
+            .join(ra, F.col("ka") == F.col("k1") + F.col("lcp"), "left")
+            .join(rb, F.col("kb") == F.col("k2") + F.col("lcp"), "left")
             .withColumn(
                 "lcp",
                 F.when(
@@ -499,9 +561,10 @@ def suffix_repeat_lengths(
                     F.col("lcp") + F.lit(depth).cast("long"),
                 ).otherwise(F.col("lcp")),
             )
-            .select(*cols)
+            .select(*cols, *keep)
         )
-        pairs = dec.unionByName(und).localCheckpoint(eager=False)
+        pairs = dec.unionByName(zero).unionByName(ext).localCheckpoint(
+            eager=False)
     # … then sub-granule refinement: direct compare of ≤(GRANULE-1)-char
     # fragments fetched by doc-keyed joins (broadcast-sized dimension at
     # test scale; plain hash join at corpus scale); decided pairs skip the
@@ -509,9 +572,14 @@ def suffix_repeat_lengths(
     t1 = docs.select(F.col(id_col).alias("d1"), F.col(text_col).alias("__t1"))
     t2 = docs.select(F.col(id_col).alias("d2"), F.col(text_col).alias("__t2"))
     frag_w = GRANULE - 1
-    dec = pairs.filter(F.col("lcp") == F.lit(_DECIDED))
+    dec = pairs.filter(F.col("lcp") == F.lit(_DECIDED)).select(
+        "k1", "k2", F.col("cap").alias("lcp"))
     und = (
         pairs.filter(F.col("lcp") < F.lit(_DECIDED))
+        .withColumn("d1", F.shiftrightunsigned("k1", 32))
+        .withColumn("p1", F.col("k1").bitwiseAND(F.lit(_PACK - 1)))
+        .withColumn("d2", F.shiftrightunsigned("k2", 32))
+        .withColumn("p2", F.col("k2").bitwiseAND(F.lit(_PACK - 1)))
         .join(t1, "d1").join(t2, "d2")
         # fragments land in NAMED columns first: _frag_lcp's nested-WHEN
         # tree references its inputs at ~3^levels leaves, so an inline
@@ -520,28 +588,26 @@ def suffix_repeat_lengths(
             (F.col("p1") + F.col("lcp")).cast("int"), F.lit(frag_w)))
         .withColumn("__f2", F.col("__t2").substr(
             (F.col("p2") + F.col("lcp")).cast("int"), F.lit(frag_w)))
-        .withColumn(
-            "lcp",
-            F.col("lcp")
-            + _frag_lcp(F.col("__f1"), F.col("__f2"), frag_w).cast("long"),
+        .select(
+            "k1", "k2",
+            # clamp folded in: overshoot past either suffix's end means the
+            # suffixes are identical to their ends — true LCP = cap
+            F.least(
+                F.col("lcp")
+                + _frag_lcp(F.col("__f1"), F.col("__f2"), frag_w)
+                .cast("long"),
+                F.col("cap"),
+            ).alias("lcp"),
         )
-        .select(*cols)
     )
     pairs = dec.unionByName(und)
-    # clamp: overshoot past either suffix's end means the two suffixes are
-    # identical to their (equal-length) ends — true LCP = remaining length
-    pairs = pairs.withColumn(
-        "lcp",
-        F.least(
-            F.col("lcp"),
-            F.col("l1") - F.col("p1") + F.lit(1),
-            F.col("l2") - F.col("p2") + F.lit(1),
-            F.lit(max_depth).cast("long"),
-        ),
+    both = pairs.select(F.col("k1").alias("k"), "lcp").unionAll(
+        pairs.select(F.col("k2").alias("k"), "lcp"))
+    return (
+        both.groupBy("k").agg(F.max("lcp").alias("rep"))
+        .select(
+            F.shiftrightunsigned("k", 32).alias("doc_id"),
+            F.col("k").bitwiseAND(F.lit(_PACK - 1)).alias("pos"),
+            "rep",
+        )
     )
-    both = pairs.select(
-        F.col("d1").alias("doc_id"), F.col("p1").alias("pos"), "lcp"
-    ).unionAll(
-        pairs.select(F.col("d2").alias("doc_id"), F.col("p2").alias("pos"), "lcp")
-    )
-    return both.groupBy("doc_id", "pos").agg(F.max("lcp").alias("rep"))

@@ -247,3 +247,31 @@ def test_skew_probe_detection(spark):
         (d, "".join(rng.choice(alpha) for _ in range(300))) for d in range(30)
     ]
     assert probe(diverse) is False
+
+
+def test_pack_guard_rejects_out_of_range_ids(spark):
+    """The (doc, pos) single-long packing in the adjacency/lifting tables
+    assumes 32-bit doc ids; an id past that must raise, not silently
+    corrupt the lifting join keys."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1 << 33, "abcabc"), (1, "bcabca")], "doc_id long, text string")
+    with _pytest.raises(Exception, match="outside"):
+        suffix_repeat_lengths(docs).collect()
+
+
+def test_rank_tables_carry_shallower_ranks(spark):
+    """suffix_rank_tables stamps each shallower depth's rank as an r<depth>
+    column on deeper tables — the LCP lifting's join-free offset-0 compare
+    depends on it, and the carried column must EQUAL the shallower table's
+    own rank per position."""
+    docs = spark.createDataFrame(
+        [(0, "banana" * 30), (1, "bandana" * 25)], "doc_id long, text string")
+    tables = suffix_rank_tables(docs, max_depth=256)
+    final = tables[-1][1]
+    for depth, _tbl in tables[:-1]:
+        assert f"r{depth}" in final.columns, depth
+    t64 = {(r["doc_id"], r["pos"]): r["rank"] for r in tables[0][1].collect()}
+    carried = {(r["doc_id"], r["pos"]): r["r64"] for r in final.collect()}
+    assert carried == t64
