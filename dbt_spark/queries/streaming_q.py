@@ -29,6 +29,41 @@ from dbt_spark.session import read_parquet, stream_conf
 GAP_MIN = 30
 
 
+def _land_two_batches(b1: DataFrame, b2: DataFrame, src: str) -> None:
+    """Drop two micro-batch parquet files into ``src`` with ONE Spark job.
+
+    The harness pattern was two sequential coalesce(1) append writes —
+    two jobs, and (for the acid upsert) a 1.1 s sleep, because
+    FileStreamSource orders files by modification time and same-ms mtimes
+    would make batch order nondeterministic. One partitioned write plus
+    two renames with EXPLICIT strictly-increasing mtimes halves the setup
+    jobs and removes the sleep; batch 0 is always ``b1``'s file."""
+    import glob as _glob
+    import shutil as _sh
+    import time as _time
+
+    stage = src.rstrip("/") + "__stage"
+    (b1.withColumn("__b", F.lit(0))
+     .unionByName(b2.withColumn("__b", F.lit(1)))
+     .repartition(1)
+     .write.partitionBy("__b").mode("overwrite").parquet(stage))
+    now = _time.time()
+    for i, b in ((0, b1), (1, b2)):
+        part = _glob.glob(os.path.join(stage, f"__b={i}", "*.parquet"))
+        if not part:
+            # an EMPTY half writes no partition dir — the old two-write
+            # form landed an empty file (still a micro-batch); keep that
+            empty = f"{stage}_empty{i}"
+            b.limit(0).coalesce(1).write.mode("overwrite").parquet(empty)
+            part = _glob.glob(os.path.join(empty, "*.parquet"))
+        assert len(part) == 1, part
+        dst = os.path.join(src, f"batch-{i}.parquet")
+        os.rename(part[0], dst)
+        os.utime(dst, (now + i, now + i))
+    for leftover in _glob.glob(stage + "*"):
+        _sh.rmtree(leftover, ignore_errors=True)
+
+
 def streaming_ingest_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_spark.queries.materializations import _mini_ctx, _model_node
     from dbt_spark.plans.manifest import ManifestNode, NodeType
@@ -84,8 +119,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="dbt_spark_ddsrc_")
     out_dir = tempfile.mkdtemp(prefix="dbt_spark_ddout_")
     ckpt = tempfile.mkdtemp(prefix="dbt_spark_ddckpt_")
-    events.coalesce(1).write.mode("append").parquet(src)
-    events.coalesce(1).write.mode("append").parquet(src)  # exact duplicates
+    _land_two_batches(events, events, src)  # second file = exact duplicates
 
     stream = spark.readStream.schema(events.schema).parquet(src)
     deduped = streaming_dedup(stream, ["event_id"], event_time="ts", watermark="1 hour")
@@ -296,10 +330,8 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = _tf.mkdtemp(prefix="dbt_spark_fbwh_")
     store = RelationStore(spark, wh)
     # two files -> two micro-batches
-    events.filter(F.col("event_id") < 1000).coalesce(1).write.mode(
-        "append").parquet(src)
-    events.filter(F.col("event_id") >= 1000).coalesce(1).write.mode(
-        "append").parquet(src)
+    _land_two_batches(events.filter(F.col("event_id") < 1000),
+                      events.filter(F.col("event_id") >= 1000), src)
 
     stream = (
         spark.readStream.schema(events.schema)
@@ -369,8 +401,7 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(_tf.mkdtemp(prefix="dbt_spark_ndout_"), "docs")
     sig_dir = os.path.join(_tf.mkdtemp(prefix="dbt_spark_ndsig_"), "sigs")
     ckpt = _tf.mkdtemp(prefix="dbt_spark_ndckpt_")
-    b1.coalesce(1).write.mode("append").parquet(src)
-    b2.coalesce(1).write.mode("append").parquet(src)
+    _land_two_batches(b1, b2, src)
 
     stream = (spark.readStream.schema(b1.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
@@ -439,8 +470,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = docs.filter(F.col("doc_id") >= 250)
     src = _tf.mkdtemp(prefix="dbt_spark_hhsrc_")
     ckpt = _tf.mkdtemp(prefix="dbt_spark_hhckpt_")
-    b1.coalesce(1).write.mode("append").parquet(src)
-    b2.coalesce(1).write.mode("append").parquet(src)
+    _land_two_batches(b1, b2, src)
 
     stream = (spark.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
@@ -520,18 +550,11 @@ def stream_foreachbatch_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFra
     wh = _tf.mkdtemp(prefix="dbt_spark_fbawh_")
     store = RelationStore(spark, wh)
     fmt = table_format("txparquet")
-    # two files -> two micro-batches, deterministic arrival order (file
-    # stream orders by modification time; sleep-free because write order
-    # on a local fs yields distinct mtimes at ms resolution is NOT
-    # guaranteed — encode order in the path instead via two single-file
-    # writes processed with maxFilesPerTrigger=1 in lexical mtime order)
-    events.filter(F.col("event_id") < 1000).coalesce(1).write.mode(
-        "append").parquet(src)
-    import time as _time
-
-    _time.sleep(1.1)  # distinct mtimes: batch order == arrival order
-    events.filter(F.col("event_id") >= 1000).coalesce(1).write.mode(
-        "append").parquet(src)
+    # two files -> two micro-batches; _land_two_batches stamps explicit
+    # strictly-increasing mtimes, replacing the 1.1 s sleep this query
+    # previously paid to guarantee deterministic arrival order
+    _land_two_batches(events.filter(F.col("event_id") < 1000),
+                      events.filter(F.col("event_id") >= 1000), src)
 
     stream = (
         spark.readStream.schema(events.schema)
@@ -952,10 +975,8 @@ def stream_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_dir = os.path.join(_tf.mkdtemp(prefix="dbt_spark_mtkeep_"), "k")
     quar_dir = os.path.join(_tf.mkdtemp(prefix="dbt_spark_mtquar_"), "q")
     ckpt = _tf.mkdtemp(prefix="dbt_spark_mtckpt_")
-    blobs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
-        "append").parquet(src)
-    blobs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
-        "append").parquet(src)
+    _land_two_batches(blobs.filter(F.col("doc_id") % 2 == 0),
+                      blobs.filter(F.col("doc_id") % 2 == 1), src)
 
     stream = (spark.readStream.schema(blobs.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
@@ -1010,12 +1031,15 @@ def stream_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _tf.mkdtemp(prefix="dbt_spark_hllsrc_")
     store = os.path.join(_tf.mkdtemp(prefix="dbt_spark_hllstore_"), "regs")
     ckpt = _tf.mkdtemp(prefix="dbt_spark_hllckpt_")
-    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
-        "append").parquet(src)
-    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
-        "append").parquet(src)
+    _land_two_batches(docs.filter(F.col("doc_id") <= mid),
+                      docs.filter(F.col("doc_id") > mid), src)
 
     def fold(batch_df, batch_id) -> None:
+        # a micro-batch scans ONE landing file = one input split: spread
+        # the per-token md5 map work across cores before the explode
+        # (stream_conf's 4 shuffle partitions only govern the aggregate)
+        batch_df = batch_df.repartition(
+            batch_df.sparkSession.sparkContext.defaultParallelism)
         toks = batch_df.select(
             "lang",
             F.explode(
@@ -1123,10 +1147,8 @@ def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _tf.mkdtemp(prefix="dbt_spark_kmvsrc_")
     store = os.path.join(_tf.mkdtemp(prefix="dbt_spark_kmvstore_"), "kmv")
     ckpt = _tf.mkdtemp(prefix="dbt_spark_kmvckpt_")
-    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
-        "append").parquet(src)
-    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
-        "append").parquet(src)
+    _land_two_batches(docs.filter(F.col("doc_id") <= mid),
+                      docs.filter(F.col("doc_id") > mid), src)
 
     def _gram_hashes(df: DataFrame) -> DataFrame:
         toks = F.split(F.trim(F.lower("text")), r"\s+")
@@ -1161,6 +1183,11 @@ def stream_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("rn") <= _KMV_K).select("source", "h"))
 
     def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        # one landing file = one input split: spread the gram explode +
+        # md5 map work across cores (the shuffle after it stays at the
+        # stream_conf partition count)
+        batch_df = batch_df.repartition(
+            batch_df.sparkSession.sparkContext.defaultParallelism)
         kmv = _bottom_k(_gram_hashes(batch_df))
         b_spark = batch_df.sparkSession
         if os.path.isdir(store):
@@ -1469,10 +1496,8 @@ def stream_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _tf.mkdtemp(prefix="dbt_spark_mixsrc_")
     store = os.path.join(_tf.mkdtemp(prefix="dbt_spark_mixstore_"), "mix")
     ckpt = _tf.mkdtemp(prefix="dbt_spark_mixckpt_")
-    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
-        "append").parquet(src)
-    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
-        "append").parquet(src)
+    _land_two_batches(docs.filter(F.col("doc_id") <= mid),
+                      docs.filter(F.col("doc_id") > mid), src)
 
     def fold(batch_df: DataFrame, _batch_id: int) -> None:
         part = mixture_partials(batch_df)
@@ -1528,10 +1553,8 @@ def stream_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _tf.mkdtemp(prefix="dbt_spark_btsrc_")
     store = os.path.join(_tf.mkdtemp(prefix="dbt_spark_btstore_"), "bt")
     ckpt = _tf.mkdtemp(prefix="dbt_spark_btckpt_")
-    ev.filter(F.col("event_id") <= mid).coalesce(1).write.mode(
-        "append").parquet(src)
-    ev.filter(F.col("event_id") > mid).coalesce(1).write.mode(
-        "append").parquet(src)
+    _land_two_batches(ev.filter(F.col("event_id") <= mid),
+                      ev.filter(F.col("event_id") > mid), src)
 
     def fold(batch_df: DataFrame, _batch_id: int) -> None:
         part = bt_engagement_partials(batch_df)
@@ -1583,10 +1606,8 @@ def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _tf.mkdtemp(prefix="dbt_spark_rollsrc_")
     store = os.path.join(_tf.mkdtemp(prefix="dbt_spark_rollstore_"), "min")
     ckpt = _tf.mkdtemp(prefix="dbt_spark_rollckpt_")
-    ev_raw.filter(F.col("event_id") <= mid).coalesce(1).write.mode(
-        "append").parquet(src)
-    ev_raw.filter(F.col("event_id") > mid).coalesce(1).write.mode(
-        "append").parquet(src)
+    _land_two_batches(ev_raw.filter(F.col("event_id") <= mid),
+                      ev_raw.filter(F.col("event_id") > mid), src)
 
     def _minute(df: DataFrame) -> DataFrame:
         return df.groupBy(
